@@ -26,6 +26,19 @@ object Tables {
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
   def events(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "events")
+
+  /** events with `ts` as a proper timestamp. Under
+    * `spark.sql.legacy.parquet.nanosAsLong` the TIMESTAMP(NANOS)
+    * column arrives as nanos-since-epoch; integer-divide to micros
+    * (plain double division would lose precision above 2^53).
+    */
+  def eventsWithTs(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    import org.apache.spark.sql.functions._
+    if (e.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      e.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else e
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 

@@ -1,0 +1,31 @@
+package graft.functions
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.expr
+
+/** Registry for graft's native Catalyst expressions.
+  *
+  * Registration goes through the session's FunctionRegistry (public
+  * API surface); callers then build Columns with `expr("...")` or the
+  * typed helpers here. Idempotent per session.
+  */
+object GraftFunctions {
+  private val registered = ConcurrentHashMap.newKeySet[String]()
+
+  def register(spark: SparkSession): Unit =
+    if (registered.add(spark.sessionState.toString)) {
+      val reg = spark.sessionState.functionRegistry
+      reg.createOrReplaceTempFunction(
+        "poly_hash", exprs => PolyHash(exprs.head), "built-in")
+      reg.createOrReplaceTempFunction(
+        "fnv64", exprs => Fnv64(exprs.head), "built-in")
+    }
+
+  /** Oracle-parity polynomial fingerprint (see [[PolyHash]]). */
+  def polyHash(c: String): Column = expr(s"poly_hash($c)")
+
+  /** 64-bit FNV-1a hash (see [[Fnv64]]). */
+  def fnv64(c: String): Column = expr(s"fnv64($c)")
+}

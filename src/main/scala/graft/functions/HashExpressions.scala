@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for text hashing — codegen'd so they
+  * stay inside whole-stage codegen in the dedup hot paths (no Scala
+  * UDF boxing). Registered for SQL/`expr()` use by [[GraftFunctions]].
+  */
+
+/** Polynomial rolling hash over a string's UTF-16 code units:
+  * acc_0 = c_0; acc_i = (acc_{i-1} * 31 + c_i) mod (2^31 - 1).
+  *
+  * Chosen because the identical fold is expressible in DuckDB SQL
+  * (`list_reduce(list_transform(string_split(s,''), c -> unicode(c)),
+  * (a,b) -> (a*31+b) % 2147483647)`), making oracle-checked document
+  * fingerprinting possible. Empty string hashes to 0.
+  */
+case class PolyHash(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_hash"
+
+  override def nullSafeEval(input: Any): Any =
+    PolyHash.eval(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |java.lang.String $s = $c.toString();
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $s.length(); $i++) {
+         |  $acc = ($i == 0) ? (long) $s.charAt($i)
+         |    : ($acc * 31L + (long) $s.charAt($i)) % 2147483647L;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+}
+
+object PolyHash {
+  def eval(s: String): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      acc = if (i == 0) s.charAt(i).toLong
+            else (acc * 31L + s.charAt(i).toLong) % 2147483647L
+      i += 1
+    }
+    acc
+  }
+}
+
+/** FNV-1a 64-bit hash over a string's UTF-8 bytes, with Java Long
+  * wrap-around. Used where we need well-mixed 64-bit values
+  * (SimHash bit sampling, MinHash permutation input, LSH bucket
+  * keys) rather than oracle parity.
+  */
+case class Fnv64(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "fnv64"
+
+  override def nullSafeEval(input: Any): Any =
+    Fnv64.eval(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val b = ctx.freshName("b")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |byte[] $b = $c.getBytes();
+         |long $acc = ${Fnv64.Offset}L;
+         |for (int $i = 0; $i < $b.length; $i++) {
+         |  $acc ^= (long) ($b[$i] & 0xff);
+         |  $acc *= ${Fnv64.Prime}L;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Fnv64 =
+    copy(child = newChild)
+}
+
+object Fnv64 {
+  val Offset: Long = 0xcbf29ce484222325L
+  val Prime: Long = 0x100000001b3L
+  def eval(bytes: Array[Byte]): Long = {
+    var acc = Offset
+    var i = 0
+    while (i < bytes.length) {
+      acc ^= (bytes(i) & 0xff).toLong
+      acc *= Prime
+      i += 1
+    }
+    acc
+  }
+}

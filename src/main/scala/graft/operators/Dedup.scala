@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+/** Document deduplication for training-data pipelines, designed for a
+  * 100 TB corpus: every variant is a pure dataflow (shuffle on a
+  * compact key, no driver-side loops, no collect), with per-row work
+  * kept inside whole-stage codegen.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest id per identical text.
+    *
+    * Scale design: group on a 256-bit content hash, not the text —
+    * the shuffle then moves ~40 bytes/row instead of whole documents.
+    * Survivor selection is min(id), an order-independent partial agg.
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val survivors = docs
+      .select(col(idCol), sha2(col(textCol), 256).as("__h"))
+      .groupBy("__h").agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    docs.join(survivors, Seq(idCol), "left_semi")
+  }
+
+  /** Word n-gram shingles (distinct, order-preserving input). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = graft.functions.TextFunctions.tokens(text)
+    array_distinct(
+      when(size(toks) < n, array(concat_ws(" ", toks)))
+        .otherwise(transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+
+  /** N-gram Jaccard near-dup candidate pairs via an inverted index.
+    *
+    * Plan shape: explode shingles → shuffle on shingle → self-join
+    * within shingle buckets → re-aggregate per pair. At 100 TB the
+    * hot-shingle skew is the risk, so shingles shared by more than
+    * `maxDocFreq` docs are dropped (standard stop-shingle cut, which
+    * also bounds the quadratic blowup per bucket); AQE skew-join
+    * handles the remainder.
+    *
+    * Returns (id_a, id_b, n_common, size_a, size_b, jaccard) with
+    * id_a < id_b, jaccard = |A∩B| / |A∪B| exact over distinct
+    * shingles, filtered to >= threshold.
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String, n: Int,
+      threshold: Double, maxDocFreq: Int = 1000): DataFrame = {
+    val sh = docs.select(
+      col(idCol).as("id"),
+      explode(shingles(col(textCol), n)).as("shingle"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val filtered = sh
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+      .filter(col("df") <= maxDocFreq)
+      .drop("df")
+    val pairs = filtered.as("a")
+      .join(filtered.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "size_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "size_b"), "id_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("size_a") + col("size_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "n_common", "size_a", "size_b", "jaccard")
+  }
+
+  /** Deterministic MinHash permutation parameters (LCG, seed 42). */
+  private val MersennePrime = (1L << 31) - 1
+  private[operators] def permParams(numPerms: Int): Seq[(Long, Long)] = {
+    var state = 42L
+    def next(): Long = { state = (state * 6364136223846793005L + 1442695040888963407L); (state >>> 33) % (MersennePrime - 1) }
+    Seq.fill(numPerms)((next() + 1, next()))
+  }
+
+  /** MinHash signature column: array<bigint> of length `numPerms`.
+    * sig[j] = min over shingles s of (a_j · fnv31(s) + b_j) mod p.
+    * Pure nested array expressions — codegen'd, no UDF, no shuffle.
+    */
+  def minhashSignature(text: Column, n: Int, numPerms: Int): Column = {
+    val hashes = transform(shingles(text, n),
+      s => pmod(call_function("fnv64", s), lit(MersennePrime)))
+    val perms = array(permParams(numPerms).map { case (a, b) =>
+      struct(lit(a).as("a"), lit(b).as("b"))
+    }: _*)
+    transform(perms, p =>
+      array_min(transform(hashes,
+        h => pmod(p.getField("a") * h + p.getField("b"), lit(MersennePrime)))))
+  }
+
+  /** MinHash + LSH banding near-dup pairs.
+    *
+    * numPerms signatures split into `bands` bands of numPerms/bands
+    * rows; docs sharing any band key become candidates; candidates are
+    * verified with exact shingle-set Jaccard. Scale shape: the only
+    * shuffles are on (band, bandKey) — compact longs — and the
+    * candidate-pair verify join; signature computation is map-only.
+    */
+  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numPerms: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    GraftFunctions.register(spark)
+    val rows = numPerms / bands
+    val withSig = docs.select(
+      col(idCol).as("id"),
+      col(textCol).as("text"),
+      minhashSignature(col(textCol), n, numPerms).as("sig"))
+
+    val banded = withSig.select(
+      col("id"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          call_function("fnv64",
+            concat_ws(",", transform(slice(col("sig"), b * rows + 1, rows),
+              x => x.cast("string")))).as("key"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+
+    val sh = withSig.select(col("id"), array_sort(shingles(col("text"), n)).as("sh"))
+    candidates
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash per document — per-row array arithmetic, no
+    * aggregation across rows, fully codegen'd.
+    */
+  def simhash64(text: Column): Column = {
+    val tokenHashes = transform(graft.functions.TextFunctions.tokens(text),
+      t => call_function("fnv64", t))
+    val bits = (0 until 64).map { i =>
+      val bitSum = aggregate(tokenHashes, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
+      when(bitSum >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** SimHash near-dup pairs: band the 64-bit fingerprint into 4
+    * 16-bit chunks (any pair within Hamming distance <= 3·16 shares a
+    * chunk — standard pigeonhole banding), join on chunk equality,
+    * verify with bit_count(xor) <= maxHamming.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    GraftFunctions.register(spark)
+    val withSim = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sim"))
+    val banded = withSim.select(col("id"), col("sim"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL)).as("chunk"))
+      }: _*)).as("bc"))
+      .select(col("id"), col("sim"), col("bc.band").as("band"), col("bc.chunk").as("chunk"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        call_function("bit_count",
+          col("a.sim").bitwiseXOR(col("b.sim"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke-level checks for the declared query set; exact value parity
+  * is owned by the DuckDB differential gate (tools/verify_local.py).
+  */
+class RelationalSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.session
+  val dir = "/root/testdata/sf0.001"
+
+  test("every registered query runs and returns rows at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, dir)
+      val n = df.count()
+      assert(n >= 0, s"$name failed")
+      // every core relational query must return data at every SF;
+      // threshold-based pair queries may legitimately be empty at
+      // sf0.001 (e.g. the single >=0.5-cosine pair only exists at
+      // sf0.01+).
+      if (name.startsWith("q"))
+        assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("oracle keys are a subset of query keys") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  test("entry flagship query returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
