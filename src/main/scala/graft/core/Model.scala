@@ -1,0 +1,94 @@
+package graft.core
+
+import scala.collection.immutable.ListMap
+
+/** Engine-owned project model (SURVEY §1.1): the manifest is a small
+  * driver-side graph (10³–10⁴ nodes) of models/seeds/sources with
+  * ordered column metadata; Plane-B execution compiles node SQL to
+  * Spark and runs it through Catalyst.
+  *
+  * Column metadata is dynamic (user YAML can carry arbitrary meta), so
+  * the knowledge-graph layer works on `Map[String, Any]` documents;
+  * the typed shell below carries the structural fields.
+  *
+  * Reference semantics: node shape at core/inheritance.py:290-339 and
+  * core/node_filters.py:86-88 (fields used by traversal/filtering).
+  */
+final case class ColumnMeta(
+    name: String,
+    description: Option[String] = None,
+    dataType: Option[String] = None,
+    meta: ListMap[String, Any] = ListMap.empty,
+    tags: Seq[String] = Nil,
+    constraints: Seq[Any] = Nil,
+    config: Map[String, Any] = Map.empty) {
+
+  /** Dynamic-document view (reference `_column_to_dict(omit_none)`). */
+  def toDoc: Map[String, Any] = {
+    var m = ListMap[String, Any]("name" -> name)
+    description.foreach(d => m += "description" -> d)
+    dataType.foreach(t => m += "data_type" -> t)
+    if (meta.nonEmpty) m += "meta" -> (meta: Map[String, Any])
+    if (tags.nonEmpty) m += "tags" -> tags
+    if (constraints.nonEmpty) m += "constraints" -> constraints
+    if (config.nonEmpty) m += "config" -> config
+    m
+  }
+
+  /** Apply a knowledge-graph document back onto the column
+    * (reference `node_column.replace(**updated_metadata)`).
+    */
+  def withDoc(doc: Map[String, Any]): ColumnMeta = {
+    var c = this
+    doc.get("description").foreach { case d: String => c = c.copy(description = Some(d)); case _ => }
+    doc.get("data_type").foreach { case t: String => c = c.copy(dataType = Some(t)); case _ => }
+    doc.get("meta").foreach { case m: Map[_, _] =>
+      c = c.copy(meta = ListMap(m.asInstanceOf[Map[String, Any]].toSeq: _*)); case _ => }
+    doc.get("tags").foreach { case t: Seq[_] => c = c.copy(tags = t.map(_.toString)); case _ => }
+    doc.get("config").foreach { case cf: Map[_, _] =>
+      c = c.copy(config = cf.asInstanceOf[Map[String, Any]]); case _ => }
+    c
+  }
+}
+
+final case class NodeMeta(
+    uniqueId: String,
+    name: String,
+    resourceType: String, // "model" | "seed" | "source"
+    database: String = "main",
+    schema: String = "main",
+    packageName: String = "project",
+    fqn: Seq[String] = Nil,
+    path: String = "",
+    patchPath: Option[String] = None,
+    deps: Seq[String] = Nil,
+    rawCode: String = "",
+    compiledCode: Option[String] = None,
+    description: String = "",
+    meta: Map[String, Any] = Map.empty,
+    tags: Seq[String] = Nil,
+    config: Map[String, Any] = Map.empty,
+    columns: ListMap[String, ColumnMeta] = ListMap.empty,
+    materialized: String = "view",
+    version: Option[Any] = None,
+    /** Raw (unrendered) YAML column docs, keyed by column name — used
+      * to preserve `{{ doc(...) }}` references during inheritance.
+      */
+    unrenderedColumns: Map[String, Map[String, Any]] = Map.empty) {
+
+  def isEphemeral: Boolean = materialized == "ephemeral"
+  def withColumns(cols: Seq[ColumnMeta]): NodeMeta =
+    copy(columns = ListMap(cols.map(c => c.name -> c): _*))
+}
+
+final case class Manifest(nodes: ListMap[String, NodeMeta]) {
+  def get(uid: String): Option[NodeMeta] = nodes.get(uid)
+  def updated(node: NodeMeta): Manifest =
+    copy(nodes = nodes.updated(node.uniqueId, node))
+  def models: Iterable[NodeMeta] = nodes.values.filter(_.resourceType == "model")
+}
+
+object Manifest {
+  def apply(nodes: Seq[NodeMeta]): Manifest =
+    Manifest(ListMap(nodes.map(n => n.uniqueId -> n): _*))
+}
