@@ -1,0 +1,101 @@
+package graft.exec
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.compile.DbtCompiler
+import graft.core.{Manifest, NodeFilters, NodeMeta}
+import graft.project.ProjectLoader.Project
+
+/** Model build + ad-hoc SQL execution (A34/A35): compile each model's
+  * Jinja to Spark SQL and materialize it in dependency order.
+  *
+  * Materializations:
+  *  - `view`      → `createOrReplaceTempView` (logical only; Catalyst
+  *                  inlines it, so downstream models optimize through)
+  *  - `table`     → parquet write + view over the files (a real
+  *                  materialization barrier, like a warehouse table;
+  *                  at cluster scale this is the save-point where
+  *                  partitioning/bucketing is chosen)
+  *  - `ephemeral` → temp view as well; result-equivalent to dbt's CTE
+  *                  inlining because Catalyst merges view subqueries
+  *                  into the consuming plan
+  *
+  * Seeds load via `spark.read.csv(header, inferSchema)` — the same
+  * semantics as the reference fixture pipeline (`dbt seed`,
+  * tests/conftest.py:29-38).
+  */
+final class ModelExecutor(spark: SparkSession, project: Project,
+    workDir: Option[String] = None) {
+
+  private var manifestVar: Manifest = project.manifest
+  def manifest: Manifest = manifestVar
+
+  private lazy val tableDir: String =
+    workDir.getOrElse(Files.createTempDirectory("graft_tables").toString)
+
+  def seed(node: NodeMeta): Unit = {
+    val path = project.root.resolve(node.path).toString
+    spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(path).createOrReplaceTempView(node.name)
+  }
+
+  /** Compile one node's SQL against the current manifest, updating its
+    * compiled code + dependency edges.
+    */
+  def compile(node: NodeMeta): NodeMeta = {
+    val compiled = DbtCompiler.compile(node.rawCode, manifestVar, project.vars)
+    val materialized = compiled.config.get("materialized").map(_.toString)
+      .getOrElse(node.materialized)
+    val updated = node.copy(
+      compiledCode = Some(compiled.sql),
+      deps = (node.deps ++ compiled.refs ++
+        compiled.sources.map { case (s, t) => s"source.${project.name}.$s.$t" }).distinct,
+      materialized = materialized,
+      config = node.config ++ compiled.config)
+    manifestVar = manifestVar.updated(updated)
+    updated
+  }
+
+  def materialize(node: NodeMeta): Unit = {
+    val sql = node.compiledCode.getOrElse(
+      throw new IllegalStateException(s"${node.uniqueId} not compiled"))
+    node.materialized match {
+      case "table" =>
+        val path = s"$tableDir/${node.name}"
+        spark.sql(sql).write.mode("overwrite").parquet(path)
+        spark.read.parquet(path).createOrReplaceTempView(node.name)
+      case _ => // view | ephemeral
+        spark.sql(sql).createOrReplaceTempView(node.name)
+    }
+  }
+
+  /** Full project build: seeds first, then models in topological
+    * order (compile → resolve deps → Kahn sort → materialize).
+    * Returns the build order.
+    */
+  def buildAll(): Seq[String] = {
+    val seeds = manifestVar.nodes.values.filter(_.resourceType == "seed").toSeq
+    seeds.foreach(seed)
+
+    // two-phase: compile everything (collecting dep edges), then sort + run
+    val models = manifestVar.nodes.values.filter(_.resourceType == "model").toSeq
+    val compiled = models.map(compile)
+    val ordered = NodeFilters.topologicalSort(
+      compiled.map(n => manifestVar.get(n.uniqueId).get))
+    ordered.foreach(materialize)
+    seeds.map(_.uniqueId) ++ ordered.map(_.uniqueId)
+  }
+
+  /** Ad-hoc compile+run (reference `execute_sql_code`,
+    * core/sql_operations.py:60-71): render Jinja if present, then hand
+    * to Catalyst.
+    */
+  def executeSql(raw: String): DataFrame = {
+    val sql = if (graft.compile.Jinja.hasJinja(raw))
+      DbtCompiler.compile(raw, manifestVar, project.vars).sql
+    else raw
+    spark.sql(sql)
+  }
+}

@@ -1,0 +1,203 @@
+package graft.project
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.collection.immutable.ListMap
+import scala.jdk.CollectionConverters._
+
+import org.yaml.snakeyaml.Yaml
+
+import graft.core._
+
+/** dbt-style project loader (A1): walk the models subtree (.sql and
+  * schema .yml files) and the seeds dir (.csv) into an engine-owned
+  * [[Manifest]].
+  * The reference delegates to dbt's parser (core/config.py:610-660);
+  * this loader covers the same project surface the demo fixture
+  * exercises: folder-scoped materializations, per-model `{{ config }}`
+  * (applied at compile time), schema docs with sources/models/seeds,
+  * versioned models via `_vN` file naming, vars.
+  */
+object ProjectLoader {
+
+  final case class Project(
+      name: String,
+      root: Path,
+      manifest: Manifest,
+      vars: Map[String, Any],
+      modelConfig: Map[String, Any])
+
+  private val yaml = new ThreadLocal[Yaml] { override def initialValue() = new Yaml() }
+
+  private def anyToScala(v: Any): Any = v match {
+    case m: java.util.Map[_, _] =>
+      ListMap(m.asScala.toSeq.map { case (k, value) => k.toString -> anyToScala(value) }: _*)
+    case l: java.util.List[_] => l.asScala.toSeq.map(anyToScala)
+    case other => other
+  }
+
+  def loadYaml(path: Path): Map[String, Any] =
+    if (!Files.exists(path)) Map.empty
+    else anyToScala(yaml.get.load[Any](Files.readString(path))) match {
+      case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+      case _ => Map.empty
+    }
+
+  private def asMap(v: Any): Map[String, Any] = v match {
+    case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+    case _ => Map.empty
+  }
+  private def asSeqMap(v: Any): Seq[Map[String, Any]] = v match {
+    case s: Seq[_] => s.collect { case m: Map[_, _] => m.asInstanceOf[Map[String, Any]] }
+    case _ => Nil
+  }
+
+  /** Resolve the materialization for a model path from the project's
+    * `models:` config tree (folder-scoped `materialized:` keys, nested
+    * by directory, dbt semantics).
+    */
+  private[project] def materializationFor(modelCfg: Map[String, Any], projectName: String,
+      relPath: Seq[String]): String = {
+    var cfg = asMap(modelCfg.getOrElse(projectName, Map.empty))
+    var mat = cfg.get("materialized").map(_.toString)
+    for (seg <- relPath.dropRight(1)) {
+      cfg = asMap(cfg.getOrElse(seg, Map.empty))
+      cfg.get("materialized").map(_.toString).foreach(m => mat = Some(m))
+    }
+    mat.getOrElse("view")
+  }
+
+  private def columnsFrom(doc: Map[String, Any]): ListMap[String, ColumnMeta] =
+    ListMap(asSeqMap(doc.getOrElse("columns", Nil)).map { c =>
+      val name = c("name").toString
+      name -> ColumnMeta(
+        name = name,
+        description = c.get("description").map(_.toString).filter(_.nonEmpty),
+        dataType = c.get("data_type").map(_.toString),
+        meta = ListMap(asMap(c.getOrElse("meta", Map.empty)).toSeq: _*),
+        tags = c.get("tags").map { case s: Seq[_] => s.map(_.toString); case _ => Nil }
+          .getOrElse(Nil),
+        config = asMap(c.getOrElse("config", Map.empty)))
+    }: _*)
+
+  def load(rootDir: String): Project = {
+    val root = Paths.get(rootDir)
+    val projectYml = loadYaml(root.resolve("dbt_project.yml"))
+    val projectName = projectYml.getOrElse("name", "project").toString
+    val vars = asMap(projectYml.getOrElse("vars", Map.empty))
+    val modelCfg = asMap(projectYml.getOrElse("models", Map.empty))
+
+    var nodes = Vector.empty[NodeMeta]
+
+    // seeds
+    val seedsDir = root.resolve(
+      asSeqMap(Nil).headOption.map(_ => "seeds").getOrElse("seeds"))
+    if (Files.isDirectory(seedsDir))
+      Files.list(seedsDir).iterator().asScala.toSeq
+        .filter(_.toString.endsWith(".csv")).sortBy(_.toString).foreach { p =>
+          val name = p.getFileName.toString.stripSuffix(".csv")
+          nodes :+= NodeMeta(
+            uniqueId = s"seed.$projectName.$name", name = name,
+            resourceType = "seed", packageName = projectName,
+            fqn = Seq(projectName, name), path = root.relativize(p).toString)
+        }
+
+    // models (recursive)
+    val modelsDir = root.resolve("models")
+    val modelFiles =
+      if (Files.isDirectory(modelsDir))
+        Files.walk(modelsDir).iterator().asScala.toSeq
+          .filter(p => p.toString.endsWith(".sql")).sortBy(_.toString)
+      else Nil
+    val versioned = "^(.*)_v(\\d+)$".r
+    for (p <- modelFiles) {
+      val fileName = p.getFileName.toString.stripSuffix(".sql")
+      val rel = modelsDir.relativize(p)
+      val relSegs = (0 until rel.getNameCount).map(rel.getName(_).toString)
+      val (version: Option[Any]) = fileName match {
+        case versioned(_, v) => Some(v.toLong)
+        case _ => None
+      }
+      nodes :+= NodeMeta(
+        uniqueId = s"model.$projectName.$fileName", name = fileName,
+        resourceType = "model", packageName = projectName,
+        fqn = projectName +: relSegs.dropRight(1) :+ fileName,
+        path = root.relativize(p).toString,
+        rawCode = Files.readString(p),
+        materialized = materializationFor(modelCfg, projectName, relSegs),
+        version = version)
+    }
+
+    // schema yml docs (models/**/*.yml): models/seeds column docs + sources
+    val ymlFiles =
+      if (Files.isDirectory(modelsDir))
+        Files.walk(modelsDir).iterator().asScala.toSeq
+          .filter(p => p.toString.endsWith(".yml") || p.toString.endsWith(".yaml"))
+          .sortBy(_.toString)
+      else Nil
+    var byId = ListMap(nodes.map(n => n.uniqueId -> n): _*)
+    for (p <- ymlFiles) {
+      val doc = loadYaml(p)
+      for (section <- Seq("models", "seeds"); entry <- asSeqMap(doc.getOrElse(section, Nil))) {
+        val name = entry("name").toString
+        // versioned schema entries expand to per-version nodes
+        val versions = asSeqMap(entry.getOrElse("versions", Nil))
+        val targets =
+          if (versions.isEmpty) Seq((name, entry))
+          else versions.map { v =>
+            val vNum = v("v")
+            val vName = if (DbtCompiler0.normalizeVersion(vNum) == "1") name
+                        else s"${name}_v${DbtCompiler0.normalizeVersion(vNum)}"
+            (vName, entry ++ v - "v")
+          }
+        for ((targetName, body) <- targets)
+          byId.values.find(n => n.name == targetName &&
+              (n.resourceType == "model" || n.resourceType == "seed")).foreach { n =>
+            val updated = n.copy(
+              description = body.getOrElse("description", n.description).toString,
+              meta = n.meta ++ asMap(body.getOrElse("meta", Map.empty)),
+              tags = n.tags ++ asSeqAny(body.getOrElse("tags", Nil)),
+              config = n.config ++ asMap(body.getOrElse("config", Map.empty)),
+              patchPath = Some(root.relativize(p).toString),
+              version = if (versions.isEmpty) n.version
+                        else Some(body.getOrElse("v", n.version.orNull)),
+              columns = columnsFrom(body))
+            byId = byId.updated(n.uniqueId, updated)
+          }
+      }
+      for (src <- asSeqMap(doc.getOrElse("sources", Nil))) {
+        val srcName = src("name").toString
+        val database = src.getOrElse("database", "main").toString
+        val schema = src.getOrElse("schema", srcName).toString
+        for (tbl <- asSeqMap(src.getOrElse("tables", Nil))) {
+          val tblName = tbl("name").toString
+          val uid = s"source.$projectName.$srcName.$tblName"
+          byId = byId.updated(uid, NodeMeta(
+            uniqueId = uid, name = tblName, resourceType = "source",
+            database = database, schema = schema, packageName = projectName,
+            fqn = Seq(projectName, srcName, tblName),
+            path = root.relativize(p).toString,
+            description = tbl.getOrElse("description", "").toString,
+            columns = columnsFrom(tbl)))
+        }
+      }
+    }
+
+    // attach versions from filename convention when schema has none
+    byId = ListMap(byId.toSeq.map { case (k, n) =>
+      k -> n
+    }: _*)
+
+    Project(projectName, root, Manifest(byId), vars, modelCfg)
+  }
+
+  private def asSeqAny(v: Any): Seq[String] = v match {
+    case s: Seq[_] => s.map(_.toString)
+    case _ => Nil
+  }
+
+  // local alias to avoid a circular import in the versions block
+  private object DbtCompiler0 {
+    def normalizeVersion(v: Any): String = graft.compile.DbtCompiler.normalizeVersion(v)
+  }
+}
