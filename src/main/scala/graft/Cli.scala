@@ -63,8 +63,39 @@ object Cli {
         println(s"${node.name}.${c.name}: ${c.description.get}")
       spark.stop()
 
+    case "lint" :: dir :: Nil =>
+      val spark = session()
+      val project = ProjectLoader.load(dir)
+      val executor = new ModelExecutor(spark, project)
+      executor.buildAll()
+      val violations = graft.core.Lint.lintManifest(
+        executor.manifest, spark = Some(spark))
+      for ((uid, vs) <- violations.toSeq.sortBy(_._1); v <- vs)
+        println(s"$uid:${v.line}:${v.col} [${v.ruleId}] ${v.message}")
+      spark.stop()
+      if (violations.values.exists(_.exists(_.severity == "error"))) sys.exit(1)
+
+    case "diff" :: dir :: Nil =>
+      val spark = session()
+      val project = ProjectLoader.load(dir)
+      val executor = new ModelExecutor(spark, project)
+      executor.buildAll()
+      val settings = graft.core.EngineSettings()
+      for (node <- executor.manifest.models.toSeq.sortBy(_.uniqueId)
+           if node.columns.nonEmpty) {
+        val dbCols = graft.core.Introspection.getColumns(spark, node.name, settings)
+        val result = graft.core.Diff.compareNode(node, dbCols)
+        for (c <- result.changes)
+          println(s"[${c.severity}] ${c.description}")
+        if (result.changes.nonEmpty) {
+          val plan = graft.core.Migration.planFor(node.name, result)
+          plan.steps.foreach(s => println(s"  ddl> ${s.sql}"))
+        }
+      }
+      spark.stop()
+
     case _ =>
-      System.err.println("usage: graft.Cli build|run-sql|inherit <projectDir> [sql]")
+      System.err.println("usage: graft.Cli build|run-sql|inherit|lint|diff <projectDir> [sql]")
       sys.exit(2)
   }
 }

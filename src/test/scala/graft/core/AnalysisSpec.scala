@@ -1,0 +1,118 @@
+package graft.core
+
+import scala.collection.immutable.ListMap
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Introspection.IntrospectedColumn
+
+class AnalysisSpec extends AnyFunSuite {
+
+  def node(cols: (String, String)*): NodeMeta =
+    NodeMeta("model.m", "m", "model", columns = ListMap(cols.map { case (n, t) =>
+      n -> ColumnMeta(n, dataType = if (t.isEmpty) None else Some(t))
+    }: _*))
+
+  def db(cols: (String, String)*): ListMap[String, IntrospectedColumn] =
+    ListMap(cols.zipWithIndex.map { case ((n, t), i) => n -> IntrospectedColumn(n, t, i) }: _*)
+
+  test("fuzzy wratio basics: identity, near-identity, rename-shape") {
+    assert(Fuzzy.wratio("customer_id", "customer_id") == 100.0)
+    assert(Fuzzy.wratio("customer_id", "customer_identifier") >= 85.0)
+    assert(Fuzzy.wratio("user_id", "usr_id") >= 85.0)
+    assert(Fuzzy.wratio("amount", "order_date") < 60.0)
+  }
+
+  test("diff detects added/removed/renamed/type-changed") {
+    val n = node("customer_id" -> "BIGINT", "old_name" -> "VARCHAR", "price" -> "DOUBLE")
+    val d = db("customer_id" -> "BIGINT", "old_name_2" -> "VARCHAR",
+      "price" -> "DECIMAL(10,2)", "brand_new" -> "DATE")
+    val result = Diff.compareNode(n, d)
+    assert(result.changes.collect { case r: Diff.ColumnRenamed => (r.oldName, r.newName) } ==
+      Seq(("old_name", "old_name_2")))
+    assert(result.changes.collect { case a: Diff.ColumnAdded => a.column } == Seq("brand_new"))
+    assert(result.changes.collect { case t: Diff.TypeChanged => t.severity } == Seq(Diff.Breaking))
+  }
+
+  test("type-change severity classification matrix") {
+    assert(Diff.classifyTypeChange("INTEGER", "integer") == Diff.Safe)
+    assert(Diff.classifyTypeChange("int", "bigint") == Diff.Safe) // widening
+    assert(Diff.classifyTypeChange("bigint", "smallint") == Diff.Moderate) // narrowing
+    assert(Diff.classifyTypeChange("varchar(100)", "varchar(50)") == Diff.Moderate)
+    assert(Diff.classifyTypeChange("varchar(50)", "varchar(100)") == Diff.Safe)
+    assert(Diff.classifyTypeChange("DECIMAL(18,3)", "DECIMAL(18,2)") == Diff.Moderate)
+    assert(Diff.classifyTypeChange("varchar", "int") == Diff.Breaking)
+    assert(Diff.classifyTypeChange("timestamp", "datetime") == Diff.Safe)
+  }
+
+  test("migration plan orders rename -> add -> type -> drop with rollback") {
+    val n = node("keep" -> "BIGINT", "old" -> "VARCHAR", "shrink" -> "bigint")
+    val d = db("keep" -> "BIGINT", "renamed_old" -> "VARCHAR", "shrink" -> "int",
+      "added" -> "DATE")
+    val diff = Diff.compareNode(n, d, fuzzyThreshold = 60.0)
+    val plan = Migration.planFor("tbl", diff)
+    val sqls = plan.steps.map(_.sql)
+    assert(sqls.head.contains("RENAME COLUMN"))
+    assert(sqls.exists(_.contains("ADD COLUMN `added` DATE")))
+    assert(sqls.last.contains("ALTER COLUMN") || sqls.last.contains("DROP COLUMN"))
+    assert(plan.rollbackScript.contains("RENAME COLUMN `renamed_old` TO `old`"))
+  }
+
+  test("lint flags star, case, aliases, quoting, long lines") {
+    val sql =
+      """SELECT * FROM orders o
+        |select `plain_name`, amount FROM payments WHERE amount > 10 AND payment_method = 'x' OR TRUE AND FALSE OR amount < 99999999
+        |""".stripMargin
+    val vs = Lint.lint(sql)
+    val ids = vs.map(_.ruleId).toSet
+    assert(ids.contains("select-star"))
+    assert(ids.contains("short-alias"))
+    assert(ids.contains("keyword-case")) // lowercase 'select' among UPPER majority
+    assert(ids.contains("unneeded-quoted-identifier"))
+    assert(ids.contains("line-length"))
+  }
+
+  test("lint ignores keywords inside string literals and comments") {
+    val sql = "SELECT a FROM t WHERE b = 'select * from x' -- select * comment"
+    val vs = Lint.lint(sql)
+    assert(!vs.exists(_.ruleId == "select-star"))
+  }
+
+  test("parse errors reported via the Spark parser") {
+    val spark = graft.TestSpark.session
+    val vs = Lint.lint("SELEC broken FROM", spark = Some(spark))
+    assert(vs.exists(_.ruleId == "parse-error"))
+    assert(Lint.lint("SELECT 1", spark = Some(spark)).forall(_.ruleId != "parse-error"))
+  }
+
+  test("discovery coverage and prioritization") {
+    val documented = NodeMeta("model.a", "a", "model", description = "Well documented",
+      columns = ListMap("x" -> ColumnMeta("x", Some("All good"))))
+    val gappy = NodeMeta("model.b", "b", "model", deps = Seq("source.s.t"),
+      columns = ListMap(
+        "x" -> ColumnMeta("x"),
+        "y" -> ColumnMeta("y", Some("Not documented"))))
+    val leaf = NodeMeta("model.c", "c", "model", deps = Seq("model.b"))
+    val m = Manifest(Seq(documented, gappy, leaf))
+    val cov = Discovery.coverage(m)
+    assert(cov.documentedColumns == 1 && cov.totalColumns == 3)
+    val gaps = Discovery.prioritizedGaps(m)
+    assert(gaps.head._1.uniqueId == "model.b") // fan-out + source bonus
+    assert(Discovery.undocumentedColumns(m).map(_.column).toSet == Set("x", "y"))
+  }
+
+  test("test suggestions: mined frequencies beat heuristics") {
+    val m = Manifest(Seq(node("user_id" -> "BIGINT", "status" -> "VARCHAR")))
+    val mined = Seq(
+      TestSuggestions.ExistingTest("model.other", "account_id", "unique"),
+      TestSuggestions.ExistingTest("model.other", "account_id", "unique"),
+      TestSuggestions.ExistingTest("model.other2", "order_id", "relationships"))
+    val suggestions = TestSuggestions.suggest(m, mined)
+    val forUserId = suggestions.filter(_.column == "user_id")
+    assert(forUserId.map(_.test).contains("unique"))
+    assert(forUserId.find(_.test == "unique").get.confidence > 0.5)
+    val forStatus = suggestions.filter(_.column == "status")
+    assert(forStatus.exists(_.test.startsWith("accepted_values")))
+    assert(forStatus.forall(_.confidence == 0.5)) // heuristic fallback
+  }
+}
