@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming extension over the `events` fixture (SURVEY §7
+  * phase 4 — the reference has no streaming surface; this is the
+  * engine's scale-path for continuously arriving training data).
+  *
+  * All transforms are defined against an unbounded DataFrame; the
+  * same code runs batch (for tests) or streaming (readStream). At
+  * cluster scale the shuffle keys are (window, event_type) /
+  * user_id — standard keyed-state partitioning.
+  */
+object EventStreams {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionSummary(user_id: Long, n_events: Int,
+      total_value: Double, start_ts: java.sql.Timestamp, end_ts: java.sql.Timestamp)
+
+  /** Open a streaming read over an events parquet directory.
+    * Timestamps arrive as TIMESTAMP(NANOS) → nanos-long under the
+    * session's nanosAsLong conf; normalize to a timestamp column.
+    */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    val raw = spark.readStream.schema(schema).parquet(dir)
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  /** Tumbling-window aggregation with a watermark: event counts and
+    * value sums per (window, event_type); late data beyond the
+    * watermark is dropped.
+    */
+  def tumblingCounts(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Sliding-window aggregation (overlapping windows). */
+  def slidingCounts(events: DataFrame, windowLen: String = "1 hour",
+      slide: String = "15 minutes", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n_events"))
+
+  /** Session windows: activity grouped per user into gap-separated
+    * sessions (built-in session_window, gap-based).
+    */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+
+  /** Custom stateful sessionization via flatMapGroupsWithState — the
+    * escape hatch for state machines session_window can't express
+    * (here: emit a summary whenever a session's event budget or the
+    * timeout closes it).
+    */
+  def statefulSessions(events: Dataset[Event], maxEventsPerSession: Int = 100)(
+      implicit enc: org.apache.spark.sql.Encoder[SessionSummary],
+      stateEnc: org.apache.spark.sql.Encoder[(Int, Double, Long, Long)])
+      : Dataset[SessionSummary] = {
+    events.groupByKey(_.user_id)(org.apache.spark.sql.Encoders.scalaLong)
+      .flatMapGroupsWithState[(Int, Double, Long, Long), SessionSummary](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[(Int, Double, Long, Long)]) =>
+          var (n, total, startTs, endTs) = state.getOption.getOrElse((0, 0.0, Long.MaxValue, 0L))
+          val out = scala.collection.mutable.ListBuffer.empty[SessionSummary]
+          for (e <- rows) {
+            n += 1; total += e.value
+            startTs = math.min(startTs, e.ts.getTime)
+            endTs = math.max(endTs, e.ts.getTime)
+            if (n >= maxEventsPerSession) {
+              out += SessionSummary(userId, n, total,
+                new java.sql.Timestamp(startTs), new java.sql.Timestamp(endTs))
+              n = 0; total = 0.0; startTs = Long.MaxValue; endTs = 0L
+            }
+          }
+          if (n > 0) state.update((n, total, startTs, endTs)) else state.remove()
+          out.iterator
+      }
+  }
+
+  /** Drive a streaming query synchronously into a memory sink
+    * (local smoke path: batch parquet feeds the stream).
+    */
+  def runToMemory(df: DataFrame, name: String, outputMode: String = "append"): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(outputMode).start()
+    q.processAllAvailable()
+    q.stop()
+    df.sparkSession.table(name)
+  }
+}

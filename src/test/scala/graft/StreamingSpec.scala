@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+
+/** Streaming smoke tests: the events parquet drives real streaming
+  * queries into memory sinks; results are cross-checked against the
+  * equivalent batch aggregation (exactly-once semantics on a static
+  * source means they must agree).
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.session
+
+  /** Streaming sources read directories; stage the single fixture file
+    * into a temp dir (testdata is read-only).
+    */
+  lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      d.resolve("events.parquet"))
+    d.toString
+  }
+
+  lazy val batchEvents = Tables.eventsWithTs(spark, "/root/testdata/sf0.001")
+
+  test("tumbling window stream agrees with the batch aggregation") {
+    val stream = EventStreams.readEventStream(spark, dir)
+    val got = EventStreams.runToMemory(
+      EventStreams.tumblingCounts(stream), "tumbling_out", "complete")
+    val want = EventStreams.tumblingCounts(batchEvents)
+    assert(got.count() > 0)
+    assert(got.count() == want.count())
+    val gotSum = got.agg(sum("n_events")).collect()(0).getLong(0)
+    assert(gotSum == batchEvents.count())
+  }
+
+  test("sliding windows produce overlapping coverage") {
+    val stream = EventStreams.readEventStream(spark, dir)
+    val got = EventStreams.runToMemory(
+      EventStreams.slidingCounts(stream), "sliding_out", "complete")
+    // 1h window sliding 15m: each event lands in 4 windows
+    val total = got.agg(sum("n_events")).collect()(0).getLong(0)
+    assert(total == batchEvents.count() * 4)
+  }
+
+  test("session windows bound user activity by gap") {
+    val stream = EventStreams.readEventStream(spark, dir)
+    val got = EventStreams.runToMemory(
+      EventStreams.sessionCounts(stream), "session_out", "complete")
+    assert(got.count() > 0)
+    import org.apache.spark.sql.Row
+    got.collect().foreach { case r: Row =>
+      assert(!r.getTimestamp(0).after(r.getTimestamp(1)), "start <= end")
+    }
+    val totalEvents = got.agg(sum("n_events")).collect()(0).getLong(0)
+    assert(totalEvents == batchEvents.count())
+  }
+
+  test("stateful sessionization emits when the event budget closes a session") {
+    import spark.implicits._
+    val events = batchEvents
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventStreams.Event]
+    val emitted = EventStreams.statefulSessions(events, maxEventsPerSession = 5)
+    val rows = emitted.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.n_events == 5))
+    rows.foreach(r => assert(!r.start_ts.after(r.end_ts)))
+  }
+}
