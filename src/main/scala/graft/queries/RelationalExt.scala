@@ -1,0 +1,204 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Det
+
+/** Extended relational operator coverage beyond OSM-Q1..Q12: the rest
+  * of the linter/passthrough keyword surface (SURVEY §2B —
+  * INTERSECT/EXCEPT, NOT EXISTS, HAVING, ROLLUP, window frames,
+  * scalar subqueries, BETWEEN/LIKE) plus a broadcast star join.
+  */
+object RelationalExt {
+  import Det.{round2, sum2}
+
+  /** q13 — INTERSECT (nation keys present in both relations). */
+  def q13(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(col("c_nationkey").as("nk"))
+      .intersect(Tables.supplier(spark, dir).select(col("s_nationkey").as("nk")))
+      .orderBy("nk")
+
+  /** q14 — EXCEPT: nations with customers but no suppliers. */
+  def q14(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(col("c_nationkey").as("nk"))
+      .except(Tables.supplier(spark, dir).select(col("s_nationkey").as("nk")))
+      .orderBy("nk")
+
+  /** q15 — NOT EXISTS as a left-anti join: customers without orders. */
+  def q15(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select("o_custkey")
+    Tables.customer(spark, dir)
+      .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** q16 — HAVING: high-volume customers only. */
+  def q16(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), sum2(col("o_totalprice")).as("total_spend"))
+      .filter(col("n_orders") > 15)
+      .orderBy("o_custkey")
+
+  /** q17 — ROLLUP subtotals over (status, year). Grouping NULLs mark
+    * subtotal rows; grouping_id disambiguates them deterministically.
+    */
+  def q17(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderstatus"), year(col("o_orderdate")).cast("long").as("y"),
+        col("o_totalprice"))
+      .rollup("o_orderstatus", "y")
+      .agg(count(lit(1)).as("n"), sum2(col("o_totalprice")).as("total"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first, col("y").asc_nulls_first)
+
+  /** q18 — window frames: per-customer running order total (exact
+    * decimal accumulation inside the frame — segment-tree vs
+    * incremental summation would otherwise drift between engines).
+    */
+  def q18(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .withColumn("running_total",
+        round2(sum(col("o_totalprice").cast(Det.Money)).over(w).cast("double")))
+      .select("o_custkey", "o_orderkey", "running_total")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** q19 — scalar subquery predicate: orders above the global mean
+    * price (mean computed in exact decimal space).
+    */
+  def q19(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val stats = o.agg(
+      (sum(col("o_totalprice").cast(Det.Money)).cast("double") /
+        count(lit(1))).as("mean_price"))
+    o.crossJoin(broadcast(stats))
+      .filter(col("o_totalprice") > col("mean_price"))
+      .select(col("o_orderkey"), round2(col("o_totalprice")).as("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  /** q20 — BETWEEN + LIKE + IN predicate combination. */
+  def q20(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .filter(col("p_size").between(10, 20) &&
+        col("p_type").like("%AR%") &&
+        col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+      .select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+      .orderBy("p_partkey")
+
+  /** q21 — star-schema join: revenue per region. nation/region are
+    * broadcast (dim tables); the fact scan aggregates map-side first.
+    */
+  def q21(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    Tables.orders(spark, dir).select("o_custkey", "o_totalprice")
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_orders"), sum2(col("o_totalprice")).as("revenue"))
+      .orderBy("r_name")
+  }
+
+  /** q22 — CASE/COALESCE null handling over a left join. */
+  def q22(spark: SparkSession, dir: String): DataFrame = {
+    val totals = Tables.orders(spark, dir).groupBy("o_custkey")
+      .agg(sum2(col("o_totalprice")).as("spend"))
+    Tables.customer(spark, dir)
+      .join(totals, col("c_custkey") === col("o_custkey"), "left")
+      .select(
+        col("c_custkey"),
+        coalesce(col("spend"), lit(0.0)).as("spend"),
+        when(col("spend").isNull, "none")
+          .when(col("spend") > 200000, "high")
+          .otherwise("normal").as("tier"))
+      .orderBy("c_custkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q13_intersect" -> q13 _,
+    "q14_except" -> q14 _,
+    "q15_anti_join" -> q15 _,
+    "q16_having" -> q16 _,
+    "q17_rollup" -> q17 _,
+    "q18_window_frames" -> q18 _,
+    "q19_scalar_subquery" -> q19 _,
+    "q20_predicates" -> q20 _,
+    "q21_star_broadcast" -> q21 _,
+    "q22_case_coalesce" -> q22 _,
+  )
+
+  val oracles: Map[String, String] = {
+    import Det.{Sql => S}
+    Map(
+      "q13_intersect" ->
+        """SELECT c_nationkey AS nk FROM customer
+          |INTERSECT
+          |SELECT s_nationkey AS nk FROM supplier
+          |ORDER BY nk""".stripMargin,
+      "q14_except" ->
+        """SELECT c_nationkey AS nk FROM customer
+          |EXCEPT
+          |SELECT s_nationkey AS nk FROM supplier
+          |ORDER BY nk""".stripMargin,
+      "q15_anti_join" ->
+        """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+          |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+          |ORDER BY c_custkey""".stripMargin,
+      "q16_having" ->
+        s"""SELECT o_custkey, COUNT(*) AS n_orders, ${S.sum2("o_totalprice")} AS total_spend
+           |FROM orders GROUP BY o_custkey HAVING COUNT(*) > 15
+           |ORDER BY o_custkey""".stripMargin,
+      "q17_rollup" ->
+        s"""SELECT o_orderstatus, CAST(YEAR(o_orderdate) AS BIGINT) AS y,
+           |  COUNT(*) AS n, ${S.sum2("o_totalprice")} AS total,
+           |  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(YEAR(o_orderdate)) AS BIGINT) AS gid
+           |FROM orders GROUP BY ROLLUP (o_orderstatus, YEAR(o_orderdate))
+           |ORDER BY gid, o_orderstatus ASC NULLS FIRST, y ASC NULLS FIRST""".stripMargin,
+      "q18_window_frames" ->
+        s"""SELECT o_custkey, o_orderkey,
+           |  ${S.round2("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER " +
+             "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)")} AS running_total
+           |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+      "q19_scalar_subquery" ->
+        s"""SELECT o_orderkey, ${S.round2("o_totalprice")} AS o_totalprice
+           |FROM orders
+           |WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+           |                             / COUNT(*) FROM orders)
+           |ORDER BY o_orderkey""".stripMargin,
+      "q20_predicates" ->
+        """SELECT p_partkey, p_name, p_brand, p_type, p_size FROM part
+          |WHERE p_size BETWEEN 10 AND 20 AND p_type LIKE '%AR%'
+          |  AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+          |ORDER BY p_partkey""".stripMargin,
+      "q21_star_broadcast" ->
+        s"""SELECT r.r_name, COUNT(*) AS n_orders, ${S.sum2("o.o_totalprice")} AS revenue
+           |FROM orders o
+           |JOIN customer c ON o.o_custkey = c.c_custkey
+           |JOIN nation n ON c.c_nationkey = n.n_nationkey
+           |JOIN region r ON n.n_regionkey = r.r_regionkey
+           |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin,
+      "q22_case_coalesce" ->
+        s"""WITH totals AS (
+           |  SELECT o_custkey, ${S.sum2("o_totalprice")} AS spend
+           |  FROM orders GROUP BY o_custkey
+           |)
+           |SELECT c.c_custkey, COALESCE(t.spend, 0.0) AS spend,
+           |  CASE WHEN t.spend IS NULL THEN 'none'
+           |       WHEN t.spend > 200000 THEN 'high'
+           |       ELSE 'normal' END AS tier
+           |FROM customer c LEFT JOIN totals t ON c.c_custkey = t.o_custkey
+           |ORDER BY c.c_custkey""".stripMargin,
+    )
+  }
+}
