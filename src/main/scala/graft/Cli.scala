@@ -94,8 +94,50 @@ object Cli {
       }
       spark.stop()
 
+    // The flagship pipeline (reference `yaml refactor`,
+    // cli/main.py:430-490): build, restructure YAML to target paths,
+    // then inject -> remove -> inherit -> sort -> sync-types and
+    // write the YAML back.
+    case "refactor" :: dir :: Nil =>
+      val spark = session()
+      val project = ProjectLoader.load(dir)
+      val executor = new ModelExecutor(spark, project)
+      executor.buildAll()
+      val settings = graft.core.EngineSettings(
+        addProgenitorToMeta = true,
+        vars = project.vars ++ Map("dbt_osmosis_default_path" -> "{parent}/{model}.yml"))
+      import graft.core._
+
+      val plan = Restructuring.draftPlan(project.root, executor.manifest, settings)
+      var manifest = Restructuring.applyPlan(project.root, plan, executor.manifest, settings)
+      plan.ops.foreach(op => println(s"restructured -> ${project.root.relativize(op.targetFile)}"))
+
+      def cols(n: NodeMeta) =
+        Introspection.getColumns(spark, Transforms.relationFor(n), settings, Some(n))
+      val result = Transforms.Pipeline()
+        .andThen("inject", (_, n) => Transforms.injectMissingColumns(n, cols(n), settings))
+        .andThen("remove", (_, n) => Transforms.removeColumnsNotInDatabase(n, cols(n), settings))
+        .andThen("inherit", (m, n) => Inheritance.inheritUpstreamColumnKnowledge(m, n, settings))
+        .andThen("sort", (_, n) => Transforms.sortColumnsAsConfigured(n, cols(n), settings))
+        .andThen("sync-types", (_, n) => Transforms.synchronizeDataTypes(n, cols(n), settings))
+        .run(manifest)
+      manifest = result.manifest
+      result.steps.foreach(s =>
+        println(f"step ${s.name}%-11s ${s.seconds}%.3fs mutated=${s.mutated}"))
+
+      val nodes = manifest.nodes.values
+        .filter(n => n.resourceType == "model" || n.resourceType == "seed").toSeq
+      SyncOperations.syncNodes(project.root, nodes, settings)
+      val written = YamlIO.commit()
+      written.foreach(p => println(s"wrote ${project.root.relativize(p)}"))
+
+      Validation.validateModels(spark, manifest).foreach(r =>
+        println(s"validate ${r.nodeId}: ${r.status}${r.error.fold("")(e => s" ($e)")}"))
+      spark.stop()
+
     case _ =>
-      System.err.println("usage: graft.Cli build|run-sql|inherit|lint|diff <projectDir> [sql]")
+      System.err.println(
+        "usage: graft.Cli build|run-sql|inherit|lint|diff|refactor <projectDir> [sql]")
       sys.exit(2)
   }
 }

@@ -1,0 +1,97 @@
+package graft.core
+
+import java.nio.file.{Files, Path}
+
+import scala.collection.immutable.ListMap
+
+/** YAML restructuring (A28/A29; core/restructuring.py): compute where
+  * each node's YAML *should* live vs where it *does* live, draft a
+  * per-target-file plan, and apply it — merging entries into target
+  * files, stripping them from superseded files, deleting emptied
+  * files.
+  */
+object Restructuring {
+
+  final case class RestructureOp(
+      targetFile: Path,
+      nodes: Seq[NodeMeta],
+      supersededPaths: Map[String, Seq[Path]]) // nodeId -> old files
+
+  final case class Plan(ops: Seq[RestructureOp]) {
+    def isEmpty: Boolean = ops.isEmpty
+  }
+
+  /** Draft: nodes whose current YAML path differs from the target
+    * path, deduped by target file (core/restructuring.py:175-238).
+    */
+  def draftPlan(projectRoot: Path, manifest: Manifest, settings: EngineSettings,
+      filter: NodeFilters.NodeFilter = NodeFilters.NodeFilter()): Plan = {
+    val moves = for {
+      node <- NodeFilters.candidates(manifest, filter)
+      if node.resourceType != "source" // sources restructure via bootstrap
+      target = PathManagement.targetYamlPath(projectRoot, node, settings)
+      current = PathManagement.currentYamlPath(projectRoot, node)
+      if !current.map(_.normalize).contains(target.normalize)
+    } yield (target, node, current.toSeq)
+
+    val ops = moves.groupBy(_._1).toSeq.sortBy(_._1.toString).map {
+      case (target, group) =>
+        RestructureOp(target,
+          group.map(_._2),
+          group.map(m => m._2.uniqueId -> m._3).toMap)
+    }
+    Plan(ops)
+  }
+
+  /** Apply: per op — read target, merge node entries in, buffer;
+    * strip the moved entries from their old files; drop emptied files
+    * and empty parent dirs; commit all writes atomically
+    * (core/restructuring.py:254-291,351-479).
+    */
+  def applyPlan(projectRoot: Path, plan: Plan, manifest: Manifest,
+      settings: EngineSettings): Manifest = {
+    var m = manifest
+    for (op <- plan.ops) {
+      var doc = YamlIO.read(op.targetFile)
+      for (node <- op.nodes) {
+        doc = SyncOperations.syncNodeToDoc(doc, node)
+        m = m.updated(node.copy(patchPath =
+          Some(projectRoot.relativize(op.targetFile).toString)))
+      }
+      YamlIO.buffer(op.targetFile, doc)
+
+      // strip superseded entries from old files
+      for ((nodeId, oldPaths) <- op.supersededPaths; oldPath <- oldPaths
+           if oldPath.normalize != op.targetFile.normalize) {
+        val node = manifest.get(nodeId).get
+        val old = YamlIO.read(oldPath)
+        val section = if (node.resourceType == "seed") "seeds" else "models"
+        val entries = old.managed.getOrElse(section, Nil) match {
+          case s: Seq[_] => s.collect { case e: Map[_, _] => e.asInstanceOf[Map[String, Any]] }
+          case _ => Nil
+        }
+        val remaining = entries.filterNot(_.get("name").contains(node.name))
+        val managed =
+          if (remaining.isEmpty) old.managed - section
+          else old.managed.updated(section, remaining)
+        YamlIO.buffer(oldPath, old.copy(managed = ListMap(managed.toSeq: _*)))
+      }
+    }
+    val written = YamlIO.commit()
+
+    // delete files whose managed payload vanished and nothing preserved
+    for (path <- written if Files.exists(path)) {
+      val doc = YamlIO.read(path)
+      val payload = doc.managed - "version"
+      if (payload.isEmpty && doc.preserved.isEmpty) {
+        Files.delete(path)
+        YamlIO.invalidate()
+        Option(path.getParent).foreach { dir =>
+          if (Files.isDirectory(dir) && !Files.list(dir).iterator().hasNext)
+            Files.delete(dir)
+        }
+      }
+    }
+    m
+  }
+}

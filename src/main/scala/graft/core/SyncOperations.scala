@@ -1,0 +1,147 @@
+package graft.core
+
+import scala.collection.immutable.ListMap
+
+/** Manifest → YAML projection (A27; core/sync_operations.py:21-313,
+  * 844-892): one-way sync of a node's (possibly transformed) metadata
+  * into its schema-YAML document — merging per-column fields into
+  * existing entries, preserving unrendered `{{ doc(...) }}` jinja,
+  * scrubbing empty values, failing closed on duplicate entries, and
+  * grouping to one write per target file.
+  */
+object SyncOperations {
+
+  final case class DuplicateEntryError(message: String) extends RuntimeException(message)
+
+  private def asSeqMap(v: Any): Seq[Map[String, Any]] = v match {
+    case s: Seq[_] => s.collect { case m: Map[_, _] => m.asInstanceOf[Map[String, Any]] }
+    case _ => Nil
+  }
+
+  private def isJinjaDoc(v: Any): Boolean = v match {
+    case s: String => s.contains("{{ doc(") || s.contains("{% docs ")
+    case _ => false
+  }
+
+  /** Merge one column's node-side metadata into its YAML entry. */
+  private[core] def mergeColumn(existing: Map[String, Any], column: ColumnMeta): Map[String, Any] = {
+    var out = ListMap(existing.toSeq: _*)
+    if (!out.contains("name")) out += "name" -> column.name
+    // unrendered jinja descriptions in YAML win over rendered inherits
+    column.description.filter(_.nonEmpty).foreach { d =>
+      if (!isJinjaDoc(out.getOrElse("description", "")))
+        out += "description" -> d
+    }
+    column.dataType.foreach(dt => out += "data_type" -> dt)
+    val mergedMeta = (out.get("meta") match {
+      case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]]
+      case _ => Map.empty[String, Any]
+    }) ++ column.meta
+    if (mergedMeta.nonEmpty) out += "meta" -> mergedMeta
+    val mergedTags = Inheritance.orderPreservingUnion(
+      out.get("tags") match { case Some(t: Seq[_]) => t.map(_.toString); case _ => Nil },
+      column.tags)
+    if (mergedTags.nonEmpty) out += "tags" -> mergedTags
+    // scrub empties (core/sync_operations.py empty-value scrubbing)
+    out.filter {
+      case (_, "") => false
+      case (_, s: Seq[_]) if s.isEmpty => false
+      case (_, m: Map[_, _]) if m.isEmpty => false
+      case (_, null) => false
+      case _ => true
+    }
+  }
+
+  /** Project a node into the right section of a YAML doc. Columns are
+    * written in node order; existing per-column keys not owned by the
+    * sync are preserved.
+    */
+  def syncNodeToDoc(doc: YamlIO.YamlDoc, node: NodeMeta): YamlIO.YamlDoc = {
+    val section = node.resourceType match {
+      case "model" => "models"
+      case "seed" => "seeds"
+      case "source" => "sources"
+      case other => throw new IllegalArgumentException(s"cannot sync $other")
+    }
+    if (node.resourceType == "source") return syncSource(doc, node)
+
+    val entries = asSeqMap(doc.managed.getOrElse(section, Nil))
+    if (entries.count(_.get("name").contains(node.name)) > 1)
+      throw DuplicateEntryError(
+        s"duplicate '$section' entries for ${node.name} — refusing to sync")
+
+    val existing = entries.find(_.get("name").contains(node.name))
+      .getOrElse(ListMap("name" -> node.name))
+    var entry = ListMap(existing.toSeq: _*)
+    if (node.description.nonEmpty && !isJinjaDoc(entry.getOrElse("description", "")))
+      entry += "description" -> node.description
+
+    val existingCols = asSeqMap(entry.getOrElse("columns", Nil))
+      .map(c => c.getOrElse("name", "").toString -> c).toMap
+    val columns = node.columns.values.toSeq.map(c =>
+      mergeColumn(existingCols.getOrElse(c.name, Map.empty), c))
+    if (columns.nonEmpty) entry += "columns" -> columns
+
+    val newEntries =
+      if (entries.exists(_.get("name").contains(node.name)))
+        entries.map(e => if (e.get("name").contains(node.name)) entry else e)
+      else entries :+ entry
+    val managed = doc.managed
+      .updated("version", doc.managed.getOrElse("version", 2))
+      .updated(section, newEntries)
+    doc.copy(managed = ListMap(managed.toSeq: _*))
+  }
+
+  /** Sources nest one level deeper: sources[].tables[]
+    * (core/sync_operations.py:397-531).
+    */
+  private def syncSource(doc: YamlIO.YamlDoc, node: NodeMeta): YamlIO.YamlDoc = {
+    val srcName = node.fqn.lift(1).getOrElse(node.schema)
+    val sources = asSeqMap(doc.managed.getOrElse("sources", Nil))
+    val src = sources.find(_.get("name").contains(srcName))
+      .getOrElse(ListMap[String, Any]("name" -> srcName))
+    val tables = asSeqMap(src.getOrElse("tables", Nil))
+    if (tables.count(_.get("name").contains(node.name)) > 1)
+      throw DuplicateEntryError(
+        s"duplicate source tables for ${node.name} — refusing to sync")
+    val existing = tables.find(_.get("name").contains(node.name))
+      .getOrElse(ListMap[String, Any]("name" -> node.name))
+    var tbl = ListMap(existing.toSeq: _*)
+    if (node.description.nonEmpty && !isJinjaDoc(tbl.getOrElse("description", "")))
+      tbl += "description" -> node.description
+    val existingCols = asSeqMap(tbl.getOrElse("columns", Nil))
+      .map(c => c.getOrElse("name", "").toString -> c).toMap
+    val columns = node.columns.values.toSeq.map(c =>
+      mergeColumn(existingCols.getOrElse(c.name, Map.empty), c))
+    if (columns.nonEmpty) tbl += "columns" -> columns
+
+    val newTables =
+      if (tables.exists(_.get("name").contains(node.name)))
+        tables.map(t => if (t.get("name").contains(node.name)) tbl else t)
+      else tables :+ tbl
+    val newSrc = src.updated("tables", newTables)
+    val newSources =
+      if (sources.exists(_.get("name").contains(srcName)))
+        sources.map(s => if (s.get("name").contains(srcName)) newSrc else s)
+      else sources :+ newSrc
+    doc.copy(managed = ListMap((doc.managed
+      .updated("version", doc.managed.getOrElse("version", 2))
+      .updated("sources", newSources)).toSeq: _*))
+  }
+
+  /** Sync many nodes grouped one-write-per-file
+    * (core/sync_operations.py:823-841): resolve each node's target
+    * YAML, fold nodes into per-file docs, buffer them.
+    */
+  def syncNodes(projectRoot: java.nio.file.Path, nodes: Seq[NodeMeta],
+      settings: EngineSettings): Seq[java.nio.file.Path] = {
+    val byFile = nodes.groupBy(n =>
+      PathManagement.targetYamlPath(projectRoot, n, settings))
+    byFile.toSeq.sortBy(_._1.toString).map { case (path, fileNodes) =>
+      var doc = YamlIO.read(path)
+      fileNodes.foreach(n => doc = syncNodeToDoc(doc, n))
+      YamlIO.buffer(path, doc)
+      path
+    }
+  }
+}
