@@ -21,6 +21,8 @@ object GraftFunctions {
         "poly_hash", exprs => PolyHash(exprs.head), "built-in")
       reg.createOrReplaceTempFunction(
         "fnv64", exprs => Fnv64(exprs.head), "built-in")
+      reg.createOrReplaceTempFunction(
+        "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "built-in")
     }
 
   /** Oracle-parity polynomial fingerprint (see [[PolyHash]]). */

@@ -82,13 +82,13 @@ object Dedup {
     Seq.fill(numPerms)((next() + 1, next()))
   }
 
-  /** MinHash signature column: array<bigint> of length `numPerms`.
-    * sig[j] = min over shingles s of (a_j · fnv31(s) + b_j) mod p.
-    * Pure nested array expressions — codegen'd, no UDF, no shuffle.
+  /** MinHash signature from a shingle-array column: array<bigint> of
+    * length `numPerms`; sig[j] = min over shingles s of
+    * (a_j · fnv(s) + b_j) mod p. Pure nested array expressions —
+    * no UDF, no shuffle.
     */
-  def minhashSignature(text: Column, n: Int, numPerms: Int): Column = {
-    val hashes = transform(shingles(text, n),
-      s => pmod(call_function("fnv64", s), lit(MersennePrime)))
+  def minhashSignatureFromShingles(sh: Column, numPerms: Int): Column = {
+    val hashes = transform(sh, s => pmod(call_function("fnv64", s), lit(MersennePrime)))
     val perms = array(permParams(numPerms).map { case (a, b) =>
       struct(lit(a).as("a"), lit(b).as("b"))
     }: _*)
@@ -96,6 +96,10 @@ object Dedup {
       array_min(transform(hashes,
         h => pmod(p.getField("a") * h + p.getField("b"), lit(MersennePrime)))))
   }
+
+  /** MinHash signature straight from text. */
+  def minhashSignature(text: Column, n: Int, numPerms: Int): Column =
+    minhashSignatureFromShingles(shingles(text, n), numPerms)
 
   /** MinHash + LSH banding near-dup pairs.
     *
@@ -111,10 +115,17 @@ object Dedup {
     val spark = docs.sparkSession
     GraftFunctions.register(spark)
     val rows = numPerms / bands
+    // Materialize (shingles, signature) ONCE: downstream this relation
+    // is consumed twice (banding explode + verify join), and without a
+    // barrier Catalyst would inline and recompute the full 64-perm
+    // signature per exploded band row (~bands× blowup). At cluster
+    // scale this would be a persist-to-disk checkpoint of ~numPerms
+    // longs per doc — tiny relative to the corpus.
     val withSig = docs.select(
       col(idCol).as("id"),
-      col(textCol).as("text"),
-      minhashSignature(col(textCol), n, numPerms).as("sig"))
+      array_sort(shingles(col(textCol), n)).as("sh"))
+      .withColumn("sig", minhashSignatureFromShingles(col("sh"), numPerms))
+      .cache()
 
     val banded = withSig.select(
       col("id"),
@@ -133,7 +144,7 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
 
-    val sh = withSig.select(col("id"), array_sort(shingles(col("text"), n)).as("sh"))
+    val sh = withSig.select(col("id"), col("sh"))
     candidates
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -167,7 +178,9 @@ object Dedup {
       maxHamming: Int = 8): DataFrame = {
     val spark = docs.sparkSession
     GraftFunctions.register(spark)
-    val withSim = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sim"))
+    // cache: the 64-bit fingerprint feeds a 4-way band explode that
+    // would otherwise re-evaluate the 64-aggregate simhash per band.
+    val withSim = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sim")).cache()
     val banded = withSim.select(col("id"), col("sim"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),

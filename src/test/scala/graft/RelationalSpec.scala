@@ -15,11 +15,12 @@ class RelationalSpec extends AnyFunSuite {
       val df = fn(spark, dir)
       val n = df.count()
       assert(n >= 0, s"$name failed")
-      // every core relational query must return data at every SF;
-      // threshold-based pair queries may legitimately be empty at
-      // sf0.001 (e.g. the single >=0.5-cosine pair only exists at
-      // sf0.01+).
-      if (name.startsWith("q"))
+      // every core relational query must return data at every SF.
+      // Exceptions that are legitimately empty on this data (and
+      // still hash-match the oracle): q14/q15 (every nation has
+      // suppliers, every customer has orders), threshold-based pair
+      // queries at sf0.001.
+      if (name.startsWith("q") && name != "q14_except" && name != "q15_anti_join")
         assert(n > 0, s"$name returned no rows")
     }
   }
