@@ -127,7 +127,17 @@ object Cli {
 
       val nodes = manifest.nodes.values
         .filter(n => n.resourceType == "model" || n.resourceType == "seed").toSeq
-      SyncOperations.syncNodes(project.root, nodes, settings)
+      val synced = SyncOperations.syncNodes(project.root, nodes, settings)
+      // structural validation before anything reaches disk (A44)
+      val findings = synced.flatMap(p => SchemaValidation.validate(YamlIO.read(p))
+        .map(f => p -> f))
+      findings.foreach { case (p, f) =>
+        println(s"yaml-check ${project.root.relativize(p)} [${f.rule}] ${f.severity}: ${f.message}")
+      }
+      if (findings.exists(_._2.severity == "error")) {
+        System.err.println("refusing to write: schema validation errors")
+        spark.stop(); sys.exit(1)
+      }
       val written = YamlIO.commit()
       written.foreach(p => println(s"wrote ${project.root.relativize(p)}"))
 

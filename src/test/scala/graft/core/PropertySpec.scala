@@ -1,0 +1,130 @@
+package graft.core
+
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.collection.immutable.ListMap
+
+/** Property tests for the pure functions the reference only
+  * example-tests (SURVEY §5): normalization, version equivalence,
+  * type-change classification, tag union, topological sort, fuzzy
+  * ratios.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  /** Sample-based property check over plain ScalaCheck generators
+    * (scalatestplus bridge is not on the offline classpath).
+    */
+  def forAll[A](gen: Gen[A], n: Int = 100)(f: A => Unit): Unit =
+    (1 to n).foreach(_ => gen.sample.foreach(f))
+  def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    (1 to 100).foreach(_ => for (a <- ga.sample; b <- gb.sample) f(a, b))
+
+  val ident: Gen[String] = for {
+    head <- Gen.alphaLowerChar
+    tail <- Gen.listOfN(7, Gen.oneOf(Gen.alphaNumChar, Gen.const('_')))
+  } yield (head :: tail).mkString
+
+  test("normalize_column_name is idempotent for spark mode") {
+    forAll(ident) { s =>
+      val once = Introspection.normalizeColumnName(s, "spark")
+      assert(Introspection.normalizeColumnName(once, "spark") == once)
+    }
+  }
+
+  test("snowflake mode uppercases unquoted, preserves quoted") {
+    forAll(ident) { s =>
+      assert(Introspection.normalizeColumnName(s, "snowflake") == s.toUpperCase)
+      val quoted = "\"" + s + "\""
+      assert(Introspection.normalizeColumnName(quoted, "snowflake") == quoted)
+    }
+  }
+
+  test("version equivalence: int, string, and decimal forms agree") {
+    forAll(Gen.choose(1L, 9999L)) { v =>
+      import graft.compile.DbtCompiler.normalizeVersion
+      assert(normalizeVersion(v) == normalizeVersion(v.toString))
+      assert(normalizeVersion(v) == normalizeVersion(v.toDouble))
+      assert(normalizeVersion(s"$v.0") == normalizeVersion(v))
+    }
+  }
+
+  test("type-change classification: reflexive safe, widening-narrowing asymmetry") {
+    val types = Seq("int", "bigint", "smallint", "varchar(50)", "varchar(100)",
+      "double", "decimal(18,2)", "decimal(18,3)", "date", "timestamp", "boolean")
+    for (t <- types) assert(Diff.classifyTypeChange(t, t) == Diff.Safe)
+    for {
+      a <- types; b <- types if a != b
+      fwd = Diff.classifyTypeChange(a, b)
+      bwd = Diff.classifyTypeChange(b, a)
+    } {
+      // breaking is symmetric (cross-family both ways)
+      if (fwd == Diff.Breaking) assert(bwd == Diff.Breaking, s"$a<->$b")
+      // within-family: at most one direction can be the narrowing one
+      if (fwd == Diff.Moderate) assert(bwd == Diff.Safe, s"$a<->$b")
+    }
+  }
+
+  test("order-preserving union: keeps order, dedupes, superset semantics") {
+    forAll(Gen.listOf(ident), Gen.listOf(ident)) { (a: List[String], b: List[String]) =>
+      val u = Inheritance.orderPreservingUnion(a, b)
+      assert(u.distinct == u)
+      assert(u.toSet == (a.toSet ++ b.toSet))
+      // primary order preserved as a subsequence
+      val posOfA = a.distinct.map(u.indexOf)
+      assert(posOfA == posOfA.sorted)
+    }
+  }
+
+  test("topological sort respects every edge and is a permutation") {
+    val nodesGen: Gen[Seq[NodeMeta]] = Gen.choose(1, 12).flatMap { n =>
+      // DAG by construction: node i may only depend on j < i
+      Gen.sequence[Seq[NodeMeta], NodeMeta]((0 until n).map { i =>
+        Gen.someOf(0 until i).map { deps =>
+          NodeMeta(s"model.n$i", s"n$i", "model",
+            deps = deps.map(j => s"model.n$j").toSeq)
+        }
+      })
+    }
+    forAll(nodesGen) { nodes =>
+      val sorted = NodeFilters.topologicalSort(scala.util.Random.shuffle(nodes))
+      assert(sorted.map(_.uniqueId).sorted == nodes.map(_.uniqueId).sorted)
+      val pos = sorted.map(_.uniqueId).zipWithIndex.toMap
+      for (n <- nodes; d <- n.deps) assert(pos(d) < pos(n.uniqueId), s"$d before ${n.uniqueId}")
+    }
+  }
+
+  test("fuzzy ratios are bounded, symmetric-ish, and 100 on identity") {
+    forAll(ident, ident) { (a: String, b: String) =>
+      val w = Fuzzy.wratio(a, b)
+      assert(w >= 0.0 && w <= 100.0)
+      assert(Fuzzy.wratio(a, a) == 100.0)
+      assert(math.abs(Fuzzy.ratio(a, b) - Fuzzy.ratio(b, a)) < 1e-9)
+    }
+  }
+
+  test("case variants always include the lower and upper forms") {
+    forAll(ident) { s =>
+      val v = Inheritance.caseVariants(s)
+      assert(v.contains(s.toLowerCase) && v.contains(s.toUpperCase))
+    }
+  }
+
+  test("schema validation flags what sync would fail on") {
+    val dup = YamlIO.YamlDoc(ListMap("models" -> Seq(
+      Map[String, Any]("name" -> "m"), Map[String, Any]("name" -> "m"))), ListMap.empty)
+    assert(SchemaValidation.validate(dup).exists(_.rule == "duplicate-entry"))
+    val noname = YamlIO.YamlDoc(ListMap("models" -> Seq(
+      Map[String, Any]("description" -> "x"))), ListMap.empty)
+    assert(SchemaValidation.validate(noname).exists(_.rule == "entry-name"))
+    val badTest = YamlIO.YamlDoc(ListMap("models" -> Seq(
+      Map[String, Any]("name" -> "m", "columns" -> Seq(
+        Map[String, Any]("name" -> "c", "tests" -> Seq(
+          Map[String, Any]("a" -> 1, "b" -> 2))))))), ListMap.empty)
+    assert(SchemaValidation.validate(badTest).exists(_.rule == "test-config"))
+    val clean = YamlIO.YamlDoc(ListMap("version" -> 2, "models" -> Seq(
+      Map[String, Any]("name" -> "m", "columns" -> Seq(
+        Map[String, Any]("name" -> "c", "tests" -> Seq("unique")))))), ListMap.empty)
+    assert(SchemaValidation.validate(clean).isEmpty)
+  }
+}
