@@ -23,6 +23,18 @@ object GraftFunctions {
         "fnv64", exprs => Fnv64(exprs.head), "built-in")
       reg.createOrReplaceTempFunction(
         "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction(
+        "simhash64", exprs => SimHash64(exprs.head), "built-in")
+      reg.createOrReplaceTempFunction(
+        "minhash_sig", exprs => {
+          val n = exprs(1) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+              v.toString.toInt
+            case other => throw new IllegalArgumentException(
+              s"minhash_sig numPerms must be a literal, got $other")
+          }
+          MinHashSig(exprs.head, n)
+        }, "built-in")
     }
 
   /** Oracle-parity polynomial fingerprint (see [[PolyHash]]). */

@@ -50,3 +50,154 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
       newLeft: Expression, newRight: Expression): VecDot =
     copy(left = newLeft, right = newRight)
 }
+
+/** 64-bit SimHash over an array<bigint> of token hashes: bit b of the
+  * result is 1 iff the majority of token hashes have bit b set
+  * (ties → 1, matching sum >= 0).
+  *
+  * The composable form needs 64 interpreted aggregate passes over the
+  * token array; this expression is one fused loop (tokens × 64 bit
+  * tests) inside whole-stage codegen.
+  */
+case class SimHash64(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val sums = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      val h = arr.getLong(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (sums(b) >= 0) out |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val sums = ctx.freshName("sums")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val out = ctx.freshName("out")
+      s"""
+         |int[] $sums = new int[64];
+         |for (int $i = 0; $i < $c.numElements(); $i++) {
+         |  long $h = $c.getLong($i);
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    if ((($h >>> $b) & 1L) == 1L) $sums[$b]++; else $sums[$b]--;
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  if ($sums[$b] >= 0) $out |= (1L << $b);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** MinHash signature over an array<bigint> of (pre-modded) shingle
+  * hashes: out[j] = min over hashes h of (a_j·h + b_j) mod p, with
+  * p = 2^31 − 1 and deterministic LCG-derived (a_j, b_j).
+  *
+  * One fused loop replacing numPerms × len nested interpreted
+  * lambdas. Usable from SQL as `minhash_sig(hashes, numPerms)` with a
+  * literal perm count.
+  */
+case class MinHashSig(child: org.apache.spark.sql.catalyst.expressions.Expression,
+    numPerms: Int) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, false)
+  override def prettyName: String = "minhash_sig"
+
+  @transient private lazy val (as, bs) = MinHashSig.permParams(numPerms)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val out = MinHashSig.compute(arr, as, bs)
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val asRef = ctx.addReferenceObj("minhashAs", as, "long[]")
+    val bsRef = ctx.addReferenceObj("minhashBs", bs, "long[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      s"""
+         |long[] $out = new long[${numPerms}];
+         |java.util.Arrays.fill($out, ${MinHashSig.Prime}L);
+         |for (int $i = 0; $i < $c.numElements(); $i++) {
+         |  long $h = $c.getLong($i);
+         |  for (int $j = 0; $j < ${numPerms}; $j++) {
+         |    long $v = ($asRef[$j] * $h + $bsRef[$j]) % ${MinHashSig.Prime}L;
+         |    if ($v < $out[$j]) $out[$j] = $v;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  /** 2^31 − 1 (Mersenne prime), the classic MinHash modulus. */
+  val Prime: Long = (1L << 31) - 1
+
+  /** Deterministic permutation parameters (LCG, seed 42). */
+  def permParams(numPerms: Int): (Array[Long], Array[Long]) = {
+    var state = 42L
+    def next(): Long = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (state >>> 33) % (Prime - 1)
+    }
+    val as = new Array[Long](numPerms)
+    val bs = new Array[Long](numPerms)
+    for (j <- 0 until numPerms) { as(j) = next() + 1; bs(j) = next() }
+    (as, bs)
+  }
+
+  def compute(arr: ArrayData, as: Array[Long], bs: Array[Long]): Array[Long] = {
+    val n = as.length
+    val out = Array.fill(n)(Prime)
+    var i = 0
+    while (i < arr.numElements()) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < n) {
+        val v = (as(j) * h + bs(j)) % Prime
+        if (v < out(j)) out(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+}

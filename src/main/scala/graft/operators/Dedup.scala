@@ -74,28 +74,18 @@ object Dedup {
       .select("id_a", "id_b", "n_common", "size_a", "size_b", "jaccard")
   }
 
-  /** Deterministic MinHash permutation parameters (LCG, seed 42). */
-  private val MersennePrime = (1L << 31) - 1
-  private[operators] def permParams(numPerms: Int): Seq[(Long, Long)] = {
-    var state = 42L
-    def next(): Long = { state = (state * 6364136223846793005L + 1442695040888963407L); (state >>> 33) % (MersennePrime - 1) }
-    Seq.fill(numPerms)((next() + 1, next()))
-  }
+  private val MersennePrime = graft.functions.MinHashSig.Prime
 
   /** MinHash signature from a shingle-array column: array<bigint> of
     * length `numPerms`; sig[j] = min over shingles s of
-    * (a_j · fnv(s) + b_j) mod p. Pure nested array expressions —
-    * no UDF, no shuffle.
+    * (a_j · fnv(s) + b_j) mod p — via the native codegen'd
+    * [[graft.functions.MinHashSig]] expression (one fused loop; no
+    * UDF, no shuffle).
     */
-  def minhashSignatureFromShingles(sh: Column, numPerms: Int): Column = {
-    val hashes = transform(sh, s => pmod(call_function("fnv64", s), lit(MersennePrime)))
-    val perms = array(permParams(numPerms).map { case (a, b) =>
-      struct(lit(a).as("a"), lit(b).as("b"))
-    }: _*)
-    transform(perms, p =>
-      array_min(transform(hashes,
-        h => pmod(p.getField("a") * h + p.getField("b"), lit(MersennePrime)))))
-  }
+  def minhashSignatureFromShingles(sh: Column, numPerms: Int): Column =
+    call_function("minhash_sig",
+      transform(sh, s => pmod(call_function("fnv64", s), lit(MersennePrime))),
+      lit(numPerms))
 
   /** MinHash signature straight from text. */
   def minhashSignature(text: Column, n: Int, numPerms: Int): Column =
@@ -158,16 +148,10 @@ object Dedup {
   /** 64-bit SimHash per document — per-row array arithmetic, no
     * aggregation across rows, fully codegen'd.
     */
-  def simhash64(text: Column): Column = {
-    val tokenHashes = transform(graft.functions.TextFunctions.tokens(text),
-      t => call_function("fnv64", t))
-    val bits = (0 until 64).map { i =>
-      val bitSum = aggregate(tokenHashes, lit(0L), (acc, h) =>
-        acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
-      when(bitSum >= 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  def simhash64(text: Column): Column =
+    call_function("simhash64",
+      transform(graft.functions.TextFunctions.tokens(text),
+        t => call_function("fnv64", t)))
 
   /** SimHash near-dup pairs: band the 64-bit fingerprint into 4
     * 16-bit chunks (any pair within Hamming distance <= 3·16 shares a
