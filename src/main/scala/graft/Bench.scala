@@ -28,7 +28,11 @@ object Bench {
 
     Tables.lineitem(spark, sfDir).count() // warm-up: JVM + parquet footer reads
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated subset filter for focused runs
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch { case e: Throwable =>

@@ -50,10 +50,21 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String, n: Int,
       threshold: Double, maxDocFreq: Int = 1000): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    // shuffle/join on a 64-bit shingle fingerprint, not the string:
+    // the window sort and self-join then move 8-byte keys (collision
+    // probability over the distinct-shingle universe is ~|S|²/2^64 —
+    // negligible, and the oracle gate would catch one).
     val sh = docs.select(
       col(idCol).as("id"),
-      explode(shingles(col(textCol), n)).as("shingle"))
+      explode(shingles(col(textCol), n)).as("shingle_str"))
+      .select(col("id"), call_function("fnv64", col("shingle_str")).as("shingle"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    // stop-shingle cut via a windowed doc-frequency count: one shuffle
+    // on the shingle key that the self-join immediately reuses.
+    // (Measured alternatives at sf0.1: broadcast anti-join against a
+    // hot-shingle aggregate and carrying sizes through the explode
+    // with first() both came out 2-3x slower at this shape.)
     val filtered = sh
       .withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
