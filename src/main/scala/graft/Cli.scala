@@ -145,9 +145,25 @@ object Cli {
         println(s"validate ${r.nodeId}: ${r.status}${r.error.fold("")(e => s" ($e)")}"))
       spark.stop()
 
+    // Training-data curation pipeline over a documents parquet dir:
+    // quality filter -> language filter -> exact dedup -> near-dup
+    // removal -> curated parquet + attrition report.
+    case "curate" :: sfDir :: outDir :: Nil =>
+      val spark = session()
+      val docs = Tables.documents(spark, sfDir)
+      val (curated, report) = graft.operators.Curation.curate(
+        docs, "doc_id", "text",
+        graft.operators.Curation.Config(minTokens = 10, minQuality = 0.3,
+          nearDupThreshold = 0.7))
+      curated.write.mode("overwrite").parquet(outDir)
+      println(s"curate: input=${report.input} afterQuality=${report.afterQuality} " +
+        s"afterLang=${report.afterLang} afterExact=${report.afterExact} " +
+        s"afterNearDup=${report.afterNearDup} -> $outDir")
+      spark.stop()
+
     case _ =>
       System.err.println(
-        "usage: graft.Cli build|run-sql|inherit|lint|diff|refactor <projectDir> [sql]")
+        "usage: graft.Cli build|run-sql|inherit|lint|diff|refactor <projectDir> [sql] | curate <sfDir> <outDir>")
       sys.exit(2)
   }
 }
