@@ -75,9 +75,29 @@ final class ModelExecutor(spark: SparkSession, project: Project,
     * order (compile → resolve deps → Kahn sort → materialize).
     * Returns the build order.
     */
+  /** Source relations are warehouse-owned; when one is absent in the
+    * session (tests/demos), register an empty relation with the
+    * declared schema so downstream models still analyze and build.
+    * Pre-registered views (the real data path) are never clobbered.
+    */
+  def ensureSource(node: NodeMeta): Unit =
+    if (!spark.catalog.tableExists(node.name)) {
+      import org.apache.spark.sql.types._
+      val fields = node.columns.values.toSeq.map { c =>
+        val dt = c.dataType.flatMap(d =>
+          scala.util.Try(DataType.fromDDL(d)).toOption).getOrElse(StringType)
+        StructField(c.name, dt)
+      }
+      val schema = if (fields.nonEmpty) StructType(fields)
+                   else StructType(Seq(StructField("__empty", StringType)))
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        .createOrReplaceTempView(node.name)
+    }
+
   def buildAll(): Seq[String] = {
     val seeds = manifestVar.nodes.values.filter(_.resourceType == "seed").toSeq
     seeds.foreach(seed)
+    manifestVar.nodes.values.filter(_.resourceType == "source").foreach(ensureSource)
 
     // two-phase: compile everything (collecting dep edges), then sort + run
     val models = manifestVar.nodes.values.filter(_.resourceType == "model").toSeq

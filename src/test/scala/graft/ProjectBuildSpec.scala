@@ -17,6 +17,11 @@ class ProjectBuildSpec extends AnyFunSuite {
 
   lazy val project: ProjectLoader.Project = ProjectLoader.load("fixtures/jaffle")
   lazy val executor: ModelExecutor = {
+    // the warehouse-owned source relation exists before the build
+    // (the executor would otherwise register an empty placeholder)
+    import spark.implicits._
+    Seq((1, "north"), (2, "south")).toDF("region_id", "region_name")
+      .createOrReplaceTempView("region_lookup")
     val e = new ModelExecutor(spark, project)
     e.buildAll()
     e
@@ -89,6 +94,23 @@ class ProjectBuildSpec extends AnyFunSuite {
     assert(inherited.columns("customer_id").meta("osmosis_progenitor")
       == "model.jaffle.stg_customers")
     assert(inherited.columns("customer_id").tags.contains("pk"))
+  }
+
+  test("source() resolves to the warehouse relation and records the dep") {
+    executor
+    val regions = spark.table("regions").orderBy("region_id").collect()
+    assert(regions.map(_.getString(1)).toSeq == Seq("NORTH", "SOUTH"))
+    val node = executor.manifest.nodes("model.jaffle.regions")
+    assert(node.deps.contains("source.jaffle.warehouse.region_lookup"))
+  }
+
+  test("missing source relations get empty typed placeholders") {
+    val freshSpark = spark.newSession()
+    val p = ProjectLoader.load("fixtures/jaffle")
+    val e = new ModelExecutor(freshSpark, p)
+    e.buildAll() // no region_lookup registered in this session
+    assert(freshSpark.table("regions").count() == 0)
+    assert(freshSpark.table("regions").columns.toSeq == Seq("region_id", "region_name"))
   }
 
   test("jinja engine corner cases") {
