@@ -161,9 +161,31 @@ object Cli {
         s"afterNearDup=${report.afterNearDup} -> $outDir")
       spark.stop()
 
+    // Catalog artifact (A5): materialized schema snapshot of every
+    // built relation, preferred over live introspection on re-runs.
+    case "catalog" :: dir :: outFile :: Nil =>
+      val spark = session()
+      val project = ProjectLoader.load(dir)
+      val executor = new ModelExecutor(spark, project)
+      executor.buildAll()
+      val settings = graft.core.EngineSettings()
+      val tables = executor.manifest.nodes.values
+        .filter(n => n.resourceType == "model" || n.resourceType == "seed")
+        .map(_.name).toSeq.sorted
+      val catalog = graft.core.Introspection.generateCatalog(spark, tables, settings)
+      def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      val json = catalog.toSeq.sortBy(_._1).map { case (t, cols) =>
+        q(t) + ": [" + cols.map(c =>
+          s"{${q("name")}: ${q(c.name)}, ${q("type")}: ${q(c.dataType)}, ${q("index")}: ${c.index}}")
+          .mkString(", ") + "]"
+      }.mkString("{", ", ", "}")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json)
+      println(s"catalog: ${catalog.size} relations -> $outFile")
+      spark.stop()
+
     case _ =>
       System.err.println(
-        "usage: graft.Cli build|run-sql|inherit|lint|diff|refactor <projectDir> [sql] | curate <sfDir> <outDir>")
+        "usage: graft.Cli build|run-sql|inherit|lint|diff|refactor|catalog <projectDir> [args] | curate <sfDir> <outDir>")
       sys.exit(2)
   }
 }
