@@ -15,8 +15,16 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Memoize the DataFrame handle per (session, path): file listing +
+  // schema inference (footer reads) otherwise repeat on every query
+  // that touches the table. Plans are still derived fresh per query —
+  // only the relation metadata is reused.
+  private val handles =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    handles.computeIfAbsent((spark, s"$dir/$name.parquet"),
+      key => key._1.read.parquet(key._2))
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
