@@ -22,6 +22,8 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction(
         "fnv64", exprs => Fnv64(exprs.head), "built-in")
       reg.createOrReplaceTempFunction(
+        "spread64", exprs => Spread64(exprs.head), "built-in")
+      reg.createOrReplaceTempFunction(
         "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "built-in")
       reg.createOrReplaceTempFunction(
         "simhash64", exprs => SimHash64(exprs.head), "built-in")
@@ -34,6 +36,16 @@ object GraftFunctions {
               s"minhash_sig numPerms must be a literal, got $other")
           }
           MinHashSig(exprs.head, n)
+        }, "built-in")
+      reg.createOrReplaceTempFunction(
+        "lsh_bucket", exprs => {
+          val n = exprs(1) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+              v.toString.toInt
+            case other => throw new IllegalArgumentException(
+              s"lsh_bucket planes must be a literal, got $other")
+          }
+          LshBucket(exprs.head, n)
         }, "built-in")
     }
 

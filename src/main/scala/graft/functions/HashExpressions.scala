@@ -59,6 +59,57 @@ object PolyHash {
   }
 }
 
+/** Spread a 31-bit hash into 64 pseudo-independent bits: bit b of the
+  * output is the high bit of `(h·(2654435761 + 2b) + 123456789) mod
+  * 2^32`. Every intermediate stays below 2^63 for h < 2^31 (max
+  * product 2147483647 × 2654435887 ≈ 5.7e18), so the IDENTICAL bit
+  * function is expressible in DuckDB BIGINT arithmetic:
+  * `(h * (2654435761 + 2*b) + 123456789) % 4294967296 >= 2147483648`.
+  *
+  * Used to build oracle-checkable SimHash fingerprints from
+  * [[PolyHash]] token hashes — FNV-64 has better native mixing but
+  * its wrap-around multiplication cannot be replayed in SQL.
+  */
+case class Spread64(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "spread64"
+
+  override def nullSafeEval(input: Any): Any =
+    Spread64.eval(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val out = ctx.freshName("out")
+      val b = ctx.freshName("b")
+      val g = ctx.freshName("g")
+      s"""
+         |long $out = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  long $g = ($c * (2654435761L + 2L * $b) + 123456789L) % 4294967296L;
+         |  if ($g >= 2147483648L) $out |= (1L << $b);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Spread64 =
+    copy(child = newChild)
+}
+
+object Spread64 {
+  def eval(h: Long): Long = {
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      val g = (h * (2654435761L + 2L * b) + 123456789L) % 4294967296L
+      if (g >= 2147483648L) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}
+
 /** FNV-1a 64-bit hash over a string's UTF-8 bytes, with Java Long
   * wrap-around. Used where we need well-mixed 64-bit values
   * (SimHash bit sampling, MinHash permutation input, LSH bucket

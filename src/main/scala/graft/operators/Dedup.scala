@@ -85,17 +85,25 @@ object Dedup {
       .select("id_a", "id_b", "n_common", "size_a", "size_b", "jaccard")
   }
 
-  private val MersennePrime = graft.functions.MinHashSig.Prime
-
   /** MinHash signature from a shingle-array column: array<bigint> of
     * length `numPerms`; sig[j] = min over shingles s of
-    * (a_j · fnv(s) + b_j) mod p — via the native codegen'd
+    * (a_j · poly_hash(s) + b_j) mod p — via the native codegen'd
     * [[graft.functions.MinHashSig]] expression (one fused loop; no
     * UDF, no shuffle).
+    *
+    * Shingles are hashed with the 31-bit oracle-parity
+    * [[graft.functions.PolyHash]] (not FNV-64) so every intermediate
+    * of (a·h + b) mod p stays below 2^63 and the ENTIRE signature is
+    * replayable in DuckDB BIGINT SQL — the correctness gate then
+    * covers the LSH path end-to-end, not just its verify step.
+    * Within-document 31-bit collisions merely merge two shingles of
+    * the same doc (probability ~m²/2^32 per doc, m = shingle count) —
+    * signature quality is unaffected at any corpus size because the
+    * hash only feeds per-doc minima, never a global keyspace.
     */
   def minhashSignatureFromShingles(sh: Column, numPerms: Int): Column =
     call_function("minhash_sig",
-      transform(sh, s => pmod(call_function("fnv64", s), lit(MersennePrime))),
+      transform(sh, s => call_function("poly_hash", s)),
       lit(numPerms))
 
   /** MinHash signature straight from text. */
@@ -116,25 +124,33 @@ object Dedup {
     val spark = docs.sparkSession
     GraftFunctions.register(spark)
     val rows = numPerms / bands
-    // Materialize (shingles, signature) ONCE: downstream this relation
-    // is consumed twice (banding explode + verify join), and without a
-    // barrier Catalyst would inline and recompute the full 64-perm
-    // signature per exploded band row (~bands× blowup). At cluster
-    // scale this would be a persist-to-disk checkpoint of ~numPerms
-    // longs per doc — tiny relative to the corpus.
+    // Materialize (shingles, signature) ONCE behind a shuffle barrier:
+    // downstream this relation is consumed twice (banding explode +
+    // verify join), and without a barrier Catalyst would inline and
+    // recompute the full 64-perm signature per exploded band row
+    // (~bands× blowup). A repartition writes the signatures to shuffle
+    // files once and both consumers re-read them — unlike `.cache()`
+    // this pins no executor memory for the life of the session, and it
+    // is exactly the persist-to-disk checkpoint a 100 TB run needs.
     val withSig = docs.select(
       col(idCol).as("id"),
       array_sort(shingles(col(textCol), n)).as("sh"))
       .withColumn("sig", minhashSignatureFromShingles(col("sh"), numPerms))
-      .cache()
+      .repartition(col("id"))
 
+    // band key = a BIGINT-safe polynomial fold of the band's signature
+    // values (each < 2^31, so acc·8191 + v < 2^44) — the identical
+    // fold runs in the DuckDB oracle via list_reduce. Key collisions
+    // only ADD candidates, and identically in both engines, so the
+    // verify step keeps outputs equal. (Interpreted lambda is fine
+    // here: rows·bands = numPerms steps per doc, dwarfed by the
+    // signature loop.)
     val banded = withSig.select(
       col("id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
-          call_function("fnv64",
-            concat_ws(",", transform(slice(col("sig"), b * rows + 1, rows),
-              x => x.cast("string")))).as("key"))
+          aggregate(slice(col("sig"), b * rows + 1, rows), lit(0L),
+            (acc, x) => (acc * lit(8191L) + x) % lit(2147483647L)).as("key"))
       }: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
 
@@ -158,28 +174,47 @@ object Dedup {
 
   /** 64-bit SimHash per document — per-row array arithmetic, no
     * aggregation across rows, fully codegen'd.
+    *
+    * Token hashes are oracle-parity [[graft.functions.PolyHash]]
+    * values spread to 64 bits by [[graft.functions.Spread64]] (pure
+    * BIGINT-safe integer arithmetic), so the DuckDB gate can recompute
+    * the IDENTICAL fingerprint and check the candidate bound itself —
+    * not just the verify step.
     */
   def simhash64(text: Column): Column =
     call_function("simhash64",
       transform(graft.functions.TextFunctions.tokens(text),
-        t => call_function("fnv64", t)))
+        t => call_function("spread64", call_function("poly_hash", t))))
 
-  /** SimHash near-dup pairs: band the 64-bit fingerprint into 4
-    * 16-bit chunks (any pair within Hamming distance <= 3·16 shares a
-    * chunk — standard pigeonhole banding), join on chunk equality,
-    * verify with bit_count(xor) <= maxHamming.
+  /** Smallest power-of-two band count whose pigeonhole guarantee
+    * covers `maxHamming`: a pair within Hamming distance h shares at
+    * least one of `bands` equal chunks iff h <= bands - 1, so we need
+    * bands >= maxHamming + 1 (and bands must divide 64 for even
+    * chunks). maxHamming = 7 → 8 bands × 8 bits; = 15 → 16 × 4.
     */
-  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 8): DataFrame = {
-    val spark = docs.sparkSession
-    GraftFunctions.register(spark)
-    // cache: the 64-bit fingerprint feeds a 4-way band explode that
-    // would otherwise re-evaluate the 64-aggregate simhash per band.
-    val withSim = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sim")).cache()
+  private[graft] def simhashBands(maxHamming: Int): Int = {
+    require(maxHamming >= 0 && maxHamming <= 63,
+      s"maxHamming must be in [0, 63], got $maxHamming")
+    Seq(1, 2, 4, 8, 16, 32, 64).find(_ >= maxHamming + 1).get
+  }
+
+  /** SimHash banding over a (id, sim) fingerprint relation: chunk the
+    * 64-bit fingerprint into `bands` equal pieces (bands derived from
+    * maxHamming so that EVERY pair within the Hamming bound shares a
+    * chunk — pigeonhole: a pair differing in h <= bands-1 bits cannot
+    * differ in all bands), join on chunk equality, verify with
+    * bit_count(xor) <= maxHamming. Split out from [[simhashPairs]] so
+    * the recall guarantee is testable with planted fingerprints.
+    */
+  private[graft] def simhashPairsFromFingerprints(withSim: DataFrame,
+      maxHamming: Int): DataFrame = {
+    val bands = simhashBands(maxHamming)
+    val chunkBits = 64 / bands
+    val mask = if (chunkBits == 64) -1L else (1L << chunkBits) - 1
     val banded = withSim.select(col("id"), col("sim"),
-      explode(array((0 until 4).map { b =>
+      explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
-          shiftright(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL)).as("chunk"))
+          shiftright(col("sim"), b * chunkBits).bitwiseAND(lit(mask)).as("chunk"))
       }: _*)).as("bc"))
       .select(col("id"), col("sim"), col("bc.band").as("band"), col("bc.chunk").as("chunk"))
     banded.as("a")
@@ -191,5 +226,55 @@ object Dedup {
           col("a.sim").bitwiseXOR(col("b.sim"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** SimHash near-dup pairs: (id_a, id_b, hamming) for every pair
+    * within `maxHamming` bits — the banding recall is exact (see
+    * [[simhashPairsFromFingerprints]]).
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 7): DataFrame = {
+    val spark = docs.sparkSession
+    GraftFunctions.register(spark)
+    // shuffle barrier: the 64-bit fingerprint feeds a band explode
+    // that would otherwise re-evaluate the per-token simhash
+    // aggregation once per band row (see minhashLsh for the pattern).
+    val withSim = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sim"))
+      .repartition(col("id"))
+    simhashPairsFromFingerprints(withSim, maxHamming)
+  }
+
+  /** SimHash near-dups verified by exact Jaccard: SimHash banding is
+    * the candidate generator (complete for pairs within `maxHamming`
+    * fingerprint bits), exact shingle-set Jaccard >= threshold is the
+    * acceptance test. Output (id_a, id_b, jaccard) — the same
+    * ground-truth surface as [[jaccardPairs]], so the DuckDB oracle
+    * gates it end-to-end. A qualifying pair whose fingerprints differ
+    * in more than `maxHamming` bits is outside the operator's
+    * contract (document the bound, don't widen the bands: bands ≈
+    * maxHamming means the candidate volume grows toward all-pairs).
+    */
+  def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, maxHamming: Int = 7, threshold: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    GraftFunctions.register(spark)
+    // one barrier relation carries both the fingerprint (banding
+    // input) and the sorted shingle set (verify input).
+    val withSim = docs.select(
+      col(idCol).as("id"),
+      array_sort(shingles(col(textCol), n)).as("sh"),
+      simhash64(col(textCol)).as("sim"))
+      .repartition(col("id"))
+    val candidates = simhashPairsFromFingerprints(
+      withSim.select("id", "sim"), maxHamming)
+    val sh = withSim.select(col("id"), col("sh"))
+    candidates
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
   }
 }

@@ -56,29 +56,16 @@ object Similarity {
       .select("vec_id", "rank", "neighbor_id", "cosine_sim")
   }
 
-  /** Deterministic pseudo-random hyperplanes: plane p, dim d weight
-    * derived from an LCG of (p, d). Values in [-1, 1).
-    */
-  private[operators] def planeWeight(p: Int, d: Int): Double = {
-    var s = p.toLong * 2654435761L + d.toLong * 40503L + 42L
-    s = s * 6364136223846793005L + 1442695040888963407L
-    s = s * 6364136223846793005L + 1442695040888963407L
-    (s >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
-  }
-
   /** Sign-random-projection bucket key: `planes` hyperplane sign bits
-    * packed into a long. Cosine-close vectors collide with high
-    * probability; each bucket is then searched exactly.
+    * packed into a long, via the native codegen'd
+    * [[graft.functions.LshBucket]] expression (deterministic
+    * Rademacher hyperplanes, oracle-expressible in DuckDB SQL).
+    * Cosine-close vectors collide with high probability; each bucket
+    * is then searched exactly.
     */
-  def lshBucket(vecCol: Column, dim: Int, planes: Int): Column = {
-    val bits = (0 until planes).map { p =>
-      val proj = (0 until dim).map(d =>
-        element_at(vecCol, d + 1).cast("double") * lit(planeWeight(p, d)))
-        .reduce(_ + _)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  def lshBucket(vecCol: Column, planes: Int): Column =
+    call_function("lsh_bucket",
+      transform(vecCol, x => x.cast("double")), lit(planes))
 
   /** Approximate top-k: bucket by sign-random-projection, exact search
     * within each bucket. Recall < 1 by construction; the scale win is
@@ -86,11 +73,11 @@ object Similarity {
     * (xor-ing single bits) would raise recall at the same plan shape.
     */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int,
-      dim: Int, planes: Int = 8): DataFrame = {
+      planes: Int = 8): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
     val e = transform(col(vecCol), x => x.cast("double"))
     val v = emb.select(col(idCol).as("id"), e.as("e"), norm(e).as("n"),
-      lshBucket(col(vecCol), dim, planes).as("bucket"))
+      lshBucket(col(vecCol), planes).as("bucket"))
     val pairs = v.as("a")
       .join(v.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))

@@ -20,15 +20,29 @@ object RelationalExt {
       .intersect(Tables.supplier(spark, dir).select(col("s_nationkey").as("nk")))
       .orderBy("nk")
 
-  /** q14 — EXCEPT: nations with customers but no suppliers. */
+  /** q14 — EXCEPT over overlapping key ranges: customer keys ≤ 800
+    * minus ordering-customer keys ≤ 400. The ranges are chosen so the
+    * result is non-empty at every SF (the fixture gives every customer
+    * orders, so an unfiltered EXCEPT would be an empty — and therefore
+    * vacuous — correctness gate).
+    */
   def q14(spark: SparkSession, dir: String): DataFrame =
-    Tables.customer(spark, dir).select(col("c_nationkey").as("nk"))
-      .except(Tables.supplier(spark, dir).select(col("s_nationkey").as("nk")))
-      .orderBy("nk")
+    Tables.customer(spark, dir)
+      .filter(col("c_custkey") <= 800)
+      .select(col("c_custkey").as("k"))
+      .except(Tables.orders(spark, dir)
+        .filter(col("o_custkey") <= 400)
+        .select(col("o_custkey").as("k")))
+      .orderBy("k")
 
-  /** q15 — NOT EXISTS as a left-anti join: customers without orders. */
+  /** q15 — NOT EXISTS as a left-anti join: customers with no order in
+    * Q1-1995 (a date window keeps the result non-empty — every
+    * customer has *some* order in the fixture).
+    */
   def q15(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir).select("o_custkey")
+    val o = Tables.orders(spark, dir)
+      .filter(year(col("o_orderdate")) === 1995 && month(col("o_orderdate")) <= 3)
+      .select("o_custkey")
     Tables.customer(spark, dir)
       .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name", "c_mktsegment")
@@ -146,13 +160,14 @@ object RelationalExt {
           |SELECT s_nationkey AS nk FROM supplier
           |ORDER BY nk""".stripMargin,
       "q14_except" ->
-        """SELECT c_nationkey AS nk FROM customer
+        """SELECT c_custkey AS k FROM customer WHERE c_custkey <= 800
           |EXCEPT
-          |SELECT s_nationkey AS nk FROM supplier
-          |ORDER BY nk""".stripMargin,
+          |SELECT o_custkey AS k FROM orders WHERE o_custkey <= 400
+          |ORDER BY k""".stripMargin,
       "q15_anti_join" ->
         """SELECT c_custkey, c_name, c_mktsegment FROM customer c
-          |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+          |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+          |                  AND YEAR(o.o_orderdate) = 1995 AND MONTH(o.o_orderdate) <= 3)
           |ORDER BY c_custkey""".stripMargin,
       "q16_having" ->
         s"""SELECT o_custkey, COUNT(*) AS n_orders, ${S.sum2("o_totalprice")} AS total_spend

@@ -55,18 +55,28 @@ object TrainingData {
         n = 3, threshold = 0.05, maxDocFreq = 100000)
       .orderBy("id_a", "id_b")
 
-  /** MinHash+LSH near-dup pairs (rows-only check; recall vs exact
-    * Jaccard asserted in ScalaTest).
+  /** MinHash+LSH near-dup pairs, verified by exact shingle-set
+    * Jaccard. The DuckDB oracle replays the ENTIRE pipeline —
+    * PolyHash shingles, signature permutations, band keys, candidate
+    * join, Jaccard verify — in BIGINT-safe SQL, so the gate is exact
+    * and fixture-independent (see minhashOracleSql).
     */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLsh(Tables.documents(spark, dir), "doc_id", "text",
-        n = 3, numPerms = 64, bands = 16, threshold = 0.05)
+        n = 3, numPerms = 64, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b", "jaccard")
       .orderBy("id_a", "id_b")
 
-  /** SimHash near-dup pairs (rows-only check). */
+  /** SimHash near-dup pairs, verified by exact shingle-set Jaccard.
+    * Banding guarantees every pair within 7 fingerprint bits is
+    * surfaced (8 bands × 8 bits, pigeonhole), and the DuckDB oracle
+    * recomputes the identical PolyHash+Spread64 fingerprints, so the
+    * gate checks the operator's exact contract — Jaccard >= 0.5 AND
+    * Hamming <= 7 — independent of the fixture (see simhashOracleSql).
+    */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text",
-        maxHamming = 6)
+    Dedup.simhashNearDups(Tables.documents(spark, dir), "doc_id", "text",
+        n = 3, maxHamming = 7, threshold = 0.5)
       .orderBy("id_a", "id_b")
 
   /** Exact brute-force cosine top-3 neighbors per embedding. */
@@ -74,10 +84,15 @@ object TrainingData {
     Similarity.bruteForceTopK(Tables.embeddings(spark, dir), "vec_id", "embedding", 3)
       .orderBy("vec_id", "rank")
 
-  /** LSH-bucketed approximate top-3 (rows-only; recall in ScalaTest). */
+  /** LSH-bucketed approximate top-3. The bucket function (Rademacher
+    * sign-random-projection, [[graft.functions.LshBucket]]) is pure
+    * integer+sequential-fold arithmetic, so the DuckDB oracle
+    * recomputes the IDENTICAL buckets in SQL and gates this operator
+    * exactly — recall vs brute force is asserted in ScalaTest.
+    */
   def annLshTopK(spark: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
-        k = 3, dim = 64, planes = 8)
+        k = 3, planes = 8)
       .orderBy("vec_id", "rank")
 
   /** Embedding near-duplicate pairs (cosine >= 0.5). */
@@ -125,6 +140,106 @@ object TrainingData {
     "t12_events_json" -> eventsJson _,
   )
 
+  /** Shared DuckDB CTE fragment: per-doc word-trigram shingle sets,
+    * sizes, and exact Jaccard pairs >= `threshold` (CTE `jac`) —
+    * matching [[graft.operators.Dedup.shingles]] with n = 3.
+    */
+  private def jaccardCtes(threshold: Double): String =
+    s"""toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents
+       |), grams AS (
+       |  SELECT DISTINCT doc_id, unnest(
+       |    CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+       |    ELSE list_transform(range(1, len(ts) - 1), i ->
+       |      ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT)+1] || ' ' || ts[CAST(i AS INT)+2])
+       |    END) AS g
+       |  FROM toks
+       |), sizes AS (
+       |  SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
+       |), p0 AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS nc
+       |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), jac AS (
+       |  SELECT id_a, id_b,
+       |    CAST(nc AS DOUBLE) / CAST(sa.sz + sb.sz - nc AS DOUBLE) AS jaccard
+       |  FROM p0
+       |  JOIN sizes sa ON id_a = sa.doc_id
+       |  JOIN sizes sb ON id_b = sb.doc_id
+       |  WHERE CAST(nc AS DOUBLE) / CAST(sa.sz + sb.sz - nc AS DOUBLE) >= $threshold
+       |)""".stripMargin
+
+  /** DuckDB rendering of the 31-bit PolyHash with the empty-string →
+    * 0 convention made explicit (list_reduce errors on empty lists).
+    */
+  private def polyHashSql(c: String): String =
+    s"CASE WHEN $c = '' THEN 0 ELSE ${TextFunctions.Sql.polyHash(c)} END"
+
+  /** Full-pipeline oracle for the MinHash+LSH path: replays shingle
+    * PolyHash, the (a·h + b) mod 2³¹−1 signature permutations (the
+    * exact constants from [[graft.functions.MinHashSig.permParams]],
+    * interpolated), the per-band polynomial fold key, the candidate
+    * band-join, and the exact-Jaccard verify — all in BIGINT-safe SQL,
+    * so the gate checks candidate generation itself, not just the
+    * verify step, and is fixture-independent.
+    */
+  private def minhashOracleSql(numPerms: Int, bands: Int, threshold: Double): String = {
+    val (pa, pb) = graft.functions.MinHashSig.permParams(numPerms)
+    val rows = numPerms / bands
+    val perms = (0 until numPerms).map(j => s"($j, ${pa(j)}, ${pb(j)})").mkString(", ")
+    s"""WITH ${jaccardCtes(threshold)}, gh AS (
+       |  SELECT doc_id, ${polyHashSql("g")} AS h FROM grams
+       |), perms(j, pa, pb) AS (
+       |  VALUES $perms
+       |), sig AS (
+       |  SELECT doc_id, j, MIN((pa * h + pb) % 2147483647) AS v
+       |  FROM gh CROSS JOIN perms GROUP BY doc_id, j
+       |), bandkey AS (
+       |  SELECT doc_id, j // $rows AS band,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), list(v ORDER BY j)),
+       |      (acc, x) -> (acc * 8191 + x) % 2147483647) AS bkey
+       |  FROM sig GROUP BY doc_id, band
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bandkey a JOIN bandkey b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |)
+       |SELECT j.id_a, j.id_b, j.jaccard
+       |FROM jac j JOIN cand c ON j.id_a = c.id_a AND j.id_b = c.id_b
+       |ORDER BY j.id_a, j.id_b""".stripMargin
+  }
+
+  /** Full-pipeline oracle for the SimHash path: replays token
+    * PolyHash, the [[graft.functions.Spread64]] LCG bit spread, the
+    * majority-vote fingerprint bits, and the Hamming bound — the
+    * output is exactly "Jaccard >= threshold AND fingerprint Hamming
+    * <= maxHamming", the operator's contract, independent of which
+    * pairs the fixture happens to contain.
+    */
+  private def simhashOracleSql(maxHamming: Int, threshold: Double): String =
+    s"""WITH ${jaccardCtes(threshold)}, tok AS (
+       |  SELECT doc_id, unnest(ts) AS tk FROM toks
+       |), th AS (
+       |  SELECT doc_id, ${polyHashSql("tk")} AS h FROM tok
+       |), bits AS (
+       |  SELECT doc_id, bb,
+       |    CASE WHEN SUM(CASE WHEN (h * (2654435761 + 2 * bb) + 123456789) % 4294967296
+       |                            >= 2147483648 THEN 1 ELSE -1 END) >= 0
+       |         THEN 1 ELSE 0 END AS bit
+       |  FROM th CROSS JOIN range(0, 64) t(bb) GROUP BY doc_id, bb
+       |), ham AS (
+       |  SELECT j.id_a, j.id_b,
+       |    SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS hamming
+       |  FROM jac j
+       |  JOIN bits a ON a.doc_id = j.id_a
+       |  JOIN bits b ON b.doc_id = j.id_b AND a.bb = b.bb
+       |  GROUP BY 1, 2
+       |)
+       |SELECT j.id_a, j.id_b, j.jaccard
+       |FROM jac j JOIN ham h ON j.id_a = h.id_a AND j.id_b = h.id_b
+       |WHERE h.hamming <= $maxHamming
+       |ORDER BY j.id_a, j.id_b""".stripMargin
+
   val oracles: Map[String, String] = {
     import TextFunctions.{Sql => T}
     Map(
@@ -169,6 +284,44 @@ object TrainingData {
           |JOIN sizes sb ON ib = sb.doc_id
           |WHERE CAST(nc AS DOUBLE) / CAST(sa.sz + sb.sz - nc AS DOUBLE) >= 0.05
           |ORDER BY id_a, id_b""".stripMargin,
+      "t06_dedup_minhash" -> minhashOracleSql(64, 16, 0.5),
+      "t07_dedup_simhash" -> simhashOracleSql(7, 0.5),
+      "t09_ann_lsh_topk" ->
+        """WITH v AS (
+          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+          |), proj AS (
+          |  SELECT vec_id, p,
+          |    list_reduce(list_transform(range(1, 65), i ->
+          |      e[CAST(i AS INT)] *
+          |      (CASE WHEN ((p * 1024 + i - 1) * 2654435761 + 123456789) % 4294967296
+          |                 >= 2147483648
+          |            THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)),
+          |      (x, y) -> x + y) AS pr
+          |  FROM v, range(0, 8) t(p)
+          |), bkt AS (
+          |  SELECT vec_id,
+          |    CAST(SUM(CASE WHEN pr >= 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS bucket
+          |  FROM proj GROUP BY vec_id
+          |), v2 AS (
+          |  SELECT v.vec_id, v.e, bkt.bucket FROM v JOIN bkt USING (vec_id)
+          |), p2 AS (
+          |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+          |    list_reduce(list_transform(range(1, 65), i ->
+          |      a.e[CAST(i AS INT)] * b.e[CAST(i AS INT)]), (x, y) -> x + y) /
+          |    (sqrt(list_reduce(list_transform(range(1, 65), i ->
+          |      a.e[CAST(i AS INT)] * a.e[CAST(i AS INT)]), (x, y) -> x + y)) *
+          |     sqrt(list_reduce(list_transform(range(1, 65), i ->
+          |      b.e[CAST(i AS INT)] * b.e[CAST(i AS INT)]), (x, y) -> x + y)))
+          |    AS cosine_sim
+          |  FROM v2 a JOIN v2 b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+          |), r AS (
+          |  SELECT vec_id, neighbor_id, cosine_sim,
+          |    ROW_NUMBER() OVER (PARTITION BY vec_id
+          |                       ORDER BY cosine_sim DESC, neighbor_id) AS rank
+          |  FROM p2
+          |)
+          |SELECT vec_id, rank, neighbor_id, cosine_sim FROM r
+          |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
       "t08_ann_brute_topk" ->
         """WITH v AS (
           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings

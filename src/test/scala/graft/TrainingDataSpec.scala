@@ -58,6 +58,49 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L })
   }
 
+  test("simhash banding surfaces every pair within the Hamming bound") {
+    import spark.implicits._
+    // Planted fingerprints with Hamming distances 4-7 where the
+    // differing bits are SPREAD ACROSS 16-bit chunks — the pairs a
+    // 4-band × 16-bit banding can never surface (each old chunk
+    // differs), but the maxHamming-derived banding must (pigeonhole:
+    // bands >= maxHamming + 1).
+    val base = 0x0123456789abcdefL
+    def flip(bits: Int*): Long = bits.foldLeft(base)((v, b) => v ^ (1L << b))
+    val fps = Seq(
+      1L -> base,
+      2L -> flip(0, 16, 32, 48),          // hamming 4, one bit per 16-bit chunk
+      3L -> flip(1, 9, 17, 25, 33, 41),   // hamming 6, spread over 8-bit chunks' pairs
+      4L -> flip(2, 10, 18, 26, 34, 42, 50), // hamming 7
+      5L -> flip(0, 1, 2, 3, 4, 5, 6, 7, 8)  // hamming 9 — outside the bound
+    ).toDF("id", "sim")
+    val got = Dedup.simhashPairsFromFingerprints(fps, maxHamming = 7)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got((1L, 2L)) == 4L)
+    assert(got((1L, 3L)) == 6L)
+    assert(got((1L, 4L)) == 7L)
+    assert(!got.contains((1L, 5L)), "hamming 9 exceeds maxHamming=7")
+    assert(Dedup.simhashBands(7) == 8 && Dedup.simhashBands(15) == 16 &&
+      Dedup.simhashBands(3) == 4 && Dedup.simhashBands(0) == 1)
+  }
+
+  test("simhash near-dups equal exact-jaccard ∩ hamming-bound (the contract)") {
+    val docs = Tables.documents(spark, dir)
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5, 100000)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fp = docs.select(org.apache.spark.sql.functions.col("doc_id"),
+        Dedup.simhash64(org.apache.spark.sql.functions.col("text")).as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = exact.filter { case (a, b) =>
+      java.lang.Long.bitCount(fp(a) ^ fp(b)) <= 7
+    }
+    val sim = Dedup.simhashNearDups(docs, "doc_id", "text", 3, 7, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty, "fixture should contain in-bound near-dups")
+    assert(sim == expected,
+      s"missed=${(expected -- sim).take(5)} extra=${(sim -- expected).take(5)}")
+  }
+
   test("brute-force ANN: top-1 neighbor of a vector's twin is the twin") {
     val emb = Tables.embeddings(spark, dir)
     val topk = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 3)
@@ -77,7 +120,7 @@ class TrainingDataSpec extends AnyFunSuite {
     val exact1 = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 1)
       .select("vec_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh1 = Similarity.lshTopK(emb, "vec_id", "embedding", 1, 64, 4)
+    val lsh1 = Similarity.lshTopK(emb, "vec_id", "embedding", 1, 4)
       .select("vec_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact1 & lsh1).size.toDouble / exact1.size
