@@ -71,6 +71,12 @@ final case class NodeMeta(
     columns: ListMap[String, ColumnMeta] = ListMap.empty,
     materialized: String = "view",
     version: Option[Any] = None,
+    latestVersion: Option[Any] = None,
+    /** Raw (unrendered) node config, as written in the model's
+      * `config()` block / YAML before jinja rendering — a settings
+      * source in the resolution chain (dbt 1.10+ semantics).
+      */
+    unrenderedConfig: Map[String, Any] = Map.empty,
     /** Raw (unrendered) YAML column docs, keyed by column name — used
       * to preserve `{{ doc(...) }}` references during inheritance.
       */

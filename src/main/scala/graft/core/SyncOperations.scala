@@ -52,9 +52,124 @@ object SyncOperations {
     }
   }
 
+  // ---- model version identity (core/inheritance.py:136-192) ----
+
+  /** Normalize representation noise only: None/booleans/blank → no
+    * identity; everything else is its trimmed string form.
+    */
+  private[core] def rawVersionValue(v: Any): Option[String] = v match {
+    case null => None
+    case _: Boolean => None
+    case None => None
+    case Some(x) => rawVersionValue(x)
+    case other =>
+      val t = other.toString.trim
+      if (t.isEmpty) None else Some(t)
+  }
+
+  /** Canonical numeric form for cross-type (int vs float vs str)
+    * equivalence: 2, 2.0, "2" all normalize to "2".
+    */
+  private[core] def normalizedVersionValue(v: Any): Option[String] =
+    rawVersionValue(v).map { raw =>
+      try {
+        val d = BigDecimal(raw)
+        if (d.isWhole) d.toBigInt.toString
+        else d.underlying.stripTrailingZeros.toPlainString
+      } catch { case _: NumberFormatException => raw }
+    }
+
+  /** Two version values identify the same version iff their raw forms
+    * match, or (when not both are strings, and any string side is
+    * already in canonical numeric form) their normalized numeric forms
+    * match — so v: 2 == v: 2.0 but "v1" != "v1.0" and 2 != "02".
+    */
+  private[core] def versionValuesMatch(left: Any, right: Any): Boolean = {
+    val lraw = rawVersionValue(left)
+    if (lraw.isDefined && lraw == rawVersionValue(right)) return true
+    def unwrap(v: Any): Any = v match { case Some(x) => unwrap(x); case x => x }
+    val (l, r) = (unwrap(left), unwrap(right))
+    val bothStrings = l.isInstanceOf[String] && r.isInstanceOf[String]
+    val stringSidesCanonical = Seq(l, r).forall {
+      case s: String => rawVersionValue(s).isDefined &&
+        rawVersionValue(s) == normalizedVersionValue(s)
+      case _ => true
+    }
+    if (bothStrings || !stringSidesCanonical) return false
+    val ln = normalizedVersionValue(l)
+    ln.isDefined && ln == normalizedVersionValue(r)
+  }
+
+  /** Merge node metadata (description + columns) into one YAML section
+    * — a model entry, a version block, or a source table. Column
+    * entries without a `name` (per-version `include`/`exclude`
+    * selectors) are preserved ahead of the synced columns when the
+    * section is a version block (core/sync_operations.py:51-65,313).
+    */
+  private def syncSection(section: ListMap[String, Any], node: NodeMeta): ListMap[String, Any] = {
+    var entry = section
+    if (node.description.nonEmpty && !isJinjaDoc(entry.getOrElse("description", "")))
+      entry += "description" -> node.description
+    val currentCols = asSeqMap(entry.getOrElse("columns", Nil))
+    val isVersionBlock = entry.contains("v")
+    val selectors = if (isVersionBlock)
+      currentCols.filter(c => !c.get("name").exists(_.isInstanceOf[String]) &&
+        (c.contains("include") || c.contains("exclude")))
+    else Nil
+    val existingCols = currentCols
+      .filter(_.get("name").exists(_.isInstanceOf[String]))
+      .map(c => c("name").toString -> c).toMap
+    val columns = selectors ++ node.columns.values.toSeq.map(c =>
+      mergeColumn(existingCols.getOrElse(c.name, Map.empty), c))
+    if (columns.nonEmpty) entry += "columns" -> columns
+    else if (currentCols.isEmpty) entry -= "columns"
+    entry
+  }
+
+  /** Sync a versioned model: the column/description payload lands in
+    * the matching `versions[]` block (created if absent), never the
+    * parent model entry, and `latest_version` tracks the manifest
+    * (core/sync_operations.py:569-655). Duplicate version entries that
+    * identify the same version fail closed.
+    */
+  private def syncVersioned(entry: ListMap[String, Any], node: NodeMeta): ListMap[String, Any] = {
+    val version = node.version.get
+    val versions = asSeqMap(entry.getOrElse("versions", Nil))
+    // fail closed on duplicates (core/sync_operations.py:568-605)
+    val identified = versions.zipWithIndex
+      .filter { case (v, _) => rawVersionValue(v.getOrElse("v", null)).isDefined }
+    for {
+      ((va, ia), j) <- identified.zipWithIndex
+      (vb, ib) <- identified.drop(j + 1)
+      if versionValuesMatch(va("v"), vb("v"))
+    } throw DuplicateEntryError(
+      s"duplicate versions[] entries for model '${node.name}' at indexes $ia and $ib " +
+        s"identify the same version — refusing to sync")
+
+    val matched = versions.exists(v => versionValuesMatch(v.getOrElse("v", null), version))
+    val newVersions =
+      if (matched) versions.map { v =>
+        if (versionValuesMatch(v.getOrElse("v", null), version))
+          syncSection(ListMap(v.toSeq: _*), node)
+        else v
+      }
+      else versions :+ syncSection(ListMap("v" -> version, "columns" -> Nil), node)
+
+    var out = entry.updated("versions", newVersions)
+    // latest_version follows the manifest rather than stale YAML
+    node.latestVersion match {
+      case Some(lv) => out = out.updated("latest_version", lv)
+      case None if !out.contains("latest_version") =>
+        out = out.updated("latest_version", version)
+      case None => ()
+    }
+    ListMap(out.toSeq: _*)
+  }
+
   /** Project a node into the right section of a YAML doc. Columns are
     * written in node order; existing per-column keys not owned by the
-    * sync are preserved.
+    * sync are preserved. Versioned models sync into their
+    * `versions[]` block ([[syncVersioned]]).
     */
   def syncNodeToDoc(doc: YamlIO.YamlDoc, node: NodeMeta): YamlIO.YamlDoc = {
     val section = node.resourceType match {
@@ -72,15 +187,10 @@ object SyncOperations {
 
     val existing = entries.find(_.get("name").contains(node.name))
       .getOrElse(ListMap("name" -> node.name))
-    var entry = ListMap(existing.toSeq: _*)
-    if (node.description.nonEmpty && !isJinjaDoc(entry.getOrElse("description", "")))
-      entry += "description" -> node.description
-
-    val existingCols = asSeqMap(entry.getOrElse("columns", Nil))
-      .map(c => c.getOrElse("name", "").toString -> c).toMap
-    val columns = node.columns.values.toSeq.map(c =>
-      mergeColumn(existingCols.getOrElse(c.name, Map.empty), c))
-    if (columns.nonEmpty) entry += "columns" -> columns
+    val entry =
+      if (node.resourceType == "model" && node.version.isDefined)
+        syncVersioned(ListMap(existing.toSeq: _*), node)
+      else syncSection(ListMap(existing.toSeq: _*), node)
 
     val newEntries =
       if (entries.exists(_.get("name").contains(node.name)))

@@ -102,6 +102,101 @@ class YamlPlaneSpec extends AnyFunSuite {
       SyncOperations.syncNodeToDoc(YamlIO.read(p), model("orders", "models/orders.sql")))
   }
 
+  test("versioned model syncs columns into its versions[] block, not the parent") {
+    val root = tmpRoot()
+    val p = root.resolve("stg_customers.yml")
+    Files.writeString(p,
+      """version: 2
+        |models:
+        |  - name: stg_customers
+        |    description: parent block
+        |    versions:
+        |      - v: 1
+        |        columns:
+        |          - name: customer_id
+        |            description: v1 doc
+        |""".stripMargin)
+    YamlIO.invalidate()
+    val n = model("stg_customers", "models/stg_customers_v2.sql",
+      "id" -> "v2 id doc").copy(version = Some(2), latestVersion = Some(2))
+    val doc = SyncOperations.syncNodeToDoc(YamlIO.read(p), n)
+    val entry = doc.managed("models").asInstanceOf[Seq[Map[String, Any]]].head
+    assert(entry("latest_version") == 2)
+    val versions = entry("versions").asInstanceOf[Seq[Map[String, Any]]]
+    assert(versions.map(_("v")) == Seq(1, 2))
+    // v1 untouched, v2 created with the node's columns
+    val v1cols = versions.head("columns").asInstanceOf[Seq[Map[String, Any]]]
+    assert(v1cols.head("description") == "v1 doc")
+    val v2cols = versions(1)("columns").asInstanceOf[Seq[Map[String, Any]]]
+    assert(v2cols.map(_("name")) == Seq("id"))
+    assert(v2cols.head("description") == "v2 id doc")
+    // parent columns/description untouched
+    assert(entry("description") == "parent block")
+    assert(!entry.contains("columns"))
+  }
+
+  test("versioned sync matches v across representations and keeps selectors first") {
+    val root = tmpRoot()
+    val p = root.resolve("m.yml")
+    Files.writeString(p,
+      """version: 2
+        |models:
+        |  - name: m
+        |    latest_version: 2
+        |    versions:
+        |      - v: "2"
+        |        columns:
+        |          - include: '*'
+        |            exclude: [internal_note]
+        |          - name: old_col
+        |            description: keep me merged
+        |""".stripMargin)
+    YamlIO.invalidate()
+    // node version 2 (int) must land in the v: "2" (string) block —
+    // numeric equivalence via the reference's raw/normalized matching
+    val n = model("m", "models/m_v2.sql", "old_col" -> "synced")
+      .copy(version = Some(2))
+    val doc = SyncOperations.syncNodeToDoc(YamlIO.read(p), n)
+    val entry = doc.managed("models").asInstanceOf[Seq[Map[String, Any]]].head
+    val versions = entry("versions").asInstanceOf[Seq[Map[String, Any]]]
+    assert(versions.size == 1, "must reuse the existing block, not append")
+    val cols = versions.head("columns").asInstanceOf[Seq[Map[String, Any]]]
+    assert(cols.head == Map("include" -> "*", "exclude" -> Seq("internal_note")),
+      "include/exclude selector entry preserved at the front")
+    assert(cols(1)("name") == "old_col" && cols(1)("description") == "synced")
+    // latest_version untouched when the node doesn't carry one
+    assert(entry("latest_version") == 2)
+  }
+
+  test("duplicate version entries fail closed") {
+    val root = tmpRoot()
+    val p = root.resolve("dupv.yml")
+    Files.writeString(p,
+      """models:
+        |  - name: m
+        |    versions:
+        |      - v: 2
+        |        description: first
+        |      - v: 2.0
+        |        description: second
+        |""".stripMargin)
+    YamlIO.invalidate()
+    assertThrows[SyncOperations.DuplicateEntryError](
+      SyncOperations.syncNodeToDoc(YamlIO.read(p),
+        model("m", "models/m_v2.sql").copy(version = Some(2))))
+  }
+
+  test("version value matching: raw, numeric-fallback, and string identity") {
+    import SyncOperations.versionValuesMatch
+    assert(versionValuesMatch(2, 2))
+    assert(versionValuesMatch(2, "2"))       // raw forms equal
+    assert(versionValuesMatch(2, 2.0))       // numeric fallback
+    assert(!versionValuesMatch("v1", "v1.0")) // both strings, raw differs
+    assert(!versionValuesMatch(2, "02"))     // string side not canonical
+    assert(!versionValuesMatch(true, 1))     // booleans have no identity
+    assert(!versionValuesMatch(null, null))
+  }
+
   test("source sync nests under sources[].tables[]") {
     val n = NodeMeta("source.p.raw.events", "events", "source",
       schema = "raw", fqn = Seq("p", "raw", "events"),
