@@ -2,11 +2,19 @@ package graft.core
 
 /** Engine settings + the per-column/node resolution chain (A8).
   *
-  * Reference precedence (core/introspection.py:834-864): column meta →
-  * node meta → node config extras → node config.meta → explicit CLI
-  * settings → project-level settings → fallback. Keys are accepted in
-  * kebab-case, snake_case, `dbt-osmosis-` prefixed, and inside a
-  * `dbt-osmosis-options` object.
+  * Reference precedence (core/introspection.py:826-1007), highest
+  * first:
+  *   1. column meta (prefixed → direct → options)
+  *   2. node meta (prefixed → direct → options)
+  *   3. node config extras (prefixed → options; NO direct keys)
+  *   4. node config.meta (prefixed → direct → options)
+  *   5. node unrendered_config (prefixed → options; NO direct keys)
+  *   6. explicit engine settings (the typed fallback the caller passes)
+  *   7. supplementary `dbt-osmosis.yml` at the project root
+  *   8. project vars (`dbt-osmosis:`/`dbt_osmosis:` section → top-level)
+  *   9. fallback default.
+  * Keys are accepted in kebab-case, snake_case, `dbt-osmosis-`
+  * prefixed, and inside a `dbt-osmosis-options` object.
   */
 final case class EngineSettings(
     addProgenitorToMeta: Boolean = false,
@@ -25,8 +33,15 @@ final case class EngineSettings(
     prefix: Option[String] = None,
     /** Adapter-style case folding: "spark" preserves case. */
     credentialsType: String = "spark",
-    /** Project-level setting overrides (dbt-osmosis.yml analog). */
+    /** Project vars (dbt_project.yml `vars:` analog; may carry a
+      * `dbt-osmosis:`/`dbt_osmosis:` section).
+      */
     vars: Map[String, Any] = Map.empty,
+    /** Contents of the supplementary `dbt-osmosis.yml` file at the
+      * project root (core/introspection.py:670-772) — resolved AFTER
+      * node-level sources but BEFORE project vars.
+      */
+    supplementary: Map[String, Any] = Map.empty,
     placeholders: Set[String] = EngineSettings.DefaultPlaceholders)
 
 object EngineSettings {
@@ -37,31 +52,86 @@ object EngineSettings {
     "No description for this column",
     "Not documented",
     "Undefined")
+
+  /** Load the supplementary `dbt-osmosis.yml` from a project root
+    * (empty map when absent; malformed YAML raises — fail loud, the
+    * reference raises ConfigurationError too).
+    */
+  def loadSupplementary(projectRoot: java.nio.file.Path): Map[String, Any] = {
+    val p = projectRoot.resolve("dbt-osmosis.yml")
+    if (!java.nio.file.Files.isRegularFile(p)) Map.empty
+    else YamlIO.read(p).full
+  }
+
+  /** Settings with the supplementary file merged in from disk. */
+  def withSupplementary(settings: EngineSettings,
+      projectRoot: java.nio.file.Path): EngineSettings =
+    settings.copy(supplementary = loadSupplementary(projectRoot))
 }
 
 object SettingsResolver {
 
-  /** All accepted spellings of a setting name. */
-  private[core] def keyVariants(name: String): Seq[String] = {
-    val kebab = name.replace('_', '-')
-    val snake = name.replace('-', '_')
-    Seq(name, kebab, snake, s"dbt-osmosis-$kebab", s"dbt_osmosis_$snake").distinct
-  }
+  private def kebab(name: String): String = name.replace('_', '-')
+  private def snake(name: String): String = name.replace('-', '_')
 
-  private def lookup(m: Map[String, Any], name: String): Option[Any] = {
-    val variants = keyVariants(name)
-    val direct = variants.collectFirst { case v if m.contains(v) => m(v) }
-    direct.orElse {
-      m.get("dbt-osmosis-options").orElse(m.get("dbt_osmosis_options")) match {
+  /** All accepted spellings of a setting name (kept for callers). */
+  private[core] def keyVariants(name: String): Seq[String] =
+    Seq(name, kebab(name), snake(name),
+      s"dbt-osmosis-${kebab(name)}", s"dbt_osmosis_${snake(name)}").distinct
+
+  private def prefixedLookup(m: Map[String, Any], name: String): Option[Any] =
+    m.get(s"dbt-osmosis-${kebab(name)}")
+      .orElse(m.get(s"dbt_osmosis_${snake(name)}"))
+
+  private def directLookup(m: Map[String, Any], name: String): Option[Any] =
+    m.get(kebab(name)).orElse(m.get(snake(name)))
+
+  private def optionsLookup(m: Map[String, Any], name: String): Option[Any] =
+    Seq("dbt-osmosis-options", "dbt_osmosis_options").view.flatMap { key =>
+      m.get(key) match {
         case Some(opts: Map[_, _]) =>
-          val om = opts.asInstanceOf[Map[String, Any]]
-          variants.collectFirst { case v if om.contains(v) => om(v) }
+          directLookup(opts.asInstanceOf[Map[String, Any]], name)
         case _ => None
       }
-    }
+    }.headOption
+
+  /** One source in the chain: prefixed → (direct, when allowed) →
+    * options object (core/introspection.py:891-916 `dict_value`).
+    */
+  private def lookup(m: Map[String, Any], name: String,
+      directKeys: Boolean = true): Option[Any] =
+    prefixedLookup(m, name)
+      .orElse(if (directKeys) directLookup(m, name) else None)
+      .orElse(optionsLookup(m, name))
+
+  /** Project-vars source (core/introspection.py:552-663): a
+    * `dbt-osmosis:`/`dbt_osmosis:` section first (direct → options
+    * within it), then prefixed/direct top-level vars.
+    */
+  private def varsLookup(vars: Map[String, Any], name: String): Option[Any] = {
+    val section = Seq("dbt-osmosis", "dbt_osmosis").view.flatMap { key =>
+      vars.get(key) match {
+        case Some(s: Map[_, _]) =>
+          val sm = s.asInstanceOf[Map[String, Any]]
+          directLookup(sm, name).orElse(optionsLookup(sm, name))
+        case _ => None
+      }
+    }.headOption
+    section.orElse(lookup(vars, name))
   }
 
-  /** Resolve `name` for (node, column) through the precedence chain. */
+  private def asMap(v: Any): Map[String, Any] = v match {
+    case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+    case _ => Map.empty
+  }
+
+  /** Resolve `name` for (node, column) through the full precedence
+    * chain (see [[EngineSettings]] scaladoc). The typed engine-setting
+    * value is the caller-supplied fallback in `resolveBool`/`Seq`/
+    * `String`, which slots it at level 6 exactly as the reference's
+    * explicit-context step does — so this returns only levels 1-5 and
+    * 7-8.
+    */
   def resolve(name: String, settings: EngineSettings,
       node: Option[NodeMeta] = None, column: Option[String] = None): Option[Any] = {
     val columnMeta: Map[String, Any] = (for {
@@ -69,15 +139,15 @@ object SettingsResolver {
     } yield (cm.meta: Map[String, Any])).getOrElse(Map.empty)
     val nodeMeta = node.map(_.meta).getOrElse(Map.empty)
     val nodeConfig = node.map(_.config).getOrElse(Map.empty)
-    val nodeConfigMeta = nodeConfig.get("meta") match {
-      case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]]
-      case _ => Map.empty[String, Any]
-    }
+    val nodeConfigMeta = asMap(nodeConfig.getOrElse("meta", null))
+    val unrendered = node.map(_.unrenderedConfig).getOrElse(Map.empty)
     lookup(columnMeta, name)
       .orElse(lookup(nodeMeta, name))
-      .orElse(lookup(nodeConfig, name))
+      .orElse(lookup(nodeConfig, name, directKeys = false))
       .orElse(lookup(nodeConfigMeta, name))
-      .orElse(lookup(settings.vars, name))
+      .orElse(lookup(unrendered, name, directKeys = false))
+      .orElse(lookup(settings.supplementary, name))
+      .orElse(varsLookup(settings.vars, name))
   }
 
   def resolveBool(name: String, fallback: Boolean, settings: EngineSettings,

@@ -106,6 +106,79 @@ class TransformsSpec extends AnyFunSuite {
       .contains("vars-level")) // project vars last
   }
 
+  test("settings resolver: full 9-level precedence matrix") {
+    // Build a node where EVERY source defines the key, then peel
+    // sources away one at a time and assert the next one wins
+    // (mirrors tests/test_settings_resolver.py's table).
+    val key = "skip-add-data-types"
+    def node(colMeta: Boolean, nodeMeta: Boolean, cfgExtra: Boolean,
+        cfgMeta: Boolean, unrendered: Boolean) =
+      NodeMeta("model.m", "m", "model",
+        columns = ListMap("c" -> ColumnMeta("c",
+          meta = if (colMeta) ListMap(key -> "col") else ListMap.empty)),
+        meta = if (nodeMeta) Map(key -> "node-meta") else Map.empty,
+        config = (if (cfgExtra) Map[String, Any](s"dbt-osmosis-$key" -> "cfg-extra")
+          else Map.empty[String, Any]) ++
+          (if (cfgMeta) Map[String, Any]("meta" -> Map(key -> "cfg-meta"))
+          else Map.empty[String, Any]),
+        unrenderedConfig =
+          if (unrendered) Map(s"dbt_osmosis_${key.replace('-', '_')}" -> "unrendered")
+          else Map.empty)
+    val s = settings.copy(
+      supplementary = Map(key -> "supp-file"),
+      vars = Map("dbt-osmosis" -> Map(key -> "vars-section")))
+    def res(n: NodeMeta) =
+      SettingsResolver.resolve(key, s, Some(n), Some("c")).map(_.toString)
+    assert(res(node(true, true, true, true, true)).contains("col"))
+    assert(res(node(false, true, true, true, true)).contains("node-meta"))
+    assert(res(node(false, false, true, true, true)).contains("cfg-extra"))
+    assert(res(node(false, false, false, true, true)).contains("cfg-meta"))
+    assert(res(node(false, false, false, false, true)).contains("unrendered"))
+    assert(res(node(false, false, false, false, false)).contains("supp-file"))
+    val noSupp = s.copy(supplementary = Map.empty)
+    assert(SettingsResolver.resolve(key, noSupp,
+      Some(node(false, false, false, false, false)), Some("c")).contains("vars-section"))
+    val nothing = noSupp.copy(vars = Map.empty)
+    assert(SettingsResolver.resolve(key, nothing,
+      Some(node(false, false, false, false, false)), Some("c")).isEmpty)
+  }
+
+  test("settings sources honor key-variant rules per source") {
+    val key = "output-to-lower"
+    // config extras do NOT accept direct keys (reference direct_keys=False)
+    val nDirect = NodeMeta("model.m", "m", "model", config = Map(key -> true))
+    assert(SettingsResolver.resolve(key, settings, Some(nDirect)).isEmpty)
+    // ...but do accept the options object and prefixed forms
+    val nOpts = NodeMeta("model.m", "m", "model",
+      config = Map("dbt-osmosis-options" -> Map("output_to_lower" -> true)))
+    assert(SettingsResolver.resolve(key, settings, Some(nOpts)).contains(true))
+    // unrendered_config: prefixed only, no direct keys
+    val nUnrDirect = NodeMeta("model.m", "m", "model",
+      unrenderedConfig = Map(key -> true))
+    assert(SettingsResolver.resolve(key, settings, Some(nUnrDirect)).isEmpty)
+    // supplementary file accepts prefixed, direct, and options
+    val sOpt = settings.copy(supplementary =
+      Map("dbt_osmosis_options" -> Map("output-to-lower" -> true)))
+    assert(SettingsResolver.resolve(key, sOpt).contains(true))
+    // vars: dbt-osmosis section beats top-level
+    val sBoth = settings.copy(vars = Map(
+      "dbt_osmosis" -> Map(key -> "section"), key -> "top"))
+    assert(SettingsResolver.resolve(key, sBoth).contains("section"))
+  }
+
+  test("dbt-osmosis.yml supplementary file loads from project root") {
+    val root = java.nio.file.Files.createTempDirectory("graft_supp")
+    assert(EngineSettings.loadSupplementary(root).isEmpty)
+    java.nio.file.Files.writeString(root.resolve("dbt-osmosis.yml"),
+      "skip-add-data-types: true\ndbt-osmosis-options:\n  sort-by: alphabetical\n")
+    YamlIO.invalidate()
+    val supp = EngineSettings.loadSupplementary(root)
+    assert(supp("skip-add-data-types") == true)
+    val s = EngineSettings(supplementary = supp)
+    assert(SettingsResolver.resolve("skip-add-data-types", s).contains(true))
+    assert(SettingsResolver.resolve("sort-by", s).contains("alphabetical"))
+  }
+
   test("normalize_column_name adapter semantics") {
     assert(Introspection.normalizeColumnName("`col`", "spark") == "col")
     assert(Introspection.normalizeColumnName("\"Quoted\"", "snowflake") == "\"Quoted\"")
