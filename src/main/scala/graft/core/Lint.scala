@@ -6,10 +6,14 @@ import org.apache.spark.sql.SparkSession
 
 /** SQL lint rules (A36; core/sql_lint.py): keyword-case consistency,
   * line length, select-star, short table aliases, unneeded quoted
-  * identifiers, plus parse errors surfaced as violations. Text rules
-  * run on the raw SQL; parse validation goes through Spark's own
-  * parser (`sessionState.sqlParser.parsePlan`), so anything Catalyst
-  * would reject is flagged with the parser's message.
+  * identifiers, plus parse errors surfaced as violations.
+  *
+  * With a SparkSession, select-star and alias rules are AST-level —
+  * the parsed `LogicalPlan` is walked (reference uses sqlglot the same
+  * way, core/sql_lint.py:359-433), so `count(*)` and qualified `t.*`
+  * are NOT flagged, star inside a CTE is reported with the CTE's
+  * name, and only genuine relation/subquery aliases trip the alias
+  * rule. Without a session the rules fall back to the text heuristics.
   */
 object Lint {
 
@@ -34,7 +38,11 @@ object Lint {
   private val AliasRe = "(?i)\\b(?:from|join)\\s+([\\w.]+)\\s+(?:as\\s+)?(\\w+)".r
   private val SelectStarRe = "(?i)select\\s+(\\*|\\w+\\.\\*)".r
 
-  /** Strip string literals and comments so rules don't fire inside them. */
+  /** Strip string literals and comments so rules don't fire inside
+    * them. Handles `''` doubled-quote escapes, backslash escapes, and
+    * double-quoted strings (Spark treats `"` as a string quote by
+    * default) — `'it''s where'` masks through the tail.
+    */
   private[core] def maskLiterals(sql: String): String = {
     val sb = new StringBuilder(sql)
     def maskRange(from: Int, until: Int): Unit =
@@ -42,10 +50,17 @@ object Lint {
     var i = 0
     while (i < sb.length) {
       sb(i) match {
-        case '\'' =>
-          val end = sb.indexOf("'", i + 1)
-          val stop = if (end < 0) sb.length else end + 1
-          maskRange(i, stop); i = stop
+        case q @ ('\'' | '"') =>
+          var j = i + 1
+          var closed = false
+          while (j < sb.length && !closed) {
+            if (sb(j) == '\\' && j + 1 < sb.length) j += 2
+            else if (sb(j) == q) {
+              if (j + 1 < sb.length && sb(j + 1) == q) j += 2 // '' escape
+              else { closed = true; j += 1 }
+            } else j += 1
+          }
+          maskRange(i, j); i = j
         case '-' if i + 1 < sb.length && sb(i + 1) == '-' =>
           val end = sb.indexOf("\n", i)
           val stop = if (end < 0) sb.length else end
@@ -63,17 +78,89 @@ object Lint {
     (line, col)
   }
 
+  /** AST-level select-star + alias rules over a parsed LogicalPlan
+    * (reference walks the sqlglot AST the same way,
+    * core/sql_lint.py:359-433). Only a BARE `*` in a projection or
+    * aggregation trips select-star — `count(*)` and qualified `t.*`
+    * do not — and the violation message carries its context (top
+    * level vs a named CTE vs a subquery), which the reference's
+    * regex-era rules could not distinguish.
+    */
+  private def astRules(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      config: Config): Seq[Violation] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedStar
+    import org.apache.spark.sql.catalyst.expressions.{Expression, NamedExpression, SubqueryExpression}
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val out = scala.collection.mutable.ListBuffer.empty[Violation]
+
+    def originLine(e: Expression): Int = e.origin.line.getOrElse(1)
+
+    def bareStar(exprs: Seq[NamedExpression], ctx: String): Unit =
+      exprs.foreach {
+        case s: UnresolvedStar if s.target.isEmpty =>
+          out += Violation("select-star",
+            s"SELECT * at $ctx makes column lineage and pruning opaque",
+            "warning", originLine(s))
+        case _ => ()
+      }
+
+    def walkExprSubqueries(p: LogicalPlan, ctx: String): Unit =
+      p.expressions.foreach(_.foreach {
+        case sub: SubqueryExpression => walk(sub.plan, "subquery")
+        case _ => ()
+      })
+
+    def walk(plan: LogicalPlan, ctx: String): Unit = plan match {
+      case w: UnresolvedWith =>
+        // cteRelations tuple arity differs across Spark minors — take
+        // the (name, aliasedPlan) prefix positionally. The CTE's own
+        // SubqueryAlias carries its name, not a user-written table
+        // alias, so walk its child.
+        w.cteRelations.foreach { t =>
+          (t.productElement(0), t.productElement(1)) match {
+            case (name: String, rel: SubqueryAlias) => walk(rel.child, s"CTE '$name'")
+            case _ => ()
+          }
+        }
+        walk(w.child, ctx)
+      case p: Project =>
+        bareStar(p.projectList, ctx)
+        walkExprSubqueries(p, ctx)
+        p.children.foreach(walk(_, ctx))
+      case a: Aggregate =>
+        bareStar(a.aggregateExpressions, ctx)
+        walkExprSubqueries(a, ctx)
+        a.children.foreach(walk(_, ctx))
+      case s: SubqueryAlias =>
+        val alias = s.alias
+        if (alias.length < config.minAliasLength && !alias.startsWith("__"))
+          out += Violation("short-alias",
+            s"Table alias '$alias' is shorter than ${config.minAliasLength} characters",
+            "info", 1)
+        walk(s.child, ctx)
+      case other =>
+        walkExprSubqueries(other, ctx)
+        other.children.foreach(walk(_, ctx))
+    }
+    walk(plan, "top level")
+    out.toSeq
+  }
+
   def lint(sql: String, config: Config = Config(),
       spark: Option[SparkSession] = None): Seq[Violation] = {
     val out = scala.collection.mutable.ListBuffer.empty[Violation]
     val masked = maskLiterals(sql)
 
-    // parse errors (compile-first, like the reference's lint_model)
+    // parse errors (compile-first, like the reference's lint_model);
+    // a successful parse switches select-star/alias to the AST rules
+    var astHandled = false
     spark.foreach { s =>
       Try(s.sessionState.sqlParser.parsePlan(sql)) match {
         case Failure(e) =>
           out += Violation("parse-error", e.getMessage.linesIterator.next(), "error", 1)
-        case Success(_) =>
+        case Success(plan) =>
+          out ++= astRules(plan, config)
+          astHandled = true
       }
     }
 
@@ -109,21 +196,21 @@ object Lint {
           "warning", i + 1)
     }
 
-    // select-star
-    SelectStarRe.findAllMatchIn(masked).foreach { m =>
-      val (line, colNo) = lineColOf(sql, m.start)
-      out += Violation("select-star",
-        "SELECT * makes column lineage and pruning opaque", "warning", line, colNo)
-    }
-
-    // short table aliases
-    AliasRe.findAllMatchIn(masked).foreach { m =>
-      val alias = m.group(2)
-      if (alias.length < config.minAliasLength && !Keywords.contains(alias.toLowerCase)) {
-        val (line, colNo) = lineColOf(sql, m.start(2))
-        out += Violation("short-alias",
-          s"Table alias '$alias' is shorter than ${config.minAliasLength} characters",
-          "info", line, colNo)
+    // select-star + short aliases: text fallback when no parsed plan
+    if (!astHandled) {
+      SelectStarRe.findAllMatchIn(masked).foreach { m =>
+        val (line, colNo) = lineColOf(sql, m.start)
+        out += Violation("select-star",
+          "SELECT * makes column lineage and pruning opaque", "warning", line, colNo)
+      }
+      AliasRe.findAllMatchIn(masked).foreach { m =>
+        val alias = m.group(2)
+        if (alias.length < config.minAliasLength && !Keywords.contains(alias.toLowerCase)) {
+          val (line, colNo) = lineColOf(sql, m.start(2))
+          out += Violation("short-alias",
+            s"Table alias '$alias' is shorter than ${config.minAliasLength} characters",
+            "info", line, colNo)
+        }
       }
     }
 

@@ -78,6 +78,46 @@ class AnalysisSpec extends AnyFunSuite {
     assert(!vs.exists(_.ruleId == "select-star"))
   }
 
+  test("AST select-star: bare star flagged with context, count(*) and t.* are not") {
+    val spark = graft.TestSpark.session
+    def stars(sql: String) =
+      Lint.lint(sql, spark = Some(spark)).filter(_.ruleId == "select-star")
+    // bare star at top level
+    assert(stars("SELECT * FROM orders").nonEmpty)
+    // count(*) is not a projection star
+    assert(stars("SELECT COUNT(*) AS n FROM orders").isEmpty)
+    // qualified star not flagged (reference flags only exp.Star)
+    assert(stars("SELECT o.* FROM orders o").isEmpty)
+    // star inside a CTE is reported with the CTE's name
+    val cte = stars("WITH cte_x AS (SELECT * FROM orders) SELECT o_orderkey FROM cte_x")
+    assert(cte.exists(_.message.contains("CTE 'cte_x'")))
+    assert(!cte.exists(_.message.contains("top level")))
+    // star in a scalar subquery is context-tagged too
+    val sub = stars(
+      "SELECT o_orderkey FROM orders WHERE EXISTS (SELECT * FROM customer)")
+    assert(sub.exists(_.message.contains("subquery")))
+  }
+
+  test("AST alias rule: relation aliases only, CTE names exempt") {
+    val spark = graft.TestSpark.session
+    def aliases(sql: String) =
+      Lint.lint(sql, spark = Some(spark)).filter(_.ruleId == "short-alias")
+    assert(aliases("SELECT o.o_orderkey FROM orders o").nonEmpty)
+    assert(aliases("SELECT ord.o_orderkey FROM orders ord").isEmpty)
+    // a short CTE NAME is not a table alias
+    assert(aliases("WITH t AS (SELECT o_orderkey FROM orders) SELECT o_orderkey FROM t")
+      .isEmpty)
+  }
+
+  test("literal masking survives '' escapes and double-quoted strings") {
+    // the '' escape means the literal runs to the LAST quote — the
+    // select * inside must not fire
+    assert(!Lint.lint("SELECT a FROM t WHERE b = 'it''s select * from x'")
+      .exists(_.ruleId == "select-star"))
+    assert(!Lint.lint("SELECT a FROM t WHERE b = \"select * from x\"")
+      .exists(_.ruleId == "select-star"))
+  }
+
   test("parse errors reported via the Spark parser") {
     val spark = graft.TestSpark.session
     val vs = Lint.lint("SELEC broken FROM", spark = Some(spark))
