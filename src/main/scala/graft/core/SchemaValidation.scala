@@ -92,11 +92,303 @@ object SchemaValidation {
       s"$section/$entryName/${col.getOrElse("name", "?")}/tests[$i]",
       s"test entry must be a string or single-key map, found: $t")
 
+  // ---- deep validators (core/schema/validation.py:226-1334) ----
+
+  /** Structure: version present (fixable) and at least one managed
+    * resource section (validation.py:275-327).
+    */
+  val structureWellFormed: Validator = doc => {
+    val missingVersion =
+      if (!doc.managed.contains("version"))
+        Seq(Finding("missing-version", "error", "version",
+          "missing required 'version' field", autoFixable = true))
+      else Nil
+    val sections = Seq("models", "seeds", "sources")
+    val noResources =
+      if (!sections.exists(s => asSeqMap(doc.managed.getOrElse(s, Nil)).nonEmpty))
+        Seq(Finding("no-resources", "error", "",
+          s"YAML file must contain at least one of: ${sections.mkString(", ")}"))
+      else Nil
+    missingVersion ++ noResources
+  }
+
+  /** Known generic tests (validation.py:336-343). */
+  val ValidTests: Set[String] = Set(
+    "unique", "not_null", "unique_combination_of_columns",
+    "relationships", "accepted_values")
+
+  private def isStringList(v: Any): Boolean = v match {
+    case s: Seq[_] => s.forall(_.isInstanceOf[String])
+    case _ => false
+  }
+
+  /** Both legacy flat test args and dbt's nested `arguments` shape
+    * (validation.py:618-649). Returns None (with a finding) when the
+    * config is not a map.
+    */
+  private def testArguments(name: String, config: Any, path: String,
+      out: scala.collection.mutable.ListBuffer[Finding]): Option[Map[String, Any]] =
+    config match {
+      case m: Map[_, _] =>
+        val mm = m.asInstanceOf[Map[String, Any]]
+        mm.get("arguments") match {
+          case Some(a: Map[_, _]) => Some(a.asInstanceOf[Map[String, Any]])
+          case Some(other) =>
+            out += Finding("invalid-test-arguments", "error", path,
+              s"$name test 'arguments' must be a map, got $other")
+            None
+          case None => Some(mm)
+        }
+      case other =>
+        out += Finding("invalid-test-config-type", "error", path,
+          s"$name test configuration must be a map, got $other")
+        None
+    }
+
+  private def validateTestList(tests: Any, path: String,
+      out: scala.collection.mutable.ListBuffer[Finding]): Unit = tests match {
+    case list: Seq[_] =>
+      list.zipWithIndex.foreach {
+        case (s: String, _) =>
+          if (!ValidTests(s))
+            out += Finding("unknown-test", "warning", path, s"Unknown test '$s'")
+        case (m: Map[_, _], i) =>
+          val mm = m.asInstanceOf[Map[String, Any]]
+          if (mm.size != 1)
+            out += Finding("invalid-test-config", "warning", s"$path[$i]",
+              "test configuration should have exactly one key")
+          else {
+            val (name, config) = mm.head
+            name match {
+              case "relationships" =>
+                testArguments(name, config, s"$path[$i]", out).foreach { args =>
+                  Seq("to", "field").foreach { f =>
+                    if (!args.contains(f))
+                      out += Finding("missing-relationship-field", "error", s"$path[$i]",
+                        s"relationships test missing required field '$f'")
+                  }
+                }
+              case "accepted_values" =>
+                testArguments(name, config, s"$path[$i]", out).foreach { args =>
+                  args.get("values") match {
+                    case None =>
+                      out += Finding("missing-accepted-values", "error", s"$path[$i]",
+                        "accepted_values test missing required 'values' field")
+                    case Some(v: Seq[_]) if v.isEmpty =>
+                      out += Finding("empty-accepted-values", "warning", s"$path[$i]",
+                        "'values' list is empty")
+                    case Some(_: Seq[_]) => ()
+                    case Some(other) =>
+                      out += Finding("invalid-accepted-values-type", "error", s"$path[$i]",
+                        s"'values' field must be a list, got $other")
+                  }
+                }
+              case "unique_combination_of_columns" =>
+                testArguments(name, config, s"$path[$i]", out).foreach { args =>
+                  args.get("combination_of_columns") match {
+                    case None =>
+                      out += Finding("missing-combination-columns", "error", s"$path[$i]",
+                        "unique_combination_of_columns test missing required " +
+                          "'combination_of_columns' field")
+                    case Some(v: Seq[_]) if v.size < 2 =>
+                      out += Finding("insufficient-combination-columns", "warning",
+                        s"$path[$i]",
+                        "'combination_of_columns' should have at least 2 columns")
+                    case Some(_: Seq[_]) => ()
+                    case Some(other) =>
+                      out += Finding("invalid-combination-type", "error", s"$path[$i]",
+                        s"'combination_of_columns' must be a list, got $other")
+                  }
+                }
+              case _ => ()
+            }
+          }
+        case (other, i) =>
+          out += Finding("invalid-test-type", "error", s"$path[$i]",
+            s"test must be a string or map, got $other")
+      }
+    case null | None | Nil => ()
+    case other =>
+      out += Finding("invalid-tests-type", "error", path,
+        s"tests must be a list, got $other")
+  }
+
+  /** Deep test-config shapes at resource and column level, including
+    * `data_tests`/`tests` keys and per-test argument contracts
+    * (validation.py:330-780).
+    */
+  val testConfigsDeep: Validator = doc => {
+    val out = scala.collection.mutable.ListBuffer.empty[Finding]
+    for {
+      section <- Seq("models", "seeds")
+      entry <- asSeqMap(doc.managed.getOrElse(section, Nil))
+      entryName = entry.getOrElse("name", "?").toString
+    } {
+      entry.get("data_tests").orElse(entry.get("tests")).foreach(
+        validateTestList(_, s"$section/$entryName/tests", out))
+      asSeqMap(entry.getOrElse("columns", Nil)).foreach { col =>
+        val colName = col.getOrElse("name", "?").toString
+        col.get("data_tests").orElse(col.get("tests")).foreach(
+          validateTestList(_, s"$section/$entryName/$colName/tests", out))
+      }
+      // versioned blocks carry the same shapes
+      asSeqMap(entry.getOrElse("versions", Nil)).foreach { v =>
+        val vName = s"$entryName.v${v.getOrElse("v", "?")}"
+        v.get("data_tests").orElse(v.get("tests")).foreach(
+          validateTestList(_, s"$section/$vName/tests", out))
+        asSeqMap(v.getOrElse("columns", Nil)).foreach { col =>
+          col.get("data_tests").orElse(col.get("tests")).foreach(
+            validateTestList(_,
+              s"$section/$vName/${col.getOrElse("name", "?")}/tests", out))
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** meta must be a map, tags a list of strings — at entry and column
+    * level.
+    */
+  val metaAndTagsTyped: Validator = doc => {
+    val out = scala.collection.mutable.ListBuffer.empty[Finding]
+    def check(m: Map[String, Any], path: String): Unit = {
+      m.get("meta").foreach {
+        case _: Map[_, _] => ()
+        case other => out += Finding("invalid-meta-type", "error", s"$path/meta",
+          s"'meta' must be a map, got $other")
+      }
+      m.get("tags").foreach {
+        case t if isStringList(t) => ()
+        case other => out += Finding("invalid-tags-type", "error", s"$path/tags",
+          s"'tags' must be a list of strings, got $other")
+      }
+    }
+    for {
+      section <- Seq("models", "seeds", "sources")
+      entry <- asSeqMap(doc.managed.getOrElse(section, Nil))
+      entryName = entry.getOrElse("name", "?").toString
+    } {
+      check(entry, s"$section/$entryName")
+      asSeqMap(entry.getOrElse("columns", Nil)).foreach(c =>
+        check(c, s"$section/$entryName/${c.getOrElse("name", "?")}"))
+    }
+    out.toSeq
+  }
+
+  /** Versioned-model shapes (validation.py:786-935): versions is a
+    * list of maps with scalar non-bool `v`, no duplicate versions
+    * (numeric equivalence), latest_version declared, and
+    * include/exclude column selectors well-formed.
+    */
+  val versionsWellFormed: Validator = doc => {
+    val out = scala.collection.mutable.ListBuffer.empty[Finding]
+    for {
+      entry <- asSeqMap(doc.managed.getOrElse("models", Nil))
+      modelName = entry.getOrElse("name", "?").toString
+    } {
+      val latest = entry.get("latest_version")
+      entry.get("versions") match {
+        case None =>
+          latest.foreach { lv =>
+            out += Finding("invalid-latest-version", "error", s"models/$modelName",
+              s"latest version '$lv' must be one of the declared versions")
+          }
+        case Some(versions: Seq[_]) =>
+          var seen = List.empty[Any]
+          versions.zipWithIndex.foreach {
+            case (m: Map[_, _], i) =>
+              val v = m.asInstanceOf[Map[String, Any]]
+              v.get("v") match {
+                case None =>
+                  out += Finding("missing-model-version", "error",
+                    s"models/$modelName/versions[$i]", "missing required 'v' field")
+                case Some(_: Boolean) =>
+                  out += Finding("invalid-model-version", "error",
+                    s"models/$modelName/versions[$i]",
+                    "'v' must be an int, float, or string, got a boolean")
+                case Some(value) if value.isInstanceOf[Int] ||
+                    value.isInstanceOf[Long] || value.isInstanceOf[Double] ||
+                    value.isInstanceOf[String] || value.isInstanceOf[java.math.BigDecimal] =>
+                  if (seen.exists(s => SyncOperations.versionValuesMatch(s, value)))
+                    out += Finding("duplicate-model-version", "error",
+                      s"models/$modelName/versions[$i]",
+                      s"duplicate version '$value'")
+                  seen ::= value
+                case Some(other) =>
+                  out += Finding("invalid-model-version", "error",
+                    s"models/$modelName/versions[$i]",
+                    s"'v' must be an int, float, or string, got $other")
+              }
+              // include/exclude selectors in version columns
+              asSeqMap(v.getOrElse("columns", Nil))
+                .filter(c => !c.get("name").exists(_.isInstanceOf[String]))
+                .foreach { sel =>
+                  val p = s"models/$modelName/versions[$i]/columns"
+                  sel.get("include") match {
+                    case None =>
+                      out += Finding("invalid-version-column-selector", "error", p,
+                        "column selector must define 'include'")
+                    case Some(s: String) if s == "all" || s == "*" => ()
+                    case Some(l) if isStringList(l) => ()
+                    case Some(other) =>
+                      out += Finding("invalid-version-column-selector", "error", p,
+                        s"'include' must be 'all', '*', or a list of strings, got $other")
+                  }
+                  sel.get("exclude").foreach { ex =>
+                    if (!isStringList(ex))
+                      out += Finding("invalid-version-column-selector", "error", p,
+                        s"'exclude' must be a list of strings, got $ex")
+                    else if (!sel.get("include").exists {
+                      case s: String => s == "all" || s == "*"
+                      case _ => false
+                    })
+                      out += Finding("invalid-version-column-selector", "error", p,
+                        "'exclude' can only be specified when include is 'all' or '*'")
+                  }
+                }
+            case (other, i) =>
+              out += Finding("invalid-model-version-entry", "error",
+                s"models/$modelName/versions[$i]",
+                s"version entry must be a map, got $other")
+          }
+          latest.foreach { lv =>
+            val scalar = !lv.isInstanceOf[Boolean] && (lv.isInstanceOf[Int] ||
+              lv.isInstanceOf[Long] || lv.isInstanceOf[Double] || lv.isInstanceOf[String])
+            if (!scalar)
+              out += Finding("invalid-latest-version", "error", s"models/$modelName",
+                s"latest_version must be an int, float, or string, got $lv")
+            else if (!seen.exists(s => SyncOperations.versionValuesMatch(s, lv)))
+              out += Finding("invalid-latest-version", "error", s"models/$modelName",
+                s"latest version '$lv' must be one of the declared versions")
+          }
+        case Some(other) =>
+          out += Finding("invalid-versions-type", "error", s"models/$modelName",
+            s"versions must be a list, got $other")
+      }
+    }
+    out.toSeq
+  }
+
   val DefaultChain: Seq[Validator] = Seq(
-    entriesHaveNames, noDuplicateEntries, columnsWellFormed,
-    versionIsTwo, testsWellFormed)
+    structureWellFormed, entriesHaveNames, noDuplicateEntries, columnsWellFormed,
+    versionIsTwo, testsWellFormed, testConfigsDeep, metaAndTagsTyped,
+    versionsWellFormed)
 
   def validate(doc: YamlIO.YamlDoc,
       chain: Seq[Validator] = DefaultChain): Seq[Finding] =
     chain.flatMap(_(doc))
+
+  /** Apply the auto-fixable findings (validation.py's auto_fix mode):
+    * missing/invalid `version` is set to 2. Returns the fixed doc and
+    * the findings that were addressed.
+    */
+  def autoFix(doc: YamlIO.YamlDoc): (YamlIO.YamlDoc, Seq[Finding]) = {
+    val fixable = validate(doc).filter(_.autoFixable)
+    val fixed =
+      if (fixable.exists(f => f.rule == "schema-version" || f.rule == "missing-version"))
+        doc.copy(managed = scala.collection.immutable.ListMap(
+          (doc.managed.updated("version", 2)).toSeq: _*))
+      else doc
+    (fixed, fixable)
+  }
 }

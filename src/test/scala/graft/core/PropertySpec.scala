@@ -127,4 +127,82 @@ class PropertySpec extends AnyFunSuite {
         Map[String, Any]("name" -> "c", "tests" -> Seq("unique")))))), ListMap.empty)
     assert(SchemaValidation.validate(clean).isEmpty)
   }
+
+  test("deep test-config validation: per-test argument contracts") {
+    def doc(tests: Any) = YamlIO.YamlDoc(ListMap("version" -> 2, "models" -> Seq(
+      Map[String, Any]("name" -> "m", "columns" -> Seq(
+        Map[String, Any]("name" -> "c", "tests" -> tests))))), ListMap.empty)
+    def rules(tests: Any) = SchemaValidation.validate(doc(tests)).map(_.rule).toSet
+    assert(rules(Seq("made_up_test")).contains("unknown-test"))
+    assert(rules(Seq(Map("relationships" -> Map("to" -> "ref('x')"))))
+      .contains("missing-relationship-field")) // field missing
+    // dbt's nested arguments shape is accepted
+    assert(!rules(Seq(Map("relationships" -> Map("arguments" ->
+      Map("to" -> "ref('x')", "field" -> "id")))))
+      .contains("missing-relationship-field"))
+    assert(rules(Seq(Map("accepted_values" -> Map[String, Any]())))
+      .contains("missing-accepted-values"))
+    assert(rules(Seq(Map("accepted_values" -> Map("values" -> Nil))))
+      .contains("empty-accepted-values"))
+    assert(rules(Seq(Map("unique_combination_of_columns" ->
+      Map("combination_of_columns" -> Seq("a")))))
+      .contains("insufficient-combination-columns"))
+    assert(rules("not-a-list").contains("invalid-tests-type"))
+    // resource-level data_tests are validated too
+    val resDoc = YamlIO.YamlDoc(ListMap("version" -> 2, "models" -> Seq(
+      Map[String, Any]("name" -> "m",
+        "data_tests" -> Seq(Map("accepted_values" -> Map[String, Any]()))))), ListMap.empty)
+    assert(SchemaValidation.validate(resDoc).exists(_.rule == "missing-accepted-values"))
+  }
+
+  test("meta/tags typing and structure validators") {
+    val bad = YamlIO.YamlDoc(ListMap("version" -> 2, "models" -> Seq(
+      Map[String, Any]("name" -> "m", "meta" -> "oops", "tags" -> Seq(1, 2),
+        "columns" -> Seq(Map[String, Any]("name" -> "c", "tags" -> "x"))))), ListMap.empty)
+    val rules = SchemaValidation.validate(bad).map(_.rule)
+    assert(rules.count(_ == "invalid-tags-type") == 2)
+    assert(rules.contains("invalid-meta-type"))
+    val empty = YamlIO.YamlDoc(ListMap.empty, ListMap.empty)
+    val er = SchemaValidation.validate(empty).map(_.rule).toSet
+    assert(er.contains("missing-version") && er.contains("no-resources"))
+    // auto-fix sets version to 2
+    val (fixed, applied) = SchemaValidation.autoFix(
+      YamlIO.YamlDoc(ListMap("models" -> Seq(Map[String, Any]("name" -> "m"))), ListMap.empty))
+    assert(fixed.managed("version") == 2 && applied.nonEmpty)
+  }
+
+  test("versioned-model validation: v shapes, duplicates, latest, selectors") {
+    def doc(model: Map[String, Any]) =
+      YamlIO.YamlDoc(ListMap("version" -> 2, "models" -> Seq(model)), ListMap.empty)
+    def rules(model: Map[String, Any]) =
+      SchemaValidation.validate(doc(model)).map(_.rule).toSet
+    assert(rules(Map("name" -> "m", "latest_version" -> 2))
+      .contains("invalid-latest-version")) // latest without versions
+    assert(rules(Map("name" -> "m", "versions" -> "nope"))
+      .contains("invalid-versions-type"))
+    assert(rules(Map("name" -> "m", "versions" -> Seq(Map[String, Any]("columns" -> Nil))))
+      .contains("missing-model-version"))
+    assert(rules(Map("name" -> "m", "versions" -> Seq(Map[String, Any]("v" -> true))))
+      .contains("invalid-model-version"))
+    assert(rules(Map("name" -> "m", "versions" -> Seq(
+      Map[String, Any]("v" -> 2), Map[String, Any]("v" -> 2.0))))
+      .contains("duplicate-model-version"))
+    assert(rules(Map("name" -> "m", "latest_version" -> 3,
+      "versions" -> Seq(Map[String, Any]("v" -> 1), Map[String, Any]("v" -> 2))))
+      .contains("invalid-latest-version"))
+    // selectors: exclude requires include all/*
+    assert(rules(Map("name" -> "m", "versions" -> Seq(Map[String, Any]("v" -> 1,
+      "columns" -> Seq(Map[String, Any]("include" -> Seq("a"), "exclude" -> Seq("b")))))))
+      .contains("invalid-version-column-selector"))
+    assert(rules(Map("name" -> "m", "versions" -> Seq(Map[String, Any]("v" -> 1,
+      "columns" -> Seq(Map[String, Any]("exclude" -> Seq("b")))))))
+      .contains("invalid-version-column-selector")) // include missing
+    // a fully valid versioned model produces no findings
+    assert(SchemaValidation.validate(doc(Map("name" -> "m", "latest_version" -> 2,
+      "versions" -> Seq(
+        Map[String, Any]("v" -> 1, "columns" -> Seq(Map[String, Any]("name" -> "c"))),
+        Map[String, Any]("v" -> "2", "columns" -> Seq(
+          Map[String, Any]("include" -> "*", "exclude" -> Seq("secret")),
+          Map[String, Any]("name" -> "c", "tests" -> Seq("unique")))))))).isEmpty)
+  }
 }
