@@ -33,6 +33,12 @@ final case class EngineSettings(
     prefix: Option[String] = None,
     /** Adapter-style case folding: "spark" preserves case. */
     credentialsType: String = "spark",
+    /** Fusion-compatible YAML dialect: per-column meta/tags nest
+      * inside `config:` instead of the classic top-level keys.
+      * Auto-detected from an existing Fusion manifest (A3,
+      * core/config.py:95-145) or set explicitly.
+      */
+    fusionCompat: Boolean = false,
     /** Project vars (dbt_project.yml `vars:` analog; may carry a
       * `dbt-osmosis:`/`dbt_osmosis:` section).
       */

@@ -23,8 +23,20 @@ object SyncOperations {
     case _ => false
   }
 
-  /** Merge one column's node-side metadata into its YAML entry. */
-  private[core] def mergeColumn(existing: Map[String, Any], column: ColumnMeta): Map[String, Any] = {
+  private def anyMap(v: Any): Map[String, Any] = v match {
+    case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+    case _ => Map.empty
+  }
+
+  /** Merge one column's node-side metadata into its YAML entry.
+    *
+    * Dialects (core/sync_operations.py:104-257): classic mode keeps
+    * `meta`/`tags` at the top level, lifting any `config.meta`/
+    * `config.tags` up and stripping the config wrapper; fusion mode
+    * nests them INSIDE `config:` instead.
+    */
+  private[core] def mergeColumn(existing: Map[String, Any], column: ColumnMeta,
+      fusionCompat: Boolean = false): Map[String, Any] = {
     var out = ListMap(existing.toSeq: _*)
     if (!out.contains("name")) out += "name" -> column.name
     // unrendered jinja descriptions in YAML win over rendered inherits
@@ -33,15 +45,33 @@ object SyncOperations {
         out += "description" -> d
     }
     column.dataType.foreach(dt => out += "data_type" -> dt)
-    val mergedMeta = (out.get("meta") match {
-      case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]]
-      case _ => Map.empty[String, Any]
-    }) ++ column.meta
-    if (mergedMeta.nonEmpty) out += "meta" -> mergedMeta
+    val mergedMeta = anyMap(out.getOrElse("meta", null)) ++ column.meta
     val mergedTags = Inheritance.orderPreservingUnion(
       out.get("tags") match { case Some(t: Seq[_]) => t.map(_.toString); case _ => Nil },
       column.tags)
-    if (mergedTags.nonEmpty) out += "tags" -> mergedTags
+    val cfg = anyMap(out.getOrElse("config", null)) ++ column.config
+    if (fusionCompat) {
+      // fusion: meta/tags live inside config
+      out -= "meta"; out -= "tags"
+      var newCfg = cfg
+      val cfgMeta = anyMap(cfg.getOrElse("meta", null)) ++ mergedMeta
+      val cfgTags = Inheritance.orderPreservingUnion(
+        cfg.get("tags") match { case Some(t: Seq[_]) => t.map(_.toString); case _ => Nil },
+        mergedTags)
+      if (cfgMeta.nonEmpty) newCfg += "meta" -> cfgMeta else newCfg -= "meta"
+      if (cfgTags.nonEmpty) newCfg += "tags" -> cfgTags else newCfg -= "tags"
+      if (newCfg.nonEmpty) out += "config" -> newCfg else out -= "config"
+    } else {
+      // classic: lift config.meta/config.tags to top level (existing
+      // top-level values win), strip the config wrapper
+      val liftedMeta = anyMap(cfg.getOrElse("meta", null)) ++ mergedMeta
+      val liftedTags = Inheritance.orderPreservingUnion(mergedTags,
+        cfg.get("tags") match { case Some(t: Seq[_]) => t.map(_.toString); case _ => Nil })
+      if (liftedMeta.nonEmpty) out += "meta" -> liftedMeta
+      if (liftedTags.nonEmpty) out += "tags" -> liftedTags
+      val restCfg = cfg - "meta" - "tags"
+      if (restCfg.nonEmpty) out += "config" -> restCfg else out -= "config"
+    }
     // scrub empties (core/sync_operations.py empty-value scrubbing)
     out.filter {
       case (_, "") => false
@@ -106,7 +136,8 @@ object SyncOperations {
     * selectors) are preserved ahead of the synced columns when the
     * section is a version block (core/sync_operations.py:51-65,313).
     */
-  private def syncSection(section: ListMap[String, Any], node: NodeMeta): ListMap[String, Any] = {
+  private def syncSection(section: ListMap[String, Any], node: NodeMeta,
+      fusion: Boolean): ListMap[String, Any] = {
     var entry = section
     if (node.description.nonEmpty && !isJinjaDoc(entry.getOrElse("description", "")))
       entry += "description" -> node.description
@@ -120,7 +151,7 @@ object SyncOperations {
       .filter(_.get("name").exists(_.isInstanceOf[String]))
       .map(c => c("name").toString -> c).toMap
     val columns = selectors ++ node.columns.values.toSeq.map(c =>
-      mergeColumn(existingCols.getOrElse(c.name, Map.empty), c))
+      mergeColumn(existingCols.getOrElse(c.name, Map.empty), c, fusion))
     if (columns.nonEmpty) entry += "columns" -> columns
     else if (currentCols.isEmpty) entry -= "columns"
     entry
@@ -132,7 +163,8 @@ object SyncOperations {
     * (core/sync_operations.py:569-655). Duplicate version entries that
     * identify the same version fail closed.
     */
-  private def syncVersioned(entry: ListMap[String, Any], node: NodeMeta): ListMap[String, Any] = {
+  private def syncVersioned(entry: ListMap[String, Any], node: NodeMeta,
+      fusion: Boolean): ListMap[String, Any] = {
     val version = node.version.get
     val versions = asSeqMap(entry.getOrElse("versions", Nil))
     // fail closed on duplicates (core/sync_operations.py:568-605)
@@ -150,10 +182,10 @@ object SyncOperations {
     val newVersions =
       if (matched) versions.map { v =>
         if (versionValuesMatch(v.getOrElse("v", null), version))
-          syncSection(ListMap(v.toSeq: _*), node)
+          syncSection(ListMap(v.toSeq: _*), node, fusion)
         else v
       }
-      else versions :+ syncSection(ListMap("v" -> version, "columns" -> Nil), node)
+      else versions :+ syncSection(ListMap("v" -> version, "columns" -> Nil), node, fusion)
 
     var out = entry.updated("versions", newVersions)
     // latest_version follows the manifest rather than stale YAML
@@ -171,14 +203,15 @@ object SyncOperations {
     * sync are preserved. Versioned models sync into their
     * `versions[]` block ([[syncVersioned]]).
     */
-  def syncNodeToDoc(doc: YamlIO.YamlDoc, node: NodeMeta): YamlIO.YamlDoc = {
+  def syncNodeToDoc(doc: YamlIO.YamlDoc, node: NodeMeta,
+      settings: EngineSettings = EngineSettings()): YamlIO.YamlDoc = {
     val section = node.resourceType match {
       case "model" => "models"
       case "seed" => "seeds"
       case "source" => "sources"
       case other => throw new IllegalArgumentException(s"cannot sync $other")
     }
-    if (node.resourceType == "source") return syncSource(doc, node)
+    if (node.resourceType == "source") return syncSource(doc, node, settings.fusionCompat)
 
     val entries = asSeqMap(doc.managed.getOrElse(section, Nil))
     if (entries.count(_.get("name").contains(node.name)) > 1)
@@ -189,8 +222,8 @@ object SyncOperations {
       .getOrElse(ListMap("name" -> node.name))
     val entry =
       if (node.resourceType == "model" && node.version.isDefined)
-        syncVersioned(ListMap(existing.toSeq: _*), node)
-      else syncSection(ListMap(existing.toSeq: _*), node)
+        syncVersioned(ListMap(existing.toSeq: _*), node, settings.fusionCompat)
+      else syncSection(ListMap(existing.toSeq: _*), node, settings.fusionCompat)
 
     val newEntries =
       if (entries.exists(_.get("name").contains(node.name)))
@@ -205,7 +238,8 @@ object SyncOperations {
   /** Sources nest one level deeper: sources[].tables[]
     * (core/sync_operations.py:397-531).
     */
-  private def syncSource(doc: YamlIO.YamlDoc, node: NodeMeta): YamlIO.YamlDoc = {
+  private def syncSource(doc: YamlIO.YamlDoc, node: NodeMeta,
+      fusion: Boolean): YamlIO.YamlDoc = {
     val srcName = node.fqn.lift(1).getOrElse(node.schema)
     val sources = asSeqMap(doc.managed.getOrElse("sources", Nil))
     val src = sources.find(_.get("name").contains(srcName))
@@ -222,7 +256,7 @@ object SyncOperations {
     val existingCols = asSeqMap(tbl.getOrElse("columns", Nil))
       .map(c => c.getOrElse("name", "").toString -> c).toMap
     val columns = node.columns.values.toSeq.map(c =>
-      mergeColumn(existingCols.getOrElse(c.name, Map.empty), c))
+      mergeColumn(existingCols.getOrElse(c.name, Map.empty), c, fusion))
     if (columns.nonEmpty) tbl += "columns" -> columns
 
     val newTables =
@@ -249,7 +283,7 @@ object SyncOperations {
       PathManagement.targetYamlPath(projectRoot, n, settings))
     byFile.toSeq.sortBy(_._1.toString).map { case (path, fileNodes) =>
       var doc = YamlIO.read(path)
-      fileNodes.foreach(n => doc = syncNodeToDoc(doc, n))
+      fileNodes.foreach(n => doc = syncNodeToDoc(doc, n, settings))
       YamlIO.buffer(path, doc)
       path
     }

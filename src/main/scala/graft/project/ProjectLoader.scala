@@ -25,7 +25,34 @@ object ProjectLoader {
       root: Path,
       manifest: Manifest,
       vars: Map[String, Any],
-      modelConfig: Map[String, Any])
+      modelConfig: Map[String, Any],
+      /** An existing manifest at target/ was produced by dbt Fusion —
+        * YAML output should use the fusion dialect (A3).
+        */
+      fusionManifest: Boolean = false)
+
+  /** Known Fusion manifest schema versions (core/config.py:54). */
+  private val KnownFusionSchemaVersions = Set(20)
+
+  /** Detect a dbt-Fusion-produced manifest at `target/manifest.json`
+    * (A3; core/config.py:95-145): read only the leading 4 KB — the
+    * metadata header — and match the dbt_schema_version's /vN suffix
+    * against the known Fusion versions. Absence, parse trouble, or an
+    * unknown version all mean "not Fusion evidence".
+    */
+  def detectFusionManifest(root: Path): Boolean = {
+    val mf = root.resolve("target").resolve("manifest.json")
+    if (!Files.isRegularFile(mf)) false
+    else try {
+      val in = Files.newInputStream(mf)
+      val buf = new Array[Byte](4096)
+      val n = try in.read(buf) finally in.close()
+      val header = new String(buf, 0, math.max(n, 0), java.nio.charset.StandardCharsets.UTF_8)
+      "\"dbt_schema_version\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(header)
+        .flatMap(m => "/v(\\d+)(?:\\.json)?$".r.findFirstMatchIn(m.group(1)))
+        .exists(v => KnownFusionSchemaVersions(v.group(1).toInt))
+    } catch { case _: Exception => false }
+  }
 
   private val yaml = new ThreadLocal[Yaml] { override def initialValue() = new Yaml() }
 
@@ -188,7 +215,8 @@ object ProjectLoader {
       k -> n
     }: _*)
 
-    Project(projectName, root, Manifest(byId), vars, modelCfg)
+    Project(projectName, root, Manifest(byId), vars, modelCfg,
+      fusionManifest = detectFusionManifest(root))
   }
 
   private def asSeqAny(v: Any): Seq[String] = v match {

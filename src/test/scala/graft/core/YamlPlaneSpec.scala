@@ -197,6 +197,39 @@ class YamlPlaneSpec extends AnyFunSuite {
     assert(!versionValuesMatch(null, null))
   }
 
+  test("fusion manifest detection reads the schema version header") {
+    import graft.project.ProjectLoader
+    val root = tmpRoot()
+    assert(!ProjectLoader.detectFusionManifest(root)) // no manifest
+    Files.createDirectories(root.resolve("target"))
+    def write(schema: String): Unit = Files.writeString(
+      root.resolve("target/manifest.json"),
+      s"""{"metadata": {"dbt_schema_version": "$schema", "adapter_type": "spark"}}""")
+    write("https://schemas.getdbt.com/dbt/manifest/v12.json")
+    assert(!ProjectLoader.detectFusionManifest(root)) // dbt-core v12
+    write("https://schemas.getdbt.com/dbt/manifest/v20.json")
+    assert(ProjectLoader.detectFusionManifest(root)) // Fusion evidence
+    write("https://schemas.getdbt.com/dbt/manifest/v21.json")
+    assert(!ProjectLoader.detectFusionManifest(root)) // unknown newer
+    Files.writeString(root.resolve("target/manifest.json"), "not json at all")
+    assert(!ProjectLoader.detectFusionManifest(root))
+  }
+
+  test("fusion dialect nests column meta/tags inside config; classic lifts them") {
+    val col = ColumnMeta("c", meta = ListMap("pii" -> true), tags = Seq("gold"))
+    val existing = Map[String, Any](
+      "name" -> "c", "config" -> Map[String, Any]("meta" -> Map("owner" -> "core")))
+    val fusion = SyncOperations.mergeColumn(existing, col, fusionCompat = true)
+    assert(!fusion.contains("meta") && !fusion.contains("tags"))
+    val cfg = fusion("config").asInstanceOf[Map[String, Any]]
+    assert(cfg("meta") == Map("owner" -> "core", "pii" -> true))
+    assert(cfg("tags") == Seq("gold"))
+    val classic = SyncOperations.mergeColumn(existing, col, fusionCompat = false)
+    assert(classic("meta") == Map("owner" -> "core", "pii" -> true))
+    assert(classic("tags") == Seq("gold"))
+    assert(!classic.contains("config")) // wrapper stripped after lifting
+  }
+
   test("source sync nests under sources[].tables[]") {
     val n = NodeMeta("source.p.raw.events", "events", "source",
       schema = "raw", fqn = Seq("p", "raw", "events"),
