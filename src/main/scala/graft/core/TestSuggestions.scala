@@ -53,6 +53,61 @@ object TestSuggestions {
           .sortBy { case (test, n) => (-n, test) }.take(topK))
       .toMap
 
+  /** LLM-backed suggester (core/test_suggestions.py:345-586) behind
+    * the same pluggable client as doc synthesis: prompt carries the
+    * model SQL, column list, and the project's MINED patterns (so the
+    * model learns house conventions); the response is a JSON object
+    * `{column: [test | {test_type, reason, config}]}`. Any failure —
+    * transport, empty response, unparseable JSON — falls back to the
+    * pattern/heuristic path, matching the reference's behavior.
+    */
+  def suggestWithClient(manifest: Manifest, node: NodeMeta,
+      existing: Seq[ExistingTest], client: DocSynthesis.LlmClient): Seq[Suggestion] = {
+    val minedContext = minePatterns(existing).map { case (b, fs) =>
+      s"$b: ${fs.map { case (t, n) => s"$t($n)" }.mkString(", ")}"
+    }.mkString("\n")
+    val user =
+      s"""Model ${node.name}
+         |SQL:
+         |${DocSynthesis.redactCredentials(node.compiledCode.getOrElse(node.rawCode))}
+         |Columns: ${node.columns.keys.mkString(", ")}
+         |Project test patterns:
+         |$minedContext""".stripMargin
+    try {
+      val raw = DocSynthesis.callWithRetry(() => client.complete(
+        "Suggest dbt generic tests per column. Reply ONLY with JSON " +
+          "{column: [test-name | {\"test_type\": .., \"reason\": .., \"config\": {..}}]}.",
+        user))
+      if (raw == null || raw.trim.isEmpty)
+        throw DocSynthesis.LlmResponseError("LLM returned an empty response")
+      val text = DocSynthesis.stripFences(raw)
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.readTree(text)
+      if (root == null || !root.isObject)
+        throw DocSynthesis.LlmResponseError("not an object")
+      val out = scala.collection.mutable.ListBuffer.empty[Suggestion]
+      root.fields().forEachRemaining { e =>
+        val colName = e.getKey
+        if (node.columns.contains(colName) && e.getValue.isArray) {
+          (0 until e.getValue.size).foreach { i =>
+            val v = e.getValue.get(i)
+            if (v.isTextual)
+              out += Suggestion(node.uniqueId, colName, v.asText, 0.8, "AI suggested")
+            else if (v.isObject && v.has("test_type"))
+              out += Suggestion(node.uniqueId, colName, v.get("test_type").asText, 0.8,
+                Option(v.get("reason")).filter(_.isTextual).map(_.asText)
+                  .getOrElse("AI suggested"))
+          }
+        }
+      }
+      out.toSeq
+    } catch {
+      case _: Exception =>
+        // fall back to the pattern/heuristic path (reference :455-462)
+        suggest(Manifest(Seq(node)), existing)
+    }
+  }
+
   /** Suggest tests for columns lacking them: mined frequencies first
     * (confidence = relative frequency), then heuristics (0.5).
     */

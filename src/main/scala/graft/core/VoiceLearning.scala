@@ -15,7 +15,90 @@ object VoiceLearning {
       usesSentenceCase: Double, // fraction starting upper-case
       endsWithPeriod: Double,
       commonPhrases: Seq[(String, Int)], // top bigrams
-      terminology: Seq[(String, Int)]) // recurring domain words
+      terminology: Seq[(String, Int)], // recurring domain words
+      /** Tone counts (voice_learning.py:194-238): imperative /
+        * passive / concise / detailed / technical.
+        */
+      toneMarkers: Map[String, Int] = Map.empty,
+      /** preferred term → the alternative it beats
+        * (voice_learning.py:154-191).
+        */
+      terminologyPreferences: Map[String, String] = Map.empty,
+      modelDescriptionSamples: Seq[String] = Nil,
+      columnDescriptionSamples: Seq[String] = Nil) {
+
+    /** Render for an LLM prompt (voice_learning.py:48-89): style
+      * guidelines + few-shot examples.
+      */
+    def toPromptContext(maxExamples: Int = 3): String = {
+      val sections = scala.collection.mutable.ArrayBuffer[String]()
+      if (nDescriptions > 0)
+        sections += f"- Target description length: ~${meanLength}%.0f chars (median $medianLength)"
+      if (commonPhrases.nonEmpty)
+        sections += s"- Common phrases: ${commonPhrases.take(5).map(_._1).mkString(", ")}"
+      if (terminologyPreferences.nonEmpty) {
+        sections += "- Terminology preferences:"
+        terminologyPreferences.take(3).foreach { case (pref, alt) =>
+          sections += s"  - Use '$pref' instead of '$alt'"
+        }
+      }
+      if (modelDescriptionSamples.nonEmpty) {
+        sections += "\n# Model Description Examples:"
+        modelDescriptionSamples.take(maxExamples).zipWithIndex.foreach { case (e, i) =>
+          sections += s"${i + 1}. $e"
+        }
+      }
+      if (columnDescriptionSamples.nonEmpty) {
+        sections += "\n# Column Description Examples:"
+        columnDescriptionSamples.take(maxExamples).zipWithIndex.foreach { case (e, i) =>
+          sections += s"${i + 1}. $e"
+        }
+      }
+      if (sections.isEmpty) "No style information available."
+      else sections.mkString("\n")
+    }
+  }
+
+  /** Tone indicators (voice_learning.py:194-238). */
+  private[core] def detectToneMarkers(descriptions: Seq[String]): Map[String, Int] = {
+    val imperativeVerbs = Seq("contains", "represents", "stores", "holds", "tracks", "records")
+    val passivePatterns = Seq("is used to", "is a", "contains a", "represents a")
+    val techTerms = Seq("id", "key", "fk", "pk", "timestamp", "json", "uuid", "integer", "varchar")
+    var m = Map("imperative" -> 0, "passive" -> 0, "concise" -> 0,
+      "detailed" -> 0, "technical" -> 0)
+    def inc(k: String): Unit = m += k -> (m(k) + 1)
+    for (d <- descriptions if d.trim.nonEmpty) {
+      val lower = d.toLowerCase
+      val wc = d.split("\\s+").length
+      if (wc <= 5) inc("concise") else if (wc >= 15) inc("detailed")
+      if (imperativeVerbs.exists(lower.contains)) inc("imperative")
+      if (passivePatterns.exists(lower.contains)) inc("passive")
+      if (techTerms.exists(lower.contains)) inc("technical")
+    }
+    m
+  }
+
+  /** Terminology preferences: which of each variation family the
+    * project actually uses (voice_learning.py:154-191).
+    */
+  private[core] def detectTerminology(descriptions: Seq[String]): Map[String, String] = {
+    val variations = Seq(
+      Seq("user", "customer", "client", "account"),
+      Seq("id", "identifier", "key"),
+      Seq("email", "email address", "e-mail"),
+      Seq("timestamp", "datetime", "created at", "updated at"),
+      Seq("foreign key", "reference", "ref"),
+      Seq("primary key", "main id", "unique identifier"))
+    val all = descriptions.mkString(" ").toLowerCase
+    def count(t: String): Int = all.sliding(t.length).count(_ == t)
+    (for {
+      family <- variations
+      preferred = family.head
+      pc = count(preferred)
+      alt <- family.tail
+      if pc > count(alt) && pc >= 2
+    } yield preferred -> alt).toMap
+  }
 
   private val StopSet: Set[String] =
     graft.functions.TextFunctions.Stopwords.toSet
@@ -29,6 +112,11 @@ object VoiceLearning {
   def analyze(manifest: Manifest, topK: Int = 10): StyleProfile = {
     val docs = descriptions(manifest)
     if (docs.isEmpty) return StyleProfile(0, 0.0, 0, 0.0, 0.0, Nil, Nil)
+    val modelDescs = manifest.nodes.values.toSeq.map(_.description)
+      .filter(d => Discovery.isDocumented(Some(d)))
+    val colDescs = manifest.nodes.values.toSeq
+      .flatMap(_.columns.values.flatMap(_.description))
+      .filter(d => Discovery.isDocumented(Some(d)))
     val lengths = docs.map(_.length).sorted
     val tokensPerDoc = docs.map(_.toLowerCase.split("[^a-z0-9_]+").filter(_.nonEmpty).toSeq)
 
@@ -47,7 +135,35 @@ object VoiceLearning {
       usesSentenceCase = docs.count(d => d.head.isUpper).toDouble / docs.size,
       endsWithPeriod = docs.count(_.endsWith(".")).toDouble / docs.size,
       commonPhrases = bigrams,
-      terminology = terms)
+      terminology = terms,
+      toneMarkers = detectToneMarkers(docs),
+      terminologyPreferences = detectTerminology(colDescs),
+      modelDescriptionSamples = modelDescs.take(10),
+      columnDescriptionSamples = colDescs.take(20))
+  }
+
+  /** Few-shot style examples for LLM prompts
+    * (voice_learning.py:367-410): similar-node targeted when a target
+    * is given, general project samples otherwise.
+    */
+  def extractStyleExamples(manifest: Manifest, target: Option[NodeMeta],
+      maxExamples: Int = 3): Map[String, Seq[String]] = target match {
+    case Some(t) =>
+      val similar = similarDocumentedNodes(manifest, t, maxExamples)
+      Map(
+        "model_descriptions" -> similar
+          .filter(n => Discovery.isDocumented(Some(n.description)))
+          .map(n => s"# ${n.name}\n${n.description}"),
+        "column_descriptions" -> similar.flatMap(_.columns.values.take(3))
+          .flatMap(c => c.description.filter(d => Discovery.isDocumented(Some(d)))
+            .map(d => s"- ${c.name}: $d")))
+    case None =>
+      val profile = analyze(manifest)
+      Map(
+        "model_descriptions" -> profile.modelDescriptionSamples.take(maxExamples)
+          .zipWithIndex.map { case (d, i) => s"# Example ${i + 1}\n$d" },
+        "column_descriptions" -> profile.columnDescriptionSamples.take(maxExamples)
+          .map(d => s"- $d"))
   }
 
   /** Similar documented nodes for few-shot context: rank by shared

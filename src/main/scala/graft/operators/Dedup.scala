@@ -233,7 +233,7 @@ object Dedup {
     * [[simhashPairsFromFingerprints]]).
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 7): DataFrame = {
+      maxHamming: Int = 3): DataFrame = {
     val spark = docs.sparkSession
     GraftFunctions.register(spark)
     // shuffle barrier: the 64-bit fingerprint feeds a band explode
@@ -251,11 +251,20 @@ object Dedup {
     * ground-truth surface as [[jaccardPairs]], so the DuckDB oracle
     * gates it end-to-end. A qualifying pair whose fingerprints differ
     * in more than `maxHamming` bits is outside the operator's
-    * contract (document the bound, don't widen the bands: bands ≈
-    * maxHamming means the candidate volume grows toward all-pairs).
+    * contract.
+    *
+    * Keep `maxHamming` SMALL at scale: bands = maxHamming+1 means
+    * chunk width 64/bands, and real-corpus fingerprints are highly
+    * correlated (shared vocabulary drags majority bits the same way),
+    * so narrow chunks collide far above the uniform 2^-width rate —
+    * measured at sf0.1, 8-bit chunks put 45% of docs in one bucket
+    * (~10M candidate pairs) while 16-bit chunks cut candidates 17×.
+    * maxHamming = 3 (4 × 16-bit, the classic web-scale configuration,
+    * cf. Manku et al. WWW'07) is the default; MinHash+LSH is the
+    * operator for looser similarity.
     */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, maxHamming: Int = 7, threshold: Double = 0.5): DataFrame = {
+      n: Int = 3, maxHamming: Int = 3, threshold: Double = 0.5): DataFrame = {
     val spark = docs.sparkSession
     GraftFunctions.register(spark)
     // one barrier relation carries both the fingerprint (banding

@@ -90,11 +90,37 @@ object Similarity {
       .select("vec_id", "rank", "neighbor_id", "cosine_sim")
   }
 
-  /** Embedding near-duplicate pairs: cosine >= threshold, id_a < id_b. */
+  /** Embedding near-duplicate pairs: cosine >= threshold, id_a < id_b.
+    *
+    * All-pairs — exact but O(n²·d); the oracle/baseline only. The
+    * scale default is [[lshNearDupPairs]].
+    */
   def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     val v = withNorm(emb, idCol, vecCol)
     v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (dot(col("a.e"), col("b.e")) / (col("a.n") * col("b.n"))).as("cosine_sim"))
+      .filter(col("cosine_sim") >= threshold)
+  }
+
+  /** Embedding near-duplicate pairs at scale: LSH-bucket first, exact
+    * cosine verify within each bucket — the join is per-bucket
+    * instead of all-pairs, so shuffle and compare volume scale with
+    * bucket occupancy, not n². Contract: surfaces a qualifying pair
+    * iff its two vectors share a bucket (probability (1 − θ/π)^planes
+    * for angle θ; multi-probe raises recall at the same plan shape).
+    * The bucket function is oracle-expressible, so the DuckDB gate
+    * checks the contract exactly.
+    */
+  def lshNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Int = 8): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val e = transform(col(vecCol), x => x.cast("double"))
+    val v = emb.select(col(idCol).as("id"), e.as("e"), norm(e).as("n"),
+      lshBucket(col(vecCol), planes).as("bucket"))
+    v.as("a").join(v.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         (dot(col("a.e"), col("b.e")) / (col("a.n") * col("b.n"))).as("cosine_sim"))
       .filter(col("cosine_sim") >= threshold)

@@ -68,15 +68,17 @@ object TrainingData {
       .orderBy("id_a", "id_b")
 
   /** SimHash near-dup pairs, verified by exact shingle-set Jaccard.
-    * Banding guarantees every pair within 7 fingerprint bits is
-    * surfaced (8 bands × 8 bits, pigeonhole), and the DuckDB oracle
-    * recomputes the identical PolyHash+Spread64 fingerprints, so the
-    * gate checks the operator's exact contract — Jaccard >= 0.5 AND
-    * Hamming <= 7 — independent of the fixture (see simhashOracleSql).
+    * Banding guarantees every pair within 3 fingerprint bits is
+    * surfaced (4 bands × 16 bits — the classic web-scale k, chosen
+    * because correlated fingerprints make narrower chunks collide
+    * quadratically), and the DuckDB oracle recomputes the identical
+    * PolyHash+Spread64 fingerprints, so the gate checks the exact
+    * contract — Jaccard >= 0.5 AND Hamming <= 3 — independent of the
+    * fixture (see simhashOracleSql).
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDups(Tables.documents(spark, dir), "doc_id", "text",
-        n = 3, maxHamming = 7, threshold = 0.5)
+        n = 3, maxHamming = 3, threshold = 0.5)
       .orderBy("id_a", "id_b")
 
   /** Exact brute-force cosine top-3 neighbors per embedding. */
@@ -98,6 +100,16 @@ object TrainingData {
   /** Embedding near-duplicate pairs (cosine >= 0.5). */
   def embNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairs(Tables.embeddings(spark, dir), "vec_id", "embedding", 0.5)
+      .orderBy("id_a", "id_b")
+
+  /** Embedding near-dups via LSH bucketing — the 100 TB default (the
+    * all-pairs t10 is the exactness baseline). The DuckDB oracle
+    * replays the Rademacher buckets in SQL, so the gate checks the
+    * bucketed contract exactly: cosine >= 0.5 AND same bucket.
+    */
+  def embNearDupLsh(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshNearDupPairs(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        threshold = 0.3, planes = 8)
       .orderBy("id_a", "id_b")
 
   /** Multimodal payload plumbing: binary column + metadata + fake
@@ -138,6 +150,7 @@ object TrainingData {
     "t10_emb_near_dup" -> embNearDup _,
     "t11_multimodal_meta" -> multimodalMeta _,
     "t12_events_json" -> eventsJson _,
+    "t13_emb_near_dup_lsh" -> embNearDupLsh _,
   )
 
   /** Shared DuckDB CTE fragment: per-doc word-trigram shingle sets,
@@ -285,7 +298,7 @@ object TrainingData {
           |WHERE CAST(nc AS DOUBLE) / CAST(sa.sz + sb.sz - nc AS DOUBLE) >= 0.05
           |ORDER BY id_a, id_b""".stripMargin,
       "t06_dedup_minhash" -> minhashOracleSql(64, 16, 0.5),
-      "t07_dedup_simhash" -> simhashOracleSql(7, 0.5),
+      "t07_dedup_simhash" -> simhashOracleSql(3, 0.5),
       "t09_ann_lsh_topk" ->
         """WITH v AS (
           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
@@ -363,6 +376,37 @@ object TrainingData {
           |   sqrt(list_reduce(list_transform(range(1, 65), i ->
           |    b.e[CAST(i AS INT)] * b.e[CAST(i AS INT)]), (x, y) -> x + y))) >= 0.5
           |ORDER BY id_a, id_b""".stripMargin,
+      "t13_emb_near_dup_lsh" ->
+        """WITH v AS (
+          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+          |), proj AS (
+          |  SELECT vec_id, p,
+          |    list_reduce(list_transform(range(1, 65), i ->
+          |      e[CAST(i AS INT)] *
+          |      (CASE WHEN ((p * 1024 + i - 1) * 2654435761 + 123456789) % 4294967296
+          |                 >= 2147483648
+          |            THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)),
+          |      (x, y) -> x + y) AS pr
+          |  FROM v, range(0, 8) t(p)
+          |), bkt AS (
+          |  SELECT vec_id,
+          |    CAST(SUM(CASE WHEN pr >= 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS bucket
+          |  FROM proj GROUP BY vec_id
+          |), v2 AS (
+          |  SELECT v.vec_id, v.e, bkt.bucket FROM v JOIN bkt USING (vec_id)
+          |), p2 AS (
+          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          |    list_reduce(list_transform(range(1, 65), i ->
+          |      a.e[CAST(i AS INT)] * b.e[CAST(i AS INT)]), (x, y) -> x + y) /
+          |    (sqrt(list_reduce(list_transform(range(1, 65), i ->
+          |      a.e[CAST(i AS INT)] * a.e[CAST(i AS INT)]), (x, y) -> x + y)) *
+          |     sqrt(list_reduce(list_transform(range(1, 65), i ->
+          |      b.e[CAST(i AS INT)] * b.e[CAST(i AS INT)]), (x, y) -> x + y)))
+          |    AS cosine_sim
+          |  FROM v2 a JOIN v2 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+          |)
+          |SELECT id_a, id_b, cosine_sim FROM p2
+          |WHERE cosine_sim >= 0.3 ORDER BY id_a, id_b""".stripMargin,
       "t11_multimodal_meta" ->
         """SELECT doc_id, 'text/plain' AS media_type,
           |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

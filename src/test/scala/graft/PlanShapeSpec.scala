@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions at sf0.001: these lock in the
+  * properties that matter at 100 TB — filters reaching the parquet
+  * scan, column pruning, broadcast joins for star dims, and no
+  * cartesian products in the bucketed similarity paths. A green
+  * result here is what `.explain("formatted")` review verified by
+  * hand, made regression-proof.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.session
+  val dir = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.sparkPlan.toString
+
+  test("q01: filter is pushed down to the parquet scan") {
+    val plan = planOf(queries.Relational.q01(spark, dir))
+    assert(plan.contains("PushedFilters: ["), plan.take(500))
+    assert(plan.contains("IsNotNull") || plan.contains("LessThanOrEqual"),
+      "expected the date predicate among pushed filters")
+  }
+
+  test("q02: scan reads only the projected columns") {
+    val df = queries.Relational.q02(spark, dir)
+    val scanLine = planOf(df).linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    // lineitem has 16 columns; the projection needs a handful
+    assert(!scanLine.contains("l_comment"),
+      s"unprojected column read from parquet: $scanLine")
+  }
+
+  test("q21: star-schema dims are broadcast, not shuffled") {
+    val plan = planOf(queries.RelationalExt.q21(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
+  test("bucketed similarity paths contain no cartesian product") {
+    val t9 = planOf(operators.Similarity.lshTopK(
+      Tables.embeddings(spark, dir), "vec_id", "embedding", 3, 8))
+    val t13 = planOf(operators.Similarity.lshNearDupPairs(
+      Tables.embeddings(spark, dir), "vec_id", "embedding", 0.3, 8))
+    for ((name, p) <- Seq("t09" -> t9, "t13" -> t13)) {
+      assert(!p.contains("CartesianProduct"),
+        s"$name plan degraded to a cartesian product")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+        p.contains("BroadcastHashJoin"), s"$name lost its equi-join on the bucket key")
+    }
+  }
+
+  test("dedup family joins on compact keys, never full documents") {
+    // the jaccard inverted-index join must join on the 8-byte shingle
+    // fingerprint, not the shingle string
+    val plan = planOf(operators.Dedup.jaccardPairs(
+      Tables.documents(spark, dir), "doc_id", "text", 3, 0.05, 100000))
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+}

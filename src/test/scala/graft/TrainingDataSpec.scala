@@ -92,13 +92,29 @@ class TrainingDataSpec extends AnyFunSuite {
         Dedup.simhash64(org.apache.spark.sql.functions.col("text")).as("sim"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val expected = exact.filter { case (a, b) =>
-      java.lang.Long.bitCount(fp(a) ^ fp(b)) <= 7
+      java.lang.Long.bitCount(fp(a) ^ fp(b)) <= 3
     }
-    val sim = Dedup.simhashNearDups(docs, "doc_id", "text", 3, 7, 0.5)
+    val sim = Dedup.simhashNearDups(docs, "doc_id", "text", 3, 3, 0.5)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(expected.nonEmpty, "fixture should contain in-bound near-dups")
     assert(sim == expected,
       s"missed=${(expected -- sim).take(5)} extra=${(sim -- expected).take(5)}")
+  }
+
+  test("LSH near-dup pairs equal exact pairs restricted to shared buckets") {
+    val emb = Tables.embeddings(spark, dir)
+    val exact = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val buckets = emb.select(org.apache.spark.sql.functions.col("vec_id"),
+        Similarity.lshBucket(org.apache.spark.sql.functions.col("embedding"), 8).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = exact.filter { case (a, b) => buckets(a) == buckets(b) }
+    val lsh = Similarity.lshNearDupPairs(emb, "vec_id", "embedding", 0.3, 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty, "fixture should contain bucket-sharing near-dups")
+    assert(lsh == expected,
+      s"missed=${(expected -- lsh).take(5)} extra=${(lsh -- expected).take(5)}")
+    assert(lsh.subsetOf(exact), "verify step admits only true near-dups")
   }
 
   test("brute-force ANN: top-1 neighbor of a vector's twin is the twin") {

@@ -118,6 +118,28 @@ class AnalysisSpec extends AnyFunSuite {
       .exists(_.ruleId == "select-star"))
   }
 
+  test("AI test suggester parses JSON forms and falls back on failure") {
+    val node = NodeMeta("model.p.m", "m", "model", rawCode = "SELECT 1",
+      columns = ListMap(
+        "user_id" -> ColumnMeta("user_id"),
+        "status" -> ColumnMeta("status")))
+    val existing = Seq(TestSuggestions.ExistingTest("model.p.x", "order_id", "unique"))
+    class One(resp: String) extends DocSynthesis.LlmClient {
+      def complete(s: String, u: String): String = resp
+    }
+    val ok = TestSuggestions.suggestWithClient(Manifest(Seq(node)), node, existing,
+      new One("""{"user_id": ["unique", {"test_type": "not_null", "reason": "PK"}],
+                |"status": ["accepted_values"], "ghost_col": ["unique"]}""".stripMargin))
+    assert(ok.map(s => (s.column, s.test)).toSet ==
+      Set(("user_id", "unique"), ("user_id", "not_null"), ("status", "accepted_values")))
+    assert(ok.find(s => s.test == "not_null").exists(_.reason == "PK"))
+    // garbage response → pattern/heuristic fallback, never an exception
+    val fb = TestSuggestions.suggestWithClient(Manifest(Seq(node)), node, existing,
+      new One("I cannot help with that"))
+    assert(fb.nonEmpty &&
+      fb.forall(s => s.reason.contains("mined") || s.reason.contains("heuristic")))
+  }
+
   test("parse errors reported via the Spark parser") {
     val spark = graft.TestSpark.session
     val vs = Lint.lint("SELEC broken FROM", spark = Some(spark))

@@ -42,6 +42,42 @@ class GeneratorsSpec extends AnyFunSuite {
     assert(profile.commonPhrases.exists(_._1 == "unique identifier"))
   }
 
+  test("voice learning: tone, terminology, and prompt rendering") {
+    val m = Manifest(Seq(NodeMeta("model.a", "a", "model",
+      description = "Contains the customer order history with timestamp columns.",
+      columns = ListMap(
+        "id" -> ColumnMeta("id", Some("Unique id key.")),
+        "u" -> ColumnMeta("u", Some("Tracks the customer id across systems.")),
+        "t" -> ColumnMeta("t", Some("Timestamp of the event; timestamp is UTC."))))))
+    val p = VoiceLearning.analyze(m)
+    assert(p.toneMarkers("imperative") >= 2) // contains / tracks
+    assert(p.toneMarkers("technical") >= 2) // id / timestamp
+    // 'id' beats 'identifier'/'key' and 'timestamp' beats 'datetime'
+    assert(p.terminologyPreferences.contains("id") ||
+      p.terminologyPreferences.contains("timestamp"))
+    val ctx = p.toPromptContext()
+    assert(ctx.contains("Target description length"))
+    assert(ctx.contains("Model Description Examples"))
+    assert(ctx.contains("Column Description Examples"))
+    assert(VoiceLearning.analyze(Manifest(Seq.empty[NodeMeta])).toPromptContext()
+      == "No style information available.")
+  }
+
+  test("style examples: targeted from similar nodes, general otherwise") {
+    val documented = NodeMeta("model.c", "customer_payments", "model",
+      description = "Payment facts per customer.",
+      columns = ListMap("customer_id" ->
+        ColumnMeta("customer_id", Some("Customer FK."))))
+    val target = NodeMeta("model.t", "customer_orders", "model",
+      columns = ListMap("customer_id" -> ColumnMeta("customer_id")))
+    val m = Manifest(Seq(documented, target))
+    val targeted = VoiceLearning.extractStyleExamples(m, Some(target))
+    assert(targeted("model_descriptions").exists(_.contains("customer_payments")))
+    assert(targeted("column_descriptions").exists(_.contains("Customer FK.")))
+    val general = VoiceLearning.extractStyleExamples(m, None)
+    assert(general("model_descriptions").exists(_.startsWith("# Example 1")))
+  }
+
   test("similar documented nodes ranked by shared columns") {
     val target = NodeMeta("model.t", "customer_orders", "model",
       columns = ListMap("customer_id" -> ColumnMeta("customer_id")))
