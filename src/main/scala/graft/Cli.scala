@@ -29,6 +29,17 @@ object Cli {
     s
   }
 
+  /** Project-aware settings: supplementary `dbt-osmosis.yml` loaded
+    * from the project root (level 7 of the resolution chain), project
+    * vars as level 8, and the YAML dialect following Fusion-manifest
+    * detection (A3).
+    */
+  private def settingsFor(project: ProjectLoader.Project,
+      base: graft.core.EngineSettings = graft.core.EngineSettings()): graft.core.EngineSettings =
+    graft.core.EngineSettings.withSupplementary(base, project.root)
+      .copy(vars = project.vars ++ base.vars,
+        fusionCompat = project.fusionManifest)
+
   def main(args: Array[String]): Unit = args.toList match {
     case "build" :: dir :: Nil =>
       val spark = session()
@@ -52,7 +63,8 @@ object Cli {
       val project = ProjectLoader.load(dir)
       val executor = new ModelExecutor(spark, project)
       executor.buildAll()
-      val settings = graft.core.EngineSettings(addProgenitorToMeta = true)
+      val settings = settingsFor(project,
+        graft.core.EngineSettings(addProgenitorToMeta = true))
       var manifest = executor.manifest
       val pipeline = graft.core.Transforms.Pipeline()
         .andThen("inherit", (m, n) =>
@@ -103,9 +115,10 @@ object Cli {
       val project = ProjectLoader.load(dir)
       val executor = new ModelExecutor(spark, project)
       executor.buildAll()
-      val settings = graft.core.EngineSettings(
-        addProgenitorToMeta = true,
-        vars = project.vars ++ Map("dbt_osmosis_default_path" -> "{parent}/{model}.yml"))
+      val settings = settingsFor(project,
+        graft.core.EngineSettings(
+          addProgenitorToMeta = true,
+          vars = Map("dbt_osmosis_default_path" -> "{parent}/{model}.yml")))
       import graft.core._
 
       val plan = Restructuring.draftPlan(project.root, executor.manifest, settings)

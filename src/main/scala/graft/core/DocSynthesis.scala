@@ -250,6 +250,180 @@ object DocSynthesis {
     }
   }
 
+  // ---- NL → SQL / NL → model (core/llm.py:1105-1300) ----
+
+  /** Extract SQL from a possibly-markdown-fenced response: content of
+    * the first ```sql block, or the whole trimmed text.
+    */
+  private[core] def extractSql(raw: String): String = {
+    val t = raw.trim
+    if (!t.startsWith("```")) t
+    else {
+      val lines = t.linesIterator.toSeq
+      val body = lines.dropWhile(l => !l.toLowerCase.startsWith("```sql"))
+      val inner =
+        if (body.nonEmpty) body.drop(1).takeWhile(!_.startsWith("```"))
+        else lines.drop(1).takeWhile(!_.startsWith("```"))
+      inner.mkString("\n").trim
+    }
+  }
+
+  private def sourcesContext(availableSources: Seq[(String, Seq[String])]): String =
+    if (availableSources.isEmpty) "(none listed)"
+    else availableSources.map { case (n, cols) =>
+      s"- $n(${cols.mkString(", ")})"
+    }.mkString("\n")
+
+  /** Natural language → SQL with dbt refs (llm.py:1105-1157). */
+  def generateSqlFromNl(client: LlmClient, query: String,
+      availableSources: Seq[(String, Seq[String])] = Nil,
+      schemaContext: Option[String] = None): String = {
+    val out = callWithRetry(() => client.complete(
+      "Translate the request into a single SQL query using dbt " +
+        "{{ ref('...') }} / {{ source('...','...') }} relations. Reply with SQL only.",
+      s"""Request: ${redactCredentials(query)}
+         |Available relations:
+         |${sourcesContext(availableSources)}
+         |${schemaContext.map(c => s"Schema context:\n$c").getOrElse("")}""".stripMargin))
+    if (out == null || out.trim.isEmpty)
+      throw LlmResponseError("LLM returned an empty response")
+    extractSql(out)
+  }
+
+  final case class NlModelSpec(
+      modelName: String, description: String, sql: String,
+      materialized: String, columns: Seq[ColumnSpec])
+
+  /** Natural language → complete dbt model spec (llm.py:1159-1300):
+    * `{model_name, description, sql, materialized, columns[]}`.
+    */
+  def generateModelFromNl(client: LlmClient, query: String,
+      availableSources: Seq[(String, Seq[String])] = Nil,
+      schemaContext: Option[String] = None): NlModelSpec = {
+    val raw = callWithRetry(() => client.complete(
+      "Design a dbt model for the request. Reply ONLY with JSON " +
+        "{\"model_name\", \"description\", \"sql\", \"materialized\", " +
+        "\"columns\": [{\"name\", \"description\"}]}.",
+      s"""Request: ${redactCredentials(query)}
+         |Available relations:
+         |${sourcesContext(availableSources)}
+         |${schemaContext.map(c => s"Schema context:\n$c").getOrElse("")}""".stripMargin))
+    if (raw == null || raw.trim.isEmpty)
+      throw LlmResponseError("LLM returned an empty response")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root =
+      try mapper.readTree(stripFences(raw))
+      catch { case e: Exception =>
+        throw LlmResponseError(s"LLM returned invalid JSON: ${e.getMessage}")
+      }
+    if (root == null || !root.isObject)
+      throw LlmResponseError("LLM returned invalid JSON: not an object")
+    def str(k: String, dflt: String = ""): String =
+      Option(root.get(k)).filter(_.isTextual).map(_.asText).getOrElse(dflt)
+    val mat = str("materialized", "view")
+    val validMat = Set("table", "view", "incremental", "ephemeral")
+    val cols = Option(root.get("columns")).filter(_.isArray).map { arr =>
+      (0 until arr.size).flatMap { i =>
+        val c = arr.get(i)
+        for {
+          n <- Option(c.get("name")).filter(_.isTextual).map(_.asText)
+        } yield ColumnSpec(n,
+          Option(c.get("description")).filter(_.isTextual).map(_.asText).getOrElse(""))
+      }
+    }.getOrElse(Nil)
+    NlModelSpec(str("model_name", "generated_model"), str("description"),
+      extractSql(str("sql")), if (validMat(mat)) mat else "view", cols)
+  }
+
+  // ---- semantic analysis (core/llm.py:790-857, transforms.py:853-990) ----
+
+  final case class SemanticAnalysis(
+      semanticType: String,
+      businessMeaning: String,
+      inferredRelationship: Option[String],
+      description: Option[String],
+      tags: Seq[String],
+      meta: Map[String, String])
+
+  /** Analyze one column's business semantics via the client:
+    * `{semantic_type, business_meaning, inferred_relationship,
+    * description, tags[], meta{}}`.
+    */
+  def analyzeColumnSemantics(client: LlmClient, node: NodeMeta, column: ColumnMeta,
+      upstreamColumns: Seq[(String, String)] = Nil): SemanticAnalysis = {
+    val raw = callWithRetry(() => client.complete(
+      "Infer the column's business semantics. Reply ONLY with JSON " +
+        "{\"semantic_type\", \"business_meaning\", \"inferred_relationship\", " +
+        "\"description\", \"tags\": [..], \"meta\": {..}}.",
+      s"""Column ${column.name} (type ${column.dataType.getOrElse("unknown")})
+         |Table ${node.name}
+         |Model context: ${node.description}
+         |Upstream columns:
+         |${upstreamColumns.take(20).map { case (n, d) => s"- $n: $d" }.mkString("\n")}""".stripMargin))
+    if (raw == null || raw.trim.isEmpty)
+      throw LlmResponseError("LLM returned an empty response")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root =
+      try mapper.readTree(stripFences(raw))
+      catch { case e: Exception =>
+        throw LlmResponseError(s"LLM returned invalid JSON: ${e.getMessage}")
+      }
+    if (root == null || !root.isObject)
+      throw LlmResponseError("LLM returned invalid JSON: not an object")
+    def strOpt(k: String): Option[String] =
+      Option(root.get(k)).filter(_.isTextual).map(_.asText).filter(_.nonEmpty)
+    val tags = Option(root.get("tags")).filter(_.isArray).map { arr =>
+      (0 until arr.size).flatMap(i =>
+        Option(arr.get(i)).filter(_.isTextual).map(_.asText))
+    }.getOrElse(Nil)
+    val meta = Option(root.get("meta")).filter(_.isObject).map { m =>
+      val out = scala.collection.mutable.ListBuffer.empty[(String, String)]
+      m.fields().forEachRemaining(e =>
+        if (e.getValue.isTextual) out += e.getKey -> e.getValue.asText)
+      out.toMap
+    }.getOrElse(Map.empty[String, String])
+    SemanticAnalysis(
+      strOpt("semantic_type").getOrElse("unknown"),
+      strOpt("business_meaning").getOrElse(""),
+      strOpt("inferred_relationship"),
+      strOpt("description"), tags, meta)
+  }
+
+  /** Apply semantic analysis across a node's columns (reference
+    * transforms.py:854-990): skip columns already documented with > 50
+    * chars, otherwise fill description and merge suggested tags/meta.
+    * Any per-column failure leaves that column untouched.
+    */
+  def applySemanticAnalysis(manifest: Manifest, node: NodeMeta,
+      settings: EngineSettings, client: LlmClient): NodeMeta = {
+    val upstream = node.deps.flatMap(manifest.get).flatMap(_.columns.values)
+      .flatMap(c => c.description.filter(d => !settings.placeholders(d))
+        .map(d => c.name -> d))
+    val cols = node.columns.map { case (name, c) =>
+      if (c.description.exists(_.length > 50)) name -> c
+      else try {
+        val sem = analyzeColumnSemantics(client, node, c, upstream)
+        var out = c
+        sem.description.filter(_ => out.description.forall(d =>
+          d.isEmpty || settings.placeholders(d))).foreach(d =>
+          out = out.copy(description = Some(d)))
+        if (sem.tags.nonEmpty)
+          out = out.copy(tags = Inheritance.orderPreservingUnion(out.tags, sem.tags))
+        if (sem.meta.nonEmpty || sem.semanticType != "unknown") {
+          var m = ListMap(out.meta.toSeq: _*)
+          if (sem.semanticType != "unknown" && !m.contains("semantic_type"))
+            m += "semantic_type" -> sem.semanticType
+          sem.inferredRelationship.foreach(r =>
+            if (!m.contains("foreign_key")) m += "foreign_key" -> r)
+          sem.meta.foreach { case (k, v) => if (!m.contains(k)) m += k -> v }
+          out = out.copy(meta = m)
+        }
+        name -> out
+      } catch { case _: Exception => name -> c }
+    }
+    node.copy(columns = ListMap(cols.toSeq: _*))
+  }
+
   /** Synthesize across candidate models in topological order, folding
     * each synthesized node back into the manifest so downstream nodes
     * INHERIT freshly synthesized upstream docs instead of re-asking

@@ -132,6 +132,54 @@ class DocSynthesisSpec extends AnyFunSuite {
     assert(out.columns("ph").description.contains("generated text"))
   }
 
+  test("NL->SQL strips fences; NL->model parses the full spec contract") {
+    val sqlClient = new ScriptedClient(
+      "```sql\nSELECT o_orderkey FROM {{ ref('orders') }}\n```")
+    val sql = generateSqlFromNl(sqlClient, "order keys",
+      Seq("orders" -> Seq("o_orderkey")))
+    assert(sql == "SELECT o_orderkey FROM {{ ref('orders') }}")
+    assert(sqlClient.calls.head.contains("orders(o_orderkey)"))
+    val modelClient = new ScriptedClient(
+      """```json
+        |{"model_name": "fct_orders", "description": "Order facts",
+        | "sql": "SELECT 1", "materialized": "incremental",
+        | "columns": [{"name": "o_orderkey", "description": "PK"}]}
+        |```""".stripMargin)
+    val spec = generateModelFromNl(modelClient, "build an orders fact")
+    assert(spec.modelName == "fct_orders" && spec.materialized == "incremental")
+    assert(spec.columns == Seq(ColumnSpec("o_orderkey", "PK")))
+    // invalid materialization falls back to view
+    val weird = generateModelFromNl(new ScriptedClient(
+      """{"model_name": "m", "sql": "SELECT 1", "materialized": "exotic"}"""), "x")
+    assert(weird.materialized == "view")
+  }
+
+  test("semantic analysis fills sparse columns, skips documented ones") {
+    val sem = """{"semantic_type": "foreign_key",
+                | "business_meaning": "links order to customer",
+                | "inferred_relationship": "customers.customer_id",
+                | "description": "Customer FK.",
+                | "tags": ["join-key"], "meta": {"domain": "sales"}}""".stripMargin
+    val client = new ScriptedClient(sem)
+    val m = Manifest(Seq(node("m", Seq(
+      "customer_id" -> "",
+      "well_documented" -> ("x" * 60)))))
+    val out = DocSynthesis.applySemanticAnalysis(
+      m, m.get("model.p.m").get, settings, client)
+    assert(client.calls.size == 1, "documented column must be skipped")
+    val c = out.columns("customer_id")
+    assert(c.description.contains("Customer FK."))
+    assert(c.tags.contains("join-key"))
+    assert(c.meta("semantic_type") == "foreign_key")
+    assert(c.meta("foreign_key") == "customers.customer_id")
+    assert(c.meta("domain") == "sales")
+    assert(out.columns("well_documented").meta.isEmpty)
+    // a garbage response leaves the column untouched, no exception
+    val out2 = DocSynthesis.applySemanticAnalysis(
+      m, m.get("model.p.m").get, settings, new ScriptedClient("nope"))
+    assert(out2.columns("customer_id").description.isEmpty)
+  }
+
   test("topological reuse: downstream inherits synthesized docs, saving requests") {
     val up = node("up", Seq("id" -> ""))
     val down = node("down", Seq("id" -> ""), deps = Seq("model.p.up"))
