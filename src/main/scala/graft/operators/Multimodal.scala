@@ -67,6 +67,74 @@ object Multimodal {
     (w, h, feat)
   }
 
+  /** Schema for the resize stage output. */
+  val ResizedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false)))
+
+  /** STUB resize — stands in for an image scaler. Deterministic: keeps
+    * every k-th byte so the "resized" payload is a fixed fraction of
+    * the input, sized to targetW×targetH. Real implementation calls
+    * the codec's scaler here; the partition-wise batch shape (one
+    * codec init per task) is the part that matters at scale.
+    */
+  def fakeResize(payload: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+    // ??? <- real scaler goes here; deterministic fake below.
+    val target = math.max(1, math.min(payload.length, targetW * targetH / 8))
+    val step = (payload.length + target - 1) / math.max(1, target)
+    payload.grouped(math.max(1, step)).map(_.head).toArray
+  }
+
+  /** Resize stage: map-only partition-wise transform emitting resized
+    * payloads with their new dimensions ([[ResizedSchema]]).
+    */
+  def resize(withPayloads: DataFrame, idCol: String,
+      targetW: Int, targetH: Int): DataFrame = {
+    val encoder = ExpressionEncoder(ResizedSchema)
+    val input = withPayloads.select(col(idCol).cast("long"), col("payload"))
+    input.mapPartitions { rows =>
+      rows.map { r =>
+        val resized = fakeResize(r.getAs[Array[Byte]](1), targetW, targetH)
+        Row(r.getLong(0), resized, targetW, targetH, resized.length.toLong)
+      }
+    }(encoder)
+  }
+
+  /** Schema for sampled frames: one row per frame (one-to-many). */
+  val FrameSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("frame", BinaryType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false)))
+
+  /** STUB frame sampler — stands in for a video demuxer. Deterministic:
+    * splits the payload into fixed-size chunks ("frames") and keeps
+    * every `everyNth`. The Spark shape is the real contract: a
+    * partition-wise ONE-TO-MANY expansion (flatMap inside
+    * mapPartitions), the same iterator pattern an Arrow-batch video
+    * pipeline uses, with no driver involvement and no shuffle.
+    */
+  def sampleFrames(withPayloads: DataFrame, idCol: String,
+      frameBytes: Int = 64, everyNth: Int = 2): DataFrame = {
+    require(frameBytes > 0 && everyNth > 0)
+    val encoder = ExpressionEncoder(FrameSchema)
+    val input = withPayloads.select(col(idCol).cast("long"), col("payload"))
+    input.mapPartitions { rows =>
+      rows.flatMap { r =>
+        // ??? <- real demuxer goes here; deterministic fake below.
+        val payload = r.getAs[Array[Byte]](1)
+        payload.grouped(frameBytes).zipWithIndex
+          .filter { case (_, i) => i % everyNth == 0 }
+          .map { case (frame, i) =>
+            Row(r.getLong(0), i, frame, frame.length.toLong)
+          }
+      }
+    }(encoder)
+  }
+
   /** Decode/feature-extract stage: partition-wise over the payload
     * column, emitting [[FeatureSchema]] rows. No shuffle — map-only,
     * embarrassingly parallel over the corpus.

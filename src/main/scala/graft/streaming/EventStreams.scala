@@ -68,6 +68,25 @@ object EventStreams {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("total_value"))
 
+  /** Streaming deduplication: drop repeated (user_id, event_type, ts)
+    * events, with state bounded by the watermark
+    * (dropDuplicatesWithinWatermark — the streaming face of the batch
+    * exact-dedup operator; at 100 TB/day the dedup state holds only
+    * keys inside the watermark horizon, not the full history).
+    */
+  def dedupedEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "ts")
+
+  /** Stream-static enrichment join: the static side (a dimension
+    * table) is joined map-side against each micro-batch — Catalyst
+    * broadcasts it, so the stream never shuffles. The standard shape
+    * for joining a firehose against reference data.
+    */
+  def enrichedEvents(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
+
   /** Custom stateful sessionization via flatMapGroupsWithState — the
     * escape hatch for state machines session_window can't express
     * (here: emit a summary whenever a session's event budget or the

@@ -60,6 +60,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(totalEvents == batchEvents.count())
   }
 
+  test("streaming dedup drops repeats within the watermark") {
+    // duplicate the whole fixture: every (user, type, ts) key appears
+    // at least twice; the deduped stream must match the batch distinct
+    val d = java.nio.file.Files.createTempDirectory("graft_events_dup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      d.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      d.resolve("b.parquet"))
+    val stream = EventStreams.readEventStream(spark, d.toString)
+    val got = EventStreams.runToMemory(
+      EventStreams.dedupedEvents(stream), "dedup_out", "append")
+    val want = batchEvents.select("user_id", "event_type", "ts").distinct().count()
+    assert(got.count() == want,
+      s"streaming dedup ${got.count()} != batch distinct $want")
+  }
+
+  test("stream-static join enriches each micro-batch from a broadcast dim") {
+    val stream = EventStreams.readEventStream(spark, dir)
+    val dim = spark.createDataFrame(Seq(
+      ("click", "interactive"), ("view", "passive"))).toDF("event_type", "kind")
+    val got = EventStreams.runToMemory(
+      EventStreams.enrichedEvents(stream, dim, "event_type"), "enrich_out", "append")
+    assert(got.count() == batchEvents.count(), "left join preserves the stream")
+    val kinds = got.select("kind").distinct().collect().map(_.getString(0)).toSet
+    assert(kinds.contains("interactive") || kinds.contains("passive"))
+  }
+
   test("stateful sessionization emits when the event budget closes a session") {
     import spark.implicits._
     val events = batchEvents

@@ -156,4 +156,34 @@ class TrainingDataSpec extends AnyFunSuite {
     val row = feats.orderBy("doc_id").limit(1).collect()(0)
     assert(row.getSeq[Double](row.fieldIndex("feature")).length == 8)
   }
+
+  test("multimodal resize and frame-sample keep the map-only contract") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir).limit(50)
+    val payloads = Multimodal.withPayload(docs, "doc_id", "text")
+    val resized = Multimodal.resize(payloads, "doc_id", 32, 32)
+    assert(resized.count() == 50)
+    assert(resized.filter(col("n_bytes") > 32 * 32 / 8).count() == 0,
+      "resized payloads bounded by the target size")
+    assert(resized.filter(col("width") =!= 32 || col("height") =!= 32).count() == 0)
+    // frame sampling: one-to-many, every 2nd 64-byte chunk kept
+    val frames = Multimodal.sampleFrames(payloads, "doc_id", frameBytes = 64, everyNth = 2)
+    assert(frames.count() >= 50, "every doc yields at least frame 0")
+    assert(frames.filter(col("frame_idx") % 2 =!= 0).count() == 0)
+    // per-doc frame counts equal ceil(chunks / everyNth)
+    val perDoc = frames.groupBy("doc_id").count().orderBy("doc_id")
+      .collect().map(_.getLong(1))
+    val chunks = payloads.orderBy("doc_id").select(ceil(octet_length(col("payload")) / 64.0))
+      .collect().map(_.getLong(0))
+    perDoc.zip(chunks).foreach { case (got, ch) =>
+      assert(got == (ch + 1) / 2, s"frames $got for $ch chunks")
+    }
+    // no shuffle in either plan: map-only operators (assert on the
+    // un-limited pipeline — limit() itself adds an exchange)
+    val full = Multimodal.withPayload(Tables.documents(spark, dir), "doc_id", "text")
+    for (df <- Seq(Multimodal.resize(full, "doc_id", 32, 32),
+        Multimodal.sampleFrames(full, "doc_id")))
+      assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
+        "resize/frame-sample must not shuffle")
+  }
 }
