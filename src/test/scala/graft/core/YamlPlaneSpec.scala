@@ -269,6 +269,43 @@ class YamlPlaneSpec extends AnyFunSuite {
       .contains("models/marts/marts/orders.yml"))
   }
 
+  test("missing-source bootstrap introspects live tables into source YAML") {
+    val spark = graft.TestSpark.session
+    graft.Tables.registerAll(spark, "/root/testdata/sf0.001")
+    val root = tmpRoot()
+    Files.createDirectories(root.resolve("models"))
+    YamlIO.invalidate()
+    val s = EngineSettings(vars = Map("dbt-osmosis" -> Map(
+      "sources" -> Map("raw" -> "staging/raw"))))
+    assert(SourceBootstrap.declaredSources(s) == Map("raw" -> "staging/raw"))
+    val (m2, touched) = SourceBootstrap.createMissingSources(
+      spark, root, Manifest(Seq.empty[NodeMeta]), s,
+      tablesForSource = _ => Seq("nation", "region"))
+    assert(m2.get("source.project.raw.nation").isDefined)
+    assert(m2.get("source.project.raw.nation").get.columns.contains("n_name"))
+    assert(touched.map(_.getFileName.toString) == Seq("raw.yml"))
+    val written = Files.readString(root.resolve("models/staging/raw.yml"))
+    assert(written.contains("name: raw") && written.contains("name: nation") &&
+      written.contains("name: region") && written.contains("n_nationkey"))
+    // idempotent: a second run creates nothing new
+    val (m3, touched2) = SourceBootstrap.createMissingSources(
+      spark, root, m2, s, tablesForSource = _ => Seq("nation", "region"))
+    assert(touched2.isEmpty && m3.nodes.size == m2.nodes.size)
+  }
+
+  test("catalog generation snapshots relation schemas in order") {
+    val spark = graft.TestSpark.session
+    graft.Tables.registerAll(spark, "/root/testdata/sf0.001")
+    val cat = Introspection.generateCatalog(spark, Seq("region", "nation"),
+      EngineSettings())
+    assert(cat.keySet == Set("region", "nation"))
+    val region = cat("region").sortBy(_.index)
+    assert(region.map(_.name) == Seq("r_regionkey", "r_name"))
+    assert(region.head.dataType.nonEmpty)
+    assert(cat("nation").sortBy(_.index).map(_.name).take(2) ==
+      Seq("n_nationkey", "n_name"))
+  }
+
   test("validation passes resolvable SQL and fails unresolvable columns") {
     val spark = graft.TestSpark.session
     graft.Tables.registerAll(spark, "/root/testdata/sf0.001")
