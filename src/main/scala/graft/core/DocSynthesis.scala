@@ -424,6 +424,45 @@ object DocSynthesis {
     node.copy(columns = ListMap(cols.toSeq: _*))
   }
 
+  final case class DocumentationSuggestion(
+      text: String, confidence: Double, reasoning: String)
+
+  /** Suggest an improved description with confidence scoring
+    * (core/llm.py:1878-1990): base 0.5, +0.2 with style information,
+    * +0.15 with non-empty upstream docs, +0.1 for tables with SQL
+    * context, −0.1 when overwriting an existing description (the
+    * model has to beat a human), capped to [0, 0.95].
+    */
+  def suggestDocumentationImprovement(client: LlmClient, target: String,
+      currentDescription: Option[String], name: String,
+      sqlContent: Option[String] = None, upstreamDocs: Seq[String] = Nil,
+      styleContext: Option[String] = None): DocumentationSuggestion = {
+    require(target == "column" || target == "table", s"bad target $target")
+    var confidence = 0.5
+    val reasons = scala.collection.mutable.ArrayBuffer[String]()
+    if (styleContext.exists(_.nonEmpty)) { confidence += 0.2; reasons += "style context" }
+    if (upstreamDocs.exists(_.trim.nonEmpty)) { confidence += 0.15; reasons += "upstream docs" }
+    if (target == "table" && sqlContent.exists(_.nonEmpty)) {
+      confidence += 0.1; reasons += "sql context"
+    }
+    if (currentDescription.exists(_.trim.nonEmpty)) {
+      confidence -= 0.1; reasons += "existing description to beat"
+    }
+    confidence = math.max(0.0, math.min(0.95, confidence))
+    val text = callWithRetry(() => client.complete(
+      s"Improve the $target description. Reply with prose only.",
+      s"""$target $name
+         |Current description: ${currentDescription.getOrElse("(none)")}
+         |${sqlContent.map(s => s"SQL:\n${truncateSql(redactCredentials(s), Some(2000))}").getOrElse("")}
+         |${styleContext.map(c => s"Project style:\n$c").getOrElse("")}
+         |Upstream docs:
+         |${upstreamDocs.mkString("\n")}""".stripMargin))
+    if (text == null || text.trim.isEmpty)
+      throw LlmResponseError("LLM returned an empty response")
+    DocumentationSuggestion(text.trim, confidence,
+      if (reasons.isEmpty) "base confidence only" else reasons.mkString(", "))
+  }
+
   /** Synthesize across candidate models in topological order, folding
     * each synthesized node back into the manifest so downstream nodes
     * INHERIT freshly synthesized upstream docs instead of re-asking

@@ -180,6 +180,48 @@ class DocSynthesisSpec extends AnyFunSuite {
     assert(out2.columns("customer_id").description.isEmpty)
   }
 
+  test("staging spec: client transformations applied, fallback on garbage") {
+    val src = NodeMeta("source.p.raw.orders", "orders", "source",
+      fqn = Seq("p", "raw", "orders"),
+      columns = ListMap(
+        "OrderID" -> ColumnMeta("OrderID", dataType = Some("BIGINT")),
+        "amt" -> ColumnMeta("amt", dataType = Some("STRING"))))
+    val resp = """{"staging_name": "stg_orders", "description": "Cleansed orders",
+                 | "materialization": "view", "columns": [
+                 |  {"original_name": "OrderID", "new_name": "order_id"},
+                 |  {"original_name": "amt", "new_name": "amount",
+                 |   "expression": "CAST(amt AS DECIMAL(18,2))",
+                 |   "description": "Order amount"}]}""".stripMargin
+    val client = new ScriptedClient(resp)
+    val spec = Staging.generateStagingSpecWithClient(client, src)
+    assert(spec.stagingName == "stg_orders")
+    assert(spec.columns(1).expression.contains("CAST(amt AS DECIMAL(18,2))"))
+    val sql = Staging.renderStagingSql(spec, "raw")
+    assert(sql.contains("{{ source('raw', 'orders') }}"))
+    assert(sql.contains("OrderID as order_id"))
+    assert(sql.contains("CAST(amt AS DECIMAL(18,2)) as amount"))
+    // garbage → deterministic snake_case fallback
+    val fb = Staging.generateStagingSpecWithClient(new ScriptedClient("nope"), src)
+    assert(fb.stagingName == "stg_orders")
+    assert(fb.columns.map(_.newName) == Seq("order_id", "amt"))
+  }
+
+  test("doc improvement suggestions carry calibrated confidence") {
+    val client = new ScriptedClient("A better description.")
+    val bare = suggestDocumentationImprovement(client, "column", None, "c")
+    assert(bare.confidence == 0.5 && bare.text == "A better description.")
+    val rich = suggestDocumentationImprovement(client, "table",
+      currentDescription = None, name = "t", sqlContent = Some("SELECT 1"),
+      upstreamDocs = Seq("- id: PK"), styleContext = Some("terse"))
+    assert(math.abs(rich.confidence - 0.95) < 1e-9) // 0.5+0.2+0.15+0.1
+    val contested = suggestDocumentationImprovement(client, "column",
+      currentDescription = Some("Existing docs"), name = "c")
+    assert(math.abs(contested.confidence - 0.4) < 1e-9)
+    assert(contested.reasoning.contains("existing description"))
+    assertThrows[IllegalArgumentException](
+      suggestDocumentationImprovement(client, "index", None, "x"))
+  }
+
   test("topological reuse: downstream inherits synthesized docs, saving requests") {
     val up = node("up", Seq("id" -> ""))
     val down = node("down", Seq("id" -> ""), deps = Seq("model.p.up"))
