@@ -57,7 +57,12 @@ object DbtCompiler {
 
   def compile(raw: String, manifest: Manifest,
       vars: Map[String, Any] = Map.empty,
-      envVars: Map[String, String] = sys.env): Compiled = {
+      envVars: Map[String, String] = sys.env,
+      /** dbt incremental context: `is_incremental()` returns this and
+        * `{{ this }}` renders the model's own existing relation.
+        */
+      incremental: Boolean = false,
+      thisRelation: Option[String] = None): Compiled = {
     val config = mutable.LinkedHashMap.empty[String, Any]
     val refs = mutable.ListBuffer.empty[String]
     val sources = mutable.ListBuffer.empty[(String, String)]
@@ -95,6 +100,7 @@ object DbtCompiler {
         ""
       },
       "doc" -> { (args, _) => s"{{ doc('${args.map(_.toString).mkString("', '")}') }}" },
+      "is_incremental" -> { (_, _) => incremental },
     )
 
     // intercept ref() to also record dependencies
@@ -106,7 +112,9 @@ object DbtCompiler {
       out
     })
 
-    val sql = Jinja.renderTemplate(raw, Jinja.Env(functions = tracing))
+    val sql = Jinja.renderTemplate(raw, Jinja.Env(
+      vars = thisRelation.map("this" -> (_: Any)).toMap,
+      functions = tracing))
     Compiled(sql, config.toMap, refs.toSeq.distinct, sources.toSeq.distinct)
   }
 }

@@ -41,13 +41,27 @@ final class ModelExecutor(spark: SparkSession, project: Project,
       .csv(path).createOrReplaceTempView(node.name)
   }
 
+  private def relationDir(node: NodeMeta): java.nio.file.Path =
+    java.nio.file.Paths.get(s"$tableDir/${node.name}")
+
+  private def relationExists(node: NodeMeta): Boolean =
+    Files.isDirectory(relationDir(node)) &&
+      Files.list(relationDir(node)).findFirst().isPresent
+
   /** Compile one node's SQL against the current manifest, updating its
-    * compiled code + dependency edges.
+    * compiled code + dependency edges. Incremental models are compiled
+    * twice on incremental runs: the first pass discovers the
+    * materialization from the in-file config, the second renders with
+    * `is_incremental() = true` and `{{ this }}` bound (dbt semantics —
+    * the flag is decided by whether the relation already exists).
     */
   def compile(node: NodeMeta): NodeMeta = {
-    val compiled = DbtCompiler.compile(node.rawCode, manifestVar, project.vars)
+    var compiled = DbtCompiler.compile(node.rawCode, manifestVar, project.vars)
     val materialized = compiled.config.get("materialized").map(_.toString)
       .getOrElse(node.materialized)
+    if (materialized == "incremental" && relationExists(node))
+      compiled = DbtCompiler.compile(node.rawCode, manifestVar, project.vars,
+        incremental = true, thisRelation = Some(node.name))
     val updated = node.copy(
       compiledCode = Some(compiled.sql),
       deps = (node.deps ++ compiled.refs ++
@@ -66,9 +80,52 @@ final class ModelExecutor(spark: SparkSession, project: Project,
         val path = s"$tableDir/${node.name}"
         spark.sql(sql).write.mode("overwrite").parquet(path)
         spark.read.parquet(path).createOrReplaceTempView(node.name)
+      case "incremental" =>
+        materializeIncremental(node, sql)
       case _ => // view | ephemeral
         spark.sql(sql).createOrReplaceTempView(node.name)
     }
+  }
+
+  /** Incremental materialization (dbt semantics):
+    *  - first run (relation absent): full write, like `table`.
+    *  - later runs: register the EXISTING relation as the view first
+    *    (so `{{ this }}` and self-refs read the old data), run the
+    *    compiled SQL, then apply the strategy from config:
+    *      - `append` (default): append the new rows.
+    *      - `unique_key` set: merge — old rows whose key appears in
+    *        the new batch are replaced (anti-join + union, written to
+    *        a staging dir and swapped in; on a cluster this is a
+    *        Delta MERGE or partition-level insert-overwrite — the
+    *        dataflow, an anti-join on the key, is the same).
+    */
+  private def materializeIncremental(node: NodeMeta, sql: String): Unit = {
+    val path = relationDir(node)
+    if (!relationExists(node)) {
+      spark.sql(sql).write.mode("overwrite").parquet(path.toString)
+    } else {
+      spark.read.parquet(path.toString).createOrReplaceTempView(node.name)
+      val newRows = spark.sql(sql)
+      node.config.get("unique_key").map(_.toString) match {
+        case Some(key) =>
+          val old = spark.read.parquet(path.toString)
+          val merged = old.join(newRows.select(key).distinct(), Seq(key), "left_anti")
+            .unionByName(newRows.select(old.columns.map(org.apache.spark.sql.functions.col): _*))
+          val staging = java.nio.file.Paths.get(path.toString + "__staging")
+          merged.write.mode("overwrite").parquet(staging.toString)
+          deleteRecursively(path)
+          Files.move(staging, path)
+        case None =>
+          newRows.write.mode("append").parquet(path.toString)
+      }
+    }
+    spark.read.parquet(path.toString).createOrReplaceTempView(node.name)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
   }
 
   /** Full project build: seeds first, then models in topological
