@@ -1,0 +1,74 @@
+package graft
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{ColumnMeta, Manifest, NodeMeta}
+import graft.exec.TestRunner
+
+/** Generic data-test execution against real relations (sf0.001). */
+class TestRunnerSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.session
+  lazy val runner: TestRunner = {
+    Tables.registerAll(spark, "/root/testdata/sf0.001")
+    new TestRunner(spark)
+  }
+
+  test("unique and not_null pass on a key, fail on a non-key") {
+    assert(runner.runTest("nation", Some("n_nationkey"), "unique").passed)
+    assert(runner.runTest("nation", Some("n_nationkey"), "not_null").passed)
+    val dup = runner.runTest("orders", Some("o_custkey"), "unique")
+    assert(!dup.passed && dup.violations > 0, "customers place many orders")
+  }
+
+  test("accepted_values distinguishes closed and open domains") {
+    val ok = runner.runTest("orders", Some("o_orderstatus"), "accepted_values",
+      Map("values" -> Seq("F", "O", "P")))
+    assert(ok.passed)
+    val bad = runner.runTest("orders", Some("o_orderstatus"), "accepted_values",
+      Map("values" -> Seq("F")))
+    assert(!bad.passed && bad.violations > 0)
+    // nested dbt >= 1.9 arguments shape accepted via runNodeTests
+  }
+
+  test("relationships: FK integrity holds against parent, fails against subset") {
+    val ok = runner.runTest("orders", Some("o_custkey"), "relationships",
+      Map("to" -> "ref('customer')", "field" -> "c_custkey"))
+    assert(ok.passed, s"every order has a customer: $ok")
+    spark.table("customer").filter("c_custkey <= 10")
+      .createOrReplaceTempView("customer_subset")
+    val broken = runner.runTest("orders", Some("o_custkey"), "relationships",
+      Map("to" -> "customer_subset", "field" -> "c_custkey"))
+    assert(!broken.passed && broken.violations > 0)
+  }
+
+  test("unique_combination_of_columns and error surfacing") {
+    val ok = runner.runTest("orders", None, "unique_combination_of_columns",
+      Map("combination_of_columns" -> Seq("o_orderkey", "o_custkey")))
+    assert(ok.passed)
+    // the synthetic fixture reuses line numbers within an order —
+    // a real violation the test must surface
+    val dup = runner.runTest("lineitem", None, "unique_combination_of_columns",
+      Map("combination_of_columns" -> Seq("l_orderkey", "l_linenumber")))
+    assert(!dup.passed && dup.violations > 0)
+    val err = runner.runTest("lineitem", Some("nope"), "not_null")
+    assert(!err.passed && err.error.isDefined)
+  }
+
+  test("runNodeTests collects declared tests from column meta") {
+    val node = NodeMeta("model.p.nation", "nation", "model",
+      columns = ListMap(
+        "n_nationkey" -> ColumnMeta("n_nationkey",
+          meta = ListMap("tests" -> Seq("unique", "not_null"))),
+        "n_regionkey" -> ColumnMeta("n_regionkey",
+          meta = ListMap("data_tests" -> Seq(Map("relationships" ->
+            Map("arguments" -> Map("to" -> "ref('region')", "field" -> "r_regionkey"))))))))
+    val results = runner.runNodeTests(node)
+    assert(results.size == 3)
+    assert(results.forall(_.passed), results.filterNot(_.passed).toString)
+    val all = runner.runAll(Manifest(Seq(node)))
+    assert(all.size == 3)
+  }
+}
