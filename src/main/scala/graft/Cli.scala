@@ -75,6 +75,25 @@ object Cli {
         println(s"${node.name}.${c.name}: ${c.description.get}")
       spark.stop()
 
+    // Generic data-test execution over the built project (dbt test
+    // shape): prints one line per declared test, exits non-zero on
+    // failures.
+    case "test" :: dir :: Nil =>
+      val spark = session()
+      val project = ProjectLoader.load(dir)
+      val executor = new ModelExecutor(spark, project)
+      executor.buildAll()
+      val results = new graft.exec.TestRunner(spark).runAll(executor.manifest)
+      results.foreach { r =>
+        val loc = r.column.fold(r.nodeName)(c => s"${r.nodeName}.$c")
+        val status = if (r.passed) "PASS" else "FAIL"
+        println(s"$status $loc ${r.test}" +
+          (if (r.violations > 0) s" violations=${r.violations}" else "") +
+          r.error.fold("")(e => s" error=$e"))
+      }
+      spark.stop()
+      if (results.exists(!_.passed)) sys.exit(1)
+
     case "lint" :: dir :: Nil =>
       val spark = session()
       val project = ProjectLoader.load(dir)
@@ -198,7 +217,7 @@ object Cli {
 
     case _ =>
       System.err.println(
-        "usage: graft.Cli build|run-sql|inherit|lint|diff|refactor|catalog <projectDir> [args] | curate <sfDir> <outDir>")
+        "usage: graft.Cli build|run-sql|inherit|test|lint|diff|refactor|catalog <projectDir> [args] | curate <sfDir> <outDir>")
       sys.exit(2)
   }
 }
