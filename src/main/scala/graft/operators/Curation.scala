@@ -24,7 +24,14 @@ object Curation {
       nearDupThreshold: Double = 0.7,
       shingleSize: Int = 3,
       numPerms: Int = 64,
-      bands: Int = 16)
+      bands: Int = 16,
+      /** Near-dup candidate generator: "minhash" (tunable S-curve,
+        * the default for loose thresholds) or "simhash" (one 64-bit
+        * fingerprint per doc — cheapest at scale, recall bounded by
+        * `maxHamming`, best for near-identical dedup).
+        */
+      nearDupStrategy: String = "minhash",
+      maxHamming: Int = 3)
 
   final case class Report(
       input: Long, afterQuality: Long, afterLang: Long,
@@ -59,9 +66,14 @@ object Curation {
     val exactDeduped = Dedup.exact(langFiltered, idCol, textCol)
     val afterExact = exactDeduped.count()
 
-    val nearDupPairs = Dedup.minhashLsh(exactDeduped, idCol, textCol,
-      n = config.shingleSize, numPerms = config.numPerms, bands = config.bands,
-      threshold = config.nearDupThreshold)
+    val nearDupPairs = config.nearDupStrategy match {
+      case "simhash" => Dedup.simhashNearDups(exactDeduped, idCol, textCol,
+        n = config.shingleSize, maxHamming = config.maxHamming,
+        threshold = config.nearDupThreshold)
+      case _ => Dedup.minhashLsh(exactDeduped, idCol, textCol,
+        n = config.shingleSize, numPerms = config.numPerms, bands = config.bands,
+        threshold = config.nearDupThreshold)
+    }
     val losers = nearDupPairs.select(col("id_b").as(idCol)).distinct()
     val curated = exactDeduped.join(losers, Seq(idCol), "left_anti")
     val afterNearDup = curated.count()

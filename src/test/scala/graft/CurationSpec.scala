@@ -23,6 +23,19 @@ class CurationSpec extends AnyFunSuite {
     assert(residual.count() == 0)
   }
 
+  test("simhash near-dup strategy removes exact-jaccard in-bound losers") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val (curated, r) = Curation.curate(docs, "doc_id", "text",
+      Curation.Config(minTokens = 5, minQuality = 0.2,
+        nearDupStrategy = "simhash", nearDupThreshold = 0.5, maxHamming = 3))
+    assert(r.afterExact >= r.afterNearDup)
+    assert(curated.count() == r.afterNearDup)
+    // no surviving pairs within the operator's contract
+    val residual = Dedup.simhashNearDups(curated, "doc_id", "text",
+      n = 3, maxHamming = 3, threshold = 0.5)
+    assert(residual.count() == 0)
+  }
+
   test("language filter keeps only requested languages") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val annotated = Curation.annotate(docs, "text")
