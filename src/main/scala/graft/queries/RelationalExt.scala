@@ -138,6 +138,59 @@ object RelationalExt {
       .orderBy("c_custkey")
   }
 
+  /** q23 — CUBE over (status, year): all four grouping combinations.
+    * gid is built EXPLICITLY from grouping() bits so both engines
+    * agree regardless of their internal grouping_id conventions.
+    */
+  def q23(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderstatus"), year(col("o_orderdate")).cast("long").as("y"),
+        col("o_totalprice"))
+      .cube("o_orderstatus", "y")
+      .agg(count(lit(1)).as("n"), sum2(col("o_totalprice")).as("total"),
+        (grouping(col("o_orderstatus")) * 2 + grouping(col("y")))
+          .cast("long").as("gid"))
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first, col("y").asc_nulls_first)
+
+  /** q24 — exact percentiles per group: median and p90 of order
+    * totals. Both engines interpolate linearly over the sorted exact
+    * doubles, so the results are bit-identical.
+    */
+  def q24(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderstatus")
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("median_total"),
+        expr("percentile(o_totalprice, 0.9)").as("p90_total"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
+  /** q25 — correlated EXISTS with an extra predicate: customers with
+    * at least one big finished order (semi-join carrying a non-key
+    * condition).
+    */
+  def q25(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 300000)
+      .select("o_custkey")
+    Tables.customer(spark, dir)
+      .join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** q26 — lateral expansion: posexplode of the tokenized part type
+    * (one row per word with its position — the SQL UNNEST WITH
+    * ORDINALITY shape).
+    */
+  def q26(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .filter(col("p_partkey") <= 500)
+      .select(col("p_partkey"),
+        posexplode(split(col("p_type"), " ")).as(Seq("pos", "word")))
+      .select(col("p_partkey"), col("pos").cast("long").as("pos"), col("word"))
+      .orderBy("p_partkey", "pos")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_intersect" -> q13 _,
     "q14_except" -> q14 _,
@@ -149,6 +202,10 @@ object RelationalExt {
     "q20_predicates" -> q20 _,
     "q21_star_broadcast" -> q21 _,
     "q22_case_coalesce" -> q22 _,
+    "q23_cube" -> q23 _,
+    "q24_percentiles" -> q24 _,
+    "q25_exists_predicate" -> q25 _,
+    "q26_posexplode" -> q26 _,
   )
 
   val oracles: Map[String, String] = {
@@ -214,6 +271,32 @@ object RelationalExt {
            |       ELSE 'normal' END AS tier
            |FROM customer c LEFT JOIN totals t ON c.c_custkey = t.o_custkey
            |ORDER BY c.c_custkey""".stripMargin,
+      "q23_cube" ->
+        s"""SELECT o_orderstatus, CAST(YEAR(o_orderdate) AS BIGINT) AS y,
+           |  COUNT(*) AS n, ${S.sum2("o_totalprice")} AS total,
+           |  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(YEAR(o_orderdate)) AS BIGINT) AS gid
+           |FROM orders GROUP BY CUBE (o_orderstatus, YEAR(o_orderdate))
+           |ORDER BY gid, o_orderstatus ASC NULLS FIRST, y ASC NULLS FIRST""".stripMargin,
+      "q24_percentiles" ->
+        """SELECT o_orderstatus,
+          |  quantile_cont(o_totalprice, 0.5) AS median_total,
+          |  quantile_cont(o_totalprice, 0.9) AS p90_total,
+          |  COUNT(*) AS n
+          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+      "q25_exists_predicate" ->
+        """SELECT c_custkey, c_name FROM customer c
+          |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+          |              AND o.o_orderstatus = 'F' AND o.o_totalprice > 300000)
+          |ORDER BY c_custkey""".stripMargin,
+      "q26_posexplode" ->
+        """WITH t AS (
+          |  SELECT p_partkey, string_split(p_type, ' ') AS parts
+          |  FROM part WHERE p_partkey <= 500
+          |)
+          |SELECT p_partkey,
+          |  CAST(unnest(range(0, len(parts))) AS BIGINT) AS pos,
+          |  unnest(parts) AS word
+          |FROM t ORDER BY p_partkey, pos""".stripMargin,
     )
   }
 }
