@@ -55,12 +55,19 @@ final class ModelExecutor(spark: SparkSession, project: Project,
     * `is_incremental() = true` and `{{ this }}` bound (dbt semantics —
     * the flag is decided by whether the relation already exists).
     */
+  /** Project macros prepended so every model sees them (dbt global
+    * macro namespace); definitions render to empty text.
+    */
+  private def withMacros(raw: String): String =
+    if (project.macroPrologue.isEmpty) raw
+    else project.macroPrologue + "\n" + raw
+
   def compile(node: NodeMeta): NodeMeta = {
-    var compiled = DbtCompiler.compile(node.rawCode, manifestVar, project.vars)
+    var compiled = DbtCompiler.compile(withMacros(node.rawCode), manifestVar, project.vars)
     val materialized = compiled.config.get("materialized").map(_.toString)
       .getOrElse(node.materialized)
     if (materialized == "incremental" && relationExists(node))
-      compiled = DbtCompiler.compile(node.rawCode, manifestVar, project.vars,
+      compiled = DbtCompiler.compile(withMacros(node.rawCode), manifestVar, project.vars,
         incremental = true, thisRelation = Some(node.name))
     val updated = node.copy(
       compiledCode = Some(compiled.sql),
@@ -171,7 +178,7 @@ final class ModelExecutor(spark: SparkSession, project: Project,
     */
   def executeSql(raw: String): DataFrame = {
     val sql = if (graft.compile.Jinja.hasJinja(raw))
-      DbtCompiler.compile(raw, manifestVar, project.vars).sql
+      DbtCompiler.compile(withMacros(raw), manifestVar, project.vars).sql
     else raw
     spark.sql(sql)
   }

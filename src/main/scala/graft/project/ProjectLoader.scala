@@ -29,7 +29,13 @@ object ProjectLoader {
       /** An existing manifest at target/ was produced by dbt Fusion —
         * YAML output should use the fusion dialect (A3).
         */
-      fusionManifest: Boolean = false)
+      fusionManifest: Boolean = false,
+      /** Concatenated sources of the .sql files under macros/,
+        * prepended to every model template at compile time (dbt
+        * global-macro semantics — macro definitions render to empty
+        * text, so the prologue is inert).
+        */
+      macroPrologue: String = "")
 
   /** Known Fusion manifest schema versions (core/config.py:54). */
   private val KnownFusionSchemaVersions = Set(20)
@@ -215,8 +221,16 @@ object ProjectLoader {
       k -> n
     }: _*)
 
+    val macrosDir = root.resolve("macros")
+    val macroPrologue =
+      if (!Files.isDirectory(macrosDir)) ""
+      else Files.walk(macrosDir).iterator().asScala.toSeq
+        .filter(_.toString.endsWith(".sql")).sortBy(_.toString)
+        .map(Files.readString).mkString("\n")
+
     Project(projectName, root, Manifest(byId), vars, modelCfg,
-      fusionManifest = detectFusionManifest(root))
+      fusionManifest = detectFusionManifest(root),
+      macroPrologue = macroPrologue)
   }
 
   private def asSeqAny(v: Any): Seq[String] = v match {

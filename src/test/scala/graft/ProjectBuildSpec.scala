@@ -121,4 +121,44 @@ class ProjectBuildSpec extends AnyFunSuite {
     assert(Jinja.renderTemplate("{{ 'up' ~ 'down' }}", env) == "updown")
     assert(Jinja.renderTemplate("{#- gone -#}x", env) == "x")
   }
+
+  test("jinja macros: definitions, defaults, kwargs, and control flow in bodies") {
+    val env = Jinja.Env()
+    val t =
+      """{% macro cents(col, precision=2) %}round({{ col }} / 100, {{ precision }}){% endmacro %}
+        |SELECT {{ cents('amount') }}, {{ cents('fee', precision=4) }}""".stripMargin
+    val out = Jinja.renderTemplate(t, env)
+    assert(out.contains("round(amount / 100, 2)"))
+    assert(out.contains("round(fee / 100, 4)"))
+    // macro body may use loops over an argument
+    val t2 = "{% macro cols(names) %}{% for n in names %}{{ n }}{% if not loop.last %}, {% endif %}{% endfor %}{% endmacro %}" +
+      "select {{ cols(['a', 'b', 'c']) }}"
+    assert(Jinja.renderTemplate(t2, env) == "select a, b, c")
+    // missing required arg fails loud
+    assertThrows[Jinja.JinjaError](
+      Jinja.renderTemplate("{% macro m(x) %}{{ x }}{% endmacro %}{{ m() }}", env))
+  }
+
+  test("project macros/ dir is a global namespace for every model") {
+    val root = java.nio.file.Files.createTempDirectory("graft_macros")
+    java.nio.file.Files.createDirectories(root.resolve("models"))
+    java.nio.file.Files.createDirectories(root.resolve("macros"))
+    java.nio.file.Files.createDirectories(root.resolve("seeds"))
+    java.nio.file.Files.writeString(root.resolve("dbt_project.yml"),
+      "name: macrodemo\n")
+    java.nio.file.Files.writeString(root.resolve("seeds/pay_seed.csv"),
+      "id,amount_cents\n1,150\n2,250\n")
+    java.nio.file.Files.writeString(root.resolve("macros/money.sql"),
+      "{% macro cents_to_dollars(col) %}round({{ col }} / 100.0, 2){% endmacro %}\n")
+    java.nio.file.Files.writeString(root.resolve("models/pay.sql"),
+      "select id, {{ cents_to_dollars('amount_cents') }} as amount from {{ ref('pay_seed') }}\n")
+    val e = new ModelExecutor(spark, ProjectLoader.load(root.toString))
+    e.buildAll()
+    val got = spark.table("pay").orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getDecimal(1).doubleValue)).toSeq
+    assert(got == Seq(1 -> 1.5, 2 -> 2.5))
+    // ad-hoc SQL sees project macros too
+    assert(e.executeSql("select {{ cents_to_dollars('300') }} as d")
+      .collect()(0).getDecimal(0).doubleValue == 3.0)
+  }
 }
