@@ -24,6 +24,16 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction(
         "spread64", exprs => Spread64(exprs.head), "built-in")
       reg.createOrReplaceTempFunction(
+        "ngrams", exprs => {
+          val n = exprs(1) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+              v.toString.toInt
+            case other => throw new IllegalArgumentException(
+              s"ngrams n must be a literal, got $other")
+          }
+          NGrams(exprs.head, n)
+        }, "built-in")
+      reg.createOrReplaceTempFunction(
         "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "built-in")
       reg.createOrReplaceTempFunction(
         "simhash64", exprs => SimHash64(exprs.head), "built-in")

@@ -110,6 +110,60 @@ object Spread64 {
   }
 }
 
+/** Distinct word n-grams over an array<string> of tokens: one fused
+  * pass building space-joined grams in first-occurrence order (fewer
+  * than n tokens → a single gram of all tokens, mirroring the
+  * composable form's fallback).
+  *
+  * Replaces `transform(sequence(...), i -> concat_ws(' ',
+  * slice(toks, i+1, n)))` + `array_distinct`, whose lambdas evaluate
+  * interpretively — measured 4.1 s of a 5.7 s dedup query at sf0.1;
+  * this expression is one virtual call per row into compiled code.
+  */
+case class NGrams(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, false)
+  override def prettyName: String = "ngrams"
+
+  override def nullSafeEval(input: Any): Any =
+    NGrams.compute(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NGrams.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): NGrams =
+    copy(child = newChild)
+}
+
+object NGrams {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  private val Space = UTF8String.fromString(" ")
+
+  def compute(tokens: ArrayData, n: Int): ArrayData = {
+    val m = tokens.numElements()
+    val out = new java.util.LinkedHashSet[UTF8String]
+    if (m < n) {
+      val parts = new Array[UTF8String](m)
+      var i = 0
+      while (i < m) { parts(i) = tokens.getUTF8String(i); i += 1 }
+      out.add(UTF8String.concatWs(Space, parts: _*))
+    } else {
+      var i = 0
+      while (i <= m - n) {
+        val parts = new Array[UTF8String](n)
+        var j = 0
+        while (j < n) { parts(j) = tokens.getUTF8String(i + j); j += 1 }
+        out.add(UTF8String.concatWs(Space, parts: _*))
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray(new Array[UTF8String](out.size)).asInstanceOf[Array[Any]])
+  }
+}
+
 /** FNV-1a 64-bit hash over a string's UTF-8 bytes, with Java Long
   * wrap-around. Used where we need well-mixed 64-bit values
   * (SimHash bit sampling, MinHash permutation input, LSH bucket

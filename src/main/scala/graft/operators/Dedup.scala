@@ -25,15 +25,14 @@ object Dedup {
     docs.join(survivors, Seq(idCol), "left_semi")
   }
 
-  /** Word n-gram shingles (distinct, order-preserving input). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = graft.functions.TextFunctions.tokens(text)
-    array_distinct(
-      when(size(toks) < n, array(concat_ws(" ", toks)))
-        .otherwise(transform(
-          sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-  }
+  /** Word n-gram shingles (distinct, first-occurrence order) via the
+    * native [[graft.functions.NGrams]] expression — the composable
+    * transform/slice/concat_ws form evaluated its lambdas
+    * interpretively and dominated every near-dup query's runtime
+    * (4.1 s of t07's 5.7 s at sf0.1).
+    */
+  def shingles(text: Column, n: Int): Column =
+    call_function("ngrams", graft.functions.TextFunctions.tokens(text), lit(n))
 
   /** N-gram Jaccard near-dup candidate pairs via an inverted index.
     *
