@@ -24,6 +24,16 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction(
         "spread64", exprs => Spread64(exprs.head), "built-in")
       reg.createOrReplaceTempFunction(
+        "poly_hash_array", exprs => {
+          val spread = exprs(1) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+              v.toString.toBoolean
+            case other => throw new IllegalArgumentException(
+              s"poly_hash_array spread must be a literal, got $other")
+          }
+          PolyHashArray(exprs.head, spread)
+        }, "built-in")
+      reg.createOrReplaceTempFunction(
         "ngrams", exprs => {
           val n = exprs(1) match {
             case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>

@@ -164,6 +164,45 @@ object NGrams {
   }
 }
 
+/** PolyHash over every element of an array<string>, optionally
+  * spreading each 31-bit hash to 64 bits ([[Spread64]]) — one
+  * compiled pass replacing `transform(arr, x -> poly_hash(x))`,
+  * whose lambda evaluates interpretively per element.
+  */
+case class PolyHashArray(child: Expression, spread: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, false)
+  override def prettyName: String = "poly_hash_array"
+
+  override def nullSafeEval(input: Any): Any =
+    PolyHashArray.compute(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], spread)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PolyHashArray.compute($c, $spread);")
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHashArray =
+    copy(child = newChild)
+}
+
+object PolyHashArray {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  def compute(arr: ArrayData, spread: Boolean): ArrayData = {
+    val m = arr.numElements()
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val h = PolyHash.eval(arr.getUTF8String(i).toString)
+      out(i) = if (spread) Spread64.eval(h) else h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** FNV-1a 64-bit hash over a string's UTF-8 bytes, with Java Long
   * wrap-around. Used where we need well-mixed 64-bit values
   * (SimHash bit sampling, MinHash permutation input, LSH bucket

@@ -102,7 +102,7 @@ object Dedup {
     */
   def minhashSignatureFromShingles(sh: Column, numPerms: Int): Column =
     call_function("minhash_sig",
-      transform(sh, s => call_function("poly_hash", s)),
+      call_function("poly_hash_array", sh, lit(false)),
       lit(numPerms))
 
   /** MinHash signature straight from text. */
@@ -182,8 +182,8 @@ object Dedup {
     */
   def simhash64(text: Column): Column =
     call_function("simhash64",
-      transform(graft.functions.TextFunctions.tokens(text),
-        t => call_function("spread64", call_function("poly_hash", t))))
+      call_function("poly_hash_array",
+        graft.functions.TextFunctions.tokens(text), lit(true)))
 
   /** Smallest power-of-two band count whose pigeonhole guarantee
     * covers `maxHamming`: a pair within Hamming distance h shares at
