@@ -102,7 +102,7 @@ object DocSynthesis {
         }
       }
       if (out.length > 100 && i < deps.length - 1) {
-        out += s"# remaining nodes are: ${deps.drop(i).mkString(", ")}"
+        out += s"# remaining nodes are: ${deps.drop(i + 1).mkString(", ")}"
         truncated = true
       }
     }

@@ -136,7 +136,7 @@ object Lint {
         if (alias.length < config.minAliasLength && !alias.startsWith("__"))
           out += Violation("short-alias",
             s"Table alias '$alias' is shorter than ${config.minAliasLength} characters",
-            "info", 1)
+            "info", s.origin.line.getOrElse(1), s.origin.startPosition.getOrElse(0) + 1)
         walk(s.child, ctx)
       case other =>
         walkExprSubqueries(other, ctx)

@@ -21,7 +21,11 @@ final case class ColumnMeta(
     meta: ListMap[String, Any] = ListMap.empty,
     tags: Seq[String] = Nil,
     constraints: Seq[Any] = Nil,
-    config: Map[String, Any] = Map.empty) {
+    config: Map[String, Any] = Map.empty,
+    /** Declared generic tests (`tests:`/`data_tests:` YAML keys) —
+      * strings or single-key config maps, executed by TestRunner.
+      */
+    tests: Seq[Any] = Nil) {
 
   /** Dynamic-document view (reference `_column_to_dict(omit_none)`). */
   def toDoc: Map[String, Any] = {

@@ -131,12 +131,44 @@ object SettingsResolver {
     case _ => Map.empty
   }
 
+  private val Defaults = EngineSettings()
+
+  /** Typed accessors for the engine-settings fields addressable by
+    * name — level 6 of the chain. A typed value counts as EXPLICIT
+    * (and therefore beats the supplementary file and project vars,
+    * reference core/introspection.py:263-292) only when it differs
+    * from the dataclass default, exactly like the reference's
+    * non-default check.
+    */
+  private val TypedAccessors: Map[String, EngineSettings => Any] = Map(
+    "add-progenitor-to-meta" -> (_.addProgenitorToMeta),
+    "use-unrendered-descriptions" -> (_.useUnrenderedDescriptions),
+    "skip-inherit-descriptions" -> (_.skipInheritDescriptions),
+    "skip-add-tags" -> (_.skipAddTags),
+    "skip-merge-meta" -> (_.skipMergeMeta),
+    "force-inherit-descriptions" -> (_.forceInheritDescriptions),
+    "add-inheritance-for-specified-keys" -> (_.addInheritanceForSpecifiedKeys),
+    "skip-inheritance-for-meta-keys" -> (_.skipInheritanceForMetaKeys),
+    "numeric-precision-and-scale" -> (_.numericPrecisionAndScale),
+    "string-length" -> (_.stringLength),
+    "output-to-lower" -> (_.outputToLower),
+    "output-to-upper" -> (_.outputToUpper),
+    "sort-by" -> (_.sortBy),
+    "prefix" -> (_.prefix),
+    "fusion-compat" -> (_.fusionCompat))
+
+  private def explicitTyped(name: String, settings: EngineSettings): Option[Any] =
+    TypedAccessors.get(kebab(name)).flatMap { acc =>
+      val v = acc(settings)
+      if (v != acc(Defaults)) Some(v) else None
+    }
+
   /** Resolve `name` for (node, column) through the full precedence
-    * chain (see [[EngineSettings]] scaladoc). The typed engine-setting
-    * value is the caller-supplied fallback in `resolveBool`/`Seq`/
-    * `String`, which slots it at level 6 exactly as the reference's
-    * explicit-context step does — so this returns only levels 1-5 and
-    * 7-8.
+    * chain (see [[EngineSettings]] scaladoc): node-level sources
+    * (levels 1-5), then a NON-DEFAULT typed engine setting (level 6 —
+    * explicit configuration beats the project files), then the
+    * supplementary file and project vars (7-8). Callers' fallbacks in
+    * `resolveBool`/`Seq`/`String` are level 9.
     */
   def resolve(name: String, settings: EngineSettings,
       node: Option[NodeMeta] = None, column: Option[String] = None): Option[Any] = {
@@ -152,6 +184,7 @@ object SettingsResolver {
       .orElse(lookup(nodeConfig, name, directKeys = false))
       .orElse(lookup(nodeConfigMeta, name))
       .orElse(lookup(unrendered, name, directKeys = false))
+      .orElse(explicitTyped(name, settings))
       .orElse(lookup(settings.supplementary, name))
       .orElse(varsLookup(settings.vars, name))
   }

@@ -103,8 +103,11 @@ object TestSuggestions {
       out.toSeq
     } catch {
       case _: Exception =>
-        // fall back to the pattern/heuristic path (reference :455-462)
-        suggest(Manifest(Seq(node)), existing)
+        // fall back to the pattern/heuristic path (reference :455-462),
+        // restricted to this node but mined over the full manifest
+        val m = if (manifest.get(node.uniqueId).isDefined) manifest
+                else Manifest(Seq(node))
+        suggest(m, existing).filter(_.nodeId == node.uniqueId)
     }
   }
 

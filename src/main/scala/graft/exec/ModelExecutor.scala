@@ -45,8 +45,10 @@ final class ModelExecutor(spark: SparkSession, project: Project,
     java.nio.file.Paths.get(s"$tableDir/${node.name}")
 
   private def relationExists(node: NodeMeta): Boolean =
-    Files.isDirectory(relationDir(node)) &&
-      Files.list(relationDir(node)).findFirst().isPresent
+    Files.isDirectory(relationDir(node)) && {
+      val s = Files.list(relationDir(node))
+      try s.findFirst().isPresent finally s.close()
+    }
 
   /** Compile one node's SQL against the current manifest, updating its
     * compiled code + dependency edges. Incremental models are compiled
@@ -131,8 +133,11 @@ final class ModelExecutor(spark: SparkSession, project: Project,
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
-    if (Files.exists(p))
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      val paths = try s.iterator().asScala.toSeq finally s.close()
+      paths.reverse.foreach(Files.delete)
+    }
   }
 
   /** Full project build: seeds first, then models in topological

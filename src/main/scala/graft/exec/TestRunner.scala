@@ -90,16 +90,18 @@ final class TestRunner(spark: SparkSession) {
     case _ => Map.empty
   }
 
-  /** Collect and run every test declared in a node's column metadata
-    * (`tests`/`data_tests` keys carried in column meta docs).
+  /** Collect and run every test declared on a node's columns — the
+    * standard YAML `tests:`/`data_tests:` keys (carried on
+    * [[graft.core.ColumnMeta.tests]] by the project loader), plus the
+    * same keys inside column `meta` for programmatic callers.
     */
   def runNodeTests(node: NodeMeta): Seq[TestResult] = {
     val declared = for {
       c <- node.columns.values.toSeq
-      tests = c.meta.get("tests").orElse(c.meta.get("data_tests")) match {
+      tests = c.tests ++ (c.meta.get("tests").orElse(c.meta.get("data_tests")) match {
         case Some(s: Seq[_]) => s
         case _ => Nil
-      }
+      })
       t <- tests
     } yield t match {
       case name: String => runTest(node.name, Some(c.name), name)

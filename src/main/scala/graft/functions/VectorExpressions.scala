@@ -82,6 +82,10 @@ case class LshBucket(child: Expression, planes: Int)
       val acc = ctx.freshName("acc")
       val h = ctx.freshName("h")
       s"""
+         |if ($c.numElements() > 1024) {
+         |  throw new IllegalArgumentException(
+         |    "lsh_bucket supports at most 1024 dimensions (weight stride would alias across planes)");
+         |}
          |long $out = 0L;
          |for (int $p = 0; $p < ${planes}; $p++) {
          |  double $acc = 0.0;
@@ -111,6 +115,8 @@ object LshBucket {
   }
 
   def compute(arr: ArrayData, planes: Int): Long = {
+    require(arr.numElements() <= 1024,
+      "lsh_bucket supports at most 1024 dimensions (weight stride would alias across planes)")
     var out = 0L
     var p = 0
     while (p < planes) {

@@ -70,9 +70,11 @@ object Curation {
       case "simhash" => Dedup.simhashNearDups(exactDeduped, idCol, textCol,
         n = config.shingleSize, maxHamming = config.maxHamming,
         threshold = config.nearDupThreshold)
-      case _ => Dedup.minhashLsh(exactDeduped, idCol, textCol,
+      case "minhash" => Dedup.minhashLsh(exactDeduped, idCol, textCol,
         n = config.shingleSize, numPerms = config.numPerms, bands = config.bands,
         threshold = config.nearDupThreshold)
+      case other => throw new IllegalArgumentException(
+        s"unknown nearDupStrategy '$other' (expected 'minhash' or 'simhash')")
     }
     val losers = nearDupPairs.select(col("id_b").as(idCol)).distinct()
     val curated = exactDeduped.join(losers, Seq(idCol), "left_anti")

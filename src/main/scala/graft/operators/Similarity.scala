@@ -77,7 +77,7 @@ object Similarity {
     GraftFunctions.register(emb.sparkSession)
     val e = transform(col(vecCol), x => x.cast("double"))
     val v = emb.select(col(idCol).as("id"), e.as("e"), norm(e).as("n"),
-      lshBucket(col(vecCol), planes).as("bucket"))
+      call_function("lsh_bucket", e, lit(planes)).as("bucket"))
     val pairs = v.as("a")
       .join(v.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))
@@ -118,7 +118,7 @@ object Similarity {
     GraftFunctions.register(emb.sparkSession)
     val e = transform(col(vecCol), x => x.cast("double"))
     val v = emb.select(col(idCol).as("id"), e.as("e"), norm(e).as("n"),
-      lshBucket(col(vecCol), planes).as("bucket"))
+      call_function("lsh_bucket", e, lit(planes)).as("bucket"))
     v.as("a").join(v.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

@@ -110,7 +110,11 @@ object ProjectLoader {
         meta = ListMap(asMap(c.getOrElse("meta", Map.empty)).toSeq: _*),
         tags = c.get("tags").map { case s: Seq[_] => s.map(_.toString); case _ => Nil }
           .getOrElse(Nil),
-        config = asMap(c.getOrElse("config", Map.empty)))
+        config = asMap(c.getOrElse("config", Map.empty)),
+        tests = c.get("data_tests").orElse(c.get("tests")) match {
+          case Some(s: Seq[_]) => s
+          case _ => Nil
+        })
     }: _*)
 
   def load(rootDir: String): Project = {
@@ -224,9 +228,12 @@ object ProjectLoader {
     val macrosDir = root.resolve("macros")
     val macroPrologue =
       if (!Files.isDirectory(macrosDir)) ""
-      else Files.walk(macrosDir).iterator().asScala.toSeq
-        .filter(_.toString.endsWith(".sql")).sortBy(_.toString)
-        .map(Files.readString).mkString("\n")
+      else {
+        val s = Files.walk(macrosDir)
+        val files = try s.iterator().asScala.toSeq finally s.close()
+        files.filter(_.toString.endsWith(".sql")).sortBy(_.toString)
+          .map(Files.readString).mkString("\n")
+      }
 
     Project(projectName, root, Manifest(byId), vars, modelCfg,
       fusionManifest = detectFusionManifest(root),

@@ -57,6 +57,37 @@ class TestRunnerSpec extends AnyFunSuite {
     assert(!err.passed && err.error.isDefined)
   }
 
+  test("standard YAML tests: keys survive the project loader and execute") {
+    val root = java.nio.file.Files.createTempDirectory("graft_tests")
+    java.nio.file.Files.createDirectories(root.resolve("models"))
+    java.nio.file.Files.createDirectories(root.resolve("seeds"))
+    java.nio.file.Files.writeString(root.resolve("dbt_project.yml"), "name: tdemo\n")
+    java.nio.file.Files.writeString(root.resolve("seeds/people_seed.csv"),
+      "id,status\n1,active\n2,active\n2,retired\n")
+    java.nio.file.Files.writeString(root.resolve("models/people.sql"),
+      "select id, status from {{ ref('people_seed') }}\n")
+    java.nio.file.Files.writeString(root.resolve("models/people.yml"),
+      """version: 2
+        |models:
+        |  - name: people
+        |    columns:
+        |      - name: id
+        |        tests: [unique, not_null]
+        |      - name: status
+        |        data_tests:
+        |          - accepted_values:
+        |              values: [active, retired]
+        |""".stripMargin)
+    val project = graft.project.ProjectLoader.load(root.toString)
+    val ex = new graft.exec.ModelExecutor(spark, project)
+    ex.buildAll()
+    val results = new TestRunner(spark).runAll(ex.manifest)
+    assert(results.size == 3, s"expected 3 declared tests, got $results")
+    val byTest = results.map(r => r.test -> r.passed).toMap
+    assert(!byTest("unique"), "id 2 is duplicated — unique must fail")
+    assert(byTest("not_null") && byTest("accepted_values"))
+  }
+
   test("runNodeTests collects declared tests from column meta") {
     val node = NodeMeta("model.p.nation", "nation", "model",
       columns = ListMap(

@@ -143,6 +143,21 @@ class TransformsSpec extends AnyFunSuite {
       Some(node(false, false, false, false, false)), Some("c")).isEmpty)
   }
 
+  test("explicit typed settings beat supplementary file and vars (level 6)") {
+    val s = EngineSettings(outputToUpper = true,
+      supplementary = Map("output-to-upper" -> false),
+      vars = Map("output-to-upper" -> false))
+    assert(SettingsResolver.resolve("output-to-upper", s).contains(true))
+    // default-valued typed settings do NOT mask the project files
+    val d = EngineSettings(
+      supplementary = Map("output-to-upper" -> true))
+    assert(SettingsResolver.resolve("output-to-upper", d).contains(true))
+    // node-level sources still beat the explicit typed value
+    val n = NodeMeta("model.m", "m", "model",
+      meta = Map("output-to-upper" -> false))
+    assert(SettingsResolver.resolve("output-to-upper", s, Some(n)).contains(false))
+  }
+
   test("settings sources honor key-variant rules per source") {
     val key = "output-to-lower"
     // config extras do NOT accept direct keys (reference direct_keys=False)
