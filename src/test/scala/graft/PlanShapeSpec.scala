@@ -50,6 +50,17 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash/simhash banding plans are equi-joins on compact keys") {
+    val docs = Tables.documents(spark, dir)
+    val t6 = planOf(operators.Dedup.minhashLsh(docs, "doc_id", "text", 3, 64, 16, 0.5))
+    val t7 = planOf(operators.Dedup.simhashNearDups(docs, "doc_id", "text", 3, 3, 0.5))
+    for ((name, p) <- Seq("minhash" -> t6, "simhash" -> t7)) {
+      assert(!p.contains("CartesianProduct"), s"$name degraded to a cartesian")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+        p.contains("BroadcastHashJoin"), s"$name lost its band-key equi-join")
+    }
+  }
+
   test("dedup family joins on compact keys, never full documents") {
     // the jaccard inverted-index join must join on the 8-byte shingle
     // fingerprint, not the shingle string

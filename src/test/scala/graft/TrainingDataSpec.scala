@@ -23,6 +23,34 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(Fnv64.eval("a".getBytes("UTF-8")) == 0xaf63dc4c8601ec8cL)
   }
 
+  test("PolyHashArray and NGrams match their composable contracts") {
+    import graft.functions.{NGrams, PolyHash, PolyHashArray, Spread64}
+    // PolyHashArray == per-element PolyHash (and Spread64 thereof)
+    val toks = Seq("the", "quick", "brown", "the")
+    val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      toks.map(org.apache.spark.unsafe.types.UTF8String.fromString))
+    val plain = PolyHashArray.compute(arr, spread = false)
+    val spread = PolyHashArray.compute(arr, spread = true)
+    toks.zipWithIndex.foreach { case (t, i) =>
+      assert(plain.getLong(i) == PolyHash.eval(t))
+      assert(spread.getLong(i) == Spread64.eval(PolyHash.eval(t)))
+    }
+    // NGrams: distinct trigrams in first-occurrence order; <n fallback
+    val grams = NGrams.compute(arr, 3)
+    assert((0 until grams.numElements()).map(grams.getUTF8String(_).toString) ==
+      Seq("the quick brown", "quick brown the"))
+    val short = NGrams.compute(arr, 5)
+    assert(short.numElements() == 1 &&
+      short.getUTF8String(0).toString == "the quick brown the")
+    // duplicate grams collapse (distinct)
+    val rep = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Seq("a", "b", "a", "b", "a", "b").map(
+        org.apache.spark.unsafe.types.UTF8String.fromString))
+    val repGrams = NGrams.compute(rep, 2)
+    assert((0 until repGrams.numElements()).map(repGrams.getUTF8String(_).toString) ==
+      Seq("a b", "b a"))
+  }
+
   test("exact dedup keeps one row per distinct text") {
     val docs = Tables.documents(spark, dir)
     val deduped = Dedup.exact(docs, "doc_id", "text")
