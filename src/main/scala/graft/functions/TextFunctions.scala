@@ -20,6 +20,24 @@ object TextFunctions {
 
   def nTokens(c: Column): Column = size(tokens(c)).cast("long")
 
+  /** BPE-style pre-tokenization pattern (GPT-2-ish): contraction
+    * suffixes, letter runs, digit runs, then runs of other
+    * non-whitespace. Restricted to RE2-compatible constructs (no
+    * lookarounds) so the IDENTICAL pattern runs in DuckDB's
+    * regexp_extract_all for oracle parity.
+    */
+  val BpePattern: String =
+    "'(?:[sdmt]|ll|ve|re)|\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+"
+
+  /** Sub-word-ish token segments under [[BpePattern]]. Group 0 is
+    * passed explicitly — Spark's regexp_extract_all defaults to
+    * group 1, which does not exist for a non-capturing pattern.
+    */
+  def bpeTokens(c: Column): Column =
+    regexp_extract_all(c, lit(BpePattern), lit(0))
+
+  def nBpeTokens(c: Column): Column = size(bpeTokens(c)).cast("long")
+
   /** Occurrences (not distinct) of tokens from `dict` in the text. */
   def dictHits(c: Column, dict: Seq[String]): Column = {
     val lits = array(dict.map(lit): _*)
@@ -78,6 +96,12 @@ object TextFunctions {
     }
     def punctCount(c: String): String =
       s"len(regexp_extract_all($c, '[.,!?;:]'))"
+    def nBpeTokens(c: String): String = {
+      // DuckDB non-E string literals keep backslashes verbatim — only
+      // the contraction apostrophe needs doubling
+      val pat = BpePattern.replace("'", "''")
+      s"len(regexp_extract_all($c, '$pat'))"
+    }
     def qualityScore(c: String): String = {
       val nt = nTokens(c)
       s"0.4 * least(1.0, CAST($nt AS DOUBLE) / 100.0) + " +

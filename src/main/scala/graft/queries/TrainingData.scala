@@ -25,6 +25,19 @@ object TrainingData {
       TextFunctions.qualityScore(col("text")).as("quality"))
       .orderBy("doc_id")
 
+  /** Token counting both ways: whitespace words and BPE-style
+    * pre-tokenizer segments (contractions / letter runs / digit runs
+    * / punctuation runs) — the two denominators a training-data
+    * pipeline budgets with. The RE2-compatible pattern runs verbatim
+    * in the DuckDB oracle.
+    */
+  def docTokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TextFunctions.nTokens(col("text")).as("n_words"),
+      TextFunctions.nBpeTokens(col("text")).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
   /** Language-ID heuristic per document. */
   def docLangId(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
@@ -151,6 +164,7 @@ object TrainingData {
     "t11_multimodal_meta" -> multimodalMeta _,
     "t12_events_json" -> eventsJson _,
     "t13_emb_near_dup_lsh" -> embNearDupLsh _,
+    "t14_token_counts" -> docTokenCounts _,
   )
 
   /** Shared DuckDB CTE fragment: per-doc word-trigram shingle sets,
@@ -297,6 +311,10 @@ object TrainingData {
           |JOIN sizes sb ON ib = sb.doc_id
           |WHERE CAST(nc AS DOUBLE) / CAST(sa.sz + sb.sz - nc AS DOUBLE) >= 0.05
           |ORDER BY id_a, id_b""".stripMargin,
+      "t14_token_counts" ->
+        s"""SELECT doc_id, ${T.nTokens("text")} AS n_words,
+           |  ${T.nBpeTokens("text")} AS n_bpe_tokens
+           |FROM documents ORDER BY doc_id""".stripMargin,
       "t06_dedup_minhash" -> minhashOracleSql(64, 16, 0.5),
       "t07_dedup_simhash" -> simhashOracleSql(3, 0.5),
       "t09_ann_lsh_topk" ->
