@@ -34,11 +34,17 @@ object Cli {
     * vars as level 8, and the YAML dialect following Fusion-manifest
     * detection (A3).
     */
-  private def settingsFor(project: ProjectLoader.Project,
-      base: graft.core.EngineSettings = graft.core.EngineSettings()): graft.core.EngineSettings =
-    graft.core.EngineSettings.withSupplementary(base, project.root)
-      .copy(vars = project.vars ++ base.vars,
-        fusionCompat = project.fusionManifest)
+  private[graft] def settingsFor(project: ProjectLoader.Project,
+      base: graft.core.EngineSettings = graft.core.EngineSettings()): graft.core.EngineSettings = {
+    val merged = graft.core.EngineSettings.withSupplementary(base, project.root)
+      .copy(vars = project.vars ++ base.vars)
+    // fusion dialect = manifest detection OR explicit configuration
+    // (dbt-osmosis.yml / project vars / typed setting) — detection
+    // alone must not silently override a `fusion-compat: true`.
+    val configured = graft.core.SettingsResolver.resolveBool(
+      "fusion-compat", fallback = merged.fusionCompat, merged)
+    merged.copy(fusionCompat = configured || project.fusionManifest)
+  }
 
   def main(args: Array[String]): Unit = args.toList match {
     case "build" :: dir :: Nil =>

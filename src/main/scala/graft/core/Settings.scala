@@ -172,9 +172,12 @@ object SettingsResolver {
     */
   def resolve(name: String, settings: EngineSettings,
       node: Option[NodeMeta] = None, column: Option[String] = None): Option[Any] = {
+    // column config.meta merges OVER column meta (dbt >= 1.10 shape;
+    // reference _get_effective_column_meta, introspection.py:316-323)
     val columnMeta: Map[String, Any] = (for {
       n <- node; c <- column; cm <- n.columns.get(c)
-    } yield (cm.meta: Map[String, Any])).getOrElse(Map.empty)
+    } yield (cm.meta: Map[String, Any]) ++ asMap(cm.config.getOrElse("meta", null)))
+      .getOrElse(Map.empty)
     val nodeMeta = node.map(_.meta).getOrElse(Map.empty)
     val nodeConfig = node.map(_.config).getOrElse(Map.empty)
     val nodeConfigMeta = asMap(nodeConfig.getOrElse("meta", null))

@@ -122,8 +122,15 @@ final class ModelExecutor(spark: SparkSession, project: Project,
             .unionByName(newRows.select(old.columns.map(org.apache.spark.sql.functions.col): _*))
           val staging = java.nio.file.Paths.get(path.toString + "__staging")
           merged.write.mode("overwrite").parquet(staging.toString)
-          deleteRecursively(path)
+          // swap with no window where the relation is absent: move the
+          // old relation ASIDE first, then staging in, then delete the
+          // old copy — a crash mid-swap leaves either the old or the
+          // new relation recoverable on disk, never neither.
+          val retired = java.nio.file.Paths.get(path.toString + "__retired")
+          deleteRecursively(retired) // leftover from a prior crash
+          Files.move(path, retired)
           Files.move(staging, path)
+          deleteRecursively(retired)
         case None =>
           newRows.write.mode("append").parquet(path.toString)
       }

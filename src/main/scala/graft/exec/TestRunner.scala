@@ -107,8 +107,13 @@ final class TestRunner(spark: SparkSession) {
       case name: String => runTest(node.name, Some(c.name), name)
       case m: Map[_, _] =>
         val mm = m.asInstanceOf[Map[String, Any]]
-        val (name, config) = mm.head
-        runTest(node.name, Some(c.name), name, argsOf(config))
+        mm.headOption match {
+          case Some((name, config)) =>
+            runTest(node.name, Some(c.name), name, argsOf(config))
+          case None => // `tests: [{}]` — report, never throw
+            TestResult(node.name, Some(c.name), "<empty>", passed = false,
+              violations = -1, error = Some("malformed test entry: empty map"))
+        }
       case other =>
         TestResult(node.name, Some(c.name), other.toString, passed = false,
           violations = -1, error = Some(s"malformed test entry: $other"))

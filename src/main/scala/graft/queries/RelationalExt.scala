@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -153,17 +153,51 @@ object RelationalExt {
       .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first, col("y").asc_nulls_first)
 
   /** q24 — exact percentiles per group: median and p90 of order
-    * totals. Both engines interpolate linearly over the sorted exact
-    * doubles, so the results are bit-identical.
+    * totals, computed SORT-BASED rather than with Spark's built-in
+    * `percentile` aggregate. The built-in is a
+    * TypedImperativeAggregate that buffers EVERY group value in one
+    * reducer's memory — with 3 status groups at 100 TB that is an OOM
+    * with parallelism 3. Here the heavy step is a per-group window
+    * sort (UnsafeExternalSorter: spills to disk, never OOMs), each row
+    * then contributes `(crn-rn)·v` / `(rn-frn)·v` weights for the rank
+    * positions it occupies, and a plain hash aggregate sums them —
+    * map-side partial, constant memory per group.
+    *
+    * Interpolation matches both Spark's `percentile` and DuckDB's
+    * `quantile_cont` bit-for-bit: pos = p·(n-1) over the sorted exact
+    * doubles; result = (ceil(pos)-pos)·v[floor] + (pos-floor(pos))·v[ceil]
+    * (the value itself when pos is integral). The additions below mix
+    * only one or two non-zero doubles with exact 0.0 terms, so the
+    * sum is order-independent.
     */
-  def q24(spark: SparkSession, dir: String): DataFrame =
-    Tables.orders(spark, dir)
+  def q24(spark: SparkSession, dir: String): DataFrame = {
+    val grp = Window.partitionBy("o_orderstatus")
+    val byValue = grp.orderBy("v")
+    val ranked = Tables.orders(spark, dir)
+      .select(col("o_orderstatus"), col("o_totalprice").as("v"))
+      .withColumn("rn0", (row_number().over(byValue) - 1).cast("double"))
+      .withColumn("n", count(lit(1)).over(grp))
+
+    // weight of this row in the exact percentile p (0 for all but the
+    // one or two rows straddling pos = p·(n-1))
+    def contrib(p: Double): Column = {
+      val pos = lit(p) * (col("n") - lit(1L)).cast("double")
+      val frn = floor(pos)
+      val crn = ceil(pos)
+      when(col("rn0") === frn && frn === crn, col("v"))
+        .when(col("rn0") === frn, (crn - pos) * col("v"))
+        .when(col("rn0") === crn, (pos - frn) * col("v"))
+        .otherwise(lit(0.0))
+    }
+
+    ranked
       .groupBy("o_orderstatus")
       .agg(
-        expr("percentile(o_totalprice, 0.5)").as("median_total"),
-        expr("percentile(o_totalprice, 0.9)").as("p90_total"),
+        sum(contrib(0.5)).as("median_total"),
+        sum(contrib(0.9)).as("p90_total"),
         count(lit(1)).as("n"))
       .orderBy("o_orderstatus")
+  }
 
   /** q25 — correlated EXISTS with an extra predicate: customers with
     * at least one big finished order (semi-join carrying a non-key

@@ -9,9 +9,12 @@ import graft.operators.{Dedup, Multimodal, Similarity}
 /** Training-data pipeline queries over the `documents` / `embeddings`
   * / `events` fixtures: dedup, similarity search, text analysis,
   * multimodal plumbing. These are first-class operators of the engine
-  * (builder brief), each wired to a DuckDB oracle where the semantics
-  * are SQL-expressible; the hash-based ops (MinHash, SimHash, LSH
-  * buckets) get rows-only checks and ScalaTest coverage instead.
+  * (builder brief), each wired to a DuckDB oracle — INCLUDING the
+  * hash-based ops (MinHash, SimHash, LSH buckets): every hash in
+  * those pipelines is BIGINT-safe by construction, so the oracle
+  * replays signatures, band keys and buckets verbatim in DuckDB SQL
+  * and gates candidate generation end-to-end, not just the verify
+  * step (see graft.functions.HashExpressions).
   */
 object TrainingData {
 

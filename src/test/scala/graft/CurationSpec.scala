@@ -36,6 +36,27 @@ class CurationSpec extends AnyFunSuite {
     assert(residual.count() == 0)
   }
 
+  test("single-action report matches independently computed stage counts") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val cfg = Curation.Config(minTokens = 5, minQuality = 0.2, nearDupThreshold = 0.7)
+    // one materializing action populates every stage counter...
+    val staged = Curation.curateStaged(docs, "doc_id", "text", cfg)
+    staged.curated.count()
+    val r = staged.report()
+    // ...and each counter must equal the count from an independent
+    // job. Any re-execution of an observed subtree (e.g. exchange
+    // reuse failing across the dedup self-join branches) would double
+    // an accumulator and fail here.
+    assert(r.input == docs.count())
+    val q = Curation.annotate(docs, "text")
+      .filter(col("n_tokens") >= 5 && col("quality") >= 0.2)
+    assert(r.afterQuality == q.count())
+    assert(r.afterLang == q.count()) // keepLangs empty = no-op stage
+    assert(r.afterExact == Dedup.exact(q, "doc_id", "text").count())
+    assert(r.afterNearDup == staged.curated.count())
+  }
+
   test("language filter keeps only requested languages") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val annotated = Curation.annotate(docs, "text")

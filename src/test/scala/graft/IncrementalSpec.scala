@@ -52,6 +52,41 @@ class IncrementalSpec extends AnyFunSuite {
     assert(spark.table("inc_model").count() == 5)
   }
 
+  test("merge swap is crash-recoverable: no lost-relation window") {
+    val root = Files.createTempDirectory("graft_inc_crash")
+    val work = Files.createTempDirectory("graft_inc_crash_tbl").toString
+    val sql =
+      """{{ config(materialized='incremental', unique_key='id') }}
+        |select id, val from {{ ref('events_seed') }}
+        |""".stripMargin
+    writeProject(root, sql, Seq("1,a", "2,b"))
+    new ModelExecutor(spark, ProjectLoader.load(root.toString), Some(work)).buildAll()
+    val rel = java.nio.file.Paths.get(s"$work/inc_model")
+    val retired = java.nio.file.Paths.get(s"$work/inc_model__retired")
+    val staging = java.nio.file.Paths.get(s"$work/inc_model__staging")
+
+    // a normal merge cycle leaves no intermediate dirs behind
+    writeProject(root, sql, Seq("1,a", "2,b2"))
+    new ModelExecutor(spark, ProjectLoader.load(root.toString), Some(work)).buildAll()
+    assert(Files.isDirectory(rel))
+    assert(!Files.exists(retired) && !Files.exists(staging),
+      "swap must clean up its intermediate directories")
+
+    // simulate a crash between "move old aside" and "move staging in":
+    // the old relation must still exist on disk (at __retired) — the
+    // swap never deletes the only copy before the new one is in place
+    Files.move(rel, retired)
+    assert(Files.exists(retired), "old data recoverable after simulated crash")
+    // rebuilding from the crash state full-refreshes, and the next
+    // merge cycle clears the leftover __retired copy
+    new ModelExecutor(spark, ProjectLoader.load(root.toString), Some(work)).buildAll()
+    assert(spark.table("inc_model").count() == 2)
+    writeProject(root, sql, Seq("1,a", "2,b2", "3,c"))
+    new ModelExecutor(spark, ProjectLoader.load(root.toString), Some(work)).buildAll()
+    assert(spark.table("inc_model").count() == 3)
+    assert(!Files.exists(retired) && !Files.exists(staging))
+  }
+
   test("unique_key merge: updated rows replace their old versions") {
     val root = Files.createTempDirectory("graft_inc_mk")
     val work = Files.createTempDirectory("graft_inc_mk_tbl").toString

@@ -32,6 +32,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"unprojected column read from parquet: $scanLine")
   }
 
+  test("q24: no TypedImperative percentile buffer — sort-based plan only") {
+    val plan = planOf(queries.RelationalExt.q24(spark, dir))
+    // Spark's exact `percentile` is a TypedImperativeAggregate that
+    // buffers every group value on one reducer (OOM at scale with
+    // parallelism = #groups); the sort-based plan must not use it.
+    assert(!plan.contains("percentile("), plan.take(800))
+    assert(!plan.contains("ObjectHashAggregate"), plan.take(800))
+    assert(plan.contains("Window"), "expected the rank/count window")
+  }
+
   test("q21: star-schema dims are broadcast, not shuffled") {
     val plan = planOf(queries.RelationalExt.q21(spark, dir))
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))

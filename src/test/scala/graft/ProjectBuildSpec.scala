@@ -161,4 +161,30 @@ class ProjectBuildSpec extends AnyFunSuite {
     assert(e.executeSql("select {{ cents_to_dollars('300') }} as d")
       .collect()(0).getDecimal(0).doubleValue == 3.0)
   }
+
+  test("explicit fusion-compat configuration is honored alongside detection (A3)") {
+    import scala.collection.immutable.ListMap
+    // fusion-compat: true in dbt-osmosis.yml enables the fusion
+    // dialect even when no Fusion manifest was detected
+    val root = java.nio.file.Files.createTempDirectory("graft_fusion")
+    java.nio.file.Files.writeString(root.resolve("dbt-osmosis.yml"),
+      "fusion-compat: true\n")
+    graft.core.YamlIO.invalidate()
+    val configured = ProjectLoader.Project("p", root,
+      graft.core.Manifest(Seq.empty[graft.core.NodeMeta]), Map.empty, Map.empty,
+      fusionManifest = false)
+    assert(Cli.settingsFor(configured).fusionCompat,
+      "fusion-compat: true in dbt-osmosis.yml silently ignored")
+    // manifest detection alone still enables it
+    val root2 = java.nio.file.Files.createTempDirectory("graft_fusion2")
+    val detected = ProjectLoader.Project("p", root2,
+      graft.core.Manifest(Seq.empty[graft.core.NodeMeta]), Map.empty, Map.empty,
+      fusionManifest = true)
+    assert(Cli.settingsFor(detected).fusionCompat)
+    // and absent both, the dialect stays classic
+    val neither = ProjectLoader.Project("p", root2,
+      graft.core.Manifest(Seq.empty[graft.core.NodeMeta]), Map.empty, Map.empty,
+      fusionManifest = false)
+    assert(!Cli.settingsFor(neither).fusionCompat)
+  }
 }

@@ -57,6 +57,17 @@ class TestRunnerSpec extends AnyFunSuite {
     assert(!err.passed && err.error.isDefined)
   }
 
+  test("malformed empty-map test entry reports a failure, never throws") {
+    val node = NodeMeta("model.nation", "nation", "model",
+      columns = ListMap("n_nationkey" ->
+        ColumnMeta("n_nationkey", tests = Seq(Map.empty[String, Any]))))
+    val rs = runner.runNodeTests(node) // `tests: [{}]` in YAML
+    assert(rs.size == 1)
+    assert(!rs.head.passed)
+    assert(rs.head.error.exists(_.contains("malformed")),
+      s"expected a malformed-entry error, got: ${rs.head}")
+  }
+
   test("standard YAML tests: keys survive the project loader and execute") {
     val root = java.nio.file.Files.createTempDirectory("graft_tests")
     java.nio.file.Files.createDirectories(root.resolve("models"))

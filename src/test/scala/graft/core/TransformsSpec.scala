@@ -181,6 +181,25 @@ class TransformsSpec extends AnyFunSuite {
     assert(SettingsResolver.resolve(key, sBoth).contains("section"))
   }
 
+  test("column config.meta merges over column meta (dbt >= 1.10)") {
+    import scala.collection.immutable.ListMap
+    val key = "output-to-lower"
+    // config.meta wins the key conflict with classic column meta...
+    val both = ColumnMeta("c", meta = ListMap(key -> false),
+      config = Map("meta" -> Map(key -> true)))
+    val n = NodeMeta("model.m", "m", "model", columns = ListMap("c" -> both))
+    assert(SettingsResolver.resolve(key, settings, Some(n), Some("c")).contains(true))
+    // ...and supplies settings on its own when classic meta is absent
+    val only = ColumnMeta("c", config = Map("meta" -> Map(key -> true)))
+    val n2 = NodeMeta("model.m", "m", "model", columns = ListMap("c" -> only))
+    assert(SettingsResolver.resolve(key, settings, Some(n2), Some("c")).contains(true))
+    // classic meta still resolves when config.meta has other keys
+    val classic = ColumnMeta("c", meta = ListMap(key -> true),
+      config = Map("meta" -> Map("unrelated" -> 1)))
+    val n3 = NodeMeta("model.m", "m", "model", columns = ListMap("c" -> classic))
+    assert(SettingsResolver.resolve(key, settings, Some(n3), Some("c")).contains(true))
+  }
+
   test("dbt-osmosis.yml supplementary file loads from project root") {
     val root = java.nio.file.Files.createTempDirectory("graft_supp")
     assert(EngineSettings.loadSupplementary(root).isEmpty)
