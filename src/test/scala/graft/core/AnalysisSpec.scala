@@ -54,8 +54,69 @@ class AnalysisSpec extends AnyFunSuite {
     val sqls = plan.steps.map(_.sql)
     assert(sqls.head.contains("RENAME COLUMN"))
     assert(sqls.exists(_.contains("ADD COLUMN `added` DATE")))
-    assert(sqls.last.contains("ALTER COLUMN") || sqls.last.contains("DROP COLUMN"))
+    assert(sqls.last.contains("CHANGE COLUMN") || sqls.last.contains("DROP COLUMN"))
     assert(plan.rollbackScript.contains("RENAME COLUMN `renamed_old` TO `old`"))
+  }
+
+  test("migration DDL dialect matrix: quoting and per-dialect syntax") {
+    val n = node("old" -> "VARCHAR", "shrink" -> "bigint")
+    val d = db("renamed_old" -> "VARCHAR", "shrink" -> "int", "added" -> "DATE")
+    val diff = Diff.compareNode(n, d, fuzzyThreshold = 60.0)
+    def plan(dialect: String) = Migration.planFor("tbl", diff, dialect = dialect)
+
+    // duckdb (the oracle engine): double-quoted idents, ALTER ... TYPE
+    val duck = plan("duckdb").steps.map(_.sql)
+    assert(duck.exists(_ == "ALTER TABLE \"tbl\" RENAME COLUMN \"old\" TO \"renamed_old\""))
+    assert(duck.exists(_ == "ALTER TABLE \"tbl\" ADD COLUMN \"added\" DATE"))
+    assert(duck.exists(_ == "ALTER TABLE \"tbl\" ALTER COLUMN \"shrink\" TYPE int"))
+    // snowflake: double quotes, SET DATA TYPE
+    val snow = plan("snowflake").steps.map(_.sql)
+    assert(snow.exists(_.contains("ALTER COLUMN \"shrink\" SET DATA TYPE int")))
+    // spark: backticks, CHANGE COLUMN
+    val spk = plan("spark").steps.map(_.sql)
+    assert(spk.exists(_ == "ALTER TABLE `tbl` CHANGE COLUMN `shrink` `shrink` int"))
+    // sqlserver: bracket quoting, sp_rename, bare ALTER COLUMN type
+    val mssql = plan("mssql").steps.map(_.sql) // alias -> sqlserver
+    assert(mssql.exists(_ == "EXEC sp_rename '[tbl].old', 'renamed_old', 'COLUMN'"))
+    assert(mssql.exists(_ == "ALTER TABLE [tbl] ALTER COLUMN [shrink] int"))
+    // databricks: rename needs manual migration and is marked breaking
+    val dbx = plan("databricks")
+    val rn = dbx.steps.find(_.changeType == "column_renamed").get
+    assert(rn.sql.startsWith("-- RENAME NOT SUPPORTED"))
+    assert(rn.severity == Diff.Breaking)
+    // postgres aliases: postgresql / redshift collapse onto postgres
+    assert(Migration.normalizeDialect("postgresql") == "postgres")
+    assert(Migration.normalizeDialect("Redshift") == "postgres")
+    val pg = plan("postgres").steps.map(_.sql)
+    assert(pg.exists(_ == "ALTER TABLE \"tbl\" ALTER COLUMN \"shrink\" TYPE int"))
+    // bigquery: backticks with SET DATA TYPE
+    val bq = plan("bigquery").steps.map(_.sql)
+    assert(bq.exists(_ == "ALTER TABLE `tbl` ALTER COLUMN `shrink` SET DATA TYPE int"))
+  }
+
+  test("migration plan JSON export round-trips and sql script is transactional") {
+    val n = node("old" -> "VARCHAR")
+    val d = db("renamed_old" -> "VARCHAR", "added" -> "DATE")
+    val diff = Diff.compareNode(n, d, fuzzyThreshold = 60.0)
+    val plan = Migration.planFor("main.tbl", diff, dialect = "duckdb")
+    assert(plan.table == "main.tbl")
+    assert(plan.steps.map(_.sql).exists(_.contains("\"main\".\"tbl\"")),
+      "dotted table names quote each part")
+    val parsed = Migration.fromJson(plan.toJson)
+    assert(parsed == plan, s"JSON round-trip drifted:\n$parsed\nvs\n$plan")
+    // export formats hit disk
+    val dir = java.nio.file.Files.createTempDirectory("graft_mig")
+    for (fmt <- Seq("sql", "json", "markdown")) {
+      val p = dir.resolve(s"plan.$fmt")
+      Migration.exportPlan(plan, p, fmt)
+      assert(java.nio.file.Files.size(p) > 0)
+    }
+    assert(Migration.fromJson(
+      java.nio.file.Files.readString(dir.resolve("plan.json"))) == plan)
+    val script = plan.sqlScript
+    assert(script.startsWith("-- Migration Plan for main.tbl"))
+    assert(script.contains("BEGIN;") && script.contains("COMMIT;"))
+    assert(script.contains("-- Rollback Script"))
   }
 
   test("lint flags star, case, aliases, quoting, long lines") {
@@ -70,6 +131,72 @@ class AnalysisSpec extends AnyFunSuite {
     assert(ids.contains("keyword-case")) // lowercase 'select' among UPPER majority
     assert(ids.contains("unneeded-quoted-identifier"))
     assert(ids.contains("line-length"))
+  }
+
+  test("lint per-rule enable/disable config, disabled wins, aliases accepted") {
+    val sql = "select * from orders o -- lower keywords, star, short alias"
+    // enabled filter: only the named rules fire
+    val only = Lint.lint(sql, Lint.Config(enabledRules = Some(Seq("select-star"))))
+    assert(only.nonEmpty && only.forall(_.ruleId == "select-star"))
+    // disabled filter removes a rule
+    val no = Lint.lint(sql, Lint.Config(disabledRules = Seq("select-star")))
+    assert(!no.exists(_.ruleId == "select-star"))
+    assert(no.exists(_.ruleId == "short-alias"), "other rules still fire")
+    // disabled wins over enabled (reference
+    // test_disabled_rules_win_over_enabled_rules)
+    val both = Lint.lint(sql, Lint.Config(
+      enabledRules = Some(Seq("select-star")), disabledRules = Seq("select-star")))
+    assert(both.isEmpty)
+    // reference rule ids alias onto ours
+    val aliased = Lint.lint("SELECT `plain` FROM orders o", Lint.Config(
+      disabledRules = Seq("table-alias", "quoted-identifier")))
+    assert(!aliased.exists(v =>
+      v.ruleId == "short-alias" || v.ruleId == "unneeded-quoted-identifier"))
+  }
+
+  test("lint fix payloads: keyword-case recase and quoted-identifier unquote apply") {
+    val sql = "SELECT `plain_name` FROM t\nwhere x = 1 AND y = 2"
+    val vs = Lint.lint(sql)
+    val kw = vs.filter(_.ruleId == "keyword-case")
+    assert(kw.nonEmpty && kw.forall(v => v.fix.isDefined && v.snippet.isDefined))
+    assert(kw.exists(v => v.snippet.contains("where") && v.fix.contains("WHERE")))
+    val fixed = Lint.applyFixes(sql, vs)
+    assert(fixed.contains("WHERE x = 1 AND y = 2"))
+    assert(fixed.contains("SELECT plain_name FROM t"), s"unquote applied: $fixed")
+    // fixed SQL is clean for those rules
+    val after = Lint.lint(fixed)
+    assert(!after.exists(v =>
+      v.ruleId == "keyword-case" || v.ruleId == "unneeded-quoted-identifier"))
+    // stale violations (wrong snippet at position) are skipped, not misapplied
+    val stale = Seq(Lint.Violation("keyword-case", "", "convention", 1, 1,
+      fix = Some("WRONG"), snippet = Some("nomatch")))
+    assert(Lint.applyFixes(sql, stale) == sql)
+  }
+
+  test("lint model/project drivers: not-found, no-sql, compile-first, fqn filter") {
+    val compiled = NodeMeta("model.p.good", "good", "model",
+      fqn = Seq("p", "marts", "good"),
+      rawCode = "select * from {{ ref('x') }}",
+      compiledCode = Some("select * from x_tbl"))
+    val uncompiled = NodeMeta("model.p.jinja", "jinja", "model",
+      fqn = Seq("p", "staging", "jinja"),
+      rawCode = "select 1 from {{ ref('y') }}")
+    val empty = NodeMeta("model.p.hollow", "hollow", "model")
+    val m = Manifest(Seq(compiled, uncompiled, empty))
+
+    assert(Lint.lintModel(m, "nope").exists(_.ruleId == "model-not-found"))
+    assert(Lint.lintModel(m, "hollow").exists(_.ruleId == "model-sql-not-found"))
+    // compiled SQL is linted (star comes from the compiled text)
+    assert(Lint.lintModel(m, "good").exists(_.ruleId == "select-star"))
+    // uncompiled jinja is reported, not parsed as SQL
+    assert(Lint.lintModel(m, "jinja").exists(_.ruleId == "compile-error"))
+    // fqn filter narrows the project sweep (reference fqn selector)
+    val all = Lint.lintManifest(m)
+    assert(all.keySet == Set("model.p.good", "model.p.jinja"))
+    val marts = Lint.lintManifest(m, fqnFilter = Seq("marts"))
+    assert(marts.keySet == Set("model.p.good"))
+    val byName = Lint.lintManifest(m, fqnFilter = Seq("jinja"))
+    assert(byName.keySet == Set("model.p.jinja"))
   }
 
   test("lint ignores keywords inside string literals and comments") {
