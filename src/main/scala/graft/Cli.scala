@@ -166,9 +166,12 @@ object Cli {
       val nodes = manifest.nodes.values
         .filter(n => n.resourceType == "model" || n.resourceType == "seed").toSeq
       val synced = SyncOperations.syncNodes(project.root, nodes, settings)
-      // structural validation before anything reaches disk (A44)
+      // structural validation before anything reaches disk (A44):
+      // per-file chain + cross-file duplicate detection
       val findings = synced.flatMap(p => SchemaValidation.validate(YamlIO.read(p))
-        .map(f => p -> f))
+        .map(f => p -> f)) ++
+        SchemaValidation.validateCrossFile(synced.map(p => p -> YamlIO.read(p)))
+          .map(f => project.root -> f)
       findings.foreach { case (p, f) =>
         println(s"yaml-check ${project.root.relativize(p)} [${f.rule}] ${f.severity}: ${f.message}")
       }

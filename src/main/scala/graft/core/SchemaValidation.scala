@@ -319,10 +319,15 @@ object SchemaValidation {
                     s"models/$modelName/versions[$i]",
                     s"'v' must be an int, float, or string, got $other")
               }
-              // include/exclude selectors in version columns
-              asSeqMap(v.getOrElse("columns", Nil))
+              // include/exclude selectors in version columns (at most
+              // one per version block, validation.py:493-505)
+              val selectors = asSeqMap(v.getOrElse("columns", Nil))
                 .filter(c => !c.get("name").exists(_.isInstanceOf[String]))
-                .foreach { sel =>
+              if (selectors.size > 1)
+                out += Finding("invalid-version-column-selector", "error",
+                  s"models/$modelName/versions[$i]/columns",
+                  "at most one include/exclude column selector per version")
+              selectors.foreach { sel =>
                   val p = s"models/$modelName/versions[$i]/columns"
                   sel.get("include") match {
                     case None =>
@@ -369,10 +374,194 @@ object SchemaValidation {
     out.toSeq
   }
 
+  /** Entries must be maps and names strings (reference
+    * INVALID_MODEL_TYPE / INVALID_MODEL_NAME and the seed/source
+    * equivalents, validation.py:955-1140) — `asSeqMap` silently drops
+    * non-map entries elsewhere in the chain, so this is the validator
+    * that REPORTS them.
+    */
+  val entriesTyped: Validator = doc => {
+    val out = scala.collection.mutable.ListBuffer.empty[Finding]
+    for (section <- Seq("models", "seeds", "sources")) {
+      doc.managed.getOrElse(section, Nil) match {
+        case entries: Seq[_] =>
+          entries.zipWithIndex.foreach {
+            case (m: Map[_, _], i) =>
+              m.asInstanceOf[Map[String, Any]].get("name").foreach {
+                case _: String => ()
+                case other =>
+                  out += Finding("invalid-entry-name", "error", s"$section[$i]",
+                    s"name must be a string, got $other")
+              }
+            case (other, i) =>
+              out += Finding("invalid-entry-type", "error", s"$section[$i]",
+                s"entry in '$section' must be a map, got $other")
+          }
+        case Nil => ()
+        case other =>
+          out += Finding("invalid-section-type", "error", section,
+            s"'$section' must be a list, got $other")
+      }
+    }
+    out.toSeq
+  }
+
+  /** Columns must be a LIST of MAPS with string names (reference
+    * INVALID_COLUMNS_TYPE / INVALID_COLUMN_TYPE / INVALID_COLUMN_NAME,
+    * validation.py:458-523). `columnsWellFormed` covers missing names
+    * and duplicates; this covers the type contracts.
+    */
+  val columnsTyped: Validator = doc => {
+    val out = scala.collection.mutable.ListBuffer.empty[Finding]
+    for {
+      section <- Seq("models", "seeds")
+      entry <- asSeqMap(doc.managed.getOrElse(section, Nil))
+      entryName = entry.getOrElse("name", "?").toString
+    } entry.get("columns").foreach {
+      case cols: Seq[_] =>
+        cols.zipWithIndex.foreach {
+          case (m: Map[_, _], _) =>
+            m.asInstanceOf[Map[String, Any]].get("name").foreach {
+              case _: String => ()
+              case other =>
+                out += Finding("invalid-column-name", "error",
+                  s"$section/$entryName/columns",
+                  s"column name must be a string, got $other")
+            }
+          case (other, i) =>
+            out += Finding("invalid-column-type", "error",
+              s"$section/$entryName/columns[$i]",
+              s"column must be a map, got $other")
+        }
+      case other =>
+        out += Finding("invalid-columns-type", "error", s"$section/$entryName",
+          s"columns must be a list, got $other")
+    }
+    out.toSeq
+  }
+
+  /** Source table contracts (reference SourceValidator,
+    * validation.py:996-1090): tables present (warning), a list of
+    * maps with string names; table-level tests and columns share the
+    * deep test validators.
+    */
+  val sourcesWellFormed: Validator = doc => {
+    val out = scala.collection.mutable.ListBuffer.empty[Finding]
+    for {
+      (source, i) <- asSeqMap(doc.managed.getOrElse("sources", Nil)).zipWithIndex
+      sourceName = source.getOrElse("name", s"sources[$i]").toString
+    } source.get("tables") match {
+      case None =>
+        out += Finding("missing-source-tables", "warning", s"sources/$sourceName",
+          s"Source '$sourceName' has no tables defined")
+      case Some(tables: Seq[_]) =>
+        tables.zipWithIndex.foreach {
+          case (m: Map[_, _], ti) =>
+            val table = m.asInstanceOf[Map[String, Any]]
+            table.get("name") match {
+              case None =>
+                out += Finding("missing-source-table-name", "error",
+                  s"sources/$sourceName/tables[$ti]",
+                  "table is missing required 'name' field")
+              case Some(_: String) =>
+                val tName = table("name").toString
+                table.get("data_tests").orElse(table.get("tests")).foreach(
+                  validateTestList(_, s"sources/$sourceName/$tName/tests", out))
+                asSeqMap(table.getOrElse("columns", Nil)).foreach { col =>
+                  col.get("data_tests").orElse(col.get("tests")).foreach(
+                    validateTestList(_,
+                      s"sources/$sourceName/$tName/${col.getOrElse("name", "?")}/tests",
+                      out))
+                }
+              case Some(other) =>
+                out += Finding("invalid-source-table-name", "error",
+                  s"sources/$sourceName/tables[$ti]",
+                  s"table name must be a string, got $other")
+            }
+          case (other, ti) =>
+            out += Finding("invalid-source-table-type", "error",
+              s"sources/$sourceName/tables[$ti]",
+              s"table must be a map, got $other")
+        }
+      case Some(other) =>
+        out += Finding("invalid-source-tables-type", "error",
+          s"sources/$sourceName", s"'tables' must be a list, got $other")
+    }
+    out.toSeq
+  }
+
+  /** Top-level keys dbt-osmosis preserves but does not manage get a
+    * visibility warning (reference UNMANAGED_TOP_LEVEL_KEYS,
+    * validation.py:1290-1300).
+    */
+  val unmanagedKeysWarned: Validator = doc =>
+    if (doc.preserved.nonEmpty)
+      Seq(Finding("unmanaged-top-level-keys", "warning",
+        doc.preserved.keys.toSeq.sorted.mkString(", "),
+        "these top-level keys are preserved but not validated or mutated"))
+    else Nil
+
   val DefaultChain: Seq[Validator] = Seq(
-    structureWellFormed, entriesHaveNames, noDuplicateEntries, columnsWellFormed,
-    versionIsTwo, testsWellFormed, testConfigsDeep, metaAndTagsTyped,
-    versionsWellFormed)
+    structureWellFormed, entriesTyped, entriesHaveNames, noDuplicateEntries,
+    columnsWellFormed, columnsTyped, versionIsTwo, testsWellFormed,
+    testConfigsDeep, metaAndTagsTyped, versionsWellFormed, sourcesWellFormed)
+
+  /** Raw-text formatting checks (reference FormattingValidator,
+    * validation.py:1141-1203): trailing whitespace per line (warning,
+    * fixable), >2 consecutive blank lines (info, fixable), CRLF line
+    * endings (info, fixable).
+    */
+  def validateFormatting(raw: String): Seq[Finding] = {
+    val out = scala.collection.mutable.ListBuffer.empty[Finding]
+    raw.split("\n", -1).zipWithIndex.foreach { case (l, i) =>
+      if (l.stripSuffix("\r").endsWith(" "))
+        out += Finding("trailing-whitespace", "warning", s"line ${i + 1}",
+          s"Line ${i + 1} has trailing whitespace", autoFixable = true)
+    }
+    if (raw.contains("\n\n\n"))
+      out += Finding("excessive-blank-lines", "info", "",
+        "File has excessive blank lines (more than 2 consecutive)",
+        autoFixable = true)
+    if (raw.contains("\r"))
+      out += Finding("crlf-line-endings", "info", "",
+        "File contains CRLF line endings (should be LF)", autoFixable = true)
+    out.toSeq
+  }
+
+  /** Cross-FILE duplicate detection over a whole project's schema
+    * docs: the per-file `noDuplicateEntries` cannot see a model
+    * declared in two different YAML files (dbt fails the parse with a
+    * duplicate-resource error, so this surfaces it before a write
+    * makes it worse). Sources dedup on (source, table).
+    */
+  def validateCrossFile(
+      docs: Seq[(java.nio.file.Path, YamlIO.YamlDoc)]): Seq[Finding] = {
+    val out = scala.collection.mutable.ListBuffer.empty[Finding]
+    def dupsOf(names: Seq[(String, java.nio.file.Path)], kind: String): Unit =
+      names.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (name, occ) =>
+        val files = occ.map(_._2).distinct
+        if (files.size > 1)
+          out += Finding(s"cross-file-duplicate-$kind", "error",
+            files.mkString(", "),
+            s"$kind '$name' is declared in ${files.size} files")
+      }
+    def names(section: String): Seq[(String, java.nio.file.Path)] = for {
+      (path, doc) <- docs
+      entry <- asSeqMap(doc.managed.getOrElse(section, Nil))
+      name <- entry.get("name").collect { case s: String => s }
+    } yield name -> path
+    dupsOf(names("models"), "model")
+    dupsOf(names("seeds"), "seed")
+    val tables = for {
+      (path, doc) <- docs
+      src <- asSeqMap(doc.managed.getOrElse("sources", Nil))
+      srcName <- src.get("name").collect { case s: String => s }.toSeq
+      table <- asSeqMap(src.getOrElse("tables", Nil))
+      tName <- table.get("name").collect { case s: String => s }.toSeq
+    } yield s"$srcName.$tName" -> path
+    dupsOf(tables, "source-table")
+    out.toSeq
+  }
 
   def validate(doc: YamlIO.YamlDoc,
       chain: Seq[Validator] = DefaultChain): Seq[Finding] =

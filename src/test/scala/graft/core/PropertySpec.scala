@@ -171,6 +171,95 @@ class PropertySpec extends AnyFunSuite {
     assert(fixed.managed("version") == 2 && applied.nonEmpty)
   }
 
+  test("typed entry/column contracts: non-map entries and non-string names report") {
+    def rules(managed: (String, Any)*) =
+      SchemaValidation.validate(
+        YamlIO.YamlDoc(ListMap(("version" -> 2) +: managed: _*), ListMap.empty))
+        .map(_.rule).toSet
+    // a bare string where a model map belongs
+    assert(rules("models" -> Seq("just_a_name")).contains("invalid-entry-type"))
+    // a numeric name
+    assert(rules("models" -> Seq(Map[String, Any]("name" -> 42)))
+      .contains("invalid-entry-name"))
+    // models: not even a list
+    assert(rules("models" -> "oops").contains("invalid-section-type"))
+    // columns: scalar instead of list; non-map column; numeric column name
+    assert(rules("models" -> Seq(Map[String, Any]("name" -> "m", "columns" -> "id")))
+      .contains("invalid-columns-type"))
+    assert(rules("models" -> Seq(Map[String, Any]("name" -> "m",
+      "columns" -> Seq("id")))).contains("invalid-column-type"))
+    assert(rules("models" -> Seq(Map[String, Any]("name" -> "m",
+      "columns" -> Seq(Map[String, Any]("name" -> 7)))))
+      .contains("invalid-column-name"))
+  }
+
+  test("source table contracts: presence, types, and deep test args") {
+    def doc(src: Map[String, Any]) =
+      YamlIO.YamlDoc(ListMap("version" -> 2, "sources" -> Seq(src)), ListMap.empty)
+    def rules(src: Map[String, Any]) =
+      SchemaValidation.validate(doc(src)).map(_.rule).toSet
+    assert(rules(Map("name" -> "raw")).contains("missing-source-tables"))
+    assert(rules(Map("name" -> "raw", "tables" -> "t"))
+      .contains("invalid-source-tables-type"))
+    assert(rules(Map("name" -> "raw", "tables" -> Seq("t")))
+      .contains("invalid-source-table-type"))
+    assert(rules(Map("name" -> "raw", "tables" -> Seq(Map[String, Any]("loaded_at" -> "x"))))
+      .contains("missing-source-table-name"))
+    assert(rules(Map("name" -> "raw", "tables" -> Seq(Map[String, Any]("name" -> 1))))
+      .contains("invalid-source-table-name"))
+    // table-level and column-level test args validated like models
+    val deep = Map[String, Any]("name" -> "raw", "tables" -> Seq(Map[String, Any](
+      "name" -> "events",
+      "data_tests" -> Seq(Map("accepted_values" -> Map[String, Any]())),
+      "columns" -> Seq(Map[String, Any]("name" -> "id",
+        "tests" -> Seq(Map("relationships" -> Map("to" -> "ref('x')"))))))))
+    val rs = rules(deep)
+    assert(rs.contains("missing-accepted-values"))
+    assert(rs.contains("missing-relationship-field"))
+    // a healthy source yields nothing
+    assert(SchemaValidation.validate(doc(Map("name" -> "raw", "tables" -> Seq(
+      Map[String, Any]("name" -> "events", "columns" -> Seq(
+        Map[String, Any]("name" -> "id", "tests" -> Seq("unique")))))))).isEmpty)
+  }
+
+  test("formatting and cross-file duplicate detection") {
+    val fmt = SchemaValidation.validateFormatting(
+      "version: 2 \nmodels:\r\n\n\n\n  - name: m\n").map(_.rule).toSet
+    assert(fmt == Set("trailing-whitespace", "excessive-blank-lines",
+      "crlf-line-endings"))
+    assert(SchemaValidation.validateFormatting("version: 2\nmodels: []\n").isEmpty)
+
+    def doc(managed: (String, Any)*) =
+      YamlIO.YamlDoc(ListMap(managed: _*), ListMap.empty)
+    val p1 = java.nio.file.Paths.get("models/a.yml")
+    val p2 = java.nio.file.Paths.get("models/b.yml")
+    val dups = SchemaValidation.validateCrossFile(Seq(
+      p1 -> doc("models" -> Seq(Map[String, Any]("name" -> "orders")),
+        "sources" -> Seq(Map[String, Any]("name" -> "raw", "tables" -> Seq(
+          Map[String, Any]("name" -> "events"))))),
+      p2 -> doc("models" -> Seq(Map[String, Any]("name" -> "orders"),
+        Map[String, Any]("name" -> "customers")),
+        "sources" -> Seq(Map[String, Any]("name" -> "raw", "tables" -> Seq(
+          Map[String, Any]("name" -> "events")))))))
+    val byRule = dups.groupBy(_.rule)
+    assert(byRule.contains("cross-file-duplicate-model"))
+    assert(byRule.contains("cross-file-duplicate-source-table"))
+    assert(dups.forall(_.severity == "error"))
+    assert(dups.exists(f => f.message.contains("'orders'") && f.path.contains("a.yml")
+      && f.path.contains("b.yml")))
+    // same name twice in ONE file is the per-file rule's job, not this one
+    val single = SchemaValidation.validateCrossFile(Seq(
+      p1 -> doc("models" -> Seq(Map[String, Any]("name" -> "m"),
+        Map[String, Any]("name" -> "m")))))
+    assert(single.isEmpty)
+    // unmanaged top-level keys warn when the validator is opted in
+    val withExtra = YamlIO.YamlDoc(ListMap("version" -> 2,
+      "models" -> Seq(Map[String, Any]("name" -> "m"))),
+      ListMap("exposures" -> Nil))
+    assert(SchemaValidation.unmanagedKeysWarned(withExtra)
+      .exists(f => f.rule == "unmanaged-top-level-keys" && f.path.contains("exposures")))
+  }
+
   test("versioned-model validation: v shapes, duplicates, latest, selectors") {
     def doc(model: Map[String, Any]) =
       YamlIO.YamlDoc(ListMap("version" -> 2, "models" -> Seq(model)), ListMap.empty)
@@ -197,6 +286,12 @@ class PropertySpec extends AnyFunSuite {
     assert(rules(Map("name" -> "m", "versions" -> Seq(Map[String, Any]("v" -> 1,
       "columns" -> Seq(Map[String, Any]("exclude" -> Seq("b")))))))
       .contains("invalid-version-column-selector")) // include missing
+    // at most one selector per version block
+    assert(rules(Map("name" -> "m", "versions" -> Seq(Map[String, Any]("v" -> 1,
+      "columns" -> Seq(
+        Map[String, Any]("include" -> "*"),
+        Map[String, Any]("include" -> "all"))))))
+      .contains("invalid-version-column-selector"))
     // a fully valid versioned model produces no findings
     assert(SchemaValidation.validate(doc(Map("name" -> "m", "latest_version" -> 2,
       "versions" -> Seq(
