@@ -50,7 +50,16 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // scale headline: excludes the two QUADRATIC-BY-DESIGN exactness
+    // baselines (t08 brute-force ANN, t10 all-pairs embedding dedup)
+    // whose cost is O(n²·d) by construction — t09/t13 are the shipped
+    // LSH paths for the same semantics. At sf >= 1 the quadratic
+    // baselines dominate the total and drown every scale signal.
+    val quadraticBaselines = Set("t08_ann_brute_topk", "t10_emb_near_dup")
+    val headline = results.collect {
+      case (k, v) if !quadraticBaselines(k) => v
+    }.sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_scale_headline":$headline%.3f,"headline_excludes":["t08_ann_brute_topk","t10_emb_near_dup"],"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
