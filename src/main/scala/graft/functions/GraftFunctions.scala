@@ -67,6 +67,8 @@ object GraftFunctions {
           }
           LshBucket(exprs.head, n)
         }, "built-in")
+      reg.createOrReplaceTempFunction(
+        "bpe_token_count", exprs => BpeTokenCount(exprs.head), "built-in")
     }
 
   /** Oracle-parity polynomial fingerprint (see [[PolyHash]]). */
@@ -74,4 +76,7 @@ object GraftFunctions {
 
   /** 64-bit FNV-1a hash (see [[Fnv64]]). */
   def fnv64(c: String): Column = expr(s"fnv64($c)")
+
+  /** Real merges-table BPE token count (see [[BpeTokenCount]]). */
+  def bpeTokenCount(c: String): Column = expr(s"bpe_token_count($c)")
 }

@@ -41,6 +41,24 @@ object TrainingData {
       TextFunctions.nBpeTokens(col("text")).as("n_bpe_tokens"))
       .orderBy("doc_id")
 
+  /** Real merges-table BPE token count per document (custom codegen'd
+    * expression [[graft.functions.BpeTokenCount]]): the standard BPE
+    * inference loop over the embedded [[graft.functions.Bpe.Merges]]
+    * table, i.e. the token number a training pipeline actually
+    * budgets with. The oracle replays the ENTIRE merge loop in DuckDB
+    * (recursive CTE, one rank per step applied to fixpoint via
+    * separator-delimited string replace — equivalence argument in the
+    * [[graft.functions.Bpe]] Scaladoc), so the gate checks the
+    * tokenizer itself, not a proxy count.
+    */
+  def docBpeReal(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      GraftFunctions.bpeTokenCount("text").as("n_bpe_real"))
+      .orderBy("doc_id")
+  }
+
   /** Language-ID heuristic per document. */
   def docLangId(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
@@ -168,6 +186,7 @@ object TrainingData {
     "t12_events_json" -> eventsJson _,
     "t13_emb_near_dup_lsh" -> embNearDupLsh _,
     "t14_token_counts" -> docTokenCounts _,
+    "t15_bpe_real" -> docBpeReal _,
   )
 
   /** Shared DuckDB CTE fragment: per-doc word-trigram shingle sets,
@@ -318,6 +337,7 @@ object TrainingData {
         s"""SELECT doc_id, ${T.nTokens("text")} AS n_words,
            |  ${T.nBpeTokens("text")} AS n_bpe_tokens
            |FROM documents ORDER BY doc_id""".stripMargin,
+      "t15_bpe_real" -> graft.functions.Bpe.oracleSql("documents"),
       "t06_dedup_minhash" -> minhashOracleSql(64, 16, 0.5),
       "t07_dedup_simhash" -> simhashOracleSql(3, 0.5),
       "t09_ann_lsh_topk" ->

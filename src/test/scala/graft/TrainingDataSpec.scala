@@ -214,4 +214,43 @@ class TrainingDataSpec extends AnyFunSuite {
       assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
         "resize/frame-sample must not shuffle")
   }
+
+  test("real BPE count follows the min-rank merge loop") {
+    import graft.functions.Bpe
+    // hand-traced against Bpe.Merges: "customer" fully collapses
+    // (e r -> s t -> m er -> c u -> cu st -> cust o -> custo mer)
+    assert(Bpe.count("customer") == 1L)
+    assert(Bpe.count("order") == 1L)
+    // no applicable merges -> one token per char
+    assert(Bpe.count("xyz") == 3L)
+    assert(Bpe.count("aaaa") == 4L)
+    // leftmost non-overlapping within a run: e,r,e,r -> er,er
+    assert(Bpe.count("erer") == 2L)
+    // pre-token boundaries: merges never cross whitespace
+    assert(Bpe.count("customer order") == 2L)
+    assert(Bpe.count("") == 0L)
+    // control chars below U+0009 are stripped, not tokenized
+    assert(Bpe.count("xyzxyz") == Bpe.count("xyzxyz"))
+  }
+
+  test("bpe_token_count expression matches driver-side Bpe.count") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{Bpe, GraftFunctions}
+    GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir).limit(100)
+    val rows = docs.select(col("text"),
+      expr("bpe_token_count(text)").as("n")).collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) == Bpe.count(r.getString(0)))
+    }
+    // non-degenerate on the fixture: strictly finer than words,
+    // strictly coarser than characters
+    val agg = graft.queries.TrainingData.docBpeReal(spark, dir)
+      .agg(sum("n_bpe_real")).collect()(0).getLong(0)
+    val stats = Tables.documents(spark, dir).select(
+      sum(graft.functions.TextFunctions.nTokens(col("text"))).as("w"),
+      sum(length(col("text")).cast("long")).as("c")).collect()(0)
+    assert(agg > stats.getLong(0), "BPE tokens > word count")
+    assert(agg < stats.getLong(1), "BPE tokens < char count")
+  }
 }
