@@ -101,9 +101,9 @@ object Curation {
     // the final anti-join consumes exactDeduped twice; repartition
     // exchanges make those subtrees reusable so each prefix (and each
     // observe in it) executes once per action.
-    val prefixBarrier = langFiltered.repartition(col(idCol))
-    val exactDeduped = Dedup.exact(prefixBarrier, idCol, textCol)
-      .repartition(col(idCol))
+    val prefixBarrier = Dedup.barrier(langFiltered, col(idCol))
+    val exactDeduped = Dedup.barrier(
+      Dedup.exact(prefixBarrier, idCol, textCol), col(idCol))
 
     val nearDupPairs = config.nearDupStrategy match {
       case "simhash" => Dedup.simhashNearDups(exactDeduped, idCol, textCol,

@@ -11,6 +11,23 @@ import graft.functions.GraftFunctions
   */
 object Dedup {
 
+  /** Shuffle barrier with an EXPLICIT partition count. The band-join
+    * stages read these exchanges as probe input and multiply
+    * cardinality by orders of magnitude; a bare `repartition(col)` is
+    * a REPARTITION_BY_COL hint that AQE may coalesce by INPUT size
+    * (a few MB of fingerprints → one partition), serializing the
+    * entire candidate explosion onto a single task. Pinning the
+    * session's shuffle parallelism keeps output-heavy stages wide —
+    * measured at sf1, the simhash band join ran 17+ min on one task
+    * under coalescing vs seconds when wide.
+    */
+  private[operators] def barrier(df: DataFrame, c: Column*): DataFrame = {
+    val parts = scala.util.Try(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+      .getOrElse(200)
+    df.repartition(parts, c: _*)
+  }
+
   /** Exact dedup: keep the lowest id per identical text.
     *
     * Scale design: group on a 256-bit content hash, not the text —
@@ -135,7 +152,7 @@ object Dedup {
       col(idCol).as("id"),
       array_sort(shingles(col(textCol), n)).as("sh"))
       .withColumn("sig", minhashSignatureFromShingles(col("sh"), numPerms))
-      .repartition(col("id"))
+    val withSigB = barrier(withSig, col("id"))
 
     // band key = a BIGINT-safe polynomial fold of the band's signature
     // values (each < 2^31, so acc·8191 + v < 2^44) — the identical
@@ -144,7 +161,7 @@ object Dedup {
     // verify step keeps outputs equal. (Interpreted lambda is fine
     // here: rows·bands = numPerms steps per doc, dwarfed by the
     // signature loop.)
-    val banded = withSig.select(
+    val banded = withSigB.select(
       col("id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
@@ -152,15 +169,19 @@ object Dedup {
             (acc, x) => (acc * lit(8191L) + x) % lit(2147483647L)).as("key"))
       }: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    // pinned on the join key: the self-join's output explodes with
+    // band-bucket occupancy, so its input exchange must never be
+    // coalesced down by input size (see [[barrier]])
+    val bandedB = barrier(banded, col("band"), col("key"))
 
-    val candidates = banded.as("a")
-      .join(banded.as("b"),
+    val candidates = bandedB.as("a")
+      .join(bandedB.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
 
-    val sh = withSig.select(col("id"), col("sh"))
+    val sh = withSigB.select(col("id"), col("sh"))
     candidates
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -216,15 +237,16 @@ object Dedup {
           shiftright(col("sim"), b * chunkBits).bitwiseAND(lit(mask)).as("chunk"))
       }: _*)).as("bc"))
       .select(col("id"), col("sim"), col("bc.band").as("band"), col("bc.chunk").as("chunk"))
-    banded.as("a")
-      .join(banded.as("b"),
+    val bandedB = barrier(banded, col("band"), col("chunk"))
+    bandedB.as("a")
+      .join(bandedB.as("b"),
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         call_function("bit_count",
           col("a.sim").bitwiseXOR(col("b.sim"))).cast("long").as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** SimHash near-dup pairs: (id_a, id_b, hamming) for every pair
@@ -238,8 +260,9 @@ object Dedup {
     // shuffle barrier: the 64-bit fingerprint feeds a band explode
     // that would otherwise re-evaluate the per-token simhash
     // aggregation once per band row (see minhashLsh for the pattern).
-    val withSim = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sim"))
-      .repartition(col("id"))
+    val withSim = barrier(
+      docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sim")),
+      col("id"))
     simhashPairsFromFingerprints(withSim, maxHamming)
   }
 
@@ -268,11 +291,11 @@ object Dedup {
     GraftFunctions.register(spark)
     // one barrier relation carries both the fingerprint (banding
     // input) and the sorted shingle set (verify input).
-    val withSim = docs.select(
+    val withSim = barrier(docs.select(
       col(idCol).as("id"),
       array_sort(shingles(col(textCol), n)).as("sh"),
-      simhash64(col(textCol)).as("sim"))
-      .repartition(col("id"))
+      simhash64(col(textCol)).as("sim")),
+      col("id"))
     val candidates = simhashPairsFromFingerprints(
       withSim.select("id", "sim"), maxHamming)
     val sh = withSim.select(col("id"), col("sh"))

@@ -90,6 +90,63 @@ object Similarity {
       .select("vec_id", "rank", "neighbor_id", "cosine_sim")
   }
 
+  /** IVF (inverted-file) approximate top-k: the other standard ANN
+    * decomposition next to [[lshTopK]] (ref north star: SURVEY §2B
+    * similarity-search row; structure follows the published IVF-flat
+    * design — coarse quantizer, inverted lists, probe-limited search).
+    *
+    * - **Coarse quantizer**: `nlist` centroids, here a deterministic
+    *   sample (the `nlist` smallest ids) so the oracle can replay
+    *   centroid choice exactly; a production deployment would plug
+    *   k-means centroids into the same plan.
+    * - **Assignment**: every vector joins the broadcast centroid
+    *   table (broadcast nested-loop, map-side — no shuffle of the
+    *   big side) and keeps its `nprobe` best centroids via
+    *   `sort_array(collect_list(...))` under partial aggregation —
+    *   the map-side combine collapses the nlist scored copies of
+    *   each vector before anything shuffles, so the exchange carries
+    *   one row per vector, not nlist.
+    * - **Search**: each vector's inverted list is its rank-1
+    *   centroid; queries probe their `nprobe` best lists and
+    *   re-rank candidates by exact cosine. Join key is the centroid
+    *   id: per-key fan-in is the list size (~n/nlist, measured
+    *   balanced on the fixture), so candidate volume is
+    *   n·nprobe·(n/nlist) instead of n² and AQE can split any hot
+    *   list.
+    */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 2): DataFrame = {
+    val v = withNorm(emb, idCol, vecCol)
+    val c = v.orderBy("id").limit(nlist)
+      .select(col("id").as("cid"), col("e").as("ce"), col("n").as("cn"))
+    // negated score so ascending struct sort = (cosine desc, cid asc)
+    val scored = v.join(broadcast(c))
+      .select(col("id"), col("e"), col("n"),
+        struct((-(dot(col("e"), col("ce")) / (col("n") * col("cn")))).as("negcs"),
+          col("cid")).as("sc"))
+    val assigned = scored.groupBy("id")
+      .agg(first("e").as("e"), first("n").as("n"),
+        slice(sort_array(collect_list(col("sc"))), 1, nprobe).as("probes"))
+    // pinned on the join key: the candidate join's output is
+    // n·nprobe·listSize, so its input exchanges must never be
+    // AQE-coalesced down by their (tiny) input size
+    val lists = Dedup.barrier(
+      assigned.select(col("probes")(0)("cid").as("cid"),
+        col("id"), col("e"), col("n")), col("cid"))
+    val probes = Dedup.barrier(
+      assigned.select(explode(col("probes")("cid")).as("cid"),
+        col("id").as("qid"), col("e").as("qe"), col("n").as("qn")), col("cid"))
+    val pairs = probes.join(lists,
+        probes("cid") === lists("cid") && col("qid") =!= col("id"))
+      .select(col("qid").as("vec_id"), col("id").as("neighbor_id"),
+        (dot(col("qe"), col("e")) / (col("qn") * col("n"))).as("cosine_sim"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cosine_sim").desc, col("neighbor_id"))
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("vec_id", "rank", "neighbor_id", "cosine_sim")
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold, id_a < id_b.
     *
     * All-pairs — exact but O(n²·d); the oracle/baseline only. The

@@ -131,6 +131,18 @@ object TrainingData {
         k = 3, planes = 8)
       .orderBy("vec_id", "rank")
 
+  /** IVF approximate top-3: deterministic sampled coarse quantizer,
+    * broadcast assignment, probe-limited inverted-list search
+    * ([[Similarity.ivfTopK]]). Centroid choice, assignment and probe
+    * ranking are all oracle-expressible, so the DuckDB gate replays
+    * the ENTIRE index build + search — recall vs brute force is
+    * asserted in ScalaTest.
+    */
+  def annIvfTopK(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        k = 3, nlist = 16, nprobe = 2)
+      .orderBy("vec_id", "rank")
+
   /** Embedding near-duplicate pairs (cosine >= 0.5). */
   def embNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairs(Tables.embeddings(spark, dir), "vec_id", "embedding", 0.5)
@@ -187,6 +199,7 @@ object TrainingData {
     "t13_emb_near_dup_lsh" -> embNearDupLsh _,
     "t14_token_counts" -> docTokenCounts _,
     "t15_bpe_real" -> docBpeReal _,
+    "t16_ann_ivf_topk" -> annIvfTopK _,
   )
 
   /** Shared DuckDB CTE fragment: per-doc word-trigram shingle sets,
@@ -257,6 +270,54 @@ object TrainingData {
        |FROM jac j JOIN cand c ON j.id_a = c.id_a AND j.id_b = c.id_b
        |ORDER BY j.id_a, j.id_b""".stripMargin
   }
+
+  /** DuckDB sequential-fold dot product over 64-dim DOUBLE lists —
+    * the same left-to-right addition order as the native
+    * [[graft.functions.VecDot]], so cosines are bit-identical.
+    */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, 65), i ->
+       |      $a[CAST(i AS INT)] * $b[CAST(i AS INT)]), (x, y) -> x + y)""".stripMargin
+
+  private def cosSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** Full index-build + search replay for the IVF path
+    * ([[graft.operators.Similarity.ivfTopK]]): sampled centroids
+    * (nlist smallest ids), argmax-cosine assignment with the same
+    * (cosine desc, cid asc) tie-break, nprobe probe lists, exact
+    * re-rank. Gates candidate generation itself, not just the
+    * final ranking.
+    */
+  private def ivfOracleSql(nlist: Int, nprobe: Int, k: Int): String =
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |), c AS (
+       |  SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT $nlist
+       |), asg AS (
+       |  SELECT v.vec_id, c.cid, ${cosSql("v.e", "c.ce")} AS cs FROM v, c
+       |), asgr AS (
+       |  SELECT vec_id, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS pr
+       |  FROM asg
+       |), lists AS (
+       |  SELECT a.cid, v.vec_id, v.e FROM asgr a JOIN v USING (vec_id)
+       |  WHERE a.pr = 1
+       |), probes AS (
+       |  SELECT a.cid, v.vec_id, v.e FROM asgr a JOIN v USING (vec_id)
+       |  WHERE a.pr <= $nprobe
+       |), p2 AS (
+       |  SELECT q.vec_id AS vec_id, l.vec_id AS neighbor_id,
+       |    ${cosSql("q.e", "l.e")} AS cosine_sim
+       |  FROM probes q JOIN lists l ON q.cid = l.cid AND q.vec_id <> l.vec_id
+       |), r AS (
+       |  SELECT vec_id, neighbor_id, cosine_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                       ORDER BY cosine_sim DESC, neighbor_id) AS rank
+       |  FROM p2
+       |)
+       |SELECT vec_id, rank, neighbor_id, cosine_sim FROM r
+       |WHERE rank <= $k ORDER BY vec_id, rank""".stripMargin
 
   /** Full-pipeline oracle for the SimHash path: replays token
     * PolyHash, the [[graft.functions.Spread64]] LCG bit spread, the
@@ -338,6 +399,7 @@ object TrainingData {
            |  ${T.nBpeTokens("text")} AS n_bpe_tokens
            |FROM documents ORDER BY doc_id""".stripMargin,
       "t15_bpe_real" -> graft.functions.Bpe.oracleSql("documents"),
+      "t16_ann_ivf_topk" -> ivfOracleSql(nlist = 16, nprobe = 2, k = 3),
       "t06_dedup_minhash" -> minhashOracleSql(64, 16, 0.5),
       "t07_dedup_simhash" -> simhashOracleSql(3, 0.5),
       "t09_ann_lsh_topk" ->

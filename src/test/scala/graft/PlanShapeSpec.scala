@@ -60,6 +60,24 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("t16: IVF plan broadcasts centroids and equi-joins on list id") {
+    val plan = planOf(operators.Similarity.ivfTopK(
+      Tables.embeddings(spark, dir), "vec_id", "embedding", 3, 16, 2))
+    // assignment: big side never shuffles against the centroid table —
+    // the nlist-row side is broadcast (nested-loop is fine: no equi key)
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "centroid scoring must be a broadcast join, not a shuffle")
+    assert(!plan.contains("CartesianProduct"),
+      "IVF degraded to a cartesian product")
+    // search: probe->list candidate join is an equi-join on the
+    // centroid id, so fan-in per key is the inverted-list size
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), "lost the list-id equi-join")
+    // assignment aggregation combines map-side before the exchange
+    assert(plan.contains("partial_collect_list"),
+      "assignment aggregation must combine map-side before the exchange")
+  }
+
   test("minhash/simhash banding plans are equi-joins on compact keys") {
     val docs = Tables.documents(spark, dir)
     val t6 = planOf(operators.Dedup.minhashLsh(docs, "doc_id", "text", 3, 64, 16, 0.5))
