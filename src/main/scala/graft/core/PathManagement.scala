@@ -35,13 +35,77 @@ object PathManagement {
     })
   }
 
+  /** The `vars: dbt-osmosis:` section (kebab key preferred over the
+    * underscore variant, like the reference's dict.get chain).
+    */
+  private def osmosisVars(settings: EngineSettings): Map[String, Any] =
+    settings.vars.get("dbt-osmosis").orElse(settings.vars.get("dbt_osmosis")) match {
+      case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]]
+      case _ => Map.empty
+    }
+
+  /** Fusion-compatible per-folder routing
+    * (core/path_management.py:56-121): dbt-fusion rejects unknown
+    * `+`-prefixed config keys but accepts vars, so the template can
+    * live under `vars: dbt-osmosis: models: {<folder[.folder]>: tpl}`
+    * (and `seeds:` as a string for all seeds or a per-folder dict).
+    * FQN folders — fqn minus the package head and the node-name tail —
+    * are matched MOST SPECIFIC FIRST ("staging.oem_raw" before
+    * "staging"); a node at the project root has no folders and never
+    * matches.
+    */
+  private[core] def resolveVarsRouting(settings: EngineSettings,
+      node: NodeMeta): Option[String] = {
+    val ov = osmosisVars(settings)
+    val routing: Map[String, Any] =
+      if (node.resourceType == "seed") ov.get("seeds") match {
+        case Some(s: String) => return Some(s)
+        case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]]
+        case _ => return None
+      }
+      else ov.get("models") match {
+        case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]]
+        case _ => return None
+      }
+    val folders =
+      if (node.fqn.length > 2) node.fqn.slice(1, node.fqn.length - 1) else Nil
+    (folders.length to 1 by -1).iterator
+      .map(d => folders.take(d).mkString("."))
+      .map(routing.get)
+      .collectFirst { case Some(s: String) => s }
+  }
+
+  /** Source-table YAML location from `vars: dbt-osmosis: sources:`
+    * (core/path_management.py:131-142): the entry for the node's
+    * source name is either the path string itself or a
+    * `{path: ...}` definition map.
+    */
+  private def sourceDefinitionPath(settings: EngineSettings,
+      node: NodeMeta): Option[String] = {
+    val sourceName = node.fqn.lift(1).getOrElse(node.schema)
+    osmosisVars(settings).get("sources") match {
+      case Some(m: Map[_, _]) =>
+        m.asInstanceOf[Map[String, Any]].get(sourceName) match {
+          case Some(s: String) => Some(s)
+          case Some(d: Map[_, _]) =>
+            d.asInstanceOf[Map[String, Any]].get("path").collect { case s: String => s }
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
   /** Template resolution order (core/path_management.py:124-177):
-    * node config/meta (`dbt-osmosis` key via the settings chain) →
-    * vars-based routing → global `dbt_osmosis_default_path` var.
+    * source definitions (source nodes ONLY resolve there) → node
+    * config/meta (`dbt-osmosis` key via the settings chain) →
+    * vars-based per-folder routing → global
+    * `dbt_osmosis_default_path` var.
     */
   def pathTemplate(node: NodeMeta, settings: EngineSettings): Option[String] =
-    SettingsResolver.resolveString("dbt-osmosis", None, settings, Some(node))
+    if (node.resourceType == "source") sourceDefinitionPath(settings, node)
+    else SettingsResolver.resolveString("dbt-osmosis", None, settings, Some(node))
       .orElse(SettingsResolver.resolveString("dbt-osmosis-path", None, settings, Some(node)))
+      .orElse(resolveVarsRouting(settings, node))
       .orElse(settings.vars.get("dbt_osmosis_default_path").collect { case s: String => s })
 
   /** Current YAML location: patch path for models/seeds, own path for

@@ -42,6 +42,67 @@ class YamlPlaneSpec extends AnyFunSuite {
       PathManagement.targetYamlPath(root, n, bad))
   }
 
+  test("vars routing: most-specific folder wins, seeds string/dict, kebab preferred") {
+    def m(fqn: String*) = NodeMeta("model.p.x", "x", "model", fqn = fqn)
+    val routing = EngineSettings(vars = Map("dbt-osmosis" -> Map(
+      "models" -> Map(
+        "staging" -> "_stg_{parent}__models.yml",
+        "staging.oem_raw" -> "_stg_oem__models.yml",
+        "intermediate" -> "_int__models.yml"),
+      "seeds" -> "_seeds__models.yml")))
+    // deepest folder path matches before its parent
+    assert(PathManagement.resolveVarsRouting(routing,
+      m("p", "staging", "oem_raw", "stg_x")) == Some("_stg_oem__models.yml"))
+    // unmatched subfolder falls back to the parent entry
+    assert(PathManagement.resolveVarsRouting(routing,
+      m("p", "staging", "other", "stg_y")) == Some("_stg_{parent}__models.yml"))
+    assert(PathManagement.resolveVarsRouting(routing,
+      m("p", "intermediate", "int_z")) == Some("_int__models.yml"))
+    // no folder entry / model at project root (no folders at all)
+    assert(PathManagement.resolveVarsRouting(routing, m("p", "marts", "dim")).isEmpty)
+    assert(PathManagement.resolveVarsRouting(routing, m("p", "root_model")).isEmpty)
+    // seeds: string applies to every seed; models routing never leaks to seeds
+    val seed = NodeMeta("seed.p.s", "s", "seed", fqn = Seq("p", "data", "s"))
+    assert(PathManagement.resolveVarsRouting(routing, seed) == Some("_seeds__models.yml"))
+    // seeds: per-folder dict form (underscore section variant)
+    val perFolder = EngineSettings(vars = Map("dbt_osmosis" -> Map(
+      "seeds" -> Map("data" -> "_d.yml"))))
+    assert(PathManagement.resolveVarsRouting(perFolder, seed) == Some("_d.yml"))
+    assert(PathManagement.resolveVarsRouting(perFolder, m("p", "data", "x")).isEmpty)
+    // kebab section shadows the underscore one entirely
+    val both = EngineSettings(vars = Map(
+      "dbt-osmosis" -> Map("models" -> Map("staging" -> "kebab.yml")),
+      "dbt_osmosis" -> Map("models" -> Map("staging" -> "underscore.yml"))))
+    assert(PathManagement.resolveVarsRouting(both,
+      m("p", "staging", "x")) == Some("kebab.yml"))
+    // no osmosis vars at all
+    assert(PathManagement.resolveVarsRouting(EngineSettings(), m("p", "staging", "x")).isEmpty)
+  }
+
+  test("pathTemplate priority: node config > vars routing > global default; sources from definitions") {
+    val routed = EngineSettings(vars = Map(
+      "dbt-osmosis" -> Map("models" -> Map("staging" -> "routed.yml")),
+      "dbt_osmosis_default_path" -> "default.yml"))
+    val plain = NodeMeta("model.p.x", "x", "model", fqn = Seq("p", "staging", "x"))
+    assert(PathManagement.pathTemplate(plain, routed) == Some("routed.yml"))
+    // node-level config wins over vars routing
+    val configured = plain.copy(meta = Map("dbt-osmosis" -> "from_meta.yml"))
+    assert(PathManagement.pathTemplate(configured, routed) == Some("from_meta.yml"))
+    // nothing routed -> global default var
+    val martNode = plain.copy(fqn = Seq("p", "marts", "x"))
+    assert(PathManagement.pathTemplate(martNode, routed) == Some("default.yml"))
+    // sources resolve ONLY from vars.dbt-osmosis.sources ({path: ...} or string)
+    val src = NodeMeta("source.p.raw.tbl", "tbl", "source",
+      schema = "rawschema", fqn = Seq("p", "raw", "tbl"))
+    val defs = EngineSettings(vars = Map("dbt-osmosis" -> Map(
+      "sources" -> Map("raw" -> Map("path" -> "sources/raw.yml")))))
+    assert(PathManagement.pathTemplate(src, defs) == Some("sources/raw.yml"))
+    val defsStr = EngineSettings(vars = Map("dbt-osmosis" -> Map(
+      "sources" -> Map("raw" -> "srcs/{parent}.yml"))))
+    assert(PathManagement.pathTemplate(src, defsStr) == Some("srcs/{parent}.yml"))
+    assert(PathManagement.pathTemplate(src, routed).isEmpty)
+  }
+
   test("yaml round-trip preserves unmanaged top-level sections") {
     val root = tmpRoot()
     val p = root.resolve("schema.yml")
