@@ -1,0 +1,219 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftFunctions, TextFunctions}
+
+/** Corpus-curation operators a large-scale training-data pipeline
+  * needs beyond dedup/similarity (builder brief; no reference
+  * counterpart — the reference delegates all data processing to the
+  * warehouse): repetition metrics, PII scan/redaction, benchmark
+  * decontamination, deterministic stratified sampling, and sequence
+  * packing.
+  *
+  * Scale design rules shared with [[Dedup]]: per-row work stays inside
+  * whole-stage codegen (built-in functions + native expressions, no
+  * UDFs), shuffles carry 8-byte fingerprints or per-doc counters
+  * rather than text, small reference sets are broadcast, and window
+  * partitions are bounded (per-document or per-shard, never global).
+  * Every operator has a DuckDB-dialect oracle rendering in
+  * [[graft.queries.TrainingData]].
+  */
+object CorpusOps {
+
+  // ---------------------------------------------------------------
+  // Repetition / boilerplate metrics
+  // ---------------------------------------------------------------
+
+  /** Non-distinct word n-grams (n >= 2) as "a b ... n" strings; empty
+    * array when the document has fewer than n tokens. Distinctness is
+    * what [[Dedup.shingles]] provides; repetition scoring needs the
+    * multiset.
+    */
+  private def multisetGrams(ts: Column, n: Int): Column =
+    when(size(ts) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(ts) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(ts, i + j)): _*)))
+
+  /** Per-document repetition metrics (the filters published for web
+    * corpora — duplicate-word fraction and most-frequent-n-gram mass):
+    *
+    *   - `n_tokens`
+    *   - `uniq_frac` — |distinct tokens| / |tokens| (map-only)
+    *   - `top_unigram_frac` — occurrences of the modal token / n_tokens
+    *   - `top_bigram_frac` — occurrences of the modal bigram / total
+    *     bigrams (0.0 when the doc has < 2 tokens)
+    *
+    * Plan shape: the modal counts explode grams and aggregate twice on
+    * (doc_id, gram-fingerprint) then (doc_id) — both shuffles carry
+    * 8-byte FNV fingerprints and partial-aggregated counts, never gram
+    * strings; the fractions are exact integer counts divided once at
+    * the end, so the oracle reproduces them bit-for-bit.
+    */
+  def repetitionMetrics(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val base = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("ts"))
+
+    def modal(grams: Column): DataFrame =
+      base.select(col("doc_id"), explode(grams).as("g"))
+        .select(col("doc_id"), call_function("fnv64", col("g")).as("h"))
+        .groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("mx"), sum("c").as("tot"))
+
+    val uni = modal(col("ts"))
+      .select(col("doc_id"),
+        (col("mx").cast("double") / col("tot").cast("double")).as("top_unigram_frac"))
+    val bi = modal(multisetGrams(col("ts"), 2))
+      .select(col("doc_id"),
+        (col("mx").cast("double") / col("tot").cast("double")).as("top_bigram_frac"))
+
+    base.select(col("doc_id"),
+        size(col("ts")).cast("long").as("n_tokens"),
+        (size(array_distinct(col("ts"))).cast("double") /
+          size(col("ts")).cast("double")).as("uniq_frac"))
+      .join(uni, Seq("doc_id"), "left")
+      .join(bi, Seq("doc_id"), "left")
+      .withColumn("top_bigram_frac", coalesce(col("top_bigram_frac"), lit(0.0)))
+  }
+
+  // ---------------------------------------------------------------
+  // PII scan / redaction
+  // ---------------------------------------------------------------
+
+  /** RE2-compatible patterns (no lookarounds) so the identical regexes
+    * run in the DuckDB oracle and in Spark's codegen'd regexp_count /
+    * regexp_replace.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val PhonePattern = "\\+?\\d[\\d -]{6,}\\d"
+
+  /** Word-boundary alternation over a custom sensitive-term
+    * dictionary. */
+  def termPattern(terms: Seq[String]): String =
+    terms.map(java.util.regex.Pattern.quote).mkString("\\b(?:", "|", ")\\b")
+
+  /** Per-document PII scan + redaction: counts per category (emails,
+    * IPv4 addresses, phone-shaped digit runs, custom dictionary
+    * terms) and the fully redacted text. Map-only — four regex counts
+    * and one replace chain per row, all inside whole-stage codegen;
+    * embarrassingly parallel at any corpus size.
+    *
+    * Terms are quoted literally (dictionary entries are data, not
+    * regex).
+    */
+  def piiScan(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String]): DataFrame = {
+    val t = col(textCol)
+    val tp = termPattern(terms)
+    docs.select(col(idCol).as("doc_id"),
+      regexp_count(t, lit(EmailPattern)).cast("long").as("n_emails"),
+      regexp_count(t, lit(Ipv4Pattern)).cast("long").as("n_ipv4"),
+      regexp_count(t, lit(PhonePattern)).cast("long").as("n_phones"),
+      regexp_count(t, lit(tp)).cast("long").as("n_terms"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, EmailPattern, "<EMAIL>"),
+            Ipv4Pattern, "<IP>"),
+          PhonePattern, "<PHONE>"),
+        tp, "<TERM>").as("redacted"))
+  }
+
+  // ---------------------------------------------------------------
+  // Benchmark decontamination
+  // ---------------------------------------------------------------
+
+  /** N-gram-overlap decontamination (the published training-set
+    * hygiene step): flag every training document sharing at least one
+    * word n-gram with a benchmark/eval set.
+    *
+    * Returns one row per training document: (doc_id, n_shingles,
+    * n_hits, contaminated) where n_hits counts the doc's distinct
+    * shingles that appear anywhere in the benchmark set.
+    *
+    * Scale design: the benchmark shingle set is distinct 64-bit
+    * fingerprints of an eval corpus — thousands of docs, MBs — and is
+    * **broadcast**, so the training side is a map-side semi-join over
+    * the 100 TB corpus followed by one partial-aggregated count per
+    * doc; no shuffle ever carries shingle strings.
+    */
+  def decontaminate(train: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    GraftFunctions.register(train.sparkSession)
+    def sh(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("doc_id"),
+          explode(Dedup.shingles(col(textCol), n)).as("g"))
+        .select(col("doc_id"), call_function("fnv64", col("g")).as("shingle"))
+    val benchSet = sh(bench).select("shingle").distinct()
+    val hits = sh(train).join(broadcast(benchSet), "shingle")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    train.select(col(idCol).as("doc_id"),
+        size(Dedup.shingles(col(textCol), n)).cast("long").as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("contaminated", (col("n_hits") > 0).cast("long"))
+  }
+
+  // ---------------------------------------------------------------
+  // Deterministic stratified sampling
+  // ---------------------------------------------------------------
+
+  /** Multiplicative-hash sampling bucket in [0, 100): pure BIGINT
+    * arithmetic (id folded below 2^20 first so the product never
+    * overflows a signed 64-bit in either engine), identical in Spark
+    * and the DuckDB oracle. Deterministic: re-running the pipeline
+    * selects the same rows — the property a reproducible training mix
+    * needs.
+    */
+  def sampleBucket(id: Column): Column =
+    ((id % 1000003L) * 2654435761L + 123456789L) % 4294967296L % 100L
+
+  /** Deterministic stratified sampling: keep a row iff its hash
+    * bucket falls under the per-stratum rate (percent). Map-only
+    * filter — no shuffle, no RNG state, trivially resumable; the
+    * standard way to rebalance language/source mix in a training
+    * corpus.
+    */
+  def stratifiedSample(docs: DataFrame, idCol: String, stratumCol: String,
+      rates: Map[String, Int], defaultRate: Int = 100): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate): Column) {
+      case (acc, (k, v)) => when(col(stratumCol) === k, v).otherwise(acc)
+    }
+    docs.withColumn("strat_bucket", sampleBucket(col(idCol)))
+      .filter(col("strat_bucket") < rate.cast("long"))
+  }
+
+  // ---------------------------------------------------------------
+  // Sequence packing
+  // ---------------------------------------------------------------
+
+  /** Greedy concat-then-chunk sequence packing: documents are
+    * concatenated in id order within a shard and cut into
+    * `budget`-token training sequences (the standard packing used to
+    * fill fixed-length context windows). Each document gets the
+    * sequence number and token offset where it starts.
+    *
+    * Scale design: the running token sum is a window partitioned by
+    * `shards` deterministic shards — NEVER a global ordering. A shard
+    * is one worker's packing stream; at cluster scale `shards` is
+    * O(cores) so every window partition is 1/shards of the corpus and
+    * the shuffle carries (id, n_tokens) pairs only. Integer `div`/`%`
+    * keep the arithmetic exact in both engines.
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      budget: Int, shards: Int): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(idCol).as("doc_id"),
+        (col(idCol) % shards).cast("long").as("shard"),
+        TextFunctions.nTokens(col(textCol)).as("n_tokens"))
+      .withColumn("start_tok", sum("n_tokens").over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        expr(s"start_tok div $budget").as("seq_no"),
+        (col("start_tok") % budget).as("seq_offset"))
+  }
+}

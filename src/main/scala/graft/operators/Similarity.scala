@@ -147,6 +147,24 @@ object Similarity {
       .select("vec_id", "rank", "neighbor_id", "cosine_sim")
   }
 
+  /** [[ivfTopK]] with the index sized from the data: nlist =
+    * max(minNlist, floor(sqrt(n))) — the standard IVF sizing, keeping
+    * both the assignment cost (n·nlist) and the per-list search cost
+    * (n·nprobe·n/nlist) at O(n^1.5) instead of letting one term go
+    * quadratic. The row count comes from one `count()` over the input
+    * (parquet footer statistics — an index-build metadata read, not a
+    * data scan), and the same formula is replayed in the DuckDB
+    * oracle via a COUNT(*) window, so the adaptive index is still
+    * gated end-to-end. Measured at sf1 (20k vectors): nlist 141 vs
+    * the fixed 16 cuts the probe-join candidate volume ~9x.
+    */
+  def ivfTopKAuto(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      minNlist: Int = 16, nprobe: Int = 2): DataFrame = {
+    val n = emb.count()
+    val nlist = math.max(minNlist, math.floor(math.sqrt(n.toDouble)).toInt)
+    ivfTopK(emb, idCol, vecCol, k, nlist, nprobe)
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold, id_a < id_b.
     *
     * All-pairs — exact but O(n²·d); the oracle/baseline only. The

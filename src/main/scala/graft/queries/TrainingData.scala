@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{GraftFunctions, TextFunctions}
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{CorpusOps, Dedup, Multimodal, Similarity}
 
 /** Training-data pipeline queries over the `documents` / `embeddings`
   * / `events` fixtures: dedup, similarity search, text analysis,
@@ -133,14 +133,15 @@ object TrainingData {
 
   /** IVF approximate top-3: deterministic sampled coarse quantizer,
     * broadcast assignment, probe-limited inverted-list search
-    * ([[Similarity.ivfTopK]]). Centroid choice, assignment and probe
-    * ranking are all oracle-expressible, so the DuckDB gate replays
-    * the ENTIRE index build + search — recall vs brute force is
-    * asserted in ScalaTest.
+    * ([[Similarity.ivfTopKAuto]]), index sized from the data
+    * (nlist = max(16, floor(sqrt(n))) — the O(n^1.5) sizing).
+    * Centroid choice, sizing, assignment and probe ranking are all
+    * oracle-expressible, so the DuckDB gate replays the ENTIRE index
+    * build + search — recall vs brute force is asserted in ScalaTest.
     */
   def annIvfTopK(spark: SparkSession, dir: String): DataFrame =
-    Similarity.ivfTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
-        k = 3, nlist = 16, nprobe = 2)
+    Similarity.ivfTopKAuto(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        k = 3, minNlist = 16, nprobe = 2)
       .orderBy("vec_id", "rank")
 
   /** Embedding near-duplicate pairs (cosine >= 0.5). */
@@ -172,6 +173,67 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style repetition metrics per document: duplicate-word
+    * fraction and modal unigram/bigram mass ([[CorpusOps.repetitionMetrics]]).
+    */
+  def docRepetition(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.repetitionMetrics(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Sensitive terms redacted in the PII scan fixture query — chosen
+    * to occur in the fixture vocabulary so the dictionary path is
+    * exercised non-vacuously (the email/IP/phone patterns are the
+    * real-corpus payload and are covered by synthetic-data ScalaTest).
+    */
+  val PiiTerms: Seq[String] = Seq("customer", "spark", "key")
+
+  /** PII scan + redaction per document ([[CorpusOps.piiScan]]). */
+  def docPiiRedact(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.piiScan(Tables.documents(spark, dir), "doc_id", "text", PiiTerms)
+      .orderBy("doc_id")
+
+  /** Shingle size for benchmark decontamination: 4-grams give a
+    * non-degenerate contaminated/clean split on the fixture while the
+    * operator itself is n-agnostic.
+    */
+  val DecontamN = 4
+
+  /** Benchmark decontamination: every 10th document is the held-out
+    * eval set; training docs sharing any word 4-gram with it are
+    * flagged ([[CorpusOps.decontaminate]]).
+    */
+  def docDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    CorpusOps.decontaminate(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0),
+      "doc_id", "text", DecontamN)
+      .orderBy("doc_id")
+  }
+
+  /** Per-language sampling rates (percent): downsample the dominant
+    * language, keep the rare ones whole — the standard corpus-mix
+    * rebalance.
+    */
+  val SampleRates: Map[String, Int] = Map("en" -> 40, "de" -> 70, "es" -> 70)
+
+  /** Deterministic stratified sample over the documents table
+    * ([[CorpusOps.stratifiedSample]]).
+    */
+  def docSampleStratified(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.stratifiedSample(Tables.documents(spark, dir), "doc_id", "lang",
+        SampleRates)
+      .select("doc_id", "lang", "strat_bucket")
+      .orderBy("doc_id")
+
+  /** Sequence packing: concat-then-chunk into 512-token training
+    * sequences over 8 deterministic shards ([[CorpusOps.packSequences]]).
+    */
+  def docSeqPack(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.packSequences(Tables.documents(spark, dir), "doc_id", "text",
+        budget = 512, shards = 8)
+      .orderBy("doc_id")
+
   /** JSON extraction over the events table. */
   def eventsJson(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -200,6 +262,11 @@ object TrainingData {
     "t14_token_counts" -> docTokenCounts _,
     "t15_bpe_real" -> docBpeReal _,
     "t16_ann_ivf_topk" -> annIvfTopK _,
+    "t17_repetition" -> docRepetition _,
+    "t18_pii_redact" -> docPiiRedact _,
+    "t19_decontam" -> docDecontam _,
+    "t20_sample_stratified" -> docSampleStratified _,
+    "t21_seq_pack" -> docSeqPack _,
   )
 
   /** Shared DuckDB CTE fragment: per-doc word-trigram shingle sets,
@@ -283,17 +350,23 @@ object TrainingData {
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
   /** Full index-build + search replay for the IVF path
-    * ([[graft.operators.Similarity.ivfTopK]]): sampled centroids
-    * (nlist smallest ids), argmax-cosine assignment with the same
-    * (cosine desc, cid asc) tie-break, nprobe probe lists, exact
-    * re-rank. Gates candidate generation itself, not just the
+    * ([[graft.operators.Similarity.ivfTopKAuto]]): adaptive index
+    * size nlist = max(minNlist, floor(sqrt(n))) via a COUNT(*)
+    * window, sampled centroids (nlist smallest ids), argmax-cosine
+    * assignment with the same (cosine desc, cid asc) tie-break,
+    * nprobe probe lists, exact re-rank. Gates candidate generation
+    * itself — including the data-dependent sizing — not just the
     * final ranking.
     */
-  private def ivfOracleSql(nlist: Int, nprobe: Int, k: Int): String =
+  private def ivfOracleSql(minNlist: Int, nprobe: Int, k: Int): String =
     s"""WITH v AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
        |), c AS (
-       |  SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT $nlist
+       |  SELECT vec_id AS cid, e AS ce FROM (
+       |    SELECT vec_id, e, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn,
+       |           COUNT(*) OVER () AS nn
+       |    FROM v) s
+       |  WHERE rn <= greatest($minNlist, CAST(floor(sqrt(nn)) AS BIGINT))
        |), asg AS (
        |  SELECT v.vec_id, c.cid, ${cosSql("v.e", "c.ce")} AS cs FROM v, c
        |), asgr AS (
@@ -399,7 +472,103 @@ object TrainingData {
            |  ${T.nBpeTokens("text")} AS n_bpe_tokens
            |FROM documents ORDER BY doc_id""".stripMargin,
       "t15_bpe_real" -> graft.functions.Bpe.oracleSql("documents"),
-      "t16_ann_ivf_topk" -> ivfOracleSql(nlist = 16, nprobe = 2, k = 3),
+      "t17_repetition" ->
+        """WITH toks AS (
+          |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents
+          |), uni AS (
+          |  SELECT doc_id, unnest(ts) AS g FROM toks
+          |), uc AS (
+          |  SELECT doc_id, g, COUNT(*) AS c FROM uni GROUP BY 1, 2
+          |), ua AS (
+          |  SELECT doc_id, MAX(c) AS mx, SUM(c) AS tot FROM uc GROUP BY 1
+          |), bi AS (
+          |  SELECT doc_id, unnest(list_transform(range(1, len(ts)), i ->
+          |    ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1])) AS g
+          |  FROM toks
+          |), bc AS (
+          |  SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY 1, 2
+          |), ba AS (
+          |  SELECT doc_id, MAX(c) AS mx, SUM(c) AS tot FROM bc GROUP BY 1
+          |)
+          |SELECT t.doc_id, len(ts) AS n_tokens,
+          |  CAST(len(list_distinct(ts)) AS DOUBLE) / CAST(len(ts) AS DOUBLE) AS uniq_frac,
+          |  CAST(ua.mx AS DOUBLE) / CAST(ua.tot AS DOUBLE) AS top_unigram_frac,
+          |  COALESCE(CAST(ba.mx AS DOUBLE) / CAST(ba.tot AS DOUBLE), 0.0) AS top_bigram_frac
+          |FROM toks t
+          |JOIN ua USING (doc_id)
+          |LEFT JOIN ba USING (doc_id)
+          |ORDER BY doc_id""".stripMargin,
+      "t18_pii_redact" -> {
+        val email = graft.operators.CorpusOps.EmailPattern.replace("'", "''")
+        val ipv4 = graft.operators.CorpusOps.Ipv4Pattern.replace("'", "''")
+        val phone = graft.operators.CorpusOps.PhonePattern.replace("'", "''")
+        val term = graft.operators.CorpusOps.termPattern(PiiTerms).replace("'", "''")
+        s"""SELECT doc_id,
+           |  len(regexp_extract_all(text, '$email')) AS n_emails,
+           |  len(regexp_extract_all(text, '$ipv4')) AS n_ipv4,
+           |  len(regexp_extract_all(text, '$phone')) AS n_phones,
+           |  len(regexp_extract_all(text, '$term')) AS n_terms,
+           |  regexp_replace(
+           |    regexp_replace(
+           |      regexp_replace(
+           |        regexp_replace(text, '$email', '<EMAIL>', 'g'),
+           |        '$ipv4', '<IP>', 'g'),
+           |      '$phone', '<PHONE>', 'g'),
+           |    '$term', '<TERM>', 'g') AS redacted
+           |FROM documents ORDER BY doc_id""".stripMargin
+      },
+      "t19_decontam" -> {
+        val n = DecontamN
+        s"""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents
+           |), grams AS (
+           |  SELECT DISTINCT doc_id, unnest(
+           |    CASE WHEN len(ts) < $n THEN [array_to_string(ts, ' ')]
+           |    ELSE list_transform(range(1, len(ts) - ${n - 2}), i ->
+           |      array_to_string(ts[CAST(i AS INT):CAST(i + ${n - 1} AS INT)], ' '))
+           |    END) AS g
+           |  FROM toks
+           |), sizes AS (
+           |  SELECT doc_id, COUNT(*) AS n_shingles FROM grams GROUP BY 1
+           |), bench AS (
+           |  SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0
+           |), hits AS (
+           |  SELECT t.doc_id, COUNT(*) AS n_hits
+           |  FROM grams t JOIN bench USING (g)
+           |  WHERE t.doc_id % 10 <> 0 GROUP BY 1
+           |)
+           |SELECT s.doc_id, s.n_shingles, COALESCE(h.n_hits, 0) AS n_hits,
+           |  CAST(COALESCE(h.n_hits, 0) > 0 AS BIGINT) AS contaminated
+           |FROM sizes s LEFT JOIN hits h USING (doc_id)
+           |WHERE s.doc_id % 10 <> 0 ORDER BY doc_id""".stripMargin
+      },
+      "t20_sample_stratified" -> {
+        val cases = SampleRates.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ")
+        s"""SELECT doc_id, lang,
+           |  ((doc_id % 1000003) * 2654435761 + 123456789) % 4294967296 % 100
+           |    AS strat_bucket
+           |FROM documents
+           |WHERE ((doc_id % 1000003) * 2654435761 + 123456789) % 4294967296 % 100
+           |  < CASE lang $cases ELSE 100 END
+           |ORDER BY doc_id""".stripMargin
+      },
+      "t21_seq_pack" ->
+        s"""WITH d AS (
+           |  SELECT doc_id, doc_id % 8 AS shard,
+           |    ${T.nTokens("text")} AS n_tokens
+           |  FROM documents
+           |), c AS (
+           |  SELECT doc_id, shard, n_tokens,
+           |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+           |                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           |      - n_tokens AS start_tok
+           |  FROM d
+           |)
+           |SELECT doc_id, shard, n_tokens,
+           |  start_tok // 512 AS seq_no, start_tok % 512 AS seq_offset
+           |FROM c ORDER BY doc_id""".stripMargin,
+      "t16_ann_ivf_topk" -> ivfOracleSql(minNlist = 16, nprobe = 2, k = 3),
       "t06_dedup_minhash" -> minhashOracleSql(64, 16, 0.5),
       "t07_dedup_simhash" -> simhashOracleSql(3, 0.5),
       "t09_ann_lsh_topk" ->

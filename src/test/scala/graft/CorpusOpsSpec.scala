@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{CorpusOps, Similarity}
+
+/** Unit tests for the corpus-curation operators (repetition, PII,
+  * decontamination, stratified sampling, sequence packing) on
+  * synthetic data with hand-computed expectations; fixture-level
+  * correctness is gated by the DuckDB oracles (t17-t21).
+  */
+class CorpusOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.session
+  import spark.implicits._
+
+  test("repetitionMetrics: hand-computed fractions") {
+    val docs = Seq(
+      (1L, "a a a b"),        // uniq 2/4; modal unigram a: 3/4; bigrams [a a, a a, a b]: 2/3
+      (2L, "x y z"),          // uniq 1.0; modal 1/3; bigrams [x y, y z]: 1/2
+      (3L, "solo")            // 1 token: no bigrams -> 0.0
+    ).toDF("doc_id", "text")
+    val m = CorpusOps.repetitionMetrics(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(m(0).getLong(1) == 4)
+    assert(m(0).getDouble(2) == 0.5)
+    assert(m(0).getDouble(3) == 0.75)
+    assert(math.abs(m(0).getDouble(4) - 2.0 / 3.0) < 1e-15)
+    assert(m(1).getDouble(2) == 1.0)
+    assert(math.abs(m(1).getDouble(3) - 1.0 / 3.0) < 1e-15)
+    assert(m(1).getDouble(4) == 0.5)
+    assert(m(2).getLong(1) == 1)
+    assert(m(2).getDouble(4) == 0.0)
+  }
+
+  test("piiScan: detects and redacts emails, IPs, phones, terms") {
+    val docs = Seq(
+      (1L, "mail me at jane.doe+x@example.org or bob@test.co thanks"),
+      (2L, "server 10.0.255.1 called +1 555 123 4567 about the customer key"),
+      (3L, "clean text with nothing sensitive")
+    ).toDF("doc_id", "text")
+    val r = CorpusOps.piiScan(docs, "doc_id", "text", Seq("customer", "key"))
+      .orderBy("doc_id").collect()
+    assert(r(0).getLong(1) == 2)  // emails
+    assert(r(0).getString(5) == "mail me at <EMAIL> or <EMAIL> thanks")
+    assert(r(1).getLong(2) == 1)  // ipv4
+    assert(r(1).getLong(3) == 1)  // phone
+    assert(r(1).getLong(4) == 2)  // terms
+    assert(r(1).getString(5) == "server <IP> called <PHONE> about the <TERM> <TERM>")
+    assert(r(2).getLong(1) + r(2).getLong(2) + r(2).getLong(3) + r(2).getLong(4) == 0)
+    assert(r(2).getString(5) == "clean text with nothing sensitive")
+  }
+
+  test("piiScan: dictionary terms are quoted literally, not as regex") {
+    val docs = Seq((1L, "price is a.b not axb")).toDF("doc_id", "text")
+    val r = CorpusOps.piiScan(docs, "doc_id", "text", Seq("a.b"))
+      .collect()(0)
+    assert(r.getLong(4) == 1)
+    assert(r.getString(5) == "price is <TERM> not axb")
+  }
+
+  test("decontaminate: flags docs sharing an n-gram with the benchmark") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps"),   // shares "the quick brown" with bench
+      (2L, "entirely different words here")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "the quick brown dog sleeps")
+    ).toDF("doc_id", "text")
+    val r = CorpusOps.decontaminate(train, bench, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+    assert(r(0).getLong(1) == 3)  // 5 tokens -> 3 trigrams
+    assert(r(0).getLong(2) == 1)  // "the quick brown"
+    assert(r(0).getLong(3) == 1)
+    assert(r(1).getLong(2) == 0)
+    assert(r(1).getLong(3) == 0)
+  }
+
+  test("stratifiedSample: deterministic, rate-bounded, stratum-aware") {
+    val docs = (0L until 1000L).map(i => (i, if (i % 2 == 0) "en" else "fr"))
+      .toDF("doc_id", "lang")
+    val rates = Map("en" -> 30, "fr" -> 100)
+    val s1 = CorpusOps.stratifiedSample(docs, "doc_id", "lang", rates)
+    val s2 = CorpusOps.stratifiedSample(docs, "doc_id", "lang", rates)
+    // deterministic: identical row sets across runs
+    assert(s1.exceptAll(s2).count() == 0 && s2.exceptAll(s1).count() == 0)
+    // every fr row kept (rate 100); en rows filtered by bucket < 30
+    assert(s1.filter($"lang" === "fr").count() == 500)
+    val en = s1.filter($"lang" === "en")
+    assert(en.filter($"strat_bucket" >= 30).count() == 0)
+    // the hash actually thins the stratum (uniform-ish, not degenerate)
+    assert(en.count() > 50 && en.count() < 450)
+    // rate 0 removes the stratum entirely
+    assert(CorpusOps.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0, "fr" -> 0)).count() == 0)
+  }
+
+  test("packSequences: contiguous offsets and budget-aligned chunks per shard") {
+    val docs = (1L to 40L).map(i => (i, ("w " * (i % 7 + 1).toInt).trim))
+      .toDF("doc_id", "text")
+    val packed = CorpusOps.packSequences(docs, "doc_id", "text",
+      budget = 10, shards = 4).orderBy("shard", "doc_id").collect()
+    packed.groupBy(_.getLong(1)).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_.getLong(0)).foreach { r =>
+        val (nTok, seqNo, seqOff) = (r.getLong(2), r.getLong(3), r.getLong(4))
+        assert(seqNo == cum / 10, s"seq_no mismatch at doc ${r.getLong(0)}")
+        assert(seqOff == cum % 10, s"seq_offset mismatch at doc ${r.getLong(0)}")
+        cum += nTok
+      }
+    }
+    // shard assignment is doc_id % shards
+    assert(packed.forall(r => r.getLong(1) == r.getLong(0) % 4))
+  }
+
+  test("ivfTopKAuto sizes the index as max(minNlist, floor(sqrt(n)))") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = emb.count()
+    val expectNlist = math.max(16, math.floor(math.sqrt(n.toDouble)).toInt)
+    val auto = Similarity.ivfTopKAuto(emb, "vec_id", "embedding", k = 3)
+    val explicit = Similarity.ivfTopK(emb, "vec_id", "embedding", k = 3,
+      nlist = expectNlist, nprobe = 2)
+    assert(auto.exceptAll(explicit).count() == 0 &&
+      explicit.exceptAll(auto).count() == 0)
+  }
+}
