@@ -96,6 +96,29 @@ object CorpusOps {
   def termPattern(terms: Seq[String]): String =
     terms.map(java.util.regex.Pattern.quote).mkString("\\b(?:", "|", ")\\b")
 
+  /** Total PII matches (all categories) in a text column — the
+    * redaction-volume metric a curation report tracks. Map-only.
+    */
+  def piiMatchCount(t: Column, terms: Seq[String]): Column = {
+    val base = regexp_count(t, lit(EmailPattern)) +
+      regexp_count(t, lit(Ipv4Pattern)) + regexp_count(t, lit(PhonePattern))
+    (if (terms.isEmpty) base
+     else base + regexp_count(t, lit(termPattern(terms)))).cast("long")
+  }
+
+  /** The redaction chain: emails → IPs → phones → dictionary terms,
+    * each category replaced by its placeholder token. Map-only.
+    */
+  def redact(t: Column, terms: Seq[String]): Column = {
+    val noPii = regexp_replace(
+      regexp_replace(
+        regexp_replace(t, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      PhonePattern, "<PHONE>")
+    if (terms.isEmpty) noPii
+    else regexp_replace(noPii, termPattern(terms), "<TERM>")
+  }
+
   /** Per-document PII scan + redaction: counts per category (emails,
     * IPv4 addresses, phone-shaped digit runs, custom dictionary
     * terms) and the fully redacted text. Map-only — four regex counts
@@ -114,13 +137,7 @@ object CorpusOps {
       regexp_count(t, lit(Ipv4Pattern)).cast("long").as("n_ipv4"),
       regexp_count(t, lit(PhonePattern)).cast("long").as("n_phones"),
       regexp_count(t, lit(tp)).cast("long").as("n_terms"),
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(t, EmailPattern, "<EMAIL>"),
-            Ipv4Pattern, "<IP>"),
-          PhonePattern, "<PHONE>"),
-        tp, "<TERM>").as("redacted"))
+      redact(t, terms).as("redacted"))
   }
 
   // ---------------------------------------------------------------
@@ -141,21 +158,39 @@ object CorpusOps {
     * the 100 TB corpus followed by one partial-aggregated count per
     * doc; no shuffle ever carries shingle strings.
     */
+  /** Per-doc distinct shingle fingerprints: (doc_id, shingle). */
+  private def shingleFps(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).as("doc_id"),
+        explode(Dedup.shingles(col(textCol), n)).as("g"))
+      .select(col("doc_id"), call_function("fnv64", col("g")).as("shingle"))
+  }
+
   def decontaminate(train: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame = {
-    GraftFunctions.register(train.sparkSession)
-    def sh(df: DataFrame): DataFrame =
-      df.select(col(idCol).as("doc_id"),
-          explode(Dedup.shingles(col(textCol), n)).as("g"))
-        .select(col("doc_id"), call_function("fnv64", col("g")).as("shingle"))
-    val benchSet = sh(bench).select("shingle").distinct()
-    val hits = sh(train).join(broadcast(benchSet), "shingle")
+    val benchSet = shingleFps(bench, idCol, textCol, n).select("shingle").distinct()
+    val hits = shingleFps(train, idCol, textCol, n)
+      .join(broadcast(benchSet), "shingle")
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
     train.select(col(idCol).as("doc_id"),
         size(Dedup.shingles(col(textCol), n)).cast("long").as("n_shingles"))
       .join(hits, Seq("doc_id"), "left")
       .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
       .withColumn("contaminated", (col("n_hits") > 0).cast("long"))
+  }
+
+  /** Ids of training docs sharing at least one word n-gram with the
+    * benchmark set — the drop-list form of [[decontaminate]] for use
+    * inside a curation pipeline (anti-join the result out). Same plan
+    * shape: broadcast bench fingerprints, map-side semi-join.
+    */
+  def contaminatedIds(train: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val benchSet = shingleFps(bench, idCol, textCol, n).select("shingle").distinct()
+    shingleFps(train, idCol, textCol, n)
+      .join(broadcast(benchSet), "shingle")
+      .select(col("doc_id").as(idCol)).distinct()
   }
 
   // ---------------------------------------------------------------

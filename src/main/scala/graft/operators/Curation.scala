@@ -7,13 +7,17 @@ import graft.functions.TextFunctions
 
 /** End-to-end corpus curation: the composition a training-data
   * pipeline actually runs over a raw document pile — quality
-  * filtering, language filtering, exact dedup, then near-dup removal
-  * — as one declarative dataflow.
+  * filtering, repetition filtering, language filtering, PII
+  * redaction, exact dedup, near-dup removal, benchmark
+  * decontamination, stratified sampling — as one declarative
+  * dataflow.
   *
-  * Scale shape: stages 1–2 are map-only (codegen'd per-row scoring);
-  * stage 3 shuffles a 32-byte content hash; stage 4 is MinHash+LSH
-  * (map-only signatures + compact band-key shuffles). Nothing touches
-  * the driver; every stage streams.
+  * Scale shape: quality/repetition/language/PII/sampling are map-only
+  * (codegen'd per-row scoring); exact dedup shuffles a 32-byte
+  * content hash; near-dup is MinHash+LSH (map-only signatures +
+  * compact band-key shuffles); decontamination is a broadcast
+  * semi-join against the (small) benchmark shingle set. Nothing
+  * touches the driver; every stage streams.
   *
   * The attrition report is SINGLE-PASS: stage counts are collected
   * with `observe`/CollectMetrics accumulators during the one action
@@ -22,11 +26,12 @@ import graft.functions.TextFunctions
   * (at 100 TB that was ~4 redundant full corpus passes). Two
   * structural rules keep the accumulator counts exact:
   *
-  *   - observed nodes in the shared prefix sit below `repartition`
-  *     barriers; the dedup self-joins reference those barriers twice,
-  *     and Spark's exchange reuse executes the identical shuffle
-  *     subtree (and therefore each CollectMetrics) exactly once
-  *     (CurationSpec asserts the counts against independent jobs);
+  *   - observed nodes in a shared prefix sit below `repartition`
+  *     barriers; the dedup self-joins and the decontamination
+  *     anti-join reference those barriers twice, and Spark's exchange
+  *     reuse executes the identical shuffle subtree (and therefore
+  *     each CollectMetrics) exactly once (CurationSpec asserts the
+  *     counts against independent jobs);
   *   - `afterExact` is derived as `afterNearDup + |losers|` from the
   *     loser branch, which occurs exactly once in the final plan, so
   *     it cannot double-count regardless of plan reuse.
@@ -36,7 +41,18 @@ object Curation {
   final case class Config(
       minTokens: Int = 10,
       minQuality: Double = 0.3,
+      /** Minimum distinct-token fraction (repetition filter, the
+        * map-only Gopher-style gate); <= 0 disables the stage. Deeper
+        * modal-n-gram filtering is [[CorpusOps.repetitionMetrics]].
+        */
+      minUniqFrac: Double = 0.0,
       keepLangs: Set[String] = Set.empty, // empty = keep all
+      /** Redact PII (emails / IPv4 / phone runs + `piiTerms`) from
+        * the text before dedup, so redaction-equal docs dedup
+        * together and no PII survives into the curated corpus.
+        */
+      redactPii: Boolean = false,
+      piiTerms: Seq[String] = Nil,
       nearDupThreshold: Double = 0.7,
       shingleSize: Int = 3,
       numPerms: Int = 64,
@@ -47,11 +63,21 @@ object Curation {
         * `maxHamming`, best for near-identical dedup).
         */
       nearDupStrategy: String = "minhash",
-      maxHamming: Int = 3)
+      maxHamming: Int = 3,
+      /** Word n-gram size for benchmark decontamination (applies when
+        * a bench set is passed to [[curateStaged]]). */
+      decontamShingleSize: Int = 8,
+      /** Per-language percent rates for deterministic stratified
+        * sampling on `pred_lang`; empty disables the stage. */
+      sampleRates: Map[String, Int] = Map.empty,
+      sampleDefaultRate: Int = 100)
 
   final case class Report(
-      input: Long, afterQuality: Long, afterLang: Long,
-      afterExact: Long, afterNearDup: Long)
+      input: Long, afterQuality: Long, afterRepetition: Long,
+      afterLang: Long, afterExact: Long, afterNearDup: Long,
+      afterDecontam: Long, afterSample: Long,
+      /** Total PII matches redacted (0 when redaction is off). */
+      piiMatches: Long)
 
   /** A staged pipeline: run ONE action on `curated` (a write at
     * 100 TB; `count()` in tests), then call `report()` — it reads the
@@ -75,33 +101,55 @@ object Curation {
     * the single materializing action (see [[Staged]]). The near-dup
     * stage keeps the lowest id of each detected pair-cluster (greedy:
     * any doc that appears as the higher id of a qualifying pair is
-    * dropped).
+    * dropped). Pass `bench` to anti-join out every doc sharing a
+    * `decontamShingleSize`-gram with the benchmark corpus.
     */
   def curateStaged(docs: DataFrame, idCol: String, textCol: String,
-      config: Config = Config()): Staged = {
+      config: Config = Config(), bench: Option[DataFrame] = None): Staged = {
     val obsInput = Observation()
     val obsQuality = Observation()
+    val obsRep = Observation()
     val obsLang = Observation()
+    val obsPii = Observation()
     val obsLosers = Observation()
-    val obsFinal = Observation()
+    val obsNearDup = Observation()
+    val obsDecontam = Observation()
+    val obsSample = Observation()
     def counted(df: DataFrame, obs: Observation): DataFrame =
       df.observe(obs, count(lit(1)).as("n"))
+
+    val repetitionOn = config.minUniqFrac > 0.0
+    val samplingOn = config.sampleRates.nonEmpty
 
     val scored = annotate(counted(docs, obsInput), textCol)
     val qualityFiltered = counted(scored.filter(
       col("n_tokens") >= config.minTokens && col("quality") >= config.minQuality),
       obsQuality)
 
+    val ts = TextFunctions.tokens(col(textCol))
+    val repFiltered =
+      if (!repetitionOn) qualityFiltered
+      else counted(qualityFiltered.filter(
+        size(array_distinct(ts)).cast("double") / size(ts).cast("double")
+          >= config.minUniqFrac), obsRep)
+
     val langFiltered = counted(
-      if (config.keepLangs.isEmpty) qualityFiltered
-      else qualityFiltered.filter(col("pred_lang").isin(config.keepLangs.toSeq: _*)),
+      if (config.keepLangs.isEmpty) repFiltered
+      else repFiltered.filter(col("pred_lang").isin(config.keepLangs.toSeq: _*)),
       obsLang)
 
+    val redacted =
+      if (!config.redactPii) langFiltered
+      else langFiltered
+        .observe(obsPii, coalesce(sum(
+          CorpusOps.piiMatchCount(col(textCol), config.piiTerms)), lit(0L)).as("n"))
+        .withColumn(textCol, CorpusOps.redact(col(textCol), config.piiTerms))
+
     // Barriers: the exact-dedup semi-join consumes its input twice and
-    // the final anti-join consumes exactDeduped twice; repartition
+    // the near-dup anti-join consumes exactDeduped twice; repartition
     // exchanges make those subtrees reusable so each prefix (and each
     // observe in it) executes once per action.
-    val prefixBarrier = Dedup.barrier(langFiltered, col(idCol))
+    val prefixBarrier = Dedup.barrier(redacted, col(idCol))
     val exactDeduped = Dedup.barrier(
       Dedup.exact(prefixBarrier, idCol, textCol), col(idCol))
 
@@ -117,16 +165,42 @@ object Curation {
     }
     val losers = counted(
       nearDupPairs.select(col("id_b").as(idCol)).distinct(), obsLosers)
-    val curated = counted(
-      exactDeduped.join(losers, Seq(idCol), "left_anti"), obsFinal)
+    val nearDupCurated = counted(
+      exactDeduped.join(losers, Seq(idCol), "left_anti"), obsNearDup)
 
-    new Staged(curated, () => {
+    val decontamed = bench match {
+      case None => nearDupCurated
+      case Some(b) =>
+        // the anti-join consumes the near-dup output twice (left side
+        // + the shingle scan feeding contaminatedIds) — barrier it so
+        // exchange reuse keeps obsNearDup single-counted
+        val barred = Dedup.barrier(nearDupCurated, col(idCol))
+        counted(barred.join(
+          CorpusOps.contaminatedIds(barred, b, idCol, textCol,
+            config.decontamShingleSize),
+          Seq(idCol), "left_anti"), obsDecontam)
+    }
+
+    val sampled =
+      if (!samplingOn) decontamed
+      else counted(CorpusOps.stratifiedSample(decontamed, idCol, "pred_lang",
+        config.sampleRates, config.sampleDefaultRate).drop("strat_bucket"),
+        obsSample)
+
+    new Staged(sampled, () => {
       def n(obs: Observation): Long = obs.get("n").asInstanceOf[Long]
-      val afterNearDup = n(obsFinal)
+      val afterNearDup = n(obsNearDup)
       // every loser id occurs exactly once in exactDeduped (ids are
       // unique post-exact-dedup), so the anti-join removed |losers|.
-      Report(n(obsInput), n(obsQuality), n(obsLang),
-        afterNearDup + n(obsLosers), afterNearDup)
+      val afterExact = afterNearDup + n(obsLosers)
+      val afterQuality = n(obsQuality)
+      val afterRep = if (repetitionOn) n(obsRep) else afterQuality
+      val afterLang = n(obsLang)
+      val afterDecontam = if (bench.isDefined) n(obsDecontam) else afterNearDup
+      val afterSample = if (samplingOn) n(obsSample) else afterDecontam
+      Report(n(obsInput), afterQuality, afterRep, afterLang,
+        afterExact, afterNearDup, afterDecontam, afterSample,
+        if (config.redactPii) n(obsPii) else 0L)
     })
   }
 
@@ -135,8 +209,8 @@ object Curation {
     * stage counter.
     */
   def curate(docs: DataFrame, idCol: String, textCol: String,
-      config: Config = Config()): (DataFrame, Report) = {
-    val staged = curateStaged(docs, idCol, textCol, config)
+      config: Config = Config(), bench: Option[DataFrame] = None): (DataFrame, Report) = {
+    val staged = curateStaged(docs, idCol, textCol, config, bench)
     staged.curated.count()
     (staged.curated, staged.report())
   }

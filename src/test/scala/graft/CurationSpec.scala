@@ -57,6 +57,69 @@ class CurationSpec extends AnyFunSuite {
     assert(r.afterNearDup == staged.curated.count())
   }
 
+  test("full pipeline: repetition, PII, decontam and sampling stages compose") {
+    import org.apache.spark.sql.functions.col
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val bench = docs.filter(col("doc_id") % 7 === 0)
+    val train = docs.filter(col("doc_id") % 7 =!= 0)
+    val cfg = Curation.Config(minTokens = 5, minQuality = 0.2,
+      minUniqFrac = 0.3, redactPii = true, piiTerms = Seq("customer"),
+      nearDupThreshold = 0.7, decontamShingleSize = 4,
+      sampleRates = Map("en" -> 50))
+    val staged = Curation.curateStaged(train, "doc_id", "text", cfg, Some(bench))
+    staged.curated.count()
+    val r = staged.report()
+    // monotone attrition through every enabled stage
+    assert(r.input >= r.afterQuality)
+    assert(r.afterQuality >= r.afterRepetition)
+    assert(r.afterRepetition >= r.afterLang)
+    assert(r.afterLang >= r.afterExact)
+    assert(r.afterExact >= r.afterNearDup)
+    assert(r.afterNearDup >= r.afterDecontam)
+    assert(r.afterDecontam >= r.afterSample)
+    assert(r.afterSample == staged.curated.count())
+    // stages actually fired on this fixture (non-vacuous)
+    assert(r.afterDecontam < r.afterNearDup, "decontamination removed nothing")
+    assert(r.afterSample < r.afterDecontam, "sampling removed nothing")
+    assert(r.piiMatches > 0, "PII term redaction matched nothing")
+    // the curated text is redacted and decontaminated
+    assert(staged.curated.filter(col("text").contains("customer")).count() == 0)
+    val resid = operators.CorpusOps.contaminatedIds(
+      staged.curated, bench, "doc_id", "text", 4)
+    assert(resid.count() == 0, "contaminated docs survived")
+  }
+
+  test("single-action report matches independent counts with all stages on") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val bench = docs.filter(col("doc_id") % 7 === 0)
+    val train = docs.filter(col("doc_id") % 7 =!= 0)
+    val cfg = Curation.Config(minTokens = 5, minQuality = 0.2,
+      minUniqFrac = 0.3, redactPii = true, piiTerms = Seq("customer"),
+      nearDupThreshold = 0.7, decontamShingleSize = 4,
+      sampleRates = Map("en" -> 50))
+    val staged = Curation.curateStaged(train, "doc_id", "text", cfg, Some(bench))
+    staged.curated.count()
+    val r = staged.report()
+    // independently recompute the map-only stages; any double-fired
+    // CollectMetrics (broken exchange reuse around the new barriers)
+    // fails here
+    assert(r.input == train.count())
+    val q = Curation.annotate(train, "text")
+      .filter(col("n_tokens") >= 5 && col("quality") >= 0.2)
+    assert(r.afterQuality == q.count())
+    import org.apache.spark.sql.functions.{array_distinct, size => asize}
+    val rep = q.filter(
+      asize(array_distinct(graft.functions.TextFunctions.tokens(col("text"))))
+        .cast("double") /
+        asize(graft.functions.TextFunctions.tokens(col("text"))).cast("double")
+        >= 0.3)
+    assert(r.afterRepetition == rep.count())
+    assert(r.afterLang == rep.count()) // keepLangs empty = no-op
+  }
+
   test("language filter keeps only requested languages") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val annotated = Curation.annotate(docs, "text")

@@ -89,6 +89,39 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("t19: decontamination broadcasts the benchmark shingle set") {
+    val docs = Tables.documents(spark, dir)
+    val plan = planOf(operators.CorpusOps.decontaminate(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 0),
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0),
+      "doc_id", "text", 4))
+    // the training side must stay map-side against the (small) bench
+    // set: a shuffle of the 100 TB corpus on shingle keys here would
+    // be the bottleneck
+    assert(plan.contains("BroadcastHashJoin"),
+      "benchmark shingle set must be broadcast")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("t21: sequence packing windows are per-shard, never global") {
+    val plan = planOf(operators.CorpusOps.packSequences(
+      Tables.documents(spark, dir), "doc_id", "text", 512, 8))
+    assert(plan.contains("Window"), "expected the running-sum window")
+    // a global ordering would appear as an Exchange SinglePartition /
+    // rangepartitioning ahead of the window
+    assert(!plan.contains("SinglePartition"),
+      "packing collapsed to a single partition - global window")
+  }
+
+  test("t17: repetition modal counts aggregate partially map-side") {
+    val plan = planOf(operators.CorpusOps.repetitionMetrics(
+      Tables.documents(spark, dir), "doc_id", "text"))
+    // the (doc_id, fingerprint) count must combine before its exchange
+    assert(plan.contains("partial_count") || plan.contains("partial_"),
+      "gram counting lost its map-side combine")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("dedup family joins on compact keys, never full documents") {
     // the jaccard inverted-index join must join on the 8-byte shingle
     // fingerprint, not the shingle string
