@@ -105,7 +105,11 @@ object Similarity {
     *   `sort_array(collect_list(...))` under partial aggregation —
     *   the map-side combine collapses the nlist scored copies of
     *   each vector before anything shuffles, so the exchange carries
-    *   one row per vector, not nlist.
+    *   one row per vector, not nlist. The scored rows are SKINNY
+    *   (id, struct(score, cid)) — carrying the d-dim vector through
+    *   the n·nlist explosion multiplied the stage's bytes by nlist
+    *   (measured 2× end-to-end at sf1/nlist=141); vectors are
+    *   re-attached by an id equi-join after the agg instead.
     * - **Search**: each vector's inverted list is its rank-1
     *   centroid; queries probe their `nprobe` best lists and
     *   re-rank candidates by exact cosine. Join key is the centroid
@@ -121,12 +125,18 @@ object Similarity {
       .select(col("id").as("cid"), col("e").as("ce"), col("n").as("cn"))
     // negated score so ascending struct sort = (cosine desc, cid asc)
     val scored = v.join(broadcast(c))
-      .select(col("id"), col("e"), col("n"),
+      .select(col("id"),
         struct((-(dot(col("e"), col("ce")) / (col("n") * col("cn")))).as("negcs"),
           col("cid")).as("sc"))
-    val assigned = scored.groupBy("id")
-      .agg(first("e").as("e"), first("n").as("n"),
-        slice(sort_array(collect_list(col("sc"))), 1, nprobe).as("probes"))
+    // one pinned barrier BEFORE the lists/probes branch point: both
+    // branches re-project differently, so without it each branch owns
+    // a distinct exchange tree and the scoring+assignment prefix
+    // would execute twice (exchange reuse only matches identical
+    // subtrees).
+    val assigned = Dedup.barrier(
+      scored.groupBy("id")
+        .agg(slice(sort_array(collect_list(col("sc"))), 1, nprobe).as("probes"))
+        .join(v, "id"), col("id"))
     // pinned on the join key: the candidate join's output is
     // n·nprobe·listSize, so its input exchanges must never be
     // AQE-coalesced down by their (tiny) input size

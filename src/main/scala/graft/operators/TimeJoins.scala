@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark has no built-in form for (builder
+  * brief: as-of join, range join), expressed as scale-safe dataflows
+  * rather than inequality joins:
+  *
+  *   - [[asOf]] — union + keyed running-window: ONE shuffle on the
+  *     key, no range-condition join (Spark would plan an inequality
+  *     join as a broadcast nested loop or cartesian — quadratic per
+  *     key).
+  *   - [[rangeCountPreceding]] — banded (time-bucketed) equi-join:
+  *     the inequality is reduced to bucket equality + a residual
+  *     filter, so per-key fan-in is bounded by window occupancy, and
+  *     AQE can split any hot (key, bucket).
+  */
+object TimeJoins {
+
+  /** As-of join: for each left row, the single latest right row with
+    * `rightTs <= leftTs` and the same key (LEFT-join semantics —
+    * unmatched left rows keep null payloads).
+    *
+    * Plan: tag both sides, union by name, one window per key ordered
+    * by (ts, side, tieBreak) carrying `last(payload, ignoreNulls)` —
+    * right rows sort before left rows at equal timestamps so equality
+    * matches, and `tieBreak` makes the winner among equal-ts right
+    * rows deterministic (the max tieBreak value wins).
+    *
+    * Scale: one shuffle on the key; each window partition is one
+    * key's event history (bounded, time-ordered) — the sort is the
+    * only per-key cost, and nothing is quadratic. This is the plan an
+    * inequality-join rewrite cannot reach.
+    */
+  def asOf(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, payload: Seq[String],
+      tieBreak: String): DataFrame = {
+    val leftCols = left.columns
+    val r = right.select(
+      (Seq(col(key), col(rightTs).as("__t"), lit(0).as("__side"),
+        col(tieBreak).as("__tie")) ++
+        payload.map(p => col(p).as(s"__p_$p"))): _*)
+    val l = left
+      .withColumn("__t", col(leftTs))
+      .withColumn("__side", lit(1))
+      .withColumn("__tie", lit(null).cast(r.schema("__tie").dataType))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(key)
+      .orderBy(col("__t"), col("__side"), col("__tie").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(unioned) { (df, p) =>
+      df.withColumn(p, last(col(s"__p_$p"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .select((leftCols.map(col) ++ payload.map(col)): _*)
+  }
+
+  /** Range-count join: for each left row, the number of right rows
+    * with the same key in the half-open window
+    * `[leftTs - window, leftTs)`. LEFT-join semantics: zero counts
+    * are kept.
+    *
+    * Plan: both sides bucket by `floor(ts / window)`; every left row
+    * probes its own bucket and the preceding one (the window spans at
+    * most two buckets), the join is a pure equi-join on
+    * (key, bucket), and the residual range predicate filters inside
+    * the bucket. The count partial-aggregates before the final join
+    * back to the left side.
+    */
+  def rangeCountPreceding(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, window: Long, leftId: String,
+      countName: String): DataFrame = {
+    val probes = left.select(col(leftId).as("__lid"), col(key).as("__k"),
+        col(leftTs).as("__lt"),
+        explode(array(expr(s"$leftTs div $window"),
+          expr(s"$leftTs div $window - 1"))).as("__b"))
+    val build = right.select(col(key).as("__k"),
+      col(rightTs).as("__rt"), expr(s"$rightTs div $window").as("__b"))
+    val counts = probes.join(build, Seq("__k", "__b"))
+      .filter(col("__rt") >= col("__lt") - window && col("__rt") < col("__lt"))
+      .groupBy("__lid").agg(count(lit(1)).as(countName))
+    left.join(counts, left(leftId) === counts("__lid"), "left")
+      .drop("__lid")
+      .withColumn(countName, coalesce(col(countName), lit(0L)))
+  }
+}

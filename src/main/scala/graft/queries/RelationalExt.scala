@@ -225,6 +225,45 @@ object RelationalExt {
       .select(col("p_partkey"), col("pos").cast("long").as("pos"), col("word"))
       .orderBy("p_partkey", "pos")
 
+  /** q27 — as-of join: each click event picks the latest preceding
+    * (or simultaneous) view by the same user
+    * ([[graft.operators.TimeJoins.asOf]] — union + keyed running
+    * window, ONE shuffle, no inequality join). Oracle: DuckDB's
+    * native ASOF LEFT JOIN — same semantics, independently
+    * implemented engine.
+    */
+  def q27(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts"))
+    graft.operators.TimeJoins.asOf(clicks, views, "user_id", "ts", "ts",
+        payload = Seq("view_id"), tieBreak = "view_id")
+      .select("click_id", "user_id", "view_id")
+      .orderBy("click_id")
+  }
+
+  /** q28 — range join: clicks by the same user within the 24 h
+    * before each error event
+    * ([[graft.operators.TimeJoins.rangeCountPreceding]] — banded
+    * equi-join on (user, time-bucket) + residual filter; the oracle
+    * states the same window as a plain inequality join).
+    */
+  def q28(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val dayNanos = 86400L * 1000000000L
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"))
+    graft.operators.TimeJoins.rangeCountPreceding(errors, clicks, "user_id",
+        "ts", "ts", window = dayNanos, leftId = "event_id",
+        countName = "n_clicks")
+      .select("event_id", "user_id", "n_clicks")
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_intersect" -> q13 _,
     "q14_except" -> q14 _,
@@ -240,6 +279,8 @@ object RelationalExt {
     "q24_percentiles" -> q24 _,
     "q25_exists_predicate" -> q25 _,
     "q26_posexplode" -> q26 _,
+    "q27_asof_join" -> q27 _,
+    "q28_range_join" -> q28 _,
   )
 
   val oracles: Map[String, String] = {
@@ -322,6 +363,19 @@ object RelationalExt {
           |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
           |              AND o.o_orderstatus = 'F' AND o.o_totalprice > 300000)
           |ORDER BY c_custkey""".stripMargin,
+      "q27_asof_join" ->
+        """SELECT c.event_id AS click_id, c.user_id, v.event_id AS view_id
+          |FROM (SELECT * FROM events WHERE event_type = 'click') c
+          |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          |  ON c.user_id = v.user_id AND v.ts <= c.ts
+          |ORDER BY click_id""".stripMargin,
+      "q28_range_join" ->
+        """SELECT e.event_id, e.user_id, COUNT(c.user_id) AS n_clicks
+          |FROM (SELECT * FROM events WHERE event_type = 'error') e
+          |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          |  ON e.user_id = c.user_id
+          |  AND c.ts >= e.ts - INTERVAL 24 HOUR AND c.ts < e.ts
+          |GROUP BY 1, 2 ORDER BY e.event_id""".stripMargin,
       "q26_posexplode" ->
         """WITH t AS (
           |  SELECT p_partkey, string_split(p_type, ' ') AS parts

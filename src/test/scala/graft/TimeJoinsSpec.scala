@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TimeJoins
+
+/** Unit tests for the temporal joins on synthetic data with
+  * hand-computed expectations (equal-timestamp matches, ties among
+  * right rows, unmatched left rows, window boundaries); fixture-level
+  * correctness is gated by the DuckDB oracles (q27 vs native ASOF
+  * JOIN, q28 vs an inequality join).
+  */
+class TimeJoinsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.session
+  import spark.implicits._
+
+  test("asOf: latest preceding right row per key, equality included") {
+    val left = Seq(
+      (1L, "u1", 100L), // strictly after r10 and r11 -> r11
+      (2L, "u1", 50L),  // equal ts to r10 -> matches (<=)
+      (3L, "u1", 10L),  // before everything -> null
+      (4L, "u2", 999L)  // key with no right rows -> null
+    ).toDF("click_id", "key", "t")
+    val right = Seq(
+      (10L, "u1", 50L),
+      (11L, "u1", 70L),
+      (12L, "u3", 1L)
+    ).toDF("rid", "key", "t")
+    val got = TimeJoins.asOf(left, right, "key", "t", "t",
+        payload = Seq("rid"), tieBreak = "rid")
+      .select("click_id", "rid").orderBy("click_id").collect()
+    assert(got(0).getLong(1) == 11L)
+    assert(got(1).getLong(1) == 10L)
+    assert(got(2).isNullAt(1))
+    assert(got(3).isNullAt(1))
+  }
+
+  test("asOf: equal-timestamp right rows resolve to the max tie-break") {
+    val left = Seq((1L, "u1", 100L)).toDF("click_id", "key", "t")
+    val right = Seq((7L, "u1", 100L), (9L, "u1", 100L), (3L, "u1", 100L))
+      .toDF("rid", "key", "t")
+    val got = TimeJoins.asOf(left, right, "key", "t", "t",
+      payload = Seq("rid"), tieBreak = "rid").collect()
+    assert(got(0).getAs[Long]("rid") == 9L)
+  }
+
+  test("rangeCountPreceding: half-open window, bucket straddling, zero counts") {
+    val W = 100L
+    val left = Seq(
+      (1L, "u1", 250L), // window [150, 250): r at 150 in, 249 in, 250 out
+      (2L, "u1", 150L), // window [50, 150): r at 50 in, 149 in
+      (3L, "u2", 500L)  // no right rows -> 0
+    ).toDF("id", "key", "t")
+    val right = Seq(
+      ("u1", 50L), ("u1", 149L), ("u1", 150L), ("u1", 249L), ("u1", 250L)
+    ).toDF("key", "t")
+    val got = TimeJoins.rangeCountPreceding(left, right, "key", "t", "t",
+        window = W, leftId = "id", countName = "n")
+      .select("id", "n").orderBy("id").collect()
+    assert(got(0).getLong(1) == 2L, "expected {150, 249}")
+    assert(got(1).getLong(1) == 2L, "expected {50, 149}")
+    assert(got(2).getLong(1) == 0L)
+  }
+
+  test("q27/q28 plans: no cartesian, no inequality nested-loop join") {
+    val q27 = queries.RelationalExt.q27(spark, "/root/testdata/sf0.001")
+      .queryExecution.sparkPlan.toString
+    val q28 = queries.RelationalExt.q28(spark, "/root/testdata/sf0.001")
+      .queryExecution.sparkPlan.toString
+    for ((name, p) <- Seq("q27" -> q27, "q28" -> q28)) {
+      assert(!p.contains("CartesianProduct"), s"$name degraded to cartesian")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$name planned the inequality as a nested loop - the banded/window " +
+          "form must be a pure equi-join/window")
+    }
+    assert(q27.contains("Window"), "as-of lost its running window")
+    assert(q28.contains("SortMergeJoin") || q28.contains("ShuffledHashJoin") ||
+      q28.contains("BroadcastHashJoin"), "range join lost its bucket equi-join")
+  }
+}
