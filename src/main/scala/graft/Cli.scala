@@ -187,8 +187,10 @@ object Cli {
       spark.stop()
 
     // Training-data curation pipeline over a documents parquet dir:
-    // quality filter -> language filter -> exact dedup -> near-dup
-    // removal -> curated parquet + attrition report.
+    // quality -> repetition -> language -> PII redaction -> exact
+    // dedup -> near-dup removal (-> decontamination / stratified
+    // sampling when configured) -> curated parquet + one-pass
+    // attrition report.
     case "curate" :: sfDir :: outDir :: Nil =>
       val spark = session()
       val docs = Tables.documents(spark, sfDir)
@@ -198,8 +200,10 @@ object Cli {
           nearDupThreshold = 0.7))
       curated.write.mode("overwrite").parquet(outDir)
       println(s"curate: input=${report.input} afterQuality=${report.afterQuality} " +
-        s"afterLang=${report.afterLang} afterExact=${report.afterExact} " +
-        s"afterNearDup=${report.afterNearDup} -> $outDir")
+        s"afterRepetition=${report.afterRepetition} afterLang=${report.afterLang} " +
+        s"afterExact=${report.afterExact} afterNearDup=${report.afterNearDup} " +
+        s"afterDecontam=${report.afterDecontam} afterSample=${report.afterSample} " +
+        s"piiMatches=${report.piiMatches} -> $outDir")
       spark.stop()
 
     // Catalog artifact (A5): materialized schema snapshot of every

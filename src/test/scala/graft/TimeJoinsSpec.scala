@@ -62,6 +62,47 @@ class TimeJoinsSpec extends AnyFunSuite {
     assert(got(2).getLong(1) == 0L)
   }
 
+  test("asOf matches a brute-force reference on seeded random data") {
+    val rnd = new scala.util.Random(42)
+    val keys = Seq("a", "b", "c")
+    val left = (1L to 120L).map(i =>
+      (i, keys(rnd.nextInt(3)), rnd.nextInt(200).toLong)).toSeq
+    val right = (1000L to 1080L).map(i =>
+      (i, keys(rnd.nextInt(3)), rnd.nextInt(200).toLong)).toSeq
+    val got = TimeJoins.asOf(
+        left.toDF("lid", "key", "t"), right.toDF("rid", "key", "t"),
+        "key", "t", "t", payload = Seq("rid"), tieBreak = "rid")
+      .select("lid", "rid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    // brute force: max (t, rid) among right rows with same key, t <= lt
+    val want = left.map { case (lid, k, lt) =>
+      val cands = right.filter { case (_, rk, rt) => rk == k && rt <= lt }
+      lid -> (if (cands.isEmpty) None
+              else Some(cands.maxBy { case (rid, _, rt) => (rt, rid) }._1))
+    }.toMap
+    assert(got == want)
+  }
+
+  test("rangeCountPreceding matches a brute-force reference on seeded random data") {
+    val rnd = new scala.util.Random(7)
+    val keys = Seq("a", "b")
+    val W = 50L
+    val left = (1L to 100L).map(i =>
+      (i, keys(rnd.nextInt(2)), rnd.nextInt(300).toLong)).toSeq
+    val right = (1L to 150L).map(_ =>
+      (keys(rnd.nextInt(2)), rnd.nextInt(300).toLong)).toSeq
+    val got = TimeJoins.rangeCountPreceding(
+        left.toDF("id", "key", "t"), right.toDF("key", "t"),
+        "key", "t", "t", window = W, leftId = "id", countName = "n")
+      .select("id", "n").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = left.map { case (id, k, lt) =>
+      id -> right.count { case (rk, rt) => rk == k && rt >= lt - W && rt < lt }.toLong
+    }.toMap
+    assert(got == want)
+  }
+
   test("q27/q28 plans: no cartesian, no inequality nested-loop join") {
     val q27 = queries.RelationalExt.q27(spark, "/root/testdata/sf0.001")
       .queryExecution.sparkPlan.toString
