@@ -22,6 +22,8 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction(
         "fnv64", exprs => Fnv64(exprs.head), "built-in")
       reg.createOrReplaceTempFunction(
+        "fnv64_array", exprs => Fnv64Array(exprs.head), "built-in")
+      reg.createOrReplaceTempFunction(
         "spread64", exprs => Spread64(exprs.head), "built-in")
       reg.createOrReplaceTempFunction(
         "poly_hash_array", exprs => {

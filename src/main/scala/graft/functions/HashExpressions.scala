@@ -203,6 +203,47 @@ object PolyHashArray {
   }
 }
 
+/** Per-element [[Fnv64]] over an array<string> — one compiled loop,
+  * the array twin of [[Fnv64]] (same reasoning as [[PolyHashArray]]:
+  * a `transform` lambda would evaluate interpretively). Used to
+  * fingerprint shingle SETS so pairwise set operations (near-dup
+  * Jaccard verify) compare 8-byte longs instead of shingle strings —
+  * 64-bit space keeps whole-corpus collision odds negligible where
+  * the 31-bit PolyHash would not.
+  */
+case class Fnv64Array(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, false)
+  override def prettyName: String = "fnv64_array"
+
+  override def nullSafeEval(input: Any): Any =
+    Fnv64Array.compute(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Fnv64Array.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Fnv64Array =
+    copy(child = newChild)
+}
+
+object Fnv64Array {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  def compute(arr: ArrayData): ArrayData = {
+    val m = arr.numElements()
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      out(i) = Fnv64.eval(arr.getUTF8String(i).getBytes)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** FNV-1a 64-bit hash over a string's UTF-8 bytes, with Java Long
   * wrap-around. Used where we need well-mixed 64-bit values
   * (SimHash bit sampling, MinHash permutation input, LSH bucket
