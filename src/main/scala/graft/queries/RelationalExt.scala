@@ -264,6 +264,84 @@ object RelationalExt {
       .orderBy("event_id")
   }
 
+  /** q29 — batch sessionization (gaps-and-islands): split each user's
+    * event stream into sessions at >30 min silences. Two windows over
+    * the SAME (user_id, ts) sort — Catalyst reuses one shuffle+sort —
+    * then a hash aggregate per session. `ts` is raw nanos (see
+    * [[graft.Tables.eventsWithTs]]); it is truncated to MICROS first
+    * because DuckDB reads TIMESTAMP(NANOS) parquet at µs precision
+    * (truncating — verified empirically), and all arithmetic stays in
+    * long µs space so the oracle replays it exactly via `epoch_us`.
+    *
+    * Tied timestamps are safe: only the first row of a tie group can
+    * carry the new-session flag (the rest see gap 0), and the running
+    * sum assigns every tied row the same session id regardless of
+    * which engine's sort puts which row first.
+    */
+  def q29(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 1800L * 1000000L // 30 minutes
+    val w = Window.partitionBy("user_id").orderBy("tsu")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts div 1000").as("tsu"))
+      .withColumn("new_s",
+        when(lag(col("tsu"), 1).over(w).isNull ||
+          col("tsu") - lag(col("tsu"), 1).over(w) > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_s")).over(run))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"), (max(col("tsu")) - min(col("tsu"))).as("dur_us"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** q30 — unpivot/melt: part's numeric measures to (metric, value)
+    * rows. Map-only (Expand node — no shuffle, no join against a
+    * metric dimension).
+    */
+  def q30(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_size").cast("double").as("p_size"),
+        col("p_retailprice"))
+      .unpivot(Array(col("p_partkey")),
+        Array(col("p_size"), col("p_retailprice")), "metric", "value")
+      .orderBy("p_partkey", "metric")
+
+  /** q31 — lag/lead/ntile over one per-customer sort: previous and
+    * next order price plus the in-customer price-date quartile. All
+    * three functions share a single window sort (one shuffle).
+    */
+  def q31(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .select("o_custkey", "o_orderkey", "prev_price", "next_price", "quartile")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** q32 — blocked fuzzy self-join: near-identical part names within
+    * the same size class (edit distance ≤ 2). The block key turns the
+    * quadratic all-pairs comparison into an equi-join shuffle on
+    * `p_size` with the Levenshtein filter as a residual — the shape a
+    * 100 TB entity-resolution pass needs (distance is computed only
+    * within blocks, never across the full cross product). Uses the
+    * codegen'd built-in `levenshtein`, computed once per candidate
+    * pair.
+    */
+  def q32(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).select("p_partkey", "p_name", "p_size")
+    val a = p.select(col("p_partkey").as("key_a"), col("p_name").as("name_a"),
+      col("p_size").as("sz_a"))
+    val b = p.select(col("p_partkey").as("key_b"), col("p_name").as("name_b"),
+      col("p_size").as("sz_b"))
+    a.join(b, col("sz_a") === col("sz_b") && col("key_a") < col("key_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= 2)
+      .select("key_a", "key_b", "name_a", "name_b", "dist")
+      .orderBy("key_a", "key_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_intersect" -> q13 _,
     "q14_except" -> q14 _,
@@ -281,6 +359,10 @@ object RelationalExt {
     "q26_posexplode" -> q26 _,
     "q27_asof_join" -> q27 _,
     "q28_range_join" -> q28 _,
+    "q29_sessionize" -> q29 _,
+    "q30_unpivot" -> q30 _,
+    "q31_lag_lead_ntile" -> q31 _,
+    "q32_fuzzy_join" -> q32 _,
   )
 
   val oracles: Map[String, String] = {
@@ -376,6 +458,44 @@ object RelationalExt {
           |  ON e.user_id = c.user_id
           |  AND c.ts >= e.ts - INTERVAL 24 HOUR AND c.ts < e.ts
           |GROUP BY 1, 2 ORDER BY e.event_id""".stripMargin,
+      "q29_sessionize" ->
+        """WITH ord AS (
+          |  SELECT user_id, epoch_us(ts) AS tsu,
+          |    CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+          |           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+          |         THEN 1 ELSE 0 END AS new_s
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+          |), s AS (
+          |  SELECT user_id, tsu,
+          |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY tsu
+          |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          |  FROM ord
+          |)
+          |SELECT user_id, CAST(sid AS BIGINT) AS session_id, COUNT(*) AS n_events,
+          |  CAST(MAX(tsu) - MIN(tsu) AS BIGINT) AS dur_us
+          |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
+      "q30_unpivot" ->
+        """SELECT p_partkey, metric, value FROM (
+          |  SELECT p_partkey, CAST(p_size AS DOUBLE) AS p_size, p_retailprice FROM part
+          |) UNPIVOT (value FOR metric IN (p_size, p_retailprice))
+          |ORDER BY p_partkey, metric""".stripMargin,
+      "q31_lag_lead_ntile" ->
+        """SELECT o_custkey, o_orderkey,
+          |  LAG(o_totalprice) OVER w AS prev_price,
+          |  LEAD(o_totalprice) OVER w AS next_price,
+          |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+          |FROM orders
+          |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+          |ORDER BY o_custkey, o_orderkey""".stripMargin,
+      "q32_fuzzy_join" ->
+        """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+          |  a.p_name AS name_a, b.p_name AS name_b,
+          |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+          |FROM part a JOIN part b
+          |  ON a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+          |WHERE levenshtein(a.p_name, b.p_name) <= 2
+          |ORDER BY key_a, key_b""".stripMargin,
       "q26_posexplode" ->
         """WITH t AS (
           |  SELECT p_partkey, string_split(p_type, ' ') AS parts

@@ -131,4 +131,24 @@ class PlanShapeSpec extends AnyFunSuite {
       plan.contains("BroadcastHashJoin"))
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("q29: sessionization reuses ONE per-user shuffle for both windows and the agg") {
+    // lag-flag window, running-sum window, and the per-(user, session)
+    // aggregate all key on user_id — Catalyst must plan a single
+    // hash-partitioning exchange (the final orderBy adds one range
+    // exchange; that one is the query's own global sort).
+    // Exchanges are inserted by EnsureRequirements — inspect the
+    // executed plan, not the bare sparkPlan.
+    val plan = queries.RelationalExt.q29(spark, dir).queryExecution.executedPlan.toString
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges:\n${plan.take(1200)}")
+  }
+
+  test("q32: blocked fuzzy join is an equi-join on the block key, no cross product") {
+    val plan = planOf(queries.RelationalExt.q32(spark, dir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy join degraded to all-pairs:\n${plan.take(1200)}")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), "lost the p_size equi-join")
+  }
 }
