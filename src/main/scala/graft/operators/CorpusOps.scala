@@ -194,6 +194,57 @@ object CorpusOps {
   }
 
   // ---------------------------------------------------------------
+  // Vocabulary / top-k n-gram counting
+  // ---------------------------------------------------------------
+
+  /** Corpus-wide top-k n-grams by occurrence count — vocabulary
+    * construction / corpus profiling. The classic word-count shape:
+    * explode grams, hash-aggregate with map-side partial counts (the
+    * zipfian head collapses before the shuffle, so the exchange
+    * carries one (gram, partial-count) row per distinct gram per
+    * task), then `TakeOrderedAndProject` for the global top-k —
+    * per-partition heaps of size k, never a full global sort. Ties at
+    * the k boundary break deterministically (count desc, gram asc) so
+    * the result is engine-independent.
+    */
+  def topNgrams(docs: DataFrame, textCol: String, n: Int, k: Int): DataFrame = {
+    val ts = TextFunctions.tokens(col(textCol))
+    val grams = if (n == 1) ts else multisetGrams(ts, n)
+    docs.select(explode(grams).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram").asc)
+      .limit(k)
+  }
+
+  // ---------------------------------------------------------------
+  // Document chunking
+  // ---------------------------------------------------------------
+
+  /** Split each document into `chunk`-token windows every `stride`
+    * tokens (overlap = chunk − stride) — the standard preprocessing
+    * step for fixed-context training and embedding pipelines. Pure
+    * map-side: tokenize, posexplode the start offsets, slice — no
+    * shuffle, no state, trivially parallel at any scale. The final
+    * window of a document is allowed to be short (standard practice);
+    * `chunk_tokens` carries its actual length.
+    */
+  def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
+      chunk: Int, stride: Int): DataFrame = {
+    require(stride > 0 && chunk >= stride, "need 0 < stride <= chunk")
+    docs.select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("ts"))
+      .withColumn("n_tokens", size(col("ts")).cast("long"))
+      .select(col("doc_id"), col("ts"), col("n_tokens"),
+        posexplode(sequence(lit(0L), greatest(col("n_tokens") - 1L, lit(0L)),
+          lit(stride.toLong))).as(Seq("chunk_no", "start_tok")))
+      .select(col("doc_id"), col("chunk_no").cast("long").as("chunk_no"),
+        col("start_tok"),
+        array_join(slice(col("ts"), (col("start_tok") + 1L).cast("int"), lit(chunk)), " ")
+          .as("chunk_text"),
+        least(lit(chunk.toLong), col("n_tokens") - col("start_tok")).as("chunk_tokens"))
+  }
+
+  // ---------------------------------------------------------------
   // Deterministic stratified sampling
   // ---------------------------------------------------------------
 

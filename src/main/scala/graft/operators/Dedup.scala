@@ -351,4 +351,51 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** Connected components over near-duplicate pair edges: the step
+    * that turns pairwise dup detection into dedup GROUPS (keep the
+    * min-id canonical per cluster, drop the rest). Iterative min-label
+    * propagation: every node starts labeled with its own id and
+    * repeatedly takes the min of its neighbors' labels until a fixed
+    * point — the component label is the cluster's min node id.
+    *
+    * Scale design: each round is two equi-join shuffles over
+    * (node, label) longs — no strings, no adjacency lists in memory:
+    * a neighbor-min step (labels move one hop along edges) followed
+    * by a pointer-jump step (comp(v) := comp(comp(v)), halving label
+    * paths — Kiveris et al.'s hook-and-compress scheme), so a
+    * diameter-D chain converges in O(log D) rounds, not O(D).
+    * The per-round convergence test aggregates to a single boolean
+    * (`isEmpty` on the changed-rows filter), not a data collect;
+    * `localCheckpoint` truncates lineage so plans stay O(1) per
+    * round rather than O(rounds).
+    */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val e = edges.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = und.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // labels move one hop along edges...
+      val nbrMin = und.join(labels, und("dst") === labels("node"))
+        .groupBy(und("src").as("n2")).agg(min(col("comp")).as("nbr"))
+      val stepped = labels.join(nbrMin, labels("node") === nbrMin("n2"), "left")
+        .select(col("node"), col("comp"),
+          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("c2"))
+      // ...then jump through the label graph: comp(v) := comp(comp(v)).
+      // comp(u) <= u for every u, so the jump only ever lowers labels.
+      val jump = stepped.select(col("node").as("jn"), col("c2").as("jc"))
+      val updated = stepped.join(jump, stepped("c2") === jump("jn"), "left")
+        .select(col("node"), col("comp"), coalesce(col("jc"), col("c2")).as("comp2"))
+        .localCheckpoint()
+      converged = updated.filter(col("comp2") < col("comp")).isEmpty
+      labels = updated.select(col("node"), col("comp2").as("comp"))
+      i += 1
+    }
+    labels.select(col("node"), col("comp"))
+  }
 }

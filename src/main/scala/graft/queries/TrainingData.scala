@@ -234,6 +234,39 @@ object TrainingData {
         budget = 512, shards = 8)
       .orderBy("doc_id")
 
+  /** Corpus-wide top-50 word bigrams — vocabulary construction /
+    * corpus profiling ([[CorpusOps.topNgrams]]): word-count shuffle
+    * with map-side partial aggregation, then a per-partition-heap
+    * global top-k, ties broken (count desc, gram asc) so both engines
+    * pick the same boundary rows.
+    */
+  def docVocabNgrams(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.topNgrams(Tables.documents(spark, dir), "text", n = 2, k = 50)
+
+  /** Overlapping token-window chunking (64-token windows every 48
+    * tokens, [[CorpusOps.chunkDocs]]) — map-only, no shuffle.
+    */
+  def docChunking(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.chunkDocs(Tables.documents(spark, dir), "doc_id", "text",
+        chunk = 64, stride = 48)
+      .orderBy("doc_id", "chunk_no")
+
+  /** Near-duplicate CLUSTERS: MinHash+LSH pair edges (t06's exact
+    * pipeline) resolved into connected components
+    * ([[Dedup.connectedComponents]]) — each clustered doc labeled
+    * with its cluster's min doc_id, the canonical-survivor form of
+    * dedup. The oracle replays the full MinHash pipeline AND the
+    * component fixed point (recursive CTE).
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashLsh(Tables.documents(spark, dir), "doc_id", "text",
+        n = 3, numPerms = 64, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b")
+    Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("node").as("doc_id"), col("comp").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   /** JSON extraction over the events table. */
   def eventsJson(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -267,6 +300,9 @@ object TrainingData {
     "t19_decontam" -> docDecontam _,
     "t20_sample_stratified" -> docSampleStratified _,
     "t21_seq_pack" -> docSeqPack _,
+    "t22_vocab_ngrams" -> docVocabNgrams _,
+    "t23_chunking" -> docChunking _,
+    "t24_dup_clusters" -> dedupClusters _,
   )
 
   /** Shared DuckDB CTE fragment: per-doc word-trigram shingle sets,
@@ -312,11 +348,11 @@ object TrainingData {
     * so the gate checks candidate generation itself, not just the
     * verify step, and is fixture-independent.
     */
-  private def minhashOracleSql(numPerms: Int, bands: Int, threshold: Double): String = {
+  private def minhashCtes(numPerms: Int, bands: Int, threshold: Double): String = {
     val (pa, pb) = graft.functions.MinHashSig.permParams(numPerms)
     val rows = numPerms / bands
     val perms = (0 until numPerms).map(j => s"($j, ${pa(j)}, ${pb(j)})").mkString(", ")
-    s"""WITH ${jaccardCtes(threshold)}, gh AS (
+    s"""${jaccardCtes(threshold)}, gh AS (
        |  SELECT doc_id, ${polyHashSql("g")} AS h FROM grams
        |), perms(j, pa, pb) AS (
        |  VALUES $perms
@@ -332,11 +368,39 @@ object TrainingData {
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bandkey a JOIN bandkey b
        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-       |)
-       |SELECT j.id_a, j.id_b, j.jaccard
-       |FROM jac j JOIN cand c ON j.id_a = c.id_a AND j.id_b = c.id_b
-       |ORDER BY j.id_a, j.id_b""".stripMargin
+       |), pairs AS (
+       |  SELECT j.id_a, j.id_b, j.jaccard
+       |  FROM jac j JOIN cand c ON j.id_a = c.id_a AND j.id_b = c.id_b
+       |)""".stripMargin
   }
+
+  private def minhashOracleSql(numPerms: Int, bands: Int, threshold: Double): String =
+    s"""WITH ${minhashCtes(numPerms, bands, threshold)}
+       |SELECT id_a, id_b, jaccard FROM pairs
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Connected-components oracle over the replayed MinHash pair
+    * edges: a recursive transitive-closure CTE (fine at oracle SF —
+    * dup clusters are tiny) labels every clustered doc with the min
+    * reachable id, exactly [[graft.operators.Dedup.connectedComponents]]'s
+    * fixed point.
+    */
+  private def dupClusterOracleSql(numPerms: Int, bands: Int, threshold: Double): String =
+    s"""WITH RECURSIVE ${minhashCtes(numPerms, bands, threshold)}, edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION
+       |  SELECT id_b AS src, id_a AS dst FROM pairs
+       |), reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |), sel AS (
+       |  SELECT src, dst FROM reach
+       |  UNION
+       |  SELECT src, src AS dst FROM edges
+       |)
+       |SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster_id
+       |FROM sel GROUP BY src ORDER BY doc_id""".stripMargin
 
   /** DuckDB sequential-fold dot product over 64-dim DOUBLE lists —
     * the same left-to-right addition order as the native
@@ -568,6 +632,31 @@ object TrainingData {
            |SELECT doc_id, shard, n_tokens,
            |  start_tok // 512 AS seq_no, start_tok % 512 AS seq_offset
            |FROM c ORDER BY doc_id""".stripMargin,
+      "t22_vocab_ngrams" ->
+        """WITH toks AS (
+          |  SELECT string_split_regex(trim(text), '\s+') AS ts FROM documents
+          |), g AS (
+          |  SELECT unnest(CASE WHEN len(ts) < 2 THEN CAST([] AS VARCHAR[])
+          |    ELSE list_transform(range(1, len(ts)), i ->
+          |      ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT)+1]) END) AS gram
+          |  FROM toks
+          |)
+          |SELECT gram, COUNT(*) AS cnt FROM g GROUP BY gram
+          |ORDER BY cnt DESC, gram LIMIT 50""".stripMargin,
+      "t23_chunking" ->
+        """WITH toks AS (
+          |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents
+          |), s AS (
+          |  SELECT doc_id, ts, len(ts) AS n, unnest(range(0, len(ts), 48)) AS start_tok
+          |  FROM toks
+          |)
+          |SELECT doc_id, CAST(start_tok // 48 AS BIGINT) AS chunk_no,
+          |  CAST(start_tok AS BIGINT) AS start_tok,
+          |  array_to_string(list_slice(ts, CAST(start_tok + 1 AS INT),
+          |    CAST(start_tok + 64 AS INT)), ' ') AS chunk_text,
+          |  CAST(least(64, n - start_tok) AS BIGINT) AS chunk_tokens
+          |FROM s ORDER BY doc_id, chunk_no""".stripMargin,
+      "t24_dup_clusters" -> dupClusterOracleSql(64, 16, 0.5),
       "t16_ann_ivf_topk" -> ivfOracleSql(minNlist = 16, nprobe = 2, k = 3),
       "t06_dedup_minhash" -> minhashOracleSql(64, 16, 0.5),
       "t07_dedup_simhash" -> simhashOracleSql(3, 0.5),

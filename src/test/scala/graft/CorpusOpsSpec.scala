@@ -123,4 +123,50 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(auto.exceptAll(explicit).count() == 0 &&
       explicit.exceptAll(auto).count() == 0)
   }
+
+  test("topNgrams: multiset counts, deterministic tie-break, short docs skipped") {
+    val docs = Seq(
+      (1L, "a b a b"),   // bigrams: "a b", "b a", "a b"
+      (2L, "a b c"),     // bigrams: "a b", "b c"
+      (3L, "solo")       // too short for bigrams
+    ).toDF("doc_id", "text")
+    val top = CorpusOps.topNgrams(docs, "text", n = 2, k = 3).collect()
+    assert(top.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a b", 3L), ("b a", 1L), ("b c", 1L))) // ties b a / b c break by gram asc
+  }
+
+  test("chunkDocs: overlapping windows, short tail, single-token doc") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "only")
+    ).toDF("doc_id", "text")
+    // chunk=4, stride=3 -> doc 1 starts at 0,3,6,9
+    val c = CorpusOps.chunkDocs(docs, "doc_id", "text", chunk = 4, stride = 3)
+      .orderBy("doc_id", "chunk_no").collect()
+    val d1 = c.filter(_.getLong(0) == 1L)
+    assert(d1.map(_.getLong(2)).toSeq == Seq(0L, 3L, 6L, 9L))
+    assert(d1.map(_.getString(3)).toSeq == Seq(
+      "w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10", "w10"))
+    assert(d1.map(_.getLong(4)).toSeq == Seq(4L, 4L, 4L, 1L))
+    val d2 = c.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2(0).getString(3) == "only" && d2(0).getLong(4) == 1L)
+  }
+
+  test("connectedComponents: chain, separate component, min-id labels") {
+    import graft.operators.Dedup
+    // chain 1-2-3-4 (diameter forces multiple propagation rounds) and
+    // an isolated pair 10-11
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(edges, "id_a", "id_b")
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cc.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (10L, 10L), (11L, 10L)))
+  }
+
+  test("connectedComponents: long chain needs >1 round and still converges") {
+    import graft.operators.Dedup
+    val n = 33
+    val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(edges, "id_a", "id_b").collect()
+    assert(cc.length == n && cc.forall(_.getLong(1) == 1L))
+  }
 }
