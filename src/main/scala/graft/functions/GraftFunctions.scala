@@ -43,7 +43,16 @@ object GraftFunctions {
             case other => throw new IllegalArgumentException(
               s"ngrams n must be a literal, got $other")
           }
-          NGrams(exprs.head, n)
+          // optional 3rd arg: distinct (default true — dedup shingles);
+          // false yields the positional multiset (vocab/repetition)
+          val distinct = exprs.lift(2) match {
+            case None => true
+            case Some(org.apache.spark.sql.catalyst.expressions.Literal(v, _)) =>
+              v.toString.toBoolean
+            case Some(other) => throw new IllegalArgumentException(
+              s"ngrams distinct must be a literal, got $other")
+          }
+          NGrams(exprs.head, n, distinct)
         }, "built-in")
       reg.createOrReplaceTempFunction(
         "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "built-in")

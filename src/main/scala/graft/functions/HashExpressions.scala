@@ -110,28 +110,34 @@ object Spread64 {
   }
 }
 
-/** Distinct word n-grams over an array<string> of tokens: one fused
-  * pass building space-joined grams in first-occurrence order (fewer
+/** Word n-grams over an array<string> of tokens: one fused pass
+  * building space-joined grams.
+  *
+  * `distinct = true` (dedup shingles): first-occurrence order; fewer
   * than n tokens → a single gram of all tokens, mirroring the
-  * composable form's fallback).
+  * composable form's fallback. `distinct = false` (vocabulary /
+  * repetition counting): the full multiset in position order; fewer
+  * than n tokens → empty (partial grams are not counted).
   *
   * Replaces `transform(sequence(...), i -> concat_ws(' ',
-  * slice(toks, i+1, n)))` + `array_distinct`, whose lambdas evaluate
-  * interpretively — measured 4.1 s of a 5.7 s dedup query at sf0.1;
-  * this expression is one virtual call per row into compiled code.
+  * slice(toks, i+1, n)))` [+ `array_distinct`], whose lambdas
+  * evaluate interpretively — measured 4.1 s of a 5.7 s dedup query at
+  * sf0.1; this expression is one virtual call per row into compiled
+  * code.
   */
-case class NGrams(child: Expression, n: Int)
+case class NGrams(child: Expression, n: Int, distinct: Boolean = true)
     extends UnaryExpression {
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, false)
   override def prettyName: String = "ngrams"
 
   override def nullSafeEval(input: Any): Any =
-    NGrams.compute(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+    NGrams.compute(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n,
+      distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.NGrams.compute($c, $n);")
+      s"${ev.value} = graft.functions.NGrams.compute($c, $n, $distinct);")
 
   override protected def withNewChildInternal(newChild: Expression): NGrams =
     copy(child = newChild)
@@ -142,25 +148,42 @@ object NGrams {
 
   private val Space = UTF8String.fromString(" ")
 
-  def compute(tokens: ArrayData, n: Int): ArrayData = {
+  def compute(tokens: ArrayData, n: Int, distinct: Boolean): ArrayData = {
     val m = tokens.numElements()
-    val out = new java.util.LinkedHashSet[UTF8String]
-    if (m < n) {
-      val parts = new Array[UTF8String](m)
-      var i = 0
-      while (i < m) { parts(i) = tokens.getUTF8String(i); i += 1 }
-      out.add(UTF8String.concatWs(Space, parts: _*))
-    } else {
-      var i = 0
-      while (i <= m - n) {
-        val parts = new Array[UTF8String](n)
-        var j = 0
-        while (j < n) { parts(j) = tokens.getUTF8String(i + j); j += 1 }
+    if (distinct) {
+      val out = new java.util.LinkedHashSet[UTF8String]
+      if (m < n) {
+        val parts = new Array[UTF8String](m)
+        var i = 0
+        while (i < m) { parts(i) = tokens.getUTF8String(i); i += 1 }
         out.add(UTF8String.concatWs(Space, parts: _*))
-        i += 1
+      } else {
+        var i = 0
+        while (i <= m - n) {
+          val parts = new Array[UTF8String](n)
+          var j = 0
+          while (j < n) { parts(j) = tokens.getUTF8String(i + j); j += 1 }
+          out.add(UTF8String.concatWs(Space, parts: _*))
+          i += 1
+        }
+      }
+      new GenericArrayData(
+        out.toArray(new Array[UTF8String](out.size)).asInstanceOf[Array[Any]])
+    } else {
+      if (m < n) new GenericArrayData(new Array[Any](0))
+      else {
+        val out = new Array[Any](m - n + 1)
+        var i = 0
+        while (i <= m - n) {
+          val parts = new Array[UTF8String](n)
+          var j = 0
+          while (j < n) { parts(j) = tokens.getUTF8String(i + j); j += 1 }
+          out(i) = UTF8String.concatWs(Space, parts: _*)
+          i += 1
+        }
+        new GenericArrayData(out)
       }
     }
-    new GenericArrayData(out.toArray(new Array[UTF8String](out.size)).asInstanceOf[Array[Any]])
   }
 }
 

@@ -29,13 +29,14 @@ object CorpusOps {
 
   /** Non-distinct word n-grams (n >= 2) as "a b ... n" strings; empty
     * array when the document has fewer than n tokens. Distinctness is
-    * what [[Dedup.shingles]] provides; repetition scoring needs the
-    * multiset.
+    * what [[Dedup.shingles]] provides; repetition/vocabulary scoring
+    * needs the multiset — the native [[graft.functions.NGrams]]
+    * expression in multiset mode (one fused codegen'd pass; the
+    * lambda-chain form it replaced evaluated interpretively).
+    * Callers must have called `GraftFunctions.register`.
     */
   private def multisetGrams(ts: Column, n: Int): Column =
-    when(size(ts) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(ts) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(ts, i + j)): _*)))
+    call_function("ngrams", ts, lit(n), lit(false))
 
   /** Per-document repetition metrics (the filters published for web
     * corpora — duplicate-word fraction and most-frequent-n-gram mass):
@@ -208,6 +209,7 @@ object CorpusOps {
     * the result is engine-independent.
     */
   def topNgrams(docs: DataFrame, textCol: String, n: Int, k: Int): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
     val ts = TextFunctions.tokens(col(textCol))
     val grams = if (n == 1) ts else multisetGrams(ts, n)
     docs.select(explode(grams).as("gram"))

@@ -36,17 +36,17 @@ class TrainingDataSpec extends AnyFunSuite {
       assert(spread.getLong(i) == Spread64.eval(PolyHash.eval(t)))
     }
     // NGrams: distinct trigrams in first-occurrence order; <n fallback
-    val grams = NGrams.compute(arr, 3)
+    val grams = NGrams.compute(arr, 3, distinct = true)
     assert((0 until grams.numElements()).map(grams.getUTF8String(_).toString) ==
       Seq("the quick brown", "quick brown the"))
-    val short = NGrams.compute(arr, 5)
+    val short = NGrams.compute(arr, 5, distinct = true)
     assert(short.numElements() == 1 &&
       short.getUTF8String(0).toString == "the quick brown the")
     // duplicate grams collapse (distinct)
     val rep = new org.apache.spark.sql.catalyst.util.GenericArrayData(
       Seq("a", "b", "a", "b", "a", "b").map(
         org.apache.spark.unsafe.types.UTF8String.fromString))
-    val repGrams = NGrams.compute(rep, 2)
+    val repGrams = NGrams.compute(rep, 2, distinct = true)
     assert((0 until repGrams.numElements()).map(repGrams.getUTF8String(_).toString) ==
       Seq("a b", "b a"))
   }
