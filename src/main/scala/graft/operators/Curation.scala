@@ -64,6 +64,19 @@ object Curation {
         */
       nearDupStrategy: String = "minhash",
       maxHamming: Int = 3,
+      /** Near-dup drop rule. `false` (default): drop every doc that
+        * appears as the higher id of a qualifying pair — purely
+        * declarative, single-action pipeline. `true`: resolve pairs
+        * into connected components ([[Dedup.connectedComponents]])
+        * and keep ONE doc (the min id) per cluster — the standard
+        * corpus-dedup semantics (a doc linked only through an
+        * already-dropped doc is still removed). The component fixed
+        * point is inherently iterative, so enabling this runs its
+        * jobs EAGERLY while the pipeline is being built; the loser
+        * set it produces is a localCheckpoint (at cluster scale: a
+        * checkpoint table) that the final action then scans once.
+        */
+      clusterNearDups: Boolean = false,
       /** Word n-gram size for benchmark decontamination (applies when
         * a bench set is passed to [[curateStaged]]). */
       decontamShingleSize: Int = 8,
@@ -99,9 +112,9 @@ object Curation {
 
   /** Build the full pipeline WITHOUT running it; the caller supplies
     * the single materializing action (see [[Staged]]). The near-dup
-    * stage keeps the lowest id of each detected pair-cluster (greedy:
-    * any doc that appears as the higher id of a qualifying pair is
-    * dropped). Pass `bench` to anti-join out every doc sharing a
+    * stage drops pair losers (greedy, default) or non-canonical
+    * cluster members (`clusterNearDups` — see [[Config]]). Pass
+    * `bench` to anti-join out every doc sharing a
     * `decontamShingleSize`-gram with the benchmark corpus.
     */
   def curateStaged(docs: DataFrame, idCol: String, textCol: String,
@@ -163,8 +176,15 @@ object Curation {
       case other => throw new IllegalArgumentException(
         s"unknown nearDupStrategy '$other' (expected 'minhash' or 'simhash')")
     }
-    val losers = counted(
-      nearDupPairs.select(col("id_b").as(idCol)).distinct(), obsLosers)
+    val loserIds =
+      if (!config.clusterNearDups)
+        nearDupPairs.select(col("id_b").as(idCol)).distinct()
+      else
+        // non-canonical cluster members; runs the CC loop eagerly
+        Dedup.connectedComponents(nearDupPairs, "id_a", "id_b")
+          .filter(col("node") =!= col("comp"))
+          .select(col("node").as(idCol))
+    val losers = counted(loserIds, obsLosers)
     val nearDupCurated = counted(
       exactDeduped.join(losers, Seq(idCol), "left_anti"), obsNearDup)
 

@@ -120,6 +120,37 @@ class CurationSpec extends AnyFunSuite {
     assert(r.afterLang == rep.count()) // keepLangs empty = no-op
   }
 
+  test("clusterNearDups keeps one doc per component; pair mode keeps local minima") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // A (1) shares the front 3/4 of C (3), B (2) the back 3/4:
+    // jaccard(A,C) = jaccard(B,C) = 7/10 >= 0.5, but
+    // jaccard(A,B) = 4/10 < 0.5 — a chain A–C–B with no A–B edge.
+    val c = (1 to 12).map(i => s"c$i")
+    val docs = Seq(
+      (1L, c.take(9).mkString(" ")),
+      (2L, c.drop(3).mkString(" ")),
+      (3L, c.mkString(" "))
+    ).toDF("doc_id", "text")
+    val pairs = operators.Dedup.minhashLsh(docs, "doc_id", "text",
+      n = 3, numPerms = 64, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 3L), (2L, 3L)), s"LSH must surface the chain, got $pairs")
+
+    val cfg = Curation.Config(minTokens = 0, minQuality = 0.0, nearDupThreshold = 0.5)
+    val (pairMode, pairReport) = Curation.curate(docs, "doc_id", "text", cfg)
+    // pair mode: 3 is the higher id of both pairs -> only 3 dropped
+    assert(pairMode.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(pairReport.afterNearDup == 2)
+
+    val (clusterMode, clusterReport) = Curation.curate(docs, "doc_id", "text",
+      cfg.copy(clusterNearDups = true))
+    // cluster mode: {1,2,3} is ONE component -> canonical min id only
+    assert(clusterMode.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L))
+    assert(clusterReport.afterNearDup == 1)
+    assert(clusterReport.afterExact == 3)
+  }
+
   test("language filter keeps only requested languages") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val annotated = Curation.annotate(docs, "text")
