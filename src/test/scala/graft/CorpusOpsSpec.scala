@@ -169,4 +169,33 @@ class CorpusOpsSpec extends AnyFunSuite {
     val cc = Dedup.connectedComponents(edges, "id_a", "id_b").collect()
     assert(cc.length == n && cc.forall(_.getLong(1) == 1L))
   }
+
+  test("connectedComponents: randomized differential vs driver union-find") {
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(0xC0FFEE)
+    for (trial <- 1 to 3) {
+      val nNodes = 60 + rnd.nextInt(40)
+      val nEdges = 40 + rnd.nextInt(80)
+      val edges = Seq.fill(nEdges) {
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong)
+      }.filter { case (a, b) => a != b }
+      // driver-side union-find oracle
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(v => v -> find(v)).toMap
+      // min-rooted union-find: find(v) is each component's min id,
+      // matching the operator's min-label fixed point
+      val got = Dedup.connectedComponents(
+          edges.toDF("id_a", "id_b"), "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial: mismatch")
+    }
+  }
 }
