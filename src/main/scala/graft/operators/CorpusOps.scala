@@ -219,6 +219,55 @@ object CorpusOps {
   }
 
   // ---------------------------------------------------------------
+  // Distinct-count sketching (KMV)
+  // ---------------------------------------------------------------
+
+  /** KMV (k-minimum-values) distinct-count sketch over the corpus
+    * word n-gram vocabulary: hash every n-gram into a fixed integer
+    * space,
+    * keep the k smallest distinct hashes, and estimate
+    * |distinct| ≈ (k−1)·M / u_k (u_k = k-th smallest, M = hash-space
+    * size) — the classic bottom-k sketch. Everything is deterministic
+    * BIGINT arithmetic (31-bit PolyHash spread by an LCG into 2³²),
+    * so the DuckDB oracle replays the sketch EXACTLY — hash values,
+    * k-set, and estimate — and the fixture's exact distinct count is
+    * emitted alongside for an accuracy check.
+    *
+    * Scale shape: map-side partial aggregation collapses duplicate
+    * hashes before the exchange, the distinct shuffle carries 8-byte
+    * hashes, and the global bottom-k is `TakeOrderedAndProject`
+    * (size-k heaps per partition). At 100 TB the same plan holds —
+    * and because bottom-k sets are mergeable, per-partition sketches
+    * can also be unioned incrementally without re-reading history
+    * (the exact_distinct companion column is a test-SF luxury, not
+    * part of the production sketch). A 64/128-bit hash drops in
+    * without changing the plan; 2³² is used so BOTH engines stay in
+    * overflow-free int64 arithmetic.
+    */
+  def kmvDistinctSketch(docs: DataFrame, textCol: String, n: Int, k: Int): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val ts = TextFunctions.tokens(col(textCol))
+    val grams = if (n == 1) ts else multisetGrams(ts, n)
+    val hashes = docs
+      .select(explode(grams).as("tk"))
+      .select(((call_function("poly_hash", col("tk")) * 2654435761L + 123456789L)
+        % 4294967296L).as("h"))
+      .distinct()
+    val kmin = hashes.orderBy("h").limit(k)
+    kmin.agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth_min"))
+      .crossJoin(broadcast(hashes.agg(count(lit(1)).as("exact_distinct"))))
+      .select(
+        lit(k.toLong).as("k"),
+        col("n_kept"),
+        col("kth_min"),
+        // fewer than k distinct values -> the sketch IS the exact set
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(expr(s"(${k - 1} * 4294967296) div greatest(kth_min, 1)"))
+          .as("est_distinct"),
+        col("exact_distinct"))
+  }
+
+  // ---------------------------------------------------------------
   // Document chunking
   // ---------------------------------------------------------------
 

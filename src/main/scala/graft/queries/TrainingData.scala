@@ -267,6 +267,16 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** KMV distinct-count sketch of the corpus word-trigram vocabulary
+    * ([[CorpusOps.kmvDistinctSketch]], n = 3, k = 200; ~16k distinct
+    * trigrams at the oracle SFs so the estimate path, not the
+    * below-k exact path, is exercised): the bottom-k hash set, the
+    * resulting estimate, and the exact distinct count — all
+    * deterministic BIGINT arithmetic the oracle replays bit-for-bit.
+    */
+  def docKmvSketch(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.kmvDistinctSketch(Tables.documents(spark, dir), "text", n = 3, k = 200)
+
   /** JSON extraction over the events table. */
   def eventsJson(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -303,6 +313,7 @@ object TrainingData {
     "t22_vocab_ngrams" -> docVocabNgrams _,
     "t23_chunking" -> docChunking _,
     "t24_dup_clusters" -> dedupClusters _,
+    "t25_kmv_sketch" -> docKmvSketch _,
   )
 
   /** Shared DuckDB CTE fragment: per-doc word-trigram shingle sets,
@@ -657,6 +668,29 @@ object TrainingData {
           |  CAST(least(64, n - start_tok) AS BIGINT) AS chunk_tokens
           |FROM s ORDER BY doc_id, chunk_no""".stripMargin,
       "t24_dup_clusters" -> dupClusterOracleSql(64, 16, 0.5),
+      "t25_kmv_sketch" ->
+        s"""WITH toks AS (
+           |  SELECT string_split_regex(trim(text), '\\s+') AS ts FROM documents
+           |), g AS (
+           |  SELECT unnest(CASE WHEN len(ts) < 3 THEN CAST([] AS VARCHAR[])
+           |    ELSE list_transform(range(1, len(ts) - 1), i ->
+           |      ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT)+1] || ' ' || ts[CAST(i AS INT)+2])
+           |    END) AS tk
+           |  FROM toks
+           |), h AS (
+           |  SELECT DISTINCT (${polyHashSql("tk")} * 2654435761 + 123456789)
+           |    % 4294967296 AS h
+           |  FROM g
+           |), kmin AS (
+           |  SELECT h FROM h ORDER BY h LIMIT 200
+           |), agg AS (
+           |  SELECT COUNT(*) AS n_kept, MAX(h) AS kth_min FROM kmin
+           |)
+           |SELECT CAST(200 AS BIGINT) AS k, n_kept, kth_min,
+           |  CASE WHEN n_kept < 200 THEN n_kept
+           |       ELSE (199 * 4294967296) // GREATEST(kth_min, 1) END AS est_distinct,
+           |  (SELECT COUNT(*) FROM h) AS exact_distinct
+           |FROM agg""".stripMargin,
       "t16_ann_ivf_topk" -> ivfOracleSql(minNlist = 16, nprobe = 2, k = 3),
       "t06_dedup_minhash" -> minhashOracleSql(64, 16, 0.5),
       "t07_dedup_simhash" -> simhashOracleSql(3, 0.5),
