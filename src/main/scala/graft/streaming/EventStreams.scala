@@ -87,6 +87,34 @@ object EventStreams {
   def enrichedEvents(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
 
+  /** Stream-stream interval join: each click joined to the same
+    * user's views from the preceding `window` — the canonical
+    * two-firehose correlation. BOTH sides carry watermarks and the
+    * join condition bounds event time in both directions, so Spark
+    * can size the state store exactly: a buffered view is evicted as
+    * soon as the click-side watermark passes `view_ts + window`, and
+    * vice versa — state is O(watermark horizon), never O(stream).
+    * At 100 TB/day this is the shape that keeps a correlation join
+    * running indefinitely.
+    */
+  def clickViewJoin(events: DataFrame, window: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("view_user"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    clicks.join(views,
+      col("user_id") === col("view_user") &&
+        col("view_ts") >= col("click_ts") - expr(s"INTERVAL $window") &&
+        col("view_ts") <= col("click_ts"))
+      .select("click_id", "user_id", "view_id", "click_ts", "view_ts")
+  }
+
   /** Custom stateful sessionization via flatMapGroupsWithState — the
     * escape hatch for state machines session_window can't express
     * (here: emit a summary whenever a session's event budget or the

@@ -89,6 +89,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(kinds.contains("interactive") || kinds.contains("passive"))
   }
 
+  test("stream-stream interval join agrees with the batch join") {
+    val stream = EventStreams.readEventStream(spark, dir)
+    val got = EventStreams.runToMemory(
+      EventStreams.clickViewJoin(stream), "ssj_out", "append")
+
+    val clicks = batchEvents.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val views = batchEvents.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("view_user"),
+        col("ts").as("view_ts"))
+    val expected = clicks.join(views,
+      col("user_id") === col("view_user") &&
+        col("view_ts") >= col("click_ts") - expr("INTERVAL 1 hour") &&
+        col("view_ts") <= col("click_ts"))
+      .select("click_id", "user_id", "view_id", "click_ts", "view_ts")
+
+    assert(expected.count() > 0, "fixture must produce click-view matches")
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "streaming interval join must equal the batch join on a static source")
+  }
+
   test("stateful sessionization emits when the event budget closes a session") {
     import spark.implicits._
     val events = batchEvents
