@@ -81,13 +81,33 @@ final class ModelExecutor(spark: SparkSession, project: Project,
     updated
   }
 
+  /** `partition_by` config (dbt-spark semantics): a column name or a
+    * list of them. Table/incremental relations are laid out
+    * hive-partitioned on these columns, so downstream reads
+    * partition-prune — the save-point layout choice the `table`
+    * materialization doc above promises.
+    */
+  private def partitionCols(node: NodeMeta): Seq[String] =
+    node.config.get("partition_by") match {
+      case Some(s: String) => Seq(s)
+      case Some(xs: Seq[_]) => xs.map(_.toString)
+      case _ => Nil
+    }
+
+  private def writeParquet(df: DataFrame, node: NodeMeta, path: String,
+      mode: String): Unit = {
+    val w = df.write.mode(mode)
+    val pc = partitionCols(node)
+    (if (pc.isEmpty) w else w.partitionBy(pc: _*)).parquet(path)
+  }
+
   def materialize(node: NodeMeta): Unit = {
     val sql = node.compiledCode.getOrElse(
       throw new IllegalStateException(s"${node.uniqueId} not compiled"))
     node.materialized match {
       case "table" =>
         val path = s"$tableDir/${node.name}"
-        spark.sql(sql).write.mode("overwrite").parquet(path)
+        writeParquet(spark.sql(sql), node, path, "overwrite")
         spark.read.parquet(path).createOrReplaceTempView(node.name)
       case "incremental" =>
         materializeIncremental(node, sql)
@@ -111,7 +131,7 @@ final class ModelExecutor(spark: SparkSession, project: Project,
   private def materializeIncremental(node: NodeMeta, sql: String): Unit = {
     val path = relationDir(node)
     if (!relationExists(node)) {
-      spark.sql(sql).write.mode("overwrite").parquet(path.toString)
+      writeParquet(spark.sql(sql), node, path.toString, "overwrite")
     } else {
       spark.read.parquet(path.toString).createOrReplaceTempView(node.name)
       val newRows = spark.sql(sql)
@@ -121,7 +141,7 @@ final class ModelExecutor(spark: SparkSession, project: Project,
           val merged = old.join(newRows.select(key).distinct(), Seq(key), "left_anti")
             .unionByName(newRows.select(old.columns.map(org.apache.spark.sql.functions.col): _*))
           val staging = java.nio.file.Paths.get(path.toString + "__staging")
-          merged.write.mode("overwrite").parquet(staging.toString)
+          writeParquet(merged, node, staging.toString, "overwrite")
           // swap with no window where the relation is absent: move the
           // old relation ASIDE first, then staging in, then delete the
           // old copy — a crash mid-swap leaves either the old or the
@@ -132,7 +152,7 @@ final class ModelExecutor(spark: SparkSession, project: Project,
           Files.move(staging, path)
           deleteRecursively(retired)
         case None =>
-          newRows.write.mode("append").parquet(path.toString)
+          writeParquet(newRows, node, path.toString, "append")
       }
     }
     spark.read.parquet(path.toString).createOrReplaceTempView(node.name)

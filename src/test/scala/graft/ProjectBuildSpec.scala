@@ -70,6 +70,21 @@ class ProjectBuildSpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(2) - 57.0) < 1e-9)
   }
 
+  test("partition_by lays the table out hive-partitioned and reads prune") {
+    executor // force build
+    import org.apache.spark.sql.functions.col
+    val t = spark.table("payments_by_method")
+    // physical layout: one directory per payment_method value
+    assert(t.columns.contains("payment_method"))
+    val pruned = t.filter(col("payment_method") === "credit_card")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("payment_method"),
+      s"expected partition pruning in:\n${scan.take(900)}")
+    assert(pruned.count() > 0)
+    // partitioned layout must not change the relation's content
+    assert(t.count() == spark.table("stg_payments").count())
+  }
+
   test("in-file config overrides and captures options") {
     val stgPayments = executor.manifest.nodes("model.jaffle.stg_payments")
     assert(stgPayments.materialized == "view")
