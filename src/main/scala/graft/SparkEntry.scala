@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Relational, RelationalExt, TrainingData}
+import graft.queries.{Relational, RelationalExt, RelationalExt2, TrainingData}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,10 +18,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ RelationalExt.queries ++ TrainingData.queries
+    Relational.queries ++ RelationalExt.queries ++ RelationalExt2.queries ++
+      TrainingData.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ RelationalExt.oracles ++ TrainingData.oracles
+    Relational.oracles ++ RelationalExt.oracles ++ RelationalExt2.oracles ++
+      TrainingData.oracles
 }

@@ -296,6 +296,43 @@ object CorpusOps {
   }
 
   // ---------------------------------------------------------------
+  // Span-level exact dedup (duplicated-span attrition)
+  // ---------------------------------------------------------------
+
+  /** Per-document duplicated-span statistics — the segment-granularity
+    * form of exact substring dedup (Lee et al. ACL'22 remove exact
+    * matches at 50-token granularity; this reports the per-doc
+    * duplicated fraction a curation pass thresholds to drop
+    * boilerplate-heavy documents). Documents are cut into
+    * NON-overlapping `k`-token spans ([[chunkDocs]] with
+    * stride = chunk = k; the short tail span counts too); a span whose
+    * text occurs more than once corpus-wide (any document, including
+    * twice within one) is "duplicated".
+    *
+    * Scale shape: tokenize/explode is map-side; the only shuffles are
+    * the span-frequency groupBy on the span's 64-bit FNV fingerprint
+    * (~8 B/span, never the text — collisions ~|spans|²/2⁶⁴, and the
+    * oracle gate would catch one) and the per-doc re-aggregation.
+    * The frequency join reuses the fingerprint shuffle partitioning.
+    * `dup_frac` is a single int/int IEEE division — no accumulation,
+    * bit-identical in the DuckDB oracle.
+    */
+  def spanDupStats(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val spans = chunkDocs(docs, idCol, textCol, chunk = k, stride = k)
+      .select(col("doc_id"),
+        call_function("fnv64", col("chunk_text")).as("fp"))
+    val freq = spans.groupBy("fp").agg(count(lit(1)).as("gf"))
+    spans.join(freq, "fp")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        count(when(col("gf") > 1, lit(1))).as("n_dup_spans"))
+      .withColumn("dup_frac",
+        col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
+  }
+
+  // ---------------------------------------------------------------
   // Deterministic stratified sampling
   // ---------------------------------------------------------------
 
@@ -322,6 +359,39 @@ object CorpusOps {
     }
     docs.withColumn("strat_bucket", sampleBucket(col(idCol)))
       .filter(col("strat_bucket") < rate.cast("long"))
+  }
+
+  /** Deterministic mixture sampling — the "data mixing" pass that
+    * down-samples each stratum toward target proportions (e.g. 50%
+    * web / 30% code / 20% reference of a `totalTarget`-doc budget).
+    * Per-stratum keep-rate = min(1, wₛ·T / nₛ); a doc survives iff
+    * its 32-bit multiplicative id-hash (the [[sampleBucket]] fold,
+    * un-bucketed) falls below rate·2³². Strata without a weight
+    * default to 0 and are dropped.
+    *
+    * Scale shape: stratum counts are one map-side-combinable
+    * aggregation; the per-stratum thresholds (a tiny relation) ride a
+    * broadcast join back onto the corpus; survival is a map-side
+    * filter. No RNG state — re-running yields the identical corpus,
+    * and expected stratum sizes concentrate at wₛ·T (hash-uniform
+    * over ids). The threshold arithmetic is a fixed left-to-right
+    * IEEE sequence replayed verbatim by the DuckDB oracle.
+    */
+  def mixtureSample(docs: DataFrame, idCol: String, stratumCol: String,
+      weights: Map[String, Double], totalTarget: Long): DataFrame = {
+    val w = weights.foldLeft(lit(0.0): Column) {
+      case (acc, (k, v)) => when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    val thresholds = docs.groupBy(stratumCol)
+      .agg(count(lit(1)).as("__n"))
+      .select(col(stratumCol),
+        floor(least(lit(1.0),
+          w * lit(totalTarget.toDouble) / col("__n").cast("double"))
+          * lit(4294967296.0)).cast("long").as("__thr"))
+    val h = ((col(idCol) % 1000003L) * 2654435761L + 123456789L) % 4294967296L
+    docs.join(broadcast(thresholds), Seq(stratumCol))
+      .filter(h < col("__thr"))
+      .drop("__thr")
   }
 
   // ---------------------------------------------------------------

@@ -1,0 +1,198 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Det
+
+/** Third relational tranche: the remaining SQL surface a warehouse
+  * passthrough user exercises that q01–q32 did not yet cover —
+  * FULL OUTER JOIN, explicit GROUPING SETS, relational PIVOT,
+  * recursive CTEs (Spark 4 UnionLoop), and LATERAL correlated
+  * subqueries (SURVEY §2B passthrough contract; the reference
+  * delegates all of these to the warehouse adapter,
+  * core/sql_operations.py:27-71).
+  */
+object RelationalExt2 {
+  import Det.{round2, sum2}
+
+  /** q33 — FULL OUTER JOIN with genuine mismatches on both sides:
+    * customers with key <= 100 against per-customer order aggregates
+    * for keys 60–200 (left-only = low keys without in-range orders,
+    * right-only = 101–200, both = 60–100; ranges chosen inside the
+    * sf0.001 key space so every arm is non-empty at every SF).
+    */
+  def q33(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_custkey") <= 100)
+      .select(col("c_custkey"), col("c_name"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_custkey").between(60, 200))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), sum2(col("o_totalprice")).as("spend"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_name"), col("n_orders"), col("spend"))
+      .orderBy("custkey")
+  }
+
+  /** q34 — explicit GROUPING SETS: per-status, per-year, and grand
+    * total — but NOT the (status, year) cross that ROLLUP/CUBE
+    * (q17/q23) would include. gid is built from grouping() bits so
+    * both engines agree regardless of internal conventions.
+    */
+  def q34(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderstatus"), year(col("o_orderdate")).cast("long").as("y"),
+        col("o_totalprice"))
+    base.groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("y")), Seq()),
+        col("o_orderstatus"), col("y"))
+      .agg(count(lit(1)).as("n"), sum2(col("o_totalprice")).as("total"),
+        (grouping(col("o_orderstatus")) * 2 + grouping(col("y")))
+          .cast("long").as("gid"))
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first, col("y").asc_nulls_first)
+  }
+
+  /** q35 — relational PIVOT: yearly order totals spread across the
+    * three order statuses as columns. The value list is pinned
+    * (F/O/P) so the output schema is static — the form that survives
+    * at scale because it avoids the extra distinct-values job a
+    * dynamic pivot needs, and the aggregate under the pivot is still
+    * a map-side-combinable decimal sum.
+    */
+  def q35(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(year(col("o_orderdate")).cast("long").as("y"),
+        col("o_orderstatus"), col("o_totalprice"))
+      .groupBy("y")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sum2(col("o_totalprice")))
+      .orderBy("y")
+
+  /** q36 — recursive CTE (Spark 4 UnionLoop): a generated month
+    * calendar 1995-01..1996-12 LEFT JOINed to monthly order
+    * aggregates. The recursion itself is driver-cheap (24 rows); the
+    * aggregation underneath is the usual map-side-partial hash agg, so
+    * the shape scales — the calendar is the broadcast side.
+    */
+  def q36(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_g36")
+    spark.sql(
+      s"""WITH RECURSIVE months(m) AS (
+         |  SELECT DATE '1995-01-01'
+         |  UNION ALL
+         |  SELECT add_months(m, 1) FROM months WHERE m < DATE '1996-12-01'
+         |),
+         |monthly AS (
+         |  SELECT CAST(date_trunc('MONTH', o_orderdate) AS DATE) AS om,
+         |    COUNT(*) AS n_orders,
+         |    ${SqlSpark.sum2("o_totalprice")} AS spend
+         |  FROM orders_g36
+         |  GROUP BY 1
+         |)
+         |SELECT m, COALESCE(n_orders, 0L) AS n_orders,
+         |  COALESCE(spend, 0.0D) AS spend
+         |FROM months LEFT JOIN monthly ON m = om
+         |ORDER BY m""".stripMargin)
+  }
+
+  /** q37 — LATERAL correlated subquery with ORDER BY + LIMIT: the
+    * top-2 customers by account balance per nation. Catalyst
+    * decorrelates the limit into a partitioned window (one shuffle on
+    * the correlation key) — asserted scale-safe in PlanShapeSpec.
+    */
+  def q37(spark: SparkSession, dir: String): DataFrame = {
+    Tables.nation(spark, dir).createOrReplaceTempView("nation_g37")
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_g37")
+    spark.sql(
+      """SELECT n.n_name, t.c_custkey, t.c_acctbal
+        |FROM nation_g37 n
+        |JOIN LATERAL (
+        |  SELECT c_custkey, c_acctbal
+        |  FROM customer_g37 c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey
+        |  LIMIT 2
+        |) t
+        |ORDER BY n.n_name, t.c_custkey""".stripMargin)
+  }
+
+  /** Spark-SQL-dialect renderings of the Det helpers (q36 builds its
+    * plan via spark.sql, so the deterministic-sum formula has to be
+    * emitted as Spark SQL text — same formula as [[Det.sum2]]).
+    */
+  private object SqlSpark {
+    def sum2(x: String): String =
+      s"FLOOR(CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DOUBLE) * 100 + 0.5) / 100"
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_full_outer" -> q33 _,
+    "q34_grouping_sets" -> q34 _,
+    "q35_pivot" -> q35 _,
+    "q36_recursive_cte" -> q36 _,
+    "q37_lateral_topk" -> q37 _,
+  )
+
+  val oracles: Map[String, String] = {
+    import Det.{Sql => S}
+    Map(
+      "q33_full_outer" ->
+        s"""WITH c AS (
+           |  SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 100
+           |), o AS (
+           |  SELECT o_custkey, COUNT(*) AS n_orders,
+           |    ${S.sum2("o_totalprice")} AS spend
+           |  FROM orders WHERE o_custkey BETWEEN 60 AND 200
+           |  GROUP BY o_custkey
+           |)
+           |SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+           |  c.c_name, o.n_orders, o.spend
+           |FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+           |ORDER BY custkey""".stripMargin,
+      "q34_grouping_sets" ->
+        s"""SELECT o_orderstatus, CAST(YEAR(o_orderdate) AS BIGINT) AS y,
+           |  COUNT(*) AS n, ${S.sum2("o_totalprice")} AS total,
+           |  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(YEAR(o_orderdate)) AS BIGINT) AS gid
+           |FROM orders
+           |GROUP BY GROUPING SETS ((o_orderstatus), (YEAR(o_orderdate)), ())
+           |ORDER BY gid, o_orderstatus ASC NULLS FIRST, y ASC NULLS FIRST""".stripMargin,
+      "q35_pivot" ->
+        s"""SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS y,
+           |  ${S.round2("CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE)")} AS "F",
+           |  ${S.round2("CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE)")} AS "O",
+           |  ${S.round2("CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE)")} AS "P"
+           |FROM orders GROUP BY 1 ORDER BY y""".stripMargin,
+      "q36_recursive_cte" ->
+        s"""WITH RECURSIVE months(m) AS (
+           |  SELECT DATE '1995-01-01'
+           |  UNION ALL
+           |  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+           |  WHERE m < DATE '1996-12-01'
+           |),
+           |monthly AS (
+           |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS om,
+           |    COUNT(*) AS n_orders,
+           |    ${S.sum2("o_totalprice")} AS spend
+           |  FROM orders
+           |  GROUP BY 1
+           |)
+           |SELECT m, COALESCE(n_orders, 0) AS n_orders,
+           |  COALESCE(spend, 0.0) AS spend
+           |FROM months LEFT JOIN monthly ON m = om
+           |ORDER BY m""".stripMargin,
+      "q37_lateral_topk" ->
+        """SELECT n.n_name, t.c_custkey, t.c_acctbal
+          |FROM nation n
+          |JOIN LATERAL (
+          |  SELECT c_custkey, c_acctbal
+          |  FROM customer c
+          |  WHERE c.c_nationkey = n.n_nationkey
+          |  ORDER BY c_acctbal DESC, c_custkey
+          |  LIMIT 2
+          |) t ON TRUE
+          |ORDER BY n.n_name, t.c_custkey""".stripMargin,
+    )
+  }
+}

@@ -277,6 +277,35 @@ object TrainingData {
   def docKmvSketch(spark: SparkSession, dir: String): DataFrame =
     CorpusOps.kmvDistinctSketch(Tables.documents(spark, dir), "text", n = 3, k = 200)
 
+  /** Duplicated-span attrition at 8-token granularity
+    * ([[CorpusOps.spanDupStats]]). The oracle rebuilds the spans with
+    * the t23 chunking SQL and counts duplicates on the span TEXT;
+    * Spark shuffles a 64-bit FNV fingerprint instead — a collision
+    * would hash-mismatch the gate, so the compression is itself
+    * under test.
+    */
+  def docSpanDedup(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.spanDupStats(Tables.documents(spark, dir), "doc_id", "text", k = 8)
+      .orderBy("doc_id")
+
+  /** 50/30/20 mixture weights over the first three sources — chosen
+    * so the three keep-rate regimes all occur at the fixture's 25
+    * docs/source: src0 saturates (rate 1.2 → clamp to keep-all),
+    * src1/src2 genuinely down-sample (0.72 / 0.48), and the other 17
+    * sources drop entirely (weight 0).
+    */
+  private val MixWeights: Map[String, Double] =
+    Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
+
+  /** Deterministic mixture sampling ([[CorpusOps.mixtureSample]]):
+    * re-weight the corpus to [[MixWeights]] within a 60-doc budget.
+    */
+  def docMixSample(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.mixtureSample(Tables.documents(spark, dir), "doc_id", "source",
+        MixWeights, totalTarget = 60L)
+      .select(col("doc_id"), col("source"), col("lang"))
+      .orderBy("doc_id")
+
   /** JSON extraction over the events table. */
   def eventsJson(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -314,6 +343,8 @@ object TrainingData {
     "t23_chunking" -> docChunking _,
     "t24_dup_clusters" -> dedupClusters _,
     "t25_kmv_sketch" -> docKmvSketch _,
+    "t26_span_dedup" -> docSpanDedup _,
+    "t27_mix_sample" -> docMixSample _,
   )
 
   /** Shared DuckDB CTE fragment: per-doc word-trigram shingle sets,
@@ -668,6 +699,40 @@ object TrainingData {
           |  CAST(least(64, n - start_tok) AS BIGINT) AS chunk_tokens
           |FROM s ORDER BY doc_id, chunk_no""".stripMargin,
       "t24_dup_clusters" -> dupClusterOracleSql(64, 16, 0.5),
+      "t26_span_dedup" ->
+        """WITH toks AS (
+          |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents
+          |), s AS (
+          |  SELECT doc_id, ts, unnest(range(0, len(ts), 8)) AS start_tok FROM toks
+          |), spans AS (
+          |  SELECT doc_id, array_to_string(list_slice(ts, CAST(start_tok + 1 AS INT),
+          |    CAST(start_tok + 8 AS INT)), ' ') AS sp
+          |  FROM s
+          |), freq AS (
+          |  SELECT sp, COUNT(*) AS gf FROM spans GROUP BY sp
+          |)
+          |SELECT spans.doc_id, COUNT(*) AS n_spans,
+          |  COUNT(*) FILTER (WHERE gf > 1) AS n_dup_spans,
+          |  CAST(COUNT(*) FILTER (WHERE gf > 1) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+          |    AS dup_frac
+          |FROM spans JOIN freq USING (sp)
+          |GROUP BY spans.doc_id ORDER BY doc_id""".stripMargin,
+      "t27_mix_sample" ->
+        """WITH cnt AS (
+          |  SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+          |), thr AS (
+          |  SELECT source,
+          |    CAST(FLOOR(LEAST(1.0,
+          |      (CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+          |                   WHEN 'src2' THEN 0.2 ELSE 0.0 END)
+          |      * CAST(60 AS DOUBLE) / CAST(n AS DOUBLE)) * 4294967296.0)
+          |      AS BIGINT) AS thr
+          |  FROM cnt
+          |)
+          |SELECT d.doc_id, d.source, d.lang
+          |FROM documents d JOIN thr USING (source)
+          |WHERE ((d.doc_id % 1000003) * 2654435761 + 123456789) % 4294967296 < thr
+          |ORDER BY d.doc_id""".stripMargin,
       "t25_kmv_sketch" ->
         s"""WITH toks AS (
            |  SELECT string_split_regex(trim(text), '\\s+') AS ts FROM documents

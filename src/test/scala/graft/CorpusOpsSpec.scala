@@ -198,4 +198,45 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(got == expected, s"trial $trial: mismatch")
     }
   }
+
+  test("spanDupStats: planted duplicate spans, tail spans, within-doc dups") {
+    // k = 2 spans: doc1 = ["a b", "c d"], doc2 = ["a b", "x y"],
+    // doc3 = ["p q", "p q", "z"] (within-doc dup + short tail),
+    // doc4 = ["solo"] (tail-only, unique)
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a b x y"),
+      (3L, "p q p q z"),
+      (4L, "solo")
+    ).toDF("doc_id", "text")
+    val m = CorpusOps.spanDupStats(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id").collect()
+    assert(m.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 2L, 1L), (2L, 2L, 1L), (3L, 3L, 2L), (4L, 1L, 0L)))
+    assert(m(2).getDouble(3) == 2.0 / 3.0)
+  }
+
+  test("mixtureSample: deterministic, clamped, weight-proportional, zero-weight drops") {
+    val docs = (0L until 400L).map(i =>
+      (i, s"s${i % 4}", s"text $i")).toDF("doc_id", "source", "text")
+    // 100 docs/stratum; budget 120 at 60/30/10/0 percent:
+    // s0 rate 0.72, s1 rate 0.36, s2 rate 0.12, s3 weightless -> 0
+    val w = Map("s0" -> 0.6, "s1" -> 0.3, "s2" -> 0.1)
+    val kept = CorpusOps.mixtureSample(docs, "doc_id", "source", w, 120L)
+    val bySrc = kept.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!bySrc.contains("s3"), "zero-weight stratum must drop entirely")
+    // deterministic hash -> exact expected counts (replayed in python),
+    // each near its rate*n target (72 / 36 / 12)
+    assert(bySrc == Map("s0" -> 69L, "s1" -> 35L, "s2" -> 13L), bySrc.toString)
+    // saturation: weight*target >= n clamps to keep-all
+    val all = CorpusOps.mixtureSample(docs, "doc_id", "source",
+      Map("s0" -> 1.0), 500L)
+    assert(all.count() == 100 && all.filter(col("source") =!= "s0").isEmpty)
+    // re-running selects the identical rows (no RNG state)
+    val ids1 = kept.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val ids2 = CorpusOps.mixtureSample(docs, "doc_id", "source", w, 120L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids1 == ids2)
+  }
 }
