@@ -151,4 +151,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
       plan.contains("BroadcastHashJoin"), "lost the p_size equi-join")
   }
+
+  test("q37: lateral LIMIT decorrelates to a window group-limit, no per-row subquery") {
+    // the scale property: LATERAL ... ORDER BY ... LIMIT k becomes ONE
+    // shuffle on the correlation key + a rank-pushdown WindowGroupLimit,
+    // never a nested-loop re-execution of the subquery per outer row
+    val plan = planOf(queries.RelationalExt2.q37(spark, dir))
+    assert(!plan.contains("CartesianProduct"),
+      s"lateral degraded to a cross product:\n${plan.take(1200)}")
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected rank-pushdown WindowGroupLimit:\n${plan.take(1200)}")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"), "lost the nation equi-join")
+  }
+
+  test("q35: pivot is the two-phase aggregate shape, both phases map-side partial") {
+    val plan = queries.RelationalExt2.q35(spark, dir)
+      .queryExecution.executedPlan.toString
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    // phase 1 aggregates on (y, status) — the only shuffle that sees
+    // input-scale data; phase 2 (pivotfirst regrouped by y) shuffles
+    // just |y x status| rows. More exchanges would mean the pivot
+    // degraded to re-scanning or expanding the input.
+    assert(hashExchanges == 2, s"expected 2 hash exchanges, got $hashExchanges:\n${plan.take(1200)}")
+    assert(plan.contains("pivotfirst"), "expected the two-phase pivot aggregate")
+    assert(plan.contains("HashAggregate"), "expected hash aggregation, not sort-based")
+  }
 }
