@@ -361,6 +361,38 @@ object CorpusOps {
       .filter(col("strat_bucket") < rate.cast("long"))
   }
 
+  /** Per-document salient terms by TF-IDF — keyword extraction for
+    * corpus exploration and topic-balance analysis. IDF is the linear
+    * N/df form so the score (tf·N/df) is two IEEE operations on exact
+    * integers — no log, no accumulation — and the DuckDB oracle
+    * reproduces it bit-for-bit; ordering ties break on the term text.
+    *
+    * Scale shape: tokenize/explode map-side; tf is a (doc, term)
+    * aggregation, df reuses tf's output (one row per doc-term, so
+    * df = COUNT(*) per term — no second pass over the corpus); the
+    * 1-row corpus count is a broadcast; top-k per doc is a
+    * rank-pushdown window (WindowGroupLimit keeps per-partition
+    * heaps, never materializing full per-doc term lists).
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val terms = docs.select(col(idCol).as("doc_id"),
+      explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") * col("n_docs").cast("double") /
+          col("df").cast("double"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("doc_id", "rank", "term", "tf", "df", "score")
+  }
+
   /** Deterministic mixture sampling — the "data mixing" pass that
     * down-samples each stratum toward target proportions (e.g. 50%
     * web / 30% code / 20% reference of a `totalTarget`-doc budget).

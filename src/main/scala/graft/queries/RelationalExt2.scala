@@ -118,6 +118,23 @@ object RelationalExt2 {
         |ORDER BY n.n_name, t.c_custkey""".stripMargin)
   }
 
+  /** q38 — array aggregation and complex-type functions: per-customer
+    * sorted DISTINCT order-year arrays (`collect_set` + `sort_array` —
+    * deterministic despite unordered aggregation), with array length
+    * and membership predicates. The collect_set is a hash aggregate
+    * whose state is the small distinct-year set, not the row stream —
+    * bounded per group, map-side combinable.
+    */
+  def q38(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), year(col("o_orderdate")).cast("long").as("y"))
+      .groupBy("o_custkey")
+      .agg(sort_array(collect_set(col("y"))).as("years"))
+      .select(col("o_custkey"), col("years"),
+        size(col("years")).cast("long").as("n_years"),
+        array_contains(col("years"), lit(1995L)).as("active_1995"))
+      .orderBy("o_custkey")
+
   /** Spark-SQL-dialect renderings of the Det helpers (q36 builds its
     * plan via spark.sql, so the deterministic-sum formula has to be
     * emitted as Spark SQL text — same formula as [[Det.sum2]]).
@@ -133,6 +150,7 @@ object RelationalExt2 {
     "q35_pivot" -> q35 _,
     "q36_recursive_cte" -> q36 _,
     "q37_lateral_topk" -> q37 _,
+    "q38_array_agg" -> q38 _,
   )
 
   val oracles: Map[String, String] = {
@@ -182,6 +200,13 @@ object RelationalExt2 {
            |  COALESCE(spend, 0.0) AS spend
            |FROM months LEFT JOIN monthly ON m = om
            |ORDER BY m""".stripMargin,
+      "q38_array_agg" ->
+        """SELECT o_custkey,
+          |  list_sort(list(DISTINCT CAST(YEAR(o_orderdate) AS BIGINT))) AS years,
+          |  CAST(len(list(DISTINCT YEAR(o_orderdate))) AS BIGINT) AS n_years,
+          |  list_contains(list(DISTINCT CAST(YEAR(o_orderdate) AS BIGINT)), 1995)
+          |    AS active_1995
+          |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
       "q37_lateral_topk" ->
         """SELECT n.n_name, t.c_custkey, t.c_acctbal
           |FROM nation n

@@ -306,6 +306,14 @@ object TrainingData {
       .select(col("doc_id"), col("source"), col("lang"))
       .orderBy("doc_id")
 
+  /** Per-doc top-3 TF-IDF terms ([[CorpusOps.tfidfTopTerms]]) —
+    * linear-IDF scoring keeps the arithmetic to two IEEE ops on exact
+    * integers, so the oracle replays scores AND ranking bit-for-bit.
+    */
+  def docTfidf(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.tfidfTopTerms(Tables.documents(spark, dir), "doc_id", "text", k = 3)
+      .orderBy("doc_id", "rank")
+
   /** JSON extraction over the events table. */
   def eventsJson(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -345,6 +353,7 @@ object TrainingData {
     "t25_kmv_sketch" -> docKmvSketch _,
     "t26_span_dedup" -> docSpanDedup _,
     "t27_mix_sample" -> docMixSample _,
+    "t28_tfidf_terms" -> docTfidf _,
   )
 
   /** Shared DuckDB CTE fragment: per-doc word-trigram shingle sets,
@@ -717,6 +726,29 @@ object TrainingData {
           |    AS dup_frac
           |FROM spans JOIN freq USING (sp)
           |GROUP BY spans.doc_id ORDER BY doc_id""".stripMargin,
+      "t28_tfidf_terms" ->
+        """WITH terms AS (
+          |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+          |  FROM documents
+          |), tf AS (
+          |  SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2
+          |), df AS (
+          |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+          |), n AS (
+          |  SELECT COUNT(*) AS n_docs FROM documents
+          |), scored AS (
+          |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+          |    CAST(tf.tf AS DOUBLE) * CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)
+          |      AS score
+          |  FROM tf JOIN df USING (term) CROSS JOIN n
+          |), r AS (
+          |  SELECT doc_id, term, tf, df, score,
+          |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+          |      ORDER BY score DESC, term) AS BIGINT) AS rank
+          |  FROM scored
+          |)
+          |SELECT doc_id, rank, term, tf, df, score FROM r
+          |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
       "t27_mix_sample" ->
         """WITH cnt AS (
           |  SELECT source, COUNT(*) AS n FROM documents GROUP BY source

@@ -216,6 +216,23 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(m(2).getDouble(3) == 2.0 / 3.0)
   }
 
+  test("tfidfTopTerms: hand-computed scores, rank order, term tie-break") {
+    // N = 3. df: a->3, b->2, z->1, q->1
+    // doc1 "a a b":  a tf2 score 2*3/3=2.0, b tf1 score 1*3/2=1.5
+    // doc2 "a b z":  z 1*3/1=3.0, b 1.5, a 1.0
+    // doc3 "a q q":  q 2*3/1=6.0, a 1.0
+    val docs = Seq(
+      (1L, "a a b"), (2L, "a b z"), (3L, "a q q")
+    ).toDF("doc_id", "text")
+    val r = CorpusOps.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rank")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2), x.getDouble(5)))
+    assert(r.toSeq == Seq(
+      (1L, 1L, "a", 2.0), (1L, 2L, "b", 1.5),
+      (2L, 1L, "z", 3.0), (2L, 2L, "b", 1.5),
+      (3L, 1L, "q", 6.0), (3L, 2L, "a", 1.0)))
+  }
+
   test("mixtureSample: deterministic, clamped, weight-proportional, zero-weight drops") {
     val docs = (0L until 400L).map(i =>
       (i, s"s${i % 4}", s"text $i")).toDF("doc_id", "source", "text")
