@@ -455,4 +455,125 @@ object CorpusOps {
         expr(s"start_tok div $budget").as("seq_no"),
         (col("start_tok") % budget).as("seq_offset"))
   }
+
+  // ---------------------------------------------------------------
+  // Language-model-flavoured quality scoring & retrieval
+  // ---------------------------------------------------------------
+
+  /** Unigram-LM fluency score — the cheap perplexity proxy used to
+    * rank web documents before an expensive model-based filter: the
+    * MEAN CORPUS PROBABILITY of a document's tokens,
+    * score = (Σ_token cnt(token)) / (n_tokens · total_tokens) where
+    * cnt is the corpus-wide unigram count. Boilerplate/templated text
+    * made of very common tokens scores high; rare-token noise scores
+    * low. The numerator is a pure INTEGER sum (Σ over the doc's
+    * distinct terms of tf·cnt), so the only float op is one final
+    * division — no accumulation-order drift, and the DuckDB oracle is
+    * bit-exact by construction.
+    *
+    * Scale shape: one explode + (doc, term) map-side-combinable count
+    * (shared with tf-idf), corpus counts are a second agg over those
+    * skinny rows (never a second corpus pass), the 1-row token total
+    * broadcasts, and the per-doc reduce carries three longs. No text
+    * is shuffled beyond the term keys themselves.
+    */
+  def unigramMeanProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val cnt = tf.groupBy("term").agg(sum("tf").as("cnt"))
+    val total = cnt.agg(sum("cnt").as("total_tokens"))
+    tf.join(cnt, "term")
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_tokens"), sum(col("tf") * col("cnt")).as("hit_mass"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_tokens"), col("hit_mass"),
+        (col("hit_mass").cast("double") /
+          (col("n_tokens").cast("double") * col("total_tokens").cast("double")))
+          .as("mean_prob"))
+  }
+
+  /** BM25 top-k retrieval over the corpus for a (small) query set —
+    * the standard lexical-retrieval scorer for quality-ranking and
+    * targeted corpus slicing. Per query term:
+    * idf·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)), with the LINEAR idf
+    * N/df (same exact-integer-ratio choice as [[tfidfTopTerms]], so
+    * the oracle replays scores bit-for-bit). Per-term partials are
+    * floored to millionths (a deterministic IEEE op) and summed as
+    * LONGS — floating addition never happens in an
+    * accumulation-order-dependent position, and ranking ties break on
+    * the integer score then doc_id.
+    *
+    * Scale shape: query terms broadcast and semi-filter the token
+    * stream BEFORE the (doc, term) aggregation, so tf/df are computed
+    * only for matching terms; df reuses tf's output; avgdl comes from
+    * a map-side doc-length aggregate (1 broadcast row); the final
+    * top-k is a rank-pushdown window per query (WindowGroupLimit
+    * keeps per-partition heaps — k rows per input partition reach the
+    * shuffle, so the handful of query partitions never see the full
+    * posting lists).
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Long, String)], k1: Double, b: Double, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qterms = queries.toDF("query_id", "qtext")
+      .select(col("query_id"), explode(TextFunctions.tokens(col("qtext"))).as("term"))
+      .distinct()
+    val dl = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.nTokens(col(textCol)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_tokens"))
+    val tf = docs.select(col(idCol).as("doc_id"),
+        TextFunctions.nTokens(col(textCol)).as("dl"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .join(broadcast(qterms.select("term").distinct()), "term")
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val avgdl = col("total_tokens").cast("double") / col("n_docs").cast("double")
+    val idf = col("n_docs").cast("double") / col("df").cast("double")
+    val tfc = col("tf").cast("double") * lit(k1 + 1.0) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_scaled").desc, col("doc_id"))
+    tf.join(df_, "term")
+      .join(broadcast(qterms), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        floor(idf * tfc * lit(1e6)).as("part_scaled"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("part_scaled").as("score_scaled"), count(lit(1)).as("n_terms"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("n_terms"),
+        (col("score_scaled").cast("double") / 1e6).as("score"))
+  }
+
+  // ---------------------------------------------------------------
+  // Train/val/test split
+  // ---------------------------------------------------------------
+
+  /** Deterministic train/val/test assignment + global shuffle key —
+    * the last step before a corpus ships to a trainer. The split
+    * reuses [[sampleBucket]]'s multiplicative id-hash (val = buckets
+    * [0, valPct), test = [valPct, valPct+testPct), train = the rest)
+    * so membership is a pure function of the id: re-runs, backfills
+    * and late-arriving shards land in the same split without any
+    * coordination. `shuffle_key` is the un-bucketed 32-bit hash —
+    * sorting any shard by it yields the deterministic global training
+    * order without a global sort ever executing.
+    *
+    * Scale shape: map-only (no shuffle, no state); both columns are
+    * BIGINT-exact arithmetic the oracle replays verbatim.
+    */
+  def assignSplits(docs: DataFrame, idCol: String,
+      valPct: Int, testPct: Int): DataFrame = {
+    val h = ((col(idCol) % 1000003L) * 2654435761L + 123456789L) % 4294967296L
+    val bucket = h % 100
+    docs.select(col(idCol).as("doc_id"),
+      when(bucket < valPct, lit("val"))
+        .when(bucket < valPct + testPct, lit("test"))
+        .otherwise(lit("train")).as("split"),
+      h.as("shuffle_key"))
+  }
 }

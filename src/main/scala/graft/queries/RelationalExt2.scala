@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Det
@@ -135,6 +136,41 @@ object RelationalExt2 {
         array_contains(col("years"), lit(1995L)).as("active_1995"))
       .orderBy("o_custkey")
 
+  /** q39 — time-series resampling: gap-fill to a dense monthly
+    * calendar + last-observation-carried-forward. Monthly revenue per
+    * customer (keys <= 50 to bound the demo grid) is left-joined onto
+    * the cross of distinct customers × the corpus month span
+    * (`sequence` + explode — the calendar is a broadcast of ~80 rows,
+    * NEVER a shuffle), then LOCF fills the gaps with
+    * `last(_, ignoreNulls)` over an unbounded-preceding frame. The
+    * window partitions per customer, so at scale each partition is
+    * one entity's months — bounded and parallel; the dense grid is
+    * |entities| × |months| rows of three longs/doubles, which is the
+    * product any resample materializes.
+    */
+  def q39(spark: SparkSession, dir: String): DataFrame = {
+    val f = Tables.orders(spark, dir)
+      .filter(col("o_custkey") <= 50)
+      .select(col("o_custkey"),
+        to_date(date_trunc("month", col("o_orderdate"))).as("m"),
+        col("o_totalprice"))
+    val monthly = f.groupBy(col("o_custkey").as("ck"), col("m"))
+      .agg(sum2(col("o_totalprice")).as("rev"))
+    val months = f.agg(min("m").as("lo"), max("m").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 month"))).as("month"))
+    val custs = f.select("o_custkey").distinct()
+    val w = Window.partitionBy("o_custkey").orderBy("month")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    custs.crossJoin(broadcast(months))
+      .join(monthly,
+        col("o_custkey") === col("ck") && col("month") === col("m"), "left")
+      .select(col("o_custkey"), col("month"), col("rev"),
+        last(col("rev"), ignoreNulls = true).over(w).as("rev_locf"),
+        col("rev").isNotNull.as("has_order"))
+      .orderBy("o_custkey", "month")
+  }
+
   /** Spark-SQL-dialect renderings of the Det helpers (q36 builds its
     * plan via spark.sql, so the deterministic-sum formula has to be
     * emitted as Spark SQL text — same formula as [[Det.sum2]]).
@@ -151,6 +187,7 @@ object RelationalExt2 {
     "q36_recursive_cte" -> q36 _,
     "q37_lateral_topk" -> q37 _,
     "q38_array_agg" -> q38 _,
+    "q39_gapfill_locf" -> q39 _,
   )
 
   val oracles: Map[String, String] = {
@@ -207,6 +244,31 @@ object RelationalExt2 {
           |  list_contains(list(DISTINCT CAST(YEAR(o_orderdate) AS BIGINT)), 1995)
           |    AS active_1995
           |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+      "q39_gapfill_locf" ->
+        s"""WITH f AS (
+           |  SELECT o_custkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+           |    o_totalprice
+           |  FROM orders WHERE o_custkey <= 50
+           |), monthly AS (
+           |  SELECT o_custkey AS ck, m, ${S.sum2("o_totalprice")} AS rev
+           |  FROM f GROUP BY 1, 2
+           |), span AS (
+           |  SELECT MIN(m) AS lo, MAX(m) AS hi FROM f
+           |), months AS (
+           |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS DATE)
+           |    AS month
+           |  FROM span
+           |), custs AS (
+           |  SELECT DISTINCT o_custkey FROM f
+           |)
+           |SELECT c.o_custkey, months.month, monthly.rev,
+           |  LAST_VALUE(monthly.rev IGNORE NULLS) OVER (
+           |    PARTITION BY c.o_custkey ORDER BY months.month
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rev_locf,
+           |  monthly.rev IS NOT NULL AS has_order
+           |FROM custs c CROSS JOIN months
+           |LEFT JOIN monthly ON monthly.ck = c.o_custkey AND monthly.m = months.month
+           |ORDER BY c.o_custkey, months.month""".stripMargin,
       "q37_lateral_topk" ->
         """SELECT n.n_name, t.c_custkey, t.c_acctbal
           |FROM nation n

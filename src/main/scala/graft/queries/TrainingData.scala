@@ -314,6 +314,39 @@ object TrainingData {
     CorpusOps.tfidfTopTerms(Tables.documents(spark, dir), "doc_id", "text", k = 3)
       .orderBy("doc_id", "rank")
 
+  /** Unigram-LM mean-probability fluency score
+    * ([[CorpusOps.unigramMeanProb]]) — integer-sum numerator, one
+    * final division, oracle bit-exact.
+    */
+  def docUnigramQuality(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.unigramMeanProb(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** The t30 retrieval query set — three lexical queries over the
+    * fixture vocabulary, exercising single- and multi-term matches.
+    */
+  private val Bm25Queries: Seq[(Long, String)] = Seq(
+    1L -> "spark window join",
+    2L -> "hash merge batch",
+    3L -> "slow scan filter table")
+
+  /** BM25 top-10 per query ([[CorpusOps.bm25TopK]], k1=1.2, b=0.75)
+    * with linear idf and scaled-long partial sums so the oracle
+    * replays scores and ranking exactly.
+    */
+  def docBm25(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.bm25TopK(Tables.documents(spark, dir), "doc_id", "text",
+        Bm25Queries, k1 = 1.2, b = 0.75, k = 10)
+      .orderBy("query_id", "rank")
+
+  /** Deterministic 10/10/80 val/test/train split + shuffle key
+    * ([[CorpusOps.assignSplits]]).
+    */
+  def docSplits(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.assignSplits(Tables.documents(spark, dir), "doc_id",
+        valPct = 10, testPct = 10)
+      .orderBy("doc_id")
+
   /** JSON extraction over the events table. */
   def eventsJson(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -354,6 +387,9 @@ object TrainingData {
     "t26_span_dedup" -> docSpanDedup _,
     "t27_mix_sample" -> docMixSample _,
     "t28_tfidf_terms" -> docTfidf _,
+    "t29_unigram_quality" -> docUnigramQuality _,
+    "t30_bm25_topk" -> docBm25 _,
+    "t31_split_shuffle" -> docSplits _,
   )
 
   /** Shared DuckDB CTE fragment: per-doc word-trigram shingle sets,
@@ -749,6 +785,82 @@ object TrainingData {
           |)
           |SELECT doc_id, rank, term, tf, df, score FROM r
           |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+      "t29_unigram_quality" ->
+        """WITH toks AS (
+          |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+          |  FROM documents
+          |), tf AS (
+          |  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+          |), cnt AS (
+          |  SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY term
+          |), tot AS (
+          |  SELECT CAST(SUM(cnt) AS BIGINT) AS total_tokens FROM cnt
+          |), agg AS (
+          |  SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+          |    CAST(SUM(tf.tf * cnt.cnt) AS BIGINT) AS hit_mass
+          |  FROM tf JOIN cnt USING (term) GROUP BY 1
+          |)
+          |SELECT doc_id, n_tokens, hit_mass,
+          |  CAST(hit_mass AS DOUBLE) /
+          |    (CAST(n_tokens AS DOUBLE) * CAST(total_tokens AS DOUBLE)) AS mean_prob
+          |FROM agg CROSS JOIN tot ORDER BY doc_id""".stripMargin,
+      "t30_bm25_topk" ->
+        """WITH qraw AS (
+          |  SELECT * FROM (VALUES (1, 'spark window join'), (2, 'hash merge batch'),
+          |    (3, 'slow scan filter table')) AS t(query_id, qtext)
+          |), q AS (
+          |  SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id, term FROM (
+          |    SELECT query_id,
+          |      unnest(string_split_regex(trim(qtext), '\s+')) AS term
+          |    FROM qraw)
+          |), dl AS (
+          |  SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS dl
+          |  FROM documents
+          |), s AS (
+          |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_tokens
+          |  FROM dl
+          |), toks AS (
+          |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+          |  FROM documents
+          |), tf AS (
+          |  SELECT t.doc_id, d.dl, t.term, COUNT(*) AS tf
+          |  FROM toks t JOIN (SELECT DISTINCT term FROM q) qt USING (term)
+          |  JOIN dl d USING (doc_id)
+          |  GROUP BY 1, 2, 3
+          |), df AS (
+          |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+          |), scored AS (
+          |  SELECT q.query_id, tf.doc_id,
+          |    CAST(FLOOR(((CAST(s.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) *
+          |      ((CAST(tf.tf AS DOUBLE) * 2.2) /
+          |       (CAST(tf.tf AS DOUBLE) + (1.2 * (0.25 +
+          |        ((0.75 * CAST(tf.dl AS DOUBLE)) /
+          |         (CAST(s.total_tokens AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))))))
+          |      * 1000000.0) AS BIGINT) AS part_scaled
+          |  FROM tf JOIN df USING (term) JOIN q USING (term) CROSS JOIN s
+          |), agg AS (
+          |  SELECT query_id, doc_id, CAST(SUM(part_scaled) AS BIGINT) AS score_scaled,
+          |    COUNT(*) AS n_terms
+          |  FROM scored GROUP BY 1, 2
+          |), r AS (
+          |  SELECT query_id, doc_id, n_terms, score_scaled,
+          |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+          |      ORDER BY score_scaled DESC, doc_id) AS BIGINT) AS rank
+          |  FROM agg
+          |)
+          |SELECT query_id, rank, doc_id, n_terms,
+          |  CAST(score_scaled AS DOUBLE) / 1000000.0 AS score
+          |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+      "t31_split_shuffle" ->
+        """SELECT doc_id,
+          |  CASE WHEN ((doc_id % 1000003) * 2654435761 + 123456789)
+          |              % 4294967296 % 100 < 10 THEN 'val'
+          |       WHEN ((doc_id % 1000003) * 2654435761 + 123456789)
+          |              % 4294967296 % 100 < 20 THEN 'test'
+          |       ELSE 'train' END AS split,
+          |  ((doc_id % 1000003) * 2654435761 + 123456789) % 4294967296
+          |    AS shuffle_key
+          |FROM documents ORDER BY doc_id""".stripMargin,
       "t27_mix_sample" ->
         """WITH cnt AS (
           |  SELECT source, COUNT(*) AS n FROM documents GROUP BY source

@@ -256,4 +256,62 @@ class CorpusOpsSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(ids1 == ids2)
   }
+
+  test("unigramMeanProb: hand-computed mean corpus probability") {
+    // corpus counts: a=2 b=2 c=1, total=5
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val r = CorpusOps.unigramMeanProb(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // doc1: n=3, hit = 2*cnt(a) + 1*cnt(b) = 6 -> 6/(3*5) = 0.4
+    assert(r(0).getLong(1) == 3 && r(0).getLong(2) == 6)
+    assert(r(0).getDouble(3) == 0.4)
+    // doc2: n=2, hit = cnt(b) + cnt(c) = 3 -> 3/(2*5) = 0.3
+    assert(r(1).getLong(1) == 2 && r(1).getLong(2) == 3)
+    assert(r(1).getDouble(3) == 0.3)
+  }
+
+  test("bm25TopK: hand-computed scoring, ranking, and term matching") {
+    // N=3, dl = 3/4/2, avgdl = 3; query term x: df=2, linear idf = 1.5
+    val docs = Seq((1L, "x x y"), (2L, "x z z z"), (3L, "w w"))
+      .toDF("doc_id", "text")
+    val r = CorpusOps.bm25TopK(docs, "doc_id", "text",
+        Seq(1L -> "x"), k1 = 1.2, b = 0.75, k = 10)
+      .orderBy("rank").collect()
+    assert(r.length == 2, "doc3 has no query terms and must not appear")
+    // doc1: tf=2 -> 1.5 * 2*2.2/(2 + 1.2*(0.25 + 0.75*3/3)) = 2.0625
+    assert(r(0).getLong(2) == 1L && r(0).getLong(3) == 1L)
+    assert(math.abs(r(0).getDouble(4) - 2.0625) < 1e-5)
+    // doc2: tf=1, dl=4 -> 1.5 * 2.2/(1 + 1.2*(0.25 + 1.0)) = 1.32
+    assert(r(1).getLong(2) == 2L)
+    assert(math.abs(r(1).getDouble(4) - 1.32) < 1e-5)
+    // multi-term: every matched term contributes once per (query, doc)
+    val multi = CorpusOps.bm25TopK(docs, "doc_id", "text",
+        Seq(7L -> "x y"), k1 = 1.2, b = 0.75, k = 10)
+      .orderBy("rank").collect()
+    assert(multi.head.getLong(2) == 1L && multi.head.getLong(3) == 2L,
+      "doc1 matches both x and y -> n_terms = 2 and top rank")
+  }
+
+  test("assignSplits: deterministic, consistent with shuffle_key, ~10/10/80") {
+    val docs = (0L until 1000L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val s = CorpusOps.assignSplits(docs, "doc_id", valPct = 10, testPct = 10)
+    val rows = s.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.length == 1000)
+    // split is a pure function of the shuffle_key bucket
+    assert(rows.forall { case (_, split, key) =>
+      val b = key % 100
+      (b < 10 && split == "val") || (b >= 10 && b < 20 && split == "test") ||
+        (b >= 20 && split == "train")
+    })
+    // hash-uniform: each split lands near its target fraction
+    val bymSplit = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bymSplit("val") > 50 && bymSplit("val") < 150, bymSplit.toString)
+    assert(bymSplit("test") > 50 && bymSplit("test") < 150, bymSplit.toString)
+    assert(bymSplit("train") > 700 && bymSplit("train") < 900, bymSplit.toString)
+    // identical across re-runs (pure id function, no RNG)
+    val again = CorpusOps.assignSplits(docs, "doc_id", 10, 10).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
 }

@@ -177,4 +177,44 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("pivotfirst"), "expected the two-phase pivot aggregate")
     assert(plan.contains("HashAggregate"), "expected hash aggregation, not sort-based")
   }
+
+  test("q39: gap-fill calendar is broadcast; LOCF window is per-entity") {
+    val plan = planOf(queries.RelationalExt2.q39(spark, dir))
+    // the month calendar (~80 rows) must ride a broadcast, never a
+    // shuffle — the only acceptable nested-loop is that broadcast cross
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"calendar grid lost its broadcast:\n${plan.take(1200)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"grid degraded to a cartesian product:\n${plan.take(1200)}")
+    assert(plan.contains("Window"), "expected the LOCF window")
+  }
+
+  test("t30: BM25 semi-filters on broadcast query terms with rank-pushdown top-k") {
+    val docs = Tables.documents(spark, dir)
+    val plan = planOf(operators.CorpusOps.bm25TopK(docs, "doc_id", "text",
+      Seq(1L -> "spark window join"), k1 = 1.2, b = 0.75, k = 10))
+    // query terms prune the token stream via a broadcast join BEFORE
+    // any aggregation — the posting lists never shuffle for non-query
+    // terms — and the per-query top-k is a WindowGroupLimit (per-
+    // partition heaps), not a full sort of all scored docs
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query-term filter lost its broadcast:\n${plan.take(1200)}")
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected rank-pushdown top-k:\n${plan.take(1200)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+  }
+
+  test("t29: unigram quality reuses the tf shuffle for corpus counts") {
+    val docs = Tables.documents(spark, dir)
+    val df = operators.CorpusOps.unigramMeanProb(docs, "doc_id", "text")
+    df.collect() // finalize THIS df's adaptive plan (count() would build its own)
+    val plan = df.queryExecution.executedPlan.toString
+    // corpus unigram counts derive from the (doc, term) tf aggregate:
+    // both consumers share the tf exchange, so the token explode runs
+    // over the corpus ONCE — the second branch is a ReusedExchange /
+    // ReusedQueryStage, not a second scan+explode
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"tf shuffle not reused — corpus would be tokenized twice:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+  }
 }
