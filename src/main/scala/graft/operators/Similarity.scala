@@ -210,4 +210,127 @@ object Similarity {
         (dot(col("a.e"), col("b.e")) / (col("a.n") * col("b.n"))).as("cosine_sim"))
       .filter(col("cosine_sim") >= threshold)
   }
+
+  // ---------------------------------------------------------------
+  // Product quantization (PQ)
+  // ---------------------------------------------------------------
+
+  /** Squared L2 distance in the expanded form |x|² − 2x·c + |c|² —
+    * three [[dot]] folds and fixed-order IEEE arithmetic, so the
+    * DuckDB oracle replays distances bit-for-bit.
+    */
+  private def l2sq(x: Column, c: Column): Column =
+    dot(x, x) - lit(2.0) * dot(x, c) + dot(c, c)
+
+  /** The PQ codebook: `m` subspaces × `ksub` centroids, where
+    * centroid j of every subspace is the corresponding slice of the
+    * j-th smallest-id vector (the same deterministic sampled-
+    * quantizer choice as [[ivfTopK]] — a production deployment plugs
+    * per-subspace k-means centroids into the identical plan). Tiny
+    * (m·ksub rows) and always broadcast.
+    */
+  def pqCodebook(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val e = transform(col(vecCol), x => x.cast("double"))
+    emb.select(col(idCol).as("id"), e.as("e"))
+      .orderBy("id").limit(ksub)
+      .withColumn("code",
+        (row_number().over(Window.orderBy("id")) - 1).cast("long"))
+      .select(col("code"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
+        col("e"))
+      .select(col("code"), col("sub").cast("long").as("sub"),
+        expr(s"slice(e, CAST(sub * (size(e) div $m) + 1 AS INT), " +
+          s"size(e) div $m)").as("cv"))
+  }
+
+  /** Per-(vector, subspace) nearest centroid: (id, sub, code,
+    * dist_scaled) where dist_scaled = floor(L2²·10⁶) — the scaled-
+    * long form that keeps downstream sums order-independent. The
+    * argmin is `min(struct(dist, code))`, a map-side-combinable
+    * aggregate (ties break toward the lower code, same as the
+    * oracle's ORDER BY dist, code).
+    */
+  private def pqAssign(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int): DataFrame = {
+    val cb = pqCodebook(emb, idCol, vecCol, m, ksub)
+    val e = transform(col(vecCol), x => x.cast("double"))
+    val subv = emb.select(col(idCol).as("id"), e.as("e"))
+      .select(col("id"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
+        col("e"))
+      .select(col("id"), col("sub").cast("long").as("sub"),
+        expr(s"slice(e, CAST(sub * (size(e) div $m) + 1 AS INT), " +
+          s"size(e) div $m)").as("sv"))
+    subv.join(broadcast(cb), "sub")
+      .select(col("id"), col("sub"),
+        struct(l2sq(col("sv"), col("cv")).as("dist"), col("code")).as("dc"))
+      .groupBy("id", "sub")
+      .agg(min(col("dc")).as("best"))
+      .select(col("id"), col("sub"), col("best.code").as("code"),
+        floor(col("best.dist") * lit(1e6)).as("dist_scaled"))
+  }
+
+  /** PQ encoding: each vector compressed to `m` centroid codes (the
+    * 100 TB storage form — m bytes instead of d floats per vector,
+    * 32× at d=64/m=4/ksub=16 against float32), plus the total
+    * quantization error. codes[j] is the subspace-j centroid index;
+    * `quant_err` is the summed squared L2 residual (scaled-long sum,
+    * so the oracle replays it exactly).
+    *
+    * Scale shape: the codebook (m·ksub rows) broadcasts; the
+    * subvector explode is map-side; the argmin and the per-vector
+    * regroup are two skinny map-side-combinable aggregations keyed
+    * (id, sub) then (id). No vector ever crosses the wire more than
+    * once, and nothing quadratic exists anywhere.
+    */
+  def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int = 4, ksub: Int = 16): DataFrame =
+    pqAssign(emb, idCol, vecCol, m, ksub)
+      .groupBy(col("id").as("vec_id"))
+      .agg(
+        transform(sort_array(collect_list(struct(col("sub"), col("code")))),
+          x => x("code")).as("codes"),
+        sum("dist_scaled").as("qerr_scaled"))
+      .select(col("vec_id"), col("codes"),
+        (col("qerr_scaled").cast("double") / 1e6).as("quant_err"))
+
+  /** PQ asymmetric-distance (ADC) top-k search: approximate nearest
+    * neighbors by summing per-subspace lookup-table distances between
+    * each query's subvectors and every vector's assigned CODES —
+    * the scan never touches the raw database vectors (that is the PQ
+    * bargain: at 100 TB the candidate scan reads m-byte codes, raw
+    * vectors only ever ride the tiny broadcast side as queries).
+    *
+    * LUT = query-subvector × centroid L2² (|queries|·m·ksub rows,
+    * broadcast); approx dist = Σ_sub LUT[qid, sub, code[v][sub]],
+    * summed as scaled longs (order-independent, oracle-exact);
+    * ranking ties break on the integer distance then vec_id; top-k is
+    * the rank-pushdown window per query.
+    */
+  def pqAdcTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int, m: Int = 4, ksub: Int = 16): DataFrame = {
+    val cb = pqCodebook(emb, idCol, vecCol, m, ksub)
+    val e = transform(col(vecCol), x => x.cast("double"))
+    val qsub = emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("qid"), e.as("e"))
+      .select(col("qid"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
+        col("e"))
+      .select(col("qid"), col("sub").cast("long").as("sub"),
+        expr(s"slice(e, CAST(sub * (size(e) div $m) + 1 AS INT), " +
+          s"size(e) div $m)").as("qv"))
+    val lut = qsub.join(broadcast(cb), "sub")
+      .select(col("qid"), col("sub"), col("code"),
+        floor(l2sq(col("qv"), col("cv")) * lit(1e6)).as("lut_scaled"))
+    val codes = pqAssign(emb, idCol, vecCol, m, ksub)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist_scaled"), col("vec_id"))
+    codes.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("qid") =!= col("id"))
+      .groupBy(col("qid").as("query_id"), col("id").as("vec_id"))
+      .agg(sum("lut_scaled").as("adist_scaled"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        (col("adist_scaled").cast("double") / 1e6).as("approx_dist"))
+  }
 }

@@ -347,6 +347,25 @@ object TrainingData {
         valPct = 10, testPct = 10)
       .orderBy("doc_id")
 
+  /** PQ encoding ([[Similarity.pqEncode]], m=4, ksub=16): each
+    * embedding compressed to 4 centroid codes + quantization error.
+    */
+  def annPqEncode(spark: SparkSession, dir: String): DataFrame =
+    Similarity.pqEncode(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        m = 4, ksub = 16)
+      .orderBy("vec_id")
+
+  /** The t33 ADC query ids — three vectors spread across the id
+    * space; ADC reads only CODES for the scan side.
+    */
+  private val PqQueryIds: Seq[Long] = Seq(0L, 7L, 42L)
+
+  /** PQ asymmetric-distance top-5 ([[Similarity.pqAdcTopK]]). */
+  def annPqAdc(spark: SparkSession, dir: String): DataFrame =
+    Similarity.pqAdcTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        PqQueryIds, k = 5, m = 4, ksub = 16)
+      .orderBy("query_id", "rank")
+
   /** JSON extraction over the events table. */
   def eventsJson(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -390,6 +409,8 @@ object TrainingData {
     "t29_unigram_quality" -> docUnigramQuality _,
     "t30_bm25_topk" -> docBm25 _,
     "t31_split_shuffle" -> docSplits _,
+    "t32_pq_encode" -> annPqEncode _,
+    "t33_pq_adc_topk" -> annPqAdc _,
   )
 
   /** Shared DuckDB CTE fragment: per-doc word-trigram shingle sets,
@@ -499,6 +520,51 @@ object TrainingData {
 
   private def cosSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** 16-dim (one PQ subspace) left-to-right dot fold. */
+  private def dotSubSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, 17), i ->
+       |      $a[CAST(i AS INT)] * $b[CAST(i AS INT)]), (x, y) -> x + y)""".stripMargin
+
+  /** Squared L2 in the |x|²−2x·c+|c|² expansion — identical IEEE op
+    * order to [[graft.operators.Similarity]]'s `l2sq`.
+    */
+  private def l2sqSql(x: String, c: String): String =
+    s"((${dotSubSql(x, x)} - (2.0 * ${dotSubSql(x, c)})) + ${dotSubSql(c, c)})"
+
+  /** Shared PQ replay (m=4, ksub=16, dsub=16): codebook from the 16
+    * smallest-id vectors, per-(vector, subspace) argmin with the
+    * (dist, code) tie-break, distances floored to scaled longs —
+    * the exact index build both t32 and t33 consume.
+    */
+  private def pqCtes: String =
+    s"""v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |), c0 AS (
+       |  SELECT e, rn - 1 AS code FROM (
+       |    SELECT e, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM v) s
+       |  WHERE rn <= 16
+       |), cs AS (
+       |  SELECT code, sub,
+       |    list_slice(e, CAST(sub*16+1 AS INT), CAST(sub*16+16 AS INT)) AS cv
+       |  FROM c0 CROSS JOIN range(0, 4) t(sub)
+       |), sv AS (
+       |  SELECT vec_id, sub,
+       |    list_slice(e, CAST(sub*16+1 AS INT), CAST(sub*16+16 AS INT)) AS sv
+       |  FROM v CROSS JOIN range(0, 4) t(sub)
+       |), d AS (
+       |  SELECT s.vec_id, s.sub, c.code, ${l2sqSql("sv", "cv")} AS dist
+       |  FROM sv s JOIN cs c USING (sub)
+       |), best AS (
+       |  SELECT vec_id, sub, code,
+       |    CAST(FLOOR(dist * 1000000.0) AS BIGINT) AS dist_scaled
+       |  FROM (
+       |    SELECT vec_id, sub, code, dist,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+       |                         ORDER BY dist, code) AS rn
+       |    FROM d) x
+       |  WHERE rn = 1
+       |)""".stripMargin
 
   /** Full index-build + search replay for the IVF path
     * ([[graft.operators.Similarity.ivfTopKAuto]]): adaptive index
@@ -851,6 +917,35 @@ object TrainingData {
           |SELECT query_id, rank, doc_id, n_terms,
           |  CAST(score_scaled AS DOUBLE) / 1000000.0 AS score
           |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+      "t32_pq_encode" ->
+        s"""WITH $pqCtes
+           |SELECT vec_id, list(code ORDER BY sub) AS codes,
+           |  CAST(SUM(dist_scaled) AS DOUBLE) / 1000000.0 AS quant_err
+           |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+      "t33_pq_adc_topk" ->
+        s"""WITH $pqCtes, q AS (
+           |  SELECT vec_id AS qid, sub, sv AS qv FROM sv
+           |  WHERE vec_id IN (0, 7, 42)
+           |), lut AS (
+           |  SELECT q.qid, q.sub, c.code,
+           |    CAST(FLOOR(${l2sqSql("qv", "cv")} * 1000000.0) AS BIGINT)
+           |      AS lut_scaled
+           |  FROM q JOIN cs c USING (sub)
+           |), acc AS (
+           |  SELECT l.qid AS query_id, b.vec_id,
+           |    CAST(SUM(l.lut_scaled) AS BIGINT) AS adist_scaled
+           |  FROM best b
+           |  JOIN lut l ON l.sub = b.sub AND l.code = b.code AND l.qid <> b.vec_id
+           |  GROUP BY 1, 2
+           |), r AS (
+           |  SELECT query_id, vec_id, adist_scaled,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY adist_scaled, vec_id) AS BIGINT) AS rank
+           |  FROM acc
+           |)
+           |SELECT query_id, rank, vec_id,
+           |  CAST(adist_scaled AS DOUBLE) / 1000000.0 AS approx_dist
+           |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
       "t31_split_shuffle" ->
         """SELECT doc_id,
           |  CASE WHEN ((doc_id % 1000003) * 2654435761 + 123456789)

@@ -217,4 +217,23 @@ class PlanShapeSpec extends AnyFunSuite {
       s"tf shuffle not reused — corpus would be tokenized twice:\n${plan.take(1500)}")
     assert(!plan.contains("CartesianProduct"), plan.take(1200))
   }
+
+  test("t32/t33: PQ codebook and LUT are broadcast; the code scan never joins vectors") {
+    val emb = Tables.embeddings(spark, dir)
+    val enc = planOf(operators.Similarity.pqEncode(emb, "vec_id", "embedding", 4, 16))
+    // the m·ksub codebook rides a broadcast; the argmin + regroup are
+    // partial-aggregated map-side — no shuffle carries raw vectors
+    assert(enc.contains("BroadcastHashJoin"),
+      s"codebook lost its broadcast:\n${enc.take(1200)}")
+    assert(!enc.contains("CartesianProduct"), enc.take(1200))
+    assert(enc.contains("partial_min") || enc.contains("partial_"),
+      "argmin must be map-side combinable")
+    val adc = planOf(operators.Similarity.pqAdcTopK(emb, "vec_id", "embedding",
+      Seq(0L, 7L, 42L), 5, 4, 16))
+    assert(adc.contains("BroadcastHashJoin"),
+      s"ADC LUT lost its broadcast:\n${adc.take(1200)}")
+    assert(!adc.contains("CartesianProduct"), adc.take(1200))
+    assert(adc.contains("WindowGroupLimit"),
+      s"expected rank-pushdown top-k:\n${adc.take(1200)}")
+  }
 }

