@@ -171,6 +171,50 @@ object RelationalExt2 {
       .orderBy("o_custkey", "month")
   }
 
+  /** q40 — INTERSECT ALL (multiset semantics): (custkey, order-year)
+    * pairs occurring under status 'O' intersected with the pairs from
+    * high-value orders, KEEPING duplicate multiplicity
+    * min(count_left, count_right) — the semantics `intersect`
+    * (q13) erases. Catalyst plans this as one aggregate counting both
+    * sides behind a single shuffle — no join, no distinct.
+    */
+  def q40(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), year(col("o_orderdate")).cast("long").as("y"),
+        col("o_orderstatus"), col("o_totalprice"))
+    o.filter(col("o_orderstatus") === "O").select("o_custkey", "y")
+      .intersectAll(o.filter(col("o_totalprice") > 150000).select("o_custkey", "y"))
+      .orderBy("o_custkey", "y")
+  }
+
+  /** q41 — EXCEPT ALL: the multiset difference of the same two pair
+    * streams (each copy on the right cancels ONE copy on the left).
+    * Same single-shuffle counting aggregate shape as q40.
+    */
+  def q41(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), year(col("o_orderdate")).cast("long").as("y"),
+        col("o_orderstatus"), col("o_totalprice"))
+    o.filter(col("o_orderstatus") === "O").select("o_custkey", "y")
+      .exceptAll(o.filter(col("o_totalprice") > 150000).select("o_custkey", "y"))
+      .orderBy("o_custkey", "y")
+  }
+
+  /** q42 — Z-order (Morton) clustering key over (customer, order
+    * day): the multi-dimensional layout key
+    * ([[graft.operators.Layout.zOrderKey2]]) that makes range
+    * predicates on EITHER dimension prune files at 100 TB. Pure
+    * BIGINT bit arithmetic — the oracle replays every mask/shift/or.
+    */
+  def q42(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1995-01-01")).cast("long").as("d"))
+      .select(col("o_orderkey"), col("o_custkey"), col("d"),
+        graft.operators.Layout.zOrderKey2(col("o_custkey"), col("d"), 16)
+          .as("zkey"))
+      .orderBy("o_orderkey")
+
   /** Spark-SQL-dialect renderings of the Det helpers (q36 builds its
     * plan via spark.sql, so the deterministic-sum formula has to be
     * emitted as Spark SQL text — same formula as [[Det.sum2]]).
@@ -188,6 +232,9 @@ object RelationalExt2 {
     "q37_lateral_topk" -> q37 _,
     "q38_array_agg" -> q38 _,
     "q39_gapfill_locf" -> q39 _,
+    "q40_intersect_all" -> q40 _,
+    "q41_except_all" -> q41 _,
+    "q42_zorder_key" -> q42 _,
   )
 
   val oracles: Map[String, String] = {
@@ -269,6 +316,30 @@ object RelationalExt2 {
            |FROM custs c CROSS JOIN months
            |LEFT JOIN monthly ON monthly.ck = c.o_custkey AND monthly.m = months.month
            |ORDER BY c.o_custkey, months.month""".stripMargin,
+      "q40_intersect_all" ->
+        """SELECT o_custkey, CAST(YEAR(o_orderdate) AS BIGINT) AS y
+          |FROM orders WHERE o_orderstatus = 'O'
+          |INTERSECT ALL
+          |SELECT o_custkey, CAST(YEAR(o_orderdate) AS BIGINT) AS y
+          |FROM orders WHERE o_totalprice > 150000
+          |ORDER BY o_custkey, y""".stripMargin,
+      "q41_except_all" ->
+        """SELECT o_custkey, CAST(YEAR(o_orderdate) AS BIGINT) AS y
+          |FROM orders WHERE o_orderstatus = 'O'
+          |EXCEPT ALL
+          |SELECT o_custkey, CAST(YEAR(o_orderdate) AS BIGINT) AS y
+          |FROM orders WHERE o_totalprice > 150000
+          |ORDER BY o_custkey, y""".stripMargin,
+      "q42_zorder_key" ->
+        s"""WITH base AS (
+           |  SELECT o_orderkey, o_custkey,
+           |    CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+           |      AS BIGINT) AS d
+           |  FROM orders
+           |)
+           |SELECT o_orderkey, o_custkey, d,
+           |  ${graft.operators.Layout.zOrderKey2Sql("o_custkey", "d", 16)} AS zkey
+           |FROM base ORDER BY o_orderkey""".stripMargin,
       "q37_lateral_topk" ->
         """SELECT n.n_name, t.c_custkey, t.c_acctbal
           |FROM nation n
