@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -215,6 +215,45 @@ object RelationalExt2 {
           .as("zkey"))
       .orderBy("o_orderkey")
 
+  /** q43 — ONE-PASS approximate quantiles via a fixed-width
+    * histogram sketch: the bounded-state scale path next to q24's
+    * exact two-pass percentiles. State per group is the bin histogram
+    * (≤ ~2000 longs at width 250 over the price domain), built by a
+    * map-side-combinable count — no per-group value buffering, no
+    * per-group sort of the raw rows; the window runs over BINS, not
+    * rows. Estimate = linear interpolation inside the straddling bin,
+    * error bound = bin width. Every arithmetic step is a fixed IEEE
+    * sequence on exact integers, so the oracle replays the sketch AND
+    * the estimates bit-for-bit.
+    */
+  def q43(spark: SparkSession, dir: String): DataFrame = {
+    val width = 250.0
+    val hist = Tables.orders(spark, dir)
+      .select(col("o_orderstatus"),
+        floor(col("o_totalprice") / width).as("b"))
+      .groupBy("o_orderstatus", "b").agg(count(lit(1)).as("cnt"))
+    val wcum = Window.partitionBy("o_orderstatus").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val grp = Window.partitionBy("o_orderstatus")
+    val c = hist
+      .withColumn("cum", sum("cnt").over(wcum))
+      .withColumn("n", sum("cnt").over(grp))
+    // the straddling bin is unique per group: the sum mixes one
+    // non-zero double with exact zeros (order-independent, as q24)
+    def est(p: Double): Column = {
+      val t = lit(p) * col("n").cast("double")
+      val prev = (col("cum") - col("cnt")).cast("double")
+      when(col("cum").cast("double") >= t && prev < t,
+        col("b").cast("double") * lit(width) +
+          lit(width) * ((t - prev) / col("cnt").cast("double")))
+        .otherwise(lit(0.0))
+    }
+    c.groupBy("o_orderstatus")
+      .agg(max("n").as("n"),
+        sum(est(0.5)).as("p50_est"), sum(est(0.9)).as("p90_est"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Spark-SQL-dialect renderings of the Det helpers (q36 builds its
     * plan via spark.sql, so the deterministic-sum formula has to be
     * emitted as Spark SQL text — same formula as [[Det.sum2]]).
@@ -235,6 +274,7 @@ object RelationalExt2 {
     "q40_intersect_all" -> q40 _,
     "q41_except_all" -> q41 _,
     "q42_zorder_key" -> q42 _,
+    "q43_hist_quantiles" -> q43 _,
   )
 
   val oracles: Map[String, String] = {
@@ -340,6 +380,30 @@ object RelationalExt2 {
            |SELECT o_orderkey, o_custkey, d,
            |  ${graft.operators.Layout.zOrderKey2Sql("o_custkey", "d", 16)} AS zkey
            |FROM base ORDER BY o_orderkey""".stripMargin,
+      "q43_hist_quantiles" -> {
+        def est(p: String): String =
+          s"""SUM(CASE WHEN CAST(cum AS DOUBLE) >= ($p * CAST(n AS DOUBLE))
+             |      AND CAST(cum - cnt AS DOUBLE) < ($p * CAST(n AS DOUBLE))
+             |    THEN ((CAST(b AS DOUBLE) * 250.0) +
+             |      (250.0 * ((($p * CAST(n AS DOUBLE)) - CAST(cum - cnt AS DOUBLE))
+             |        / CAST(cnt AS DOUBLE))))
+             |    ELSE 0.0 END)""".stripMargin
+        s"""WITH h AS (
+           |  SELECT o_orderstatus, CAST(FLOOR(o_totalprice / 250.0) AS BIGINT) AS b,
+           |    COUNT(*) AS cnt
+           |  FROM orders GROUP BY 1, 2
+           |), c AS (
+           |  SELECT o_orderstatus, b, cnt,
+           |    CAST(SUM(cnt) OVER (PARTITION BY o_orderstatus ORDER BY b
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+           |    CAST(SUM(cnt) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS n
+           |  FROM h
+           |)
+           |SELECT o_orderstatus, MAX(n) AS n,
+           |  ${est("0.5")} AS p50_est,
+           |  ${est("0.9")} AS p90_est
+           |FROM c GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+      },
       "q37_lateral_topk" ->
         """SELECT n.n_name, t.c_custkey, t.c_acctbal
           |FROM nation n

@@ -33,4 +33,19 @@ class RelationalSpec extends AnyFunSuite {
   test("entry flagship query returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("q43 histogram quantiles land within one bin width of q24 exact") {
+    import org.apache.spark.sql.functions.col
+    val exact = queries.RelationalExt.q24(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = queries.RelationalExt2.q43(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(exact.keySet == approx.keySet)
+    for ((s, (m, p90)) <- exact) {
+      assert(math.abs(approx(s)._1 - m) <= 250.0,
+        s"$s p50: sketch ${approx(s)._1} vs exact $m")
+      assert(math.abs(approx(s)._2 - p90) <= 250.0,
+        s"$s p90: sketch ${approx(s)._2} vs exact $p90")
+    }
+  }
 }
