@@ -94,11 +94,37 @@ final class ModelExecutor(spark: SparkSession, project: Project,
       case _ => Nil
     }
 
-  private def writeParquet(df: DataFrame, node: NodeMeta, path: String,
+  /** `file_format` config (dbt-spark semantics): parquet (default),
+    * orc, json, or csv. Parquet/ORC are the typed columnar formats a
+    * warehouse relation should live in; JSON/CSV are export-grade
+    * (CSV round-trips through header + schema inference, so exotic
+    * types may widen — same caveat dbt-spark documents).
+    */
+  private def relationFormat(node: NodeMeta): String =
+    node.config.get("file_format").map(_.toString.toLowerCase)
+      .getOrElse("parquet") match {
+      case f @ ("parquet" | "orc" | "json" | "csv") => f
+      case other =>
+        throw new IllegalArgumentException(
+          s"${node.uniqueId}: unsupported file_format '$other' " +
+            "(parquet|orc|json|csv)")
+    }
+
+  private def writeRelation(df: DataFrame, node: NodeMeta, path: String,
       mode: String): Unit = {
-    val w = df.write.mode(mode)
+    val fmt = relationFormat(node)
+    val w0 = df.write.mode(mode).format(fmt)
+    val w = if (fmt == "csv") w0.option("header", "true") else w0
     val pc = partitionCols(node)
-    (if (pc.isEmpty) w else w.partitionBy(pc: _*)).parquet(path)
+    (if (pc.isEmpty) w else w.partitionBy(pc: _*)).save(path)
+  }
+
+  /** Read a materialized relation back in its declared format. */
+  private def readRelation(node: NodeMeta, path: String): DataFrame = {
+    val fmt = relationFormat(node)
+    val r = spark.read.format(fmt)
+    (if (fmt == "csv") r.option("header", "true").option("inferSchema", "true")
+     else r).load(path)
   }
 
   def materialize(node: NodeMeta): Unit = {
@@ -107,8 +133,8 @@ final class ModelExecutor(spark: SparkSession, project: Project,
     node.materialized match {
       case "table" =>
         val path = s"$tableDir/${node.name}"
-        writeParquet(spark.sql(sql), node, path, "overwrite")
-        spark.read.parquet(path).createOrReplaceTempView(node.name)
+        writeRelation(spark.sql(sql), node, path, "overwrite")
+        readRelation(node, path).createOrReplaceTempView(node.name)
       case "incremental" =>
         materializeIncremental(node, sql)
       case _ => // view | ephemeral
@@ -131,17 +157,17 @@ final class ModelExecutor(spark: SparkSession, project: Project,
   private def materializeIncremental(node: NodeMeta, sql: String): Unit = {
     val path = relationDir(node)
     if (!relationExists(node)) {
-      writeParquet(spark.sql(sql), node, path.toString, "overwrite")
+      writeRelation(spark.sql(sql), node, path.toString, "overwrite")
     } else {
-      spark.read.parquet(path.toString).createOrReplaceTempView(node.name)
+      readRelation(node, path.toString).createOrReplaceTempView(node.name)
       val newRows = spark.sql(sql)
       node.config.get("unique_key").map(_.toString) match {
         case Some(key) =>
-          val old = spark.read.parquet(path.toString)
+          val old = readRelation(node, path.toString)
           val merged = old.join(newRows.select(key).distinct(), Seq(key), "left_anti")
             .unionByName(newRows.select(old.columns.map(org.apache.spark.sql.functions.col): _*))
           val staging = java.nio.file.Paths.get(path.toString + "__staging")
-          writeParquet(merged, node, staging.toString, "overwrite")
+          writeRelation(merged, node, staging.toString, "overwrite")
           // swap with no window where the relation is absent: move the
           // old relation ASIDE first, then staging in, then delete the
           // old copy — a crash mid-swap leaves either the old or the
@@ -152,10 +178,10 @@ final class ModelExecutor(spark: SparkSession, project: Project,
           Files.move(staging, path)
           deleteRecursively(retired)
         case None =>
-          writeParquet(newRows, node, path.toString, "append")
+          writeRelation(newRows, node, path.toString, "append")
       }
     }
-    spark.read.parquet(path.toString).createOrReplaceTempView(node.name)
+    readRelation(node, path.toString).createOrReplaceTempView(node.name)
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {

@@ -106,4 +106,43 @@ class IncrementalSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
     assert(got == Seq(1 -> "a", 2 -> "b", 3 -> "c2", 4 -> "d", 5 -> "e"))
   }
+
+  test("file_format json: incremental relation lives as JSON across runs") {
+    val root = Files.createTempDirectory("graft_inc_json")
+    val work = Files.createTempDirectory("graft_inc_json_tbl").toString
+    val sql =
+      """{{ config(materialized='incremental', file_format='json') }}
+        |select id, val from {{ ref('events_seed') }}
+        |{% if is_incremental() %}
+        |where id > (select max(id) from {{ this }})
+        |{% endif %}
+        |""".stripMargin
+    writeProject(root, sql, Seq("1,a", "2,b"))
+    new ModelExecutor(spark, ProjectLoader.load(root.toString), Some(work)).buildAll()
+    assert(spark.table("inc_model").count() == 2)
+    val files = new java.io.File(s"$work/inc_model").listFiles()
+      .map(_.getName).filter(_.startsWith("part-"))
+    assert(files.nonEmpty && files.forall(_.contains(".json")),
+      s"expected JSON part files, got ${files.toSeq}")
+    // second run appends THROUGH the json relation ({{ this }} reads it)
+    writeProject(root, sql, Seq("1,a", "2,b", "3,c"))
+    new ModelExecutor(spark, ProjectLoader.load(root.toString), Some(work)).buildAll()
+    val got = spark.table("inc_model").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq(1L -> "a", 2L -> "b", 3L -> "c"))
+  }
+
+  test("unsupported file_format fails closed with a clear error") {
+    val root = Files.createTempDirectory("graft_inc_badfmt")
+    val work = Files.createTempDirectory("graft_inc_badfmt_tbl").toString
+    val sql =
+      """{{ config(materialized='table', file_format='avro') }}
+        |select id, val from {{ ref('events_seed') }}
+        |""".stripMargin
+    writeProject(root, sql, Seq("1,a"))
+    val e = intercept[IllegalArgumentException] {
+      new ModelExecutor(spark, ProjectLoader.load(root.toString), Some(work)).buildAll()
+    }
+    assert(e.getMessage.contains("file_format"), e.getMessage)
+  }
 }

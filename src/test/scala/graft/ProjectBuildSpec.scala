@@ -85,6 +85,15 @@ class ProjectBuildSpec extends AnyFunSuite {
     assert(t.count() == spark.table("stg_payments").count())
   }
 
+  test("file_format orc: table relation materializes and reads as ORC") {
+    executor // force build
+    val t = spark.table("payments_export")
+    assert(t.count() == spark.table("stg_payments").count())
+    val scan = t.queryExecution.executedPlan.toString
+    assert(scan.toLowerCase.contains("orc"),
+      s"expected an ORC scan for file_format='orc':\n${scan.take(600)}")
+  }
+
   test("in-file config overrides and captures options") {
     val stgPayments = executor.manifest.nodes("model.jaffle.stg_payments")
     assert(stgPayments.materialized == "view")
