@@ -131,6 +131,43 @@ object Cli {
       }
       spark.stop()
 
+    // Scoped half-pipelines (reference `yaml organize` / `yaml
+    // document`, cli/main.py:492-570): layout moves without touching
+    // docs, and doc inheritance without moving files.
+    case "organize" :: dir :: Nil =>
+      val project = ProjectLoader.load(dir)
+      val settings = settingsFor(project,
+        graft.core.EngineSettings(
+          vars = Map("dbt_osmosis_default_path" -> "{parent}/{model}.yml")))
+      val r = graft.core.Workflows.organize(project.root, project.manifest, settings)
+      r.findings.foreach { case (p, f) =>
+        println(s"yaml-check ${project.root.relativize(p)} [${f.rule}] ${f.severity}: ${f.message}")
+      }
+      r.written.foreach(p => println(s"wrote ${project.root.relativize(p)}"))
+      if (r.written.isEmpty && r.findings.exists(_._2.severity == "error")) {
+        System.err.println("refusing to write: schema validation errors")
+        sys.exit(1)
+      }
+
+    case "document" :: dir :: Nil =>
+      val spark = session()
+      val project = ProjectLoader.load(dir)
+      val executor = new ModelExecutor(spark, project)
+      executor.buildAll()
+      val settings = settingsFor(project,
+        graft.core.EngineSettings(addProgenitorToMeta = true))
+      val r = graft.core.Workflows.document(
+        spark, project.root, executor.manifest, settings)
+      r.findings.foreach { case (p, f) =>
+        println(s"yaml-check ${project.root.relativize(p)} [${f.rule}] ${f.severity}: ${f.message}")
+      }
+      r.written.foreach(p => println(s"wrote ${project.root.relativize(p)}"))
+      spark.stop()
+      if (r.written.isEmpty && r.findings.exists(_._2.severity == "error")) {
+        System.err.println("refusing to write: schema validation errors")
+        sys.exit(1)
+      }
+
     // The flagship pipeline (reference `yaml refactor`,
     // cli/main.py:430-490): build, restructure YAML to target paths,
     // then inject -> remove -> inherit -> sort -> sync-types and
@@ -230,7 +267,7 @@ object Cli {
 
     case _ =>
       System.err.println(
-        "usage: graft.Cli build|run-sql|inherit|test|lint|diff|refactor|catalog <projectDir> [args] | curate <sfDir> <outDir>")
+        "usage: graft.Cli build|run-sql|inherit|test|lint|diff|refactor|organize|document|catalog <projectDir> [args] | curate <sfDir> <outDir>")
       sys.exit(2)
   }
 }

@@ -1,0 +1,93 @@
+package graft.core
+
+import java.nio.file.Path
+
+import org.apache.spark.sql.SparkSession
+
+/** The two scoped entry points the reference ships NEXT to the
+  * flagship `yaml refactor` (cli/main.py: `yaml organize` at :492-530,
+  * `yaml document` at :532-570): organize = move YAML to its
+  * configured target paths WITHOUT touching documentation; document =
+  * inject missing columns + inherit upstream docs WITHOUT moving
+  * files. `graft.Cli refactor` composes both plus the full transform
+  * pipeline; these run each half on its own, which is how teams adopt
+  * the tool incrementally (layout first, docs later — or vice versa).
+  *
+  * Both end in the same fail-closed sync: structural validation
+  * (per-file chain + cross-file duplicates, A44) gates the atomic
+  * YamlIO commit — nothing reaches disk on an error finding.
+  */
+object Workflows {
+
+  final case class SyncResult(
+      manifest: Manifest,
+      findings: Seq[(Path, SchemaValidation.Finding)],
+      written: Seq[Path])
+
+  /** Validate synced files and commit atomically; on any error
+    * finding, nothing is written and the dirty cache is dropped.
+    */
+  private def validateAndCommit(projectRoot: Path, manifest: Manifest,
+      synced: Seq[Path]): SyncResult = {
+    val findings = synced.flatMap(p => SchemaValidation.validate(YamlIO.read(p))
+      .map(f => p -> f)) ++
+      SchemaValidation.validateCrossFile(synced.map(p => p -> YamlIO.read(p)))
+        .map(f => projectRoot -> f)
+    if (findings.exists(_._2.severity == "error")) {
+      YamlIO.invalidate()
+      SyncResult(manifest, findings, Nil)
+    } else SyncResult(manifest, findings, YamlIO.commit())
+  }
+
+  private def syncableNodes(manifest: Manifest): Seq[NodeMeta] =
+    manifest.nodes.values
+      .filter(n => n.resourceType == "model" || n.resourceType == "seed").toSeq
+
+  /** `yaml organize`: restructure YAML docs to their configured
+    * target paths (path templates, per-file grouping) and sync node
+    * entries — documentation content is left exactly as it is (no
+    * inheritance, no column injection beyond what sync preserves).
+    * Needs no warehouse session: this is a pure metadata move.
+    */
+  def organize(projectRoot: Path, manifest0: Manifest,
+      settings: EngineSettings): SyncResult = {
+    val plan = Restructuring.draftPlan(projectRoot, manifest0, settings)
+    val manifest = Restructuring.applyPlan(projectRoot, plan, manifest0, settings)
+    val synced = SyncOperations.syncNodes(projectRoot, syncableNodes(manifest), settings)
+    validateAndCommit(projectRoot, manifest, synced)
+  }
+
+  /** `yaml document`: pull documentation down the DAG — inject
+    * columns the warehouse has but the YAML lacks, inherit
+    * descriptions/tags/meta from ancestors, and sync — WITHOUT moving
+    * any file. Requires built relations (column introspection reads
+    * the warehouse schema, A4).
+    */
+  def document(spark: SparkSession, projectRoot: Path, manifest0: Manifest,
+      settings: EngineSettings): SyncResult = {
+    def cols(n: NodeMeta) =
+      Introspection.getColumns(spark, Transforms.relationFor(n), settings, Some(n))
+    val result = Transforms.Pipeline()
+      .andThen("inject", (_, n) => Transforms.injectMissingColumns(n, cols(n), settings))
+      .andThen("inherit", (m, n) => Inheritance.inheritUpstreamColumnKnowledge(m, n, settings))
+      .run(manifest0)
+    // "without moving files": a documented node syncs into its
+    // EXISTING patch file (pinned via a per-node path option rendered
+    // relative to its SQL dir); undocumented nodes use the configured
+    // template if one exists, and are skipped otherwise (nowhere to
+    // write without inventing a layout — that is organize's job)
+    val nodes = syncableNodes(result.manifest).flatMap { n =>
+      n.patchPath match {
+        case Some(pp) =>
+          val cur = projectRoot.resolve(pp.split("://").last)
+          val sqlParent = projectRoot.resolve(n.path).getParent
+          val rel = sqlParent.relativize(cur).toString
+          Some(n.copy(meta = n.meta + ("dbt-osmosis" -> rel)))
+        case None if PathManagement.pathTemplate(n, settings).isDefined => Some(n)
+        case None => None
+      }
+    }
+    val synced = SyncOperations.syncNodes(projectRoot, nodes, settings)
+    validateAndCommit(projectRoot, result.manifest, synced)
+  }
+}

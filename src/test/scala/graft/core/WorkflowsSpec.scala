@@ -1,0 +1,90 @@
+package graft.core
+
+import java.nio.file.{Files, Path}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.exec.ModelExecutor
+import graft.project.ProjectLoader
+
+/** The scoped `yaml organize` / `yaml document` workflows: organize
+  * moves YAML to its configured target paths WITHOUT changing
+  * documentation; document inherits documentation WITHOUT moving
+  * files. Each runs against a throwaway copy of the jaffle fixture.
+  */
+class WorkflowsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+
+  /** description of `col` on model `model` in a raw YamlDoc, None if
+    * absent or empty */
+  private def colDesc(doc: YamlIO.YamlDoc, model: String, col: String): Option[String] = {
+    val models = doc.full("models").asInstanceOf[Seq[Any]]
+      .map(_.asInstanceOf[Map[String, Any]])
+    for {
+      m <- models.find(_("name") == model)
+      cs = m.getOrElse("columns", Seq.empty).asInstanceOf[Seq[Any]]
+        .map(_.asInstanceOf[Map[String, Any]])
+      c <- cs.find(_("name") == col)
+      d <- c.get("description").map(_.toString) if d.nonEmpty
+    } yield d
+  }
+
+  private def copyFixture(): Path = {
+    val src = java.nio.file.Paths.get("fixtures/jaffle")
+    val dst = Files.createTempDirectory("graft_wf")
+    val s = Files.walk(src)
+    try s.forEach { p =>
+      val t = dst.resolve(src.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else Files.copy(p, t)
+    } finally s.close()
+    dst
+  }
+
+  test("organize moves YAML to per-model paths without touching docs") {
+    val root = copyFixture()
+    val project = ProjectLoader.load(root.toString)
+    // "{model}.yml" renders relative to each model's own directory
+    val settings = EngineSettings(
+      vars = Map("dbt_osmosis_default_path" -> "{model}.yml"))
+    val r = Workflows.organize(root, project.manifest, settings)
+    assert(r.findings.forall(_._2.severity != "error"), r.findings.toString)
+    assert(r.written.nonEmpty, "organize wrote nothing")
+    // staging models land next to their SQL, split per model
+    val stg = root.resolve("models/staging/stg_customers.yml")
+    assert(Files.exists(stg), "expected per-model YAML at the target path")
+    // documentation content is untouched: the same description text,
+    // and the downstream customers entry still has NO description
+    // (document/refactor would inherit one)
+    val stgDoc = Files.readString(stg)
+    assert(stgDoc.contains("Unique identifier for a customer"))
+    val customersYml = root.resolve("models/customers.yml")
+    assert(Files.exists(customersYml))
+    assert(colDesc(YamlIO.read(customersYml), "customers", "customer_id").isEmpty,
+      "organize must NOT inherit documentation")
+    YamlIO.invalidate()
+  }
+
+  test("document inherits docs in place without moving files") {
+    val root = copyFixture()
+    import spark.implicits._
+    Seq((1, "north"), (2, "south")).toDF("region_id", "region_name")
+      .createOrReplaceTempView("region_lookup")
+    val project = ProjectLoader.load(root.toString)
+    val executor = new ModelExecutor(spark, project)
+    executor.buildAll()
+    val settings = EngineSettings(addProgenitorToMeta = true)
+    val r = Workflows.document(spark, root, executor.manifest, settings)
+    assert(r.findings.forall(_._2.severity != "error"), r.findings.toString)
+    assert(r.written.nonEmpty, "document wrote nothing")
+    // no restructure: the shared schema.yml stays where it was
+    assert(Files.exists(root.resolve("models/schema.yml")))
+    assert(!Files.exists(root.resolve("models/customers.yml")))
+    // downstream customers.customer_id now carries the staged doc
+    assert(colDesc(YamlIO.read(root.resolve("models/schema.yml")),
+      "customers", "customer_id")
+      .contains("Unique identifier for a customer"))
+    YamlIO.invalidate()
+  }
+}
