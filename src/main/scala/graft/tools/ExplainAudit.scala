@@ -26,6 +26,11 @@ object ExplainAudit {
 
     for (name <- names; fn <- SparkEntry.queries.get(name)) {
       val df = fn(spark, sfDir)
+      // execute df's OWN QueryExecution so AQE finalizes: codegen
+      // spans and reused exchanges only exist in the FINAL plan (a
+      // write/count would build a separate execution and leave this
+      // one initial)
+      df.collect()
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       val pushed = "PushedFilters: \\[[^\\]]+\\]".r.findAllIn(plan)
