@@ -550,6 +550,76 @@ object CorpusOps {
   }
 
   // ---------------------------------------------------------------
+  // Tokenizer training (BPE merge learning)
+  // ---------------------------------------------------------------
+
+  /** Apply one BPE merge (l, r) → lr to a symbol array, left-to-right
+    * greedy non-overlapping — the exact application rule
+    * [[graft.functions.Bpe]] uses when counting, expressed as a fold
+    * so both sides of the train/count loop share semantics.
+    */
+  private def applyMerge(syms: Column, l: String, r: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) => when(
+        size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Learn a BPE merges table from the corpus — the training step
+    * whose output feeds [[graft.functions.Bpe]]-style token counting.
+    * Classic algorithm (Sennrich et al. ACL'16): pre-tokenize, count
+    * word frequencies ONCE (the only corpus-scale pass), split words
+    * into characters, then repeatedly (a) count adjacent symbol pairs
+    * weighted by word frequency, (b) take the most frequent pair
+    * (ties: count desc, then pair text asc — deterministic), and
+    * (c) merge it greedily left-to-right in every word.
+    *
+    * Scale shape: the corpus pass is one map-side-combinable word
+    * count; every round then runs over the WORD VOCABULARY (Zipf-
+    * compressed — orders of magnitude smaller than the corpus), with
+    * the pair count a map-side-combinable agg and the argmax a
+    * size-1 TakeOrdered. Each round's vocab is localCheckpoint-ed so
+    * lineage stays flat across `numMerges` rounds (at cluster scale a
+    * checkpoint table plays this role). Returns (rank, left, right,
+    * pair_count) in learned order.
+    */
+  def learnBpeMerges(docs: DataFrame, textCol: String,
+      numMerges: Int): Seq[(Int, String, String, Long)] = {
+    val vocab0 = docs
+      .select(explode(TextFunctions.bpeTokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(split(col("w"), "").as("syms"), col("freq"))
+      .filter(size(col("syms")) > 1)
+    var vocab = vocab0.localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 0
+    var exhausted = false
+    while (rank < numMerges && !exhausted) {
+      val top = vocab
+        .select(col("freq"),
+          explode(arrays_zip(
+            slice(col("syms"), lit(1), size(col("syms")) - 1).as("l"),
+            slice(col("syms"), lit(2), size(col("syms")) - 1).as("r"))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty || top.head.getLong(2) < 2) exhausted = true
+      else {
+        val (l, r, cnt) = (top.head.getString(0), top.head.getString(1),
+          top.head.getLong(2))
+        merges += ((rank, l, r, cnt))
+        vocab = vocab
+          .select(applyMerge(col("syms"), l, r).as("syms"), col("freq"))
+          .filter(size(col("syms")) > 1)
+          .localCheckpoint(true)
+        rank += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  // ---------------------------------------------------------------
   // Train/val/test split
   // ---------------------------------------------------------------
 

@@ -275,6 +275,26 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(agg < stats.getLong(1), "BPE tokens < char count")
   }
 
+  test("learnBpeMerges: hand-computed merges on a toy corpus") {
+    import spark.implicits._
+    import graft.operators.CorpusOps
+    val docs = Seq((1L, "low low lower")).toDF("doc_id", "text")
+    val learned = CorpusOps.learnBpeMerges(docs, "text", numMerges = 10)
+    // pair counts: (l,o)=3 (o,w)=3 (w,e)=1 (e,r)=1 → tie (l,o)<(o,w);
+    // then (lo,w)=3; remaining pairs have count 1 → training stops
+    assert(learned.map { case (k, l, r, c) => (k, l, r, c) } ==
+      Seq((0, "l", "o", 3L), (1, "lo", "w", 3L)))
+  }
+
+  test("learnBpeMerges reproduces the shipped merges table from its corpus") {
+    import graft.operators.CorpusOps
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val learned = CorpusOps.learnBpeMerges(docs, "text", numMerges = 48)
+      .map { case (_, l, r, _) => s"$l $r" }
+    assert(learned == graft.functions.Bpe.Merges.toSeq,
+      s"learned ${learned.take(8)}... vs shipped ${graft.functions.Bpe.Merges.take(8).toSeq}...")
+  }
+
   test("PQ encode: codebook vectors quantize to themselves with zero error") {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, dir)
