@@ -272,8 +272,9 @@ object Similarity {
 
   /** PQ encoding: each vector compressed to `m` centroid codes (the
     * 100 TB storage form — m bytes instead of d floats per vector,
-    * 32× at d=64/m=4/ksub=16 against float32), plus the total
-    * quantization error. codes[j] is the subspace-j centroid index;
+    * 32× at d=64/m=8/ksub=64 against float32; finer m at the same
+    * ratio buys recall — PqRecallSpec measures 0.33 vs 0.13 over
+    * m=4/ksub=16), plus the total quantization error. codes[j] is the subspace-j centroid index;
     * `quant_err` is the summed squared L2 residual (scaled-long sum,
     * so the oracle replays it exactly).
     *

@@ -254,6 +254,33 @@ object RelationalExt2 {
       .orderBy("o_orderstatus")
   }
 
+  /** q44 — relation profiling: per-column stats for a numeric column
+    * set in ONE pass (count / nulls / min / max / exact-decimal mean),
+    * unpivoted to a row per column. The single aggregate computes
+    * every column's stats map-side-combinably — profiling a 100 TB
+    * table costs one scan regardless of how many columns are
+    * profiled; the unpivot of the 1-row aggregate is driver-free
+    * restructuring of a constant-size result.
+    */
+  def q44(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val li = Tables.lineitem(spark, dir)
+    val agg = li.agg(count(lit(1)).as("n_rows"),
+      cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        min(col(c)).as(s"${c}__min"),
+        max(col(c)).as(s"${c}__max"),
+        Det.avg2(col(c)).as(s"${c}__avg"))): _*)
+    val perCol = cols.map(c => struct(lit(c).as("column"),
+      col("n_rows"), col(s"${c}__nulls").as("n_nulls"),
+      col(s"${c}__min").as("min_v"), col(s"${c}__max").as("max_v"),
+      col(s"${c}__avg").as("avg_v")))
+    agg.select(explode(array(perCol: _*)).as("s"))
+      .select(col("s.column"), col("s.n_rows"), col("s.n_nulls"),
+        col("s.min_v"), col("s.max_v"), col("s.avg_v"))
+      .orderBy("column")
+  }
+
   /** Spark-SQL-dialect renderings of the Det helpers (q36 builds its
     * plan via spark.sql, so the deterministic-sum formula has to be
     * emitted as Spark SQL text — same formula as [[Det.sum2]]).
@@ -275,6 +302,7 @@ object RelationalExt2 {
     "q41_except_all" -> q41 _,
     "q42_zorder_key" -> q42 _,
     "q43_hist_quantiles" -> q43 _,
+    "q44_profile" -> q44 _,
   )
 
   val oracles: Map[String, String] = {
@@ -403,6 +431,25 @@ object RelationalExt2 {
            |  ${est("0.5")} AS p50_est,
            |  ${est("0.9")} AS p90_est
            |FROM c GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+      },
+      "q44_profile" -> {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val aggs = cols.map(c =>
+          s"""CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS ${c}__nulls,
+             |    MIN($c) AS ${c}__min, MAX($c) AS ${c}__max,
+             |    ${S.avg2(c)} AS ${c}__avg""".stripMargin).mkString(",\n    ")
+        val rows = cols.map(c =>
+          s"""SELECT '$c' AS "column", n_rows, ${c}__nulls AS n_nulls,
+             |  ${c}__min AS min_v, ${c}__max AS max_v, ${c}__avg AS avg_v
+             |FROM a""".stripMargin).mkString("\nUNION ALL\n")
+        s"""WITH a AS (
+           |  SELECT COUNT(*) AS n_rows,
+           |    $aggs
+           |  FROM lineitem
+           |)
+           |$rows
+           |ORDER BY "column"""".stripMargin
       },
       "q37_lateral_topk" ->
         """SELECT n.n_name, t.c_custkey, t.c_acctbal

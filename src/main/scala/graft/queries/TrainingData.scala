@@ -352,7 +352,7 @@ object TrainingData {
     */
   def annPqEncode(spark: SparkSession, dir: String): DataFrame =
     Similarity.pqEncode(Tables.embeddings(spark, dir), "vec_id", "embedding",
-        m = 4, ksub = 16)
+        m = 8, ksub = 64)
       .orderBy("vec_id")
 
   /** The t33 ADC query ids — three vectors spread across the id
@@ -363,7 +363,7 @@ object TrainingData {
   /** PQ asymmetric-distance top-5 ([[Similarity.pqAdcTopK]]). */
   def annPqAdc(spark: SparkSession, dir: String): DataFrame =
     Similarity.pqAdcTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
-        PqQueryIds, k = 5, m = 4, ksub = 16)
+        PqQueryIds, k = 5, m = 8, ksub = 64)
       .orderBy("query_id", "rank")
 
   /** JSON extraction over the events table. */
@@ -521,39 +521,42 @@ object TrainingData {
   private def cosSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
-  /** 16-dim (one PQ subspace) left-to-right dot fold. */
-  private def dotSubSql(a: String, b: String): String =
-    s"""list_reduce(list_transform(range(1, 17), i ->
+  /** dsub-dim (one PQ subspace) left-to-right dot fold. */
+  private def dotSubSql(a: String, b: String, dsub: Int): String =
+    s"""list_reduce(list_transform(range(1, ${dsub + 1}), i ->
        |      $a[CAST(i AS INT)] * $b[CAST(i AS INT)]), (x, y) -> x + y)""".stripMargin
 
   /** Squared L2 in the |x|²−2x·c+|c|² expansion — identical IEEE op
     * order to [[graft.operators.Similarity]]'s `l2sq`.
     */
-  private def l2sqSql(x: String, c: String): String =
-    s"((${dotSubSql(x, x)} - (2.0 * ${dotSubSql(x, c)})) + ${dotSubSql(c, c)})"
+  private def l2sqSql(x: String, c: String, dsub: Int): String =
+    s"((${dotSubSql(x, x, dsub)} - (2.0 * ${dotSubSql(x, c, dsub)})) + " +
+      s"${dotSubSql(c, c, dsub)})"
 
-  /** Shared PQ replay (m=4, ksub=16, dsub=16): codebook from the 16
-    * smallest-id vectors, per-(vector, subspace) argmin with the
+  /** Shared PQ replay for an m-subspace / ksub-centroid index over
+    * the 64-dim fixture embeddings (dsub = 64/m): codebook from the
+    * ksub smallest-id vectors, per-(vector, subspace) argmin with the
     * (dist, code) tie-break, distances floored to scaled longs —
     * the exact index build both t32 and t33 consume.
     */
-  private def pqCtes: String =
+  private def pqCtes(m: Int, ksub: Int): String = {
+    val dsub = 64 / m
     s"""v AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
        |), c0 AS (
        |  SELECT e, rn - 1 AS code FROM (
        |    SELECT e, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM v) s
-       |  WHERE rn <= 16
+       |  WHERE rn <= $ksub
        |), cs AS (
        |  SELECT code, sub,
-       |    list_slice(e, CAST(sub*16+1 AS INT), CAST(sub*16+16 AS INT)) AS cv
-       |  FROM c0 CROSS JOIN range(0, 4) t(sub)
+       |    list_slice(e, CAST(sub*$dsub+1 AS INT), CAST(sub*$dsub+$dsub AS INT)) AS cv
+       |  FROM c0 CROSS JOIN range(0, $m) t(sub)
        |), sv AS (
        |  SELECT vec_id, sub,
-       |    list_slice(e, CAST(sub*16+1 AS INT), CAST(sub*16+16 AS INT)) AS sv
-       |  FROM v CROSS JOIN range(0, 4) t(sub)
+       |    list_slice(e, CAST(sub*$dsub+1 AS INT), CAST(sub*$dsub+$dsub AS INT)) AS sv
+       |  FROM v CROSS JOIN range(0, $m) t(sub)
        |), d AS (
-       |  SELECT s.vec_id, s.sub, c.code, ${l2sqSql("sv", "cv")} AS dist
+       |  SELECT s.vec_id, s.sub, c.code, ${l2sqSql("sv", "cv", dsub)} AS dist
        |  FROM sv s JOIN cs c USING (sub)
        |), best AS (
        |  SELECT vec_id, sub, code,
@@ -565,6 +568,7 @@ object TrainingData {
        |    FROM d) x
        |  WHERE rn = 1
        |)""".stripMargin
+  }
 
   /** Full index-build + search replay for the IVF path
     * ([[graft.operators.Similarity.ivfTopKAuto]]): adaptive index
@@ -918,17 +922,17 @@ object TrainingData {
           |  CAST(score_scaled AS DOUBLE) / 1000000.0 AS score
           |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
       "t32_pq_encode" ->
-        s"""WITH $pqCtes
+        s"""WITH ${pqCtes(8, 64)}
            |SELECT vec_id, list(code ORDER BY sub) AS codes,
            |  CAST(SUM(dist_scaled) AS DOUBLE) / 1000000.0 AS quant_err
            |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin,
       "t33_pq_adc_topk" ->
-        s"""WITH $pqCtes, q AS (
+        s"""WITH ${pqCtes(8, 64)}, q AS (
            |  SELECT vec_id AS qid, sub, sv AS qv FROM sv
            |  WHERE vec_id IN (0, 7, 42)
            |), lut AS (
            |  SELECT q.qid, q.sub, c.code,
-           |    CAST(FLOOR(${l2sqSql("qv", "cv")} * 1000000.0) AS BIGINT)
+           |    CAST(FLOOR(${l2sqSql("qv", "cv", 8)} * 1000000.0) AS BIGINT)
            |      AS lut_scaled
            |  FROM q JOIN cs c USING (sub)
            |), acc AS (

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+/** PQ-ADC retrieval quality: approximate top-k against the exact
+  * squared-L2 top-k on the fixture, at the shipped m=8/ksub=64
+  * configuration (measured 0.33 here vs 0.13 at the coarser m=4/
+  * ksub=16 — recall scales with m*log2(ksub) bits). The floor
+  * catches regressions in the encode/LUT plumbing (a broken code
+  * join sends recall to ~0, chance is ~0.01); it does not certify
+  * state-of-the-art recall, which needs k-means codebooks.
+  */
+class PqRecallSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.session
+  val dir = "/root/testdata/sf0.001"
+
+  test("ADC top-5 overlaps exact L2 top-5 well above chance") {
+    val emb = Tables.embeddings(spark, dir)
+    val qids = Seq(0L, 7L, 42L)
+    val adc = Similarity.pqAdcTopK(emb, "vec_id", "embedding", qids, k = 5, m = 8, ksub = 64)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // exact squared-L2 top-5 per query (the metric ADC approximates)
+    val e = transform(col("embedding"), x => x.cast("double"))
+    val v = emb.select(col("vec_id"), e.as("e"))
+    val q = v.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    val d2 = Similarity.dot(col("qe"), col("qe")) -
+      lit(2.0) * Similarity.dot(col("qe"), col("e")) +
+      Similarity.dot(col("e"), col("e"))
+    val w = Window.partitionBy("qid").orderBy(col("d2"), col("vec_id"))
+    val exact = q.crossJoin(v).filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"), d2.as("d2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val recall = (adc & exact).size.toDouble / exact.size
+    info(f"ADC top-5 recall vs exact L2: $recall%.2f")
+    // chance level for 5 of 499: ~0.01; the coarse codebook should
+    // land far above it
+    assert(recall >= 0.2, f"ADC recall collapsed: $recall%.2f")
+  }
+}
