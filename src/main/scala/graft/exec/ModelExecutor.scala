@@ -227,6 +227,9 @@ final class ModelExecutor(spark: SparkSession, project: Project,
     val ordered = NodeFilters.topologicalSort(
       compiled.map(n => manifestVar.get(n.uniqueId).get))
     ordered.foreach(materialize)
+    // singular tests compile (full ref/source Jinja) but never
+    // materialize — TestRunner executes their SQL on demand
+    manifestVar.nodes.values.filter(_.resourceType == "test").foreach(compile)
     seeds.map(_.uniqueId) ++ ordered.map(_.uniqueId)
   }
 

@@ -122,5 +122,30 @@ final class TestRunner(spark: SparkSession) {
   }
 
   def runAll(manifest: Manifest): Seq[TestResult] =
-    manifest.models.toSeq.sortBy(_.uniqueId).flatMap(runNodeTests)
+    manifest.models.toSeq.sortBy(_.uniqueId).flatMap(runNodeTests) ++
+      runSingularTests(manifest)
+
+  /** dbt singular tests (.sql files under tests/): arbitrary compiled SELECTs
+    * whose rows ARE the failures. Same never-throws contract as the
+    * generic runner — a broken test reports as an errored FAIL, it
+    * does not crash the run.
+    */
+  def runSingularTests(manifest: Manifest): Seq[TestResult] =
+    manifest.nodes.values.filter(_.resourceType == "test")
+      .toSeq.sortBy(_.uniqueId).map { n =>
+        n.compiledCode match {
+          case Some(sql) =>
+            try {
+              val v = spark.sql(sql).count()
+              TestResult(n.name, None, "singular", passed = v == 0, violations = v)
+            } catch {
+              case e: Exception =>
+                TestResult(n.name, None, "singular", passed = false,
+                  violations = 0, error = Some(e.getMessage))
+            }
+          case None =>
+            TestResult(n.name, None, "singular", passed = false,
+              violations = 0, error = Some("test not compiled"))
+        }
+      }
 }

@@ -165,6 +165,25 @@ object ProjectLoader {
         version = version)
     }
 
+    // singular tests (tests/**/*.sql): dbt semantics — each file is a
+    // SELECT whose ROWS ARE FAILURES; compiled like a model (full
+    // ref/source/var Jinja) but never materialized
+    val testsDir = root.resolve("tests")
+    val testFiles =
+      if (Files.isDirectory(testsDir))
+        Files.walk(testsDir).iterator().asScala.toSeq
+          .filter(p => p.toString.endsWith(".sql")).sortBy(_.toString)
+      else Nil
+    for (p <- testFiles) {
+      val fileName = p.getFileName.toString.stripSuffix(".sql")
+      nodes :+= NodeMeta(
+        uniqueId = s"test.$projectName.$fileName", name = fileName,
+        resourceType = "test", packageName = projectName,
+        fqn = Seq(projectName, "tests", fileName),
+        path = root.relativize(p).toString,
+        rawCode = Files.readString(p))
+    }
+
     // schema yml docs (models/**/*.yml): models/seeds column docs + sources
     val ymlFiles =
       if (Files.isDirectory(modelsDir))

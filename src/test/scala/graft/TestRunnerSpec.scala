@@ -99,6 +99,35 @@ class TestRunnerSpec extends AnyFunSuite {
     assert(byTest("not_null") && byTest("accepted_values"))
   }
 
+  test("singular tests: compiled SELECTs whose rows are failures") {
+    val root = java.nio.file.Files.createTempDirectory("graft_singular")
+    java.nio.file.Files.createDirectories(root.resolve("models"))
+    java.nio.file.Files.createDirectories(root.resolve("seeds"))
+    java.nio.file.Files.createDirectories(root.resolve("tests"))
+    java.nio.file.Files.writeString(root.resolve("dbt_project.yml"), "name: sdemo\n")
+    java.nio.file.Files.writeString(root.resolve("seeds/acct_seed.csv"),
+      "id,balance\n1,10\n2,-5\n3,0\n")
+    java.nio.file.Files.writeString(root.resolve("models/accounts.sql"),
+      "select id, balance from {{ ref('acct_seed') }}\n")
+    // fails: one negative balance exists
+    java.nio.file.Files.writeString(root.resolve("tests/no_negative_balance.sql"),
+      "select * from {{ ref('accounts') }} where balance < 0\n")
+    // passes: ids are unique per construction
+    java.nio.file.Files.writeString(root.resolve("tests/no_huge_balance.sql"),
+      "select * from {{ ref('accounts') }} where balance > {{ var('cap', 1000) }}\n")
+    val project = graft.project.ProjectLoader.load(root.toString)
+    val ex = new graft.exec.ModelExecutor(spark, project)
+    ex.buildAll()
+    val results = new TestRunner(spark).runSingularTests(ex.manifest)
+    assert(results.size == 2, results.toString)
+    val byName = results.map(r => r.nodeName -> r).toMap
+    assert(!byName("no_negative_balance").passed)
+    assert(byName("no_negative_balance").violations == 1)
+    assert(byName("no_huge_balance").passed)
+    // runAll includes them alongside the declared generic tests
+    assert(new TestRunner(spark).runAll(ex.manifest).size == 2)
+  }
+
   test("runNodeTests collects declared tests from column meta") {
     val node = NodeMeta("model.p.nation", "nation", "model",
       columns = ListMap(
