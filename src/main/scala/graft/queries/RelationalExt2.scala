@@ -281,6 +281,38 @@ object RelationalExt2 {
       .orderBy("column")
   }
 
+  /** q45 — string aggregation (LISTAGG/STRING_AGG): per order
+    * priority, the DISTINCT order years joined into one sorted
+    * comma string. `collect_set` keeps bounded per-group state (the
+    * year set, not the row stream) and `sort_array` makes the
+    * unordered aggregation deterministic — the classic way to make
+    * listagg engine-stable.
+    */
+  def q45(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), year(col("o_orderdate")).cast("long").as("y"))
+      .groupBy("o_orderpriority")
+      .agg(concat_ws(",", sort_array(collect_set(col("y")))).as("years_csv"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
+  /** q46 — correlated scalar subquery in the SELECT list: each
+    * nation's max customer balance. Catalyst decorrelates the
+    * subquery into an aggregate + ONE left outer join on the
+    * correlation key — never a per-row re-execution — asserted in
+    * PlanShapeSpec.
+    */
+  def q46(spark: SparkSession, dir: String): DataFrame = {
+    Tables.nation(spark, dir).createOrReplaceTempView("nation_g46")
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_g46")
+    spark.sql(
+      """SELECT n.n_nationkey, n.n_name,
+        |  (SELECT MAX(c.c_acctbal) FROM customer_g46 c
+        |   WHERE c.c_nationkey = n.n_nationkey) AS max_acctbal
+        |FROM nation_g46 n
+        |ORDER BY n.n_nationkey""".stripMargin)
+  }
+
   /** Spark-SQL-dialect renderings of the Det helpers (q36 builds its
     * plan via spark.sql, so the deterministic-sum formula has to be
     * emitted as Spark SQL text — same formula as [[Det.sum2]]).
@@ -303,6 +335,8 @@ object RelationalExt2 {
     "q42_zorder_key" -> q42 _,
     "q43_hist_quantiles" -> q43 _,
     "q44_profile" -> q44 _,
+    "q45_string_agg" -> q45 _,
+    "q46_correlated_scalar" -> q46 _,
   )
 
   val oracles: Map[String, String] = {
@@ -451,6 +485,19 @@ object RelationalExt2 {
            |$rows
            |ORDER BY "column"""".stripMargin
       },
+      "q45_string_agg" ->
+        """SELECT o_orderpriority,
+          |  array_to_string(list_sort(list(DISTINCT CAST(YEAR(o_orderdate) AS BIGINT))), ',')
+          |    AS years_csv,
+          |  COUNT(*) AS n
+          |FROM orders GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin,
+      "q46_correlated_scalar" ->
+        """SELECT n.n_nationkey, n.n_name,
+          |  (SELECT MAX(c.c_acctbal) FROM customer c
+          |   WHERE c.c_nationkey = n.n_nationkey) AS max_acctbal
+          |FROM nation n
+          |ORDER BY n.n_nationkey""".stripMargin,
       "q37_lateral_topk" ->
         """SELECT n.n_name, t.c_custkey, t.c_acctbal
           |FROM nation n

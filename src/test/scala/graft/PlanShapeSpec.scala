@@ -218,6 +218,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(1200))
   }
 
+  test("q46: correlated scalar subquery decorrelates to one aggregate + join") {
+    val plan = planOf(queries.RelationalExt2.q46(spark, dir))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    // decorrelation = the customer side aggregates ONCE on the
+    // correlation key, then joins — a per-row re-execution would show
+    // no aggregate below the join at all
+    assert(plan.contains("HashAggregate"), plan.take(1200))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"), "lost the decorrelated join")
+  }
+
   test("t32/t33: PQ codebook and LUT are broadcast; the code scan never joins vectors") {
     val emb = Tables.embeddings(spark, dir)
     val enc = planOf(operators.Similarity.pqEncode(emb, "vec_id", "embedding", 4, 16))
