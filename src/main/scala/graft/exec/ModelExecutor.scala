@@ -68,7 +68,8 @@ final class ModelExecutor(spark: SparkSession, project: Project,
     var compiled = DbtCompiler.compile(withMacros(node.rawCode), manifestVar, project.vars)
     val materialized = compiled.config.get("materialized").map(_.toString)
       .getOrElse(node.materialized)
-    if (materialized == "incremental" && relationExists(node))
+    val fullRefresh = compiled.config.get("full_refresh").exists(asBool)
+    if (materialized == "incremental" && relationExists(node) && !fullRefresh)
       compiled = DbtCompiler.compile(withMacros(node.rawCode), manifestVar, project.vars,
         incremental = true, thisRelation = Some(node.name))
     val updated = node.copy(
@@ -154,31 +155,98 @@ final class ModelExecutor(spark: SparkSession, project: Project,
     *        Delta MERGE or partition-level insert-overwrite — the
     *        dataflow, an anti-join on the key, is the same).
     */
+  private def asBool(v: Any): Boolean = v match {
+    case b: Boolean => b
+    case s: String => s.equalsIgnoreCase("true")
+    case _ => false
+  }
+
+  /** Project `df` onto `cols`, typing absent columns as null with the
+    * dtype `other` declares for them (on_schema_change alignment).
+    */
+  private def projectTo(df: DataFrame, cols: Seq[String],
+      other: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    df.select(cols.map { name =>
+      if (df.columns.contains(name)) col(name)
+      else lit(null).cast(other.schema(name).dataType).as(name)
+    }: _*)
+  }
+
+  /** dbt `on_schema_change` semantics when an incremental batch's
+    * columns differ from the stored relation's:
+    *  - ignore (default): batch is projected onto the RELATION's
+    *    columns (new columns dropped, missing ones null)
+    *  - append_new_columns: relation gains the batch's new columns
+    *    (null for existing rows); removed columns are kept
+    *  - sync_all_columns: the BATCH's columns win — new added,
+    *    removed dropped
+    *  - fail: refuse the run
+    * Returns (old, batch) on a common schema.
+    */
+  private def alignSchemas(old: DataFrame, batch: DataFrame, mode: String,
+      uid: String): (DataFrame, DataFrame) = {
+    val oldCols = old.columns.toSeq
+    val newCols = batch.columns.toSeq
+    if (oldCols == newCols) (old, batch)
+    else mode match {
+      case "ignore" => (old, projectTo(batch, oldCols, old))
+      case "append_new_columns" =>
+        val all = oldCols ++ newCols.filterNot(oldCols.contains)
+        (projectTo(old, all, batch), projectTo(batch, all, old))
+      case "sync_all_columns" => (projectTo(old, newCols, batch), batch)
+      case "fail" =>
+        throw new IllegalStateException(
+          s"$uid: schema changed (on_schema_change=fail): " +
+            s"relation $oldCols vs batch $newCols")
+      case other =>
+        throw new IllegalArgumentException(
+          s"$uid: unsupported on_schema_change '$other'")
+    }
+  }
+
+  /** Atomic relation replacement: staging write, then move the old
+    * relation ASIDE, staging in, delete the old copy — a crash
+    * mid-swap leaves either the old or the new relation recoverable
+    * on disk, never neither.
+    */
+  private def swapIn(df: DataFrame, node: NodeMeta,
+      path: java.nio.file.Path): Unit = {
+    val staging = java.nio.file.Paths.get(path.toString + "__staging")
+    writeRelation(df, node, staging.toString, "overwrite")
+    val retired = java.nio.file.Paths.get(path.toString + "__retired")
+    deleteRecursively(retired) // leftover from a prior crash
+    Files.move(path, retired)
+    Files.move(staging, path)
+    deleteRecursively(retired)
+  }
+
   private def materializeIncremental(node: NodeMeta, sql: String): Unit = {
     val path = relationDir(node)
+    if (node.config.get("full_refresh").exists(asBool) && relationExists(node))
+      deleteRecursively(path)
     if (!relationExists(node)) {
       writeRelation(spark.sql(sql), node, path.toString, "overwrite")
     } else {
       readRelation(node, path.toString).createOrReplaceTempView(node.name)
-      val newRows = spark.sql(sql)
+      val batch0 = spark.sql(sql)
+      val old0 = readRelation(node, path.toString)
+      val mode = node.config.get("on_schema_change").map(_.toString)
+        .getOrElse("ignore")
+      val changed = old0.columns.toSeq != batch0.columns.toSeq
+      val (old, batch) = alignSchemas(old0, batch0, mode, node.uniqueId)
       node.config.get("unique_key").map(_.toString) match {
         case Some(key) =>
-          val old = readRelation(node, path.toString)
-          val merged = old.join(newRows.select(key).distinct(), Seq(key), "left_anti")
-            .unionByName(newRows.select(old.columns.map(org.apache.spark.sql.functions.col): _*))
-          val staging = java.nio.file.Paths.get(path.toString + "__staging")
-          writeRelation(merged, node, staging.toString, "overwrite")
-          // swap with no window where the relation is absent: move the
-          // old relation ASIDE first, then staging in, then delete the
-          // old copy — a crash mid-swap leaves either the old or the
-          // new relation recoverable on disk, never neither.
-          val retired = java.nio.file.Paths.get(path.toString + "__retired")
-          deleteRecursively(retired) // leftover from a prior crash
-          Files.move(path, retired)
-          Files.move(staging, path)
-          deleteRecursively(retired)
+          val merged = old.join(batch.select(key).distinct(), Seq(key), "left_anti")
+            .unionByName(batch.select(old.columns.map(org.apache.spark.sql.functions.col): _*))
+          swapIn(merged, node, path)
+        case None if !changed =>
+          writeRelation(batch, node, path.toString, "append")
         case None =>
-          writeRelation(newRows, node, path.toString, "append")
+          // schema evolved: parquet/orc appends with mixed schemas read
+          // back inconsistently, so rewrite the relation on the merged
+          // schema instead of appending
+          swapIn(old.unionByName(batch), node, path)
       }
     }
     readRelation(node, path.toString).createOrReplaceTempView(node.name)

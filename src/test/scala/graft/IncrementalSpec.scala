@@ -107,6 +107,77 @@ class IncrementalSpec extends AnyFunSuite {
     assert(got == Seq(1 -> "a", 2 -> "b", 3 -> "c2", 4 -> "d", 5 -> "e"))
   }
 
+  test("full_refresh rebuilds from scratch with is_incremental() false") {
+    val root = Files.createTempDirectory("graft_inc_fr")
+    val work = Files.createTempDirectory("graft_inc_fr_tbl").toString
+    val incSql =
+      """{{ config(materialized='incremental') }}
+        |select id, val from {{ ref('events_seed') }}
+        |{% if is_incremental() %}
+        |where id > (select max(id) from {{ this }})
+        |{% endif %}
+        |""".stripMargin
+    writeProject(root, incSql, Seq("1,a", "2,b", "3,c"))
+    new ModelExecutor(spark, ProjectLoader.load(root.toString), Some(work)).buildAll()
+    assert(spark.table("inc_model").count() == 3)
+    // the seed SHRINKS; full_refresh must rebuild to exactly the new
+    // seed (append/merge would have kept the stale rows)
+    val frSql = incSql.replace("materialized='incremental'",
+      "materialized='incremental', full_refresh=true")
+    writeProject(root, frSql, Seq("1,a", "2,b"))
+    new ModelExecutor(spark, ProjectLoader.load(root.toString), Some(work)).buildAll()
+    val got = spark.table("inc_model").orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(got == Seq(1 -> "a", 2 -> "b"), s"stale rows survived: $got")
+  }
+
+  test("on_schema_change: ignore drops new columns, append_new_columns keeps them") {
+    def run(root: java.nio.file.Path, work: String, sql: String,
+        rows: Seq[String]): Unit = {
+      writeProject(root, sql, rows)
+      new ModelExecutor(spark, ProjectLoader.load(root.toString), Some(work)).buildAll()
+    }
+    def base(cfg: String, extraCol: String): String =
+      """{{ config(materialized='incremental'CFG) }}
+        |select id, valEXTRA from {{ ref('events_seed') }}
+        |{% if is_incremental() %}
+        |where id > (select max(id) from {{ this }})
+        |{% endif %}
+        |""".stripMargin.replace("CFG", cfg).replace("EXTRA", extraCol)
+
+    // ignore (default): the evolved batch projects onto the old schema
+    val r1 = Files.createTempDirectory("graft_osc_ig")
+    val w1 = Files.createTempDirectory("graft_osc_ig_tbl").toString
+    run(r1, w1, base("", ""), Seq("1,a"))
+    run(r1, w1, base("", ", upper(val) as uval"), Seq("1,a", "2,b"))
+    assert(spark.table("inc_model").columns.toSeq == Seq("id", "val"),
+      "ignore must not add the new column")
+    assert(spark.table("inc_model").count() == 2)
+
+    // append_new_columns: new column appears, null for pre-existing rows
+    val r2 = Files.createTempDirectory("graft_osc_ap")
+    val w2 = Files.createTempDirectory("graft_osc_ap_tbl").toString
+    run(r2, w2, base(", on_schema_change='append_new_columns'", ""),
+      Seq("1,a"))
+    run(r2, w2, base(", on_schema_change='append_new_columns'",
+      ", upper(val) as uval"), Seq("1,a", "2,b"))
+    val t2 = spark.table("inc_model").orderBy("id")
+      .collect().map(r => (r.getInt(0), Option(r.getString(2)))).toSeq
+    assert(spark.table("inc_model").columns.toSeq == Seq("id", "val", "uval"))
+    assert(t2 == Seq(1 -> None, 2 -> Some("B")),
+      s"old rows must be null in the new column: $t2")
+
+    // fail: refuse the run on any schema change
+    val r3 = Files.createTempDirectory("graft_osc_f")
+    val w3 = Files.createTempDirectory("graft_osc_f_tbl").toString
+    run(r3, w3, base(", on_schema_change='fail'", ""), Seq("1,a"))
+    val e = intercept[IllegalStateException] {
+      run(r3, w3, base(", on_schema_change='fail'",
+        ", upper(val) as uval"), Seq("1,a", "2,b"))
+    }
+    assert(e.getMessage.contains("schema changed"), e.getMessage)
+  }
+
   test("file_format json: incremental relation lives as JSON across runs") {
     val root = Files.createTempDirectory("graft_inc_json")
     val work = Files.createTempDirectory("graft_inc_json_tbl").toString
