@@ -235,14 +235,34 @@ final class ModelExecutor(spark: SparkSession, project: Project,
         .getOrElse("ignore")
       val changed = old0.columns.toSeq != batch0.columns.toSeq
       val (old, batch) = alignSchemas(old0, batch0, mode, node.uniqueId)
-      node.config.get("unique_key").map(_.toString) match {
-        case Some(key) =>
+      val strategy = node.config.get("incremental_strategy").map(_.toString)
+      (strategy, node.config.get("unique_key").map(_.toString)) match {
+        case (Some("insert_overwrite"), _) =>
+          // dbt-spark's partition-level overwrite: replace exactly the
+          // partitions the batch produced, leave every other partition
+          // untouched — the 100 TB reprocessing pattern (backfill one
+          // day, never rewrite the table). Requires partition_by; the
+          // dataflow is an anti-join on the partition key tuple +
+          // union + swap, which is what dynamic partition overwrite
+          // performs storage-side on a cluster.
+          val pc = partitionCols(node)
+          if (pc.isEmpty) throw new IllegalArgumentException(
+            s"${node.uniqueId}: insert_overwrite requires partition_by")
+          import org.apache.spark.sql.functions.col
+          val kept = old.join(batch.select(pc.map(col): _*).distinct(),
+            pc, "left_anti")
+          swapIn(kept.unionByName(batch.select(old.columns.map(col): _*)),
+            node, path)
+        case (Some(other), _) if other != "append" && other != "merge" =>
+          throw new IllegalArgumentException(
+            s"${node.uniqueId}: unsupported incremental_strategy '$other'")
+        case (_, Some(key)) =>
           val merged = old.join(batch.select(key).distinct(), Seq(key), "left_anti")
             .unionByName(batch.select(old.columns.map(org.apache.spark.sql.functions.col): _*))
           swapIn(merged, node, path)
-        case None if !changed =>
+        case (_, None) if !changed =>
           writeRelation(batch, node, path.toString, "append")
-        case None =>
+        case (_, None) =>
           // schema evolved: parquet/orc appends with mixed schemas read
           // back inconsistently, so rewrite the relation on the merged
           // schema instead of appending

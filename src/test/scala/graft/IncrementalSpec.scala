@@ -178,6 +178,40 @@ class IncrementalSpec extends AnyFunSuite {
     assert(e.getMessage.contains("schema changed"), e.getMessage)
   }
 
+  test("insert_overwrite replaces only the batch's partitions") {
+    val root = Files.createTempDirectory("graft_inc_io")
+    val work = Files.createTempDirectory("graft_inc_io_tbl").toString
+    // partition column = day; model passes the seed through
+    val sql =
+      """{{ config(materialized='incremental',
+        |          incremental_strategy='insert_overwrite',
+        |          partition_by='day') }}
+        |select id, val, day from {{ ref('events_seed') }}
+        |{% if is_incremental() %}
+        |where day >= 2
+        |{% endif %}
+        |""".stripMargin
+    def writeP(rows: Seq[String]): Unit = {
+      Files.createDirectories(root.resolve("models"))
+      Files.createDirectories(root.resolve("seeds"))
+      Files.writeString(root.resolve("dbt_project.yml"), "name: iodemo\n")
+      Files.writeString(root.resolve("seeds/events_seed.csv"),
+        ("id,val,day" +: rows).mkString("\n") + "\n")
+      Files.writeString(root.resolve("models/inc_model.sql"), sql)
+    }
+    writeP(Seq("1,a,1", "2,b,1", "3,c,2"))
+    new ModelExecutor(spark, ProjectLoader.load(root.toString), Some(work)).buildAll()
+    assert(spark.table("inc_model").count() == 3)
+    // day-2 data is REVISED (3 dropped, 4-5 added) and day 3 appears;
+    // day 1 must survive untouched, day 2 must be fully replaced
+    writeP(Seq("1,zzz,1", "4,d,2", "5,e,2", "6,f,3"))
+    new ModelExecutor(spark, ProjectLoader.load(root.toString), Some(work)).buildAll()
+    val got = spark.table("inc_model").orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(got == Seq(1 -> "a", 2 -> "b", 4 -> "d", 5 -> "e", 6 -> "f"),
+      s"day-1 rows must keep their ORIGINAL values, day-2 fully replaced: $got")
+  }
+
   test("file_format json: incremental relation lives as JSON across runs") {
     val root = Files.createTempDirectory("graft_inc_json")
     val work = Files.createTempDirectory("graft_inc_json_tbl").toString
