@@ -67,6 +67,35 @@ object Similarity {
     call_function("lsh_bucket",
       transform(vecCol, x => x.cast("double")), lit(planes))
 
+  /** Sign-LSH plane count sized from the data: the smallest p in
+    * [minPlanes, 24] with n <= targetBucket·2^p, i.e. expected bucket
+    * occupancy <= targetBucket. At FIXED planes the per-bucket join
+    * cost is (n/2^p)² per bucket × 2^p buckets = n²/2^p — quadratic
+    * in n (measured 13× at 10× vectors with p=8); growing p with
+    * log2(n) pins occupancy and makes the join linear in n at the
+    * documented recall trade. Pure-integer doubling ladder, replayed
+    * verbatim by the oracle's CASE ladder (no float log2 at either
+    * engine).
+    */
+  def planesFor(n: Long, targetBucket: Int = 30, minPlanes: Int = 8): Int = {
+    var p = minPlanes
+    while (p < 24 && n > (targetBucket.toLong << p)) p += 1
+    p
+  }
+
+  /** [[lshTopK]] with [[planesFor]]-sized planes (one metadata-cheap
+    * `count()`, same pattern as [[ivfTopKAuto]]).
+    */
+  def lshTopKAuto(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      targetBucket: Int = 30, minPlanes: Int = 8): DataFrame =
+    lshTopK(emb, idCol, vecCol, k, planesFor(emb.count(), targetBucket, minPlanes))
+
+  /** [[lshNearDupPairs]] with [[planesFor]]-sized planes. */
+  def lshNearDupPairsAuto(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, targetBucket: Int = 30, minPlanes: Int = 8): DataFrame =
+    lshNearDupPairs(emb, idCol, vecCol, threshold,
+      planesFor(emb.count(), targetBucket, minPlanes))
+
   /** Approximate top-k: bucket by sign-random-projection, exact search
     * within each bucket. Recall < 1 by construction; the scale win is
     * that the join is per-bucket instead of all-pairs. Multi-probe

@@ -127,8 +127,8 @@ object TrainingData {
     * exactly — recall vs brute force is asserted in ScalaTest.
     */
   def annLshTopK(spark: SparkSession, dir: String): DataFrame =
-    Similarity.lshTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
-        k = 3, planes = 8)
+    Similarity.lshTopKAuto(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        k = 3)
       .orderBy("vec_id", "rank")
 
   /** IVF approximate top-3: deterministic sampled coarse quantizer,
@@ -155,8 +155,8 @@ object TrainingData {
     * bucketed contract exactly: cosine >= 0.5 AND same bucket.
     */
   def embNearDupLsh(spark: SparkSession, dir: String): DataFrame =
-    Similarity.lshNearDupPairs(Tables.embeddings(spark, dir), "vec_id", "embedding",
-        threshold = 0.3, planes = 8)
+    Similarity.lshNearDupPairsAuto(Tables.embeddings(spark, dir), "vec_id",
+        "embedding", threshold = 0.3)
       .orderBy("id_a", "id_b")
 
   /** Multimodal payload plumbing: binary column + metadata + fake
@@ -1005,6 +1005,10 @@ object TrainingData {
       "t09_ann_lsh_topk" ->
         """WITH v AS (
           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+          |), params AS (
+          |  SELECT COUNT(*) AS n FROM v
+          |), pl AS (
+          |  SELECT CASE WHEN n <= 7680 THEN 8 WHEN n <= 15360 THEN 9 WHEN n <= 30720 THEN 10 WHEN n <= 61440 THEN 11 WHEN n <= 122880 THEN 12 WHEN n <= 245760 THEN 13 WHEN n <= 491520 THEN 14 WHEN n <= 983040 THEN 15 WHEN n <= 1966080 THEN 16 WHEN n <= 3932160 THEN 17 WHEN n <= 7864320 THEN 18 WHEN n <= 15728640 THEN 19 WHEN n <= 31457280 THEN 20 WHEN n <= 62914560 THEN 21 WHEN n <= 125829120 THEN 22 WHEN n <= 251658240 THEN 23 ELSE 24 END AS planes FROM params
           |), proj AS (
           |  SELECT vec_id, p,
           |    list_reduce(list_transform(range(1, 65), i ->
@@ -1013,7 +1017,7 @@ object TrainingData {
           |                 >= 2147483648
           |            THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)),
           |      (x, y) -> x + y) AS pr
-          |  FROM v, range(0, 8) t(p)
+          |  FROM v, pl, range(0, 24) t(p) WHERE t.p < pl.planes
           |), bkt AS (
           |  SELECT vec_id,
           |    CAST(SUM(CASE WHEN pr >= 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS bucket
@@ -1082,6 +1086,10 @@ object TrainingData {
       "t13_emb_near_dup_lsh" ->
         """WITH v AS (
           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+          |), params AS (
+          |  SELECT COUNT(*) AS n FROM v
+          |), pl AS (
+          |  SELECT CASE WHEN n <= 7680 THEN 8 WHEN n <= 15360 THEN 9 WHEN n <= 30720 THEN 10 WHEN n <= 61440 THEN 11 WHEN n <= 122880 THEN 12 WHEN n <= 245760 THEN 13 WHEN n <= 491520 THEN 14 WHEN n <= 983040 THEN 15 WHEN n <= 1966080 THEN 16 WHEN n <= 3932160 THEN 17 WHEN n <= 7864320 THEN 18 WHEN n <= 15728640 THEN 19 WHEN n <= 31457280 THEN 20 WHEN n <= 62914560 THEN 21 WHEN n <= 125829120 THEN 22 WHEN n <= 251658240 THEN 23 ELSE 24 END AS planes FROM params
           |), proj AS (
           |  SELECT vec_id, p,
           |    list_reduce(list_transform(range(1, 65), i ->
@@ -1090,7 +1098,7 @@ object TrainingData {
           |                 >= 2147483648
           |            THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)),
           |      (x, y) -> x + y) AS pr
-          |  FROM v, range(0, 8) t(p)
+          |  FROM v, pl, range(0, 24) t(p) WHERE t.p < pl.planes
           |), bkt AS (
           |  SELECT vec_id,
           |    CAST(SUM(CASE WHEN pr >= 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS bucket
