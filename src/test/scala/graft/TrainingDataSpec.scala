@@ -286,6 +286,60 @@ class TrainingDataSpec extends AnyFunSuite {
       Seq((0, "l", "o", 3L), (1, "lo", "w", 3L)))
   }
 
+  test("learnBpeMerges: randomized differential vs a driver-side reference") {
+    import spark.implicits._
+    import graft.operators.CorpusOps
+    // driver-side reference: same vocab counting, same (count desc,
+    // pair asc) tie-break, same greedy left-to-right merge
+    def reference(words: Seq[String], numMerges: Int): Seq[(String, String, Long)] = {
+      var vocab: Map[Vector[String], Long] = words.groupBy(identity).view
+        .mapValues(_.size.toLong).toMap
+        .map { case (w, f) => w.toVector.map(_.toString) -> f }
+        .filter(_._1.size > 1)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      var done = false
+      while (out.size < numMerges && !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((syms, f) <- vocab; i <- 0 until syms.size - 1)
+          counts((syms(i), syms(i + 1))) =
+            counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
+        val best = counts.toSeq
+          .sortBy { case ((l, r), c) => (-c, l, r) }.headOption
+        best match {
+          case Some(((l, r), c)) if c >= 2 =>
+            out += ((l, r, c))
+            vocab = vocab.map { case (syms, f) =>
+              val b = Vector.newBuilder[String]
+              var i = 0
+              while (i < syms.size) {
+                if (i < syms.size - 1 && syms(i) == l && syms(i + 1) == r) {
+                  b += (l + r); i += 2
+                } else { b += syms(i); i += 1 }
+              }
+              b.result() -> f
+            }.groupBy(_._1).view.mapValues(_.values.sum).toMap
+              .filter(_._1.size > 1)
+          case _ => done = true
+        }
+      }
+      out.toSeq
+    }
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 3) {
+      val alphabet = "abcd"
+      val words = Seq.fill(120)(
+        (0 until (2 + rnd.nextInt(5)))
+          .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+      val docs = words.grouped(10).zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+        .toDF("doc_id", "text")
+      val got = CorpusOps.learnBpeMerges(docs, "text", numMerges = 6)
+        .map { case (_, l, r, c) => (l, r, c) }
+      val want = reference(words, 6)
+      assert(got == want, s"trial $trial: $got vs $want")
+    }
+  }
+
   test("learnBpeMerges reproduces the shipped merges table from its corpus") {
     import graft.operators.CorpusOps
     val docs = Tables.documents(spark, "/root/testdata/sf0.01")
