@@ -131,6 +131,20 @@ object Cli {
       }
       spark.stop()
 
+    // One-pass relation profile (rows, nulls, approx distinct,
+    // min/max per column) over a built project relation.
+    case "profile" :: dir :: relation :: Nil =>
+      val spark = session()
+      val project = ProjectLoader.load(dir)
+      new ModelExecutor(spark, project).buildAll()
+      val rows = graft.core.Introspection.profileRelation(spark, relation)
+      println(f"${"column"}%-28s ${"type"}%-12s ${"rows"}%12s ${"nulls"}%10s ${"~distinct"}%10s  min / max")
+      rows.foreach { p =>
+        println(f"${p.column}%-28s ${p.dtype}%-12s ${p.nRows}%12d ${p.nNulls}%10d " +
+          f"${p.approxDistinct}%10d  ${p.min.getOrElse("-")} / ${p.max.getOrElse("-")}")
+      }
+      spark.stop()
+
     // Scoped half-pipelines (reference `yaml organize` / `yaml
     // document`, cli/main.py:492-570): layout moves without touching
     // docs, and doc inheritance without moving files.
@@ -267,7 +281,7 @@ object Cli {
 
     case _ =>
       System.err.println(
-        "usage: graft.Cli build|run-sql|inherit|test|lint|diff|refactor|organize|document|catalog <projectDir> [args] | curate <sfDir> <outDir>")
+        "usage: graft.Cli build|run-sql|inherit|test|lint|diff|refactor|organize|document|catalog|profile <projectDir> [args] | curate <sfDir> <outDir>")
       sys.exit(2)
   }
 }

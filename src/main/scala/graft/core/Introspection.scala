@@ -114,4 +114,40 @@ object Introspection {
   def generateCatalog(spark: SparkSession, tables: Seq[String],
       settings: EngineSettings): Map[String, Seq[IntrospectedColumn]] =
     tables.map(t => t -> getColumns(spark, t, settings).values.toSeq).toMap
+
+  /** Per-column profile of a relation in ONE pass: row count, null
+    * count, approximate distinct count (HLL), and min/max rendered as
+    * strings (type-uniform output; q44 is the exact-oracle numeric
+    * variant). All metrics are map-side-combinable aggregates of a
+    * single scan — profiling cost is one read of the table no matter
+    * how many columns it has.
+    */
+  final case class ColumnProfile(column: String, dtype: String,
+      nRows: Long, nNulls: Long, approxDistinct: Long,
+      min: Option[String], max: Option[String])
+
+  def profileRelation(spark: SparkSession,
+      relation: String): Seq[ColumnProfile] = {
+    import org.apache.spark.sql.functions._
+    val df = spark.table(relation)
+    val fields = df.schema.fields.toSeq
+    if (fields.isEmpty) return Nil
+    val aggs = count(lit(1)).as("__n") +: fields.flatMap { f =>
+      val c = col(f.name)
+      Seq(
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}__nulls"),
+        approx_count_distinct(c).as(s"${f.name}__dist"),
+        min(c).cast("string").as(s"${f.name}__min"),
+        max(c).cast("string").as(s"${f.name}__max"))
+    }
+    val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    fields.map { f =>
+      ColumnProfile(f.name, f.dataType.simpleString,
+        nRows = r.getAs[Long]("__n"),
+        nNulls = r.getAs[Long](s"${f.name}__nulls"),
+        approxDistinct = r.getAs[Long](s"${f.name}__dist"),
+        min = Option(r.getAs[String](s"${f.name}__min")),
+        max = Option(r.getAs[String](s"${f.name}__max")))
+    }
+  }
 }

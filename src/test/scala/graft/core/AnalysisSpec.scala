@@ -304,4 +304,22 @@ class AnalysisSpec extends AnyFunSuite {
     assert(forStatus.exists(_.test.startsWith("accepted_values")))
     assert(forStatus.forall(_.confidence == 0.5)) // heuristic fallback
   }
+
+  test("profileRelation: one-pass per-column stats with hand-computed values") {
+    val spark = graft.TestSpark.session
+    import spark.implicits._
+    Seq((1L, Some("a"), 1.5), (2L, None, -2.0), (3L, Some("b"), 1.5))
+      .toDF("id", "tag", "score").createOrReplaceTempView("profile_demo")
+    val p = Introspection.profileRelation(spark, "profile_demo")
+      .map(c => c.column -> c).toMap
+    assert(p.keySet == Set("id", "tag", "score"))
+    assert(p("id").nRows == 3 && p("id").nNulls == 0)
+    assert(p("id").min.contains("1") && p("id").max.contains("3"))
+    assert(p("tag").nNulls == 1)
+    assert(p("tag").min.contains("a") && p("tag").max.contains("b"))
+    assert(p("score").min.contains("-2.0") && p("score").max.contains("1.5"))
+    // HLL is exact at this cardinality
+    assert(p("id").approxDistinct == 3 && p("tag").approxDistinct == 2)
+    assert(p("score").approxDistinct == 2)
+  }
 }
