@@ -28,7 +28,9 @@ def canon(con, rel):
     for row in df.itertuples(index=False):
         cells = []
         for v in row:
-            if v is None or (isinstance(v, float) and v != v):
+            # None, float NaN, and pandas NaT all render as NULL
+            # (iterables are never NA; v != v is the scalar NaN test)
+            if v is None or (not hasattr(v, "__iter__") and v != v):
                 cells.append("NULL")
             elif hasattr(v, "strftime"):
                 cells.append(v.strftime("%Y-%m-%d %H:%M:%S"))
