@@ -119,6 +119,40 @@ object Similarity {
       .select("vec_id", "rank", "neighbor_id", "cosine_sim")
   }
 
+  /** Multi-probe sign-LSH top-k: each query additionally probes the
+    * `planes` buckets at Hamming distance 1 from its own (one sign
+    * bit flipped) — the standard recall-raiser for sign-LSH
+    * (Lv et al. VLDB'07): near-miss neighbors usually differ in
+    * exactly one marginal hyperplane sign. The plan shape is
+    * UNCHANGED — still an equi-join on the bucket key — only the
+    * probe side fans out ×(planes+1); the indexed side is untouched,
+    * so at 100 TB the cost is per-query, not per-corpus. A pair can
+    * collide through several probes, so candidates dedup (distinct on
+    * the pair) before ranking.
+    */
+  def lshTopKMultiProbe(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, planes: Int = 8): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val e = transform(col(vecCol), x => x.cast("double"))
+    val v = emb.select(col(idCol).as("id"), e.as("e"), norm(e).as("n"),
+      call_function("lsh_bucket", e, lit(planes)).as("bucket"))
+    val probeSet = array(lit(0L) +: (0 until planes).map(i => lit(1L << i)): _*)
+    val probes = v.select(col("id").as("qid"), col("e").as("qe"),
+      col("n").as("qn"),
+      explode(transform(probeSet,
+        m => col("bucket").bitwiseXOR(m))).as("bucket"))
+    val pairs = probes.join(v,
+        probes("bucket") === v("bucket") && col("qid") =!= col("id"))
+      .select(col("qid").as("vec_id"), col("id").as("neighbor_id"),
+        (dot(col("qe"), col("e")) / (col("qn") * col("n"))).as("cosine_sim"))
+      .distinct()
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cosine_sim").desc, col("neighbor_id"))
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("vec_id", "rank", "neighbor_id", "cosine_sim")
+  }
+
   /** IVF (inverted-file) approximate top-k: the other standard ANN
     * decomposition next to [[lshTopK]] (ref north star: SURVEY §2B
     * similarity-search row; structure follows the published IVF-flat

@@ -171,6 +171,24 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(recall > 0.1, s"sign-LSH(4 planes) top-1 recall $recall")
   }
 
+  test("multi-probe LSH strictly improves top-1 recall over single-probe") {
+    val emb = Tables.embeddings(spark, dir)
+    import org.apache.spark.sql.functions._
+    def top1(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.filter(col("rank") === 1).select("vec_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = top1(Similarity.bruteForceTopK(emb, "vec_id", "embedding", 1))
+    val single = top1(Similarity.lshTopK(emb, "vec_id", "embedding", 1, 8))
+    val multi = top1(Similarity.lshTopKMultiProbe(emb, "vec_id", "embedding", 1, 8))
+    val rs = (exact & single).size.toDouble / exact.size
+    val rm = (exact & multi).size.toDouble / exact.size
+    info(f"top-1 recall: single-probe $rs%.2f, multi-probe $rm%.2f")
+    assert(rm > rs, f"multi-probe must beat single-probe: $rm%.2f vs $rs%.2f")
+    // every single-probe answer stays available to multi-probe (the
+    // probe set is a superset), so coverage can only grow
+    assert(multi.size >= single.size)
+  }
+
   test("IVF ANN recalls a quarter of brute-force top-3 at 12% probe volume") {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, dir)
