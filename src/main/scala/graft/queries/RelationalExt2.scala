@@ -313,6 +313,28 @@ object RelationalExt2 {
         |ORDER BY n.n_nationkey""".stripMargin)
   }
 
+  /** q47 — time-RANGE window frame: each order's rolling 30-day
+    * customer spend (RANGE BETWEEN INTERVAL ... PRECEDING — value-
+    * based framing over timestamps, which q18's ROWS frames cannot
+    * express: ties and gaps in time change the frame, not the row
+    * count). Partitioned per customer so every frame scan is one
+    * entity's bounded history; the sum accumulates in DECIMAL
+    * (order-independent) and rounds via the Det formula, so the
+    * oracle hash-matches.
+    */
+  def q47(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_g47")
+    spark.sql(
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) * 100 + 0.5) / 100 AS rolling_30d
+        |FROM orders_g47
+        |WHERE o_custkey <= 200
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin)
+  }
+
   /** Spark-SQL-dialect renderings of the Det helpers (q36 builds its
     * plan via spark.sql, so the deterministic-sum formula has to be
     * emitted as Spark SQL text — same formula as [[Det.sum2]]).
@@ -337,6 +359,7 @@ object RelationalExt2 {
     "q44_profile" -> q44 _,
     "q45_string_agg" -> q45 _,
     "q46_correlated_scalar" -> q46 _,
+    "q47_range_frame" -> q47 _,
   )
 
   val oracles: Map[String, String] = {
@@ -498,6 +521,15 @@ object RelationalExt2 {
           |   WHERE c.c_nationkey = n.n_nationkey) AS max_acctbal
           |FROM nation n
           |ORDER BY n.n_nationkey""".stripMargin,
+      "q47_range_frame" ->
+        """SELECT o_custkey, o_orderkey, o_orderdate,
+          |  FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+          |    PARTITION BY o_custkey ORDER BY o_orderdate
+          |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+          |    AS DOUBLE) * 100 + 0.5) / 100 AS rolling_30d
+          |FROM orders
+          |WHERE o_custkey <= 200
+          |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
       "q37_lateral_topk" ->
         """SELECT n.n_name, t.c_custkey, t.c_acctbal
           |FROM nation n
