@@ -366,6 +366,24 @@ object TrainingData {
         PqQueryIds, k = 5, m = 8, ksub = 64)
       .orderBy("query_id", "rank")
 
+  /** BPE tokenizer TRAINING under the oracle gate
+    * ([[CorpusOps.learnBpeMerges]], first 3 merges): the oracle
+    * unrolls three full rounds — pair counting over the character
+    * vocabulary, the (count desc, pair asc) argmax, and the greedy
+    * left-to-right merge application via the same separator-replace
+    * fixpoint [[graft.functions.Bpe.oracleSql]] uses — so the gate
+    * checks the training loop itself, not a fixture coincidence. The
+    * distributed trainer's rounds 4..48 are covered by the
+    * shipped-table reproduction + randomized differential tests.
+    */
+  def docBpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    CorpusOps.learnBpeMerges(Tables.documents(spark, dir), "text", numMerges = 3)
+      .toDF("rank", "lhs", "rhs", "pair_count")
+      .select(col("rank").cast("long"), col("lhs"), col("rhs"), col("pair_count"))
+      .orderBy("rank")
+  }
+
   /** JSON extraction over the events table. */
   def eventsJson(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -411,6 +429,7 @@ object TrainingData {
     "t31_split_shuffle" -> docSplits _,
     "t32_pq_encode" -> annPqEncode _,
     "t33_pq_adc_topk" -> annPqAdc _,
+    "t34_bpe_train" -> docBpeTrain _,
   )
 
   /** Shared DuckDB CTE fragment: per-doc word-trigram shingle sets,
@@ -643,6 +662,50 @@ object TrainingData {
        |FROM jac j JOIN ham h ON j.id_a = h.id_a AND j.id_b = h.id_b
        |WHERE h.hamming <= $maxHamming
        |ORDER BY j.id_a, j.id_b""".stripMargin
+
+
+  /** Three fully-unrolled BPE training rounds in DuckDB (see
+    * [[docBpeTrain]]): per round, pair counts weighted by word
+    * frequency, the (count desc, pair asc) argmax, and the greedy
+    * merge via a 5-deep separator-replace fixpoint.
+    */
+  private def bpeTrainOracleSql: String = {
+    val pat = TextFunctions.BpePattern.replace("'", "''")
+    def roundCtes(i: Int): String = {
+      val prev = s"v${i - 1}"
+      val joined = "chr(1) || array_to_string(ls, chr(1)) || chr(1)"
+      val rep = (1 to 5).foldLeft(joined) { (acc, _) =>
+        s"replace($acc, chr(1)||b.l||chr(1)||b.r||chr(1), chr(1)||b.l||b.r||chr(1))"
+      }
+      s""", c$i AS (
+         |  SELECT p[1] AS l, p[2] AS r, CAST(SUM(f) AS BIGINT) AS cnt
+         |  FROM (
+         |    SELECT unnest(list_transform(range(1, len(ls)), j ->
+         |      [ls[CAST(j AS INT)], ls[CAST(j AS INT)+1]])) AS p, f
+         |    FROM $prev WHERE len(ls) > 1) t
+         |  GROUP BY 1, 2
+         |), b$i AS (
+         |  SELECT l, r, cnt FROM c$i WHERE cnt >= 2
+         |  ORDER BY cnt DESC, l, r LIMIT 1
+         |), v$i AS (
+         |  SELECT list_filter(string_split($rep, chr(1)), x -> x <> '') AS ls, f
+         |  FROM $prev, b$i AS b
+         |)""".stripMargin
+    }
+    s"""WITH words AS (
+       |  SELECT unnest(regexp_extract_all(text, '$pat')) AS w FROM documents
+       |), vocab AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM words GROUP BY w
+       |), v0 AS (
+       |  SELECT regexp_extract_all(w, '.') AS ls, f FROM vocab WHERE len(w) > 1
+       |)${roundCtes(1)}${roundCtes(2)}${roundCtes(3)}
+       |SELECT * FROM (
+       |  SELECT CAST(0 AS BIGINT) AS rank, l AS lhs, r AS rhs,
+       |    cnt AS pair_count FROM b1
+       |  UNION ALL SELECT 1, l, r, cnt FROM b2
+       |  UNION ALL SELECT 2, l, r, cnt FROM b3) x
+       |ORDER BY rank""".stripMargin
+  }
 
   val oracles: Map[String, String] = {
     import TextFunctions.{Sql => T}
@@ -926,6 +989,7 @@ object TrainingData {
            |SELECT vec_id, list(code ORDER BY sub) AS codes,
            |  CAST(SUM(dist_scaled) AS DOUBLE) / 1000000.0 AS quant_err
            |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+      "t34_bpe_train" -> bpeTrainOracleSql,
       "t33_pq_adc_topk" ->
         s"""WITH ${pqCtes(8, 64)}, q AS (
            |  SELECT vec_id AS qid, sub, sv AS qv FROM sv
