@@ -124,16 +124,21 @@ object RelationalExt2 {
     * deterministic despite unordered aggregation), with array length
     * and membership predicates. The collect_set is a hash aggregate
     * whose state is the small distinct-year set, not the row stream —
-    * bounded per group, map-side combinable.
+    * bounded per group, map-side combinable. The final projection
+    * serializes the array as a comma-joined string because the
+    * driver's comparator row-sorts by every column and pandas cannot
+    * sort array cells; `collect_set`/`sort_array`/`array_contains`
+    * stay the operators under test.
     */
   def q38(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .select(col("o_custkey"), year(col("o_orderdate")).cast("long").as("y"))
       .groupBy("o_custkey")
-      .agg(sort_array(collect_set(col("y"))).as("years"))
-      .select(col("o_custkey"), col("years"),
-        size(col("years")).cast("long").as("n_years"),
-        array_contains(col("years"), lit(1995L)).as("active_1995"))
+      .agg(sort_array(collect_set(col("y"))).as("years_arr"))
+      .select(col("o_custkey"),
+        concat_ws(",", col("years_arr").cast("array<string>")).as("years"),
+        size(col("years_arr")).cast("long").as("n_years"),
+        array_contains(col("years_arr"), lit(1995L)).as("active_1995"))
       .orderBy("o_custkey")
 
   /** q39 — time-series resampling: gap-fill to a dense monthly
@@ -411,7 +416,9 @@ object RelationalExt2 {
            |ORDER BY m""".stripMargin,
       "q38_array_agg" ->
         """SELECT o_custkey,
-          |  list_sort(list(DISTINCT CAST(YEAR(o_orderdate) AS BIGINT))) AS years,
+          |  array_to_string(
+          |    list_sort(list(DISTINCT CAST(YEAR(o_orderdate) AS BIGINT))), ',')
+          |    AS years,
           |  CAST(len(list(DISTINCT YEAR(o_orderdate))) AS BIGINT) AS n_years,
           |  list_contains(list(DISTINCT CAST(YEAR(o_orderdate) AS BIGINT)), 1995)
           |    AS active_1995

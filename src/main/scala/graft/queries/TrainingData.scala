@@ -353,6 +353,12 @@ object TrainingData {
   def annPqEncode(spark: SparkSession, dir: String): DataFrame =
     Similarity.pqEncode(Tables.embeddings(spark, dir), "vec_id", "embedding",
         m = 8, ksub = 64)
+      // Gate wiring only: serialize the code array because the driver's
+      // comparator row-sorts by every column and pandas cannot sort
+      // array cells. pqEncode itself keeps the array codes.
+      .select(col("vec_id"),
+        concat_ws(",", col("codes").cast("array<string>")).as("codes"),
+        col("quant_err"))
       .orderBy("vec_id")
 
   /** The t33 ADC query ids — three vectors spread across the id
@@ -986,7 +992,8 @@ object TrainingData {
           |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
       "t32_pq_encode" ->
         s"""WITH ${pqCtes(8, 64)}
-           |SELECT vec_id, list(code ORDER BY sub) AS codes,
+           |SELECT vec_id,
+           |  string_agg(CAST(code AS VARCHAR), ',' ORDER BY sub) AS codes,
            |  CAST(SUM(dist_scaled) AS DOUBLE) / 1000000.0 AS quant_err
            |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin,
       "t34_bpe_train" -> bpeTrainOracleSql,

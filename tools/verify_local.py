@@ -24,6 +24,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def canon(con, rel):
     df = rel.fetchdf()
     df = df[sorted(df.columns)]
+    # Driver parity: the driver sorts rows by ALL columns before hashing
+    # (and therefore crashes on array cells exactly like the driver does
+    # — that crash is the signal this replica exists to reproduce).
+    if len(df.columns):
+        df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     lines = []
     for row in df.itertuples(index=False):
         cells = []
