@@ -36,15 +36,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * strictly earlier rules, so no merge can make a LOWER-ranked pair
   * newly adjacent (a new adjacency always involves the just-created
   * symbol, whose rules rank later). Applying rules strictly in rank
-  * order, each to fixpoint, is therefore equivalent to the min-rank
-  * loop. Each rank-r step is a plain string replace over a
-  * separator-delimited symbol string: `SEP x SEP y SEP -> SEP xy SEP`
-  * with SEP = chr(1); SQL `replace` is leftmost non-overlapping
-  * exactly like the reference merge pass, and repeating it to
-  * fixpoint (log2(maxRun) nested calls suffice) handles runs of the
-  * same pair ("aaaa" -> "aa","aa", not "aa","a","a"). Word reps are
-  * concatenated directly: the doubled separator at each boundary can
-  * never match a `SEP x SEP y SEP` pattern, so merges never cross
+  * order, each as ONE greedy left-to-right pass, is therefore
+  * equivalent to the min-rank loop (a greedy pass removes every
+  * (x,y) adjacency, and merges never recreate one: a new adjacency
+  * always involves the just-created symbol, whose rules rank later).
+  * Each rank-r step is a `list_reduce` fold over the chr(1)-split
+  * symbol string — merge when the accumulator ends with `SEP x` and
+  * the next element is `y` — the EXACT left-to-right greedy
+  * semantics of [[tokensInWord]]'s merge pass, including runs of the
+  * same pair ("aaaaa" -> "aa","aa","a", leftover LAST — a global
+  * `replace` fixpoint gets odd runs wrong: "aa","a","aa"). Word
+  * boundaries are doubled separators, which split into empty
+  * elements; an empty element can never equal `y` and leaves the
+  * accumulator ending in a bare SEP, so merges never cross
   * pre-token boundaries.
   */
 object Bpe {
@@ -150,18 +154,22 @@ object Bpe {
   }
 
   /** DuckDB replay of the full tokenizer for table `tbl` (see object
-    * Scaladoc for the equivalence argument). `fixpointDepth` nested
-    * replaces per rank handle same-pair runs up to 2^depth symbols;
-    * the fixture's longest pre-token is 8 chars, so 5 is generous.
+    * Scaladoc for the equivalence argument). Each rank applies as a
+    * `list_reduce` greedy fold over the chr(1)-split symbols — the
+    * split's leading empty element (the string always starts with a
+    * separator) is the fold's natural sentinel accumulator, and the
+    * rebuilt string keeps the exact separator layout, so the
+    * token-count arithmetic below is unchanged.
     */
-  def oracleSql(tbl: String, fixpointDepth: Int = 5): String = {
+  def oracleSql(tbl: String): String = {
     val pat = TextFunctions.BpePattern.replace("'", "''")
     val values = pairs.zipWithIndex
       .map { case ((x, y), i) => s"(${i + 1}, '$x', '$y')" }
       .mkString(", ")
-    val step = (1 to fixpointDepth).foldLeft("st.s") { (acc, _) =>
-      s"replace($acc, chr(1)||m.x||chr(1)||m.y||chr(1), chr(1)||m.x||m.y||chr(1))"
-    }
+    val step =
+      s"""list_reduce(string_split(st.s, chr(1)), (acc, el) ->
+         |      CASE WHEN el = m.y AND ends_with(acc, chr(1) || m.x)
+         |           THEN acc || el ELSE acc || chr(1) || el END)""".stripMargin
     s"""WITH RECURSIVE merges(rank, x, y) AS (
        |  VALUES $values
        |), words AS (

@@ -376,8 +376,8 @@ object TrainingData {
     * ([[CorpusOps.learnBpeMerges]], first 3 merges): the oracle
     * unrolls three full rounds — pair counting over the character
     * vocabulary, the (count desc, pair asc) argmax, and the greedy
-    * left-to-right merge application via the same separator-replace
-    * fixpoint [[graft.functions.Bpe.oracleSql]] uses — so the gate
+    * left-to-right merge application via the same `list_reduce`
+    * fold [[graft.functions.Bpe.oracleSql]] uses — so the gate
     * checks the training loop itself, not a fixture coincidence. The
     * distributed trainer's rounds 4..48 are covered by the
     * shipped-table reproduction + randomized differential tests.
@@ -672,17 +672,21 @@ object TrainingData {
 
   /** Three fully-unrolled BPE training rounds in DuckDB (see
     * [[docBpeTrain]]): per round, pair counts weighted by word
-    * frequency, the (count desc, pair asc) argmax, and the greedy
-    * merge via a 5-deep separator-replace fixpoint.
+    * frequency, the (count desc, pair asc) argmax, and the merge as
+    * a `list_reduce` greedy left-to-right fold — the exact semantics
+    * of [[CorpusOps.applyMerge]]'s Spark `aggregate` fold, including
+    * odd runs of the same pair ("aaaaa" -> aa,aa,a with the leftover
+    * LAST; the previous separator-`replace` fixpoint put it in the
+    * middle, silently diverging the next round's pair counts).
     */
   private def bpeTrainOracleSql: String = {
     val pat = TextFunctions.BpePattern.replace("'", "''")
     def roundCtes(i: Int): String = {
       val prev = s"v${i - 1}"
-      val joined = "chr(1) || array_to_string(ls, chr(1)) || chr(1)"
-      val rep = (1 to 5).foldLeft(joined) { (acc, _) =>
-        s"replace($acc, chr(1)||b.l||chr(1)||b.r||chr(1), chr(1)||b.l||b.r||chr(1))"
-      }
+      val rep =
+        s"""list_reduce(list_prepend('', ls), (acc, el) ->
+           |      CASE WHEN el = b.r AND ends_with(acc, chr(1) || b.l)
+           |           THEN acc || el ELSE acc || chr(1) || el END)""".stripMargin
       s""", c$i AS (
          |  SELECT p[1] AS l, p[2] AS r, CAST(SUM(f) AS BIGINT) AS cnt
          |  FROM (

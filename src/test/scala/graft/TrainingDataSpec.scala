@@ -304,6 +304,20 @@ class TrainingDataSpec extends AnyFunSuite {
       Seq((0, "l", "o", 3L), (1, "lo", "w", 3L)))
   }
 
+  test("learnBpeMerges: odd same-char runs merge greedily, leftover last") {
+    import spark.implicits._
+    import graft.operators.CorpusOps
+    // 3×"aaaaa": round 0 counts (a,a)=12, greedy merge -> [aa,aa,a]
+    // per word; round 1 counts (aa,aa)=3 and (aa,a)=3 — tie breaks
+    // on pair text, (aa,a) < (aa,aa) — ONLY under leftover-last.
+    // Leftover-middle ([aa,a,aa]) would count (aa,a)=3,(a,aa)=3 and
+    // pick (a,aa) instead, so this pins the application order.
+    val docs = Seq((1L, "aaaaa aaaaa aaaaa")).toDF("doc_id", "text")
+    val learned = CorpusOps.learnBpeMerges(docs, "text", numMerges = 2)
+      .map { case (_, l, r, c) => (l, r, c) }
+    assert(learned == Seq(("a", "a", 12L), ("aa", "a", 3L)), learned.toString)
+  }
+
   test("learnBpeMerges: randomized differential vs a driver-side reference") {
     import spark.implicits._
     import graft.operators.CorpusOps
@@ -345,7 +359,12 @@ class TrainingDataSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(7)
     for (trial <- 0 until 3) {
       val alphabet = "abcd"
-      val words = Seq.fill(120)(
+      // long same-char runs force the greedy-application edge: on an
+      // odd run the leftover single goes LAST (aaaaa -> aa,aa,a); a
+      // replace-fixpoint-style application puts it in the middle and
+      // diverges the next round's pair counts (the old t34 oracle bug)
+      val runs = Seq("aaaaa", "aaaaaaa", "bbbbbb", "aabaaa")
+      val words = runs ++ Seq.fill(120)(
         (0 until (2 + rnd.nextInt(5)))
           .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
       val docs = words.grouped(10).zipWithIndex
