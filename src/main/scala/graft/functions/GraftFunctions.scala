@@ -55,6 +55,8 @@ object GraftFunctions {
           NGrams(exprs.head, n, distinct)
         }, "built-in")
       reg.createOrReplaceTempFunction(
+        "repetition_stats", exprs => RepetitionStats(exprs.head), "built-in")
+      reg.createOrReplaceTempFunction(
         "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "built-in")
       reg.createOrReplaceTempFunction(
         "simhash64", exprs => SimHash64(exprs.head), "built-in")

@@ -314,3 +314,94 @@ object Fnv64 {
     acc
   }
 }
+
+/** One-pass per-document repetition statistics over a token array:
+  * `struct(n_tokens, n_distinct, uni_mx, bi_mx, bi_tot)` — the exact
+  * integer inputs of the published web-corpus repetition filters
+  * (duplicate-word fraction, most-frequent-n-gram mass). Every output
+  * is a pure function of ONE row's token array, so the operator is
+  * map-only: the previous dataflow exploded grams and aggregated the
+  * corpus's distinct-gram multiset twice (plus two joins back) for
+  * work a compiled per-row pass does with zero shuffle — the
+  * difference between a metadata pass and a corpus shuffle at 100 TB.
+  *
+  * Unigram counts (modal count + distinct count) use exact string
+  * keys, matching the oracle's `GROUP BY gram` / `list_distinct`.
+  * Bigram modal counts use an open-addressed long->count table over
+  * mixed consecutive [[Fnv64]] token hashes — a within-document
+  * collision (~n²/2⁶⁴) is the same event the previous
+  * fingerprint-grouped dataflow tolerated.
+  */
+case class RepetitionStats(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = RepetitionStats.Schema
+  override def prettyName: String = "repetition_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    RepetitionStats.compute(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.RepetitionStats.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+    copy(child = newChild)
+}
+
+object RepetitionStats {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.sql.types.{StructField, StructType}
+
+  val Schema: StructType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("uni_mx", LongType, nullable = false),
+    StructField("bi_mx", LongType, nullable = false),
+    StructField("bi_tot", LongType, nullable = false)))
+
+  def compute(tokens: ArrayData): InternalRow = {
+    val m = tokens.numElements()
+    // exact unigram counts: modal count and distinct count by string
+    // equality (int[] cells avoid per-increment boxing)
+    val uni = new java.util.HashMap[UTF8String, Array[Int]](m * 2 + 1)
+    val hs = new Array[Long](m)
+    var uniMx = 0
+    var i = 0
+    while (i < m) {
+      val t = tokens.getUTF8String(i)
+      hs(i) = Fnv64.eval(t.getBytes)
+      var cell = uni.get(t)
+      if (cell == null) { cell = new Array[Int](1); uni.put(t, cell) }
+      cell(0) += 1
+      if (cell(0) > uniMx) uniMx = cell(0)
+      i += 1
+    }
+    // bigram modal count: open-addressed table over mixed hashes
+    // (0 marks an empty slot; a real 0 hash is remapped to 1)
+    var biMx = 0
+    val nb = if (m >= 2) m - 1 else 0
+    if (nb > 0) {
+      var cap = 4
+      while (cap < nb * 2) cap <<= 1
+      val keys = new Array[Long](cap)
+      val cnts = new Array[Int](cap)
+      val mask = cap - 1
+      var j = 0
+      while (j < nb) {
+        var h = hs(j) * Fnv64.Prime ^ hs(j + 1)
+        if (h == 0L) h = 1L
+        var s = (h ^ (h >>> 32)).toInt & mask
+        while (keys(s) != 0L && keys(s) != h) s = (s + 1) & mask
+        keys(s) = h
+        cnts(s) += 1
+        if (cnts(s) > biMx) biMx = cnts(s)
+        j += 1
+      }
+    }
+    new GenericInternalRow(Array[Any](
+      m.toLong, uni.size.toLong, uniMx.toLong, biMx.toLong, nb.toLong))
+  }
+}

@@ -42,42 +42,35 @@ object CorpusOps {
     * corpora — duplicate-word fraction and most-frequent-n-gram mass):
     *
     *   - `n_tokens`
-    *   - `uniq_frac` — |distinct tokens| / |tokens| (map-only)
+    *   - `uniq_frac` — |distinct tokens| / |tokens|
     *   - `top_unigram_frac` — occurrences of the modal token / n_tokens
     *   - `top_bigram_frac` — occurrences of the modal bigram / total
     *     bigrams (0.0 when the doc has < 2 tokens)
     *
-    * Plan shape: the modal counts explode grams and aggregate twice on
-    * (doc_id, gram-fingerprint) then (doc_id) — both shuffles carry
-    * 8-byte FNV fingerprints and partial-aggregated counts, never gram
-    * strings; the fractions are exact integer counts divided once at
-    * the end, so the oracle reproduces them bit-for-bit.
+    * Plan shape: MAP-ONLY. Every metric is a pure function of one
+    * row's token array, so the whole operator is a single codegen'd
+    * pass ([[graft.functions.RepetitionStats]] — exact integer modal
+    * and distinct counts, divided once at the end so the oracle
+    * reproduces them bit-for-bit). The previous dataflow exploded
+    * grams and shuffled the corpus's distinct-gram multiset twice
+    * (plus two joins back) for the same answer — at 100 TB that was
+    * a corpus shuffle for per-row work; PlanShapeSpec now asserts
+    * this plan has no Exchange at all.
     */
   def repetitionMetrics(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
-    val base = docs.select(col(idCol).as("doc_id"),
-      TextFunctions.tokens(col(textCol)).as("ts"))
-
-    def modal(grams: Column): DataFrame =
-      base.select(col("doc_id"), explode(grams).as("g"))
-        .select(col("doc_id"), call_function("fnv64", col("g")).as("h"))
-        .groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(max("c").as("mx"), sum("c").as("tot"))
-
-    val uni = modal(col("ts"))
+    docs.select(col(idCol).as("doc_id"),
+        call_function("repetition_stats",
+          TextFunctions.tokens(col(textCol))).as("st"))
       .select(col("doc_id"),
-        (col("mx").cast("double") / col("tot").cast("double")).as("top_unigram_frac"))
-    val bi = modal(multisetGrams(col("ts"), 2))
-      .select(col("doc_id"),
-        (col("mx").cast("double") / col("tot").cast("double")).as("top_bigram_frac"))
-
-    base.select(col("doc_id"),
-        size(col("ts")).cast("long").as("n_tokens"),
-        (size(array_distinct(col("ts"))).cast("double") /
-          size(col("ts")).cast("double")).as("uniq_frac"))
-      .join(uni, Seq("doc_id"), "left")
-      .join(bi, Seq("doc_id"), "left")
-      .withColumn("top_bigram_frac", coalesce(col("top_bigram_frac"), lit(0.0)))
+        col("st.n_tokens").as("n_tokens"),
+        (col("st.n_distinct").cast("double") /
+          col("st.n_tokens").cast("double")).as("uniq_frac"),
+        (col("st.uni_mx").cast("double") /
+          col("st.n_tokens").cast("double")).as("top_unigram_frac"),
+        when(col("st.bi_tot") === 0L, lit(0.0))
+          .otherwise(col("st.bi_mx").cast("double") /
+            col("st.bi_tot").cast("double")).as("top_bigram_frac"))
   }
 
   // ---------------------------------------------------------------

@@ -113,12 +113,13 @@ class PlanShapeSpec extends AnyFunSuite {
       "packing collapsed to a single partition - global window")
   }
 
-  test("t17: repetition modal counts aggregate partially map-side") {
+  test("t17: repetition metrics are map-only — no Exchange anywhere") {
     val plan = planOf(operators.CorpusOps.repetitionMetrics(
       Tables.documents(spark, dir), "doc_id", "text"))
-    // the (doc_id, fingerprint) count must combine before its exchange
-    assert(plan.contains("partial_count") || plan.contains("partial_"),
-      "gram counting lost its map-side combine")
+    // every metric is a per-row function of the token array; a shuffle
+    // here means the operator regressed to the exploded-gram dataflow
+    assert(!plan.contains("Exchange"),
+      "repetition metrics shuffled — must stay a single map-only pass")
     assert(!plan.contains("CartesianProduct"))
   }
 
