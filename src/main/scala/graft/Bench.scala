@@ -7,13 +7,20 @@ import org.apache.spark.sql.SparkSession
   * {"metric":"total","value":N,"unit":"sec","queries":{name:sec,...},"sf":dir}.
   *
   * Methodology: one warm-up action (lineitem count) absorbs
-  * session/codegen startup, then each query is timed once, cold plan,
-  * in sorted name order. Timing covers plan + execution to a parquet
-  * write of the full result — the same consuming action Verify uses —
-  * so the timed plan includes the verified ORDER BY and projections
-  * (a bare count() would let EliminateSorts drop the global sort and
-  * prune columns, timing a cheaper plan than the one that is graded
-  * for correctness).
+  * session/codegen startup, then SPARK_GRAFT_BENCH_REPS (default 3)
+  * FULL SWEEPS run, each timing every query cold-plan in sorted name
+  * order; the reported per-query number is the median across sweeps.
+  * Sweep interleaving separates a query's repeats by minutes, so a
+  * burst of scheduler/IO contention (driver rounds have shown 17×
+  * single-query swings on identical binaries) corrupts at most one
+  * of the three samples and the median discards it. `reps_spread` is
+  * the worst per-query (max−min)/median across sweeps — the
+  * noise-floor reading for judging cross-round deltas. Timing covers
+  * plan + execution to a parquet write of the full result — the same
+  * consuming action Verify uses — so the timed plan includes the
+  * verified ORDER BY and projections (a bare count() would let
+  * EliminateSorts drop the global sort and prune columns, timing a
+  * cheaper plan than the one that is graded for correctness).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -35,18 +42,35 @@ object Bench {
     // optional comma-separated subset filter for focused runs
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     val outRoot = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench_out")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).write.mode("overwrite").parquet(s"$outRoot/$name.parquet")
-      }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+    val samples = (0 until reps).map { _ =>
+      selected.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.mode("overwrite")
+            .parquet(s"$outRoot/$name.parquet")
+        }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
     }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val results = selected.map { case (name, _) =>
+      name -> median(samples.map(_(name)))
+    }
+    val repsSpread =
+      if (reps < 2) 0.0
+      else results.map { case (name, med) =>
+        val xs = samples.map(_(name))
+        if (med <= 0) 0.0 else (xs.max - xs.min) / med
+      }.max
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -59,7 +83,7 @@ object Bench {
     val headline = results.collect {
       case (k, v) if !quadraticBaselines(k) => v
     }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_scale_headline":$headline%.3f,"headline_excludes":["t08_ann_brute_topk","t10_emb_near_dup"],"queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_scale_headline":$headline%.3f,"headline_excludes":["t08_ann_brute_topk","t10_emb_near_dup"],"reps":$reps,"reps_spread":$repsSpread%.3f,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

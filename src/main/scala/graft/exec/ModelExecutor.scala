@@ -223,9 +223,14 @@ final class ModelExecutor(spark: SparkSession, project: Project,
 
   private def materializeIncremental(node: NodeMeta, sql: String): Unit = {
     val path = relationDir(node)
-    if (node.config.get("full_refresh").exists(asBool) && relationExists(node))
-      deleteRecursively(path)
-    if (!relationExists(node)) {
+    if (node.config.get("full_refresh").exists(asBool) && relationExists(node)) {
+      // rebuild THROUGH swapIn: the live relation stays readable (and
+      // queryable by the batch itself) until the staging write
+      // completes — delete-then-write would leave no relation on disk
+      // for the whole rebuild and nothing recoverable on a crash
+      readRelation(node, path.toString).createOrReplaceTempView(node.name)
+      swapIn(spark.sql(sql), node, path)
+    } else if (!relationExists(node)) {
       writeRelation(spark.sql(sql), node, path.toString, "overwrite")
     } else {
       readRelation(node, path.toString).createOrReplaceTempView(node.name)
@@ -256,6 +261,13 @@ final class ModelExecutor(spark: SparkSession, project: Project,
         case (Some(other), _) if other != "append" && other != "merge" =>
           throw new IllegalArgumentException(
             s"${node.uniqueId}: unsupported incremental_strategy '$other'")
+        case (Some("append"), Some(_)) =>
+          // dbt adapters reject this combination: append never reads
+          // the target, so a unique_key would be silently ignored (or
+          // worse, silently deduplicated) — fail loudly instead
+          throw new IllegalArgumentException(
+            s"${node.uniqueId}: incremental_strategy 'append' cannot be " +
+              "used with unique_key (use 'merge')")
         case (_, Some(key)) =>
           val merged = old.join(batch.select(key).distinct(), Seq(key), "left_anti")
             .unionByName(batch.select(old.columns.map(org.apache.spark.sql.functions.col): _*))

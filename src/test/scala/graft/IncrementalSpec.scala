@@ -131,6 +131,55 @@ class IncrementalSpec extends AnyFunSuite {
     assert(got == Seq(1 -> "a", 2 -> "b"), s"stale rows survived: $got")
   }
 
+  test("append strategy rejects unique_key instead of silently merging") {
+    val root = Files.createTempDirectory("graft_inc_ak")
+    val work = Files.createTempDirectory("graft_inc_ak_tbl").toString
+    val sql =
+      """{{ config(materialized='incremental', incremental_strategy='append', unique_key='id') }}
+        |select id, val from {{ ref('events_seed') }}
+        |""".stripMargin
+    writeProject(root, sql, Seq("1,a", "2,b"))
+    // first build creates the relation (no strategy dispatch yet)
+    new ModelExecutor(spark, ProjectLoader.load(root.toString), Some(work)).buildAll()
+    // the incremental run must fail loudly — append never reads the
+    // target, so a unique_key would silently change semantics
+    val e = intercept[Exception] {
+      new ModelExecutor(spark, ProjectLoader.load(root.toString), Some(work)).buildAll()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      c.getMessage != null && c.getMessage.contains("append") &&
+        c.getMessage.contains("unique_key")), e.getMessage)
+  }
+
+  test("full_refresh keeps the live relation when the rebuild fails") {
+    val root = Files.createTempDirectory("graft_inc_frx")
+    val work = Files.createTempDirectory("graft_inc_frx_tbl").toString
+    val sql =
+      """{{ config(materialized='incremental') }}
+        |select id, val from {{ ref('events_seed') }}
+        |""".stripMargin
+    writeProject(root, sql, Seq("1,a", "2,b"))
+    new ModelExecutor(spark, ProjectLoader.load(root.toString), Some(work)).buildAll()
+
+    // the refresh batch is broken (unknown column): the rebuild fails
+    // BEFORE the swap, so the live relation must survive untouched —
+    // the old delete-then-write path would have destroyed it first
+    val bad =
+      """{{ config(materialized='incremental', full_refresh=true) }}
+        |select id, no_such_column from {{ ref('events_seed') }}
+        |""".stripMargin
+    writeProject(root, bad, Seq("1,a", "2,b"))
+    intercept[Exception] {
+      new ModelExecutor(spark, ProjectLoader.load(root.toString), Some(work)).buildAll()
+    }
+    val survived = spark.read.parquet(s"$work/inc_model").orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(survived == Seq(1 -> "a", 2 -> "b"),
+      s"relation lost or corrupted by failed full_refresh: $survived")
+  }
+
   test("on_schema_change: ignore drops new columns, append_new_columns keeps them") {
     def run(root: java.nio.file.Path, work: String, sql: String,
         rows: Seq[String]): Unit = {
