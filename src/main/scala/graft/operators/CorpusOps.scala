@@ -570,14 +570,28 @@ object CorpusOps {
     * Scale shape: the corpus pass is one map-side-combinable word
     * count; every round then runs over the WORD VOCABULARY (Zipf-
     * compressed — orders of magnitude smaller than the corpus), with
-    * the pair count a map-side-combinable agg and the argmax a
-    * size-1 TakeOrdered. Each round's vocab is localCheckpoint-ed so
-    * lineage stays flat across `numMerges` rounds (at cluster scale a
-    * checkpoint table plays this role). Returns (rank, left, right,
-    * pair_count) in learned order.
+    * the pair/trigram counts map-side-combinable aggs and the
+    * candidate fetch a small TakeOrdered. Each round's vocab is
+    * localCheckpoint-ed so lineage stays flat (at cluster scale a
+    * checkpoint table plays this role).
+    *
+    * BATCHED rounds: up to `batchSize` merges are learned per Spark
+    * round, but ONLY a prefix that is provably identical to running
+    * that many sequential rounds — the driver walks candidates in
+    * (count desc, pair asc) order and stops at the first pair that
+    * (a) shares a symbol with an earlier pick (its count may have
+    * changed), (b) does not strictly out-count the trigram-derived
+    * upper bound on pairs CREATED by earlier picks, or (c) follows a
+    * pick whose merged symbol string already exists in the vocab
+    * (the one channel by which an old pair's count can rise). A 50k-
+    * merge tokenizer therefore spends its rounds where BPE is
+    * genuinely sequential (created pairs dominating) and batches
+    * through the flat tail. `onRound` fires once per Spark round
+    * (test instrumentation). Returns (rank, left, right, pair_count)
+    * in learned order — bit-identical to batchSize = 1.
     */
-  def learnBpeMerges(docs: DataFrame, textCol: String,
-      numMerges: Int): Seq[(Int, String, String, Long)] = {
+  def learnBpeMerges(docs: DataFrame, textCol: String, numMerges: Int,
+      batchSize: Int = 8, onRound: Int => Unit = _ => ()): Seq[(Int, String, String, Long)] = {
     val vocab0 = docs
       .select(explode(TextFunctions.bpeTokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
@@ -585,28 +599,86 @@ object CorpusOps {
       .filter(size(col("syms")) > 1)
     var vocab = vocab0.localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    var rank = 0
     var exhausted = false
-    while (rank < numMerges && !exhausted) {
-      val top = vocab
+    while (merges.size < numMerges && !exhausted) {
+      onRound(merges.size)
+      val want = math.min(math.max(batchSize, 1), numMerges - merges.size)
+      // one vocab-scale pass produces, per candidate pair: its count,
+      // an upper bound on any pair a merge of it would CREATE (the
+      // max trigram count containing it — created pairs (x,lr)/(lr,y)
+      // arise only from trigrams (x,l,r)/(l,r,y)), and whether the
+      // merged symbol string already exists in the vocab
+      val pairs = vocab
         .select(col("freq"),
           explode(arrays_zip(
             slice(col("syms"), lit(1), size(col("syms")) - 1).as("l"),
             slice(col("syms"), lit(2), size(col("syms")) - 1).as("r"))).as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum("freq").as("cnt"))
+      val tris = vocab.filter(size(col("syms")) > 2)
+        .select(col("freq"),
+          explode(arrays_zip(
+            slice(col("syms"), lit(1), size(col("syms")) - 2).as("x"),
+            slice(col("syms"), lit(2), size(col("syms")) - 2).as("y"),
+            slice(col("syms"), lit(3), size(col("syms")) - 2).as("z"))).as("t"))
+        .groupBy(col("t.x").as("x"), col("t.y").as("y"), col("t.z").as("z"))
+        .agg(sum("freq").as("tc"))
+      val leftBound = tris.groupBy(col("y").as("l"), col("z").as("r"))
+        .agg(max("tc").as("lb"))
+      val rightBound = tris.groupBy(col("x").as("l"), col("y").as("r"))
+        .agg(max("tc").as("rb"))
+      val existing = vocab.select(explode(col("syms")).as("sym")).distinct()
+      val cand = pairs
+        .join(leftBound, Seq("l", "r"), "left")
+        .join(rightBound, Seq("l", "r"), "left")
+        .join(existing, concat(col("l"), col("r")) === col("sym"), "left")
+        .select(col("l"), col("r"), col("cnt"),
+          greatest(coalesce(col("lb"), lit(0L)),
+            coalesce(col("rb"), lit(0L))).as("adj"),
+          col("sym").isNotNull.as("lr_exists"))
         .orderBy(col("cnt").desc, col("l"), col("r"))
-        .limit(1).collect()
-      if (top.isEmpty || top.head.getLong(2) < 2) exhausted = true
+        .limit(math.max(want * 4, 16)).collect()
+      // driver walk in (cnt desc, pair asc) order: the batch prefix is
+      // provably what `want` sequential rounds would pick, because
+      // between picks (a) non-picked old pair counts can only FALL
+      // (they rise only via a created symbol colliding with an
+      // existing one — the lr_exists stop), (b) created pairs start
+      // from zero and stay <= createdBound < every later pick's count,
+      // and (c) picks are symbol-disjoint so their own counts and
+      // applications are independent
+      val used = scala.collection.mutable.Set.empty[String]
+      val batch = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      var createdBound = 0L
+      var stop = false
+      var i = 0
+      while (!stop && i < cand.length && batch.size < want) {
+        val (l, r, cnt, adj, lrExists) = (cand(i).getString(0), cand(i).getString(1),
+          cand(i).getLong(2), cand(i).getLong(3), cand(i).getBoolean(4))
+        if (cnt < 2) stop = true
+        else if (batch.nonEmpty && (used(l) || used(r) || cnt <= createdBound))
+          stop = true
+        else {
+          batch += ((l, r, cnt))
+          used += l; used += r
+          createdBound = math.max(createdBound, adj)
+          // a merged symbol colliding with an existing one lets later
+          // old-pair counts RISE mid-round — sound only sequentially
+          if (lrExists) stop = true
+        }
+        i += 1
+      }
+      if (batch.isEmpty) exhausted = true
       else {
-        val (l, r, cnt) = (top.head.getString(0), top.head.getString(1),
-          top.head.getLong(2))
-        merges += ((rank, l, r, cnt))
+        batch.foreach { case (l, r, cnt) =>
+          merges += ((merges.size, l, r, cnt))
+        }
+        val applied = batch.foldLeft(col("syms")) { case (acc, (l, r, _)) =>
+          applyMerge(acc, l, r)
+        }
         vocab = vocab
-          .select(applyMerge(col("syms"), l, r).as("syms"), col("freq"))
+          .select(applied.as("syms"), col("freq"))
           .filter(size(col("syms")) > 1)
           .localCheckpoint(true)
-        rank += 1
       }
     }
     merges.toSeq

@@ -377,6 +377,54 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("learnBpeMerges: batched rounds are bit-identical to sequential") {
+    import spark.implicits._
+    import graft.operators.CorpusOps
+    // random small-alphabet corpora are maximally batch-HOSTILE:
+    // created pairs ((ab,c) after merging (a,b)) dominate the next
+    // argmax, so the safety guards must keep truncating the batch —
+    // any unsound batching diverges here within a round or two
+    val rnd = new scala.util.Random(13)
+    for (trial <- 0 until 3) {
+      val alphabet = "abcd"
+      val words = Seq("aaaaa", "aaaaaaa") ++ Seq.fill(150)(
+        (0 until (2 + rnd.nextInt(5)))
+          .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+      val docs = words.grouped(10).zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+        .toDF("doc_id", "text")
+      val seq1 = CorpusOps.learnBpeMerges(docs, "text", numMerges = 8, batchSize = 1)
+      val bat8 = CorpusOps.learnBpeMerges(docs, "text", numMerges = 8, batchSize = 8)
+      assert(bat8 == seq1, s"trial $trial: batched diverged from sequential")
+    }
+  }
+
+  test("learnBpeMerges: a batch-friendly corpus learns B merges per round") {
+    import spark.implicits._
+    import graft.operators.CorpusOps
+    // 32 two-letter words over 64 distinct symbols: no trigrams (so no
+    // created-pair bound), all pairs symbol-disjoint, all merged
+    // symbols fresh, distinct descending counts — every guard passes
+    // and each Spark round learns a full batch of 8
+    val alphabet = ('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9') ++ Seq('#', '%')
+    val pairs = alphabet.grouped(2).map(g => s"${g(0)}${g(1)}").toSeq
+    assert(pairs.size == 32)
+    val words = pairs.zipWithIndex.flatMap { case (w, i) =>
+      Seq.fill(100 - i)(w)
+    }
+    val docs = words.grouped(50).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    var rounds = 0
+    val learned = CorpusOps.learnBpeMerges(docs, "text", numMerges = 32,
+      batchSize = 8, onRound = _ => rounds += 1)
+    assert(learned.size == 32)
+    assert(rounds == 4, s"expected ceil(32/8) = 4 Spark rounds, got $rounds")
+    // learned in descending count order, each word's own pair
+    assert(learned.map { case (_, l, r, c) => (s"$l$r", c) } ==
+      pairs.zipWithIndex.map { case (w, i) => (w, (100 - i).toLong) })
+  }
+
   test("learnBpeMerges reproduces the shipped merges table from its corpus") {
     import graft.operators.CorpusOps
     val docs = Tables.documents(spark, "/root/testdata/sf0.01")
