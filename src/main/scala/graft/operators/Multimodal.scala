@@ -8,11 +8,16 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: media payloads as opaque `binary`
   * columns with a typed metadata struct, processed partition-wise.
   *
-  * The image/audio codecs are NOT in this container, so the decode
-  * step is a clearly-marked deterministic fake ([[fakeDecode]]); the
+  * Image decode and resize are REAL for the formats the JDK's
+  * `javax.imageio` readers cover (PNG/JPEG/BMP/GIF/WBMP) —
+  * [[decodeImage]] / [[resizeImage]]. Payloads no installed reader
+  * recognizes (including the fixture's text stand-ins) fall back to
+  * the clearly-marked deterministic fakes, and the `decoded` column
+  * records which path ran. Audio/video codecs are NOT in this
+  * container, so the frame sampler stays an honest stub; the
   * Spark-side contract — schema, batch iteration, partition-local
-  * processing, metadata struct shape — is real and tested. Swapping
-  * in a JNI/FFI codec changes only the function body.
+  * processing, metadata struct shape — is real and tested either
+  * way. Swapping in a JNI/FFI codec changes only the function body.
   */
 object Multimodal {
 
@@ -22,13 +27,18 @@ object Multimodal {
     StructField("n_bytes", LongType, nullable = false),
     StructField("checksum", LongType, nullable = false)))
 
-  /** Feature row produced by the decode/extract stage. */
+  /** Feature row produced by the decode/extract stage. `decoded`
+    * gates the dimension columns: true = width/height/feature came
+    * from a real `javax.imageio` decode; false = the deterministic
+    * fallback stood in.
+    */
   val FeatureSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("media_type", StringType, nullable = false),
     StructField("n_bytes", LongType, nullable = false),
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
+    StructField("decoded", BooleanType, nullable = false),
     StructField("feature", ArrayType(DoubleType, containsNull = false), nullable = false)))
 
   /** Attach a binary payload column + metadata struct to a table.
@@ -47,7 +57,68 @@ object Multimodal {
         crc32(payload).as("checksum")).as("meta"))
   }
 
-  /** STUB decoder — stands in for an image/audio codec. Deterministic:
+  /** REAL image decode via `javax.imageio` (the JDK ships PNG, JPEG,
+    * BMP, GIF and WBMP readers): width, height, and an 8-bin
+    * luminance histogram as the feature vector. Returns None when no
+    * installed reader recognizes the payload — the caller falls back
+    * to [[fakeDecode]], so non-image bytes keep flowing through the
+    * same partition-wise pipeline instead of failing the task.
+    */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Double])] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val hist = new Array[Double](8)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+            hist(lum >> 5) += 1.0
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, hist))
+      }
+    } catch { case _: Exception => None }
+
+  /** REAL image resize: nearest-neighbor sample of the decoded pixels
+    * onto a targetW×targetH canvas (deterministic across JVMs, unlike
+    * the platform-dependent smooth scalers), re-encoded as PNG.
+    * None when the payload is not a decodable image.
+    */
+  def resizeImage(payload: Array[Byte], targetW: Int, targetH: Int): Option[Array[Byte]] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val out = new java.awt.image.BufferedImage(targetW, targetH,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < targetH) {
+          var x = 0
+          while (x < targetW) {
+            out.setRGB(x, y,
+              img.getRGB(x * img.getWidth / targetW, y * img.getHeight / targetH))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Some(bos.toByteArray)
+      }
+    } catch { case _: Exception => None }
+
+  /** FALLBACK decoder — stands in for an image/audio codec. Deterministic:
     * "dimensions" and an 8-dim "feature" vector derived from payload
     * bytes. Real implementation would call the codec here, one
     * partition at a time (mapPartitions = one codec init per task,
@@ -97,7 +168,9 @@ object Multimodal {
     val input = withPayloads.select(col(idCol).cast("long"), col("payload"))
     input.mapPartitions { rows =>
       rows.map { r =>
-        val resized = fakeResize(r.getAs[Array[Byte]](1), targetW, targetH)
+        val payload = r.getAs[Array[Byte]](1)
+        val resized = resizeImage(payload, targetW, targetH)
+          .getOrElse(fakeResize(payload, targetW, targetH))
         Row(r.getLong(0), resized, targetW, targetH, resized.length.toLong)
       }
     }(encoder)
@@ -149,8 +222,13 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(0)
         val payload = r.getAs[Array[Byte]](1)
-        val (w, h, feat) = fakeDecode(payload)
-        Row(id, r.getString(2), r.getLong(3), w, h, feat.toSeq)
+        decodeImage(payload) match {
+          case Some((w, h, feat)) =>
+            Row(id, r.getString(2), r.getLong(3), w, h, true, feat.toSeq)
+          case None =>
+            val (w, h, feat) = fakeDecode(payload)
+            Row(id, r.getString(2), r.getLong(3), w, h, false, feat.toSeq)
+        }
       }
     }(encoder)
   }

@@ -224,6 +224,46 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(row.getSeq[Double](row.fieldIndex("feature")).length == 8)
   }
 
+  test("real image payloads decode and resize through javax.imageio") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // an actual 6x4 PNG generated with the JDK encoder
+    val img = new java.awt.image.BufferedImage(6, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 6)
+      img.setRGB(x, y, ((x * 40) << 16) | ((y * 60) << 8))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val withMeta = Seq((1L, png), (2L, "not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+      .select(col("doc_id"), col("payload"),
+        struct(lit("image/png").as("media_type"),
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          crc32(col("payload")).as("checksum")).as("meta"))
+    val feats = Multimodal.extractFeatures(withMeta, "doc_id")
+      .orderBy("doc_id").collect()
+    // the decoded gate: real dimensions for the PNG...
+    assert(feats(0).getBoolean(feats(0).fieldIndex("decoded")))
+    assert(feats(0).getInt(feats(0).fieldIndex("width")) == 6)
+    assert(feats(0).getInt(feats(0).fieldIndex("height")) == 4)
+    // ...and the luminance histogram masses exactly the 24 pixels
+    assert(feats(0).getSeq[Double](feats(0).fieldIndex("feature")).sum == 24.0)
+    // non-image bytes fall back to the deterministic fake
+    assert(!feats(1).getBoolean(feats(1).fieldIndex("decoded")))
+    // resize really rescales: the output PNG decodes at 3x2, and
+    // nearest-neighbor pixel (1,1) sampled source pixel (2,2)
+    val resized = Multimodal.resize(withMeta, "doc_id", 3, 2)
+      .orderBy("doc_id").collect()
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(resized(0).getAs[Array[Byte]](1)))
+    assert(back.getWidth == 3 && back.getHeight == 2)
+    assert(back.getRGB(1, 1) == img.getRGB(2, 2))
+    // the non-image payload went through the fake scaler: not a PNG
+    assert(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      resized(1).getAs[Array[Byte]](1))) == null)
+  }
+
   test("multimodal resize and frame-sample keep the map-only contract") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, dir).limit(50)
