@@ -46,6 +46,36 @@ object Cli {
     merged.copy(fusionCompat = configured || project.fusionManifest)
   }
 
+  /** Shared flags of the yaml-plane commands (reference yaml_opts,
+    * cli/main.py:243-268): `--fqn <pattern>` (repeatable) scopes the
+    * candidate set, `--dry-run` computes and reports without touching
+    * disk, `--check` exits 1 when the project is (or, dry, would be)
+    * mutated.
+    */
+  private[graft] final case class YamlFlags(fqns: Seq[String] = Nil,
+      dryRun: Boolean = false, check: Boolean = false)
+
+  private[graft] def parseYamlFlags(args: List[String]): Either[String, YamlFlags] = {
+    @annotation.tailrec
+    def go(rest: List[String], acc: YamlFlags): Either[String, YamlFlags] =
+      rest match {
+        case Nil => Right(acc)
+        case "--fqn" :: v :: t => go(t, acc.copy(fqns = acc.fqns :+ v))
+        case "--dry-run" :: t => go(t, acc.copy(dryRun = true))
+        case "--check" :: t => go(t, acc.copy(check = true))
+        case other :: _ => Left(s"unknown option '$other'")
+      }
+    go(args, YamlFlags())
+  }
+
+  private def flagsOrExit(rest: List[String]): YamlFlags =
+    parseYamlFlags(rest) match {
+      case Right(f) => f
+      case Left(err) =>
+        System.err.println(s"$err (expected --fqn <pattern>, --dry-run, --check)")
+        sys.exit(2)
+    }
+
   def main(args: Array[String]): Unit = args.toList match {
     case "build" :: dir :: Nil =>
       val spark = session()
@@ -148,22 +178,28 @@ object Cli {
     // Scoped half-pipelines (reference `yaml organize` / `yaml
     // document`, cli/main.py:492-570): layout moves without touching
     // docs, and doc inheritance without moving files.
-    case "organize" :: dir :: Nil =>
+    case "organize" :: dir :: rest =>
+      val flags = flagsOrExit(rest)
       val project = ProjectLoader.load(dir)
       val settings = settingsFor(project,
         graft.core.EngineSettings(
           vars = Map("dbt_osmosis_default_path" -> "{parent}/{model}.yml")))
-      val r = graft.core.Workflows.organize(project.root, project.manifest, settings)
+      val r = graft.core.Workflows.organize(project.root, project.manifest,
+        settings, flags.fqns, flags.dryRun)
       r.findings.foreach { case (p, f) =>
         println(s"yaml-check ${project.root.relativize(p)} [${f.rule}] ${f.severity}: ${f.message}")
       }
+      r.planned.foreach(p => println(s"would write ${project.root.relativize(p)}"))
       r.written.foreach(p => println(s"wrote ${project.root.relativize(p)}"))
-      if (r.written.isEmpty && r.findings.exists(_._2.severity == "error")) {
+      if (r.written.isEmpty && !flags.dryRun &&
+          r.findings.exists(_._2.severity == "error")) {
         System.err.println("refusing to write: schema validation errors")
         sys.exit(1)
       }
+      if (flags.check && r.mutated) sys.exit(1)
 
-    case "document" :: dir :: Nil =>
+    case "document" :: dir :: rest =>
+      val flags = flagsOrExit(rest)
       val spark = session()
       val project = ProjectLoader.load(dir)
       val executor = new ModelExecutor(spark, project)
@@ -171,22 +207,26 @@ object Cli {
       val settings = settingsFor(project,
         graft.core.EngineSettings(addProgenitorToMeta = true))
       val r = graft.core.Workflows.document(
-        spark, project.root, executor.manifest, settings)
+        spark, project.root, executor.manifest, settings, flags.fqns, flags.dryRun)
       r.findings.foreach { case (p, f) =>
         println(s"yaml-check ${project.root.relativize(p)} [${f.rule}] ${f.severity}: ${f.message}")
       }
+      r.planned.foreach(p => println(s"would write ${project.root.relativize(p)}"))
       r.written.foreach(p => println(s"wrote ${project.root.relativize(p)}"))
       spark.stop()
-      if (r.written.isEmpty && r.findings.exists(_._2.severity == "error")) {
+      if (r.written.isEmpty && !flags.dryRun &&
+          r.findings.exists(_._2.severity == "error")) {
         System.err.println("refusing to write: schema validation errors")
         sys.exit(1)
       }
+      if (flags.check && r.mutated) sys.exit(1)
 
     // The flagship pipeline (reference `yaml refactor`,
     // cli/main.py:430-490): build, restructure YAML to target paths,
     // then inject -> remove -> inherit -> sort -> sync-types and
     // write the YAML back.
-    case "refactor" :: dir :: Nil =>
+    case "refactor" :: dir :: rest =>
+      val flags = flagsOrExit(rest)
       val spark = session()
       val project = ProjectLoader.load(dir)
       val executor = new ModelExecutor(spark, project)
@@ -196,10 +236,22 @@ object Cli {
           addProgenitorToMeta = true,
           vars = Map("dbt_osmosis_default_path" -> "{parent}/{model}.yml")))
       import graft.core._
+      val filter = NodeFilters.NodeFilter(fqnPrefixes = flags.fqns)
 
-      val plan = Restructuring.draftPlan(project.root, executor.manifest, settings)
-      var manifest = Restructuring.applyPlan(project.root, plan, executor.manifest, settings)
-      plan.ops.foreach(op => println(s"restructured -> ${project.root.relativize(op.targetFile)}"))
+      val plan = Restructuring.draftPlan(project.root, executor.manifest,
+        settings, filter)
+      var manifest =
+        if (flags.dryRun) {
+          plan.ops.foreach(op =>
+            println(s"would restructure -> ${project.root.relativize(op.targetFile)}"))
+          executor.manifest
+        } else {
+          val m = Restructuring.applyPlan(project.root, plan, executor.manifest,
+            settings)
+          plan.ops.foreach(op =>
+            println(s"restructured -> ${project.root.relativize(op.targetFile)}"))
+          m
+        }
 
       def cols(n: NodeMeta) =
         Introspection.getColumns(spark, Transforms.relationFor(n), settings, Some(n))
@@ -209,13 +261,13 @@ object Cli {
         .andThen("inherit", (m, n) => Inheritance.inheritUpstreamColumnKnowledge(m, n, settings))
         .andThen("sort", (_, n) => Transforms.sortColumnsAsConfigured(n, cols(n), settings))
         .andThen("sync-types", (_, n) => Transforms.synchronizeDataTypes(n, cols(n), settings))
-        .run(manifest)
+        .run(manifest, filter)
       manifest = result.manifest
       result.steps.foreach(s =>
         println(f"step ${s.name}%-11s ${s.seconds}%.3fs mutated=${s.mutated}"))
 
-      val nodes = manifest.nodes.values
-        .filter(n => n.resourceType == "model" || n.resourceType == "seed").toSeq
+      val nodes = NodeFilters.candidates(manifest, filter)
+        .filter(n => n.resourceType == "model" || n.resourceType == "seed")
       val synced = SyncOperations.syncNodes(project.root, nodes, settings)
       // structural validation before anything reaches disk (A44):
       // per-file chain + cross-file duplicate detection
@@ -230,12 +282,23 @@ object Cli {
         System.err.println("refusing to write: schema validation errors")
         spark.stop(); sys.exit(1)
       }
-      val written = YamlIO.commit()
-      written.foreach(p => println(s"wrote ${project.root.relativize(p)}"))
+      val mutated =
+        if (flags.dryRun) {
+          val planned = YamlIO.pending()
+          YamlIO.invalidate()
+          planned.foreach(p => println(s"would write ${project.root.relativize(p)}"))
+          plan.ops.nonEmpty || planned.nonEmpty
+        } else {
+          val written = YamlIO.commit()
+          written.foreach(p => println(s"wrote ${project.root.relativize(p)}"))
+          plan.ops.nonEmpty || written.nonEmpty
+        }
 
-      Validation.validateModels(spark, manifest).foreach(r =>
-        println(s"validate ${r.nodeId}: ${r.status}${r.error.fold("")(e => s" ($e)")}"))
+      if (!flags.dryRun)
+        Validation.validateModels(spark, manifest).foreach(r =>
+          println(s"validate ${r.nodeId}: ${r.status}${r.error.fold("")(e => s" ($e)")}"))
       spark.stop()
+      if (flags.check && mutated) sys.exit(1)
 
     // Training-data curation pipeline over a documents parquet dir:
     // quality -> repetition -> language -> PII redaction -> exact
@@ -281,7 +344,8 @@ object Cli {
 
     case _ =>
       System.err.println(
-        "usage: graft.Cli build|run-sql|inherit|test|lint|diff|refactor|organize|document|catalog|profile <projectDir> [args] | curate <sfDir> <outDir>")
+        "usage: graft.Cli build|run-sql|inherit|test|lint|diff|refactor|organize|document|catalog|profile <projectDir> [args] | curate <sfDir> <outDir>\n" +
+          "  refactor/organize/document options: --fqn <pattern> (repeatable), --dry-run, --check")
       sys.exit(2)
   }
 }

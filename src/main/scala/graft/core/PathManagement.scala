@@ -26,7 +26,11 @@ object PathManagement {
           s"missing template attribute 'node.$other'")
     })
     "\\{([a-zA-Z_]+)\\}".r.replaceAllIn(withNode, m => m.group(1) match {
-      case "model" => node.name
+      // {model} is the YAML entry name: versioned nodes render their
+      // BASE model name so every version targets the same file (one
+      // entry, one versions[] block — dbt's layout contract; separate
+      // per-version files would declare the model twice)
+      case "model" => SyncOperations.entryName(node)
       case "parent" => parent
       case "schema" => node.schema
       case other => throw PathResolutionError(

@@ -52,13 +52,16 @@ object Restructuring {
       settings: EngineSettings): Manifest = {
     var m = manifest
     for (op <- plan.ops) {
-      var doc = YamlIO.read(op.targetFile)
-      for (node <- op.nodes) {
+      val doc0 = YamlIO.read(op.targetFile)
+      var doc = doc0
+      for (node <- SyncOperations.syncOrder(op.nodes)) {
         doc = SyncOperations.syncNodeToDoc(doc, node)
         m = m.updated(node.copy(patchPath =
           Some(projectRoot.relativize(op.targetFile).toString)))
       }
-      YamlIO.buffer(op.targetFile, doc)
+      // buffer only real changes (no-op moves must not dirty files —
+      // `--check` treats every write as a mutation)
+      if (doc != doc0) YamlIO.buffer(op.targetFile, doc)
 
       // strip superseded entries from old files
       for ((nodeId, oldPaths) <- op.supersededPaths; oldPath <- oldPaths
@@ -71,10 +74,12 @@ object Restructuring {
           case _ => Nil
         }
         val remaining = entries.filterNot(_.get("name").contains(node.name))
-        val managed =
-          if (remaining.isEmpty) old.managed - section
-          else old.managed.updated(section, remaining)
-        YamlIO.buffer(oldPath, old.copy(managed = ListMap(managed.toSeq: _*)))
+        if (remaining.size != entries.size) {
+          val managed =
+            if (remaining.isEmpty) old.managed - section
+            else old.managed.updated(section, remaining)
+          YamlIO.buffer(oldPath, old.copy(managed = ListMap(managed.toSeq: _*)))
+        }
       }
     }
     val written = YamlIO.commit()

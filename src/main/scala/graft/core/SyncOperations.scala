@@ -186,8 +186,19 @@ object SyncOperations {
         else v
       }
       else versions :+ syncSection(ListMap("v" -> version, "columns" -> Nil), node, fusion)
+    // version blocks carry OVERRIDES only (dbt layout convention):
+    // a value equal to the parent entry's is inherited on load, so
+    // writing it back would oscillate — the loader merges parent ++
+    // version, sync would re-materialize the merge into the block,
+    // and the file would change on every second run forever
+    val prunedVersions = newVersions.map { v =>
+      ListMap(v.toSeq.filter {
+        case ("v", _) => true
+        case (k, value) => !entry.get(k).contains(value)
+      }: _*)
+    }
 
-    var out = entry.updated("versions", newVersions)
+    var out = entry.updated("versions", prunedVersions)
     // latest_version follows the manifest rather than stale YAML
     node.latestVersion match {
       case Some(lv) => out = out.updated("latest_version", lv)
@@ -203,6 +214,31 @@ object SyncOperations {
     * sync are preserved. Versioned models sync into their
     * `versions[]` block ([[syncVersioned]]).
     */
+  /** YAML entry name for a node: a versioned model node is named
+    * `<base>_v<version>` in the manifest but lives under ONE entry
+    * per base model in YAML (the `versions[]` block carries the
+    * per-version payload). Syncing under the manifest name would
+    * create a phantom `<base>_v2` entry the loader can never match
+    * back to a node — breaking organize/refactor idempotency (the
+    * second run re-plans the same move forever).
+    */
+  /** Deterministic within-file sync order: base/unversioned entries
+    * first, so version blocks prune their overrides against the
+    * freshly synced parent payload rather than a stale one.
+    */
+  private[core] def syncOrder(nodes: Seq[NodeMeta]): Seq[NodeMeta] =
+    nodes.sortBy(n => (entryName(n), n.version.isDefined,
+      n.version.map(v => graft.compile.DbtCompiler.normalizeVersion(v))
+        .getOrElse("")))
+
+  private[core] def entryName(node: NodeMeta): String = node.version match {
+    case Some(v) if node.resourceType == "model" =>
+      val suffix = s"_v${graft.compile.DbtCompiler.normalizeVersion(v)}"
+      if (node.name.endsWith(suffix)) node.name.dropRight(suffix.length)
+      else node.name
+    case _ => node.name
+  }
+
   def syncNodeToDoc(doc: YamlIO.YamlDoc, node: NodeMeta,
       settings: EngineSettings = EngineSettings()): YamlIO.YamlDoc = {
     val section = node.resourceType match {
@@ -213,21 +249,22 @@ object SyncOperations {
     }
     if (node.resourceType == "source") return syncSource(doc, node, settings.fusionCompat)
 
+    val name = entryName(node)
     val entries = asSeqMap(doc.managed.getOrElse(section, Nil))
-    if (entries.count(_.get("name").contains(node.name)) > 1)
+    if (entries.count(_.get("name").contains(name)) > 1)
       throw DuplicateEntryError(
-        s"duplicate '$section' entries for ${node.name} — refusing to sync")
+        s"duplicate '$section' entries for $name — refusing to sync")
 
-    val existing = entries.find(_.get("name").contains(node.name))
-      .getOrElse(ListMap("name" -> node.name))
+    val existing = entries.find(_.get("name").contains(name))
+      .getOrElse(ListMap("name" -> name))
     val entry =
       if (node.resourceType == "model" && node.version.isDefined)
         syncVersioned(ListMap(existing.toSeq: _*), node, settings.fusionCompat)
       else syncSection(ListMap(existing.toSeq: _*), node, settings.fusionCompat)
 
     val newEntries =
-      if (entries.exists(_.get("name").contains(node.name)))
-        entries.map(e => if (e.get("name").contains(node.name)) entry else e)
+      if (entries.exists(_.get("name").contains(name)))
+        entries.map(e => if (e.get("name").contains(name)) entry else e)
       else entries :+ entry
     val managed = doc.managed
       .updated("version", doc.managed.getOrElse("version", 2))
@@ -282,9 +319,13 @@ object SyncOperations {
     val byFile = nodes.groupBy(n =>
       PathManagement.targetYamlPath(projectRoot, n, settings))
     byFile.toSeq.sortBy(_._1.toString).map { case (path, fileNodes) =>
-      var doc = YamlIO.read(path)
-      fileNodes.foreach(n => doc = syncNodeToDoc(doc, n, settings))
-      YamlIO.buffer(path, doc)
+      val orig = YamlIO.read(path)
+      var doc = orig
+      syncOrder(fileNodes).foreach(n => doc = syncNodeToDoc(doc, n, settings))
+      // buffer only real changes: an unchanged file must not show up
+      // as written/mutated (reference `--check` exits on mutation, so
+      // a no-op sync marking everything dirty would always fail it)
+      if (doc != orig) YamlIO.buffer(path, doc)
       path
     }
   }

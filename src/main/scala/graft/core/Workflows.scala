@@ -22,26 +22,44 @@ object Workflows {
   final case class SyncResult(
       manifest: Manifest,
       findings: Seq[(Path, SchemaValidation.Finding)],
-      written: Seq[Path])
+      written: Seq[Path],
+      /** dry run only: the files a real run WOULD have written. */
+      planned: Seq[Path] = Nil,
+      /** whether the run changed (or, dry, would change) the project —
+        * the reference `--check` exit-code contract. */
+      mutated: Boolean = false)
 
-  /** Validate synced files and commit atomically; on any error
-    * finding, nothing is written and the dirty cache is dropped.
+  /** Validate synced files, then commit atomically — or, on a dry
+    * run, report the would-write set and drop the buffers. On any
+    * error finding, nothing is written either way.
     */
   private def validateAndCommit(projectRoot: Path, manifest: Manifest,
-      synced: Seq[Path]): SyncResult = {
+      synced: Seq[Path], dryRun: Boolean, extraMutated: Boolean): SyncResult = {
     val findings = synced.flatMap(p => SchemaValidation.validate(YamlIO.read(p))
       .map(f => p -> f)) ++
       SchemaValidation.validateCrossFile(synced.map(p => p -> YamlIO.read(p)))
         .map(f => projectRoot -> f)
     if (findings.exists(_._2.severity == "error")) {
       YamlIO.invalidate()
-      SyncResult(manifest, findings, Nil)
-    } else SyncResult(manifest, findings, YamlIO.commit())
+      SyncResult(manifest, findings, Nil, mutated = extraMutated)
+    } else if (dryRun) {
+      val planned = YamlIO.pending()
+      YamlIO.invalidate()
+      SyncResult(manifest, findings, Nil, planned = planned,
+        mutated = extraMutated || planned.nonEmpty)
+    } else {
+      val written = YamlIO.commit()
+      SyncResult(manifest, findings, written,
+        mutated = extraMutated || written.nonEmpty)
+    }
   }
 
-  private def syncableNodes(manifest: Manifest): Seq[NodeMeta] =
-    manifest.nodes.values
-      .filter(n => n.resourceType == "model" || n.resourceType == "seed").toSeq
+  private def syncableNodes(manifest: Manifest,
+      fqns: Seq[String] = Nil): Seq[NodeMeta] = {
+    val filter = NodeFilters.NodeFilter(fqnPrefixes = fqns)
+    NodeFilters.candidates(manifest, filter)
+      .filter(n => n.resourceType == "model" || n.resourceType == "seed")
+  }
 
   /** `yaml organize`: restructure YAML docs to their configured
     * target paths (path templates, per-file grouping) and sync node
@@ -50,11 +68,29 @@ object Workflows {
     * Needs no warehouse session: this is a pure metadata move.
     */
   def organize(projectRoot: Path, manifest0: Manifest,
-      settings: EngineSettings): SyncResult = {
-    val plan = Restructuring.draftPlan(projectRoot, manifest0, settings)
-    val manifest = Restructuring.applyPlan(projectRoot, plan, manifest0, settings)
-    val synced = SyncOperations.syncNodes(projectRoot, syncableNodes(manifest), settings)
-    validateAndCommit(projectRoot, manifest, synced)
+      settings: EngineSettings, fqns: Seq[String] = Nil,
+      dryRun: Boolean = false): SyncResult = {
+    val filter = NodeFilters.NodeFilter(fqnPrefixes = fqns)
+    val plan = Restructuring.draftPlan(projectRoot, manifest0, settings, filter)
+    if (dryRun) {
+      // report the restructure targets without moving anything, then
+      // stage the sync in memory to learn the full would-write set
+      val synced = SyncOperations.syncNodes(projectRoot,
+        syncableNodes(manifest0, fqns), settings)
+      val r = validateAndCommit(projectRoot, manifest0, synced,
+        dryRun = true, extraMutated = plan.ops.nonEmpty)
+      r.copy(planned = (plan.ops.map(_.targetFile) ++ r.planned).distinct.sorted)
+    } else {
+      val manifest = Restructuring.applyPlan(projectRoot, plan, manifest0, settings)
+      val synced = SyncOperations.syncNodes(projectRoot,
+        syncableNodes(manifest, fqns), settings)
+      val r = validateAndCommit(projectRoot, manifest, synced,
+        dryRun = false, extraMutated = plan.ops.nonEmpty)
+      // applyPlan commits the restructure moves itself; surface them
+      // in `written` so callers see the full touched-file set
+      r.copy(written =
+        (plan.ops.map(_.targetFile) ++ r.written).distinct.sorted)
+    }
   }
 
   /** `yaml document`: pull documentation down the DAG — inject
@@ -64,7 +100,8 @@ object Workflows {
     * the warehouse schema, A4).
     */
   def document(spark: SparkSession, projectRoot: Path, manifest0: Manifest,
-      settings: EngineSettings): SyncResult = {
+      settings: EngineSettings, fqns: Seq[String] = Nil,
+      dryRun: Boolean = false): SyncResult = {
     def cols(n: NodeMeta) =
       Introspection.getColumns(spark, Transforms.relationFor(n), settings, Some(n))
     val result = Transforms.Pipeline()
@@ -76,7 +113,7 @@ object Workflows {
     // relative to its SQL dir); undocumented nodes use the configured
     // template if one exists, and are skipped otherwise (nowhere to
     // write without inventing a layout — that is organize's job)
-    val nodes = syncableNodes(result.manifest).flatMap { n =>
+    val nodes = syncableNodes(result.manifest, fqns).flatMap { n =>
       n.patchPath match {
         case Some(pp) =>
           val cur = projectRoot.resolve(pp.split("://").last)
@@ -88,6 +125,7 @@ object Workflows {
       }
     }
     val synced = SyncOperations.syncNodes(projectRoot, nodes, settings)
-    validateAndCommit(projectRoot, result.manifest, synced)
+    validateAndCommit(projectRoot, result.manifest, synced, dryRun,
+      extraMutated = false)
   }
 }

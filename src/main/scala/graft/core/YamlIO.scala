@@ -104,6 +104,13 @@ object YamlIO {
     cache.synchronized { cache.put(path, CacheEntry(doc, dirty = false)) }
   }
 
+  /** Paths of dirty (buffered, uncommitted) docs — the would-write
+    * set a dry run reports instead of committing.
+    */
+  def pending(): Seq[Path] = cache.synchronized {
+    cache.asScala.toSeq.collect { case (p, e) if e.dirty => p }.sorted
+  }
+
   /** Commit all dirty buffered docs; returns the written paths. */
   def commit(): Seq[Path] = cache.synchronized {
     val dirty = cache.asScala.toSeq.collect { case (p, e) if e.dirty => p -> e }

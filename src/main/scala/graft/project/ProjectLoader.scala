@@ -184,23 +184,32 @@ object ProjectLoader {
         rawCode = Files.readString(p))
     }
 
-    // schema yml docs (models/**/*.yml): models/seeds column docs + sources
+    // schema yml docs (models/**/*.yml + seeds/**/*.yml): models/seeds
+    // column docs + sources. The seeds dir must be scanned too — seed
+    // YAML organized next to its CSV would otherwise never resolve a
+    // patchPath, and every restructure run would re-plan the same move.
     val ymlFiles =
-      if (Files.isDirectory(modelsDir))
-        Files.walk(modelsDir).iterator().asScala.toSeq
-          .filter(p => p.toString.endsWith(".yml") || p.toString.endsWith(".yaml"))
-          .sortBy(_.toString)
-      else Nil
+      Seq(modelsDir, seedsDir).filter(Files.isDirectory(_))
+        .flatMap { d =>
+          val s = Files.walk(d)
+          try s.iterator().asScala.toSeq finally s.close()
+        }
+        .filter(p => p.toString.endsWith(".yml") || p.toString.endsWith(".yaml"))
+        .sortBy(_.toString)
     var byId = ListMap(nodes.map(n => n.uniqueId -> n): _*)
     for (p <- ymlFiles) {
       val doc = loadYaml(p)
       for (section <- Seq("models", "seeds"); entry <- asSeqMap(doc.getOrElse(section, Nil))) {
         val name = entry("name").toString
-        // versioned schema entries expand to per-version nodes
+        // versioned schema entries expand to per-version nodes; the
+        // base name is ALSO matched against an unversioned sibling
+        // node (top-level payload, no versions block) so its patchPath
+        // survives reload — otherwise every restructure run re-plans
+        // the same move for the unversioned file
         val versions = asSeqMap(entry.getOrElse("versions", Nil))
         val targets =
           if (versions.isEmpty) Seq((name, entry))
-          else versions.map { v =>
+          else (name, entry - "versions") +: versions.map { v =>
             val vNum = v("v")
             val vName = if (DbtCompiler0.normalizeVersion(vNum) == "1") name
                         else s"${name}_v${DbtCompiler0.normalizeVersion(vNum)}"
@@ -216,7 +225,7 @@ object ProjectLoader {
               config = n.config ++ asMap(body.getOrElse("config", Map.empty)),
               patchPath = Some(root.relativize(p).toString),
               version = if (versions.isEmpty) n.version
-                        else Some(body.getOrElse("v", n.version.orNull)),
+                        else Option(body.getOrElse("v", n.version.orNull)),
               columns = columnsFrom(body))
             byId = byId.updated(n.uniqueId, updated)
           }

@@ -66,6 +66,77 @@ class WorkflowsSpec extends AnyFunSuite {
     YamlIO.invalidate()
   }
 
+  test("yaml flags parse: repeatable --fqn, --dry-run, --check, unknown rejected") {
+    import graft.Cli
+    assert(Cli.parseYamlFlags(
+      List("--fqn", "staging", "--fqn", "marts.a", "--dry-run", "--check")) ==
+      Right(Cli.YamlFlags(Seq("staging", "marts.a"), dryRun = true, check = true)))
+    assert(Cli.parseYamlFlags(Nil) == Right(Cli.YamlFlags()))
+    assert(Cli.parseYamlFlags(List("--bogus")).isLeft)
+    assert(Cli.parseYamlFlags(List("--fqn")).isLeft, "--fqn needs a value")
+  }
+
+  test("organize --dry-run touches nothing; real runs converge to a no-op") {
+    val root = copyFixture()
+    val settings = EngineSettings(
+      vars = Map("dbt_osmosis_default_path" -> "{model}.yml"))
+    val dry = Workflows.organize(root,
+      ProjectLoader.load(root.toString).manifest, settings, dryRun = true)
+    assert(dry.written.isEmpty, "dry run must not write")
+    assert(dry.planned.nonEmpty, "dry run must report the would-write set")
+    assert(dry.mutated, "dry run must still detect the pending mutation")
+    assert(!Files.exists(root.resolve("models/staging/stg_customers.yml")),
+      "dry run moved files on disk")
+    // real run mutates; a SECOND real run finds everything in place
+    // and reports no mutation — the --check contract
+    val real = Workflows.organize(root,
+      ProjectLoader.load(root.toString).manifest, settings)
+    assert(real.mutated && real.written.nonEmpty)
+    YamlIO.invalidate()
+    val again = Workflows.organize(root,
+      ProjectLoader.load(root.toString).manifest, settings)
+    assert(!again.mutated,
+      s"converged project reported mutation: wrote ${again.written}")
+    YamlIO.invalidate()
+  }
+
+  test("organize --fqn scopes the restructure to matching models") {
+    val root = copyFixture()
+    val settings = EngineSettings(
+      vars = Map("dbt_osmosis_default_path" -> "{model}.yml"))
+    val r = Workflows.organize(root,
+      ProjectLoader.load(root.toString).manifest, settings,
+      fqns = Seq("staging"))
+    assert(r.findings.forall(_._2.severity != "error"), r.findings.toString)
+    // staging models moved to per-model files...
+    assert(Files.exists(root.resolve("models/staging/stg_customers.yml")))
+    // ...but the out-of-scope root-level model was left alone
+    assert(!Files.exists(root.resolve("models/customers.yml")),
+      "--fqn staging must not restructure models outside the pattern")
+    assert(Files.exists(root.resolve("models/schema.yml")))
+    YamlIO.invalidate()
+  }
+
+  test("document --dry-run reports inheritance without writing it") {
+    val root = copyFixture()
+    import spark.implicits._
+    Seq((1, "north"), (2, "south")).toDF("region_id", "region_name")
+      .createOrReplaceTempView("region_lookup")
+    val project = ProjectLoader.load(root.toString)
+    val executor = new ModelExecutor(spark, project)
+    executor.buildAll()
+    val settings = EngineSettings(addProgenitorToMeta = true)
+    val r = Workflows.document(spark, root, executor.manifest, settings,
+      dryRun = true)
+    assert(r.written.isEmpty && r.planned.nonEmpty && r.mutated)
+    // the inherited description exists in the returned manifest but
+    // NOT on disk
+    assert(colDesc(YamlIO.read(root.resolve("models/schema.yml")),
+      "customers", "customer_id").isEmpty,
+      "dry run leaked an inherited description to disk")
+    YamlIO.invalidate()
+  }
+
   test("document inherits docs in place without moving files") {
     val root = copyFixture()
     import spark.implicits._
