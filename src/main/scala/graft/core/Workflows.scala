@@ -107,7 +107,7 @@ object Workflows {
     val result = Transforms.Pipeline()
       .andThen("inject", (_, n) => Transforms.injectMissingColumns(n, cols(n), settings))
       .andThen("inherit", (m, n) => Inheritance.inheritUpstreamColumnKnowledge(m, n, settings))
-      .run(manifest0)
+      .run(manifest0, NodeFilters.NodeFilter(fqnPrefixes = fqns))
     // "without moving files": a documented node syncs into its
     // EXISTING patch file (pinned via a per-node path option rendered
     // relative to its SQL dir); undocumented nodes use the configured
