@@ -57,6 +57,9 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction(
         "repetition_stats", exprs => RepetitionStats(exprs.head), "built-in")
       reg.createOrReplaceTempFunction(
+        "sorted_inter_count",
+        exprs => SortedInterCount(exprs(0), exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction(
         "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "built-in")
       reg.createOrReplaceTempFunction(
         "simhash64", exprs => SimHash64(exprs.head), "built-in")

@@ -405,3 +405,65 @@ object RepetitionStats {
       m.toLong, uni.size.toLong, uniMx.toLong, biMx.toLong, nb.toLong))
   }
 }
+
+/** |A ∩ B| of two SORTED, duplicate-free arrays in one merge pass —
+  * the Jaccard-verify kernel. `array_intersect`+`array_union` build a
+  * hash structure and materialize the union array PER PAIR; on the
+  * dedup verify joins (millions of candidate pairs × ~100-element
+  * shingle arrays) the two-pointer walk does the same arithmetic with
+  * zero allocation, and |A ∪ B| falls out as |A|+|B|−|A∩B|. Supports
+  * the two shingle representations the dedup family ships: fnv64
+  * longs (simhash path) and shingle strings (minhash path, compared
+  * with the same binary ordering `array_sort` used).
+  */
+case class SortedInterCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_inter_count"
+
+  private def isLong: Boolean =
+    left.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType == LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedInterCount.count(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], isLong)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SortedInterCount.count($a, $b, $isLong);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedInterCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedInterCount {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  def count(a: ArrayData, b: ArrayData, isLong: Boolean): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    if (isLong) {
+      while (i < na && j < nb) {
+        val x = a.getLong(i)
+        val y = b.getLong(j)
+        if (x == y) { c += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+    } else {
+      while (i < na && j < nb) {
+        val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+        if (cmp == 0) { c += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
+    }
+    c
+  }
+}

@@ -185,9 +185,14 @@ object Dedup {
     candidates
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      // one-pass sorted-merge intersect; |A∪B| = |A|+|B|−|A∩B|
+      // (arrays are sorted + duplicate-free) — same integers, same
+      // division, bit-identical jaccard to intersect/union
+      .withColumn("inter",
+        call_function("sorted_inter_count", col("sh_a"), col("sh_b"))
+          .cast("double"))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -345,9 +350,11 @@ object Dedup {
         lit(threshold) * greatest(col("sz_a"), col("sz_b")).cast("double"))
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("inter",
+        call_function("sorted_inter_count", col("sh_a"), col("sh_b"))
+          .cast("double"))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
