@@ -342,8 +342,11 @@ object RelationalExt {
     val cand = names.select(col("sz"), col("nm").as("name_a"))
       .join(names.select(col("sz").as("szb"), col("nm").as("name_b")),
         col("sz") === col("szb"))
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
-      .filter(col("dist") <= 2)
+      // bounded variant: the DP early-exits once the distance exceeds
+      // the threshold (returns -1), O(m·k) instead of O(m·n) per pair
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b"), 2).cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= 2)
       .select("sz", "name_a", "name_b", "dist")
     val a = p.select(col("p_partkey").as("key_a"), col("p_name").as("name_a"),
       col("p_size").as("sz"))
