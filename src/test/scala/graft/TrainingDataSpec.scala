@@ -468,10 +468,40 @@ class TrainingDataSpec extends AnyFunSuite {
   test("learnBpeMerges reproduces the shipped merges table from its corpus") {
     import graft.operators.CorpusOps
     val docs = Tables.documents(spark, "/root/testdata/sf0.01")
-    val learned = CorpusOps.learnBpeMerges(docs, "text", numMerges = 48)
+    var rounds = 0
+    val learned = CorpusOps.learnBpeMerges(docs, "text", numMerges = 48,
+        onRound = _ => rounds += 1)
       .map { case (_, l, r, _) => s"$l $r" }
     assert(learned == graft.functions.Bpe.Merges.toSeq,
       s"learned ${learned.take(8)}... vs shipped ${graft.functions.Bpe.Merges.take(8).toSeq}...")
+    // real-corpus batching efficiency: the guards must still beat
+    // one-merge-per-round on natural text (created pairs dominate
+    // early, the tail batches) — regression-pin the upper bound
+    info(s"48 merges learned in $rounds Spark rounds (sequential would take 48)")
+    assert(rounds < 48, s"batching degenerated to sequential: $rounds rounds")
+  }
+
+  test("sorted_inter_count matches array_intersect/array_union on random arrays") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(21)
+    // random sorted duplicate-free long and string arrays, including
+    // empties, disjoint, identical, and subset shapes
+    val rows = (0 until 200).map { i =>
+      val a = rnd.shuffle((0 until 60).toList).take(rnd.nextInt(20)).sorted
+      val b = rnd.shuffle((0 until 60).toList).take(rnd.nextInt(20)).sorted
+      (i.toLong, a.map(_.toLong), b.map(_.toLong),
+        a.map(x => f"s$x%03d"), b.map(x => f"s$x%03d"))
+    }
+    val df = rows.toDF("id", "la", "lb", "sa", "sb")
+    val bad = df.select(
+      (expr("sorted_inter_count(la, lb)") =!=
+        size(array_intersect(col("la"), col("lb"))).cast("long")).as("badL"),
+      (expr("sorted_inter_count(sa, sb)") =!=
+        size(array_intersect(col("sa"), col("sb"))).cast("long")).as("badS"))
+      .filter(col("badL") || col("badS")).count()
+    assert(bad == 0, s"$bad rows diverged from array_intersect")
   }
 
   test("PQ encode: codebook vectors quantize to themselves with zero error") {
