@@ -13,11 +13,16 @@ import org.apache.spark.sql.types._
   * [[decodeImage]] / [[resizeImage]]. Payloads no installed reader
   * recognizes (including the fixture's text stand-ins) fall back to
   * the clearly-marked deterministic fakes, and the `decoded` column
-  * records which path ran. Audio/video codecs are NOT in this
-  * container, so the frame sampler stays an honest stub; the
-  * Spark-side contract — schema, batch iteration, partition-local
-  * processing, metadata struct shape — is real and tested either
-  * way. Swapping in a JNI/FFI codec changes only the function body.
+  * records which path ran. Audio decode is REAL for the containers
+  * the JDK's `javax.sound.sampled` readers cover (WAV/AIFF/AU) —
+  * [[decodeAudio]]. Frame sampling is REAL at the container level
+  * for MP4 via [[Mp4.demux]] (stsz/stsc/stco sample-table walk);
+  * decode-to-pixels stops there because no pixel codec ships in this
+  * container, and non-media payloads fall back to deterministic
+  * fakes with a provenance flag. The Spark-side contract — schema,
+  * batch iteration, partition-local processing, metadata struct
+  * shape — is identical on every path, so swapping in a JNI/FFI
+  * codec changes only the function body.
   */
 object Multimodal {
 
@@ -55,6 +60,45 @@ object Multimodal {
         lit("text/plain").as("media_type"),
         octet_length(payload).cast("long").as("n_bytes"),
         crc32(payload).as("checksum")).as("meta"))
+  }
+
+  /** Schema produced by the fixture payload builders: id + binary. */
+  private val PayloadSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = false)))
+
+  /** Wrap each document's text bytes in a real RIFF/WAVE container
+    * (8-bit unsigned mono PCM, 1 sample per byte) — the deterministic
+    * audio fixture for the oracle gate. Map-only.
+    */
+  def withWavPayload(docs: DataFrame, idCol: String, textCol: String,
+      sampleRate: Int = 8000): DataFrame = {
+    val encoder = ExpressionEncoder(PayloadSchema)
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          Row(r.getLong(0), buildWav(r.getString(1).getBytes("UTF-8"), sampleRate))
+        }
+      }(encoder)
+  }
+
+  /** Wrap each document's text bytes in a real single-track MP4:
+    * consecutive `sampleBytes`-sized slices of the text become the
+    * container's samples (the last one ragged) — the deterministic
+    * video fixture for the oracle gate. Map-only.
+    */
+  def withMp4Payload(docs: DataFrame, idCol: String, textCol: String,
+      sampleBytes: Int = 48): DataFrame = {
+    require(sampleBytes > 0)
+    val encoder = ExpressionEncoder(PayloadSchema)
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getString(1).getBytes("UTF-8")
+          val samples = bytes.grouped(sampleBytes).toSeq
+          Row(r.getLong(0), Mp4.build(samples))
+        }
+      }(encoder)
   }
 
   /** REAL image decode via `javax.imageio` (the JDK ships PNG, JPEG,
@@ -193,19 +237,27 @@ object Multimodal {
     }(encoder)
   }
 
-  /** Schema for sampled frames: one row per frame (one-to-many). */
+  /** Schema for sampled frames: one row per frame (one-to-many).
+    * `demuxed` gates provenance: true = the frame is a real sample
+    * (access unit) pulled out of an ISO-BMFF container by
+    * [[Mp4.demux]]; false = the deterministic byte-chunker fallback.
+    */
   val FrameSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("frame_idx", IntegerType, nullable = false),
     StructField("frame", BinaryType, nullable = false),
-    StructField("n_bytes", LongType, nullable = false)))
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("demuxed", BooleanType, nullable = false)))
 
-  /** STUB frame sampler — stands in for a video demuxer. Deterministic:
-    * splits the payload into fixed-size chunks ("frames") and keeps
-    * every `everyNth`. The Spark shape is the real contract: a
-    * partition-wise ONE-TO-MANY expansion (flatMap inside
-    * mapPartitions), the same iterator pattern an Arrow-batch video
-    * pipeline uses, with no driver involvement and no shuffle.
+  /** Frame sampler. REAL for MP4 payloads: [[Mp4.demux]] walks the
+    * container's sample table (stsz/stsc/stco) and the sampler emits
+    * every `everyNth` actual sample's bytes — the container-level
+    * demux a frame pipeline runs before handing access units to a
+    * hardware decoder (pixel codecs are not in this container, so
+    * decode-to-pixels stops there). Non-MP4 payloads fall back to the
+    * deterministic fixed-size chunker. Either way the Spark shape is
+    * the contract: a partition-wise ONE-TO-MANY expansion (flatMap
+    * inside mapPartitions), no driver involvement, no shuffle.
     */
   def sampleFrames(withPayloads: DataFrame, idCol: String,
       frameBytes: Int = 64, everyNth: Int = 2): DataFrame = {
@@ -214,13 +266,137 @@ object Multimodal {
     val input = withPayloads.select(col(idCol).cast("long"), col("payload"))
     input.mapPartitions { rows =>
       rows.flatMap { r =>
-        // ??? <- real demuxer goes here; deterministic fake below.
         val payload = r.getAs[Array[Byte]](1)
-        payload.grouped(frameBytes).zipWithIndex
-          .filter { case (_, i) => i % everyNth == 0 }
-          .map { case (frame, i) =>
-            Row(r.getLong(0), i, frame, frame.length.toLong)
-          }
+        Mp4.demux(payload) match {
+          case Some(tracks) =>
+            val track = tracks.find(_.handler == "vide").getOrElse(tracks.head)
+            track.samples.zipWithIndex.iterator
+              .filter { case (_, i) => i % everyNth == 0 }
+              .map { case ((off, len), i) =>
+                val frame = java.util.Arrays.copyOfRange(
+                  payload, off.toInt, off.toInt + len)
+                Row(r.getLong(0), i, frame, frame.length.toLong, true)
+              }
+          case None =>
+            payload.grouped(frameBytes).zipWithIndex
+              .filter { case (_, i) => i % everyNth == 0 }
+              .map { case (frame, i) =>
+                Row(r.getLong(0), i, frame, frame.length.toLong, false)
+              }
+        }
+      }
+    }(encoder)
+  }
+
+  // ---------------------------------------------------------------
+  // Audio: REAL decode via javax.sound.sampled (the JDK ships
+  // WAV/AIFF/AU readers).
+  // ---------------------------------------------------------------
+
+  /** Magic sniff for the containers the JDK can open: RIFF/WAVE,
+    * FORM/AIFF, and .snd (AU). Same rationale as [[looksLikeImage]]:
+    * reject non-audio in a few byte compares before consulting the
+    * provider registry.
+    */
+  private def looksLikeAudio(p: Array[Byte]): Boolean =
+    p.length >= 12 && (
+      (p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+        p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E') ||
+      (p(0) == 'F' && p(1) == 'O' && p(2) == 'R' && p(3) == 'M' &&
+        p(8) == 'A' && p(9) == 'I' && p(10) == 'F') ||
+      (p(0) == '.' && p(1) == 's' && p(2) == 'n' && p(3) == 'd'))
+
+  /** Decoded audio facts: all-integer so gate hashes are exact. */
+  final case class AudioInfo(sampleRate: Int, channels: Int, bits: Int,
+      nFrames: Long, pcm: Array[Byte])
+
+  /** REAL audio decode: `AudioSystem.getAudioInputStream` parses the
+    * container header and yields the PCM frames. None when no
+    * installed reader recognizes the payload — callers fall back to
+    * the deterministic fake, keeping the pipeline total.
+    */
+  def decodeAudio(payload: Array[Byte]): Option[AudioInfo] =
+    if (!looksLikeAudio(payload)) None
+    else try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.BufferedInputStream(new java.io.ByteArrayInputStream(payload)))
+      try {
+        val fmt = in.getFormat
+        val pcm = in.readAllBytes()
+        val frameSize = math.max(1, fmt.getFrameSize)
+        Some(AudioInfo(fmt.getSampleRate.toInt, fmt.getChannels,
+          fmt.getSampleSizeInBits, pcm.length.toLong / frameSize, pcm))
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** Build a canonical RIFF/WAVE file around 8-bit unsigned mono PCM.
+    * Deterministic byte-for-byte: fixtures built from text bytes are
+    * oracle-predictable (1 sample per input byte).
+    */
+  def buildWav(samples: Array[Byte], sampleRate: Int = 8000): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + samples.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("ISO-8859-1")).putInt(36 + samples.length)
+      .put("WAVE".getBytes("ISO-8859-1"))
+    bb.put("fmt ".getBytes("ISO-8859-1")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate) // byte rate = rate * 1 channel * 1 byte
+      .putShort(1) // block align
+      .putShort(8) // bits per sample
+    bb.put("data".getBytes("ISO-8859-1")).putInt(samples.length).put(samples)
+    bb.array()
+  }
+
+  /** Audio feature rows: integer metadata from the real decode plus
+    * an exact integer energy (sum over samples of (s-128)^2 for 8-bit
+    * unsigned PCM) — integer so the oracle hash cannot drift.
+    */
+  val AudioFeatureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("bits", IntegerType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("energy", LongType, nullable = false),
+    StructField("decoded", BooleanType, nullable = false)))
+
+  /** Deterministic fallback for payloads no audio reader accepts:
+    * pretends the raw bytes are 8-bit mono PCM at 8 kHz.
+    */
+  def fakeAudioDecode(payload: Array[Byte]): AudioInfo =
+    AudioInfo(8000, 1, 8, payload.length.toLong, payload)
+
+  private def pcm8Energy(pcm: Array[Byte]): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < pcm.length) {
+      val d = (pcm(i) & 0xff) - 128
+      acc += d.toLong * d
+      i += 1
+    }
+    acc
+  }
+
+  /** Decode stage for audio payloads: map-only partition-wise, one
+    * [[AudioFeatureSchema]] row per document.
+    */
+  def extractAudioFeatures(withPayloads: DataFrame, idCol: String): DataFrame = {
+    val encoder = ExpressionEncoder(AudioFeatureSchema)
+    val input = withPayloads.select(col(idCol).cast("long"), col("payload"))
+    input.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](1)
+        val (info, real) = decodeAudio(payload) match {
+          case Some(i) => (i, true)
+          case None => (fakeAudioDecode(payload), false)
+        }
+        val durMs =
+          if (info.sampleRate <= 0) 0L else info.nFrames * 1000L / info.sampleRate
+        Row(r.getLong(0), info.sampleRate, info.channels, info.bits,
+          info.nFrames, durMs, pcm8Energy(info.pcm), real)
       }
     }(encoder)
   }

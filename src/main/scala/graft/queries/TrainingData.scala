@@ -401,6 +401,52 @@ object TrainingData {
       .withColumn("avg_k", col("sum_k").cast("double") / col("n_events").cast("double"))
       .orderBy("event_type")
 
+  /** Real-codec audio decode under the gate: each document's text
+    * bytes become a canonical 8-bit-PCM WAV ([[Multimodal.buildWav]]),
+    * decoded back through the REAL `javax.sound.sampled` reader path
+    * ([[Multimodal.extractAudioFeatures]]). The oracle predicts every
+    * integer column from the text alone — sample count, duration,
+    * and the exact (s-128)² PCM energy — so a header mis-parse, a
+    * sample miscount, or a dropped PCM byte breaks the hash. Build +
+    * decode are partition-local: the whole query is map-only, scale
+    * cost is one streaming pass over the corpus bytes.
+    */
+  def docAudioDecode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Multimodal.extractAudioFeatures(
+      Multimodal.withWavPayload(docs, "doc_id", "text"), "doc_id")
+      .select(col("doc_id"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("channels").cast("long").as("channels"),
+        col("bits").cast("long").as("bits"),
+        col("n_frames"), col("duration_ms"), col("energy"), col("decoded"))
+      .orderBy("doc_id")
+  }
+
+  /** Real container demux under the gate: each document's text bytes
+    * become a structurally valid single-track MP4 (48-byte samples,
+    * [[Multimodal.withMp4Payload]]); [[Multimodal.sampleFrames]] then
+    * demuxes the stsz/stsc/stco sample table ([[Mp4.demux]]) and
+    * keeps every 2nd access unit. The oracle predicts kept-frame
+    * counts, kept bytes, and the sum of each kept frame's FIRST byte
+    * — the last is an exact check that every demuxed offset landed on
+    * the right mdat position. `n_fake` pins provenance: 0 means no
+    * row fell back to the chunker. Map-only until the per-document
+    * count aggregation (a doc_id-keyed partial agg).
+    */
+  def docMp4Frames(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(length(col("text")) > 0)
+    val frames = Multimodal.sampleFrames(
+      Multimodal.withMp4Payload(docs, "doc_id", "text", sampleBytes = 48),
+      "doc_id", everyNth = 2)
+    frames.groupBy("doc_id").agg(
+      count(lit(1)).as("n_frames_kept"),
+      sum(col("n_bytes")).as("kept_bytes"),
+      sum(ascii(col("frame").cast("string"))).cast("long").as("first_byte_sum"),
+      sum(when(col("demuxed"), 0L).otherwise(1L)).as("n_fake"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_text_stats" -> docTextStats _,
     "t02_lang_id" -> docLangId _,
@@ -436,6 +482,8 @@ object TrainingData {
     "t32_pq_encode" -> annPqEncode _,
     "t33_pq_adc_topk" -> annPqAdc _,
     "t34_bpe_train" -> docBpeTrain _,
+    "t35_audio_decode" -> docAudioDecode _,
+    "t36_mp4_frames" -> docMp4Frames _,
   )
 
   /** Shared DuckDB CTE fragment: per-doc word-trigram shingle sets,
@@ -1001,6 +1049,44 @@ object TrainingData {
            |  CAST(SUM(dist_scaled) AS DOUBLE) / 1000000.0 AS quant_err
            |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin,
       "t34_bpe_train" -> bpeTrainOracleSql,
+      "t35_audio_decode" ->
+        """SELECT doc_id,
+          |  CAST(8000 AS BIGINT) AS sample_rate,
+          |  CAST(1 AS BIGINT) AS channels,
+          |  CAST(8 AS BIGINT) AS bits,
+          |  CAST(octet_length(encode(text)) AS BIGINT) AS n_frames,
+          |  CAST(octet_length(encode(text)) AS BIGINT) * 1000 // 8000
+          |    AS duration_ms,
+          |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |    list_transform(range(1, length(text) + 1),
+          |      i -> CAST((unicode(substr(text, i, 1)) - 128)
+          |        * (unicode(substr(text, i, 1)) - 128) AS BIGINT))),
+          |    (x, y) -> x + y) AS energy,
+          |  TRUE AS decoded
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "t36_mp4_frames" ->
+        """WITH d AS (
+          |  SELECT doc_id, text,
+          |    CAST(octet_length(encode(text)) AS BIGINT) AS len
+          |  FROM documents WHERE length(text) > 0
+          |)
+          |SELECT doc_id,
+          |  ((len + 47) // 48 + 1) // 2 AS n_frames_kept,
+          |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |    list_transform(range(0, (len + 47) // 48),
+          |      i -> CASE WHEN (i % 2) = 0
+          |        THEN CAST(least(48, len - (48 * i)) AS BIGINT)
+          |        ELSE CAST(0 AS BIGINT) END)),
+          |    (x, y) -> x + y) AS kept_bytes,
+          |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |    list_transform(range(0, (len + 47) // 48),
+          |      i -> CASE WHEN (i % 2) = 0
+          |        THEN CAST(unicode(substr(text, CAST((48 * i) + 1 AS INT), 1))
+          |          AS BIGINT)
+          |        ELSE CAST(0 AS BIGINT) END)),
+          |    (x, y) -> x + y) AS first_byte_sum,
+          |  CAST(0 AS BIGINT) AS n_fake
+          |FROM d ORDER BY doc_id""".stripMargin,
       "t33_pq_adc_topk" ->
         s"""WITH ${pqCtes(8, 64)}, q AS (
            |  SELECT vec_id AS qid, sub, sv AS qv FROM sv

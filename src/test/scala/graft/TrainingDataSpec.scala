@@ -294,6 +294,98 @@ class TrainingDataSpec extends AnyFunSuite {
         "resize/frame-sample must not shuffle")
   }
 
+  test("real WAV payloads decode through javax.sound.sampled") {
+    import spark.implicits._
+    val bytes = "hello audio fixture".getBytes("UTF-8")
+    val wav = Multimodal.buildWav(bytes, sampleRate = 8000)
+    // the JDK reader really parses the RIFF header and streams PCM back
+    val info = Multimodal.decodeAudio(wav).get
+    assert(info.sampleRate == 8000 && info.channels == 1 && info.bits == 8)
+    assert(info.nFrames == bytes.length)
+    assert(info.pcm.toSeq == bytes.toSeq, "PCM round-trips byte-exact")
+    // pipeline: real decode flagged true, fallback flagged false
+    val df = Seq((1L, wav), (2L, "not audio at all".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val feats = Multimodal.extractAudioFeatures(df, "doc_id")
+      .orderBy("doc_id").collect()
+    assert(feats(0).getBoolean(feats(0).fieldIndex("decoded")))
+    assert(feats(0).getLong(feats(0).fieldIndex("n_frames")) == bytes.length)
+    val energy = bytes.map { b => val d = (b & 0xff) - 128; d.toLong * d }.sum
+    assert(feats(0).getLong(feats(0).fieldIndex("energy")) == energy)
+    assert(feats(0).getLong(feats(0).fieldIndex("duration_ms")) ==
+      bytes.length * 1000L / 8000)
+    assert(!feats(1).getBoolean(feats(1).fieldIndex("decoded")))
+  }
+
+  test("Mp4 build/demux round-trips the sample table exactly") {
+    import graft.operators.Mp4
+    val samples = Seq.tabulate(7)(i =>
+      Array.tabulate(10 + 5 * i)(j => ((i * 37 + j) & 0xff).toByte))
+    val mp4 = Mp4.build(samples)
+    assert(Mp4.looksLikeMp4(mp4))
+    val tracks = Mp4.demux(mp4).get
+    assert(tracks.length == 1 && tracks.head.handler == "vide")
+    val got = tracks.head.samples.map { case (off, len) =>
+      java.util.Arrays.copyOfRange(mp4, off.toInt, off.toInt + len).toSeq
+    }
+    assert(got == samples.map(_.toSeq), "every access unit byte-exact")
+    // unknown trailing boxes are skipped by size, not choked on
+    val free = java.nio.ByteBuffer.allocate(16).putInt(16)
+      .put("free".getBytes("ISO-8859-1")).put(new Array[Byte](8)).array()
+    assert(Mp4.demux(mp4 ++ free).get.head.samples == tracks.head.samples)
+    // non-MP4 payloads are rejected cheaply
+    assert(Mp4.demux("garbage that is not a container".getBytes).isEmpty)
+  }
+
+  test("sampleFrames demuxes real MP4 access units with provenance") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // doc 1: 100 bytes -> samples 48,48,4; everyNth=2 keeps idx 0,2
+    // doc 2: 30 bytes  -> one 30-byte sample, kept
+    val docs = Seq((1L, "a" * 100), (2L, "b" * 30)).toDF("doc_id", "text")
+    val frames = Multimodal.sampleFrames(
+      Multimodal.withMp4Payload(docs, "doc_id", "text", sampleBytes = 48),
+      "doc_id", everyNth = 2)
+      .orderBy("doc_id", "frame_idx").collect()
+    assert(frames.length == 3)
+    assert(frames.forall(_.getBoolean(frames(0).fieldIndex("demuxed"))))
+    assert(frames(0).getLong(0) == 1L && frames(0).getInt(1) == 0 &&
+      frames(0).getAs[Array[Byte]](2).toSeq == ("a" * 48).getBytes.toSeq)
+    assert(frames(1).getLong(0) == 1L && frames(1).getInt(1) == 2 &&
+      frames(1).getAs[Array[Byte]](2).toSeq == ("a" * 4).getBytes.toSeq)
+    assert(frames(2).getLong(0) == 2L && frames(2).getInt(1) == 0 &&
+      frames(2).getAs[Array[Byte]](2).length == 30)
+  }
+
+  test("t35/t36 gate queries match a direct recomputation from text") {
+    import graft.queries.TrainingData
+    val text = Tables.documents(spark, dir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    val audio = TrainingData.docAudioDecode(spark, dir).collect()
+    assert(audio.length == text.size)
+    audio.foreach { r =>
+      val t = text(r.getLong(r.fieldIndex("doc_id"))).getBytes("UTF-8")
+      assert(r.getBoolean(r.fieldIndex("decoded")), "every WAV must real-decode")
+      assert(r.getLong(r.fieldIndex("n_frames")) == t.length)
+      val energy = t.map { b => val d = (b & 0xff) - 128; d.toLong * d }.sum
+      assert(r.getLong(r.fieldIndex("energy")) == energy)
+    }
+
+    val mp4 = TrainingData.docMp4Frames(spark, dir).collect()
+    assert(mp4.length == text.count(_._2.nonEmpty))
+    mp4.foreach { r =>
+      val t = text(r.getLong(r.fieldIndex("doc_id"))).getBytes("UTF-8")
+      val chunks = t.grouped(48).toSeq
+      val kept = chunks.zipWithIndex.filter(_._2 % 2 == 0).map(_._1)
+      assert(r.getLong(r.fieldIndex("n_fake")) == 0L)
+      assert(r.getLong(r.fieldIndex("n_frames_kept")) == kept.length)
+      assert(r.getLong(r.fieldIndex("kept_bytes")) == kept.map(_.length.toLong).sum)
+      assert(r.getLong(r.fieldIndex("first_byte_sum")) ==
+        kept.map(c => (c.head & 0xff).toLong).sum)
+    }
+  }
+
   test("real BPE count follows the min-rank merge loop") {
     import graft.functions.Bpe
     // hand-traced against Bpe.Merges: "customer" fully collapses
