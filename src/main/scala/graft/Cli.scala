@@ -322,6 +322,19 @@ object Cli {
 
     // Catalog artifact (A5): materialized schema snapshot of every
     // built relation, preferred over live introspection on re-runs.
+    case "serve" :: dir :: rest if rest.length <= 1 =>
+      val spark = session()
+      val project = ProjectLoader.load(dir)
+      val executor = new ModelExecutor(spark, project)
+      executor.buildAll()
+      val port = rest.headOption.map(_.toInt).getOrElse(8581)
+      val proxy = new graft.serve.SqlProxy(executor, port).start()
+      println(s"sql proxy listening on 127.0.0.1:${proxy.boundPort} " +
+        "(POST /query, GET /schema); Ctrl-C to stop")
+      // foreground server: park the main thread until interrupted
+      try Thread.currentThread.join()
+      finally { proxy.stop(); spark.stop() }
+
     case "catalog" :: dir :: outFile :: Nil =>
       val spark = session()
       val project = ProjectLoader.load(dir)
@@ -344,7 +357,7 @@ object Cli {
 
     case _ =>
       System.err.println(
-        "usage: graft.Cli build|run-sql|inherit|test|lint|diff|refactor|organize|document|catalog|profile <projectDir> [args] | curate <sfDir> <outDir>\n" +
+        "usage: graft.Cli build|run-sql|inherit|test|lint|diff|refactor|organize|document|catalog|profile|serve <projectDir> [args] | curate <sfDir> <outDir>\n" +
           "  refactor/organize/document options: --fqn <pattern> (repeatable), --dry-run, --check")
       sys.exit(2)
   }

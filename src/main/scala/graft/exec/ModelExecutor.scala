@@ -343,4 +343,12 @@ final class ModelExecutor(spark: SparkSession, project: Project,
     else raw
     spark.sql(sql)
   }
+
+  /** Session-scoped manifest metadata update — the SQL proxy's ALTER
+    * TABLE … COMMENT middleware mutates descriptions in memory only,
+    * never the YAML on disk (reference sql/proxy.py:75-110).
+    */
+  def updateNode(node: graft.core.NodeMeta): Unit = {
+    manifestVar = manifestVar.updated(node)
+  }
 }

@@ -1,0 +1,165 @@
+package graft.serve
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import graft.exec.ModelExecutor
+
+/** Local SQL proxy (SURVEY §2A A45; reference `sql/proxy.py`): serve
+  * the project over a wire protocol so external tools can run
+  * Jinja-SQL against the warehouse and browse the manifest's schema.
+  *
+  * The reference speaks MySQL wire via a protocol library; Spark-first
+  * the natural transport is HTTP+JSON on the JDK's built-in server
+  * (no new dependencies — heavyweight serving is Spark Connect /
+  * Thrift's job, SURVEY §3.3; this proxy is the dev-workflow shim).
+  * Same contract as the reference, per endpoint:
+  *
+  *  - `POST /query` `{"sql": …, "limit"?: n}` — Jinja-compile if
+  *    templated, hand to Catalyst, return `{columns, rows}`
+  *    (reference `DbtSession.query` → `execute_sql_code`,
+  *    sql/proxy.py:113-127). Errors come back structured
+  *    (`{"error": …}`, HTTP 400), not as dropped connections.
+  *  - ALTER TABLE comment middleware: `ALTER TABLE [s.]t MODIFY
+  *    COLUMN c … COMMENT 'd'` and `ALTER TABLE [s.]t COMMENT='d'`
+  *    update the IN-MEMORY manifest only — no YAML writes — and
+  *    return an empty result set (sql/proxy.py:75-110).
+  *  - `GET /schema` — schema → table → column → {type, description}
+  *    from the live manifest, `UNKNOWN` where no dtype is recorded
+  *    (reference `DbtSession.schema` + `mapping_to_columns`,
+  *    sql/proxy.py:129-141,144-171).
+  *
+  * Like the reference ("Experimental local SQL proxy with no
+  * dbt-osmosis auth, TLS, or bind hardening", sql/proxy.py:2) this
+  * binds loopback only and adds no auth.
+  */
+final class SqlProxy(executor: ModelExecutor, port: Int = 0) {
+
+  private val mapper = new ObjectMapper()
+  private var server: HttpServer = _
+
+  /** Default row cap for /query responses when the client sends no
+    * limit — a dev-proxy guard, not a semantic limit (the reference
+    * CLI caps display at 50 rows, cli/main.py result table).
+    */
+  val DefaultLimit = 1000
+
+  private val AlterColumnComment =
+    """(?is)\s*(?:/\*.*?\*/\s*)?ALTER\s+TABLE\s+(?:([^\s.]+)\.)?([^\s.]+)\s+MODIFY\s+COLUMN\s+(\S+)\s+.*?COMMENT\s+'([^']*)'\s*;?\s*""".r
+
+  private val AlterTableComment =
+    """(?is)\s*(?:/\*.*?\*/\s*)?ALTER\s+TABLE\s+(?:([^\s.]+)\.)?([^\s.]+)\s+COMMENT\s*=\s*'([^']*)'\s*;?\s*""".r
+
+  def boundPort: Int = server.getAddress.getPort
+
+  def start(): SqlProxy = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    server.createContext("/query", (ex: HttpExchange) => handleSafely(ex, handleQuery))
+    server.createContext("/schema", (ex: HttpExchange) => handleSafely(ex, handleSchema))
+    server.start()
+    this
+  }
+
+  def stop(): Unit = if (server != null) server.stop(0)
+
+  private def handleSafely(ex: HttpExchange, h: HttpExchange => (Int, String)): Unit =
+    try {
+      val (code, body) = try h(ex) catch {
+        case e: Exception =>
+          val err = mapper.createObjectNode()
+          err.put("error", Option(e.getMessage).getOrElse(e.getClass.getName))
+          (400, err.toString)
+      }
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(code, bytes.length)
+      ex.getResponseBody.write(bytes)
+    } finally ex.close()
+
+  /** ALTER TABLE comment middleware: returns Some(empty result) when
+    * the statement was intercepted and applied to the manifest.
+    */
+  private def interceptComment(sql: String): Option[Unit] = sql match {
+    case AlterColumnComment(schema, table, column, comment) =>
+      matchingNodes(Option(schema), table).foreach { n =>
+        n.columns.get(column).foreach { c =>
+          executor.updateNode(n.copy(columns =
+            n.columns.updated(column, c.copy(description = Some(comment)))))
+        }
+      }
+      Some(())
+    case AlterTableComment(schema, table, comment) =>
+      matchingNodes(Option(schema), table).foreach { n =>
+        executor.updateNode(n.copy(description = comment))
+      }
+      Some(())
+    case _ => None
+  }
+
+  private def matchingNodes(schema: Option[String], table: String) =
+    executor.manifest.nodes.values.filter { n =>
+      n.name == table && schema.forall(_ == n.schema)
+    }
+
+  private def handleQuery(ex: HttpExchange): (Int, String) = {
+    val req = mapper.readTree(new String(
+      ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+    val sql = Option(req.get("sql")).map(_.asText()).getOrElse(
+      throw new IllegalArgumentException("missing 'sql'"))
+    val limit = Option(req.get("limit")).map(_.asInt()).getOrElse(DefaultLimit)
+
+    val out = mapper.createObjectNode()
+    val cols = out.putArray("columns")
+    val rows = out.putArray("rows")
+    interceptComment(sql) match {
+      case Some(_) => out.put("intercepted", true)
+      case None =>
+        val df = executor.executeSql(sql)
+        df.columns.foreach(cols.add)
+        // the proxy serves humans/tools at dev scale: the limit bounds
+        // what crosses the driver, exactly like the reference's
+        // adapter fetch; this is NOT a distributed-result path
+        df.limit(limit).collect().foreach { row =>
+          val r = rows.addArray()
+          (0 until row.length).foreach { i =>
+            row.get(i) match {
+              case null => r.addNull()
+              case b: java.lang.Boolean => r.add(b.booleanValue())
+              case n: java.lang.Integer => r.add(n.intValue())
+              case n: java.lang.Long => r.add(n.longValue())
+              case n: java.lang.Double => r.add(n.doubleValue())
+              case n: java.lang.Float => r.add(n.floatValue())
+              case n: java.math.BigDecimal => r.add(n)
+              case v => r.add(v.toString)
+            }
+          }
+        }
+    }
+    (200, out.toString)
+  }
+
+  private def handleSchema(ex: HttpExchange): (Int, String) = {
+    val out = mapper.createObjectNode()
+    executor.manifest.nodes.values
+      .filter(n => Set("model", "seed", "source").contains(n.resourceType))
+      .foreach { n =>
+        val schemaNode = out.get(n.schema) match {
+          case o: com.fasterxml.jackson.databind.node.ObjectNode => o
+          case _ => out.putObject(n.schema)
+        }
+        val tableNode = schemaNode.putObject(n.name)
+        n.columns.values.foreach { c =>
+          val colNode = tableNode.putObject(c.name)
+          colNode.put("type", c.dataType.getOrElse("UNKNOWN"))
+          c.description match {
+            case Some(d) => colNode.put("description", d)
+            case None => colNode.putNull("description")
+          }
+        }
+      }
+    (200, out.toString)
+  }
+}

@@ -1,0 +1,116 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.exec.ModelExecutor
+import graft.project.ProjectLoader
+import graft.serve.SqlProxy
+
+/** HTTP SQL proxy (A45): query execution with Jinja compilation,
+  * manifest-backed schema serving, and the ALTER TABLE comment
+  * middleware — exercised over a real loopback socket.
+  */
+class SqlProxySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.session
+  private val mapper = new ObjectMapper()
+  private val client = HttpClient.newHttpClient()
+
+  lazy val (executor, proxy) = {
+    import spark.implicits._
+    Seq((1, "north"), (2, "south")).toDF("region_id", "region_name")
+      .createOrReplaceTempView("region_lookup")
+    val e = new ModelExecutor(spark, ProjectLoader.load("fixtures/jaffle"))
+    e.buildAll()
+    (e, new SqlProxy(e).start())
+  }
+
+  private def post(path: String, body: String) = {
+    val resp = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${proxy.boundPort}$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), mapper.readTree(resp.body()))
+  }
+
+  private def get(path: String) = {
+    val resp = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${proxy.boundPort}$path"))
+        .GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), mapper.readTree(resp.body()))
+  }
+
+  test("plain SQL round-trips rows and columns") {
+    val (code, json) = post("/query",
+      """{"sql": "SELECT customer_id, number_of_orders FROM customers WHERE customer_id = 1"}""")
+    assert(code == 200)
+    assert(json.get("columns").get(0).asText() == "customer_id")
+    assert(json.get("rows").size() == 1)
+    assert(json.get("rows").get(0).get(1).asLong() == 3L)
+  }
+
+  test("jinja SQL is compiled before execution") {
+    val (code, json) = post("/query",
+      """{"sql": "SELECT COUNT(*) AS n FROM {{ ref('customers') }}"}""")
+    assert(code == 200)
+    assert(json.get("columns").get(0).asText() == "n")
+    assert(json.get("rows").get(0).get(0).asLong() > 0)
+  }
+
+  test("limit caps the returned rows") {
+    val (_, json) = post("/query",
+      """{"sql": "SELECT * FROM orders", "limit": 3}""")
+    assert(json.get("rows").size() == 3)
+  }
+
+  test("bad SQL returns a structured 400, not a dropped connection") {
+    val (code, json) = post("/query", """{"sql": "SELECT FROM nope syntax"}""")
+    assert(code == 400)
+    assert(json.get("error").asText().nonEmpty)
+  }
+
+  test("ALTER TABLE MODIFY COLUMN COMMENT updates the in-memory manifest only") {
+    val before = executor.manifest.nodes("model.jaffle.customers")
+      .columns("customer_id").description
+    val (code, json) = post("/query",
+      """{"sql": "ALTER TABLE main.customers MODIFY COLUMN customer_id BIGINT COMMENT 'proxy-written doc';"}""")
+    assert(code == 200 && json.get("intercepted").asBoolean())
+    val after = executor.manifest.nodes("model.jaffle.customers")
+      .columns("customer_id").description
+    assert(after.contains("proxy-written doc") && after != before)
+    // schema endpoint reflects the session-scoped update
+    val (_, schema) = get("/schema")
+    assert(schema.get("main").get("customers").get("customer_id")
+      .get("description").asText() == "proxy-written doc")
+    // and nothing was written to disk: the YAML still has the original
+    val yaml = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("fixtures/jaffle/models/schema.yml")))
+    assert(!yaml.contains("proxy-written doc"))
+  }
+
+  test("ALTER TABLE COMMENT= updates the node description") {
+    val (code, json) = post("/query",
+      """{"sql": "ALTER TABLE main.orders COMMENT = 'orders fact table';"}""")
+    assert(code == 200 && json.get("intercepted").asBoolean())
+    assert(executor.manifest.nodes("model.jaffle.orders")
+      .description == "orders fact table")
+  }
+
+  test("schema endpoint serves schema -> table -> column -> type/description") {
+    val (code, schema) = get("/schema")
+    assert(code == 200)
+    val cust = schema.get("main").get("customers")
+    assert(cust != null && cust.has("customer_id"))
+    // no dtype recorded in the fixture YAML -> UNKNOWN, like the reference
+    assert(cust.get("number_of_orders").get("type").asText() == "UNKNOWN")
+    // described staging column serves its description
+    val stg = schema.get("main").get("stg_customers")
+    assert(stg.get("customer_id").get("description").asText() ==
+      "Unique identifier for a customer")
+  }
+}
