@@ -315,6 +315,29 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(feats(0).getLong(feats(0).fieldIndex("duration_ms")) ==
       bytes.length * 1000L / 8000)
     assert(!feats(1).getBoolean(feats(1).fieldIndex("decoded")))
+    // differential: the direct RIFF walk agrees with the JDK reader
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    assert(ais.getFormat.getSampleRate.toInt == info.sampleRate)
+    assert(ais.getFormat.getChannels == info.channels)
+    assert(ais.readAllBytes().toSeq == info.pcm.toSeq)
+  }
+
+  test("decodeAudio handles a JDK-written 16-bit stereo WAV identically") {
+    import javax.sound.sampled._
+    // a 16-bit stereo WAV produced by the JDK ENCODER (so the fixture
+    // is not our own builder), decoded by both paths
+    val fmt = new AudioFormat(16000f, 16, 2, true, false)
+    val pcm = Array.tabulate(400)(i => (i * 13 % 251).toByte) // 100 frames
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, pcm.length / 4)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    val info = Multimodal.decodeAudio(wav).get
+    assert(info.sampleRate == 16000 && info.channels == 2 && info.bits == 16)
+    assert(info.nFrames == 100)
+    assert(info.pcm.toSeq == pcm.toSeq, "16-bit PCM round-trips byte-exact")
   }
 
   test("Mp4 build/demux round-trips the sample table exactly") {
