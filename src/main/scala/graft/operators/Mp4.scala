@@ -175,13 +175,17 @@ object Mp4 {
   }
 
   /** Build a minimal valid single-track MP4: `ftyp` + `mdat` holding
-    * the samples back-to-back in one chunk + `moov` with the full
-    * stbl chain. `handler` is the track handler_type (e.g. "vide").
+    * the samples back-to-back + `moov` with the full stbl chain.
+    * `handler` is the track handler_type (e.g. "vide").
+    * `samplesPerChunk` splits the samples into that many per chunk
+    * (0 = one chunk holds everything), emitting real multi-entry
+    * stco offsets and the two-run stsc a ragged tail produces —
+    * exercising the demuxer's run walk, not just the trivial layout.
     * Deterministic byte-for-byte, so fixtures built from it are
     * oracle-predictable.
     */
   def build(samples: Seq[Array[Byte]], handler: String = "vide",
-      timescale: Int = 600): Array[Byte] = {
+      timescale: Int = 600, samplesPerChunk: Int = 0): Array[Byte] = {
     val ftyp = box("ftyp",
       "isom".getBytes("ISO-8859-1"), u32(512), "isomiso2".getBytes("ISO-8859-1"))
     val mdatBody = samples.toArray.flatten
@@ -201,9 +205,21 @@ object Mp4 {
     val vmhd = box("vmhd", u32(1, 0, 0))
     val dinf = box("dinf", box("dref", u32(0, 1), box("url ", u32(1))))
     val stts = box("stts", u32(0, 1, n, 100))
-    val stsc = box("stsc", u32(0, 1, 1, n, 1)) // one chunk holds all samples
+    val perChunk = if (samplesPerChunk <= 0 || samplesPerChunk >= n) n else samplesPerChunk
+    val chunkSizes = // samples per chunk, last one ragged
+      if (n == 0) Seq(0)
+      else Seq.fill(n / perChunk)(perChunk) ++
+        (if (n % perChunk != 0) Seq(n % perChunk) else Nil)
+    val stsc =
+      if (n == 0 || n % perChunk == 0)
+        box("stsc", u32(0, 1, 1, perChunk.max(1), 1))
+      else // full-chunk run, then the ragged-tail run
+        box("stsc", u32(0, 2, 1, perChunk, 1, (n / perChunk + 1).toLong, (n % perChunk).toLong, 1))
     val stsz = box("stsz", u32(0, 0, n), u32(samples.map(_.length.toLong): _*))
-    val stco = box("stco", u32(0, 1, dataOffset))
+    val chunkOffs = chunkSizes.scanLeft((dataOffset.toLong, 0)) { case ((off, s0), c) =>
+      (off + samples.slice(s0, s0 + c).map(_.length.toLong).sum, s0 + c)
+    }.map(_._1).dropRight(1)
+    val stco = box("stco", u32(0L +: chunkOffs.length.toLong +: chunkOffs: _*))
     val stsd = box("stsd", u32(0, 0)) // zero sample descriptions: metadata-only
     val stbl = box("stbl", stsd, stts, stsc, stsz, stco)
     val minf = box("minf", vmhd, dinf, stbl)

@@ -360,6 +360,58 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(Mp4.demux("garbage that is not a container".getBytes).isEmpty)
   }
 
+  test("Mp4 demux walks multi-chunk stsc runs and survives corruption") {
+    import graft.operators.Mp4
+    val samples = Seq.tabulate(7)(i =>
+      Array.tabulate(5 + 3 * i)(j => ((i * 11 + j) & 0xff).toByte))
+    // 3 samples/chunk -> chunks of 3,3,1: a two-run stsc + 3 stco offsets
+    val mp4 = Mp4.build(samples, samplesPerChunk = 3)
+    val got = Mp4.demux(mp4).get.head.samples.map { case (off, len) =>
+      java.util.Arrays.copyOfRange(mp4, off.toInt, off.toInt + len).toSeq
+    }
+    assert(got == samples.map(_.toSeq), "multi-chunk layout demuxes byte-exact")
+    // exact-multiple layout (no ragged tail): single stsc run, 3 chunks
+    val nine = samples ++ samples.take(2)
+    val got9 = Mp4.demux(Mp4.build(nine, samplesPerChunk = 3)).get.head.samples
+    assert(got9.length == 9)
+    // truncating anywhere must yield None or a shorter valid prefix,
+    // never a thrown exception or an out-of-range sample
+    for (cut <- Seq(3, 10, mp4.length / 2, mp4.length - 5)) {
+      val t = java.util.Arrays.copyOfRange(mp4, 0, cut)
+      Mp4.demux(t).foreach(_.foreach(_.samples.foreach { case (off, len) =>
+        assert(off >= 0 && off + len <= t.length)
+      }))
+    }
+    // flipping header bytes must not throw either
+    for (i <- Seq(0, 4, 20, 40, mp4.length - 8)) {
+      val m = mp4.clone(); m(i) = (m(i) ^ 0xff).toByte
+      Mp4.demux(m) // must simply not throw; result contents are unspecified
+    }
+  }
+
+  test("sampleFrames prefers the video track but serves audio-only files") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Mp4
+    val docs = Seq((1L, "c" * 60)).toDF("doc_id", "text")
+    // audio-only container: handler 'soun' still demuxes (tracks.head)
+    val payloads = docs.select(col("doc_id"), col("text")).mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getString(1).getBytes("UTF-8")
+        org.apache.spark.sql.Row(r.getLong(0),
+          Mp4.build(bytes.grouped(48).toSeq, handler = "soun"))
+      }
+    }(org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("payload",
+          org.apache.spark.sql.types.BinaryType, nullable = false)))))
+    val frames = Multimodal.sampleFrames(payloads, "doc_id", everyNth = 1).collect()
+    assert(frames.length == 2 && frames.forall(
+      _.getBoolean(frames(0).fieldIndex("demuxed"))))
+  }
+
   test("sampleFrames demuxes real MP4 access units with provenance") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
