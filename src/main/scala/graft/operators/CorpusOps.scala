@@ -486,6 +486,48 @@ object CorpusOps {
           .as("mean_prob"))
   }
 
+  /** Per-source quality pruning — keep the top `keepFrac` of each
+    * source's documents by an integer quality score, ties at the
+    * threshold included (so at least ceil(n·keepFrac) docs per source
+    * survive). The score is the unigram-LM signal of
+    * [[unigramMeanProb]] in exact integer form — `hit_mass div
+    * n_tokens`, mean corpus-frequency mass per token — so the oracle
+    * replays thresholds bit-for-bit. This is the corpus-curation
+    * "keep the best X% per domain" primitive (quality-classifier
+    * pruning with per-domain quantiles).
+    *
+    * Scale shape: the exact per-source quantile is computed WITHOUT
+    * sorting the corpus. Scores compress to a (source, score)
+    * histogram (the shuffle carries distinct score values per source,
+    * not documents); the cumulative threshold walk windows over that
+    * compressed histogram; and the one-row-per-source thresholds
+    * BROADCAST back for what is effectively a map-side filter of the
+    * scored corpus — the q43 histogram-quantile trick applied
+    * per group. No corpus-wide sort or window exists in the plan.
+    */
+  def qualityPrune(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, keepFrac: Double = 0.25): DataFrame = {
+    val scored = unigramMeanProb(docs, idCol, textCol)
+      .join(docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source")),
+        "doc_id")
+      .select(col("doc_id"), col("source"),
+        expr("hit_mass div n_tokens").as("score"))
+    val hist = scored.groupBy("source", "score").agg(count(lit(1)).as("cnt"))
+    val nper = scored.groupBy("source").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("source").orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // threshold = max score whose score-descending cumulative count
+    // reaches the per-source target — the tightest score cut whose
+    // ≥-set is big enough
+    val thr = hist.withColumn("cum", sum("cnt").over(w))
+      .join(nper, "source")
+      .filter(col("cum") >= ceil(col("n") * lit(keepFrac)).cast("long"))
+      .groupBy("source").agg(max("score").as("thr"))
+    scored.join(broadcast(thr), "source")
+      .filter(col("score") >= col("thr"))
+      .select(col("doc_id"), col("source"), col("score"))
+  }
+
   /** BM25 top-k retrieval over the corpus for a (small) query set —
     * the standard lexical-retrieval scorer for quality-ranking and
     * targeted corpus slicing. Per query term:

@@ -447,6 +447,17 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** Per-source top-25% quality pruning ([[CorpusOps.qualityPrune]]):
+    * exact per-source quantile via the compressed score histogram +
+    * broadcast threshold filter — no corpus sort. The oracle replays
+    * the integer score, the cumulative threshold walk, and the
+    * tie-inclusive cut exactly.
+    */
+  def docQualityPrune(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.qualityPrune(Tables.documents(spark, dir), "doc_id", "text",
+        "source", keepFrac = 0.25)
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_text_stats" -> docTextStats _,
     "t02_lang_id" -> docLangId _,
@@ -484,6 +495,7 @@ object TrainingData {
     "t34_bpe_train" -> docBpeTrain _,
     "t35_audio_decode" -> docAudioDecode _,
     "t36_mp4_frames" -> docMp4Frames _,
+    "t37_quality_prune" -> docQualityPrune _,
   )
 
   /** Shared DuckDB CTE fragment: per-doc word-trigram shingle sets,
@@ -1049,6 +1061,38 @@ object TrainingData {
            |  CAST(SUM(dist_scaled) AS DOUBLE) / 1000000.0 AS quant_err
            |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin,
       "t34_bpe_train" -> bpeTrainOracleSql,
+      "t37_quality_prune" ->
+        """WITH toks AS (
+          |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+          |  FROM documents
+          |), tf AS (
+          |  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+          |), cnt AS (
+          |  SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY term
+          |), agg AS (
+          |  SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+          |    CAST(SUM(tf.tf * cnt.cnt) AS BIGINT) AS hit_mass
+          |  FROM tf JOIN cnt USING (term) GROUP BY 1
+          |), scored AS (
+          |  SELECT a.doc_id, d.source, a.hit_mass // a.n_tokens AS score
+          |  FROM agg a JOIN documents d USING (doc_id)
+          |), hist AS (
+          |  SELECT source, score, COUNT(*) AS cnt FROM scored GROUP BY 1, 2
+          |), nper AS (
+          |  SELECT source, COUNT(*) AS n FROM scored GROUP BY 1
+          |), cum AS (
+          |  SELECT source, score,
+          |    SUM(cnt) OVER (PARTITION BY source ORDER BY score DESC
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          |  FROM hist
+          |), thr AS (
+          |  SELECT c.source, MAX(c.score) AS thr
+          |  FROM cum c JOIN nper p USING (source)
+          |  WHERE c.cum >= CAST(ceil(p.n * 0.25) AS BIGINT) GROUP BY 1
+          |)
+          |SELECT s.doc_id, s.source, CAST(s.score AS BIGINT) AS score
+          |FROM scored s JOIN thr t USING (source) WHERE s.score >= t.thr
+          |ORDER BY s.doc_id""".stripMargin,
       "t35_audio_decode" ->
         """SELECT doc_id,
           |  CAST(8000 AS BIGINT) AS sample_rate,

@@ -461,6 +461,39 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("t37 per-source quality pruning matches a direct recomputation") {
+    import graft.queries.TrainingData
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val tf: Map[(Long, String), Long] = docs
+      .flatMap { case (id, _, t) => t.trim.split("\\s+").map(w => (id, w)) }
+      .groupBy(identity).map { case (k, g) => k -> g.length.toLong }
+    val cnt: Map[String, Long] =
+      tf.groupBy(_._1._2).map { case (w, g) => w -> g.values.sum }
+    val score: Map[Long, Long] = tf.groupBy(_._1._1).map { case (id, g) =>
+      val n = g.values.sum
+      val hit = g.map { case ((_, w), c) => c * cnt(w) }.sum
+      id -> hit / n
+    }
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (_, g) =>
+      val target = math.ceil(g.length * 0.25).toInt
+      val sorted = g.map(d => score(d._1)).sorted(Ordering[Long].reverse)
+      // max score whose >=-count reaches target == the target-th largest
+      val thr = sorted(target - 1)
+      g.collect { case (id, s, _) if score(id) >= thr => (id, s, score(id)) }
+    }.toSet
+    val pruned = TrainingData.docQualityPrune(spark, dir)
+    val got = pruned.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == expected)
+    assert(got.size < docs.length, "pruning must actually drop documents")
+    // scale contract: thresholds come back via a broadcast join; the
+    // corpus is never globally sorted
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
   test("real BPE count follows the min-rank merge loop") {
     import graft.functions.Bpe
     // hand-traced against Bpe.Merges: "customer" fully collapses
