@@ -134,9 +134,14 @@ object Dedup {
     * shuffles are on (band, bandKey) — compact longs — and the
     * candidate-pair verify join; signature computation is map-only.
     */
-  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, numPerms: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
+  /** Sorted shingle sets + MinHash signatures + band keys for one
+    * relation, each behind its shuffle barrier — the shared front end
+    * of [[minhashLsh]] (self-dedup) and [[incrementalDedup]]
+    * (batch-vs-index). Returns (signatures: id/sh/sig,
+    * banded: id/band/key).
+    */
+  private def sigBands(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, numPerms: Int, bands: Int): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     GraftFunctions.register(spark)
     val rows = numPerms / bands
@@ -169,22 +174,21 @@ object Dedup {
             (acc, x) => (acc * lit(8191L) + x) % lit(2147483647L)).as("key"))
       }: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    // pinned on the join key: the self-join's output explodes with
+    // pinned on the join key: the band join's output explodes with
     // band-bucket occupancy, so its input exchange must never be
     // coalesced down by input size (see [[barrier]])
-    val bandedB = barrier(banded, col("band"), col("key"))
+    (withSigB, barrier(banded, col("band"), col("key")))
+  }
 
-    val candidates = bandedB.as("a")
-      .join(bandedB.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-
-    val sh = withSigB.select(col("id"), col("sh"))
+  /** One-pass sorted-merge Jaccard verify of candidate (id_a, id_b)
+    * pairs against the given per-side shingle relations; keeps pairs
+    * at or above `threshold`.
+    */
+  private def verifyJaccard(candidates: DataFrame, shA: DataFrame,
+      shB: DataFrame, threshold: Double): DataFrame =
     candidates
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(shA.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shB.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       // one-pass sorted-merge intersect; |A∪B| = |A|+|B|−|A∩B|
       // (arrays are sorted + duplicate-free) — same integers, same
       // division, bit-identical jaccard to intersect/union
@@ -195,6 +199,78 @@ object Dedup {
         col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+
+  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numPerms: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    val (withSigB, bandedB) = sigBands(docs, idCol, textCol, n, numPerms, bands)
+
+    val candidates = bandedB.as("a")
+      .join(bandedB.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+
+    val sh = withSigB.select(col("id"), col("sh"))
+    verifyJaccard(candidates, sh, sh, threshold)
+  }
+
+  /** Incremental (snapshot) dedup: dispose each document of a NEW
+    * batch against an EXISTING corpus index without comparing the
+    * index to itself — the daily-crawl primitive. Per batch doc:
+    * `exact` (content-identical to an index doc; digest equi-join),
+    * else `near` (verified MinHash-LSH match at `threshold`), else
+    * `new`; `match_id` is the smallest matching index id (ties on
+    * content broken by id) and `jaccard` the similarity of that
+    * match for `near` rows. Batch-internal duplicates are
+    * deliberately NOT resolved here — that is [[minhashLsh]] /
+    * [[connectedComponents]]' job on the batch alone.
+    *
+    * Scale shape: both sides reduce to skinny relations before
+    * anything joins — 32-byte digests for the exact pass, (band, key)
+    * longs for the candidate pass — and the index side of both is
+    * exactly what a persisted dedup index stores, so successive
+    * snapshots recompute nothing for the accumulated corpus. The
+    * band join is index×batch only: candidate volume scales with the
+    * batch, not the corpus.
+    */
+  def incrementalDedup(index: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, n: Int = 3, numPerms: Int = 64,
+      bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    val idx = index.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    val bt = batch.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+
+    val exactM = bt.select(col("id").as("batch_id"), sha2(col("text"), 256).as("h"))
+      .join(idx.select(col("id").as("idx_id"), sha2(col("text"), 256).as("h")), "h")
+      .groupBy("batch_id").agg(min("idx_id").as("exact_id"))
+
+    val (sigI, bandI) = sigBands(idx, "id", "text", n, numPerms, bands)
+    val (sigB, bandB) = sigBands(bt, "id", "text", n, numPerms, bands)
+    val candidates = bandI.as("a")
+      .join(bandB.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val verified = verifyJaccard(candidates,
+      sigI.select(col("id"), col("sh")), sigB.select(col("id"), col("sh")),
+      threshold)
+    val nearest = verified.groupBy(col("id_b").as("batch_id"))
+      .agg(min("id_a").as("near_id"))
+    val nearJ = nearest.join(verified,
+        nearest("near_id") === verified("id_a") &&
+          nearest("batch_id") === verified("id_b"))
+      .select(col("batch_id"), col("near_id"), col("jaccard"))
+
+    bt.select(col("id").as("batch_id"))
+      .join(exactM, Seq("batch_id"), "left")
+      .join(nearJ, Seq("batch_id"), "left")
+      .select(col("batch_id"),
+        when(col("exact_id").isNotNull, lit("exact"))
+          .when(col("near_id").isNotNull, lit("near"))
+          .otherwise(lit("new")).as("status"),
+        coalesce(col("exact_id"), col("near_id")).as("match_id"),
+        when(col("exact_id").isNull, col("jaccard")).as("jaccard"))
   }
 
   /** 64-bit SimHash per document — per-row array arithmetic, no

@@ -458,6 +458,23 @@ object TrainingData {
         "source", keepFrac = 0.25)
       .orderBy("doc_id")
 
+  /** Incremental snapshot dedup ([[Dedup.incrementalDedup]]): the
+    * last 20% of documents (by id) arrive as the "new batch" and are
+    * disposed against the first 80% as the existing index — exact by
+    * digest, near by verified MinHash-LSH, else new. The 80/20 split
+    * point is pure COUNT(*) integer arithmetic so the oracle replays
+    * it.
+    */
+  def docIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val split = docs.count() * 4 / 5
+    Dedup.incrementalDedup(
+        docs.filter(col("doc_id") < split),
+        docs.filter(col("doc_id") >= split),
+        "doc_id", "text")
+      .orderBy("batch_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_text_stats" -> docTextStats _,
     "t02_lang_id" -> docLangId _,
@@ -496,6 +513,7 @@ object TrainingData {
     "t35_audio_decode" -> docAudioDecode _,
     "t36_mp4_frames" -> docMp4Frames _,
     "t37_quality_prune" -> docQualityPrune _,
+    "t38_incremental_dedup" -> docIncrementalDedup _,
   )
 
   /** Shared DuckDB CTE fragment: per-doc word-trigram shingle sets,
@@ -571,6 +589,43 @@ object TrainingData {
     s"""WITH ${minhashCtes(numPerms, bands, threshold)}
        |SELECT id_a, id_b, jaccard FROM pairs
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** Incremental-dedup oracle: replay the full MinHash pair set, keep
+    * only index(<split)×batch(≥split) edges, resolve exact matches by
+    * raw text equality (collision-free stand-in for the engine's
+    * sha2 digest join), pick the min index id per batch doc, and
+    * classify exact > near > new.
+    */
+  private def incrementalDedupOracleSql(numPerms: Int, bands: Int,
+      threshold: Double): String =
+    s"""WITH ${minhashCtes(numPerms, bands, threshold)}, spl AS (
+       |  SELECT CAST(COUNT(*) * 4 // 5 AS BIGINT) AS s FROM documents
+       |), xm AS (
+       |  SELECT b.doc_id AS batch_id, CAST(MIN(a.doc_id) AS BIGINT) AS exact_id
+       |  FROM documents a JOIN documents b ON a.text = b.text
+       |  WHERE a.doc_id < (SELECT s FROM spl)
+       |    AND b.doc_id >= (SELECT s FROM spl)
+       |  GROUP BY 1
+       |), nm AS (
+       |  SELECT id_b AS batch_id, CAST(MIN(id_a) AS BIGINT) AS near_id
+       |  FROM pairs
+       |  WHERE id_a < (SELECT s FROM spl) AND id_b >= (SELECT s FROM spl)
+       |  GROUP BY 1
+       |), nmj AS (
+       |  SELECT n.batch_id, n.near_id, p.jaccard
+       |  FROM nm n JOIN pairs p ON p.id_a = n.near_id AND p.id_b = n.batch_id
+       |)
+       |SELECT d.doc_id AS batch_id,
+       |  CASE WHEN x.exact_id IS NOT NULL THEN 'exact'
+       |       WHEN j.near_id IS NOT NULL THEN 'near'
+       |       ELSE 'new' END AS status,
+       |  COALESCE(x.exact_id, j.near_id) AS match_id,
+       |  CASE WHEN x.exact_id IS NULL THEN j.jaccard END AS jaccard
+       |FROM documents d
+       |LEFT JOIN xm x ON d.doc_id = x.batch_id
+       |LEFT JOIN nmj j ON d.doc_id = j.batch_id
+       |WHERE d.doc_id >= (SELECT s FROM spl)
+       |ORDER BY batch_id""".stripMargin
 
   /** Connected-components oracle over the replayed MinHash pair
     * edges: a recursive transitive-closure CTE (fine at oracle SF —
@@ -1061,6 +1116,7 @@ object TrainingData {
            |  CAST(SUM(dist_scaled) AS DOUBLE) / 1000000.0 AS quant_err
            |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin,
       "t34_bpe_train" -> bpeTrainOracleSql,
+      "t38_incremental_dedup" -> incrementalDedupOracleSql(64, 16, 0.5),
       "t37_quality_prune" ->
         """WITH toks AS (
           |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term

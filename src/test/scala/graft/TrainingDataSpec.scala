@@ -461,6 +461,37 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental dedup disposes batch docs as exact/near/new") {
+    import spark.implicits._
+    val index = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "spark shuffles partition data across the cluster network layer"),
+      (3L, "completely unrelated content about cooking pasta with garlic")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      // exact copy of index doc 2
+      (10L, "spark shuffles partition data across the cluster network layer"),
+      // near-dup of index doc 1 (one word changed)
+      (11L, "the quick brown fox jumps over the lazy cat again and again"),
+      // brand new
+      (12L, "vector databases index embeddings for similarity search at scale"),
+      // exact dup WITHIN the batch only — must stay 'new': batch
+      // self-dedup is not this operator's contract
+      (13L, "vector databases index embeddings for similarity search at scale")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.incrementalDedup(index, batch, "doc_id", "text")
+      .orderBy("batch_id").collect()
+    def row(id: Long) = out.find(_.getLong(0) == id).get
+    assert(row(10L).getString(1) == "exact" && row(10L).getLong(2) == 2L)
+    assert(row(10L).isNullAt(3), "exact rows carry no jaccard")
+    assert(row(11L).getString(1) == "near" && row(11L).getLong(2) == 1L)
+    assert(row(11L).getDouble(3) >= 0.5)
+    assert(row(12L).getString(1) == "new" && row(12L).isNullAt(2))
+    assert(row(13L).getString(1) == "new",
+      "batch-internal duplicates are out of contract")
+    assert(out.length == 4)
+  }
+
   test("t37 per-source quality pruning matches a direct recomputation") {
     import graft.queries.TrainingData
     val docs = Tables.documents(spark, dir)
