@@ -88,6 +88,24 @@ object EventStreams {
   def enrichedEvents(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
 
+  /** Stream-vs-index exact dedup: drop arriving documents whose
+    * content digest already exists in a persisted corpus index — the
+    * streaming face of [[graft.operators.Dedup.incrementalDedup]]'s
+    * exact pass (a continuously-arriving crawl deduped against the
+    * accumulated corpus). The anti-join is stream-static: the index
+    * relation is resolved per micro-batch, so an index table that
+    * grows between batches is picked up without restarting the query;
+    * only digests cross the join, never document bodies. The static
+    * side here broadcasts (dev-scale); at 100 TB the index digest
+    * table is bucketed on `h` and the join is shuffle-free on the
+    * stream side too.
+    */
+  def dedupAgainstIndex(docs: DataFrame, indexDigests: DataFrame,
+      textCol: String): DataFrame =
+    docs.join(
+      org.apache.spark.sql.functions.broadcast(indexDigests.select(col("h"))),
+      sha2(col(textCol), 256) === col("h"), "left_anti")
+
   /** Stream-stream interval join: each click joined to the same
     * user's views from the preceding `window` — the canonical
     * two-firehose correlation. BOTH sides carry watermarks and the

@@ -123,6 +123,26 @@ class StreamingSpec extends AnyFunSuite {
     rows.foreach(r => assert(!r.start_ts.after(r.end_ts)))
   }
 
+  test("stream-vs-index dedup drops only already-indexed documents") {
+    import spark.implicits._
+    // stage a tiny "incoming docs" stream directory
+    val d = java.nio.file.Files.createTempDirectory("graft_docstream")
+    val docs = Seq(
+      (1L, "brand new document body"),
+      (2L, "already indexed content"),
+      (3L, "another fresh arrival")).toDF("doc_id", "text")
+    docs.write.parquet(d.resolve("docs.parquet").toString)
+    val index = Seq("already indexed content", "some other old doc")
+      .toDF("text").select(sha2(col("text"), 256).as("h"))
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .parquet(d.toString + "/docs.parquet")
+    val got = EventStreams.runToMemory(
+      EventStreams.dedupAgainstIndex(stream, index, "text"), "dedup_idx_out")
+    assert(got.count() == 2)
+    assert(got.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+  }
+
   test("foreachBatch upsert sink: latest row per key, idempotent on replay") {
     val out = java.nio.file.Files.createTempDirectory("graft_upsert")
       .resolve("user_state").toString
