@@ -490,6 +490,35 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(row(13L).getString(1) == "new",
       "batch-internal duplicates are out of contract")
     assert(out.length == 4)
+    // plan shape: every join is an equi-join (digest / band-key /
+    // id) — nothing quadratic sneaks in
+    val plan = graft.operators.Dedup
+      .incrementalDedup(index, batch, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      "incremental dedup must stay equi-join only")
+  }
+
+  test("WAV RIFF walker survives truncation and bit flips") {
+    val bytes = "pcm fuzz fixture payload".getBytes("UTF-8")
+    val wav = Multimodal.buildWav(bytes)
+    for (cut <- Seq(4, 11, 12, 20, 43, wav.length - 3)) {
+      val t = java.util.Arrays.copyOfRange(wav, 0, cut)
+      // must not throw; a successful parse must stay in bounds
+      Multimodal.decodeAudio(t).foreach { info =>
+        assert(info.pcm.length <= t.length)
+      }
+    }
+    for (i <- Seq(0, 8, 16, 22, 36, 40)) {
+      val m = wav.clone(); m(i) = (m(i) ^ 0xff).toByte
+      Multimodal.decodeAudio(m) // result unspecified; no throw
+    }
+    // a fmt chunk claiming a length past EOF is rejected, not read
+    val bad = wav.clone()
+    bad(16) = 0x7f.toByte // fmt chunk size low byte -> huge
+    assert(Multimodal.decodeAudio(bad).isEmpty ||
+      Multimodal.decodeAudio(bad).get.pcm.length <= bad.length)
   }
 
   test("t37 per-source quality pruning matches a direct recomputation") {
