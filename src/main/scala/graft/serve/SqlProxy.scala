@@ -59,8 +59,21 @@ final class SqlProxy(executor: ModelExecutor, port: Int = 0) {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/query", (ex: HttpExchange) => handleSafely(ex, handleQuery))
     server.createContext("/schema", (ex: HttpExchange) => handleSafely(ex, handleSchema))
+    server.createContext("/", (ex: HttpExchange) => handleSafely(ex, handleIndex))
     server.start()
     this
+  }
+
+  /** Minimal workbench page (SURVEY §2A A46; reference
+    * `workbench/app.py` is a Streamlit IDE — here the same operative
+    * loop, type Jinja-SQL → execute → inspect results + schema, is a
+    * single static page over the two JSON endpoints; profiling and
+    * AI assistance stay with `Cli profile` / DocSynthesis).
+    */
+  private def handleIndex(ex: HttpExchange): (Int, String) = {
+    if (ex.getRequestURI.getPath != "/") return (404, """{"error":"not found"}""")
+    ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
+    (200, SqlProxy.WorkbenchHtml)
   }
 
   def stop(): Unit = if (server != null) server.stop(0)
@@ -74,7 +87,8 @@ final class SqlProxy(executor: ModelExecutor, port: Int = 0) {
           (400, err.toString)
       }
       val bytes = body.getBytes(StandardCharsets.UTF_8)
-      ex.getResponseHeaders.set("Content-Type", "application/json")
+      if (!ex.getResponseHeaders.containsKey("Content-Type"))
+        ex.getResponseHeaders.set("Content-Type", "application/json")
       ex.sendResponseHeaders(code, bytes.length)
       ex.getResponseBody.write(bytes)
     } finally ex.close()
@@ -141,7 +155,7 @@ final class SqlProxy(executor: ModelExecutor, port: Int = 0) {
     (200, out.toString)
   }
 
-  private def handleSchema(ex: HttpExchange): (Int, String) = {
+  private[serve] def handleSchema(ex: HttpExchange): (Int, String) = {
     val out = mapper.createObjectNode()
     executor.manifest.nodes.values
       .filter(n => Set("model", "seed", "source").contains(n.resourceType))
@@ -162,4 +176,64 @@ final class SqlProxy(executor: ModelExecutor, port: Int = 0) {
       }
     (200, out.toString)
   }
+}
+
+object SqlProxy {
+
+  /** The workbench page: plain HTML+JS over /query and /schema, no
+    * external assets (works fully offline). Kept as one string so the
+    * proxy jar stays self-contained.
+    */
+  private[serve] val WorkbenchHtml: String =
+    """<!doctype html>
+      |<html><head><meta charset="utf-8"><title>graft workbench</title>
+      |<style>
+      | body{font-family:monospace;margin:0;display:flex;height:100vh}
+      | #side{width:260px;overflow:auto;border-right:1px solid #ccc;padding:8px}
+      | #main{flex:1;display:flex;flex-direction:column;padding:8px}
+      | textarea{width:100%;height:140px;font-family:monospace}
+      | table{border-collapse:collapse;margin-top:8px}
+      | td,th{border:1px solid #999;padding:2px 6px;text-align:left}
+      | #err{color:#b00}
+      | .tbl{cursor:pointer;margin-left:8px}
+      | .col{margin-left:20px;color:#555}
+      |</style></head><body>
+      |<div id="side"><b>schema</b><div id="schema">loading…</div></div>
+      |<div id="main">
+      | <textarea id="sql">SELECT 1 AS one -- jinja OK: {{ ref('model') }}</textarea>
+      | <div><button id="run">run</button>
+      |   limit <input id="limit" value="100" size="5"></div>
+      | <div id="err"></div><div id="out"></div>
+      |</div>
+      |<script>
+      |const $=id=>document.getElementById(id);
+      |fetch('/schema').then(r=>r.json()).then(s=>{
+      |  let h='';
+      |  for(const sch of Object.keys(s).sort()){
+      |    h+='<div><b>'+sch+'</b></div>';
+      |    for(const t of Object.keys(s[sch]).sort()){
+      |      h+='<div class="tbl" data-t="'+t+'">'+t+'</div><div class="col">'+
+      |        Object.entries(s[sch][t]).map(([c,m])=>c+' : '+m.type).join('<br>')+
+      |        '</div>';
+      |    }
+      |  }
+      |  $('schema').innerHTML=h||'(empty manifest)';
+      |  document.querySelectorAll('.tbl').forEach(el=>el.onclick=()=>{
+      |    $('sql').value='SELECT * FROM '+el.dataset.t;run();});
+      |});
+      |function run(){
+      |  $('err').textContent='';$('out').innerHTML='…';
+      |  fetch('/query',{method:'POST',body:JSON.stringify(
+      |    {sql:$('sql').value,limit:+$('limit').value||100})})
+      |  .then(r=>r.json()).then(j=>{
+      |    if(j.error){$('err').textContent=j.error;$('out').innerHTML='';return;}
+      |    if(j.intercepted){$('out').innerHTML='<i>manifest updated</i>';return;}
+      |    $('out').innerHTML='<table><tr>'+
+      |      j.columns.map(c=>'<th>'+c+'</th>').join('')+'</tr>'+
+      |      j.rows.map(r=>'<tr>'+r.map(v=>'<td>'+(v===null?'NULL':v)+
+      |        '</td>').join('')+'</tr>').join('')+'</table>';
+      |  }).catch(e=>$('err').textContent=e);
+      |}
+      |$('run').onclick=run;
+      |</script></body></html>""".stripMargin
 }

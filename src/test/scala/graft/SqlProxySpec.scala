@@ -101,6 +101,20 @@ class SqlProxySpec extends AnyFunSuite {
       .description == "orders fact table")
   }
 
+  test("root serves the workbench page; unknown paths 404") {
+    val resp = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${proxy.boundPort}/"))
+        .GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(resp.statusCode() == 200)
+    assert(resp.headers().firstValue("Content-Type").orElse("").startsWith("text/html"))
+    assert(resp.body().contains("graft workbench"))
+    // the page is wired to the two JSON endpoints it ships beside
+    assert(resp.body().contains("/schema") && resp.body().contains("/query"))
+    val (code, json) = get("/nope")
+    assert(code == 404 && json.get("error") != null)
+  }
+
   test("schema endpoint serves schema -> table -> column -> type/description") {
     val (code, schema) = get("/schema")
     assert(code == 200)
