@@ -66,7 +66,7 @@ object Bench {
       name -> median(samples.map(_(name)))
     }
     val repsSpread =
-      if (reps < 2) 0.0
+      if (reps < 2 || results.isEmpty) 0.0
       else results.map { case (name, med) =>
         val xs = samples.map(_(name))
         if (med <= 0) 0.0 else (xs.max - xs.min) / med

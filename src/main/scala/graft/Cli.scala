@@ -191,8 +191,11 @@ object Cli {
       }
       r.planned.foreach(p => println(s"would write ${project.root.relativize(p)}"))
       r.written.foreach(p => println(s"wrote ${project.root.relativize(p)}"))
-      if (r.written.isEmpty && !flags.dryRun &&
-          r.findings.exists(_._2.severity == "error")) {
+      // exit 1 on error findings regardless of r.written: organize
+      // merges committed restructure moves into written, which must
+      // not mask a refused sync (the sync writes themselves are
+      // always withheld on error findings)
+      if (!flags.dryRun && r.findings.exists(_._2.severity == "error")) {
         System.err.println("refusing to write: schema validation errors")
         sys.exit(1)
       }
@@ -214,8 +217,11 @@ object Cli {
       r.planned.foreach(p => println(s"would write ${project.root.relativize(p)}"))
       r.written.foreach(p => println(s"wrote ${project.root.relativize(p)}"))
       spark.stop()
-      if (r.written.isEmpty && !flags.dryRun &&
-          r.findings.exists(_._2.severity == "error")) {
+      // exit 1 on error findings regardless of r.written: organize
+      // merges committed restructure moves into written, which must
+      // not mask a refused sync (the sync writes themselves are
+      // always withheld on error findings)
+      if (!flags.dryRun && r.findings.exists(_._2.severity == "error")) {
         System.err.println("refusing to write: schema validation errors")
         sys.exit(1)
       }
@@ -246,10 +252,10 @@ object Cli {
             println(s"would restructure -> ${project.root.relativize(op.targetFile)}"))
           executor.manifest
         } else {
-          val m = Restructuring.applyPlan(project.root, plan, executor.manifest,
-            settings)
-          plan.ops.foreach(op =>
-            println(s"restructured -> ${project.root.relativize(op.targetFile)}"))
+          val (m, moved) = Restructuring.applyPlan(project.root, plan,
+            executor.manifest, settings)
+          moved.foreach(p =>
+            println(s"restructured -> ${project.root.relativize(p)}"))
           m
         }
 

@@ -47,9 +47,17 @@ object Restructuring {
     * strip the moved entries from their old files; drop emptied files
     * and empty parent dirs; commit all writes atomically
     * (core/restructuring.py:254-291,351-479).
+    *
+    * Returns the updated manifest AND every path the apply touched —
+    * target files and stripped old files alike — so callers can
+    * report the full write set (the strips were previously invisible
+    * to `organize`'s wrote/would-write output). With `dryRun` the
+    * changes stay buffered in [[YamlIO]] (nothing committed, second
+    * element empty): the caller's pending()/invalidate() cycle then
+    * sees plan and sync buffers together.
     */
   def applyPlan(projectRoot: Path, plan: Plan, manifest: Manifest,
-      settings: EngineSettings): Manifest = {
+      settings: EngineSettings, dryRun: Boolean = false): (Manifest, Seq[Path]) = {
     var m = manifest
     for (op <- plan.ops) {
       val doc0 = YamlIO.read(op.targetFile)
@@ -73,7 +81,13 @@ object Restructuring {
           case s: Seq[_] => s.collect { case e: Map[_, _] => e.asInstanceOf[Map[String, Any]] }
           case _ => Nil
         }
-        val remaining = entries.filterNot(_.get("name").contains(node.name))
+        // entries are written under the BASE name (versioned models
+        // share one entry with a versions[] block — SyncOperations
+        // .entryName), so the strip must match the same key or a
+        // moved foo_v2/foo_v3 model would leave a stale 'foo' entry
+        // behind and every organize re-plans the same move
+        val remaining = entries.filterNot(
+          _.get("name").contains(SyncOperations.entryName(node)))
         if (remaining.size != entries.size) {
           val managed =
             if (remaining.isEmpty) old.managed - section
@@ -82,6 +96,7 @@ object Restructuring {
         }
       }
     }
+    if (dryRun) return (m, Nil)
     val written = YamlIO.commit()
 
     // delete files whose managed payload vanished and nothing preserved
@@ -97,6 +112,6 @@ object Restructuring {
         }
       }
     }
-    m
+    (m, written)
   }
 }

@@ -73,23 +73,27 @@ object Workflows {
     val filter = NodeFilters.NodeFilter(fqnPrefixes = fqns)
     val plan = Restructuring.draftPlan(projectRoot, manifest0, settings, filter)
     if (dryRun) {
-      // report the restructure targets without moving anything, then
-      // stage the sync in memory to learn the full would-write set
+      // stage the restructure AND the sync purely in memory: pending()
+      // then reports the complete would-write set — target files and
+      // stripped old files alike, exactly what the real run commits
+      val (manifest, _) = Restructuring.applyPlan(projectRoot, plan, manifest0,
+        settings, dryRun = true)
       val synced = SyncOperations.syncNodes(projectRoot,
-        syncableNodes(manifest0, fqns), settings)
-      val r = validateAndCommit(projectRoot, manifest0, synced,
+        syncableNodes(manifest, fqns), settings)
+      val r = validateAndCommit(projectRoot, manifest, synced,
         dryRun = true, extraMutated = plan.ops.nonEmpty)
       r.copy(planned = (plan.ops.map(_.targetFile) ++ r.planned).distinct.sorted)
     } else {
-      val manifest = Restructuring.applyPlan(projectRoot, plan, manifest0, settings)
+      val (manifest, moved) = Restructuring.applyPlan(projectRoot, plan, manifest0,
+        settings)
       val synced = SyncOperations.syncNodes(projectRoot,
         syncableNodes(manifest, fqns), settings)
       val r = validateAndCommit(projectRoot, manifest, synced,
         dryRun = false, extraMutated = plan.ops.nonEmpty)
-      // applyPlan commits the restructure moves itself; surface them
-      // in `written` so callers see the full touched-file set
+      // applyPlan commits the restructure moves itself; surface the
+      // FULL touched set (targets + stripped old files) in `written`
       r.copy(written =
-        (plan.ops.map(_.targetFile) ++ r.written).distinct.sorted)
+        (moved ++ plan.ops.map(_.targetFile) ++ r.written).distinct.sorted)
     }
   }
 

@@ -507,11 +507,17 @@ object CorpusOps {
     */
   def qualityPrune(docs: DataFrame, idCol: String, textCol: String,
       sourceCol: String, keepFrac: Double = 0.25): DataFrame = {
-    val scored = unigramMeanProb(docs, idCol, textCol)
-      .join(docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source")),
-        "doc_id")
-      .select(col("doc_id"), col("source"),
-        expr("hit_mass div n_tokens").as("score"))
+    // barrier: scored feeds THREE consumers (histogram, per-source
+    // counts, final filter); without it Catalyst inlines and re-runs
+    // the full tokenize+aggregate lineage once per consumer — the
+    // same hazard Dedup.sigBands documents
+    val scored = Dedup.barrier(
+      unigramMeanProb(docs, idCol, textCol)
+        .join(docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source")),
+          "doc_id")
+        .select(col("doc_id"), col("source"),
+          expr("hit_mass div n_tokens").as("score")),
+      col("doc_id"))
     val hist = scored.groupBy("source", "score").agg(count(lit(1)).as("cnt"))
     val nper = scored.groupBy("source").agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("source").orderBy(col("score").desc)

@@ -109,6 +109,12 @@ object Mp4 {
     val stsz = findBox(b, stbl._1, stbl._2, "stsz").getOrElse(return None)
     val uniform = be32(b, stsz._1.toInt + 4)
     val nSamples = be32(b, stsz._1.toInt + 8).toInt
+    // sanity-bound the allocation BEFORE it happens: a corrupt 32-bit
+    // count near 2^31 would otherwise attempt a multi-GB array and an
+    // OutOfMemoryError (an Error, not Exception) would escape demux's
+    // fallback catch and kill the executor. No real file holds more
+    // samples than payload bytes.
+    if (nSamples < 0 || nSamples > b.length) return None
     val sizes: Array[Int] =
       if (uniform != 0) Array.fill(nSamples)(uniform.toInt)
       else Array.tabulate(nSamples)(i => be32(b, stsz._1.toInt + 12 + 4 * i).toInt)
@@ -153,6 +159,13 @@ object Mp4 {
       chunk += 1
     }
     if (sample < nSamples) None // sample table inconsistent with chunks
+    // every sample range must land inside the payload: a moov-first
+    // file truncated mid-mdat (the standard faststart layout) has a
+    // self-consistent sample table whose offsets point past EOF, and
+    // serving those ranges would crash or zero-pad downstream copies
+    else if (out.exists { case (off, len) =>
+      off < 0 || len < 0 || off + len > b.length
+    }) None
     else Some(Track(handler, out.toSeq))
   }
 

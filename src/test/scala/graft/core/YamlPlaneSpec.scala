@@ -320,8 +320,12 @@ class YamlPlaneSpec extends AnyFunSuite {
     val plan = Restructuring.draftPlan(root, manifest, settings)
     assert(!plan.isEmpty)
     assert(plan.ops.head.targetFile == root.resolve("models/marts/marts/orders.yml"))
-    val updated = Restructuring.applyPlan(root, plan, manifest, settings)
+    val (updated, touched) = Restructuring.applyPlan(root, plan, manifest, settings)
     assert(Files.exists(root.resolve("models/marts/marts/orders.yml")))
+    // the touched set reports the target AND the stripped old file
+    assert(touched.contains(root.resolve("models/marts/marts/orders.yml")))
+    assert(touched.exists(_.endsWith("all.yml")),
+      "stripped old files must be reported")
     val moved = Files.readString(root.resolve("models/marts/marts/orders.yml"))
     assert(moved.contains("name: orders"))
     assert(!Files.exists(oldFile) ||
