@@ -419,6 +419,61 @@ object CorpusOps {
       .drop("__thr")
   }
 
+  /** Token-budget mixture sampling — the data-recipe primitive "take
+    * documents from each source, in a deterministic shuffled order,
+    * until that source's TOKEN budget is spent" (training mixtures
+    * are token-budgeted, not doc-budgeted; [[mixtureSample]] is the
+    * per-document-fraction form). A document is kept iff the running
+    * token total up to and including it stays within its source's
+    * budget; the first overflowing document and everything after it
+    * in the order are dropped — a strict prefix of the sampling
+    * order, so the selection is stable as the corpus grows past the
+    * budget. Sources absent from `budgets` get budget 0 and drop.
+    *
+    * Scale design: a per-source running sum as one window is one
+    * partition per source — unusable when a source is half the
+    * corpus. The sampling order is instead SHARD-MAJOR: docs hash
+    * into `shards` sub-shards per source (the same multiplicative
+    * id-hash as [[mixtureSample]] orders docs within a shard), a
+    * tiny (source, shard, tokens) aggregate prefix-sums the shard
+    * totals, and each document's corpus-order cumulative is its
+    * shard's prefix plus the within-shard running sum — a window
+    * partitioned by (source, shard), `shards`-way parallel with
+    * bounded partitions. One skinny shuffle of (id, source, tokens)
+    * co-locates the shards (and both the shard aggregate and the
+    * doc window reuse that partitioning); the shard-prefix relation
+    * rides back on a broadcast. The corpus text is never shuffled.
+    */
+  def tokenBudgetSample(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, budgets: Map[String, Long],
+      shards: Int = 64): DataFrame = {
+    require(shards > 0)
+    val base = Dedup.barrier(
+      docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
+          TextFunctions.nTokens(col(textCol)).as("n_tokens"))
+        .withColumn("ord",
+          ((col("doc_id") % 1000003L) * 2654435761L + 123456789L) % 4294967296L)
+        .withColumn("shard", col("ord") % shards),
+      col("source"), col("shard"))
+    // shard prefix totals: sources × shards rows, broadcast-sized at
+    // any corpus scale
+    val wShard = Window.partitionBy("source").orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val alloc = base.groupBy("source", "shard")
+      .agg(sum("n_tokens").as("__sh_tokens"))
+      .select(col("source"), col("shard"),
+        coalesce(sum("__sh_tokens").over(wShard), lit(0L)).as("__before"))
+    val budget = budgets.foldLeft(lit(0L): Column) {
+      case (acc, (k, v)) => when(col("source") === k, lit(v)).otherwise(acc)
+    }
+    val wDoc = Window.partitionBy("source", "shard").orderBy("ord", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(alloc), Seq("source", "shard"))
+      .withColumn("cum_tokens", col("__before") + sum("n_tokens").over(wDoc))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+  }
+
   // ---------------------------------------------------------------
   // Sequence packing
   // ---------------------------------------------------------------

@@ -306,6 +306,19 @@ object TrainingData {
       .select(col("doc_id"), col("source"), col("lang"))
       .orderBy("doc_id")
 
+  /** Token-budget mixture sampling ([[CorpusOps.tokenBudgetSample]]):
+    * src0's budget keeps (nearly) everything, src1 truncates mid-
+    * stream, src2 keeps only the head of its order, every other
+    * source drops — all four regimes live at the fixture sizes. The
+    * oracle replays the shard-major order arithmetic verbatim (all
+    * BIGINT: token counts, id-hash, shard prefix sums).
+    */
+  def docTokenBudget(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.tokenBudgetSample(Tables.documents(spark, dir), "doc_id", "text",
+        "source", Map("src0" -> 100000L, "src1" -> 500L, "src2" -> 40L),
+        shards = 8)
+      .orderBy("doc_id")
+
   /** Per-doc top-3 TF-IDF terms ([[CorpusOps.tfidfTopTerms]]) —
     * linear-IDF scoring keeps the arithmetic to two IEEE ops on exact
     * integers, so the oracle replays scores AND ranking bit-for-bit.
@@ -522,6 +535,7 @@ object TrainingData {
     "t36_mp4_frames" -> docMp4Frames _,
     "t37_quality_prune" -> docQualityPrune _,
     "t38_incremental_dedup" -> docIncrementalDedup _,
+    "t39_token_budget" -> docTokenBudget _,
   )
 
   /** Shared DuckDB CTE fragment: per-doc word-trigram shingle sets,
@@ -1248,6 +1262,33 @@ object TrainingData {
           |FROM documents d JOIN thr USING (source)
           |WHERE ((d.doc_id % 1000003) * 2654435761 + 123456789) % 4294967296 < thr
           |ORDER BY d.doc_id""".stripMargin,
+      "t39_token_budget" ->
+        s"""WITH base AS (
+           |  SELECT doc_id, source, ${T.nTokens("text")} AS n_tokens,
+           |    ((doc_id % 1000003) * 2654435761 + 123456789) % 4294967296 AS ord
+           |  FROM documents
+           |), sh AS (
+           |  SELECT *, ord % 8 AS shard FROM base
+           |), alloc AS (
+           |  SELECT source, shard,
+           |    COALESCE(CAST(SUM(sh_tokens) OVER (
+           |      PARTITION BY source ORDER BY shard
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+           |      0) AS bef
+           |  FROM (SELECT source, shard, CAST(SUM(n_tokens) AS BIGINT) AS sh_tokens
+           |        FROM sh GROUP BY source, shard)
+           |), cum AS (
+           |  SELECT s.doc_id, s.source, s.n_tokens,
+           |    a.bef + CAST(SUM(s.n_tokens) OVER (
+           |      PARTITION BY s.source, s.shard ORDER BY s.ord, s.doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |      AS cum_tokens
+           |  FROM sh s JOIN alloc a ON s.source = a.source AND s.shard = a.shard
+           |)
+           |SELECT doc_id, source, n_tokens, cum_tokens FROM cum
+           |WHERE cum_tokens <= CASE source WHEN 'src0' THEN 100000
+           |  WHEN 'src1' THEN 500 WHEN 'src2' THEN 40 ELSE 0 END
+           |ORDER BY doc_id""".stripMargin,
       "t25_kmv_sketch" ->
         s"""WITH toks AS (
            |  SELECT string_split_regex(trim(text), '\\s+') AS ts FROM documents

@@ -568,6 +568,51 @@ class TrainingDataSpec extends AnyFunSuite {
       "2^31-scale sample_count must be rejected, not allocated")
   }
 
+  test("t39 token-budget sampling matches a direct recomputation") {
+    import graft.operators.CorpusOps
+    val budgets = Map("src0" -> 100000L, "src1" -> 500L, "src2" -> 40L)
+    val shards = 8
+    val docs = Tables.documents(spark, dir)
+    val got = CorpusOps.tokenBudgetSample(docs, "doc_id", "text", "source",
+      budgets, shards).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+
+    // direct recomputation: shard-major order, strict prefix per source
+    val raw = docs.select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).trim.split("\\s+").length.toLong))
+    def hash(id: Long) = ((id % 1000003L) * 2654435761L + 123456789L) % 4294967296L
+    val expect = raw.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      val ordered = ds.sortBy(d => (hash(d._1) % shards, hash(d._1), d._1))
+      val cums = ordered.scanLeft(0L)(_ + _._3).tail
+      ordered.zip(cums).collect {
+        case ((id, s, n), cum) if cum <= budgets.getOrElse(src, 0L) =>
+          (id, s, n, cum)
+      }
+    }.sortBy(_._1)
+    assert(got.toSeq == expect, "shard-major prefix truncation is exact")
+
+    // regimes: src0 keeps all its docs, src1 truncates, unknown drop
+    val perSrc = got.groupBy(_._2).view.mapValues(_.length).toMap
+    val rawPerSrc = raw.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(perSrc.getOrElse("src0", 0) == rawPerSrc("src0"), "src0 saturates")
+    assert(perSrc.getOrElse("src1", 0) < rawPerSrc("src1"), "src1 truncates")
+    assert(got.forall(r => budgets.contains(r._2)), "unbudgeted sources drop")
+
+    // plan shape: the doc window partitions by (source, shard) — never
+    // one partition per source — and the shard allocation broadcasts
+    val df = CorpusOps.tokenBudgetSample(docs, "doc_id", "text", "source",
+      budgets, shards)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "shard allocation must ride a broadcast")
+    val docWindow = plan.linesIterator.filter(_.contains("windowspecdefinition"))
+      .filter(_.contains("doc_id"))
+    assert(docWindow.forall(_.contains("shard")),
+      "per-doc window must partition by (source, shard)")
+  }
+
   test("t37 per-source quality pruning matches a direct recomputation") {
     import graft.queries.TrainingData
     val docs = Tables.documents(spark, dir)
