@@ -448,13 +448,25 @@ object CorpusOps {
       sourceCol: String, budgets: Map[String, Long],
       shards: Int = 64): DataFrame = {
     require(shards > 0)
+    // materialize the skinny tokenized relation ONCE: both phases
+    // (shard totals, per-doc window) must see every row, and exchange
+    // reuse between differently-pruned consumers is not something the
+    // optimizer guarantees (the join side carries extra not-null
+    // predicates and a wider projection than the aggregate side, so
+    // the two barrier-exchange copies stop being plan-identical and
+    // the corpus would be scanned and tokenized twice). The barrier
+    // pins (source, shard) partitioning so the checkpointed relation
+    // feeds the per-doc window with no further shuffle; the
+    // localCheckpoint holds ~25 B/row — 0.1% of a text corpus — and
+    // at cluster scale becomes a checkpoint to reliable storage (same
+    // note as [[Dedup.connectedComponents]]).
     val base = Dedup.barrier(
       docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
           TextFunctions.nTokens(col(textCol)).as("n_tokens"))
         .withColumn("ord",
           ((col("doc_id") % 1000003L) * 2654435761L + 123456789L) % 4294967296L)
         .withColumn("shard", col("ord") % shards),
-      col("source"), col("shard"))
+      col("source"), col("shard")).localCheckpoint()
     // shard prefix totals: sources × shards rows, broadcast-sized at
     // any corpus scale
     val wShard = Window.partitionBy("source").orderBy("shard")

@@ -611,6 +611,11 @@ class TrainingDataSpec extends AnyFunSuite {
       .filter(_.contains("doc_id"))
     assert(docWindow.forall(_.contains("shard")),
       "per-doc window must partition by (source, shard)")
+    // the tokenized relation is checkpointed before fan-out: neither
+    // consumer (shard aggregate, doc window) re-reads the corpus, so
+    // the final plan contains no parquet scan at all
+    assert(!plan.contains("Scan parquet"),
+      "tokenization lineage must not re-read the corpus per consumer")
   }
 
   test("t37 per-source quality pruning matches a direct recomputation") {
