@@ -319,6 +319,18 @@ object TrainingData {
         shards = 8)
       .orderBy("doc_id")
 
+  /** SemDeDup semantic near-dup pruning ([[Similarity.semDedup]]):
+    * every vector with its cluster and keep/drop verdict. The oracle
+    * replays the adaptive nlist ladder, the rank-1 assignment, and
+    * the within-cluster greedy-by-id drop rule; cosines use the
+    * shared sequential-fold arithmetic so the 0.3 threshold compares
+    * bit-identical values on both engines.
+    */
+  def docSemDedup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semDedup(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        minNlist = 16, threshold = 0.3)
+      .orderBy("vec_id")
+
   /** Per-doc top-3 TF-IDF terms ([[CorpusOps.tfidfTopTerms]]) —
     * linear-IDF scoring keeps the arithmetic to two IEEE ops on exact
     * integers, so the oracle replays scores AND ranking bit-for-bit.
@@ -536,6 +548,7 @@ object TrainingData {
     "t37_quality_prune" -> docQualityPrune _,
     "t38_incremental_dedup" -> docIncrementalDedup _,
     "t39_token_budget" -> docTokenBudget _,
+    "t40_sem_dedup" -> docSemDedup _,
   )
 
   /** Shared DuckDB CTE fragment: per-doc word-trigram shingle sets,
@@ -1289,6 +1302,32 @@ object TrainingData {
            |WHERE cum_tokens <= CASE source WHEN 'src0' THEN 100000
            |  WHEN 'src1' THEN 500 WHEN 'src2' THEN 40 ELSE 0 END
            |ORDER BY doc_id""".stripMargin,
+      "t40_sem_dedup" ->
+        s"""WITH v AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+           |), c AS (
+           |  SELECT vec_id AS cid, e AS ce FROM (
+           |    SELECT vec_id, e, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn,
+           |           COUNT(*) OVER () AS nn
+           |    FROM v) s
+           |  WHERE rn <= greatest(16, CAST(floor(sqrt(nn)) AS BIGINT))
+           |), asg AS (
+           |  SELECT v.vec_id, c.cid, ${cosSql("v.e", "c.ce")} AS cs FROM v, c
+           |), asgr AS (
+           |  SELECT vec_id, cid,
+           |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS pr
+           |  FROM asg
+           |), m AS (
+           |  SELECT a.cid, v.vec_id, v.e FROM asgr a JOIN v USING (vec_id)
+           |  WHERE a.pr = 1
+           |), drp AS (
+           |  SELECT DISTINCT b.vec_id FROM m a JOIN m b
+           |  ON a.cid = b.cid AND a.vec_id < b.vec_id
+           |  WHERE ${cosSql("a.e", "b.e")} >= 0.3
+           |)
+           |SELECT m.vec_id, m.cid, (d.vec_id IS NULL) AS kept
+           |FROM m LEFT JOIN drp d ON m.vec_id = d.vec_id
+           |ORDER BY m.vec_id""".stripMargin,
       "t25_kmv_sketch" ->
         s"""WITH toks AS (
            |  SELECT string_split_regex(trim(text), '\\s+') AS ts FROM documents

@@ -210,6 +210,58 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(ivf.groupBy("vec_id").count().filter(col("count") =!= 3).count() == 0)
   }
 
+  test("t40 semantic dedup matches a direct recomputation") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, dir)
+    val df = Similarity.semDedup(emb, "vec_id", "embedding",
+      minNlist = 16, threshold = 0.3)
+    val got = df.orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+
+    // direct recomputation with the same sequential-fold arithmetic
+    val vecs = emb.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val nlist = math.max(16, math.floor(math.sqrt(vecs.length.toDouble)).toInt)
+    val cents = vecs.take(nlist)
+    val assign = vecs.map { case (id, e) =>
+      val best = cents.map { case (cid, ce) => (-cos(e, ce), cid) }.min._2
+      (id, best, e)
+    }
+    val byCluster = assign.groupBy(_._2)
+    val dropped = assign.filter { case (id, cid, e) =>
+      byCluster(cid).exists { case (oid, _, oe) =>
+        oid < id && cos(oe, e) >= 0.3
+      }
+    }.map(_._1).toSet
+    val expect = assign.map { case (id, cid, _) => (id, cid, !dropped(id)) }
+    assert(got.toSeq == expect.toSeq, "verdicts replay exactly")
+    // the fixture exercises both verdicts, and drops are a minority
+    val nDrop = dropped.size
+    assert(nDrop > 0 && nDrop < vecs.length / 2,
+      s"fixture must exercise both verdicts (dropped $nDrop)")
+
+    // plan shape: the pairwise stage equi-joins on the cluster id
+    // (never a cartesian), and the clustered relation is checkpointed
+    // so no consumer re-reads parquet. (The centroid broadcast lives
+    // BEFORE the eager checkpoint — PlanShapeSpec's t16 test covers
+    // that shared assignment pattern.)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("Join") && l.contains("cid")),
+      "within-cluster pairs must join on cid")
+    assert(!plan.contains("CartesianProduct"),
+      "within-cluster pairs must equi-join on cid")
+    assert(!plan.contains("Scan parquet"),
+      "clustered relation is checkpointed; consumers must not re-scan")
+  }
+
   test("multimodal payload plumbing round-trips sizes and features") {
     val docs = Tables.documents(spark, dir)
     val feats = Multimodal.extractFeatures(
