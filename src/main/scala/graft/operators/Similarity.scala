@@ -302,26 +302,37 @@ object Similarity {
     * documents: differently-projected consumers re-run the
     * assignment prefix otherwise.
     */
-  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
-      minNlist: Int = 16, threshold: Double = 0.3): DataFrame = {
-    val n = emb.count()
+  /** Rank-1 coarse-quantizer assignment shared by [[semDedup]] and
+    * [[prototypeSample]]: (id, cid, cs) with cid the best centroid by
+    * (cosine desc, cid asc) and cs that winning cosine. Centroids are
+    * the `nlist` smallest ids, nlist = max(minNlist, floor(sqrt(n)))
+    * — [[ivfTopKAuto]]'s adaptive ladder, replayable via a COUNT(*)
+    * window. The scored rows stay SKINNY (id, struct) through the
+    * n·nlist explosion with a map-side `min(struct)` partial agg
+    * (same measured 2× byte saving as the ivfTopK assignment); the
+    * negated score makes min(struct) the (cosine desc, cid asc)
+    * argmin, and un-negating is exact IEEE so cs replays bit-for-bit.
+    */
+  private def assignClusters(v: DataFrame, minNlist: Int): DataFrame = {
+    val n = v.count()
     val nlist = math.max(minNlist, math.floor(math.sqrt(n.toDouble)).toInt)
-    val v = withNorm(emb, idCol, vecCol)
     val c = v.orderBy("id").limit(nlist)
       .select(col("id").as("cid"), col("e").as("ce"), col("n").as("cn"))
-    // negated score so min(struct) = (cosine desc, cid asc); the
-    // scored rows stay SKINNY (id, struct) through the n·nlist
-    // explosion — vectors re-attach by an id equi-join after the agg
-    // (same measured 2× byte saving as the ivfTopK assignment)
+    v.join(broadcast(c))
+      .select(col("id"),
+        struct((-(dot(col("e"), col("ce")) / (col("n") * col("cn")))).as("negcs"),
+          col("cid")).as("sc"))
+      .groupBy("id")
+      .agg(min(col("sc")).as("best"))
+      .select(col("id"), col("best")("cid").as("cid"),
+        (-col("best")("negcs")).as("cs"))
+  }
+
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
+      minNlist: Int = 16, threshold: Double = 0.3): DataFrame = {
+    val v = withNorm(emb, idCol, vecCol)
     val members = Dedup.barrier(
-      v.join(broadcast(c))
-        .select(col("id"),
-          struct((-(dot(col("e"), col("ce")) / (col("n") * col("cn")))).as("negcs"),
-            col("cid")).as("sc"))
-        .groupBy("id")
-        .agg(min(col("sc")).as("best"))
-        .select(col("id"), col("best")("cid").as("cid"))
-        .join(v, "id"),
+      assignClusters(v, minNlist).select("id", "cid").join(v, "id"),
       col("cid")).localCheckpoint()
     val dropped = members.as("a").join(members.as("b"),
         col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
@@ -332,6 +343,42 @@ object Similarity {
     members.join(dropped, Seq("id"), "left")
       .select(col("id").as("vec_id"), col("cid"),
         col("is_dup").isNull.as("kept"))
+  }
+
+  /** Prototype-based diversity pruning: rank each cluster's members
+    * by how PROTOTYPICAL they are (cosine to their own centroid) and
+    * keep the least-prototypical `keepFrac` — the "keep hard
+    * examples" data-pruning metric of Sorscher et al. ("Beyond neural
+    * scaling laws", 2022), which beats random pruning when data is
+    * abundant. Complements [[semDedup]]: that removes redundancy
+    * between PAIRS; this removes the over-represented cluster CORE.
+    *
+    * Contract: clusters from [[assignClusters]] (same oracle-
+    * replayable ladder); within a cluster, proto_rank = row_number by
+    * (cosine-to-centroid asc, id asc) — rank 1 is the HARDEST example
+    * — and kept = proto_rank <= ceil(|cluster| · keepFrac). Output is
+    * every vector with its rank and verdict.
+    *
+    * Scale shape: after the broadcast assignment the relation is
+    * THREE LONGS AND A DOUBLE per vector — no vectors re-attach at
+    * all. Rank and cluster size come from one window over the
+    * cid-partitioned relation (partitions are cluster-sized, ~√n at
+    * the adaptive nlist), and the verdict is a projection; nothing
+    * else shuffles and there is no second consumer, so no
+    * checkpoint is needed.
+    */
+  def prototypeSample(emb: DataFrame, idCol: String, vecCol: String,
+      minNlist: Int = 16, keepFrac: Double = 0.5): DataFrame = {
+    val v = withNorm(emb, idCol, vecCol)
+    val assigned = Dedup.barrier(assignClusters(v, minNlist), col("cid"))
+    val w = Window.partitionBy("cid")
+    val ranked = assigned
+      .withColumn("proto_rank",
+        row_number().over(w.orderBy(col("cs").asc, col("id").asc)).cast("long"))
+      .withColumn("cluster_n", count(lit(1)).over(w))
+    ranked.select(col("id").as("vec_id"), col("cid"),
+      col("proto_rank"),
+      (col("proto_rank") <= ceil(col("cluster_n") * lit(keepFrac))).as("kept"))
   }
 
   // ---------------------------------------------------------------

@@ -331,6 +331,16 @@ object TrainingData {
         minNlist = 16, threshold = 0.3)
       .orderBy("vec_id")
 
+  /** Prototype-based diversity pruning ([[Similarity.prototypeSample]]):
+    * per-cluster hardness rank and keep-half verdict. The oracle
+    * replays the assignment and the (cs asc, id asc) rank; keepFrac
+    * 0.5 keeps the ceil arithmetic exactly representable.
+    */
+  def docProtoSample(spark: SparkSession, dir: String): DataFrame =
+    Similarity.prototypeSample(Tables.embeddings(spark, dir), "vec_id",
+        "embedding", minNlist = 16, keepFrac = 0.5)
+      .orderBy("vec_id")
+
   /** Per-doc top-3 TF-IDF terms ([[CorpusOps.tfidfTopTerms]]) —
     * linear-IDF scoring keeps the arithmetic to two IEEE ops on exact
     * integers, so the oracle replays scores AND ranking bit-for-bit.
@@ -549,6 +559,7 @@ object TrainingData {
     "t38_incremental_dedup" -> docIncrementalDedup _,
     "t39_token_budget" -> docTokenBudget _,
     "t40_sem_dedup" -> docSemDedup _,
+    "t41_proto_sample" -> docProtoSample _,
   )
 
   /** Shared DuckDB CTE fragment: per-doc word-trigram shingle sets,
@@ -1328,6 +1339,33 @@ object TrainingData {
            |SELECT m.vec_id, m.cid, (d.vec_id IS NULL) AS kept
            |FROM m LEFT JOIN drp d ON m.vec_id = d.vec_id
            |ORDER BY m.vec_id""".stripMargin,
+      "t41_proto_sample" ->
+        s"""WITH v AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+           |), c AS (
+           |  SELECT vec_id AS cid, e AS ce FROM (
+           |    SELECT vec_id, e, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn,
+           |           COUNT(*) OVER () AS nn
+           |    FROM v) s
+           |  WHERE rn <= greatest(16, CAST(floor(sqrt(nn)) AS BIGINT))
+           |), asg AS (
+           |  SELECT v.vec_id, c.cid, ${cosSql("v.e", "c.ce")} AS cs FROM v, c
+           |), m AS (
+           |  SELECT vec_id, cid, cs FROM (
+           |    SELECT vec_id, cid, cs,
+           |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS pr
+           |    FROM asg) a
+           |  WHERE pr = 1
+           |), r AS (
+           |  SELECT vec_id, cid,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY cid ORDER BY cs ASC, vec_id)
+           |      AS BIGINT) AS proto_rank,
+           |    COUNT(*) OVER (PARTITION BY cid) AS cluster_n
+           |  FROM m
+           |)
+           |SELECT vec_id, cid, proto_rank,
+           |  proto_rank <= CAST(ceil(cluster_n * 0.5) AS BIGINT) AS kept
+           |FROM r ORDER BY vec_id""".stripMargin,
       "t25_kmv_sketch" ->
         s"""WITH toks AS (
            |  SELECT string_split_regex(trim(text), '\\s+') AS ts FROM documents

@@ -262,6 +262,53 @@ class TrainingDataSpec extends AnyFunSuite {
       "clustered relation is checkpointed; consumers must not re-scan")
   }
 
+  test("t41 prototype sampling matches a direct recomputation") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, dir)
+    val df = Similarity.prototypeSample(emb, "vec_id", "embedding",
+      minNlist = 16, keepFrac = 0.5)
+    val got = df.orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+
+    val vecs = emb.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val nlist = math.max(16, math.floor(math.sqrt(vecs.length.toDouble)).toInt)
+    val cents = vecs.take(nlist)
+    val assign = vecs.map { case (id, e) =>
+      val (negcs, cid) = cents.map { case (c, ce) => (-cos(e, ce), c) }.min
+      (id, cid, -negcs)
+    }
+    val expect = assign.groupBy(_._2).toSeq.flatMap { case (cid, ms) =>
+      val ranked = ms.sortBy { case (id, _, cs) => (cs, id) }.zipWithIndex
+      val keep = math.ceil(ms.length * 0.5).toLong
+      ranked.map { case ((id, _, _), i) =>
+        (id, cid, (i + 1).toLong, (i + 1).toLong <= keep)
+      }
+    }.sortBy(_._1)
+    assert(got.toSeq == expect, "ranks and verdicts replay exactly")
+    // exactly ceil(n_c/2) kept per cluster; both verdicts exercised
+    val kept = got.count(_._4)
+    assert(kept < got.length && kept > got.length / 3,
+      s"keep-half must drop roughly half (kept $kept of ${got.length})")
+
+    // plan shape: centroid assignment is a broadcast (no checkpoint
+    // hides it here); the rank window partitions by cid, never a
+    // single global partition
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), "centroids must broadcast")
+    assert(!plan.contains("SinglePartition"),
+      "windows must partition by cid, not collapse to one partition")
+  }
+
   test("multimodal payload plumbing round-trips sizes and features") {
     val docs = Tables.documents(spark, dir)
     val feats = Multimodal.extractFeatures(
