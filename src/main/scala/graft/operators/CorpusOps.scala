@@ -601,6 +601,45 @@ object CorpusOps {
       .select(col("doc_id"), col("source"), col("score"))
   }
 
+  /** Canonical-representative selection: after near-dup clustering,
+    * WHICH copy do we keep? The standard disposition is "the
+    * best-quality member" — boilerplate mirrors and truncated copies
+    * lose to the fullest original — so each MinHash cluster
+    * ([[Dedup.minhashLsh]] → [[Dedup.connectedComponents]]) elects
+    * the member with the highest integer quality score (the
+    * [[unigramMeanProb]] signal in [[qualityPrune]]'s exact-integer
+    * form, `hit_mass div n_tokens`), ties to the smallest doc_id.
+    * Output: every CLUSTERED doc with its cluster, score, and
+    * verdict — unclustered docs have no duplicate to lose to and are
+    * implicitly kept (same row contract as the t24 cluster dump).
+    *
+    * Scale shape: clustering and scoring are the two existing
+    * pipelines unchanged; the election adds one join keyed on doc_id
+    * (clustered docs are a small minority of the corpus, broadcast-
+    * able after the components converge) and one window over
+    * cluster_id partitions, which are duplicate-set-sized — never
+    * corpus-sized. Scores come from the full-corpus unigram counts,
+    * so the metric is the same one t29/t37 gate, not a per-cluster
+    * re-derivation.
+    */
+  def canonicalSelect(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numPerms: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = Dedup.minhashLsh(docs, idCol, textCol, n, numPerms, bands,
+        threshold)
+      .select("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("node").as("doc_id"), col("comp").as("cluster_id"))
+    val scored = unigramMeanProb(docs, idCol, textCol)
+      .select(col("doc_id"), expr("hit_mass div n_tokens").as("score"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    comps.join(scored, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("cluster_id"), col("score"),
+        (col("rn") === 1).as("canonical"))
+  }
+
   /** BM25 top-k retrieval over the corpus for a (small) query set —
     * the standard lexical-retrieval scorer for quality-ranking and
     * targeted corpus slicing. Per query term:

@@ -8,9 +8,9 @@ import graft.functions.TextFunctions
 /** End-to-end corpus curation: the composition a training-data
   * pipeline actually runs over a raw document pile — quality
   * filtering, repetition filtering, language filtering, PII
-  * redaction, exact dedup, near-dup removal, benchmark
-  * decontamination, stratified sampling — as one declarative
-  * dataflow.
+  * redaction, exact dedup, near-dup removal, semantic (embedding-
+  * space) dedup, benchmark decontamination, stratified sampling — as
+  * one declarative dataflow.
   *
   * Scale shape: quality/repetition/language/PII/sampling are map-only
   * (codegen'd per-row scoring); exact dedup shuffles a 32-byte
@@ -80,6 +80,20 @@ object Curation {
       /** Word n-gram size for benchmark decontamination (applies when
         * a bench set is passed to [[curateStaged]]). */
       decontamShingleSize: Int = 8,
+      /** Semantic-dedup stage parameters (applies when an embedding
+        * table is passed to [[curateStaged]]): drop every doc whose
+        * [[Similarity.semDedup]] verdict is kept=false. Verdicts are
+        * computed over the FULL embedding table — the offline-pipeline
+        * convention (embeddings exist once, independent of which docs
+        * earlier text stages dropped), and the contract the t40 oracle
+        * gates.
+        */
+      semDedupThreshold: Double = 0.3,
+      semDedupMinNlist: Int = 16,
+      /** Column names of the embedding table's id (must align with
+        * the doc id space) and vector. */
+      embIdCol: String = "vec_id",
+      embVecCol: String = "embedding",
       /** Per-language percent rates for deterministic stratified
         * sampling on `pred_lang`; empty disables the stage. */
       sampleRates: Map[String, Int] = Map.empty,
@@ -88,7 +102,7 @@ object Curation {
   final case class Report(
       input: Long, afterQuality: Long, afterRepetition: Long,
       afterLang: Long, afterExact: Long, afterNearDup: Long,
-      afterDecontam: Long, afterSample: Long,
+      afterSemantic: Long, afterDecontam: Long, afterSample: Long,
       /** Total PII matches redacted (0 when redaction is off). */
       piiMatches: Long)
 
@@ -118,7 +132,8 @@ object Curation {
     * `decontamShingleSize`-gram with the benchmark corpus.
     */
   def curateStaged(docs: DataFrame, idCol: String, textCol: String,
-      config: Config = Config(), bench: Option[DataFrame] = None): Staged = {
+      config: Config = Config(), bench: Option[DataFrame] = None,
+      embeddings: Option[DataFrame] = None): Staged = {
     val obsInput = Observation()
     val obsQuality = Observation()
     val obsRep = Observation()
@@ -126,6 +141,7 @@ object Curation {
     val obsPii = Observation()
     val obsLosers = Observation()
     val obsNearDup = Observation()
+    val obsSemantic = Observation()
     val obsDecontam = Observation()
     val obsSample = Observation()
     def counted(df: DataFrame, obs: Observation): DataFrame =
@@ -188,13 +204,29 @@ object Curation {
     val nearDupCurated = counted(
       exactDeduped.join(losers, Seq(idCol), "left_anti"), obsNearDup)
 
-    val decontamed = bench match {
+    val semanticCurated = embeddings match {
       case None => nearDupCurated
+      case Some(emb) =>
+        // verdicts from the full embedding table; kept=false ids
+        // anti-join the text-curated stream. semDedup's output is
+        // already a checkpointed lineage, so the anti-join's right
+        // side never re-runs the clustering per action.
+        val semLosers = Similarity.semDedup(emb, config.embIdCol,
+            config.embVecCol, config.semDedupMinNlist,
+            config.semDedupThreshold)
+          .filter(!col("kept")).select(col("vec_id").as(idCol))
+        counted(nearDupCurated.join(semLosers, Seq(idCol), "left_anti"),
+          obsSemantic)
+    }
+
+    val decontamed = bench match {
+      case None => semanticCurated
       case Some(b) =>
-        // the anti-join consumes the near-dup output twice (left side
-        // + the shingle scan feeding contaminatedIds) — barrier it so
-        // exchange reuse keeps obsNearDup single-counted
-        val barred = Dedup.barrier(nearDupCurated, col(idCol))
+        // the anti-join consumes the prior stage's output twice (left
+        // side + the shingle scan feeding contaminatedIds) — barrier
+        // it so exchange reuse keeps the upstream observes
+        // single-counted
+        val barred = Dedup.barrier(semanticCurated, col(idCol))
         counted(barred.join(
           CorpusOps.contaminatedIds(barred, b, idCol, textCol,
             config.decontamShingleSize),
@@ -216,10 +248,13 @@ object Curation {
       val afterQuality = n(obsQuality)
       val afterRep = if (repetitionOn) n(obsRep) else afterQuality
       val afterLang = n(obsLang)
-      val afterDecontam = if (bench.isDefined) n(obsDecontam) else afterNearDup
+      val afterSemantic =
+        if (embeddings.isDefined) n(obsSemantic) else afterNearDup
+      val afterDecontam =
+        if (bench.isDefined) n(obsDecontam) else afterSemantic
       val afterSample = if (samplingOn) n(obsSample) else afterDecontam
       Report(n(obsInput), afterQuality, afterRep, afterLang,
-        afterExact, afterNearDup, afterDecontam, afterSample,
+        afterExact, afterNearDup, afterSemantic, afterDecontam, afterSample,
         if (config.redactPii) n(obsPii) else 0L)
     })
   }
@@ -229,8 +264,9 @@ object Curation {
     * stage counter.
     */
   def curate(docs: DataFrame, idCol: String, textCol: String,
-      config: Config = Config(), bench: Option[DataFrame] = None): (DataFrame, Report) = {
-    val staged = curateStaged(docs, idCol, textCol, config, bench)
+      config: Config = Config(), bench: Option[DataFrame] = None,
+      embeddings: Option[DataFrame] = None): (DataFrame, Report) = {
+    val staged = curateStaged(docs, idCol, textCol, config, bench, embeddings)
     staged.curated.count()
     (staged.curated, staged.report())
   }

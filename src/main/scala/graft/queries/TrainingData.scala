@@ -341,6 +341,16 @@ object TrainingData {
         "embedding", minNlist = 16, keepFrac = 0.5)
       .orderBy("vec_id")
 
+  /** Canonical selection for MinHash clusters
+    * ([[CorpusOps.canonicalSelect]]): the oracle composes the t24
+    * recursive-CTE component replay with the t37 integer quality
+    * score and elects per-cluster argmax (score desc, doc_id asc).
+    */
+  def docCanonical(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.canonicalSelect(Tables.documents(spark, dir), "doc_id", "text",
+        n = 3, numPerms = 64, bands = 16, threshold = 0.5)
+      .orderBy("doc_id")
+
   /** Per-doc top-3 TF-IDF terms ([[CorpusOps.tfidfTopTerms]]) —
     * linear-IDF scoring keeps the arithmetic to two IEEE ops on exact
     * integers, so the oracle replays scores AND ranking bit-for-bit.
@@ -560,6 +570,7 @@ object TrainingData {
     "t39_token_budget" -> docTokenBudget _,
     "t40_sem_dedup" -> docSemDedup _,
     "t41_proto_sample" -> docProtoSample _,
+    "t42_canonical" -> docCanonical _,
   )
 
   /** Shared DuckDB CTE fragment: per-doc word-trigram shingle sets,
@@ -695,6 +706,46 @@ object TrainingData {
        |)
        |SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster_id
        |FROM sel GROUP BY src ORDER BY doc_id""".stripMargin
+
+  /** t42: the t24 component replay + the t37 integer quality score,
+    * then a per-cluster argmax (score desc, doc_id asc).
+    */
+  private def canonicalOracleSql(numPerms: Int, bands: Int,
+      threshold: Double): String =
+    s"""WITH RECURSIVE ${minhashCtes(numPerms, bands, threshold)}, edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION
+       |  SELECT id_b AS src, id_a AS dst FROM pairs
+       |), reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |), sel AS (
+       |  SELECT src, dst FROM reach
+       |  UNION
+       |  SELECT src, src AS dst FROM edges
+       |), comp AS (
+       |  SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster_id
+       |  FROM sel GROUP BY src
+       |), qterm AS (
+       |  SELECT doc_id, unnest(ts) AS term FROM toks
+       |), qtf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf FROM qterm GROUP BY 1, 2
+       |), qcnt AS (
+       |  SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt FROM qtf GROUP BY term
+       |), qagg AS (
+       |  SELECT qtf.doc_id,
+       |    CAST(SUM(qtf.tf * qcnt.cnt) AS BIGINT)
+       |      // CAST(SUM(qtf.tf) AS BIGINT) AS score
+       |  FROM qtf JOIN qcnt USING (term) GROUP BY 1
+       |), r AS (
+       |  SELECT c.doc_id, c.cluster_id, CAST(q.score AS BIGINT) AS score,
+       |    ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+       |      ORDER BY q.score DESC, c.doc_id) AS rn
+       |  FROM comp c JOIN qagg q USING (doc_id)
+       |)
+       |SELECT doc_id, cluster_id, score, (rn = 1) AS canonical
+       |FROM r ORDER BY doc_id""".stripMargin
 
   /** DuckDB sequential-fold dot product over 64-dim DOUBLE lists —
     * the same left-to-right addition order as the native
@@ -1366,6 +1417,7 @@ object TrainingData {
            |SELECT vec_id, cid, proto_rank,
            |  proto_rank <= CAST(ceil(cluster_n * 0.5) AS BIGINT) AS kept
            |FROM r ORDER BY vec_id""".stripMargin,
+      "t42_canonical" -> canonicalOracleSql(64, 16, 0.5),
       "t25_kmv_sketch" ->
         s"""WITH toks AS (
            |  SELECT string_split_regex(trim(text), '\\s+') AS ts FROM documents

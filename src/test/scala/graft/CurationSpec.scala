@@ -57,6 +57,30 @@ class CurationSpec extends AnyFunSuite {
     assert(r.afterNearDup == staged.curated.count())
   }
 
+  test("semantic-dedup stage drops exactly the t40 kept=false verdicts") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    val cfg = Curation.Config(minTokens = 5, minQuality = 0.2,
+      nearDupThreshold = 0.7)
+    val (curated, r) = Curation.curate(docs, "doc_id", "text", cfg,
+      embeddings = Some(emb))
+    assert(r.afterNearDup >= r.afterSemantic)
+    assert(curated.count() == r.afterSemantic)
+    // differential: the stage must remove exactly the near-dup
+    // survivors whose standalone semDedup verdict is kept=false
+    val (baseline, rb) = Curation.curate(docs, "doc_id", "text", cfg)
+    val losers = graft.operators.Similarity
+      .semDedup(emb, "vec_id", "embedding", 16, 0.3)
+      .filter(!col("kept")).select(col("vec_id").as("doc_id"))
+    val expect = baseline.join(losers, Seq("doc_id"), "left_anti").count()
+    assert(r.afterSemantic == expect, "stage == standalone verdict anti-join")
+    assert(r.afterSemantic < rb.afterSemantic,
+      "fixture must drop something; without embeddings the stage is a no-op")
+    assert(rb.afterSemantic == rb.afterNearDup)
+  }
+
   test("full pipeline: repetition, PII, decontam and sampling stages compose") {
     import org.apache.spark.sql.functions.col
     val spark0 = spark

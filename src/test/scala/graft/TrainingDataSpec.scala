@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{CorpusOps, Dedup, Multimodal, Similarity}
 import graft.functions.{Fnv64, PolyHash}
 
 /** Operator-level tests for the training-data pipeline at sf0.001
@@ -307,6 +307,36 @@ class TrainingDataSpec extends AnyFunSuite {
       plan.contains("BroadcastExchange"), "centroids must broadcast")
     assert(!plan.contains("SinglePartition"),
       "windows must partition by cid, not collapse to one partition")
+  }
+
+  test("t42 canonical selection elects the best-quality member per cluster") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir)
+    val df = CorpusOps.canonicalSelect(docs, "doc_id", "text",
+      n = 3, numPerms = 64, bands = 16, threshold = 0.5)
+    val got = df.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+
+    // differential vs the two already-gated building blocks
+    val comps = Dedup.connectedComponents(
+      Dedup.minhashLsh(docs, "doc_id", "text", 3, 64, 16, 0.5)
+        .select("id_a", "id_b"), "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val scores = CorpusOps.unigramMeanProb(docs, "doc_id", "text")
+      .select(col("doc_id"), expr("hit_mass div n_tokens").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expect = comps.toSeq.map { case (id, comp) =>
+      val canon = comps.collect { case (oid, c) if c == comp => oid }
+        .minBy(oid => (-scores(oid), oid))(
+          Ordering.Tuple2(Ordering.Long, Ordering.Long))
+      (id, comp, scores(id), id == canon)
+    }.sortBy(_._1)
+    assert(got.toSeq == expect, "election replays the building blocks")
+    // exactly one canonical per cluster; clusters are non-trivial
+    val byCluster = got.groupBy(_._2)
+    assert(byCluster.nonEmpty && byCluster.forall(_._2.count(_._4) == 1),
+      "each cluster elects exactly one canonical")
+    assert(got.count(!_._4) > 0, "fixture must contain real losers")
   }
 
   test("multimodal payload plumbing round-trips sizes and features") {
