@@ -309,6 +309,75 @@ class TrainingDataSpec extends AnyFunSuite {
       "windows must partition by cid, not collapse to one partition")
   }
 
+  test("semDedup/prototypeSample: randomized differential incl. exact clones") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // deterministic LCG vectors; ids 0..239, every 8th vector a clone
+    // of its predecessor (cosine exactly 1.0 — the tie/dup path the
+    // gaussian fixture never exercises)
+    var seed = 987654321L
+    def nextF(): Float = {
+      seed = (seed * 6364136223846793005L + 1442695040888963407L)
+      ((seed >>> 33).toInt % 1000).toFloat / 250.0f
+    }
+    val base = (0 until 240).map { i => (i.toLong, Array.fill(64)(nextF())) }
+    val rows = base.zipWithIndex.map { case ((id, v), i) =>
+      if (i % 8 == 7) (id, base(i - 1)._2.clone()) else (id, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val vecs = rows.map { case (id, v) => (id, v.map(_.toDouble)) }
+    val nlist = math.max(16, math.floor(math.sqrt(vecs.length.toDouble)).toInt)
+    val cents = vecs.take(nlist)
+    val assign = vecs.map { case (id, e) =>
+      val (negcs, cid) = cents.map { case (c, ce) => (-cos(e, ce), c) }.min
+      (id, cid, -negcs)
+    }
+
+    // semDedup: clones share the cluster (identical scores) and the
+    // higher id of each clone pair must always drop
+    val sd = Similarity.semDedup(emb, "vec_id", "embedding", 16, 0.3)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val byCluster = assign.groupBy(_._2)
+    val dropExpect = assign.map { case (id, cid, _) =>
+      val e = vecs(id.toInt)._2
+      (id, cid, !byCluster(cid).exists { case (oid, _, _) =>
+        oid < id && cos(vecs(oid.toInt)._2, e) >= 0.3
+      })
+    }
+    assert(sd.toSeq == dropExpect.toSeq, "random-input verdicts replay")
+    rows.indices.filter(_ % 8 == 7).foreach { i =>
+      assert(!sd(i)._3, s"clone id $i must drop (its twin has the smaller id)")
+    }
+
+    // prototypeSample: ranks replay; clone pairs are rank-adjacent
+    // with the smaller id first (exact cosine tie broken by id)
+    val ps = Similarity.prototypeSample(emb, "vec_id", "embedding", 16, 0.5)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val psExpect = assign.groupBy(_._2).toSeq.flatMap { case (cid, ms) =>
+      val ranked = ms.sortBy { case (id, _, cs) => (cs, id) }.zipWithIndex
+      val keep = math.ceil(ms.length * 0.5).toLong
+      ranked.map { case ((id, _, _), i) =>
+        (id, cid, (i + 1).toLong, (i + 1).toLong <= keep)
+      }
+    }.sortBy(_._1)
+    assert(ps.toSeq == psExpect, "random-input ranks replay")
+    rows.indices.filter(_ % 8 == 7).foreach { i =>
+      val (twin, clone) = (ps(i - 1), ps(i))
+      assert(twin._2 == clone._2, "clones share a cluster")
+      assert(clone._3 == twin._3 + 1,
+        "exact-tie clones rank adjacently, smaller id first")
+    }
+  }
+
   test("t42 canonical selection elects the best-quality member per cluster") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, dir)
