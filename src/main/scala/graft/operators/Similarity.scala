@@ -302,22 +302,28 @@ object Similarity {
     * documents: differently-projected consumers re-run the
     * assignment prefix otherwise.
     */
-  /** Rank-1 coarse-quantizer assignment shared by [[semDedup]] and
-    * [[prototypeSample]]: (id, cid, cs) with cid the best centroid by
-    * (cosine desc, cid asc) and cs that winning cosine. Centroids are
-    * the `nlist` smallest ids, nlist = max(minNlist, floor(sqrt(n)))
-    * — [[ivfTopKAuto]]'s adaptive ladder, replayable via a COUNT(*)
-    * window. The scored rows stay SKINNY (id, struct) through the
-    * n·nlist explosion with a map-side `min(struct)` partial agg
+  /** The nlist = max(minNlist, floor(sqrt(n))) smallest-id coarse
+    * centroids of a [[withNorm]] relation — [[ivfTopKAuto]]'s
+    * adaptive ladder, replayable via a COUNT(*) window.
+    */
+  private def centroids(v: DataFrame, minNlist: Int): DataFrame = {
+    val n = v.count()
+    val nlist = math.max(minNlist, math.floor(math.sqrt(n.toDouble)).toInt)
+    v.orderBy("id").limit(nlist)
+      .select(col("id").as("cid"), col("e").as("ce"), col("n").as("cn"))
+  }
+
+  /** Rank-1 assignment of `v` to the broadcast centroid relation `c`
+    * (the two need not come from the same corpus — incremental dedup
+    * assigns a new batch to the INDEX's centroids): (id, cid, cs)
+    * with cid the best centroid by (cosine desc, cid asc) and cs that
+    * winning cosine. The scored rows stay SKINNY (id, struct) through
+    * the n·nlist explosion with a map-side `min(struct)` partial agg
     * (same measured 2× byte saving as the ivfTopK assignment); the
     * negated score makes min(struct) the (cosine desc, cid asc)
     * argmin, and un-negating is exact IEEE so cs replays bit-for-bit.
     */
-  private def assignClusters(v: DataFrame, minNlist: Int): DataFrame = {
-    val n = v.count()
-    val nlist = math.max(minNlist, math.floor(math.sqrt(n.toDouble)).toInt)
-    val c = v.orderBy("id").limit(nlist)
-      .select(col("id").as("cid"), col("e").as("ce"), col("n").as("cn"))
+  private def assignTo(v: DataFrame, c: DataFrame): DataFrame =
     v.join(broadcast(c))
       .select(col("id"),
         struct((-(dot(col("e"), col("ce")) / (col("n") * col("cn")))).as("negcs"),
@@ -326,7 +332,9 @@ object Similarity {
       .agg(min(col("sc")).as("best"))
       .select(col("id"), col("best")("cid").as("cid"),
         (-col("best")("negcs")).as("cs"))
-  }
+
+  private def assignClusters(v: DataFrame, minNlist: Int): DataFrame =
+    assignTo(v, centroids(v, minNlist))
 
   def semDedup(emb: DataFrame, idCol: String, vecCol: String,
       minNlist: Int = 16, threshold: Double = 0.3): DataFrame = {
@@ -379,6 +387,57 @@ object Similarity {
     ranked.select(col("id").as("vec_id"), col("cid"),
       col("proto_rank"),
       (col("proto_rank") <= ceil(col("cluster_n") * lit(keepFrac))).as("kept"))
+  }
+
+  /** Incremental semantic dedup: dispose a NEW batch of vectors
+    * against an already-curated index — the embedding-space face of
+    * [[Dedup.incrementalDedup]] (snapshot pipelines re-crawl and ask
+    * "which of these are semantically already in the corpus?").
+    *
+    * Contract: centroids are learned from the INDEX ([[centroids]]'s
+    * adaptive ladder on the index's count); both sides take rank-1
+    * assignments to those shared centroids; a batch vector is `dup`
+    * iff some index member of its cluster reaches cosine >=
+    * `threshold`, with `match_id` the smallest such index id and
+    * `cosine_sim` that pair's cosine; otherwise `new` with nulls —
+    * mirroring the t38 disposition columns. Batch-internal
+    * duplicates are NOT flagged (run [[semDedup]] on the batch
+    * first); the contract is batch-vs-index only, so re-running on
+    * an already-admitted batch is idempotent.
+    *
+    * Scale shape: the index is never self-joined — the only pairwise
+    * stage is index-members × batch-members within a cluster, so
+    * compare volume is |batch|·(|index|/nlist) per wave, the same
+    * probe-side fan-out bound as [[ivfTopK]]'s search. Both assigned
+    * relations are checkpointed behind cid-pinned barriers (the
+    * batch side feeds the pair join and the final disposition join).
+    */
+  def incrementalSemDedup(index: DataFrame, batch: DataFrame,
+      idCol: String, vecCol: String, minNlist: Int = 16,
+      threshold: Double = 0.3): DataFrame = {
+    val vi = withNorm(index, idCol, vecCol)
+    val vb = withNorm(batch, idCol, vecCol)
+    val c = centroids(vi, minNlist)
+    def members(v: DataFrame): DataFrame = Dedup.barrier(
+      assignTo(v, c).select("id", "cid").join(v, "id"),
+      col("cid")).localCheckpoint()
+    val mi = members(vi)
+    val mb = members(vb)
+    val verified = mi.as("a").join(mb.as("b"), col("a.cid") === col("b.cid"))
+      .select(col("b.id").as("batch_id"), col("a.id").as("idx_id"),
+        (dot(col("a.e"), col("b.e")) / (col("a.n") * col("b.n"))).as("cs"))
+      .filter(col("cs") >= threshold)
+    val nearest = verified.groupBy("batch_id").agg(min("idx_id").as("match_id"))
+    val nearJ = nearest.join(verified,
+        nearest("match_id") === verified("idx_id") &&
+          nearest("batch_id") === verified("batch_id"))
+      .select(nearest("batch_id"), col("match_id"), col("cs"))
+    mb.select(col("id").as("batch_id"))
+      .join(nearJ, Seq("batch_id"), "left")
+      .select(col("batch_id"),
+        when(col("match_id").isNotNull, lit("dup"))
+          .otherwise(lit("new")).as("status"),
+        col("match_id"), col("cs").as("cosine_sim"))
   }
 
   // ---------------------------------------------------------------

@@ -351,6 +351,23 @@ object TrainingData {
         n = 3, numPerms = 64, bands = 16, threshold = 0.5)
       .orderBy("doc_id")
 
+  /** Incremental semantic dedup
+    * ([[Similarity.incrementalSemDedup]]): the last fifth of the
+    * embedding table arrives as the new batch against the first four
+    * fifths as the index — the same 4/5 split convention as t38. The
+    * oracle replays index-learned centroids, both assignments, and
+    * the min-id match election.
+    */
+  def docIncrementalSemDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val split = emb.count() * 4 / 5
+    Similarity.incrementalSemDedup(
+        emb.filter(col("vec_id") < split),
+        emb.filter(col("vec_id") >= split),
+        "vec_id", "embedding", minNlist = 16, threshold = 0.3)
+      .orderBy("batch_id")
+  }
+
   /** Per-doc top-3 TF-IDF terms ([[CorpusOps.tfidfTopTerms]]) —
     * linear-IDF scoring keeps the arithmetic to two IEEE ops on exact
     * integers, so the oracle replays scores AND ranking bit-for-bit.
@@ -571,6 +588,7 @@ object TrainingData {
     "t40_sem_dedup" -> docSemDedup _,
     "t41_proto_sample" -> docProtoSample _,
     "t42_canonical" -> docCanonical _,
+    "t43_incr_sem_dedup" -> docIncrementalSemDedup _,
   )
 
   /** Shared DuckDB CTE fragment: per-doc word-trigram shingle sets,
@@ -1418,6 +1436,51 @@ object TrainingData {
            |  proto_rank <= CAST(ceil(cluster_n * 0.5) AS BIGINT) AS kept
            |FROM r ORDER BY vec_id""".stripMargin,
       "t42_canonical" -> canonicalOracleSql(64, 16, 0.5),
+      "t43_incr_sem_dedup" ->
+        s"""WITH v AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+           |), params AS (
+           |  SELECT COUNT(*) * 4 // 5 AS split FROM v
+           |), vi AS (
+           |  SELECT v.vec_id, v.e FROM v, params WHERE vec_id < split
+           |), vb AS (
+           |  SELECT v.vec_id, v.e FROM v, params WHERE vec_id >= split
+           |), c AS (
+           |  SELECT vec_id AS cid, e AS ce FROM (
+           |    SELECT vec_id, e, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn,
+           |           COUNT(*) OVER () AS nn
+           |    FROM vi) s
+           |  WHERE rn <= greatest(16, CAST(floor(sqrt(nn)) AS BIGINT))
+           |), mi AS (
+           |  SELECT vec_id, cid, e FROM (
+           |    SELECT vi.vec_id, c.cid, vi.e,
+           |      ROW_NUMBER() OVER (PARTITION BY vi.vec_id
+           |        ORDER BY ${cosSql("vi.e", "c.ce")} DESC, c.cid) AS pr
+           |    FROM vi, c) a
+           |  WHERE pr = 1
+           |), mb AS (
+           |  SELECT vec_id, cid, e FROM (
+           |    SELECT vb.vec_id, c.cid, vb.e,
+           |      ROW_NUMBER() OVER (PARTITION BY vb.vec_id
+           |        ORDER BY ${cosSql("vb.e", "c.ce")} DESC, c.cid) AS pr
+           |    FROM vb, c) a
+           |  WHERE pr = 1
+           |), p AS (
+           |  SELECT mb.vec_id AS batch_id, mi.vec_id AS idx_id,
+           |    ${cosSql("mi.e", "mb.e")} AS cs
+           |  FROM mi JOIN mb ON mi.cid = mb.cid
+           |  WHERE ${cosSql("mi.e", "mb.e")} >= 0.3
+           |), best AS (
+           |  SELECT batch_id, MIN(idx_id) AS match_id FROM p GROUP BY batch_id
+           |), j AS (
+           |  SELECT b.batch_id, b.match_id, p.cs FROM best b
+           |  JOIN p ON p.batch_id = b.batch_id AND p.idx_id = b.match_id
+           |)
+           |SELECT vb.vec_id AS batch_id,
+           |  CASE WHEN j.match_id IS NOT NULL THEN 'dup' ELSE 'new' END AS status,
+           |  j.match_id, j.cs AS cosine_sim
+           |FROM vb LEFT JOIN j ON vb.vec_id = j.batch_id
+           |ORDER BY batch_id""".stripMargin,
       "t25_kmv_sketch" ->
         s"""WITH toks AS (
            |  SELECT string_split_regex(trim(text), '\\s+') AS ts FROM documents

@@ -408,6 +408,62 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(got.count(!_._4) > 0, "fixture must contain real losers")
   }
 
+  test("t43 incremental semantic dedup matches a direct recomputation") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, dir)
+    val split = emb.count() * 4 / 5
+    val df = Similarity.incrementalSemDedup(
+      emb.filter(col("vec_id") < split),
+      emb.filter(col("vec_id") >= split),
+      "vec_id", "embedding", minNlist = 16, threshold = 0.3)
+    val got = df.orderBy("batch_id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))
+
+    val vecs = emb.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val (idx, batch) = vecs.partition(_._1 < split)
+    val nlist = math.max(16, math.floor(math.sqrt(idx.length.toDouble)).toInt)
+    val cents = idx.take(nlist)
+    def assign(vs: Array[(Long, Array[Double])]) = vs.map { case (id, e) =>
+      (id, cents.map { case (c, ce) => (-cos(e, ce), c) }.min._2, e)
+    }
+    val mi = assign(idx).groupBy(_._2)
+    val expect = assign(batch).map { case (id, cid, e) =>
+      val matches = mi.getOrElse(cid, Array.empty)
+        .filter { case (oid, _, oe) => cos(oe, e) >= 0.3 }
+      if (matches.isEmpty) (id, "new", -1L, Double.NaN)
+      else {
+        val m = matches.minBy(_._1)
+        (id, "dup", m._1, cos(m._3, e))
+      }
+    }.sortBy(_._1)
+    assert(got.length == batch.length, "one disposition per batch vector")
+    got.zip(expect).foreach { case (g, x) =>
+      assert(g._1 == x._1 && g._2 == x._2 && g._3 == x._3, s"$g != $x")
+      assert((g._4.isNaN && x._4.isNaN) || g._4 == x._4, s"$g != $x")
+    }
+    assert(got.exists(_._2 == "dup") && got.exists(_._2 == "new"),
+      "fixture must exercise both dispositions")
+
+    // plan shape: the index is never self-joined and nothing is
+    // quadratic — the one pairwise join keys on cid between the two
+    // checkpointed assignments
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "pair stage must key on cid")
+    assert(!plan.contains("Scan parquet"),
+      "assignments are checkpointed; consumers must not re-scan")
+  }
+
   test("multimodal payload plumbing round-trips sizes and features") {
     val docs = Tables.documents(spark, dir)
     val feats = Multimodal.extractFeatures(
