@@ -106,6 +106,39 @@ object EventStreams {
       org.apache.spark.sql.functions.broadcast(indexDigests.select(col("h"))),
       sha2(col(textCol), 256) === col("h"), "left_anti")
 
+  /** Streaming semantic admission: per micro-batch, dispose arriving
+    * vectors against a static index via
+    * [[graft.operators.Similarity.incrementalSemDedup]] and append
+    * the dispositions (batch_id, status, match_id, cosine_sim) to a
+    * parquet log — the streaming face of the t43 batch operator, as
+    * [[dedupAgainstIndex]] is of the exact pass. The clustering math
+    * needs driver actions (index count, checkpoints), so it runs
+    * inside `foreachBatch`, where each micro-batch is a plain
+    * DataFrame; the index relation is re-resolved per batch, so a
+    * growing index is picked up without restarting the query.
+    *
+    * At-least-once caveat: a replayed micro-batch appends its
+    * disposition rows again. The disposition of a given batch_id is
+    * deterministic for a fixed index, so readers dedup the log by
+    * batch_id (the same effectively-once-by-idempotence argument as
+    * [[upsertToRelation]], with the dedup on the read side of a log
+    * instead of the write side of a table).
+    */
+  def semDedupAgainstIndex(vecs: DataFrame, index: DataFrame,
+      idCol: String, vecCol: String, outPath: String,
+      minNlist: Int = 16, threshold: Double = 0.3): Unit = {
+    val q = vecs.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Similarity
+          .incrementalSemDedup(index, batch, idCol, vecCol, minNlist, threshold)
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Stream-stream interval join: each click joined to the same
     * user's views from the preceding `window` — the canonical
     * two-firehose correlation. BOTH sides carry watermarks and the

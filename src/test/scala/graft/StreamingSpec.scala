@@ -143,6 +143,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 3L))
   }
 
+  test("stream-vs-index semantic dedup log matches the batch disposition") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val split = emb.count() * 4 / 5
+    val index = emb.filter(col("vec_id") < split)
+    val batch = emb.filter(col("vec_id") >= split)
+    // stage the batch as a stream directory and a disposition log dir
+    val d = java.nio.file.Files.createTempDirectory("graft_vecstream")
+    batch.write.parquet(d.resolve("batch.parquet").toString)
+    val out = d.resolve("dispositions").toString
+    val stream = spark.readStream.schema(emb.schema)
+      .parquet(d.toString + "/batch.parquet")
+    EventStreams.semDedupAgainstIndex(stream, index, "vec_id", "embedding",
+      out, minNlist = 16, threshold = 0.3)
+    val got = spark.read.parquet(out)
+    val expect = graft.operators.Similarity.incrementalSemDedup(
+      index, batch, "vec_id", "embedding", 16, 0.3)
+    assert(got.count() == batch.count(), "one disposition per batch vector")
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty,
+      "stream log == batch disposition")
+  }
+
   test("foreachBatch upsert sink: latest row per key, idempotent on replay") {
     val out = java.nio.file.Files.createTempDirectory("graft_upsert")
       .resolve("user_state").toString
