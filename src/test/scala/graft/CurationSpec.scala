@@ -124,7 +124,9 @@ class CurationSpec extends AnyFunSuite {
       minUniqFrac = 0.3, redactPii = true, piiTerms = Seq("customer"),
       nearDupThreshold = 0.7, decontamShingleSize = 4,
       sampleRates = Map("en" -> 50))
-    val staged = Curation.curateStaged(train, "doc_id", "text", cfg, Some(bench))
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val staged = Curation.curateStaged(train, "doc_id", "text", cfg, Some(bench),
+      embeddings = Some(emb))
     staged.curated.count()
     val r = staged.report()
     // independently recompute the map-only stages; any double-fired
@@ -142,6 +144,22 @@ class CurationSpec extends AnyFunSuite {
         >= 0.3)
     assert(r.afterRepetition == rep.count())
     assert(r.afterLang == rep.count()) // keepLangs empty = no-op
+    // the semantic stage sits between near-dup and decontam, with all
+    // neighbors on: the attrition chain must stay monotone and its
+    // counter exact (anti-join of the near-dup survivors against the
+    // standalone verdicts)
+    assert(r.afterNearDup >= r.afterSemantic &&
+      r.afterSemantic >= r.afterDecontam && r.afterDecontam >= r.afterSample)
+    val semLosers = graft.operators.Similarity
+      .semDedup(emb, "vec_id", "embedding", 16, cfg.semDedupThreshold)
+      .filter(!col("kept")).select(col("vec_id").as("doc_id"))
+    val nearDupSurvivors = {
+      val base = Curation.curateStaged(train, "doc_id", "text",
+        cfg.copy(sampleRates = Map.empty), None, None).curated
+      base
+    }
+    assert(r.afterSemantic ==
+      nearDupSurvivors.join(semLosers, Seq("doc_id"), "left_anti").count())
   }
 
   test("clusterNearDups keeps one doc per component; pair mode keeps local minima") {
