@@ -86,7 +86,10 @@ object Curation {
         * computed over the FULL embedding table — the offline-pipeline
         * convention (embeddings exist once, independent of which docs
         * earlier text stages dropped), and the contract the t40 oracle
-        * gates.
+        * gates. Like `clusterNearDups`, enabling this stage runs its
+        * jobs EAGERLY while the pipeline is being built (the
+        * clustering needs a count and a checkpoint); the loser set the
+        * final anti-join scans is that checkpointed verdict relation.
         */
       semDedupThreshold: Double = 0.3,
       semDedupMinNlist: Int = 16,

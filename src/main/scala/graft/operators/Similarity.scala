@@ -417,7 +417,11 @@ object Similarity {
       threshold: Double = 0.3): DataFrame = {
     val vi = withNorm(index, idCol, vecCol)
     val vb = withNorm(batch, idCol, vecCol)
-    val c = centroids(vi, minNlist)
+    // materialize the nlist-row centroid relation ONCE: its lineage
+    // (a scan + sort over the whole index) would otherwise be
+    // embedded in BOTH member checkpoints — and in the streaming
+    // face, re-run per micro-batch
+    val c = centroids(vi, minNlist).localCheckpoint()
     def members(v: DataFrame): DataFrame = Dedup.barrier(
       assignTo(v, c).select("id", "cid").join(v, "id"),
       col("cid")).localCheckpoint()

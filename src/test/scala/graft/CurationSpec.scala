@@ -153,11 +153,8 @@ class CurationSpec extends AnyFunSuite {
     val semLosers = graft.operators.Similarity
       .semDedup(emb, "vec_id", "embedding", 16, cfg.semDedupThreshold)
       .filter(!col("kept")).select(col("vec_id").as("doc_id"))
-    val nearDupSurvivors = {
-      val base = Curation.curateStaged(train, "doc_id", "text",
-        cfg.copy(sampleRates = Map.empty), None, None).curated
-      base
-    }
+    val nearDupSurvivors = Curation.curateStaged(train, "doc_id", "text",
+      cfg.copy(sampleRates = Map.empty), None, None).curated
     assert(r.afterSemantic ==
       nearDupSurvivors.join(semLosers, Seq("doc_id"), "left_anti").count())
   }
