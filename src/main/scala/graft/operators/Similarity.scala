@@ -402,8 +402,12 @@ object Similarity {
     * `cosine_sim` that pair's cosine; otherwise `new` with nulls —
     * mirroring the t38 disposition columns. Batch-internal
     * duplicates are NOT flagged (run [[semDedup]] on the batch
-    * first); the contract is batch-vs-index only, so re-running on
-    * an already-admitted batch is idempotent.
+    * first); the contract is batch-vs-index only, and a batch's
+    * dispositions are deterministic for a fixed index — re-running
+    * the same batch against the same index replays them exactly.
+    * (Once a batch is ADMITTED into the index, its vectors match
+    * themselves on any re-run — dedup the disposition log by
+    * batch_id instead of replaying admitted batches.)
     *
     * Scale shape: the index is never self-joined — the only pairwise
     * stage is index-members × batch-members within a cluster, so
