@@ -311,13 +311,19 @@ object Cli {
     // dedup -> near-dup removal (-> decontamination / stratified
     // sampling when configured) -> curated parquet + one-pass
     // attrition report.
-    case "curate" :: sfDir :: outDir :: Nil =>
+    case "curate" :: sfDir :: outDir :: rest if rest.forall(_ == "--semantic") =>
       val spark = session()
       val docs = Tables.documents(spark, sfDir)
+      // --semantic: also drop embedding-space near-dups (t40 verdicts
+      // over the fixture's embeddings table, ids aligned with doc_id)
+      val emb =
+        if (rest.contains("--semantic")) Some(Tables.embeddings(spark, sfDir))
+        else None
       val (curated, report) = graft.operators.Curation.curate(
         docs, "doc_id", "text",
         graft.operators.Curation.Config(minTokens = 10, minQuality = 0.3,
-          nearDupThreshold = 0.7))
+          nearDupThreshold = 0.7),
+        embeddings = emb)
       curated.write.mode("overwrite").parquet(outDir)
       println(s"curate: input=${report.input} afterQuality=${report.afterQuality} " +
         s"afterRepetition=${report.afterRepetition} afterLang=${report.afterLang} " +
@@ -364,7 +370,7 @@ object Cli {
 
     case _ =>
       System.err.println(
-        "usage: graft.Cli build|run-sql|inherit|test|lint|diff|refactor|organize|document|catalog|profile|serve <projectDir> [args] | curate <sfDir> <outDir>\n" +
+        "usage: graft.Cli build|run-sql|inherit|test|lint|diff|refactor|organize|document|catalog|profile|serve <projectDir> [args] | curate <sfDir> <outDir> [--semantic]\n" +
           "  refactor/organize/document options: --fqn <pattern> (repeatable), --dry-run, --check")
       sys.exit(2)
   }
