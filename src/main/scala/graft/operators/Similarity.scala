@@ -420,7 +420,10 @@ object Similarity {
       idCol: String, vecCol: String, minNlist: Int = 16,
       threshold: Double = 0.3): DataFrame = {
     val vi = withNorm(index, idCol, vecCol)
-    val vb = withNorm(batch, idCol, vecCol)
+    // the normed batch feeds three consumers (assignment, the member
+    // join, the disposition base) — materialize it once; it is the
+    // SMALL side by contract
+    val vb = withNorm(batch, idCol, vecCol).localCheckpoint()
     // materialize the nlist-row centroid relation ONCE: its lineage
     // (a scan + sort over the whole index) would otherwise be
     // embedded in BOTH member checkpoints — and in the streaming
@@ -440,7 +443,12 @@ object Similarity {
         nearest("match_id") === verified("idx_id") &&
           nearest("batch_id") === verified("batch_id"))
       .select(nearest("batch_id"), col("match_id"), col("cs"))
-    mb.select(col("id").as("batch_id"))
+    // disposition base is the RAW batch, not the centroid-joined mb:
+    // against an EMPTY index there are no centroids and mb is empty,
+    // but the contract (and the oracle, whose final FROM is vb) says
+    // every batch vector disposes as 'new' — the cold-start wave of a
+    // streaming pipeline must not be silently dropped
+    vb.select(col("id").as("batch_id"))
       .join(nearJ, Seq("batch_id"), "left")
       .select(col("batch_id"),
         when(col("match_id").isNotNull, lit("dup"))

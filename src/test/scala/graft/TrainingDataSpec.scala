@@ -378,6 +378,25 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("embedding-pruning ops degrade cleanly on empty inputs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val empty = emb.filter(col("vec_id") < 0)
+    // empty corpus: every op returns an empty, correctly-shaped frame
+    assert(Similarity.semDedup(empty, "vec_id", "embedding").count() == 0)
+    assert(Similarity.prototypeSample(empty, "vec_id", "embedding").count() == 0)
+    // empty batch against a real index, and a real batch against an
+    // empty index (cold start): no matches, everything 'new'
+    val disp = Similarity.incrementalSemDedup(emb, empty, "vec_id", "embedding")
+    assert(disp.count() == 0)
+    val cold = Similarity.incrementalSemDedup(empty, emb.limit(5),
+      "vec_id", "embedding")
+    assert(cold.count() == 5)
+    assert(cold.filter(col("status") =!= "new").count() == 0)
+    assert(cold.filter(col("match_id").isNotNull).count() == 0)
+  }
+
   test("t42 canonical selection elects the best-quality member per cluster") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, dir)
