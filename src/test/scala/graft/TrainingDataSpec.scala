@@ -425,6 +425,15 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(byCluster.nonEmpty && byCluster.forall(_._2.count(_._4) == 1),
       "each cluster elects exactly one canonical")
     assert(got.count(!_._4) > 0, "fixture must contain real losers")
+
+    // a corpus with no near-dups has no clusters and elects nobody
+    // (empty edges through connectedComponents converge immediately)
+    import spark.implicits._
+    val distinctDocs = Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "zeta eta theta iota kappa"),
+      (3L, "lambda mu nu xi omicron")).toDF("doc_id", "text")
+    assert(CorpusOps.canonicalSelect(distinctDocs, "doc_id", "text",
+      n = 3, numPerms = 64, bands = 16, threshold = 0.5).count() == 0)
   }
 
   test("t43 incremental semantic dedup matches a direct recomputation") {
