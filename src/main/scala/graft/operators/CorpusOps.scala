@@ -325,6 +325,62 @@ object CorpusOps {
         col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
   }
 
+  /** Span-level exact dedup as a TRANSFORM — the rewrite counterpart
+    * of [[spanDupStats]] (Lee et al. ACL'22 exact substring dedup:
+    * remove every duplicated segment, keeping one canonical copy
+    * corpus-wide). Documents are cut into NON-overlapping `k`-token
+    * spans (short tail included); each distinct span text elects its
+    * canonical occurrence — the lexicographically smallest
+    * (doc_id, span index) — and every OTHER occurrence is dropped.
+    * The surviving spans are re-joined in original order into
+    * `new_text` (empty when a fully-duplicated document loses all its
+    * spans). Output: (doc_id, n_spans, n_kept, new_text).
+    *
+    * Scale shape: the election shuffles only (doc_id, idx, fp) —
+    * 8-byte FNV span fingerprints, never span text (a collision would
+    * flip a keep decision and hash-mismatch the oracle gate, so the
+    * compression is itself under test). The keep-decision join reuses
+    * the fingerprint shuffle partitioning; the per-doc kept-index
+    * aggregation carries two longs per span. The single corpus-sized
+    * movement is the final doc_id co-partition join that brings each
+    * doc's token array to its kept-index row for the map-side rebuild
+    * — one text shuffle total (vs two for piping span text through
+    * the election), and it drops to zero when the corpus is at rest
+    * bucketed by the id column ([[graft.exec.Bucketing]]), the layout
+    * a 100 TB curation pass would use anyway. Every shuffle keys on
+    * fp or doc_id; nothing ever goes all-pairs.
+    *
+    * The canonical election compares the packed key
+    * doc_id·2²⁰ + idx (identical arithmetic in the DuckDB oracle),
+    * valid while a document has < 2²⁰ spans (8M tokens at k = 8) and
+    * doc_id < 2⁴³ — both loose at any realistic sharding.
+    */
+  def spanDedupRewrite(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val packed = col("doc_id") * lit(1048576L) + col("idx")
+    val spans = chunkDocs(docs, idCol, textCol, chunk = k, stride = k)
+      .select(col("doc_id"), col("chunk_no").as("idx"),
+        call_function("fnv64", col("chunk_text")).as("fp"))
+    val elect = spans.groupBy("fp").agg(
+      count(lit(1)).as("gf"), min(packed).as("can"))
+    val keep = col("gf") === 1L || packed === col("can")
+    val kept = spans.join(elect, "fp")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        count(when(keep, lit(1))).as("n_kept"),
+        sort_array(collect_list(when(keep, col("idx")))).as("kept_idx"))
+    docs.select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("ts"))
+      .join(kept, "doc_id")
+      .select(col("doc_id"), col("n_spans"), col("n_kept"),
+        array_join(
+          transform(col("kept_idx"), i =>
+            array_join(
+              slice(col("ts"), (i * k + 1L).cast("int"), lit(k)), " ")),
+          " ").as("new_text"))
+  }
+
   // ---------------------------------------------------------------
   // Deterministic stratified sampling
   // ---------------------------------------------------------------

@@ -9,8 +9,9 @@ import graft.functions.TextFunctions
   * pipeline actually runs over a raw document pile — quality
   * filtering, repetition filtering, language filtering, PII
   * redaction, exact dedup, near-dup removal, semantic (embedding-
-  * space) dedup, benchmark decontamination, stratified sampling — as
-  * one declarative dataflow.
+  * space) dedup, benchmark decontamination, stratified sampling, and
+  * an optional closing span-dedup rewrite of the survivors — as one
+  * declarative dataflow.
   *
   * Scale shape: quality/repetition/language/PII/sampling are map-only
   * (codegen'd per-row scoring); exact dedup shuffles a 32-byte
@@ -100,7 +101,17 @@ object Curation {
       /** Per-language percent rates for deterministic stratified
         * sampling on `pred_lang`; empty disables the stage. */
       sampleRates: Map[String, Int] = Map.empty,
-      sampleDefaultRate: Int = 100)
+      sampleDefaultRate: Int = 100,
+      /** Span-dedup rewrite granularity ([[CorpusOps.spanDedupRewrite]]);
+        * <= 0 disables the stage. When enabled, the FINAL stage
+        * rewrites each surviving document, keeping one canonical copy
+        * of every duplicated `spanRewriteK`-token span corpus-wide
+        * (Lee et al. ACL'22 exact substring dedup). Runs last so the
+        * election only pays for survivors; the `n_tokens`/`quality`
+        * annotations describe the pre-rewrite text by design (they
+        * are the values the filters acted on).
+        */
+      spanRewriteK: Int = 0)
 
   final case class Report(
       input: Long, afterQuality: Long, afterRepetition: Long,
@@ -242,7 +253,22 @@ object Curation {
         config.sampleRates, config.sampleDefaultRate).drop("strat_bucket"),
         obsSample)
 
-    new Staged(sampled, () => {
+    val rewritten =
+      if (config.spanRewriteK <= 0) sampled
+      else {
+        // the rewrite consumes its input three times (span election,
+        // token-array rebuild, and the outer column-preserving join)
+        // — barrier it so exchange reuse keeps every upstream observe
+        // single-counted per action
+        val barred = Dedup.barrier(sampled, col(idCol))
+        val newText = CorpusOps.spanDedupRewrite(barred, idCol, textCol,
+            config.spanRewriteK)
+          .select(col("doc_id").as(idCol), col("new_text"))
+        barred.join(newText, Seq(idCol))
+          .withColumn(textCol, col("new_text")).drop("new_text")
+      }
+
+    new Staged(rewritten, () => {
       def n(obs: Observation): Long = obs.get("n").asInstanceOf[Long]
       val afterNearDup = n(obsNearDup)
       // every loser id occurs exactly once in exactDeduped (ids are

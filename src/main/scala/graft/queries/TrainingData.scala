@@ -288,6 +288,20 @@ object TrainingData {
     CorpusOps.spanDupStats(Tables.documents(spark, dir), "doc_id", "text", k = 8)
       .orderBy("doc_id")
 
+  /** Span-level exact dedup REWRITE at 8-token granularity
+    * ([[CorpusOps.spanDedupRewrite]]): every duplicated span keeps
+    * only its canonical (smallest doc_id, idx) occurrence and each
+    * document is reassembled from its surviving spans. The oracle
+    * re-runs the whole election and reassembly on span TEXT
+    * (string_agg in span order); Spark elects on 64-bit FNV
+    * fingerprints and rebuilds from the doc's own token array — the
+    * fingerprint compression and the rebuild arithmetic are both
+    * under the hash gate.
+    */
+  def docSpanRewrite(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.spanDedupRewrite(Tables.documents(spark, dir), "doc_id", "text", k = 8)
+      .orderBy("doc_id")
+
   /** 50/30/20 mixture weights over the first three sources — chosen
     * so the three keep-rate regimes all occur at the fixture's 25
     * docs/source: src0 saturates (rate 1.2 → clamp to keep-all),
@@ -572,6 +586,7 @@ object TrainingData {
     "t24_dup_clusters" -> dedupClusters _,
     "t25_kmv_sketch" -> docKmvSketch _,
     "t26_span_dedup" -> docSpanDedup _,
+    "t44_span_rewrite" -> docSpanRewrite _,
     "t27_mix_sample" -> docMixSample _,
     "t28_tfidf_terms" -> docTfidf _,
     "t29_unigram_quality" -> docUnigramQuality _,
@@ -1133,6 +1148,28 @@ object TrainingData {
           |  COUNT(*) FILTER (WHERE gf > 1) AS n_dup_spans,
           |  CAST(COUNT(*) FILTER (WHERE gf > 1) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
           |    AS dup_frac
+          |FROM spans JOIN freq USING (sp)
+          |GROUP BY spans.doc_id ORDER BY doc_id""".stripMargin,
+      "t44_span_rewrite" ->
+        """WITH toks AS (
+          |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents
+          |), s AS (
+          |  SELECT doc_id, ts, unnest(range(0, len(ts), 8)) AS start_tok FROM toks
+          |), spans AS (
+          |  SELECT doc_id, CAST(start_tok // 8 AS BIGINT) AS idx,
+          |    array_to_string(list_slice(ts, CAST(start_tok + 1 AS INT),
+          |      CAST(start_tok + 8 AS INT)), ' ') AS sp
+          |  FROM s
+          |), freq AS (
+          |  SELECT sp, COUNT(*) AS gf, MIN(doc_id * 1048576 + idx) AS can
+          |  FROM spans GROUP BY sp
+          |)
+          |SELECT spans.doc_id, COUNT(*) AS n_spans,
+          |  COUNT(*) FILTER (WHERE gf = 1 OR doc_id * 1048576 + idx = can)
+          |    AS n_kept,
+          |  coalesce(string_agg(sp, ' ' ORDER BY idx)
+          |    FILTER (WHERE gf = 1 OR doc_id * 1048576 + idx = can), '')
+          |    AS new_text
           |FROM spans JOIN freq USING (sp)
           |GROUP BY spans.doc_id ORDER BY doc_id""".stripMargin,
       "t28_tfidf_terms" ->

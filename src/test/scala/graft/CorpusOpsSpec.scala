@@ -216,6 +216,49 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(m(2).getDouble(3) == 2.0 / 3.0)
   }
 
+  test("spanDedupRewrite: canonical keeps, cross/within-doc drops, full-dup empties") {
+    // Same span layout as the spanDupStats fixture plus doc5, whose
+    // only span duplicates doc1's canonical "a b" and must empty out.
+    val docs = Seq(
+      (1L, "a b c d"),   // "a b"@0 canonical, "c d" unique
+      (2L, "a b x y"),   // "a b"@0 loses to doc1, "x y" unique
+      (3L, "p q p q z"), // within-doc dup: "p q"@1 loses to "p q"@0
+      (4L, "solo"),      // tail-only unique doc survives verbatim
+      (5L, "a b")        // fully duplicated -> zero kept, empty text
+    ).toDF("doc_id", "text")
+    val r = CorpusOps.spanDedupRewrite(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3)))
+    assert(r.toSeq == Seq(
+      (1L, 2L, 2L, "a b c d"),
+      (2L, 2L, 1L, "x y"),
+      (3L, 3L, 2L, "p q z"),
+      (4L, 1L, 1L, "solo"),
+      (5L, 1L, 0L, "")))
+  }
+
+  test("spanDedupRewrite: corpus-wide kept count equals distinct span count") {
+    // Every distinct span text keeps exactly one occurrence (its
+    // canonical if duplicated, itself if unique), so sum(n_kept) must
+    // equal the number of distinct span texts — checked on a random
+    // corpus with heavy planted repetition.
+    val rnd = new scala.util.Random(7)
+    val docs = (0L until 60L).map { i =>
+      val words = (0 until 6 + rnd.nextInt(10))
+        .map(_ => s"w${rnd.nextInt(8)}")
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val k = 3
+    val out = CorpusOps.spanDedupRewrite(docs, "doc_id", "text", k)
+    val keptSum = out.agg(sum("n_kept")).collect()(0).getLong(0)
+    val distinctSpans = CorpusOps.chunkDocs(docs, "doc_id", "text", k, k)
+      .select("chunk_text").distinct().count()
+    assert(keptSum == distinctSpans)
+    // n_spans must account for every span of the input corpus
+    val total = out.agg(sum("n_spans")).collect()(0).getLong(0)
+    assert(total == CorpusOps.chunkDocs(docs, "doc_id", "text", k, k).count())
+  }
+
   test("tfidfTopTerms: hand-computed scores, rank order, term tie-break") {
     // N = 3. df: a->3, b->2, z->1, q->1
     // doc1 "a a b":  a tf2 score 2*3/3=2.0, b tf1 score 1*3/2=1.5

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Curation, Dedup}
+import graft.operators.{CorpusOps, Curation, Dedup}
 
 class CurationSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.session
@@ -55,6 +55,37 @@ class CurationSpec extends AnyFunSuite {
     assert(r.afterLang == q.count()) // keepLangs empty = no-op stage
     assert(r.afterExact == Dedup.exact(q, "doc_id", "text").count())
     assert(r.afterNearDup == staged.curated.count())
+  }
+
+  test("span-rewrite stage rewrites survivors exactly like standalone t44") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val cfg = Curation.Config(minTokens = 5, minQuality = 0.2,
+      nearDupThreshold = 0.7, spanRewriteK = 8)
+    val staged = Curation.curateStaged(docs, "doc_id", "text", cfg)
+    staged.curated.count()
+    val r = staged.report()
+    // the rewrite stage drops no documents — only text changes
+    assert(staged.curated.count() == r.afterNearDup)
+    assert(staged.curated.columns.toSeq == Curation.annotate(docs, "text").columns.toSeq,
+      "rewrite must preserve the curated schema")
+    // differential: each survivor's text must equal the standalone
+    // spanDedupRewrite over exactly the surviving corpus (the stage
+    // elects canonicals among survivors, not the raw pile)
+    val survivors = Curation.curateStaged(docs, "doc_id", "text",
+      cfg.copy(spanRewriteK = 0)).curated
+    val expect = CorpusOps.spanDedupRewrite(survivors, "doc_id", "text", 8)
+      .select(col("doc_id"), col("new_text"))
+    val mismatches = staged.curated.select(col("doc_id"), col("text"))
+      .join(expect, "doc_id")
+      .filter(col("text") =!= col("new_text")).count()
+    assert(mismatches == 0, "stage text != standalone rewrite")
+    // the fixture corpus has cross-doc duplicated spans, so at least
+    // one survivor must actually have been rewritten
+    val unchanged = staged.curated.select(col("doc_id"), col("text"))
+      .join(docs.select(col("doc_id"), col("text").as("orig")), "doc_id")
+      .filter(col("text") === col("orig")).count()
+    assert(unchanged < r.afterNearDup, "no document was rewritten")
   }
 
   test("semantic-dedup stage drops exactly the t40 kept=false verdicts") {

@@ -123,6 +123,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("t44: span rewrite shuffles key only on fp/doc_id, no cross product") {
+    val plan = operators.CorpusOps.spanDedupRewrite(
+        Tables.documents(spark, dir), "doc_id", "text", k = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"span rewrite degraded to all-pairs:\n${plan.take(1200)}")
+    // every exchange must partition on the span fingerprint or the
+    // doc id — a span-TEXT key here would mean the election shuffles
+    // strings instead of 8-byte fingerprints
+    val keys = "Exchange hashpartitioning\\(([a-zA-Z_]+)#"
+      .r.findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(keys.nonEmpty && keys.subsetOf(Set("fp", "doc_id")),
+      s"unexpected shuffle keys $keys:\n${plan.take(1200)}")
+  }
+
   test("dedup family joins on compact keys, never full documents") {
     // the jaccard inverted-index join must join on the 8-byte shingle
     // fingerprint, not the shingle string
