@@ -382,6 +382,48 @@ object CorpusOps {
   }
 
   // ---------------------------------------------------------------
+  // Hashed-feature linear classifier inference
+  // ---------------------------------------------------------------
+
+  /** Linear classifier inference over hashed bag-of-words features —
+    * the fastText-style quality/domain scorer a curation pipeline runs
+    * against every document (e.g. CCNet/LLaMA wiki-reference filters).
+    * Each token hashes into one of `weights.length` buckets
+    * (feature hashing, Weinberger et al. ICML'09); the document score
+    * is `bias + Σ weights(polyHash(token) mod F)` — exact integer
+    * arithmetic, so the score is order-independent and bit-identical
+    * in the DuckDB oracle (a float dot product would be
+    * fold-order-sensitive). `keep` is `score >= threshold`.
+    *
+    * Scale shape: entirely map-side — the model rides the plan as a
+    * literal array (the broadcast degenerate case: F·8 bytes), token
+    * hashing is one compiled [[graft.functions.PolyHashArray]] loop,
+    * and the bucket-weight sum is a native `aggregate` over longs. No
+    * shuffle, no join, no state; at 100 TB this is a single pass at
+    * scan speed, exactly like the other per-row scorers (t01/t29).
+    * Real-model weights are floats; quantizing them to scaled longs
+    * (as the PQ/BM25 paths do) preserves ranking while keeping the
+    * exactness contract.
+    */
+  def hashedLinearScore(docs: DataFrame, idCol: String, textCol: String,
+      weights: Seq[Long], bias: Long, threshold: Long): DataFrame = {
+    require(weights.nonEmpty, "need at least one feature bucket")
+    GraftFunctions.register(docs.sparkSession)
+    val f = weights.length
+    val wArr = array(weights.map(lit): _*)
+    docs.select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("ts"))
+      .select(col("doc_id"),
+        size(col("ts")).cast("long").as("n_tokens"),
+        call_function("poly_hash_array", col("ts"), lit(false)).as("hs"))
+      .select(col("doc_id"), col("n_tokens"),
+        (lit(bias) + aggregate(col("hs"), lit(0L), (acc, h) =>
+          acc + element_at(wArr, pmod(h, lit(f.toLong)).cast("int") + 1)))
+          .as("score"))
+      .withColumn("keep", col("score") >= threshold)
+  }
+
+  // ---------------------------------------------------------------
   // Deterministic stratified sampling
   // ---------------------------------------------------------------
 

@@ -302,6 +302,27 @@ object TrainingData {
     CorpusOps.spanDedupRewrite(Tables.documents(spark, dir), "doc_id", "text", k = 8)
       .orderBy("doc_id")
 
+  /** Deterministic 64-bucket integer weight table for the t45
+    * classifier fixture: w(i) = ((i·2654435761 + 7) mod 11) − 5 —
+    * pseudo-random in [−5, 5], mean ≈ 0 so document scores straddle
+    * the keep threshold and both verdicts occur at every SF. The
+    * identical list is interpolated into the oracle SQL.
+    */
+  private val ClassifierWeights: Seq[Long] =
+    (0 until 64).map(i => ((i.toLong * 2654435761L + 7L) % 11L) - 5L)
+
+  /** Hashed-feature linear classifier inference
+    * ([[CorpusOps.hashedLinearScore]], F = 64, bias 0, threshold 0):
+    * exact integer hashed-bag-of-words scoring. The oracle replays
+    * token PolyHash, the mod-F bucket lookup against the interpolated
+    * weight list, and the integer sum — candidate arithmetic, not a
+    * fixture coincidence.
+    */
+  def docClassifierScore(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.hashedLinearScore(Tables.documents(spark, dir), "doc_id", "text",
+        ClassifierWeights, bias = 0L, threshold = 0L)
+      .orderBy("doc_id")
+
   /** 50/30/20 mixture weights over the first three sources — chosen
     * so the three keep-rate regimes all occur at the fixture's 25
     * docs/source: src0 saturates (rate 1.2 → clamp to keep-all),
@@ -587,6 +608,7 @@ object TrainingData {
     "t25_kmv_sketch" -> docKmvSketch _,
     "t26_span_dedup" -> docSpanDedup _,
     "t44_span_rewrite" -> docSpanRewrite _,
+    "t45_classifier_score" -> docClassifierScore _,
     "t27_mix_sample" -> docMixSample _,
     "t28_tfidf_terms" -> docTfidf _,
     "t29_unigram_quality" -> docUnigramQuality _,
@@ -1172,6 +1194,23 @@ object TrainingData {
           |    AS new_text
           |FROM spans JOIN freq USING (sp)
           |GROUP BY spans.doc_id ORDER BY doc_id""".stripMargin,
+      "t45_classifier_score" -> {
+        val wl = ClassifierWeights.mkString("[", ", ", "]")
+        val f = ClassifierWeights.length
+        s"""WITH toks AS (
+           |  SELECT doc_id, ${TextFunctions.Sql.tokens("text")} AS ts FROM documents
+           |), scored AS (
+           |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+           |    0 + list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(ts, t -> list_extract($wl,
+           |        CAST((CASE WHEN t = '' THEN 0
+           |              ELSE ${TextFunctions.Sql.polyHash("t")} END) % $f AS INT) + 1))),
+           |      (a, b) -> a + b) AS score
+           |  FROM toks
+           |)
+           |SELECT doc_id, n_tokens, score, score >= 0 AS keep
+           |FROM scored ORDER BY doc_id""".stripMargin
+      },
       "t28_tfidf_terms" ->
         """WITH terms AS (
           |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term

@@ -259,6 +259,31 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(total == CorpusOps.chunkDocs(docs, "doc_id", "text", k, k).count())
   }
 
+  test("hashedLinearScore: differential vs driver-side PolyHash fold; both verdicts occur") {
+    val rnd = new scala.util.Random(11)
+    val docs = (0L until 80L).map { i =>
+      val words = (0 until 3 + rnd.nextInt(12))
+        .map(_ => s"tok${rnd.nextInt(40)}")
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val weights = (0 until 16).map(i => ((i.toLong * 2654435761L + 7L) % 11L) - 5L)
+    val bias = 3L
+    val got = CorpusOps.hashedLinearScore(docs, "doc_id", "text", weights, bias, 0L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    // driver-side replica: the same PolyHash per token, mod-F bucket,
+    // integer sum — any hashing/bucketing/order divergence fails here
+    val expect = docs.collect().map { r =>
+      val score = bias + r.getString(1).trim.split("\\s+").map { t =>
+        val h = graft.functions.PolyHash.eval(t)
+        weights((h % weights.length).toInt)
+      }.sum
+      r.getLong(0) -> ((score, score >= 0L))
+    }.toMap
+    assert(got == expect)
+    assert(got.values.exists(_._2) && got.values.exists(!_._2),
+      "fixture must produce both keep verdicts")
+  }
+
   test("tfidfTopTerms: hand-computed scores, rank order, term tie-break") {
     // N = 3. df: a->3, b->2, z->1, q->1
     // doc1 "a a b":  a tf2 score 2*3/3=2.0, b tf1 score 1*3/2=1.5

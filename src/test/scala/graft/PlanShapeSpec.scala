@@ -139,6 +139,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"unexpected shuffle keys $keys:\n${plan.take(1200)}")
   }
 
+  test("t45: hashed linear classifier is map-only — no Exchange anywhere") {
+    val plan = planOf(operators.CorpusOps.hashedLinearScore(
+      Tables.documents(spark, dir), "doc_id", "text",
+      (0 until 64).map(i => ((i.toLong * 2654435761L + 7L) % 11L) - 5L), 0L, 0L))
+    // the model is a literal array and the score a per-row fold — a
+    // shuffle or join here means the inference degraded to a
+    // weight-table join
+    assert(!plan.contains("Exchange"),
+      "classifier inference shuffled — must stay a single map-only pass")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("dedup family joins on compact keys, never full documents") {
     // the jaccard inverted-index join must join on the 8-byte shingle
     // fingerprint, not the shingle string
