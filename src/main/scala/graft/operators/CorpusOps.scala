@@ -963,4 +963,76 @@ object CorpusOps {
         .otherwise(lit("train")).as("split"),
       h.as("shuffle_key"))
   }
+
+  // ---------------------------------------------------------------
+  // Hashed importance reweighting (DSIR-style)
+  // ---------------------------------------------------------------
+
+  /** Importance reweighting over hashed bigram features — the DSIR
+    * recipe (Xie et al., "Data Selection for Language Models via
+    * Importance Resampling", NeurIPS 2023): estimate a target and a
+    * raw feature distribution over hashed n-grams, score every
+    * document by how target-like its features are, and keep the
+    * documents that lean target. Published DSIR scores with float
+    * log-likelihood ratios; this implementation uses add-1-smoothed
+    * SCALED INTEGER ratios — w(b) = ((cnt_target(b)+1)·scale) div
+    * (cnt_raw(b)+1) — so every per-bucket weight, per-document mass,
+    * and the final verdict are exact BIGINT arithmetic the DuckDB
+    * oracle replays bit-for-bit (the same quantization contract as
+    * the t45 classifier and the PQ/BM25 scaled-long paths; ranking is
+    * preserved because x ↦ x·scale div y is monotone in x/y).
+    *
+    * Per document: `n_grams` bigrams, `ratio_mass` = Σ w(bucket of
+    * gram), `avg_w` = ratio_mass div n_grams, and `keep` = avg_w ≥
+    * the corpus-wide mean gram weight (docs at least as target-like
+    * as the average occurrence). Documents with < 2 tokens carry
+    * n_grams = 0, avg_w = 0, keep = false.
+    *
+    * Scale shape: bigrams come from the fused [[graft.functions.NGrams]]
+    * + [[graft.functions.PolyHashArray]] codegen pass (no per-gram
+    * string churn off the scan); the bucket-count shuffle is map-side
+    * combinable down to ≤ `buckets` rows per partition; the weight
+    * table (≤ `buckets` rows of two longs) BROADCASTS back onto the
+    * gram stream; the per-doc reduce is map-side combinable; and the
+    * corpus mean is a 1-row broadcast. Nothing corpus-sized shuffles
+    * except the (doc_id, bucket-weight) partial sums — at 100 TB this
+    * is two scans and two skinny aggregations, the same shape as t29.
+    */
+  def importanceReweight(docs: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, buckets: Int = 1024,
+      scale: Long = 1048576L): DataFrame = {
+    require(buckets > 0, "need at least one feature bucket")
+    GraftFunctions.register(docs.sparkSession)
+    val grams = docs.select(col(idCol).as("doc_id"),
+        targetPred.as("is_target"),
+        explode(call_function("poly_hash_array",
+          multisetGrams(TextFunctions.tokens(col(textCol)), 2),
+          lit(false))).as("h"))
+      .select(col("doc_id"), col("is_target"),
+        pmod(col("h"), lit(buckets.toLong)).as("b"))
+    // barrier: the gram stream feeds both the bucket histogram and
+    // the per-doc mass join; without it the tokenize+hash lineage
+    // re-runs per consumer (the Dedup.sigBands hazard)
+    val g = Dedup.barrier(grams, col("doc_id"))
+    val weights = g.groupBy("b")
+      .agg(sum(when(col("is_target"), 1L).otherwise(0L)).as("cnt_t"),
+        count(lit(1)).as("cnt_r"))
+      .select(col("b"),
+        expr(s"(cnt_t + 1) * ${scale}L div (cnt_r + 1)").as("w"),
+        col("cnt_r"))
+    val mean = weights
+      .agg(expr("sum(w * cnt_r) div sum(cnt_r)").as("mean_w"))
+    val mass = g.join(broadcast(weights.select("b", "w")), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), sum("w").as("ratio_mass"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(mass, Seq("doc_id"), "left")
+      .crossJoin(broadcast(mean))
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("ratio_mass"), lit(0L)).as("ratio_mass"),
+        coalesce(expr("ratio_mass div n_grams"), lit(0L)).as("avg_w"),
+        (coalesce(expr("ratio_mass div n_grams"), lit(0L))
+          >= col("mean_w")).as("keep"))
+  }
 }

@@ -323,6 +323,20 @@ object TrainingData {
         ClassifierWeights, bias = 0L, threshold = 0L)
       .orderBy("doc_id")
 
+  /** DSIR-style hashed importance reweighting
+    * ([[CorpusOps.importanceReweight]], 1024 buckets, scale 2^20):
+    * target = the first three sources (the same "curated slice" the
+    * mixture fixtures use). The oracle replays bigram construction,
+    * per-gram PolyHash bucketing, the add-1-smoothed integer bucket
+    * weights, per-doc mass sums, and the corpus-mean keep verdict —
+    * every step BIGINT, so the gate checks the full estimator, not a
+    * fixture coincidence.
+    */
+  def docImportanceWeight(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.importanceReweight(Tables.documents(spark, dir), "doc_id", "text",
+        col("source").isin("src0", "src1", "src2"))
+      .orderBy("doc_id")
+
   /** 50/30/20 mixture weights over the first three sources — chosen
     * so the three keep-rate regimes all occur at the fixture's 25
     * docs/source: src0 saturates (rate 1.2 → clamp to keep-all),
@@ -626,6 +640,7 @@ object TrainingData {
     "t41_proto_sample" -> docProtoSample _,
     "t42_canonical" -> docCanonical _,
     "t43_incr_sem_dedup" -> docIncrementalSemDedup _,
+    "t46_importance_weight" -> docImportanceWeight _,
   )
 
   /** Shared DuckDB CTE fragment: per-doc word-trigram shingle sets,
@@ -1211,6 +1226,37 @@ object TrainingData {
            |SELECT doc_id, n_tokens, score, score >= 0 AS keep
            |FROM scored ORDER BY doc_id""".stripMargin
       },
+      "t46_importance_weight" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, source IN ('src0', 'src1', 'src2') AS is_target,
+           |    ${TextFunctions.Sql.tokens("text")} AS ts
+           |  FROM documents
+           |), grams AS (
+           |  SELECT doc_id, is_target,
+           |    ${TextFunctions.Sql.polyHash("g")} % 1024 AS b
+           |  FROM (
+           |    SELECT doc_id, is_target, unnest(list_transform(range(1, len(ts)),
+           |      i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1])) AS g
+           |    FROM toks)
+           |), w AS (
+           |  SELECT b,
+           |    CAST((SUM(CASE WHEN is_target THEN 1 ELSE 0 END) + 1) * 1048576
+           |      // (COUNT(*) + 1) AS BIGINT) AS w,
+           |    COUNT(*) AS cnt_r
+           |  FROM grams GROUP BY b
+           |), m AS (
+           |  SELECT CAST(SUM(w * cnt_r) // SUM(cnt_r) AS BIGINT) AS mean_w FROM w
+           |), mass AS (
+           |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           |    CAST(SUM(w.w) AS BIGINT) AS ratio_mass
+           |  FROM grams JOIN w USING (b) GROUP BY doc_id
+           |)
+           |SELECT d.doc_id, COALESCE(n_grams, 0) AS n_grams,
+           |  COALESCE(ratio_mass, 0) AS ratio_mass,
+           |  COALESCE(ratio_mass // n_grams, 0) AS avg_w,
+           |  COALESCE(ratio_mass // n_grams, 0) >= m.mean_w AS keep
+           |FROM documents d LEFT JOIN mass USING (doc_id) CROSS JOIN m
+           |ORDER BY doc_id""".stripMargin,
       "t28_tfidf_terms" ->
         """WITH terms AS (
           |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
