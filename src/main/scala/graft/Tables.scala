@@ -35,17 +35,48 @@ object Tables {
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
   def events(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "events")
 
-  /** events with `ts` as a proper timestamp. Under
-    * `spark.sql.legacy.parquet.nanosAsLong` the TIMESTAMP(NANOS)
-    * column arrives as nanos-since-epoch; integer-divide to micros
-    * (plain double division would lose precision above 2^53).
+  /** events with `ts` as a proper TIMESTAMP (with local time zone —
+    * the type watermarks and time windows require; sessions all run
+    * UTC so the instant is unchanged). Normalizes whichever physical
+    * type the fixture generation produced:
+    *  - TIMESTAMP(NANOS) + `nanosAsLong` → nanos-since-epoch LONG:
+    *    integer-divide to micros (double division would lose
+    *    precision above 2^53) and rebuild the timestamp;
+    *  - TIMESTAMP(MICROS) → TIMESTAMP_NTZ: cast to LTZ;
+    *  - already LTZ: pass through.
     */
-  def eventsWithTs(spark: SparkSession, dir: String): DataFrame = {
-    val e = events(spark, dir)
+  def eventsWithTs(spark: SparkSession, dir: String): DataFrame =
+    withTsTimestamp(events(spark, dir))
+
+  /** events with `ts` as nanos-since-epoch LONG — the fixed-point
+    * representation the time-join/sessionization operators do their
+    * bucket and gap arithmetic in (exact, overflow-free to year
+    * 2262, and identical on both engines; the DuckDB oracles replay
+    * it via `epoch_us(ts) * 1000`-style arithmetic). Inverse of
+    * [[eventsWithTs]] modulo the sub-microsecond digits the µs
+    * fixtures never had.
+    */
+  def eventsNanos(spark: SparkSession, dir: String): DataFrame =
+    withTsNanos(events(spark, dir))
+
+  private def withTsTimestamp(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    if (e.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      e.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else e
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+  }
+
+  private def withTsNanos(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType => df
+      case _ => df.withColumn("ts",
+        unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

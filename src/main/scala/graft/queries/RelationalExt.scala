@@ -251,7 +251,7 @@ object RelationalExt {
     * states the same window as a plain inequality join).
     */
   def q28(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+    val ev = Tables.eventsNanos(spark, dir)
     val dayNanos = 86400L * 1000000000L
     val errors = ev.filter(col("event_type") === "error")
       .select(col("event_id"), col("user_id"), col("ts"))
@@ -282,7 +282,7 @@ object RelationalExt {
     val gapUs = 1800L * 1000000L // 30 minutes
     val w = Window.partitionBy("user_id").orderBy("tsu")
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(spark, dir)
+    Tables.eventsNanos(spark, dir)
       .select(col("user_id"), expr("ts div 1000").as("tsu"))
       .withColumn("new_s",
         when(lag(col("tsu"), 1).over(w).isNull ||

@@ -23,15 +23,22 @@ object EventStreams {
       total_value: Double, start_ts: java.sql.Timestamp, end_ts: java.sql.Timestamp)
 
   /** Open a streaming read over an events parquet directory.
-    * Timestamps arrive as TIMESTAMP(NANOS) → nanos-long under the
-    * session's nanosAsLong conf; normalize to a timestamp column.
+    * `ts` is normalized to TIMESTAMP (LTZ — the type watermarks
+    * require) from whichever physical type the fixture has:
+    * TIMESTAMP(NANOS)→nanos-long under the session's nanosAsLong
+    * conf, or TIMESTAMP(MICROS)→TIMESTAMP_NTZ.
     */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(dir).schema
     val raw = spark.readStream.schema(schema).parquet(dir)
-    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   /** Tumbling-window aggregation with a watermark: event counts and
