@@ -579,4 +579,69 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id"),
         (col("adist_scaled").cast("double") / 1e6).as("approx_dist"))
   }
+
+  // ---------------------------------------------------------------
+  // Int8 scalar quantization (SQ)
+  // ---------------------------------------------------------------
+
+  /** Embedding as round-half-up µ-scaled longs — the repo's fixed-
+    * point convention (`FLOOR(x·1e6 + 0.5)`), exact and identical on
+    * both engines for any float input.
+    */
+  private def vecScaledLong(vecCol: String): Column =
+    transform(col(vecCol),
+      x => floor(x.cast("double") * lit(1e6) + lit(0.5)).cast("long"))
+
+  /** Per-vector int8 scalar quantization: `vec_id`, the symmetric
+    * scale (`maxabs`, the µ-scaled max |component|), the int8 code
+    * array, and the total reconstruction error.
+    *
+    * SQ is the cheap tier of vector compression (4× vs float32, no
+    * codebook to train — PQ is the aggressive tier): code_j =
+    * sign(x_j) · (|µx_j|·127 div maxabs), every step integer on the
+    * µ-scaled components so the DuckDB oracle replays it bit-for-bit
+    * (division only ever sees non-negative operands — floor-vs-
+    * truncate divergence between engines cannot arise). MAP-ONLY:
+    * one row in, one row out, no shuffle at any scale.
+    */
+  def sqEncode(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol).as("vec_id"), vecScaledLong(vecCol).as("l"))
+      .withColumn("maxabs",
+        greatest(array_max(transform(col("l"), x => abs(x))), lit(1L)))
+      .withColumn("codes", expr(
+        "transform(l, x -> CASE WHEN x < 0 THEN -((-x) * 127 div maxabs) " +
+          "ELSE (x * 127) div maxabs END)"))
+      .withColumn("recon_scaled", expr(
+        "aggregate(zip_with(l, codes, (a, c) -> abs(a) - (abs(c) * maxabs div 127)), " +
+          "0L, (acc, x) -> acc + x)"))
+      .select(col("vec_id"), col("maxabs"), col("codes"),
+        (col("recon_scaled").cast("double") / 1e6).as("recon_err"))
+
+  /** SQ asymmetric top-k: rank every database vector against each
+    * full-precision query by the integer surrogate
+    * `adot = (Σ_j code_j · µq_j) · maxabs` — a monotone rescaling of
+    * the reconstructed dot product (÷127·1e12 would recover it), kept
+    * as an exact BIGINT so ranking and the gate hash are order- and
+    * engine-independent. The scan side reads only (maxabs, codes) —
+    * the SQ bargain at 100 TB: the float corpus stays at rest,
+    * queries ride a broadcast, per-query top-k is the rank-pushdown
+    * window ([[org.apache.spark.sql.execution.window.WindowGroupLimitExec]]).
+    */
+  def sqTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int): DataFrame = {
+    val enc = sqEncode(emb, idCol, vecCol)
+      .select(col("vec_id"), col("maxabs"), col("codes"))
+    val q = emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), vecScaledLong(vecCol).as("ql"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adot").desc, col("vec_id"))
+    enc.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        (expr("aggregate(zip_with(codes, ql, (c, a) -> c * a), 0L, (acc, x) -> acc + x)")
+          * col("maxabs")).as("adot"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "adot")
+  }
 }
