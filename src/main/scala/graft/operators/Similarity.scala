@@ -584,9 +584,13 @@ object Similarity {
   // Int8 scalar quantization (SQ)
   // ---------------------------------------------------------------
 
-  /** Embedding as round-half-up µ-scaled longs — the repo's fixed-
-    * point convention (`FLOOR(x·1e6 + 0.5)`), exact and identical on
-    * both engines for any float input.
+  /** Embedding as round-half-up µ-scaled longs (`FLOOR(x·1e6 + 0.5)`,
+    * the same half-up style as `Det.round2`'s `x·100 + 0.5`), exact
+    * and identical on both engines for any float input. NOTE for
+    * oracle authors: the PQ distance scalings (pqAssign
+    * `dist_scaled`, pqAdcTopK `lut_scaled`, tf-idf `part_scaled`)
+    * use plain truncating `FLOOR(x·1e6)` — copy the formula that
+    * matches the operator you are replaying.
     */
   private def vecScaledLong(vecCol: String): Column =
     transform(col(vecCol),
@@ -626,6 +630,12 @@ object Similarity {
     * the SQ bargain at 100 TB: the float corpus stays at rest,
     * queries ride a broadcast, per-query top-k is the rank-pushdown
     * window ([[org.apache.spark.sql.execution.window.WindowGroupLimitExec]]).
+    *
+    * Magnitude bound: `adot` ≈ d · 127 · (1e6·|q|∞) · (1e6·|x|∞), so
+    * BIGINT is safe while d · |q|∞ · |x|∞ < ~7e4 — i.e. components up
+    * to |x| ≈ 1e2 at d = 1024, or ~8 at d = 65536. Beyond that the
+    * scaled products overflow silently; re-scale inputs to unit norm
+    * first (embedding-model outputs already are).
     */
   def sqTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryIds: Seq[Long], k: Int): DataFrame = {

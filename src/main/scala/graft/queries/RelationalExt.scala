@@ -268,7 +268,7 @@ object RelationalExt {
     * event stream into sessions at >30 min silences. Two windows over
     * the SAME (user_id, ts) sort — Catalyst reuses one shuffle+sort —
     * then a hash aggregate per session. `ts` is raw nanos (see
-    * [[graft.Tables.eventsWithTs]]); it is truncated to MICROS first
+    * [[graft.Tables.eventsNanos]]); it is truncated to MICROS first
     * because DuckDB reads TIMESTAMP(NANOS) parquet at µs precision
     * (truncating — verified empirically), and all arithmetic stays in
     * long µs space so the oracle replays it exactly via `epoch_us`.

@@ -483,6 +483,26 @@ object TrainingData {
         PqQueryIds, k = 5, m = 8, ksub = 64)
       .orderBy("query_id", "rank")
 
+  /** Int8 scalar quantization ([[Similarity.sqEncode]]): every
+    * embedding as (symmetric scale, int8 code array, reconstruction
+    * error). Codes are stringified for the gate only (driver
+    * comparator row-sorts and cannot sort array cells, same as t32).
+    */
+  def annSqEncode(spark: SparkSession, dir: String): DataFrame =
+    Similarity.sqEncode(Tables.embeddings(spark, dir), "vec_id", "embedding")
+      .select(col("vec_id"), col("maxabs"),
+        concat_ws(",", col("codes").cast("array<string>")).as("codes"),
+        col("recon_err"))
+      .orderBy("vec_id")
+
+  /** SQ asymmetric top-5 ([[Similarity.sqTopK]]) over the same query
+    * ids the PQ tier uses — the scan side reads only int8 codes.
+    */
+  def annSqTopK(spark: SparkSession, dir: String): DataFrame =
+    Similarity.sqTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        PqQueryIds, k = 5)
+      .orderBy("query_id", "rank")
+
   /** BPE tokenizer TRAINING under the oracle gate
     * ([[CorpusOps.learnBpeMerges]], first 3 merges): the oracle
     * unrolls three full rounds — pair counting over the character
@@ -641,6 +661,8 @@ object TrainingData {
     "t42_canonical" -> docCanonical _,
     "t43_incr_sem_dedup" -> docIncrementalSemDedup _,
     "t46_importance_weight" -> docImportanceWeight _,
+    "t47_sq_encode" -> annSqEncode _,
+    "t48_sq_topk" -> annSqTopK _,
   )
 
   /** Shared DuckDB CTE fragment: per-doc word-trigram shingle sets,
@@ -839,6 +861,32 @@ object TrainingData {
   private def l2sqSql(x: String, c: String, dsub: Int): String =
     s"((${dotSubSql(x, x, dsub)} - (2.0 * ${dotSubSql(x, c, dsub)})) + " +
       s"${dotSubSql(c, c, dsub)})"
+
+  /** Shared SQ replay ([[graft.operators.Similarity.sqEncode]]):
+    * embeddings as round-half-up µ-scaled longs (`sq0.l`), the
+    * symmetric scale (`sqm.maxabs`, >= 1), and the int8 codes
+    * (`sqc.codes`) — every step integer with non-negative division
+    * operands, so `//` here and `div` on the Spark side agree
+    * bit-for-bit.
+    */
+  private val sqCtes: String =
+    """sq0 AS (
+      |  SELECT vec_id,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> CAST(FLOOR(x * 1000000.0 + 0.5) AS BIGINT)) AS l
+      |  FROM embeddings
+      |), sqm AS (
+      |  SELECT vec_id, l,
+      |    GREATEST(list_max(list_transform(l, x -> abs(x))),
+      |      CAST(1 AS BIGINT)) AS maxabs
+      |  FROM sq0
+      |), sqc AS (
+      |  SELECT vec_id, maxabs, l,
+      |    list_transform(l, x -> CASE WHEN x < 0
+      |      THEN -(((-x) * 127) // maxabs)
+      |      ELSE (x * 127) // maxabs END) AS codes
+      |  FROM sqm
+      |)""".stripMargin
 
   /** Shared PQ replay for an m-subspace / ksub-centroid index over
     * the 64-dim fixture embeddings (dsub = 64/m): codebook from the
@@ -1352,6 +1400,38 @@ object TrainingData {
            |  string_agg(CAST(code AS VARCHAR), ',' ORDER BY sub) AS codes,
            |  CAST(SUM(dist_scaled) AS DOUBLE) / 1000000.0 AS quant_err
            |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+      "t47_sq_encode" ->
+        s"""WITH $sqCtes
+           |SELECT vec_id, maxabs,
+           |  array_to_string(codes, ',') AS codes,
+           |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |    list_transform(range(1, len(l) + 1),
+           |      i -> abs(l[CAST(i AS INT)])
+           |        - ((abs(codes[CAST(i AS INT)]) * maxabs) // 127))),
+           |    (x, y) -> x + y) AS DOUBLE) / 1000000.0 AS recon_err
+           |FROM sqc ORDER BY vec_id""".stripMargin,
+      "t48_sq_topk" ->
+        s"""WITH $sqCtes, q AS (
+           |  SELECT vec_id AS query_id, l AS ql FROM sq0
+           |  WHERE vec_id IN (0, 7, 42)
+           |), s0 AS (
+           |  SELECT q.query_id, c.vec_id, c.codes, q.ql, c.maxabs
+           |  FROM sqc c, q WHERE q.query_id <> c.vec_id
+           |), s AS (
+           |  SELECT query_id, vec_id,
+           |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(range(1, len(codes) + 1),
+           |        i -> codes[CAST(i AS INT)] * ql[CAST(i AS INT)])),
+           |      (x, y) -> x + y) AS BIGINT) * maxabs AS adot
+           |  FROM s0
+           |), r AS (
+           |  SELECT query_id, vec_id, adot,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY adot DESC, vec_id) AS BIGINT) AS rank
+           |  FROM s
+           |)
+           |SELECT query_id, rank, vec_id, adot FROM r
+           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
       "t34_bpe_train" -> bpeTrainOracleSql,
       "t38_incremental_dedup" -> incrementalDedupOracleSql(64, 16, 0.5),
       "t37_quality_prune" ->
