@@ -32,7 +32,7 @@ object Similarity {
     * dot/(na·nb) keeps the exact oracle arithmetic (the norms are the
     * same sqrt-of-self-dot values, just not recomputed per pair).
     */
-  private def withNorm(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+  private[graft] def withNorm(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
     val e = transform(col(vecCol), x => x.cast("double"))
     emb.select(col(idCol).as("id"), e.as("e"), norm(e).as("n"))
@@ -158,10 +158,10 @@ object Similarity {
     * similarity-search row; structure follows the published IVF-flat
     * design — coarse quantizer, inverted lists, probe-limited search).
     *
-    * - **Coarse quantizer**: `nlist` centroids, here a deterministic
-    *   sample (the `nlist` smallest ids) so the oracle can replay
-    *   centroid choice exactly; a production deployment would plug
-    *   k-means centroids into the same plan.
+    * - **Coarse quantizer**: `nlist` centroids — here the
+    *   deterministic smallest-id sample; [[ivfTopKAuto]] plugs the
+    *   Lloyd-trained [[trainedCentroids]] into the identical search
+    *   plan (both oracle-replayable).
     * - **Assignment**: every vector joins the broadcast centroid
     *   table (broadcast nested-loop, map-side — no shuffle of the
     *   big side) and keeps its `nprobe` best centroids via
@@ -186,6 +186,16 @@ object Similarity {
     val v = withNorm(emb, idCol, vecCol)
     val c = v.orderBy("id").limit(nlist)
       .select(col("id").as("cid"), col("e").as("ce"), col("n").as("cn"))
+    ivfSearch(v, c, k, nprobe)
+  }
+
+  /** Probe-limited IVF search of `v` against the coarse quantizer
+    * `c` (cid, ce, cn) — the assignment/lists/probes/re-rank body
+    * shared by [[ivfTopK]] (smallest-id quantizer, fixed nlist) and
+    * [[ivfTopKAuto]] (Lloyd-trained, adaptive nlist).
+    */
+  private[graft] def ivfSearch(v: DataFrame, c: DataFrame, k: Int,
+      nprobe: Int): DataFrame = {
     // negated score so ascending struct sort = (cosine desc, cid asc)
     val scored = v.join(broadcast(c))
       .select(col("id"),
@@ -229,13 +239,15 @@ object Similarity {
     * data scan), and the same formula is replayed in the DuckDB
     * oracle via a COUNT(*) window, so the adaptive index is still
     * gated end-to-end. Measured at sf1 (20k vectors): nlist 141 vs
-    * the fixed 16 cuts the probe-join candidate volume ~9x.
+    * the fixed 16 cuts the probe-join candidate volume ~9x. The
+    * quantizer is [[trainedCentroids]] (Lloyd from the smallest-id
+    * seeds), so inverted-list occupancy tracks the data distribution
+    * instead of id-order luck.
     */
   def ivfTopKAuto(emb: DataFrame, idCol: String, vecCol: String, k: Int,
       minNlist: Int = 16, nprobe: Int = 2): DataFrame = {
-    val n = emb.count()
-    val nlist = math.max(minNlist, math.floor(math.sqrt(n.toDouble)).toInt)
-    ivfTopK(emb, idCol, vecCol, k, nlist, nprobe)
+    val v = withNorm(emb, idCol, vecCol)
+    ivfSearch(v, trainedCentroids(v, minNlist), k, nprobe)
   }
 
   /** Embedding near-duplicate pairs: cosine >= threshold, id_a < id_b.
@@ -280,10 +292,11 @@ object Similarity {
     * a text-level dedup (exact/MinHash) cannot see, published for
     * web-scale corpus pruning (Abbas et al., "SemDeDup", 2023).
     *
-    * Contract (fully oracle-replayable): centroids are the `nlist`
-    * smallest ids with nlist = max(minNlist, floor(sqrt(n))) — the
-    * same adaptive ladder as [[ivfTopKAuto]], replayed in SQL via a
-    * COUNT(*) window; each vector belongs to its best centroid
+    * Contract (fully oracle-replayable): centroids are
+    * [[trainedCentroids]] — [[LloydIters]] Lloyd rounds from the
+    * `nlist` smallest-id seeds with nlist = max(minNlist,
+    * floor(sqrt(n))), the same adaptive ladder as [[ivfTopKAuto]],
+    * every round replayed in SQL; each vector belongs to its best centroid
     * (cosine desc, cid asc); a vector is dropped iff some
     * SMALLER-id member of its cluster has cosine >= `threshold` with
     * it (one-shot greedy-by-id — deterministic, one pass, no
@@ -304,13 +317,63 @@ object Similarity {
     */
   /** The nlist = max(minNlist, floor(sqrt(n))) smallest-id coarse
     * centroids of a [[withNorm]] relation — [[ivfTopKAuto]]'s
-    * adaptive ladder, replayable via a COUNT(*) window.
+    * adaptive ladder, replayable via a COUNT(*) window. These are
+    * the Lloyd SEEDS; [[trainedCentroids]] is what the semantic
+    * family actually clusters against.
     */
   private def centroids(v: DataFrame, minNlist: Int): DataFrame = {
     val n = v.count()
     val nlist = math.max(minNlist, math.floor(math.sqrt(n.toDouble)).toInt)
     v.orderBy("id").limit(nlist)
       .select(col("id").as("cid"), col("e").as("ce"), col("n").as("cn"))
+  }
+
+  /** Lloyd rounds per [[trainedCentroids]] call — fixed (not a knob)
+    * because every consumer's DuckDB oracle unrolls exactly this many
+    * assignment→mean rounds.
+    */
+  private[operators] val LloydIters = 2
+
+  /** [[LloydIters]] broadcast Lloyd (k-means) iterations from the
+    * [[centroids]] seeds — the trained coarse quantizer the SemDeDup /
+    * prototype / incremental-semantic / IVF family clusters against
+    * (vs the data-independent smallest-id sample, which leaves
+    * cluster quality to id-order luck on skewed distributions).
+    *
+    * Oracle-exact by construction: cosine is scale-invariant, so the
+    * per-cluster element-wise SUM of the µ-scaled-long vectors
+    * (`FLOOR(x·1e6 + 0.5)`, exact integers, order-independent
+    * addition) serves as the trained centroid direction — no mean
+    * division, no float accumulation, and DuckDB replays every round
+    * bit-for-bit. Component sums stay double-exact below 2^53, i.e.
+    * clusters of up to ~10^9 unit-scale µ-vectors — comfortably above
+    * the ~√n cluster occupancy at any plausible corpus.
+    *
+    * Scale shape per round: one broadcast of nlist centroids, the
+    * [[assignTo]] skinny argmin (map-side combine), then a (cid, pos)
+    * partial-sum aggregate whose exchange carries nlist·d rows — the
+    * same two-phase shape as [[pqEncode]]'s regroup. Each round's
+    * nlist-row result is localCheckpoint'd so downstream consumers
+    * embed a tiny scan, not the whole training lineage. Clusters that
+    * lose every member drop out (their seed cid simply stops
+    * existing), identically on both engines.
+    */
+  private[graft] def trainedCentroids(v: DataFrame, minNlist: Int): DataFrame = {
+    var c = centroids(v, minNlist)
+    for (_ <- 1 to LloydIters) {
+      val sums = assignTo(v, c).select("id", "cid")
+        .join(v, "id")
+        .select(col("cid"), posexplode(transform(col("e"),
+          x => floor(x * lit(1e6) + lit(0.5)).cast("long"))))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum("col").as("s"))
+        .groupBy("cid")
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("s")))),
+          x => x("s").cast("double")).as("ce"))
+      c = sums.select(col("cid"), col("ce"), norm(col("ce")).as("cn"))
+        .localCheckpoint()
+    }
+    c
   }
 
   /** Rank-1 assignment of `v` to the broadcast centroid relation `c`
@@ -334,7 +397,7 @@ object Similarity {
         (-col("best")("negcs")).as("cs"))
 
   private def assignClusters(v: DataFrame, minNlist: Int): DataFrame =
-    assignTo(v, centroids(v, minNlist))
+    assignTo(v, trainedCentroids(v, minNlist))
 
   def semDedup(emb: DataFrame, idCol: String, vecCol: String,
       minNlist: Int = 16, threshold: Double = 0.3): DataFrame = {
@@ -394,8 +457,9 @@ object Similarity {
     * [[Dedup.incrementalDedup]] (snapshot pipelines re-crawl and ask
     * "which of these are semantically already in the corpus?").
     *
-    * Contract: centroids are learned from the INDEX ([[centroids]]'s
-    * adaptive ladder on the index's count); both sides take rank-1
+    * Contract: centroids are learned from the INDEX
+    * ([[trainedCentroids]]'s Lloyd rounds over the adaptive ladder on
+    * the index's count); both sides take rank-1
     * assignments to those shared centroids; a batch vector is `dup`
     * iff some index member of its cluster reaches cosine >=
     * `threshold`, with `match_id` the smallest such index id and
@@ -424,11 +488,11 @@ object Similarity {
     // join, the disposition base) — materialize it once; it is the
     // SMALL side by contract
     val vb = withNorm(batch, idCol, vecCol).localCheckpoint()
-    // materialize the nlist-row centroid relation ONCE: its lineage
-    // (a scan + sort over the whole index) would otherwise be
-    // embedded in BOTH member checkpoints — and in the streaming
-    // face, re-run per micro-batch
-    val c = centroids(vi, minNlist).localCheckpoint()
+    // trainedCentroids checkpoints its final round, so the training
+    // lineage (seed scan + Lloyd assignments over the whole index) is
+    // never embedded in the member checkpoints — nor re-run per
+    // micro-batch in the streaming face
+    val c = trainedCentroids(vi, minNlist)
     def members(v: DataFrame): DataFrame = Dedup.barrier(
       assignTo(v, c).select("id", "cid").join(v, "id"),
       col("cid")).localCheckpoint()

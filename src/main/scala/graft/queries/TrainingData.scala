@@ -850,6 +850,51 @@ object TrainingData {
   private def cosSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
+  /** Lloyd-training replay
+    * ([[graft.operators.Similarity.trainedCentroids]]): seeds `lc0`
+    * are the adaptive-ladder smallest ids of `src` (vec_id, e); each
+    * round r is a rank-1 assignment (`la$r`, cosine desc / cid asc),
+    * per-(cluster, dim) exact integer sums of the µ-scaled-long
+    * vectors (`ls$r` — order-independent, so DuckDB and Spark agree
+    * bit-for-bit), and the summed direction vectors as the next
+    * centroids (`lc$r` — cosine is scale-invariant, so no mean
+    * division ever happens). Final relation: `lc2` (cid, ce), 2 =
+    * `Similarity.LloydIters`.
+    */
+  private def lloydCtes(src: String, minNlist: Int): String = {
+    val base =
+      s"""lsl AS (
+         |  SELECT vec_id, list_transform(e,
+         |    x -> CAST(FLOOR(x * 1000000.0 + 0.5) AS BIGINT)) AS l
+         |  FROM $src
+         |), lc0 AS (
+         |  SELECT vec_id AS cid, e AS ce FROM (
+         |    SELECT vec_id, e, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn,
+         |           COUNT(*) OVER () AS nn
+         |    FROM $src) s
+         |  WHERE rn <= greatest($minNlist, CAST(floor(sqrt(nn)) AS BIGINT))
+         |)""".stripMargin
+    val rounds = (1 to 2).map { r =>
+      s"""la$r AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT w.vec_id, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY w.vec_id
+         |        ORDER BY ${cosSql("w.e", "c.ce")} DESC, c.cid) AS pr
+         |    FROM $src w, lc${r - 1} c) x
+         |  WHERE pr = 1
+         |), ls$r AS (
+         |  SELECT a.cid, t.i, CAST(SUM(sl.l[CAST(t.i AS INT)]) AS BIGINT) AS s
+         |  FROM la$r a JOIN lsl sl USING (vec_id) CROSS JOIN range(1, 65) t(i)
+         |  GROUP BY a.cid, t.i
+         |), lc$r AS (
+         |  SELECT cid, list_transform(list(s ORDER BY i),
+         |    x -> CAST(x AS DOUBLE)) AS ce
+         |  FROM ls$r GROUP BY cid
+         |)""".stripMargin
+    }
+    (base +: rounds).mkString(", ")
+  }
+
   /** dsub-dim (one PQ subspace) left-to-right dot fold. */
   private def dotSubSql(a: String, b: String, dsub: Int): String =
     s"""list_reduce(list_transform(range(1, ${dsub + 1}), i ->
@@ -928,7 +973,8 @@ object TrainingData {
   /** Full index-build + search replay for the IVF path
     * ([[graft.operators.Similarity.ivfTopKAuto]]): adaptive index
     * size nlist = max(minNlist, floor(sqrt(n))) via a COUNT(*)
-    * window, sampled centroids (nlist smallest ids), argmax-cosine
+    * window, Lloyd-trained centroids ([[lloydCtes]] from the
+    * smallest-id seeds), argmax-cosine
     * assignment with the same (cosine desc, cid asc) tie-break,
     * nprobe probe lists, exact re-rank. Gates candidate generation
     * itself — including the data-dependent sizing — not just the
@@ -937,14 +983,9 @@ object TrainingData {
   private def ivfOracleSql(minNlist: Int, nprobe: Int, k: Int): String =
     s"""WITH v AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-       |), c AS (
-       |  SELECT vec_id AS cid, e AS ce FROM (
-       |    SELECT vec_id, e, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn,
-       |           COUNT(*) OVER () AS nn
-       |    FROM v) s
-       |  WHERE rn <= greatest($minNlist, CAST(floor(sqrt(nn)) AS BIGINT))
-       |), asg AS (
-       |  SELECT v.vec_id, c.cid, ${cosSql("v.e", "c.ce")} AS cs FROM v, c
+       |), ${lloydCtes("v", minNlist)}, asg AS (
+       |  SELECT v.vec_id, c.cid, ${cosSql("v.e", "c.ce")} AS cs
+       |  FROM v, lc2 c
        |), asgr AS (
        |  SELECT vec_id, cid,
        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS pr
@@ -1587,14 +1628,9 @@ object TrainingData {
       "t40_sem_dedup" ->
         s"""WITH v AS (
            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-           |), c AS (
-           |  SELECT vec_id AS cid, e AS ce FROM (
-           |    SELECT vec_id, e, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn,
-           |           COUNT(*) OVER () AS nn
-           |    FROM v) s
-           |  WHERE rn <= greatest(16, CAST(floor(sqrt(nn)) AS BIGINT))
-           |), asg AS (
-           |  SELECT v.vec_id, c.cid, ${cosSql("v.e", "c.ce")} AS cs FROM v, c
+           |), ${lloydCtes("v", 16)}, asg AS (
+           |  SELECT v.vec_id, c.cid, ${cosSql("v.e", "c.ce")} AS cs
+           |  FROM v, lc2 c
            |), asgr AS (
            |  SELECT vec_id, cid,
            |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS pr
@@ -1613,14 +1649,9 @@ object TrainingData {
       "t41_proto_sample" ->
         s"""WITH v AS (
            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-           |), c AS (
-           |  SELECT vec_id AS cid, e AS ce FROM (
-           |    SELECT vec_id, e, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn,
-           |           COUNT(*) OVER () AS nn
-           |    FROM v) s
-           |  WHERE rn <= greatest(16, CAST(floor(sqrt(nn)) AS BIGINT))
-           |), asg AS (
-           |  SELECT v.vec_id, c.cid, ${cosSql("v.e", "c.ce")} AS cs FROM v, c
+           |), ${lloydCtes("v", 16)}, asg AS (
+           |  SELECT v.vec_id, c.cid, ${cosSql("v.e", "c.ce")} AS cs
+           |  FROM v, lc2 c
            |), m AS (
            |  SELECT vec_id, cid, cs FROM (
            |    SELECT vec_id, cid, cs,
@@ -1647,25 +1678,19 @@ object TrainingData {
            |  SELECT v.vec_id, v.e FROM v, params WHERE vec_id < split
            |), vb AS (
            |  SELECT v.vec_id, v.e FROM v, params WHERE vec_id >= split
-           |), c AS (
-           |  SELECT vec_id AS cid, e AS ce FROM (
-           |    SELECT vec_id, e, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn,
-           |           COUNT(*) OVER () AS nn
-           |    FROM vi) s
-           |  WHERE rn <= greatest(16, CAST(floor(sqrt(nn)) AS BIGINT))
-           |), mi AS (
+           |), ${lloydCtes("vi", 16)}, mi AS (
            |  SELECT vec_id, cid, e FROM (
            |    SELECT vi.vec_id, c.cid, vi.e,
            |      ROW_NUMBER() OVER (PARTITION BY vi.vec_id
            |        ORDER BY ${cosSql("vi.e", "c.ce")} DESC, c.cid) AS pr
-           |    FROM vi, c) a
+           |    FROM vi, lc2 c) a
            |  WHERE pr = 1
            |), mb AS (
            |  SELECT vec_id, cid, e FROM (
            |    SELECT vb.vec_id, c.cid, vb.e,
            |      ROW_NUMBER() OVER (PARTITION BY vb.vec_id
            |        ORDER BY ${cosSql("vb.e", "c.ce")} DESC, c.cid) AS pr
-           |    FROM vb, c) a
+           |    FROM vb, lc2 c) a
            |  WHERE pr = 1
            |), p AS (
            |  SELECT mb.vec_id AS batch_id, mi.vec_id AS idx_id,

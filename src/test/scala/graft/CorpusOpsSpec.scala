@@ -113,13 +113,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(packed.forall(r => r.getLong(1) == r.getLong(0) % 4))
   }
 
-  test("ivfTopKAuto sizes the index as max(minNlist, floor(sqrt(n)))") {
+  test("ivfTopKAuto sizes the index as max(minNlist, floor(sqrt(n))) " +
+      "and searches the Lloyd-trained quantizer") {
+    import org.apache.spark.sql.functions.col
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val n = emb.count()
     val expectNlist = math.max(16, math.floor(math.sqrt(n.toDouble)).toInt)
+    val v = Similarity.withNorm(emb, "vec_id", "embedding")
+    val c = Similarity.trainedCentroids(v, 16)
+    // cluster ids descend from the adaptive-ladder seeds (the
+    // expectNlist smallest ids); training may only drop empty ones
+    val nc = c.count()
+    assert(nc <= expectNlist && nc > expectNlist / 2,
+      s"trained quantizer size $nc vs ladder $expectNlist")
+    assert(c.filter(col("cid") >= expectNlist).count() == 0,
+      "every trained cid must be a ladder seed id")
+    // auto ≡ the shared search body over that trained quantizer
     val auto = Similarity.ivfTopKAuto(emb, "vec_id", "embedding", k = 3)
-    val explicit = Similarity.ivfTopK(emb, "vec_id", "embedding", k = 3,
-      nlist = expectNlist, nprobe = 2)
+    val explicit = Similarity.ivfSearch(v, c, k = 3, nprobe = 2)
     assert(auto.exceptAll(explicit).count() == 0 &&
       explicit.exceptAll(auto).count() == 0)
   }

@@ -210,6 +210,41 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(ivf.groupBy("vec_id").count().filter(col("count") =!= 3).count() == 0)
   }
 
+  /** Local replay of [[Similarity.trainedCentroids]]: 2 Lloyd rounds
+    * from the smallest-id adaptive-ladder seeds; each trained
+    * centroid is the exact per-cluster sum of the µ-scaled-long
+    * components (cosine is scale-invariant, so the sum IS the
+    * direction — no mean division, no float accumulation).
+    */
+  private def lloydCents(vecs: Seq[(Long, Array[Double])],
+      minNlist: Int): Seq[(Long, Array[Double])] = {
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val sorted = vecs.sortBy(_._1)
+    val nlist = math.max(minNlist,
+      math.floor(math.sqrt(vecs.length.toDouble)).toInt)
+    var cents = sorted.take(nlist)
+    for (_ <- 1 to 2) {
+      val assigned = sorted.map { case (_, e) =>
+        (cents.map { case (c, ce) => (-cos(e, ce), c) }.min._2, e)
+      }
+      cents = assigned.groupBy(_._1).toSeq.sortBy(_._1).map { case (cid, ms) =>
+        val d = ms.head._2.length
+        val sums = new Array[Long](d)
+        ms.foreach { case (_, e) =>
+          var j = 0
+          while (j < d) { sums(j) += math.floor(e(j) * 1e6 + 0.5).toLong; j += 1 }
+        }
+        (cid, sums.map(_.toDouble))
+      }
+    }
+    cents
+  }
+
   test("t40 semantic dedup matches a direct recomputation") {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, dir)
@@ -228,8 +263,7 @@ class TrainingDataSpec extends AnyFunSuite {
     }
     def cos(a: Array[Double], b: Array[Double]): Double =
       dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
-    val nlist = math.max(16, math.floor(math.sqrt(vecs.length.toDouble)).toInt)
-    val cents = vecs.take(nlist)
+    val cents = lloydCents(vecs.toSeq, 16)
     val assign = vecs.map { case (id, e) =>
       val best = cents.map { case (cid, ce) => (-cos(e, ce), cid) }.min._2
       (id, best, e)
@@ -279,8 +313,7 @@ class TrainingDataSpec extends AnyFunSuite {
     }
     def cos(a: Array[Double], b: Array[Double]): Double =
       dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
-    val nlist = math.max(16, math.floor(math.sqrt(vecs.length.toDouble)).toInt)
-    val cents = vecs.take(nlist)
+    val cents = lloydCents(vecs.toSeq, 16)
     val assign = vecs.map { case (id, e) =>
       val (negcs, cid) = cents.map { case (c, ce) => (-cos(e, ce), c) }.min
       (id, cid, -negcs)
@@ -333,8 +366,7 @@ class TrainingDataSpec extends AnyFunSuite {
     def cos(a: Array[Double], b: Array[Double]): Double =
       dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
     val vecs = rows.map { case (id, v) => (id, v.map(_.toDouble)) }
-    val nlist = math.max(16, math.floor(math.sqrt(vecs.length.toDouble)).toInt)
-    val cents = vecs.take(nlist)
+    val cents = lloydCents(vecs, 16)
     val assign = vecs.map { case (id, e) =>
       val (negcs, cid) = cents.map { case (c, ce) => (-cos(e, ce), c) }.min
       (id, cid, -negcs)
@@ -459,8 +491,7 @@ class TrainingDataSpec extends AnyFunSuite {
     def cos(a: Array[Double], b: Array[Double]): Double =
       dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
     val (idx, batch) = vecs.partition(_._1 < split)
-    val nlist = math.max(16, math.floor(math.sqrt(idx.length.toDouble)).toInt)
-    val cents = idx.take(nlist)
+    val cents = lloydCents(idx.toSeq, 16)
     def assign(vs: Array[(Long, Array[Double])]) = vs.map { case (id, e) =>
       (id, cents.map { case (c, ce) => (-cos(e, ce), c) }.min._2, e)
     }
