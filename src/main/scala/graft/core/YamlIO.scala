@@ -1,11 +1,15 @@
 package graft.core
 
+import java.io.{StringReader, StringWriter}
 import java.nio.file.{Files, Path, StandardCopyOption}
 
 import scala.collection.immutable.ListMap
 import scala.jdk.CollectionConverters._
 
-import org.yaml.snakeyaml.{DumperOptions, Yaml}
+import org.yaml.snakeyaml.{DumperOptions, LoaderOptions, Yaml}
+import org.yaml.snakeyaml.constructor.Constructor
+import org.yaml.snakeyaml.nodes.{MappingNode, Node, NodeTuple, ScalarNode, SequenceNode}
+import org.yaml.snakeyaml.representer.Representer
 
 /** Round-trip YAML I/O for schema files (A31/A32;
   * core/schema/reader.py, writer.py): managed sections
@@ -16,18 +20,32 @@ import org.yaml.snakeyaml.{DumperOptions, Yaml}
   * (temp file + size validation + ATOMIC_MOVE), reads go through an
   * LRU(256) buffer cache with dirty pinning.
   *
-  * Divergence from the reference (documented, SURVEY §7 risk 1):
-  * in-section comments/anchors are not preserved — snakeyaml has no
-  * round-trip mode; unmanaged keys pass through structurally.
+  * Comment preservation (the reference gets this from ruamel's
+  * round-trip mode, core/schema/parser.py:15-22): [[read]] keeps the
+  * comment-bearing composed `Node` tree beside the plain-map doc, and
+  * [[write]] grafts those comments onto the freshly-dumped tree —
+  * keys matched by name, list items matched by their `name:` field
+  * (by index for nameless lists) — before serializing with
+  * `processComments`. Comments therefore survive edits anywhere in
+  * the file, managed sections included, as long as their anchor node
+  * survives; comments on deleted nodes are dropped, exactly like
+  * ruamel. Anchors/aliases are still not round-tripped (snakeyaml
+  * resolves them at compose time).
   */
 object YamlIO {
 
   val ManagedKeys: Seq[String] =
     Seq("version", "models", "sources", "seeds", "unit_tests", "data_tests")
 
+  /** `source` is the comment-bearing composed node tree of the file
+    * this doc was read from (None for docs built in memory) — carried
+    * through `.copy(managed = ...)` edits so [[write]] can restore
+    * comments.
+    */
   final case class YamlDoc(
       managed: ListMap[String, Any],
-      preserved: ListMap[String, Any]) {
+      preserved: ListMap[String, Any],
+      source: Option[Node] = None) {
     def full: ListMap[String, Any] = managed ++ preserved
   }
 
@@ -44,7 +62,10 @@ object YamlIO {
     opts.setIndent(2)
     opts.setIndicatorIndent(0)
     opts.setWidth(120)
-    new Yaml(opts)
+    opts.setProcessComments(true)
+    val loader = new LoaderOptions
+    loader.setProcessComments(true)
+    new Yaml(new Constructor(loader), new Representer(opts), opts, loader)
   }
 
   private def toScala(v: Any): Any = v match {
@@ -72,9 +93,14 @@ object YamlIO {
     Option(cache.get(path)).map(_.doc).getOrElse {
       val doc =
         if (!Files.exists(path)) YamlDoc(ListMap.empty, ListMap.empty)
-        else toScala(newYaml().load[Any](Files.readString(path))) match {
-          case m: Map[_, _] => partition(m.asInstanceOf[Map[String, Any]])
-          case _ => YamlDoc(ListMap.empty, ListMap.empty)
+        else {
+          val text = Files.readString(path)
+          toScala(newYaml().load[Any](text)) match {
+            case m: Map[_, _] =>
+              partition(m.asInstanceOf[Map[String, Any]])
+                .copy(source = Option(newYaml().compose(new StringReader(text))))
+            case _ => YamlDoc(ListMap.empty, ListMap.empty)
+          }
         }
       cache.put(path, CacheEntry(doc, dirty = false))
       doc
@@ -86,13 +112,89 @@ object YamlIO {
     cache.put(path, CacheEntry(doc, dirty = true))
   }
 
-  /** Atomic write: dump managed+preserved, write to a unique temp
-    * file, validate non-empty, ATOMIC_MOVE into place
+  private def copyComments(o: Node, n: Node): Unit = {
+    if (o.getBlockComments != null) n.setBlockComments(o.getBlockComments)
+    if (o.getInLineComments != null) n.setInLineComments(o.getInLineComments)
+    if (o.getEndComments != null) n.setEndComments(o.getEndComments)
+  }
+
+  private def scalarKey(t: NodeTuple): Option[String] = t.getKeyNode match {
+    case s: ScalarNode => Some(s.getValue)
+    case _ => None
+  }
+
+  /** A mapping list item's identity: its `name:` scalar (models,
+    * sources, columns, tests-with-names all carry one).
+    */
+  private def nameOf(n: Node): Option[String] = n match {
+    case m: MappingNode => m.getValue.asScala.collectFirst {
+      case t if scalarKey(t).contains("name") => t.getValueNode match {
+        case s: ScalarNode => s.getValue
+        case _ => ""
+      }
+    }
+    case _ => None
+  }
+
+  /** Graft comments from the originally-composed tree onto the
+    * freshly-dumped one: mapping entries match by scalar key, list
+    * items by `name:` when any item has one (so reordering keeps
+    * comments with their item) else by index; comments whose anchor
+    * node was deleted are dropped.
+    */
+  private def graftComments(o: Node, n: Node): Unit = {
+    copyComments(o, n)
+    (o, n) match {
+      case (om: MappingNode, nm: MappingNode) =>
+        val byKey = om.getValue.asScala
+          .flatMap(t => scalarKey(t).map(_ -> t)).toMap
+        nm.getValue.asScala.foreach { nt =>
+          scalarKey(nt).flatMap(byKey.get).foreach { ot =>
+            copyComments(ot.getKeyNode, nt.getKeyNode)
+            graftComments(ot.getValueNode, nt.getValueNode)
+          }
+        }
+      case (os: SequenceNode, ns: SequenceNode) =>
+        val oldItems = os.getValue.asScala.toSeq
+        val newItems = ns.getValue.asScala.toSeq
+        val oldNames = oldItems.map(nameOf)
+        if (oldNames.exists(_.isDefined)) {
+          val byName = oldItems.zip(oldNames)
+            .collect { case (it, Some(nm0)) => nm0 -> it }.toMap
+          newItems.foreach { ni =>
+            nameOf(ni).flatMap(byName.get).foreach(graftComments(_, ni))
+          }
+        } else oldItems.zip(newItems).foreach {
+          case (oi, ni) => graftComments(oi, ni)
+        }
+      case _ => ()
+    }
+  }
+
+  /** Dump with comments restored from `doc.source` (plain dump when
+    * the doc never came from a file).
+    */
+  private def render(doc: YamlDoc): String = {
+    val plain = newYaml().dump(toJava(doc.full))
+    doc.source.fold(plain) { orig =>
+      val yaml = newYaml()
+      Option(yaml.compose(new StringReader(plain))).fold(plain) { fresh =>
+        graftComments(orig, fresh)
+        val out = new StringWriter()
+        yaml.serialize(fresh, out)
+        out.toString
+      }
+    }
+  }
+
+  /** Atomic write: dump managed+preserved (comments grafted back from
+    * the read-time tree), write to a unique temp file, validate
+    * non-empty, ATOMIC_MOVE into place
     * (core/schema/writer.py:90-106,170-210).
     */
   def write(path: Path, doc: YamlDoc): Unit = {
     Option(path.getParent).foreach(Files.createDirectories(_))
-    val text = newYaml().dump(toJava(doc.full))
+    val text = render(doc)
     val tmp = Files.createTempFile(path.getParent, s".${path.getFileName}", ".tmp")
     try {
       Files.writeString(tmp, text)
@@ -101,7 +203,11 @@ object YamlIO {
       Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
     } finally Files.deleteIfExists(tmp)
-    cache.synchronized { cache.put(path, CacheEntry(doc, dirty = false)) }
+    // re-compose so the cached source tree matches what is on disk
+    // (comments now live at their grafted positions)
+    val written = doc.copy(source =
+      Option(newYaml().compose(new StringReader(text))))
+    cache.synchronized { cache.put(path, CacheEntry(written, dirty = false)) }
   }
 
   /** Paths of dirty (buffered, uncommitted) docs — the would-write

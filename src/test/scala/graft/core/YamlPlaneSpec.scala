@@ -125,6 +125,75 @@ class YamlPlaneSpec extends AnyFunSuite {
     assert(text.contains("Order PK"))
   }
 
+  test("comments inside managed sections survive an edit+write (A32)") {
+    val root = tmpRoot()
+    val p = root.resolve("schema.yml")
+    Files.writeString(p,
+      """# file header: owned by the data team
+        |version: 2
+        |models:
+        |  # our flagship mart
+        |  - name: orders
+        |    description: All orders  # keep in sync with the wiki
+        |    columns:
+        |      # the grain of the table
+        |      - name: order_id
+        |        description: Order PK
+        |      - name: doomed
+        |        description: about to be deleted
+        |""".stripMargin)
+    YamlIO.invalidate()
+    val doc = YamlIO.read(p)
+    // edit INSIDE the managed section: add a column, drop another
+    val models = doc.managed("models").asInstanceOf[Seq[Map[String, Any]]]
+    val m0 = models.head
+    val cols = m0("columns").asInstanceOf[Seq[Map[String, Any]]]
+      .filterNot(_("name") == "doomed") :+
+      Map[String, Any]("name" -> "amount", "description" -> "Order amount")
+    val updated = doc.copy(managed =
+      doc.managed.updated("models", Seq(m0.updated("columns", cols))))
+    YamlIO.write(p, updated)
+    val text = Files.readString(p)
+    // comments anchored to surviving nodes stay, through a real edit
+    assert(text.contains("# file header: owned by the data team"))
+    assert(text.contains("# our flagship mart"))
+    assert(text.contains("# keep in sync with the wiki"))
+    assert(text.contains("# the grain of the table"))
+    // the edit itself landed
+    assert(text.contains("amount") && !text.contains("doomed"))
+    // and the file still parses to the edited structure
+    YamlIO.invalidate()
+    val again = YamlIO.read(p)
+    val cols2 = again.managed("models").asInstanceOf[Seq[Map[String, Any]]]
+      .head("columns").asInstanceOf[Seq[Map[String, Any]]]
+    assert(cols2.map(_("name")) == Seq("order_id", "amount"))
+  }
+
+  test("comments follow a reordered list item by its name (A32)") {
+    val root = tmpRoot()
+    val p = root.resolve("schema.yml")
+    Files.writeString(p,
+      """version: 2
+        |models:
+        |  - name: alpha
+        |    description: first
+        |  # beta is the important one
+        |  - name: beta
+        |    description: second
+        |""".stripMargin)
+    YamlIO.invalidate()
+    val doc = YamlIO.read(p)
+    val models = doc.managed("models").asInstanceOf[Seq[Map[String, Any]]]
+    YamlIO.write(p, doc.copy(managed =
+      doc.managed.updated("models", models.reverse)))
+    val text = Files.readString(p)
+    val betaComment = text.linesIterator.indexWhere(
+      _.contains("# beta is the important one"))
+    val betaItem = text.linesIterator.indexWhere(_.contains("name: beta"))
+    assert(betaComment >= 0 && betaItem == betaComment + 1,
+      s"comment must ride with beta after the reorder:\n$text")
+  }
+
   test("sync merges node columns into yaml, preserving jinja docs and extra keys") {
     val root = tmpRoot()
     val p = root.resolve("orders.yml")
