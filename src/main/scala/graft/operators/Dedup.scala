@@ -359,6 +359,25 @@ object Dedup {
     cross.unionByName(intra)
   }
 
+  /** Hamming near-dup pairs over an ARBITRARY 64-bit fingerprint
+    * relation — (id_a, id_b, hamming) for every pair within
+    * `maxHamming` bits. The same pigeonhole banding + fingerprint-
+    * group compression as SimHash ([[simhashPairsFromFingerprints]]),
+    * exposed for fingerprints produced elsewhere: perceptual image
+    * hashes ([[Multimodal.imagePhash]]), audio fingerprints, any
+    * locality-preserving 64-bit code. Recall within the bound is
+    * exact (pigeonhole), candidate cost is the banded join over
+    * DISTINCT fingerprints — never all-pairs.
+    */
+  def hammingNearDups(fps: DataFrame, idCol: String, fpCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    GraftFunctions.register(fps.sparkSession)
+    val withSim = barrier(
+      fps.select(col(idCol).cast("long").as("id"), col(fpCol).cast("long").as("sim")),
+      col("id"))
+    simhashPairsFromFingerprints(withSim, maxHamming)
+  }
+
   /** SimHash near-dup pairs: (id_a, id_b, hamming) for every pair
     * within `maxHamming` bits — the banding recall is exact (see
     * [[simhashPairsFromFingerprints]]).

@@ -449,6 +449,154 @@ object Multimodal {
     }(encoder)
   }
 
+  // ---------------------------------------------------------------
+  // Perceptual hash (aHash) over decoded pixels.
+  // ---------------------------------------------------------------
+
+  /** Canvas side for the deterministic image fixture: 32×32 gray
+    * pixels = the first 1024 payload bytes (zero-padded), so both the
+    * JDK decode and the DuckDB oracle index the same byte grid.
+    */
+  val PhashCanvas = 32
+
+  /** Wrap each document's text bytes in a real 24-bit BMP (the JDK's
+    * `javax.imageio` BMP reader decodes it): a [[PhashCanvas]]²
+    * grayscale canvas where pixel (x, y) — y = 0 the TOP row — is
+    * text byte `y·W + x` (R = G = B = byte, zero beyond the text).
+    * The deterministic image fixture for the pHash oracle gate, the
+    * same role [[withWavPayload]] plays for audio. Map-only.
+    */
+  def withBmpPayload(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val encoder = ExpressionEncoder(PayloadSchema)
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          Row(r.getLong(0), buildBmp(r.getString(1).getBytes("UTF-8")))
+        }
+      }(encoder)
+  }
+
+  /** 24-bit bottom-up BMP with R=G=B=byte on a W×W canvas. W = 32
+    * keeps every row (96 B) 4-byte aligned, so no pad bytes.
+    */
+  private def buildBmp(bytes: Array[Byte]): Array[Byte] = {
+    val w = PhashCanvas
+    val rowBytes = w * 3
+    val dataSize = rowBytes * w
+    val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putInt(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(w).putShort(1).putShort(24)
+      .putInt(0).putInt(dataSize).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    var sy = w - 1 // BMP rows are stored bottom-up; logical y=0 is top
+    while (sy >= 0) {
+      var x = 0
+      while (x < w) {
+        val i = sy * w + x
+        val v: Byte = if (i < bytes.length) bytes(i) else 0
+        buf.put(v).put(v).put(v)
+        x += 1
+      }
+      sy -= 1
+    }
+    buf.array()
+  }
+
+  /** Decode to a row-major (top-down) luminance grid via
+    * `javax.imageio`. Luminance = (299r + 587g + 114b) / 1000 — on a
+    * gray image this recovers the byte exactly (299+587+114 = 1000),
+    * which is what lets the DuckDB oracle replay pixels from text.
+    */
+  def decodeGrayPixels(payload: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    if (!looksLikeImage(payload)) None
+    else try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val lum = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            lum(y * w + x) = (((rgb >> 16) & 0xff) * 299 +
+              ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, lum))
+      }
+    } catch { case _: Exception => None }
+
+  /** Average-hash over a luminance grid: nearest-neighbor sample onto
+    * an 8×8 grid (source pixel (x·w/8, y·h/8) — integer floor, the
+    * deterministic downsample [[resizeImage]] also uses), integer mean
+    * (floor; all inputs non-negative so both engines' division agree),
+    * bit i = y·8+x set iff sample STRICTLY exceeds the mean. All
+    * integer, so the oracle replays the exact 64-bit value.
+    */
+  private[graft] def aHash64(lum: Array[Int], w: Int, h: Int): Long = {
+    val g = new Array[Int](64)
+    var sum = 0L
+    var i = 0
+    while (i < 64) {
+      g(i) = lum((i / 8) * h / 8 * w + (i % 8) * w / 8)
+      sum += g(i)
+      i += 1
+    }
+    val mean = sum / 64
+    var hash = 0L
+    i = 0
+    while (i < 64) {
+      if (g(i) > mean) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
+
+  /** Schema for the perceptual-hash stage. */
+  val PhashSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("phash", LongType, nullable = false),
+    StructField("decoded", BooleanType, nullable = false)))
+
+  /** Perceptual hash per image payload: decode → 8×8 aHash → 64-bit
+    * fingerprint, [[PhashSchema]] rows. Payloads no reader recognizes
+    * fall back to aHash over the raw bytes laid out on the same
+    * [[PhashCanvas]]² grid (zero-padded) with `decoded = false` — the
+    * non-image rows keep flowing, flagged. MAP-ONLY at any scale; the
+    * downstream Hamming banding join
+    * ([[Dedup.hammingNearDups]]) is where candidate pairs form.
+    */
+  def imagePhash(withPayloads: DataFrame, idCol: String): DataFrame = {
+    val encoder = ExpressionEncoder(PhashSchema)
+    val input = withPayloads.select(col(idCol).cast("long"), col("payload"))
+    input.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](1)
+        decodeGrayPixels(payload) match {
+          case Some((w, h, lum)) =>
+            Row(r.getLong(0), aHash64(lum, w, h), true)
+          case None =>
+            val w = PhashCanvas
+            val lum = new Array[Int](w * w)
+            var i = 0
+            while (i < lum.length) {
+              lum(i) = if (i < payload.length) payload(i) & 0xff else 0
+              i += 1
+            }
+            Row(r.getLong(0), aHash64(lum, w, w), false)
+        }
+      }
+    }(encoder)
+  }
+
   /** Decode/feature-extract stage: partition-wise over the payload
     * column, emitting [[FeatureSchema]] rows. No shuffle — map-only,
     * embarrassingly parallel over the corpus.

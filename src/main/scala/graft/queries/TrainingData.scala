@@ -586,6 +586,48 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** Hamming bound for fixture pHash dedup: the banding default
+    * (4 × 16-bit chunks, same regime as t07 SimHash).
+    */
+  val PhashMaxHamming = 3
+
+  /** Perceptual image hash under the oracle gate: each document's
+    * text bytes become a REAL 24-bit BMP on a 32×32 gray canvas
+    * ([[Multimodal.withBmpPayload]]), `javax.imageio` decodes it back
+    * to pixels, and [[Multimodal.aHash64]] folds the 8×8
+    * nearest-neighbor downsample into a 64-bit average-hash. Because
+    * gray-pixel luminance recovers the byte exactly, the oracle
+    * replays the full integer pipeline — grid sample, mean, bit pack
+    * — straight from the text characters; any decode, layout, or
+    * downsample drift breaks the hash. Map-only at any scale.
+    */
+  def docImagePhash(spark: SparkSession, dir: String): DataFrame = {
+    // same single-byte gate as t35: the canvas is byte-indexed, the
+    // oracle char-indexed — identical only on ASCII text
+    val docs = Tables.documents(spark, dir)
+      .filter(octet_length(col("text")) === length(col("text")))
+    Multimodal.imagePhash(
+      Multimodal.withBmpPayload(docs, "doc_id", "text"), "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** Image-CONTENT near-dup pairs: pHash fingerprints from the real
+    * decode pipeline (t49), paired by the exact-recall Hamming
+    * banding ([[Dedup.hammingNearDups]] — the SimHash pigeonhole
+    * machinery over an arbitrary 64-bit code). The oracle recomputes
+    * every pHash from text and checks ALL pairs (quadratic is fine in
+    * the sf0.01 oracle; the operator itself never goes all-pairs).
+    */
+  def docImagePhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .filter(octet_length(col("text")) === length(col("text")))
+    val fps = Multimodal.imagePhash(
+      Multimodal.withBmpPayload(docs, "doc_id", "text"), "doc_id")
+      .filter(col("decoded"))
+    Dedup.hammingNearDups(fps, "doc_id", "phash", PhashMaxHamming)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Per-source top-25% quality pruning ([[CorpusOps.qualityPrune]]):
     * exact per-source quantile via the compressed score histogram +
     * broadcast threshold filter — no corpus sort. The oracle replays
@@ -663,6 +705,8 @@ object TrainingData {
     "t46_importance_weight" -> docImportanceWeight _,
     "t47_sq_encode" -> annSqEncode _,
     "t48_sq_topk" -> annSqTopK _,
+    "t49_image_phash" -> docImagePhash _,
+    "t50_image_phash_dedup" -> docImagePhashDedup _,
   )
 
   /** Shared DuckDB CTE fragment: per-doc word-trigram shingle sets,
@@ -914,6 +958,45 @@ object TrainingData {
     * operands, so `//` here and `div` on the Spark side agree
     * bit-for-bit.
     */
+  /** Shared DuckDB CTE fragment replaying the pHash pipeline (CTE
+    * `ph`: doc_id, phash) from text characters — the 32×32 gray
+    * canvas is text byte `y·32 + x` (zero beyond the text, ASCII
+    * gate keeps char index = byte index), the 8×8 nearest-neighbor
+    * sample reads byte `128·gy + 4·gx`, integer-floor mean, bit
+    * `gy·8 + gx` set iff sample > mean. Bit 63 cannot be built with
+    * `<< 63` (DuckDB range-checks the shift), so bits 0–62 sum as
+    * powers of two and bit 63 adds the min-BIGINT constant — the
+    * same two's-complement value `1L << 63` packs on the Spark side.
+    */
+  private val phashCtes: String =
+    """pd AS (
+      |  SELECT doc_id, text, length(text) AS len FROM documents
+      |  WHERE octet_length(encode(text)) = length(text)
+      |), pg AS (
+      |  SELECT doc_id, list_transform(range(0, 64), i ->
+      |    CASE WHEN (128 * (i // 8) + 4 * (i % 8)) < len
+      |      THEN CAST(unicode(substr(text,
+      |        CAST(128 * (i // 8) + 4 * (i % 8) + 1 AS INT), 1)) AS BIGINT)
+      |      ELSE CAST(0 AS BIGINT) END) AS g
+      |  FROM pd
+      |), pm AS (
+      |  SELECT doc_id, g,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), g), (x, y) -> x + y)
+      |      // 64 AS mean
+      |  FROM pg
+      |), ph AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(0, 63), i ->
+      |        CASE WHEN g[CAST(i + 1 AS INT)] > mean
+      |          THEN CAST(1 AS BIGINT) << CAST(i AS INT)
+      |          ELSE CAST(0 AS BIGINT) END)),
+      |      (x, y) -> x + y)
+      |    + CASE WHEN g[64] > mean THEN (-9223372036854775807 - 1)
+      |      ELSE CAST(0 AS BIGINT) END AS phash
+      |  FROM pm
+      |)""".stripMargin
+
   private val sqCtes: String =
     """sq0 AS (
       |  SELECT vec_id,
@@ -1473,6 +1556,17 @@ object TrainingData {
            |)
            |SELECT query_id, rank, vec_id, adot FROM r
            |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+      "t49_image_phash" ->
+        s"""WITH $phashCtes
+           |SELECT doc_id, phash, TRUE AS decoded FROM ph
+           |ORDER BY doc_id""".stripMargin,
+      "t50_image_phash_dedup" ->
+        s"""WITH $phashCtes
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+           |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.phash, b.phash)) <= $PhashMaxHamming
+           |ORDER BY id_a, id_b""".stripMargin,
       "t34_bpe_train" -> bpeTrainOracleSql,
       "t38_incremental_dedup" -> incrementalDedupOracleSql(64, 16, 0.5),
       "t37_quality_prune" ->

@@ -774,6 +774,57 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("t49 pHash: real BMP decode matches a direct recomputation from text") {
+    import graft.queries.TrainingData
+    // driver-side reference: the same 32x32 canvas / 8x8 aHash contract
+    def refPhash(bytes: Array[Byte]): Long = {
+      val g = Array.tabulate(64) { i =>
+        val idx = 128 * (i / 8) + 4 * (i % 8)
+        if (idx < bytes.length) bytes(idx) & 0xff else 0
+      }
+      val mean = g.map(_.toLong).sum / 64
+      g.zipWithIndex.foldLeft(0L) { case (h, (v, i)) =>
+        if (v > mean) h | (1L << i) else h
+      }
+    }
+    val text = Tables.documents(spark, dir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = TrainingData.docImagePhash(spark, dir).collect()
+    assert(rows.length == text.size)
+    rows.foreach { r =>
+      assert(r.getBoolean(r.fieldIndex("decoded")),
+        "every fixture BMP must decode through javax.imageio")
+      val bytes = text(r.getLong(r.fieldIndex("doc_id"))).getBytes("UTF-8")
+      assert(r.getLong(r.fieldIndex("phash")) == refPhash(bytes))
+    }
+  }
+
+  test("hammingNearDups: exact recall on planted fingerprints") {
+    import spark.implicits._
+    // cluster around 0L at hamming 0..4 plus a far-away fingerprint;
+    // bits chosen to straddle the 16-bit band boundaries
+    val fps = Seq(
+      (1L, 0L),
+      (2L, 0L), // identical (intra path)
+      (3L, 1L << 3), // hamming 1 from 0
+      (4L, (1L << 15) | (1L << 16) | (1L << 63)), // hamming 3, 3 bands touched
+      (5L, (1L << 1) | (1L << 17) | (1L << 33) | (1L << 49)), // hamming 4: out
+      (6L, -1L) // far from everything
+    ).toDF("doc_id", "fp")
+    val pairs = graft.operators.Dedup.hammingNearDups(fps, "doc_id", "fp", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // exhaustive expectation from the planted values
+    val vals = Map(1L -> 0L, 2L -> 0L, 3L -> (1L << 3),
+      4L -> ((1L << 15) | (1L << 16) | (1L << 63)),
+      5L -> ((1L << 1) | (1L << 17) | (1L << 33) | (1L << 49)), 6L -> -1L)
+    val want = (for {
+      a <- vals.keys; b <- vals.keys if a < b
+      h = java.lang.Long.bitCount(vals(a) ^ vals(b)) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(want.exists(_._3 == 0L) && want.exists(_._3 == 3L)) // non-vacuous
+    assert(pairs == want, s"banding must find exactly the <=3 pairs: $pairs vs $want")
+  }
+
   test("incremental dedup disposes batch docs as exact/near/new") {
     import spark.implicits._
     val index = Seq(
