@@ -32,6 +32,11 @@ final class ModelExecutor(spark: SparkSession, project: Project,
   private var manifestVar: Manifest = project.manifest
   def manifest: Manifest = manifestVar
 
+  /** The executor's session — the SQL proxy needs the SparkContext
+    * for job-group cancellation of in-flight proxy queries.
+    */
+  private[graft] def session: SparkSession = spark
+
   private lazy val tableDir: String =
     workDir.getOrElse(Files.createTempDirectory("graft_tables").toString)
 

@@ -40,12 +40,28 @@ final class SqlProxy(executor: ModelExecutor, port: Int = 0) {
 
   private val mapper = new ObjectMapper()
   private var server: HttpServer = _
+  private var pool: java.util.concurrent.ExecutorService = _
 
   /** Default row cap for /query responses when the client sends no
     * limit — a dev-proxy guard, not a semantic limit (the reference
     * CLI caps display at 50 rows, cli/main.py result table).
     */
   val DefaultLimit = 1000
+
+  /** Hard ceiling on what any /query response will collect to the
+    * proxy, whatever limit the client asks for — the driver-side
+    * guard that keeps one greedy request from OOMing the session
+    * (the distributed path for big results is a sink write, not this
+    * proxy).
+    */
+  val MaxLimit = 10000
+
+  /** Handler threads: the JDK server's default executor runs every
+    * handler on the single dispatch thread, serializing clients
+    * behind the slowest query; Spark itself schedules concurrent
+    * jobs from multiple threads fine (FIFO within the session).
+    */
+  val WorkerThreads = 8
 
   private val AlterColumnComment =
     """(?is)\s*(?:/\*.*?\*/\s*)?ALTER\s+TABLE\s+(?:([^\s.]+)\.)?([^\s.]+)\s+MODIFY\s+COLUMN\s+(\S+)\s+.*?COMMENT\s+'([^']*)'\s*;?\s*""".r
@@ -58,8 +74,11 @@ final class SqlProxy(executor: ModelExecutor, port: Int = 0) {
   def start(): SqlProxy = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/query", (ex: HttpExchange) => handleSafely(ex, handleQuery))
+    server.createContext("/cancel", (ex: HttpExchange) => handleSafely(ex, handleCancel))
     server.createContext("/schema", (ex: HttpExchange) => handleSafely(ex, handleSchema))
     server.createContext("/", (ex: HttpExchange) => handleSafely(ex, handleIndex))
+    pool = java.util.concurrent.Executors.newFixedThreadPool(WorkerThreads)
+    server.setExecutor(pool)
     server.start()
     this
   }
@@ -76,7 +95,10 @@ final class SqlProxy(executor: ModelExecutor, port: Int = 0) {
     (200, SqlProxy.WorkbenchHtml)
   }
 
-  def stop(): Unit = if (server != null) server.stop(0)
+  def stop(): Unit = {
+    if (server != null) server.stop(0)
+    if (pool != null) pool.shutdownNow()
+  }
 
   private def handleSafely(ex: HttpExchange, h: HttpExchange => (Int, String)): Unit =
     try {
@@ -123,7 +145,13 @@ final class SqlProxy(executor: ModelExecutor, port: Int = 0) {
       ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
     val sql = Option(req.get("sql")).map(_.asText()).getOrElse(
       throw new IllegalArgumentException("missing 'sql'"))
-    val limit = Option(req.get("limit")).map(_.asInt()).getOrElse(DefaultLimit)
+    val limit = math.min(MaxLimit,
+      math.max(1, Option(req.get("limit")).map(_.asInt()).getOrElse(DefaultLimit)))
+    // optional client handle for /cancel: all Spark jobs this request
+    // spawns run under a per-tag job group (interrupt-on-cancel), the
+    // standard multi-tenant cancellation hook; job groups are
+    // thread-local so pooled handlers don't cross-tag each other
+    val tag = Option(req.get("tag")).map(_.asText())
 
     val out = mapper.createObjectNode()
     val cols = out.putArray("columns")
@@ -131,12 +159,39 @@ final class SqlProxy(executor: ModelExecutor, port: Int = 0) {
     interceptComment(sql) match {
       case Some(_) => out.put("intercepted", true)
       case None =>
-        val df = executor.executeSql(sql)
-        df.columns.foreach(cols.add)
-        // the proxy serves humans/tools at dev scale: the limit bounds
-        // what crosses the driver, exactly like the reference's
-        // adapter fetch; this is NOT a distributed-result path
-        df.limit(limit).collect().foreach { row =>
+        val sc = executor.session.sparkContext
+        tag.foreach(t => sc.setJobGroup(s"proxy-$t",
+          s"sql proxy query '$t'", interruptOnCancel = true))
+        try {
+          val df = executor.executeSql(sql)
+          df.columns.foreach(cols.add)
+          // the proxy serves humans/tools at dev scale: the limit bounds
+          // what crosses the driver, exactly like the reference's
+          // adapter fetch; this is NOT a distributed-result path
+          collectRows(df, limit, rows)
+        } finally if (tag.isDefined) sc.clearJobGroup()
+    }
+    (200, out.toString)
+  }
+
+  /** Cancellation endpoint: `POST /cancel {"tag": …}` kills every
+    * in-flight Spark job the tagged /query spawned (the query's
+    * handler then returns its error response on its own connection).
+    */
+  private def handleCancel(ex: HttpExchange): (Int, String) = {
+    val req = mapper.readTree(new String(
+      ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+    val tag = Option(req.get("tag")).map(_.asText()).getOrElse(
+      throw new IllegalArgumentException("missing 'tag'"))
+    executor.session.sparkContext.cancelJobGroup(s"proxy-$tag")
+    val out = mapper.createObjectNode()
+    out.put("cancelled", tag)
+    (200, out.toString)
+  }
+
+  private def collectRows(df: org.apache.spark.sql.DataFrame, limit: Int,
+      rows: com.fasterxml.jackson.databind.node.ArrayNode): Unit = {
+    df.limit(limit).collect().foreach { row =>
           val r = rows.addArray()
           (0 until row.length).foreach { i =>
             row.get(i) match {
@@ -151,8 +206,6 @@ final class SqlProxy(executor: ModelExecutor, port: Int = 0) {
             }
           }
         }
-    }
-    (200, out.toString)
   }
 
   private[serve] def handleSchema(ex: HttpExchange): (Int, String) = {

@@ -115,6 +115,47 @@ class SqlProxySpec extends AnyFunSuite {
     assert(code == 404 && json.get("error") != null)
   }
 
+  test("concurrent queries are served in parallel by the handler pool") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val results = Await.result(Future.sequence((1 to 6).toList.map { i =>
+      Future(post("/query",
+        s"""{"sql": "SELECT COUNT(*) AS n FROM orders WHERE order_id % 7 <> $i"}"""))
+    }), 60.seconds)
+    assert(results.forall(_._1 == 200))
+    assert(results.forall(_._2.get("rows").get(0).get(0).asLong() > 0))
+  }
+
+  test("the MaxLimit guard caps /query collects whatever the client asks") {
+    val (code, json) = post("/query",
+      s"""{"sql": "SELECT id FROM range(${proxy.MaxLimit * 3})", "limit": 999999999}""")
+    assert(code == 200)
+    assert(json.get("rows").size() == proxy.MaxLimit)
+  }
+
+  test("POST /cancel kills a tagged in-flight query") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // ~10^12 products: far beyond the test timeout if left running
+    val slow = Future(post("/query",
+      """{"sql": "SELECT SUM(a.id * b.id) AS s FROM range(1000000) a CROSS JOIN range(1000000) b", "tag": "slow-1"}"""))
+    // cancel until the handler responds (covers the race where the
+    // cancel lands before the first job is submitted)
+    var done = false
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    while (!done && System.nanoTime() < deadline) {
+      val (cc, cj) = post("/cancel", """{"tag": "slow-1"}""")
+      assert(cc == 200 && cj.get("cancelled").asText() == "slow-1")
+      Thread.sleep(200)
+      done = slow.isCompleted
+    }
+    val (code, json) = Await.result(slow, 5.seconds)
+    assert(code == 400, s"cancelled query must error, got $code $json")
+    assert(json.get("error").asText().nonEmpty)
+  }
+
   test("schema endpoint serves schema -> table -> column -> type/description") {
     val (code, schema) = get("/schema")
     assert(code == 200)
