@@ -46,14 +46,73 @@ object Cli {
     merged.copy(fusionCompat = configured || project.fusionManifest)
   }
 
-  /** Shared flags of the yaml-plane commands (reference yaml_opts,
-    * cli/main.py:243-268): `--fqn <pattern>` (repeatable) scopes the
-    * candidate set, `--dry-run` computes and reports without touching
-    * disk, `--check` exits 1 when the project is (or, dry, would be)
-    * mutated.
+  /** Shared flags of the yaml-plane commands (reference yaml_opts +
+    * the refactor/document option matrix, cli/main.py:243-330 and
+    * :328-490): positional MODEL selectors (exact file, directory
+    * prefix, or node name), `--fqn <pattern>` (repeatable), run-mode
+    * toggles (`--dry-run`, `--check`, `--auto-apply`,
+    * `--synthesize`), the inheritance family, and the column/dtype
+    * output family. Booleans land in the same typed
+    * [[graft.core.EngineSettings]] fields the per-node settings chain
+    * resolves against, so node/column-level config still overrides a
+    * CLI default exactly like the reference's 9-level chain.
     */
-  private[graft] final case class YamlFlags(fqns: Seq[String] = Nil,
-      dryRun: Boolean = false, check: Boolean = false)
+  private[graft] final case class YamlFlags(
+      fqns: Seq[String] = Nil,
+      models: Seq[String] = Nil,
+      dryRun: Boolean = false,
+      check: Boolean = false,
+      autoApply: Boolean = false,
+      synthesize: Boolean = false,
+      forceInheritDescriptions: Boolean = false,
+      skipInheritDescriptions: Boolean = false,
+      useUnrenderedDescriptions: Boolean = false,
+      skipAddColumns: Boolean = false,
+      skipAddDataTypes: Boolean = false,
+      skipAddTags: Boolean = false,
+      skipMergeMeta: Boolean = false,
+      skipInheritanceForMetaKeys: Seq[String] = Nil,
+      addInheritanceForSpecifiedKeys: Seq[String] = Nil,
+      addProgenitorToMeta: Boolean = false,
+      numericPrecisionAndScale: Boolean = false,
+      stringLength: Boolean = false,
+      outputToLower: Boolean = false,
+      outputToUpper: Boolean = false) {
+
+    /** Fold the flag matrix into engine settings. `skip-add-columns`
+      * has no typed field (it resolves through the string-keyed
+      * chain), so it rides `vars` at the CLI level — level 8, still
+      * overridable per node/column.
+      */
+    def applyTo(s: graft.core.EngineSettings): graft.core.EngineSettings = {
+      val out = s.copy(
+        forceInheritDescriptions = s.forceInheritDescriptions || forceInheritDescriptions,
+        skipInheritDescriptions = s.skipInheritDescriptions || skipInheritDescriptions,
+        useUnrenderedDescriptions = s.useUnrenderedDescriptions || useUnrenderedDescriptions,
+        skipAddTags = s.skipAddTags || skipAddTags,
+        skipMergeMeta = s.skipMergeMeta || skipMergeMeta,
+        skipInheritanceForMetaKeys =
+          (s.skipInheritanceForMetaKeys ++ skipInheritanceForMetaKeys).distinct,
+        addInheritanceForSpecifiedKeys =
+          (s.addInheritanceForSpecifiedKeys ++ addInheritanceForSpecifiedKeys).distinct,
+        addProgenitorToMeta = s.addProgenitorToMeta || addProgenitorToMeta,
+        numericPrecisionAndScale = s.numericPrecisionAndScale || numericPrecisionAndScale,
+        stringLength = s.stringLength || stringLength,
+        outputToLower = s.outputToLower || outputToLower,
+        outputToUpper = s.outputToUpper || outputToUpper)
+      val skips = Seq(
+        "skip-add-columns" -> skipAddColumns,
+        "skip-add-data-types" -> skipAddDataTypes).collect {
+        case (k, true) => k -> (true: Any)
+      }
+      if (skips.isEmpty) out else out.copy(vars = out.vars ++ Map(
+        "dbt-osmosis" -> (out.vars.getOrElse("dbt-osmosis", Map.empty[String, Any])
+          match {
+            case m: Map[_, _] => m.asInstanceOf[Map[String, Any]] ++ skips
+            case _ => skips.toMap
+          })))
+    }
+  }
 
   private[graft] def parseYamlFlags(args: List[String]): Either[String, YamlFlags] = {
     @annotation.tailrec
@@ -63,16 +122,52 @@ object Cli {
         case "--fqn" :: v :: t => go(t, acc.copy(fqns = acc.fqns :+ v))
         case "--dry-run" :: t => go(t, acc.copy(dryRun = true))
         case "--check" :: t => go(t, acc.copy(check = true))
-        case other :: _ => Left(s"unknown option '$other'")
+        case "--auto-apply" :: t => go(t, acc.copy(autoApply = true))
+        case "--synthesize" :: t => go(t, acc.copy(synthesize = true))
+        case ("-F" | "--force-inherit-descriptions") :: t =>
+          go(t, acc.copy(forceInheritDescriptions = true))
+        case "--skip-inherit-descriptions" :: t =>
+          go(t, acc.copy(skipInheritDescriptions = true))
+        case "--use-unrendered-descriptions" :: t =>
+          go(t, acc.copy(useUnrenderedDescriptions = true))
+        case "--skip-add-columns" :: t => go(t, acc.copy(skipAddColumns = true))
+        case "--skip-add-data-types" :: t => go(t, acc.copy(skipAddDataTypes = true))
+        case "--skip-add-tags" :: t => go(t, acc.copy(skipAddTags = true))
+        case "--skip-merge-meta" :: t => go(t, acc.copy(skipMergeMeta = true))
+        case "--skip-inheritance-for-meta-keys" :: v :: t =>
+          go(t, acc.copy(skipInheritanceForMetaKeys = acc.skipInheritanceForMetaKeys :+ v))
+        case "--add-inheritance-for-specified-keys" :: v :: t =>
+          go(t, acc.copy(addInheritanceForSpecifiedKeys = acc.addInheritanceForSpecifiedKeys :+ v))
+        case "--add-progenitor-to-meta" :: t => go(t, acc.copy(addProgenitorToMeta = true))
+        case "--numeric-precision-and-scale" :: t =>
+          go(t, acc.copy(numericPrecisionAndScale = true))
+        case "--string-length" :: t => go(t, acc.copy(stringLength = true))
+        case "--output-to-lower" :: t => go(t, acc.copy(outputToLower = true))
+        case "--output-to-upper" :: t => go(t, acc.copy(outputToUpper = true))
+        case other :: _ if other.startsWith("-") => Left(s"unknown option '$other'")
+        case model :: t => go(t, acc.copy(models = acc.models :+ model))
       }
     go(args, YamlFlags())
   }
+
+  /** Reference `--auto-apply` contract (cli/main.py:470-476,
+    * apply_restructure_plan(confirm=not auto_apply)): restructure
+    * plans apply only after confirmation unless auto-approved.
+    * Headless runs (no attached console) proceed as auto-apply —
+    * an interactive prompt would hang CI, and `--dry-run`/`--check`
+    * are the no-write paths.
+    */
+  private def confirmApply(flags: YamlFlags): Boolean =
+    flags.autoApply || System.console() == null || {
+      print("apply restructure plan? [y/N] ")
+      Option(scala.io.StdIn.readLine()).exists(_.trim.equalsIgnoreCase("y"))
+    }
 
   private def flagsOrExit(rest: List[String]): YamlFlags =
     parseYamlFlags(rest) match {
       case Right(f) => f
       case Left(err) =>
-        System.err.println(s"$err (expected --fqn <pattern>, --dry-run, --check)")
+        System.err.println(s"$err (see usage for the yaml-plane option matrix)")
         sys.exit(2)
     }
 
@@ -181,11 +276,12 @@ object Cli {
     case "organize" :: dir :: rest =>
       val flags = flagsOrExit(rest)
       val project = ProjectLoader.load(dir)
-      val settings = settingsFor(project,
+      val settings = flags.applyTo(settingsFor(project,
         graft.core.EngineSettings(
-          vars = Map("dbt_osmosis_default_path" -> "{parent}/{model}.yml")))
+          vars = Map("dbt_osmosis_default_path" -> "{parent}/{model}.yml"))))
+      if (!flags.dryRun && !confirmApply(flags)) sys.exit(0)
       val r = graft.core.Workflows.organize(project.root, project.manifest,
-        settings, flags.fqns, flags.dryRun)
+        settings, flags.fqns, flags.dryRun, models = flags.models)
       r.findings.foreach { case (p, f) =>
         println(s"yaml-check ${project.root.relativize(p)} [${f.rule}] ${f.severity}: ${f.message}")
       }
@@ -207,10 +303,13 @@ object Cli {
       val project = ProjectLoader.load(dir)
       val executor = new ModelExecutor(spark, project)
       executor.buildAll()
-      val settings = settingsFor(project,
-        graft.core.EngineSettings(addProgenitorToMeta = true))
+      val settings = flags.applyTo(settingsFor(project,
+        graft.core.EngineSettings(addProgenitorToMeta = true)))
       val r = graft.core.Workflows.document(
-        spark, project.root, executor.manifest, settings, flags.fqns, flags.dryRun)
+        spark, project.root, executor.manifest, settings, flags.fqns, flags.dryRun,
+        models = flags.models,
+        synthesizeWith =
+          if (flags.synthesize) Some(graft.core.DocSynthesis.HeuristicClient) else None)
       r.findings.foreach { case (p, f) =>
         println(s"yaml-check ${project.root.relativize(p)} [${f.rule}] ${f.severity}: ${f.message}")
       }
@@ -237,17 +336,18 @@ object Cli {
       val project = ProjectLoader.load(dir)
       val executor = new ModelExecutor(spark, project)
       executor.buildAll()
-      val settings = settingsFor(project,
+      val settings = flags.applyTo(settingsFor(project,
         graft.core.EngineSettings(
           addProgenitorToMeta = true,
-          vars = Map("dbt_osmosis_default_path" -> "{parent}/{model}.yml")))
+          vars = Map("dbt_osmosis_default_path" -> "{parent}/{model}.yml"))))
       import graft.core._
-      val filter = NodeFilters.NodeFilter(fqnPrefixes = flags.fqns)
+      val filter = NodeFilters.NodeFilter(fqnPrefixes = flags.fqns,
+        pathPatterns = flags.models)
 
       val plan = Restructuring.draftPlan(project.root, executor.manifest,
         settings, filter)
       var manifest =
-        if (flags.dryRun) {
+        if (flags.dryRun || (plan.ops.nonEmpty && !confirmApply(flags))) {
           plan.ops.foreach(op =>
             println(s"would restructure -> ${project.root.relativize(op.targetFile)}"))
           executor.manifest
@@ -261,12 +361,17 @@ object Cli {
 
       def cols(n: NodeMeta) =
         Introspection.getColumns(spark, Transforms.relationFor(n), settings, Some(n))
-      val result = Transforms.Pipeline()
+      val basePipeline = Transforms.Pipeline()
         .andThen("inject", (_, n) => Transforms.injectMissingColumns(n, cols(n), settings))
         .andThen("remove", (_, n) => Transforms.removeColumnsNotInDatabase(n, cols(n), settings))
         .andThen("inherit", (m, n) => Inheritance.inheritUpstreamColumnKnowledge(m, n, settings))
         .andThen("sort", (_, n) => Transforms.sortColumnsAsConfigured(n, cols(n), settings))
         .andThen("sync-types", (_, n) => Transforms.synchronizeDataTypes(n, cols(n), settings))
+      val result = (if (flags.synthesize)
+          basePipeline.andThen("synthesize",
+            (m, n) => DocSynthesis.synthesizeNode(m, n, settings,
+              DocSynthesis.HeuristicClient))
+        else basePipeline)
         .run(manifest, filter)
       manifest = result.manifest
       result.steps.foreach(s =>
@@ -371,7 +476,11 @@ object Cli {
     case _ =>
       System.err.println(
         "usage: graft.Cli build|run-sql|inherit|test|lint|diff|refactor|organize|document|catalog|profile|serve <projectDir> [args] | curate <sfDir> <outDir> [--semantic]\n" +
-          "  refactor/organize/document options: --fqn <pattern> (repeatable), --dry-run, --check")
+          "  refactor/organize/document options: [MODEL ...] --fqn <pattern> (repeatable), --dry-run, --check,\n" +
+          "    --auto-apply, --synthesize, -F/--force-inherit-descriptions, --skip-inherit-descriptions,\n" +
+          "    --use-unrendered-descriptions, --skip-add-columns, --skip-add-data-types, --skip-add-tags,\n" +
+          "    --skip-merge-meta, --skip-inheritance-for-meta-keys <k>, --add-inheritance-for-specified-keys <k>,\n" +
+          "    --add-progenitor-to-meta, --numeric-precision-and-scale, --string-length, --output-to-lower, --output-to-upper")
       sys.exit(2)
   }
 }

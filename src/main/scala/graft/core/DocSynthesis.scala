@@ -22,6 +22,59 @@ object DocSynthesis {
 
   final case class LlmResponseError(message: String) extends RuntimeException(message)
 
+  /** Deterministic offline client backing CLI `--synthesize` when no
+    * provider is configured (the reference hard-requires its OpenAI
+    * extra there, cli/main.py:420-424; zero-egress we degrade to a
+    * name/dtype templater so the whole orchestration path — bulk
+    * threshold, topological reuse, placeholder policy, YAML write —
+    * still runs end-to-end). Replies key off the synthesis prompts'
+    * own shapes: JSON for the bulk model-spec request, prose for the
+    * table/column requests. A real provider replaces this by
+    * implementing [[LlmClient]]; nothing else changes.
+    */
+  object HeuristicClient extends LlmClient {
+    private[core] def humanize(name: String): String = {
+      val words = name.split("[_\\s]+").filter(_.nonEmpty).map(_.toLowerCase)
+      val expanded = words.map {
+        case "id" => "identifier"
+        case "qty" => "quantity"
+        case "amt" => "amount"
+        case "ts" => "timestamp"
+        case "num" | "nbr" => "number"
+        case w => w
+      }
+      expanded.mkString(" ").capitalize
+    }
+
+    private def firstMatch(re: scala.util.matching.Regex, s: String): Option[String] =
+      re.findFirstMatchIn(s).map(_.group(1))
+
+    def complete(systemPrompt: String, userPrompt: String): String =
+      if (systemPrompt.contains("Reply ONLY with JSON") &&
+        systemPrompt.contains("columns")) {
+        // bulk model spec: columns are recoverable only from the
+        // introspection-fallback SELECT; otherwise document the table
+        // and let the per-column path fill the rest on the next pass
+        val table = firstMatch("NodeId=\\S*?\\.(\\S+)".r, userPrompt)
+          .getOrElse("table")
+        val cols = firstMatch("(?s)SQL:\\s*SELECT (.*?) FROM ".r, userPrompt)
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Nil)
+        val colJson = cols.map(c =>
+          s"""{"name": "$c", "description": "${humanize(c)}."}""").mkString(", ")
+        s"""{"description": "${humanize(table)}.", "columns": [$colJson]}"""
+      } else if (userPrompt.startsWith("Column ")) {
+        val name = firstMatch("Column (\\S+)".r, userPrompt).getOrElse("column")
+        val dtype = firstMatch("DataType=(\\S+)".r, userPrompt)
+          .filter(_ != "unknown").map(d => s" ($d)").getOrElse("")
+        s"${humanize(name)}$dtype."
+      } else {
+        val name = firstMatch("(?m)^(?:Table|table) (\\S+)".r, userPrompt)
+          .getOrElse("table")
+        s"${humanize(name)}."
+      }
+  }
+
   /** Retryable rate-limit signal; `retryAfterSeconds` mirrors an HTTP
     * Retry-After header when the provider supplies one.
     */

@@ -55,11 +55,9 @@ object Workflows {
   }
 
   private def syncableNodes(manifest: Manifest,
-      fqns: Seq[String] = Nil): Seq[NodeMeta] = {
-    val filter = NodeFilters.NodeFilter(fqnPrefixes = fqns)
+      filter: NodeFilters.NodeFilter): Seq[NodeMeta] =
     NodeFilters.candidates(manifest, filter)
       .filter(n => n.resourceType == "model" || n.resourceType == "seed")
-  }
 
   /** `yaml organize`: restructure YAML docs to their configured
     * target paths (path templates, per-file grouping) and sync node
@@ -69,8 +67,11 @@ object Workflows {
     */
   def organize(projectRoot: Path, manifest0: Manifest,
       settings: EngineSettings, fqns: Seq[String] = Nil,
-      dryRun: Boolean = false): SyncResult = {
-    val filter = NodeFilters.NodeFilter(fqnPrefixes = fqns)
+      dryRun: Boolean = false,
+      /** positional model selectors (reference's `models` argument):
+        * exact file, directory prefix, or node name. */
+      models: Seq[String] = Nil): SyncResult = {
+    val filter = NodeFilters.NodeFilter(fqnPrefixes = fqns, pathPatterns = models)
     val plan = Restructuring.draftPlan(projectRoot, manifest0, settings, filter)
     if (dryRun) {
       // stage the restructure AND the sync purely in memory: pending()
@@ -79,7 +80,7 @@ object Workflows {
       val (manifest, _) = Restructuring.applyPlan(projectRoot, plan, manifest0,
         settings, dryRun = true)
       val synced = SyncOperations.syncNodes(projectRoot,
-        syncableNodes(manifest, fqns), settings)
+        syncableNodes(manifest, filter), settings)
       val r = validateAndCommit(projectRoot, manifest, synced,
         dryRun = true, extraMutated = plan.ops.nonEmpty)
       r.copy(planned = (plan.ops.map(_.targetFile) ++ r.planned).distinct.sorted)
@@ -87,7 +88,7 @@ object Workflows {
       val (manifest, moved) = Restructuring.applyPlan(projectRoot, plan, manifest0,
         settings)
       val synced = SyncOperations.syncNodes(projectRoot,
-        syncableNodes(manifest, fqns), settings)
+        syncableNodes(manifest, filter), settings)
       val r = validateAndCommit(projectRoot, manifest, synced,
         dryRun = false, extraMutated = plan.ops.nonEmpty)
       // applyPlan commits the restructure moves itself; surface the
@@ -105,19 +106,28 @@ object Workflows {
     */
   def document(spark: SparkSession, projectRoot: Path, manifest0: Manifest,
       settings: EngineSettings, fqns: Seq[String] = Nil,
-      dryRun: Boolean = false): SyncResult = {
+      dryRun: Boolean = false,
+      /** positional model selectors (reference's `models` argument). */
+      models: Seq[String] = Nil,
+      /** `--synthesize`: fill still-missing docs via the client after
+        * inheritance (reference synthesize_missing_documentation,
+        * cli/main.py:484-486 / 643-645). */
+      synthesizeWith: Option[DocSynthesis.LlmClient] = None): SyncResult = {
+    val filter = NodeFilters.NodeFilter(fqnPrefixes = fqns, pathPatterns = models)
     def cols(n: NodeMeta) =
       Introspection.getColumns(spark, Transforms.relationFor(n), settings, Some(n))
-    val result = Transforms.Pipeline()
+    val base = Transforms.Pipeline()
       .andThen("inject", (_, n) => Transforms.injectMissingColumns(n, cols(n), settings))
       .andThen("inherit", (m, n) => Inheritance.inheritUpstreamColumnKnowledge(m, n, settings))
-      .run(manifest0, NodeFilters.NodeFilter(fqnPrefixes = fqns))
+    val pipeline = synthesizeWith.fold(base)(client => base.andThen("synthesize",
+      (m, n) => DocSynthesis.synthesizeNode(m, n, settings, client)))
+    val result = pipeline.run(manifest0, filter)
     // "without moving files": a documented node syncs into its
     // EXISTING patch file (pinned via a per-node path option rendered
     // relative to its SQL dir); undocumented nodes use the configured
     // template if one exists, and are skipped otherwise (nowhere to
     // write without inventing a layout — that is organize's job)
-    val nodes = syncableNodes(result.manifest, fqns).flatMap { n =>
+    val nodes = syncableNodes(result.manifest, filter).flatMap { n =>
       n.patchPath match {
         case Some(pp) =>
           val cur = projectRoot.resolve(pp.split("://").last)

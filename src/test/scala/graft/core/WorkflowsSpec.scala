@@ -137,6 +137,81 @@ class WorkflowsSpec extends AnyFunSuite {
     YamlIO.invalidate()
   }
 
+  test("yaml flag matrix parses: toggles, repeatable keys, positional models") {
+    import graft.Cli
+    val parsed = Cli.parseYamlFlags(List(
+      "stg_customers", "--auto-apply", "--synthesize", "-F",
+      "--skip-add-columns", "--skip-add-data-types", "--skip-add-tags",
+      "--skip-merge-meta", "--skip-inheritance-for-meta-keys", "k1",
+      "--skip-inheritance-for-meta-keys", "k2",
+      "--add-inheritance-for-specified-keys", "policy_tags",
+      "--add-progenitor-to-meta", "--numeric-precision-and-scale",
+      "--string-length", "--output-to-lower", "customers"))
+    assert(parsed.isRight, parsed.toString)
+    val f = parsed.toOption.get
+    assert(f.models == Seq("stg_customers", "customers"))
+    assert(f.autoApply && f.synthesize && f.forceInheritDescriptions)
+    assert(f.skipAddColumns && f.skipAddDataTypes && f.skipAddTags && f.skipMergeMeta)
+    assert(f.skipInheritanceForMetaKeys == Seq("k1", "k2"))
+    assert(f.addInheritanceForSpecifiedKeys == Seq("policy_tags"))
+    assert(f.addProgenitorToMeta && f.numericPrecisionAndScale &&
+      f.stringLength && f.outputToLower && !f.outputToUpper)
+    // the matrix folds into the same settings the per-node chain reads
+    val s = f.applyTo(EngineSettings())
+    assert(s.forceInheritDescriptions && s.skipAddTags && s.skipMergeMeta)
+    assert(s.skipInheritanceForMetaKeys == Seq("k1", "k2"))
+    assert(s.addInheritanceForSpecifiedKeys == Seq("policy_tags"))
+    assert(s.numericPrecisionAndScale && s.stringLength && s.outputToLower)
+    // skip-add-* ride the vars level of the resolution chain
+    assert(SettingsResolver.resolveBool("skip-add-columns", fallback = false, s))
+    assert(SettingsResolver.resolveBool("skip-add-data-types", fallback = false, s))
+    // and a vars level set by the CLI still loses to node-level config
+    assert(Cli.parseYamlFlags(List("--skip-inheritance-for-meta-keys")).isLeft)
+  }
+
+  test("positional model selectors scope document to the named node") {
+    val root = copyFixture()
+    import spark.implicits._
+    Seq((1, "north"), (2, "south")).toDF("region_id", "region_name")
+      .createOrReplaceTempView("region_lookup")
+    val project = ProjectLoader.load(root.toString)
+    val executor = new ModelExecutor(spark, project)
+    executor.buildAll()
+    val settings = EngineSettings(addProgenitorToMeta = true)
+    val r = Workflows.document(spark, root, executor.manifest, settings,
+      models = Seq("stg_customers"))
+    assert(r.findings.forall(_._2.severity != "error"), r.findings.toString)
+    // out-of-scope downstream model was not documented
+    assert(colDesc(YamlIO.read(root.resolve("models/schema.yml")),
+      "customers", "customer_id").isEmpty,
+      "selector must keep customers out of scope")
+    YamlIO.invalidate()
+  }
+
+  test("document --synthesize fills docs inheritance can't reach") {
+    val root = copyFixture()
+    import spark.implicits._
+    Seq((1, "north"), (2, "south")).toDF("region_id", "region_name")
+      .createOrReplaceTempView("region_lookup")
+    val project = ProjectLoader.load(root.toString)
+    val executor = new ModelExecutor(spark, project)
+    executor.buildAll()
+    val settings = EngineSettings(addProgenitorToMeta = true)
+    val r = Workflows.document(spark, root, executor.manifest, settings,
+      synthesizeWith = Some(DocSynthesis.HeuristicClient))
+    assert(r.findings.forall(_._2.severity != "error"), r.findings.toString)
+    val doc = YamlIO.read(root.resolve("models/schema.yml"))
+    // inherited doc still wins over synthesis
+    assert(colDesc(doc, "customers", "customer_id")
+      .contains("Unique identifier for a customer"))
+    // a column no ancestor documents gets the deterministic synthesis
+    val synthesized = colDesc(doc, "customers", "number_of_orders")
+    assert(synthesized.exists(_.nonEmpty),
+      s"number_of_orders must be synthesized, got $synthesized")
+    assert(synthesized.exists(_.toLowerCase.contains("number")), synthesized.toString)
+    YamlIO.invalidate()
+  }
+
   test("document inherits docs in place without moving files") {
     val root = copyFixture()
     import spark.implicits._
