@@ -77,7 +77,10 @@ object Cli {
       numericPrecisionAndScale: Boolean = false,
       stringLength: Boolean = false,
       outputToLower: Boolean = false,
-      outputToUpper: Boolean = false) {
+      outputToUpper: Boolean = false,
+      /** include dbt-loom-injected cross-project nodes as transform
+        * candidates (reference --include-external). */
+      includeExternal: Boolean = false) {
 
     /** Fold the flag matrix into engine settings. `skip-add-columns`
       * has no typed field (it resolves through the string-keyed
@@ -144,6 +147,7 @@ object Cli {
         case "--string-length" :: t => go(t, acc.copy(stringLength = true))
         case "--output-to-lower" :: t => go(t, acc.copy(outputToLower = true))
         case "--output-to-upper" :: t => go(t, acc.copy(outputToUpper = true))
+        case "--include-external" :: t => go(t, acc.copy(includeExternal = true))
         case other :: _ if other.startsWith("-") => Left(s"unknown option '$other'")
         case model :: t => go(t, acc.copy(models = acc.models :+ model))
       }
@@ -281,7 +285,8 @@ object Cli {
           vars = Map("dbt_osmosis_default_path" -> "{parent}/{model}.yml"))))
       if (!flags.dryRun && !confirmApply(flags)) sys.exit(0)
       val r = graft.core.Workflows.organize(project.root, project.manifest,
-        settings, flags.fqns, flags.dryRun, models = flags.models)
+        settings, flags.fqns, flags.dryRun, models = flags.models,
+        includeExternal = flags.includeExternal)
       r.findings.foreach { case (p, f) =>
         println(s"yaml-check ${project.root.relativize(p)} [${f.rule}] ${f.severity}: ${f.message}")
       }
@@ -309,7 +314,8 @@ object Cli {
         spark, project.root, executor.manifest, settings, flags.fqns, flags.dryRun,
         models = flags.models,
         synthesizeWith =
-          if (flags.synthesize) Some(graft.core.DocSynthesis.HeuristicClient) else None)
+          if (flags.synthesize) Some(graft.core.DocSynthesis.HeuristicClient) else None,
+        includeExternal = flags.includeExternal)
       r.findings.foreach { case (p, f) =>
         println(s"yaml-check ${project.root.relativize(p)} [${f.rule}] ${f.severity}: ${f.message}")
       }
@@ -342,7 +348,7 @@ object Cli {
           vars = Map("dbt_osmosis_default_path" -> "{parent}/{model}.yml"))))
       import graft.core._
       val filter = NodeFilters.NodeFilter(fqnPrefixes = flags.fqns,
-        pathPatterns = flags.models)
+        pathPatterns = flags.models, includeExternal = flags.includeExternal)
 
       val plan = Restructuring.draftPlan(project.root, executor.manifest,
         settings, filter)
@@ -480,7 +486,8 @@ object Cli {
           "    --auto-apply, --synthesize, -F/--force-inherit-descriptions, --skip-inherit-descriptions,\n" +
           "    --use-unrendered-descriptions, --skip-add-columns, --skip-add-data-types, --skip-add-tags,\n" +
           "    --skip-merge-meta, --skip-inheritance-for-meta-keys <k>, --add-inheritance-for-specified-keys <k>,\n" +
-          "    --add-progenitor-to-meta, --numeric-precision-and-scale, --string-length, --output-to-lower, --output-to-upper")
+          "    --add-progenitor-to-meta, --numeric-precision-and-scale, --string-length, --output-to-lower, --output-to-upper,\n" +
+          "    --include-external")
       sys.exit(2)
   }
 }

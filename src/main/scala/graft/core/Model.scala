@@ -87,6 +87,14 @@ final case class NodeMeta(
     unrenderedColumns: Map[String, Map[String, Any]] = Map.empty) {
 
   def isEphemeral: Boolean = materialized == "ephemeral"
+
+  /** Cross-project node injected from a dbt-loom external manifest
+    * (reference config.py:519-561): resolvable by `ref()` and usable
+    * as an inheritance ancestor, but never a transform/build target —
+    * its YAML and relations belong to the other project.
+    */
+  def isLoomInjected: Boolean =
+    meta.get("dbt-osmosis-loom-injected").contains(true)
   def withColumns(cols: Seq[ColumnMeta]): NodeMeta =
     copy(columns = ListMap(cols.map(c => c.name -> c): _*))
 }

@@ -13,7 +13,14 @@ object NodeFilters {
       /** FQN segment-prefix patterns, e.g. "staging.stg_customers". */
       fqnPrefixes: Seq[String] = Nil,
       /** File-path patterns: exact file, directory prefix, or name. */
-      pathPatterns: Seq[String] = Nil)
+      pathPatterns: Seq[String] = Nil,
+      /** Exclude cross-project (dbt-loom-injected) nodes from the
+        * candidate set unless [[includeExternal]] — the reference's
+        * package gate (node_filters.py:128) re-expressed on the
+        * injection marker, which is what actually distinguishes an
+        * external node here.
+        */
+      includeExternal: Boolean = false)
 
   /** FQN prefix match: pattern segments must equal the head of the
     * node's fqn (sans package/root segment). Reference :21-33.
@@ -41,6 +48,7 @@ object NodeFilters {
     manifest.nodes.values.iterator.filter { n =>
       (n.resourceType == "model" || n.resourceType == "seed" || n.resourceType == "source") &&
         !n.isEphemeral &&
+        (filter.includeExternal || !n.isLoomInjected) &&
         filter.packageName.forall(_ == n.packageName) &&
         (filter.fqnPrefixes.isEmpty || filter.fqnPrefixes.exists(fqnMatches(n.fqn, _))) &&
         (filter.pathPatterns.isEmpty || filter.pathPatterns.exists(pathMatches(n, _)))

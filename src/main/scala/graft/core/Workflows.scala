@@ -70,8 +70,10 @@ object Workflows {
       dryRun: Boolean = false,
       /** positional model selectors (reference's `models` argument):
         * exact file, directory prefix, or node name. */
-      models: Seq[String] = Nil): SyncResult = {
-    val filter = NodeFilters.NodeFilter(fqnPrefixes = fqns, pathPatterns = models)
+      models: Seq[String] = Nil,
+      includeExternal: Boolean = false): SyncResult = {
+    val filter = NodeFilters.NodeFilter(fqnPrefixes = fqns, pathPatterns = models,
+      includeExternal = includeExternal)
     val plan = Restructuring.draftPlan(projectRoot, manifest0, settings, filter)
     if (dryRun) {
       // stage the restructure AND the sync purely in memory: pending()
@@ -112,8 +114,10 @@ object Workflows {
       /** `--synthesize`: fill still-missing docs via the client after
         * inheritance (reference synthesize_missing_documentation,
         * cli/main.py:484-486 / 643-645). */
-      synthesizeWith: Option[DocSynthesis.LlmClient] = None): SyncResult = {
-    val filter = NodeFilters.NodeFilter(fqnPrefixes = fqns, pathPatterns = models)
+      synthesizeWith: Option[DocSynthesis.LlmClient] = None,
+      includeExternal: Boolean = false): SyncResult = {
+    val filter = NodeFilters.NodeFilter(fqnPrefixes = fqns, pathPatterns = models,
+      includeExternal = includeExternal)
     def cols(n: NodeMeta) =
       Introspection.getColumns(spark, Transforms.relationFor(n), settings, Some(n))
     val base = Transforms.Pipeline()

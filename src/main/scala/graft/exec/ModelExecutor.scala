@@ -322,12 +322,17 @@ final class ModelExecutor(spark: SparkSession, project: Project,
     }
 
   def buildAll(): Seq[String] = {
-    val seeds = manifestVar.nodes.values.filter(_.resourceType == "seed").toSeq
+    // dbt-loom-injected nodes resolve refs but are the OTHER
+    // project's to build — their relations must already exist in the
+    // session (built by that project's executor), like dbt defer
+    val seeds = manifestVar.nodes.values
+      .filter(n => n.resourceType == "seed" && !n.isLoomInjected).toSeq
     seeds.foreach(seed)
     manifestVar.nodes.values.filter(_.resourceType == "source").foreach(ensureSource)
 
     // two-phase: compile everything (collecting dep edges), then sort + run
-    val models = manifestVar.nodes.values.filter(_.resourceType == "model").toSeq
+    val models = manifestVar.nodes.values
+      .filter(n => n.resourceType == "model" && !n.isLoomInjected).toSeq
     val compiled = models.map(compile)
     val ordered = NodeFilters.topologicalSort(
       compiled.map(n => manifestVar.get(n.uniqueId).get))

@@ -117,7 +117,54 @@ object ProjectLoader {
         })
     }: _*)
 
-  def load(rootDir: String): Project = {
+  def load(rootDir: String): Project = load(rootDir, followLoom = true)
+
+  /** dbt-loom cross-project node injection (A1 optional branch;
+    * reference config.py:519-561 `_add_cross_project_references`): a
+    * `dbt-loom.yml` / `dbt_loom.config.yml` at the project root lists
+    * external manifests, and every EXPOSED model from each — access
+    * set and not "protected", the reference's exact gate — merges
+    * into this manifest so cross-project `ref()` resolves and
+    * inheritance can walk external ancestors. Spark-first
+    * divergence: each entry's `config.path` points at the external
+    * project DIRECTORY (projects load from source here; the
+    * reference reads compiled manifest.json artifacts via the
+    * dbt-loom plugin). Error-tolerant like the reference — a broken
+    * entry warns and is skipped, never failing the load — and
+    * depth-1: an external project's own loom config is not chased.
+    */
+  private def loomInjectedNodes(root: Path): Seq[NodeMeta] = {
+    val cfg = Seq("dbt-loom.yml", "dbt_loom.config.yml").map(root.resolve)
+      .find(Files.isRegularFile(_))
+    cfg.toSeq.flatMap { f =>
+      try asSeqMap(loadYaml(f).getOrElse("manifests", Nil)).flatMap { entry =>
+        try {
+          val c = asMap(entry.getOrElse("config", Map.empty))
+          val path = c.getOrElse("path", entry.getOrElse("path", "")).toString
+          if (path.isEmpty) Nil
+          else {
+            val ext = load(root.resolve(path).normalize().toString, followLoom = false)
+            ext.manifest.models.filter(n =>
+              n.config.get("access").exists(_.toString != "protected"))
+              .map(n => n.copy(
+                meta = n.meta + ("dbt-osmosis-loom-injected" -> true)))
+              .toSeq
+          }
+        } catch {
+          case e: Exception =>
+            System.err.println(
+              s"warning: skipping dbt-loom manifest entry: ${e.getMessage}")
+            Nil
+        }
+      } catch {
+        case e: Exception =>
+          System.err.println(s"warning: failed to read dbt-loom config: ${e.getMessage}")
+          Nil
+      }
+    }
+  }
+
+  private def load(rootDir: String, followLoom: Boolean): Project = {
     val root = Paths.get(rootDir)
     val projectYml = loadYaml(root.resolve("dbt_project.yml"))
     val projectName = projectYml.getOrElse("name", "project").toString
@@ -222,7 +269,10 @@ object ProjectLoader {
               description = body.getOrElse("description", n.description).toString,
               meta = n.meta ++ asMap(body.getOrElse("meta", Map.empty)),
               tags = n.tags ++ asSeqAny(body.getOrElse("tags", Nil)),
-              config = n.config ++ asMap(body.getOrElse("config", Map.empty)),
+              // top-level `access:` folds into config (dbt model
+              // property; the dbt-loom exposure gate reads it)
+              config = n.config ++ asMap(body.getOrElse("config", Map.empty)) ++
+                body.get("access").map(a => Map("access" -> a)).getOrElse(Map.empty),
               patchPath = Some(root.relativize(p).toString),
               version = if (versions.isEmpty) n.version
                         else Option(body.getOrElse("v", n.version.orNull)),
@@ -262,6 +312,12 @@ object ProjectLoader {
         files.filter(_.toString.endsWith(".sql")).sortBy(_.toString)
           .map(Files.readString).mkString("\n")
       }
+
+    // cross-project injection last: an external node never shadows an
+    // own node with the same unique id
+    if (followLoom)
+      for (n <- loomInjectedNodes(root) if !byId.contains(n.uniqueId))
+        byId = byId.updated(n.uniqueId, n)
 
     Project(projectName, root, Manifest(byId), vars, modelCfg,
       fusionManifest = detectFusionManifest(root),

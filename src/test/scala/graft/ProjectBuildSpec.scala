@@ -186,6 +186,77 @@ class ProjectBuildSpec extends AnyFunSuite {
       .collect()(0).getDecimal(0).doubleValue == 3.0)
   }
 
+  test("dbt-loom config injects exposed cross-project models (A1)") {
+    import java.nio.file.Files
+    def write(p: java.nio.file.Path, s: String): Unit = {
+      Files.createDirectories(p.getParent); Files.writeString(p, s)
+    }
+    // upstream project: one public model, one protected, one unmarked
+    val up = Files.createTempDirectory("graft_loom_up")
+    write(up.resolve("dbt_project.yml"), "name: upstream\nversion: '1'\n")
+    write(up.resolve("models/shared_dim.sql"), "select 1 as dim_id, 'x' as dim_name")
+    write(up.resolve("models/internal_dim.sql"), "select 2 as dim_id")
+    write(up.resolve("models/unmarked_dim.sql"), "select 3 as dim_id")
+    write(up.resolve("models/schema.yml"),
+      """models:
+        |  - name: shared_dim
+        |    access: public
+        |    description: Upstream shared dimension
+        |    columns:
+        |      - name: dim_id
+        |        description: Upstream dimension key
+        |  - name: internal_dim
+        |    access: protected
+        |""".stripMargin)
+    // downstream project refs the exposed upstream model via loom
+    val down = Files.createTempDirectory("graft_loom_down")
+    write(down.resolve("dbt_project.yml"), "name: downstream\nversion: '1'\n")
+    write(down.resolve("models/uses_shared.sql"),
+      "select dim_id from {{ ref('shared_dim') }}")
+    write(down.resolve("dbt-loom.yml"),
+      s"""manifests:
+         |  - name: upstream
+         |    type: file
+         |    config:
+         |      path: ${up.toString}
+         |""".stripMargin)
+
+    graft.core.YamlIO.invalidate()
+    val proj = ProjectLoader.load(down.toString)
+    // exposure gate: public in, protected out, unmarked (no access) out
+    assert(proj.manifest.nodes.contains("model.upstream.shared_dim"))
+    assert(!proj.manifest.nodes.contains("model.upstream.internal_dim"))
+    assert(!proj.manifest.nodes.contains("model.upstream.unmarked_dim"))
+    val injected = proj.manifest.nodes("model.upstream.shared_dim")
+    assert(injected.isLoomInjected && injected.packageName == "upstream")
+    // injected nodes are not transform candidates unless asked for
+    val own = graft.core.NodeFilters.candidates(proj.manifest)
+    assert(!own.exists(_.uniqueId == "model.upstream.shared_dim"))
+    assert(graft.core.NodeFilters.candidates(proj.manifest,
+      graft.core.NodeFilters.NodeFilter(includeExternal = true))
+      .exists(_.uniqueId == "model.upstream.shared_dim"))
+    // cross-project ref compiles against the injected node
+    val c = DbtCompiler.compile("select * from {{ ref('shared_dim') }}",
+      proj.manifest, proj.vars)
+    assert(c.sql.contains("shared_dim"))
+    // build plane: upstream builds its own relations, downstream's
+    // buildAll skips the injected node but its model resolves through
+    // the session relation the upstream build left behind
+    new ModelExecutor(spark, ProjectLoader.load(up.toString)).buildAll()
+    val e = new ModelExecutor(spark, proj)
+    val built = e.buildAll()
+    assert(!built.contains("model.upstream.shared_dim"),
+      "loom-injected node must not be built by the downstream project")
+    assert(spark.table("uses_shared").collect().map(_.getInt(0)).toSeq == Seq(1))
+    // inheritance walks the external ancestor's docs
+    val inherited = Inheritance.inheritUpstreamColumnKnowledge(
+      e.manifest, e.manifest.nodes("model.downstream.uses_shared")
+        .withColumns(Seq(graft.core.ColumnMeta("dim_id"))),
+      EngineSettings())
+    assert(inherited.columns("dim_id").description
+      .contains("Upstream dimension key"))
+  }
+
   test("explicit fusion-compat configuration is honored alongside detection (A3)") {
     import scala.collection.immutable.ListMap
     // fusion-compat: true in dbt-osmosis.yml enables the fusion
