@@ -276,4 +276,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(adc.contains("WindowGroupLimit"),
       s"expected rank-pushdown top-k:\n${adc.take(1200)}")
   }
+
+  test("t49/t50: pHash is map-only; Hamming banding joins on compact keys") {
+    val docs = Tables.documents(spark, dir)
+    val fps = operators.Multimodal.imagePhash(
+      operators.Multimodal.withBmpPayload(docs, "doc_id", "text"), "doc_id")
+    // the whole build+decode+hash pipeline is one partition-wise pass
+    assert(!planOf(fps).contains("Exchange"),
+      "pHash computation shuffled — must stay map-only")
+    val pairs = planOf(operators.Dedup.hammingNearDups(
+      fps, "doc_id", "phash", maxHamming = 3))
+    assert(!pairs.contains("CartesianProduct"),
+      "pHash banding degraded to a cartesian product")
+    assert(pairs.contains("SortMergeJoin") || pairs.contains("ShuffledHashJoin") ||
+      pairs.contains("BroadcastHashJoin"),
+      "pHash banding lost its equi-join on (band, chunk)")
+  }
 }
