@@ -597,6 +597,39 @@ object Multimodal {
     }(encoder)
   }
 
+  /** Schema for the per-frame fingerprint stage. */
+  val FramePhashSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("frame_no", IntegerType, nullable = false),
+    StructField("phash", LongType, nullable = false)))
+
+  /** Per-frame 64-bit fingerprint over demuxed access units: the
+    * first 64 SAMPLE BYTES laid on an 8×8 canvas, hashed with the
+    * same integer aHash as [[imagePhash]]. This is a CONTAINER-level
+    * fingerprint — the JDK ships no pixel codec, so the hash is over
+    * codec bytes, not pixels (bitwise-similar access units mark
+    * duplicated content; a JNI codec would swap pixel luminance into
+    * the same canvas without touching the plan). Map-only, one pass
+    * over the frame relation produced by [[sampleFrames]].
+    */
+  def framePhash(frames: DataFrame, idCol: String, frameNoCol: String): DataFrame = {
+    val encoder = ExpressionEncoder(FramePhashSchema)
+    val input = frames.select(col(idCol).cast("long"),
+      col(frameNoCol).cast("int"), col("frame"))
+    input.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](2)
+        val lum = new Array[Int](64)
+        var i = 0
+        while (i < 64) {
+          lum(i) = if (i < bytes.length) bytes(i) & 0xff else 0
+          i += 1
+        }
+        Row(r.getLong(0), r.getInt(1), aHash64(lum, 8, 8))
+      }
+    }(encoder)
+  }
+
   /** Decode/feature-extract stage: partition-wise over the payload
     * column, emitting [[FeatureSchema]] rows. No shuffle — map-only,
     * embarrassingly parallel over the corpus.

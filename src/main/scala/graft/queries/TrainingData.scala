@@ -628,6 +628,41 @@ object TrainingData {
       .orderBy("id_a", "id_b")
   }
 
+  /** Minimum shared near-identical keyframes for a video pair to
+    * count as duplicated content, and the per-frame Hamming bound.
+    */
+  val KeyframeMinShared = 2
+  val KeyframeMaxHamming = 2
+
+  /** Video keyframe dedup: REAL ISO-BMFF demux (t36's pipeline) →
+    * per-frame 64-bit fingerprint ([[Multimodal.framePhash]] — over
+    * access-unit bytes; no pixel codec ships in the JDK) → exact-
+    * recall Hamming banding over ALL videos' frames
+    * ([[Dedup.hammingNearDups]] on a (doc·64 + frame) composite id,
+    * stride-ordered so cross-doc pairs always come out (doc_a <
+    * doc_b)) → per-video-pair shared-frame count, kept at >=
+    * [[KeyframeMinShared]]. The cross-corpus candidate volume is the
+    * banded fingerprint join, never frames². The oracle replays
+    * demux arithmetic, every frame hash, the <= hamming filter, and
+    * the pair aggregation from text characters.
+    */
+  def docVideoKeyframeDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(length(col("text")) > 0 &&
+      octet_length(col("text")) === length(col("text")))
+    val frames = Multimodal.sampleFrames(
+      Multimodal.withMp4Payload(docs, "doc_id", "text", sampleBytes = 48),
+      "doc_id", everyNth = 2)
+    val fps = Multimodal.framePhash(frames, "doc_id", "frame_idx")
+      .select((col("doc_id") * 64 + col("frame_no")).as("fid"), col("phash"))
+    Dedup.hammingNearDups(fps, "fid", "phash", KeyframeMaxHamming)
+      .select(expr("id_a div 64").as("id_a"), expr("id_b div 64").as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared_frames"))
+      .filter(col("shared_frames") >= KeyframeMinShared)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Per-source top-25% quality pruning ([[CorpusOps.qualityPrune]]):
     * exact per-source quantile via the compressed score histogram +
     * broadcast threshold filter — no corpus sort. The oracle replays
@@ -707,6 +742,7 @@ object TrainingData {
     "t48_sq_topk" -> annSqTopK _,
     "t49_image_phash" -> docImagePhash _,
     "t50_image_phash_dedup" -> docImagePhashDedup _,
+    "t51_video_keyframe_dedup" -> docVideoKeyframeDedup _,
   )
 
   /** Shared DuckDB CTE fragment: per-doc word-trigram shingle sets,
@@ -1567,6 +1603,47 @@ object TrainingData {
            |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
            |WHERE bit_count(xor(a.phash, b.phash)) <= $PhashMaxHamming
            |ORDER BY id_a, id_b""".stripMargin,
+      "t51_video_keyframe_dedup" ->
+        s"""WITH vd AS (
+           |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len
+           |  FROM documents
+           |  WHERE length(text) > 0
+           |    AND octet_length(encode(text)) = length(text)
+           |), vf AS (
+           |  SELECT doc_id, text, len,
+           |    unnest(range(0, (len + 47) // 48)) AS i
+           |  FROM vd
+           |), vg AS (
+           |  SELECT doc_id, i AS frame_no,
+           |    list_transform(range(0, 64), j ->
+           |      CASE WHEN j < 48 AND (48 * i + j) < len
+           |        THEN CAST(unicode(substr(text,
+           |          CAST(48 * i + j + 1 AS INT), 1)) AS BIGINT)
+           |        ELSE CAST(0 AS BIGINT) END) AS g
+           |  FROM vf WHERE (i % 2) = 0
+           |), vm AS (
+           |  SELECT doc_id, frame_no, g,
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT), g), (x, y) -> x + y)
+           |      // 64 AS mean
+           |  FROM vg
+           |), vp AS (
+           |  SELECT doc_id, frame_no,
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(range(0, 63), j ->
+           |        CASE WHEN g[CAST(j + 1 AS INT)] > mean
+           |          THEN CAST(1 AS BIGINT) << CAST(j AS INT)
+           |          ELSE CAST(0 AS BIGINT) END)),
+           |      (x, y) -> x + y)
+           |    + CASE WHEN g[64] > mean THEN (-9223372036854775807 - 1)
+           |      ELSE CAST(0 AS BIGINT) END AS phash
+           |  FROM vm
+           |)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |  CAST(COUNT(*) AS BIGINT) AS shared_frames
+           |FROM vp a JOIN vp b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.phash, b.phash)) <= $KeyframeMaxHamming
+           |GROUP BY 1, 2 HAVING COUNT(*) >= $KeyframeMinShared
+           |ORDER BY 1, 2""".stripMargin,
       "t34_bpe_train" -> bpeTrainOracleSql,
       "t38_incremental_dedup" -> incrementalDedupOracleSql(64, 16, 0.5),
       "t37_quality_prune" ->

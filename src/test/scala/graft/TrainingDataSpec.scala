@@ -825,6 +825,38 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(pairs == want, s"banding must find exactly the <=3 pairs: $pairs vs $want")
   }
 
+  test("t51 keyframe dedup matches a direct recomputation from text") {
+    import graft.queries.TrainingData
+    def framePhash(bytes: Array[Byte]): Long = {
+      val g = Array.tabulate(64)(i => if (i < bytes.length) bytes(i) & 0xff else 0)
+      val mean = g.map(_.toLong).sum / 64
+      g.zipWithIndex.foldLeft(0L) { case (h, (v, i)) =>
+        if (v > mean) h | (1L << i) else h
+      }
+    }
+    val text = Tables.documents(spark, dir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+      .filter(_._2.nonEmpty).toMap
+    // driver-side reference: kept frames (every 2nd 48-byte slice),
+    // hash each, all cross-doc pairs within hamming, count per pair
+    val hashes = text.toSeq.flatMap { case (id, t) =>
+      t.getBytes("UTF-8").grouped(48).zipWithIndex
+        .filter(_._2 % 2 == 0)
+        .map { case (b, _) => (id, framePhash(b)) }
+    }
+    val want = hashes.flatMap { case (da, ha) =>
+      hashes.collect { case (db, hb) if da < db &&
+        java.lang.Long.bitCount(ha ^ hb) <= TrainingData.KeyframeMaxHamming =>
+        (da, db)
+      }
+    }.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= TrainingData.KeyframeMinShared).toMap
+    val got = TrainingData.docVideoKeyframeDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == want, s"${got.size} pairs vs expected ${want.size}")
+    assert(want.nonEmpty, "fixture must produce at least one shared-frame pair")
+  }
+
   test("incremental dedup disposes batch docs as exact/near/new") {
     import spark.implicits._
     val index = Seq(
