@@ -378,6 +378,58 @@ object Dedup {
     simhashPairsFromFingerprints(withSim, maxHamming)
   }
 
+  /** Incremental fingerprint dedup: classify a BATCH of 64-bit
+    * fingerprints against an INDEX — `exact` (hamming 0), `near`
+    * (within `maxHamming`, matched to the (hamming asc, id asc)
+    * nearest index entry), or `new`. The multimodal sibling of
+    * [[incrementalDedup]] (t38): an image/video ingestion pipeline
+    * runs its decoded pHashes ([[Multimodal.imagePhash]] /
+    * [[Multimodal.framePhash]]) through this instead of re-pairing
+    * the whole corpus.
+    *
+    * Scale shape: the index NEVER self-joins — both sides band
+    * (pigeonhole, complete within the bound) and candidates are the
+    * index×batch band-key collisions, so cost tracks the batch.
+    * The nearest-match election is one map-side-combinable
+    * min(struct) per batch id.
+    */
+  def incrementalHammingDedup(index: DataFrame, batch: DataFrame,
+      idCol: String, fpCol: String, maxHamming: Int = 3): DataFrame = {
+    GraftFunctions.register(index.sparkSession)
+    val bands = simhashBands(maxHamming)
+    val chunkBits = 64 / bands
+    val mask = if (chunkBits == 64) -1L else (1L << chunkBits) - 1
+    def rel(df: DataFrame) = barrier(
+      df.select(col(idCol).cast("long").as("id"), col(fpCol).cast("long").as("fp")),
+      col("id"))
+    def banded(r: DataFrame) = r.select(col("id"), col("fp"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("fp"), b * chunkBits).bitwiseAND(lit(mask)).as("chunk"))
+      }: _*)).as("bc"))
+      .select(col("id"), col("fp"), col("bc.band").as("band"), col("bc.chunk").as("chunk"))
+    val bt = rel(batch)
+    val cand = banded(rel(index)).as("a")
+      .join(banded(bt).as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk"))
+      .select(col("b.id").as("batch_id"), col("a.id").as("idx_id"),
+        call_function("bit_count",
+          col("a.fp").bitwiseXOR(col("b.fp"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+    val best = cand.groupBy("batch_id")
+      .agg(min(struct(col("hamming"), col("idx_id"))).as("m"))
+      .select(col("batch_id"), col("m.idx_id").as("match_id"),
+        col("m.hamming").as("hamming"))
+    bt.select(col("id").as("batch_id"))
+      .join(best, Seq("batch_id"), "left")
+      .select(col("batch_id"),
+        when(col("hamming") === 0, lit("exact"))
+          .when(col("hamming").isNotNull, lit("near"))
+          .otherwise(lit("new")).as("status"),
+        col("match_id"), col("hamming"))
+  }
+
   /** SimHash near-dup pairs: (id_a, id_b, hamming) for every pair
     * within `maxHamming` bits — the banding recall is exact (see
     * [[simhashPairsFromFingerprints]]).

@@ -663,6 +663,28 @@ object TrainingData {
       .orderBy("id_a", "id_b")
   }
 
+  /** Incremental image dedup under the oracle gate: every 5th
+    * document plays the incoming image batch, the rest the indexed
+    * corpus; both run the REAL BMP build→decode→pHash pipeline (t49)
+    * and the batch is classified exact/near/new against the index by
+    * [[Dedup.incrementalHammingDedup]] — index×batch banding only,
+    * never a corpus re-pair. The oracle replays every pHash, the
+    * Hamming filter, and the (hamming asc, id asc) nearest-match
+    * election.
+    */
+  def docIncrementalImageDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .filter(octet_length(col("text")) === length(col("text")))
+    def fps(d: org.apache.spark.sql.DataFrame) =
+      Multimodal.imagePhash(
+        Multimodal.withBmpPayload(d, "doc_id", "text"), "doc_id")
+    Dedup.incrementalHammingDedup(
+      fps(docs.filter(col("doc_id") % 5 =!= 0)),
+      fps(docs.filter(col("doc_id") % 5 === 0)),
+      "doc_id", "phash", PhashMaxHamming)
+      .orderBy("batch_id")
+  }
+
   /** Per-source top-25% quality pruning ([[CorpusOps.qualityPrune]]):
     * exact per-source quantile via the compressed score histogram +
     * broadcast threshold filter — no corpus sort. The oracle replays
@@ -743,6 +765,7 @@ object TrainingData {
     "t49_image_phash" -> docImagePhash _,
     "t50_image_phash_dedup" -> docImagePhashDedup _,
     "t51_video_keyframe_dedup" -> docVideoKeyframeDedup _,
+    "t52_incr_image_dedup" -> docIncrementalImageDedup _,
   )
 
   /** Shared DuckDB CTE fragment: per-doc word-trigram shingle sets,
@@ -1644,6 +1667,30 @@ object TrainingData {
            |WHERE bit_count(xor(a.phash, b.phash)) <= $KeyframeMaxHamming
            |GROUP BY 1, 2 HAVING COUNT(*) >= $KeyframeMinShared
            |ORDER BY 1, 2""".stripMargin,
+      "t52_incr_image_dedup" ->
+        s"""WITH $phashCtes, pidx AS (
+           |  SELECT doc_id, phash FROM ph WHERE doc_id % 5 <> 0
+           |), pbt AS (
+           |  SELECT doc_id, phash FROM ph WHERE doc_id % 5 = 0
+           |), cand AS (
+           |  SELECT b.doc_id AS batch_id, a.doc_id AS idx_id,
+           |    CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+           |  FROM pidx a JOIN pbt b
+           |    ON bit_count(xor(a.phash, b.phash)) <= $PhashMaxHamming
+           |), best AS (
+           |  SELECT batch_id, idx_id AS match_id, hamming FROM (
+           |    SELECT batch_id, idx_id, hamming,
+           |      ROW_NUMBER() OVER (PARTITION BY batch_id
+           |        ORDER BY hamming, idx_id) AS rn
+           |    FROM cand) t WHERE rn = 1
+           |)
+           |SELECT b.doc_id AS batch_id,
+           |  CASE WHEN best.hamming = 0 THEN 'exact'
+           |       WHEN best.hamming IS NOT NULL THEN 'near'
+           |       ELSE 'new' END AS status,
+           |  best.match_id, best.hamming
+           |FROM pbt b LEFT JOIN best ON b.doc_id = best.batch_id
+           |ORDER BY batch_id""".stripMargin,
       "t34_bpe_train" -> bpeTrainOracleSql,
       "t38_incremental_dedup" -> incrementalDedupOracleSql(64, 16, 0.5),
       "t37_quality_prune" ->

@@ -857,6 +857,32 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(want.nonEmpty, "fixture must produce at least one shared-frame pair")
   }
 
+  test("incrementalHammingDedup: exact/near/new against the index only") {
+    import spark.implicits._
+    val index = Seq(
+      (1L, 100L), (2L, 100L), // identical index fps: smallest id elected
+      (3L, (1L << 40) | (1L << 41))
+    ).toDF("doc_id", "fp")
+    val batch = Seq(
+      (10L, 100L), // exact copy of index 1 and 2 -> match_id 1
+      (11L, 100L ^ (1L << 63)), // 1 bit from index 1/2 -> near, match 1
+      (12L, (1L << 40) | (1L << 41) | (1L << 5) | (1L << 20)), // 2 bits from 3
+      (13L, -1L), // nothing close -> new
+      (14L, -1L) // identical to 13 — batch-internal dup must stay new
+    ).toDF("doc_id", "fp")
+    val got = graft.operators.Dedup.incrementalHammingDedup(
+      index, batch, "doc_id", "fp", maxHamming = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+    assert(got(10L) == (("exact", Some(1L), Some(0L))))
+    assert(got(11L) == (("near", Some(1L), Some(1L))))
+    assert(got(12L) == (("near", Some(3L), Some(2L))))
+    assert(got(13L) == (("new", None, None)))
+    assert(got(14L) == (("new", None, None)),
+      "a batch-internal duplicate must not match another batch row")
+  }
+
   test("incremental dedup disposes batch docs as exact/near/new") {
     import spark.implicits._
     val index = Seq(
