@@ -146,6 +146,37 @@ object EventStreams {
     q.stop()
   }
 
+  /** Streaming image admission: per micro-batch, fingerprint arriving
+    * media payloads (real decode → pHash,
+    * [[graft.operators.Multimodal.imagePhash]]) and dispose them
+    * against a static fingerprint index via
+    * [[graft.operators.Dedup.incrementalHammingDedup]], appending
+    * (batch_id, status, match_id, hamming) to a parquet log — the
+    * multimodal face of [[semDedupAgainstIndex]], completing the
+    * streaming admission family (exact digests → text MinHash →
+    * embeddings → images). Runs in `foreachBatch` (the banding join
+    * needs a plain DataFrame); the index re-resolves per batch, so a
+    * growing fingerprint index is picked up without restart. Same
+    * at-least-once caveat as [[semDedupAgainstIndex]]: dispositions
+    * are deterministic for a fixed index, so readers dedup the log
+    * by batch_id.
+    */
+  def imageDedupAgainstIndex(payloads: DataFrame, index: DataFrame,
+      idCol: String, outPath: String, maxHamming: Int = 3): Unit = {
+    val q = payloads.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Dedup.incrementalHammingDedup(
+          index,
+          graft.operators.Multimodal.imagePhash(batch, idCol),
+          "doc_id", "phash", maxHamming)
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Stream-stream interval join: each click joined to the same
     * user's views from the preceding `window` — the canonical
     * two-firehose correlation. BOTH sides carry watermarks and the

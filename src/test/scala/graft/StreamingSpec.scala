@@ -164,6 +164,29 @@ class StreamingSpec extends AnyFunSuite {
       "stream log == batch disposition")
   }
 
+  test("stream-vs-index image dedup log matches the batch disposition") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(octet_length(col("text")) === length(col("text")))
+    def fps(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Multimodal.imagePhash(
+        graft.operators.Multimodal.withBmpPayload(d, "doc_id", "text"), "doc_id")
+    val index = fps(docs.filter(col("doc_id") % 5 =!= 0))
+    val batchPayloads = graft.operators.Multimodal.withBmpPayload(
+      docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+    val d = java.nio.file.Files.createTempDirectory("graft_imgstream")
+    batchPayloads.write.parquet(d.resolve("batch.parquet").toString)
+    val out = d.resolve("dispositions").toString
+    val stream = spark.readStream.schema(batchPayloads.schema)
+      .parquet(d.toString + "/batch.parquet")
+    EventStreams.imageDedupAgainstIndex(stream, index, "doc_id", out)
+    val got = spark.read.parquet(out)
+    val expect = graft.operators.Dedup.incrementalHammingDedup(
+      index, fps(docs.filter(col("doc_id") % 5 === 0)), "doc_id", "phash", 3)
+    assert(got.count() == batchPayloads.count(), "one disposition per image")
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty,
+      "stream log == batch disposition")
+  }
+
   test("foreachBatch upsert sink: latest row per key, idempotent on replay") {
     val out = java.nio.file.Files.createTempDirectory("graft_upsert")
       .resolve("user_state").toString
