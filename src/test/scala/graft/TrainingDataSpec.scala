@@ -799,6 +799,39 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("decodeGrayPixels: direct BMP walk equals the ImageIO path") {
+    // a JDK-encoded PNG exercises the ImageIO branch; the same pixels
+    // through our BMP builder exercise the direct walk — luminance
+    // grids must agree exactly
+    val rnd = new scala.util.Random(7)
+    val img = new java.awt.image.BufferedImage(32, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bytes = Array.fill(1024)(rnd.nextInt(256).toByte)
+    for (y <- 0 until 32; x <- 0 until 32) {
+      val v = bytes(y * 32 + x) & 0xff
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val png = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", png)
+    val viaPng = operators.Multimodal.decodeGrayPixels(png.toByteArray)
+    assert(viaPng.isDefined)
+    val expected = bytes.map(_ & 0xff)
+    assert(viaPng.get._3.toSeq == expected.toSeq, "PNG path luminance drift")
+    // the fixture BMP of the same bytes must decode identically via
+    // the direct walk (doc text is ASCII; use raw bytes here through
+    // the builder's byte layout by round-tripping a crafted string)
+    val ascii = Array.tabulate(1024)(i => (32 + (i % 95)).toByte)
+    val docBytes = new String(ascii, "UTF-8")
+    import spark.implicits._
+    val bmp = operators.Multimodal.withBmpPayload(
+      Seq((1L, docBytes)).toDF("doc_id", "text"), "doc_id", "text")
+      .collect()(0).getAs[Array[Byte]]("payload")
+    val viaBmp = operators.Multimodal.decodeGrayPixels(bmp)
+    assert(viaBmp.isDefined && viaBmp.get._1 == 32 && viaBmp.get._2 == 32)
+    assert(viaBmp.get._3.toSeq == ascii.map(_ & 0xff).toSeq,
+      "direct BMP walk luminance drift")
+  }
+
   test("hammingNearDups: exact recall on planted fingerprints") {
     import spark.implicits._
     // cluster around 0L at hamming 0..4 plus a far-away fingerprint;
