@@ -454,7 +454,7 @@ object Multimodal {
   // ---------------------------------------------------------------
 
   /** Canvas side for the deterministic image fixture: 32×32 gray
-    * pixels = the first 1024 payload bytes (zero-padded), so both the
+    * pixels = the payload bytes stretched over 1024 cells, so both the
     * JDK decode and the DuckDB oracle index the same byte grid.
     */
   val PhashCanvas = 32
@@ -462,9 +462,19 @@ object Multimodal {
   /** Wrap each document's text bytes in a real 24-bit BMP (the JDK's
     * `javax.imageio` BMP reader decodes it): a [[PhashCanvas]]²
     * grayscale canvas where pixel (x, y) — y = 0 the TOP row — is
-    * text byte `y·W + x` (R = G = B = byte, zero beyond the text).
-    * The deterministic image fixture for the pHash oracle gate, the
-    * same role [[withWavPayload]] plays for audio. Map-only.
+    * text byte `(y·W + x)·len / W²` (R = G = B = byte): the content
+    * STRETCHED over the canvas by nearest-neighbor, the standard
+    * pHash size-normalization. Zero-padding instead collapsed every
+    * short doc onto a handful of identical hashes (2.5k distinct
+    * over 50k docs at sf1 → a 132M-row hamming-0 pair blowup), and
+    * cyclic fill had full entropy but was shift-sensitive — one
+    * insertion rewrote every later sample, so near-dup docs stopped
+    * pairing at all. Stretching keeps both properties: all 64 aHash
+    * samples are informative at any length, and an edit moves each
+    * sampled position by at most `c·Δlen/W²` — near-dups land a few
+    * bits apart. Empty docs are all-zero. The deterministic image
+    * fixture for the pHash oracle gate, the same role
+    * [[withWavPayload]] plays for audio. Map-only.
     */
   def withBmpPayload(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val encoder = ExpressionEncoder(PayloadSchema)
@@ -495,7 +505,9 @@ object Multimodal {
       var x = 0
       while (x < w) {
         val i = sy * w + x
-        val v: Byte = if (i < bytes.length) bytes(i) else 0
+        val v: Byte =
+          if (bytes.isEmpty) 0
+          else bytes((i.toLong * bytes.length / (w * w)).toInt)
         buf.put(v).put(v).put(v)
         x += 1
       }
@@ -609,7 +621,7 @@ object Multimodal {
   /** Perceptual hash per image payload: decode → 8×8 aHash → 64-bit
     * fingerprint, [[PhashSchema]] rows. Payloads no reader recognizes
     * fall back to aHash over the raw bytes laid out on the same
-    * [[PhashCanvas]]² grid (zero-padded) with `decoded = false` — the
+    * [[PhashCanvas]]² grid (stretched) with `decoded = false` — the
     * non-image rows keep flowing, flagged. MAP-ONLY at any scale; the
     * downstream Hamming banding join
     * ([[Dedup.hammingNearDups]]) is where candidate pairs form.
@@ -628,7 +640,8 @@ object Multimodal {
             val lum = new Array[Int](w * w)
             var i = 0
             while (i < lum.length) {
-              lum(i) = if (i < payload.length) payload(i) & 0xff else 0
+              lum(i) = if (payload.isEmpty) 0
+                else payload((i.toLong * payload.length / lum.length).toInt) & 0xff
               i += 1
             }
             Row(r.getLong(0), aHash64(lum, w, w), false)

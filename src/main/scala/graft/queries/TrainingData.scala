@@ -618,11 +618,32 @@ object TrainingData {
     * every pHash from text and checks ALL pairs (quadratic is fine in
     * the sf0.01 oracle; the operator itself never goes all-pairs).
     */
-  def docImagePhashDedup(spark: SparkSession, dir: String): DataFrame = {
+  /** Id offset for planted perceptual twins (fixture only). */
+  val TwinStride = 1000000L
+
+  /** The corpus plus its planted perceptual twins: every 7th doc gets
+    * a copy (id + [[TwinStride]]) with its FIRST character replaced —
+    * on the stretched canvas that perturbs at most the byte-0 sampled
+    * cells, i.e. a few-bit hash change, the text stand-in for a
+    * re-encoded/noised image. Without planted twins a discriminative
+    * positional hash finds nothing on this corpus: text near-dups are
+    * word-EDITS, which shift bytes rather than perturb them — the
+    * operator's domain is perceptual (pixel-space) similarity, and
+    * the fixture must plant that kind of neighbor to be non-vacuous.
+    */
+  private def docsWithTwins(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .filter(octet_length(col("text")) === length(col("text")))
+    docs.select(col("doc_id"), col("text")).unionByName(
+      docs.filter(col("doc_id") % 7 === 0 && length(col("text")) > 0)
+        .select((col("doc_id") + TwinStride).as("doc_id"),
+          concat(lit("x"), expr("substring(text, 2)")).as("text")))
+  }
+
+  def docImagePhashDedup(spark: SparkSession, dir: String): DataFrame = {
     val fps = Multimodal.imagePhash(
-      Multimodal.withBmpPayload(docs, "doc_id", "text"), "doc_id")
+      Multimodal.withBmpPayload(docsWithTwins(spark, dir), "doc_id", "text"),
+      "doc_id")
       .filter(col("decoded"))
     Dedup.hammingNearDups(fps, "doc_id", "phash", PhashMaxHamming)
       .orderBy("id_a", "id_b")
@@ -675,12 +696,22 @@ object TrainingData {
   def docIncrementalImageDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .filter(octet_length(col("text")) === length(col("text")))
+    // the batch plants one twin class per disposition: perturbed
+    // first char -> near, verbatim copy -> exact, reversed -> new
+    val batch =
+      docs.filter(col("doc_id") % 10 === 1 && length(col("text")) > 0)
+        .select((col("doc_id") + TwinStride).as("doc_id"),
+          concat(lit("x"), expr("substring(text, 2)")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 10 === 2)
+        .select((col("doc_id") + 2 * TwinStride).as("doc_id"), col("text")))
+      .unionByName(docs.filter(col("doc_id") % 10 === 3)
+        .select((col("doc_id") + 3 * TwinStride).as("doc_id"),
+          reverse(col("text")).as("text")))
     def fps(d: org.apache.spark.sql.DataFrame) =
       Multimodal.imagePhash(
         Multimodal.withBmpPayload(d, "doc_id", "text"), "doc_id")
     Dedup.incrementalHammingDedup(
-      fps(docs.filter(col("doc_id") % 5 =!= 0)),
-      fps(docs.filter(col("doc_id") % 5 === 0)),
+      fps(docs.select("doc_id", "text")), fps(batch),
       "doc_id", "phash", PhashMaxHamming)
       .orderBy("batch_id")
   }
@@ -1019,24 +1050,27 @@ object TrainingData {
     */
   /** Shared DuckDB CTE fragment replaying the pHash pipeline (CTE
     * `ph`: doc_id, phash) from text characters — the 32×32 gray
-    * canvas is text byte `y·32 + x` (zero beyond the text, ASCII
-    * gate keeps char index = byte index), the 8×8 nearest-neighbor
-    * sample reads byte `128·gy + 4·gx`, integer-floor mean, bit
+    * canvas is text byte `(y·32 + x)·len div 1024` (content
+    * stretched over the canvas — the standard pHash
+    * size-normalization; all-zero for empty docs; the ASCII gate
+    * keeps char index = byte index), the 8×8 nearest-neighbor
+    * sample reads byte `(128·gy + 4·gx)·len div 1024`, integer-floor
+    * mean, bit
     * `gy·8 + gx` set iff sample > mean. Bit 63 cannot be built with
     * `<< 63` (DuckDB range-checks the shift), so bits 0–62 sum as
     * powers of two and bit 63 adds the min-BIGINT constant — the
     * same two's-complement value `1L << 63` packs on the Spark side.
     */
-  private val phashCtes: String =
-    """pd AS (
-      |  SELECT doc_id, text, length(text) AS len FROM documents
+  private def phashCtes(source: String = "documents"): String =
+    s"""pd AS (
+      |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len FROM $source
       |  WHERE octet_length(encode(text)) = length(text)
       |), pg AS (
       |  SELECT doc_id, list_transform(range(0, 64), i ->
-      |    CASE WHEN (128 * (i // 8) + 4 * (i % 8)) < len
-      |      THEN CAST(unicode(substr(text,
-      |        CAST(128 * (i // 8) + 4 * (i % 8) + 1 AS INT), 1)) AS BIGINT)
-      |      ELSE CAST(0 AS BIGINT) END) AS g
+      |    CASE WHEN len = 0 THEN CAST(0 AS BIGINT)
+      |      ELSE CAST(unicode(substr(text,
+      |        CAST((128 * (i // 8) + 4 * (i % 8)) * len // 1024 + 1 AS INT), 1))
+      |        AS BIGINT) END) AS g
       |  FROM pd
       |), pm AS (
       |  SELECT doc_id, g,
@@ -1616,11 +1650,16 @@ object TrainingData {
            |SELECT query_id, rank, vec_id, adot FROM r
            |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
       "t49_image_phash" ->
-        s"""WITH $phashCtes
+        s"""WITH ${phashCtes()}
            |SELECT doc_id, phash, TRUE AS decoded FROM ph
            |ORDER BY doc_id""".stripMargin,
       "t50_image_phash_dedup" ->
-        s"""WITH $phashCtes
+        s"""WITH tw AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + $TwinStride, 'x' || substr(text, 2)
+           |  FROM documents WHERE doc_id % 7 = 0 AND length(text) > 0
+           |), ${phashCtes("tw")}
            |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
            |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
@@ -1668,10 +1707,21 @@ object TrainingData {
            |GROUP BY 1, 2 HAVING COUNT(*) >= $KeyframeMinShared
            |ORDER BY 1, 2""".stripMargin,
       "t52_incr_image_dedup" ->
-        s"""WITH $phashCtes, pidx AS (
-           |  SELECT doc_id, phash FROM ph WHERE doc_id % 5 <> 0
+        s"""WITH tw AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + $TwinStride, 'x' || substr(text, 2)
+           |  FROM documents WHERE doc_id % 10 = 1 AND length(text) > 0
+           |  UNION ALL
+           |  SELECT doc_id + ${2 * TwinStride}, text
+           |  FROM documents WHERE doc_id % 10 = 2
+           |  UNION ALL
+           |  SELECT doc_id + ${3 * TwinStride}, reverse(text)
+           |  FROM documents WHERE doc_id % 10 = 3
+           |), ${phashCtes("tw")}, pidx AS (
+           |  SELECT doc_id, phash FROM ph WHERE doc_id < $TwinStride
            |), pbt AS (
-           |  SELECT doc_id, phash FROM ph WHERE doc_id % 5 = 0
+           |  SELECT doc_id, phash FROM ph WHERE doc_id >= $TwinStride
            |), cand AS (
            |  SELECT b.doc_id AS batch_id, a.doc_id AS idx_id,
            |    CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming

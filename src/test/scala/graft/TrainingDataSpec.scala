@@ -780,7 +780,8 @@ class TrainingDataSpec extends AnyFunSuite {
     def refPhash(bytes: Array[Byte]): Long = {
       val g = Array.tabulate(64) { i =>
         val idx = 128 * (i / 8) + 4 * (i % 8)
-        if (idx < bytes.length) bytes(idx) & 0xff else 0
+        if (bytes.isEmpty) 0
+        else bytes((idx.toLong * bytes.length / 1024).toInt) & 0xff
       }
       val mean = g.map(_.toLong).sum / 64
       g.zipWithIndex.foldLeft(0L) { case (h, (v, i)) =>
