@@ -122,7 +122,8 @@ object Cli {
     def go(rest: List[String], acc: YamlFlags): Either[String, YamlFlags] =
       rest match {
         case Nil => Right(acc)
-        case "--fqn" :: v :: t => go(t, acc.copy(fqns = acc.fqns :+ v))
+        case "--fqn" :: v :: t if !v.startsWith("-") =>
+          go(t, acc.copy(fqns = acc.fqns :+ v))
         case "--dry-run" :: t => go(t, acc.copy(dryRun = true))
         case "--check" :: t => go(t, acc.copy(check = true))
         case "--auto-apply" :: t => go(t, acc.copy(autoApply = true))
@@ -137,9 +138,9 @@ object Cli {
         case "--skip-add-data-types" :: t => go(t, acc.copy(skipAddDataTypes = true))
         case "--skip-add-tags" :: t => go(t, acc.copy(skipAddTags = true))
         case "--skip-merge-meta" :: t => go(t, acc.copy(skipMergeMeta = true))
-        case "--skip-inheritance-for-meta-keys" :: v :: t =>
+        case "--skip-inheritance-for-meta-keys" :: v :: t if !v.startsWith("-") =>
           go(t, acc.copy(skipInheritanceForMetaKeys = acc.skipInheritanceForMetaKeys :+ v))
-        case "--add-inheritance-for-specified-keys" :: v :: t =>
+        case "--add-inheritance-for-specified-keys" :: v :: t if !v.startsWith("-") =>
           go(t, acc.copy(addInheritanceForSpecifiedKeys = acc.addInheritanceForSpecifiedKeys :+ v))
         case "--add-progenitor-to-meta" :: t => go(t, acc.copy(addProgenitorToMeta = true))
         case "--numeric-precision-and-scale" :: t =>
@@ -148,6 +149,9 @@ object Cli {
         case "--output-to-lower" :: t => go(t, acc.copy(outputToLower = true))
         case "--output-to-upper" :: t => go(t, acc.copy(outputToUpper = true))
         case "--include-external" :: t => go(t, acc.copy(includeExternal = true))
+        case (f @ ("--fqn" | "--skip-inheritance-for-meta-keys" |
+          "--add-inheritance-for-specified-keys")) :: _ =>
+          Left(s"option '$f' requires a value")
         case other :: _ if other.startsWith("-") => Left(s"unknown option '$other'")
         case model :: t => go(t, acc.copy(models = acc.models :+ model))
       }
@@ -161,9 +165,9 @@ object Cli {
     * an interactive prompt would hang CI, and `--dry-run`/`--check`
     * are the no-write paths.
     */
-  private def confirmApply(flags: YamlFlags): Boolean =
+  private def confirmApply(flags: YamlFlags, moves: Int = 0): Boolean =
     flags.autoApply || System.console() == null || {
-      print("apply restructure plan? [y/N] ")
+      print(s"apply restructure plan${if (moves > 0) s" ($moves moves)" else ""}? [y/N] ")
       Option(scala.io.StdIn.readLine()).exists(_.trim.equalsIgnoreCase("y"))
     }
 
@@ -283,10 +287,10 @@ object Cli {
       val settings = flags.applyTo(settingsFor(project,
         graft.core.EngineSettings(
           vars = Map("dbt_osmosis_default_path" -> "{parent}/{model}.yml"))))
-      if (!flags.dryRun && !confirmApply(flags)) sys.exit(0)
       val r = graft.core.Workflows.organize(project.root, project.manifest,
         settings, flags.fqns, flags.dryRun, models = flags.models,
-        includeExternal = flags.includeExternal)
+        includeExternal = flags.includeExternal,
+        confirmMoves = n => confirmApply(flags, n))
       r.findings.foreach { case (p, f) =>
         println(s"yaml-check ${project.root.relativize(p)} [${f.rule}] ${f.severity}: ${f.message}")
       }
@@ -353,7 +357,7 @@ object Cli {
       val plan = Restructuring.draftPlan(project.root, executor.manifest,
         settings, filter)
       var manifest =
-        if (flags.dryRun || (plan.ops.nonEmpty && !confirmApply(flags))) {
+        if (flags.dryRun || (plan.ops.nonEmpty && !confirmApply(flags, plan.ops.size))) {
           plan.ops.foreach(op =>
             println(s"would restructure -> ${project.root.relativize(op.targetFile)}"))
           executor.manifest

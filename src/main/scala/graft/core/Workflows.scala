@@ -71,10 +71,21 @@ object Workflows {
       /** positional model selectors (reference's `models` argument):
         * exact file, directory prefix, or node name. */
       models: Seq[String] = Nil,
-      includeExternal: Boolean = false): SyncResult = {
+      includeExternal: Boolean = false,
+      /** Called with the drafted move count when a non-empty
+        * restructure plan is about to apply (reference
+        * apply_restructure_plan's confirm gate): false skips the
+        * moves but the node sync still runs — declining a
+        * restructure must not silently drop the rest of organize.
+        */
+      confirmMoves: Int => Boolean = _ => true): SyncResult = {
     val filter = NodeFilters.NodeFilter(fqnPrefixes = fqns, pathPatterns = models,
       includeExternal = includeExternal)
-    val plan = Restructuring.draftPlan(projectRoot, manifest0, settings, filter)
+    val plan0 = Restructuring.draftPlan(projectRoot, manifest0, settings, filter)
+    val plan =
+      if (plan0.ops.nonEmpty && !dryRun && !confirmMoves(plan0.ops.size))
+        plan0.copy(ops = Nil)
+      else plan0
     if (dryRun) {
       // stage the restructure AND the sync purely in memory: pending()
       // then reports the complete would-write set — target files and

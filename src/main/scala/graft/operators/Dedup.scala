@@ -408,7 +408,11 @@ object Dedup {
           shiftright(col("fp"), b * chunkBits).bitwiseAND(lit(mask)).as("chunk"))
       }: _*)).as("bc"))
       .select(col("id"), col("fp"), col("bc.band").as("band"), col("bc.chunk").as("chunk"))
-    val bt = rel(batch)
+    // the batch relation feeds BOTH the banded candidate join and the
+    // final disposition left-join; its lineage is often a decode
+    // pipeline (imagePhash per micro-batch), so materialize it once
+    // instead of decoding every payload twice
+    val bt = rel(batch).localCheckpoint()
     val cand = banded(rel(index)).as("a")
       .join(banded(bt).as("b"),
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk"))

@@ -524,7 +524,7 @@ object Multimodal {
     * Only plain BI_RGB 24-bit bottom-up files qualify; anything else
     * falls through to the JDK reader below.
     */
-  private def parseBmp24Gray(p: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+  private def parseBmp24Gray(p: Array[Byte]): Option[(Int, Int, Array[Int])] = try {
     def le16(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
     def le32(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8) |
       ((p(o + 2) & 0xff) << 16) | ((p(o + 3) & 0xff) << 24)
@@ -535,7 +535,13 @@ object Multimodal {
     val h = le32(22) // positive = bottom-up, the only layout we emit
     val bits = le16(28)
     val compression = le32(30)
-    if (hdrSize < 40 || bits != 24 || compression != 0 || w <= 0 || h <= 0)
+    // dimension/offset sanity BEFORE any arithmetic: a hostile 'BM'
+    // header with a negative/huge field must fall through to the JDK
+    // reader (which rejects it), never crash the task — the fallback
+    // contract is that garbage payloads keep flowing, flagged
+    if (hdrSize < 40 || bits != 24 || compression != 0 ||
+      w <= 0 || h <= 0 || w > (1 << 15) || h > (1 << 15) ||
+      dataOff < 54 || dataOff > p.length)
       return None
     val rowBytes = (w * 3 + 3) / 4 * 4
     if (dataOff.toLong + rowBytes.toLong * h > p.length) return None
@@ -555,7 +561,7 @@ object Multimodal {
       sy += 1
     }
     Some((w, h, lum))
-  }
+  } catch { case _: Exception => None }
 
   /** Decode to a row-major (top-down) luminance grid: the direct BMP
     * walk for canonical 24-bit files, `javax.imageio` for everything

@@ -361,8 +361,20 @@ object Similarity {
   private[graft] def trainedCentroids(v: DataFrame, minNlist: Int): DataFrame = {
     var c = centroids(v, minNlist)
     for (_ <- 1 to LloydIters) {
-      val sums = assignTo(v, c).select("id", "cid")
-        .join(v, "id")
+      // argmin carrying the vector through the partial agg: the
+      // min(struct) is decided by (negcs, cid) — unique per scored
+      // row — so appending e never changes the winner, and the
+      // exchange ships one (id, cid, e) row per vector, replacing
+      // the former corpus-wide id-rejoin of v (one full-width
+      // shuffle JOIN per Lloyd round, twice per call) with nothing
+      val assigned = v.join(broadcast(c))
+        .select(col("id"),
+          struct((-(dot(col("e"), col("ce")) / (col("n") * col("cn")))).as("negcs"),
+            col("cid"), col("e").as("e")).as("sc"))
+        .groupBy("id")
+        .agg(min(col("sc")).as("best"))
+        .select(col("best")("cid").as("cid"), col("best")("e").as("e"))
+      val sums = assigned
         .select(col("cid"), posexplode(transform(col("e"),
           x => floor(x * lit(1e6) + lit(0.5)).cast("long"))))
         .groupBy(col("cid"), col("pos"))

@@ -632,12 +632,16 @@ object TrainingData {
     * the fixture must plant that kind of neighbor to be non-vacuous.
     */
   private def docsWithTwins(spark: SparkSession, dir: String): DataFrame = {
+    // twins derive from the RAW corpus and the ASCII gate applies per
+    // ROW of the union, exactly like the oracle's tw -> phashCtes
+    // order: a doc whose only non-ASCII char is the replaced first
+    // one yields a gated-IN twin from a gated-OUT original
     val docs = Tables.documents(spark, dir)
-      .filter(octet_length(col("text")) === length(col("text")))
     docs.select(col("doc_id"), col("text")).unionByName(
       docs.filter(col("doc_id") % 7 === 0 && length(col("text")) > 0)
         .select((col("doc_id") + TwinStride).as("doc_id"),
           concat(lit("x"), expr("substring(text, 2)")).as("text")))
+      .filter(octet_length(col("text")) === length(col("text")))
   }
 
   def docImagePhashDedup(spark: SparkSession, dir: String): DataFrame = {
@@ -659,7 +663,7 @@ object TrainingData {
     * per-frame 64-bit fingerprint ([[Multimodal.framePhash]] — over
     * access-unit bytes; no pixel codec ships in the JDK) → exact-
     * recall Hamming banding over ALL videos' frames
-    * ([[Dedup.hammingNearDups]] on a (doc·64 + frame) composite id,
+    * ([[Dedup.hammingNearDups]] on a (doc·2³² + frame) composite id,
     * stride-ordered so cross-doc pairs always come out (doc_a <
     * doc_b)) → per-video-pair shared-frame count, kept at >=
     * [[KeyframeMinShared]]. The cross-corpus candidate volume is the
@@ -667,22 +671,37 @@ object TrainingData {
     * demux arithmetic, every frame hash, the <= hamming filter, and
     * the pair aggregation from text characters.
     */
-  def docVideoKeyframeDedup(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).filter(length(col("text")) > 0 &&
-      octet_length(col("text")) === length(col("text")))
+  /** The t51 pipeline over an arbitrary (doc_id, text) relation —
+    * split out so the composite-id arithmetic is testable with
+    * synthetic long documents (the fixture corpus never exceeds 64
+    * samples, which is exactly the regime where a too-small stride
+    * silently misattributes pairs).
+    */
+  private[graft] def videoKeyframeDedup(docs: DataFrame): DataFrame = {
     val frames = Multimodal.sampleFrames(
       Multimodal.withMp4Payload(docs, "doc_id", "text", sampleBytes = 48),
       "doc_id", everyNth = 2)
+    // composite stride 2^32: frame_idx is a non-negative Int, so it
+    // can NEVER reach the stride and collide into the next doc's id
+    // space (a *64 stride silently misattributed pairs for any doc
+    // over 64 samples = ~3 KB); doc ids up to 2^31 fit the long
     val fps = Multimodal.framePhash(frames, "doc_id", "frame_idx")
-      .select((col("doc_id") * 64 + col("frame_no")).as("fid"), col("phash"))
+      .select((col("doc_id") * lit(4294967296L) + col("frame_no")).as("fid"),
+        col("phash"))
     Dedup.hammingNearDups(fps, "fid", "phash", KeyframeMaxHamming)
-      .select(expr("id_a div 64").as("id_a"), expr("id_b div 64").as("id_b"))
+      .select(expr("id_a div 4294967296").as("id_a"),
+        expr("id_b div 4294967296").as("id_b"))
       .filter(col("id_a") =!= col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("shared_frames"))
       .filter(col("shared_frames") >= KeyframeMinShared)
       .orderBy("id_a", "id_b")
   }
+
+  def docVideoKeyframeDedup(spark: SparkSession, dir: String): DataFrame =
+    videoKeyframeDedup(
+      Tables.documents(spark, dir).filter(length(col("text")) > 0 &&
+        octet_length(col("text")) === length(col("text"))))
 
   /** Incremental image dedup under the oracle gate: every 5th
     * document plays the incoming image batch, the rest the indexed
@@ -695,9 +714,11 @@ object TrainingData {
     */
   def docIncrementalImageDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-      .filter(octet_length(col("text")) === length(col("text")))
+    val ascii = octet_length(col("text")) === length(col("text"))
     // the batch plants one twin class per disposition: perturbed
-    // first char -> near, verbatim copy -> exact, reversed -> new
+    // first char -> near, verbatim copy -> exact, reversed -> new.
+    // Twins derive from the RAW corpus, the ASCII gate applies per
+    // row AFTER construction — the oracle's tw -> phashCtes order
     val batch =
       docs.filter(col("doc_id") % 10 === 1 && length(col("text")) > 0)
         .select((col("doc_id") + TwinStride).as("doc_id"),
@@ -707,11 +728,12 @@ object TrainingData {
       .unionByName(docs.filter(col("doc_id") % 10 === 3)
         .select((col("doc_id") + 3 * TwinStride).as("doc_id"),
           reverse(col("text")).as("text")))
+      .filter(ascii)
     def fps(d: org.apache.spark.sql.DataFrame) =
       Multimodal.imagePhash(
         Multimodal.withBmpPayload(d, "doc_id", "text"), "doc_id")
     Dedup.incrementalHammingDedup(
-      fps(docs.select("doc_id", "text")), fps(batch),
+      fps(docs.filter(ascii).select("doc_id", "text")), fps(batch),
       "doc_id", "phash", PhashMaxHamming)
       .orderBy("batch_id")
   }

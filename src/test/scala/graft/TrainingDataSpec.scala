@@ -891,6 +891,52 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(want.nonEmpty, "fixture must produce at least one shared-frame pair")
   }
 
+  test("t51 composite ids survive documents with more than 64 frames") {
+    import spark.implicits._
+    import graft.queries.TrainingData
+    // two unrelated long docs (>64 kept frames each) plus one genuine
+    // dup pair; a too-small id stride would leak doc 1's high frame
+    // indices into doc 2's id space and fabricate pairs. Frames carry
+    // seeded-random printable content — constant-character frames
+    // would all aHash to 0 and legitimately pair everything
+    def doc(seed: Int, frames: Int): String = {
+      val rnd = new scala.util.Random(seed)
+      Array.fill(frames * 48)((33 + rnd.nextInt(94)).toChar).mkString
+    }
+    val docs = Seq(
+      (1L, doc(101, 160)), (2L, doc(202, 160)),
+      (10L, doc(303, 8)), (11L, doc(303, 8))
+    ).toDF("doc_id", "text")
+    val got = TrainingData.videoKeyframeDedup(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.contains((10L, 11L)), s"genuine dup pair missing: $got")
+    assert(!got.keySet.exists(k => k._1 <= 2L || k._2 <= 2L),
+      s"unrelated long docs fabricated a pair: $got")
+  }
+
+  test("imagePhash: hostile BMP headers fall back instead of crashing") {
+    import spark.implicits._
+    // 'BM' magic + 54-byte header with a negative data offset and an
+    // overflowing width — both must reject in the direct walk AND in
+    // ImageIO, landing on the deterministic fallback (decoded=false)
+    def bmp(dataOff: Int, w: Int, h: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(64)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(64).putInt(0).putInt(dataOff)
+      b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+        .putInt(0).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
+      b.array()
+    }
+    val hostile = Seq(
+      (1L, bmp(0x80000000, 1, 1)), // negative data offset
+      (2L, bmp(54, 0x40000000, 1)), // width overflows rowBytes
+      (3L, bmp(54, 1, -5)) // negative height
+    ).toDF("doc_id", "payload")
+    val rows = operators.Multimodal.imagePhash(hostile, "doc_id").collect()
+    assert(rows.length == 3)
+    assert(rows.forall(!_.getBoolean(2)), "hostile BMPs must not claim decoded")
+  }
+
   test("incrementalHammingDedup: exact/near/new against the index only") {
     import spark.implicits._
     val index = Seq(

@@ -74,6 +74,11 @@ class WorkflowsSpec extends AnyFunSuite {
     assert(Cli.parseYamlFlags(Nil) == Right(Cli.YamlFlags()))
     assert(Cli.parseYamlFlags(List("--bogus")).isLeft)
     assert(Cli.parseYamlFlags(List("--fqn")).isLeft, "--fqn needs a value")
+    assert(Cli.parseYamlFlags(List("--fqn")) ==
+      Left("option '--fqn' requires a value"))
+    assert(Cli.parseYamlFlags(List("--fqn", "--dry-run")) ==
+      Left("option '--fqn' requires a value"),
+      "a following flag must not be swallowed as the value")
   }
 
   test("organize --dry-run touches nothing; real runs converge to a no-op") {
