@@ -260,6 +260,82 @@ object CorpusOps {
         col("exact_distinct"))
   }
 
+  /** HyperLogLog distinct-count sketch over the corpus word n-gram
+    * vocabulary — the fixed-memory companion to the bottom-k
+    * [[kmvDistinctSketch]]: hash every n-gram into 2³² (same 31-bit
+    * PolyHash + LCG spread, so both sketches share one hash stream),
+    * route it to one of m = 2^p registers by its low p bits, and keep
+    * per register the max rank ρ = (leading zeros of the remaining
+    * 32−p bits) + 1. The estimate is the classic harmonic mean
+    * α_m·m²/Σ2^(−ρ_j); Σ is carried as the exact integer
+    * Σ2^(maxρ − ρ_j) (`z_scaled`, every term a power of two), so the
+    * only floating arithmetic is the final α_m multiply/divide —
+    * (+,·,/) are correctly-rounded IEEE, bit-identical in any
+    * engine, and the DuckDB oracle replays registers AND estimate
+    * exactly. The small-range linear-counting correction
+    * (m·ln(m/V)) is deliberately NOT applied: `ln` is not
+    * bit-portable across engines; `n_zero_regs` is emitted so a
+    * consumer can apply their own. Fixture vocabularies sit far
+    * above the 2.5m correction cutoff.
+    *
+    * Scale shape: registers are a groupBy(bucket).max — map-side
+    * combine collapses every partition to ≤ m rows before the
+    * exchange, the shuffle carries ≤ m·partitions 16-byte rows, and
+    * the final fold is one m-row agg. Registers are mergeable by
+    * max, so per-shard sketches union incrementally without
+    * re-reading history — at 100 TB the sketch costs one streaming
+    * pass and m longs of state, where exact distinct would shuffle
+    * the full vocabulary (the `exact_distinct` companion column is a
+    * test-SF luxury for the accuracy check, as in KMV).
+    */
+  def hllDistinctSketch(docs: DataFrame, textCol: String, n: Int, p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, s"precision $p outside [4,16]")
+    GraftFunctions.register(docs.sparkSession)
+    val m = 1 << p
+    val remBits = 32 - p
+    val ts = TextFunctions.tokens(col(textCol))
+    val grams = if (n == 1) ts else multisetGrams(ts, n)
+    val hashes = docs
+      .select(explode(grams).as("tk"))
+      .select(((call_function("poly_hash", col("tk")) * 2654435761L + 123456789L)
+        % 4294967296L).as("h"))
+    // ρ via the msb position of the register remainder: bin() renders
+    // without leading zeros in BOTH engines, so length(bin(rem)) is
+    // msb+1 and ρ = remBits − msb = remBits + 1 − length(bin(rem));
+    // rem = 0 (all remBits zero) pins the max rank remBits + 1
+    val regs = hashes
+      .select((col("h") % m).as("bucket"), expr(s"h div $m").as("rem"))
+      .select(col("bucket"),
+        when(col("rem") === 0, lit(remBits + 1))
+          .otherwise(lit(remBits + 1) - length(bin(col("rem")))).as("rho"))
+      .groupBy("bucket")
+      .agg(max(col("rho")).as("r"))
+    val maxRho = remBits + 1
+    // every literal cast to double explicitly: bare 0.7213 parses as
+    // DECIMAL in both Spark and DuckDB, and decimal division follows
+    // engine-specific precision rules — doubles are IEEE-identical
+    val alpha = s"cast(0.7213 as double) / (cast(1.0 as double) " +
+      s"+ cast(1.079 as double) / cast($m as double))"
+    regs
+      .agg(count(lit(1)).as("n_filled"),
+        sum(expr(s"shiftleft(cast(1 as bigint), cast($maxRho - r as int))"))
+          .as("z_filled"))
+      .crossJoin(broadcast(hashes.distinct().agg(
+        count(lit(1)).as("exact_distinct"))))
+      .select(
+        lit(p.toLong).as("p"),
+        lit(m.toLong).as("m"),
+        (lit(m.toLong) - col("n_filled")).as("n_zero_regs"),
+        (col("z_filled") +
+          (lit(m.toLong) - col("n_filled")) * lit(1L << maxRho)).as("z_scaled"),
+        col("exact_distinct"))
+      .select(col("p"), col("m"), col("n_zero_regs"), col("z_scaled"),
+        expr(s"cast(floor($alpha * cast(${m.toLong * m} as double)" +
+          s" * cast(${1L << maxRho} as double)" +
+          " / cast(z_scaled as double)) as bigint)").as("est_distinct"),
+        col("exact_distinct"))
+  }
+
   // ---------------------------------------------------------------
   // Document chunking
   // ---------------------------------------------------------------

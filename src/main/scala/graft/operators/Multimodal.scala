@@ -449,6 +449,73 @@ object Multimodal {
     }(encoder)
   }
 
+  /** Number of energy bins in the audio content fingerprint. */
+  val AudioFpBins = 64
+
+  /** Schema for the audio-fingerprint stage. */
+  val AudioFpSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("afp", LongType, nullable = false),
+    StructField("decoded", BooleanType, nullable = false)))
+
+  /** 64-bit audio content fingerprint over 8-bit unsigned mono PCM:
+    * the signal is STRETCHED over [[AudioFpBins]] equal time bins
+    * (sample k lands in bin `k·64/n` — the same length normalization
+    * [[withBmpPayload]] uses spatially, so two recordings of the
+    * same content at different lengths line their bins up), each
+    * bin accumulates the exact integer energy Σ(s−128)², and bit b
+    * is set iff bin b's energy STRICTLY exceeds the global mean
+    * (Σe/64, integer floor) — the band-energy-vs-mean regime of
+    * classic audio fingerprinting, time-domain because the gate
+    * demands integer-exact replay (an FFT would put floats in the
+    * hash path). All-integer, so the DuckDB oracle replays the
+    * exact 64-bit value from text characters.
+    */
+  private[graft] def energyFp64(pcm: Array[Byte]): Long = {
+    val e = new Array[Long](AudioFpBins)
+    val n = pcm.length
+    var k = 0
+    while (k < n) {
+      val d = (pcm(k) & 0xff) - 128
+      e((k.toLong * AudioFpBins / n).toInt) += d.toLong * d
+      k += 1
+    }
+    var sum = 0L
+    var i = 0
+    while (i < AudioFpBins) { sum += e(i); i += 1 }
+    val mean = sum / AudioFpBins
+    var hash = 0L
+    i = 0
+    while (i < AudioFpBins) {
+      if (e(i) > mean) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
+
+  /** Audio content fingerprint per payload: REAL decode (the RIFF
+    * walk / `javax.sound.sampled`, [[decodeAudio]]) → binned-energy
+    * 64-bit fingerprint ([[energyFp64]]). Payloads no reader
+    * recognizes fingerprint their raw bytes as PCM with
+    * `decoded = false` — flagged, still flowing. MAP-ONLY at any
+    * scale; candidate pairs form only in the downstream Hamming
+    * banding ([[Dedup.hammingNearDups]]), the audio sibling of
+    * [[imagePhash]].
+    */
+  def audioFingerprint(withPayloads: DataFrame, idCol: String): DataFrame = {
+    val encoder = ExpressionEncoder(AudioFpSchema)
+    val input = withPayloads.select(col(idCol).cast("long"), col("payload"))
+    input.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](1)
+        decodeAudio(payload) match {
+          case Some(info) => Row(r.getLong(0), energyFp64(info.pcm), true)
+          case None => Row(r.getLong(0), energyFp64(payload), false)
+        }
+      }
+    }(encoder)
+  }
+
   // ---------------------------------------------------------------
   // Perceptual hash (aHash) over decoded pixels.
   // ---------------------------------------------------------------

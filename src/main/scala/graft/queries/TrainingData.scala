@@ -738,6 +738,70 @@ object TrainingData {
       .orderBy("batch_id")
   }
 
+  /** Hamming bound for audio-fingerprint dedup — the same 4×16-bit
+    * banding regime as t07 SimHash and t50 image pHash.
+    */
+  val AudioFpMaxHamming = 3
+
+  /** The corpus plus its planted audio twins: every (doc_id % 9 = 2)
+    * doc gets a VERBATIM copy (+[[TwinStride]] — a re-ingested
+    * identical recording, the hamming-0 disposition) and every
+    * (doc_id % 9 = 5) doc a copy (+2·[[TwinStride]]) with its FIRST
+    * character replaced — one perturbed PCM sample, the text
+    * stand-in for a re-encoded/noised recording. On the stretched
+    * energy bins that moves only bin 0's energy plus the global mean
+    * by ≤ 127²/64, a few-bit fingerprint change (measured: every
+    * perturbed twin lands within hamming 2 of its original at
+    * sf0.1). Text near-dups alone are word-EDITS that shift samples
+    * rather than perturb them, so without planted twins a
+    * discriminative time-binned hash finds almost nothing — same
+    * non-vacuity argument as [[docsWithTwins]]. The len/ASCII gate
+    * applies per row AFTER the union, mirroring the oracle's
+    * tw → ad order.
+    */
+  private def docsWithAudioTwins(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 9 === 2)
+        .select((col("doc_id") + TwinStride).as("doc_id"), col("text")))
+      .unionByName(docs.filter(col("doc_id") % 9 === 5 && length(col("text")) > 0)
+        .select((col("doc_id") + 2 * TwinStride).as("doc_id"),
+          concat(lit("x"), expr("substring(text, 2)")).as("text")))
+      .filter(length(col("text")) > 0 &&
+        octet_length(col("text")) === length(col("text")))
+  }
+
+  /** Audio-CONTENT near-dup pairs: real WAV build→decode
+    * ([[Multimodal.withWavPayload]] → [[Multimodal.audioFingerprint]])
+    * → binned-energy 64-bit fingerprints → exact-recall Hamming
+    * banding ([[Dedup.hammingNearDups]] — the SimHash pigeonhole
+    * machinery, complete within [[AudioFpMaxHamming]]). The audio
+    * sibling of t50: same banding, fingerprint from decoded PCM
+    * energy instead of pixel luminance. The oracle recomputes every
+    * fingerprint from text characters and checks ALL pairs
+    * (quadratic only in the sf0.01 oracle; the operator never goes
+    * all-pairs).
+    */
+  def docAudioFpDedup(spark: SparkSession, dir: String): DataFrame = {
+    val fps = Multimodal.audioFingerprint(
+      Multimodal.withWavPayload(docsWithAudioTwins(spark, dir), "doc_id", "text"),
+      "doc_id")
+      .filter(col("decoded"))
+    Dedup.hammingNearDups(fps, "doc_id", "afp", AudioFpMaxHamming)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** HLL distinct sketch over the corpus 3-gram vocabulary
+    * ([[CorpusOps.hllDistinctSketch]], p = 8 → 256 registers), the
+    * fixed-memory companion to t25's bottom-k KMV over the SAME hash
+    * stream — registers, scaled harmonic sum, and estimate all
+    * replayed exactly by the oracle, with the exact distinct count
+    * alongside for the accuracy check.
+    */
+  def docHllSketch(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.hllDistinctSketch(Tables.documents(spark, dir), "text",
+      n = 3, p = 8)
+
   /** Per-source top-25% quality pruning ([[CorpusOps.qualityPrune]]):
     * exact per-source quantile via the compressed score histogram +
     * broadcast threshold filter — no corpus sort. The oracle replays
@@ -819,6 +883,8 @@ object TrainingData {
     "t50_image_phash_dedup" -> docImagePhashDedup _,
     "t51_video_keyframe_dedup" -> docVideoKeyframeDedup _,
     "t52_incr_image_dedup" -> docIncrementalImageDedup _,
+    "t53_audio_fp_dedup" -> docAudioFpDedup _,
+    "t54_hll_sketch" -> docHllSketch _,
   )
 
   /** Shared DuckDB CTE fragment: per-doc word-trigram shingle sets,
@@ -1111,6 +1177,39 @@ object TrainingData {
       |      ELSE CAST(0 AS BIGINT) END AS phash
       |  FROM pm
       |)""".stripMargin
+
+  /** Shared DuckDB replay of the audio energy fingerprint
+    * ([[graft.operators.Multimodal.energyFp64]] over the canonical
+    * WAV's PCM = the text bytes): per-char energy (c−128)² routed to
+    * bin i·64/len, per-bin sums, global mean (Σ/64, floor), bit b
+    * set iff bin b strictly exceeds the mean. The b = 63 term adds
+    * −2⁶³ (bigint sign bit); the whole fingerprint is CAST back to
+    * BIGINT because DuckDB widens SUM to int128 — a 128-bit xor
+    * would sign-extend and inflate cross-sign hamming distances.
+    * Ends in CTE `afp(doc_id, afp)`.
+    */
+  private def audioFpCtes(source: String = "documents"): String =
+    s"""ad AS (
+       |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len FROM $source
+       |  WHERE length(text) > 0 AND octet_length(encode(text)) = length(text)
+       |), ach AS (
+       |  SELECT doc_id, len, unnest(range(0, len)) AS i FROM ad
+       |), acv AS (
+       |  SELECT c.doc_id, (c.i * 64) // c.len AS b,
+       |    (unicode(substr(a.text, CAST(c.i + 1 AS INT), 1)) - 128) AS d
+       |  FROM ach c JOIN ad a USING (doc_id)
+       |), aen AS (
+       |  SELECT doc_id, b, SUM(d * d) AS e FROM acv GROUP BY 1, 2
+       |), atot AS (
+       |  SELECT doc_id, SUM(e) // 64 AS mean FROM aen GROUP BY 1
+       |), afp AS (
+       |  SELECT e.doc_id, CAST(
+       |    SUM(CASE WHEN e.e > t.mean AND e.b < 63
+       |      THEN CAST(1 AS BIGINT) << CAST(e.b AS INT) ELSE 0 END)
+       |    + MAX(CASE WHEN e.e > t.mean AND e.b = 63
+       |      THEN (-9223372036854775807 - 1) ELSE 0 END) AS BIGINT) AS afp
+       |  FROM aen e JOIN atot t USING (doc_id) GROUP BY 1
+       |)""".stripMargin
 
   private val sqCtes: String =
     """sq0 AS (
@@ -1763,6 +1862,57 @@ object TrainingData {
            |  best.match_id, best.hamming
            |FROM pbt b LEFT JOIN best ON b.doc_id = best.batch_id
            |ORDER BY batch_id""".stripMargin,
+      "t53_audio_fp_dedup" ->
+        s"""WITH tw AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + $TwinStride, text
+           |  FROM documents WHERE doc_id % 9 = 2
+           |  UNION ALL
+           |  SELECT doc_id + ${2 * TwinStride}, 'x' || substr(text, 2)
+           |  FROM documents WHERE doc_id % 9 = 5 AND length(text) > 0
+           |), ${audioFpCtes("tw")}
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |  CAST(bit_count(xor(a.afp, b.afp)) AS BIGINT) AS hamming
+           |FROM afp a JOIN afp b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.afp, b.afp)) <= $AudioFpMaxHamming
+           |ORDER BY id_a, id_b""".stripMargin,
+      "t54_hll_sketch" ->
+        s"""WITH toks AS (
+           |  SELECT string_split_regex(trim(text), '\\s+') AS ts FROM documents
+           |), g AS (
+           |  SELECT unnest(CASE WHEN len(ts) < 3 THEN CAST([] AS VARCHAR[])
+           |    ELSE list_transform(range(1, len(ts) - 1), i ->
+           |      ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT)+1] || ' ' || ts[CAST(i AS INT)+2])
+           |    END) AS tk
+           |  FROM toks
+           |), h AS (
+           |  SELECT (${polyHashSql("tk")} * 2654435761 + 123456789)
+           |    % 4294967296 AS h
+           |  FROM g
+           |), rr AS (
+           |  SELECT h % 256 AS bucket,
+           |    CASE WHEN h // 256 = 0 THEN 25
+           |         ELSE 25 - length(bin(h // 256)) END AS rho
+           |  FROM h
+           |), regs AS (
+           |  SELECT bucket, MAX(rho) AS r FROM rr GROUP BY 1
+           |), agg AS (
+           |  SELECT COUNT(*) AS n_filled,
+           |    CAST(SUM(CAST(1 AS BIGINT) << CAST(25 - r AS INT)) AS BIGINT)
+           |      AS z_filled
+           |  FROM regs
+           |)
+           |SELECT CAST(8 AS BIGINT) AS p, CAST(256 AS BIGINT) AS m,
+           |  256 - n_filled AS n_zero_regs,
+           |  z_filled + (256 - n_filled) * ${1L << 25} AS z_scaled,
+           |  CAST(FLOOR((CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+           |      + CAST(1.079 AS DOUBLE) / CAST(256 AS DOUBLE)))
+           |    * CAST(${256L * 256} AS DOUBLE) * CAST(${1L << 25} AS DOUBLE)
+           |    / CAST(z_filled + (256 - n_filled) * ${1L << 25} AS DOUBLE))
+           |    AS BIGINT) AS est_distinct,
+           |  (SELECT COUNT(DISTINCT h) FROM h) AS exact_distinct
+           |FROM agg""".stripMargin,
       "t34_bpe_train" -> bpeTrainOracleSql,
       "t38_incremental_dedup" -> incrementalDedupOracleSql(64, 16, 0.5),
       "t37_quality_prune" ->

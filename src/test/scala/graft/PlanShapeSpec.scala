@@ -292,4 +292,30 @@ class PlanShapeSpec extends AnyFunSuite {
       pairs.contains("BroadcastHashJoin"),
       "pHash banding lost its equi-join on (band, chunk)")
   }
+
+  test("t53: audio fingerprint is map-only; banding keeps its equi-join") {
+    val docs = Tables.documents(spark, dir)
+    val fps = operators.Multimodal.audioFingerprint(
+      operators.Multimodal.withWavPayload(docs, "doc_id", "text"), "doc_id")
+    // WAV build + RIFF decode + binned-energy hash: one partition-wise pass
+    assert(!planOf(fps).contains("Exchange"),
+      "audio fingerprinting shuffled — must stay map-only")
+    val pairs = planOf(operators.Dedup.hammingNearDups(
+      fps, "doc_id", "afp", maxHamming = 3))
+    assert(!pairs.contains("CartesianProduct"),
+      "audio banding degraded to a cartesian product")
+    assert(pairs.contains("SortMergeJoin") || pairs.contains("ShuffledHashJoin") ||
+      pairs.contains("BroadcastHashJoin"),
+      "audio banding lost its equi-join on (band, chunk)")
+  }
+
+  test("t54: HLL registers partial-aggregate map-side; no wide shuffle") {
+    val plan = planOf(operators.CorpusOps.hllDistinctSketch(
+      Tables.documents(spark, dir), "text", 3, 8))
+    // the register max must combine before the exchange — the shuffle
+    // then carries at most m rows per partition, never the gram stream
+    assert(plan.contains("partial_max") || plan.contains("partial_"),
+      s"register max lost its map-side combine:\n${plan.take(1200)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+  }
 }

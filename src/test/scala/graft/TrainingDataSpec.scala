@@ -1404,4 +1404,110 @@ class TrainingDataSpec extends AnyFunSuite {
       .select("vec_id").collect().head.getLong(0)
     assert(probe != 0L, "self is excluded from results")
   }
+
+  // driver-side reference of the t53 audio fingerprint contract:
+  // stretched 64-bin energies of the PCM (= text bytes), strict
+  // above-mean bits
+  private def refAudioFp(bytes: Array[Byte]): Long = {
+    val e = new Array[Long](64)
+    bytes.zipWithIndex.foreach { case (b, k) =>
+      val d = (b & 0xff) - 128
+      e((k.toLong * 64 / bytes.length).toInt) += d.toLong * d
+    }
+    val mean = e.sum / 64
+    e.zipWithIndex.foldLeft(0L) { case (h, (v, i)) =>
+      if (v > mean) h | (1L << i) else h
+    }
+  }
+
+  test("t53 audio fp: real WAV decode matches a direct recomputation from text") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.TrainingData
+    val docs = Tables.documents(spark, dir)
+      .filter(length(col("text")) > 0 &&
+        octet_length(col("text")) === length(col("text")))
+    val text = docs.select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = Multimodal.audioFingerprint(
+      Multimodal.withWavPayload(docs, "doc_id", "text"), "doc_id").collect()
+    assert(rows.length == text.size)
+    rows.foreach { r =>
+      assert(r.getBoolean(r.fieldIndex("decoded")),
+        "every fixture WAV must decode through the real RIFF walk")
+      val bytes = text(r.getLong(r.fieldIndex("doc_id"))).getBytes("UTF-8")
+      assert(r.getLong(r.fieldIndex("afp")) == refAudioFp(bytes))
+    }
+    // the non-audio fallback path still fingerprints (flagged)
+    val junk = spark.createDataFrame(Seq((1L, "definitely not audio")))
+      .toDF("doc_id", "text")
+    val fb = Multimodal.audioFingerprint(
+      Multimodal.withPayload(junk, "doc_id", "text"), "doc_id").collect().head
+    assert(!fb.getBoolean(fb.fieldIndex("decoded")))
+    assert(fb.getLong(fb.fieldIndex("afp")) ==
+      refAudioFp("definitely not audio".getBytes("UTF-8")))
+  }
+
+  test("t53 audio fp dedup: every planted twin pair is recalled") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.TrainingData
+    val pairs = TrainingData.docAudioFpDedup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val stride = TrainingData.TwinStride
+    val docs = Tables.documents(spark, dir)
+      .filter(length(col("text")) > 0 &&
+        octet_length(col("text")) === length(col("text")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // verbatim twins: hamming 0, always paired
+    val exactTwins = docs.filter(_ % 9 == 2)
+    exactTwins.foreach { id =>
+      val hit = pairs.find(p => p._1 == id && p._2 == id + stride)
+      assert(hit.isDefined, s"verbatim twin of $id not paired")
+      assert(hit.get._3 == 0L, s"verbatim twin of $id at hamming ${hit.get._3}")
+    }
+    // perturbed twins: one sample changed -> within the banding bound
+    val nearTwins = docs.filter(_ % 9 == 5)
+    nearTwins.foreach { id =>
+      val hit = pairs.find(p => p._1 == id && p._2 == id + 2 * stride)
+      assert(hit.isDefined, s"perturbed twin of $id not paired")
+      assert(hit.get._3 <= TrainingData.AudioFpMaxHamming)
+    }
+    assert(exactTwins.nonEmpty && nearTwins.nonEmpty, "vacuous fixture")
+  }
+
+  test("t54 HLL: registers and estimate match a driver-side reference; " +
+      "estimate lands within the theoretical error band") {
+    val texts = Tables.documents(spark, dir)
+      .select("text").collect().map(_.getString(0))
+    // independent reference: same tokens/3-grams/hash stream as KMV
+    val grams = texts.flatMap { t =>
+      val ts = t.trim.split("\\s+").toSeq
+      if (ts.length < 3) Seq.empty[String]
+      else ts.sliding(3).map(_.mkString(" ")).toSeq
+    }
+    val hs = grams.map(g =>
+      (PolyHash.eval(g) * 2654435761L + 123456789L) % 4294967296L)
+    val regs = new Array[Int](256)
+    hs.foreach { h =>
+      val b = (h % 256).toInt
+      val rem = h / 256
+      val rho = if (rem == 0) 25
+        else 25 - (64 - java.lang.Long.numberOfLeadingZeros(rem))
+      if (rho > regs(b)) regs(b) = rho
+    }
+    val zScaled = regs.map(r => 1L << (25 - r)).sum
+    val nZero = regs.count(_ == 0)
+    val est = math.floor(0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 *
+      (1L << 25).toDouble / zScaled.toDouble).toLong
+    val exact = hs.distinct.length.toLong
+    val row = graft.queries.TrainingData.docHllSketch(spark, dir).collect().head
+    assert(row.getLong(row.fieldIndex("p")) == 8L)
+    assert(row.getLong(row.fieldIndex("m")) == 256L)
+    assert(row.getLong(row.fieldIndex("n_zero_regs")) == nZero.toLong)
+    assert(row.getLong(row.fieldIndex("z_scaled")) == zScaled)
+    assert(row.getLong(row.fieldIndex("est_distinct")) == est)
+    assert(row.getLong(row.fieldIndex("exact_distinct")) == exact)
+    // 1.04/sqrt(256) = 6.5% standard error; 3 sigma = ~20%
+    assert(math.abs(est - exact).toDouble / exact < 0.20,
+      s"HLL estimate $est vs exact $exact drifted past 3 sigma")
+  }
 }
