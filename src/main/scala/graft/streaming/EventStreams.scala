@@ -162,13 +162,37 @@ object EventStreams {
     * by batch_id.
     */
   def imageDedupAgainstIndex(payloads: DataFrame, index: DataFrame,
-      idCol: String, outPath: String, maxHamming: Int = 3): Unit = {
+      idCol: String, outPath: String, maxHamming: Int = 3): Unit =
+    fingerprintAdmission(payloads, index, outPath, maxHamming, "phash",
+      batch => graft.operators.Multimodal.imagePhash(batch, idCol))
+
+  /** Streaming audio admission: the audio face of
+    * [[imageDedupAgainstIndex]] — arriving payloads run the real
+    * audio decode → binned-energy fingerprint
+    * ([[graft.operators.Multimodal.audioFingerprint]]) and dispose
+    * against a static `afp` index through the same Hamming banding
+    * core. Same per-batch index re-resolution and at-least-once
+    * log-dedup contract.
+    */
+  def audioDedupAgainstIndex(payloads: DataFrame, index: DataFrame,
+      idCol: String, outPath: String, maxHamming: Int = 3): Unit =
+    fingerprintAdmission(payloads, index, outPath, maxHamming, "afp",
+      batch => graft.operators.Multimodal.audioFingerprint(batch, idCol))
+
+  /** Shared fingerprint-admission core: per micro-batch, compute
+    * 64-bit fingerprints for the arriving payloads and dispose them
+    * against the static index via
+    * [[graft.operators.Dedup.incrementalHammingDedup]], appending
+    * dispositions to the parquet log.
+    */
+  private def fingerprintAdmission(payloads: DataFrame, index: DataFrame,
+      outPath: String, maxHamming: Int, fpCol: String,
+      fingerprint: DataFrame => DataFrame): Unit = {
     val q = payloads.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         graft.operators.Dedup.incrementalHammingDedup(
-          index,
-          graft.operators.Multimodal.imagePhash(batch, idCol),
-          "doc_id", "phash", maxHamming)
+          index, fingerprint(batch.toDF()),
+          "doc_id", fpCol, maxHamming)
           .write.mode("append").parquet(outPath)
         ()
       }

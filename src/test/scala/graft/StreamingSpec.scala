@@ -187,6 +187,30 @@ class StreamingSpec extends AnyFunSuite {
       "stream log == batch disposition")
   }
 
+  test("stream-vs-index audio dedup log matches the batch disposition") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(length(col("text")) > 0 &&
+        octet_length(col("text")) === length(col("text")))
+    def fps(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Multimodal.audioFingerprint(
+        graft.operators.Multimodal.withWavPayload(d, "doc_id", "text"), "doc_id")
+    val index = fps(docs.filter(col("doc_id") % 5 =!= 0))
+    val batchPayloads = graft.operators.Multimodal.withWavPayload(
+      docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+    val d = java.nio.file.Files.createTempDirectory("graft_audstream")
+    batchPayloads.write.parquet(d.resolve("batch.parquet").toString)
+    val out = d.resolve("dispositions").toString
+    val stream = spark.readStream.schema(batchPayloads.schema)
+      .parquet(d.toString + "/batch.parquet")
+    EventStreams.audioDedupAgainstIndex(stream, index, "doc_id", out)
+    val got = spark.read.parquet(out)
+    val expect = graft.operators.Dedup.incrementalHammingDedup(
+      index, fps(docs.filter(col("doc_id") % 5 === 0)), "doc_id", "afp", 3)
+    assert(got.count() == batchPayloads.count(), "one disposition per clip")
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty,
+      "stream log == batch disposition")
+  }
+
   test("foreachBatch upsert sink: latest row per key, idempotent on replay") {
     val out = java.nio.file.Files.createTempDirectory("graft_upsert")
       .resolve("user_state").toString
