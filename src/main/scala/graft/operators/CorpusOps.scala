@@ -187,6 +187,86 @@ object CorpusOps {
       .select(col("doc_id").as(idCol)).distinct()
   }
 
+  /** Bloom-filter parameters for [[bloomDecontaminate]]: filter size
+    * in bits (2²⁰ → 16384 64-bit words = a 128 KB broadcast; sized so
+    * the fixture's ~12k set bits give a per-shingle FP rate around
+    * 1e-4 — small enough that doc-level flags stay meaningful, large
+    * enough that the fixture still exhibits a few deterministic FPs
+    * for the one-sidedness check) and the two probe LCGs over the
+    * 31-bit shingle PolyHash (Knuth / xxhash-prime multipliers;
+    * products stay < 2⁶³ because base < 2³¹).
+    */
+  val BloomBits = 1 << 20
+  private val BloomProbe1 = (2654435761L, 123456789L)
+  private val BloomProbe2 = (2246822519L, 3266489917L)
+
+  /** Bloom-filter decontamination — the constant-memory scale path
+    * for [[decontaminate]]: the benchmark's shingle set is folded
+    * into a [[BloomBits]]-bit Bloom filter (2 probes per shingle,
+    * bit_or into ≤ 1024 64-bit words), and each training shingle is
+    * tested by two broadcast word-lookups. One-sided by
+    * construction: NO false negatives (every truly shared shingle
+    * hits — the Bloom invariant), a deterministic false-positive
+    * rate from hash geometry (`exact_hit` rides along so the gate
+    * and spec can see exactly which flags are FPs; with the fixture
+    * load factor the FP rate is ~2%). Against [[decontaminate]]'s
+    * broadcast shingle SET, the win is at 100 TB-scale benchmarks:
+    * the broadcast is 8 KB of words regardless of benchmark size,
+    * where the exact set grows with the benchmark vocabulary. All
+    * arithmetic BIGINT (PolyHash + LCG probes, masks via shiftleft,
+    * membership via `word & mask`, never a shift of the
+    * possibly-negative word), so the DuckDB oracle replays filter
+    * bits, probes, and every flag exactly.
+    *
+    * Plan shape: filter build is one distinct + one ≤ 1024-row
+    * aggregate; training docs take two broadcast hash joins and a
+    * per-doc partial-aggregated count — map-only until the doc_id
+    * regroup, no corpus shuffle keyed on shingles.
+    */
+  def bloomDecontaminate(train: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    GraftFunctions.register(train.sparkSession)
+    val m = BloomBits
+    def probe(h: Column, p: (Long, Long)): Column =
+      (h * p._1 + p._2) % 4294967296L % m
+    def mask(pos: String): Column =
+      expr(s"shiftleft(cast(1 as bigint), cast($pos % 64 as int))")
+    val benchHashes = bench
+      .select(explode(Dedup.shingles(col(textCol), n)).as("g"))
+      .select(call_function("poly_hash", col("g")).as("hb"))
+      .distinct()
+    val words = benchHashes
+      .select(explode(array(probe(col("hb"), BloomProbe1),
+        probe(col("hb"), BloomProbe2))).as("pos"))
+      .select(expr("pos div 64").as("w"), mask("pos").as("mask"))
+      .groupBy("w").agg(expr("bit_or(mask)").as("word"))
+    val trainG = train
+      .select(col(idCol).as("doc_id"),
+        explode(Dedup.shingles(col(textCol), n)).as("g"))
+      .select(col("doc_id"), call_function("poly_hash", col("g")).as("hb"))
+      .withColumn("p1", probe(col("hb"), BloomProbe1))
+      .withColumn("p2", probe(col("hb"), BloomProbe2))
+    val hits = trainG
+      .join(broadcast(words.select(col("w").as("w1"), col("word").as("word1"))),
+        expr("p1 div 64") === col("w1"), "left")
+      .join(broadcast(words.select(col("w").as("w2"), col("word").as("word2"))),
+        expr("p2 div 64") === col("w2"), "left")
+      .withColumn("hit",
+        ((coalesce(col("word1"), lit(0L)).bitwiseAND(mask("p1")) =!= 0) &&
+          (coalesce(col("word2"), lit(0L)).bitwiseAND(mask("p2")) =!= 0))
+          .cast("long"))
+      .groupBy("doc_id").agg(sum(col("hit")).as("n_hits"))
+    val exact = contaminatedIds(train, bench, idCol, textCol, n)
+      .select(col(idCol).as("doc_id"), lit(1L).as("exact_hit"))
+    train.select(col(idCol).as("doc_id"),
+        size(Dedup.shingles(col(textCol), n)).cast("long").as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .join(exact, Seq("doc_id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("flagged", (col("n_hits") > 0).cast("long"))
+      .withColumn("exact_hit", coalesce(col("exact_hit"), lit(0L)))
+  }
+
   // ---------------------------------------------------------------
   // Vocabulary / top-k n-gram counting
   // ---------------------------------------------------------------
@@ -334,6 +414,79 @@ object CorpusOps {
           s" * cast(${1L << maxRho} as double)" +
           " / cast(z_scaled as double)) as bigint)").as("est_distinct"),
         col("exact_distinct"))
+  }
+
+  /** Distinct-count SET OPERATIONS between two corpora via bottom-k
+    * (KMV) sketches over their word n-gram vocabularies: estimates of
+    * |A|, |B|, |A∪B|, and |A∩B| from two k-minimum-values sketches —
+    * the classic sketch algebra (union = bottom-k of the merged
+    * sketches; intersection via ρ/k·|A∪B| where ρ counts members of
+    * the combined bottom-k present in BOTH side sketches). The same
+    * hash stream as [[kmvDistinctSketch]]/[[hllDistinctSketch]], all
+    * arithmetic BIGINT (ρ ≤ k and est_union < k·2³² keep the
+    * ρ·est product far from overflow), so the DuckDB oracle replays
+    * sketches, ρ, and every estimate exactly; exact union/intersect
+    * companions ride along for the accuracy check. When the combined
+    * bottom-k holds fewer than k values the sketches ARE the exact
+    * vocabularies, and the estimators degrade to the exact counts —
+    * same convention as KMV.
+    *
+    * Scale shape: one pass per corpus builds the distinct hash
+    * stream (map-side-combined distinct), each bottom-k is
+    * `TakeOrderedAndProject` (size-k partition heaps); everything
+    * after operates on ≤ 2k-row relations. At 100 TB the sketches are
+    * the only state that crosses corpus boundaries — compare any two
+    * snapshots/shards/datasets without co-shuffling their
+    * vocabularies (the exact companions are the test-SF luxury, same
+    * as KMV).
+    */
+  def kmvSetOps(docsA: DataFrame, docsB: DataFrame, textCol: String,
+      n: Int, k: Int): DataFrame = {
+    GraftFunctions.register(docsA.sparkSession)
+    def hashes(d: DataFrame): DataFrame = {
+      val ts = TextFunctions.tokens(col(textCol))
+      val grams = if (n == 1) ts else multisetGrams(ts, n)
+      d.select(explode(grams).as("tk"))
+        .select(((call_function("poly_hash", col("tk")) * 2654435761L
+          + 123456789L) % 4294967296L).as("h"))
+        .distinct()
+    }
+    val ha = hashes(docsA)
+    val hb = hashes(docsB)
+    val sa = ha.orderBy("h").limit(k)
+    val sb = hb.orderBy("h").limit(k)
+    val merged = sa.union(sb).distinct().orderBy("h").limit(k)
+    val statsU = merged
+      .join(sa.select(col("h"), lit(1).as("in_a")), Seq("h"), "left")
+      .join(sb.select(col("h"), lit(1).as("in_b")), Seq("h"), "left")
+      .agg(count(lit(1)).as("n_u"), max(col("h")).as("uk_u"),
+        sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L))
+          .as("rho"))
+    val statsA = sa.agg(count(lit(1)).as("n_a"), max(col("h")).as("uk_a"))
+    val statsB = sb.agg(count(lit(1)).as("n_b"), max(col("h")).as("uk_b"))
+    val exacts = ha.select(col("h"), lit(1).as("ea"))
+      .join(hb.select(col("h"), lit(1).as("eb")), Seq("h"), "full_outer")
+      .agg(count(lit(1)).as("exact_union"),
+        sum(when(col("ea") === 1 && col("eb") === 1, 1L).otherwise(0L))
+          .as("exact_intersect"))
+    // integer `div` throughout: Spark's `/` on longs is DOUBLE division
+    def kmvEst(nKept: String, ukMin: String): String =
+      s"(CASE WHEN $nKept < $k THEN $nKept " +
+        s"ELSE ${(k - 1).toLong * 4294967296L} div greatest($ukMin, 1) END)"
+    statsU
+      .crossJoin(broadcast(statsA))
+      .crossJoin(broadcast(statsB))
+      .crossJoin(broadcast(exacts))
+      .select(
+        lit(k.toLong).as("k"),
+        expr(kmvEst("n_a", "uk_a")).cast("long").as("est_a"),
+        expr(kmvEst("n_b", "uk_b")).cast("long").as("est_b"),
+        expr(kmvEst("n_u", "uk_u")).cast("long").as("est_union"),
+        col("rho"),
+        expr(s"CASE WHEN n_u < $k THEN rho " +
+          s"ELSE (rho * ${kmvEst("n_u", "uk_u")}) div $k END")
+          .cast("long").as("est_intersect"),
+        col("exact_union"), col("exact_intersect"))
   }
 
   // ---------------------------------------------------------------

@@ -211,6 +211,23 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** Bloom-filter decontamination ([[CorpusOps.bloomDecontaminate]]):
+    * the same benchmark split as t19 (every 10th doc), but membership
+    * tested against a 2¹⁶-bit Bloom filter of the benchmark shingles
+    * instead of the exact broadcast set — the constant-memory scale
+    * path. `exact_hit` rides along, so the oracle pins the
+    * no-false-negative invariant AND the exact deterministic
+    * false-positive pattern of the hash geometry.
+    */
+  def docBloomDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    CorpusOps.bloomDecontaminate(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0),
+      "doc_id", "text", DecontamN)
+      .orderBy("doc_id")
+  }
+
   /** Per-language sampling rates (percent): downsample the dominant
     * language, keep the rare ones whole — the standard corpus-mix
     * rebalance.
@@ -791,6 +808,21 @@ object TrainingData {
       .orderBy("id_a", "id_b")
   }
 
+  /** KMV sketch set operations between the even-id and odd-id corpus
+    * halves ([[CorpusOps.kmvSetOps]], n = 3, k = 200): estimated
+    * per-side, union, and intersection distinct trigram-vocabulary
+    * sizes from two bottom-k sketches — the cross-dataset comparison
+    * form of t25, oracle-replayed sketch-for-sketch with the exact
+    * counts alongside.
+    */
+  def docKmvSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    CorpusOps.kmvSetOps(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1),
+      "text", n = 3, k = 200)
+  }
+
   /** HLL distinct sketch over the corpus 3-gram vocabulary
     * ([[CorpusOps.hllDistinctSketch]], p = 8 → 256 registers), the
     * fixed-memory companion to t25's bottom-k KMV over the SAME hash
@@ -885,6 +917,8 @@ object TrainingData {
     "t52_incr_image_dedup" -> docIncrementalImageDedup _,
     "t53_audio_fp_dedup" -> docAudioFpDedup _,
     "t54_hll_sketch" -> docHllSketch _,
+    "t55_kmv_setops" -> docKmvSetOps _,
+    "t56_bloom_decontam" -> docBloomDecontam _,
   )
 
   /** Shared DuckDB CTE fragment: per-doc word-trigram shingle sets,
@@ -1913,6 +1947,119 @@ object TrainingData {
            |    AS BIGINT) AS est_distinct,
            |  (SELECT COUNT(DISTINCT h) FROM h) AS exact_distinct
            |FROM agg""".stripMargin,
+      "t55_kmv_setops" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
+           |  FROM documents
+           |), g AS (
+           |  SELECT doc_id % 2 AS side,
+           |    unnest(CASE WHEN len(ts) < 3 THEN CAST([] AS VARCHAR[])
+           |    ELSE list_transform(range(1, len(ts) - 1), i ->
+           |      ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT)+1] || ' ' || ts[CAST(i AS INT)+2])
+           |    END) AS tk
+           |  FROM toks
+           |), h AS (
+           |  SELECT DISTINCT side, (${polyHashSql("tk")} * 2654435761 + 123456789)
+           |    % 4294967296 AS h
+           |  FROM g
+           |), sa AS (
+           |  SELECT h FROM h WHERE side = 0 ORDER BY h LIMIT 200
+           |), sb AS (
+           |  SELECT h FROM h WHERE side = 1 ORDER BY h LIMIT 200
+           |), mg AS (
+           |  SELECT DISTINCT h FROM (SELECT h FROM sa UNION ALL SELECT h FROM sb)
+           |  ORDER BY h LIMIT 200
+           |), su AS (
+           |  SELECT COUNT(*) AS n_u, MAX(mg.h) AS uk_u,
+           |    CAST(SUM(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS rho
+           |  FROM mg LEFT JOIN sa a ON mg.h = a.h LEFT JOIN sb b ON mg.h = b.h
+           |), st AS (
+           |  SELECT (SELECT COUNT(*) FROM sa) AS n_a,
+           |    (SELECT MAX(h) FROM sa) AS uk_a,
+           |    (SELECT COUNT(*) FROM sb) AS n_b,
+           |    (SELECT MAX(h) FROM sb) AS uk_b,
+           |    (SELECT COUNT(DISTINCT h) FROM h) AS exact_union,
+           |    (SELECT COUNT(*) FROM (SELECT h FROM h WHERE side = 0
+           |      INTERSECT SELECT h FROM h WHERE side = 1)) AS exact_intersect
+           |)
+           |SELECT CAST(200 AS BIGINT) AS k,
+           |  CASE WHEN n_a < 200 THEN n_a
+           |       ELSE ${199L * 4294967296L} // GREATEST(uk_a, 1) END AS est_a,
+           |  CASE WHEN n_b < 200 THEN n_b
+           |       ELSE ${199L * 4294967296L} // GREATEST(uk_b, 1) END AS est_b,
+           |  CASE WHEN n_u < 200 THEN n_u
+           |       ELSE ${199L * 4294967296L} // GREATEST(uk_u, 1) END AS est_union,
+           |  rho,
+           |  CASE WHEN n_u < 200 THEN rho
+           |       ELSE (rho * (CASE WHEN n_u < 200 THEN n_u
+           |         ELSE ${199L * 4294967296L} // GREATEST(uk_u, 1) END)) // 200
+           |  END AS est_intersect,
+           |  exact_union, exact_intersect
+           |FROM su, st""".stripMargin,
+      "t56_bloom_decontam" -> {
+        val n = DecontamN
+        val m = CorpusOps.BloomBits
+        s"""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents
+           |), grams AS (
+           |  SELECT DISTINCT doc_id, unnest(
+           |    CASE WHEN len(ts) < $n THEN [array_to_string(ts, ' ')]
+           |    ELSE list_transform(range(1, len(ts) - ${n - 2}), i ->
+           |      array_to_string(ts[CAST(i AS INT):CAST(i + ${n - 1} AS INT)], ' '))
+           |    END) AS g
+           |  FROM toks
+           |), gh AS (
+           |  SELECT doc_id, g, ${polyHashSql("g")} AS hb FROM grams
+           |), bh AS (
+           |  SELECT DISTINCT hb FROM gh WHERE doc_id % 10 = 0
+           |), bpos AS (
+           |  SELECT unnest([
+           |    (hb * 2654435761 + 123456789) % 4294967296 % $m,
+           |    (hb * 2246822519 + 3266489917) % 4294967296 % $m]) AS pos
+           |  FROM bh
+           |), words AS (
+           |  SELECT pos // 64 AS w,
+           |    CAST(bit_or(CASE WHEN pos % 64 = 63
+           |      THEN (-9223372036854775807 - 1)
+           |      ELSE CAST(1 AS BIGINT) << CAST(pos % 64 AS INT) END) AS BIGINT)
+           |      AS word
+           |  FROM bpos GROUP BY 1
+           |), tg AS (
+           |  SELECT doc_id,
+           |    (hb * 2654435761 + 123456789) % 4294967296 % $m AS p1,
+           |    (hb * 2246822519 + 3266489917) % 4294967296 % $m AS p2
+           |  FROM gh WHERE doc_id % 10 <> 0
+           |), hits AS (
+           |  SELECT t.doc_id, CAST(SUM(CASE WHEN
+           |      (COALESCE(w1.word, 0) & (CASE WHEN t.p1 % 64 = 63
+           |        THEN (-9223372036854775807 - 1)
+           |        ELSE CAST(1 AS BIGINT) << CAST(t.p1 % 64 AS INT) END)) <> 0
+           |      AND (COALESCE(w2.word, 0) & (CASE WHEN t.p2 % 64 = 63
+           |        THEN (-9223372036854775807 - 1)
+           |        ELSE CAST(1 AS BIGINT) << CAST(t.p2 % 64 AS INT) END)) <> 0
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+           |  FROM tg t
+           |  LEFT JOIN words w1 ON t.p1 // 64 = w1.w
+           |  LEFT JOIN words w2 ON t.p2 // 64 = w2.w
+           |  GROUP BY 1
+           |), bg AS (
+           |  SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0
+           |), ex AS (
+           |  SELECT DISTINCT t.doc_id FROM grams t JOIN bg USING (g)
+           |  WHERE t.doc_id % 10 <> 0
+           |), sizes AS (
+           |  SELECT doc_id, COUNT(*) AS n_shingles FROM grams
+           |  WHERE doc_id % 10 <> 0 GROUP BY 1
+           |)
+           |SELECT s.doc_id, s.n_shingles, COALESCE(h.n_hits, 0) AS n_hits,
+           |  CAST(COALESCE(h.n_hits, 0) > 0 AS BIGINT) AS flagged,
+           |  CAST(ex.doc_id IS NOT NULL AS BIGINT) AS exact_hit
+           |FROM sizes s
+           |LEFT JOIN hits h USING (doc_id)
+           |LEFT JOIN ex ON s.doc_id = ex.doc_id
+           |ORDER BY doc_id""".stripMargin
+      },
       "t34_bpe_train" -> bpeTrainOracleSql,
       "t38_incremental_dedup" -> incrementalDedupOracleSql(64, 16, 0.5),
       "t37_quality_prune" ->

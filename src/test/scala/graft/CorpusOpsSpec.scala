@@ -76,6 +76,38 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(r(1).getLong(3) == 0)
   }
 
+  test("bloomDecontaminate: one-sided — every exact hit flagged, counts bounded") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over it"), // shares a 4-gram with bench
+      (2L, "entirely different words appear in here"),
+      (3L, "the quick brown fox naps all day")   // shares the same 4-gram
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "watch the quick brown fox run")
+    ).toDF("doc_id", "text")
+    val r = CorpusOps.bloomDecontaminate(train, bench, "doc_id", "text", n = 4)
+      .orderBy("doc_id").collect()
+    r.foreach { row =>
+      val (nSh, nHits, flagged, exact) =
+        (row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4))
+      assert(nHits <= nSh, "can't hit more shingles than the doc has")
+      assert(flagged == (if (nHits > 0) 1L else 0L))
+      // the Bloom invariant: membership never misses — exact ⊆ flagged
+      assert(exact <= flagged, s"false negative on doc ${row.getLong(0)}")
+    }
+    // docs 1 and 3 truly share "the quick brown fox" with the benchmark
+    assert(r(0).getLong(4) == 1 && r(0).getLong(3) == 1)
+    assert(r(2).getLong(4) == 1 && r(2).getLong(3) == 1)
+    // fixture-scale: the superset invariant holds corpus-wide
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val fix = CorpusOps.bloomDecontaminate(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0),
+      "doc_id", "text", 4)
+    assert(fix.filter(col("exact_hit") > col("flagged")).count() == 0,
+      "Bloom produced a false negative on the fixture")
+  }
+
   test("stratifiedSample: deterministic, rate-bounded, stratum-aware") {
     val docs = (0L until 1000L).map(i => (i, if (i % 2 == 0) "en" else "fr"))
       .toDF("doc_id", "lang")

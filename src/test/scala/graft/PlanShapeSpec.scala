@@ -309,6 +309,18 @@ class PlanShapeSpec extends AnyFunSuite {
       "audio banding lost its equi-join on (band, chunk)")
   }
 
+  test("t56: Bloom words broadcast; no shingle-keyed corpus shuffle") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, dir)
+    val plan = planOf(operators.CorpusOps.bloomDecontaminate(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0),
+      "doc_id", "text", 4))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"Bloom word table lost its broadcast:\n${plan.take(1200)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+  }
+
   test("t54: HLL registers partial-aggregate map-side; no wide shuffle") {
     val plan = planOf(operators.CorpusOps.hllDistinctSketch(
       Tables.documents(spark, dir), "text", 3, 8))

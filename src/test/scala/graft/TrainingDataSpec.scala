@@ -1510,4 +1510,51 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(math.abs(est - exact).toDouble / exact < 0.20,
       s"HLL estimate $est vs exact $exact drifted past 3 sigma")
   }
+
+  test("t55 KMV set-ops: sketches and estimators match a driver-side " +
+      "reference; union estimate lands within the error band") {
+    val k = 200
+    val byDoc = Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def hashes(side: Long): Set[Long] = byDoc.filter(_._1 % 2 == side)
+      .flatMap { case (_, t) =>
+        val ts = t.trim.split("\\s+").toSeq
+        if (ts.length < 3) Seq.empty[String]
+        else ts.sliding(3).map(_.mkString(" ")).toSeq
+      }
+      .map(g => (PolyHash.eval(g) * 2654435761L + 123456789L) % 4294967296L)
+      .toSet
+    val ha = hashes(0); val hb = hashes(1)
+    val sa = ha.toSeq.sorted.take(k).toSet
+    val sb = hb.toSeq.sorted.take(k).toSet
+    val merged = (sa ++ sb).toSeq.sorted.take(k)
+    val rho = merged.count(h => sa(h) && sb(h)).toLong
+    def est(s: Set[Long]): Long =
+      if (s.size < k) s.size.toLong
+      else (k - 1).toLong * 4294967296L / s.max
+    val estU = if (merged.size < k) merged.size.toLong
+      else (k - 1).toLong * 4294967296L / merged.max
+    val row = graft.queries.TrainingData.docKmvSetOps(spark, dir)
+      .collect().head
+    def g(n: String) = row.getLong(row.fieldIndex(n))
+    assert(g("k") == k.toLong)
+    assert(g("est_a") == est(sa), "side-A estimator diverged")
+    assert(g("est_b") == est(sb), "side-B estimator diverged")
+    assert(g("est_union") == estU, "union estimator diverged")
+    assert(g("rho") == rho, "combined-bottom-k intersection count diverged")
+    assert(g("est_intersect") ==
+      (if (merged.size < k) rho else rho * estU / k))
+    assert(g("exact_union") == (ha ++ hb).size.toLong)
+    assert(g("exact_intersect") == (ha & hb).size.toLong)
+    // union: 1/sqrt(k-1) = 7.1% sigma; 3 sigma = ~21%. The
+    // intersection estimator's relative error scales as 1/sqrt(rho)
+    // (~16% sigma at the fixture's rho) — assert 3-sigma-ish there too
+    assert(math.abs(g("est_union") - g("exact_union")).toDouble /
+      g("exact_union") < 0.21, s"union ${g("est_union")} vs ${g("exact_union")}")
+    assert(g("exact_intersect") == 0 || rho == 0 ||
+      math.abs(g("est_intersect") - g("exact_intersect")).toDouble /
+        g("exact_intersect") < 3.0 / math.sqrt(rho.toDouble),
+      s"intersect ${g("est_intersect")} vs ${g("exact_intersect")} at rho $rho")
+  }
 }
