@@ -808,6 +808,49 @@ object TrainingData {
       .orderBy("id_a", "id_b")
   }
 
+  /** Cross-modal ensemble dedup: near-dup pairs surfaced by the TEXT
+    * channel (MinHash-LSH, t06's contract), the IMAGE channel (real
+    * BMP decode → pHash → Hamming banding, t50's contract), or both —
+    * full-outer-merged with modality provenance, over the twinned
+    * corpus ([[docsWithAudioTwins]] — the plant is modality-generic:
+    * a verbatim copy is a dup in EVERY channel, a first-char
+    * perturbation stays near in the positional channels while the
+    * text channel sees an almost-unchanged shingle set). Channel
+    * agreement is the ensemble's value: 'both' rows are
+    * high-confidence duplicates, single-channel rows are where one
+    * signal is blind (word edits shift bytes → text-only; hash
+    * coincidences → image-only). The oracle replays BOTH full
+    * pipelines and the merge.
+    */
+  def docCrossModalDedup(spark: SparkSession, dir: String): DataFrame =
+    crossModalDedup(docsWithAudioTwins(spark, dir))
+
+  /** The t57 pipeline over an arbitrary (doc_id, text) relation —
+    * split out so the modality derivation is testable with synthetic
+    * docs engineered to hit each branch (the fixture corpus yields
+    * 'both' and 'text' but no grid-preserving word rewrite, so the
+    * 'image' branch needs a constructed pair).
+    */
+  private[graft] def crossModalDedup(base: DataFrame): DataFrame = {
+    val textPairs = Dedup.minhashLsh(base, "doc_id", "text",
+        n = 3, numPerms = 64, bands = 16, threshold = 0.5)
+      .select(col("id_a"), col("id_b"), lit(1L).as("text_dup"))
+    val imagePairs = Dedup.hammingNearDups(
+        Multimodal.imagePhash(
+          Multimodal.withBmpPayload(base, "doc_id", "text"), "doc_id")
+          .filter(col("decoded")),
+        "doc_id", "phash", PhashMaxHamming)
+      .select(col("id_a"), col("id_b"), lit(1L).as("image_dup"))
+    textPairs.join(imagePairs, Seq("id_a", "id_b"), "full_outer")
+      .select(col("id_a"), col("id_b"),
+        coalesce(col("text_dup"), lit(0L)).as("text_dup"),
+        coalesce(col("image_dup"), lit(0L)).as("image_dup"))
+      .withColumn("modality",
+        when(col("text_dup") === 1 && col("image_dup") === 1, "both")
+          .when(col("text_dup") === 1, "text").otherwise("image"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** KMV sketch set operations between the even-id and odd-id corpus
     * halves ([[CorpusOps.kmvSetOps]], n = 3, k = 200): estimated
     * per-side, union, and intersection distinct trigram-vocabulary
@@ -919,15 +962,17 @@ object TrainingData {
     "t54_hll_sketch" -> docHllSketch _,
     "t55_kmv_setops" -> docKmvSetOps _,
     "t56_bloom_decontam" -> docBloomDecontam _,
+    "t57_crossmodal_dedup" -> docCrossModalDedup _,
   )
 
   /** Shared DuckDB CTE fragment: per-doc word-trigram shingle sets,
     * sizes, and exact Jaccard pairs >= `threshold` (CTE `jac`) —
     * matching [[graft.operators.Dedup.shingles]] with n = 3.
     */
-  private def jaccardCtes(threshold: Double): String =
+  private def jaccardCtes(threshold: Double,
+      source: String = "documents"): String =
     s"""toks AS (
-       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM $source
        |), grams AS (
        |  SELECT DISTINCT doc_id, unnest(
        |    CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
@@ -964,11 +1009,12 @@ object TrainingData {
     * so the gate checks candidate generation itself, not just the
     * verify step, and is fixture-independent.
     */
-  private def minhashCtes(numPerms: Int, bands: Int, threshold: Double): String = {
+  private def minhashCtes(numPerms: Int, bands: Int, threshold: Double,
+      source: String = "documents"): String = {
     val (pa, pb) = graft.functions.MinHashSig.permParams(numPerms)
     val rows = numPerms / bands
     val perms = (0 until numPerms).map(j => s"($j, ${pa(j)}, ${pb(j)})").mkString(", ")
-    s"""${jaccardCtes(threshold)}, gh AS (
+    s"""${jaccardCtes(threshold, source)}, gh AS (
        |  SELECT doc_id, ${polyHashSql("g")} AS h FROM grams
        |), perms(j, pa, pb) AS (
        |  VALUES $perms
@@ -2060,6 +2106,33 @@ object TrainingData {
            |LEFT JOIN ex ON s.doc_id = ex.doc_id
            |ORDER BY doc_id""".stripMargin
       },
+      "t57_crossmodal_dedup" ->
+        s"""WITH tw0 AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + $TwinStride, text
+           |  FROM documents WHERE doc_id % 9 = 2
+           |  UNION ALL
+           |  SELECT doc_id + ${2 * TwinStride}, 'x' || substr(text, 2)
+           |  FROM documents WHERE doc_id % 9 = 5 AND length(text) > 0
+           |), tw AS (
+           |  SELECT doc_id, text FROM tw0
+           |  WHERE length(text) > 0
+           |    AND octet_length(encode(text)) = length(text)
+           |), ${minhashCtes(64, 16, 0.5, "tw")}, ${phashCtes("tw")}, ipairs AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+           |  WHERE bit_count(xor(a.phash, b.phash)) <= $PhashMaxHamming
+           |)
+           |SELECT COALESCE(t.id_a, i.id_a) AS id_a,
+           |  COALESCE(t.id_b, i.id_b) AS id_b,
+           |  CAST(t.id_a IS NOT NULL AS BIGINT) AS text_dup,
+           |  CAST(i.id_a IS NOT NULL AS BIGINT) AS image_dup,
+           |  CASE WHEN t.id_a IS NOT NULL AND i.id_a IS NOT NULL THEN 'both'
+           |       WHEN t.id_a IS NOT NULL THEN 'text' ELSE 'image' END AS modality
+           |FROM pairs t FULL OUTER JOIN ipairs i
+           |  ON t.id_a = i.id_a AND t.id_b = i.id_b
+           |ORDER BY 1, 2""".stripMargin,
       "t34_bpe_train" -> bpeTrainOracleSql,
       "t38_incremental_dedup" -> incrementalDedupOracleSql(64, 16, 0.5),
       "t37_quality_prune" ->

@@ -1511,6 +1511,56 @@ class TrainingDataSpec extends AnyFunSuite {
       s"HLL estimate $est vs exact $exact drifted past 3 sigma")
   }
 
+  test("t57 cross-modal dedup: every modality branch reachable; fixture " +
+      "verbatim twins land in 'both'") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.TrainingData
+    // synthetic docs engineered per branch. The pHash grid over a
+    // len-1024 doc samples EXACTLY positions 128r + 4c (r,c in 0..7)
+    // — all multiples of 4 — so a rewrite that only touches odd
+    // positions is invisible to the image channel while rewriting
+    // every word for the text channel.
+    val unit = "foo bar baz qux "           // 16 chars, len 1024 total
+    val imgA = unit * 64
+    val imgB = imgA.zipWithIndex.map { case (ch, i) =>
+      if (i % 4 == 1 && ch != ' ') (ch + 1).toChar else ch
+    }.mkString
+    assert(imgA.length == 1024 && imgB.length == 1024)
+    // text-only: a LONG inserted prefix changes the length by ~10%,
+    // so the stretched canvas re-samples every cell at a shifted
+    // absolute offset (image channel sees noise), while the shingle
+    // set stays ~82% shared (text channel pairs them)
+    val words = (0 until 200).map(i => s"w$i").mkString(" ")
+    val txtA = "start " + words
+    val txtB = ("zz " * 40) + words
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = Seq(
+      (1L, imgA), (2L, imgB),               // image-only pair
+      (10L, txtA), (11L, txtB),             // text-only pair
+      (20L, "a perfectly identical doc right here"),
+      (21L, "a perfectly identical doc right here") // both
+    ).toDF("doc_id", "text")
+    val got = TrainingData.crossModalDedup(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(4)).toMap
+    assert(got.get((1L, 2L)).contains("image"), s"got $got")
+    assert(got.get((10L, 11L)).contains("text"), s"got $got")
+    assert(got.get((20L, 21L)).contains("both"), s"got $got")
+    // fixture: every verbatim twin pair must agree across channels
+    val fix = TrainingData.docCrossModalDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(4)).toMap
+    val stride = TrainingData.TwinStride
+    val twins = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 9 === 2 && length(col("text")) > 0 &&
+        octet_length(col("text")) === length(col("text")))
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(twins.nonEmpty, "vacuous fixture")
+    twins.foreach { id =>
+      assert(fix.get((id, id + stride)).contains("both"),
+        s"verbatim twin of $id not in 'both': ${fix.get((id, id + stride))}")
+    }
+  }
+
   test("t55 KMV set-ops: sketches and estimators match a driver-side " +
       "reference; union estimate lands within the error band") {
     val k = 200
