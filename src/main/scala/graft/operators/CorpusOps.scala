@@ -1193,6 +1193,62 @@ object CorpusOps {
       h.as("shuffle_key"))
   }
 
+  /** Curriculum ordering — the deterministic training-stream export:
+    * every document gets a contiguous global `order_idx` realizing
+    * the order (quality bin DESC, shuffle_key, doc_id) — high-quality
+    * documents first (the standard easy→hard curriculum), shuffled
+    * within each bin by the same id-hash [[assignSplits]] uses, so
+    * the stream order is reproducible from ids alone. `bin` is the
+    * score's position among `nBins` equal-width slices of the
+    * [min, max] score range (broadcast two-value stats; integer
+    * arithmetic, degenerate max = min → one bin).
+    *
+    * The global index is computed WITHOUT a global sort or a
+    * single-partition window — the two-phase distributed ranking
+    * pattern: (1) a (bin, bucket)-keyed count histogram (bucket = the
+    * shuffle_key's top `bucketBits` bits, a monotone prefix of the
+    * within-bin order, so bucket order IS key order), cumulated into
+    * per-group offsets over a ≤ nBins·2^bucketBits-row relation
+    * (tiny — its single-partition window is over the histogram, not
+    * the corpus); (2) offsets broadcast back and added to a
+    * row_number windowed per (bin, bucket) — partitions are
+    * corpus/2^bucketBits-sized, the knob that keeps them
+    * executor-memory-bounded at 100 TB. The DuckDB oracle computes
+    * the same index as ONE naive global ROW_NUMBER, so the gate
+    * proves the distributed two-phase ranking equals the total
+    * order it claims to realize.
+    */
+  def curriculumOrder(docs: DataFrame, idCol: String, textCol: String,
+      nBins: Int = 4, bucketBits: Int = 6): DataFrame = {
+    require(nBins >= 1 && bucketBits >= 0 && bucketBits <= 31)
+    val scored = Dedup.barrier(
+      unigramMeanProb(docs, idCol, textCol)
+        .select(col("doc_id"), expr("hit_mass div n_tokens").as("score")),
+      col("doc_id"))
+    val mm = scored.agg(min(col("score")).as("mn"), max(col("score")).as("mx"))
+    // barrier: keyed feeds the histogram AND the final join; without
+    // it the tokenize+score lineage re-runs per consumer
+    val keyed = Dedup.barrier(
+      scored.crossJoin(broadcast(mm))
+        .select(col("doc_id"), col("score"),
+          expr(s"((score - mn) * $nBins) div (mx - mn + 1)").as("bin"),
+          (((col("doc_id") % 1000003L) * 2654435761L + 123456789L)
+            % 4294967296L).as("shuffle_key"))
+        .withColumn("bucket",
+          expr(s"shuffle_key div ${1L << (32 - bucketBits)}")),
+      col("doc_id"))
+    val hist = keyed.groupBy("bin", "bucket").agg(count(lit(1)).as("cnt"))
+    val wOff = Window.orderBy(col("bin").desc, col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = hist.withColumn("cum", sum(col("cnt")).over(wOff))
+      .select(col("bin"), col("bucket"), (col("cum") - col("cnt")).as("off"))
+    val wIn = Window.partitionBy("bin", "bucket")
+      .orderBy(col("shuffle_key"), col("doc_id"))
+    keyed.join(broadcast(offs), Seq("bin", "bucket"))
+      .select(col("doc_id"), col("score"), col("bin"), col("shuffle_key"),
+        (col("off") + row_number().over(wIn)).cast("long").as("order_idx"))
+  }
+
   // ---------------------------------------------------------------
   // Hashed importance reweighting (DSIR-style)
   // ---------------------------------------------------------------

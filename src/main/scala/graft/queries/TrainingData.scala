@@ -808,6 +808,19 @@ object TrainingData {
       .orderBy("id_a", "id_b")
   }
 
+  /** Curriculum ordering ([[CorpusOps.curriculumOrder]], 4 bins):
+    * the deterministic training-stream export — quality-binned
+    * easy→hard order with an in-bin id-hash shuffle and a contiguous
+    * global order index. The engine computes the index via the
+    * two-phase distributed ranking (histogram offsets + bounded
+    * windows); the oracle computes it as one naive global
+    * ROW_NUMBER — the gate proves the two agree row-for-row.
+    */
+  def docCurriculumOrder(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.curriculumOrder(Tables.documents(spark, dir), "doc_id", "text",
+        nBins = 4, bucketBits = 6)
+      .orderBy("order_idx")
+
   /** Cross-modal ensemble dedup: near-dup pairs surfaced by the TEXT
     * channel (MinHash-LSH, t06's contract), the IMAGE channel (real
     * BMP decode → pHash → Hamming banding, t50's contract), or both —
@@ -963,6 +976,7 @@ object TrainingData {
     "t55_kmv_setops" -> docKmvSetOps _,
     "t56_bloom_decontam" -> docBloomDecontam _,
     "t57_crossmodal_dedup" -> docCrossModalDedup _,
+    "t58_curriculum_order" -> docCurriculumOrder _,
   )
 
   /** Shared DuckDB CTE fragment: per-doc word-trigram shingle sets,
@@ -2133,6 +2147,33 @@ object TrainingData {
            |FROM pairs t FULL OUTER JOIN ipairs i
            |  ON t.id_a = i.id_a AND t.id_b = i.id_b
            |ORDER BY 1, 2""".stripMargin,
+      "t58_curriculum_order" ->
+        """WITH toks AS (
+          |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+          |  FROM documents
+          |), tf AS (
+          |  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+          |), cnt AS (
+          |  SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY term
+          |), agg AS (
+          |  SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+          |    CAST(SUM(tf.tf * cnt.cnt) AS BIGINT) AS hit_mass
+          |  FROM tf JOIN cnt USING (term) GROUP BY 1
+          |), scored AS (
+          |  SELECT doc_id, hit_mass // n_tokens AS score FROM agg
+          |), mm AS (
+          |  SELECT MIN(score) AS mn, MAX(score) AS mx FROM scored
+          |), keyed AS (
+          |  SELECT doc_id, score,
+          |    ((score - mn) * 4) // (mx - mn + 1) AS bin,
+          |    ((doc_id % 1000003) * 2654435761 + 123456789) % 4294967296
+          |      AS shuffle_key
+          |  FROM scored, mm
+          |)
+          |SELECT doc_id, score, bin, shuffle_key,
+          |  CAST(ROW_NUMBER() OVER (ORDER BY bin DESC, shuffle_key, doc_id)
+          |    AS BIGINT) AS order_idx
+          |FROM keyed ORDER BY order_idx""".stripMargin,
       "t34_bpe_train" -> bpeTrainOracleSql,
       "t38_incremental_dedup" -> incrementalDedupOracleSql(64, 16, 0.5),
       "t37_quality_prune" ->

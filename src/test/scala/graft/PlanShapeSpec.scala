@@ -321,6 +321,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(1200))
   }
 
+  test("t58: curriculum offsets broadcast; corpus window is partitioned") {
+    val plan = planOf(operators.CorpusOps.curriculumOrder(
+      Tables.documents(spark, dir), "doc_id", "text", 4, 6))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"offset histogram lost its broadcast:\n${plan.take(1200)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    // the corpus-sized row_number must be partitioned by (bin, bucket)
+    // — a partitionless corpus window would serialize on one task
+    assert(plan.contains("windowspecdefinition(bin"),
+      s"corpus window lost its (bin, bucket) partitioning:\n${plan.take(1500)}")
+  }
+
   test("t54: HLL registers partial-aggregate map-side; no wide shuffle") {
     val plan = planOf(operators.CorpusOps.hllDistinctSketch(
       Tables.documents(spark, dir), "text", 3, 8))

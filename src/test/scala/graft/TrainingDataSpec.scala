@@ -1511,6 +1511,29 @@ class TrainingDataSpec extends AnyFunSuite {
       s"HLL estimate $est vs exact $exact drifted past 3 sigma")
   }
 
+  test("t58 curriculum order: contiguous permutation realizing " +
+      "(bin desc, shuffle_key, doc_id)") {
+    val rows = CorpusOps.curriculumOrder(
+        Tables.documents(spark, dir), "doc_id", "text", nBins = 4,
+        bucketBits = 6)
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("order_idx")),
+        r.getLong(r.fieldIndex("bin")),
+        r.getLong(r.fieldIndex("shuffle_key")),
+        r.getLong(r.fieldIndex("doc_id"))))
+      .sortBy(_._1)
+    // contiguous 1..N — the two-phase offsets left no gap and no dup
+    assert(rows.map(_._1).toSeq == (1L to rows.length.toLong))
+    // the realized order is exactly (bin desc, shuffle_key, doc_id)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 > b._2 ||
+        (a._2 == b._2 && (a._3 < b._3 || (a._3 == b._3 && a._4 < b._4))),
+        s"order violated between $a and $b")
+    }
+    assert(rows.map(_._2).distinct.length > 1,
+      "vacuous fixture: a single quality bin exercises no bin boundary")
+  }
+
   test("t57 cross-modal dedup: every modality branch reachable; fixture " +
       "verbatim twins land in 'both'") {
     import org.apache.spark.sql.functions._
