@@ -224,7 +224,7 @@ object CorpusOps {
     * regroup, no corpus shuffle keyed on shingles.
     */
   def bloomDecontaminate(train: DataFrame, bench: DataFrame, idCol: String,
-      textCol: String, n: Int): DataFrame = {
+      textCol: String, n: Int, withExact: Boolean = true): DataFrame = {
     GraftFunctions.register(train.sparkSession)
     val m = BloomBits
     def probe(h: Column, p: (Long, Long)): Column =
@@ -235,11 +235,17 @@ object CorpusOps {
       .select(explode(Dedup.shingles(col(textCol), n)).as("g"))
       .select(call_function("poly_hash", col("g")).as("hb"))
       .distinct()
-    val words = benchHashes
-      .select(explode(array(probe(col("hb"), BloomProbe1),
-        probe(col("hb"), BloomProbe2))).as("pos"))
-      .select(expr("pos div 64").as("w"), mask("pos").as("mask"))
-      .groupBy("w").agg(expr("bit_or(mask)").as("word"))
+    // barrier before the per-probe renames: both membership joins
+    // broadcast this relation, and the renamed projections would
+    // otherwise be distinct subtrees — the filter build would run
+    // (and re-tokenize the benchmark) once per probe
+    val words = Dedup.barrier(
+      benchHashes
+        .select(explode(array(probe(col("hb"), BloomProbe1),
+          probe(col("hb"), BloomProbe2))).as("pos"))
+        .select(expr("pos div 64").as("w"), mask("pos").as("mask"))
+        .groupBy("w").agg(expr("bit_or(mask)").as("word")),
+      col("w"))
     val trainG = train
       .select(col(idCol).as("doc_id"),
         explode(Dedup.shingles(col(textCol), n)).as("g"))
@@ -256,15 +262,23 @@ object CorpusOps {
           (coalesce(col("word2"), lit(0L)).bitwiseAND(mask("p2")) =!= 0))
           .cast("long"))
       .groupBy("doc_id").agg(sum(col("hit")).as("n_hits"))
-    val exact = contaminatedIds(train, bench, idCol, textCol, n)
-      .select(col(idCol).as("doc_id"), lit(1L).as("exact_hit"))
-    train.select(col(idCol).as("doc_id"),
+    val base = train.select(col(idCol).as("doc_id"),
         size(Dedup.shingles(col(textCol), n)).cast("long").as("n_shingles"))
       .join(hits, Seq("doc_id"), "left")
-      .join(exact, Seq("doc_id"), "left")
       .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
       .withColumn("flagged", (col("n_hits") > 0).cast("long"))
-      .withColumn("exact_hit", coalesce(col("exact_hit"), lit(0L)))
+    // the exact companion re-runs the exact broadcast-set path —
+    // the very cost the Bloom filter exists to avoid. Test-SF/audit
+    // luxury (the t56 gate and the FP accounting); production
+    // pipelines at benchmark scale pass withExact = false and pay
+    // only the 128 KB word broadcast.
+    if (!withExact) base
+    else {
+      val exact = contaminatedIds(train, bench, idCol, textCol, n)
+        .select(col(idCol).as("doc_id"), lit(1L).as("exact_hit"))
+      base.join(exact, Seq("doc_id"), "left")
+        .withColumn("exact_hit", coalesce(col("exact_hit"), lit(0L)))
+    }
   }
 
   // ---------------------------------------------------------------
@@ -358,15 +372,17 @@ object CorpusOps {
     * consumer can apply their own. Fixture vocabularies sit far
     * above the 2.5m correction cutoff.
     *
-    * Scale shape: registers are a groupBy(bucket).max — map-side
-    * combine collapses every partition to ≤ m rows before the
-    * exchange, the shuffle carries ≤ m·partitions 16-byte rows, and
-    * the final fold is one m-row agg. Registers are mergeable by
-    * max, so per-shard sketches union incrementally without
-    * re-reading history — at 100 TB the sketch costs one streaming
-    * pass and m longs of state, where exact distinct would shuffle
-    * the full vocabulary (the `exact_distinct` companion column is a
-    * test-SF luxury for the accuracy check, as in KMV).
+    * Scale shape: registers are a groupBy(bucket).max whose map-side
+    * combine collapses every partition to ≤ m rows before its
+    * exchange; the final fold is one m-row agg. Registers are
+    * mergeable by max, so per-shard sketches union incrementally
+    * without re-reading history. As shipped, the register stream and
+    * the `exact_distinct` companion (a test-SF luxury for the
+    * accuracy check, as in KMV) both read one shared distinct-hash
+    * relation so its exchange is reused rather than tokenizing the
+    * corpus twice; a companion-free production sketch groups the raw
+    * gram stream directly — one streaming pass and m longs of state,
+    * no vocabulary-wide shuffle anywhere.
     */
   def hllDistinctSketch(docs: DataFrame, textCol: String, n: Int, p: Int): DataFrame = {
     require(p >= 4 && p <= 16, s"precision $p outside [4,16]")
@@ -375,10 +391,17 @@ object CorpusOps {
     val remBits = 32 - p
     val ts = TextFunctions.tokens(col(textCol))
     val grams = if (n == 1) ts else multisetGrams(ts, n)
+    // the register max over the raw gram stream equals the max over
+    // DISTINCT hashes, and the exact_distinct companion needs the
+    // distinct relation anyway — computing both from one shared
+    // distinct lets the planner reuse its exchange instead of
+    // tokenizing the corpus twice (companion-free production HLL
+    // would group the raw stream directly and skip the distinct)
     val hashes = docs
       .select(explode(grams).as("tk"))
       .select(((call_function("poly_hash", col("tk")) * 2654435761L + 123456789L)
         % 4294967296L).as("h"))
+      .distinct()
     // ρ via the msb position of the register remainder: bin() renders
     // without leading zeros in BOTH engines, so length(bin(rem)) is
     // msb+1 and ρ = remBits − msb = remBits + 1 − length(bin(rem));
@@ -400,7 +423,7 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_filled"),
         sum(expr(s"shiftleft(cast(1 as bigint), cast($maxRho - r as int))"))
           .as("z_filled"))
-      .crossJoin(broadcast(hashes.distinct().agg(
+      .crossJoin(broadcast(hashes.agg(
         count(lit(1)).as("exact_distinct"))))
       .select(
         lit(p.toLong).as("p"),
@@ -453,8 +476,11 @@ object CorpusOps {
     }
     val ha = hashes(docsA)
     val hb = hashes(docsB)
-    val sa = ha.orderBy("h").limit(k)
-    val sb = hb.orderBy("h").limit(k)
+    // barrier each k-row sketch: sa/sb feed THREE consumers (merged
+    // bottom-k, the membership join, the side stats) — the exchange
+    // is reused, so each TakeOrdered runs once instead of per consumer
+    val sa = Dedup.barrier(ha.orderBy("h").limit(k), col("h"))
+    val sb = Dedup.barrier(hb.orderBy("h").limit(k), col("h"))
     val merged = sa.union(sb).distinct().orderBy("h").limit(k)
     val statsU = merged
       .join(sa.select(col("h"), lit(1).as("in_a")), Seq("h"), "left")
