@@ -774,7 +774,8 @@ object TrainingData {
     * discriminative time-binned hash finds almost nothing — same
     * non-vacuity argument as [[docsWithTwins]]. The len/ASCII gate
     * applies per row AFTER the union, mirroring the oracle's
-    * tw → ad order.
+    * tw → ad order. The plant is modality-generic, so t57's
+    * cross-modal ensemble reuses this same twinned corpus.
     */
   private def docsWithAudioTwins(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
