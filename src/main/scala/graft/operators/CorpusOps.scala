@@ -384,36 +384,55 @@ object CorpusOps {
     * gram stream directly — one streaming pass and m longs of state,
     * no vocabulary-wide shuffle anywhere.
     */
-  def hllDistinctSketch(docs: DataFrame, textCol: String, n: Int, p: Int): DataFrame = {
-    require(p >= 4 && p <= 16, s"precision $p outside [4,16]")
+  /** The corpus word n-gram hash stream shared by the sketch family:
+    * 31-bit PolyHash spread by the LCG into 2³².
+    */
+  private def gramHashes(docs: DataFrame, textCol: String, n: Int): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
-    val m = 1 << p
-    val remBits = 32 - p
     val ts = TextFunctions.tokens(col(textCol))
     val grams = if (n == 1) ts else multisetGrams(ts, n)
-    // the register max over the raw gram stream equals the max over
-    // DISTINCT hashes, and the exact_distinct companion needs the
-    // distinct relation anyway — computing both from one shared
-    // distinct lets the planner reuse its exchange instead of
-    // tokenizing the corpus twice (companion-free production HLL
-    // would group the raw stream directly and skip the distinct)
-    val hashes = docs
-      .select(explode(grams).as("tk"))
+    docs.select(explode(grams).as("tk"))
       .select(((call_function("poly_hash", col("tk")) * 2654435761L + 123456789L)
         % 4294967296L).as("h"))
-      .distinct()
-    // ρ via the msb position of the register remainder: bin() renders
-    // without leading zeros in BOTH engines, so length(bin(rem)) is
-    // msb+1 and ρ = remBits − msb = remBits + 1 − length(bin(rem));
-    // rem = 0 (all remBits zero) pins the max rank remBits + 1
-    val regs = hashes
+  }
+
+  /** (bucket, r) HLL registers from a hash relation: ρ via the msb
+    * position of the register remainder — bin() renders without
+    * leading zeros in BOTH engines, so length(bin(rem)) is msb+1 and
+    * ρ = remBits + 1 − length(bin(rem)); rem = 0 pins the max rank.
+    */
+  private def hllRegs(hashes: DataFrame, p: Int): DataFrame = {
+    val m = 1 << p
+    val remBits = 32 - p
+    hashes
       .select((col("h") % m).as("bucket"), expr(s"h div $m").as("rem"))
       .select(col("bucket"),
         when(col("rem") === 0, lit(remBits + 1))
           .otherwise(lit(remBits + 1) - length(bin(col("rem")))).as("rho"))
       .groupBy("bucket")
       .agg(max(col("rho")).as("r"))
-    val maxRho = remBits + 1
+  }
+
+  /** HLL registers over a corpus — the MERGEABLE state form: a
+    * ≤ 2^p-row (bucket, r) relation where r is a max-semilattice, so
+    * shard/batch registers union by groupBy(bucket).max into exactly
+    * the whole-corpus registers (what
+    * [[graft.streaming.EventStreams.hllSketchStream]] maintains per
+    * micro-batch). Computed straight off the raw gram stream — the
+    * production form; the register max partial-aggregates map-side.
+    */
+  def hllRegisters(docs: DataFrame, textCol: String, n: Int, p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, s"precision $p outside [4,16]")
+    hllRegs(gramHashes(docs, textCol, n), p)
+  }
+
+  /** The HLL estimate row from a (bucket, r) register relation —
+    * split from [[hllDistinctSketch]] so stream-maintained register
+    * state yields the identical estimate columns.
+    */
+  def hllEstimateFromRegisters(regs: DataFrame, p: Int): DataFrame = {
+    val m = 1 << p
+    val maxRho = 32 - p + 1
     // every literal cast to double explicitly: bare 0.7213 parses as
     // DECIMAL in both Spark and DuckDB, and decimal division follows
     // engine-specific precision rules — doubles are IEEE-identical
@@ -423,20 +442,30 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_filled"),
         sum(expr(s"shiftleft(cast(1 as bigint), cast($maxRho - r as int))"))
           .as("z_filled"))
-      .crossJoin(broadcast(hashes.agg(
-        count(lit(1)).as("exact_distinct"))))
       .select(
         lit(p.toLong).as("p"),
         lit(m.toLong).as("m"),
         (lit(m.toLong) - col("n_filled")).as("n_zero_regs"),
         (col("z_filled") +
-          (lit(m.toLong) - col("n_filled")) * lit(1L << maxRho)).as("z_scaled"),
-        col("exact_distinct"))
+          (lit(m.toLong) - col("n_filled")) * lit(1L << maxRho)).as("z_scaled"))
       .select(col("p"), col("m"), col("n_zero_regs"), col("z_scaled"),
         expr(s"cast(floor($alpha * cast(${m.toLong * m} as double)" +
           s" * cast(${1L << maxRho} as double)" +
-          " / cast(z_scaled as double)) as bigint)").as("est_distinct"),
-        col("exact_distinct"))
+          " / cast(z_scaled as double)) as bigint)").as("est_distinct"))
+  }
+
+  def hllDistinctSketch(docs: DataFrame, textCol: String, n: Int, p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, s"precision $p outside [4,16]")
+    // the register max over the raw gram stream equals the max over
+    // DISTINCT hashes, and the exact_distinct companion needs the
+    // distinct relation anyway — computing both from one shared
+    // distinct lets the planner reuse its exchange instead of
+    // tokenizing the corpus twice (companion-free production HLL
+    // is [[hllRegisters]] over the raw stream)
+    val hashes = gramHashes(docs, textCol, n).distinct()
+    hllEstimateFromRegisters(hllRegs(hashes, p), p)
+      .crossJoin(broadcast(hashes.agg(
+        count(lit(1)).as("exact_distinct"))))
   }
 
   /** Distinct-count SET OPERATIONS between two corpora via bottom-k
@@ -465,17 +494,8 @@ object CorpusOps {
     */
   def kmvSetOps(docsA: DataFrame, docsB: DataFrame, textCol: String,
       n: Int, k: Int): DataFrame = {
-    GraftFunctions.register(docsA.sparkSession)
-    def hashes(d: DataFrame): DataFrame = {
-      val ts = TextFunctions.tokens(col(textCol))
-      val grams = if (n == 1) ts else multisetGrams(ts, n)
-      d.select(explode(grams).as("tk"))
-        .select(((call_function("poly_hash", col("tk")) * 2654435761L
-          + 123456789L) % 4294967296L).as("h"))
-        .distinct()
-    }
-    val ha = hashes(docsA)
-    val hb = hashes(docsB)
+    val ha = gramHashes(docsA, textCol, n).distinct()
+    val hb = gramHashes(docsB, textCol, n).distinct()
     // barrier each k-row sketch: sa/sb feed THREE consumers (merged
     // bottom-k, the membership join, the side stats) — the exchange
     // is reused, so each TakeOrdered runs once instead of per consumer

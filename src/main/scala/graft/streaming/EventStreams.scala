@@ -201,6 +201,43 @@ object EventStreams {
     q.stop()
   }
 
+  /** Streaming HLL maintenance: per micro-batch, fold the arriving
+    * documents' n-gram hashes into HLL registers
+    * ([[graft.operators.CorpusOps.hllRegisters]]) and MERGE-BY-MAX
+    * into the (bucket, r) register relation at `path` — the
+    * streaming proof of the sketch's mergeability claim: r is a
+    * max-semilattice, so the maintained state equals the batch
+    * registers of everything ever streamed, any batch replay is
+    * idempotent (at-least-once becomes effectively-once without a
+    * read-side dedup), and
+    * [[graft.operators.CorpusOps.hllEstimateFromRegisters]] over the
+    * state is the live distinct-count. State is ≤ 2^p rows on disk,
+    * never executor memory; the same move-aside atomic swap as
+    * [[upsertToRelation]] (which is NOT reused directly: its
+    * merge REPLACES a key's row with the batch's, where registers
+    * need max(old, new)).
+    */
+  def hllSketchStream(docs: DataFrame, textCol: String, n: Int, p: Int,
+      path: String): Unit = {
+    val spark = docs.sparkSession
+    val q = docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val regs = graft.operators.CorpusOps
+          .hllRegisters(batch.toDF(), textCol, n, p)
+        val dir = java.nio.file.Paths.get(path)
+        val merged =
+          if (java.nio.file.Files.isDirectory(dir))
+            spark.read.parquet(path).unionByName(regs)
+              .groupBy("bucket").agg(max(col("r")).as("r"))
+          else regs
+        swapInRelation(merged, path)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Stream-stream interval join: each click joined to the same
     * user's views from the preceding `window` — the canonical
     * two-firehose correlation. BOTH sides carry watermarks and the
@@ -301,19 +338,28 @@ object EventStreams {
             old.join(latest.select(key).distinct(), Seq(key), "left_anti")
               .unionByName(latest.select(old.columns.map(col): _*))
           } else latest
-        val staging = java.nio.file.Paths.get(path + "__staging")
-        merged.write.mode("overwrite").parquet(staging.toString)
-        val retired = java.nio.file.Paths.get(path + "__retired")
-        deleteRecursively(retired)
-        if (java.nio.file.Files.isDirectory(dir))
-          java.nio.file.Files.move(dir, retired)
-        java.nio.file.Files.move(staging, dir)
-        deleteRecursively(retired)
+        swapInRelation(merged, path)
         ()
       }
       .start()
     q.processAllAvailable()
     q.stop()
+  }
+
+  /** Materialize `merged` (whose lineage may READ the relation at
+    * `path`) into a staging dir, then atomically move it into place —
+    * the shared swap for every foreachBatch relation sink.
+    */
+  private def swapInRelation(merged: DataFrame, path: String): Unit = {
+    val dir = java.nio.file.Paths.get(path)
+    val staging = java.nio.file.Paths.get(path + "__staging")
+    merged.write.mode("overwrite").parquet(staging.toString)
+    val retired = java.nio.file.Paths.get(path + "__retired")
+    deleteRecursively(retired)
+    if (java.nio.file.Files.isDirectory(dir))
+      java.nio.file.Files.move(dir, retired)
+    java.nio.file.Files.move(staging, dir)
+    deleteRecursively(retired)
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {

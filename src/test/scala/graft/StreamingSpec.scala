@@ -211,6 +211,39 @@ class StreamingSpec extends AnyFunSuite {
       "stream log == batch disposition")
   }
 
+  test("streaming HLL registers: state == batch sketch, replay idempotent") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val d = java.nio.file.Files.createTempDirectory("graft_hllstream")
+    // several files -> several micro-batches under maxFilesPerTrigger
+    docs.repartition(4).write.parquet(d.resolve("in").toString)
+    val state = d.resolve("hll_state").toString
+    def stream() = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(d.resolve("in").toString)
+    EventStreams.hllSketchStream(stream(), "text", n = 3, p = 8, state)
+    val got = spark.read.parquet(state)
+    val expect = graft.operators.CorpusOps
+      .hllRegisters(docs, "text", 3, 8)
+    // incremental max-merge across micro-batches == one batch pass
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty,
+      "stream-maintained registers diverge from the batch registers")
+    // the estimate over the state matches the gated t54 estimate row
+    val fromState = graft.operators.CorpusOps
+      .hllEstimateFromRegisters(got, 8).collect().head
+    val batchRow = graft.queries.TrainingData
+      .docHllSketch(spark, "/root/testdata/sf0.001").collect().head
+    Seq("p", "m", "n_zero_regs", "z_scaled", "est_distinct").foreach { c =>
+      assert(fromState.getLong(fromState.fieldIndex(c)) ==
+        batchRow.getLong(batchRow.fieldIndex(c)), s"column $c diverged")
+    }
+    // replaying the whole stream over existing state must be a no-op
+    EventStreams.hllSketchStream(stream(), "text", n = 3, p = 8, state)
+    val again = spark.read.parquet(state)
+    assert(again.exceptAll(expect).isEmpty && expect.exceptAll(again).isEmpty,
+      "replay must converge to the same registers (max is idempotent)")
+  }
+
   test("foreachBatch upsert sink: latest row per key, idempotent on replay") {
     val out = java.nio.file.Files.createTempDirectory("graft_upsert")
       .resolve("user_state").toString
