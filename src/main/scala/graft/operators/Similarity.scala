@@ -656,6 +656,74 @@ object Similarity {
         (col("adist_scaled").cast("double") / 1e6).as("approx_dist"))
   }
 
+  /** IVF-PQ top-k ANN — the production composition (the FAISS-IVFPQ
+    * shape): the Lloyd-trained coarse quantizer routes every vector
+    * into ONE inverted list; each query probes its `nprobe` best
+    * cells by the same (cosine desc, cid asc) score; and ONLY the
+    * probed lists' PQ CODES are ADC-scored. Against t33's exhaustive
+    * code scan the candidate volume drops to ~nprobe/nlist of the
+    * corpus; against t16's IVF re-rank the probed lists are read as
+    * m-byte codes, never raw vectors — raw vectors ride only the
+    * broadcast side (queries, centroids, codebook, LUT). Distances
+    * are scaled-long sums, so the DuckDB oracle replays centroid
+    * training, cell assignment, probe selection, the LUT, and the
+    * ranking bit-for-bit.
+    *
+    * Scale shape: the code scan joins its cell assignment once on id
+    * (two skinny columns), drops to probed cells via the broadcast
+    * (qid, cell) relation, and the per-(query, vector) sum and rank
+    * window are the t33 shapes. Nothing quadratic, and after the
+    * one-time assignment nothing vector-wide crosses the wire.
+    */
+  def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int, minNlist: Int = 16, nprobe: Int = 2,
+      m: Int = 4, ksub: Int = 16): DataFrame = {
+    val v = withNorm(emb, idCol, vecCol)
+    val c = trainedCentroids(v, minNlist)
+    val cells = Dedup.barrier(
+      v.join(broadcast(c))
+        .select(col("id"),
+          struct((-(dot(col("e"), col("ce")) / (col("n") * col("cn")))).as("negcs"),
+            col("cid")).as("sc"))
+        .groupBy("id").agg(min(col("sc")).as("best"))
+        .select(col("id"), col("best")("cid").as("cell")),
+      col("id"))
+    val wp = Window.partitionBy("qid").orderBy(col("negcs"), col("cell"))
+    val qprobes = v.filter(col("id").isin(queryIds: _*))
+      .join(broadcast(c))
+      .select(col("id").as("qid"),
+        (-(dot(col("e"), col("ce")) / (col("n") * col("cn")))).as("negcs"),
+        col("cid").as("cell"))
+      .withColumn("pr", row_number().over(wp))
+      .filter(col("pr") <= nprobe)
+      .select(col("qid"), col("cell"))
+    val cb = pqCodebook(emb, idCol, vecCol, m, ksub)
+    val e = transform(col(vecCol), x => x.cast("double"))
+    val qsub = emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("qid"), e.as("e"))
+      .select(col("qid"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
+        col("e"))
+      .select(col("qid"), col("sub").cast("long").as("sub"),
+        expr(s"slice(e, CAST(sub * (size(e) div $m) + 1 AS INT), " +
+          s"size(e) div $m)").as("qv"))
+    val lut = qsub.join(broadcast(cb), "sub")
+      .select(col("qid"), col("sub"), col("code"),
+        floor(l2sq(col("qv"), col("cv")) * lit(1e6)).as("lut_scaled"))
+    val codes = pqAssign(emb, idCol, vecCol, m, ksub)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist_scaled"), col("vec_id"))
+    codes.join(cells, "id")
+      .join(broadcast(qprobes), Seq("cell"))
+      .join(broadcast(lut), Seq("qid", "sub", "code"))
+      .filter(col("qid") =!= col("id"))
+      .groupBy(col("qid").as("query_id"), col("id").as("vec_id"))
+      .agg(min(col("cell")).as("cell"), sum("lut_scaled").as("adist_scaled"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cell"),
+        (col("adist_scaled").cast("double") / 1e6).as("approx_dist"))
+  }
+
   // ---------------------------------------------------------------
   // Int8 scalar quantization (SQ)
   // ---------------------------------------------------------------

@@ -500,6 +500,17 @@ object TrainingData {
         PqQueryIds, k = 5, m = 8, ksub = 64)
       .orderBy("query_id", "rank")
 
+  /** IVF-PQ search ([[Similarity.ivfPqTopK]]): the t16 coarse
+    * quantizer composed with the t33 code scan — probe 2 of the
+    * Lloyd-trained cells, ADC-score only the probed lists' codes.
+    * The oracle replays the entire composition: centroid training,
+    * cell routing, probe choice, LUT, ranking.
+    */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfPqTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        PqQueryIds, k = 5, minNlist = 16, nprobe = 2, m = 8, ksub = 64)
+      .orderBy("query_id", "rank")
+
   /** Int8 scalar quantization ([[Similarity.sqEncode]]): every
     * embedding as (symmetric scale, int8 code array, reconstruction
     * error). Codes are stringified for the gate only (driver
@@ -978,6 +989,7 @@ object TrainingData {
     "t56_bloom_decontam" -> docBloomDecontam _,
     "t57_crossmodal_dedup" -> docCrossModalDedup _,
     "t58_curriculum_order" -> docCurriculumOrder _,
+    "t59_ann_ivfpq_topk" -> annIvfPq _,
   )
 
   /** Shared DuckDB CTE fragment: per-doc word-trigram shingle sets,
@@ -2272,6 +2284,47 @@ object TrainingData {
            |  FROM acc
            |)
            |SELECT query_id, rank, vec_id,
+           |  CAST(adist_scaled AS DOUBLE) / 1000000.0 AS approx_dist
+           |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+      "t59_ann_ivfpq_topk" ->
+        s"""WITH ${pqCtes(8, 64)}, ${lloydCtes("v", 16)}, pasg AS (
+           |  SELECT v.vec_id, c.cid, ${cosSql("v.e", "c.ce")} AS cs
+           |  FROM v, lc2 c
+           |), pasgr AS (
+           |  SELECT vec_id, cid,
+           |    ROW_NUMBER() OVER (PARTITION BY vec_id
+           |      ORDER BY cs DESC, cid) AS pr
+           |  FROM pasg
+           |), vcells AS (
+           |  SELECT vec_id, cid FROM pasgr WHERE pr = 1
+           |), qpr AS (
+           |  SELECT vec_id AS qid, cid FROM pasgr
+           |  WHERE pr <= 2 AND vec_id IN (${PqQueryIds.mkString(", ")})
+           |), q AS (
+           |  SELECT vec_id AS qid, sub, sv AS qv FROM sv
+           |  WHERE vec_id IN (${PqQueryIds.mkString(", ")})
+           |), lut AS (
+           |  SELECT q.qid, q.sub, c.code,
+           |    CAST(FLOOR(${l2sqSql("qv", "cv", 8)} * 1000000.0) AS BIGINT)
+           |      AS lut_scaled
+           |  FROM q JOIN cs c USING (sub)
+           |), acc AS (
+           |  SELECT l.qid AS query_id, b.vec_id,
+           |    MIN(ce.cid) AS cell,
+           |    CAST(SUM(l.lut_scaled) AS BIGINT) AS adist_scaled
+           |  FROM best b
+           |  JOIN vcells ce ON ce.vec_id = b.vec_id
+           |  JOIN qpr ON qpr.cid = ce.cid
+           |  JOIN lut l ON l.sub = b.sub AND l.code = b.code
+           |    AND l.qid = qpr.qid AND l.qid <> b.vec_id
+           |  GROUP BY 1, 2
+           |), r AS (
+           |  SELECT query_id, vec_id, cell, adist_scaled,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY adist_scaled, vec_id) AS BIGINT) AS rank
+           |  FROM acc
+           |)
+           |SELECT query_id, rank, vec_id, cell,
            |  CAST(adist_scaled AS DOUBLE) / 1000000.0 AS approx_dist
            |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
       "t31_split_shuffle" ->

@@ -309,6 +309,17 @@ class PlanShapeSpec extends AnyFunSuite {
       "audio banding lost its equi-join on (band, chunk)")
   }
 
+  test("t59: IVF-PQ probes/LUT broadcast; rank-pushdown top-k; no cartesian") {
+    val plan = planOf(operators.Similarity.ivfPqTopK(
+      Tables.embeddings(spark, dir), "vec_id", "embedding",
+      Seq(0L, 7L, 42L), 5, 16, 2, 4, 16))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe/LUT relations lost their broadcast:\n${plan.take(1200)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected rank-pushdown top-k:\n${plan.take(1200)}")
+  }
+
   test("t56: Bloom words broadcast; no shingle-keyed corpus shuffle") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, dir)

@@ -1511,6 +1511,33 @@ class TrainingDataSpec extends AnyFunSuite {
       s"HLL estimate $est vs exact $exact drifted past 3 sigma")
   }
 
+  test("t59 IVF-PQ: rows agree with the exhaustive ADC scan on distance; " +
+      "probing only prunes, never rescores") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, dir)
+    val qids = Seq(0L, 7L, 42L)
+    val ivfpq = Similarity.ivfPqTopK(emb, "vec_id", "embedding", qids,
+      k = 5, minNlist = 16, nprobe = 2, m = 4, ksub = 16).collect()
+    // exhaustive ADC over the whole corpus at huge k = the reference
+    val full = Similarity.pqAdcTopK(emb, "vec_id", "embedding", qids,
+        k = 100000, m = 4, ksub = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(ivfpq.nonEmpty, "no IVF-PQ results")
+    ivfpq.foreach { r =>
+      val key = (r.getLong(r.fieldIndex("query_id")),
+        r.getLong(r.fieldIndex("vec_id")))
+      val d = r.getDouble(r.fieldIndex("approx_dist"))
+      assert(full.get(key).contains(d),
+        s"IVF-PQ rescored $key: $d vs ${full.get(key)}")
+    }
+    // per query: <= k rows, contiguous ranks from 1
+    ivfpq.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val ranks = rows.map(_.getLong(1)).sorted
+      assert(ranks.length <= 5 && ranks.toSeq == (1L to ranks.length.toLong),
+        s"query $q ranks $ranks")
+    }
+  }
+
   test("t58 curriculum order: contiguous permutation realizing " +
       "(bin desc, shuffle_key, doc_id)") {
     val rows = CorpusOps.curriculumOrder(
