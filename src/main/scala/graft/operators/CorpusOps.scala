@@ -1295,6 +1295,66 @@ object CorpusOps {
         (col("off") + row_number().over(wIn)).cast("long").as("order_idx"))
   }
 
+  /** In-engine classifier TRAINING: batch perceptron over hashed
+    * bag-of-words features — the training face of
+    * [[hashedLinearScore]] (which consumes exactly the weight layout
+    * this emits). Features are token PolyHash mod F counts; labels
+    * ±1 from `positive`; each round scores every document against
+    * the current weights, and the per-bucket gradient Σ y·x over the
+    * MISCLASSIFIED set (y·score ≤ 0 — with zero init, round 1 is the
+    * classic everything-misclassified step) adds into the weights.
+    * Everything is BIGINT — counts, scores, gradients — so the DuckDB
+    * oracle replays all `rounds` unrolled rounds weight-for-weight.
+    *
+    * Scale shape: the feature relation builds once (one tokenize
+    * pass, barriered on doc_id) and every round is two aggregations
+    * over it — a per-doc score sum (weights ride as an F-entry
+    * literal array, the broadcast degenerate case) and a per-bucket
+    * gradient join co-partitioned on the barrier key. The driver
+    * collects F longs per round (bounded, the same legitimate
+    * iterative-driver pattern as Lloyd/BPE). At 100 TB each round is
+    * two passes over a skinny (doc, bucket, cnt) relation — no
+    * per-sample sequential dependence anywhere.
+    */
+  def perceptronTrain(docs: DataFrame, idCol: String, textCol: String,
+      positive: Column, f: Int = 64, rounds: Int = 3): DataFrame = {
+    require(f >= 1 && rounds >= 1)
+    GraftFunctions.register(docs.sparkSession)
+    val spark = docs.sparkSession
+    val feats = Dedup.barrier(
+      docs.select(col(idCol).as("doc_id"),
+          when(positive, 1L).otherwise(-1L).as("y"),
+          explode(TextFunctions.tokens(col(textCol))).as("tk"))
+        .select(col("doc_id"), col("y"),
+          pmod(call_function("poly_hash", col("tk")), lit(f.toLong)).as("bucket"))
+        .groupBy("doc_id", "y", "bucket").agg(count(lit(1)).as("cnt")),
+      col("doc_id")).localCheckpoint()
+    val w = Array.fill(f)(0L)
+    for (_ <- 1 to rounds) {
+      val wArr = array(w.map(lit): _*)
+      val mis = feats
+        .groupBy("doc_id", "y")
+        .agg(sum(col("cnt") *
+          element_at(wArr, col("bucket").cast("int") + 1)).as("score"))
+        .filter(col("y") * col("score") <= 0)
+        .select("doc_id")
+      val grad = feats.join(mis, "doc_id")
+        .groupBy("bucket")
+        .agg(sum(col("y") * col("cnt")).as("g"))
+        .collect()
+      grad.foreach(r => w(r.getLong(0).toInt) += r.getLong(1))
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      (0 until f).map(b =>
+        org.apache.spark.sql.Row(b.toLong, w(b))).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("bucket",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("weight",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
   // ---------------------------------------------------------------
   // Hashed importance reweighting (DSIR-style)
   // ---------------------------------------------------------------

@@ -340,6 +340,22 @@ object TrainingData {
         ClassifierWeights, bias = 0L, threshold = 0L)
       .orderBy("doc_id")
 
+  /** In-engine classifier training ([[CorpusOps.perceptronTrain]],
+    * F = 64, 3 rounds): a batch perceptron over hashed bag-of-words
+    * counts, labeled by the `lang` column — the weights feed
+    * [[CorpusOps.hashedLinearScore]] (t45) directly. The oracle
+    * unrolls all three training rounds weight-for-weight in BIGINT
+    * SQL, so the gate checks the full optimization trajectory, not
+    * just a final artifact. (The fixture corpus is driver-synthetic
+    * with one shared vocabulary across langs, so the label here
+    * exercises the MACHINERY — the separability/convergence behavior
+    * is pinned by the spec's disjoint-support corpus instead.)
+    */
+  def docPerceptronTrain(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.perceptronTrain(Tables.documents(spark, dir), "doc_id", "text",
+        positive = col("lang") === "en", f = 64, rounds = 3)
+      .orderBy("bucket")
+
   /** DSIR-style hashed importance reweighting
     * ([[CorpusOps.importanceReweight]], 1024 buckets, scale 2^20):
     * target = the first three sources (the same "curated slice" the
@@ -990,6 +1006,7 @@ object TrainingData {
     "t57_crossmodal_dedup" -> docCrossModalDedup _,
     "t58_curriculum_order" -> docCurriculumOrder _,
     "t59_ann_ivfpq_topk" -> annIvfPq _,
+    "t60_perceptron_train" -> docPerceptronTrain _,
   )
 
   /** Shared DuckDB CTE fragment: per-doc word-trigram shingle sets,
@@ -1021,6 +1038,44 @@ object TrainingData {
        |  JOIN sizes sb ON id_b = sb.doc_id
        |  WHERE CAST(nc AS DOUBLE) / CAST(sa.sz + sb.sz - nc AS DOUBLE) >= $threshold
        |)""".stripMargin
+
+  /** Fully-unrolled batch-perceptron training replay: hashed-count
+    * features, zero-init weights, and per round the per-doc BIGINT
+    * score join, the y·score ≤ 0 misclassified set, and the
+    * per-bucket Σ y·cnt gradient — mirroring
+    * [[graft.operators.CorpusOps.perceptronTrain]] round-for-round.
+    */
+  private def perceptronOracleSql(f: Int, rounds: Int): String = {
+    val roundsSql = (1 to rounds).map { r =>
+      s"""s$r AS (
+         |  SELECT fe.doc_id, fe.y,
+         |    CAST(SUM(fe.cnt * w${r - 1}.w) AS BIGINT) AS score
+         |  FROM fe JOIN w${r - 1} USING (bucket) GROUP BY 1, 2
+         |), m$r AS (
+         |  SELECT doc_id FROM s$r WHERE y * score <= 0
+         |), w$r AS (
+         |  SELECT w${r - 1}.bucket,
+         |    w${r - 1}.w + COALESCE(g.gs, 0) AS w
+         |  FROM w${r - 1} LEFT JOIN (
+         |    SELECT fe.bucket, CAST(SUM(fe.y * fe.cnt) AS BIGINT) AS gs
+         |    FROM fe JOIN m$r USING (doc_id) GROUP BY 1) g
+         |  ON w${r - 1}.bucket = g.bucket
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+       |    unnest(string_split_regex(trim(text), '\\s+')) AS tk
+       |  FROM documents
+       |), fe AS (
+       |  SELECT doc_id, y, ${polyHashSql("tk")} % $f AS bucket,
+       |    CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM toks GROUP BY 1, 2, 3
+       |), w0 AS (
+       |  SELECT CAST(i AS BIGINT) AS bucket, CAST(0 AS BIGINT) AS w
+       |  FROM range(0, $f) t(i)
+       |), $roundsSql
+       |SELECT bucket, w AS weight FROM w$rounds ORDER BY bucket""".stripMargin
+  }
 
   /** DuckDB rendering of the 31-bit PolyHash with the empty-string →
     * 0 convention made explicit (list_reduce errors on empty lists).
@@ -2187,6 +2242,7 @@ object TrainingData {
           |  CAST(ROW_NUMBER() OVER (ORDER BY bin DESC, shuffle_key, doc_id)
           |    AS BIGINT) AS order_idx
           |FROM keyed ORDER BY order_idx""".stripMargin,
+      "t60_perceptron_train" -> perceptronOracleSql(64, 3),
       "t34_bpe_train" -> bpeTrainOracleSql,
       "t38_incremental_dedup" -> incrementalDedupOracleSql(64, 16, 0.5),
       "t37_quality_prune" ->

@@ -1511,6 +1511,68 @@ class TrainingDataSpec extends AnyFunSuite {
       s"HLL estimate $est vs exact $exact drifted past 3 sigma")
   }
 
+  test("t60 perceptron: matches a driver-side unrolled reference and the " +
+      "trained weights actually separate the labels through t45's scorer") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "text", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val f = 64
+    // independent reference: same features, labels, and update rule
+    def featsOf(t: String): Map[Int, Long] =
+      t.trim.split("\\s+").toSeq
+        .map(tk => (PolyHash.eval(tk) % f).toInt)
+        .groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+    val rows = docs.map { case (_, t, lang) =>
+      (if (lang == "en") 1L else -1L, featsOf(t)) }
+    val w = Array.fill(f)(0L)
+    for (_ <- 1 to 3) {
+      val g = Array.fill(f)(0L)
+      rows.foreach { case (y, x) =>
+        val score = x.map { case (b, c) => c * w(b) }.sum
+        if (y * score <= 0) x.foreach { case (b, c) => g(b) += y * c }
+      }
+      (0 until f).foreach(b => w(b) += g(b))
+    }
+    val got = graft.queries.TrainingData.docPerceptronTrain(spark, dir)
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    (0 until f).foreach(b =>
+      assert(got(b) == w(b), s"bucket $b: ${got(b)} vs reference ${w(b)}"))
+    // convergence on separable data: build a corpus whose positive
+    // and negative classes use words with DISJOINT hash buckets —
+    // round 1's everything-misclassified step already yields a
+    // perfect separator, and every later round must be a fixed point
+    val spark0 = spark
+    import spark0.implicits._
+    val cand = (0 until 300).map(i => s"tok$i")
+    val byBucket = cand.groupBy(t => (PolyHash.eval(t) % f).toInt)
+    val distinct = byBucket.values.map(_.head).toSeq.take(10)
+    assert(distinct.size == 10, "need 10 bucket-distinct words")
+    val (pos, neg) = distinct.splitAt(5)
+    val sep = (0 until 40).map { i =>
+      val ws = if (i % 2 == 0) pos else neg
+      (i.toLong, (0 until 6).map(j => ws((i + j) % 5)).mkString(" "),
+        i % 2 == 0)
+    }.toDF("doc_id", "text", "is_pos")
+    val w2 = CorpusOps.perceptronTrain(sep, "doc_id", "text",
+      positive = col("is_pos"), f = f, rounds = 2).collect()
+      .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val w5 = CorpusOps.perceptronTrain(sep, "doc_id", "text",
+      positive = col("is_pos"), f = f, rounds = 5).collect()
+      .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    assert(w2 == w5, "separable corpus must reach a fixed point")
+    // the converged weights classify the corpus perfectly through
+    // t45's inference operator (same featurization by construction)
+    val scored = CorpusOps.hashedLinearScore(sep, "doc_id", "text",
+        (0 until f).map(b => w2.getOrElse(b, 0L)), bias = 0L, threshold = 0L)
+      .select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    sep.select("doc_id", "is_pos").collect().foreach { r =>
+      assert(scored(r.getLong(0)) == r.getBoolean(1),
+        s"doc ${r.getLong(0)} misclassified after convergence")
+    }
+  }
+
   test("t59 IVF-PQ: rows agree with the exhaustive ADC scan on distance; " +
       "probing only prunes, never rescores") {
     import org.apache.spark.sql.functions._
