@@ -305,6 +305,62 @@ object CorpusOps {
       .limit(k)
   }
 
+  /** Count-min probe LCGs (depth 4) over the 31-bit gram PolyHash —
+    * multipliers < 2³², base < 2³¹, so products stay < 2⁶³ in BIGINT
+    * on both engines. Shared verbatim with the DuckDB oracle.
+    */
+  val CmProbes: Seq[(Long, Long)] = Seq(
+    (2654435761L, 123456789L), (2246822519L, 3266489917L),
+    (2971215073L, 433494437L), (2654435769L, 97L))
+
+  /** Count-min frequency sketch over the corpus word n-gram stream,
+    * reported against the true top-k: depth-[[CmProbes]] × `width`
+    * BIGINT counters (each gram's occurrence count adds into one
+    * bucket per row), point estimates = min over rows — the classic
+    * CM guarantee, ONE-SIDED like the Bloom filter: est ≥ true
+    * always (never an undercount), overshoot bounded by the
+    * collision mass. Completes the sketch family: KMV (distinct,
+    * bottom-k), HLL (distinct, fixed memory), Bloom (membership),
+    * CM (frequency). All-integer, so the DuckDB oracle replays
+    * counters AND estimates exactly, with the true counts alongside.
+    *
+    * Scale shape: one gram aggregate (the same zipfian-head map-side
+    * combine as [[topNgrams]], barriered — it feeds the counters,
+    * the true top-k, AND the estimate lookup), then the counter
+    * relation is ≤ depth·width rows and the top-k probe joins it
+    * broadcast. At 100 TB the sketch is depth·width longs of
+    * mergeable-by-SUM state — per-shard counters add, the same
+    * incremental-union story as the HLL registers (by max) and KMV
+    * (by bottom-k merge).
+    */
+  def cmSketchTopK(docs: DataFrame, textCol: String, n: Int, k: Int,
+      width: Int = 1024): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val ts = TextFunctions.tokens(col(textCol))
+    val grams = if (n == 1) ts else multisetGrams(ts, n)
+    val gcnt = Dedup.barrier(
+      docs.select(explode(grams).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("cnt"))
+        .withColumn("h", call_function("poly_hash", col("gram"))),
+      col("gram"))
+    val probeCols = CmProbes.zipWithIndex.map { case ((a, b), j) =>
+      struct(lit(j.toLong).as("j"),
+        ((col("h") * a + b) % 4294967296L % width).as("bucket"))
+    }
+    val counters = gcnt
+      .select(col("cnt"), explode(array(probeCols: _*)).as("p"))
+      .groupBy(col("p.j").as("j"), col("p.bucket").as("bucket"))
+      .agg(sum(col("cnt")).as("c"))
+    val top = gcnt.orderBy(col("cnt").desc, col("gram").asc).limit(k)
+    top.select(col("gram"), col("cnt"),
+        explode(array(probeCols: _*)).as("p"))
+      .join(broadcast(counters),
+        col("p.j") === col("j") && col("p.bucket") === col("bucket"))
+      .groupBy("gram", "cnt")
+      .agg(min(col("c")).as("est_cnt"))
+      .orderBy(col("cnt").desc, col("gram").asc)
+  }
+
   // ---------------------------------------------------------------
   // Distinct-count sketching (KMV)
   // ---------------------------------------------------------------

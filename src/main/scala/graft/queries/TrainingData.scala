@@ -782,6 +782,15 @@ object TrainingData {
       .orderBy("batch_id")
   }
 
+  /** Count-min frequency sketch ([[CorpusOps.cmSketchTopK]], depth 4
+    * × width 1024) over the corpus bigram stream, reported against
+    * the true top-20 — est ≥ true one-sided by construction, every
+    * counter and estimate replayed exactly by the oracle.
+    */
+  def docCmSketch(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.cmSketchTopK(Tables.documents(spark, dir), "text",
+      n = 2, k = 20, width = 1024)
+
   /** Hamming bound for audio-fingerprint dedup — the same 4×16-bit
     * banding regime as t07 SimHash and t50 image pHash.
     */
@@ -1007,6 +1016,7 @@ object TrainingData {
     "t58_curriculum_order" -> docCurriculumOrder _,
     "t59_ann_ivfpq_topk" -> annIvfPq _,
     "t60_perceptron_train" -> docPerceptronTrain _,
+    "t61_cm_sketch" -> docCmSketch _,
   )
 
   /** Shared DuckDB CTE fragment: per-doc word-trigram shingle sets,
@@ -2243,6 +2253,39 @@ object TrainingData {
           |    AS BIGINT) AS order_idx
           |FROM keyed ORDER BY order_idx""".stripMargin,
       "t60_perceptron_train" -> perceptronOracleSql(64, 3),
+      "t61_cm_sketch" -> {
+        val arms = graft.operators.CorpusOps.CmProbes.zipWithIndex.map {
+          case ((a, b), j) =>
+            s"SELECT $j AS j, (h * $a + $b) % 4294967296 % 1024 AS bucket," +
+              s" gram, cnt FROM gc"
+        }
+        s"""WITH toks AS (
+           |  SELECT string_split_regex(trim(text), '\\s+') AS ts FROM documents
+           |), g AS (
+           |  SELECT unnest(CASE WHEN len(ts) < 2 THEN CAST([] AS VARCHAR[])
+           |    ELSE list_transform(range(1, len(ts)), i ->
+           |      ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT)+1]) END) AS gram
+           |  FROM toks
+           |), gc AS (
+           |  SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt,
+           |    ${polyHashSql("gram")} AS h
+           |  FROM g GROUP BY gram
+           |), pos AS (
+           |  ${arms.mkString("\n  UNION ALL\n  ")}
+           |), cs AS (
+           |  SELECT j, bucket, CAST(SUM(cnt) AS BIGINT) AS c
+           |  FROM pos GROUP BY 1, 2
+           |), top AS (
+           |  SELECT gram, cnt FROM gc ORDER BY cnt DESC, gram LIMIT 20
+           |), est AS (
+           |  SELECT p.gram, p.cnt, MIN(c.c) AS est_cnt
+           |  FROM pos p JOIN cs c USING (j, bucket)
+           |  JOIN top t ON t.gram = p.gram
+           |  GROUP BY 1, 2
+           |)
+           |SELECT gram, cnt, est_cnt FROM est
+           |ORDER BY cnt DESC, gram""".stripMargin
+      },
       "t34_bpe_train" -> bpeTrainOracleSql,
       "t38_incremental_dedup" -> incrementalDedupOracleSql(64, 16, 0.5),
       "t37_quality_prune" ->

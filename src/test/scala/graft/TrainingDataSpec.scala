@@ -1511,6 +1511,40 @@ class TrainingDataSpec extends AnyFunSuite {
       s"HLL estimate $est vs exact $exact drifted past 3 sigma")
   }
 
+  test("t61 CM sketch: matches a driver-side reference; never undercounts") {
+    val texts = Tables.documents(spark, dir)
+      .select("text").collect().map(_.getString(0))
+    val grams = texts.flatMap { t =>
+      val ts = t.trim.split("\\s+").toSeq
+      if (ts.length < 2) Seq.empty[String]
+      else ts.sliding(2).map(_.mkString(" ")).toSeq
+    }
+    val counts = grams.groupBy(identity).map { case (g, xs) =>
+      g -> xs.size.toLong }
+    val width = 1024
+    val counters = scala.collection.mutable.Map.empty[(Int, Long), Long]
+    counts.foreach { case (g, c) =>
+      CorpusOps.CmProbes.zipWithIndex.foreach { case ((a, b), j) =>
+        val bucket = (PolyHash.eval(g) * a + b) % 4294967296L % width
+        counters((j, bucket)) = counters.getOrElse((j, bucket), 0L) + c
+      }
+    }
+    def est(g: String): Long =
+      CorpusOps.CmProbes.zipWithIndex.map { case ((a, b), j) =>
+        counters((j, (PolyHash.eval(g) * a + b) % 4294967296L % width))
+      }.min
+    val topRef = counts.toSeq.sortBy { case (g, c) => (-c, g) }.take(20)
+    val got = graft.queries.TrainingData.docCmSketch(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(r => (r._1, r._2)).toSeq == topRef, "true top-20 diverged")
+    got.foreach { case (g, cnt, e) =>
+      assert(e == est(g), s"estimate for '$g' diverged: $e vs ${est(g)}")
+      assert(e >= cnt, s"CM undercounted '$g': $e < $cnt")
+    }
+    assert(got.exists { case (_, cnt, e) => e > cnt },
+      "vacuous fixture: no collision overcount at this width")
+  }
+
   test("t60 perceptron: matches a driver-side unrolled reference and the " +
       "trained weights actually separate the labels through t45's scorer") {
     import org.apache.spark.sql.functions._
