@@ -333,24 +333,44 @@ object CorpusOps {
     * incremental-union story as the HLL registers (by max) and KMV
     * (by bottom-k merge).
     */
-  def cmSketchTopK(docs: DataFrame, textCol: String, n: Int, k: Int,
-      width: Int = 1024): DataFrame = {
-    GraftFunctions.register(docs.sparkSession)
-    val ts = TextFunctions.tokens(col(textCol))
-    val grams = if (n == 1) ts else multisetGrams(ts, n)
-    val gcnt = Dedup.barrier(
-      docs.select(explode(grams).as("gram"))
-        .groupBy("gram").agg(count(lit(1)).as("cnt"))
-        .withColumn("h", call_function("poly_hash", col("gram"))),
-      col("gram"))
-    val probeCols = CmProbes.zipWithIndex.map { case ((a, b), j) =>
+  /** One struct per CM probe row: (j, bucket_j) for the gram whose
+    * PolyHash sits in column `h`.
+    */
+  private def cmProbeCols(width: Int): Seq[Column] =
+    CmProbes.zipWithIndex.map { case ((a, b), j) =>
       struct(lit(j.toLong).as("j"),
         ((col("h") * a + b) % 4294967296L % width).as("bucket"))
     }
-    val counters = gcnt
-      .select(col("cnt"), explode(array(probeCols: _*)).as("p"))
+
+  /** The (gram, cnt, h) aggregate the CM paths share. */
+  private def gramCounts(docs: DataFrame, textCol: String, n: Int): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val ts = TextFunctions.tokens(col(textCol))
+    val grams = if (n == 1) ts else multisetGrams(ts, n)
+    docs.select(explode(grams).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", call_function("poly_hash", col("gram")))
+  }
+
+  private def cmCountersFromCounts(gcnt: DataFrame, width: Int): DataFrame =
+    gcnt.select(col("cnt"), explode(array(cmProbeCols(width): _*)).as("p"))
       .groupBy(col("p.j").as("j"), col("p.bucket").as("bucket"))
       .agg(sum(col("cnt")).as("c"))
+
+  /** Standalone CM counter relation (j, bucket, c) for a corpus —
+    * the mergeable-by-SUM state form
+    * [[graft.streaming.EventStreams.cmSketchStream]] appends per
+    * micro-batch.
+    */
+  def cmCounters(docs: DataFrame, textCol: String, n: Int,
+      width: Int = 1024): DataFrame =
+    cmCountersFromCounts(gramCounts(docs, textCol, n), width)
+
+  def cmSketchTopK(docs: DataFrame, textCol: String, n: Int, k: Int,
+      width: Int = 1024): DataFrame = {
+    val gcnt = Dedup.barrier(gramCounts(docs, textCol, n), col("gram"))
+    val probeCols = cmProbeCols(width)
+    val counters = cmCountersFromCounts(gcnt, width)
     val top = gcnt.orderBy(col("cnt").desc, col("gram").asc).limit(k)
     top.select(col("gram"), col("cnt"),
         explode(array(probeCols: _*)).as("p"))

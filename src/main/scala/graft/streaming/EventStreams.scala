@@ -238,6 +238,41 @@ object EventStreams {
     q.stop()
   }
 
+  /** Streaming count-min maintenance. CM counters merge by SUM,
+    * which — unlike the HLL registers' max ([[hllSketchStream]]) —
+    * is NOT idempotent under foreachBatch's at-least-once replay: a
+    * merged-in-place state would double-count a replayed batch. So
+    * the durable state is a per-batch DELTA LOG ((batch_id, j,
+    * bucket, c) appended per micro-batch — counter deltas are
+    * deterministic for a batch, so a replay appends byte-identical
+    * rows) and the live counters come from the read side:
+    * [[cmCountersOfLog]] dedups whole rows and sums per (j, bucket)
+    * — the same read-side effectively-once contract as the admission
+    * disposition logs. State on disk is ≤ batches·depth·width rows.
+    */
+  def cmSketchStream(docs: DataFrame, textCol: String, n: Int, width: Int,
+      path: String): Unit = {
+    val q = docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.operators.CorpusOps.cmCounters(batch.toDF(), textCol, n, width)
+          .withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(path)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  /** Live CM counters from a [[cmSketchStream]] delta log: replayed
+    * batches collapse under the whole-row distinct, then deltas sum.
+    */
+  def cmCountersOfLog(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .distinct()
+      .groupBy("j", "bucket")
+      .agg(sum(col("c")).as("c"))
+
   /** Stream-stream interval join: each click joined to the same
     * user's views from the preceding `window` — the canonical
     * two-firehose correlation. BOTH sides carry watermarks and the

@@ -108,6 +108,25 @@ class CorpusOpsSpec extends AnyFunSuite {
       "Bloom produced a false negative on the fixture")
   }
 
+  test("kmvSetOps: small and empty sides degrade to exact counts") {
+    val a = Seq((1L, "alpha beta gamma delta"), (2L, "beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // small sides: sketches ARE the vocabularies -> estimators exact
+    val r = CorpusOps.kmvSetOps(a, a, "text", n = 3, k = 200).collect().head
+    def g(n: String) = r.getLong(r.fieldIndex(n))
+    assert(g("est_a") == g("exact_union") && g("est_b") == g("exact_union"))
+    assert(g("est_union") == g("exact_union"))
+    assert(g("est_intersect") == g("exact_intersect"),
+      "identical sides must intersect exactly in the sub-k regime")
+    // an empty side: zero estimates, union = the other side, rho 0
+    val e = CorpusOps.kmvSetOps(a, empty, "text", n = 3, k = 200)
+      .collect().head
+    def ge(n: String) = e.getLong(e.fieldIndex(n))
+    assert(ge("est_b") == 0L && ge("exact_intersect") == 0L && ge("rho") == 0L)
+    assert(ge("est_union") == ge("exact_union") && ge("est_intersect") == 0L)
+  }
+
   test("stratifiedSample: deterministic, rate-bounded, stratum-aware") {
     val docs = (0L until 1000L).map(i => (i, if (i % 2 == 0) "en" else "fr"))
       .toDF("doc_id", "lang")

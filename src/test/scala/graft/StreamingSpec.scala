@@ -244,6 +244,29 @@ class StreamingSpec extends AnyFunSuite {
       "replay must converge to the same registers (max is idempotent)")
   }
 
+  test("streaming CM delta log: summed counters == batch counters, " +
+      "replay collapses on the read side") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val d = java.nio.file.Files.createTempDirectory("graft_cmstream")
+    docs.repartition(3).write.parquet(d.resolve("in").toString)
+    val log = d.resolve("cm_log").toString
+    def stream() = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(d.resolve("in").toString)
+    EventStreams.cmSketchStream(stream(), "text", n = 2, width = 1024, log)
+    val got = EventStreams.cmCountersOfLog(spark, log)
+    val expect = graft.operators.CorpusOps.cmCounters(docs, "text", 2, 1024)
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty,
+      "summed per-batch deltas diverge from the one-pass counters")
+    // a full replay appends byte-identical delta rows; the read-side
+    // distinct must collapse them (sum-merge alone would double-count)
+    EventStreams.cmSketchStream(stream(), "text", n = 2, width = 1024, log)
+    val again = EventStreams.cmCountersOfLog(spark, log)
+    assert(again.exceptAll(expect).isEmpty && expect.exceptAll(again).isEmpty,
+      "replayed deltas double-counted — read-side dedup broken")
+  }
+
   test("foreachBatch upsert sink: latest row per key, idempotent on replay") {
     val out = java.nio.file.Files.createTempDirectory("graft_upsert")
       .resolve("user_state").toString
