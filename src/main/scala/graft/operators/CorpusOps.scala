@@ -381,6 +381,50 @@ object CorpusOps {
       .orderBy(col("cnt").desc, col("gram").asc)
   }
 
+  /** Per-source corpus report card — the datasheet/data-card stats a
+    * training-data pipeline publishes with every corpus release: doc
+    * and token volumes, exact-duplicate incidence (by content
+    * digest), language composition (modal language + distinct
+    * count), and integer shape ratios. All-integer (counts and `div`
+    * ratios), so the DuckDB oracle replays every cell.
+    *
+    * Scale shape: one pass computes per-doc (source, lang, n_tokens,
+    * n_chars, digest); everything aggregates per source with map-side
+    * combine except the exact distinct-digest count, which shuffles
+    * 40-byte digests per source — exact by choice for an audit
+    * artifact (the sketch alternative is [[hllDistinctSketch]]'s
+    * registers per source at fixed memory). The modal-language
+    * election is a window over the tiny (source, lang) histogram.
+    */
+  def corpusReport(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, langCol: String): DataFrame = {
+    val perDoc = Dedup.barrier(
+      docs.select(col(sourceCol).as("source"), col(langCol).as("lang"),
+        size(TextFunctions.tokens(col(textCol))).cast("long").as("nt"),
+        length(col(textCol)).cast("long").as("nc"),
+        sha2(col(textCol), 256).as("dg")),
+      col("source"))
+    val base = perDoc.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("nt")).as("n_tokens"),
+      sum(col("nc")).as("n_chars"),
+      countDistinct(col("dg")).as("n_distinct_texts"),
+      countDistinct(col("lang")).as("n_langs"))
+    val wLang = Window.partitionBy("source")
+      .orderBy(col("cnt").desc, col("lang").asc)
+    val modal = perDoc.groupBy("source", "lang")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(wLang))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("modal_lang"))
+    base.join(modal, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        (col("n_docs") - col("n_distinct_texts")).as("n_exact_dup_docs"),
+        col("n_langs"), col("modal_lang"),
+        expr("n_tokens div n_docs").as("avg_doc_tokens"),
+        expr("n_chars div greatest(n_tokens, 1)").as("avg_token_len"))
+  }
+
   // ---------------------------------------------------------------
   // Distinct-count sketching (KMV)
   // ---------------------------------------------------------------

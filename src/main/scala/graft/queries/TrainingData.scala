@@ -782,6 +782,16 @@ object TrainingData {
       .orderBy("batch_id")
   }
 
+  /** Per-source corpus report card ([[CorpusOps.corpusReport]]): the
+    * datasheet stats published with a corpus release — volumes,
+    * exact-dup incidence, language composition, shape ratios — every
+    * cell integer (or the modal-lang string) and oracle-replayed.
+    */
+  def docCorpusReport(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.corpusReport(Tables.documents(spark, dir), "doc_id", "text",
+        "source", "lang")
+      .orderBy("source")
+
   /** Count-min frequency sketch ([[CorpusOps.cmSketchTopK]], depth 4
     * × width 1024) over the corpus bigram stream, reported against
     * the true top-20 — est ≥ true one-sided by construction, every
@@ -1017,6 +1027,7 @@ object TrainingData {
     "t59_ann_ivfpq_topk" -> annIvfPq _,
     "t60_perceptron_train" -> docPerceptronTrain _,
     "t61_cm_sketch" -> docCmSketch _,
+    "t62_corpus_report" -> docCorpusReport _,
   )
 
   /** Shared DuckDB CTE fragment: per-doc word-trigram shingle sets,
@@ -2252,6 +2263,34 @@ object TrainingData {
           |  CAST(ROW_NUMBER() OVER (ORDER BY bin DESC, shuffle_key, doc_id)
           |    AS BIGINT) AS order_idx
           |FROM keyed ORDER BY order_idx""".stripMargin,
+      "t62_corpus_report" ->
+        """WITH pd AS (
+          |  SELECT source, lang,
+          |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nt,
+          |    CAST(length(text) AS BIGINT) AS nc, text
+          |  FROM documents
+          |), base AS (
+          |  SELECT source, COUNT(*) AS n_docs,
+          |    CAST(SUM(nt) AS BIGINT) AS n_tokens,
+          |    CAST(SUM(nc) AS BIGINT) AS n_chars,
+          |    COUNT(DISTINCT text) AS n_distinct_texts,
+          |    COUNT(DISTINCT lang) AS n_langs
+          |  FROM pd GROUP BY 1
+          |), ml AS (
+          |  SELECT source, lang AS modal_lang FROM (
+          |    SELECT source, lang, COUNT(*) AS cnt,
+          |      ROW_NUMBER() OVER (PARTITION BY source
+          |        ORDER BY COUNT(*) DESC, lang) AS rn
+          |    FROM pd GROUP BY source, lang) x
+          |  WHERE rn = 1
+          |)
+          |SELECT b.source, n_docs, n_tokens, n_chars,
+          |  n_docs - n_distinct_texts AS n_exact_dup_docs,
+          |  n_langs, modal_lang,
+          |  n_tokens // n_docs AS avg_doc_tokens,
+          |  n_chars // GREATEST(n_tokens, 1) AS avg_token_len
+          |FROM base b JOIN ml USING (source)
+          |ORDER BY source""".stripMargin,
       "t60_perceptron_train" -> perceptronOracleSql(64, 3),
       "t61_cm_sketch" -> {
         val arms = graft.operators.CorpusOps.CmProbes.zipWithIndex.map {

@@ -108,6 +108,32 @@ class CorpusOpsSpec extends AnyFunSuite {
       "Bloom produced a false negative on the fixture")
   }
 
+  test("corpusReport: hand-computed card on a constructed corpus") {
+    val docs = Seq(
+      (1L, "one two three", "s0", "en"),      // 3 tokens, 13 chars
+      (2L, "one two three", "s0", "en"),      // exact dup of 1
+      (3L, "vier funf", "s0", "de"),          // 2 tokens, 9 chars
+      (4L, "uno", "s1", "es"),
+      (5L, "dos tres", "s1", "es")
+    ).toDF("doc_id", "text", "source", "lang")
+    val r = CorpusOps.corpusReport(docs, "doc_id", "text", "source", "lang")
+      .orderBy("source").collect()
+    val s0 = r(0)
+    assert(s0.getString(0) == "s0")
+    assert(s0.getLong(s0.fieldIndex("n_docs")) == 3L)
+    assert(s0.getLong(s0.fieldIndex("n_tokens")) == 8L)
+    assert(s0.getLong(s0.fieldIndex("n_chars")) == 35L)
+    assert(s0.getLong(s0.fieldIndex("n_exact_dup_docs")) == 1L)
+    assert(s0.getLong(s0.fieldIndex("n_langs")) == 2L)
+    assert(s0.getString(s0.fieldIndex("modal_lang")) == "en")
+    assert(s0.getLong(s0.fieldIndex("avg_doc_tokens")) == 2L)  // 8 div 3
+    assert(s0.getLong(s0.fieldIndex("avg_token_len")) == 4L)   // 35 div 8
+    val s1 = r(1)
+    assert(s1.getLong(s1.fieldIndex("n_docs")) == 2L)
+    assert(s1.getLong(s1.fieldIndex("n_exact_dup_docs")) == 0L)
+    assert(s1.getString(s1.fieldIndex("modal_lang")) == "es")
+  }
+
   test("kmvSetOps: small and empty sides degrade to exact counts") {
     val a = Seq((1L, "alpha beta gamma delta"), (2L, "beta gamma delta epsilon"))
       .toDF("doc_id", "text")
