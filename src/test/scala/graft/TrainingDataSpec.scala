@@ -1511,6 +1511,34 @@ class TrainingDataSpec extends AnyFunSuite {
       s"HLL estimate $est vs exact $exact drifted past 3 sigma")
   }
 
+  test("energyFp64 fuzz: imperative bins equal an independent functional " +
+      "fold over full-range bytes (the fixture only exercises ASCII)") {
+    val rnd = new scala.util.Random(42)
+    (0 until 300).foreach { _ =>
+      val n = rnd.nextInt(300)
+      val bytes = Array.fill(n)(rnd.nextInt(256).toByte)
+      val ref = {
+        val bins = bytes.zipWithIndex
+          .groupBy { case (_, k) => (k.toLong * 64 / math.max(n, 1)).toInt }
+          .map { case (b, xs) => b -> xs.map { case (v, _) =>
+            val d = (v & 0xff) - 128; d.toLong * d }.sum }
+        val mean = bins.values.sum / 64
+        (0 until 64).foldLeft(0L) { (h, b) =>
+          if (bins.getOrElse(b, 0L) > mean) h | (1L << b) else h }
+      }
+      assert(Multimodal.energyFp64(bytes) == ref)
+    }
+  }
+
+  test("CM/Bloom probe constants stay overflow-free at the hash-space edge") {
+    val maxBase = 2147483646L // PolyHash < 2^31
+    CorpusOps.CmProbes.foreach { case (a, b) =>
+      // the product must not wrap before the % 2^32 reduction
+      assert(maxBase <= (Long.MaxValue - b) / a,
+        s"probe ($a, $b) overflows at the PolyHash edge")
+    }
+  }
+
   test("t61 CM sketch: matches a driver-side reference; never undercounts") {
     val texts = Tables.documents(spark, dir)
       .select("text").collect().map(_.getString(0))
