@@ -1475,6 +1475,41 @@ object CorpusOps {
           org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
+  /** Materialize the training stream: write `docs` as order-ranged
+    * parquet shards — the export step after curation and
+    * [[curriculumOrder]], turning a logical global order into files
+    * a trainer can consume sequentially. `repartitionByRange` on the
+    * order column gives each shard a CONTIGUOUS, DISJOINT order
+    * range (the range exchange is exactly the partitioning step of a
+    * distributed sort — sampled bounds, no global single point), and
+    * `sortWithinPartitions` orders rows inside each shard, so
+    * reading shards by ascending range replays the total order.
+    * Returns the shard manifest (file, rows, min/max order) read
+    * back from what was actually written — the manifest IS the
+    * verification that ranges tile.
+    *
+    * Scale shape: one range exchange over the export relation; at
+    * 100 TB shard count is corpus/shard-size and AQE's sampled range
+    * bounds keep shards balanced (`maxRecordsPerFile` is the
+    * belt-and-braces file-size cap on skewed ranges).
+    */
+  def exportShards(docs: DataFrame, orderCol: String, nShards: Int,
+      outPath: String, maxRecordsPerFile: Long = 0L): DataFrame = {
+    require(nShards >= 1)
+    val writer = docs.repartitionByRange(nShards, col(orderCol))
+      .sortWithinPartitions(orderCol)
+      .write.mode("overwrite")
+    (if (maxRecordsPerFile > 0)
+      writer.option("maxRecordsPerFile", maxRecordsPerFile)
+    else writer).parquet(outPath)
+    docs.sparkSession.read.parquet(outPath)
+      .groupBy(input_file_name().as("shard"))
+      .agg(count(lit(1)).as("rows"),
+        min(col(orderCol)).as("min_order"),
+        max(col(orderCol)).as("max_order"))
+      .orderBy("min_order")
+  }
+
   // ---------------------------------------------------------------
   // Hashed importance reweighting (DSIR-style)
   // ---------------------------------------------------------------

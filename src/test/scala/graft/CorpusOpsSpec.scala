@@ -108,6 +108,35 @@ class CorpusOpsSpec extends AnyFunSuite {
       "Bloom produced a false negative on the fixture")
   }
 
+  test("exportShards: disjoint contiguous order ranges tile the stream") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val ordered = CorpusOps.curriculumOrder(docs, "doc_id", "text", 4, 6)
+    val out = java.nio.file.Files.createTempDirectory("graft_shards")
+      .resolve("stream").toString
+    val manifest = CorpusOps.exportShards(ordered, "order_idx", nShards = 5, out)
+      .collect()
+    val n = ordered.count()
+    assert(manifest.map(_.getLong(1)).sum == n, "rows lost or duplicated")
+    // ranges are disjoint, each internally contiguous, and tile 1..N
+    val ranges = manifest.map(r => (r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(ranges.head._1 == 1L && ranges.last._2 == n)
+    ranges.sliding(2).foreach { case Array((_, hi), (lo2, _)) =>
+      assert(lo2 == hi + 1, s"gap or overlap between shards at $hi/$lo2")
+    }
+    manifest.foreach { r =>
+      assert(r.getLong(3) - r.getLong(2) + 1 == r.getLong(1),
+        s"shard ${r.getString(0)} range is not contiguous")
+    }
+    // within-shard row order replays the global order
+    val back = spark.read.parquet(out)
+    import org.apache.spark.sql.functions.{input_file_name, col => c}
+    val firstShard = manifest.minBy(_.getLong(2)).getString(0)
+    val rows = back.withColumn("f", input_file_name())
+      .filter(c("f") === firstShard).select("order_idx").collect()
+      .map(_.getLong(0))
+    assert(rows.toSeq == rows.sorted.toSeq, "within-shard order lost")
+  }
+
   test("corpusReport: hand-computed card on a constructed corpus") {
     val docs = Seq(
       (1L, "one two three", "s0", "en"),      // 3 tokens, 13 chars
