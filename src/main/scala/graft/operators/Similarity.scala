@@ -724,6 +724,86 @@ object Similarity {
         (col("adist_scaled").cast("double") / 1e6).as("approx_dist"))
   }
 
+  /** Build the IVF-PQ index ONCE and persist it under `path`:
+    * `centroids` (cid, ce, cn), `codebook` (sub, code, cv), `cells`
+    * (id, cell), and `codes` (id, sub, code) as parquet relations.
+    * This is the amortization that matters at 100 TB: [[ivfPqTopK]]'s
+    * one-shot form retrains the quantizer and re-encodes on every
+    * call, where a production deployment builds per corpus snapshot
+    * and searches many times (the persisted-state pattern
+    * `incrementalSemDedup`'s checkpointed centroids already use).
+    * The at-rest footprint is the PQ bargain: m bytes of codes plus
+    * one long cell id per vector.
+    */
+  def buildIvfPqIndex(emb: DataFrame, idCol: String, vecCol: String,
+      path: String, minNlist: Int = 16, m: Int = 4, ksub: Int = 16): Unit = {
+    val v = withNorm(emb, idCol, vecCol)
+    val c = trainedCentroids(v, minNlist)
+    c.write.mode("overwrite").parquet(s"$path/centroids")
+    v.join(broadcast(c))
+      .select(col("id"),
+        struct((-(dot(col("e"), col("ce")) / (col("n") * col("cn")))).as("negcs"),
+          col("cid")).as("sc"))
+      .groupBy("id").agg(min(col("sc")).as("best"))
+      .select(col("id"), col("best")("cid").as("cell"))
+      .write.mode("overwrite").parquet(s"$path/cells")
+    pqCodebook(emb, idCol, vecCol, m, ksub)
+      .write.mode("overwrite").parquet(s"$path/codebook")
+    pqAssign(emb, idCol, vecCol, m, ksub)
+      .select(col("id"), col("sub"), col("code"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Search a persisted [[buildIvfPqIndex]] index: the query relation
+    * (raw vectors — queries always ride the broadcast side) probes
+    * its `nprobe` best cells against the stored centroids, builds its
+    * LUT against the stored codebook, and ADC-scores ONLY the probed
+    * cells' stored codes — identical arithmetic to [[ivfPqTopK]]
+    * (the differential spec pins row-for-row equality), with zero
+    * training or encoding work at query time.
+    */
+  def searchIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nprobe: Int = 2): DataFrame = {
+    GraftFunctions.register(spark)
+    val c = spark.read.parquet(s"$path/centroids")
+    val cells = spark.read.parquet(s"$path/cells")
+    val cb = spark.read.parquet(s"$path/codebook")
+    val codes = spark.read.parquet(s"$path/codes")
+    val m = cb.agg(max(col("sub"))).collect().head.getLong(0).toInt + 1
+    val e = transform(col(vecCol), x => x.cast("double"))
+    val qv = queries.select(col(idCol).as("qid"), e.as("e"), norm(e).as("n"))
+    val wp = Window.partitionBy("qid").orderBy(col("negcs"), col("cell"))
+    val qprobes = qv.join(broadcast(c))
+      .select(col("qid"),
+        (-(dot(col("e"), col("ce")) / (col("n") * col("cn")))).as("negcs"),
+        col("cid").as("cell"))
+      .withColumn("pr", row_number().over(wp))
+      .filter(col("pr") <= nprobe)
+      .select(col("qid"), col("cell"))
+    val qsub = qv
+      .select(col("qid"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
+        col("e"))
+      .select(col("qid"), col("sub").cast("long").as("sub"),
+        expr(s"slice(e, CAST(sub * (size(e) div $m) + 1 AS INT), " +
+          s"size(e) div $m)").as("qv"))
+    val lut = qsub.join(broadcast(cb), "sub")
+      .select(col("qid"), col("sub"), col("code"),
+        floor(l2sq(col("qv"), col("cv")) * lit(1e6)).as("lut_scaled"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist_scaled"), col("vec_id"))
+    codes.join(cells, "id")
+      .join(broadcast(qprobes), Seq("cell"))
+      .join(broadcast(lut), Seq("qid", "sub", "code"))
+      .filter(col("qid") =!= col("id"))
+      .groupBy(col("qid").as("query_id"), col("id").as("vec_id"))
+      .agg(min(col("cell")).as("cell"), sum("lut_scaled").as("adist_scaled"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cell"),
+        (col("adist_scaled").cast("double") / 1e6).as("approx_dist"))
+  }
+
   // ---------------------------------------------------------------
   // Int8 scalar quantization (SQ)
   // ---------------------------------------------------------------

@@ -1662,6 +1662,26 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted IVF-PQ index: build-once search equals the one-shot " +
+      "operator row-for-row") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, dir)
+    val qids = Seq(0L, 7L, 42L)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq")
+      .resolve("index").toString
+    Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", path,
+      minNlist = 16, m = 4, ksub = 16)
+    val fromIndex = Similarity.searchIvfPqIndex(spark, path,
+      emb.filter(col("vec_id").isin(qids: _*)), "vec_id", "embedding",
+      k = 5, nprobe = 2)
+    val oneShot = Similarity.ivfPqTopK(emb, "vec_id", "embedding", qids,
+      k = 5, minNlist = 16, nprobe = 2, m = 4, ksub = 16)
+    assert(fromIndex.exceptAll(oneShot).isEmpty &&
+      oneShot.exceptAll(fromIndex).isEmpty,
+      "persisted-index search diverges from the one-shot pipeline")
+    assert(fromIndex.count() > 0)
+  }
+
   test("t58 curriculum order: contiguous permutation realizing " +
       "(bin desc, shuffle_key, doc_id)") {
     val rows = CorpusOps.curriculumOrder(
