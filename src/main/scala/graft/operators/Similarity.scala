@@ -573,8 +573,15 @@ object Similarity {
     * oracle's ORDER BY dist, code).
     */
   private def pqAssign(emb: DataFrame, idCol: String, vecCol: String,
-      m: Int, ksub: Int): DataFrame = {
-    val cb = pqCodebook(emb, idCol, vecCol, m, ksub)
+      m: Int, ksub: Int): DataFrame =
+    pqAssignWith(pqCodebook(emb, idCol, vecCol, m, ksub), emb, idCol, vecCol, m)
+
+  /** The per-(vector, subspace) argmin against a GIVEN codebook —
+    * split from [[pqAssign]] so index ingestion can encode a new
+    * batch with the STORED codebook instead of re-deriving one.
+    */
+  private def pqAssignWith(cb: DataFrame, emb: DataFrame, idCol: String,
+      vecCol: String, m: Int): DataFrame = {
     val e = transform(col(vecCol), x => x.cast("double"))
     val subv = emb.select(col(idCol).as("id"), e.as("e"))
       .select(col("id"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
@@ -752,6 +759,36 @@ object Similarity {
     pqAssign(emb, idCol, vecCol, m, ksub)
       .select(col("id"), col("sub"), col("code"))
       .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Ingest a NEW batch into a persisted [[buildIvfPqIndex]] index:
+    * assign the batch against the STORED centroids (cell routing)
+    * and encode it with the STORED codebook (no retraining — the
+    * quantizer stays frozen at its snapshot, exactly how production
+    * IVF-PQ deployments absorb arrivals between rebuilds; the same
+    * frozen-index discipline as `incrementalSemDedup`), then append
+    * to the `cells`/`codes` relations. Appends are plain parquet
+    * appends and therefore NOT replay-idempotent — ingest each batch
+    * once (the id column makes duplicates detectable; the CM delta
+    * log shows the batch-id pattern when replays must be tolerated).
+    */
+  def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String, vecCol: String): Unit = {
+    GraftFunctions.register(spark)
+    val c = spark.read.parquet(s"$path/centroids")
+    val cb = spark.read.parquet(s"$path/codebook")
+    val m = cb.agg(max(col("sub"))).collect().head.getLong(0).toInt + 1
+    val v = withNorm(batch, idCol, vecCol)
+    v.join(broadcast(c))
+      .select(col("id"),
+        struct((-(dot(col("e"), col("ce")) / (col("n") * col("cn")))).as("negcs"),
+          col("cid")).as("sc"))
+      .groupBy("id").agg(min(col("sc")).as("best"))
+      .select(col("id"), col("best")("cid").as("cell"))
+      .write.mode("append").parquet(s"$path/cells")
+    pqAssignWith(cb, batch, idCol, vecCol, m)
+      .select(col("id"), col("sub"), col("code"))
+      .write.mode("append").parquet(s"$path/codes")
   }
 
   /** Search a persisted [[buildIvfPqIndex]] index: the query relation

@@ -1682,6 +1682,59 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(fromIndex.count() > 0)
   }
 
+  test("IVF-PQ ingestion: appended batch routed by the frozen quantizer, " +
+      "differentially checked and searchable") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, dir)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_app")
+      .resolve("index").toString
+    Similarity.buildIvfPqIndex(emb.filter(col("vec_id") < 400), "vec_id",
+      "embedding", path, minNlist = 16, m = 4, ksub = 16)
+    val batch = emb.filter(col("vec_id") >= 400)
+    Similarity.appendToIvfPqIndex(spark, path, batch, "vec_id", "embedding")
+    val cells = spark.read.parquet(s"$path/cells")
+    val codes = spark.read.parquet(s"$path/codes")
+    assert(cells.count() == 500L, "cells must cover index + batch")
+    assert(codes.count() == 500L * 4, "codes must cover index + batch")
+    // differential: one appended vector's routing against the STORED
+    // (80%-trained) quantizer, recomputed driver-side
+    val cents = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    val cbRows = spark.read.parquet(s"$path/codebook").collect()
+      .map(r => (r.getLong(r.fieldIndex("sub")), r.getLong(r.fieldIndex("code")),
+        r.getSeq[Double](r.fieldIndex("cv")).toArray))
+    val probeId = 453L
+    val x = emb.filter(col("vec_id") === probeId)
+      .select(expr("transform(embedding, v -> cast(v as double))"))
+      .collect().head.getSeq[Double](0).toArray
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val xn = math.sqrt(dot(x, x))
+    val expectCell = cents.map { case (cid, ce, cn) =>
+      (-(dot(x, ce) / (xn * cn)), cid) }.min._2
+    val gotCell = cells.filter(col("id") === probeId)
+      .collect().head.getLong(1)
+    assert(gotCell == expectCell, s"cell $gotCell vs $expectCell")
+    val dsub = x.length / 4
+    (0 until 4).foreach { sub =>
+      val sv = x.slice(sub * dsub, sub * dsub + dsub)
+      val expectCode = cbRows.filter(_._1 == sub).map { case (_, code, cv) =>
+        ((dot(sv, sv) - 2.0 * dot(sv, cv)) + dot(cv, cv), code) }.min._2
+      val gotCode = codes
+        .filter(col("id") === probeId && col("sub") === sub.toLong)
+        .collect().head.getLong(2)
+      assert(gotCode == expectCode, s"sub $sub: code $gotCode vs $expectCode")
+    }
+    // the appended vectors are searchable through the frozen index
+    val hits = Similarity.searchIvfPqIndex(spark, path,
+      emb.filter(col("vec_id") === probeId), "vec_id", "embedding", k = 5)
+    assert(hits.count() > 0, "appended vector found no neighbors")
+    assert(hits.filter(col("vec_id") === probeId).count() == 0,
+      "self must stay excluded")
+  }
+
   test("t58 curriculum order: contiguous permutation realizing " +
       "(bin desc, shuffle_key, doc_id)") {
     val rows = CorpusOps.curriculumOrder(
