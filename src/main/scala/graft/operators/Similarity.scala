@@ -731,16 +731,33 @@ object Similarity {
         (col("adist_scaled").cast("double") / 1e6).as("approx_dist"))
   }
 
+  /** Read-back schemas for the persisted index relations: the cell id
+    * lives in the DIRECTORY name (`cell=N/`), and partition-value
+    * inference would type it INT — pinning LONG here keeps the search
+    * output schema identical to [[ivfPqTopK]]'s.
+    */
+  private val CellsSchema = "id LONG, cell LONG"
+  private val CodesSchema = "id LONG, sub LONG, code LONG, cell LONG"
+
   /** Build the IVF-PQ index ONCE and persist it under `path`:
     * `centroids` (cid, ce, cn), `codebook` (sub, code, cv), `cells`
-    * (id, cell), and `codes` (id, sub, code) as parquet relations.
-    * This is the amortization that matters at 100 TB: [[ivfPqTopK]]'s
-    * one-shot form retrains the quantizer and re-encodes on every
-    * call, where a production deployment builds per corpus snapshot
-    * and searches many times (the persisted-state pattern
-    * `incrementalSemDedup`'s checkpointed centroids already use).
-    * The at-rest footprint is the PQ bargain: m bytes of codes plus
-    * one long cell id per vector.
+    * (id, cell), and `codes` (id, sub, code, cell) as parquet
+    * relations. This is the amortization that matters at 100 TB:
+    * [[ivfPqTopK]]'s one-shot form retrains the quantizer and
+    * re-encodes on every call, where a production deployment builds
+    * per corpus snapshot and searches many times (the persisted-state
+    * pattern `incrementalSemDedup`'s checkpointed centroids already
+    * use). The at-rest footprint is the PQ bargain: m bytes of codes
+    * plus one long cell id per vector.
+    *
+    * Layout IS the index: `cells` and `codes` are written
+    * `partitionBy("cell")` (clustered by one `repartition(cell)`
+    * shuffle each, so a cell's rows land in few files, not one file
+    * per writer task per cell). A probe of `nprobe` cells then reads
+    * nprobe/nlist of the code FILES — partition pruning at the scan,
+    * not a filter after a full shuffle. The codes⋈cells id-join runs
+    * here, once, at build time, where it is amortized — never at
+    * query time.
     */
   def buildIvfPqIndex(emb: DataFrame, idCol: String, vecCol: String,
       path: String, minNlist: Int = 16, m: Int = 4, ksub: Int = 16): Unit = {
@@ -753,12 +770,17 @@ object Similarity {
           col("cid")).as("sc"))
       .groupBy("id").agg(min(col("sc")).as("best"))
       .select(col("id"), col("best")("cid").as("cell"))
-      .write.mode("overwrite").parquet(s"$path/cells")
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
     pqCodebook(emb, idCol, vecCol, m, ksub)
       .write.mode("overwrite").parquet(s"$path/codebook")
+    val cells = emb.sparkSession.read.schema(CellsSchema)
+      .parquet(s"$path/cells")
     pqAssign(emb, idCol, vecCol, m, ksub)
       .select(col("id"), col("sub"), col("code"))
-      .write.mode("overwrite").parquet(s"$path/codes")
+      .join(cells, "id")
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
   }
 
   /** Ingest a NEW batch into a persisted [[buildIvfPqIndex]] index:
@@ -771,6 +793,14 @@ object Similarity {
     * appends and therefore NOT replay-idempotent — ingest each batch
     * once (the id column makes duplicates detectable; the CM delta
     * log shows the batch-id pattern when replays must be tolerated).
+    *
+    * Failure ordering: `codes` is appended FIRST. Search reads only
+    * `codes` (cell rides its partition directories), so a crash
+    * between the two writes leaves orphan code rows that are already
+    * fully searchable, and `cells` merely missing audit rows — the
+    * reverse order would leave ids routed in `cells` that no search
+    * can ever return. Recovery from a half-appended batch: delete the
+    * batch's ids from both relations and re-ingest.
     */
   def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, batch: DataFrame, idCol: String, vecCol: String): Unit = {
@@ -779,16 +809,22 @@ object Similarity {
     val cb = spark.read.parquet(s"$path/codebook")
     val m = cb.agg(max(col("sub"))).collect().head.getLong(0).toInt + 1
     val v = withNorm(batch, idCol, vecCol)
-    v.join(broadcast(c))
-      .select(col("id"),
-        struct((-(dot(col("e"), col("ce")) / (col("n") * col("cn")))).as("negcs"),
-          col("cid")).as("sc"))
-      .groupBy("id").agg(min(col("sc")).as("best"))
-      .select(col("id"), col("best")("cid").as("cell"))
-      .write.mode("append").parquet(s"$path/cells")
+    val batchCells = Dedup.barrier(
+      v.join(broadcast(c))
+        .select(col("id"),
+          struct((-(dot(col("e"), col("ce")) / (col("n") * col("cn")))).as("negcs"),
+            col("cid")).as("sc"))
+        .groupBy("id").agg(min(col("sc")).as("best"))
+        .select(col("id"), col("best")("cid").as("cell")),
+      col("id"))
     pqAssignWith(cb, batch, idCol, vecCol, m)
       .select(col("id"), col("sub"), col("code"))
-      .write.mode("append").parquet(s"$path/codes")
+      .join(batchCells, "id")
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+    batchCells
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
   }
 
   /** Search a persisted [[buildIvfPqIndex]] index: the query relation
@@ -798,15 +834,23 @@ object Similarity {
     * cells' stored codes — identical arithmetic to [[ivfPqTopK]]
     * (the differential spec pins row-for-row equality), with zero
     * training or encoding work at query time.
+    *
+    * The probe prunes the SCAN, not just the scoring: `codes` is
+    * cell-partitioned on disk, the first join is broadcast(qprobes)
+    * on the partition column, and dynamic partition pruning reuses
+    * that broadcast as a partition filter on the codes scan — so only
+    * ~nprobe/nlist of the code files are read, and nothing is
+    * shuffled before the probe filter (PlanShapeSpec pins the
+    * DynamicPruning filter on the scan). The `cells` relation is not
+    * touched at query time at all.
     */
   def searchIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
       nprobe: Int = 2): DataFrame = {
     GraftFunctions.register(spark)
     val c = spark.read.parquet(s"$path/centroids")
-    val cells = spark.read.parquet(s"$path/cells")
     val cb = spark.read.parquet(s"$path/codebook")
-    val codes = spark.read.parquet(s"$path/codes")
+    val codes = spark.read.schema(CodesSchema).parquet(s"$path/codes")
     val m = cb.agg(max(col("sub"))).collect().head.getLong(0).toInt + 1
     val e = transform(col(vecCol), x => x.cast("double"))
     val qv = queries.select(col(idCol).as("qid"), e.as("e"), norm(e).as("n"))
@@ -829,8 +873,7 @@ object Similarity {
         floor(l2sq(col("qv"), col("cv")) * lit(1e6)).as("lut_scaled"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("adist_scaled"), col("vec_id"))
-    codes.join(cells, "id")
-      .join(broadcast(qprobes), Seq("cell"))
+    codes.join(broadcast(qprobes), Seq("cell"))
       .join(broadcast(lut), Seq("qid", "sub", "code"))
       .filter(col("qid") =!= col("id"))
       .groupBy(col("qid").as("query_id"), col("id").as("vec_id"))

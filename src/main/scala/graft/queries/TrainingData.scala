@@ -527,6 +527,27 @@ object TrainingData {
         PqQueryIds, k = 5, minNlist = 16, nprobe = 2, m = 8, ksub = 64)
       .orderBy("query_id", "rank")
 
+  /** Persisted IVF-PQ lifecycle under the oracle gate
+    * ([[Similarity.buildIvfPqIndex]] → [[Similarity.searchIvfPqIndex]]):
+    * build the cell-partitioned index once into a scratch directory,
+    * then answer t59's exact query from the stored relations — the
+    * search reads ONLY the probed cells' code files (dynamic
+    * partition pruning; PlanShapeSpec pins the scan filter) and runs
+    * zero training or encoding. Identical arithmetic to the one-shot
+    * operator, so the t59 oracle replays it bit-for-bit.
+    */
+  def annIvfPqPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("graft_t63_ivfpq")
+      .resolve("index").toString
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", path,
+      minNlist = 16, m = 8, ksub = 64)
+    Similarity.searchIvfPqIndex(spark, path,
+        emb.filter(col("vec_id").isin(PqQueryIds: _*)), "vec_id", "embedding",
+        k = 5, nprobe = 2)
+      .orderBy("query_id", "rank")
+  }
+
   /** Int8 scalar quantization ([[Similarity.sqEncode]]): every
     * embedding as (symmetric scale, int8 code array, reconstruction
     * error). Codes are stringified for the gate only (driver
@@ -1028,6 +1049,7 @@ object TrainingData {
     "t60_perceptron_train" -> docPerceptronTrain _,
     "t61_cm_sketch" -> docCmSketch _,
     "t62_corpus_report" -> docCorpusReport _,
+    "t63_ann_ivfpq_persisted" -> annIvfPqPersisted _,
   )
 
   /** Shared DuckDB CTE fragment: per-doc word-trigram shingle sets,
@@ -1567,6 +1589,54 @@ object TrainingData {
        |  UNION ALL SELECT 2, l, r, cnt FROM b3) x
        |ORDER BY rank""".stripMargin
   }
+
+  /** Shared oracle replay for the IVF-PQ composition (t59 one-shot
+    * and t63 persisted search — identical arithmetic by construction,
+    * pinned row-for-row by the differential spec): centroid training,
+    * cell routing, probe choice, LUT build, and the scaled-long ADC
+    * ranking, unrolled in DuckDB SQL.
+    */
+  private lazy val ivfPqOracleSql: String =
+    s"""WITH ${pqCtes(8, 64)}, ${lloydCtes("v", 16)}, pasg AS (
+       |  SELECT v.vec_id, c.cid, ${cosSql("v.e", "c.ce")} AS cs
+       |  FROM v, lc2 c
+       |), pasgr AS (
+       |  SELECT vec_id, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY cs DESC, cid) AS pr
+       |  FROM pasg
+       |), vcells AS (
+       |  SELECT vec_id, cid FROM pasgr WHERE pr = 1
+       |), qpr AS (
+       |  SELECT vec_id AS qid, cid FROM pasgr
+       |  WHERE pr <= 2 AND vec_id IN (${PqQueryIds.mkString(", ")})
+       |), q AS (
+       |  SELECT vec_id AS qid, sub, sv AS qv FROM sv
+       |  WHERE vec_id IN (${PqQueryIds.mkString(", ")})
+       |), lut AS (
+       |  SELECT q.qid, q.sub, c.code,
+       |    CAST(FLOOR(${l2sqSql("qv", "cv", 8)} * 1000000.0) AS BIGINT)
+       |      AS lut_scaled
+       |  FROM q JOIN cs c USING (sub)
+       |), acc AS (
+       |  SELECT l.qid AS query_id, b.vec_id,
+       |    MIN(ce.cid) AS cell,
+       |    CAST(SUM(l.lut_scaled) AS BIGINT) AS adist_scaled
+       |  FROM best b
+       |  JOIN vcells ce ON ce.vec_id = b.vec_id
+       |  JOIN qpr ON qpr.cid = ce.cid
+       |  JOIN lut l ON l.sub = b.sub AND l.code = b.code
+       |    AND l.qid = qpr.qid AND l.qid <> b.vec_id
+       |  GROUP BY 1, 2
+       |), r AS (
+       |  SELECT query_id, vec_id, cell, adist_scaled,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY adist_scaled, vec_id) AS BIGINT) AS rank
+       |  FROM acc
+       |)
+       |SELECT query_id, rank, vec_id, cell,
+       |  CAST(adist_scaled AS DOUBLE) / 1000000.0 AS approx_dist
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   val oracles: Map[String, String] = {
     import TextFunctions.{Sql => T}
@@ -2424,47 +2494,11 @@ object TrainingData {
            |SELECT query_id, rank, vec_id,
            |  CAST(adist_scaled AS DOUBLE) / 1000000.0 AS approx_dist
            |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
-      "t59_ann_ivfpq_topk" ->
-        s"""WITH ${pqCtes(8, 64)}, ${lloydCtes("v", 16)}, pasg AS (
-           |  SELECT v.vec_id, c.cid, ${cosSql("v.e", "c.ce")} AS cs
-           |  FROM v, lc2 c
-           |), pasgr AS (
-           |  SELECT vec_id, cid,
-           |    ROW_NUMBER() OVER (PARTITION BY vec_id
-           |      ORDER BY cs DESC, cid) AS pr
-           |  FROM pasg
-           |), vcells AS (
-           |  SELECT vec_id, cid FROM pasgr WHERE pr = 1
-           |), qpr AS (
-           |  SELECT vec_id AS qid, cid FROM pasgr
-           |  WHERE pr <= 2 AND vec_id IN (${PqQueryIds.mkString(", ")})
-           |), q AS (
-           |  SELECT vec_id AS qid, sub, sv AS qv FROM sv
-           |  WHERE vec_id IN (${PqQueryIds.mkString(", ")})
-           |), lut AS (
-           |  SELECT q.qid, q.sub, c.code,
-           |    CAST(FLOOR(${l2sqSql("qv", "cv", 8)} * 1000000.0) AS BIGINT)
-           |      AS lut_scaled
-           |  FROM q JOIN cs c USING (sub)
-           |), acc AS (
-           |  SELECT l.qid AS query_id, b.vec_id,
-           |    MIN(ce.cid) AS cell,
-           |    CAST(SUM(l.lut_scaled) AS BIGINT) AS adist_scaled
-           |  FROM best b
-           |  JOIN vcells ce ON ce.vec_id = b.vec_id
-           |  JOIN qpr ON qpr.cid = ce.cid
-           |  JOIN lut l ON l.sub = b.sub AND l.code = b.code
-           |    AND l.qid = qpr.qid AND l.qid <> b.vec_id
-           |  GROUP BY 1, 2
-           |), r AS (
-           |  SELECT query_id, vec_id, cell, adist_scaled,
-           |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-           |      ORDER BY adist_scaled, vec_id) AS BIGINT) AS rank
-           |  FROM acc
-           |)
-           |SELECT query_id, rank, vec_id, cell,
-           |  CAST(adist_scaled AS DOUBLE) / 1000000.0 AS approx_dist
-           |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+      "t59_ann_ivfpq_topk" -> ivfPqOracleSql,
+      // the persisted-index search is row-for-row the one-shot
+      // operator (frozen quantizer, identical scaled-long ADC), so
+      // the SAME oracle replay gates it
+      "t63_ann_ivfpq_persisted" -> ivfPqOracleSql,
       "t31_split_shuffle" ->
         """SELECT doc_id,
           |  CASE WHEN ((doc_id % 1000003) * 2654435761 + 123456789)

@@ -344,6 +344,29 @@ class PlanShapeSpec extends AnyFunSuite {
       s"corpus window lost its (bin, bucket) partitioning:\n${plan.take(1500)}")
   }
 
+  test("persisted IVF-PQ search prunes the codes SCAN to probed cells") {
+    val emb = Tables.embeddings(spark, dir)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_plan")
+      .resolve("index").toString
+    operators.Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", path,
+      minNlist = 16, m = 4, ksub = 16)
+    val df = operators.Similarity.searchIvfPqIndex(spark, path,
+      emb.filter(org.apache.spark.sql.functions.col("vec_id")
+        .isin(0L, 7L, 42L)), "vec_id", "embedding", k = 5, nprobe = 2)
+    val plan = df.queryExecution.executedPlan.toString
+    // the probe relation must reach the codes scan as a PARTITION
+    // filter (dynamic pruning reusing the qprobes broadcast) — at
+    // 100 TB this is the difference between reading nprobe/nlist of
+    // the code files and shuffling the entire codes relation
+    assert(plan.contains("dynamicpruningexpression(cell"),
+      s"codes scan lost its dynamic partition pruning on cell:\n${plan.take(2000)}")
+    // and nothing may shuffle the codes relation before the probe
+    // filter applies: the probe and LUT joins are both broadcast
+    assert(!plan.contains("SortMergeJoin"),
+      s"codes relation shuffled before the probe filter:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+  }
+
   test("t54: HLL registers partial-aggregate map-side; no wide shuffle") {
     val plan = planOf(operators.CorpusOps.hllDistinctSketch(
       Tables.documents(spark, dir), "text", 3, 8))

@@ -1682,6 +1682,16 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(fromIndex.count() > 0)
   }
 
+  test("t63 persisted search reproduces t59 row-for-row at the gate " +
+      "parameters (m=8, ksub=64)") {
+    val oneShot = queries.TrainingData.annIvfPq(spark, dir).collect().toSeq
+    val persisted = queries.TrainingData.annIvfPqPersisted(spark, dir)
+      .collect().toSeq
+    assert(oneShot == persisted,
+      s"t63 diverged from t59: ${persisted.diff(oneShot).take(5)}")
+    assert(oneShot.nonEmpty)
+  }
+
   test("IVF-PQ ingestion: appended batch routed by the frozen quantizer, " +
       "differentially checked and searchable") {
     import org.apache.spark.sql.functions._
@@ -1692,8 +1702,11 @@ class TrainingDataSpec extends AnyFunSuite {
       "embedding", path, minNlist = 16, m = 4, ksub = 16)
     val batch = emb.filter(col("vec_id") >= 400)
     Similarity.appendToIvfPqIndex(spark, path, batch, "vec_id", "embedding")
-    val cells = spark.read.parquet(s"$path/cells")
-    val codes = spark.read.parquet(s"$path/codes")
+    // cell rides the partition directories; pin LONG as the operators do
+    val cells = spark.read.schema("id LONG, cell LONG")
+      .parquet(s"$path/cells")
+    val codes = spark.read.schema("id LONG, sub LONG, code LONG, cell LONG")
+      .parquet(s"$path/codes")
     assert(cells.count() == 500L, "cells must cover index + batch")
     assert(codes.count() == 500L * 4, "codes must cover index + batch")
     // differential: one appended vector's routing against the STORED
