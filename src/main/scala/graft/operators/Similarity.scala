@@ -245,10 +245,27 @@ object Similarity {
     * instead of id-order luck.
     */
   def ivfTopKAuto(emb: DataFrame, idCol: String, vecCol: String, k: Int,
-      minNlist: Int = 16, nprobe: Int = 2): DataFrame = {
+      minNlist: Int = 16, nprobe: Int = 2,
+      centroidsOpt: Option[DataFrame] = None): DataFrame = {
     val v = withNorm(emb, idCol, vecCol)
-    ivfSearch(v, trainedCentroids(v, minNlist), k, nprobe)
+    ivfSearch(v, centroidsOpt.getOrElse(trainedCentroids(v, minNlist)), k, nprobe)
   }
+
+  /** Train the coarse quantizer ONCE for a corpus snapshot and hand
+    * the (localCheckpoint'd, nlist-row) relation to every consumer
+    * that clusters the same corpus — [[ivfTopKAuto]], [[semDedup]],
+    * [[prototypeSample]], [[ivfPqTopK]], [[buildIvfPqIndex]] all
+    * accept it via `centroidsOpt`. Without sharing, each operator in
+    * a session re-runs [[LloydIters]] full-corpus Lloyd passes for
+    * the identical result (same seeds, same integer-sum arithmetic) —
+    * at 100 TB the training passes dominate the semantic family's
+    * cost, and an index build amortizes them across every downstream
+    * query. The returned relation embeds only a tiny checkpoint scan,
+    * so reuse adds no lineage.
+    */
+  def trainCentroids(emb: DataFrame, idCol: String, vecCol: String,
+      minNlist: Int = 16): DataFrame =
+    trainedCentroids(withNorm(emb, idCol, vecCol), minNlist)
 
   /** Embedding near-duplicate pairs: cosine >= threshold, id_a < id_b.
     *
@@ -408,14 +425,13 @@ object Similarity {
       .select(col("id"), col("best")("cid").as("cid"),
         (-col("best")("negcs")).as("cs"))
 
-  private def assignClusters(v: DataFrame, minNlist: Int): DataFrame =
-    assignTo(v, trainedCentroids(v, minNlist))
-
   def semDedup(emb: DataFrame, idCol: String, vecCol: String,
-      minNlist: Int = 16, threshold: Double = 0.3): DataFrame = {
+      minNlist: Int = 16, threshold: Double = 0.3,
+      centroidsOpt: Option[DataFrame] = None): DataFrame = {
     val v = withNorm(emb, idCol, vecCol)
+    val c = centroidsOpt.getOrElse(trainedCentroids(v, minNlist))
     val members = Dedup.barrier(
-      assignClusters(v, minNlist).select("id", "cid").join(v, "id"),
+      assignTo(v, c).select("id", "cid").join(v, "id"),
       col("cid")).localCheckpoint()
     val dropped = members.as("a").join(members.as("b"),
         col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
@@ -436,7 +452,7 @@ object Similarity {
     * abundant. Complements [[semDedup]]: that removes redundancy
     * between PAIRS; this removes the over-represented cluster CORE.
     *
-    * Contract: clusters from [[assignClusters]] (same oracle-
+    * Contract: clusters from [[assignTo]] on [[trainedCentroids]] (same oracle-
     * replayable ladder); within a cluster, proto_rank = row_number by
     * (cosine-to-centroid asc, id asc) — rank 1 is the HARDEST example
     * — and kept = proto_rank <= ceil(|cluster| · keepFrac). Output is
@@ -451,9 +467,11 @@ object Similarity {
     * checkpoint is needed.
     */
   def prototypeSample(emb: DataFrame, idCol: String, vecCol: String,
-      minNlist: Int = 16, keepFrac: Double = 0.5): DataFrame = {
+      minNlist: Int = 16, keepFrac: Double = 0.5,
+      centroidsOpt: Option[DataFrame] = None): DataFrame = {
     val v = withNorm(emb, idCol, vecCol)
-    val assigned = Dedup.barrier(assignClusters(v, minNlist), col("cid"))
+    val c = centroidsOpt.getOrElse(trainedCentroids(v, minNlist))
+    val assigned = Dedup.barrier(assignTo(v, c), col("cid"))
     val w = Window.partitionBy("cid")
     val ranked = assigned
       .withColumn("proto_rank",
@@ -494,7 +512,8 @@ object Similarity {
     */
   def incrementalSemDedup(index: DataFrame, batch: DataFrame,
       idCol: String, vecCol: String, minNlist: Int = 16,
-      threshold: Double = 0.3): DataFrame = {
+      threshold: Double = 0.3,
+      centroidsOpt: Option[DataFrame] = None): DataFrame = {
     val vi = withNorm(index, idCol, vecCol)
     // the normed batch feeds three consumers (assignment, the member
     // join, the disposition base) — materialize it once; it is the
@@ -504,7 +523,7 @@ object Similarity {
     // lineage (seed scan + Lloyd assignments over the whole index) is
     // never embedded in the member checkpoints — nor re-run per
     // micro-batch in the streaming face
-    val c = trainedCentroids(vi, minNlist)
+    val c = centroidsOpt.getOrElse(trainedCentroids(vi, minNlist))
     def members(v: DataFrame): DataFrame = Dedup.barrier(
       assignTo(v, c).select("id", "cid").join(v, "id"),
       col("cid")).localCheckpoint()
@@ -684,9 +703,10 @@ object Similarity {
     */
   def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryIds: Seq[Long], k: Int, minNlist: Int = 16, nprobe: Int = 2,
-      m: Int = 4, ksub: Int = 16): DataFrame = {
+      m: Int = 4, ksub: Int = 16,
+      centroidsOpt: Option[DataFrame] = None): DataFrame = {
     val v = withNorm(emb, idCol, vecCol)
-    val c = trainedCentroids(v, minNlist)
+    val c = centroidsOpt.getOrElse(trainedCentroids(v, minNlist))
     val cells = Dedup.barrier(
       v.join(broadcast(c))
         .select(col("id"),
@@ -760,9 +780,10 @@ object Similarity {
     * query time.
     */
   def buildIvfPqIndex(emb: DataFrame, idCol: String, vecCol: String,
-      path: String, minNlist: Int = 16, m: Int = 4, ksub: Int = 16): Unit = {
+      path: String, minNlist: Int = 16, m: Int = 4, ksub: Int = 16,
+      centroidsOpt: Option[DataFrame] = None): Unit = {
     val v = withNorm(emb, idCol, vecCol)
-    val c = trainedCentroids(v, minNlist)
+    val c = centroidsOpt.getOrElse(trainedCentroids(v, minNlist))
     c.write.mode("overwrite").parquet(s"$path/centroids")
     v.join(broadcast(c))
       .select(col("id"),

@@ -139,9 +139,35 @@ object TrainingData {
     * oracle-expressible, so the DuckDB gate replays the ENTIRE index
     * build + search — recall vs brute force is asserted in ScalaTest.
     */
+  /** One trained coarse-centroid relation per (session, corpus
+    * snapshot, nlist), shared by every semantic-family query that
+    * clusters that corpus — t16/t40/t41/t59/t63 over the full
+    * embedding table, t43 over its 4/5 index split. The training is
+    * deterministic (Lloyd from smallest-id seeds, integer-sum
+    * arithmetic), so sharing changes nothing the oracle can see; it
+    * only stops each query from re-running [[Similarity.LloydIters]]
+    * full-corpus passes for the identical nlist-row result. Keyed by
+    * applicationId so a fresh session (whose localCheckpoint blocks
+    * are gone) retrains rather than reading dead blocks.
+    */
+  private val centroidCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, Int), DataFrame]
+
+  private def sharedCentroids(spark: SparkSession, corpusKey: String,
+      emb: => DataFrame, minNlist: Int): DataFrame =
+    centroidCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, corpusKey, minNlist),
+      Similarity.trainCentroids(emb, "vec_id", "embedding", minNlist))
+
+  private def fullCorpusCentroids(spark: SparkSession, dir: String,
+      minNlist: Int = 16): DataFrame =
+    sharedCentroids(spark, s"$dir/embeddings", Tables.embeddings(spark, dir),
+      minNlist)
+
   def annIvfTopK(spark: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopKAuto(Tables.embeddings(spark, dir), "vec_id", "embedding",
-        k = 3, minNlist = 16, nprobe = 2)
+        k = 3, minNlist = 16, nprobe = 2,
+        centroidsOpt = Some(fullCorpusCentroids(spark, dir)))
       .orderBy("vec_id", "rank")
 
   /** Embedding near-duplicate pairs (cosine >= 0.5). */
@@ -410,7 +436,8 @@ object TrainingData {
     */
   def docSemDedup(spark: SparkSession, dir: String): DataFrame =
     Similarity.semDedup(Tables.embeddings(spark, dir), "vec_id", "embedding",
-        minNlist = 16, threshold = 0.3)
+        minNlist = 16, threshold = 0.3,
+        centroidsOpt = Some(fullCorpusCentroids(spark, dir)))
       .orderBy("vec_id")
 
   /** Prototype-based diversity pruning ([[Similarity.prototypeSample]]):
@@ -420,7 +447,8 @@ object TrainingData {
     */
   def docProtoSample(spark: SparkSession, dir: String): DataFrame =
     Similarity.prototypeSample(Tables.embeddings(spark, dir), "vec_id",
-        "embedding", minNlist = 16, keepFrac = 0.5)
+        "embedding", minNlist = 16, keepFrac = 0.5,
+        centroidsOpt = Some(fullCorpusCentroids(spark, dir)))
       .orderBy("vec_id")
 
   /** Canonical selection for MinHash clusters
@@ -443,10 +471,16 @@ object TrainingData {
   def docIncrementalSemDedup(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val split = emb.count() * 4 / 5
+    // index-learned centroids (the 4/5 split is its own corpus
+    // snapshot — a frozen index quantizer is trained once and reused
+    // across every batch disposed against it)
+    val c = sharedCentroids(spark, s"$dir/embeddings<$split",
+      emb.filter(col("vec_id") < split), minNlist = 16)
     Similarity.incrementalSemDedup(
         emb.filter(col("vec_id") < split),
         emb.filter(col("vec_id") >= split),
-        "vec_id", "embedding", minNlist = 16, threshold = 0.3)
+        "vec_id", "embedding", minNlist = 16, threshold = 0.3,
+        centroidsOpt = Some(c))
       .orderBy("batch_id")
   }
 
@@ -524,7 +558,8 @@ object TrainingData {
     */
   def annIvfPq(spark: SparkSession, dir: String): DataFrame =
     Similarity.ivfPqTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
-        PqQueryIds, k = 5, minNlist = 16, nprobe = 2, m = 8, ksub = 64)
+        PqQueryIds, k = 5, minNlist = 16, nprobe = 2, m = 8, ksub = 64,
+        centroidsOpt = Some(fullCorpusCentroids(spark, dir)))
       .orderBy("query_id", "rank")
 
   /** Persisted IVF-PQ lifecycle under the oracle gate
@@ -541,7 +576,8 @@ object TrainingData {
       .resolve("index").toString
     val emb = Tables.embeddings(spark, dir)
     Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", path,
-      minNlist = 16, m = 8, ksub = 64)
+      minNlist = 16, m = 8, ksub = 64,
+      centroidsOpt = Some(fullCorpusCentroids(spark, dir)))
     Similarity.searchIvfPqIndex(spark, path,
         emb.filter(col("vec_id").isin(PqQueryIds: _*)), "vec_id", "embedding",
         k = 5, nprobe = 2)
