@@ -203,7 +203,7 @@ object CorpusOps {
   /** Bloom-filter decontamination — the constant-memory scale path
     * for [[decontaminate]]: the benchmark's shingle set is folded
     * into a [[BloomBits]]-bit Bloom filter (2 probes per shingle,
-    * bit_or into ≤ 1024 64-bit words), and each training shingle is
+    * bit_or into ≤ 16384 64-bit words), and each training shingle is
     * tested by two broadcast word-lookups. One-sided by
     * construction: NO false negatives (every truly shared shingle
     * hits — the Bloom invariant), a deterministic false-positive
@@ -211,7 +211,7 @@ object CorpusOps {
     * and spec can see exactly which flags are FPs; with the fixture
     * load factor the FP rate is ~2%). Against [[decontaminate]]'s
     * broadcast shingle SET, the win is at 100 TB-scale benchmarks:
-    * the broadcast is 8 KB of words regardless of benchmark size,
+    * the broadcast is 128 KB of words regardless of benchmark size,
     * where the exact set grows with the benchmark vocabulary. All
     * arithmetic BIGINT (PolyHash + LCG probes, masks via shiftleft,
     * membership via `word & mask`, never a shift of the
@@ -560,8 +560,12 @@ object CorpusOps {
       s"+ cast(1.079 as double) / cast($m as double))"
     regs
       .agg(count(lit(1)).as("n_filled"),
-        sum(expr(s"shiftleft(cast(1 as bigint), cast($maxRho - r as int))"))
-          .as("z_filled"))
+        // coalesce: SUM over ZERO register rows is NULL, and an empty
+        // corpus/stream state must still yield the well-defined
+        // all-zero-registers row (z = m·2^maxRho), not NULLs
+        coalesce(
+          sum(expr(s"shiftleft(cast(1 as bigint), cast($maxRho - r as int))")),
+          lit(0L)).as("z_filled"))
       .select(
         lit(p.toLong).as("p"),
         lit(m.toLong).as("m"),

@@ -958,9 +958,14 @@ object Similarity {
     *
     * Magnitude bound: `adot` ≈ d · 127 · (1e6·|q|∞) · (1e6·|x|∞), so
     * BIGINT is safe while d · |q|∞ · |x|∞ < ~7e4 — i.e. components up
-    * to |x| ≈ 1e2 at d = 1024, or ~8 at d = 65536. Beyond that the
-    * scaled products overflow silently; re-scale inputs to unit norm
-    * first (embedding-model outputs already are).
+    * to |x| ≈ 1e2 at d = 1024, or ~8 at d = 65536. The bound is
+    * ENFORCED per scored pair: an `assert_true` on the (double-
+    * computed, overflow-free) d·127·|µq|∞·|µx|∞ envelope fails the
+    * query loudly instead of letting the scaled products wrap to a
+    * silently-wrong ranking — one compare per pair against the
+    * d-op dot fold, free in the codegen'd loop. Re-scale inputs to
+    * unit norm to stay in range (embedding-model outputs already
+    * are).
     */
   def sqTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryIds: Seq[Long], k: Int): DataFrame = {
@@ -968,13 +973,23 @@ object Similarity {
       .select(col("vec_id"), col("maxabs"), col("codes"))
     val q = emb.filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("query_id"), vecScaledLong(vecCol).as("ql"))
+      .withColumn("qmaxabs",
+        greatest(array_max(transform(col("ql"), x => abs(x))), lit(1L)))
     val w = Window.partitionBy("query_id")
       .orderBy(col("adot").desc, col("vec_id"))
+    // |Σ code·µq| ≤ d·127·|µq|∞ and adot multiplies by maxabs = |µx|∞;
+    // 9.0e18 < 2^63 leaves slack for the fold's own partial sums
+    val inRange = size(col("codes")).cast("double") * lit(127.0) *
+      col("qmaxabs").cast("double") * col("maxabs").cast("double") < lit(9.0e18)
     enc.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
-        (expr("aggregate(zip_with(codes, ql, (c, a) -> c * a), 0L, (acc, x) -> acc + x)")
-          * col("maxabs")).as("adot"))
+        when(assert_true(inRange, concat(lit("sqTopK adot overflow: "),
+            lit("d*127*|q|inf*|x|inf exceeds BIGINT for (query_id, vec_id)=("),
+            col("query_id"), lit(", "), col("vec_id"),
+            lit(") - rescale inputs to unit norm"))).isNull,
+          expr("aggregate(zip_with(codes, ql, (c, a) -> c * a), 0L, (acc, x) -> acc + x)")
+            * col("maxabs")).as("adot"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "vec_id", "adot")

@@ -239,7 +239,7 @@ object TrainingData {
 
   /** Bloom-filter decontamination ([[CorpusOps.bloomDecontaminate]]):
     * the same benchmark split as t19 (every 10th doc), but membership
-    * tested against a 2¹⁶-bit Bloom filter of the benchmark shingles
+    * tested against a 2²⁰-bit Bloom filter of the benchmark shingles
     * instead of the exact broadcast set — the constant-memory scale
     * path. `exact_hit` rides along, so the oracle pins the
     * no-false-negative invariant AND the exact deterministic

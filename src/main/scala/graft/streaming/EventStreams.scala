@@ -242,30 +242,50 @@ object EventStreams {
     * which — unlike the HLL registers' max ([[hllSketchStream]]) —
     * is NOT idempotent under foreachBatch's at-least-once replay: a
     * merged-in-place state would double-count a replayed batch. So
-    * the durable state is a per-batch DELTA LOG ((batch_id, j,
-    * bucket, c) appended per micro-batch — counter deltas are
+    * the durable state is a per-batch DELTA LOG ((run_id, batch_id,
+    * j, bucket, c) appended per micro-batch — counter deltas are
     * deterministic for a batch, so a replay appends byte-identical
     * rows) and the live counters come from the read side:
     * [[cmCountersOfLog]] dedups whole rows and sums per (j, bucket)
     * — the same read-side effectively-once contract as the admission
     * disposition logs. State on disk is ≤ batches·depth·width rows.
+    *
+    * `run_id` disambiguates QUERY LIFETIMES sharing one log:
+    * foreachBatch batch ids restart at 0 per query run, so without it
+    * a later run ingesting NEW data could emit rows byte-identical to
+    * an earlier run's and have legitimate deltas silently collapse
+    * (undercount). With `checkpointLocation` set, run_id is the
+    * checkpoint path — stable across RESTARTS of the same query, so
+    * an interrupted batch replayed after recovery still dedups — and
+    * the checkpoint guarantees the restarted query resumes instead of
+    * re-reading its input. Without a checkpoint, run_id is a fresh
+    * UUID per call: correct for a log fed by many one-shot ingests of
+    * DISTINCT data, but re-running the same source twice ingests it
+    * twice by design (there is no cross-run input tracking to say
+    * otherwise).
     */
   def cmSketchStream(docs: DataFrame, textCol: String, n: Int, width: Int,
-      path: String): Unit = {
-    val q = docs.writeStream.outputMode("append")
+      path: String, checkpointLocation: Option[String] = None): Unit = {
+    val runId = checkpointLocation.getOrElse(
+      java.util.UUID.randomUUID.toString)
+    val writer = docs.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         graft.operators.CorpusOps.cmCounters(batch.toDF(), textCol, n, width)
+          .withColumn("run_id", lit(runId))
           .withColumn("batch_id", lit(id))
           .write.mode("append").parquet(path)
         ()
       }
+    val q = checkpointLocation
+      .fold(writer)(cp => writer.option("checkpointLocation", cp))
       .start()
     q.processAllAvailable()
     q.stop()
   }
 
   /** Live CM counters from a [[cmSketchStream]] delta log: replayed
-    * batches collapse under the whole-row distinct, then deltas sum.
+    * batches collapse under the whole-row distinct (keyed by the full
+    * (run_id, batch_id, j, bucket, c) row), then deltas sum.
     */
   def cmCountersOfLog(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

@@ -14,6 +14,21 @@ class CorpusOpsSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.session
   import spark.implicits._
 
+  test("hllEstimateFromRegisters: empty register state yields the " +
+      "well-defined all-zero-registers row, never NULLs") {
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val row = CorpusOps.hllEstimateFromRegisters(
+      CorpusOps.hllRegisters(noDocs, "text", n = 3, p = 8), p = 8)
+      .collect().head
+    val m = 1L << 8
+    val maxRho = 32 - 8 + 1
+    assert(!row.isNullAt(row.fieldIndex("z_scaled")) &&
+      !row.isNullAt(row.fieldIndex("est_distinct")),
+      "empty corpus/stream state produced NULL estimate columns")
+    assert(row.getLong(row.fieldIndex("n_zero_regs")) == m)
+    assert(row.getLong(row.fieldIndex("z_scaled")) == m * (1L << maxRho))
+  }
+
   test("repetitionMetrics: hand-computed fractions") {
     val docs = Seq(
       (1L, "a a a b"),        // uniq 2/4; modal unigram a: 3/4; bigrams [a a, a a, a b]: 2/3

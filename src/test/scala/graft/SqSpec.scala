@@ -61,4 +61,27 @@ class SqSpec extends AnyFunSuite {
     // PQ's coarse codebook; chance for 5 of 499 is ~0.01
     assert(recall >= 0.6, f"SQ recall collapsed: $recall%.2f")
   }
+
+  test("sqTopK fails LOUDLY when the adot envelope would overflow BIGINT") {
+    import spark.implicits._
+    // d*127*|µq|inf*|µx|inf with components ~1e8 at d=4:
+    // (1e6*1e8)^2 * 127 * 4 >> 2^63 — silent wraparound territory
+    val huge = Seq(
+      (0L, Array(1.0e8f, -2.0e8f, 3.0e8f, 4.0e8f)),
+      (1L, Array(2.0e8f, 1.0e8f, -1.0e8f, 3.0e8f)),
+      (2L, Array(0.5e8f, 0.25e8f, 1.0e8f, -2.0e8f)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.sqTopK(huge, "vec_id", "embedding", Seq(0L), k = 2).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++
+        messages(e.getCause))
+    assert(messages(ex).exists(_.contains("sqTopK adot overflow")),
+      s"expected the overflow guard, got: ${messages(ex).take(3)}")
+    // and in-range inputs are untouched by the guard
+    val ok = Tables.embeddings(spark, dir)
+    assert(Similarity.sqTopK(ok, "vec_id", "embedding", Seq(0L), k = 2)
+      .count() == 2)
+  }
 }

@@ -245,26 +245,42 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("streaming CM delta log: summed counters == batch counters, " +
-      "replay collapses on the read side") {
+      "checkpointed restart collapses, distinct runs both count") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
       .select("doc_id", "text")
     val d = java.nio.file.Files.createTempDirectory("graft_cmstream")
     docs.repartition(3).write.parquet(d.resolve("in").toString)
     val log = d.resolve("cm_log").toString
+    val cp = d.resolve("cm_cp").toString
     def stream() = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(d.resolve("in").toString)
-    EventStreams.cmSketchStream(stream(), "text", n = 2, width = 1024, log)
+    EventStreams.cmSketchStream(stream(), "text", n = 2, width = 1024, log,
+      checkpointLocation = Some(cp))
     val got = EventStreams.cmCountersOfLog(spark, log)
     val expect = graft.operators.CorpusOps.cmCounters(docs, "text", 2, 1024)
     assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty,
       "summed per-batch deltas diverge from the one-pass counters")
-    // a full replay appends byte-identical delta rows; the read-side
-    // distinct must collapse them (sum-merge alone would double-count)
-    EventStreams.cmSketchStream(stream(), "text", n = 2, width = 1024, log)
+    // restarting against the SAME checkpoint resumes: the recovered
+    // query re-reads nothing, and any replayed in-flight batch would
+    // append byte-identical (run_id = checkpoint, batch_id) rows the
+    // read-side distinct collapses — no double count
+    EventStreams.cmSketchStream(stream(), "text", n = 2, width = 1024, log,
+      checkpointLocation = Some(cp))
     val again = EventStreams.cmCountersOfLog(spark, log)
     assert(again.exceptAll(expect).isEmpty && expect.exceptAll(again).isEmpty,
-      "replayed deltas double-counted — read-side dedup broken")
+      "checkpointed restart double-counted — read-side dedup broken")
+    // two DISTINCT un-checkpointed runs over inputs that happen to
+    // produce identical per-batch deltas must BOTH count: without the
+    // per-run id their rows would be byte-identical (batch ids restart
+    // at 0 per query) and legitimate deltas would silently collapse
+    val log2 = d.resolve("cm_log2").toString
+    EventStreams.cmSketchStream(stream(), "text", n = 2, width = 1024, log2)
+    EventStreams.cmSketchStream(stream(), "text", n = 2, width = 1024, log2)
+    val doubled = EventStreams.cmCountersOfLog(spark, log2)
+    val twice = expect.withColumn("c", col("c") * 2)
+    assert(doubled.exceptAll(twice).isEmpty && twice.exceptAll(doubled).isEmpty,
+      "second ingest's deltas were dropped (cross-run batch-id collision)")
   }
 
   test("foreachBatch upsert sink: latest row per key, idempotent on replay") {
