@@ -101,6 +101,38 @@ object Multimodal {
       }(encoder)
   }
 
+  /** Canvas side for per-frame images in the MP4-of-images fixture:
+    * 16×16 keeps a frame at 822 bytes (54-byte header + 768 pixels)
+    * while leaving the 8×8 aHash a real 2× downsample.
+    */
+  val FrameCanvas = 16
+
+  /** Wrap each document's text in a real single-track MP4 whose
+    * samples are DECODABLE IMAGES: consecutive `sampleBytes`-sized
+    * text slices each become a [[FrameCanvas]]² gray BMP (the same
+    * stretch layout as [[withBmpPayload]], per slice), and those BMP
+    * byte arrays are the container's access units. This is the
+    * images-in-video fixture that lets [[framePhash]] exercise the
+    * REAL decode-to-pixels path end-to-end (demux → `javax.imageio`-
+    * class decode → luminance aHash) — the shape a production
+    * pipeline has once a JNI codec hands back frames, with the JDK's
+    * own decoders standing in as the codec. Map-only.
+    */
+  def withMp4ImagePayload(docs: DataFrame, idCol: String, textCol: String,
+      sampleBytes: Int = 48): DataFrame = {
+    require(sampleBytes > 0)
+    val encoder = ExpressionEncoder(PayloadSchema)
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getString(1).getBytes("UTF-8")
+          val samples = bytes.grouped(sampleBytes)
+            .map(seg => buildBmp(seg, FrameCanvas)).toSeq
+          Row(r.getLong(0), Mp4.build(samples))
+        }
+      }(encoder)
+  }
+
   /** REAL image decode via `javax.imageio` (the JDK ships PNG, JPEG,
     * BMP, GIF and WBMP readers): width, height, and an 8-bin
     * luminance histogram as the feature vector. Returns None when no
@@ -553,11 +585,13 @@ object Multimodal {
       }(encoder)
   }
 
-  /** 24-bit bottom-up BMP with R=G=B=byte on a W×W canvas. W = 32
-    * keeps every row (96 B) 4-byte aligned, so no pad bytes.
+  /** 24-bit bottom-up BMP with R=G=B=byte on a W×W canvas. The
+    * default W = 32 ([[PhashCanvas]]) and the per-frame W = 16 both
+    * keep every row a multiple of 4 bytes, so no pad bytes.
     */
-  private def buildBmp(bytes: Array[Byte]): Array[Byte] = {
-    val w = PhashCanvas
+  private[operators] def buildBmp(bytes: Array[Byte],
+      w: Int = PhashCanvas): Array[Byte] = {
+    require(w % 4 == 0, s"canvas $w would need BMP row padding")
     val rowBytes = w * 3
     val dataSize = rowBytes * w
     val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
@@ -723,20 +757,29 @@ object Multimodal {
     }(encoder)
   }
 
-  /** Schema for the per-frame fingerprint stage. */
+  /** Schema for the per-frame fingerprint stage. `decoded` records
+    * which path produced the hash: true = pixel luminance from a real
+    * image decode of the access unit, false = the container-level
+    * byte fallback.
+    */
   val FramePhashSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("frame_no", IntegerType, nullable = false),
-    StructField("phash", LongType, nullable = false)))
+    StructField("phash", LongType, nullable = false),
+    StructField("decoded", BooleanType, nullable = false)))
 
-  /** Per-frame 64-bit fingerprint over demuxed access units: the
-    * first 64 SAMPLE BYTES laid on an 8×8 canvas, hashed with the
-    * same integer aHash as [[imagePhash]]. This is a CONTAINER-level
-    * fingerprint — the JDK ships no pixel codec, so the hash is over
-    * codec bytes, not pixels (bitwise-similar access units mark
-    * duplicated content; a JNI codec would swap pixel luminance into
-    * the same canvas without touching the plan). Map-only, one pass
-    * over the frame relation produced by [[sampleFrames]].
+  /** Per-frame 64-bit fingerprint over demuxed access units, PIXEL
+    * level when the frame decodes: an access unit any installed image
+    * reader accepts (the [[withMp4ImagePayload]] fixture's BMP
+    * frames, or JPEG/PNG sample tracks in the wild) is decoded to
+    * luminance by [[decodeGrayPixels]] and aHashed exactly like
+    * [[imagePhash]] — so a RE-ENCODED duplicate frame (same pixels,
+    * different bytes) still collides, which the byte path cannot see.
+    * Frames no reader recognizes (opaque codec payloads — no such
+    * pixel codec ships in this container) fall back to the
+    * CONTAINER-level hash of the first 64 sample bytes on an 8×8
+    * canvas, flagged `decoded = false` and still flowing. Map-only,
+    * one pass over the frame relation produced by [[sampleFrames]].
     */
   def framePhash(frames: DataFrame, idCol: String, frameNoCol: String): DataFrame = {
     val encoder = ExpressionEncoder(FramePhashSchema)
@@ -745,13 +788,18 @@ object Multimodal {
     input.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](2)
-        val lum = new Array[Int](64)
-        var i = 0
-        while (i < 64) {
-          lum(i) = if (i < bytes.length) bytes(i) & 0xff else 0
-          i += 1
+        decodeGrayPixels(bytes) match {
+          case Some((w, h, lum)) =>
+            Row(r.getLong(0), r.getInt(1), aHash64(lum, w, h), true)
+          case None =>
+            val lum = new Array[Int](64)
+            var i = 0
+            while (i < 64) {
+              lum(i) = if (i < bytes.length) bytes(i) & 0xff else 0
+              i += 1
+            }
+            Row(r.getLong(0), r.getInt(1), aHash64(lum, 8, 8), false)
         }
-        Row(r.getLong(0), r.getInt(1), aHash64(lum, 8, 8))
       }
     }(encoder)
   }

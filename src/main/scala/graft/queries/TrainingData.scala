@@ -804,6 +804,41 @@ object TrainingData {
       Tables.documents(spark, dir).filter(length(col("text")) > 0 &&
         octet_length(col("text")) === length(col("text"))))
 
+  /** PIXEL-level video keyframe dedup — t51's pipeline with frames
+    * that actually DECODE: [[Multimodal.withMp4ImagePayload]] builds
+    * each 48-char text slice into a 16×16 gray BMP access unit, the
+    * demuxed frames run [[Multimodal.framePhash]]'s real
+    * decode-to-luminance path (`decoded = true` on every fixture
+    * frame — pinned by spec), and the banding/pair stages are t51's.
+    * Because the hash is over PIXELS, a re-encoded duplicate frame
+    * (same image, different bytes — e.g. a JPEG transcode) still
+    * collides; the byte-level t51 path cannot see those
+    * (MultimodalSpec proves the planted-twin recall differential).
+    * The oracle replays slice → stretched canvas → 8×8 luminance
+    * sample → mean threshold → pair aggregation from text characters.
+    */
+  private[graft] def videoPixelKeyframeDedup(docs: DataFrame): DataFrame = {
+    val frames = Multimodal.sampleFrames(
+      Multimodal.withMp4ImagePayload(docs, "doc_id", "text", sampleBytes = 48),
+      "doc_id", everyNth = 2)
+    val fps = Multimodal.framePhash(frames, "doc_id", "frame_idx")
+      .select((col("doc_id") * lit(4294967296L) + col("frame_no")).as("fid"),
+        col("phash"))
+    Dedup.hammingNearDups(fps, "fid", "phash", KeyframeMaxHamming)
+      .select(expr("id_a div 4294967296").as("id_a"),
+        expr("id_b div 4294967296").as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared_frames"))
+      .filter(col("shared_frames") >= KeyframeMinShared)
+      .orderBy("id_a", "id_b")
+  }
+
+  def docVideoPixelDedup(spark: SparkSession, dir: String): DataFrame =
+    videoPixelKeyframeDedup(
+      Tables.documents(spark, dir).filter(length(col("text")) > 0 &&
+        octet_length(col("text")) === length(col("text"))))
+
   /** Incremental image dedup under the oracle gate: every 5th
     * document plays the incoming image batch, the rest the indexed
     * corpus; both run the REAL BMP build→decode→pHash pipeline (t49)
@@ -1086,6 +1121,7 @@ object TrainingData {
     "t61_cm_sketch" -> docCmSketch _,
     "t62_corpus_report" -> docCorpusReport _,
     "t63_ann_ivfpq_persisted" -> annIvfPqPersisted _,
+    "t64_video_pixel_dedup" -> docVideoPixelDedup _,
   )
 
   /** Shared DuckDB CTE fragment: per-doc word-trigram shingle sets,
@@ -2093,6 +2129,56 @@ object TrainingData {
            |          CAST(48 * i + j + 1 AS INT), 1)) AS BIGINT)
            |        ELSE CAST(0 AS BIGINT) END) AS g
            |  FROM vf WHERE (i % 2) = 0
+           |), vm AS (
+           |  SELECT doc_id, frame_no, g,
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT), g), (x, y) -> x + y)
+           |      // 64 AS mean
+           |  FROM vg
+           |), vp AS (
+           |  SELECT doc_id, frame_no,
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(range(0, 63), j ->
+           |        CASE WHEN g[CAST(j + 1 AS INT)] > mean
+           |          THEN CAST(1 AS BIGINT) << CAST(j AS INT)
+           |          ELSE CAST(0 AS BIGINT) END)),
+           |      (x, y) -> x + y)
+           |    + CASE WHEN g[64] > mean THEN (-9223372036854775807 - 1)
+           |      ELSE CAST(0 AS BIGINT) END AS phash
+           |  FROM vm
+           |)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |  CAST(COUNT(*) AS BIGINT) AS shared_frames
+           |FROM vp a JOIN vp b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.phash, b.phash)) <= $KeyframeMaxHamming
+           |GROUP BY 1, 2 HAVING COUNT(*) >= $KeyframeMinShared
+           |ORDER BY 1, 2""".stripMargin,
+      // t64: the pixel-level face of t51 — each 48-char slice is
+      // stretched over a 16×16 gray canvas (pixel p = slice byte
+      // (p·seglen)//256), the 8×8 aHash samples canvas cell
+      // 32·(j//8) + 2·(j%8), so the sampled byte is slice position
+      // ((32·(j//8) + 2·(j%8))·seglen)//256 — real decode on the
+      // Spark side, exact character arithmetic here
+      "t64_video_pixel_dedup" ->
+        s"""WITH vd AS (
+           |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len
+           |  FROM documents
+           |  WHERE length(text) > 0
+           |    AND octet_length(encode(text)) = length(text)
+           |), vf AS (
+           |  SELECT doc_id, text, len,
+           |    unnest(range(0, (len + 47) // 48)) AS i
+           |  FROM vd
+           |), vs AS (
+           |  SELECT doc_id, text, i AS frame_no, 48 * i AS off,
+           |    LEAST(CAST(48 AS BIGINT), len - 48 * i) AS seglen
+           |  FROM vf WHERE (i % 2) = 0
+           |), vg AS (
+           |  SELECT doc_id, frame_no,
+           |    list_transform(range(0, 64), j ->
+           |      CAST(unicode(substr(text,
+           |        CAST(off + ((32 * (j // 8) + 2 * (j % 8)) * seglen) // 256
+           |          + 1 AS INT), 1)) AS BIGINT)) AS g
+           |  FROM vs
            |), vm AS (
            |  SELECT doc_id, frame_no, g,
            |    list_reduce(list_prepend(CAST(0 AS BIGINT), g), (x, y) -> x + y)

@@ -745,6 +745,79 @@ class TrainingDataSpec extends AnyFunSuite {
       frames(2).getAs[Array[Byte]](2).length == 30)
   }
 
+  test("t64 pixel keyframes: every fixture frame REAL-decodes, and a " +
+      "JPEG-transcoded twin pairs under pixels but not under bytes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir)
+      .filter(length(col("text")) > 0 &&
+        octet_length(col("text")) === length(col("text")))
+    // provenance pinned: the MP4-of-BMPs fixture must take the pixel
+    // path on EVERY sampled frame, never the byte fallback
+    val fps = Multimodal.framePhash(
+      Multimodal.sampleFrames(
+        Multimodal.withMp4ImagePayload(docs, "doc_id", "text", 48),
+        "doc_id", everyNth = 2),
+      "doc_id", "frame_idx")
+    assert(fps.count() > 0)
+    assert(fps.filter(!col("decoded")).count() == 0,
+      "a fixture frame fell back to the byte path")
+
+    // the planted twin: demux one long doc's BMP frames, transcode
+    // each to JPEG (same pixels, entirely different bytes), rebuild
+    // the container — the re-encoded duplicate video t51's byte-level
+    // hash provably cannot see
+    val text = docs.orderBy(length(col("text")).desc, col("doc_id"))
+      .select("text").as[String].head()
+    assert(text.length >= 4 * 48, "fixture lost its long documents")
+    val orig = Multimodal.withMp4ImagePayload(
+        Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text", 48)
+      .select("payload").head().getAs[Array[Byte]](0)
+    val bmps = operators.Mp4.demux(orig).get.head.samples.map {
+      case (off, len) =>
+        java.util.Arrays.copyOfRange(orig, off.toInt, off.toInt + len)
+    }
+    val jpegs = bmps.map { b =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+      bos.toByteArray
+    }
+    assert(jpegs.zip(bmps).forall { case (j, b) => j.toSeq != b.toSeq })
+    val pairDf = Seq((1L, orig), (2L, operators.Mp4.build(jpegs)))
+      .toDF("doc_id", "payload")
+    val hashed = Multimodal.framePhash(
+        Multimodal.sampleFrames(pairDf, "doc_id", everyNth = 2),
+        "doc_id", "frame_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val frameNos = hashed.keys.filter(_._1 == 1L).map(_._2).toSeq.sorted
+    assert(frameNos.nonEmpty &&
+      frameNos == hashed.keys.filter(_._1 == 2L).map(_._2).toSeq.sorted)
+    val pixelMatches = frameNos.count { i =>
+      java.lang.Long.bitCount(hashed((1L, i)) ^ hashed((2L, i))) <=
+        graft.queries.TrainingData.KeyframeMaxHamming
+    }
+    assert(pixelMatches >= graft.queries.TrainingData.KeyframeMinShared,
+      s"pixel path matched only $pixelMatches of ${frameNos.length} frames")
+    // byte-level contrast: the container-level fallback hash (t51's
+    // regime) over the same frames shares NOTHING — the transcoded
+    // access units are byte-disjoint
+    def byteHash(bytes: Array[Byte]): Long = {
+      val g = Array.tabulate(64)(i => if (i < bytes.length) bytes(i) & 0xff else 0)
+      val mean = g.map(_.toLong).sum / 64
+      g.zipWithIndex.foldLeft(0L) { case (h, (v, i)) =>
+        if (v > mean) h | (1L << i) else h
+      }
+    }
+    val byteMatches = frameNos.indices.count { k =>
+      java.lang.Long.bitCount(
+        byteHash(bmps(frameNos(k))) ^ byteHash(jpegs(frameNos(k)))) <=
+        graft.queries.TrainingData.KeyframeMaxHamming
+    }
+    assert(byteMatches == 0,
+      s"byte hash unexpectedly matched $byteMatches transcoded frames")
+  }
+
   test("t35/t36 gate queries match a direct recomputation from text") {
     import graft.queries.TrainingData
     val text = Tables.documents(spark, dir).select("doc_id", "text")
