@@ -29,8 +29,11 @@ import org.yaml.snakeyaml.representer.Representer
   * `processComments`. Comments therefore survive edits anywhere in
   * the file, managed sections included, as long as their anchor node
   * survives; comments on deleted nodes are dropped, exactly like
-  * ruamel. Anchors/aliases are still not round-tripped (snakeyaml
-  * resolves them at compose time).
+  * ruamel. Anchors/aliases round-trip too: the graft re-links alias
+  * sites that stayed structurally identical back to their (named)
+  * anchor node, so `&a`/`*a` survive a write — see [[graftComments]]
+  * for the exact contract (diverged sites materialize; inert anchors
+  * and `<<` merge keys do not round-trip).
   */
 object YamlIO {
 
@@ -40,13 +43,25 @@ object YamlIO {
   /** `source` is the comment-bearing composed node tree of the file
     * this doc was read from (None for docs built in memory) — carried
     * through `.copy(managed = ...)` edits so [[write]] can restore
-    * comments.
+    * comments. `keyOrder` is the file's original top-level key order
+    * ([[partition]] records it): [[full]] re-interleaves managed and
+    * preserved keys back into document order — which both matches
+    * ruamel's round-trip behavior and keeps an `&anchor` declaration
+    * ahead of its `*alias` sites (the graft binds the anchor to its
+    * first occurrence in document order). Keys an edit introduced
+    * append after the original ones.
     */
   final case class YamlDoc(
       managed: ListMap[String, Any],
       preserved: ListMap[String, Any],
-      source: Option[Node] = None) {
-    def full: ListMap[String, Any] = managed ++ preserved
+      source: Option[Node] = None,
+      keyOrder: Seq[String] = Nil) {
+    def full: ListMap[String, Any] = {
+      val all = managed ++ preserved
+      val ordered = keyOrder.filter(all.contains) ++
+        all.keys.filterNot(keyOrder.contains).toSeq
+      ListMap(ordered.map(k => k -> all(k)): _*)
+    }
   }
 
   private val MaxCacheEntries = 256
@@ -86,7 +101,8 @@ object YamlIO {
 
   def partition(doc: Map[String, Any]): YamlDoc = YamlDoc(
     managed = ListMap(doc.toSeq.filter { case (k, _) => ManagedKeys.contains(k) }: _*),
-    preserved = ListMap(doc.toSeq.filterNot { case (k, _) => ManagedKeys.contains(k) }: _*))
+    preserved = ListMap(doc.toSeq.filterNot { case (k, _) => ManagedKeys.contains(k) }: _*),
+    keyOrder = doc.keys.toSeq)
 
   /** Cached read; missing file → empty doc. */
   def read(path: Path): YamlDoc = cache.synchronized {
@@ -136,39 +152,98 @@ object YamlIO {
     case _ => None
   }
 
-  /** Graft comments from the originally-composed tree onto the
-    * freshly-dumped one: mapping entries match by scalar key, list
-    * items by `name:` when any item has one (so reordering keeps
-    * comments with their item) else by index; comments whose anchor
-    * node was deleted are dropped.
+  /** Structural node equality — the guard deciding whether an alias
+    * site may re-link to its anchor after edits (see
+    * [[graftComments]]): tags, scalar values, entry order, all
+    * recursive.
     */
-  private def graftComments(o: Node, n: Node): Unit = {
+  private def deepEq(a: Node, b: Node): Boolean = (a, b) match {
+    case (x: ScalarNode, y: ScalarNode) =>
+      x.getTag == y.getTag && x.getValue == y.getValue
+    case (x: MappingNode, y: MappingNode) =>
+      val xv = x.getValue.asScala.toSeq
+      val yv = y.getValue.asScala.toSeq
+      xv.size == yv.size && xv.zip(yv).forall { case (t, u) =>
+        deepEq(t.getKeyNode, u.getKeyNode) &&
+          deepEq(t.getValueNode, u.getValueNode)
+      }
+    case (x: SequenceNode, y: SequenceNode) =>
+      val xs = x.getValue.asScala.toSeq
+      val ys = y.getValue.asScala.toSeq
+      xs.size == ys.size && xs.zip(ys).forall { case (i, j) => deepEq(i, j) }
+    case _ => false
+  }
+
+  /** Graft comments AND anchors/aliases from the originally-composed
+    * tree onto the freshly-dumped one: mapping entries match by
+    * scalar key, list items by `name:` when any item has one (so
+    * reordering keeps comments with their item) else by index;
+    * comments whose anchor node was deleted are dropped.
+    *
+    * Anchors/aliases (the ruamel behavior the reference inherits,
+    * core/schema/parser.py:15-22): the composed tree shares ONE node
+    * instance across an anchor and its aliases, which the plain-map
+    * load materialized into copies. The walk carries an identity map
+    * of original→fresh nodes; revisiting an original instance marks
+    * an alias site, and if the edited doc kept that site structurally
+    * identical to the anchor's, the fresh copy is REPLACED by the
+    * shared fresh node — the serializer then re-emits `&anchor` /
+    * `*alias` (under the original anchor NAME, which rides
+    * `setAnchor` into the snakeyaml anchor generator). A site the
+    * edit diverged stays materialized, which is the only correct
+    * reading of "the alias no longer holds". Not round-tripped:
+    * anchors declared but never aliased (semantically inert) and
+    * `<<` merge keys (flattened at load, like PyYAML's loader).
+    * Returns the node to place at this position.
+    */
+  private def graftComments(o: Node, n: Node,
+      seen: java.util.IdentityHashMap[Node, Node]): Node = {
+    val prior = seen.get(o)
+    if (prior != null) return if (deepEq(prior, n)) prior else n
+    seen.put(o, n)
+    if (o.getAnchor != null) n.setAnchor(o.getAnchor)
     copyComments(o, n)
     (o, n) match {
       case (om: MappingNode, nm: MappingNode) =>
         val byKey = om.getValue.asScala
           .flatMap(t => scalarKey(t).map(_ -> t)).toMap
-        nm.getValue.asScala.foreach { nt =>
-          scalarKey(nt).flatMap(byKey.get).foreach { ot =>
-            copyComments(ot.getKeyNode, nt.getKeyNode)
-            graftComments(ot.getValueNode, nt.getValueNode)
+        val rebuilt = nm.getValue.asScala.toSeq.map { nt =>
+          scalarKey(nt).flatMap(byKey.get) match {
+            case Some(ot) =>
+              copyComments(ot.getKeyNode, nt.getKeyNode)
+              val v = graftComments(ot.getValueNode, nt.getValueNode, seen)
+              if (v eq nt.getValueNode) nt else new NodeTuple(nt.getKeyNode, v)
+            case None => nt
           }
         }
+        nm.setValue(rebuilt.asJava)
       case (os: SequenceNode, ns: SequenceNode) =>
+        val items = ns.getValue // composer-built ArrayList: mutable
         val oldItems = os.getValue.asScala.toSeq
-        val newItems = ns.getValue.asScala.toSeq
         val oldNames = oldItems.map(nameOf)
         if (oldNames.exists(_.isDefined)) {
           val byName = oldItems.zip(oldNames)
             .collect { case (it, Some(nm0)) => nm0 -> it }.toMap
-          newItems.foreach { ni =>
-            nameOf(ni).flatMap(byName.get).foreach(graftComments(_, ni))
+          var i = 0
+          while (i < items.size()) {
+            val ni = items.get(i)
+            nameOf(ni).flatMap(byName.get).foreach { oi =>
+              val r = graftComments(oi, ni, seen)
+              if (!(r eq ni)) items.set(i, r)
+            }
+            i += 1
           }
-        } else oldItems.zip(newItems).foreach {
-          case (oi, ni) => graftComments(oi, ni)
+        } else {
+          var i = 0
+          while (i < math.min(oldItems.size, items.size())) {
+            val r = graftComments(oldItems(i), items.get(i), seen)
+            if (!(r eq items.get(i))) items.set(i, r)
+            i += 1
+          }
         }
       case _ => ()
     }
+    n
   }
 
   /** Dump with comments restored from `doc.source` (plain dump when
@@ -179,7 +254,7 @@ object YamlIO {
     doc.source.fold(plain) { orig =>
       val yaml = newYaml()
       Option(yaml.compose(new StringReader(plain))).fold(plain) { fresh =>
-        graftComments(orig, fresh)
+        graftComments(orig, fresh, new java.util.IdentityHashMap[Node, Node]())
         val out = new StringWriter()
         yaml.serialize(fresh, out)
         out.toString

@@ -169,6 +169,75 @@ class YamlPlaneSpec extends AnyFunSuite {
     assert(cols2.map(_("name")) == Seq("order_id", "amount"))
   }
 
+  test("anchors and aliases survive an unchanged round-trip byte-for-byte (A32)") {
+    val root = tmpRoot()
+    val p = root.resolve("schema.yml")
+    // canonical dumper style (2-space indent, block, dash at column 0)
+    // so the only question the byte-compare asks is whether &/* survive
+    val original =
+      """version: 2
+        |x-defaults: &owner_meta
+        |  owner: data-team
+        |  tier: gold
+        |models:
+        |- name: orders
+        |  meta: *owner_meta
+        |  columns:
+        |  - name: order_id
+        |    description: Order PK
+        |- name: customers
+        |  meta: *owner_meta
+        |""".stripMargin
+    Files.writeString(p, original)
+    YamlIO.invalidate()
+    YamlIO.write(p, YamlIO.read(p))
+    assert(Files.readString(p) == original,
+      s"anchored file did not survive byte-for-byte:\n${Files.readString(p)}")
+    // and the re-read still resolves the alias content at both sites
+    YamlIO.invalidate()
+    val again = YamlIO.read(p)
+    val models = again.managed("models").asInstanceOf[Seq[Map[String, Any]]]
+    assert(models.forall(_("meta").asInstanceOf[Map[String, Any]]("owner")
+      == "data-team"))
+  }
+
+  test("an alias site the edit diverged materializes; the intact one keeps " +
+      "its alias (A32)") {
+    val root = tmpRoot()
+    val p = root.resolve("schema.yml")
+    Files.writeString(p,
+      """version: 2
+        |x-defaults: &owner_meta
+        |  owner: data-team
+        |models:
+        |- name: orders
+        |  meta: *owner_meta
+        |- name: customers
+        |  meta: *owner_meta
+        |""".stripMargin)
+    YamlIO.invalidate()
+    val doc = YamlIO.read(p)
+    val models = doc.managed("models").asInstanceOf[Seq[Map[String, Any]]]
+    // orders takes a DIFFERENT owner; customers keeps the shared one
+    val edited = models.map { m =>
+      if (m("name") == "orders")
+        m.updated("meta", Map("owner" -> "orders-team"))
+      else m
+    }
+    YamlIO.write(p, doc.copy(managed = doc.managed.updated("models", edited)))
+    val text = Files.readString(p)
+    assert(text.contains("*owner_meta"),
+      s"intact alias site lost its alias:\n$text")
+    assert(text.contains("owner: orders-team"),
+      s"diverged site lost its edit:\n$text")
+    YamlIO.invalidate()
+    val again = YamlIO.read(p)
+    val m2 = again.managed("models").asInstanceOf[Seq[Map[String, Any]]]
+      .map(m => m("name") -> m("meta").asInstanceOf[Map[String, Any]]("owner"))
+      .toMap
+    assert(m2 == Map("orders" -> "orders-team", "customers" -> "data-team"))
+  }
+
   test("comments follow a reordered list item by its name (A32)") {
     val root = tmpRoot()
     val p = root.resolve("schema.yml")
