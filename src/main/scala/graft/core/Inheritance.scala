@@ -43,16 +43,17 @@ object Inheritance {
     Seq(name.toLowerCase, name.toUpperCase, camel, pascal)
   }
 
-  /** Per-column candidate list: the name itself, case variants, and
-    * the prefix-stripped form when a `prefix` setting resolves
-    * (core/plugins.py:46-62, collect at core/inheritance.py:391-405).
+  /** Per-column candidate list: the name itself, then every
+    * registered [[ColumnCandidatePlugin]]'s contributions in plugin
+    * order — built-ins (case variants, prefix-stripped form;
+    * core/plugins.py:31-62), classpath-discovered services, then
+    * programmatic registrations (collect at
+    * core/inheritance.py:391-405).
     */
   def collectColumnVariants(node: NodeMeta, settings: EngineSettings): ListMap[String, Seq[String]] =
     ListMap(node.columns.keys.toSeq.map { name =>
-      val prefixStripped = SettingsResolver
-        .resolveString("prefix", settings.prefix, settings, Some(node), Some(name))
-        .filter(name.startsWith).map(p => name.stripPrefix(p)).toSeq
-      name -> (name +: (caseVariants(name) ++ prefixStripped)).distinct
+      name -> (name +: ColumnCandidatePlugins.all
+        .flatMap(_.getCandidates(name, node, settings))).distinct
     }: _*)
 
   /** First variant present in the ancestor's columns wins

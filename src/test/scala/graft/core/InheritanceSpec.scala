@@ -203,6 +203,42 @@ class InheritanceSpec extends AnyFunSuite {
     assert(tree(2) == Seq("source.a"))
   }
 
+  test("a registered external plugin's variant wins an ancestor match (A13)") {
+    // no built-in strategy maps legacy_amount -> amt_total; only the
+    // third-party plugin's candidate can make this edge exist
+    val plugin = new ColumnCandidatePlugin {
+      override def getCandidates(name: String, n: NodeMeta,
+          s: EngineSettings): Seq[String] =
+        if (name == "legacy_amount") Seq("amt_total") else Nil
+    }
+    val src = node("source.raw", Nil, col("amt_total", desc = "Total amount"))
+    val leaf = node("model.final", Seq("source.raw"), col("legacy_amount"))
+    val m = Manifest(Seq(src, leaf))
+    val before = Inheritance.buildColumnKnowledgeGraph(m, leaf, settings)
+    assert(!before("legacy_amount").contains("description"),
+      "match must not exist without the plugin")
+    ColumnCandidatePlugins.register(plugin)
+    try {
+      val vs = Inheritance.collectColumnVariants(leaf, settings)("legacy_amount")
+      assert(vs.contains("amt_total"), s"plugin variant missing from $vs")
+      val k = Inheritance.buildColumnKnowledgeGraph(m, leaf, settings)
+      assert(k("legacy_amount")("description") == "Total amount")
+    } finally ColumnCandidatePlugins.unregister(plugin)
+  }
+
+  test("ServiceLoader discovers classpath plugins (A13)") {
+    // TestDiscoveredPlugin rides META-INF/services on the test
+    // classpath - the setuptools-entrypoint analog - and its
+    // <name>_svc variant closes a match no built-in can
+    val src = node("source.raw", Nil, col("total_svc", desc = "Via service"))
+    val leaf = node("model.final", Seq("source.raw"), col("total"))
+    val vs = Inheritance.collectColumnVariants(leaf, settings)("total")
+    assert(vs.contains("total_svc"), s"discovered variant missing from $vs")
+    val k = Inheritance.buildColumnKnowledgeGraph(
+      Manifest(Seq(src, leaf)), leaf, settings)
+    assert(k("total")("description") == "Via service")
+  }
+
   test("topological sort is deterministic and detects cycles") {
     val a = node("model.a", Nil, col("x"))
     val b = node("model.b", Seq("model.a"), col("x"))
