@@ -76,6 +76,7 @@ final class SqlProxy(executor: ModelExecutor, port: Int = 0) {
     server.createContext("/query", (ex: HttpExchange) => handleSafely(ex, handleQuery))
     server.createContext("/cancel", (ex: HttpExchange) => handleSafely(ex, handleCancel))
     server.createContext("/schema", (ex: HttpExchange) => handleSafely(ex, handleSchema))
+    server.createContext("/profile", (ex: HttpExchange) => handleSafely(ex, handleProfile))
     server.createContext("/", (ex: HttpExchange) => handleSafely(ex, handleIndex))
     pool = java.util.concurrent.Executors.newFixedThreadPool(WorkerThreads)
     server.setExecutor(pool)
@@ -86,8 +87,10 @@ final class SqlProxy(executor: ModelExecutor, port: Int = 0) {
   /** Minimal workbench page (SURVEY §2A A46; reference
     * `workbench/app.py` is a Streamlit IDE — here the same operative
     * loop, type Jinja-SQL → execute → inspect results + schema, is a
-    * single static page over the two JSON endpoints; profiling and
-    * AI assistance stay with `Cli profile` / DocSynthesis).
+    * single static page over the JSON endpoints, with per-table
+    * profiling via `/profile` (the reference's ydata-profiling pane
+    * reduced to the one-pass relation profile; AI assistance stays
+    * with DocSynthesis).
     */
   private def handleIndex(ex: HttpExchange): (Int, String) = {
     if (ex.getRequestURI.getPath != "/") return (404, """{"error":"not found"}""")
@@ -208,6 +211,38 @@ final class SqlProxy(executor: ModelExecutor, port: Int = 0) {
         }
   }
 
+  /** Profiling endpoint — the workbench face of `Cli profile`
+    * (reference: the Streamlit profiling pane, workbench/app.py):
+    * `POST /profile {"relation": …}` runs the ONE-PASS per-column
+    * profile ([[graft.core.Introspection.profileRelation]] — row
+    * count, nulls, approx distinct, min/max in a single scan) and
+    * returns `{relation, columns: [{column, dtype, n_rows, n_nulls,
+    * approx_distinct, min, max}]}`. Cost is one read of the relation
+    * regardless of column count, so the pane stays usable on wide
+    * tables.
+    */
+  private def handleProfile(ex: HttpExchange): (Int, String) = {
+    val req = mapper.readTree(new String(
+      ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+    val relation = Option(req.get("relation")).map(_.asText()).getOrElse(
+      throw new IllegalArgumentException("missing 'relation'"))
+    val out = mapper.createObjectNode()
+    out.put("relation", relation)
+    val cols = out.putArray("columns")
+    graft.core.Introspection.profileRelation(executor.session, relation)
+      .foreach { p =>
+        val c = cols.addObject()
+        c.put("column", p.column)
+        c.put("dtype", p.dtype)
+        c.put("n_rows", p.nRows)
+        c.put("n_nulls", p.nNulls)
+        c.put("approx_distinct", p.approxDistinct)
+        p.min.fold[Unit](c.putNull("min"))(v => { c.put("min", v); () })
+        p.max.fold[Unit](c.putNull("max"))(v => { c.put("max", v); () })
+      }
+    (200, out.toString)
+  }
+
   private[serve] def handleSchema(ex: HttpExchange): (Int, String) = {
     val out = mapper.createObjectNode()
     executor.manifest.nodes.values
@@ -250,6 +285,7 @@ object SqlProxy {
       | #err{color:#b00}
       | .tbl{cursor:pointer;margin-left:8px}
       | .col{margin-left:20px;color:#555}
+      | .prof{cursor:pointer;color:#06c;margin-left:6px;font-size:90%}
       |</style></head><body>
       |<div id="side"><b>schema</b><div id="schema">loading…</div></div>
       |<div id="main">
@@ -267,8 +303,9 @@ object SqlProxy {
       |  for(const sch of Object.keys(s).sort()){
       |    h+='<div><b>'+esc(sch)+'</b></div>';
       |    for(const t of Object.keys(s[sch]).sort()){
-      |      h+='<div class="tbl" data-t="'+esc(t)+'">'+esc(t)+
-      |        '</div><div class="col">'+
+      |      h+='<div><span class="tbl" data-t="'+esc(t)+'">'+esc(t)+
+      |        '</span><span class="prof" data-t="'+esc(t)+
+      |        '">[profile]</span></div><div class="col">'+
       |        Object.entries(s[sch][t]).map(([c,m])=>esc(c)+' : '+
       |          esc(m.type)).join('<br>')+'</div>';
       |    }
@@ -276,7 +313,23 @@ object SqlProxy {
       |  $('schema').innerHTML=h||'(empty manifest)';
       |  document.querySelectorAll('.tbl').forEach(el=>el.onclick=()=>{
       |    $('sql').value='SELECT * FROM '+el.dataset.t;run();});
+      |  document.querySelectorAll('.prof').forEach(el=>el.onclick=()=>{
+      |    profile(el.dataset.t);});
       |});
+      |function profile(t){
+      |  $('err').textContent='';$('out').innerHTML='profiling…';
+      |  fetch('/profile',{method:'POST',body:JSON.stringify({relation:t})})
+      |  .then(r=>r.json()).then(j=>{
+      |    if(j.error){$('err').textContent=j.error;$('out').innerHTML='';return;}
+      |    const ks=['column','dtype','n_rows','n_nulls','approx_distinct',
+      |      'min','max'];
+      |    $('out').innerHTML='<b>profile: '+esc(j.relation)+'</b>'+
+      |      '<table><tr>'+ks.map(k=>'<th>'+k+'</th>').join('')+'</tr>'+
+      |      j.columns.map(c=>'<tr>'+ks.map(k=>'<td>'+
+      |        (c[k]===null?'NULL':esc(c[k]))+'</td>').join('')+'</tr>')
+      |        .join('')+'</table>';
+      |  }).catch(e=>$('err').textContent=e);
+      |}
       |function run(){
       |  $('err').textContent='';$('out').innerHTML='…';
       |  fetch('/query',{method:'POST',body:JSON.stringify(

@@ -109,10 +109,31 @@ class SqlProxySpec extends AnyFunSuite {
     assert(resp.statusCode() == 200)
     assert(resp.headers().firstValue("Content-Type").orElse("").startsWith("text/html"))
     assert(resp.body().contains("graft workbench"))
-    // the page is wired to the two JSON endpoints it ships beside
+    // the page is wired to the JSON endpoints it ships beside,
+    // including the profiling pane
     assert(resp.body().contains("/schema") && resp.body().contains("/query"))
+    assert(resp.body().contains("/profile") && resp.body().contains("[profile]"))
     val (code, json) = get("/nope")
     assert(code == 404 && json.get("error") != null)
+  }
+
+  test("POST /profile serves the one-pass relation profile (A46)") {
+    val (code, json) = post("/profile", """{"relation": "region_lookup"}""")
+    assert(code == 200, json.toString)
+    assert(json.get("relation").asText() == "region_lookup")
+    val cols = json.get("columns")
+    assert(cols.size() == 2)
+    val byName = (0 until cols.size()).map(cols.get)
+      .map(c => c.get("column").asText() -> c).toMap
+    val id = byName("region_id")
+    assert(id.get("n_rows").asLong() == 2L)
+    assert(id.get("n_nulls").asLong() == 0L)
+    assert(id.get("approx_distinct").asLong() == 2L)
+    assert(id.get("min").asText() == "1" && id.get("max").asText() == "2")
+    assert(byName("region_name").get("min").asText() == "north")
+    // a bogus relation comes back structured, not as a dropped socket
+    val (bad, err) = post("/profile", """{"relation": "no_such_table"}""")
+    assert(bad == 400 && err.get("error") != null)
   }
 
   test("concurrent queries are served in parallel by the handler pool") {
