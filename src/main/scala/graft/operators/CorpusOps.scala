@@ -724,6 +724,71 @@ object CorpusOps {
         col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
   }
 
+  /** MAXIMAL duplicated-range detection at SLIDING granularity — the
+    * exact-substring face of [[spanDupStats]] (Lee et al. ACL'22 find
+    * duplicated substrings at any alignment; the fixed-stride span
+    * statistics miss a copy that straddles a span boundary, sliding
+    * windows cannot). A position `i` in a document is COVERED iff the
+    * `l`-token gram starting there occurs >= 2 times corpus-wide
+    * (any document, within-doc repeats included). Covered windows
+    * `[i, i+l)` are coalesced into maximal ranges — two hits merge
+    * while the gap between starts is <= l (overlap or touch, i.e. the
+    * union is contiguous) — giving per doc the duplicated-token mass
+    * an exact-substring curation pass would cut and the ranges a
+    * rewrite would operate on. Output: (doc_id, n_tokens,
+    * n_dup_spans, dup_tokens), zeros for clean/short docs — all
+    * BIGINT, oracle-exact.
+    *
+    * Scale shape: the sliding explode emits one SKINNY (doc_id, pos,
+    * fp) row per token — ~24 B/token, the price of any-alignment
+    * sensitivity (the fixed-stride form emits 1/k as many rows; both
+    * shapes shuffle fingerprints, never text). Frequency is one
+    * map-side-combinable count on the 8-byte fp; the hit join reuses
+    * that fp partitioning; coalescing is one per-doc window over HIT
+    * positions only (bounded by doc length, usually a tiny fraction
+    * of it) plus a per-doc aggregate. Collisions ~|grams|²/2⁶⁴ flag a
+    * clean range — and would hash-mismatch the oracle gate, which
+    * counts on gram TEXT.
+    */
+  def maximalDupRanges(docs: DataFrame, idCol: String, textCol: String,
+      l: Int = 8): DataFrame = {
+    require(l > 0)
+    GraftFunctions.register(docs.sparkSession)
+    val base = docs.select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("ts"))
+      .withColumn("n_tokens", size(col("ts")).cast("long"))
+    val grams = base
+      .select(col("doc_id"),
+        explode(when(col("n_tokens") >= l,
+            sequence(lit(0L), col("n_tokens") - lit(l.toLong)))
+          .otherwise(array().cast("array<bigint>"))).as("pos"),
+        col("ts"))
+      .select(col("doc_id"), col("pos"),
+        call_function("fnv64",
+          array_join(slice(col("ts"), (col("pos") + 1L).cast("int"), lit(l)),
+            " ")).as("fp"))
+    val hot = grams.groupBy("fp").agg(count(lit(1)).as("gf"))
+      .filter(col("gf") >= 2).select("fp")
+    val hits = grams.join(hot, "fp").select("doc_id", "pos")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val ranges = hits
+      .withColumn("newr",
+        when(lag("pos", 1).over(w).isNull, lit(1L))
+          .when(col("pos") - lag("pos", 1).over(w) > l, lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("gid", sum("newr").over(w))
+      .groupBy("doc_id", "gid")
+      .agg(min("pos").as("s"), max("pos").as("e"))
+    val agg = ranges.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("e") - col("s") + lit(l.toLong)).as("dup_tokens"))
+    base.select("doc_id", "n_tokens")
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+  }
+
   /** Span-level exact dedup as a TRANSFORM — the rewrite counterpart
     * of [[spanDupStats]] (Lee et al. ACL'22 exact substring dedup:
     * remove every duplicated segment, keeping one canonical copy

@@ -839,6 +839,25 @@ object TrainingData {
       Tables.documents(spark, dir).filter(length(col("text")) > 0 &&
         octet_length(col("text")) === length(col("text"))))
 
+  /** Sliding window length for maximal duplicated-range detection —
+    * short enough that the fixture's exact-dup documents cover whole
+    * docs while partial copies still register.
+    */
+  val DupRangeL = 8
+
+  /** Maximal duplicated-range detection
+    * ([[CorpusOps.maximalDupRanges]], l = [[DupRangeL]]): per doc the
+    * coalesced any-alignment duplicated ranges and their token mass.
+    * The oracle replays the sliding grams ON TEXT (so the engine's
+    * 8-byte fingerprint compression is itself under test), the
+    * corpus-wide frequency, the gap>l range-breaking, and the
+    * coalesced mass in BIGINT.
+    */
+  def docDupRanges(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.maximalDupRanges(Tables.documents(spark, dir), "doc_id", "text",
+        l = DupRangeL)
+      .orderBy("doc_id")
+
   /** Incremental image dedup under the oracle gate: every 5th
     * document plays the incoming image batch, the rest the indexed
     * corpus; both run the REAL BMP build→decode→pHash pipeline (t49)
@@ -1122,6 +1141,7 @@ object TrainingData {
     "t62_corpus_report" -> docCorpusReport _,
     "t63_ann_ivfpq_persisted" -> annIvfPqPersisted _,
     "t64_video_pixel_dedup" -> docVideoPixelDedup _,
+    "t65_dup_ranges" -> docDupRanges _,
   )
 
   /** Shared DuckDB CTE fragment: per-doc word-trigram shingle sets,
@@ -2202,6 +2222,51 @@ object TrainingData {
            |WHERE bit_count(xor(a.phash, b.phash)) <= $KeyframeMaxHamming
            |GROUP BY 1, 2 HAVING COUNT(*) >= $KeyframeMinShared
            |ORDER BY 1, 2""".stripMargin,
+      // t65: sliding l-grams on TOKEN TEXT (the engine's fnv64
+      // compression is under test), corpus frequency >= 2, gap > l
+      // breaks ranges, coalesced mass = e - s + l per range
+      "t65_dup_ranges" ->
+        s"""WITH dtok AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts,
+           |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n
+           |  FROM documents
+           |), dg AS (
+           |  SELECT doc_id,
+           |    unnest(range(0, GREATEST(n - $DupRangeL + 1, 0))) AS i
+           |  FROM dtok
+           |), dgt AS (
+           |  SELECT g.doc_id, g.i,
+           |    array_to_string(list_slice(t.ts, CAST(g.i + 1 AS INT),
+           |      CAST(g.i + $DupRangeL AS INT)), ' ') AS gram
+           |  FROM dg g JOIN dtok t USING (doc_id)
+           |), hot AS (
+           |  SELECT gram FROM dgt GROUP BY gram HAVING COUNT(*) >= 2
+           |), hits AS (
+           |  SELECT doc_id, i FROM dgt WHERE gram IN (SELECT gram FROM hot)
+           |), flg AS (
+           |  SELECT doc_id, i,
+           |    CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+           |      OR i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+           |        > $DupRangeL
+           |      THEN 1 ELSE 0 END AS f
+           |  FROM hits
+           |), grp AS (
+           |  SELECT doc_id, i,
+           |    SUM(f) OVER (PARTITION BY doc_id ORDER BY i) AS gid
+           |  FROM flg
+           |), rng AS (
+           |  SELECT doc_id, gid, MIN(i) AS s, MAX(i) AS e
+           |  FROM grp GROUP BY 1, 2
+           |), ragg AS (
+           |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+           |    CAST(SUM(e - s + $DupRangeL) AS BIGINT) AS dup_tokens
+           |  FROM rng GROUP BY 1
+           |)
+           |SELECT t.doc_id, t.n AS n_tokens,
+           |  COALESCE(a.n_dup_spans, CAST(0 AS BIGINT)) AS n_dup_spans,
+           |  COALESCE(a.dup_tokens, CAST(0 AS BIGINT)) AS dup_tokens
+           |FROM dtok t LEFT JOIN ragg a USING (doc_id)
+           |ORDER BY doc_id""".stripMargin,
       "t52_incr_image_dedup" ->
         s"""WITH tw AS (
            |  SELECT doc_id, text FROM documents

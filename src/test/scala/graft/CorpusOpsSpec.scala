@@ -29,6 +29,43 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(row.getLong(row.fieldIndex("z_scaled")) == m * (1L << maxRho))
   }
 
+  test("maximalDupRanges: any-alignment copies, within-doc repeats, " +
+      "touch-merge, full dups, clean docs") {
+    def toks(prefix: String, a: Int, b: Int): String =
+      (a to b).map(i => s"$prefix$i").mkString(" ")
+    val docs = Seq(
+      // 1: 20 tokens; tokens a5..a12 copied into doc 2 -> ONE covered
+      //    gram (start 4), one range of exactly l = 8
+      (1L, toks("a", 1, 20)),
+      (2L, "b1 b2 " + toks("a", 5, 12) + " b3 b4"),
+      // 3: within-doc repeat y1..y8 ... y1..y8 (gap 9 > 8): two ranges
+      (3L, toks("y", 1, 8) + " z " + toks("y", 1, 8)),
+      // 4/5: verbatim twins -> hits 0..4 coalesce to one full range
+      (4L, toks("w", 1, 12)),
+      (5L, toks("w", 1, 12)),
+      // 6: clean and too short for any gram
+      (6L, "q1 q2 q3"),
+      // 7: hits at 0 (c-gram, shared with 8) and 8 (d-gram, shared
+      //    with 9) TOUCH (gap == l) -> merged into one 16-token range
+      (7L, toks("c", 1, 8) + " " + toks("d", 1, 8)),
+      (8L, toks("c", 1, 8) + " e1"),
+      (9L, toks("d", 1, 8) + " e2"))
+      .toDF("doc_id", "text")
+    val got = CorpusOps.maximalDupRanges(docs, "doc_id", "text", l = 8)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) == ((20L, 1L, 8L)), s"doc1: ${got(1L)}")
+    assert(got(2L) == ((12L, 1L, 8L)), s"doc2: ${got(2L)}")
+    assert(got(3L) == ((17L, 2L, 16L)), s"doc3: ${got(3L)}")
+    assert(got(4L) == ((12L, 1L, 12L)), s"doc4: ${got(4L)}")
+    assert(got(5L) == ((12L, 1L, 12L)), s"doc5: ${got(5L)}")
+    assert(got(6L) == ((3L, 0L, 0L)), s"doc6: ${got(6L)}")
+    assert(got(7L) == ((16L, 1L, 16L)), s"doc7: ${got(7L)}")
+    assert(got(8L) == ((9L, 1L, 8L)), s"doc8: ${got(8L)}")
+    assert(got(9L) == ((9L, 1L, 8L)), s"doc9: ${got(9L)}")
+  }
+
   test("repetitionMetrics: hand-computed fractions") {
     val docs = Seq(
       (1L, "a a a b"),        // uniq 2/4; modal unigram a: 3/4; bigrams [a a, a a, a b]: 2/3
