@@ -1225,10 +1225,7 @@ object CorpusOps {
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queries: Seq[(Long, String)], k1: Double, b: Double, k: Int): DataFrame = {
     val spark = docs.sparkSession
-    import spark.implicits._
-    val qterms = queries.toDF("query_id", "qtext")
-      .select(col("query_id"), explode(TextFunctions.tokens(col("qtext"))).as("term"))
-      .distinct()
+    val qterms = queryTerms(spark, queries)
     val dl = docs.select(col(idCol).as("doc_id"),
       TextFunctions.nTokens(col(textCol)).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_tokens"))
@@ -1237,6 +1234,29 @@ object CorpusOps {
         explode(TextFunctions.tokens(col(textCol))).as("term"))
       .join(broadcast(qterms.select("term").distinct()), "term")
       .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    bm25Score(tf, qterms, stats, k1, b, k)
+  }
+
+  /** Query (query_id, term) pairs — the tokenization both the
+    * one-shot scorer and the persisted index share.
+    */
+  private def queryTerms(spark: org.apache.spark.sql.SparkSession,
+      queries: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    queries.toDF("query_id", "qtext")
+      .select(col("query_id"),
+        explode(TextFunctions.tokens(col("qtext"))).as("term"))
+      .distinct()
+  }
+
+  /** The BM25 ranking stage shared VERBATIM by [[bm25TopK]] and
+    * [[searchInvertedIndex]] — one arithmetic, so the persisted-index
+    * search is row-for-row the one-shot scorer by construction. `tf`
+    * is (doc_id, dl, term, tf) restricted to query terms; `stats` a
+    * 1-row (n_docs, total_tokens) relation.
+    */
+  private def bm25Score(tf: DataFrame, qterms: DataFrame, stats: DataFrame,
+      k1: Double, b: Double, k: Int): DataFrame = {
     val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val avgdl = col("total_tokens").cast("double") / col("n_docs").cast("double")
     val idf = col("n_docs").cast("double") / col("df").cast("double")
@@ -1256,6 +1276,89 @@ object CorpusOps {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"), col("n_terms"),
         (col("score_scaled").cast("double") / 1e6).as("score"))
+  }
+
+  /** Term-bucket count for the persisted inverted index, and the one
+    * bucket function (pmod of the term's FNV-1a hash) shared by the
+    * build (a Catalyst expression over the corpus) and the search
+    * (a driver-side fold over the handful of query terms). ALL
+    * postings of a term land in ONE bucket, so per-term df survives
+    * pruning intact.
+    */
+  val IndexBuckets = 64
+
+  private[operators] def termBucket(term: String, buckets: Int): Long =
+    java.lang.Math.floorMod(
+      graft.functions.Fnv64.eval(term.getBytes("UTF-8")), buckets.toLong)
+
+  /** Read-back schema for the postings relation — the bucket id lives
+    * in the directory name and partition-value inference would type
+    * it INT; LONG keeps it aligned with the Spark-side pmod.
+    */
+  private val PostingsSchema = "term STRING, doc_id LONG, dl LONG, tf LONG, bucket LONG"
+
+  /** Build a persisted, TERM-BUCKETED inverted index under `path`:
+    * `postings` (term, doc_id, dl, tf) written
+    * `partitionBy(bucket = pmod(fnv64(term), buckets))` plus a 1-row
+    * `meta` (n_docs, total_tokens). LAYOUT IS THE INDEX, the same
+    * discipline as the cell-partitioned IVF-PQ store: a query's terms
+    * determine their buckets by pure arithmetic, so a search reads
+    * ONLY the touched buckets' posting files — at 100 TB the corpus
+    * tokenizes once here, and every retrieval after that scans
+    * |query terms|/buckets of the postings instead of re-tokenizing
+    * anything. Doc length is denormalized onto each posting row (one
+    * long) so scoring needs no doc-side join at query time.
+    *
+    * Scale shape: one tokenize+explode pass, one (term, doc) count
+    * with map-side combine, one `repartition(bucket)` clustering
+    * write (a bucket's rows land in few files). Nothing here is
+    * query-dependent — the index serves ANY term set.
+    */
+  def buildInvertedIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String, buckets: Int = IndexBuckets): Unit = {
+    require(buckets > 0)
+    GraftFunctions.register(docs.sparkSession)
+    docs.select(col(idCol).as("doc_id"),
+        TextFunctions.nTokens(col(textCol)).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_tokens"))
+      .write.mode("overwrite").parquet(s"$path/meta")
+    docs.select(col(idCol).as("doc_id"),
+        TextFunctions.nTokens(col(textCol)).as("dl"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+      .withColumn("bucket",
+        pmod(call_function("fnv64", col("term")), lit(buckets.toLong)))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
+  }
+
+  /** BM25 retrieval over a persisted [[buildInvertedIndex]] index —
+    * identical arithmetic to [[bm25TopK]] (the shared [[bm25Score]]
+    * stage; the differential spec pins row-for-row equality), with
+    * zero corpus tokenization at query time. The query terms' bucket
+    * ids are computed driver-side (a pure function of the query —
+    * the legitimate driver work, mirroring how the queries themselves
+    * arrive as driver data) and pushed as a STATIC `IN` filter on the
+    * partition column, so only the touched buckets' posting files are
+    * listed and read (PlanShapeSpec pins the PartitionFilters on the
+    * scan); the term filter then rides a broadcast join. Per-term df
+    * is computed over the pruned postings — exact, because a term's
+    * postings all live in its one bucket.
+    */
+  def searchInvertedIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: Seq[(Long, String)], k1: Double, b: Double,
+      k: Int, buckets: Int = IndexBuckets): DataFrame = {
+    val qterms = queryTerms(spark, queries)
+    val qbuckets = queries.flatMap(_._2.trim.split("\\s+"))
+      .distinct.map(termBucket(_, buckets)).distinct
+    val postings = spark.read.schema(PostingsSchema)
+      .parquet(s"$path/postings")
+      .filter(col("bucket").isin(qbuckets: _*))
+    val tf = postings
+      .join(broadcast(qterms.select("term").distinct()), "term")
+      .select("doc_id", "dl", "term", "tf")
+    val stats = spark.read.parquet(s"$path/meta")
+    bm25Score(tf, qterms, stats, k1, b, k)
   }
 
   // ---------------------------------------------------------------

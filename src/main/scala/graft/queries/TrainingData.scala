@@ -517,6 +517,26 @@ object TrainingData {
         Bm25Queries, k1 = 1.2, b = 0.75, k = 10)
       .orderBy("query_id", "rank")
 
+  /** Persisted inverted-index lifecycle under the oracle gate
+    * ([[CorpusOps.buildInvertedIndex]] →
+    * [[CorpusOps.searchInvertedIndex]]): build the term-bucketed
+    * postings once into a scratch directory, then answer t30's exact
+    * retrieval from the stored relations — the search reads ONLY the
+    * query terms' buckets (static partition pruning; PlanShapeSpec
+    * pins the scan filter) and tokenizes nothing. Identical
+    * arithmetic to the one-shot scorer (shared ranking stage), so
+    * the t30 oracle replays it bit-for-bit.
+    */
+  def docBm25Index(spark: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("graft_t66_invidx")
+      .resolve("index").toString
+    CorpusOps.buildInvertedIndex(Tables.documents(spark, dir), "doc_id",
+      "text", path)
+    CorpusOps.searchInvertedIndex(spark, path, Bm25Queries,
+        k1 = 1.2, b = 0.75, k = 10)
+      .orderBy("query_id", "rank")
+  }
+
   /** Deterministic 10/10/80 val/test/train split + shuffle key
     * ([[CorpusOps.assignSplits]]).
     */
@@ -1142,6 +1162,7 @@ object TrainingData {
     "t63_ann_ivfpq_persisted" -> annIvfPqPersisted _,
     "t64_video_pixel_dedup" -> docVideoPixelDedup _,
     "t65_dup_ranges" -> docDupRanges _,
+    "t66_bm25_index" -> docBm25Index _,
   )
 
   /** Shared DuckDB CTE fragment: per-doc word-trigram shingle sets,
@@ -1730,6 +1751,60 @@ object TrainingData {
        |  CAST(adist_scaled AS DOUBLE) / 1000000.0 AS approx_dist
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Shared oracle replay for BM25 retrieval (t30 one-shot and t66
+    * persisted-index search — identical arithmetic by the shared
+    * ranking stage, pinned row-for-row by the differential spec):
+    * query tokenization, tf/df over query terms, corpus stats, the
+    * scaled-long partial sums, and the ranked cut.
+    */
+  private lazy val bm25OracleSql: String =
+    """WITH qraw AS (
+      |  SELECT * FROM (VALUES (1, 'spark window join'), (2, 'hash merge batch'),
+      |    (3, 'slow scan filter table')) AS t(query_id, qtext)
+      |), q AS (
+      |  SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id, term FROM (
+      |    SELECT query_id,
+      |      unnest(string_split_regex(trim(qtext), '\s+')) AS term
+      |    FROM qraw)
+      |), dl AS (
+      |  SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS dl
+      |  FROM documents
+      |), s AS (
+      |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_tokens
+      |  FROM dl
+      |), toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT t.doc_id, d.dl, t.term, COUNT(*) AS tf
+      |  FROM toks t JOIN (SELECT DISTINCT term FROM q) qt USING (term)
+      |  JOIN dl d USING (doc_id)
+      |  GROUP BY 1, 2, 3
+      |), df AS (
+      |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+      |), scored AS (
+      |  SELECT q.query_id, tf.doc_id,
+      |    CAST(FLOOR(((CAST(s.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) *
+      |      ((CAST(tf.tf AS DOUBLE) * 2.2) /
+      |       (CAST(tf.tf AS DOUBLE) + (1.2 * (0.25 +
+      |        ((0.75 * CAST(tf.dl AS DOUBLE)) /
+      |         (CAST(s.total_tokens AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))))))
+      |      * 1000000.0) AS BIGINT) AS part_scaled
+      |  FROM tf JOIN df USING (term) JOIN q USING (term) CROSS JOIN s
+      |), agg AS (
+      |  SELECT query_id, doc_id, CAST(SUM(part_scaled) AS BIGINT) AS score_scaled,
+      |    COUNT(*) AS n_terms
+      |  FROM scored GROUP BY 1, 2
+      |), r AS (
+      |  SELECT query_id, doc_id, n_terms, score_scaled,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY score_scaled DESC, doc_id) AS BIGINT) AS rank
+      |  FROM agg
+      |)
+      |SELECT query_id, rank, doc_id, n_terms,
+      |  CAST(score_scaled AS DOUBLE) / 1000000.0 AS score
+      |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   val oracles: Map[String, String] = {
     import TextFunctions.{Sql => T}
     Map(
@@ -2030,53 +2105,11 @@ object TrainingData {
           |  CAST(hit_mass AS DOUBLE) /
           |    (CAST(n_tokens AS DOUBLE) * CAST(total_tokens AS DOUBLE)) AS mean_prob
           |FROM agg CROSS JOIN tot ORDER BY doc_id""".stripMargin,
-      "t30_bm25_topk" ->
-        """WITH qraw AS (
-          |  SELECT * FROM (VALUES (1, 'spark window join'), (2, 'hash merge batch'),
-          |    (3, 'slow scan filter table')) AS t(query_id, qtext)
-          |), q AS (
-          |  SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id, term FROM (
-          |    SELECT query_id,
-          |      unnest(string_split_regex(trim(qtext), '\s+')) AS term
-          |    FROM qraw)
-          |), dl AS (
-          |  SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS dl
-          |  FROM documents
-          |), s AS (
-          |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_tokens
-          |  FROM dl
-          |), toks AS (
-          |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
-          |  FROM documents
-          |), tf AS (
-          |  SELECT t.doc_id, d.dl, t.term, COUNT(*) AS tf
-          |  FROM toks t JOIN (SELECT DISTINCT term FROM q) qt USING (term)
-          |  JOIN dl d USING (doc_id)
-          |  GROUP BY 1, 2, 3
-          |), df AS (
-          |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
-          |), scored AS (
-          |  SELECT q.query_id, tf.doc_id,
-          |    CAST(FLOOR(((CAST(s.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) *
-          |      ((CAST(tf.tf AS DOUBLE) * 2.2) /
-          |       (CAST(tf.tf AS DOUBLE) + (1.2 * (0.25 +
-          |        ((0.75 * CAST(tf.dl AS DOUBLE)) /
-          |         (CAST(s.total_tokens AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))))))
-          |      * 1000000.0) AS BIGINT) AS part_scaled
-          |  FROM tf JOIN df USING (term) JOIN q USING (term) CROSS JOIN s
-          |), agg AS (
-          |  SELECT query_id, doc_id, CAST(SUM(part_scaled) AS BIGINT) AS score_scaled,
-          |    COUNT(*) AS n_terms
-          |  FROM scored GROUP BY 1, 2
-          |), r AS (
-          |  SELECT query_id, doc_id, n_terms, score_scaled,
-          |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-          |      ORDER BY score_scaled DESC, doc_id) AS BIGINT) AS rank
-          |  FROM agg
-          |)
-          |SELECT query_id, rank, doc_id, n_terms,
-          |  CAST(score_scaled AS DOUBLE) / 1000000.0 AS score
-          |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+      "t30_bm25_topk" -> bm25OracleSql,
+      // the persisted-index search is row-for-row the one-shot scorer
+      // (shared ranking stage; bucketing only changes the LAYOUT), so
+      // the SAME oracle replay gates it
+      "t66_bm25_index" -> bm25OracleSql,
       "t32_pq_encode" ->
         s"""WITH ${pqCtes(8, 64)}
            |SELECT vec_id,

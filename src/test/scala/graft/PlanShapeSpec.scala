@@ -367,6 +367,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(1200))
   }
 
+  test("persisted inverted-index search prunes the postings SCAN to the " +
+      "query terms' buckets") {
+    val docs = Tables.documents(spark, dir)
+    val path = java.nio.file.Files.createTempDirectory("graft_invidx_plan")
+      .resolve("index").toString
+    operators.CorpusOps.buildInvertedIndex(docs, "doc_id", "text", path)
+    val df = operators.CorpusOps.searchInvertedIndex(spark, path,
+      Seq(1L -> "spark window join"), k1 = 1.2, b = 0.75, k = 10)
+    val plan = df.queryExecution.executedPlan.toString
+    // the query terms' bucket ids arrive as a STATIC IN filter on the
+    // partition column — only those buckets' posting files are listed
+    // and read; at 100 TB this is |query terms|/buckets of the index
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+      s"postings scan lost its bucket partition filter:\n${plan.take(2000)}")
+    // the term filter rides a broadcast, never a shuffle of postings
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query-term filter lost its broadcast:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+  }
+
   test("t54: HLL registers partial-aggregate map-side; no wide shuffle") {
     val plan = planOf(operators.CorpusOps.hllDistinctSketch(
       Tables.documents(spark, dir), "text", 3, 8))

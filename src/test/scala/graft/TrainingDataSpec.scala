@@ -1755,6 +1755,15 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(fromIndex.count() > 0)
   }
 
+  test("t66 persisted inverted-index search reproduces t30 row-for-row") {
+    val oneShot = queries.TrainingData.docBm25(spark, dir).collect().toSeq
+    val fromIndex = queries.TrainingData.docBm25Index(spark, dir)
+      .collect().toSeq
+    assert(oneShot == fromIndex,
+      s"t66 diverged from t30: ${fromIndex.diff(oneShot).take(5)}")
+    assert(oneShot.nonEmpty)
+  }
+
   test("t63 persisted search reproduces t59 row-for-row at the gate " +
       "parameters (m=8, ksub=64)") {
     val oneShot = queries.TrainingData.annIvfPq(spark, dir).collect().toSeq
