@@ -1332,6 +1332,52 @@ object CorpusOps {
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
   }
 
+  /** Ingest a NEW document batch into a persisted
+    * [[buildInvertedIndex]] index: tokenize and count ONLY the batch,
+    * append its postings into their term buckets, and fold its
+    * (n_docs, total_tokens) into the meta row — after which
+    * [[searchInvertedIndex]] scores over the merged corpus exactly as
+    * if the index had been rebuilt (tf/df/dl are per-doc or per-term
+    * facts that simply union; the BatchedSpec differential pins
+    * build(all) == build(head) + append(tail) row-for-row). Cost
+    * tracks the BATCH, never the indexed corpus — the retrieval twin
+    * of [[graft.operators.Similarity.appendToIvfPqIndex]].
+    *
+    * Failure ordering: postings append FIRST, meta swap second — a
+    * crash between them leaves the new docs retrievable with
+    * slightly-stale corpus stats (scores off by the unmerged batch's
+    * contribution to n_docs/avgdl), the benign leftover; the reverse
+    * order would rescale every score while the new docs stay
+    * invisible. Appends are plain parquet appends and therefore NOT
+    * replay-idempotent — ingest each batch once (doc_id makes
+    * duplicates detectable). Recovery: delete the batch's doc_ids
+    * from postings and re-ingest.
+    */
+  def appendToInvertedIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String, textCol: String,
+      buckets: Int = IndexBuckets): Unit = {
+    GraftFunctions.register(spark)
+    batch.select(col(idCol).as("doc_id"),
+        TextFunctions.nTokens(col(textCol)).as("dl"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+      .withColumn("bucket",
+        pmod(call_function("fnv64", col("term")), lit(buckets.toLong)))
+      .repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
+    val merged = spark.read.parquet(s"$path/meta")
+      .unionByName(batch.select(col(idCol).as("doc_id"),
+          TextFunctions.nTokens(col(textCol)).as("dl"))
+        .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_tokens")))
+      .agg(sum("n_docs").as("n_docs"),
+        sum("total_tokens").as("total_tokens"))
+    // two-phase swap: meta is read by the merge above, so an in-place
+    // overwrite would truncate its own input mid-plan
+    val stage = s"$path/meta_stage"
+    merged.write.mode("overwrite").parquet(stage)
+    spark.read.parquet(stage).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
   /** BM25 retrieval over a persisted [[buildInvertedIndex]] index —
     * identical arithmetic to [[bm25TopK]] (the shared [[bm25Score]]
     * stage; the differential spec pins row-for-row equality), with

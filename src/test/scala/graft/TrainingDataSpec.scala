@@ -1764,6 +1764,33 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(oneShot.nonEmpty)
   }
 
+  test("inverted-index ingestion: build(head) + append(tail) searches " +
+      "exactly like build(all)") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, dir)
+    val full = java.nio.file.Files.createTempDirectory("graft_invidx_full")
+      .resolve("index").toString
+    val inc = java.nio.file.Files.createTempDirectory("graft_invidx_inc")
+      .resolve("index").toString
+    CorpusOps.buildInvertedIndex(docs, "doc_id", "text", full)
+    CorpusOps.buildInvertedIndex(docs.filter(col("doc_id") % 5 =!= 0),
+      "doc_id", "text", inc)
+    CorpusOps.appendToInvertedIndex(spark, inc,
+      docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+    val queries = Seq(1L -> "spark window join", 2L -> "hash merge batch")
+    val a = CorpusOps.searchInvertedIndex(spark, full, queries,
+      k1 = 1.2, b = 0.75, k = 10).orderBy("query_id", "rank").collect().toSeq
+    val b = CorpusOps.searchInvertedIndex(spark, inc, queries,
+      k1 = 1.2, b = 0.75, k = 10).orderBy("query_id", "rank").collect().toSeq
+    assert(a.nonEmpty && a == b,
+      s"incrementally-built index diverged: ${b.diff(a).take(5)}")
+    // merged meta equals the full corpus stats exactly
+    val mFull = spark.read.parquet(s"$full/meta").collect().head
+    val mInc = spark.read.parquet(s"$inc/meta").collect().head
+    assert(mFull.getLong(0) == mInc.getLong(0) &&
+      mFull.getLong(1) == mInc.getLong(1))
+  }
+
   test("t63 persisted search reproduces t59 row-for-row at the gate " +
       "parameters (m=8, ksub=64)") {
     val oneShot = queries.TrainingData.annIvfPq(spark, dir).collect().toSeq
