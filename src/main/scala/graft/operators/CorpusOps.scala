@@ -1365,12 +1365,18 @@ object CorpusOps {
         pmod(call_function("fnv64", col("term")), lit(buckets.toLong)))
       .repartition(col("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
-    val merged = spark.read.parquet(s"$path/meta")
-      .unionByName(batch.select(col(idCol).as("doc_id"),
-          TextFunctions.nTokens(col(textCol)).as("dl"))
-        .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_tokens")))
-      .agg(sum("n_docs").as("n_docs"),
-        sum("total_tokens").as("total_tokens"))
+    val batchStats = batch.select(col(idCol).as("doc_id"),
+        TextFunctions.nTokens(col(textCol)).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_tokens"))
+    // cold start (streaming ingestion's first micro-batch): the batch
+    // IS the corpus, no prior meta to merge
+    val merged =
+      if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/meta")))
+        batchStats
+      else spark.read.parquet(s"$path/meta")
+        .unionByName(batchStats)
+        .agg(sum("n_docs").as("n_docs"),
+          sum("total_tokens").as("total_tokens"))
     // two-phase swap: meta is read by the merge above, so an in-place
     // overwrite would truncate its own input mid-plan
     val stage = s"$path/meta_stage"

@@ -201,6 +201,67 @@ object EventStreams {
     q.stop()
   }
 
+  /** Streaming inverted-index maintenance: per micro-batch, ingest
+    * the arriving documents into the persisted term-bucketed index
+    * via [[graft.operators.CorpusOps.appendToInvertedIndex]] — batch
+    * postings appended into their buckets, corpus stats folded into
+    * meta — so [[graft.operators.CorpusOps.searchInvertedIndex]] over
+    * the live state answers retrieval over everything streamed so
+    * far. Works from a cold start (the first micro-batch's stats
+    * become meta) or on top of a [[graft.operators.CorpusOps.buildInvertedIndex]]
+    * snapshot. Per-batch cost tracks the batch.
+    *
+    * At-least-once caveat: postings appends are NOT replay-idempotent
+    * (a replayed micro-batch re-appends its rows and inflates tf/df)
+    * — the same single-ingest contract as the batch append; pass a
+    * checkpointLocation-backed source when replays must be excluded.
+    */
+  def invertedIndexStream(docs: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    val q = docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // the micro-batch lives in the stream's CLONED session — any
+        // function registration must land there, not on the outer one
+        graft.operators.CorpusOps.appendToInvertedIndex(
+          batch.sparkSession, path, batch.toDF(), idCol, textCol)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  /** Streaming IVF-PQ ingestion: per micro-batch, route and encode
+    * arriving vectors against a persisted index's FROZEN quantizer
+    * ([[graft.operators.Similarity.appendToIvfPqIndex]]) and append
+    * them into their cell partitions — the ingestion face of the
+    * vector-index lifecycle (as [[semDedupAgainstIndex]] is the
+    * admission face): everything streamed becomes immediately
+    * searchable through
+    * [[graft.operators.Similarity.searchIvfPqIndex]]'s pruned scan.
+    * Requires an existing [[graft.operators.Similarity.buildIvfPqIndex]]
+    * snapshot (the quantizer must exist to route against). Routing is
+    * deterministic under the frozen quantizer, so the final
+    * cells/codes contents are independent of the micro-batch cut —
+    * StreamingSpec pins stream-ingested state equal to one batch
+    * append of the union. Same single-ingest replay caveat as the
+    * batch append.
+    */
+  def ivfPqIngestStream(vecs: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val q = vecs.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // register on the stream's cloned session (see
+        // [[invertedIndexStream]])
+        graft.operators.Similarity.appendToIvfPqIndex(
+          batch.sparkSession, path, batch.toDF(), idCol, vecCol)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Streaming HLL maintenance: per micro-batch, fold the arriving
     * documents' n-gram hashes into HLL registers
     * ([[graft.operators.CorpusOps.hllRegisters]]) and MERGE-BY-MAX

@@ -283,6 +283,66 @@ class StreamingSpec extends AnyFunSuite {
       "second ingest's deltas were dropped (cross-run batch-id collision)")
   }
 
+  test("streaming inverted-index maintenance: live state answers " +
+      "retrieval like a batch-built index") {
+    import graft.operators.CorpusOps
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val d = java.nio.file.Files.createTempDirectory("graft_invstream")
+    docs.repartition(3).write.parquet(d.resolve("in").toString)
+    val idx = d.resolve("index").toString
+    EventStreams.invertedIndexStream(
+      spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d.resolve("in").toString),
+      "doc_id", "text", idx)
+    val ref = d.resolve("ref_index").toString
+    CorpusOps.buildInvertedIndex(docs, "doc_id", "text", ref)
+    val queries = Seq(1L -> "spark window join", 2L -> "hash merge batch")
+    val live = CorpusOps.searchInvertedIndex(spark, idx, queries,
+      k1 = 1.2, b = 0.75, k = 10).orderBy("query_id", "rank").collect().toSeq
+    val batch = CorpusOps.searchInvertedIndex(spark, ref, queries,
+      k1 = 1.2, b = 0.75, k = 10).orderBy("query_id", "rank").collect().toSeq
+    assert(batch.nonEmpty && live == batch,
+      "stream-maintained index diverges from the batch build")
+  }
+
+  test("streaming IVF-PQ ingestion: micro-batch cuts leave the same " +
+      "index state as one batch append") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val d = java.nio.file.Files.createTempDirectory("graft_ivfstream")
+    val streamed = d.resolve("index_s").toString
+    val reference = d.resolve("index_b").toString
+    Similarity.buildIvfPqIndex(emb.filter(col("vec_id") < 400), "vec_id",
+      "embedding", streamed, minNlist = 16, m = 4, ksub = 16)
+    Similarity.buildIvfPqIndex(emb.filter(col("vec_id") < 400), "vec_id",
+      "embedding", reference, minNlist = 16, m = 4, ksub = 16)
+    val arrivals = emb.filter(col("vec_id") >= 400)
+    arrivals.repartition(3).write.parquet(d.resolve("in").toString)
+    EventStreams.ivfPqIngestStream(
+      spark.readStream.schema(arrivals.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d.resolve("in").toString),
+      "vec_id", "embedding", streamed)
+    Similarity.appendToIvfPqIndex(spark, reference, arrivals,
+      "vec_id", "embedding")
+    // frozen-quantizer routing is deterministic, so the state contents
+    // must be identical however the arrivals were cut
+    for (rel <- Seq("cells", "codes")) {
+      val a = spark.read.parquet(s"$streamed/$rel")
+      val b = spark.read.parquet(s"$reference/$rel")
+      assert(a.count() == b.count() &&
+        a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"stream-ingested $rel diverges from the one-shot append")
+    }
+    // and the streamed arrivals are searchable through the live index
+    val hits = Similarity.searchIvfPqIndex(spark, streamed,
+      emb.filter(col("vec_id") === 453L), "vec_id", "embedding", k = 5)
+    assert(hits.count() > 0)
+  }
+
   test("foreachBatch upsert sink: latest row per key, idempotent on replay") {
     val out = java.nio.file.Files.createTempDirectory("graft_upsert")
       .resolve("user_state").toString
