@@ -199,7 +199,13 @@ object YamlIO {
   private def graftComments(o: Node, n: Node,
       seen: java.util.IdentityHashMap[Node, Node]): Node = {
     val prior = seen.get(o)
-    if (prior != null) return if (deepEq(prior, n)) prior else n
+    // re-link ONLY genuine alias sites — the shared instance of a real
+    // anchor carries its anchor name from the composer. A seen-map hit
+    // WITHOUT one is two same-named (possibly identical) list items
+    // both matched to one original by name; substituting there would
+    // invent an &id001/*id001 pair the user never wrote.
+    if (prior != null)
+      return if (o.getAnchor != null && deepEq(prior, n)) prior else n
     seen.put(o, n)
     if (o.getAnchor != null) n.setAnchor(o.getAnchor)
     copyComments(o, n)

@@ -1369,19 +1369,47 @@ object CorpusOps {
         TextFunctions.nTokens(col(textCol)).as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_tokens"))
     // cold start (streaming ingestion's first micro-batch): the batch
-    // IS the corpus, no prior meta to merge
+    // IS the corpus, no prior meta to merge. Existence goes through
+    // the HADOOP filesystem of the index path — java.nio would report
+    // false for every hdfs://-, s3a://- or file:-style location and
+    // silently reset meta to batch-only stats on each append
+    val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
     val merged =
-      if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/meta")))
-        batchStats
+      if (!fs.exists(metaPath)) batchStats
       else spark.read.parquet(s"$path/meta")
         .unionByName(batchStats)
         .agg(sum("n_docs").as("n_docs"),
           sum("total_tokens").as("total_tokens"))
-    // two-phase swap: meta is read by the merge above, so an in-place
-    // overwrite would truncate its own input mid-plan
-    val stage = s"$path/meta_stage"
-    merged.write.mode("overwrite").parquet(stage)
-    spark.read.parquet(stage).write.mode("overwrite").parquet(s"$path/meta")
+    // staged swap: meta feeds its own merge, so an in-place overwrite
+    // would truncate its input mid-plan; the stage is RENAMED over the
+    // old meta (one delete + one same-fs move — no window where the
+    // only copy is half-written). A crash between delete and rename
+    // leaves meta absent with the complete stage beside it —
+    // [[repairInvertedIndexMeta]] rebuilds meta from postings alone.
+    val stage = new org.apache.hadoop.fs.Path(s"$path/meta_stage")
+    merged.write.mode("overwrite").parquet(stage.toString)
+    fs.delete(metaPath, true)
+    fs.rename(stage, metaPath)
+  }
+
+  /** Rebuild a persisted index's `meta` row from its postings — the
+    * recovery path for a crash that lost meta mid-swap (every
+    * document owns at least one posting row, even an empty text's
+    * single empty-string token, so (doc_id, dl) pairs reconstruct the
+    * corpus stats exactly).
+    */
+  def repairInvertedIndexMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val stage = new org.apache.hadoop.fs.Path(s"$path/meta_stage")
+    spark.read.schema(PostingsSchema).parquet(s"$path/postings")
+      .select("doc_id", "dl").distinct()
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_tokens"))
+      .write.mode("overwrite").parquet(stage.toString)
+    fs.delete(metaPath, true)
+    fs.rename(stage, metaPath)
   }
 
   /** BM25 retrieval over a persisted [[buildInvertedIndex]] index —
@@ -1401,8 +1429,15 @@ object CorpusOps {
       path: String, queries: Seq[(Long, String)], k1: Double, b: Double,
       k: Int, buckets: Int = IndexBuckets): DataFrame = {
     val qterms = queryTerms(spark, queries)
-    val qbuckets = queries.flatMap(_._2.trim.split("\\s+"))
-      .distinct.map(termBucket(_, buckets)).distinct
+    // the bucket list derives from the SAME Spark tokenization the
+    // scorer uses (collected — it is query-sized driver data anyway):
+    // a driver-side trim/split re-tokenization disagrees at the edges
+    // (String.trim strips all ctrl chars where Spark's trim strips
+    // spaces; String.split drops trailing empty tokens where Spark
+    // keeps them) and a dropped edge-token's bucket would silently
+    // prune postings the one-shot scorer counts
+    val qbuckets = qterms.select("term").distinct().collect()
+      .map(r => termBucket(r.getString(0), buckets)).distinct.toSeq
     val postings = spark.read.schema(PostingsSchema)
       .parquet(s"$path/postings")
       .filter(col("bucket").isin(qbuckets: _*))

@@ -871,6 +871,15 @@ object Similarity {
     GraftFunctions.register(spark)
     val c = spark.read.parquet(s"$path/centroids")
     val cb = spark.read.parquet(s"$path/codebook")
+    // layout guard: an index persisted by the pre-cell-partitioned
+    // format has no `cell` partition directories; the pinned schema
+    // would read cell as NULL and the probe join would return an
+    // EMPTY top-k with no error. Fail loudly instead (footer-only
+    // schema probe, no data read) — rebuild the index to migrate.
+    require(spark.read.parquet(s"$path/codes")
+        .schema.fieldNames.contains("cell"),
+      s"$path/codes has no cell partition column - the index predates " +
+        "the cell-partitioned layout; rebuild it with buildIvfPqIndex")
     val codes = spark.read.schema(CodesSchema).parquet(s"$path/codes")
     val m = cb.agg(max(col("sub"))).collect().head.getLong(0).toInt + 1
     val e = transform(col(vecCol), x => x.cast("double"))

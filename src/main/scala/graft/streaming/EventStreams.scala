@@ -327,8 +327,9 @@ object EventStreams {
     */
   def cmSketchStream(docs: DataFrame, textCol: String, n: Int, width: Int,
       path: String, checkpointLocation: Option[String] = None): Unit = {
-    val runId = checkpointLocation.getOrElse(
-      java.util.UUID.randomUUID.toString)
+    val runId = checkpointLocation
+      .map(cp => canonicalPath(docs.sparkSession, cp))
+      .getOrElse(java.util.UUID.randomUUID.toString)
     val writer = docs.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         graft.operators.CorpusOps.cmCounters(batch.toDF(), textCol, n, width)
@@ -342,6 +343,24 @@ object EventStreams {
       .start()
     q.processAllAvailable()
     q.stop()
+  }
+
+  /** The fully-qualified canonical URI of a path — the run identity
+    * [[cmSketchStream]] stamps on checkpointed delta rows. Raw
+    * checkpoint STRINGS are a broken identity: "/cp", "/cp/" and
+    * "file:/cp" all resume the same Spark checkpoint, but as raw
+    * run_ids they would stop the read-side distinct from collapsing a
+    * replayed batch logged under a different spelling (double count).
+    */
+  private[graft] def canonicalPath(spark: SparkSession,
+      p: String): String = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val u = hp.getFileSystem(spark.sessionState.newHadoopConf())
+      .makeQualified(hp).toUri
+    // rebuild scheme://authority/path explicitly: URI.toString renders
+    // an absent authority as "file:/x" for some inputs and "file:///x"
+    // for others, which would split one identity into two spellings
+    s"${u.getScheme}://${Option(u.getAuthority).getOrElse("")}${u.getPath}"
   }
 
   /** Live CM counters from a [[cmSketchStream]] delta log: replayed

@@ -283,6 +283,16 @@ class StreamingSpec extends AnyFunSuite {
       "second ingest's deltas were dropped (cross-run batch-id collision)")
   }
 
+  test("CM run identity canonicalizes checkpoint spellings") {
+    // "/cp", "/cp/" and "file:/cp" resume the SAME Spark checkpoint;
+    // the logged run_id must collapse them or a replayed batch logged
+    // under another spelling double-counts
+    val base = java.nio.file.Files.createTempDirectory("graft_cp").toString
+    val ids = Seq(base, base + "/", "file:" + base)
+      .map(EventStreams.canonicalPath(spark, _))
+    assert(ids.distinct.size == 1, s"spellings diverged: $ids")
+  }
+
   test("streaming inverted-index maintenance: live state answers " +
       "retrieval like a batch-built index") {
     import graft.operators.CorpusOps

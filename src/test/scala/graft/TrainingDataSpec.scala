@@ -1755,6 +1755,82 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(fromIndex.count() > 0)
   }
 
+  test("inverted-index search prunes by the SPARK tokenization: " +
+      "edge-whitespace terms keep their buckets") {
+    import spark.implicits._
+    // doc 2's text ends in a tab: Spark's trim strips only spaces, so
+    // tokenization yields a trailing EMPTY term with a real posting.
+    // A query carrying the same edge produces that term too — its
+    // bucket must survive pruning, or the pruned search diverges from
+    // the one-shot scorer (a driver-side String.trim/split
+    // re-tokenization drops exactly this term)
+    val docs = Seq((1L, "alpha beta"), (2L, "alpha gamma \t"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_invidx_ws")
+      .resolve("index").toString
+    CorpusOps.buildInvertedIndex(docs, "doc_id", "text", path)
+    val queries = Seq(1L -> "gamma \t")
+    val oneShot = CorpusOps.bm25TopK(docs, "doc_id", "text", queries,
+      k1 = 1.2, b = 0.75, k = 10).orderBy("query_id", "rank").collect().toSeq
+    val pruned = CorpusOps.searchInvertedIndex(spark, path, queries,
+      k1 = 1.2, b = 0.75, k = 10).orderBy("query_id", "rank").collect().toSeq
+    assert(oneShot.nonEmpty && pruned == oneShot,
+      s"pruned search diverged on edge-whitespace terms: $pruned vs $oneShot")
+  }
+
+  test("repairInvertedIndexMeta rebuilds lost corpus stats from postings") {
+    val docs = Tables.documents(spark, dir)
+    val path = java.nio.file.Files.createTempDirectory("graft_invidx_rep")
+      .resolve("index").toString
+    CorpusOps.buildInvertedIndex(docs, "doc_id", "text", path)
+    val before = spark.read.parquet(s"$path/meta").collect().head
+    // simulate the crash window: meta gone, postings intact
+    def rmrf(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+    }
+    rmrf(java.nio.file.Paths.get(s"$path/meta"))
+    CorpusOps.repairInvertedIndexMeta(spark, path)
+    val after = spark.read.parquet(s"$path/meta").collect().head
+    assert(after.getLong(0) == before.getLong(0) &&
+      after.getLong(1) == before.getLong(1),
+      s"repaired meta $after diverges from the original $before")
+  }
+
+  test("searchIvfPqIndex fails loudly on a pre-cell-layout index") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, dir)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_old")
+      .resolve("index").toString
+    Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", path,
+      minNlist = 16, m = 4, ksub = 16)
+    // rewrite codes in the OLD unpartitioned (id, sub, code) layout
+    val flat = spark.read
+      .schema("id LONG, sub LONG, code LONG, cell LONG")
+      .parquet(s"$path/codes")
+      .select("id", "sub", "code").collect()
+    import spark.implicits._
+    val oldCodes = flat.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.toDF("id", "sub", "code")
+    oldCodes.write.mode("overwrite").parquet(s"$path/codes_old")
+    def rmrf(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    rmrf(java.nio.file.Paths.get(s"$path/codes"))
+    java.nio.file.Files.move(java.nio.file.Paths.get(s"$path/codes_old"),
+      java.nio.file.Paths.get(s"$path/codes"))
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.searchIvfPqIndex(spark, path,
+        emb.filter(col("vec_id") === 0L), "vec_id", "embedding", k = 5)
+    }
+    assert(ex.getMessage.contains("cell partition column"),
+      s"expected the layout guard, got: ${ex.getMessage}")
+  }
+
   test("t66 persisted inverted-index search reproduces t30 row-for-row") {
     val oneShot = queries.TrainingData.docBm25(spark, dir).collect().toSeq
     val fromIndex = queries.TrainingData.docBm25Index(spark, dir)
@@ -1770,8 +1846,11 @@ class TrainingDataSpec extends AnyFunSuite {
     val docs = Tables.documents(spark, dir)
     val full = java.nio.file.Files.createTempDirectory("graft_invidx_full")
       .resolve("index").toString
-    val inc = java.nio.file.Files.createTempDirectory("graft_invidx_inc")
-      .resolve("index").toString
+    // URI-style path: append's meta-existence check must go through
+    // the HADOOP filesystem — a java.nio check reports false for
+    // "file:/..." and silently resets meta to batch-only stats
+    val inc = "file:" + java.nio.file.Files
+      .createTempDirectory("graft_invidx_inc").resolve("index").toString
     CorpusOps.buildInvertedIndex(docs, "doc_id", "text", full)
     CorpusOps.buildInvertedIndex(docs.filter(col("doc_id") % 5 =!= 0),
       "doc_id", "text", inc)

@@ -238,6 +238,30 @@ class YamlPlaneSpec extends AnyFunSuite {
     assert(m2 == Map("orders" -> "orders-team", "customers" -> "data-team"))
   }
 
+  test("duplicate identical same-named list items do not grow invented " +
+      "anchors on round-trip (A32)") {
+    val root = tmpRoot()
+    val p = root.resolve("schema.yml")
+    // two verbatim-identical entries named x: the by-name comment
+    // graft maps both onto one original node, but only GENUINE anchor
+    // sharing (an anchor name from the composer) may re-link them
+    val original =
+      """version: 2
+        |models:
+        |- name: x
+        |  description: same
+        |- name: x
+        |  description: same
+        |""".stripMargin
+    Files.writeString(p, original)
+    YamlIO.invalidate()
+    YamlIO.write(p, YamlIO.read(p))
+    val text = Files.readString(p)
+    assert(!text.contains("&") && !text.contains("*"),
+      s"round-trip invented an anchor/alias pair:\n$text")
+    assert(text == original, s"duplicate items not preserved:\n$text")
+  }
+
   test("comments follow a reordered list item by its name (A32)") {
     val root = tmpRoot()
     val p = root.resolve("schema.yml")
