@@ -914,6 +914,46 @@ object Similarity {
         (col("adist_scaled").cast("double") / 1e6).as("approx_dist"))
   }
 
+  /** Exact-cosine re-rank over a persisted [[buildIvfPqIndex]] index
+    * — the standard two-tier production shape (FAISS's
+    * refine/re-rank stage): [[searchIvfPqIndex]] returns the top
+    * `rerank` candidates per query by the COMPRESSED ADC distance
+    * (reading only probed cells' m-byte codes), then the candidates'
+    * RAW vectors are fetched from the primary store and scored with
+    * exact cosine, keeping top `k`. ADC quantization error decides
+    * only which `rerank` candidates surface; the final order is
+    * exact — the recall/cost dial between the pure code scan and the
+    * quadratic brute force.
+    *
+    * Scale shape: the candidate set (|queries|·rerank skinny rows)
+    * rides a BROADCAST against the primary vector store, so the fetch
+    * is a map-only scan of `vectors` with no shuffle and no index
+    * structure needed there; queries broadcast too; the final top-k
+    * is the rank-pushdown window. Exact arithmetic is the shared
+    * sequential-fold cosine, so the oracle replays the re-rank
+    * bit-for-bit.
+    */
+  def searchIvfPqIndexRerank(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, vectors: DataFrame, idCol: String,
+      vecCol: String, k: Int, rerank: Int, nprobe: Int = 2): DataFrame = {
+    require(rerank >= k, s"rerank $rerank must cover k=$k")
+    val cand = searchIvfPqIndex(spark, path, queries, idCol, vecCol,
+        k = rerank, nprobe = nprobe)
+      .select("query_id", "vec_id")
+    val v = withNorm(vectors, idCol, vecCol)
+    val qv = withNorm(queries, idCol, vecCol)
+      .select(col("id").as("qid"), col("e").as("qe"), col("n").as("qn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine_sim").desc, col("vec_id"))
+    v.join(broadcast(cand), col("id") === col("vec_id"))
+      .join(broadcast(qv), col("query_id") === col("qid"))
+      .select(col("query_id"), col("vec_id"),
+        (dot(col("e"), col("qe")) / (col("n") * col("qn"))).as("cosine_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cosine_sim")
+  }
+
   // ---------------------------------------------------------------
   // Int8 scalar quantization (SQ)
   // ---------------------------------------------------------------

@@ -880,6 +880,32 @@ object TrainingData {
       Tables.documents(spark, dir).filter(length(col("text")) > 0 &&
         octet_length(col("text")) === length(col("text"))))
 
+  /** Candidate depth for the t67 exact re-rank — 3× the final k, the
+    * usual refine budget.
+    */
+  val RerankDepth = 15
+
+  /** Two-tier persisted-index retrieval under the oracle gate
+    * ([[Similarity.searchIvfPqIndexRerank]]): the t63 index's ADC
+    * scan surfaces [[RerankDepth]] candidates per query, their raw
+    * vectors are fetched from the primary store by a broadcast of the
+    * skinny candidate set, and exact cosine keeps the top 5. The
+    * oracle replays the ENTIRE composition — training, routing,
+    * probing, ADC candidate ranking, and the exact-cosine refine.
+    */
+  def annIvfPqRerank(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val path = sessionIndexPath(spark, "t63_ivfpq", dir) { p =>
+      Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", p,
+        minNlist = 16, m = 8, ksub = 64,
+        centroidsOpt = Some(fullCorpusCentroids(spark, dir)))
+    }
+    Similarity.searchIvfPqIndexRerank(spark, path,
+        emb.filter(col("vec_id").isin(PqQueryIds: _*)), emb,
+        "vec_id", "embedding", k = 5, rerank = RerankDepth, nprobe = 2)
+      .orderBy("query_id", "rank")
+  }
+
   /** Sliding window length for maximal duplicated-range detection —
     * short enough that the fixture's exact-dup documents cover whole
     * docs while partial copies still register.
@@ -1184,6 +1210,7 @@ object TrainingData {
     "t64_video_pixel_dedup" -> docVideoPixelDedup _,
     "t65_dup_ranges" -> docDupRanges _,
     "t66_bm25_index" -> docBm25Index _,
+    "t67_ann_ivfpq_rerank" -> annIvfPqRerank _,
   )
 
   /** Shared DuckDB CTE fragment: per-doc word-trigram shingle sets,
@@ -1731,7 +1758,17 @@ object TrainingData {
     * ranking, unrolled in DuckDB SQL.
     */
   private lazy val ivfPqOracleSql: String =
-    s"""WITH ${pqCtes(8, 64)}, ${lloydCtes("v", 16)}, pasg AS (
+    s"""WITH $ivfPqOracleBody
+       |SELECT query_id, rank, vec_id, cell,
+       |  CAST(adist_scaled AS DOUBLE) / 1000000.0 AS approx_dist
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** The shared CTE chain of the IVF-PQ replay up to the ranked ADC
+    * relation `r` — consumed by the t59/t63 top-k select above and by
+    * t67's exact-cosine re-rank.
+    */
+  private lazy val ivfPqOracleBody: String =
+    s"""${pqCtes(8, 64)}, ${lloydCtes("v", 16)}, pasg AS (
        |  SELECT v.vec_id, c.cid, ${cosSql("v.e", "c.ce")} AS cs
        |  FROM v, lc2 c
        |), pasgr AS (
@@ -1767,10 +1804,7 @@ object TrainingData {
        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
        |      ORDER BY adist_scaled, vec_id) AS BIGINT) AS rank
        |  FROM acc
-       |)
-       |SELECT query_id, rank, vec_id, cell,
-       |  CAST(adist_scaled AS DOUBLE) / 1000000.0 AS approx_dist
-       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+       |)""".stripMargin
 
   /** Shared oracle replay for BM25 retrieval (t30 one-shot and t66
     * persisted-index search — identical arithmetic by the shared
@@ -2740,6 +2774,25 @@ object TrainingData {
       // operator (frozen quantizer, identical scaled-long ADC), so
       // the SAME oracle replay gates it
       "t63_ann_ivfpq_persisted" -> ivfPqOracleSql,
+      // t67: ADC candidates (rank <= RerankDepth from the same
+      // composition) refined by the exact sequential-fold cosine
+      "t67_ann_ivfpq_rerank" ->
+        s"""WITH $ivfPqOracleBody, cand AS (
+           |  SELECT query_id, vec_id FROM r WHERE rank <= $RerankDepth
+           |), rr AS (
+           |  SELECT c.query_id, c.vec_id,
+           |    ${cosSql("dv.e", "qv.e")} AS cosine_sim
+           |  FROM cand c
+           |  JOIN v dv ON dv.vec_id = c.vec_id
+           |  JOIN v qv ON qv.vec_id = c.query_id
+           |), rk AS (
+           |  SELECT query_id, vec_id, cosine_sim,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY cosine_sim DESC, vec_id) AS BIGINT) AS rank
+           |  FROM rr
+           |)
+           |SELECT query_id, rank, vec_id, cosine_sim
+           |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
       "t31_split_shuffle" ->
         """SELECT doc_id,
           |  CASE WHEN ((doc_id % 1000003) * 2654435761 + 123456789)

@@ -285,9 +285,8 @@ object EventStreams {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val regs = graft.operators.CorpusOps
           .hllRegisters(batch.toDF(), textCol, n, p)
-        val dir = java.nio.file.Paths.get(path)
         val merged =
-          if (java.nio.file.Files.isDirectory(dir))
+          if (relationExists(spark, path))
             spark.read.parquet(path).unionByName(regs)
               .groupBy("bucket").agg(max(col("r")).as("r"))
           else regs
@@ -466,9 +465,8 @@ object EventStreams {
         val w = Window.partitionBy(key).orderBy(col(orderCol).desc)
         val latest = batch.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
-        val dir = java.nio.file.Paths.get(path)
         val merged =
-          if (java.nio.file.Files.isDirectory(dir)) {
+          if (relationExists(spark, path)) {
             val old = spark.read.parquet(path)
             old.join(latest.select(key).distinct(), Seq(key), "left_anti")
               .unionByName(latest.select(old.columns.map(col): _*))
@@ -485,24 +483,24 @@ object EventStreams {
     * `path`) into a staging dir, then atomically move it into place —
     * the shared swap for every foreachBatch relation sink.
     */
-  private def swapInRelation(merged: DataFrame, path: String): Unit = {
-    val dir = java.nio.file.Paths.get(path)
-    val staging = java.nio.file.Paths.get(path + "__staging")
-    merged.write.mode("overwrite").parquet(staging.toString)
-    val retired = java.nio.file.Paths.get(path + "__retired")
-    deleteRecursively(retired)
-    if (java.nio.file.Files.isDirectory(dir))
-      java.nio.file.Files.move(dir, retired)
-    java.nio.file.Files.move(staging, dir)
-    deleteRecursively(retired)
+  private def relationExists(spark: SparkSession, path: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    hp.getFileSystem(spark.sessionState.newHadoopConf()).exists(hp)
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.exists(p)) {
-      val s = java.nio.file.Files.walk(p)
-      val paths = try s.iterator().asScala.toSeq finally s.close()
-      paths.reverse.foreach(java.nio.file.Files.delete)
-    }
+  private def swapInRelation(merged: DataFrame, path: String): Unit = {
+    // HADOOP filesystem ops throughout, so the streamed state lives
+    // wherever the pipeline does (hdfs://, s3a://, file:) — java.nio
+    // moves only ever worked for bare local paths
+    val spark = merged.sparkSession
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val staging = new org.apache.hadoop.fs.Path(path + "__staging")
+    merged.write.mode("overwrite").parquet(staging.toString)
+    val retired = new org.apache.hadoop.fs.Path(path + "__retired")
+    fs.delete(retired, true)
+    if (fs.exists(dir)) fs.rename(dir, retired)
+    fs.rename(staging, dir)
+    fs.delete(retired, true)
   }
 }

@@ -1880,6 +1880,45 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(oneShot.nonEmpty)
   }
 
+  test("t67 re-rank: exact cosine over exactly the ADC top-R candidates, " +
+      "driver-differential") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, dir)
+    val qids = Seq(0L, 7L, 42L)
+    val path = java.nio.file.Files.createTempDirectory("graft_rerank")
+      .resolve("index").toString
+    Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", path,
+      minNlist = 16, m = 4, ksub = 16)
+    val queries = emb.filter(col("vec_id").isin(qids: _*))
+    val rr = Similarity.searchIvfPqIndexRerank(spark, path, queries, emb,
+        "vec_id", "embedding", k = 5, rerank = 15)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rr.nonEmpty)
+    val cand = Similarity.searchIvfPqIndex(spark, path, queries,
+        "vec_id", "embedding", k = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(2))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val vecs = emb.select(col("vec_id"),
+        expr("transform(embedding, v -> cast(v as double))"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cos(a: Long, q: Long): Double = {
+      val x = vecs(a); val y = vecs(q)
+      dot(x, y) / (math.sqrt(dot(x, x)) * math.sqrt(dot(y, y)))
+    }
+    qids.foreach { q =>
+      val expect = cand(q).toSeq.map(v => (cos(v, q), v))
+        .sortBy { case (c, v) => (-c, v) }.take(5).zipWithIndex
+        .map { case ((c, v), i) => (q, (i + 1).toLong, v, c) }
+      val got = rr.filter(_._1 == q).sortBy(_._2).toSeq
+      assert(got == expect, s"query $q: $got vs $expect")
+    }
+  }
+
   test("IVF-PQ ingestion: appended batch routed by the frozen quantizer, " +
       "differentially checked and searchable") {
     import org.apache.spark.sql.functions._
