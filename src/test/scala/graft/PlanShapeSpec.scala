@@ -387,6 +387,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(1200))
   }
 
+  test("t65: duplicated-range detection shuffles only fp/doc_id keys") {
+    val plan = operators.CorpusOps.maximalDupRanges(
+        Tables.documents(spark, dir), "doc_id", "text", l = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"dup-range detection degraded to all-pairs:\n${plan.take(1200)}")
+    // every exchange keys on the 8-byte gram fingerprint or the doc
+    // id — a gram-TEXT key would shuffle strings corpus-wide
+    val keys = "Exchange hashpartitioning\\(([a-zA-Z_]+)#"
+      .r.findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(keys.nonEmpty && keys.subsetOf(Set("fp", "doc_id")),
+      s"unexpected shuffle keys $keys:\n${plan.take(1200)}")
+  }
+
   test("t54: HLL registers partial-aggregate map-side; no wide shuffle") {
     val plan = planOf(operators.CorpusOps.hllDistinctSketch(
       Tables.documents(spark, dir), "text", 3, 8))
