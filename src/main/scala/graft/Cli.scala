@@ -443,6 +443,7 @@ object Cli {
       println(s"curate: input=${report.input} afterQuality=${report.afterQuality} " +
         s"afterRepetition=${report.afterRepetition} afterLang=${report.afterLang} " +
         s"afterExact=${report.afterExact} afterNearDup=${report.afterNearDup} " +
+        s"afterDupRange=${report.afterDupRange} " +
         s"afterSemantic=${report.afterSemantic} " +
         s"afterDecontam=${report.afterDecontam} afterSample=${report.afterSample} " +
         s"piiMatches=${report.piiMatches} -> $outDir")

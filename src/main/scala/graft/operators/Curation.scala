@@ -102,6 +102,19 @@ object Curation {
         * sampling on `pred_lang`; empty disables the stage. */
       sampleRates: Map[String, Int] = Map.empty,
       sampleDefaultRate: Int = 100,
+      /** Maximum any-alignment duplicated-token fraction
+        * ([[CorpusOps.maximalDupRanges]] over `dupRangeL`-token
+        * sliding windows): docs whose coalesced duplicated ranges
+        * cover MORE than this fraction of their tokens are dropped —
+        * the boilerplate-attrition gate (near-dup dedup keeps one
+        * copy of a duplicated DOC; this removes docs that are mostly
+        * duplicated MATERIAL, e.g. template-heavy pages whose unique
+        * remainder is not worth keeping). <= 0 disables. Runs after
+        * near-dup dedup, so surviving canonical copies define the
+        * frequencies.
+        */
+      maxDupRangeFrac: Double = 0.0,
+      dupRangeL: Int = 8,
       /** Span-dedup rewrite granularity ([[CorpusOps.spanDedupRewrite]]);
         * <= 0 disables the stage. When enabled, the FINAL stage
         * rewrites each surviving document, keeping one canonical copy
@@ -116,7 +129,8 @@ object Curation {
   final case class Report(
       input: Long, afterQuality: Long, afterRepetition: Long,
       afterLang: Long, afterExact: Long, afterNearDup: Long,
-      afterSemantic: Long, afterDecontam: Long, afterSample: Long,
+      afterDupRange: Long, afterSemantic: Long, afterDecontam: Long,
+      afterSample: Long,
       /** Total PII matches redacted (0 when redaction is off). */
       piiMatches: Long)
 
@@ -155,6 +169,7 @@ object Curation {
     val obsPii = Observation()
     val obsLosers = Observation()
     val obsNearDup = Observation()
+    val obsDupRange = Observation()
     val obsSemantic = Observation()
     val obsDecontam = Observation()
     val obsSample = Observation()
@@ -218,8 +233,23 @@ object Curation {
     val nearDupCurated = counted(
       exactDeduped.join(losers, Seq(idCol), "left_anti"), obsNearDup)
 
+    val dupRangeCurated =
+      if (config.maxDupRangeFrac <= 0.0) nearDupCurated
+      else {
+        // maximalDupRanges consumes its input twice (gram stream +
+        // the per-doc rejoin) — barrier so upstream observes stay
+        // single-counted per action
+        val barred = Dedup.barrier(nearDupCurated, col(idCol))
+        val heavy = CorpusOps.maximalDupRanges(barred, idCol, textCol,
+            config.dupRangeL)
+          .filter(col("dup_tokens").cast("double") >
+            col("n_tokens").cast("double") * config.maxDupRangeFrac)
+          .select(col("doc_id").as(idCol))
+        counted(barred.join(heavy, Seq(idCol), "left_anti"), obsDupRange)
+      }
+
     val semanticCurated = embeddings match {
-      case None => nearDupCurated
+      case None => dupRangeCurated
       case Some(emb) =>
         // verdicts from the full embedding table; kept=false ids
         // anti-join the text-curated stream. semDedup's output is
@@ -229,7 +259,7 @@ object Curation {
             config.embVecCol, config.semDedupMinNlist,
             config.semDedupThreshold)
           .filter(!col("kept")).select(col("vec_id").as(idCol))
-        counted(nearDupCurated.join(semLosers, Seq(idCol), "left_anti"),
+        counted(dupRangeCurated.join(semLosers, Seq(idCol), "left_anti"),
           obsSemantic)
     }
 
@@ -269,7 +299,12 @@ object Curation {
       }
 
     new Staged(rewritten, () => {
-      def n(obs: Observation): Long = obs.get("n").asInstanceOf[Long]
+      // an observe riding an EMPTY side branch (e.g. zero near-dup
+      // losers) can be pruned from the executed plan by adaptive
+      // empty-relation propagation — its metrics map comes back empty,
+      // and the only value such a branch can have contributed is 0
+      def n(obs: Observation): Long =
+        obs.get.getOrElse("n", 0L).asInstanceOf[Long]
       val afterNearDup = n(obsNearDup)
       // every loser id occurs exactly once in exactDeduped (ids are
       // unique post-exact-dedup), so the anti-join removed |losers|.
@@ -277,13 +312,16 @@ object Curation {
       val afterQuality = n(obsQuality)
       val afterRep = if (repetitionOn) n(obsRep) else afterQuality
       val afterLang = n(obsLang)
+      val afterDupRange =
+        if (config.maxDupRangeFrac > 0.0) n(obsDupRange) else afterNearDup
       val afterSemantic =
-        if (embeddings.isDefined) n(obsSemantic) else afterNearDup
+        if (embeddings.isDefined) n(obsSemantic) else afterDupRange
       val afterDecontam =
         if (bench.isDefined) n(obsDecontam) else afterSemantic
       val afterSample = if (samplingOn) n(obsSample) else afterDecontam
       Report(n(obsInput), afterQuality, afterRep, afterLang,
-        afterExact, afterNearDup, afterSemantic, afterDecontam, afterSample,
+        afterExact, afterNearDup, afterDupRange, afterSemantic,
+        afterDecontam, afterSample,
         if (config.redactPii) n(obsPii) else 0L)
     })
   }

@@ -23,6 +23,43 @@ class CurationSpec extends AnyFunSuite {
     assert(residual.count() == 0)
   }
 
+  test("dup-range stage drops boilerplate-heavy docs, matches the " +
+      "standalone operator, and is off by default") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def toks(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    // the template: 16 tokens shared by docs 1..3. docs 1/2 are
+    // MOSTLY template (16 of 22 tokens duplicated > 0.5) but not
+    // near-dups of each other (unique remainders differ); doc 3
+    // carries the template inside 60 unique tokens (frac ~0.21).
+    val template = toks("tpl", 16)
+    val docs = Seq(
+      (1L, template + " " + toks("a", 6)),
+      (2L, template + " " + toks("b", 6)),
+      (3L, toks("c", 30) + " " + template + " " + toks("d", 30)),
+      (4L, toks("e", 40)))
+      .toDF("doc_id", "text")
+    val cfg = Curation.Config(minTokens = 5, minQuality = 0.0,
+      nearDupThreshold = 0.9, maxDupRangeFrac = 0.5)
+    val (curated, r) = Curation.curate(docs, "doc_id", "text", cfg)
+    val kept = curated.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L),
+      s"template-heavy docs must fall to the dup-range gate: $kept")
+    assert(r.afterNearDup == 4 && r.afterDupRange == 2,
+      s"report: ${r.afterNearDup} -> ${r.afterDupRange}")
+    // stage == standalone operator anti-join over the same survivors
+    val standalone = CorpusOps.maximalDupRanges(docs, "doc_id", "text", l = 8)
+      .filter(col("dup_tokens").cast("double") >
+        col("n_tokens").cast("double") * 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(standalone == Set(1L, 2L))
+    // disabled by default: the same corpus keeps all four docs
+    val (_, off) = Curation.curate(docs, "doc_id", "text",
+      cfg.copy(maxDupRangeFrac = 0.0))
+    assert(off.afterDupRange == off.afterNearDup && off.afterDupRange == 4)
+  }
+
   test("simhash near-dup strategy removes exact-jaccard in-bound losers") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val (curated, r) = Curation.curate(docs, "doc_id", "text",
