@@ -1294,8 +1294,28 @@ object CorpusOps {
   /** Read-back schema for the postings relation — the bucket id lives
     * in the directory name and partition-value inference would type
     * it INT; LONG keeps it aligned with the Spark-side pmod.
+    * `positions` are the 0-based token indices of the term's
+    * occurrences, sorted — the positional-postings payload phrase
+    * search consumes (BM25 ignores it; tf = size(positions) rides
+    * separately so scoring never deserializes the arrays).
     */
-  private val PostingsSchema = "term STRING, doc_id LONG, dl LONG, tf LONG, bucket LONG"
+  private val PostingsSchema =
+    "term STRING, doc_id LONG, dl LONG, tf LONG, positions ARRAY<BIGINT>, bucket LONG"
+
+  /** The bucketed postings relation of a corpus — shared by
+    * [[buildInvertedIndex]] and [[appendToInvertedIndex]] so the two
+    * write byte-compatible rows.
+    */
+  private def postingsOf(docs: DataFrame, idCol: String, textCol: String,
+      buckets: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        TextFunctions.nTokens(col(textCol)).as("dl"),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "term")))
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos").cast("long"))).as("positions"))
+      .withColumn("bucket",
+        pmod(call_function("fnv64", col("term")), lit(buckets.toLong)))
 
   /** Build a persisted, TERM-BUCKETED inverted index under `path`:
     * `postings` (term, doc_id, dl, tf) written
@@ -1322,14 +1342,60 @@ object CorpusOps {
         TextFunctions.nTokens(col(textCol)).as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_tokens"))
       .write.mode("overwrite").parquet(s"$path/meta")
-    docs.select(col(idCol).as("doc_id"),
-        TextFunctions.nTokens(col(textCol)).as("dl"),
-        explode(TextFunctions.tokens(col(textCol))).as("term"))
-      .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
-      .withColumn("bucket",
-        pmod(call_function("fnv64", col("term")), lit(buckets.toLong)))
+    postingsOf(docs, idCol, textCol, buckets)
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
+  }
+
+  /** PHRASE retrieval over a persisted [[buildInvertedIndex]] index —
+    * the positional-postings consumer: a document matches phrase
+    * `t_0 … t_{m-1}` at base position `p` iff for EVERY offset `j`
+    * the posting of `t_j` contains `p + j` (the classic positional
+    * adjacency check; duplicates and order in the phrase are honored
+    * by offset). Returns each query's top `k` documents by exact
+    * phrase-occurrence count (ties to smaller doc_id) — the retrieval
+    * primitive BM25's bag-of-words scoring cannot express.
+    *
+    * Scale shape: like [[searchInvertedIndex]] the scan statically
+    * prunes to the phrase terms' buckets and the phrase relation
+    * rides broadcasts; candidate volume is |first-term occurrences| ×
+    * m rows per document that shares the phrase's vocabulary, bounded
+    * by the query terms' posting sizes — never corpus-shaped. The
+    * adjacency check is an array membership against the posting's
+    * sorted positions; the support count and the per-query top-k are
+    * the usual map-side-combinable aggregate + rank-pushdown window.
+    */
+  def phraseSearch(spark: org.apache.spark.sql.SparkSession, path: String,
+      phrases: Seq[(Long, String)], k: Int,
+      buckets: Int = IndexBuckets): DataFrame = {
+    import spark.implicits._
+    val qphr = phrases.toDF("query_id", "qtext")
+      .select(col("query_id"),
+        posexplode(TextFunctions.tokens(col("qtext"))).as(Seq("j", "term")))
+      .select(col("query_id"), col("j").cast("long").as("j"), col("term"))
+    val qbuckets = qphr.select("term").distinct().collect()
+      .map(r => termBucket(r.getString(0), buckets)).distinct.toSeq
+    val withJ = spark.read.schema(PostingsSchema).parquet(s"$path/postings")
+      .filter(col("bucket").isin(qbuckets: _*))
+      .join(broadcast(qphr), "term")
+      .select(col("query_id"), col("j"), col("doc_id"), col("positions"))
+    val base = withJ.filter(col("j") === 0L)
+      .select(col("query_id"), col("doc_id"),
+        explode(col("positions")).as("p"))
+    val mRel = qphr.groupBy("query_id").agg(count(lit(1)).as("m"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("n_hits").desc, col("doc_id"))
+    base.join(withJ, Seq("query_id", "doc_id"))
+      .filter(array_contains(col("positions"), col("p") + col("j")))
+      .groupBy(col("query_id"), col("doc_id"), col("p"))
+      .agg(count(lit(1)).as("sup"))
+      .join(broadcast(mRel), "query_id")
+      .filter(col("sup") === col("m"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "n_hits")
   }
 
   /** Ingest a NEW document batch into a persisted
@@ -1357,12 +1423,7 @@ object CorpusOps {
       path: String, batch: DataFrame, idCol: String, textCol: String,
       buckets: Int = IndexBuckets): Unit = {
     GraftFunctions.register(spark)
-    batch.select(col(idCol).as("doc_id"),
-        TextFunctions.nTokens(col(textCol)).as("dl"),
-        explode(TextFunctions.tokens(col(textCol))).as("term"))
-      .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
-      .withColumn("bucket",
-        pmod(call_function("fnv64", col("term")), lit(buckets.toLong)))
+    postingsOf(batch, idCol, textCol, buckets)
       .repartition(col("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
     val batchStats = batch.select(col(idCol).as("doc_id"),

@@ -885,6 +885,30 @@ object TrainingData {
     */
   val RerankDepth = 15
 
+  /** The t68 phrase set — fixture-vocabulary bigrams present at every
+    * SF, exercising adjacency (a bag-of-words scorer cannot tell
+    * "window join" from "join … window").
+    */
+  private val PhraseQueries: Seq[(Long, String)] = Seq(
+    1L -> "window join",
+    2L -> "stream data",
+    3L -> "filter small")
+
+  /** Positional phrase retrieval over the persisted inverted index
+    * ([[CorpusOps.phraseSearch]] on the t66 index): top-10 documents
+    * per phrase by exact occurrence count. The oracle replays token
+    * positions, the per-offset adjacency support, the all-offsets
+    * filter, and the ranked cut from text.
+    */
+  def docPhraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    val path = sessionIndexPath(spark, "t66_invidx", dir) { p =>
+      CorpusOps.buildInvertedIndex(Tables.documents(spark, dir), "doc_id",
+        "text", p)
+    }
+    CorpusOps.phraseSearch(spark, path, PhraseQueries, k = 10)
+      .orderBy("query_id", "rank")
+  }
+
   /** Two-tier persisted-index retrieval under the oracle gate
     * ([[Similarity.searchIvfPqIndexRerank]]): the t63 index's ADC
     * scan surfaces [[RerankDepth]] candidates per query, their raw
@@ -1211,6 +1235,7 @@ object TrainingData {
     "t65_dup_ranges" -> docDupRanges _,
     "t66_bm25_index" -> docBm25Index _,
     "t67_ann_ivfpq_rerank" -> annIvfPqRerank _,
+    "t68_phrase_search" -> docPhraseSearch _,
   )
 
   /** Shared DuckDB CTE fragment: per-doc word-trigram shingle sets,
@@ -2165,6 +2190,55 @@ object TrainingData {
       // (shared ranking stage; bucketing only changes the LAYOUT), so
       // the SAME oracle replay gates it
       "t66_bm25_index" -> bm25OracleSql,
+      // t68: token positions, per-offset adjacency support, the
+      // all-offsets filter, and the (n_hits desc, doc_id) ranked cut —
+      // bucketing/layout only changes WHERE postings are read from
+      "t68_phrase_search" ->
+        """WITH phr AS (
+          |  SELECT * FROM (VALUES (1, 'window join'), (2, 'stream data'),
+          |    (3, 'filter small')) AS t(query_id, qtext)
+          |), pterm AS (
+          |  SELECT CAST(query_id AS BIGINT) AS query_id,
+          |    CAST(i AS BIGINT) AS j, qs[CAST(i + 1 AS INT)] AS term
+          |  FROM (SELECT query_id,
+          |      string_split_regex(trim(qtext), '\s+') AS qs,
+          |      unnest(range(0, len(string_split_regex(trim(qtext), '\s+'))))
+          |        AS i
+          |    FROM phr)
+          |), pm AS (
+          |  SELECT query_id, COUNT(*) AS m FROM pterm GROUP BY 1
+          |), ptok AS (
+          |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+          |    ts[CAST(i + 1 AS INT)] AS term
+          |  FROM (SELECT doc_id,
+          |      string_split_regex(trim(text), '\s+') AS ts,
+          |      unnest(range(0, len(string_split_regex(trim(text), '\s+'))))
+          |        AS i
+          |    FROM documents)
+          |), base AS (
+          |  SELECT q.query_id, p.doc_id, p.pos AS p
+          |  FROM pterm q JOIN ptok p ON p.term = q.term
+          |  WHERE q.j = 0
+          |), sup AS (
+          |  SELECT b.query_id, b.doc_id, b.p, COUNT(*) AS sup
+          |  FROM base b
+          |  JOIN pterm q ON q.query_id = b.query_id
+          |  JOIN ptok p ON p.doc_id = b.doc_id AND p.term = q.term
+          |    AND p.pos = b.p + q.j
+          |  GROUP BY 1, 2, 3
+          |), hits AS (
+          |  SELECT s.query_id, s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+          |  FROM sup s JOIN pm USING (query_id)
+          |  WHERE s.sup = pm.m
+          |  GROUP BY 1, 2
+          |), rk AS (
+          |  SELECT query_id, doc_id, n_hits,
+          |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+          |      ORDER BY n_hits DESC, doc_id) AS BIGINT) AS rank
+          |  FROM hits
+          |)
+          |SELECT query_id, rank, doc_id, n_hits
+          |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
       "t32_pq_encode" ->
         s"""WITH ${pqCtes(8, 64)}
            |SELECT vec_id,

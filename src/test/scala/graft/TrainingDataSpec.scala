@@ -1831,6 +1831,31 @@ class TrainingDataSpec extends AnyFunSuite {
       s"expected the layout guard, got: ${ex.getMessage}")
   }
 
+  test("phraseSearch: adjacency, word order, in-phrase duplicates, " +
+      "multi-hit counting — hand-computed") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c a b"),   // "a b" at 0 and 3
+      (2L, "b a c"),       // both words, never adjacent in order
+      (3L, "a a a"),       // "a a" at 0 and 1 (2 overlaps, not 3)
+      (4L, "x a b a y"))   // "a b a" at 1; "a b" at 1
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_phrase")
+      .resolve("index").toString
+    CorpusOps.buildInvertedIndex(docs, "doc_id", "text", path)
+    val got = CorpusOps.phraseSearch(spark, path,
+        Seq(1L -> "a b", 2L -> "a b a", 3L -> "a a"), k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val expect = Set(
+      (1L, 1L, 1L, 2L), // q1 "a b": doc1 twice
+      (1L, 2L, 4L, 1L), //           doc4 once; docs 2/3 never
+      (2L, 1L, 4L, 1L), // q2 "a b a": only doc4
+      (3L, 1L, 3L, 2L)) // q3 "a a": doc3's overlapping pair, twice
+    assert(got == expect, s"got $got")
+  }
+
   test("t66 persisted inverted-index search reproduces t30 row-for-row") {
     val oneShot = queries.TrainingData.docBm25(spark, dir).collect().toSeq
     val fromIndex = queries.TrainingData.docBm25Index(spark, dir)
