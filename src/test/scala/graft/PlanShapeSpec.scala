@@ -402,6 +402,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"unexpected shuffle keys $keys:\n${plan.take(1200)}")
   }
 
+  test("t68: phrase search prunes the postings scan and broadcasts the " +
+      "phrase relation") {
+    val docs = Tables.documents(spark, dir)
+    val path = java.nio.file.Files.createTempDirectory("graft_phrase_plan")
+      .resolve("index").toString
+    operators.CorpusOps.buildInvertedIndex(docs, "doc_id", "text", path)
+    val plan = operators.CorpusOps.phraseSearch(spark, path,
+        Seq(1L -> "window join"), k = 10)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+      s"postings scan lost its bucket partition filter:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"phrase relation lost its broadcast:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+  }
+
   test("t54: HLL registers partial-aggregate map-side; no wide shuffle") {
     val plan = planOf(operators.CorpusOps.hllDistinctSketch(
       Tables.documents(spark, dir), "text", 3, 8))
