@@ -1375,10 +1375,25 @@ object CorpusOps {
       .select(col("query_id"), col("j").cast("long").as("j"), col("term"))
     val qbuckets = qphr.select("term").distinct().collect()
       .map(r => termBucket(r.getString(0), buckets)).distinct.toSeq
-    val withJ = spark.read.schema(PostingsSchema).parquet(s"$path/postings")
-      .filter(col("bucket").isin(qbuckets: _*))
-      .join(broadcast(qphr), "term")
-      .select(col("query_id"), col("j"), col("doc_id"), col("positions"))
+    // layout guard: an index persisted before positional postings has
+    // no positions column — the pinned schema would null-fill it and
+    // every phrase would return ZERO hits with no error (and an
+    // appended-onto mixed index would silently lose the pre-upgrade
+    // half). Footer-only probe; rebuild the index to migrate.
+    require(spark.read.parquet(s"$path/postings")
+        .schema.fieldNames.contains("positions"),
+      s"$path/postings has no positions column - the index predates " +
+        "positional postings; rebuild it with buildInvertedIndex")
+    // barrier: the phrase-joined postings feed BOTH the base-position
+    // explode and the adjacency join — the repartition exchange makes
+    // the pruned scan + broadcast join reusable instead of planning
+    // (and reading the bucket files for) it twice
+    val withJ = Dedup.barrier(
+      spark.read.schema(PostingsSchema).parquet(s"$path/postings")
+        .filter(col("bucket").isin(qbuckets: _*))
+        .join(broadcast(qphr), "term")
+        .select(col("query_id"), col("j"), col("doc_id"), col("positions")),
+      col("doc_id"))
     val base = withJ.filter(col("j") === 0L)
       .select(col("query_id"), col("doc_id"),
         explode(col("positions")).as("p"))

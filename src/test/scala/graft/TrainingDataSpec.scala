@@ -1856,6 +1856,31 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(got == expect, s"got $got")
   }
 
+  test("phraseSearch fails loudly on a pre-positional-postings index") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_phrase_old")
+      .resolve("index").toString
+    CorpusOps.buildInvertedIndex(docs, "doc_id", "text", path)
+    // strip positions, simulating an index persisted before the column
+    val flat = spark.read.parquet(s"$path/postings")
+      .select("term", "doc_id", "dl", "tf").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def rmrf(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    rmrf(java.nio.file.Paths.get(s"$path/postings"))
+    flat.toSeq.toDF("term", "doc_id", "dl", "tf")
+      .write.parquet(s"$path/postings")
+    val ex = intercept[IllegalArgumentException] {
+      CorpusOps.phraseSearch(spark, path, Seq(1L -> "a b"), k = 5)
+    }
+    assert(ex.getMessage.contains("positions column"),
+      s"expected the layout guard, got: ${ex.getMessage}")
+  }
+
   test("t66 persisted inverted-index search reproduces t30 row-for-row") {
     val oneShot = queries.TrainingData.docBm25(spark, dir).collect().toSeq
     val fromIndex = queries.TrainingData.docBm25Index(spark, dir)
