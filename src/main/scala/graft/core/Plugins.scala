@@ -43,11 +43,17 @@ final class FuzzyPrefixMatching extends ColumnCandidatePlugin {
       .filter(name.startsWith).map(p => name.stripPrefix(p)).toSeq
 }
 
-/** Plugin registry: built-ins first (matching the reference's
-  * registration order), then classpath-discovered services, then
-  * programmatic registrations. Discovery runs once per JVM (the
-  * reference memoizes its plugin manager the same way,
-  * core/plugins.py:66-72).
+/** Plugin registry. pluggy dispatches hooks LIFO with respect to
+  * registration (core/plugins.py:66-72 registers FuzzyCaseMatching,
+  * then FuzzyPrefixMatching, then setuptools entrypoints), so in the
+  * reference an entrypoint plugin's candidates PRECEDE the built-ins'
+  * and FuzzyPrefixMatching's precede FuzzyCaseMatching's. [[all]]
+  * mirrors that: latest programmatic registrations first, then
+  * classpath-discovered services (reverse discovery order), then the
+  * built-ins reversed — so under first-present-wins an external
+  * plugin can shadow a built-in variant exactly as pluggy's LIFO
+  * dispatch allows. Discovery runs once per JVM (the reference
+  * memoizes its plugin manager the same way).
   */
 object ColumnCandidatePlugins {
   private val builtIns: Seq[ColumnCandidatePlugin] =
@@ -67,5 +73,5 @@ object ColumnCandidatePlugins {
   def unregister(p: ColumnCandidatePlugin): Unit = registered.remove(p)
 
   def all: Seq[ColumnCandidatePlugin] =
-    builtIns ++ discovered ++ registered.asScala.toSeq
+    registered.asScala.toSeq.reverse ++ discovered.reverse ++ builtIns.reverse
 }

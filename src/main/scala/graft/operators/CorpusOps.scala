@@ -1465,9 +1465,27 @@ object CorpusOps {
     // [[repairInvertedIndexMeta]] rebuilds meta from postings alone.
     val stage = new org.apache.hadoop.fs.Path(s"$path/meta_stage")
     merged.write.mode("overwrite").parquet(stage.toString)
-    fs.delete(metaPath, true)
-    fs.rename(stage, metaPath)
+    deleteOrThrow(fs, metaPath)
+    renameOrThrow(fs, stage, metaPath)
   }
+
+  /** Hadoop `FileSystem.rename`/`delete` signal failure by RETURNING
+    * false (unlike the java.nio moves they replaced, which threw); a
+    * silently-failed meta swap would leave the index readable but
+    * stale or meta-less until a later read trips. Fail loudly instead.
+    */
+  private def renameOrThrow(fs: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"rename failed: $src -> $dst")
+
+  /** Recursive delete that tolerates an already-absent path (delete
+    * returns false for missing paths too — that case is benign).
+    */
+  private def deleteOrThrow(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.delete(p, true) && fs.exists(p))
+      throw new java.io.IOException(s"delete failed: $p")
 
   /** Rebuild a persisted index's `meta` row from its postings — the
     * recovery path for a crash that lost meta mid-swap (every
@@ -1484,8 +1502,8 @@ object CorpusOps {
       .select("doc_id", "dl").distinct()
       .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_tokens"))
       .write.mode("overwrite").parquet(stage.toString)
-    fs.delete(metaPath, true)
-    fs.rename(stage, metaPath)
+    deleteOrThrow(fs, metaPath)
+    renameOrThrow(fs, stage, metaPath)
   }
 
   /** BM25 retrieval over a persisted [[buildInvertedIndex]] index —

@@ -299,16 +299,28 @@ object Curation {
       }
 
     new Staged(rewritten, () => {
-      // an observe riding an EMPTY side branch (e.g. zero near-dup
-      // losers) can be pruned from the executed plan by adaptive
-      // empty-relation propagation — its metrics map comes back empty,
-      // and the only value such a branch can have contributed is 0
-      def n(obs: Observation): Long =
+      // Main-stream observes always execute once the action runs —
+      // empty-relation propagation stops at CollectMetrics, and an
+      // empty input still reports n=0 — so a MISSING metrics map there
+      // means the stage was never wired into the executed plan (a
+      // detached Observation), which must fail loudly, not report 0.
+      def n(obs: Observation): Long = obs.get.get("n") match {
+        case Some(v) => v.asInstanceOf[Long]
+        case None => throw new IllegalStateException(
+          "curation observation produced no metrics: its stage never " +
+            "executed in the materializing action (detached Observation?)")
+      }
+      // The one exception: an observe riding a join's SIDE branch is
+      // dropped wholesale when the join rewrites away an empty side
+      // (zero near-dup pairs -> the anti-join's right subtree, losers
+      // included, is eliminated). The only value such a branch can
+      // have contributed is 0.
+      def nOrZero(obs: Observation): Long =
         obs.get.getOrElse("n", 0L).asInstanceOf[Long]
       val afterNearDup = n(obsNearDup)
       // every loser id occurs exactly once in exactDeduped (ids are
       // unique post-exact-dedup), so the anti-join removed |losers|.
-      val afterExact = afterNearDup + n(obsLosers)
+      val afterExact = afterNearDup + nOrZero(obsLosers)
       val afterQuality = n(obsQuality)
       val afterRep = if (repetitionOn) n(obsRep) else afterQuality
       val afterLang = n(obsLang)

@@ -150,14 +150,31 @@ object TrainingData {
     * applicationId so a fresh session (whose localCheckpoint blocks
     * are gone) retrains rather than reading dead blocks.
     */
+  /** Compute-once memo cell: `putIfAbsent` races resolve to ONE
+    * winning cell whose `lazy val` then runs the thunk exactly once
+    * (under the lazy-val monitor) — `TrieMap.getOrElseUpdate` is not
+    * atomic, so concurrent first callers could otherwise train
+    * centroids or build a whole persisted index twice, leaking the
+    * losing build's work (and, for indexes, its temp directory).
+    */
+  private final class Memo[V](thunk: => V) { lazy val value: V = thunk }
+
+  private def memoized[K, V](
+      cache: scala.collection.concurrent.TrieMap[K, Memo[V]], key: K)(
+      thunk: => V): V = {
+    val fresh = new Memo[V](thunk)
+    cache.putIfAbsent(key, fresh).getOrElse(fresh).value
+  }
+
   private val centroidCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String, Int), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(String, String, Int), Memo[DataFrame]]
 
   private def sharedCentroids(spark: SparkSession, corpusKey: String,
       emb: => DataFrame, minNlist: Int): DataFrame =
-    centroidCache.getOrElseUpdate(
-      (spark.sparkContext.applicationId, corpusKey, minNlist),
-      Similarity.trainCentroids(emb, "vec_id", "embedding", minNlist))
+    memoized(centroidCache,
+      (spark.sparkContext.applicationId, corpusKey, minNlist)) {
+      Similarity.trainCentroids(emb, "vec_id", "embedding", minNlist)
+    }
 
   private def fullCorpusCentroids(spark: SparkSession, dir: String,
       minNlist: Int = 16): DataFrame =
@@ -600,17 +617,38 @@ object TrainingData {
     * per call). Keyed by applicationId so a new session rebuilds.
     */
   private val indexPathCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String, String), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), Memo[String]]
+
+  /** Scratch-index directories created this JVM, reaped on exit — a
+    * session's worth of bench/verify sweeps otherwise leaves one full
+    * index copy per (kind, corpus) on disk forever.
+    */
+  private val tempIndexDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+
+  private lazy val tempDirReaper: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      tempIndexDirs.forEach { root =>
+        try {
+          val s = java.nio.file.Files.walk(root)
+          try s.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+          finally s.close()
+        } catch { case _: java.io.IOException => () }
+      }
+    }))
 
   private def sessionIndexPath(spark: SparkSession, kind: String,
       dir: String)(build: String => Unit): String =
-    indexPathCache.getOrElseUpdate(
-      (spark.sparkContext.applicationId, kind, dir), {
-        val p = java.nio.file.Files.createTempDirectory(s"graft_$kind")
-          .resolve("index").toString
-        build(p)
-        p
-      })
+    memoized(indexPathCache,
+      (spark.sparkContext.applicationId, kind, dir)) {
+      tempDirReaper
+      val root = java.nio.file.Files.createTempDirectory(s"graft_$kind")
+      tempIndexDirs.add(root)
+      val p = root.resolve("index").toString
+      build(p)
+      p
+    }
 
   def annIvfPqPersisted(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)

@@ -23,6 +23,29 @@ class CurationSpec extends AnyFunSuite {
     assert(residual.count() == 0)
   }
 
+  test("zero near-dup pairs: the pruned losers branch reports 0, " +
+      "main-stream counts stay strict") {
+    import spark.implicits._
+    // four fully-distinct docs -> no near-dup pairs at any threshold;
+    // the anti-join's right subtree (and obsLosers with it) is
+    // eliminated by the empty-side join rewrite, which must read as
+    // losers=0, not an error — while every main-stream stage still
+    // reports its real count.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"),
+      (3L, "red orange yellow green blue indigo"),
+      (4L, "north south east west up down over"))
+      .toDF("doc_id", "text")
+    val (curated, r) = Curation.curate(docs, "doc_id", "text",
+      Curation.Config(minTokens = 1, minQuality = 0.0,
+        nearDupThreshold = 0.7))
+    assert(r.input == 4L)
+    assert(r.afterExact == 4L)
+    assert(r.afterNearDup == 4L)
+    assert(curated.count() == 4L)
+  }
+
   test("dup-range stage drops boilerplate-heavy docs, matches the " +
       "standalone operator, and is off by default") {
     import spark.implicits._

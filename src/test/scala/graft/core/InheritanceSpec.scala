@@ -226,6 +226,37 @@ class InheritanceSpec extends AnyFunSuite {
     } finally ColumnCandidatePlugins.unregister(plugin)
   }
 
+  test("plugin dispatch is LIFO: external candidates precede built-ins, later registrations precede earlier (A13)") {
+    // pluggy calls hookimpls LIFO (core/plugins.py:66-72 registers
+    // built-ins first, entrypoints last), so an external plugin's
+    // candidate must SHADOW a built-in's under first-present-wins
+    val first = new ColumnCandidatePlugin {
+      override def getCandidates(name: String, n: NodeMeta,
+          s: EngineSettings): Seq[String] = Seq("from_first")
+    }
+    val second = new ColumnCandidatePlugin {
+      override def getCandidates(name: String, n: NodeMeta,
+          s: EngineSettings): Seq[String] = Seq("from_second")
+    }
+    val leaf = node("model.final", Nil, col("order_id"))
+    ColumnCandidatePlugins.register(first)
+    ColumnCandidatePlugins.register(second)
+    try {
+      val vs = Inheritance.collectColumnVariants(leaf, settings)("order_id")
+      val iSecond = vs.indexOf("from_second")
+      val iFirst = vs.indexOf("from_first")
+      val iBuiltIn = vs.indexOf("ORDER_ID") // FuzzyCaseMatching's UPPER variant
+      assert(iSecond >= 0 && iFirst >= 0 && iBuiltIn >= 0, s"variants: $vs")
+      assert(iSecond < iFirst, s"later registration must dispatch first: $vs")
+      assert(iFirst < iBuiltIn, s"external plugins must precede built-ins: $vs")
+      // identity column name itself still leads the list
+      assert(vs.head == "order_id")
+    } finally {
+      ColumnCandidatePlugins.unregister(first)
+      ColumnCandidatePlugins.unregister(second)
+    }
+  }
+
   test("ServiceLoader discovers classpath plugins (A13)") {
     // TestDiscoveredPlugin rides META-INF/services on the test
     // classpath - the setuptools-entrypoint analog - and its
