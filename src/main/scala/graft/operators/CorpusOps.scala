@@ -916,6 +916,31 @@ object CorpusOps {
       .filter(col("strat_bucket") < rate.cast("long"))
   }
 
+  /** Per-domain document cap — the RefinedWeb/Gopher-style host
+    * balancing pass: keep at most `cap` documents per domain, chosen
+    * by the deterministic 32-bit multiplicative id-hash (the
+    * [[sampleBucket]] fold, un-bucketed) so re-running selects the
+    * identical subset and no domain's crawl order biases what
+    * survives. The survivors carry their within-domain rank.
+    *
+    * Scale shape: one window whose `rank <= cap` filter Spark rewrites
+    * to a WindowGroupLimit — every map partition keeps only its `cap`
+    * smallest (hash, id) rows PER DOMAIN before the shuffle, so a
+    * mega-domain (the classic skew case: one host owning 1% of a
+    * 100 TB crawl) ships ≤ cap·partitions rows to its reducer instead
+    * of its whole partition. No corpus-wide sort exists in the plan.
+    */
+  def domainCap(docs: DataFrame, idCol: String, domainCol: String,
+      cap: Int): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val ord = ((col(idCol) % 1000003L) * 2654435761L + 123456789L) % 4294967296L
+    val w = Window.partitionBy(domainCol).orderBy(col("cap_ord"), col(idCol))
+    docs.withColumn("cap_ord", ord)
+      .withColumn("domain_rank", row_number().over(w).cast("long"))
+      .filter(col("domain_rank") <= cap)
+      .drop("cap_ord")
+  }
+
   /** Per-document salient terms by TF-IDF — keyword extraction for
     * corpus exploration and topic-balance analysis. IDF is the linear
     * N/df form so the score (tf·N/df) is two IEEE operations on exact
@@ -1115,6 +1140,66 @@ object CorpusOps {
           .as("mean_prob"))
   }
 
+  /** Bigram-LM fluency score — the next rung above [[unigramMeanProb]]
+    * on the cheap-perplexity ladder (the CCNet-style "score web text
+    * by a small LM trained on the corpus itself" filter): each
+    * document's MEAN SMOOTHED BIGRAM PROBABILITY under the corpus
+    * bigram model, p(b|a) = (c(a b) + 1) / (c(a ·) + V) with add-one
+    * smoothing over the V-token vocabulary. Word salad whose adjacent
+    * pairs never co-occur elsewhere scores near the smoothing floor;
+    * templated prose scores high.
+    *
+    * Determinism: every per-bigram probability is the INTEGER
+    * floor-division (Scale·(c₂+1)) div (c₁+V) — one exact int64 op —
+    * and the per-doc reduce sums those longs (order-independent), so
+    * the DuckDB oracle replays scores bit-for-bit; the only float op
+    * is the final display division by Scale.
+    *
+    * Scale shape: one gram pass (the codegen'd multiset-NGrams
+    * expression) feeding a (doc, gram) map-side-combinable count;
+    * corpus bigram counts c₂ and head counts c₁ are SECOND-LEVEL aggs
+    * over those skinny rows, never another corpus pass; the 1-row
+    * vocabulary size broadcasts; the scoring join keys on the gram
+    * string only. Docs with < 2 tokens surface with n_bigrams = 0 and
+    * a 0 score rather than disappearing.
+    *
+    * Bound: Scale·(c₂+1) must fit int64, i.e. no single bigram may
+    * exceed ~9.2e9 corpus occurrences at Scale = 1e9; for larger
+    * corpora lower Scale (the probability payload is ≤ Scale
+    * regardless, since c₂ ≤ c₁).
+    */
+  def bigramMeanProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val Scale = 1000000000L
+    val ids = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.nTokens(col(textCol)).as("n_tokens"))
+    val dg = docs.select(col(idCol).as("doc_id"),
+        explode(multisetGrams(TextFunctions.tokens(col(textCol)), 2)).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("occ"))
+    val c2 = dg.groupBy("gram").agg(sum("occ").as("c2"))
+    val c1 = c2.groupBy(substring_index(col("gram"), " ", 1).as("head"))
+      .agg(sum("c2").as("c1"))
+    val vocab = docs.select(
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .agg(count_distinct(col("term")).as("v"))
+    val parts = dg.join(c2, "gram")
+      .withColumn("head", substring_index(col("gram"), " ", 1))
+      .join(c1, "head")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        (col("occ") * expr(s"($Scale * (c2 + 1)) div (c1 + v)")).as("part"))
+      .groupBy("doc_id").agg(sum("part").as("sum_scaled"))
+    ids.join(parts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        greatest(col("n_tokens") - 1L, lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_scaled"), lit(0L)).as("sum_scaled"))
+      .withColumn("mean_prob_scaled",
+        when(col("n_bigrams") > 0, expr("sum_scaled div n_bigrams"))
+          .otherwise(lit(0L)))
+      .withColumn("score",
+        col("mean_prob_scaled").cast("double") / lit(Scale.toDouble))
+  }
+
   /** Per-source quality pruning — keep the top `keepFrac` of each
     * source's documents by an integer quality score, ties at the
     * threshold included (so at least ceil(n·keepFrac) docs per source
@@ -1224,8 +1309,17 @@ object CorpusOps {
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queries: Seq[(Long, String)], k1: Double, b: Double, k: Int): DataFrame = {
-    val spark = docs.sparkSession
-    val qterms = queryTerms(spark, queries)
+    val qterms = queryTerms(docs.sparkSession, queries)
+    val (tf, stats) = queryTf(docs, idCol, textCol, qterms)
+    bm25Score(tf, qterms, stats, k1, b, k)
+  }
+
+  /** The query-term-restricted term-frequency relation
+    * (doc_id, dl, term, tf) plus 1-row corpus stats — the shared
+    * preamble of every one-shot lexical scorer.
+    */
+  private def queryTf(docs: DataFrame, idCol: String, textCol: String,
+      qterms: DataFrame): (DataFrame, DataFrame) = {
     val dl = docs.select(col(idCol).as("doc_id"),
       TextFunctions.nTokens(col(textCol)).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_tokens"))
@@ -1234,7 +1328,7 @@ object CorpusOps {
         explode(TextFunctions.tokens(col(textCol))).as("term"))
       .join(broadcast(qterms.select("term").distinct()), "term")
       .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
-    bm25Score(tf, qterms, stats, k1, b, k)
+    (tf, stats)
   }
 
   /** Query (query_id, term) pairs — the tokenization both the
@@ -1276,6 +1370,93 @@ object CorpusOps {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"), col("n_terms"),
         (col("score_scaled").cast("double") / 1e6).as("score"))
+  }
+
+  /** TF-IDF dot-product ranking over the same restricted `tf`
+    * relation [[bm25Score]] consumes — the second lexical channel of
+    * [[hybridRetrievalTopK]]. Linear idf (N/df, the [[tfidfTopTerms]]
+    * convention) keeps each partial score to two IEEE ops on exact
+    * integers before the scaled floor, so the oracle replays scores
+    * and ranking bit-for-bit. Unlike BM25 it has no length
+    * normalization — the two channels genuinely disagree, which is
+    * what makes fusing them worthwhile.
+    */
+  private def tfidfScore(tf: DataFrame, qterms: DataFrame, stats: DataFrame,
+      k: Int): DataFrame = {
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = col("n_docs").cast("double") / col("df").cast("double")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_scaled").desc, col("doc_id"))
+    tf.join(df_, "term")
+      .join(broadcast(qterms), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        floor(idf * col("tf").cast("double") * lit(1e6)).as("part_scaled"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("part_scaled").as("score_scaled"), count(lit(1)).as("n_terms"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("n_terms"),
+        (col("score_scaled").cast("double") / 1e6).as("score"))
+  }
+
+  /** TF-IDF retrieval top-k — the standalone face of the second
+    * hybrid channel (same preamble as [[bm25TopK]]).
+    */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Long, String)], k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val qterms = queryTerms(spark, queries)
+    val (tf, stats) = queryTf(docs, idCol, textCol, qterms)
+    tfidfScore(tf, qterms, stats, k)
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) of N ranked
+    * retrieval channels: fused(q, d) = Σ_channels 1/(kConst + rank).
+    * Ranking-agnostic — it reads only ranks, never scores, so sparse
+    * and dense channels with incomparable score scales fuse cleanly.
+    * Each reciprocal is the integer floor-division Scale div
+    * (kConst + rank), so the fused score is an order-independent long
+    * sum the oracle replays exactly.
+    *
+    * Scale shape: channels are already top-k-per-query relations
+    * (tiny: |queries|·k rows each), so the union + fuse agg + rank
+    * window all run on skinny ranked rows — the corpus never appears.
+    */
+  def rrfFuse(channels: Seq[DataFrame], kConst: Int, k: Int): DataFrame = {
+    require(channels.nonEmpty, "rrfFuse needs at least one channel")
+    require(kConst >= 0, s"kConst must be non-negative, got $kConst")
+    val Scale = 1000000000L
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_scaled").desc, col("doc_id"))
+    channels.map(_.select(col("query_id"), col("doc_id"), col("rank")))
+      .reduce(_.unionByName(_))
+      .select(col("query_id"), col("doc_id"),
+        expr(s"$Scale div (${kConst.toLong} + rank)").as("part"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("part").as("rrf_scaled"), count(lit(1)).as("n_channels"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("n_channels"),
+        (col("rrf_scaled").cast("double") / 1e9).as("rrf_score"))
+  }
+
+  /** Hybrid lexical retrieval: BM25 and TF-IDF channels fused by
+    * [[rrfFuse]]. The corpus tokenizes ONCE — both channels score the
+    * same barriered query-term `tf` relation (exchange reuse keeps the
+    * tokenize+explode subtree single-executed per action), so the
+    * second channel costs only its ranking arithmetic, not another
+    * corpus pass.
+    */
+  def hybridRetrievalTopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Long, String)], k1: Double, b: Double, k: Int,
+      kConst: Int = 60): DataFrame = {
+    val spark = docs.sparkSession
+    val qterms = queryTerms(spark, queries)
+    val (tf0, stats) = queryTf(docs, idCol, textCol, qterms)
+    val tf = Dedup.barrier(tf0, col("doc_id"))
+    rrfFuse(Seq(bm25Score(tf, qterms, stats, k1, b, k),
+      tfidfScore(tf, qterms, stats, k)), kConst, k)
   }
 
   /** Term-bucket count for the persisted inverted index, and the one

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftFunctions, TextFunctions}
+
+/** Graph centrality over corpus-derived link graphs (builder brief;
+  * no reference counterpart): web-corpus curation ranks hosts by
+  * centrality over the host link graph (the Common-Crawl-style
+  * harmonic/PageRank host ranking) and uses the rank as a crawl-
+  * priority / quality prior. Without hyperlink columns, the natural
+  * link structure of a text corpus is CONTENT SYNDICATION — two
+  * domains are linked when they publish the same word n-grams — so
+  * the edge derivation here is the dedup machinery pointed at domains
+  * instead of documents.
+  *
+  * Determinism: PageRank runs in scaled-integer arithmetic (ranks are
+  * int64 fixed-point at Scale = 10^12; every per-edge transfer is one
+  * floor division), so iteration results are order-independent exact
+  * longs and the DuckDB oracle unrolls all rounds bit-for-bit.
+  */
+object GraphOps {
+
+  /** Fixed-point scale for integer PageRank. */
+  val RankScale = 1000000000000L
+
+  /** Cross-domain syndication edges: weight(a → b) = number of
+    * distinct word `n`-grams domains a and b both contain, for a ≠ b
+    * (symmetric by construction — both directions are emitted).
+    * Grams shared by more than `maxDf` domains are dropped first: the
+    * standard stop-gram cut, which both removes boilerplate that
+    * links everything to everything and bounds the self-join blowup
+    * per gram to maxDf² pairs.
+    *
+    * Scale shape: explode grams map-side → (domain, gram) distinct
+    * with map-side combine → gram document-frequency agg over those
+    * skinny rows → self-join WITHIN gram buckets only (never
+    * all-pairs of domains; the maxDf cut caps each bucket) → pair
+    * count agg. The corpus text never shuffles — gram strings do.
+    */
+  def domainAffinityEdges(docs: DataFrame, domainCol: String,
+      textCol: String, n: Int, maxDf: Int): DataFrame = {
+    require(n >= 1, s"gram size must be positive, got $n")
+    require(maxDf >= 2, s"maxDf must be at least 2, got $maxDf")
+    GraftFunctions.register(docs.sparkSession)
+    val byDomain = docs.select(col(domainCol).as("src"),
+        explode(Dedup.shingles(col(textCol), n)).as("g"))
+      .groupBy("src", "g").agg(count(lit(1)).as("dummy")).drop("dummy")
+    val barred = Dedup.barrier(byDomain, col("g"))
+    val eligible = barred.groupBy("g")
+      .agg(count(lit(1)).as("gdf"))
+      .filter(col("gdf") >= 2 && col("gdf") <= maxDf)
+      .select("g")
+    val e = barred.join(eligible, "g")
+    e.as("a").join(e.as("b"), "g")
+      .filter(col("a.src") =!= col("b.src"))
+      .groupBy(col("a.src").as("src"), col("b.src").as("dst"))
+      .agg(count(lit(1)).as("weight"))
+  }
+
+  /** PageRank over a weighted directed edge list, damping d = 85/100,
+    * `iters` synchronous rounds from the uniform start. All
+    * arithmetic is int64 fixed-point at [[RankScale]]:
+    *
+    *   r₀(v)   = Scale div N
+    *   out(a)  = Σ_b w(a,b)
+    *   c(b)    = Σ_a (r(a)·w(a,b)) div out(a)      — per-edge floor div
+    *   dang    = Σ_{out(a)=0} r(a)                  — dangling mass
+    *   r'(b)   = (15·Scale div 100) div N
+    *           + (85·(c(b) + dang div N)) div 100
+    *
+    * (floor divisions leak a few units of mass per round — the price
+    * of exactness; ranking order is unaffected at Scale = 10^12).
+    *
+    * Scale shape: the classic distributed PageRank — each round is
+    * one join of the rank relation onto the out-degree-annotated edge
+    * list (both shuffle-partitioned on the source key, so rounds
+    * after the first reuse the edge exchange) plus a dst-keyed
+    * partial-agg reduce; the dangling term is a 1-row broadcast. The
+    * node count N is the only driver-side value (one scalar, the
+    * sizing pattern the index builders already use). Nothing is ever
+    * broadcast whose size grows with the graph.
+    */
+  def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be positive, got $iters")
+    val nNodes = nodes.select("node").distinct().count()
+    require(nNodes > 0, "pageRank needs at least one node")
+    val base = (15L * RankScale / 100L) / nNodes
+    val out = edges.groupBy("src").agg(sum("weight").as("out_w"))
+    val e = Dedup.barrier(edges.join(out, "src"), col("src"))
+    val n0 = Dedup.barrier(nodes.select("node").distinct(), col("node"))
+    // per-round localCheckpoint keeps the loop's lineage flat (the
+    // BPE/Lloyd iterative-driver pattern): the rank relation is N
+    // skinny rows, so materializing it each round is cheap and every
+    // round's plan is one join + one agg, not a 2^round tree
+    var ranks = n0.withColumn("r", lit(RankScale / nNodes)).localCheckpoint(true)
+    for (_ <- 1 to iters)
+      ranks = pageRankRound(n0, e, out, ranks, nNodes, base).localCheckpoint(true)
+    ranks.select(col("node"), col("r").as("rank_scaled"),
+      (col("r").cast("double") / lit(RankScale.toDouble)).as("rank"))
+  }
+
+  /** One synchronous PageRank round as an UN-materialized plan —
+    * split out so the per-round shape (rank-to-edge equi-join on the
+    * source key, dst-keyed partial-agg reduce, 1-row dangling
+    * broadcast) is lockable by PlanShapeSpec; [[pageRank]]'s loop
+    * checkpoints each round's result, which would otherwise hide the
+    * round plan behind an RDD scan.
+    */
+  private[graft] def pageRankRound(n0: DataFrame, e: DataFrame,
+      out: DataFrame, ranks: DataFrame, nNodes: Long, base: Long): DataFrame = {
+    val contrib = e.join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+      .select(col("dst"), expr("(r * weight) div out_w").as("c"))
+      .groupBy("dst").agg(sum("c").as("contrib"))
+      .withColumnRenamed("dst", "node")
+    val dang = ranks.join(out.withColumnRenamed("src", "node"),
+        Seq("node"), "left_anti")
+      .agg(coalesce(sum("r"), lit(0L)).as("dang"))
+    n0.join(contrib, Seq("node"), "left")
+      .crossJoin(broadcast(dang))
+      .select(col("node"),
+        (lit(base) +
+          expr(s"85 * (coalesce(contrib, 0L) + (dang div ${nNodes}L)) div 100")
+        ).as("r"))
+  }
+
+  /** Domain PageRank over the syndication graph — the corpus-curation
+    * "host centrality prior" in one call: [[domainAffinityEdges]]
+    * derives the link structure, [[pageRank]] ranks it. Domains with
+    * no eligible shared gram still appear (dangling nodes holding the
+    * uniform base mass).
+    */
+  def domainPageRank(docs: DataFrame, domainCol: String, textCol: String,
+      n: Int = 3, maxDf: Int = 10, iters: Int = 5): DataFrame = {
+    val nodes = docs.select(col(domainCol).as("node")).distinct()
+    val edges = domainAffinityEdges(docs, domainCol, textCol, n, maxDf)
+    pageRank(nodes, edges, iters)
+      .select(col("node").as(domainCol), col("rank_scaled"), col("rank"))
+  }
+}

@@ -1205,6 +1205,42 @@ object TrainingData {
       .orderBy("batch_id")
   }
 
+  /** Hybrid lexical retrieval ([[CorpusOps.hybridRetrievalTopK]]):
+    * t30's BM25 channel fused with a TF-IDF channel by integer-exact
+    * reciprocal-rank fusion. The oracle replays both channel rankings
+    * AND the fusion arithmetic.
+    */
+  def docHybridRetrieval(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.hybridRetrievalTopK(Tables.documents(spark, dir), "doc_id",
+        "text", Bm25Queries, k1 = 1.2, b = 0.75, k = 10, kConst = 60)
+      .orderBy("query_id", "rank")
+
+  /** Domain PageRank over the content-syndication graph
+    * ([[graft.operators.GraphOps.domainPageRank]]): 3-gram shared-
+    * content edges (stop-gram cap 10 domains), 5 scaled-integer
+    * rounds — the oracle unrolls edge derivation and every round.
+    */
+  def docDomainPageRank(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.GraphOps.domainPageRank(
+        Tables.documents(spark, dir), "source", "text",
+        n = 3, maxDf = 10, iters = 5)
+      .orderBy("source")
+
+  /** Bigram-LM fluency ([[CorpusOps.bigramMeanProb]]) — add-one-
+    * smoothed mean bigram probability in exact fixed-point.
+    */
+  def docBigramQuality(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.bigramMeanProb(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Per-domain cap ([[CorpusOps.domainCap]], cap 20) — hash-ordered
+    * survivors with their within-domain rank.
+    */
+  def docDomainCap(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.domainCap(Tables.documents(spark, dir), "doc_id", "source", 20)
+      .select(col("doc_id"), col("source"), col("domain_rank"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_text_stats" -> docTextStats _,
     "t02_lang_id" -> docLangId _,
@@ -1274,6 +1310,10 @@ object TrainingData {
     "t66_bm25_index" -> docBm25Index _,
     "t67_ann_ivfpq_rerank" -> annIvfPqRerank _,
     "t68_phrase_search" -> docPhraseSearch _,
+    "t69_hybrid_rrf" -> docHybridRetrieval _,
+    "t70_domain_pagerank" -> docDomainPageRank _,
+    "t71_bigram_quality" -> docBigramQuality _,
+    "t72_domain_cap" -> docDomainCap _,
   )
 
   /** Shared DuckDB CTE fragment: per-doc word-trigram shingle sets,
@@ -2277,6 +2317,226 @@ object TrainingData {
           |)
           |SELECT query_id, rank, doc_id, n_hits
           |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+      // t69: both lexical channels re-derived from one tf relation,
+      // then reciprocal-rank fusion in the same scaled-integer
+      // arithmetic the engine uses (1e9 // (60 + rank), long sums)
+      "t69_hybrid_rrf" ->
+        """WITH qraw AS (
+          |  SELECT * FROM (VALUES (1, 'spark window join'), (2, 'hash merge batch'),
+          |    (3, 'slow scan filter table')) AS t(query_id, qtext)
+          |), q AS (
+          |  SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id, term FROM (
+          |    SELECT query_id,
+          |      unnest(string_split_regex(trim(qtext), '\s+')) AS term
+          |    FROM qraw)
+          |), dl AS (
+          |  SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS dl
+          |  FROM documents
+          |), s AS (
+          |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_tokens
+          |  FROM dl
+          |), toks AS (
+          |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+          |  FROM documents
+          |), tf AS (
+          |  SELECT t.doc_id, d.dl, t.term, COUNT(*) AS tf
+          |  FROM toks t JOIN (SELECT DISTINCT term FROM q) qt USING (term)
+          |  JOIN dl d USING (doc_id)
+          |  GROUP BY 1, 2, 3
+          |), df AS (
+          |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+          |), bscored AS (
+          |  SELECT q.query_id, tf.doc_id,
+          |    CAST(FLOOR(((CAST(s.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) *
+          |      ((CAST(tf.tf AS DOUBLE) * 2.2) /
+          |       (CAST(tf.tf AS DOUBLE) + (1.2 * (0.25 +
+          |        ((0.75 * CAST(tf.dl AS DOUBLE)) /
+          |         (CAST(s.total_tokens AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))))))
+          |      * 1000000.0) AS BIGINT) AS part_scaled
+          |  FROM tf JOIN df USING (term) JOIN q USING (term) CROSS JOIN s
+          |), br AS (
+          |  SELECT query_id, doc_id,
+          |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+          |      ORDER BY SUM(part_scaled) DESC, doc_id) AS BIGINT) AS rank
+          |  FROM bscored GROUP BY query_id, doc_id
+          |), tscored AS (
+          |  SELECT q.query_id, tf.doc_id,
+          |    CAST(FLOOR((CAST(s.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) *
+          |      CAST(tf.tf AS DOUBLE) * 1000000.0) AS BIGINT) AS part_scaled
+          |  FROM tf JOIN df USING (term) JOIN q USING (term) CROSS JOIN s
+          |), tr AS (
+          |  SELECT query_id, doc_id,
+          |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+          |      ORDER BY SUM(part_scaled) DESC, doc_id) AS BIGINT) AS rank
+          |  FROM tscored GROUP BY query_id, doc_id
+          |), u AS (
+          |  SELECT query_id, doc_id, rank FROM br WHERE rank <= 10
+          |  UNION ALL
+          |  SELECT query_id, doc_id, rank FROM tr WHERE rank <= 10
+          |), f AS (
+          |  SELECT query_id, doc_id,
+          |    CAST(SUM(1000000000 // (60 + rank)) AS BIGINT) AS rrf_scaled,
+          |    COUNT(*) AS n_channels
+          |  FROM u GROUP BY 1, 2
+          |), r AS (
+          |  SELECT query_id, doc_id, n_channels, rrf_scaled,
+          |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+          |      ORDER BY rrf_scaled DESC, doc_id) AS BIGINT) AS rank
+          |  FROM f
+          |)
+          |SELECT query_id, rank, doc_id, n_channels,
+          |  CAST(rrf_scaled AS DOUBLE) / 1000000000.0 AS rrf_score
+          |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+      // t70: edge derivation (distinct per-domain 3-gram shingles,
+      // stop-gram cap 10) then five unrolled scaled-integer PageRank
+      // rounds, every floor division replayed
+      "t70_domain_pagerank" ->
+        """WITH toks AS (
+          |  SELECT source, string_split_regex(trim(text), '\s+') AS ts
+          |  FROM documents
+          |), g0 AS (
+          |  SELECT source, unnest(
+          |    CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+          |    ELSE list_transform(range(1, len(ts) - 1), i ->
+          |      ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT)+1] || ' ' ||
+          |      ts[CAST(i AS INT)+2])
+          |    END) AS g
+          |  FROM toks
+          |), dg AS (
+          |  SELECT DISTINCT source AS src, g FROM g0
+          |), gok AS (
+          |  SELECT g FROM (SELECT g, COUNT(*) AS gdf FROM dg GROUP BY g)
+          |  WHERE gdf >= 2 AND gdf <= 10
+          |), eg AS (
+          |  SELECT dg.src, dg.g FROM dg JOIN gok USING (g)
+          |), edges AS (
+          |  SELECT a.src AS src, b.src AS dst, COUNT(*) AS weight
+          |  FROM eg a JOIN eg b USING (g) WHERE a.src <> b.src
+          |  GROUP BY 1, 2
+          |), outw AS (
+          |  SELECT src, SUM(weight) AS out_w FROM edges GROUP BY src
+          |), nodes AS (
+          |  SELECT DISTINCT source AS node FROM documents
+          |), nn AS (
+          |  SELECT COUNT(*) AS n FROM nodes
+          |), r0 AS (
+          |  SELECT node, 1000000000000 // n AS r FROM nodes CROSS JOIN nn
+          |), c1 AS (
+          |  SELECT e.dst AS node, SUM((r.r * e.weight) // o.out_w) AS contrib
+          |  FROM edges e JOIN outw o ON e.src = o.src
+          |  JOIN r0 r ON r.node = e.src GROUP BY 1
+          |), d1 AS (
+          |  SELECT COALESCE(SUM(r), 0) AS dang FROM r0
+          |  WHERE node NOT IN (SELECT src FROM outw)
+          |), r1 AS (
+          |  SELECT n.node, CAST(((15 * 1000000000000) // 100) // nn.n +
+          |    (85 * (COALESCE(c.contrib, 0) + d.dang // nn.n)) // 100 AS BIGINT) AS r
+          |  FROM nodes n CROSS JOIN nn CROSS JOIN d1 d LEFT JOIN c1 c USING (node)
+          |), c2 AS (
+          |  SELECT e.dst AS node, SUM((r.r * e.weight) // o.out_w) AS contrib
+          |  FROM edges e JOIN outw o ON e.src = o.src
+          |  JOIN r1 r ON r.node = e.src GROUP BY 1
+          |), d2 AS (
+          |  SELECT COALESCE(SUM(r), 0) AS dang FROM r1
+          |  WHERE node NOT IN (SELECT src FROM outw)
+          |), r2 AS (
+          |  SELECT n.node, CAST(((15 * 1000000000000) // 100) // nn.n +
+          |    (85 * (COALESCE(c.contrib, 0) + d.dang // nn.n)) // 100 AS BIGINT) AS r
+          |  FROM nodes n CROSS JOIN nn CROSS JOIN d2 d LEFT JOIN c2 c USING (node)
+          |), c3 AS (
+          |  SELECT e.dst AS node, SUM((r.r * e.weight) // o.out_w) AS contrib
+          |  FROM edges e JOIN outw o ON e.src = o.src
+          |  JOIN r2 r ON r.node = e.src GROUP BY 1
+          |), d3 AS (
+          |  SELECT COALESCE(SUM(r), 0) AS dang FROM r2
+          |  WHERE node NOT IN (SELECT src FROM outw)
+          |), r3 AS (
+          |  SELECT n.node, CAST(((15 * 1000000000000) // 100) // nn.n +
+          |    (85 * (COALESCE(c.contrib, 0) + d.dang // nn.n)) // 100 AS BIGINT) AS r
+          |  FROM nodes n CROSS JOIN nn CROSS JOIN d3 d LEFT JOIN c3 c USING (node)
+          |), c4 AS (
+          |  SELECT e.dst AS node, SUM((r.r * e.weight) // o.out_w) AS contrib
+          |  FROM edges e JOIN outw o ON e.src = o.src
+          |  JOIN r3 r ON r.node = e.src GROUP BY 1
+          |), d4 AS (
+          |  SELECT COALESCE(SUM(r), 0) AS dang FROM r3
+          |  WHERE node NOT IN (SELECT src FROM outw)
+          |), r4 AS (
+          |  SELECT n.node, CAST(((15 * 1000000000000) // 100) // nn.n +
+          |    (85 * (COALESCE(c.contrib, 0) + d.dang // nn.n)) // 100 AS BIGINT) AS r
+          |  FROM nodes n CROSS JOIN nn CROSS JOIN d4 d LEFT JOIN c4 c USING (node)
+          |), c5 AS (
+          |  SELECT e.dst AS node, SUM((r.r * e.weight) // o.out_w) AS contrib
+          |  FROM edges e JOIN outw o ON e.src = o.src
+          |  JOIN r4 r ON r.node = e.src GROUP BY 1
+          |), d5 AS (
+          |  SELECT COALESCE(SUM(r), 0) AS dang FROM r4
+          |  WHERE node NOT IN (SELECT src FROM outw)
+          |), r5 AS (
+          |  SELECT n.node, CAST(((15 * 1000000000000) // 100) // nn.n +
+          |    (85 * (COALESCE(c.contrib, 0) + d.dang // nn.n)) // 100 AS BIGINT) AS r
+          |  FROM nodes n CROSS JOIN nn CROSS JOIN d5 d LEFT JOIN c5 c USING (node)
+          |)
+          |SELECT node AS source, r AS rank_scaled,
+          |  CAST(r AS DOUBLE) / 1000000000000.0 AS rank
+          |FROM r5 ORDER BY source""".stripMargin,
+      // t71: corpus bigram counts (multiset; empty for len<2 docs),
+      // head counts derived from them, add-one smoothing over the
+      // distinct-token vocabulary, all probabilities as int64
+      // floor divisions at scale 1e9
+      "t71_bigram_quality" ->
+        """WITH toks AS (
+          |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+          |  FROM documents
+          |), ids AS (
+          |  SELECT doc_id, len(ts) AS n_tokens FROM toks
+          |), bg AS (
+          |  SELECT doc_id, unnest(
+          |    CASE WHEN len(ts) < 2 THEN CAST([] AS VARCHAR[])
+          |    ELSE list_transform(range(1, len(ts)), i ->
+          |      ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT)+1]) END) AS gram
+          |  FROM toks
+          |), dg AS (
+          |  SELECT doc_id, gram, COUNT(*) AS occ FROM bg GROUP BY 1, 2
+          |), c2 AS (
+          |  SELECT gram, SUM(occ) AS c2 FROM dg GROUP BY gram
+          |), c1 AS (
+          |  SELECT split_part(gram, ' ', 1) AS head, SUM(c2) AS c1
+          |  FROM c2 GROUP BY 1
+          |), voc AS (
+          |  SELECT COUNT(DISTINCT t) AS v
+          |  FROM (SELECT unnest(ts) AS t FROM toks)
+          |), parts AS (
+          |  SELECT dg.doc_id,
+          |    CAST(SUM(dg.occ * ((1000000000 * (c2.c2 + 1)) // (c1.c1 + voc.v)))
+          |      AS BIGINT) AS sum_scaled
+          |  FROM dg JOIN c2 USING (gram)
+          |  JOIN c1 ON split_part(dg.gram, ' ', 1) = c1.head
+          |  CROSS JOIN voc GROUP BY 1
+          |), res AS (
+          |  SELECT i.doc_id,
+          |    CAST(GREATEST(i.n_tokens - 1, 0) AS BIGINT) AS n_bigrams,
+          |    CAST(COALESCE(p.sum_scaled, 0) AS BIGINT) AS sum_scaled
+          |  FROM ids i LEFT JOIN parts p USING (doc_id)
+          |)
+          |SELECT doc_id, n_bigrams, sum_scaled,
+          |  CAST(CASE WHEN n_bigrams > 0 THEN sum_scaled // n_bigrams
+          |       ELSE 0 END AS BIGINT) AS mean_prob_scaled,
+          |  CAST(CASE WHEN n_bigrams > 0 THEN sum_scaled // n_bigrams
+          |       ELSE 0 END AS DOUBLE) / 1000000000.0 AS score
+          |FROM res ORDER BY doc_id""".stripMargin,
+      // t72: the engine's deterministic 32-bit id-hash order replayed
+      // verbatim inside the per-domain window
+      "t72_domain_cap" ->
+        """WITH r AS (
+          |  SELECT doc_id, source,
+          |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+          |      ORDER BY ((doc_id % 1000003) * 2654435761 + 123456789)
+          |        % 4294967296, doc_id) AS BIGINT) AS domain_rank
+          |  FROM documents
+          |)
+          |SELECT doc_id, source, domain_rank FROM r
+          |WHERE domain_rank <= 20 ORDER BY doc_id""".stripMargin,
       "t32_pq_encode" ->
         s"""WITH ${pqCtes(8, 64)}
            |SELECT vec_id,

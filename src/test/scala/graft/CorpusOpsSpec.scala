@@ -551,4 +551,73 @@ class CorpusOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
+
+  test("domainCap: keeps exactly cap docs per over-cap domain, hash-ordered") {
+    val docs = ((0L until 10L).map(i => (i, "big")) ++
+      Seq((100L, "small"), (101L, "small"))).toDF("doc_id", "source")
+    val kept = CorpusOps.domainCap(docs, "doc_id", "source", cap = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byDomain = kept.groupBy(_._2)
+    assert(byDomain("big").length == 4)
+    assert(byDomain("small").map(_._1).sorted.toSeq == Seq(100L, 101L),
+      "under-cap domains keep everything")
+    // survivors are the 4 smallest by the deterministic 32-bit hash
+    def h(id: Long) = ((id % 1000003L) * 2654435761L + 123456789L) % 4294967296L
+    val expect = (0L until 10L).sortBy(i => (h(i), i)).take(4).toSet
+    assert(byDomain("big").map(_._1).toSet == expect)
+    // ranks are 1..k in hash order
+    assert(byDomain("big").sortBy(_._3).map(_._1).toSeq ==
+      (0L until 10L).sortBy(i => (h(i), i)).take(4).toSeq)
+  }
+
+  test("bigramMeanProb: hand-computed add-one-smoothed bigram means") {
+    // corpus: d1 'a b a b' -> bigrams {a b:2, b a:1}; d2 'a b c';
+    // d3 'z' (no bigrams). vocab V = {a,b,c,z} = 4.
+    // corpus c2: (a b)=3, (b a)=1, (b c)=1; heads: c1(a)=3, c1(b)=2.
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val out = CorpusOps.bigramMeanProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val S = 1000000000L
+    val pAB = (S * 4) / 7  // (c2(a b)+1)/(c1(a)+V) = 4/7
+    val pBA = (S * 2) / 6  // 2/6
+    val pBC = (S * 2) / 6  // 2/6
+    assert(out(1L) == ((3L, 2 * pAB + pBA, (2 * pAB + pBA) / 3)))
+    assert(out(2L) == ((2L, pAB + pBC, (pAB + pBC) / 2)))
+    assert(out(3L) == ((0L, 0L, 0L)), "a 1-token doc surfaces with zero score")
+  }
+
+  test("rrfFuse: integer reciprocal-rank fusion of two hand rankings") {
+    val ch1 = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val ch2 = Seq((1L, 11L, 1L), (1L, 10L, 2L), (1L, 13L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val out = CorpusOps.rrfFuse(Seq(ch1, ch2), kConst = 60, k = 10)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val S = 1000000000L
+    def rr(r: Long) = S / (60L + r)
+    // 10: 1/(60+1)+1/(60+2); 11: same sum; tie broken by doc_id;
+    // 12 and 13 have one channel each, 12 wins the doc_id tie
+    assert(out == Seq((1L, 10L, 2L), (2L, 11L, 2L), (3L, 12L, 1L), (4L, 13L, 1L)))
+    val scores = CorpusOps.rrfFuse(Seq(ch1, ch2), 60, 10)
+      .collect().map(r => r.getLong(2) -> r.getDouble(4)).toMap
+    assert(scores(10L) == (rr(1) + rr(2)).toDouble / 1e9)
+    assert(scores(12L) == rr(3).toDouble / 1e9)
+  }
+
+  test("hybridRetrievalTopK equals fusing the standalone channels row-for-row") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val qs = Seq(1L -> "spark window join", 2L -> "hash merge batch")
+    val hybrid = CorpusOps.hybridRetrievalTopK(docs, "doc_id", "text", qs,
+        k1 = 1.2, b = 0.75, k = 10, kConst = 60)
+      .orderBy("query_id", "rank").collect().toSeq
+    val fused = CorpusOps.rrfFuse(Seq(
+        CorpusOps.bm25TopK(docs, "doc_id", "text", qs, 1.2, 0.75, 10),
+        CorpusOps.tfidfTopK(docs, "doc_id", "text", qs, 10)), 60, 10)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(hybrid == fused, "shared-tf hybrid diverged from standalone channels")
+    assert(hybrid.nonEmpty)
+  }
 }

@@ -418,6 +418,55 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(1200))
   }
 
+  test("t72: per-domain cap is a rank-pushdown window, no corpus sort") {
+    val plan = planOf(operators.CorpusOps.domainCap(
+      Tables.documents(spark, dir), "doc_id", "source", 20))
+    // rank <= cap must rewrite to WindowGroupLimit: map partitions
+    // keep only cap rows per domain BEFORE the shuffle, which is what
+    // makes a mega-domain (skewed host) survivable at 100 TB
+    assert(plan.contains("WindowGroupLimit"),
+      s"cap filter lost its rank pushdown:\n${plan.take(1200)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+  }
+
+  test("t69: hybrid fusion tokenizes the corpus once — the tf exchange is reused") {
+    val df = operators.CorpusOps.hybridRetrievalTopK(
+      Tables.documents(spark, dir), "doc_id", "text",
+      Seq(1L -> "spark window join"), k1 = 1.2, b = 0.75, k = 10)
+    df.collect() // finalize THIS df's adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    // both channels score the barriered query-term tf relation; the
+    // second channel must ride a reused exchange, not a second
+    // scan+tokenize of the corpus
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"tf exchange not reused — corpus tokenized per channel:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+  }
+
+  test("t70: PageRank rounds join rank-to-edges as equi-joins; dangling mass broadcasts") {
+    import org.apache.spark.sql.functions.{col, lit, sum => fsum, count, broadcast}
+    val docs = Tables.documents(spark, dir)
+    // plan ONE round explicitly: pageRank's loop checkpoints each
+    // round, which hides the round plan behind an RDD scan
+    val nodes = docs.select(col("source").as("node")).distinct()
+    val edges = operators.GraphOps.domainAffinityEdges(
+      docs, "source", "text", n = 3, maxDf = 10)
+    val out = edges.groupBy("src").agg(fsum("weight").as("out_w"))
+    val e = edges.join(out, "src")
+    val ranks = nodes.withColumn("r", lit(1000000L))
+    val plan = operators.GraphOps.pageRankRound(nodes, e, out, ranks,
+      nNodes = 20L, base = 100L).queryExecution.executedPlan.toString
+    // the per-round rank transfer is an equi-join on the source key
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"rank transfer lost its equi-join:\n${plan.take(1200)}")
+    // the 1-row dangling aggregate rides a broadcast, never a shuffle
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"dangling mass lost its broadcast:\n${plan.take(1200)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+  }
+
   test("t54: HLL registers partial-aggregate map-side; no wide shuffle") {
     val plan = planOf(operators.CorpusOps.hllDistinctSketch(
       Tables.documents(spark, dir), "text", 3, 8))
