@@ -458,11 +458,17 @@ object Cli {
       executor.buildAll()
       val port = rest.headOption.map(_.toInt).getOrElse(8581)
       val proxy = new graft.serve.SqlProxy(executor, port).start()
+      // MySQL wire face beside the HTTP face (reference serves
+      // mysql-mimic on 3306; here HTTP port + 1 so one flag drives
+      // both) — stock MySQL clients connect with any credentials
+      val mysql = new graft.serve.MysqlFace(executor,
+        if (port == 0) 0 else port + 1).start()
       println(s"sql proxy listening on 127.0.0.1:${proxy.boundPort} " +
-        "(POST /query, GET /schema); Ctrl-C to stop")
+        "(POST /query, GET /schema); mysql wire on " +
+        s"127.0.0.1:${mysql.boundPort}; Ctrl-C to stop")
       // foreground server: park the main thread until interrupted
       try Thread.currentThread.join()
-      finally { proxy.stop(); spark.stop() }
+      finally { proxy.stop(); mysql.stop(); spark.stop() }
 
     case "catalog" :: dir :: outFile :: Nil =>
       val spark = session()

@@ -1,0 +1,314 @@
+package graft.serve
+
+import java.io.{BufferedInputStream, BufferedOutputStream, EOFException, InputStream, OutputStream}
+import java.net.{InetAddress, ServerSocket, Socket}
+import java.nio.charset.StandardCharsets
+
+import graft.exec.ModelExecutor
+
+/** MySQL wire-protocol face of the SQL proxy (SURVEY §2A A45) — the
+  * transport the reference actually speaks (`sql/proxy.py:174-179`
+  * serves a mysql-mimic `MysqlServer`, so any stock MySQL client can
+  * connect). This implements the text protocol subset that serves a
+  * query tool, from scratch on a loopback socket — no dependencies:
+  *
+  *  - Connection phase: HandshakeV10 greeting → client response →
+  *    OK. Credentials are accepted unconditionally, matching the
+  *    reference's "no auth" posture (`sql/proxy.py:2`).
+  *  - Command phase: COM_QUERY through the SAME pipeline as the HTTP
+  *    face — [[CommentMiddleware]] interception first (comment
+  *    statements answer OK with zero rows), then Jinja-compile +
+  *    Catalyst via `executor.executeSql`, results as a classic text
+  *    resultset (column definitions, EOF, length-encoded rows, EOF).
+  *    Errors return ERR packets (code 1064), never dropped
+  *    connections. COM_PING/COM_INIT_DB answer OK, COM_QUIT closes,
+  *    COM_FIELD_LIST answers EOF (deprecated), anything else ERR.
+  *  - Client-bootstrap shims: `SET ...`/`USE ...` answer OK and
+  *    `SELECT @@var [AS alias]` answers a 1×1 resultset (the probes
+  *    CLI clients issue before the first real query; mysql-mimic gets
+  *    these from sqlglot's system-variable layer).
+  *
+  * Scope (documented divergence, mirror of the HTTP face's): no TLS,
+  * no real auth, no prepared-statement (binary) protocol, no
+  * INFORMATION_SCHEMA emulation — schema browsing is the HTTP
+  * `/schema` endpoint's job. Row caps mirror [[SqlProxy.MaxLimit]].
+  *
+  * Threading: accept loop + thread per connection (a dev proxy's
+  * client count), each command running under a per-connection Spark
+  * job group so a dropped connection can cancel its in-flight work.
+  */
+final class MysqlFace(executor: ModelExecutor, port: Int = 0) {
+
+  import MysqlFace._
+
+  private var server: ServerSocket = _
+  private var acceptThread: Thread = _
+  @volatile private var running = false
+  private val connections =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Socket]()
+
+  /** Row cap per resultset — the same driver-side guard as the HTTP
+    * face's hard ceiling.
+    */
+  val MaxRows = 10000
+
+  def boundPort: Int = server.getLocalPort
+
+  def start(): MysqlFace = {
+    server = new ServerSocket(port, 16, InetAddress.getLoopbackAddress)
+    running = true
+    acceptThread = new Thread(() => {
+      while (running) {
+        try {
+          val s = server.accept()
+          connections.add(s)
+          val t = new Thread(() => {
+            try serve(s)
+            catch { case _: Throwable => () }
+            finally { connections.remove(s); try s.close() catch { case _: Throwable => () } }
+          })
+          t.setDaemon(true)
+          t.start()
+        } catch { case _: Throwable => () /* closed during accept */ }
+      }
+    })
+    acceptThread.setDaemon(true)
+    acceptThread.start()
+    this
+  }
+
+  def stop(): Unit = {
+    running = false
+    if (server != null) try server.close() catch { case _: Throwable => () }
+    connections.forEach(s => try s.close() catch { case _: Throwable => () })
+    connections.clear()
+  }
+
+  // ----------------------------------------------------------------
+  // connection lifecycle
+  // ----------------------------------------------------------------
+
+  private def serve(sock: Socket): Unit = {
+    sock.setTcpNoDelay(true)
+    val in = new BufferedInputStream(sock.getInputStream)
+    val out = new BufferedOutputStream(sock.getOutputStream)
+    val connId = sock.getPort
+    writePacket(out, 0, handshakeV10(connId))
+    out.flush()
+    readPacket(in) // HandshakeResponse41 — credentials deliberately ignored
+    writePacket(out, 2, okPacket())
+    out.flush()
+    val group = s"mysql-conn-$connId"
+    while (true) {
+      val cmd = try readPacket(in) catch { case _: EOFException => return }
+      if (cmd._2.isEmpty) return
+      val payload = cmd._2
+      payload(0) match {
+        case ComQuit => return
+        case ComPing | ComInitDb =>
+          writePacket(out, 1, okPacket()); out.flush()
+        case ComFieldList =>
+          writePacket(out, 1, eofPacket()); out.flush()
+        case ComQuery =>
+          val sql = new String(payload, 1, payload.length - 1,
+            StandardCharsets.UTF_8)
+          runQuery(sql, out, group)
+        case other =>
+          writePacket(out, 1,
+            errPacket(1047, "08S01", s"unsupported command 0x${other.toInt.toHexString}"))
+          out.flush()
+      }
+    }
+  }
+
+  // ----------------------------------------------------------------
+  // COM_QUERY
+  // ----------------------------------------------------------------
+
+  private val SelectSysVar =
+    """(?is)\s*SELECT\s+@@(\w+(?:\.\w+)?)(?:\s+AS\s+(\w+))?\s*;?\s*""".r
+  private val SetOrUse = """(?is)\s*(SET|USE)\b.*""".r
+
+  private def runQuery(sql: String, out: OutputStream, group: String): Unit =
+    try {
+      sql match {
+        case SelectSysVar(v, alias) =>
+          val name = Option(alias).getOrElse(s"@@$v")
+          val value = if (v.equalsIgnoreCase("version_comment")) "graft proxy"
+            else if (v.toLowerCase.endsWith("version")) ServerVersion
+            else ""
+          writeResultSet(out, Seq(name -> "string"), Seq(Seq(Option(value))))
+        case SetOrUse(_) =>
+          writePacket(out, 1, okPacket()); out.flush()
+        case _ =>
+          CommentMiddleware.intercept(executor, sql) match {
+            case Some(_) =>
+              writePacket(out, 1, okPacket()); out.flush()
+            case None =>
+              val sc = executor.session.sparkContext
+              sc.setJobGroup(group, s"mysql proxy query", interruptOnCancel = true)
+              val df =
+                try executor.executeSql(sql)
+                finally sc.clearJobGroup()
+              val cols = df.schema.fields.toSeq
+                .map(f => f.name -> f.dataType.typeName)
+              val rows = df.limit(MaxRows).collect().toSeq.map { r =>
+                (0 until r.length).map(i =>
+                  Option(r.get(i)).map(_.toString))
+              }
+              writeResultSet(out, cols, rows)
+          }
+      }
+    } catch {
+      case e: Exception =>
+        writePacket(out, 1, errPacket(1064, "42000",
+          Option(e.getMessage).getOrElse(e.getClass.getName).take(400)))
+        out.flush()
+    }
+
+  private def writeResultSet(out: OutputStream,
+      cols: Seq[(String, String)], rows: Seq[Seq[Option[String]]]): Unit = {
+    var seq = 1
+    def next(payload: Array[Byte]): Unit = { writePacket(out, seq, payload); seq += 1 }
+    next(lencInt(cols.length))
+    cols.foreach { case (name, dtype) => next(columnDef(name, dtype)) }
+    next(eofPacket())
+    rows.foreach { r => next(rowPacket(r)) }
+    next(eofPacket())
+    out.flush()
+  }
+}
+
+private[serve] object MysqlFace {
+
+  val ServerVersion = "8.0.0-graft"
+
+  // command bytes
+  val ComQuit: Byte = 0x01
+  val ComInitDb: Byte = 0x02
+  val ComQuery: Byte = 0x03
+  val ComFieldList: Byte = 0x04
+  val ComPing: Byte = 0x0e
+
+  // capability flags (Protocol::CapabilityFlags)
+  val ClientLongPassword = 0x00000001L
+  val ClientFoundRows = 0x00000002L
+  val ClientLongFlag = 0x00000004L
+  val ClientConnectWithDb = 0x00000008L
+  val ClientProtocol41 = 0x00000200L
+  val ClientTransactions = 0x00002000L
+  val ClientSecureConnection = 0x00008000L
+  val ClientPluginAuth = 0x00080000L
+
+  val ServerCapabilities: Long =
+    ClientLongPassword | ClientFoundRows | ClientLongFlag |
+      ClientConnectWithDb | ClientProtocol41 | ClientTransactions |
+      ClientSecureConnection | ClientPluginAuth
+
+  // ----------------------------------------------------------------
+  // framing: 3-byte LE length + 1-byte sequence id
+  // ----------------------------------------------------------------
+
+  def writePacket(out: OutputStream, seq: Int, payload: Array[Byte]): Unit = {
+    val n = payload.length
+    out.write(n & 0xff); out.write((n >> 8) & 0xff); out.write((n >> 16) & 0xff)
+    out.write(seq & 0xff)
+    out.write(payload)
+  }
+
+  /** (sequence id, payload). Throws EOFException on a closed peer. */
+  def readPacket(in: InputStream): (Int, Array[Byte]) = {
+    def b(): Int = {
+      val v = in.read()
+      if (v < 0) throw new EOFException("peer closed")
+      v
+    }
+    val n = b() | (b() << 8) | (b() << 16)
+    val seq = b()
+    val payload = new Array[Byte](n)
+    var off = 0
+    while (off < n) {
+      val r = in.read(payload, off, n - off)
+      if (r < 0) throw new EOFException("peer closed mid-packet")
+      off += r
+    }
+    (seq, payload)
+  }
+
+  // ----------------------------------------------------------------
+  // payload builders
+  // ----------------------------------------------------------------
+
+  private def le(v: Long, bytes: Int): Array[Byte] =
+    Array.tabulate(bytes)(i => ((v >> (8 * i)) & 0xff).toByte)
+
+  /** Length-encoded integer. */
+  def lencInt(v: Long): Array[Byte] =
+    if (v < 251) Array(v.toByte)
+    else if (v < 65536) Array(0xfc.toByte) ++ le(v, 2)
+    else if (v < 16777216) Array(0xfd.toByte) ++ le(v, 3)
+    else Array(0xfe.toByte) ++ le(v, 8)
+
+  def lencStr(s: String): Array[Byte] = {
+    val b = s.getBytes(StandardCharsets.UTF_8)
+    lencInt(b.length.toLong) ++ b
+  }
+
+  def handshakeV10(connId: Int): Array[Byte] = {
+    val sb = new scala.collection.mutable.ArrayBuffer[Byte]()
+    sb += 10 // protocol version
+    sb ++= ServerVersion.getBytes(StandardCharsets.UTF_8); sb += 0
+    sb ++= le(connId.toLong, 4)
+    sb ++= "12345678".getBytes(StandardCharsets.UTF_8) // auth data part 1
+    sb += 0 // filler
+    sb ++= le(ServerCapabilities & 0xffff, 2)
+    sb += 33 // charset utf8_general_ci
+    sb ++= le(0x0002L, 2) // status: autocommit
+    sb ++= le((ServerCapabilities >> 16) & 0xffff, 2)
+    sb += 21 // auth plugin data length
+    sb ++= Array.fill[Byte](10)(0) // reserved
+    sb ++= "123456789012".getBytes(StandardCharsets.UTF_8); sb += 0 // part 2
+    sb ++= "mysql_native_password".getBytes(StandardCharsets.UTF_8); sb += 0
+    sb.toArray
+  }
+
+  def okPacket(affected: Long = 0): Array[Byte] =
+    Array(0x00.toByte) ++ lencInt(affected) ++ lencInt(0) ++
+      le(0x0002L, 2) ++ le(0L, 2)
+
+  def eofPacket(): Array[Byte] =
+    Array(0xfe.toByte) ++ le(0L, 2) ++ le(0x0002L, 2)
+
+  def errPacket(code: Int, sqlState: String, msg: String): Array[Byte] =
+    Array(0xff.toByte) ++ le(code.toLong, 2) ++
+      Array('#'.toByte) ++ sqlState.getBytes(StandardCharsets.UTF_8).take(5) ++
+      msg.getBytes(StandardCharsets.UTF_8)
+
+  /** MySQL column types (advisory — the text protocol carries every
+    * value as a length-encoded string).
+    */
+  private def mysqlType(sparkType: String): Int = sparkType match {
+    case "byte" | "short" | "integer" | "long" => 0x08 // LONGLONG
+    case "float" | "double" => 0x05 // DOUBLE
+    case t if t.startsWith("decimal") => 0xf6 // NEWDECIMAL
+    case "boolean" => 0x01 // TINY
+    case "date" => 0x0a // DATE
+    case "timestamp" | "timestamp_ntz" => 0x0c // DATETIME
+    case _ => 0xfd // VAR_STRING
+  }
+
+  /** Protocol::ColumnDefinition41. */
+  def columnDef(name: String, sparkType: String): Array[Byte] =
+    lencStr("def") ++ lencStr("") ++ lencStr("") ++ lencStr("") ++
+      lencStr(name) ++ lencStr(name) ++
+      lencInt(0x0c) ++ le(33L, 2) /* charset */ ++ le(255L, 4) /* length */ ++
+      Array(mysqlType(sparkType).toByte) ++ le(0L, 2) /* flags */ ++
+      Array(0x00.toByte) /* decimals */ ++ le(0L, 2) /* filler */
+
+  /** Text-protocol row: lenc strings, NULL as 0xFB. */
+  def rowPacket(values: Seq[Option[String]]): Array[Byte] =
+    values.flatMap {
+      case Some(v) => lencStr(v).toSeq
+      case None => Seq(0xfb.toByte)
+    }.toArray
+}

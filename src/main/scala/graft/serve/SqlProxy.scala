@@ -36,7 +36,9 @@ import graft.exec.ModelExecutor
   * dbt-osmosis auth, TLS, or bind hardening", sql/proxy.py:2) this
   * binds loopback only and adds no auth.
   */
-final class SqlProxy(executor: ModelExecutor, port: Int = 0) {
+final class SqlProxy(executor: ModelExecutor, port: Int = 0,
+    llm: graft.core.DocSynthesis.LlmClient =
+      graft.core.DocSynthesis.HeuristicClient) {
 
   private val mapper = new ObjectMapper()
   private var server: HttpServer = _
@@ -63,12 +65,6 @@ final class SqlProxy(executor: ModelExecutor, port: Int = 0) {
     */
   val WorkerThreads = 8
 
-  private val AlterColumnComment =
-    """(?is)\s*(?:/\*.*?\*/\s*)?ALTER\s+TABLE\s+(?:([^\s.]+)\.)?([^\s.]+)\s+MODIFY\s+COLUMN\s+(\S+)\s+.*?COMMENT\s+'([^']*)'\s*;?\s*""".r
-
-  private val AlterTableComment =
-    """(?is)\s*(?:/\*.*?\*/\s*)?ALTER\s+TABLE\s+(?:([^\s.]+)\.)?([^\s.]+)\s+COMMENT\s*=\s*'([^']*)'\s*;?\s*""".r
-
   def boundPort: Int = server.getAddress.getPort
 
   def start(): SqlProxy = {
@@ -77,6 +73,7 @@ final class SqlProxy(executor: ModelExecutor, port: Int = 0) {
     server.createContext("/cancel", (ex: HttpExchange) => handleSafely(ex, handleCancel))
     server.createContext("/schema", (ex: HttpExchange) => handleSafely(ex, handleSchema))
     server.createContext("/profile", (ex: HttpExchange) => handleSafely(ex, handleProfile))
+    server.createContext("/ai", (ex: HttpExchange) => handleSafely(ex, handleAi))
     server.createContext("/", (ex: HttpExchange) => handleSafely(ex, handleIndex))
     pool = java.util.concurrent.Executors.newFixedThreadPool(WorkerThreads)
     server.setExecutor(pool)
@@ -118,30 +115,12 @@ final class SqlProxy(executor: ModelExecutor, port: Int = 0) {
       ex.getResponseBody.write(bytes)
     } finally ex.close()
 
-  /** ALTER TABLE comment middleware: returns Some(empty result) when
-    * the statement was intercepted and applied to the manifest.
+  /** ALTER TABLE comment middleware — shared with the MySQL wire face
+    * ([[CommentMiddleware]]): returns Some(empty result) when the
+    * statement was intercepted and applied to the manifest.
     */
-  private def interceptComment(sql: String): Option[Unit] = sql match {
-    case AlterColumnComment(schema, table, column, comment) =>
-      matchingNodes(Option(schema), table).foreach { n =>
-        n.columns.get(column).foreach { c =>
-          executor.updateNode(n.copy(columns =
-            n.columns.updated(column, c.copy(description = Some(comment)))))
-        }
-      }
-      Some(())
-    case AlterTableComment(schema, table, comment) =>
-      matchingNodes(Option(schema), table).foreach { n =>
-        executor.updateNode(n.copy(description = comment))
-      }
-      Some(())
-    case _ => None
-  }
-
-  private def matchingNodes(schema: Option[String], table: String) =
-    executor.manifest.nodes.values.filter { n =>
-      n.name == table && schema.forall(_ == n.schema)
-    }
+  private def interceptComment(sql: String): Option[Unit] =
+    CommentMiddleware.intercept(executor, sql)
 
   private def handleQuery(ex: HttpExchange): (Int, String) = {
     val req = mapper.readTree(new String(
@@ -243,6 +222,54 @@ final class SqlProxy(executor: ModelExecutor, port: Int = 0) {
     (200, out.toString)
   }
 
+  /** AI-assistant endpoint — the workbench face of the reference's
+    * AI pane (workbench/app.py), over the pluggable [[llm]] client
+    * (the same [[graft.core.DocSynthesis]] surface `Cli document
+    * --synthesize` uses; HeuristicClient by default, a real client by
+    * injection):
+    *
+    *  - `POST /ai {"op":"doc","table":…}` — synthesize missing node +
+    *    column docs (inherit-first, bulk-vs-per-column policy) and
+    *    apply them to the IN-MEMORY manifest, mirroring the comment
+    *    middleware's no-YAML-writes posture. Returns what was filled.
+    *  - `POST /ai {"op":"sql","query":…}` — natural language → a
+    *    Jinja-SQL draft over the manifest's relations; the workbench
+    *    inserts it into the editor, the user runs it explicitly.
+    */
+  private def handleAi(ex: HttpExchange): (Int, String) = {
+    val req = mapper.readTree(new String(
+      ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+    val op = Option(req.get("op")).map(_.asText()).getOrElse(
+      throw new IllegalArgumentException("missing 'op' (doc | sql)"))
+    val out = mapper.createObjectNode()
+    op match {
+      case "doc" =>
+        val table = Option(req.get("table")).map(_.asText()).getOrElse(
+          throw new IllegalArgumentException("missing 'table'"))
+        val node = executor.manifest.nodes.values.find(_.name == table)
+          .getOrElse(throw new IllegalArgumentException(s"unknown table '$table'"))
+        val synthesized = graft.core.DocSynthesis.synthesizeNode(
+          executor.manifest, node, graft.core.EngineSettings(), llm)
+        executor.updateNode(synthesized)
+        out.put("table", table)
+        out.put("description", synthesized.description)
+        val cols = out.putObject("columns")
+        synthesized.columns.values.foreach(c =>
+          cols.put(c.name, c.description.getOrElse("")))
+      case "sql" =>
+        val query = Option(req.get("query")).map(_.asText()).getOrElse(
+          throw new IllegalArgumentException("missing 'query'"))
+        val rels = executor.manifest.nodes.values
+          .filter(n => Set("model", "seed", "source").contains(n.resourceType))
+          .map(n => n.name -> n.columns.keys.toSeq).toSeq.sortBy(_._1)
+        out.put("sql",
+          graft.core.DocSynthesis.generateSqlFromNl(llm, query, rels))
+      case other =>
+        throw new IllegalArgumentException(s"unknown op '$other' (doc | sql)")
+    }
+    (200, out.toString)
+  }
+
   private[serve] def handleSchema(ex: HttpExchange): (Int, String) = {
     val out = mapper.createObjectNode()
     executor.manifest.nodes.values
@@ -292,6 +319,9 @@ object SqlProxy {
       | <textarea id="sql">SELECT 1 AS one -- jinja OK: {{ ref('model') }}</textarea>
       | <div><button id="run">run</button>
       |   limit <input id="limit" value="100" size="5"></div>
+      | <div><input id="nl" size="60"
+      |   placeholder="describe a query in plain language">
+      |   <button id="draft">ai: draft sql</button></div>
       | <div id="err"></div><div id="out"></div>
       |</div>
       |<script>
@@ -305,7 +335,8 @@ object SqlProxy {
       |    for(const t of Object.keys(s[sch]).sort()){
       |      h+='<div><span class="tbl" data-t="'+esc(t)+'">'+esc(t)+
       |        '</span><span class="prof" data-t="'+esc(t)+
-      |        '">[profile]</span></div><div class="col">'+
+      |        '">[profile]</span><span class="prof ai" data-t="'+esc(t)+
+      |        '">[ai doc]</span></div><div class="col">'+
       |        Object.entries(s[sch][t]).map(([c,m])=>esc(c)+' : '+
       |          esc(m.type)).join('<br>')+'</div>';
       |    }
@@ -313,9 +344,32 @@ object SqlProxy {
       |  $('schema').innerHTML=h||'(empty manifest)';
       |  document.querySelectorAll('.tbl').forEach(el=>el.onclick=()=>{
       |    $('sql').value='SELECT * FROM '+el.dataset.t;run();});
-      |  document.querySelectorAll('.prof').forEach(el=>el.onclick=()=>{
+      |  document.querySelectorAll('.prof:not(.ai)').forEach(el=>el.onclick=()=>{
       |    profile(el.dataset.t);});
+      |  document.querySelectorAll('.ai').forEach(el=>el.onclick=()=>{
+      |    aiDoc(el.dataset.t);});
       |});
+      |function aiDoc(t){
+      |  $('err').textContent='';$('out').innerHTML='synthesizing…';
+      |  fetch('/ai',{method:'POST',body:JSON.stringify({op:'doc',table:t})})
+      |  .then(r=>r.json()).then(j=>{
+      |    if(j.error){$('err').textContent=j.error;$('out').innerHTML='';return;}
+      |    $('out').innerHTML='<b>ai docs: '+esc(j.table)+'</b><p>'+
+      |      esc(j.description)+'</p><table><tr><th>column</th>'+
+      |      '<th>description</th></tr>'+
+      |      Object.entries(j.columns).map(([c,d])=>'<tr><td>'+esc(c)+
+      |        '</td><td>'+esc(d)+'</td></tr>').join('')+'</table>';
+      |  }).catch(e=>$('err').textContent=e);
+      |}
+      |$('draft').onclick=()=>{
+      |  $('err').textContent='';
+      |  fetch('/ai',{method:'POST',body:JSON.stringify(
+      |    {op:'sql',query:$('nl').value})})
+      |  .then(r=>r.json()).then(j=>{
+      |    if(j.error){$('err').textContent=j.error;return;}
+      |    $('sql').value=j.sql;
+      |  }).catch(e=>$('err').textContent=e);
+      |};
       |function profile(t){
       |  $('err').textContent='';$('out').innerHTML='profiling…';
       |  fetch('/profile',{method:'POST',body:JSON.stringify({relation:t})})

@@ -136,6 +136,36 @@ class SqlProxySpec extends AnyFunSuite {
     assert(bad == 400 && err.get("error") != null)
   }
 
+  test("POST /ai op=doc synthesizes docs into the in-memory manifest (A46)") {
+    val (code, json) = post("/ai", """{"op": "doc", "table": "customers"}""")
+    assert(code == 200, json.toString)
+    assert(json.get("table").asText() == "customers")
+    assert(json.get("description").asText().nonEmpty)
+    val cols = json.get("columns")
+    assert(cols.size() > 0)
+    assert(cols.get("customer_id") != null)
+    // applied to the live manifest (no YAML writes), like the comment
+    // middleware
+    val n = executor.manifest.nodes.values.find(_.name == "customers").get
+    assert(n.columns.values.exists(_.description.exists(_.nonEmpty)))
+    // the workbench page carries the pane wiring
+    val resp = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${proxy.boundPort}/"))
+        .GET().build(), HttpResponse.BodyHandlers.ofString())
+    assert(resp.body().contains("[ai doc]") && resp.body().contains("/ai"))
+  }
+
+  test("POST /ai op=sql drafts SQL from natural language; bad ops are structured 400s") {
+    val (code, json) = post("/ai",
+      """{"op": "sql", "query": "how many orders per customer"}""")
+    assert(code == 200, json.toString)
+    assert(json.get("sql").asText().nonEmpty)
+    val (bad, err) = post("/ai", """{"op": "nope"}""")
+    assert(bad == 400 && err.get("error") != null)
+    val (bad2, err2) = post("/ai", """{"op": "doc", "table": "no_such"}""")
+    assert(bad2 == 400 && err2.get("error").asText().contains("no_such"))
+  }
+
   test("concurrent queries are served in parallel by the handler pool") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._

@@ -1,0 +1,226 @@
+package graft.serve
+
+import java.io.{BufferedInputStream, BufferedOutputStream, EOFException, InputStream, OutputStream}
+import java.net.Socket
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.exec.ModelExecutor
+import graft.project.ProjectLoader
+
+/** MySQL wire face (A45): a from-scratch mini-client in this spec —
+  * its own framing and length-encoding parsers, deliberately NOT the
+  * server's helpers — drives the full connection + command phases
+  * over a real loopback socket, the differential a protocol
+  * implementation needs.
+  */
+class MysqlFaceSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.session
+
+  lazy val (executor, face) = {
+    import spark.implicits._
+    Seq((1, "north"), (2, "south")).toDF("region_id", "region_name")
+      .createOrReplaceTempView("region_lookup")
+    val e = new ModelExecutor(spark, ProjectLoader.load("fixtures/jaffle"))
+    e.buildAll()
+    (e, new MysqlFace(e).start())
+  }
+
+  // ---------------- mini client (independent implementation) -------
+
+  private class Client {
+    val sock = new Socket("127.0.0.1", face.boundPort)
+    sock.setTcpNoDelay(true)
+    val in = new BufferedInputStream(sock.getInputStream)
+    val out = new BufferedOutputStream(sock.getOutputStream)
+
+    def readPacket(): (Int, Array[Byte]) = {
+      def b(): Int = { val v = in.read(); if (v < 0) throw new EOFException; v }
+      val n = b() | (b() << 8) | (b() << 16)
+      val seq = b()
+      val p = new Array[Byte](n)
+      var off = 0
+      while (off < n) {
+        val r = in.read(p, off, n - off); if (r < 0) throw new EOFException
+        off += r
+      }
+      (seq, p)
+    }
+
+    def writePacket(seq: Int, payload: Array[Byte]): Unit = {
+      val n = payload.length
+      out.write(n & 0xff); out.write((n >> 8) & 0xff); out.write((n >> 16) & 0xff)
+      out.write(seq & 0xff); out.write(payload); out.flush()
+    }
+
+    /** (value, bytes consumed) at offset. */
+    def lenc(p: Array[Byte], off: Int): (Long, Int) = (p(off) & 0xff) match {
+      case 0xfb => (-1L, 1) // NULL marker in row context
+      case 0xfc => (((p(off + 1) & 0xffL)) | ((p(off + 2) & 0xffL) << 8), 3)
+      case 0xfd => ((p(off + 1) & 0xffL) | ((p(off + 2) & 0xffL) << 8) |
+        ((p(off + 3) & 0xffL) << 16), 4)
+      case 0xfe => ((0 until 8).map(i => (p(off + 1 + i) & 0xffL) << (8 * i)).sum, 9)
+      case v => (v.toLong, 1)
+    }
+
+    def lencString(p: Array[Byte], off: Int): (String, Int) = {
+      val (n, used) = lenc(p, off)
+      (new String(p, off + used, n.toInt, StandardCharsets.UTF_8), used + n.toInt)
+    }
+
+    /** Connection phase: returns the parsed greeting (version, plugin). */
+    def handshake(): (String, String) = {
+      val (seq0, greet) = readPacket()
+      assert(seq0 == 0 && greet(0) == 10, "expected HandshakeV10 at seq 0")
+      val verEnd = greet.indexOf(0, 1)
+      val version = new String(greet, 1, verEnd - 1, StandardCharsets.UTF_8)
+      val plugin = {
+        // auth plugin name is the trailing null-terminated string
+        val end = greet.length - 1
+        val start = greet.lastIndexOf(0.toByte, end - 1) + 1
+        new String(greet, start, end - start, StandardCharsets.UTF_8)
+      }
+      // HandshakeResponse41: PROTOCOL_41 | SECURE_CONNECTION | PLUGIN_AUTH
+      val flags = 0x00000200L | 0x00008000L | 0x00080000L
+      val b = scala.collection.mutable.ArrayBuffer[Byte]()
+      def le(v: Long, n: Int): Unit = (0 until n).foreach(i => b += ((v >> (8 * i)) & 0xff).toByte)
+      le(flags, 4); le(16 * 1024 * 1024, 4); b += 33
+      b ++= Array.fill[Byte](23)(0)
+      b ++= "root".getBytes(StandardCharsets.UTF_8); b += 0
+      b += 0 // empty auth response (no password)
+      b ++= "mysql_native_password".getBytes(StandardCharsets.UTF_8); b += 0
+      writePacket(1, b.toArray)
+      val (_, ok) = readPacket()
+      assert((ok(0) & 0xff) == 0x00, "expected OK after handshake response")
+      (version, plugin)
+    }
+
+    def comQuery(sql: String): Unit =
+      writePacket(0, Array(0x03.toByte) ++ sql.getBytes(StandardCharsets.UTF_8))
+
+    /** Parse a full text resultset: (column names, rows as Option[String]). */
+    def readResultSet(): (Seq[String], Seq[Seq[Option[String]]]) = {
+      val (_, first) = readPacket()
+      if ((first(0) & 0xff) == 0xff)
+        fail("got ERR: " +
+          new String(first, 9, first.length - 9, StandardCharsets.UTF_8))
+      val (nCols, _) = lenc(first, 0)
+      val names = (0 until nCols.toInt).map { _ =>
+        val (_, cd) = readPacket()
+        var off = 0
+        // catalog, schema, table, org_table, name
+        (0 until 4).foreach { _ => off += lencString(cd, off)._2 }
+        lencString(cd, off)._1
+      }
+      val (_, eof1) = readPacket()
+      assert((eof1(0) & 0xff) == 0xfe && eof1.length < 9, "expected EOF after columns")
+      val rows = scala.collection.mutable.ArrayBuffer[Seq[Option[String]]]()
+      var done = false
+      while (!done) {
+        val (_, p) = readPacket()
+        if ((p(0) & 0xff) == 0xfe && p.length < 9) done = true
+        else {
+          var off = 0
+          val vals = (0 until nCols.toInt).map { _ =>
+            if ((p(off) & 0xff) == 0xfb) { off += 1; None }
+            else { val (s, used) = lencString(p, off); off += used; Some(s) }
+          }
+          rows += vals
+        }
+      }
+      (names, rows.toSeq)
+    }
+
+    def readOk(): Unit = {
+      val (_, p) = readPacket()
+      assert((p(0) & 0xff) == 0x00,
+        s"expected OK, got 0x${(p(0) & 0xff).toHexString}")
+    }
+
+    def readErr(): (Int, String) = {
+      val (_, p) = readPacket()
+      assert((p(0) & 0xff) == 0xff, "expected ERR")
+      val code = (p(1) & 0xff) | ((p(2) & 0xff) << 8)
+      (code, new String(p, 9, p.length - 9, StandardCharsets.UTF_8))
+    }
+
+    def close(): Unit = {
+      try { writePacket(0, Array(0x01.toByte)) } catch { case _: Throwable => () }
+      sock.close()
+    }
+  }
+
+  private def withClient[A](f: Client => A): A = {
+    val c = new Client
+    try { c.handshake(); f(c) } finally c.close()
+  }
+
+  // ---------------- tests ------------------------------------------
+
+  test("handshake advertises protocol 10, graft version, native-password plugin") {
+    val c = new Client
+    try {
+      val (version, plugin) = c.handshake()
+      assert(version.contains("graft"))
+      assert(plugin == "mysql_native_password")
+    } finally c.close()
+  }
+
+  test("COM_QUERY returns a text resultset with correct columns and values") {
+    withClient { c =>
+      c.comQuery("SELECT customer_id, number_of_orders FROM customers " +
+        "WHERE customer_id = 1")
+      val (names, rows) = c.readResultSet()
+      assert(names == Seq("customer_id", "number_of_orders"))
+      assert(rows == Seq(Seq(Some("1"), Some("3"))))
+    }
+  }
+
+  test("jinja SQL compiles before execution, NULLs ride the 0xFB marker") {
+    withClient { c =>
+      c.comQuery("SELECT COUNT(*) AS n FROM {{ ref('customers') }}")
+      val (names, rows) = c.readResultSet()
+      assert(names == Seq("n") && rows.head.head.exists(_.toLong > 0))
+      c.comQuery("SELECT CAST(NULL AS STRING) AS nothing")
+      val (_, rows2) = c.readResultSet()
+      assert(rows2 == Seq(Seq(None)))
+    }
+  }
+
+  test("ALTER TABLE comment statements answer OK and hit the shared middleware") {
+    withClient { c =>
+      c.comQuery("ALTER TABLE customers MODIFY COLUMN customer_id BIGINT " +
+        "COMMENT 'pk via mysql wire'")
+      c.readOk()
+      val n = executor.manifest.nodes.values.find(_.name == "customers").get
+      assert(n.columns("customer_id").description.contains("pk via mysql wire"))
+    }
+  }
+
+  test("bad SQL returns ERR 1064 and the connection stays usable") {
+    withClient { c =>
+      c.comQuery("SELECT FROM WHERE")
+      val (code, msg) = c.readErr()
+      assert(code == 1064 && msg.nonEmpty)
+      c.comQuery("SELECT 1 AS one")
+      val (_, rows) = c.readResultSet()
+      assert(rows == Seq(Seq(Some("1"))))
+    }
+  }
+
+  test("client-bootstrap shims: SET answers OK, SELECT @@var answers one row, COM_PING pongs") {
+    withClient { c =>
+      c.comQuery("SET NAMES utf8mb4")
+      c.readOk()
+      c.comQuery("SELECT @@version_comment")
+      val (names, rows) = c.readResultSet()
+      assert(names == Seq("@@version_comment"))
+      assert(rows == Seq(Seq(Some("graft proxy"))))
+      c.writePacket(0, Array(0x0e.toByte)) // COM_PING
+      c.readOk()
+    }
+  }
+}
