@@ -33,11 +33,14 @@ object GraphOps {
     * links everything to everything and bounds the self-join blowup
     * per gram to maxDf² pairs.
     *
-    * Scale shape: explode grams map-side → (domain, gram) distinct
-    * with map-side combine → gram document-frequency agg over those
-    * skinny rows → self-join WITHIN gram buckets only (never
-    * all-pairs of domains; the maxDf cut caps each bucket) → pair
-    * count agg. The corpus text never shuffles — gram strings do.
+    * Scale shape: explode grams map-side and compress each to its
+    * 8-byte fnv64 fingerprint IN the map stage (the [[Dedup]]
+    * discipline — shuffles carry longs, never gram text; the DuckDB
+    * oracle replays raw gram strings, so fingerprint
+    * collision-freedom is itself under test) → (domain, fp) distinct
+    * with map-side combine → fp document-frequency agg over those
+    * skinny rows → self-join WITHIN fp buckets only (never all-pairs
+    * of domains; the maxDf cut caps each bucket) → pair count agg.
     */
   def domainAffinityEdges(docs: DataFrame, domainCol: String,
       textCol: String, n: Int, maxDf: Int): DataFrame = {
@@ -45,7 +48,8 @@ object GraphOps {
     require(maxDf >= 2, s"maxDf must be at least 2, got $maxDf")
     GraftFunctions.register(docs.sparkSession)
     val byDomain = docs.select(col(domainCol).as("src"),
-        explode(Dedup.shingles(col(textCol), n)).as("g"))
+        explode(call_function("fnv64_array",
+          Dedup.shingles(col(textCol), n))).as("g"))
       .groupBy("src", "g").agg(count(lit(1)).as("dummy")).drop("dummy")
     val barred = Dedup.barrier(byDomain, col("g"))
     val eligible = barred.groupBy("g")
@@ -84,19 +88,27 @@ object GraphOps {
     */
   def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be positive, got $iters")
-    val nNodes = nodes.select("node").distinct().count()
+    // The loop's rounds are SEPARATE actions; without materialization
+    // every round (and the node count) would re-run the whole edge
+    // derivation upstream of `edges` — measured 6× the operator's
+    // cost on the syndication graph. localCheckpoint the derived
+    // graph once (the GraphX discipline: iterate over a materialized
+    // edge relation), then each round touches only checkpointed
+    // inputs. Same per-round checkpoint for the N-row rank relation
+    // (the BPE/Lloyd iterative-driver pattern) so lineage stays one
+    // join + one agg deep, not a 2^round tree.
+    val n0 = nodes.select("node").distinct().localCheckpoint(true)
+    val nNodes = n0.count()
     require(nNodes > 0, "pageRank needs at least one node")
     val base = (15L * RankScale / 100L) / nNodes
     val out = edges.groupBy("src").agg(sum("weight").as("out_w"))
-    val e = Dedup.barrier(edges.join(out, "src"), col("src"))
-    val n0 = Dedup.barrier(nodes.select("node").distinct(), col("node"))
-    // per-round localCheckpoint keeps the loop's lineage flat (the
-    // BPE/Lloyd iterative-driver pattern): the rank relation is N
-    // skinny rows, so materializing it each round is cheap and every
-    // round's plan is one join + one agg, not a 2^round tree
+    val e = edges.join(out, "src").localCheckpoint(true)
+    // dangling test only needs the set of sources with out-edges —
+    // derivable from the checkpointed edge relation for free
+    val outSrcs = e.select(col("src").as("node")).distinct()
     var ranks = n0.withColumn("r", lit(RankScale / nNodes)).localCheckpoint(true)
     for (_ <- 1 to iters)
-      ranks = pageRankRound(n0, e, out, ranks, nNodes, base).localCheckpoint(true)
+      ranks = pageRankRound(n0, e, outSrcs, ranks, nNodes, base).localCheckpoint(true)
     ranks.select(col("node"), col("r").as("rank_scaled"),
       (col("r").cast("double") / lit(RankScale.toDouble)).as("rank"))
   }
@@ -109,13 +121,12 @@ object GraphOps {
     * round plan behind an RDD scan.
     */
   private[graft] def pageRankRound(n0: DataFrame, e: DataFrame,
-      out: DataFrame, ranks: DataFrame, nNodes: Long, base: Long): DataFrame = {
+      outSrcs: DataFrame, ranks: DataFrame, nNodes: Long, base: Long): DataFrame = {
     val contrib = e.join(ranks.withColumnRenamed("node", "src"), Seq("src"))
       .select(col("dst"), expr("(r * weight) div out_w").as("c"))
       .groupBy("dst").agg(sum("c").as("contrib"))
       .withColumnRenamed("dst", "node")
-    val dang = ranks.join(out.withColumnRenamed("src", "node"),
-        Seq("node"), "left_anti")
+    val dang = ranks.join(outSrcs, Seq("node"), "left_anti")
       .agg(coalesce(sum("r"), lit(0L)).as("dang"))
     n0.join(contrib, Seq("node"), "left")
       .crossJoin(broadcast(dang))

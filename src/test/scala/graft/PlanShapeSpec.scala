@@ -453,8 +453,9 @@ class PlanShapeSpec extends AnyFunSuite {
       docs, "source", "text", n = 3, maxDf = 10)
     val out = edges.groupBy("src").agg(fsum("weight").as("out_w"))
     val e = edges.join(out, "src")
+    val outSrcs = e.select(col("src").as("node")).distinct()
     val ranks = nodes.withColumn("r", lit(1000000L))
-    val plan = operators.GraphOps.pageRankRound(nodes, e, out, ranks,
+    val plan = operators.GraphOps.pageRankRound(nodes, e, outSrcs, ranks,
       nNodes = 20L, base = 100L).queryExecution.executedPlan.toString
     // the per-round rank transfer is an equi-join on the source key
     assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
