@@ -1043,4 +1043,73 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "vec_id", "adot")
   }
+
+  // ----------------------------------------------------------------
+  // Binary (1-bit) quantization — the cheapest rung of the ladder
+  // ----------------------------------------------------------------
+
+  /** Sign-bit words: dimension i contributes bit (i mod 32) of word
+    * (i div 32) when the component is >= 0. 32-bit packing (not 64)
+    * keeps every intermediate in int64 range in BOTH engines — DuckDB
+    * raises on `1::BIGINT << 63`, so a 64-bit pack could never be
+    * oracle-replayed. d dims → ceil(d/32) longs = 64× compression of
+    * a float column.
+    */
+  private[graft] def binaryWords(eCol: String, dim: Int): Column = {
+    val nWords = (dim + 31) / 32
+    expr(
+      s"""transform(sequence(0, ${nWords - 1}), w ->
+         |  aggregate(sequence(0, 31), 0L, (acc, j) ->
+         |    IF(w * 32 + j < size($eCol)
+         |         AND element_at($eCol, w * 32 + j + 1) >= 0D,
+         |       acc + shiftleft(1L, j), acc)))""".stripMargin)
+  }
+
+  /** Binary-quantized ANN: Hamming-distance candidate generation over
+    * sign-bit words, exact-cosine re-rank — the cheapest tier of the
+    * quantization ladder (SQ int8 4×, PQ m-byte, IVF-PQ pruned scan,
+    * and now 1-bit at 64×). The asymmetric trick the other tiers use
+    * does not exist at 1 bit, so this is the classic
+    * candidates-then-refine shape: Hamming agrees with angular
+    * distance in expectation (sign-random-projection duality), the
+    * re-rank makes the final order exact over `rerank` candidates.
+    *
+    * Scale shape: the scan side carries ONLY (id, ceil(d/32) longs) —
+    * the 64×-compressed code column; queries broadcast; per-query
+    * candidate cut is a rank-pushdown window; then the skinny
+    * candidate set broadcasts AGAINST THE PRIMARY STORE to fetch raw
+    * vectors for the exact refine (the t67 two-tier shape — map-only,
+    * no shuffle of the vector column ever). The oracle replays
+    * packing, Hamming, candidate cut, and refine bit-for-bit.
+    */
+  def binaryTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int, rerank: Int, dim: Int = 64): DataFrame = {
+    require(rerank >= k, s"rerank depth $rerank must cover k = $k")
+    val v = withNorm(emb, idCol, vecCol)
+    val coded = v.select(col("id"), binaryWords("e", dim).as("words"))
+    val q = coded.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("query_id"), col("words").as("qwords"))
+    val wH = Window.partitionBy("query_id").orderBy(col("hamming"), col("id"))
+    val cand = coded.join(broadcast(q), col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"),
+        expr("""aggregate(zip_with(qwords, words, (a, b) -> bit_count(a ^ b)),
+                |  0L, (acc, x) -> acc + CAST(x AS BIGINT))""".stripMargin)
+          .as("hamming"))
+      .withColumn("hrank", row_number().over(wH))
+      .filter(col("hrank") <= rerank)
+      .select("query_id", "id", "hamming")
+    // refine: fetch raw vectors for the skinny candidate set, exact
+    // sequential-fold cosine decides the final order
+    val qv = v.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("query_id"), col("e").as("qe"), col("n").as("qn"))
+    val wC = Window.partitionBy("query_id")
+      .orderBy(col("cosine_sim").desc, col("vec_id"))
+    v.join(broadcast(cand), Seq("id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("id").as("vec_id"), col("hamming"),
+        (dot(col("e"), col("qe")) / (col("n") * col("qn"))).as("cosine_sim"))
+      .withColumn("rank", row_number().over(wC).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "hamming", "cosine_sim")
+  }
 }

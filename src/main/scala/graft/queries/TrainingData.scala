@@ -1241,6 +1241,15 @@ object TrainingData {
       .select(col("doc_id"), col("source"), col("domain_rank"))
       .orderBy("doc_id")
 
+  /** Binary-quantization ANN ([[Similarity.binaryTopK]]): sign-bit
+    * words, Hamming candidates (depth 16), exact-cosine refine to
+    * top-5 — the oracle replays packing, Hamming, cut, and refine.
+    */
+  def annBinaryTopK(spark: SparkSession, dir: String): DataFrame =
+    Similarity.binaryTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        PqQueryIds, k = 5, rerank = 16)
+      .orderBy("query_id", "rank")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_text_stats" -> docTextStats _,
     "t02_lang_id" -> docLangId _,
@@ -1314,6 +1323,7 @@ object TrainingData {
     "t70_domain_pagerank" -> docDomainPageRank _,
     "t71_bigram_quality" -> docBigramQuality _,
     "t72_domain_cap" -> docDomainCap _,
+    "t73_ann_binary_topk" -> annBinaryTopK _,
   )
 
   /** Shared DuckDB CTE fragment: per-doc word-trigram shingle sets,
@@ -2525,6 +2535,54 @@ object TrainingData {
           |  CAST(CASE WHEN n_bigrams > 0 THEN sum_scaled // n_bigrams
           |       ELSE 0 END AS DOUBLE) / 1000000000.0 AS score
           |FROM res ORDER BY doc_id""".stripMargin,
+      // t73: sign-bit 32-bit-word packing (DuckDB raises on 1<<63, so
+      // 32-bit words are the oracle-replayable layout), Hamming via
+      // bit_count(xor), candidate cut at 16, exact-cosine refine
+      "t73_ann_binary_topk" ->
+        s"""WITH v AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+           |), bw AS (
+           |  SELECT vec_id, list_transform(range(0, 2), wi ->
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(range(0, 32), j ->
+           |        CASE WHEN wi * 32 + j < len(e)
+           |                  AND e[CAST(wi * 32 + j + 1 AS INT)] >= 0
+           |             THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+           |             ELSE CAST(0 AS BIGINT) END)),
+           |      (a, b) -> a | b)) AS words
+           |  FROM v
+           |), q AS (
+           |  SELECT vec_id AS query_id, words AS qwords FROM bw
+           |  WHERE vec_id IN (0, 7, 42)
+           |), h AS (
+           |  SELECT q.query_id, b.vec_id,
+           |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(range(0, 2), i ->
+           |        CAST(bit_count(xor(q.qwords[CAST(i + 1 AS INT)],
+           |          b.words[CAST(i + 1 AS INT)])) AS BIGINT))),
+           |      (a, b) -> a + b) AS BIGINT) AS hamming
+           |  FROM bw b CROSS JOIN q WHERE b.vec_id <> q.query_id
+           |), hr AS (
+           |  SELECT query_id, vec_id, hamming,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY hamming, vec_id) AS hrank
+           |  FROM h
+           |), cand AS (
+           |  SELECT query_id, vec_id, hamming FROM hr WHERE hrank <= 16
+           |), rr AS (
+           |  SELECT c.query_id, c.vec_id, c.hamming,
+           |    ${cosSql("dv.e", "qv.e")} AS cosine_sim
+           |  FROM cand c
+           |  JOIN v dv ON dv.vec_id = c.vec_id
+           |  JOIN v qv ON qv.vec_id = c.query_id
+           |), rk AS (
+           |  SELECT query_id, vec_id, hamming, cosine_sim,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY cosine_sim DESC, vec_id) AS BIGINT) AS rank
+           |  FROM rr
+           |)
+           |SELECT query_id, rank, vec_id, hamming, cosine_sim
+           |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
       // t72: the engine's deterministic 32-bit id-hash order replayed
       // verbatim inside the per-domain window
       "t72_domain_cap" ->

@@ -468,6 +468,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(1200))
   }
 
+  test("t73: binary ANN broadcasts queries and candidates; rank-pushdown cuts") {
+    val plan = planOf(operators.Similarity.binaryTopK(
+      Tables.embeddings(spark, dir), "vec_id", "embedding",
+      Seq(0L, 7L, 42L), k = 5, rerank = 16))
+    // query words and the skinny candidate set both ride broadcasts —
+    // the vector column never shuffles
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"queries/candidates lost their broadcast:\n${plan.take(1200)}")
+    assert(plan.contains("WindowGroupLimit"),
+      s"candidate cut lost its rank pushdown:\n${plan.take(1200)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+  }
+
   test("t54: HLL registers partial-aggregate map-side; no wide shuffle") {
     val plan = planOf(operators.CorpusOps.hllDistinctSketch(
       Tables.documents(spark, dir), "text", 3, 8))

@@ -48,4 +48,41 @@ class PqRecallSpec extends AnyFunSuite {
     // land far above it
     assert(recall >= 0.2, f"ADC recall collapsed: $recall%.2f")
   }
+
+  test("binary sign-bit words pack as documented; Hamming self-distance is zero") {
+    import spark.implicits._
+    // dims 0..63: sign pattern +,-,+,- ... -> bits 0,2,4,... of each
+    // 32-bit word = 0x55555555
+    val alt = (0 until 64).map(i => if (i % 2 == 0) 1.0f else -1.0f).toArray
+    val allPos = Array.fill(64)(0.5f)
+    val df = Seq((1L, alt), (2L, allPos)).toDF("vec_id", "embedding")
+    val words = df.select(col("vec_id"),
+        graft.operators.Similarity.binaryWords("embedding", 64).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(words(1L) == Seq(0x55555555L, 0x55555555L), words(1L).toString)
+    assert(words(2L) == Seq(0xffffffffL, 0xffffffffL), words(2L).toString)
+    // Hamming between the two patterns = 32 zero-bits flipped
+    val h = (words(1L), words(2L)).zipped
+      .map((a, b) => java.lang.Long.bitCount(a ^ b)).sum
+    assert(h == 32)
+  }
+
+  test("binary top-5 with exact refine overlaps exact cosine top-5 well above chance") {
+    val emb = Tables.embeddings(spark, dir)
+    val qids = Seq(0L, 7L, 42L)
+    val bin = Similarity.binaryTopK(emb, "vec_id", "embedding", qids,
+        k = 5, rerank = 16)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 5)
+      .filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bin & exact).size.toDouble / exact.size
+    info(f"binary+refine top-5 recall vs exact cosine: $recall%.2f")
+    // 1 bit per dim keeps far more angular signal than chance (~0.01);
+    // the exact refine means every returned rank is cosine-true over
+    // the candidate set
+    assert(recall >= 0.2, f"binary recall collapsed: $recall%.2f")
+  }
 }
