@@ -1006,6 +1006,35 @@ object CorpusOps {
       .drop("__thr")
   }
 
+  /** Square-root (temperature α = 0.5) rebalancing — the standard
+    * multilingual/multi-domain smoothing: keep each stratum's docs at
+    * rate min(1, scale/√nₛ), so surviving stratum sizes concentrate
+    * at ~scale·√nₛ — giant domains compress hard, small domains pass
+    * through whole, relative order preserved. α is FIXED at 0.5
+    * because IEEE-754 requires sqrt correctly rounded (both engines
+    * agree bit-for-bit) while pow carries no such guarantee — the
+    * general-α temperature rate could silently diverge from the
+    * oracle in the last ulp right at a threshold boundary.
+    *
+    * Scale shape: identical to [[mixtureSample]] — one stratum-count
+    * aggregation, a tiny broadcast threshold relation, a map-side
+    * hash filter. Deterministic: re-running selects the same rows.
+    */
+  def sqrtTemperatureSample(docs: DataFrame, idCol: String,
+      stratumCol: String, scale: Double): DataFrame = {
+    require(scale > 0.0, s"scale must be positive, got $scale")
+    val thresholds = docs.groupBy(stratumCol)
+      .agg(count(lit(1)).as("__n"))
+      .select(col(stratumCol),
+        floor(least(lit(1.0),
+          lit(scale) / sqrt(col("__n").cast("double")))
+          * lit(4294967296.0)).cast("long").as("__thr"))
+    val h = ((col(idCol) % 1000003L) * 2654435761L + 123456789L) % 4294967296L
+    docs.join(broadcast(thresholds), Seq(stratumCol))
+      .filter(h < col("__thr"))
+      .drop("__thr")
+  }
+
   /** Token-budget mixture sampling — the data-recipe primitive "take
     * documents from each source, in a deterministic shuffled order,
     * until that source's TOKEN budget is spent" (training mixtures

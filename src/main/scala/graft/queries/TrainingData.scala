@@ -1250,6 +1250,16 @@ object TrainingData {
         PqQueryIds, k = 5, rerank = 16)
       .orderBy("query_id", "rank")
 
+  /** Square-root temperature rebalancing over languages
+    * ([[CorpusOps.sqrtTemperatureSample]], scale 2.0): heavy
+    * languages compress toward ~2·√n docs, small ones pass whole.
+    */
+  def docSqrtTemperature(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.sqrtTemperatureSample(Tables.documents(spark, dir), "doc_id",
+        "lang", scale = 2.0)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_text_stats" -> docTextStats _,
     "t02_lang_id" -> docLangId _,
@@ -1324,6 +1334,7 @@ object TrainingData {
     "t71_bigram_quality" -> docBigramQuality _,
     "t72_domain_cap" -> docDomainCap _,
     "t73_ann_binary_topk" -> annBinaryTopK _,
+    "t74_sqrt_temperature" -> docSqrtTemperature _,
   )
 
   /** Shared DuckDB CTE fragment: per-doc word-trigram shingle sets,
@@ -2583,6 +2594,22 @@ object TrainingData {
            |)
            |SELECT query_id, rank, vec_id, hamming, cosine_sim
            |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+      // t74: IEEE sqrt is correctly rounded in both engines, so the
+      // fixed op sequence FLOOR(LEAST(1, scale/sqrt(n))*2^32) is
+      // bit-identical; survival is the shared 32-bit id-hash filter
+      "t74_sqrt_temperature" ->
+        """WITH cnt AS (
+          |  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+          |), thr AS (
+          |  SELECT lang,
+          |    CAST(FLOOR(LEAST(1.0, 2.0 / sqrt(CAST(n AS DOUBLE)))
+          |      * 4294967296.0) AS BIGINT) AS thr
+          |  FROM cnt
+          |)
+          |SELECT d.doc_id, d.lang, d.source
+          |FROM documents d JOIN thr USING (lang)
+          |WHERE ((d.doc_id % 1000003) * 2654435761 + 123456789) % 4294967296 < thr
+          |ORDER BY d.doc_id""".stripMargin,
       // t72: the engine's deterministic 32-bit id-hash order replayed
       // verbatim inside the per-domain window
       "t72_domain_cap" ->

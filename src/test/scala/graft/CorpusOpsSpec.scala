@@ -607,6 +607,31 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(scores(12L) == rr(3).toDouble / 1e9)
   }
 
+  test("sqrtTemperatureSample: hand-computed thresholds, heavy strata compress") {
+    // 'big' has 400 docs -> rate = 2/sqrt(400) = 0.1;
+    // 'small' has 3 -> rate = min(1, 2/sqrt(3)) = 1 (passes whole)
+    val docs = ((0L until 400L).map(i => (i, "big")) ++
+      Seq((1000L, "small"), (1001L, "small"), (1002L, "small")))
+      .toDF("doc_id", "lang")
+    val kept = CorpusOps.sqrtTemperatureSample(docs, "doc_id", "lang", 2.0)
+      .select("doc_id", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val by = kept.groupBy(_._2)
+    assert(by("small").length == 3, "under-threshold strata pass whole")
+    // exact replay of the engine arithmetic decides membership
+    def h(id: Long) = ((id % 1000003L) * 2654435761L + 123456789L) % 4294967296L
+    val thr = math.floor(math.min(1.0, 2.0 / math.sqrt(400.0)) * 4294967296.0).toLong
+    val expect = (0L until 400L).filter(h(_) < thr).toSet
+    assert(by("big").map(_._1).toSet == expect)
+    // ~scale*sqrt(n) = ~40 docs survive the heavy stratum
+    assert(by("big").length > 20 && by("big").length < 60, by("big").length.toString)
+    // deterministic across re-runs
+    val again = CorpusOps.sqrtTemperatureSample(docs, "doc_id", "lang", 2.0)
+      .select("doc_id", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("hybridRetrievalTopK equals fusing the standalone channels row-for-row") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val qs = Seq(1L -> "spark window join", 2L -> "hash merge batch")
