@@ -1065,6 +1065,11 @@ object Similarity {
          |       acc + shiftleft(1L, j), acc)))""".stripMargin)
   }
 
+  /** Word-wise Hamming distance between two sign-bit word arrays. */
+  private def hammingWords(a: String, b: String): Column =
+    expr(s"""aggregate(zip_with($a, $b, (x, y) -> bit_count(x ^ y)),
+            |  0L, (acc, v) -> acc + CAST(v AS BIGINT))""".stripMargin)
+
   /** Binary-quantized ANN: Hamming-distance candidate generation over
     * sign-bit words, exact-cosine re-rank — the cheapest tier of the
     * quantization ladder (SQ int8 4×, PQ m-byte, IVF-PQ pruned scan,
@@ -1092,9 +1097,7 @@ object Similarity {
     val wH = Window.partitionBy("query_id").orderBy(col("hamming"), col("id"))
     val cand = coded.join(broadcast(q), col("id") =!= col("query_id"))
       .select(col("query_id"), col("id"),
-        expr("""aggregate(zip_with(qwords, words, (a, b) -> bit_count(a ^ b)),
-                |  0L, (acc, x) -> acc + CAST(x AS BIGINT))""".stripMargin)
-          .as("hamming"))
+        hammingWords("qwords", "words").as("hamming"))
       .withColumn("hrank", row_number().over(wH))
       .filter(col("hrank") <= rerank)
       .select("query_id", "id", "hamming")
@@ -1111,5 +1114,94 @@ object Similarity {
       .withColumn("rank", row_number().over(wC).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "vec_id", "hamming", "cosine_sim")
+  }
+
+  /** Read-back schema for the persisted binary index — cell rides the
+    * partition directories (LONG pinned for the same reason as
+    * [[CodesSchema]]).
+    */
+  private val BinCodesSchema = "id LONG, words ARRAY<BIGINT>, cell LONG"
+
+  /** Build a persisted IVF-BINARY index under `path` — [[binaryTopK]]'s
+    * 1-bit codes under [[buildIvfPqIndex]]'s cell-partitioned layout,
+    * the FAISS IVF+binary configuration: `centroids` (the frozen
+    * coarse quantizer) and `codes` (id, ceil(d/32) sign-bit words)
+    * written `partitionBy(cell)`. LAYOUT IS THE INDEX: a probe of
+    * nprobe cells reads ~nprobe/nlist of the code FILES via partition
+    * pruning, and each pruned row is 8·ceil(d/32)+8 bytes — the two
+    * scan-reduction levers (prune WHICH rows, shrink EACH row)
+    * composed. At-rest footprint: ~1/64 of the float column.
+    */
+  def buildIvfBinaryIndex(emb: DataFrame, idCol: String, vecCol: String,
+      path: String, minNlist: Int = 16, dim: Int = 64,
+      centroidsOpt: Option[DataFrame] = None): Unit = {
+    val v = withNorm(emb, idCol, vecCol)
+    val c = centroidsOpt.getOrElse(trainedCentroids(v, minNlist))
+    c.write.mode("overwrite").parquet(s"$path/centroids")
+    val cells = v.join(broadcast(c))
+      .select(col("id"),
+        struct((-(dot(col("e"), col("ce")) / (col("n") * col("cn")))).as("negcs"),
+          col("cid")).as("sc"))
+      .groupBy("id").agg(min(col("sc")).as("best"))
+      .select(col("id"), col("best")("cid").as("cell"))
+    v.select(col("id"), binaryWords("e", dim).as("words"))
+      .join(cells, "id")
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+  }
+
+  /** Search a persisted [[buildIvfBinaryIndex]] index: queries probe
+    * their nprobe best cells against the stored centroids (identical
+    * routing arithmetic to [[searchIvfPqIndex]]), Hamming-score ONLY
+    * the probed cells' stored sign-bit words (the probe join is
+    * broadcast on the partition column — dynamic partition pruning
+    * reads only probed cells' files, nothing shuffles before the
+    * probe filter), cut to `rerank` candidates per query, then the
+    * exact-cosine refine fetches raw vectors by broadcasting the
+    * skinny candidate set against the primary store (the
+    * [[searchIvfPqIndexRerank]] two-tier shape). The oracle replays
+    * routing, packing, Hamming, cut, and refine bit-for-bit.
+    */
+  def searchIvfBinaryIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, vectors: DataFrame, idCol: String,
+      vecCol: String, k: Int, rerank: Int, nprobe: Int = 2,
+      dim: Int = 64): DataFrame = {
+    require(rerank >= k, s"rerank depth $rerank must cover k = $k")
+    GraftFunctions.register(spark)
+    val c = spark.read.parquet(s"$path/centroids")
+    val codes = spark.read.schema(BinCodesSchema).parquet(s"$path/codes")
+    val e = transform(col(vecCol), x => x.cast("double"))
+    val qv = queries.select(col(idCol).as("qid"), e.as("e"), norm(e).as("n"))
+    val wp = Window.partitionBy("qid").orderBy(col("negcs"), col("cell"))
+    val qprobes = qv.join(broadcast(c))
+      .select(col("qid"),
+        (-(dot(col("e"), col("ce")) / (col("n") * col("cn")))).as("negcs"),
+        col("cid").as("cell"))
+      .withColumn("pr", row_number().over(wp))
+      .filter(col("pr") <= nprobe)
+      .select(col("qid"), col("cell"))
+    val qcodes = qv.select(col("qid"), binaryWords("e", dim).as("qwords"))
+    val cand = codes.join(broadcast(qprobes), Seq("cell"))
+      .join(broadcast(qcodes), Seq("qid"))
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid").as("query_id"), col("id"), col("cell"),
+        hammingWords("qwords", "words").as("hamming"))
+      .withColumn("hrank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("hamming"), col("id"))))
+      .filter(col("hrank") <= rerank)
+      .select("query_id", "id", "cell", "hamming")
+    val pv = withNorm(vectors, idCol, vecCol)
+    val qpv = qv.select(col("qid").as("query_id"), col("e").as("qe"),
+      col("n").as("qn"))
+    val wC = Window.partitionBy("query_id")
+      .orderBy(col("cosine_sim").desc, col("vec_id"))
+    pv.join(broadcast(cand), Seq("id"))
+      .join(broadcast(qpv), Seq("query_id"))
+      .select(col("query_id"), col("id").as("vec_id"), col("cell"),
+        col("hamming"),
+        (dot(col("e"), col("qe")) / (col("n") * col("qn"))).as("cosine_sim"))
+      .withColumn("rank", row_number().over(wC).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cell", "hamming", "cosine_sim")
   }
 }

@@ -1260,6 +1260,27 @@ object TrainingData {
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy("doc_id")
 
+  /** Persisted IVF-binary index under the oracle gate
+    * ([[Similarity.buildIvfBinaryIndex]] →
+    * [[Similarity.searchIvfBinaryIndex]]): t73's 1-bit codes under
+    * t63's cell-partitioned layout — probes prune the scan to
+    * ~nprobe/nlist of the code files, Hamming scores 8-byte-pair
+    * rows, the exact-cosine refine decides the final order. The
+    * oracle replays the Lloyd quantizer, cell routing, probe choice,
+    * packing, Hamming, cut, and refine.
+    */
+  def annIvfBinaryPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val path = sessionIndexPath(spark, "t75_ivfbin", dir) { p =>
+      Similarity.buildIvfBinaryIndex(emb, "vec_id", "embedding", p,
+        minNlist = 16, centroidsOpt = Some(fullCorpusCentroids(spark, dir)))
+    }
+    Similarity.searchIvfBinaryIndex(spark, path,
+        emb.filter(col("vec_id").isin(PqQueryIds: _*)), emb,
+        "vec_id", "embedding", k = 5, rerank = 16, nprobe = 2)
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_text_stats" -> docTextStats _,
     "t02_lang_id" -> docLangId _,
@@ -1335,6 +1356,7 @@ object TrainingData {
     "t72_domain_cap" -> docDomainCap _,
     "t73_ann_binary_topk" -> annBinaryTopK _,
     "t74_sqrt_temperature" -> docSqrtTemperature _,
+    "t75_ann_ivfbin_persisted" -> annIvfBinaryPersisted _,
   )
 
   /** Shared DuckDB CTE fragment: per-doc word-trigram shingle sets,
@@ -2593,6 +2615,69 @@ object TrainingData {
            |  FROM rr
            |)
            |SELECT query_id, rank, vec_id, hamming, cosine_sim
+           |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+      // t75: the IVF-binary persisted index — Lloyd quantizer + cell
+      // routing CTEs shared with t59/t63's replay, t73's 32-bit-word
+      // packing and Hamming, probe-restricted candidates, cosine
+      // refine
+      "t75_ann_ivfbin_persisted" ->
+        s"""WITH v AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+           |), ${lloydCtes("v", 16)}, pasg AS (
+           |  SELECT v.vec_id, c.cid, ${cosSql("v.e", "c.ce")} AS cs
+           |  FROM v, lc2 c
+           |), pasgr AS (
+           |  SELECT vec_id, cid,
+           |    ROW_NUMBER() OVER (PARTITION BY vec_id
+           |      ORDER BY cs DESC, cid) AS pr
+           |  FROM pasg
+           |), vcells AS (
+           |  SELECT vec_id, cid FROM pasgr WHERE pr = 1
+           |), qpr AS (
+           |  SELECT vec_id AS qid, cid FROM pasgr
+           |  WHERE pr <= 2 AND vec_id IN (${PqQueryIds.mkString(", ")})
+           |), bw AS (
+           |  SELECT vec_id, list_transform(range(0, 2), wi ->
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(range(0, 32), j ->
+           |        CASE WHEN wi * 32 + j < len(e)
+           |                  AND e[CAST(wi * 32 + j + 1 AS INT)] >= 0
+           |             THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+           |             ELSE CAST(0 AS BIGINT) END)),
+           |      (a, b) -> a | b)) AS words
+           |  FROM v
+           |), h AS (
+           |  SELECT qpr.qid AS query_id, b.vec_id, ce.cid AS cell,
+           |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(range(0, 2), i ->
+           |        CAST(bit_count(xor(qb.words[CAST(i + 1 AS INT)],
+           |          b.words[CAST(i + 1 AS INT)])) AS BIGINT))),
+           |      (a, b) -> a + b) AS BIGINT) AS hamming
+           |  FROM bw b
+           |  JOIN vcells ce ON ce.vec_id = b.vec_id
+           |  JOIN qpr ON qpr.cid = ce.cid
+           |  JOIN bw qb ON qb.vec_id = qpr.qid
+           |  WHERE b.vec_id <> qpr.qid
+           |), hr AS (
+           |  SELECT query_id, vec_id, cell, hamming,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY hamming, vec_id) AS hrank
+           |  FROM h
+           |), cand AS (
+           |  SELECT query_id, vec_id, cell, hamming FROM hr WHERE hrank <= 16
+           |), rr AS (
+           |  SELECT c.query_id, c.vec_id, c.cell, c.hamming,
+           |    ${cosSql("dv.e", "qv.e")} AS cosine_sim
+           |  FROM cand c
+           |  JOIN v dv ON dv.vec_id = c.vec_id
+           |  JOIN v qv ON qv.vec_id = c.query_id
+           |), rk AS (
+           |  SELECT query_id, vec_id, cell, hamming, cosine_sim,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY cosine_sim DESC, vec_id) AS BIGINT) AS rank
+           |  FROM rr
+           |)
+           |SELECT query_id, rank, vec_id, cell, hamming, cosine_sim
            |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
       // t74: IEEE sqrt is correctly rounded in both engines, so the
       // fixed op sequence FLOOR(LEAST(1, scale/sqrt(n))*2^32) is

@@ -367,6 +367,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(1200))
   }
 
+  test("persisted IVF-binary search prunes the codes SCAN to probed cells") {
+    val emb = Tables.embeddings(spark, dir)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfbin_plan")
+      .resolve("index").toString
+    operators.Similarity.buildIvfBinaryIndex(emb, "vec_id", "embedding", path,
+      minNlist = 16)
+    val df = operators.Similarity.searchIvfBinaryIndex(spark, path,
+      emb.filter(org.apache.spark.sql.functions.col("vec_id")
+        .isin(0L, 7L, 42L)), emb, "vec_id", "embedding",
+      k = 5, rerank = 16, nprobe = 2)
+    val plan = df.queryExecution.executedPlan.toString
+    // same discipline as the IVF-PQ store: the probe broadcast must
+    // reach the codes scan as a partition filter, and the codes
+    // relation must never shuffle ahead of it
+    assert(plan.contains("dynamicpruningexpression(cell"),
+      s"codes scan lost its dynamic partition pruning on cell:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"codes relation shuffled before the probe filter:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+  }
+
   test("persisted inverted-index search prunes the postings SCAN to the " +
       "query terms' buckets") {
     val docs = Tables.documents(spark, dir)

@@ -85,4 +85,31 @@ class PqRecallSpec extends AnyFunSuite {
     // the candidate set
     assert(recall >= 0.2, f"binary recall collapsed: $recall%.2f")
   }
+
+  test("persisted IVF-binary search stays above chance and hamming-orders its candidates") {
+    val emb = Tables.embeddings(spark, dir)
+    val qids = Seq(0L, 7L, 42L)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfbin_recall")
+      .resolve("index").toString
+    Similarity.buildIvfBinaryIndex(emb, "vec_id", "embedding", path, minNlist = 16)
+    val rows = Similarity.searchIvfBinaryIndex(spark, path,
+        emb.filter(col("vec_id").isin(qids: _*)), emb, "vec_id", "embedding",
+        k = 5, rerank = 16, nprobe = 2)
+      .collect()
+    assert(rows.length == qids.size * 5)
+    val got = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 5)
+      .filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got & exact).size.toDouble / exact.size
+    info(f"IVF-binary (nprobe 2, rerank 16) top-5 recall: $recall%.2f")
+    // probing loses cells on top of the 1-bit loss; chance is ~0.01
+    assert(recall >= 0.1, f"IVF-binary recall collapsed: $recall%.2f")
+    // ranks are cosine-ordered within each query
+    rows.groupBy(_.getLong(0)).values.foreach { qr =>
+      val byRank = qr.sortBy(_.getLong(1)).map(_.getDouble(5))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
 }
