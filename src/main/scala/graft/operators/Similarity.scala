@@ -1150,6 +1150,33 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
   }
 
+  /** Ingest a NEW batch into a persisted [[buildIvfBinaryIndex]]
+    * index: route against the STORED centroids (frozen quantizer —
+    * the [[appendToIvfPqIndex]] discipline), pack sign-bit words, and
+    * append into the cell partitions. Routing is deterministic under
+    * the frozen quantizer, so the final codes contents are
+    * independent of how arrivals were batched; same single-ingest
+    * replay caveat as the PQ append (parquet appends are not
+    * replay-idempotent).
+    */
+  def appendToIvfBinaryIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String, vecCol: String,
+      dim: Int = 64): Unit = {
+    GraftFunctions.register(spark)
+    val c = spark.read.parquet(s"$path/centroids")
+    val v = withNorm(batch, idCol, vecCol)
+    val batchCells = v.join(broadcast(c))
+      .select(col("id"),
+        struct((-(dot(col("e"), col("ce")) / (col("n") * col("cn")))).as("negcs"),
+          col("cid")).as("sc"))
+      .groupBy("id").agg(min(col("sc")).as("best"))
+      .select(col("id"), col("best")("cid").as("cell"))
+    v.select(col("id"), binaryWords("e", dim).as("words"))
+      .join(batchCells, "id")
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+  }
+
   /** Search a persisted [[buildIvfBinaryIndex]] index: queries probe
     * their nprobe best cells against the stored centroids (identical
     * routing arithmetic to [[searchIvfPqIndex]]), Hamming-score ONLY

@@ -262,6 +262,29 @@ object EventStreams {
     q.stop()
   }
 
+  /** Streaming IVF-binary ingestion — the 1-bit twin of
+    * [[ivfPqIngestStream]]: per micro-batch, route arrivals against
+    * the persisted index's frozen quantizer and append their sign-bit
+    * words into the cell partitions
+    * ([[graft.operators.Similarity.appendToIvfBinaryIndex]]);
+    * everything streamed becomes immediately searchable through the
+    * pruned [[graft.operators.Similarity.searchIvfBinaryIndex]] scan.
+    * Deterministic routing ⇒ state independent of the micro-batch
+    * cut (StreamingSpec pins it equal to one batch append).
+    */
+  def ivfBinaryIngestStream(vecs: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val q = vecs.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Similarity.appendToIvfBinaryIndex(
+          batch.sparkSession, path, batch.toDF(), idCol, vecCol)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Streaming HLL maintenance: per micro-batch, fold the arriving
     * documents' n-gram hashes into HLL registers
     * ([[graft.operators.CorpusOps.hllRegisters]]) and MERGE-BY-MAX

@@ -353,6 +353,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(hits.count() > 0)
   }
 
+  test("streaming IVF-binary ingestion: micro-batch cuts leave the same " +
+      "index state as one batch append") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val d = java.nio.file.Files.createTempDirectory("graft_ivfbinstream")
+    val streamed = d.resolve("index_s").toString
+    val reference = d.resolve("index_b").toString
+    Similarity.buildIvfBinaryIndex(emb.filter(col("vec_id") < 400), "vec_id",
+      "embedding", streamed, minNlist = 16)
+    Similarity.buildIvfBinaryIndex(emb.filter(col("vec_id") < 400), "vec_id",
+      "embedding", reference, minNlist = 16)
+    val arrivals = emb.filter(col("vec_id") >= 400)
+    arrivals.repartition(3).write.parquet(d.resolve("in").toString)
+    EventStreams.ivfBinaryIngestStream(
+      spark.readStream.schema(arrivals.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d.resolve("in").toString),
+      "vec_id", "embedding", streamed)
+    Similarity.appendToIvfBinaryIndex(spark, reference, arrivals,
+      "vec_id", "embedding")
+    val a = spark.read.parquet(s"$streamed/codes")
+    val b = spark.read.parquet(s"$reference/codes")
+    assert(a.count() == b.count() &&
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "stream-ingested codes diverge from the one-shot append")
+    // streamed arrivals are searchable through the live pruned index
+    val hits = Similarity.searchIvfBinaryIndex(spark, streamed,
+      emb.filter(col("vec_id") === 453L), emb, "vec_id", "embedding",
+      k = 5, rerank = 16)
+    assert(hits.count() == 5)
+  }
+
   test("foreachBatch upsert sink: latest row per key, idempotent on replay") {
     val out = java.nio.file.Files.createTempDirectory("graft_upsert")
       .resolve("user_state").toString
