@@ -42,6 +42,34 @@ object Dedup {
     docs.join(survivors, Seq(idCol), "left_semi")
   }
 
+  /** Canonical text normalization for dedup: lowercase, strip the
+    * sentence-punctuation class, collapse whitespace runs, trim — the
+    * transform that makes "Hello, World" and "hello  world" the same
+    * document. Deliberately regex-only (no Unicode NFC/NFKC): JVM
+    * `Normalizer` and DuckDB `nfc_normalize` are different
+    * implementations of a huge table, and the fixture could not
+    * distinguish them — the oracle would assert nothing. The regex
+    * class is shared verbatim with the DuckDB replay.
+    */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[.,!?;:]", ""), "\\s+", " "))
+
+  /** Case/punctuation/whitespace-insensitive exact dedup — [[exact]]
+    * over [[normalizeText]]: catches the re-hosted copy that differs
+    * only in casing, punctuation, or reflowed whitespace, which
+    * byte-exact dedup misses and near-dup machinery is overkill for.
+    * Same scale shape as [[exact]]: map-side normalize+hash, one
+    * digest-keyed agg, a semi-join back; the shuffle carries 32-byte
+    * digests, never text.
+    */
+  def normalizedExact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val survivors = docs
+      .select(col(idCol), sha2(normalizeText(col(textCol)), 256).as("__h"))
+      .groupBy("__h").agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    docs.join(survivors, Seq(idCol), "left_semi")
+  }
+
   /** Word n-gram shingles (distinct, first-occurrence order) via the
     * native [[graft.functions.NGrams]] expression — the composable
     * transform/slice/concat_ws form evaluated its lambdas

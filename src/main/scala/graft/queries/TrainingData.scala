@@ -1281,6 +1281,24 @@ object TrainingData {
       .orderBy("query_id", "rank")
   }
 
+  /** Normalized exact dedup ([[Dedup.normalizedExact]]) under a
+    * DISCRIMINATING gate: the fixture has no case/punctuation
+    * variants, so the query plants one — every 10th doc gains a
+    * perturbed twin (id+1e6, UPPER text + trailing " .") that
+    * byte-exact dedup keeps and normalized dedup must collapse back
+    * onto the original. Survivors = exactly the original corpus.
+    */
+  def dedupNormalizedExact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val planted = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(upper(col("text")), lit(" .")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    Dedup.normalizedExact(docs.unionByName(planted), "doc_id", "text")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_text_stats" -> docTextStats _,
     "t02_lang_id" -> docLangId _,
@@ -1357,6 +1375,7 @@ object TrainingData {
     "t73_ann_binary_topk" -> annBinaryTopK _,
     "t74_sqrt_temperature" -> docSqrtTemperature _,
     "t75_ann_ivfbin_persisted" -> annIvfBinaryPersisted _,
+    "t76_dedup_normalized" -> dedupNormalizedExact _,
   )
 
   /** Shared DuckDB CTE fragment: per-doc word-trigram shingle sets,
@@ -2679,6 +2698,24 @@ object TrainingData {
            |)
            |SELECT query_id, rank, vec_id, cell, hamming, cosine_sim
            |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+      // t76: the oracle groups by the RAW normalized text (the
+      // engine's sha2 digest grouping keeps collision-freedom under
+      // test, the t04 discipline) over the same planted perturbation
+      "t76_dedup_normalized" ->
+        """WITH all_docs AS (
+          |  SELECT doc_id, text, lang, source, n_chars FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 1000000, upper(text) || ' .', lang, source, n_chars
+          |  FROM documents WHERE doc_id % 10 = 0
+          |), norm AS (
+          |  SELECT doc_id, lang, source, n_chars,
+          |    trim(regexp_replace(regexp_replace(lower(text),
+          |      '[.,!?;:]', '', 'g'), '\s+', ' ', 'g')) AS nt
+          |  FROM all_docs
+          |)
+          |SELECT doc_id, lang, source, n_chars FROM norm
+          |WHERE doc_id IN (SELECT MIN(doc_id) FROM norm GROUP BY nt)
+          |ORDER BY doc_id""".stripMargin,
       // t74: IEEE sqrt is correctly rounded in both engines, so the
       // fixed op sequence FLOOR(LEAST(1, scale/sqrt(n))*2^32) is
       // bit-identical; survival is the shared 32-bit id-hash filter

@@ -58,6 +58,27 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(deduped.count() == distinctTexts)
   }
 
+  test("normalized dedup collapses case/punct/whitespace twins byte-exact keeps") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hello world how are you"),
+      (2L, "Hello,  World how are   you ."), // normalizes onto doc 1
+      (3L, "HELLO WORLD HOW ARE YOU-"),      // '-' is outside the class -> distinct
+      (4L, "something else entirely"))
+      .toDF("doc_id", "text")
+    // byte-exact sees four distinct texts
+    assert(Dedup.exact(docs, "doc_id", "text").count() == 4)
+    val kept = Dedup.normalizedExact(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L), kept.toString)
+    // the normalization itself, hand-checked
+    val nt = docs.select(Dedup.normalizeText(
+        org.apache.spark.sql.functions.col("text")).as("nt"))
+      .collect().map(_.getString(0))
+    assert(nt(1) == "hello world how are you")
+    assert(nt(2) == "hello world how are you-")
+  }
+
   test("minhash LSH recalls high-similarity jaccard pairs") {
     val docs = Tables.documents(spark, dir)
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.7, 100000)
