@@ -44,11 +44,13 @@ object Inheritance {
   }
 
   /** Per-column candidate list: the name itself, then every
-    * registered [[ColumnCandidatePlugin]]'s contributions in plugin
-    * order — built-ins (case variants, prefix-stripped form;
-    * core/plugins.py:31-62), classpath-discovered services, then
-    * programmatic registrations (collect at
-    * core/inheritance.py:391-405).
+    * registered [[ColumnCandidatePlugin]]'s contributions in pluggy's
+    * LIFO dispatch order ([[ColumnCandidatePlugins.all]]) — latest
+    * programmatic registrations first, then classpath-discovered
+    * services, then the built-ins reversed (FuzzyPrefixMatching
+    * before FuzzyCaseMatching; core/plugins.py:31-72) — so under
+    * first-present-wins an external plugin's candidate shadows a
+    * built-in's (collect at core/inheritance.py:391-405).
     */
   def collectColumnVariants(node: NodeMeta, settings: EngineSettings): ListMap[String, Seq[String]] =
     ListMap(node.columns.keys.toSeq.map { name =>

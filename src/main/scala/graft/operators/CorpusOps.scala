@@ -1679,23 +1679,13 @@ object CorpusOps {
     renameOrThrow(fs, stage, metaPath)
   }
 
-  /** Hadoop `FileSystem.rename`/`delete` signal failure by RETURNING
-    * false (unlike the java.nio moves they replaced, which threw); a
-    * silently-failed meta swap would leave the index readable but
-    * stale or meta-less until a later read trips. Fail loudly instead.
-    */
   private def renameOrThrow(fs: org.apache.hadoop.fs.FileSystem,
       src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
-    if (!fs.rename(src, dst))
-      throw new java.io.IOException(s"rename failed: $src -> $dst")
+    graft.core.FsOps.renameOrThrow(fs, src, dst)
 
-  /** Recursive delete that tolerates an already-absent path (delete
-    * returns false for missing paths too — that case is benign).
-    */
   private def deleteOrThrow(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Unit =
-    if (!fs.delete(p, true) && fs.exists(p))
-      throw new java.io.IOException(s"delete failed: $p")
+    graft.core.FsOps.deleteOrThrow(fs, p)
 
   /** Rebuild a persisted index's `meta` row from its postings — the
     * recovery path for a crash that lost meta mid-swap (every

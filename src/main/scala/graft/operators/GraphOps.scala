@@ -103,6 +103,17 @@ object GraphOps {
     val base = (15L * RankScale / 100L) / nNodes
     val out = edges.groupBy("src").agg(sum("weight").as("out_w"))
     val e = edges.join(out, "src").localCheckpoint(true)
+    // int64 envelope: every per-edge transfer computes r·w with
+    // r ≤ RankScale, so the largest weight must satisfy
+    // RankScale·w < 2^63. DuckDB raises on BIGINT overflow; Spark
+    // (non-ANSI) would wrap silently to corrupt negative
+    // contributions — fail loudly at the same boundary instead. One
+    // scalar agg over the already-checkpointed edge relation.
+    val maxW = e.agg(coalesce(max("weight"), lit(0L))).collect().head.getLong(0)
+    require(maxW <= Long.MaxValue / RankScale,
+      s"pageRank edge weight $maxW overflows the int64 fixed-point " +
+        s"envelope (max ${Long.MaxValue / RankScale} at scale $RankScale) " +
+        "- reduce weights (e.g. cap shared-gram counts) or lower RankScale")
     // dangling test only needs the set of sources with out-edges —
     // derivable from the checkpointed edge relation for free
     val outSrcs = e.select(col("src").as("node")).distinct()

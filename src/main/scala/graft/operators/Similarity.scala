@@ -751,6 +751,22 @@ object Similarity {
         (col("adist_scaled").cast("double") / 1e6).as("approx_dist"))
   }
 
+  /** The determinism-critical cell routing every persisted index
+    * shares: argmin over (negated cosine, cid) — the cid tie-break is
+    * part of the oracle contract, so there is exactly ONE copy of
+    * this arithmetic for the index lifecycles (a diverging edit here
+    * would silently split an index's cells between routings).
+    * `v` is a [[withNorm]] relation; `c` a (cid, ce, cn) centroid
+    * relation (always broadcast — nlist rows).
+    */
+  private def assignCells(v: DataFrame, c: DataFrame): DataFrame =
+    v.join(broadcast(c))
+      .select(col("id"),
+        struct((-(dot(col("e"), col("ce")) / (col("n") * col("cn")))).as("negcs"),
+          col("cid")).as("sc"))
+      .groupBy("id").agg(min(col("sc")).as("best"))
+      .select(col("id"), col("best")("cid").as("cell"))
+
   /** Read-back schemas for the persisted index relations: the cell id
     * lives in the DIRECTORY name (`cell=N/`), and partition-value
     * inference would type it INT — pinning LONG here keeps the search
@@ -785,12 +801,7 @@ object Similarity {
     val v = withNorm(emb, idCol, vecCol)
     val c = centroidsOpt.getOrElse(trainedCentroids(v, minNlist))
     c.write.mode("overwrite").parquet(s"$path/centroids")
-    v.join(broadcast(c))
-      .select(col("id"),
-        struct((-(dot(col("e"), col("ce")) / (col("n") * col("cn")))).as("negcs"),
-          col("cid")).as("sc"))
-      .groupBy("id").agg(min(col("sc")).as("best"))
-      .select(col("id"), col("best")("cid").as("cell"))
+    assignCells(v, c)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
     pqCodebook(emb, idCol, vecCol, m, ksub)
@@ -830,14 +841,7 @@ object Similarity {
     val cb = spark.read.parquet(s"$path/codebook")
     val m = cb.agg(max(col("sub"))).collect().head.getLong(0).toInt + 1
     val v = withNorm(batch, idCol, vecCol)
-    val batchCells = Dedup.barrier(
-      v.join(broadcast(c))
-        .select(col("id"),
-          struct((-(dot(col("e"), col("ce")) / (col("n") * col("cn")))).as("negcs"),
-            col("cid")).as("sc"))
-        .groupBy("id").agg(min(col("sc")).as("best"))
-        .select(col("id"), col("best")("cid").as("cell")),
-      col("id"))
+    val batchCells = Dedup.barrier(assignCells(v, c), col("id"))
     pqAssignWith(cb, batch, idCol, vecCol, m)
       .select(col("id"), col("sub"), col("code"))
       .join(batchCells, "id")
@@ -1057,12 +1061,22 @@ object Similarity {
     */
   private[graft] def binaryWords(eCol: String, dim: Int): Column = {
     val nWords = (dim + 31) / 32
-    expr(
+    // a vector longer than dim would silently contribute NOTHING for
+    // its tail dimensions — Hamming recall would degrade with no
+    // error (the exact refine masks it on easy queries). Fail loudly
+    // in the same codegen'd pass instead (the sqTopK envelope-guard
+    // pattern); short vectors are fine, their missing bits read 0.
+    val pack = expr(
       s"""transform(sequence(0, ${nWords - 1}), w ->
          |  aggregate(sequence(0, 31), 0L, (acc, j) ->
          |    IF(w * 32 + j < size($eCol)
          |         AND element_at($eCol, w * 32 + j + 1) >= 0D,
          |       acc + shiftleft(1L, j), acc)))""".stripMargin)
+    when(assert_true(size(col(eCol)) <= nWords * 32,
+        concat(lit(s"binaryWords: vector dimension "), size(col(eCol)),
+          lit(s" exceeds the configured dim = $dim - pass the true " +
+            "dimension so every component reaches the Hamming code")))
+      .isNull, pack)
   }
 
   /** Word-wise Hamming distance between two sign-bit word arrays. */
@@ -1138,12 +1152,7 @@ object Similarity {
     val v = withNorm(emb, idCol, vecCol)
     val c = centroidsOpt.getOrElse(trainedCentroids(v, minNlist))
     c.write.mode("overwrite").parquet(s"$path/centroids")
-    val cells = v.join(broadcast(c))
-      .select(col("id"),
-        struct((-(dot(col("e"), col("ce")) / (col("n") * col("cn")))).as("negcs"),
-          col("cid")).as("sc"))
-      .groupBy("id").agg(min(col("sc")).as("best"))
-      .select(col("id"), col("best")("cid").as("cell"))
+    val cells = assignCells(v, c)
     v.select(col("id"), binaryWords("e", dim).as("words"))
       .join(cells, "id")
       .repartition(col("cell"))
@@ -1165,12 +1174,7 @@ object Similarity {
     GraftFunctions.register(spark)
     val c = spark.read.parquet(s"$path/centroids")
     val v = withNorm(batch, idCol, vecCol)
-    val batchCells = v.join(broadcast(c))
-      .select(col("id"),
-        struct((-(dot(col("e"), col("ce")) / (col("n") * col("cn")))).as("negcs"),
-          col("cid")).as("sc"))
-      .groupBy("id").agg(min(col("sc")).as("best"))
-      .select(col("id"), col("best")("cid").as("cell"))
+    val batchCells = assignCells(v, c)
     v.select(col("id"), binaryWords("e", dim).as("words"))
       .join(batchCells, "id")
       .repartition(col("cell"))

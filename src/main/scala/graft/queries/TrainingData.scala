@@ -1284,15 +1284,22 @@ object TrainingData {
   /** Normalized exact dedup ([[Dedup.normalizedExact]]) under a
     * DISCRIMINATING gate: the fixture has no case/punctuation
     * variants, so the query plants one — every 10th doc gains a
-    * perturbed twin (id+1e6, UPPER text + trailing " .") that
-    * byte-exact dedup keeps and normalized dedup must collapse back
-    * onto the original. Survivors = exactly the original corpus.
+    * perturbed twin (id+1e6, ASCII-uppercased text + trailing " .")
+    * that byte-exact dedup keeps and normalized dedup must collapse
+    * back onto the original. Survivors = exactly the original corpus.
+    * The plant uppercases via `translate` over the ASCII alphabet,
+    * NOT `upper()`: JVM full case mapping (ß→SS) and DuckDB's
+    * utf8proc 1:1 mapping disagree on non-ASCII code points, so an
+    * upper()-built plant could diverge between engine and oracle —
+    * translate is per-char 1:1 in both by definition.
     */
   def dedupNormalizedExact(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    val lowerAz = "abcdefghijklmnopqrstuvwxyz"
+    val upperAz = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
     val planted = docs.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"),
-        concat(upper(col("text")), lit(" .")).as("text"),
+        concat(translate(col("text"), lowerAz, upperAz), lit(" .")).as("text"),
         col("lang"), col("source"), col("n_chars"))
     Dedup.normalizedExact(docs.unionByName(planted), "doc_id", "text")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
@@ -2705,7 +2712,10 @@ object TrainingData {
         """WITH all_docs AS (
           |  SELECT doc_id, text, lang, source, n_chars FROM documents
           |  UNION ALL
-          |  SELECT doc_id + 1000000, upper(text) || ' .', lang, source, n_chars
+          |  SELECT doc_id + 1000000,
+          |    translate(text, 'abcdefghijklmnopqrstuvwxyz',
+          |      'ABCDEFGHIJKLMNOPQRSTUVWXYZ') || ' .',
+          |    lang, source, n_chars
           |  FROM documents WHERE doc_id % 10 = 0
           |), norm AS (
           |  SELECT doc_id, lang, source, n_chars,

@@ -99,45 +99,72 @@ final class MysqlFace(executor: ModelExecutor, port: Int = 0) {
     writePacket(out, 2, okPacket())
     out.flush()
     val group = s"mysql-conn-$connId"
-    while (true) {
-      val cmd = try readPacket(in) catch { case _: EOFException => return }
-      if (cmd._2.isEmpty) return
-      val payload = cmd._2
-      payload(0) match {
-        case ComQuit => return
-        case ComPing | ComInitDb =>
-          writePacket(out, 1, okPacket()); out.flush()
-        case ComFieldList =>
-          writePacket(out, 1, eofPacket()); out.flush()
-        case ComQuery =>
-          val sql = new String(payload, 1, payload.length - 1,
-            StandardCharsets.UTF_8)
-          runQuery(sql, out, group)
-        case other =>
-          writePacket(out, 1,
-            errPacket(1047, "08S01", s"unsupported command 0x${other.toInt.toHexString}"))
-          out.flush()
+    // dropped connection ⇒ kill the connection's in-flight Spark jobs
+    // (every COM_QUERY runs tagged under `group` for its WHOLE
+    // lifetime, collect included)
+    try {
+      while (true) {
+        val cmd = try readPacket(in) catch { case _: EOFException => return }
+        if (cmd._2.isEmpty) return
+        val payload = cmd._2
+        payload(0) match {
+          case ComQuit => return
+          case ComPing | ComInitDb =>
+            writePacket(out, 1, okPacket()); out.flush()
+          case ComFieldList =>
+            writePacket(out, 1, eofPacket()); out.flush()
+          case ComQuery =>
+            val sql = new String(payload, 1, payload.length - 1,
+              StandardCharsets.UTF_8)
+            runQuery(sql, out, group)
+          case other =>
+            writePacket(out, 1,
+              errPacket(1047, "08S01", s"unsupported command 0x${other.toInt.toHexString}"))
+            out.flush()
+        }
       }
-    }
+    } finally executor.session.sparkContext.cancelJobGroup(group)
   }
 
   // ----------------------------------------------------------------
   // COM_QUERY
   // ----------------------------------------------------------------
 
-  private val SelectSysVar =
-    """(?is)\s*SELECT\s+@@(\w+(?:\.\w+)?)(?:\s+AS\s+(\w+))?\s*;?\s*""".r
+  /** A whole SELECT of only @@vars — what real clients send during
+    * bootstrap: the mysql CLI's `select @@version_comment limit 1`,
+    * Connector/J's multi-variable `SELECT @@session.x AS x, @@y AS
+    * y, …`. Tolerates a trailing LIMIT (the result is one row either
+    * way).
+    */
+  private val SelectSysVars =
+    """(?is)\s*SELECT\s+(@@[\w.]+(?:\s+AS\s+\w+)?(?:\s*,\s*@@[\w.]+(?:\s+AS\s+\w+)?)*)\s*(?:LIMIT\s+\d+)?\s*;?\s*""".r
+  private val OneSysVar =
+    """(?is)\s*@@([\w.]+)(?:\s+AS\s+(\w+))?\s*""".r
   private val SetOrUse = """(?is)\s*(SET|USE)\b.*""".r
+
+  private def sysVarValue(v: String): String = {
+    val bare = v.toLowerCase.stripPrefix("session.").stripPrefix("global.")
+    if (bare == "version_comment") "graft proxy"
+    else if (bare.endsWith("version")) ServerVersion
+    else if (bare.contains("character_set") || bare == "collation_connection")
+      "utf8mb4"
+    else if (bare == "auto_increment_increment") "1"
+    else if (bare.endsWith("timeout")) "28800"
+    else if (bare == "max_allowed_packet") "16777216"
+    else if (bare == "sql_mode") ""
+    else ""
+  }
 
   private def runQuery(sql: String, out: OutputStream, group: String): Unit =
     try {
       sql match {
-        case SelectSysVar(v, alias) =>
-          val name = Option(alias).getOrElse(s"@@$v")
-          val value = if (v.equalsIgnoreCase("version_comment")) "graft proxy"
-            else if (v.toLowerCase.endsWith("version")) ServerVersion
-            else ""
-          writeResultSet(out, Seq(name -> "string"), Seq(Seq(Option(value))))
+        case SelectSysVars(varList) =>
+          val terms = varList.split(",").toSeq.map {
+            case OneSysVar(v, alias) =>
+              (Option(alias).getOrElse(s"@@$v"), sysVarValue(v))
+          }
+          writeResultSet(out, terms.map(_._1 -> "string"),
+            Seq(terms.map(t => Option(t._2))))
         case SetOrUse(_) =>
           writePacket(out, 1, okPacket()); out.flush()
         case _ =>
@@ -145,18 +172,21 @@ final class MysqlFace(executor: ModelExecutor, port: Int = 0) {
             case Some(_) =>
               writePacket(out, 1, okPacket()); out.flush()
             case None =>
+              // the job group stays set through the COLLECT — that is
+              // where the Spark jobs actually run; clearing it after
+              // executeSql (a lazy plan build) would tag nothing
               val sc = executor.session.sparkContext
               sc.setJobGroup(group, s"mysql proxy query", interruptOnCancel = true)
-              val df =
-                try executor.executeSql(sql)
-                finally sc.clearJobGroup()
-              val cols = df.schema.fields.toSeq
-                .map(f => f.name -> f.dataType.typeName)
-              val rows = df.limit(MaxRows).collect().toSeq.map { r =>
-                (0 until r.length).map(i =>
-                  Option(r.get(i)).map(_.toString))
-              }
-              writeResultSet(out, cols, rows)
+              try {
+                val df = executor.executeSql(sql)
+                val cols = df.schema.fields.toSeq
+                  .map(f => f.name -> f.dataType.typeName)
+                val rows = df.limit(MaxRows).collect().toSeq.map { r =>
+                  (0 until r.length).map(i =>
+                    Option(r.get(i)).map(_.toString))
+                }
+                writeResultSet(out, cols, rows)
+              } finally sc.clearJobGroup()
           }
       }
     } catch {
@@ -169,7 +199,7 @@ final class MysqlFace(executor: ModelExecutor, port: Int = 0) {
   private def writeResultSet(out: OutputStream,
       cols: Seq[(String, String)], rows: Seq[Seq[Option[String]]]): Unit = {
     var seq = 1
-    def next(payload: Array[Byte]): Unit = { writePacket(out, seq, payload); seq += 1 }
+    def next(payload: Array[Byte]): Unit = { seq = writePacket(out, seq, payload) }
     next(lencInt(cols.length))
     cols.foreach { case (name, dtype) => next(columnDef(name, dtype)) }
     next(eofPacket())
@@ -209,30 +239,63 @@ private[serve] object MysqlFace {
   // framing: 3-byte LE length + 1-byte sequence id
   // ----------------------------------------------------------------
 
-  def writePacket(out: OutputStream, seq: Int, payload: Array[Byte]): Unit = {
-    val n = payload.length
-    out.write(n & 0xff); out.write((n >> 8) & 0xff); out.write((n >> 16) & 0xff)
-    out.write(seq & 0xff)
-    out.write(payload)
+  /** The protocol's 3-byte length ceiling: payloads at or beyond this
+    * MUST be split into 0xffffff-byte packets with consecutive
+    * sequence ids, terminated by a shorter (possibly empty) packet —
+    * a single truncated length header would permanently desync the
+    * stream on the first ≥16 MiB row.
+    */
+  val MaxPacket = 0xffffff
+
+  /** Returns the NEXT sequence id — a split payload consumes one id
+    * per wire packet, and the caller's next packet must continue the
+    * sequence.
+    */
+  def writePacket(out: OutputStream, seq: Int, payload: Array[Byte]): Int = {
+    var off = 0
+    var s = seq
+    var continue = true
+    while (continue) {
+      val n = math.min(MaxPacket, payload.length - off)
+      out.write(n & 0xff); out.write((n >> 8) & 0xff); out.write((n >> 16) & 0xff)
+      out.write(s & 0xff)
+      out.write(payload, off, n)
+      off += n
+      s += 1
+      // a payload that is an exact multiple of MaxPacket needs the
+      // empty terminator packet the split rule prescribes
+      continue = n == MaxPacket
+    }
+    s
   }
 
-  /** (sequence id, payload). Throws EOFException on a closed peer. */
+  /** (first sequence id, payload) — reassembles split packets.
+    * Throws EOFException on a closed peer.
+    */
   def readPacket(in: InputStream): (Int, Array[Byte]) = {
     def b(): Int = {
       val v = in.read()
       if (v < 0) throw new EOFException("peer closed")
       v
     }
-    val n = b() | (b() << 8) | (b() << 16)
-    val seq = b()
-    val payload = new Array[Byte](n)
-    var off = 0
-    while (off < n) {
-      val r = in.read(payload, off, n - off)
-      if (r < 0) throw new EOFException("peer closed mid-packet")
-      off += r
+    var firstSeq = -1
+    val buf = new java.io.ByteArrayOutputStream()
+    var continue = true
+    while (continue) {
+      val n = b() | (b() << 8) | (b() << 16)
+      val seq = b()
+      if (firstSeq < 0) firstSeq = seq
+      val chunk = new Array[Byte](n)
+      var off = 0
+      while (off < n) {
+        val r = in.read(chunk, off, n - off)
+        if (r < 0) throw new EOFException("peer closed mid-packet")
+        off += r
+      }
+      buf.write(chunk)
+      continue = n == MaxPacket
     }
-    (seq, payload)
+    (firstSeq, buf.toByteArray)
   }
 
   // ----------------------------------------------------------------

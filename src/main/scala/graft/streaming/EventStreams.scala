@@ -521,21 +521,12 @@ object EventStreams {
     val staging = new org.apache.hadoop.fs.Path(path + "__staging")
     merged.write.mode("overwrite").parquet(staging.toString)
     val retired = new org.apache.hadoop.fs.Path(path + "__retired")
-    // Hadoop rename/delete signal failure by RETURNING false (the
-    // java.nio moves they replaced threw) — a silent failure here
-    // leaves the streamed state dir missing or stale with no error
-    // until a later read, so every step fails loudly. delete returns
-    // false for an already-absent path too; that case is benign.
-    def deleteOrThrow(p: org.apache.hadoop.fs.Path): Unit =
-      if (!fs.delete(p, true) && fs.exists(p))
-        throw new java.io.IOException(s"delete failed: $p")
-    def renameOrThrow(src: org.apache.hadoop.fs.Path,
-        dst: org.apache.hadoop.fs.Path): Unit =
-      if (!fs.rename(src, dst))
-        throw new java.io.IOException(s"rename failed: $src -> $dst")
-    deleteOrThrow(retired)
-    if (fs.exists(dir)) renameOrThrow(dir, retired)
-    renameOrThrow(staging, dir)
-    deleteOrThrow(retired)
+    // checked swaps ([[graft.core.FsOps]]): a silent rename/delete
+    // failure here leaves the streamed state dir missing or stale
+    // with no error until a later read
+    graft.core.FsOps.deleteOrThrow(fs, retired)
+    if (fs.exists(dir)) graft.core.FsOps.renameOrThrow(fs, dir, retired)
+    graft.core.FsOps.renameOrThrow(fs, staging, dir)
+    graft.core.FsOps.deleteOrThrow(fs, retired)
   }
 }

@@ -223,4 +223,40 @@ class MysqlFaceSpec extends AnyFunSuite {
       c.readOk()
     }
   }
+
+  test("real-client bootstrap probes: CLI's LIMIT form and Connector/J's multi-var select") {
+    withClient { c =>
+      // the mysql CLI's literal first query
+      c.comQuery("select @@version_comment limit 1")
+      val (n1, r1) = c.readResultSet()
+      assert(n1 == Seq("@@version_comment") && r1 == Seq(Seq(Some("graft proxy"))))
+      // Connector/J-style multi-variable probe with aliases
+      c.comQuery("SELECT @@session.auto_increment_increment AS auto_increment_increment, " +
+        "@@character_set_client AS character_set_client, @@version AS version")
+      val (n2, r2) = c.readResultSet()
+      assert(n2 == Seq("auto_increment_increment", "character_set_client", "version"))
+      assert(r2 == Seq(Seq(Some("1"), Some("utf8mb4"), Some("8.0.0-graft"))))
+    }
+  }
+
+  test("packet framing splits and reassembles payloads at the 16 MiB boundary") {
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    // independent check of the server's framing helpers against this
+    // spec's reader, at and around the 0xffffff split boundary
+    for (n <- Seq(0, 1, MysqlFace.MaxPacket - 1, MysqlFace.MaxPacket,
+        MysqlFace.MaxPacket + 1, MysqlFace.MaxPacket * 2 + 7)) {
+      val payload = Array.tabulate[Byte](n)(i => (i % 251).toByte)
+      val bos = new ByteArrayOutputStream()
+      val nextSeq = MysqlFace.writePacket(bos, 3, payload)
+      // server-side reassembly round-trips
+      val (seq, back) = MysqlFace.readPacket(
+        new ByteArrayInputStream(bos.toByteArray))
+      assert(seq == 3 && java.util.Arrays.equals(back, payload),
+        s"round-trip failed at n=$n")
+      // one sequence id consumed per wire packet (incl. the empty
+      // terminator when n is an exact multiple of MaxPacket)
+      val wirePackets = n / MysqlFace.MaxPacket + 1
+      assert(nextSeq == 3 + wirePackets, s"seq accounting at n=$n: $nextSeq")
+    }
+  }
 }
