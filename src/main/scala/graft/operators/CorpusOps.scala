@@ -1470,6 +1470,71 @@ object CorpusOps {
         (col("rrf_scaled").cast("double") / 1e9).as("rrf_score"))
   }
 
+  /** Conjunctive boolean relevance — the classic query-independent
+    * ground truth for retrieval evaluation: a document is relevant to
+    * a query iff it contains EVERY query term. Derivable in pure SQL,
+    * so it gives [[rankingMetrics]] an oracle-replayable truth set
+    * that is independent of any scorer under test.
+    *
+    * Scale shape: per-doc DISTINCT terms semi-filtered by the
+    * broadcast query vocabulary, a (query, doc) matched-count agg
+    * with map-side combine, the |q|-row term-count relation broadcast
+    * back. Only docs sharing at least one query term ever reach the
+    * agg.
+    */
+  def conjunctiveRelevance(docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Long, String)]): DataFrame = {
+    val qt = queryTerms(docs.sparkSession, queries)
+    val qn = qt.groupBy("query_id").agg(count(lit(1)).as("qn"))
+    docs.select(col(idCol).as("doc_id"),
+        explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("term"))
+      .join(broadcast(qt), "term")
+      .groupBy("query_id", "doc_id").agg(count(lit(1)).as("matched"))
+      .join(broadcast(qn), "query_id")
+      .filter(col("matched") === col("qn"))
+      .select("query_id", "doc_id")
+  }
+
+  /** Retrieval evaluation IN the engine — per-query precision@k,
+    * recall@k, and MRR of a ranked relation against a relevance set,
+    * the measurement loop a retrieval pipeline tunes against (probe
+    * depths, fusion constants, index parameters). All metrics are
+    * exact scaled-integer floor divisions (hits·1e6 div k, hits·1e6
+    * div n_rel, 1e6 div first_relevant_rank), so the oracle replays
+    * them bit-for-bit; queries with no relevant doc in the top-k
+    * surface with zeroed metrics rather than disappearing.
+    *
+    * Scale shape: everything after the ranking⋈truth join runs on
+    * |queries|-sized relations; the join itself keys on
+    * (query_id, doc_id) over top-k rows only — the corpus never
+    * appears.
+    */
+  def rankingMetrics(ranking: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val Scale = 1000000L
+    val base = ranking.select("query_id").distinct()
+    val rel = truth.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    val hits = ranking.filter(col("rank") <= k)
+      .join(truth, Seq("query_id", "doc_id"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("hits"), min("rank").as("first_rel"))
+    base.join(rel, Seq("query_id"), "left")
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        col("first_rel"))
+      .select(col("query_id"), col("n_rel"), col("hits"),
+        expr(s"(hits * ${Scale}L) div ${k.toLong}L").as("precision_scaled"),
+        when(col("n_rel") > 0, expr(s"(hits * ${Scale}L) div n_rel"))
+          .otherwise(lit(0L)).as("recall_scaled"),
+        coalesce(expr(s"${Scale}L div first_rel"), lit(0L)).as("mrr_scaled"))
+      .withColumn("precision_at_k",
+        col("precision_scaled").cast("double") / 1e6)
+      .withColumn("recall_at_k", col("recall_scaled").cast("double") / 1e6)
+      .withColumn("mrr", col("mrr_scaled").cast("double") / 1e6)
+  }
+
   /** Hybrid lexical retrieval: BM25 and TF-IDF channels fused by
     * [[rrfFuse]]. The corpus tokenizes ONCE — both channels score the
     * same barriered query-term `tf` relation (exchange reuse keeps the

@@ -632,6 +632,38 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(kept.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("rankingMetrics: hand-computed precision/recall/MRR against conjunctive truth") {
+    val docs = Seq(
+      (1L, "x y z extra words here"), // relevant to q1 (has x AND y)
+      (2L, "x only document"),
+      (3L, "y x another relevant doc"),
+      (4L, "nothing matching at all"))
+      .toDF("doc_id", "text")
+    val qs = Seq(1L -> "x y")
+    val truth = CorpusOps.conjunctiveRelevance(docs, "doc_id", "text", qs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth == Set((1L, 1L), (1L, 3L)), truth.toString)
+    // a hand ranking: relevant doc 3 at rank 2, relevant doc 1 missed
+    val ranking = Seq((1L, 2L, 1L), (1L, 3L, 2L), (1L, 4L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val m = CorpusOps.rankingMetrics(ranking,
+        CorpusOps.conjunctiveRelevance(docs, "doc_id", "text", qs), k = 10)
+      .collect().head
+    assert(m.getLong(1) == 2L) // n_rel
+    assert(m.getLong(2) == 1L) // hits (doc 3 only)
+    assert(m.getLong(3) == 100000L)  // 1*1e6 div 10
+    assert(m.getLong(4) == 500000L)  // 1*1e6 div 2
+    assert(m.getLong(5) == 500000L)  // 1e6 div first_rel(2)
+    assert(m.getDouble(7) == 0.5 && m.getDouble(8) == 0.5)
+    // a query whose top-k holds no relevant doc zeroes out, not drops
+    val empty = CorpusOps.rankingMetrics(
+      Seq((9L, 4L, 1L)).toDF("query_id", "doc_id", "rank"),
+      CorpusOps.conjunctiveRelevance(docs, "doc_id", "text", Seq(9L -> "x y")),
+      k = 10).collect().head
+    assert(empty.getLong(2) == 0L && empty.getLong(5) == 0L)
+    assert(empty.getLong(1) == 2L, "truth size is ranking-independent")
+  }
+
   test("hybridRetrievalTopK equals fusing the standalone channels row-for-row") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val qs = Seq(1L -> "spark window join", 2L -> "hash merge batch")
