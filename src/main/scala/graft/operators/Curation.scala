@@ -54,6 +54,14 @@ object Curation {
         */
       redactPii: Boolean = false,
       piiTerms: Seq[String] = Nil,
+      /** Exact-dedup key: `false` (default) digests the raw text;
+        * `true` digests [[Dedup.normalizeText]]'s canonical form, so
+        * re-hosted copies differing only in casing, sentence
+        * punctuation, or reflowed whitespace collapse in the exact
+        * stage instead of burdening (or escaping) the near-dup
+        * machinery. Same plan shape either way.
+        */
+      normalizedExactDedup: Boolean = false,
       nearDupThreshold: Double = 0.7,
       shingleSize: Int = 3,
       numPerms: Int = 64,
@@ -209,7 +217,10 @@ object Curation {
     // observe in it) executes once per action.
     val prefixBarrier = Dedup.barrier(redacted, col(idCol))
     val exactDeduped = Dedup.barrier(
-      Dedup.exact(prefixBarrier, idCol, textCol), col(idCol))
+      if (config.normalizedExactDedup)
+        Dedup.normalizedExact(prefixBarrier, idCol, textCol)
+      else Dedup.exact(prefixBarrier, idCol, textCol),
+      col(idCol))
 
     val nearDupPairs = config.nearDupStrategy match {
       case "simhash" => Dedup.simhashNearDups(exactDeduped, idCol, textCol,

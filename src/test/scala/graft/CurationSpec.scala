@@ -46,6 +46,24 @@ class CurationSpec extends AnyFunSuite {
     assert(curated.count() == 4L)
   }
 
+  test("normalizedExactDedup collapses case/punct twins in the exact stage") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "Alpha Beta  Gamma delta epsilon zeta ."), // normalizes onto 1
+      (3L, "one two three four five six seven"))
+      .toDF("doc_id", "text")
+    val cfg = Curation.Config(minTokens = 1, minQuality = 0.0,
+      nearDupThreshold = 0.99)
+    val (rawKept, _) = Curation.curate(docs, "doc_id", "text", cfg)
+    assert(rawKept.count() == 3, "byte-exact keeps the perturbed twin")
+    val (normKept, r) = Curation.curate(docs, "doc_id", "text",
+      cfg.copy(normalizedExactDedup = true))
+    assert(normKept.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L))
+    assert(r.afterExact == 2L)
+  }
+
   test("dup-range stage drops boilerplate-heavy docs, matches the " +
       "standalone operator, and is off by default") {
     import spark.implicits._
