@@ -1512,7 +1512,11 @@ object CorpusOps {
   def rankingMetrics(ranking: DataFrame, truth: DataFrame, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val Scale = 1000000L
-    val base = ranking.select("query_id").distinct()
+    // base on BOTH sides: a query the ranker returned nothing for but
+    // that has relevant docs must surface with zeroed metrics — keying
+    // on the ranking alone would silently inflate averaged metrics
+    val base = ranking.select("query_id")
+      .union(truth.select("query_id")).distinct()
     val rel = truth.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
     val hits = ranking.filter(col("rank") <= k)
       .join(truth, Seq("query_id", "doc_id"))
@@ -1533,6 +1537,37 @@ object CorpusOps {
         col("precision_scaled").cast("double") / 1e6)
       .withColumn("recall_at_k", col("recall_scaled").cast("double") / 1e6)
       .withColumn("mrr", col("mrr_scaled").cast("double") / 1e6)
+  }
+
+  /** Conjunctive relevance from an already-restricted `tf` relation —
+    * tf is one row per (doc, query term), so matched-term counts need
+    * no second corpus pass (the shared-tf discipline
+    * [[hybridRetrievalTopK]] set).
+    */
+  private def conjunctiveRelevanceFromTf(tf: DataFrame,
+      qterms: DataFrame): DataFrame = {
+    val qn = qterms.groupBy("query_id").agg(count(lit(1)).as("qn"))
+    tf.select("doc_id", "term")
+      .join(broadcast(qterms), "term")
+      .groupBy("query_id", "doc_id").agg(count(lit(1)).as("matched"))
+      .join(broadcast(qn), "query_id")
+      .filter(col("matched") === col("qn"))
+      .select("query_id", "doc_id")
+  }
+
+  /** BM25 retrieval evaluated against conjunctive relevance in ONE
+    * corpus pass: ranking and truth both derive from the same
+    * barriered query-term tf relation, then [[rankingMetrics]] runs
+    * on |queries|-sized relations. Identical arithmetic to composing
+    * the standalone operators (the spec pins it).
+    */
+  def evaluateBm25(docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Long, String)], k1: Double, b: Double, k: Int): DataFrame = {
+    val qterms = queryTerms(docs.sparkSession, queries)
+    val (tf0, stats) = queryTf(docs, idCol, textCol, qterms)
+    val tf = Dedup.barrier(tf0, col("doc_id"))
+    rankingMetrics(bm25Score(tf, qterms, stats, k1, b, k),
+      conjunctiveRelevanceFromTf(tf, qterms), k)
   }
 
   /** Hybrid lexical retrieval: BM25 and TF-IDF channels fused by
@@ -1740,17 +1775,9 @@ object CorpusOps {
     // [[repairInvertedIndexMeta]] rebuilds meta from postings alone.
     val stage = new org.apache.hadoop.fs.Path(s"$path/meta_stage")
     merged.write.mode("overwrite").parquet(stage.toString)
-    deleteOrThrow(fs, metaPath)
-    renameOrThrow(fs, stage, metaPath)
+    graft.core.FsOps.deleteOrThrow(fs, metaPath)
+    graft.core.FsOps.renameOrThrow(fs, stage, metaPath)
   }
-
-  private def renameOrThrow(fs: org.apache.hadoop.fs.FileSystem,
-      src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
-    graft.core.FsOps.renameOrThrow(fs, src, dst)
-
-  private def deleteOrThrow(fs: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path): Unit =
-    graft.core.FsOps.deleteOrThrow(fs, p)
 
   /** Rebuild a persisted index's `meta` row from its postings — the
     * recovery path for a crash that lost meta mid-swap (every
@@ -1767,8 +1794,8 @@ object CorpusOps {
       .select("doc_id", "dl").distinct()
       .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_tokens"))
       .write.mode("overwrite").parquet(stage.toString)
-    deleteOrThrow(fs, metaPath)
-    renameOrThrow(fs, stage, metaPath)
+    graft.core.FsOps.deleteOrThrow(fs, metaPath)
+    graft.core.FsOps.renameOrThrow(fs, stage, metaPath)
   }
 
   /** BM25 retrieval over a persisted [[buildInvertedIndex]] index —

@@ -1311,15 +1311,10 @@ object TrainingData {
     * precision/recall@10 and MRR in exact scaled integers; the
     * oracle replays ranking, truth set, and every metric division.
     */
-  def docRankingMetrics(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    CorpusOps.rankingMetrics(
-        CorpusOps.bm25TopK(docs, "doc_id", "text", Bm25Queries,
-          k1 = 1.2, b = 0.75, k = 10),
-        CorpusOps.conjunctiveRelevance(docs, "doc_id", "text", Bm25Queries),
-        k = 10)
+  def docRankingMetrics(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.evaluateBm25(Tables.documents(spark, dir), "doc_id", "text",
+        Bm25Queries, k1 = 1.2, b = 0.75, k = 10)
       .orderBy("query_id")
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_text_stats" -> docTextStats _,
@@ -2000,8 +1995,12 @@ object TrainingData {
     * query tokenization, tf/df over query terms, corpus stats, the
     * scaled-long partial sums, and the ranked cut.
     */
-  private lazy val bm25OracleSql: String =
-    """WITH qraw AS (
+  /** The CTE chain through the ranked relation `r` — shared by the
+    * t30/t66 select and t77's evaluation oracle so the BM25 replay
+    * cannot silently diverge between gates.
+    */
+  private lazy val bm25Ctes: String =
+    """qraw AS (
       |  SELECT * FROM (VALUES (1, 'spark window join'), (2, 'hash merge batch'),
       |    (3, 'slow scan filter table')) AS t(query_id, qtext)
       |), q AS (
@@ -2043,10 +2042,13 @@ object TrainingData {
       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
       |      ORDER BY score_scaled DESC, doc_id) AS BIGINT) AS rank
       |  FROM agg
-      |)
-      |SELECT query_id, rank, doc_id, n_terms,
-      |  CAST(score_scaled AS DOUBLE) / 1000000.0 AS score
-      |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+      |)""".stripMargin
+
+  private lazy val bm25OracleSql: String =
+    s"""WITH $bm25Ctes
+       |SELECT query_id, rank, doc_id, n_terms,
+       |  CAST(score_scaled AS DOUBLE) / 1000000.0 AS score
+       |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   val oracles: Map[String, String] = {
     import TextFunctions.{Sql => T}
@@ -2721,84 +2723,46 @@ object TrainingData {
            |)
            |SELECT query_id, rank, vec_id, cell, hamming, cosine_sim
            |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
-      // t77: the bm25 ranking chain (identical to t30's), conjunctive
-      // all-terms truth, and the scaled-integer metric divisions
+      // t77: COMPOSES the shared bm25Ctes chain (one replay, zero
+      // divergence risk with t30/t66) — truth derives from the same
+      // restricted tf relation the engine shares, base unions ranking
+      // and truth query ids
       "t77_ranking_metrics" ->
-        """WITH qraw AS (
-          |  SELECT * FROM (VALUES (1, 'spark window join'), (2, 'hash merge batch'),
-          |    (3, 'slow scan filter table')) AS t(query_id, qtext)
-          |), q AS (
-          |  SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id, term FROM (
-          |    SELECT query_id,
-          |      unnest(string_split_regex(trim(qtext), '\s+')) AS term
-          |    FROM qraw)
-          |), qn AS (
-          |  SELECT query_id, COUNT(*) AS qn FROM q GROUP BY 1
-          |), dl AS (
-          |  SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS dl
-          |  FROM documents
-          |), s AS (
-          |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_tokens
-          |  FROM dl
-          |), toks AS (
-          |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
-          |  FROM documents
-          |), tf AS (
-          |  SELECT t.doc_id, d.dl, t.term, COUNT(*) AS tf
-          |  FROM toks t JOIN (SELECT DISTINCT term FROM q) qt USING (term)
-          |  JOIN dl d USING (doc_id)
-          |  GROUP BY 1, 2, 3
-          |), df AS (
-          |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
-          |), scored AS (
-          |  SELECT q.query_id, tf.doc_id,
-          |    CAST(FLOOR(((CAST(s.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) *
-          |      ((CAST(tf.tf AS DOUBLE) * 2.2) /
-          |       (CAST(tf.tf AS DOUBLE) + (1.2 * (0.25 +
-          |        ((0.75 * CAST(tf.dl AS DOUBLE)) /
-          |         (CAST(s.total_tokens AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))))))
-          |      * 1000000.0) AS BIGINT) AS part_scaled
-          |  FROM tf JOIN df USING (term) JOIN q USING (term) CROSS JOIN s
-          |), ranked AS (
-          |  SELECT query_id, doc_id,
-          |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-          |      ORDER BY SUM(part_scaled) DESC, doc_id) AS BIGINT) AS rank
-          |  FROM scored GROUP BY query_id, doc_id
-          |), dterm AS (
-          |  SELECT DISTINCT doc_id, term FROM toks
-          |), truth AS (
-          |  SELECT m.query_id, m.doc_id FROM (
-          |    SELECT q.query_id, d.doc_id, COUNT(*) AS matched
-          |    FROM dterm d JOIN q USING (term) GROUP BY 1, 2) m
-          |  JOIN qn USING (query_id) WHERE m.matched = qn.qn
-          |), rel AS (
-          |  SELECT query_id, COUNT(*) AS n_rel FROM truth GROUP BY 1
-          |), hits AS (
-          |  SELECT r.query_id, COUNT(*) AS hits, MIN(r.rank) AS first_rel
-          |  FROM ranked r JOIN truth USING (query_id, doc_id)
-          |  WHERE r.rank <= 10 GROUP BY 1
-          |), base AS (
-          |  SELECT DISTINCT query_id FROM ranked
-          |), m AS (
-          |  SELECT b.query_id,
-          |    CAST(COALESCE(rel.n_rel, 0) AS BIGINT) AS n_rel,
-          |    CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
-          |    h.first_rel
-          |  FROM base b LEFT JOIN rel USING (query_id)
-          |  LEFT JOIN hits h USING (query_id)
-          |)
-          |SELECT query_id, n_rel, hits,
-          |  CAST((hits * 1000000) // 10 AS BIGINT) AS precision_scaled,
-          |  CAST(CASE WHEN n_rel > 0 THEN (hits * 1000000) // n_rel
-          |       ELSE 0 END AS BIGINT) AS recall_scaled,
-          |  CAST(COALESCE(1000000 // first_rel, 0) AS BIGINT) AS mrr_scaled,
-          |  CAST(CAST((hits * 1000000) // 10 AS BIGINT) AS DOUBLE) / 1000000.0
-          |    AS precision_at_k,
-          |  CAST(CAST(CASE WHEN n_rel > 0 THEN (hits * 1000000) // n_rel
-          |       ELSE 0 END AS BIGINT) AS DOUBLE) / 1000000.0 AS recall_at_k,
-          |  CAST(CAST(COALESCE(1000000 // first_rel, 0) AS BIGINT) AS DOUBLE)
-          |    / 1000000.0 AS mrr
-          |FROM m ORDER BY query_id""".stripMargin,
+        s"""WITH $bm25Ctes, qn AS (
+           |  SELECT query_id, COUNT(*) AS qn FROM q GROUP BY 1
+           |), truth AS (
+           |  SELECT m.query_id, m.doc_id FROM (
+           |    SELECT q.query_id, t.doc_id, COUNT(*) AS matched
+           |    FROM tf t JOIN q USING (term) GROUP BY 1, 2) m
+           |  JOIN qn USING (query_id) WHERE m.matched = qn.qn
+           |), rel AS (
+           |  SELECT query_id, COUNT(*) AS n_rel FROM truth GROUP BY 1
+           |), hits AS (
+           |  SELECT r.query_id, COUNT(*) AS hits, MIN(r.rank) AS first_rel
+           |  FROM r JOIN truth USING (query_id, doc_id)
+           |  WHERE r.rank <= 10 GROUP BY 1
+           |), base AS (
+           |  SELECT query_id FROM r UNION SELECT query_id FROM truth
+           |), mm AS (
+           |  SELECT b.query_id,
+           |    CAST(COALESCE(rel.n_rel, 0) AS BIGINT) AS n_rel,
+           |    CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+           |    h.first_rel
+           |  FROM base b LEFT JOIN rel USING (query_id)
+           |  LEFT JOIN hits h USING (query_id)
+           |)
+           |SELECT query_id, n_rel, hits,
+           |  CAST((hits * 1000000) // 10 AS BIGINT) AS precision_scaled,
+           |  CAST(CASE WHEN n_rel > 0 THEN (hits * 1000000) // n_rel
+           |       ELSE 0 END AS BIGINT) AS recall_scaled,
+           |  CAST(COALESCE(1000000 // first_rel, 0) AS BIGINT) AS mrr_scaled,
+           |  CAST(CAST((hits * 1000000) // 10 AS BIGINT) AS DOUBLE) / 1000000.0
+           |    AS precision_at_k,
+           |  CAST(CAST(CASE WHEN n_rel > 0 THEN (hits * 1000000) // n_rel
+           |       ELSE 0 END AS BIGINT) AS DOUBLE) / 1000000.0 AS recall_at_k,
+           |  CAST(CAST(COALESCE(1000000 // first_rel, 0) AS BIGINT) AS DOUBLE)
+           |    / 1000000.0 AS mrr
+           |FROM mm ORDER BY query_id""".stripMargin,
       // t76: the oracle groups by the RAW normalized text (the
       // engine's sha2 digest grouping keeps collision-freedom under
       // test, the t04 discipline) over the same planted perturbation

@@ -90,21 +90,27 @@ final class MysqlFace(executor: ModelExecutor, port: Int = 0) {
 
   private def serve(sock: Socket): Unit = {
     sock.setTcpNoDelay(true)
-    val in = new BufferedInputStream(sock.getInputStream)
+    val in = new java.io.PushbackInputStream(
+      new BufferedInputStream(sock.getInputStream), 1)
     val out = new BufferedOutputStream(sock.getOutputStream)
     val connId = sock.getPort
     writePacket(out, 0, handshakeV10(connId))
     out.flush()
-    readPacket(in) // HandshakeResponse41 — credentials deliberately ignored
+    readPacket(in, MaxAllowedPacket) // HandshakeResponse41 — credentials deliberately ignored
     writePacket(out, 2, okPacket())
     out.flush()
     val group = s"mysql-conn-$connId"
+    // one worker per connection: commands serialize (protocol order)
+    // while the connection thread watches the socket during queries
+    val worker = java.util.concurrent.Executors.newSingleThreadExecutor(
+      (r: Runnable) => { val t = new Thread(r); t.setDaemon(true); t })
     // dropped connection ⇒ kill the connection's in-flight Spark jobs
     // (every COM_QUERY runs tagged under `group` for its WHOLE
     // lifetime, collect included)
     try {
       while (true) {
-        val cmd = try readPacket(in) catch { case _: EOFException => return }
+        val cmd = try readPacket(in, MaxAllowedPacket)
+          catch { case _: EOFException => return }
         if (cmd._2.isEmpty) return
         val payload = cmd._2
         payload(0) match {
@@ -116,14 +122,35 @@ final class MysqlFace(executor: ModelExecutor, port: Int = 0) {
           case ComQuery =>
             val sql = new String(payload, 1, payload.length - 1,
               StandardCharsets.UTF_8)
-            runQuery(sql, out, group)
+            // The connection thread stays the stream's ONLY reader:
+            // the query runs on the per-connection worker while this
+            // thread blocks in read() watching the socket. A
+            // well-behaved client sends nothing while its query runs,
+            // so EOF here means the client dropped mid-query → cancel
+            // the in-flight job group (the worker's write then fails
+            // on the closed socket); a byte means a pipelined next
+            // command → push it back and wait for the query first.
+            val fut = worker.submit(new Runnable {
+              override def run(): Unit = runQuery(sql, out, group)
+            })
+            val b = try in.read() catch { case _: Throwable => -1 }
+            if (b < 0) {
+              executor.session.sparkContext.cancelJobGroup(group)
+              try fut.get() catch { case _: Throwable => () }
+              return
+            }
+            in.unread(b)
+            try fut.get() catch { case _: Throwable => () }
           case other =>
             writePacket(out, 1,
               errPacket(1047, "08S01", s"unsupported command 0x${other.toInt.toHexString}"))
             out.flush()
         }
       }
-    } finally executor.session.sparkContext.cancelJobGroup(group)
+    } finally {
+      executor.session.sparkContext.cancelJobGroup(group)
+      worker.shutdownNow()
+    }
   }
 
   // ----------------------------------------------------------------
@@ -150,7 +177,7 @@ final class MysqlFace(executor: ModelExecutor, port: Int = 0) {
       "utf8mb4"
     else if (bare == "auto_increment_increment") "1"
     else if (bare.endsWith("timeout")) "28800"
-    else if (bare == "max_allowed_packet") "16777216"
+    else if (bare == "max_allowed_packet") MaxAllowedPacket.toString
     else if (bare == "sql_mode") ""
     else ""
   }
@@ -269,22 +296,35 @@ private[serve] object MysqlFace {
     s
   }
 
-  /** (first sequence id, payload) — reassembles split packets.
-    * Throws EOFException on a closed peer.
+  /** The max_allowed_packet the server advertises (sysVarValue) and
+    * ENFORCES on reads — an endless run of 0xffffff continuation
+    * chunks would otherwise buffer unbounded heap.
     */
-  def readPacket(in: InputStream): (Int, Array[Byte]) = {
+  val MaxAllowedPacket = 16777216
+
+  /** (first sequence id, payload) — reassembles split packets up to
+    * `maxBytes` (IOException beyond; the command loop passes
+    * [[MaxAllowedPacket]]). Throws EOFException on a closed peer.
+    */
+  def readPacket(in: InputStream,
+      maxBytes: Long = Long.MaxValue): (Int, Array[Byte]) = {
     def b(): Int = {
       val v = in.read()
       if (v < 0) throw new EOFException("peer closed")
       v
     }
     var firstSeq = -1
+    var total = 0L
     val buf = new java.io.ByteArrayOutputStream()
     var continue = true
     while (continue) {
       val n = b() | (b() << 8) | (b() << 16)
       val seq = b()
       if (firstSeq < 0) firstSeq = seq
+      total += n
+      if (total > maxBytes)
+        throw new java.io.IOException(
+          s"packet exceeds max_allowed_packet ($maxBytes)")
       val chunk = new Array[Byte](n)
       var off = 0
       while (off < n) {
