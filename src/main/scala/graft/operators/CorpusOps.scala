@@ -1035,6 +1035,42 @@ object CorpusOps {
       .drop("__thr")
   }
 
+  /** LEAKAGE-SAFE train/val/test splits — the published failure mode
+    * of naive per-document splitting: near-duplicate pairs straddle
+    * the train/test boundary and the test set silently leaks into
+    * training. Here the split key is the near-dup CLUSTER (connected
+    * components over banded MinHash pairs, [[Dedup.connectedComponents]]),
+    * so every member of a duplicate cluster lands in the SAME split;
+    * singletons key on their own id. Split assignment is the
+    * [[assignSplits]] hash arithmetic over the group key — exact,
+    * deterministic, oracle-replayable end to end (pairs, components,
+    * bucket folds).
+    *
+    * Scale shape: the pair generation and O(log D) component rounds
+    * are the audited t06/t24 plans; the split itself is a map-side
+    * hash of the broadcast-joined group key. Expected split fractions
+    * hold over CLUSTERS rather than docs (a giant cluster moves
+    * wholesale — that is the point).
+    */
+  def leakageSafeSplits(docs: DataFrame, idCol: String, textCol: String,
+      valPct: Int = 10, testPct: Int = 10, n: Int = 3, numPerms: Int = 64,
+      bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    require(valPct >= 0 && testPct >= 0 && valPct + testPct <= 100)
+    val pairs = Dedup.minhashLsh(docs, idCol, textCol, n, numPerms, bands,
+      threshold).select("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("node").as(idCol), col("comp").as("__root"))
+    val bucket = ((col("group_key") % 1000003L) * 2654435761L + 123456789L) %
+      4294967296L % 100L
+    docs.join(comp, Seq(idCol), "left")
+      .withColumn("group_key", coalesce(col("__root"), col(idCol)))
+      .withColumn("split",
+        when(bucket < valPct, "val")
+          .when(bucket < valPct + testPct, "test")
+          .otherwise("train"))
+      .drop("__root")
+  }
+
   /** Token-budget mixture sampling — the data-recipe primitive "take
     * documents from each source, in a deterministic shuffled order,
     * until that source's TOKEN budget is spent" (training mixtures

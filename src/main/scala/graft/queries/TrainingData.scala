@@ -1316,6 +1316,16 @@ object TrainingData {
         Bm25Queries, k1 = 1.2, b = 0.75, k = 10)
       .orderBy("query_id")
 
+  /** Leakage-safe splits ([[CorpusOps.leakageSafeSplits]], t24's
+    * MinHash/component parameters): near-dup clusters move between
+    * splits wholesale. The oracle replays pairs, components, and the
+    * group-key bucket fold.
+    */
+  def docLeakageSafeSplits(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.leakageSafeSplits(Tables.documents(spark, dir), "doc_id", "text")
+      .select(col("doc_id"), col("group_key"), col("split"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_text_stats" -> docTextStats _,
     "t02_lang_id" -> docLangId _,
@@ -1394,6 +1404,7 @@ object TrainingData {
     "t75_ann_ivfbin_persisted" -> annIvfBinaryPersisted _,
     "t76_dedup_normalized" -> dedupNormalizedExact _,
     "t77_ranking_metrics" -> docRankingMetrics _,
+    "t78_leakage_safe_splits" -> docLeakageSafeSplits _,
   )
 
   /** Shared DuckDB CTE fragment: per-doc word-trigram shingle sets,
@@ -1569,6 +1580,39 @@ object TrainingData {
        |)
        |SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster_id
        |FROM sel GROUP BY src ORDER BY doc_id""".stripMargin
+
+  /** t78: the t24 component replay, group key = component root (or
+    * own id for singletons), then the t31 bucket fold over the group
+    * key.
+    */
+  private def leakageSplitOracleSql(numPerms: Int, bands: Int,
+      threshold: Double): String =
+    s"""WITH RECURSIVE ${minhashCtes(numPerms, bands, threshold)}, edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION
+       |  SELECT id_b AS src, id_a AS dst FROM pairs
+       |), reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |), sel AS (
+       |  SELECT src, dst FROM reach
+       |  UNION
+       |  SELECT src, src AS dst FROM edges
+       |), comp AS (
+       |  SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS root
+       |  FROM sel GROUP BY src
+       |), keyed AS (
+       |  SELECT d.doc_id, COALESCE(c.root, d.doc_id) AS group_key
+       |  FROM documents d LEFT JOIN comp c USING (doc_id)
+       |)
+       |SELECT doc_id, group_key,
+       |  CASE WHEN ((group_key % 1000003) * 2654435761 + 123456789)
+       |              % 4294967296 % 100 < 10 THEN 'val'
+       |       WHEN ((group_key % 1000003) * 2654435761 + 123456789)
+       |              % 4294967296 % 100 < 20 THEN 'test'
+       |       ELSE 'train' END AS split
+       |FROM keyed ORDER BY doc_id""".stripMargin
 
   /** t42: the t24 component replay + the t37 integer quality score,
     * then a per-cluster argmax (score desc, doc_id asc).
@@ -2220,6 +2264,7 @@ object TrainingData {
           |  CAST(least(64, n - start_tok) AS BIGINT) AS chunk_tokens
           |FROM s ORDER BY doc_id, chunk_no""".stripMargin,
       "t24_dup_clusters" -> dupClusterOracleSql(64, 16, 0.5),
+      "t78_leakage_safe_splits" -> leakageSplitOracleSql(64, 16, 0.5),
       "t26_span_dedup" ->
         """WITH toks AS (
           |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents

@@ -632,6 +632,36 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(kept.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("leakageSafeSplits: near-dup cluster members always share a split") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val splits = CorpusOps.leakageSafeSplits(docs, "doc_id", "text")
+      .select("doc_id", "group_key", "split")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(splits.size == docs.count())
+    // THE invariant: every near-dup pair shares a group key and split
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", 3, 64, 16, 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture should contain planted near-dups")
+    pairs.foreach { case (a, b) =>
+      assert(splits(a) == splits(b),
+        s"pair ($a, $b) straddles splits: ${splits(a)} vs ${splits(b)}")
+    }
+    // singletons key on their own id with the t31 bucket arithmetic
+    val clustered = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    def bucket(k: Long) =
+      ((k % 1000003L) * 2654435761L + 123456789L) % 4294967296L % 100L
+    splits.collect { case (id, (gk, sp)) if !clustered.contains(id) =>
+      assert(gk == id)
+      val b = bucket(gk)
+      assert((b < 10 && sp == "val") || (b >= 10 && b < 20 && sp == "test") ||
+        (b >= 20 && sp == "train"))
+    }
+    // all three splits materialize at this SF
+    assert(splits.values.map(_._2).toSet == Set("val", "test", "train"))
+  }
+
   test("rankingMetrics: hand-computed precision/recall/MRR against conjunctive truth") {
     val docs = Seq(
       (1L, "x y z extra words here"), // relevant to q1 (has x AND y)
