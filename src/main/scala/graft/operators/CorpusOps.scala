@@ -1035,6 +1035,56 @@ object CorpusOps {
       .drop("__thr")
   }
 
+  /** Corpus drift report between two snapshots — the dataset-
+    * versioning audit a training pipeline runs before switching
+    * snapshots: membership churn (added / removed / changed /
+    * unchanged documents by id, change = content digest mismatch) and
+    * vocabulary drift (distinct-token counts per snapshot, the shared
+    * count, and their exact Jaccard at 1e6 fixed point). One row per
+    * metric, all BIGINT — the datasheet diff, not a sample.
+    *
+    * Scale shape: membership is id-keyed digest joins (full-outer on
+    * id, shuffles carry 8-byte ids + 32-byte digests, never text);
+    * vocabulary is two distinct-token aggs plus a semi-join of the
+    * two skinny vocab relations. Nothing quadratic, nothing
+    * collected.
+    */
+  def corpusDrift(prev: DataFrame, cur: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def keyed(df: DataFrame, side: String) =
+      df.select(col(idCol).as("doc_id"),
+        sha2(col(textCol), 256).as(s"dg_$side"))
+    val joined = Dedup.barrier(
+      keyed(prev, "p").join(keyed(cur, "c"), Seq("doc_id"), "full_outer"),
+      col("doc_id"))
+    val membership = joined.agg(
+      count(col("dg_p")).as("docs_prev"),
+      count(col("dg_c")).as("docs_cur"),
+      sum(when(col("dg_p").isNull, 1L).otherwise(0L)).as("added"),
+      sum(when(col("dg_c").isNull, 1L).otherwise(0L)).as("removed"),
+      sum(when(col("dg_p").isNotNull && col("dg_c").isNotNull &&
+        col("dg_p") =!= col("dg_c"), 1L).otherwise(0L)).as("changed"),
+      sum(when(col("dg_p") === col("dg_c"), 1L).otherwise(0L)).as("unchanged"))
+    def vocab(df: DataFrame) = df
+      .select(explode(TextFunctions.tokens(col(textCol))).as("term")).distinct()
+    val vp = Dedup.barrier(vocab(prev), col("term"))
+    val vc = Dedup.barrier(vocab(cur), col("term"))
+    val vocabCounts = vp.agg(count(lit(1)).as("vocab_prev"))
+      .crossJoin(vc.agg(count(lit(1)).as("vocab_cur")))
+      .crossJoin(vp.join(vc, Seq("term"), "left_semi")
+        .agg(count(lit(1)).as("vocab_shared")))
+      .withColumn("vocab_jaccard_x1e6",
+        expr("(vocab_shared * 1000000L) div " +
+          "(vocab_prev + vocab_cur - vocab_shared)"))
+    // wide 1-row → long (metric, value) via stack: stays in-plan, no
+    // driver collect
+    val cols = membership.columns ++ vocabCounts.columns
+    membership.crossJoin(vocabCounts).selectExpr(
+      s"stack(${cols.length}, " +
+        cols.map(c => s"'$c', $c").mkString(", ") +
+        ") as (metric, value)")
+  }
+
   /** LEAKAGE-SAFE train/val/test splits — the published failure mode
     * of naive per-document splitting: near-duplicate pairs straddle
     * the train/test boundary and the test set silently leaks into

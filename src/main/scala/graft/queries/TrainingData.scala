@@ -1326,6 +1326,25 @@ object TrainingData {
       .select(col("doc_id"), col("group_key"), col("split"))
       .orderBy("doc_id")
 
+  /** Corpus drift report ([[CorpusOps.corpusDrift]]) under a
+    * DISCRIMINATING construction (the t76 planting discipline): prev
+    * drops every 5th doc, cur drops every 3rd and perturbs every 7th
+    * doc's text (" drift" appended via concat — byte-deterministic in
+    * both engines), so added / removed / changed / unchanged and the
+    * vocab-drift Jaccard are ALL non-trivially exercised and the
+    * oracle replays the same construction.
+    */
+  def docCorpusDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val prev = docs.filter(col("doc_id") % 5 =!= 0)
+    val cur = docs.filter(col("doc_id") % 3 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" drift")))
+          .otherwise(col("text")))
+    CorpusOps.corpusDrift(prev, cur, "doc_id", "text")
+      .orderBy("metric")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_text_stats" -> docTextStats _,
     "t02_lang_id" -> docLangId _,
@@ -1405,6 +1424,7 @@ object TrainingData {
     "t76_dedup_normalized" -> dedupNormalizedExact _,
     "t77_ranking_metrics" -> docRankingMetrics _,
     "t78_leakage_safe_splits" -> docLeakageSafeSplits _,
+    "t79_corpus_drift" -> docCorpusDrift _,
   )
 
   /** Shared DuckDB CTE fragment: per-doc word-trigram shingle sets,
@@ -2808,6 +2828,61 @@ object TrainingData {
            |  CAST(CAST(COALESCE(1000000 // first_rel, 0) AS BIGINT) AS DOUBLE)
            |    / 1000000.0 AS mrr
            |FROM mm ORDER BY query_id""".stripMargin,
+      // t79: the same snapshot construction, digest comparison
+      // replaced by direct text comparison (the engine's sha2 digests
+      // keep collision-freedom under test, the t04/t76 discipline)
+      "t79_corpus_drift" ->
+        """WITH prev AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
+          |), cur AS (
+          |  SELECT doc_id,
+          |    CASE WHEN doc_id % 7 = 0 THEN text || ' drift' ELSE text END AS text
+          |  FROM documents WHERE doc_id % 3 <> 0
+          |), j AS (
+          |  SELECT COALESCE(p.doc_id, c.doc_id) AS doc_id,
+          |    p.text AS tp, c.text AS tc
+          |  FROM prev p FULL OUTER JOIN cur c ON p.doc_id = c.doc_id
+          |), membership AS (
+          |  SELECT
+          |    CAST(COUNT(tp) AS BIGINT) AS docs_prev,
+          |    CAST(COUNT(tc) AS BIGINT) AS docs_cur,
+          |    CAST(SUM(CASE WHEN tp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS added,
+          |    CAST(SUM(CASE WHEN tc IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS removed,
+          |    CAST(SUM(CASE WHEN tp IS NOT NULL AND tc IS NOT NULL
+          |      AND tp <> tc THEN 1 ELSE 0 END) AS BIGINT) AS changed,
+          |    CAST(SUM(CASE WHEN tp = tc THEN 1 ELSE 0 END) AS BIGINT) AS unchanged
+          |  FROM j
+          |), vp AS (
+          |  SELECT DISTINCT unnest(string_split_regex(trim(text), '\s+')) AS term
+          |  FROM prev
+          |), vc AS (
+          |  SELECT DISTINCT unnest(string_split_regex(trim(text), '\s+')) AS term
+          |  FROM cur
+          |), vocab AS (
+          |  SELECT
+          |    CAST((SELECT COUNT(*) FROM vp) AS BIGINT) AS vocab_prev,
+          |    CAST((SELECT COUNT(*) FROM vc) AS BIGINT) AS vocab_cur,
+          |    CAST((SELECT COUNT(*) FROM vp JOIN vc USING (term)) AS BIGINT)
+          |      AS vocab_shared
+          |), wide AS (
+          |  SELECT m.*, v.*,
+          |    CAST((v.vocab_shared * 1000000) //
+          |      (v.vocab_prev + v.vocab_cur - v.vocab_shared) AS BIGINT)
+          |      AS vocab_jaccard_x1e6
+          |  FROM membership m CROSS JOIN vocab v
+          |)
+          |SELECT metric, CAST(value AS BIGINT) AS value FROM (
+          |  SELECT 'docs_prev' AS metric, docs_prev AS value FROM wide
+          |  UNION ALL SELECT 'docs_cur', docs_cur FROM wide
+          |  UNION ALL SELECT 'added', added FROM wide
+          |  UNION ALL SELECT 'removed', removed FROM wide
+          |  UNION ALL SELECT 'changed', changed FROM wide
+          |  UNION ALL SELECT 'unchanged', unchanged FROM wide
+          |  UNION ALL SELECT 'vocab_prev', vocab_prev FROM wide
+          |  UNION ALL SELECT 'vocab_cur', vocab_cur FROM wide
+          |  UNION ALL SELECT 'vocab_shared', vocab_shared FROM wide
+          |  UNION ALL SELECT 'vocab_jaccard_x1e6', vocab_jaccard_x1e6 FROM wide
+          |) ORDER BY metric""".stripMargin,
       // t76: the oracle groups by the RAW normalized text (the
       // engine's sha2 digest grouping keeps collision-freedom under
       // test, the t04 discipline) over the same planted perturbation

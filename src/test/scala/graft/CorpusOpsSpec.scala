@@ -632,6 +632,27 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(kept.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("corpusDrift: hand-computed membership churn and vocab drift") {
+    val prev = Seq(
+      (1L, "a b c"), (2L, "d e f"), (3L, "g h i"))
+      .toDF("doc_id", "text")
+    val cur = Seq(
+      (1L, "a b c"),        // unchanged
+      (2L, "d e CHANGED"),  // changed
+      (4L, "j k"))          // added; doc 3 removed
+      .toDF("doc_id", "text")
+    val m = CorpusOps.corpusDrift(prev, cur, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("docs_prev") == 3L && m("docs_cur") == 3L)
+    assert(m("added") == 1L && m("removed") == 1L)
+    assert(m("changed") == 1L && m("unchanged") == 1L)
+    // vocab: prev {a..i} = 9; cur {a,b,c,d,e,CHANGED,j,k} = 8; shared
+    // {a,b,c,d,e} = 5; jaccard = 5/12
+    assert(m("vocab_prev") == 9L && m("vocab_cur") == 8L)
+    assert(m("vocab_shared") == 5L)
+    assert(m("vocab_jaccard_x1e6") == 5L * 1000000L / 12L)
+  }
+
   test("leakageSafeSplits: near-dup cluster members always share a split") {
     import graft.operators.Dedup
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
