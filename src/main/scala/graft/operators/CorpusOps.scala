@@ -1054,9 +1054,11 @@ object CorpusOps {
     def keyed(df: DataFrame, side: String) =
       df.select(col(idCol).as("doc_id"),
         sha2(col(textCol), 256).as(s"dg_$side"))
-    val joined = Dedup.barrier(
-      keyed(prev, "p").join(keyed(cur, "c"), Seq("doc_id"), "full_outer"),
-      col("doc_id"))
+    // no barrier: the joined relation feeds exactly ONE global
+    // aggregate whose map-side partials collapse each partition to a
+    // row — a repartition here would be a pure extra shuffle
+    val joined = keyed(prev, "p")
+      .join(keyed(cur, "c"), Seq("doc_id"), "full_outer")
     val membership = joined.agg(
       count(col("dg_p")).as("docs_prev"),
       count(col("dg_c")).as("docs_cur"),
@@ -1073,9 +1075,14 @@ object CorpusOps {
       .crossJoin(vc.agg(count(lit(1)).as("vocab_cur")))
       .crossJoin(vp.join(vc, Seq("term"), "left_semi")
         .agg(count(lit(1)).as("vocab_shared")))
+      // empty-vs-empty snapshots are identical → Jaccard 1 by
+      // convention (a bare div would surface NULL and break the
+      // all-BIGINT datasheet contract)
       .withColumn("vocab_jaccard_x1e6",
-        expr("(vocab_shared * 1000000L) div " +
-          "(vocab_prev + vocab_cur - vocab_shared)"))
+        when(col("vocab_prev") + col("vocab_cur") - col("vocab_shared") > 0,
+          expr("(vocab_shared * 1000000L) div " +
+            "(vocab_prev + vocab_cur - vocab_shared)"))
+          .otherwise(lit(1000000L)))
     // wide 1-row → long (metric, value) via stack: stays in-plan, no
     // driver collect
     val cols = membership.columns ++ vocabCounts.columns
@@ -1110,14 +1117,9 @@ object CorpusOps {
       threshold).select("id_a", "id_b")
     val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
       .select(col("node").as(idCol), col("comp").as("__root"))
-    val bucket = ((col("group_key") % 1000003L) * 2654435761L + 123456789L) %
-      4294967296L % 100L
     docs.join(comp, Seq(idCol), "left")
       .withColumn("group_key", coalesce(col("__root"), col(idCol)))
-      .withColumn("split",
-        when(bucket < valPct, "val")
-          .when(bucket < valPct + testPct, "test")
-          .otherwise("train"))
+      .withColumn("split", splitOf(col("group_key"), valPct, testPct))
       .drop("__root")
   }
 
@@ -2079,16 +2081,26 @@ object CorpusOps {
     * Scale shape: map-only (no shuffle, no state); both columns are
     * BIGINT-exact arithmetic the oracle replays verbatim.
     */
-  def assignSplits(docs: DataFrame, idCol: String,
-      valPct: Int, testPct: Int): DataFrame = {
-    val h = ((col(idCol) % 1000003L) * 2654435761L + 123456789L) % 4294967296L
-    val bucket = h % 100
-    docs.select(col(idCol).as("doc_id"),
-      when(bucket < valPct, lit("val"))
-        .when(bucket < valPct + testPct, lit("test"))
-        .otherwise(lit("train")).as("split"),
-      h.as("shuffle_key"))
+  /** The ONE split-hash arithmetic ([[sampleBucket]]'s un-bucketed
+    * fold) and val/test/train bucket chain — shared by
+    * [[assignSplits]] and [[leakageSafeSplits]] so the two split
+    * faces cannot de-synchronize.
+    */
+  private def splitHash(key: Column): Column =
+    ((key % 1000003L) * 2654435761L + 123456789L) % 4294967296L
+
+  private def splitOf(key: Column, valPct: Int, testPct: Int): Column = {
+    val bucket = splitHash(key) % 100
+    when(bucket < valPct, lit("val"))
+      .when(bucket < valPct + testPct, lit("test"))
+      .otherwise(lit("train"))
   }
+
+  def assignSplits(docs: DataFrame, idCol: String,
+      valPct: Int, testPct: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      splitOf(col(idCol), valPct, testPct).as("split"),
+      splitHash(col(idCol)).as("shuffle_key"))
 
   /** Curriculum ordering — the deterministic training-stream export:
     * every document gets a contiguous global `order_idx` realizing

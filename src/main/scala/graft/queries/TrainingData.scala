@@ -2866,8 +2866,10 @@ object TrainingData {
           |      AS vocab_shared
           |), wide AS (
           |  SELECT m.*, v.*,
-          |    CAST((v.vocab_shared * 1000000) //
-          |      (v.vocab_prev + v.vocab_cur - v.vocab_shared) AS BIGINT)
+          |    CAST(CASE WHEN v.vocab_prev + v.vocab_cur - v.vocab_shared > 0
+          |      THEN (v.vocab_shared * 1000000) //
+          |        (v.vocab_prev + v.vocab_cur - v.vocab_shared)
+          |      ELSE 1000000 END AS BIGINT)
           |      AS vocab_jaccard_x1e6
           |  FROM membership m CROSS JOIN vocab v
           |)

@@ -110,7 +110,17 @@ final class MysqlFace(executor: ModelExecutor, port: Int = 0) {
     try {
       while (true) {
         val cmd = try readPacket(in, MaxAllowedPacket)
-          catch { case _: EOFException => return }
+          catch {
+            case _: EOFException => return
+            case _: java.io.IOException =>
+              // oversized command: answer the diagnostic real MySQL
+              // gives (ER_NET_PACKET_TOO_LARGE) before closing — the
+              // stream is desynced, so the connection cannot continue
+              writePacket(out, 1, errPacket(1153, "08S01",
+                s"packet exceeds max_allowed_packet ($MaxAllowedPacket)"))
+              out.flush()
+              return
+          }
         if (cmd._2.isEmpty) return
         val payload = cmd._2
         payload(0) match {
@@ -127,20 +137,28 @@ final class MysqlFace(executor: ModelExecutor, port: Int = 0) {
             // thread blocks in read() watching the socket. A
             // well-behaved client sends nothing while its query runs,
             // so EOF here means the client dropped mid-query → cancel
-            // the in-flight job group (the worker's write then fails
-            // on the closed socket); a byte means a pipelined next
-            // command → push it back and wait for the query first.
+            // the group INCLUDING jobs the worker has not launched yet
+            // (the plain cancelJobGroup no-ops if EOF wins the race
+            // against plan analysis, before any job registers); a byte
+            // means a pipelined next command → push it back and wait
+            // for the query first. Documented trade-off: a client that
+            // half-closes its write side mid-query (legal TCP, no real
+            // MySQL client does it) is treated as disconnected.
             val fut = worker.submit(new Runnable {
               override def run(): Unit = runQuery(sql, out, group)
             })
             val b = try in.read() catch { case _: Throwable => -1 }
             if (b < 0) {
-              executor.session.sparkContext.cancelJobGroup(group)
+              executor.session.sparkContext.cancelJobGroupAndFutureJobs(group)
               try fut.get() catch { case _: Throwable => () }
               return
             }
             in.unread(b)
-            try fut.get() catch { case _: Throwable => () }
+            // a worker failure that ESCAPED runQuery's own handler
+            // (an Error, or a write failure after partial output) has
+            // desynced the response stream — tear the connection down
+            // rather than serve the next command on garbage
+            try fut.get() catch { case _: Throwable => return }
           case other =>
             writePacket(out, 1,
               errPacket(1047, "08S01", s"unsupported command 0x${other.toInt.toHexString}"))

@@ -715,6 +715,32 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(empty.getLong(1) == 2L, "truth size is ranking-independent")
   }
 
+  test("evaluateBm25 equals composing the standalone operators row-for-row") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val qs = Seq(1L -> "spark window join", 2L -> "hash merge batch")
+    val shared = CorpusOps.evaluateBm25(docs, "doc_id", "text", qs,
+        k1 = 1.2, b = 0.75, k = 10)
+      .orderBy("query_id").collect().toSeq
+    val composed = CorpusOps.rankingMetrics(
+        CorpusOps.bm25TopK(docs, "doc_id", "text", qs, 1.2, 0.75, 10),
+        CorpusOps.conjunctiveRelevance(docs, "doc_id", "text", qs), 10)
+      .orderBy("query_id").collect().toSeq
+    assert(shared == composed, "shared-tf evaluation diverged from composition")
+    assert(shared.nonEmpty)
+  }
+
+  test("rankingMetrics surfaces a query present only in the truth set") {
+    val ranking = Seq((1L, 10L, 1L)).toDF("query_id", "doc_id", "rank")
+    val truth = Seq((1L, 10L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "doc_id")
+    val m = CorpusOps.rankingMetrics(ranking, truth, k = 10)
+      .orderBy("query_id").collect()
+    assert(m.length == 2, "truth-only query 2 must not vanish")
+    val q2 = m(1)
+    assert(q2.getLong(0) == 2L && q2.getLong(1) == 2L) // n_rel kept
+    assert(q2.getLong(2) == 0L && q2.getLong(5) == 0L) // zeroed hits/mrr
+  }
+
   test("hybridRetrievalTopK equals fusing the standalone channels row-for-row") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val qs = Seq(1L -> "spark window join", 2L -> "hash merge batch")

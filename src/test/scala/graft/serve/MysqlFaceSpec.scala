@@ -51,9 +51,19 @@ class MysqlFaceSpec extends AnyFunSuite {
     }
 
     def writePacket(seq: Int, payload: Array[Byte]): Unit = {
-      val n = payload.length
-      out.write(n & 0xff); out.write((n >> 8) & 0xff); out.write((n >> 16) & 0xff)
-      out.write(seq & 0xff); out.write(payload); out.flush()
+      // independent implementation of the split rule: 0xffffff-byte
+      // chunks with consecutive sequence ids, shorter terminator
+      var off = 0
+      var s = seq
+      var continue = true
+      while (continue) {
+        val n = math.min(0xffffff, payload.length - off)
+        out.write(n & 0xff); out.write((n >> 8) & 0xff); out.write((n >> 16) & 0xff)
+        out.write(s & 0xff); out.write(payload, off, n)
+        off += n; s += 1
+        continue = n == 0xffffff
+      }
+      out.flush()
     }
 
     /** (value, bytes consumed) at offset. */
@@ -236,6 +246,52 @@ class MysqlFaceSpec extends AnyFunSuite {
       val (n2, r2) = c.readResultSet()
       assert(n2 == Seq("auto_increment_increment", "character_set_client", "version"))
       assert(r2 == Seq(Seq(Some("1"), Some("utf8mb4"), Some("8.0.0-graft"))))
+    }
+  }
+
+  test("pipelined commands: a second COM_QUERY sent early is answered in order") {
+    withClient { c =>
+      // send both queries back-to-back BEFORE reading any response —
+      // exercises the pushback path (the connection thread peeks the
+      // pipelined byte while the first query runs)
+      c.comQuery("SELECT 1 AS one")
+      c.writePacket(0, Array(0x03.toByte) ++
+        "SELECT 2 AS two".getBytes(StandardCharsets.UTF_8))
+      val (n1, r1) = c.readResultSet()
+      assert(n1 == Seq("one") && r1 == Seq(Seq(Some("1"))))
+      val (n2, r2) = c.readResultSet()
+      assert(n2 == Seq("two") && r2 == Seq(Seq(Some("2"))))
+    }
+  }
+
+  test("oversized command answers ERR 1153 before the connection closes") {
+    val c = new Client
+    try {
+      c.handshake()
+      // an 17 MiB COM_QUERY — over the advertised max_allowed_packet
+      val big = new Array[Byte](17 * 1024 * 1024)
+      java.util.Arrays.fill(big, ' '.toByte)
+      big(0) = 0x03
+      c.writePacket(0, big)
+      val (code, msg) = c.readErr()
+      assert(code == 1153 && msg.contains("max_allowed_packet"))
+      // the stream is desynced by design; the server closes after ERR
+    } finally c.close()
+  }
+
+  test("readPacket enforces maxBytes on reassembly") {
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    val payload = new Array[Byte](MysqlFace.MaxPacket + 10)
+    val bos = new ByteArrayOutputStream()
+    MysqlFace.writePacket(bos, 0, payload)
+    // under the cap: round-trips
+    val (_, ok) = MysqlFace.readPacket(
+      new ByteArrayInputStream(bos.toByteArray), MysqlFace.MaxPacket + 10)
+    assert(ok.length == payload.length)
+    // over the cap: loud IOException, not unbounded buffering
+    intercept[java.io.IOException] {
+      MysqlFace.readPacket(
+        new ByteArrayInputStream(bos.toByteArray), MysqlFace.MaxPacket - 1)
     }
   }
 
