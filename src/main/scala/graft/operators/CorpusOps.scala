@@ -891,15 +891,37 @@ object CorpusOps {
   // Deterministic stratified sampling
   // ---------------------------------------------------------------
 
-  /** Multiplicative-hash sampling bucket in [0, 100): pure BIGINT
-    * arithmetic (id folded below 2^20 first so the product never
-    * overflows a signed 64-bit in either engine), identical in Spark
-    * and the DuckDB oracle. Deterministic: re-running the pipeline
-    * selects the same rows — the property a reproducible training mix
-    * needs.
+  /** Full-width deterministic id mix → [0, 2^32): the ONE id-hash
+    * every sampling / split / cap / ordering operator keys on. Both
+    * 32-bit lanes of the id feed the result (lo is mixed, hi is
+    * injected between the two multiply rounds), so — unlike a
+    * `id mod p` pre-fold — no two distinct ids ever share the hash by
+    * construction of the fold: there is no input period. The shape is
+    * the classic xor-shift/multiply avalanche (two rounds of
+    * `x ^= x >> 16; x *= 0x45d9f3b` plus a final fold), with every
+    * multiply operand masked to 32 bits first so products stay below
+    * 2^59 — pure BIGINT arithmetic with no overflow in either engine,
+    * replayed verbatim by the DuckDB oracle (`&`, `>>`, `xor`).
+    * Deterministic: re-running the pipeline selects the same rows —
+    * the property a reproducible training mix needs.
     */
-  def sampleBucket(id: Column): Column =
-    ((id % 1000003L) * 2654435761L + 123456789L) % 4294967296L % 100L
+  def idMix(id: Column): Column = {
+    val lo = id.bitwiseAND(lit(4294967295L))
+    val hi = shiftright(id, 32).bitwiseAND(lit(4294967295L))
+    val s0 = lo.bitwiseXOR(lit(123456789L))
+    val h1 = s0.bitwiseXOR(shiftright(s0, 16))
+      .multiply(lit(73244475L)).bitwiseAND(lit(4294967295L))
+    val h2 = h1.bitwiseXOR(hi)
+    val h3 = h2.bitwiseXOR(shiftright(h2, 16))
+      .multiply(lit(73244475L)).bitwiseAND(lit(4294967295L))
+    h3.bitwiseXOR(shiftright(h3, 16))
+  }
+
+  /** Sampling bucket in [0, 100): the low two decimal digits of
+    * [[idMix]] (whose final xor-fold pushes high-bit entropy into the
+    * low bits, so the bucket sees the whole id).
+    */
+  def sampleBucket(id: Column): Column = idMix(id) % 100L
 
   /** Deterministic stratified sampling: keep a row iff its hash
     * bucket falls under the per-stratum rate (percent). Map-only
@@ -918,8 +940,8 @@ object CorpusOps {
 
   /** Per-domain document cap — the RefinedWeb/Gopher-style host
     * balancing pass: keep at most `cap` documents per domain, chosen
-    * by the deterministic 32-bit multiplicative id-hash (the
-    * [[sampleBucket]] fold, un-bucketed) so re-running selects the
+    * by the deterministic full-width id-hash ([[idMix]], the
+    * un-bucketed [[sampleBucket]]) so re-running selects the
     * identical subset and no domain's crawl order biases what
     * survives. The survivors carry their within-domain rank.
     *
@@ -933,7 +955,7 @@ object CorpusOps {
   def domainCap(docs: DataFrame, idCol: String, domainCol: String,
       cap: Int): DataFrame = {
     require(cap > 0, s"cap must be positive, got $cap")
-    val ord = ((col(idCol) % 1000003L) * 2654435761L + 123456789L) % 4294967296L
+    val ord = idMix(col(idCol))
     val w = Window.partitionBy(domainCol).orderBy(col("cap_ord"), col(idCol))
     docs.withColumn("cap_ord", ord)
       .withColumn("domain_rank", row_number().over(w).cast("long"))
@@ -977,8 +999,8 @@ object CorpusOps {
     * down-samples each stratum toward target proportions (e.g. 50%
     * web / 30% code / 20% reference of a `totalTarget`-doc budget).
     * Per-stratum keep-rate = min(1, wₛ·T / nₛ); a doc survives iff
-    * its 32-bit multiplicative id-hash (the [[sampleBucket]] fold,
-    * un-bucketed) falls below rate·2³². Strata without a weight
+    * full-width id-hash ([[idMix]], the un-bucketed
+    * [[sampleBucket]]) falls below rate·2³². Strata without a weight
     * default to 0 and are dropped.
     *
     * Scale shape: stratum counts are one map-side-combinable
@@ -1000,7 +1022,7 @@ object CorpusOps {
         floor(least(lit(1.0),
           w * lit(totalTarget.toDouble) / col("__n").cast("double"))
           * lit(4294967296.0)).cast("long").as("__thr"))
-    val h = ((col(idCol) % 1000003L) * 2654435761L + 123456789L) % 4294967296L
+    val h = idMix(col(idCol))
     docs.join(broadcast(thresholds), Seq(stratumCol))
       .filter(h < col("__thr"))
       .drop("__thr")
@@ -1029,7 +1051,7 @@ object CorpusOps {
         floor(least(lit(1.0),
           lit(scale) / sqrt(col("__n").cast("double")))
           * lit(4294967296.0)).cast("long").as("__thr"))
-    val h = ((col(idCol) % 1000003L) * 2654435761L + 123456789L) % 4294967296L
+    val h = idMix(col(idCol))
     docs.join(broadcast(thresholds), Seq(stratumCol))
       .filter(h < col("__thr"))
       .drop("__thr")
@@ -1137,8 +1159,8 @@ object CorpusOps {
     * Scale design: a per-source running sum as one window is one
     * partition per source — unusable when a source is half the
     * corpus. The sampling order is instead SHARD-MAJOR: docs hash
-    * into `shards` sub-shards per source (the same multiplicative
-    * id-hash as [[mixtureSample]] orders docs within a shard), a
+    * into `shards` sub-shards per source (the same [[idMix]] id-hash
+    * as [[mixtureSample]] orders docs within a shard), a
     * tiny (source, shard, tokens) aggregate prefix-sums the shard
     * totals, and each document's corpus-order cumulative is its
     * shard's prefix plus the within-shard running sum — a window
@@ -1167,8 +1189,7 @@ object CorpusOps {
     val base = Dedup.barrier(
       docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
           TextFunctions.nTokens(col(textCol)).as("n_tokens"))
-        .withColumn("ord",
-          ((col("doc_id") % 1000003L) * 2654435761L + 123456789L) % 4294967296L)
+        .withColumn("ord", idMix(col("doc_id")))
         .withColumn("shard", col("ord") % shards),
       col("source"), col("shard")).localCheckpoint()
     // shard prefix totals: sources × shards rows, broadcast-sized at
@@ -2070,7 +2091,7 @@ object CorpusOps {
 
   /** Deterministic train/val/test assignment + global shuffle key —
     * the last step before a corpus ships to a trainer. The split
-    * reuses [[sampleBucket]]'s multiplicative id-hash (val = buckets
+    * reuses [[sampleBucket]]'s id-hash [[idMix]] (val = buckets
     * [0, valPct), test = [valPct, valPct+testPct), train = the rest)
     * so membership is a pure function of the id: re-runs, backfills
     * and late-arriving shards land in the same split without any
@@ -2086,8 +2107,7 @@ object CorpusOps {
     * [[assignSplits]] and [[leakageSafeSplits]] so the two split
     * faces cannot de-synchronize.
     */
-  private def splitHash(key: Column): Column =
-    ((key % 1000003L) * 2654435761L + 123456789L) % 4294967296L
+  private def splitHash(key: Column): Column = idMix(key)
 
   private def splitOf(key: Column, valPct: Int, testPct: Int): Column = {
     val bucket = splitHash(key) % 100
@@ -2141,8 +2161,7 @@ object CorpusOps {
       scored.crossJoin(broadcast(mm))
         .select(col("doc_id"), col("score"),
           expr(s"((score - mn) * $nBins) div (mx - mn + 1)").as("bin"),
-          (((col("doc_id") % 1000003L) * 2654435761L + 123456789L)
-            % 4294967296L).as("shuffle_key"))
+          idMix(col("doc_id")).as("shuffle_key"))
         .withColumn("bucket",
           expr(s"shuffle_key div ${1L << (32 - bucketBits)}")),
       col("doc_id"))

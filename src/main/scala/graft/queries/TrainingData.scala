@@ -1501,6 +1501,24 @@ object TrainingData {
   private def polyHashSql(c: String): String =
     s"CASE WHEN $c = '' THEN 0 ELSE ${TextFunctions.Sql.polyHash(c)} END"
 
+  /** DuckDB rendering of [[graft.operators.CorpusOps.idMix]] — the
+    * full-width deterministic id-hash every sampling / split / cap /
+    * ordering oracle replays: both 32-bit lanes of the id, two
+    * xor-shift/multiply (0x45d9f3b) rounds with every multiply
+    * operand masked to 32 bits first (products < 2^59, BIGINT-safe in
+    * both engines), final xor-fold, result in [0, 2^32). Textual
+    * expansion only — DuckDB CSEs the repeated sub-terms.
+    */
+  private def idMixSql(e: String): String = {
+    val lo = s"($e & 4294967295)"
+    val hi = s"(($e >> 32) & 4294967295)"
+    val s0 = s"(xor($lo, 123456789))"
+    val h1 = s"(((xor($s0, $s0 >> 16)) * 73244475) & 4294967295)"
+    val h2 = s"(xor($h1, $hi))"
+    val h3 = s"(((xor($h2, $h2 >> 16)) * 73244475) & 4294967295)"
+    s"xor($h3, $h3 >> 16)"
+  }
+
   /** Full-pipeline oracle for the MinHash+LSH path: replays shingle
     * PolyHash, the (a·h + b) mod 2³¹−1 signature permutations (the
     * exact constants from [[graft.functions.MinHashSig.permParams]],
@@ -1627,10 +1645,8 @@ object TrainingData {
        |  FROM documents d LEFT JOIN comp c USING (doc_id)
        |)
        |SELECT doc_id, group_key,
-       |  CASE WHEN ((group_key % 1000003) * 2654435761 + 123456789)
-       |              % 4294967296 % 100 < 10 THEN 'val'
-       |       WHEN ((group_key % 1000003) * 2654435761 + 123456789)
-       |              % 4294967296 % 100 < 20 THEN 'test'
+       |  CASE WHEN ${idMixSql("group_key")} % 100 < 10 THEN 'val'
+       |       WHEN ${idMixSql("group_key")} % 100 < 20 THEN 'test'
        |       ELSE 'train' END AS split
        |FROM keyed ORDER BY doc_id""".stripMargin
 
@@ -2237,10 +2253,9 @@ object TrainingData {
         val cases = SampleRates.toSeq.sortBy(_._1)
           .map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ")
         s"""SELECT doc_id, lang,
-           |  ((doc_id % 1000003) * 2654435761 + 123456789) % 4294967296 % 100
-           |    AS strat_bucket
+           |  ${idMixSql("doc_id")} % 100 AS strat_bucket
            |FROM documents
-           |WHERE ((doc_id % 1000003) * 2654435761 + 123456789) % 4294967296 % 100
+           |WHERE ${idMixSql("doc_id")} % 100
            |  < CASE lang $cases ELSE 100 END
            |ORDER BY doc_id""".stripMargin
       },
@@ -2910,7 +2925,7 @@ object TrainingData {
       // fixed op sequence FLOOR(LEAST(1, scale/sqrt(n))*2^32) is
       // bit-identical; survival is the shared 32-bit id-hash filter
       "t74_sqrt_temperature" ->
-        """WITH cnt AS (
+        s"""WITH cnt AS (
           |  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
           |), thr AS (
           |  SELECT lang,
@@ -2920,16 +2935,16 @@ object TrainingData {
           |)
           |SELECT d.doc_id, d.lang, d.source
           |FROM documents d JOIN thr USING (lang)
-          |WHERE ((d.doc_id % 1000003) * 2654435761 + 123456789) % 4294967296 < thr
+          |WHERE ${idMixSql("d.doc_id")} < thr
           |ORDER BY d.doc_id""".stripMargin,
-      // t72: the engine's deterministic 32-bit id-hash order replayed
-      // verbatim inside the per-domain window
+      // t72: the engine's deterministic full-width id-hash order
+      // replayed verbatim inside the per-domain window
       "t72_domain_cap" ->
-        """WITH r AS (
+        s"""WITH r AS (
           |  SELECT doc_id, source,
           |    CAST(ROW_NUMBER() OVER (PARTITION BY source
-          |      ORDER BY ((doc_id % 1000003) * 2654435761 + 123456789)
-          |        % 4294967296, doc_id) AS BIGINT) AS domain_rank
+          |      ORDER BY ${idMixSql("doc_id")}, doc_id) AS BIGINT)
+          |      AS domain_rank
           |  FROM documents
           |)
           |SELECT doc_id, source, domain_rank FROM r
@@ -3351,8 +3366,8 @@ object TrainingData {
            |  ON t.id_a = i.id_a AND t.id_b = i.id_b
            |ORDER BY 1, 2""".stripMargin,
       "t58_curriculum_order" ->
-        """WITH toks AS (
-          |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        s"""WITH toks AS (
+          |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
           |  FROM documents
           |), tf AS (
           |  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
@@ -3369,8 +3384,7 @@ object TrainingData {
           |), keyed AS (
           |  SELECT doc_id, score,
           |    ((score - mn) * 4) // (mx - mn + 1) AS bin,
-          |    ((doc_id % 1000003) * 2654435761 + 123456789) % 4294967296
-          |      AS shuffle_key
+          |    ${idMixSql("doc_id")} AS shuffle_key
           |  FROM scored, mm
           |)
           |SELECT doc_id, score, bin, shuffle_key,
@@ -3563,17 +3577,14 @@ object TrainingData {
            |SELECT query_id, rank, vec_id, cosine_sim
            |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
       "t31_split_shuffle" ->
-        """SELECT doc_id,
-          |  CASE WHEN ((doc_id % 1000003) * 2654435761 + 123456789)
-          |              % 4294967296 % 100 < 10 THEN 'val'
-          |       WHEN ((doc_id % 1000003) * 2654435761 + 123456789)
-          |              % 4294967296 % 100 < 20 THEN 'test'
+        s"""SELECT doc_id,
+          |  CASE WHEN ${idMixSql("doc_id")} % 100 < 10 THEN 'val'
+          |       WHEN ${idMixSql("doc_id")} % 100 < 20 THEN 'test'
           |       ELSE 'train' END AS split,
-          |  ((doc_id % 1000003) * 2654435761 + 123456789) % 4294967296
-          |    AS shuffle_key
+          |  ${idMixSql("doc_id")} AS shuffle_key
           |FROM documents ORDER BY doc_id""".stripMargin,
       "t27_mix_sample" ->
-        """WITH cnt AS (
+        s"""WITH cnt AS (
           |  SELECT source, COUNT(*) AS n FROM documents GROUP BY source
           |), thr AS (
           |  SELECT source,
@@ -3586,12 +3597,12 @@ object TrainingData {
           |)
           |SELECT d.doc_id, d.source, d.lang
           |FROM documents d JOIN thr USING (source)
-          |WHERE ((d.doc_id % 1000003) * 2654435761 + 123456789) % 4294967296 < thr
+          |WHERE ${idMixSql("d.doc_id")} < thr
           |ORDER BY d.doc_id""".stripMargin,
       "t39_token_budget" ->
         s"""WITH base AS (
            |  SELECT doc_id, source, ${T.nTokens("text")} AS n_tokens,
-           |    ((doc_id % 1000003) * 2654435761 + 123456789) % 4294967296 AS ord
+           |    ${idMixSql("doc_id")} AS ord
            |  FROM documents
            |), sh AS (
            |  SELECT *, ord % 8 AS shard FROM base

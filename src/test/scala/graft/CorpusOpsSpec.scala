@@ -234,6 +234,47 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(ge("est_union") == ge("exact_union") && ge("est_intersect") == 0L)
   }
 
+  test("idMix: full-width — no input period, hi lane counted, exact replay") {
+    // The r9 defect: the old `id mod 1000003` pre-fold gave any two ids
+    // congruent mod 1,000,003 IDENTICAL hashes, so every sampling /
+    // split / cap decision correlated across ~10^3 hash-twins per doc
+    // at 10^9-row scale. The idMix replacement must hash such pairs
+    // independently.
+    val ids = spark.range(0, 10000).toDF("doc_id")
+    val both = ids.select(
+      CorpusOps.idMix(col("doc_id")).as("h"),
+      CorpusOps.idMix(col("doc_id") + 1000003L).as("h2"),
+      CorpusOps.sampleBucket(col("doc_id")).as("b"),
+      CorpusOps.sampleBucket(col("doc_id") + 1000003L).as("b2"))
+    assert(both.filter(col("h") === col("h2")).count() == 0,
+      "ids 1,000,003 apart must not share the full hash")
+    val shared = both.filter(col("b") === col("b2")).count()
+    assert(shared < 300, // chance rate is ~1% of 10k; old fold was 100%
+      s"bucket collisions for ids 1,000,003 apart should be chance-level, got $shared")
+    // the hi 32-bit lane participates: id and id + 2^32 hash apart
+    val hiPair = ids.limit(1000).select(
+      CorpusOps.idMix(col("doc_id")).as("h"),
+      CorpusOps.idMix(col("doc_id") + 4294967296L).as("h2"))
+    assert(hiPair.filter(col("h") === col("h2")).count() == 0,
+      "bit 32 of the id must change the hash")
+    // scalar replay (the spec-side arithmetic every hash spec uses)
+    // matches the Column implementation bit for bit, incl. wide ids
+    def h(id: Long) = {
+      val s0 = (id & 4294967295L) ^ 123456789L
+      val h1 = ((s0 ^ (s0 >>> 16)) * 73244475L) & 4294967295L
+      val h2 = h1 ^ ((id >> 32) & 4294967295L)
+      val h3 = ((h2 ^ (h2 >>> 16)) * 73244475L) & 4294967295L
+      h3 ^ (h3 >>> 16)
+    }
+    val wide = Seq(0L, 1L, 1000003L, 4294967296L, 4294967297L,
+      12345678901234L, Long.MaxValue)
+    val got = wide.toDF("id").select(col("id"), CorpusOps.idMix(col("id")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    wide.foreach(i => assert(got(i) == h(i), s"id $i: ${got(i)} != ${h(i)}"))
+    // range stays [0, 2^32) — thresholds and bucketBits math rely on it
+    assert(both.filter(col("h") < 0 || col("h") >= 4294967296L).count() == 0)
+  }
+
   test("stratifiedSample: deterministic, rate-bounded, stratum-aware") {
     val docs = (0L until 1000L).map(i => (i, if (i % 2 == 0) "en" else "fr"))
       .toDF("doc_id", "lang")
@@ -482,7 +523,7 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(!bySrc.contains("s3"), "zero-weight stratum must drop entirely")
     // deterministic hash -> exact expected counts (replayed in python),
     // each near its rate*n target (72 / 36 / 12)
-    assert(bySrc == Map("s0" -> 69L, "s1" -> 35L, "s2" -> 13L), bySrc.toString)
+    assert(bySrc == Map("s0" -> 77L, "s1" -> 29L, "s2" -> 12L), bySrc.toString)
     // saturation: weight*target >= n clamps to keep-all
     val all = CorpusOps.mixtureSample(docs, "doc_id", "source",
       Map("s0" -> 1.0), 500L)
@@ -561,8 +602,14 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(byDomain("big").length == 4)
     assert(byDomain("small").map(_._1).sorted.toSeq == Seq(100L, 101L),
       "under-cap domains keep everything")
-    // survivors are the 4 smallest by the deterministic 32-bit hash
-    def h(id: Long) = ((id % 1000003L) * 2654435761L + 123456789L) % 4294967296L
+    // survivors are the 4 smallest by the deterministic idMix hash
+    def h(id: Long) = {
+      val s0 = (id & 4294967295L) ^ 123456789L
+      val h1 = ((s0 ^ (s0 >>> 16)) * 73244475L) & 4294967295L
+      val h2 = h1 ^ ((id >> 32) & 4294967295L)
+      val h3 = ((h2 ^ (h2 >>> 16)) * 73244475L) & 4294967295L
+      h3 ^ (h3 >>> 16)
+    }
     val expect = (0L until 10L).sortBy(i => (h(i), i)).take(4).toSet
     assert(byDomain("big").map(_._1).toSet == expect)
     // ranks are 1..k in hash order
@@ -619,7 +666,13 @@ class CorpusOpsSpec extends AnyFunSuite {
     val by = kept.groupBy(_._2)
     assert(by("small").length == 3, "under-threshold strata pass whole")
     // exact replay of the engine arithmetic decides membership
-    def h(id: Long) = ((id % 1000003L) * 2654435761L + 123456789L) % 4294967296L
+    def h(id: Long) = {
+      val s0 = (id & 4294967295L) ^ 123456789L
+      val h1 = ((s0 ^ (s0 >>> 16)) * 73244475L) & 4294967295L
+      val h2 = h1 ^ ((id >> 32) & 4294967295L)
+      val h3 = ((h2 ^ (h2 >>> 16)) * 73244475L) & 4294967295L
+      h3 ^ (h3 >>> 16)
+    }
     val thr = math.floor(math.min(1.0, 2.0 / math.sqrt(400.0)) * 4294967296.0).toLong
     val expect = (0L until 400L).filter(h(_) < thr).toSet
     assert(by("big").map(_._1).toSet == expect)
@@ -671,8 +724,13 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
     // singletons key on their own id with the t31 bucket arithmetic
     val clustered = pairs.flatMap(p => Seq(p._1, p._2)).toSet
-    def bucket(k: Long) =
-      ((k % 1000003L) * 2654435761L + 123456789L) % 4294967296L % 100L
+    def bucket(k: Long) = {
+      val s0 = (k & 4294967295L) ^ 123456789L
+      val h1 = ((s0 ^ (s0 >>> 16)) * 73244475L) & 4294967295L
+      val h2 = h1 ^ ((k >> 32) & 4294967295L)
+      val h3 = ((h2 ^ (h2 >>> 16)) * 73244475L) & 4294967295L
+      (h3 ^ (h3 >>> 16)) % 100L
+    }
     splits.collect { case (id, (gk, sp)) if !clustered.contains(id) =>
       assert(gk == id)
       val b = bucket(gk)

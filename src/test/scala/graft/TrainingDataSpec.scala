@@ -1177,7 +1177,13 @@ class TrainingDataSpec extends AnyFunSuite {
     val raw = docs.select("doc_id", "source", "text").collect()
       .map(r => (r.getLong(0), r.getString(1),
         r.getString(2).trim.split("\\s+").length.toLong))
-    def hash(id: Long) = ((id % 1000003L) * 2654435761L + 123456789L) % 4294967296L
+    def hash(id: Long) = {
+      val s0 = (id & 4294967295L) ^ 123456789L
+      val h1 = ((s0 ^ (s0 >>> 16)) * 73244475L) & 4294967295L
+      val h2 = h1 ^ ((id >> 32) & 4294967295L)
+      val h3 = ((h2 ^ (h2 >>> 16)) * 73244475L) & 4294967295L
+      h3 ^ (h3 >>> 16)
+    }
     val expect = raw.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
       val ordered = ds.sortBy(d => (hash(d._1) % shards, hash(d._1), d._1))
       val cums = ordered.scanLeft(0L)(_ + _._3).tail
