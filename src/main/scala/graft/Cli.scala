@@ -457,18 +457,35 @@ object Cli {
       val executor = new ModelExecutor(spark, project)
       executor.buildAll()
       val port = rest.headOption.map(_.toInt).getOrElse(8581)
-      val proxy = new graft.serve.SqlProxy(executor, port).start()
-      // MySQL wire face beside the HTTP face (reference serves
-      // mysql-mimic on 3306; here HTTP port + 1 so one flag drives
-      // both) — stock MySQL clients connect with any credentials
-      val mysql = new graft.serve.MysqlFace(executor,
-        if (port == 0) 0 else port + 1).start()
-      println(s"sql proxy listening on 127.0.0.1:${proxy.boundPort} " +
-        "(POST /query, GET /schema); mysql wire on " +
-        s"127.0.0.1:${mysql.boundPort}; Ctrl-C to stop")
-      // foreground server: park the main thread until interrupted
-      try Thread.currentThread.join()
-      finally { proxy.stop(); mysql.stop(); spark.stop() }
+      // Both servers start inside the cleanup scope: a failure
+      // starting the second (e.g. port+1 already bound) must stop the
+      // first and the session rather than leak them.
+      var proxy: graft.serve.SqlProxy = null
+      var mysql: graft.serve.MysqlFace = null
+      try {
+        proxy = new graft.serve.SqlProxy(executor, port).start()
+        // MySQL wire face beside the HTTP face (reference serves
+        // mysql-mimic on 3306; here HTTP port + 1 so one flag drives
+        // both) — stock MySQL clients connect with any credentials.
+        // If port+1 is taken, fall back to an ephemeral port (printed
+        // below) instead of failing the whole serve command.
+        mysql =
+          try new graft.serve.MysqlFace(executor,
+            if (port == 0) 0 else port + 1).start()
+          catch {
+            case _: java.net.BindException =>
+              new graft.serve.MysqlFace(executor, 0).start()
+          }
+        println(s"sql proxy listening on 127.0.0.1:${proxy.boundPort} " +
+          "(POST /query, GET /schema); mysql wire on " +
+          s"127.0.0.1:${mysql.boundPort}; Ctrl-C to stop")
+        // foreground server: park the main thread until interrupted
+        Thread.currentThread.join()
+      } finally {
+        if (proxy != null) proxy.stop()
+        if (mysql != null) mysql.stop()
+        spark.stop()
+      }
 
     case "catalog" :: dir :: outFile :: Nil =>
       val spark = session()

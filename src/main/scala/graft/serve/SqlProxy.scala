@@ -51,12 +51,11 @@ final class SqlProxy(executor: ModelExecutor, port: Int = 0,
   val DefaultLimit = 1000
 
   /** Hard ceiling on what any /query response will collect to the
-    * proxy, whatever limit the client asks for — the driver-side
-    * guard that keeps one greedy request from OOMing the session
-    * (the distributed path for big results is a sink write, not this
-    * proxy).
+    * proxy, whatever limit the client asks for — see
+    * [[SqlProxy.MaxLimit]] (shared with the MySQL wire face so the
+    * two caps cannot de-synchronize).
     */
-  val MaxLimit = 10000
+  val MaxLimit: Int = SqlProxy.MaxLimit
 
   /** Handler threads: the JDK server's default executor runs every
     * handler on the single dispatch thread, serializing clients
@@ -294,6 +293,14 @@ final class SqlProxy(executor: ModelExecutor, port: Int = 0,
 }
 
 object SqlProxy {
+
+  /** Hard ceiling on what any response (HTTP /query or a MySQL wire
+    * resultset) will collect to the proxy, whatever limit the client
+    * asks for — the driver-side guard that keeps one greedy request
+    * from OOMing the session (the distributed path for big results is
+    * a sink write, not this proxy).
+    */
+  val MaxLimit = 10000
 
   /** The workbench page: plain HTML+JS over /query and /schema, no
     * external assets (works fully offline). Kept as one string so the

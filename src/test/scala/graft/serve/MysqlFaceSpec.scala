@@ -264,6 +264,253 @@ class MysqlFaceSpec extends AnyFunSuite {
     }
   }
 
+  test("SHOW DATABASES / SHOW TABLES browse the manifest like a stock client") {
+    withClient { c =>
+      c.comQuery("SHOW DATABASES")
+      val (dn, dr) = c.readResultSet()
+      assert(dn == Seq("Database"))
+      val dbs = dr.flatMap(_.head)
+      assert(dbs.contains("main") && dbs.contains("warehouse") &&
+        dbs.contains("information_schema"))
+      assert(dbs == dbs.sorted)
+
+      c.comQuery("SHOW TABLES")
+      val (tn, tr) = c.readResultSet()
+      assert(tn == Seq("Tables_in_main"))
+      val tables = tr.flatMap(_.head)
+      assert(tables.contains("customers") && tables.contains("stg_orders"))
+      assert(tables == tables.sorted)
+
+      c.comQuery("SHOW TABLES LIKE 'stg%'")
+      val (ln, lr) = c.readResultSet()
+      assert(ln == Seq("Tables_in_main (stg%)"))
+      assert(lr.nonEmpty && lr.flatMap(_.head).forall(_.startsWith("stg")))
+
+      c.comQuery("SHOW TABLES FROM warehouse")
+      val (_, wr) = c.readResultSet()
+      assert(wr.flatMap(_.head) == Seq("region_lookup"))
+
+      c.comQuery("SHOW FULL TABLES")
+      val (fn, fr) = c.readResultSet()
+      assert(fn.head == "Tables_in_main" && fn(1) == "Table_type")
+      assert(fr.forall(r => Set("BASE TABLE", "VIEW").contains(r(1).get)))
+
+      c.comQuery("SHOW TABLES FROM no_such_db")
+      val (code, msg) = c.readErr()
+      assert(code == 1049 && msg.contains("no_such_db"))
+    }
+  }
+
+  test("DESCRIBE and SHOW COLUMNS answer manifest-backed field lists") {
+    withClient { c =>
+      c.comQuery("DESCRIBE customers")
+      val (names, rows) = c.readResultSet()
+      assert(names == Seq("Field", "Type", "Null", "Key", "Default", "Extra"))
+      assert(rows.map(_.head.get) == Seq("customer_id", "first_name",
+        "last_name", "first_order", "most_recent_order", "number_of_orders",
+        "customer_lifetime_value", "customer_average_value"))
+      assert(rows.forall(_(4).isEmpty), "Default rides the NULL marker")
+
+      // qualified form + FULL: the Comment column carries the manifest
+      // description
+      c.comQuery("SHOW FULL COLUMNS FROM warehouse.region_lookup")
+      val (fn, fr) = c.readResultSet()
+      assert(fn == Seq("Field", "Type", "Collation", "Null", "Key",
+        "Default", "Extra", "Privileges", "Comment"))
+      val regionId = fr.find(_.head.contains("region_id")).get
+      assert(regionId.last.contains("Region identifier"))
+
+      c.comQuery("SHOW COLUMNS FROM region_lookup FROM warehouse LIKE '%_id'")
+      val (_, pr) = c.readResultSet()
+      assert(pr.map(_.head.get) == Seq("region_id"))
+
+      c.comQuery("DESCRIBE no_such_table")
+      val (code, msg) = c.readErr()
+      assert(code == 1146 && msg.contains("no_such_table"))
+    }
+  }
+
+  test("information_schema SELECTs run through Catalyst with full SQL power") {
+    withClient { c =>
+      c.comQuery("SELECT column_name, data_type, column_comment " +
+        "FROM information_schema.columns WHERE table_name = 'region_lookup' " +
+        "ORDER BY ordinal_position")
+      val (names, rows) = c.readResultSet()
+      assert(names == Seq("column_name", "data_type", "column_comment"))
+      assert(rows.head == Seq(Some("region_id"), Some("UNKNOWN"),
+        Some("Region identifier")))
+
+      c.comQuery("SELECT table_name FROM information_schema.tables " +
+        "WHERE table_schema = 'warehouse'")
+      val (_, tr) = c.readResultSet()
+      assert(tr == Seq(Seq(Some("region_lookup"))))
+
+      // joins + aggregation over the metadata views — the point of
+      // routing through Catalyst instead of a regex-shaped subset
+      c.comQuery("SELECT t.table_schema, COUNT(*) AS n_cols " +
+        "FROM information_schema.tables t " +
+        "JOIN information_schema.columns c ON t.table_name = c.table_name " +
+        "WHERE t.table_schema = 'warehouse' GROUP BY t.table_schema")
+      val (_, jr) = c.readResultSet()
+      assert(jr.length == 1 && jr.head.head.contains("warehouse") &&
+        jr.head(1).exists(_.toLong >= 1))
+
+      c.comQuery("SELECT schema_name FROM information_schema.schemata ORDER BY 1")
+      val (_, sr) = c.readResultSet()
+      assert(sr.flatMap(_.head).contains("warehouse"))
+    }
+  }
+
+  test("USE and COM_INIT_DB switch the default schema for SHOW TABLES") {
+    withClient { c =>
+      c.comQuery("USE warehouse")
+      c.readOk()
+      c.comQuery("SHOW TABLES")
+      val (n1, r1) = c.readResultSet()
+      assert(n1 == Seq("Tables_in_warehouse"))
+      assert(r1.flatMap(_.head) == Seq("region_lookup"))
+      // COM_INIT_DB switches back
+      c.writePacket(0, Array(0x02.toByte) ++
+        "main".getBytes(StandardCharsets.UTF_8))
+      c.readOk()
+      c.comQuery("SHOW TABLES")
+      val (n2, _) = c.readResultSet()
+      assert(n2 == Seq("Tables_in_main"))
+    }
+  }
+
+  test("prepared statements: COM_STMT_PREPARE/EXECUTE round-trip the binary protocol") {
+    withClient { c =>
+      // prepare: 1 placeholder
+      c.writePacket(0, Array(0x16.toByte) ++
+        ("SELECT customer_id, number_of_orders FROM customers " +
+          "WHERE customer_id = ?").getBytes(StandardCharsets.UTF_8))
+      val (_, ok) = c.readPacket()
+      assert((ok(0) & 0xff) == 0x00, "expected COM_STMT_PREPARE_OK")
+      val stmtId = (ok(1) & 0xff) | ((ok(2) & 0xff) << 8) |
+        ((ok(3) & 0xff) << 16) | ((ok(4) & 0xff) << 24)
+      val nCols = (ok(5) & 0xff) | ((ok(6) & 0xff) << 8)
+      val nParams = (ok(7) & 0xff) | ((ok(8) & 0xff) << 8)
+      assert(nCols == 0 && nParams == 1)
+      // param definition + EOF follow
+      c.readPacket() // param def
+      val (_, eof) = c.readPacket()
+      assert((eof(0) & 0xff) == 0xfe)
+
+      // execute with customer_id = 1 bound as LONGLONG
+      val ex = scala.collection.mutable.ArrayBuffer[Byte](0x17.toByte)
+      def le(v: Long, n: Int): Unit =
+        (0 until n).foreach(i => ex += ((v >> (8 * i)) & 0xff).toByte)
+      le(stmtId.toLong, 4)
+      ex += 0 // flags
+      le(1L, 4) // iteration count
+      ex += 0 // null bitmap (1 param -> 1 byte, nothing null)
+      ex += 1 // new-params-bound
+      ex += 0x08.toByte; ex += 0 // type LONGLONG, signed
+      le(1L, 8) // value
+      c.writePacket(0, ex.toArray)
+
+      // binary resultset: column defs ride the same shape; rows are
+      // 0x00-headed with a NULL bitmap then lenc strings
+      val (_, first) = c.readPacket()
+      assert((first(0) & 0xff) != 0xff,
+        "ERR: " + new String(first.drop(9), StandardCharsets.UTF_8))
+      val (colCount, _) = c.lenc(first, 0)
+      assert(colCount == 2)
+      (0 until 2).foreach(_ => c.readPacket())
+      val (_, eof2) = c.readPacket()
+      assert((eof2(0) & 0xff) == 0xfe)
+      val (_, row) = c.readPacket()
+      assert((row(0) & 0xff) == 0x00, "binary row header")
+      // bitmap byte: (2 cols + 2 offset + 7)/8 = 1 byte, no NULLs
+      assert(row(1) == 0)
+      val (v1, used1) = c.lencString(row, 2)
+      val (v2, _) = c.lencString(row, 2 + used1)
+      assert(v1 == "1" && v2 == "3")
+      val (_, eof3) = c.readPacket()
+      assert((eof3(0) & 0xff) == 0xfe && eof3.length < 9)
+
+      // COM_STMT_CLOSE has no response; the connection stays usable
+      val cl = scala.collection.mutable.ArrayBuffer[Byte](0x19.toByte)
+      (0 until 4).foreach(i => cl += ((stmtId >> (8 * i)) & 0xff).toByte)
+      c.writePacket(0, cl.toArray)
+      c.writePacket(0, Array(0x0e.toByte)) // COM_PING
+      c.readOk()
+    }
+  }
+
+  test("prepared statements: string params escape, NULL params ride the bitmap") {
+    withClient { c =>
+      // string with a quote — exercises literal escaping
+      c.writePacket(0, Array(0x16.toByte) ++
+        "SELECT ? AS echo".getBytes(StandardCharsets.UTF_8))
+      val (_, ok) = c.readPacket()
+      val stmtId = (ok(1) & 0xff) | ((ok(2) & 0xff) << 8)
+      c.readPacket(); c.readPacket() // param def + EOF
+      val s = "o'hara \\ test"
+      val sb = s.getBytes(StandardCharsets.UTF_8)
+      val ex = scala.collection.mutable.ArrayBuffer[Byte](0x17.toByte)
+      def le(v: Long, n: Int): Unit =
+        (0 until n).foreach(i => ex += ((v >> (8 * i)) & 0xff).toByte)
+      le(stmtId.toLong, 4); ex += 0; le(1L, 4)
+      ex += 0; ex += 1
+      ex += 0xfd.toByte; ex += 0 // VAR_STRING
+      ex += sb.length.toByte; ex ++= sb
+      c.writePacket(0, ex.toArray)
+      val (_, first) = c.readPacket()
+      assert((first(0) & 0xff) != 0xff,
+        "ERR: " + new String(first.drop(9), StandardCharsets.UTF_8))
+      c.readPacket(); c.readPacket() // col def + EOF
+      val (_, row) = c.readPacket()
+      assert(c.lencString(row, 2)._1 == s)
+      c.readPacket() // trailing EOF
+
+      // NULL param: bitmap bit set, no value bytes
+      c.writePacket(0, Array(0x16.toByte) ++
+        "SELECT ? AS nothing".getBytes(StandardCharsets.UTF_8))
+      val (_, ok2) = c.readPacket()
+      val id2 = (ok2(1) & 0xff) | ((ok2(2) & 0xff) << 8)
+      c.readPacket(); c.readPacket()
+      val ex2 = scala.collection.mutable.ArrayBuffer[Byte](0x17.toByte)
+      def le2(v: Long, n: Int): Unit =
+        (0 until n).foreach(i => ex2 += ((v >> (8 * i)) & 0xff).toByte)
+      le2(id2.toLong, 4); ex2 += 0; le2(1L, 4)
+      ex2 += 1 // null bitmap: param 0 is NULL
+      ex2 += 1 // new-params-bound
+      ex2 += 0xfd.toByte; ex2 += 0
+      c.writePacket(0, ex2.toArray)
+      val (_, f2) = c.readPacket()
+      assert((f2(0) & 0xff) != 0xff)
+      c.readPacket(); c.readPacket()
+      val (_, row2) = c.readPacket()
+      // binary row: header 0x00, bitmap bit (0 + 2) set = NULL column
+      assert((row2(0) & 0xff) == 0x00 && (row2(1) & 0x04) != 0)
+      c.readPacket()
+    }
+  }
+
+  test("a command split across wire packets gets its response at lastSeq+1") {
+    withClient { c =>
+      // pad a COM_QUERY to EXACTLY max_allowed_packet (16777216) bytes:
+      // 16777215-byte chunk (seq 0) + 1-byte chunk (seq 1) -> the
+      // response must start at seq 2, or strict clients desync
+      val sql = "SELECT 1 AS one" + (" " * (MysqlFace.MaxAllowedPacket - 1 -
+        "SELECT 1 AS one".length))
+      val payload = Array(0x03.toByte) ++ sql.getBytes(StandardCharsets.UTF_8)
+      assert(payload.length == MysqlFace.MaxAllowedPacket)
+      c.writePacket(0, payload)
+      val (seq, first) = c.readPacket()
+      assert(seq == 2, s"response to a split command must continue at 2, got $seq")
+      assert((first(0) & 0xff) != 0xff)
+      val (nCols, _) = c.lenc(first, 0)
+      (0 until nCols.toInt).foreach(_ => c.readPacket()) // col defs
+      c.readPacket() // EOF
+      val (_, row) = c.readPacket()
+      assert(c.lencString(row, 0)._1 == "1")
+      c.readPacket() // EOF
+    }
+  }
+
   test("oversized command answers ERR 1153 before the connection closes") {
     val c = new Client
     try {
@@ -304,15 +551,16 @@ class MysqlFaceSpec extends AnyFunSuite {
       val payload = Array.tabulate[Byte](n)(i => (i % 251).toByte)
       val bos = new ByteArrayOutputStream()
       val nextSeq = MysqlFace.writePacket(bos, 3, payload)
-      // server-side reassembly round-trips
-      val (seq, back) = MysqlFace.readPacket(
-        new ByteArrayInputStream(bos.toByteArray))
-      assert(seq == 3 && java.util.Arrays.equals(back, payload),
-        s"round-trip failed at n=$n")
       // one sequence id consumed per wire packet (incl. the empty
       // terminator when n is an exact multiple of MaxPacket)
       val wirePackets = n / MysqlFace.MaxPacket + 1
       assert(nextSeq == 3 + wirePackets, s"seq accounting at n=$n: $nextSeq")
+      // server-side reassembly round-trips AND reports the next free
+      // sequence id (responses to split commands must continue it)
+      val (seq, back) = MysqlFace.readPacket(
+        new ByteArrayInputStream(bos.toByteArray))
+      assert(seq == 3 + wirePackets && java.util.Arrays.equals(back, payload),
+        s"round-trip failed at n=$n")
     }
   }
 }
