@@ -32,8 +32,11 @@ import org.yaml.snakeyaml.representer.Representer
   * ruamel. Anchors/aliases round-trip too: the graft re-links alias
   * sites that stayed structurally identical back to their (named)
   * anchor node, so `&a`/`*a` survive a write — see [[graftComments]]
-  * for the exact contract (diverged sites materialize; inert anchors
-  * and `<<` merge keys do not round-trip).
+  * for the exact contract (diverged sites materialize). Inert anchors
+  * (declared, never aliased) survive via `setAnchor` + the snakeyaml
+  * anchor generator, and `<<` merge keys are re-instated from the
+  * composed tree when the merge still holds — see [[restoreMergeKey]]
+  * (residual: a chained merge inside the anchor stays flattened).
   */
 object YamlIO {
 
@@ -191,10 +194,11 @@ object YamlIO {
     * `*alias` (under the original anchor NAME, which rides
     * `setAnchor` into the snakeyaml anchor generator). A site the
     * edit diverged stays materialized, which is the only correct
-    * reading of "the alias no longer holds". Not round-tripped:
-    * anchors declared but never aliased (semantically inert) and
-    * `<<` merge keys (flattened at load, like PyYAML's loader).
-    * Returns the node to place at this position.
+    * reading of "the alias no longer holds". Anchors declared but
+    * never aliased ride `setAnchor` alone (the snakeyaml serializer
+    * emits single-occurrence anchors when the node carries one), and
+    * `<<` merge keys are re-instated by [[restoreMergeKey]]. Returns
+    * the node to place at this position.
     */
   private def graftComments(o: Node, n: Node,
       seen: java.util.IdentityHashMap[Node, Node]): Node = {
@@ -222,7 +226,7 @@ object YamlIO {
             case None => nt
           }
         }
-        nm.setValue(rebuilt.asJava)
+        nm.setValue(restoreMergeKey(om, rebuilt, seen).asJava)
       case (os: SequenceNode, ns: SequenceNode) =>
         val items = ns.getValue // composer-built ArrayList: mutable
         val oldItems = os.getValue.asScala.toSeq
@@ -250,6 +254,77 @@ object YamlIO {
       case _ => ()
     }
     n
+  }
+
+  /** Re-instates a `<<` merge key the plain-map load flattened
+    * (SafeConstructor.flattenMapping — the composed tree still holds
+    * the merge tuple, whose value node IS the anchor's shared
+    * instance). If every key the merge contributed (anchor keys not
+    * locally overridden) is still present in the freshly-dumped
+    * mapping with a value structurally identical to the (already
+    * grafted) anchor's, those materialized tuples are dropped and the
+    * original `<<` tuple is re-inserted at its original position,
+    * pointing at the FRESH anchor node — the serializer then sees two
+    * occurrences and re-emits `&name` / `<<: *name`. Any divergence
+    * (an edit to an inherited value, a vanished key, an anchor
+    * defined after the merge site, a chained merge inside the anchor)
+    * keeps the mapping flattened, which is the only correct reading
+    * of "the merge no longer holds". Single `<<` per mapping (YAML
+    * forbids duplicates); both the single-alias and sequence-of-
+    * aliases forms are handled.
+    */
+  private def restoreMergeKey(om: MappingNode, rebuilt: Seq[NodeTuple],
+      seen: java.util.IdentityHashMap[Node, Node]): Seq[NodeTuple] = {
+    val omTuples = om.getValue.asScala.toSeq
+    val mergeTuple = omTuples.find(t => t.getKeyNode match {
+      case s: ScalarNode =>
+        s.getTag.getValue == "tag:yaml.org,2002:merge" || s.getValue == "<<"
+      case _ => false
+    })
+    mergeTuple match {
+      case None => rebuilt
+      case Some(mt) =>
+        val sources: Seq[Node] = mt.getValueNode match {
+          case sq: SequenceNode => sq.getValue.asScala.toSeq
+          case other => Seq(other)
+        }
+        val freshSources = sources.map(s => Option(seen.get(s)))
+        val freshMaps = freshSources.flatten.collect { case m: MappingNode => m }
+        if (freshMaps.size != sources.size) return rebuilt
+        val localKeys = omTuples.filterNot(_ eq mt).flatMap(scalarKey(_)).toSet
+        // keys the merge contributed: first-wins across sources (YAML
+        // merge precedence), locals excluded
+        val inherited = scala.collection.mutable.LinkedHashMap[String, Node]()
+        freshMaps.foreach(_.getValue.asScala.foreach { t =>
+          scalarKey(t).foreach { k =>
+            if (k != "<<" && !localKeys.contains(k) && !inherited.contains(k))
+              inherited(k) = t.getValueNode
+          }
+        })
+        if (inherited.isEmpty ||
+          freshMaps.exists(_.getValue.asScala.exists(t =>
+            scalarKey(t).contains("<<"))))
+          return rebuilt
+        val curByKey = rebuilt.flatMap(t => scalarKey(t).map(_ -> t)).toMap
+        val holds = inherited.forall { case (k, v) =>
+          curByKey.get(k).exists(t => deepEq(t.getValueNode, v))
+        }
+        if (!holds) return rebuilt
+        val withoutInherited = rebuilt.filterNot(t =>
+          scalarKey(t).exists(k => inherited.contains(k)))
+        val mergeValue: Node = mt.getValueNode match {
+          case sq: SequenceNode =>
+            new SequenceNode(sq.getTag,
+              freshMaps.map(_.asInstanceOf[Node]).asJava, sq.getFlowStyle)
+          case _ => freshMaps.head
+        }
+        // the original key node carries the merge tag and any comments
+        val insertAt = math.min(omTuples.indexWhere(_ eq mt),
+          withoutInherited.size)
+        (withoutInherited.take(insertAt) :+
+          new NodeTuple(mt.getKeyNode, mergeValue)) ++
+          withoutInherited.drop(insertAt)
+    }
   }
 
   /** Dump with comments restored from `doc.source` (plain dump when

@@ -262,6 +262,116 @@ class YamlPlaneSpec extends AnyFunSuite {
     assert(text == original, s"duplicate items not preserved:\n$text")
   }
 
+  test("inert anchors and << merge keys survive an unchanged round-trip " +
+      "byte-for-byte (A32)") {
+    val root = tmpRoot()
+    val p = root.resolve("schema.yml")
+    // canonical dumper style; the anchor lives in a PRESERVED section
+    // and the merge site in the MANAGED one — the partition boundary
+    // is exactly where a naive reserialize would lose them
+    val original =
+      """version: 2
+        |x-defaults: &cfg
+        |  owner: data-team
+        |  tier: gold
+        |x-unused: &lonely 42
+        |models:
+        |- name: orders
+        |  meta:
+        |    <<: *cfg
+        |    tier: silver
+        |- name: customers
+        |  meta:
+        |    <<: *cfg
+        |""".stripMargin
+    Files.writeString(p, original)
+    YamlIO.invalidate()
+    YamlIO.write(p, YamlIO.read(p))
+    assert(Files.readString(p) == original,
+      s"inert anchor / merge keys did not survive:\n${Files.readString(p)}")
+    // the re-read still flattens the merge with local override winning
+    YamlIO.invalidate()
+    val again = YamlIO.read(p)
+    val metas = again.managed("models").asInstanceOf[Seq[Map[String, Any]]]
+      .map(m => m("name") -> m("meta").asInstanceOf[Map[String, Any]]).toMap
+    assert(metas("orders") == Map("owner" -> "data-team", "tier" -> "silver"))
+    assert(metas("customers") == Map("owner" -> "data-team", "tier" -> "gold"))
+  }
+
+  test("a merge whose inherited value the edit diverged materializes; the " +
+      "intact merge holds (A32)") {
+    val root = tmpRoot()
+    val p = root.resolve("schema.yml")
+    Files.writeString(p,
+      """version: 2
+        |x-defaults: &cfg
+        |  owner: data-team
+        |  tier: gold
+        |models:
+        |- name: orders
+        |  meta:
+        |    <<: *cfg
+        |- name: customers
+        |  meta:
+        |    <<: *cfg
+        |""".stripMargin)
+    YamlIO.invalidate()
+    val doc = YamlIO.read(p)
+    val models = doc.managed("models").asInstanceOf[Seq[Map[String, Any]]]
+    // orders overrides an INHERITED key post-load: the merge no longer
+    // holds there and must flatten; customers' merge is intact
+    val edited = models.map { m =>
+      if (m("name") == "orders")
+        m.updated("meta",
+          m("meta").asInstanceOf[Map[String, Any]].updated("owner", "orders-team"))
+      else m
+    }
+    YamlIO.write(p, doc.copy(managed = doc.managed.updated("models", edited)))
+    val text = Files.readString(p)
+    assert(text.contains("owner: orders-team"), s"edit lost:\n$text")
+    // exactly one merge site left (customers), and orders' mapping is
+    // fully materialized
+    assert(text.linesIterator.count(_.trim == "<<: *cfg") == 1,
+      s"merge sites wrong:\n$text")
+    YamlIO.invalidate()
+    val again = YamlIO.read(p)
+    val metas = again.managed("models").asInstanceOf[Seq[Map[String, Any]]]
+      .map(m => m("name") -> m("meta").asInstanceOf[Map[String, Any]]).toMap
+    assert(metas("orders") == Map("owner" -> "orders-team", "tier" -> "gold"))
+    assert(metas("customers") == Map("owner" -> "data-team", "tier" -> "gold"))
+  }
+
+  test("sequence-of-aliases merge (<<: [*a, *b]) round-trips with " +
+      "first-wins precedence (A32)") {
+    val root = tmpRoot()
+    val p = root.resolve("schema.yml")
+    val original =
+      """version: 2
+        |x-one: &one
+        |  owner: team-one
+        |  tier: gold
+        |x-two: &two
+        |  tier: silver
+        |  region: eu
+        |models:
+        |- name: orders
+        |  meta:
+        |    <<: [*one, *two]
+        |    local: v
+        |""".stripMargin
+    Files.writeString(p, original)
+    YamlIO.invalidate()
+    YamlIO.write(p, YamlIO.read(p))
+    assert(Files.readString(p) == original,
+      s"sequence merge did not survive:\n${Files.readString(p)}")
+    YamlIO.invalidate()
+    val meta = YamlIO.read(p).managed("models")
+      .asInstanceOf[Seq[Map[String, Any]]].head("meta")
+      .asInstanceOf[Map[String, Any]]
+    assert(meta == Map("owner" -> "team-one", "tier" -> "gold",
+      "region" -> "eu", "local" -> "v"))
+  }
+
   test("comments follow a reordered list item by its name (A32)") {
     val root = tmpRoot()
     val p = root.resolve("schema.yml")
