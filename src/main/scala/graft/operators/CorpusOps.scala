@@ -1211,6 +1211,166 @@ object CorpusOps {
       .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
   }
 
+  /** Realized split-fraction report for [[leakageSafeSplits]] /
+    * [[assignSplits]] output — the audit that makes a skewed draw
+    * VISIBLE instead of silent: because split fractions hold over
+    * CLUSTERS (a near-dup mega-cluster moves wholesale, by design),
+    * the realized per-document fractions can land far from the
+    * valPct/testPct targets, and a training run should know before
+    * it starts. One row per realized split: document and group
+    * counts, exact 1e6-fixed-point document/group fractions, the
+    * target fraction, and the absolute document-fraction deviation.
+    *
+    * Scale shape: one (split, group_key) aggregation collapses the
+    * corpus to a |clusters|-sized relation; the 1-row totals ride a
+    * broadcast back. All-BIGINT arithmetic the oracle replays.
+    */
+  def splitFractions(splits: DataFrame, valPct: Int = 10,
+      testPct: Int = 10): DataFrame = {
+    require(valPct >= 0 && testPct >= 0 && valPct + testPct <= 100)
+    val per = splits.groupBy("split").agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("group_key")).as("n_groups"))
+    val tot = per.agg(sum("n_docs").as("__td"), sum("n_groups").as("__tg"))
+    val target = (when(col("split") === "val", lit(valPct.toLong))
+      .when(col("split") === "test", lit(testPct.toLong))
+      .otherwise(lit((100 - valPct - testPct).toLong))) * lit(10000L)
+    per.crossJoin(broadcast(tot))
+      .withColumn("docs_frac_x1e6", expr("n_docs * 1000000 div __td"))
+      .withColumn("groups_frac_x1e6", expr("n_groups * 1000000 div __tg"))
+      .withColumn("target_frac_x1e6", target)
+      .withColumn("dev_x1e6",
+        abs(col("docs_frac_x1e6") - col("target_frac_x1e6")))
+      .select("split", "n_docs", "n_groups", "docs_frac_x1e6",
+        "groups_frac_x1e6", "target_frac_x1e6", "dev_x1e6")
+  }
+
+  /** Per-stage attrition of [[curationRecipe]], read from `observe`
+    * accumulators populated by the materializing actions (no
+    * per-stage count() jobs re-running pipeline prefixes).
+    */
+  final case class RecipeReport(input: Long, afterDedup: Long,
+      afterCap: Long, afterTemperature: Long, afterBudget: Long,
+      trainDocs: Long)
+
+  /** The built recipe: run one action on `curated` (a write at
+    * 100 TB; count() in tests), then read `report()`.
+    */
+  final class RecipeStaged private[CorpusOps] (
+      val curated: DataFrame, mkReport: () => RecipeReport) {
+    def report(): RecipeReport = mkReport()
+  }
+
+  /** END-TO-END GOVERNANCE RECIPE — the dataset-curation tier
+    * composed as one declarative dataflow, one level above
+    * [[Curation]]'s content-quality tier:
+    *
+    *   1. normalized exact dedup ([[Dedup.normalizedExact]]) — one
+    *      canonical copy per case/punctuation/whitespace-equivalent
+    *      text;
+    *   2. leakage-safe splits ([[leakageSafeSplits]]) — near-dup
+    *      clusters assigned to train/val/test wholesale;
+    *   3. per-domain cap ([[domainCap]]) — host balancing, computed
+    *      across splits so the cap choice cannot depend on the split
+    *      draw;
+    *   4. √-temperature rebalancing ([[sqrtTemperatureSample]]);
+    *   5. per-domain token budgets ([[tokenBudgetSample]]);
+    *   6. curriculum ordering of the surviving TRAIN split
+    *      ([[curriculumOrder]] — scores/bins computed over train
+    *      survivors only, the set the trainer will actually stream).
+    *
+    * Output: one row per surviving document — id, domain, split,
+    * within-domain rank, token count, cumulative budget position, and
+    * (train docs only, else null) the curriculum order index.
+    *
+    * Scale shape: each stage family reads the corpus text ONCE — the
+    * three stage boundaries where a relation feeds two downstream
+    * consumers (the deduped corpus: pair generation + the split join;
+    * the tempered corpus: the token-budget window + the final join;
+    * the budget survivors: curriculum scoring + the output join) are
+    * pinned with localCheckpoint, so no stage's lineage ever re-runs
+    * an upstream tokenize (at cluster scale these become checkpoints
+    * to reliable storage, the [[Dedup.connectedComponents]] note; the
+    * checkpointed relations are the post-attrition survivors, a small
+    * fraction of corpus bytes). The final action reads only
+    * checkpointed intermediates — RecipeSpec locks the no-rescan
+    * shape. Stage counts ride CollectMetrics accumulators on the
+    * same actions.
+    */
+  def curationRecipe(docs: DataFrame, idCol: String, textCol: String,
+      domainCol: String, valPct: Int = 10, testPct: Int = 10,
+      n: Int = 3, numPerms: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5, cap: Int = 20, tempScale: Double = 4.0,
+      budgets: Map[String, Long] = Map.empty, shards: Int = 8,
+      nBins: Int = 4, bucketBits: Int = 6): RecipeStaged = {
+    import org.apache.spark.sql.Observation
+    val obsInput = Observation()
+    val obsDedup = Observation()
+    val obsCap = Observation()
+    val obsTemp = Observation()
+    val obsBudget = Observation()
+    val obsTrain = Observation()
+    def counted(df: DataFrame, obs: Observation): DataFrame =
+      df.observe(obs, count(lit(1)).as("n"))
+
+    // stage 1: dedup. The barrier makes the two normalizedExact
+    // consumers (digest groupBy + semi-join left) reuse one exchange
+    // (the Curation pattern), so obsInput counts once; the
+    // localCheckpoint pins the deduped survivors for stage 2's two
+    // consumers (minhash pair generation runs EAGERLY inside the
+    // connected-components fixed point; the split join runs in the
+    // final action) without re-running the dedup lineage.
+    val base = Dedup.barrier(counted(docs, obsInput), col(idCol))
+    val deduped = counted(
+      Dedup.normalizedExact(base, idCol, textCol), obsDedup)
+      .localCheckpoint()
+    // stages 2-4: splits, cap, temperature. The capped relation is
+    // bounded at cap·|domains| rows, so its checkpoint is trivially
+    // small — and it pins the two sqrtTemperatureSample consumers
+    // (stratum-count aggregate + threshold join) to one execution,
+    // keeping obsCap single-counted.
+    val split = leakageSafeSplits(deduped, idCol, textCol, valPct,
+      testPct, n, numPerms, bands, threshold)
+    val capped = counted(domainCap(split, idCol, domainCol, cap), obsCap)
+      .localCheckpoint()
+    val tempered = counted(
+      sqrtTemperatureSample(capped, idCol, domainCol, tempScale), obsTemp)
+      .localCheckpoint()
+    // stage 5: token budget — the skinny survivor set joins back onto
+    // the checkpointed tempered relation to recover split/text
+    val kept = tokenBudgetSample(tempered, idCol, textCol, domainCol,
+        budgets, shards)
+      .select(col("doc_id").as(idCol), col("n_tokens"), col("cum_tokens"))
+    val sel = counted(tempered.join(kept, Seq(idCol)), obsBudget)
+      .localCheckpoint()
+    // stage 6: curriculum over the train split only. obsTrain rides
+    // the ORDERED relation (one row per train doc), which occurs
+    // exactly once in the final plan — the train filter branch itself
+    // feeds curriculum scoring through two aggregate consumers, where
+    // an accumulator could double-count under failed exchange reuse.
+    val train = sel.filter(col("split") === "train")
+    val ordered = counted(
+      curriculumOrder(train, idCol, textCol, nBins, bucketBits)
+        .select(col("doc_id").as(idCol), col("order_idx")), obsTrain)
+    val out = sel.join(ordered, Seq(idCol), "left")
+      .select(col(idCol), col(domainCol), col("split"), col("domain_rank"),
+        col("n_tokens"), col("cum_tokens"), col("order_idx"))
+    new RecipeStaged(out, () => {
+      def nOf(obs: Observation): Long = obs.get.get("n") match {
+        case Some(v) => v.asInstanceOf[Long]
+        case None => throw new IllegalStateException(
+          "recipe observation produced no metrics: its stage never " +
+            "executed in any materializing action")
+      }
+      // an empty train split lets the outer join's right subtree be
+      // rewritten away wholesale; the only count that branch could
+      // have contributed is 0 (the Curation nOrZero convention)
+      val trainDocs = obsTrain.get.getOrElse("n", 0L).asInstanceOf[Long]
+      RecipeReport(nOf(obsInput), nOf(obsDedup), nOf(obsCap),
+        nOf(obsTemp), nOf(obsBudget), trainDocs)
+    })
+  }
+
   // ---------------------------------------------------------------
   // Sequence packing
   // ---------------------------------------------------------------

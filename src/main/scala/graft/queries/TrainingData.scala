@@ -1345,6 +1345,29 @@ object TrainingData {
       .orderBy("metric")
   }
 
+  /** End-to-end governance recipe ([[CorpusOps.curationRecipe]]):
+    * normalized dedup → leakage-safe splits → domain cap 20 →
+    * √-temperature 4.0 → per-source token budgets → curriculum
+    * ordering of the train split — the oracle replays every stage's
+    * exact arithmetic in one composed query.
+    */
+  def docCurationRecipe(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.curationRecipe(Tables.documents(spark, dir), "doc_id",
+        "text", "source",
+        budgets = Map("src0" -> 100000L, "src1" -> 500L, "src2" -> 40L))
+      .curated
+      .orderBy("doc_id")
+
+  /** Realized split fractions ([[CorpusOps.splitFractions]]) over
+    * t78's leakage-safe splits — the audit making a skewed
+    * cluster-weighted draw visible.
+    */
+  def docSplitFractions(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.splitFractions(
+        CorpusOps.leakageSafeSplits(Tables.documents(spark, dir),
+          "doc_id", "text"))
+      .orderBy("split")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_text_stats" -> docTextStats _,
     "t02_lang_id" -> docLangId _,
@@ -1425,6 +1448,8 @@ object TrainingData {
     "t77_ranking_metrics" -> docRankingMetrics _,
     "t78_leakage_safe_splits" -> docLeakageSafeSplits _,
     "t79_corpus_drift" -> docCorpusDrift _,
+    "t80_curation_recipe" -> docCurationRecipe _,
+    "t81_split_fractions" -> docSplitFractions _,
   )
 
   /** Shared DuckDB CTE fragment: per-doc word-trigram shingle sets,
@@ -1649,6 +1674,167 @@ object TrainingData {
        |       WHEN ${idMixSql("group_key")} % 100 < 20 THEN 'test'
        |       ELSE 'train' END AS split
        |FROM keyed ORDER BY doc_id""".stripMargin
+
+  /** t81: the t78 split replay, collapsed to per-split document and
+    * cluster counts with exact 1e6 fixed-point fractions.
+    */
+  private def splitFractionsOracleSql(numPerms: Int, bands: Int,
+      threshold: Double): String =
+    s"""WITH RECURSIVE ${minhashCtes(numPerms, bands, threshold)}, edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION
+       |  SELECT id_b AS src, id_a AS dst FROM pairs
+       |), reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |), sel AS (
+       |  SELECT src, dst FROM reach
+       |  UNION
+       |  SELECT src, src AS dst FROM edges
+       |), comp AS (
+       |  SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS root
+       |  FROM sel GROUP BY src
+       |), keyed AS (
+       |  SELECT d.doc_id, COALESCE(c.root, d.doc_id) AS group_key
+       |  FROM documents d LEFT JOIN comp c USING (doc_id)
+       |), spl AS (
+       |  SELECT doc_id, group_key,
+       |    CASE WHEN ${idMixSql("group_key")} % 100 < 10 THEN 'val'
+       |         WHEN ${idMixSql("group_key")} % 100 < 20 THEN 'test'
+       |         ELSE 'train' END AS split
+       |  FROM keyed
+       |), per AS (
+       |  SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(COUNT(DISTINCT group_key) AS BIGINT) AS n_groups
+       |  FROM spl GROUP BY split
+       |), tot AS (
+       |  SELECT CAST(SUM(n_docs) AS BIGINT) AS td,
+       |    CAST(SUM(n_groups) AS BIGINT) AS tg
+       |  FROM per
+       |)
+       |SELECT split, n_docs, n_groups,
+       |  n_docs * 1000000 // td AS docs_frac_x1e6,
+       |  n_groups * 1000000 // tg AS groups_frac_x1e6,
+       |  CAST(CASE split WHEN 'val' THEN 100000 WHEN 'test' THEN 100000
+       |    ELSE 800000 END AS BIGINT) AS target_frac_x1e6,
+       |  abs(n_docs * 1000000 // td -
+       |    CASE split WHEN 'val' THEN 100000 WHEN 'test' THEN 100000
+       |    ELSE 800000 END) AS dev_x1e6
+       |FROM per, tot ORDER BY split""".stripMargin
+
+  /** t80: the full governance-recipe replay — t76's normalized dedup,
+    * t78's cluster splits over the deduped corpus, t72's cap window,
+    * t74's √-temperature thresholds, t39's shard-major token budget,
+    * and t58's curriculum ordering over the surviving train split,
+    * composed stage-for-stage in one query.
+    */
+  private def curationRecipeOracleSql(numPerms: Int, bands: Int,
+      threshold: Double, cap: Int, tempScale: Double): String = {
+    import graft.functions.TextFunctions.{Sql => T}
+    s"""WITH RECURSIVE nrm AS (
+       |  SELECT doc_id, text, source,
+       |    trim(regexp_replace(regexp_replace(lower(text),
+       |      '[.,!?;:]', '', 'g'), '\\s+', ' ', 'g')) AS nt
+       |  FROM documents
+       |), dd AS (
+       |  SELECT doc_id, text, source FROM nrm
+       |  WHERE doc_id IN (SELECT MIN(doc_id) FROM nrm GROUP BY nt)
+       |), ${minhashCtes(numPerms, bands, threshold, source = "dd")}, edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION
+       |  SELECT id_b AS src, id_a AS dst FROM pairs
+       |), reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |), sel0 AS (
+       |  SELECT src, dst FROM reach
+       |  UNION
+       |  SELECT src, src AS dst FROM edges
+       |), comp AS (
+       |  SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS root
+       |  FROM sel0 GROUP BY src
+       |), spl AS (
+       |  SELECT d.doc_id, d.text, d.source,
+       |    CASE WHEN ${idMixSql("COALESCE(c.root, d.doc_id)")} % 100 < 10
+       |           THEN 'val'
+       |         WHEN ${idMixSql("COALESCE(c.root, d.doc_id)")} % 100 < 20
+       |           THEN 'test'
+       |         ELSE 'train' END AS split
+       |  FROM dd d LEFT JOIN comp c USING (doc_id)
+       |), capped AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
+       |    ORDER BY ${idMixSql("doc_id")}, doc_id) AS BIGINT) AS domain_rank
+       |  FROM spl
+       |), c2 AS (
+       |  SELECT * FROM capped WHERE domain_rank <= $cap
+       |), cnt2 AS (
+       |  SELECT source, COUNT(*) AS n FROM c2 GROUP BY source
+       |), thr2 AS (
+       |  SELECT source, CAST(FLOOR(LEAST(1.0,
+       |    $tempScale / sqrt(CAST(n AS DOUBLE))) * 4294967296.0) AS BIGINT)
+       |    AS thr
+       |  FROM cnt2
+       |), tmp2 AS (
+       |  SELECT c.* FROM c2 c JOIN thr2 USING (source)
+       |  WHERE ${idMixSql("c.doc_id")} < thr
+       |), tbase AS (
+       |  SELECT doc_id, source, split, domain_rank, text,
+       |    ${T.nTokens("text")} AS n_tokens,
+       |    ${idMixSql("doc_id")} AS ord
+       |  FROM tmp2
+       |), tsh AS (
+       |  SELECT *, ord % 8 AS shard FROM tbase
+       |), talloc AS (
+       |  SELECT source, shard,
+       |    COALESCE(CAST(SUM(sh_tokens) OVER (
+       |      PARTITION BY source ORDER BY shard
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+       |      0) AS bef
+       |  FROM (SELECT source, shard, CAST(SUM(n_tokens) AS BIGINT) AS sh_tokens
+       |        FROM tsh GROUP BY source, shard)
+       |), tcum AS (
+       |  SELECT s.doc_id, s.source, s.split, s.domain_rank, s.text,
+       |    s.n_tokens,
+       |    a.bef + CAST(SUM(s.n_tokens) OVER (
+       |      PARTITION BY s.source, s.shard ORDER BY s.ord, s.doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_tokens
+       |  FROM tsh s JOIN talloc a ON s.source = a.source AND s.shard = a.shard
+       |), bud AS (
+       |  SELECT * FROM tcum
+       |  WHERE cum_tokens <= CASE source WHEN 'src0' THEN 100000
+       |    WHEN 'src1' THEN 500 WHEN 'src2' THEN 40 ELSE 0 END
+       |), ctoks AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+       |  FROM bud WHERE split = 'train'
+       |), ctf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf FROM ctoks GROUP BY 1, 2
+       |), ccnt AS (
+       |  SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt FROM ctf GROUP BY term
+       |), cagg AS (
+       |  SELECT ctf.doc_id, CAST(SUM(ctf.tf) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(ctf.tf * ccnt.cnt) AS BIGINT) AS hit_mass
+       |  FROM ctf JOIN ccnt USING (term) GROUP BY 1
+       |), cscored AS (
+       |  SELECT doc_id, hit_mass // n_tokens AS score FROM cagg
+       |), cmm AS (
+       |  SELECT MIN(score) AS mn, MAX(score) AS mx FROM cscored
+       |), ckeyed AS (
+       |  SELECT doc_id, score, ((score - mn) * 4) // (mx - mn + 1) AS bin,
+       |    ${idMixSql("doc_id")} AS shuffle_key
+       |  FROM cscored, cmm
+       |), cord AS (
+       |  SELECT doc_id, CAST(ROW_NUMBER() OVER (
+       |    ORDER BY bin DESC, shuffle_key, doc_id) AS BIGINT) AS order_idx
+       |  FROM ckeyed
+       |)
+       |SELECT b.doc_id, b.source, b.split, b.domain_rank, b.n_tokens,
+       |  b.cum_tokens, o.order_idx
+       |FROM bud b LEFT JOIN cord o USING (doc_id)
+       |ORDER BY b.doc_id""".stripMargin
+  }
 
   /** t42: the t24 component replay + the t37 integer quality score,
     * then a per-cluster argmax (score desc, doc_id asc).
@@ -2300,6 +2486,9 @@ object TrainingData {
           |FROM s ORDER BY doc_id, chunk_no""".stripMargin,
       "t24_dup_clusters" -> dupClusterOracleSql(64, 16, 0.5),
       "t78_leakage_safe_splits" -> leakageSplitOracleSql(64, 16, 0.5),
+      "t80_curation_recipe" ->
+        curationRecipeOracleSql(64, 16, 0.5, cap = 20, tempScale = 4.0),
+      "t81_split_fractions" -> splitFractionsOracleSql(64, 16, 0.5),
       "t26_span_dedup" ->
         """WITH toks AS (
           |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents
