@@ -187,6 +187,50 @@ object CorpusOps {
       .select(col("doc_id").as(idCol)).distinct()
   }
 
+  /** BENCHMARK-SIDE contamination report — the eval-integrity audit
+    * that answers, per held-out benchmark document: how much of it
+    * leaked into the training corpus? [[decontaminate]] flags
+    * TRAINING docs to drop; this reports the BENCHMARK's exposure —
+    * the number the eval card publishes ("x% of benchmark n-grams
+    * appear in the corpus") and the basis for deciding whether a
+    * benchmark is still usable at all. Per bench doc: its distinct
+    * n-gram count, how many of those grams appear anywhere in the
+    * corpus, how many distinct corpus docs share ≥1 gram, and the
+    * largest per-doc overlap. Zero-exposure bench docs surface with
+    * zeros, never vanish.
+    *
+    * Scale shape: the benchmark's (doc, gram) relation is broadcast
+    * (benchmarks are small by definition); the corpus side is one
+    * shingle pass joined map-side against it, so the corpus never
+    * shuffles on grams. The matched-pair relation — bounded by
+    * |bench grams| × contaminating docs — is barriered on bench_id,
+    * and both aggregations (pairwise shared counts, distinct leaked
+    * grams) reuse that one exchange: hash partitioning on bench_id
+    * satisfies both group-bys' clustering. All-BIGINT output.
+    */
+  def contaminationReport(train: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val bR = shingleFps(bench, idCol, textCol, n)
+      .select(col("doc_id").as("bench_id"), col("shingle"))
+    val pair = Dedup.barrier(
+      shingleFps(train, idCol, textCol, n).join(broadcast(bR), "shingle"),
+      col("bench_id"))
+    val pairCounts = pair.groupBy("bench_id", "doc_id")
+      .agg(count(lit(1)).as("shared"))
+    val stats = pairCounts.groupBy("bench_id").agg(
+      count(lit(1)).as("n_contam_docs"), max("shared").as("max_shared"))
+    val hitGrams = pair.groupBy("bench_id")
+      .agg(countDistinct(col("shingle")).as("n_hit_grams"))
+    bench.select(col(idCol).as("bench_id"),
+        size(Dedup.shingles(col(textCol), n)).cast("long").as("n_grams"))
+      .join(stats, Seq("bench_id"), "left")
+      .join(hitGrams, Seq("bench_id"), "left")
+      .select(col("bench_id"), col("n_grams"),
+        coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"),
+        coalesce(col("n_contam_docs"), lit(0L)).as("n_contam_docs"),
+        coalesce(col("max_shared"), lit(0L)).as("max_shared"))
+  }
+
   /** Bloom-filter parameters for [[bloomDecontaminate]]: filter size
     * in bits (2²⁰ → 16384 64-bit words = a 128 KB broadcast; sized so
     * the fixture's ~12k set bits give a per-shingle FP rate around
@@ -1055,6 +1099,63 @@ object CorpusOps {
     docs.join(broadcast(thresholds), Seq(stratumCol))
       .filter(h < col("__thr"))
       .drop("__thr")
+  }
+
+  /** Multi-epoch upsampling — the data-mixing primitive that REPEATS
+    * small high-value sources (the published recipe: a pretraining
+    * mix runs curated corpora for several epochs while the web crawl
+    * runs once). Each source gets a TOKEN target: the source is
+    * replicated for `floor(target / available)` full epochs (capped
+    * at `maxEpochs` — the over-repetition guard, since repeating
+    * data too many times measurably hurts models), and the remainder
+    * becomes one FRACTIONAL epoch whose members are chosen by the
+    * shared deterministic id-hash ([[idMix]]) at rate
+    * remainder/available — the [[mixtureSample]] arithmetic, so a
+    * target below one epoch degrades to plain deterministic
+    * downsampling. Sources without a target are dropped. Output is
+    * one row per (document, epoch) with the epoch index — the
+    * expanded stream a packer/shuffler consumes downstream.
+    *
+    * Scale shape: per-source available tokens is one map-side-
+    * combinable aggregation; the (source, full-epochs, fractional
+    * threshold) relation is broadcast back; replication is a map-side
+    * `explode(sequence(...))` — each input row expands to its own
+    * epochs with no shuffle and no RNG state. The fractional rate is
+    * the fixed IEEE sequence FLOOR(LEAST(1, rem/avail)·2³²) both
+    * engines evaluate identically.
+    */
+  def epochUpsample(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, targetTokens: Map[String, Long],
+      maxEpochs: Int = 10): DataFrame = {
+    require(maxEpochs >= 1, s"maxEpochs must be positive, got $maxEpochs")
+    targetTokens.values.foreach(v => require(v >= 0L, "negative token target"))
+    val target = targetTokens.foldLeft(lit(0L): Column) {
+      case (acc, (k, v)) => when(col(sourceCol) === k, lit(v)).otherwise(acc)
+    }
+    val stats = docs
+      .select(col(sourceCol), TextFunctions.nTokens(col(textCol)).as("__nt"))
+      .groupBy(sourceCol).agg(sum("__nt").as("__avail"))
+      .withColumn("__target", target)
+      .filter(col("__avail") > 0L)
+      .withColumn("__full",
+        least(lit(maxEpochs.toLong), expr("__target div __avail")))
+      .withColumn("__rem",
+        when(col("__full") < maxEpochs,
+          col("__target") - col("__full") * col("__avail"))
+          .otherwise(lit(0L)))
+      .withColumn("__thr",
+        floor(least(lit(1.0),
+          col("__rem").cast("double") / col("__avail").cast("double"))
+          * lit(4294967296.0)).cast("long"))
+      .select(col(sourceCol), col("__full"), col("__thr"))
+    val totalEp = col("__full") + when(col("__thr") > 0L, 1L).otherwise(0L)
+    docs.join(broadcast(stats), Seq(sourceCol))
+      .withColumn("epoch", explode(
+        when(totalEp >= 1L, sequence(lit(1L), totalEp))
+          .otherwise(lit(Array.empty[Long]))))
+      .filter(col("epoch") <= col("__full") ||
+        idMix(col(idCol)) < col("__thr"))
+      .select(col(idCol), col(sourceCol), col("epoch"))
   }
 
   /** Corpus drift report between two snapshots — the dataset-

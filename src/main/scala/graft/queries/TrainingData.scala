@@ -1368,6 +1368,34 @@ object TrainingData {
           "doc_id", "text"))
       .orderBy("split")
 
+  /** Multi-epoch upsampling ([[CorpusOps.epochUpsample]]): src0 gets
+    * full epochs plus a fractional one, src1 caps at maxEpochs 10,
+    * src2 degrades to fractional downsampling, all other sources are
+    * dropped — the oracle replays the targets, the epoch division,
+    * and the fractional hash rate.
+    */
+  def docEpochUpsample(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.epochUpsample(Tables.documents(spark, dir), "doc_id",
+        "text", "source",
+        Map("src0" -> 5000L, "src1" -> 50000L, "src2" -> 600L),
+        maxEpochs = 10)
+      .orderBy("doc_id", "epoch")
+
+  /** Benchmark-side contamination report
+    * ([[CorpusOps.contaminationReport]]): the t19 split (every 10th
+    * doc is the held-out benchmark), reported from the BENCHMARK's
+    * side — per bench doc, its gram count, leaked grams,
+    * contaminating corpus docs, and max per-doc overlap.
+    */
+  def docContaminationReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    CorpusOps.contaminationReport(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0),
+      "doc_id", "text", DecontamN)
+      .orderBy("bench_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_text_stats" -> docTextStats _,
     "t02_lang_id" -> docLangId _,
@@ -1450,6 +1478,8 @@ object TrainingData {
     "t79_corpus_drift" -> docCorpusDrift _,
     "t80_curation_recipe" -> docCurationRecipe _,
     "t81_split_fractions" -> docSplitFractions _,
+    "t82_epoch_upsample" -> docEpochUpsample _,
+    "t83_contamination_report" -> docContaminationReport _,
   )
 
   /** Shared DuckDB CTE fragment: per-doc word-trigram shingle sets,
@@ -1676,14 +1706,22 @@ object TrainingData {
        |FROM keyed ORDER BY doc_id""".stripMargin
 
   /** t81: the t78 split replay, collapsed to per-split document and
-    * cluster counts with exact 1e6 fixed-point fractions.
+    * cluster counts with exact 1e6 fixed-point fractions. `mpairs`
+    * pins the MinHash pair relation MATERIALIZED before the
+    * recursion: DuckDB re-evaluates non-materialized CTEs referenced
+    * from a recursive section per fixpoint step, which re-runs the
+    * whole signature chain each iteration and spills unboundedly at
+    * sf0.1 (measured; the t80 oracle exhausted disk without this).
     */
   private def splitFractionsOracleSql(numPerms: Int, bands: Int,
       threshold: Double): String =
-    s"""WITH RECURSIVE ${minhashCtes(numPerms, bands, threshold)}, edges AS (
-       |  SELECT id_a AS src, id_b AS dst FROM pairs
+    s"""WITH RECURSIVE ${minhashCtes(numPerms, bands, threshold)},
+       |mpairs AS MATERIALIZED (
+       |  SELECT id_a, id_b FROM pairs
+       |), edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM mpairs
        |  UNION
-       |  SELECT id_b AS src, id_a AS dst FROM pairs
+       |  SELECT id_b AS src, id_a AS dst FROM mpairs
        |), reach AS (
        |  SELECT src, dst FROM edges
        |  UNION
@@ -1732,18 +1770,27 @@ object TrainingData {
   private def curationRecipeOracleSql(numPerms: Int, bands: Int,
       threshold: Double, cap: Int, tempScale: Double): String = {
     import graft.functions.TextFunctions.{Sql => T}
-    s"""WITH RECURSIVE nrm AS (
+    // nrm/dd/mpairs are MATERIALIZED: dd feeds every downstream
+    // stage and mpairs feeds the recursive closure — left inline,
+    // DuckDB re-evaluates them per consumer (and per recursion
+    // step), which re-runs the dedup+signature chain repeatedly and
+    // exhausted disk at sf0.1 (measured: 5 s materialized vs >80 GB
+    // of spill inlined)
+    s"""WITH RECURSIVE nrm AS MATERIALIZED (
        |  SELECT doc_id, text, source,
        |    trim(regexp_replace(regexp_replace(lower(text),
        |      '[.,!?;:]', '', 'g'), '\\s+', ' ', 'g')) AS nt
        |  FROM documents
-       |), dd AS (
+       |), dd AS MATERIALIZED (
        |  SELECT doc_id, text, source FROM nrm
        |  WHERE doc_id IN (SELECT MIN(doc_id) FROM nrm GROUP BY nt)
-       |), ${minhashCtes(numPerms, bands, threshold, source = "dd")}, edges AS (
-       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |), ${minhashCtes(numPerms, bands, threshold, source = "dd")},
+       |mpairs AS MATERIALIZED (
+       |  SELECT id_a, id_b FROM pairs
+       |), edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM mpairs
        |  UNION
-       |  SELECT id_b AS src, id_a AS dst FROM pairs
+       |  SELECT id_b AS src, id_a AS dst FROM mpairs
        |), reach AS (
        |  SELECT src, dst FROM edges
        |  UNION
@@ -1834,6 +1881,52 @@ object TrainingData {
        |  b.cum_tokens, o.order_idx
        |FROM bud b LEFT JOIN cord o USING (doc_id)
        |ORDER BY b.doc_id""".stripMargin
+  }
+
+  /** t82: per-source available tokens, the LEAST(maxEpochs, //)
+    * epoch division, the FLOOR(LEAST(1, rem/avail)·2³²) fractional
+    * threshold, row expansion via range-unnest, and the shared
+    * id-hash survival filter — [[graft.operators.CorpusOps.epochUpsample]]
+    * replayed end to end.
+    */
+  private def epochUpsampleOracleSql(maxEpochs: Int): String = {
+    import graft.functions.TextFunctions.{Sql => T}
+    s"""WITH st AS (
+       |  SELECT source, CAST(SUM(${T.nTokens("text")}) AS BIGINT) AS avail
+       |  FROM documents GROUP BY source
+       |), par AS (
+       |  SELECT source, avail,
+       |    CAST(CASE source WHEN 'src0' THEN 5000 WHEN 'src1' THEN 50000
+       |      WHEN 'src2' THEN 600 ELSE 0 END AS BIGINT) AS target
+       |  FROM st WHERE avail > 0
+       |), ep AS (
+       |  SELECT source, avail, target,
+       |    LEAST(CAST($maxEpochs AS BIGINT), target // avail) AS fullep
+       |  FROM par
+       |), ep2 AS (
+       |  SELECT source, avail, fullep,
+       |    CASE WHEN fullep < $maxEpochs THEN target - fullep * avail
+       |      ELSE 0 END AS rem
+       |  FROM ep
+       |), thr AS (
+       |  SELECT source, fullep,
+       |    CAST(FLOOR(LEAST(1.0, CAST(rem AS DOUBLE) / CAST(avail AS DOUBLE))
+       |      * 4294967296.0) AS BIGINT) AS thr
+       |  FROM ep2
+       |), expanded AS (
+       |  -- lateral-join unnest: the select-list unnest(range(...))
+       |  -- form trips a DuckDB binder assertion when the alias is
+       |  -- referenced from the outer WHERE
+       |  SELECT d.doc_id, d.source, t.fullep, t.thr, u.epoch
+       |  FROM documents d
+       |  JOIN thr t USING (source)
+       |  CROSS JOIN UNNEST(range(1, t.fullep +
+       |    CASE WHEN t.thr > 0 THEN 1 ELSE 0 END + 1)) AS u(epoch)
+       |)
+       |SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch
+       |FROM expanded
+       |WHERE epoch <= fullep OR ${idMixSql("doc_id")} < thr
+       |ORDER BY doc_id, epoch""".stripMargin
   }
 
   /** t42: the t24 component replay + the t37 integer quality score,
@@ -2489,6 +2582,48 @@ object TrainingData {
       "t80_curation_recipe" ->
         curationRecipeOracleSql(64, 16, 0.5, cap = 20, tempScale = 4.0),
       "t81_split_fractions" -> splitFractionsOracleSql(64, 16, 0.5),
+      "t82_epoch_upsample" -> epochUpsampleOracleSql(10),
+      // t83: the t19 gram construction replayed from the benchmark's
+      // side — the oracle joins gram TEXT where the engine joins
+      // fnv64 fingerprints (collision-freedom under test, the t04
+      // discipline); zero-exposure bench docs survive via left joins
+      "t83_contamination_report" -> {
+        val n = DecontamN
+        s"""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents
+           |), grams AS (
+           |  SELECT DISTINCT doc_id, unnest(
+           |    CASE WHEN len(ts) < $n THEN [array_to_string(ts, ' ')]
+           |    ELSE list_transform(range(1, len(ts) - ${n - 2}), i ->
+           |      array_to_string(ts[CAST(i AS INT):CAST(i + ${n - 1} AS INT)], ' '))
+           |    END) AS g
+           |  FROM toks
+           |), bsz AS (
+           |  SELECT doc_id AS bench_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+           |  FROM grams WHERE doc_id % 10 = 0 GROUP BY 1
+           |), pair AS (
+           |  SELECT b.doc_id AS bench_id, t.doc_id AS tid, b.g
+           |  FROM grams b JOIN grams t ON b.g = t.g
+           |  WHERE b.doc_id % 10 = 0 AND t.doc_id % 10 <> 0
+           |), pc AS (
+           |  SELECT bench_id, tid, COUNT(*) AS shared FROM pair GROUP BY 1, 2
+           |), st AS (
+           |  SELECT bench_id, CAST(COUNT(*) AS BIGINT) AS n_contam_docs,
+           |    CAST(MAX(shared) AS BIGINT) AS max_shared
+           |  FROM pc GROUP BY 1
+           |), hg AS (
+           |  SELECT bench_id, CAST(COUNT(DISTINCT g) AS BIGINT) AS n_hit_grams
+           |  FROM pair GROUP BY 1
+           |)
+           |SELECT s.bench_id, s.n_grams,
+           |  COALESCE(h.n_hit_grams, 0) AS n_hit_grams,
+           |  COALESCE(t.n_contam_docs, 0) AS n_contam_docs,
+           |  COALESCE(t.max_shared, 0) AS max_shared
+           |FROM bsz s
+           |LEFT JOIN st t USING (bench_id)
+           |LEFT JOIN hg h USING (bench_id)
+           |ORDER BY bench_id""".stripMargin
+      },
       "t26_span_dedup" ->
         """WITH toks AS (
           |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents

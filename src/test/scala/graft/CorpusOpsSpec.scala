@@ -812,4 +812,63 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(hybrid == fused, "shared-tf hybrid diverged from standalone channels")
     assert(hybrid.nonEmpty)
   }
+
+  test("contaminationReport: hand-computed benchmark exposure " +
+      "including a clean bench doc surfacing zeros") {
+    val train = Seq((1L, "a b c x"), (2L, "z a b c d q"), (3L, "m n o"))
+      .toDF("doc_id", "text")
+    val bench = Seq((10L, "a b c d"), (20L, "p q r s"))
+      .toDF("doc_id", "text")
+    // bench 10 grams {a b c, b c d}: train 1 shares {a b c} (1),
+    // train 2 shares both (2) -> 2 leaked grams, 2 docs, max 2.
+    // bench 20 shares nothing -> all zeros, row survives.
+    val r = CorpusOps.contaminationReport(train, bench, "doc_id", "text", 3)
+      .orderBy("bench_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4)))
+    assert(r.toSeq == Seq((10L, 2L, 2L, 2L, 2L), (20L, 2L, 0L, 0L, 0L)))
+  }
+
+  test("epochUpsample: full epochs, maxEpochs cap, fractional tail, " +
+      "absent-source drop — all hand-computed") {
+    // every doc has exactly 5 tokens -> each source's avail = 20
+    def mk(src: String, base: Long) = (0 until 4).map(i =>
+      (base + i, src, "tok a b c d"))
+    val docs = (mk("sA", 0L) ++ mk("sB", 100L) ++ mk("sC", 200L) ++
+      mk("sD", 300L)).toDF("doc_id", "source", "text")
+    val out = CorpusOps.epochUpsample(docs, "doc_id", "text", "source",
+      Map("sA" -> 65L, "sB" -> 500L, "sC" -> 10L), maxEpochs = 10)
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2)))
+    // sB: target 500 over avail 20 = 25 epochs, capped at 10 full,
+    // rem forced to 0 -> exactly 4 docs x epochs 1..10
+    val sB = rows.filter(_._2 == "sB")
+    assert(sB.length == 40)
+    assert(sB.groupBy(_._1).forall(_._2.map(_._3).sorted.toSeq == (1L to 10L)))
+    // sA: 65 // 20 = 3 full epochs for every doc; rem 5 -> the
+    // fractional epoch 4 keeps exactly the docs with idMix < 2^30
+    // (floor(5/20 * 2^32))
+    val sA = rows.filter(_._2 == "sA")
+    assert(sA.count(_._3 <= 3L) == 12, "3 full epochs x 4 docs")
+    val frac = sA.filter(_._3 == 4L).map(_._1).toSet
+    val expectFrac = docs.filter(col("source") === "sA")
+      .select(col("doc_id"), CorpusOps.idMix(col("doc_id")).as("h"))
+      .collect().filter(_.getLong(1) < (1L << 30)).map(_.getLong(0)).toSet
+    assert(frac == expectFrac)
+    // sC: target 10 below one epoch -> zero full epochs, pure
+    // fractional downsampling at threshold 2^31
+    val sC = rows.filter(_._2 == "sC")
+    assert(sC.forall(_._3 == 1L))
+    val expectC = docs.filter(col("source") === "sC")
+      .select(col("doc_id"), CorpusOps.idMix(col("doc_id")).as("h"))
+      .collect().filter(_.getLong(1) < (1L << 31)).map(_.getLong(0)).toSet
+    assert(sC.map(_._1).toSet == expectC)
+    // sD has no target -> dropped entirely
+    assert(!rows.exists(_._2 == "sD"))
+    // deterministic: re-running yields the identical expansion
+    val again = CorpusOps.epochUpsample(docs, "doc_id", "text", "source",
+      Map("sA" -> 65L, "sB" -> 500L, "sC" -> 10L), maxEpochs = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.sorted.toSeq == again.sorted.toSeq)
+  }
 }

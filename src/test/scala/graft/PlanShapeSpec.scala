@@ -450,6 +450,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(1200))
   }
 
+  test("t82: epoch upsampling broadcasts per-source stats and expands map-side") {
+    val plan = planOf(operators.CorpusOps.epochUpsample(
+      Tables.documents(spark, dir), "doc_id", "text", "source",
+      Map("src0" -> 5000L, "src1" -> 50000L, "src2" -> 600L), maxEpochs = 10))
+    // the (source, epochs, threshold) relation rides a broadcast; the
+    // replication is a Generate (explode) with no shuffle after it
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-source stats lost their broadcast:\n${plan.take(1200)}")
+    assert(plan.contains("Generate"),
+      s"epoch expansion lost its map-side explode:\n${plan.take(1200)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+  }
+
+  test("t83: contamination report broadcasts the benchmark grams — " +
+      "the corpus never shuffles on gram keys") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, dir)
+    val plan = planOf(operators.CorpusOps.contaminationReport(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0),
+      "doc_id", "text", 4))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark gram set lost its broadcast:\n${plan.take(1200)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+  }
+
   test("t69: hybrid fusion tokenizes the corpus once — the tf exchange is reused") {
     val df = operators.CorpusOps.hybridRetrievalTopK(
       Tables.documents(spark, dir), "doc_id", "text",
