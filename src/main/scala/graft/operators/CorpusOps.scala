@@ -2438,6 +2438,69 @@ object CorpusOps {
         (col("off") + row_number().over(wIn)).cast("long").as("order_idx"))
   }
 
+  /** PROPORTIONAL SOURCE INTERLEAVING — the serialization order that
+    * turns a multi-source mixture into one stream WITHOUT long
+    * same-source runs (the training-dynamics failure mode of
+    * concatenating sources: a model sees a million contiguous code
+    * documents, then a million of web). Classic stride scheduling:
+    * each document's position key is its source-consumption fraction
+    * `((rn−1) · 2²⁰) div nₛ` (rn = the doc's deterministic
+    * within-source rank by the shared id-hash, nₛ = source size), so
+    * walking keys ascending consumes every source at a rate
+    * proportional to its share — a source with 10% of the corpus
+    * appears ~every 10th document. Ties (key granularity 2²⁰) break
+    * on the id-hash, which mixes sources inside a tie bucket rather
+    * than clumping them. Returns a contiguous global `order_idx`
+    * realizing (key, hash, id).
+    *
+    * Scale shape: NO global sort and no per-source global sort —
+    * both ranking passes use the [[curriculumOrder]] two-phase
+    * pattern (bucket = the monotone high bits of the sort key, a
+    * tiny cumulated histogram broadcasts per-group offsets, within-
+    * group row_number over corpus/2^bucketBits-bounded partitions).
+    * Phase A buckets (source, hash-prefix) for the within-source
+    * rank; phase B buckets the interleave key's prefix for the
+    * global index. One barrier exchange per phase feeds both that
+    * phase's histogram and its window (hash partitioning on the
+    * bucket key satisfies both). The DuckDB oracle computes both
+    * ranks as naive global ROW_NUMBERs, so the gate proves the
+    * distributed two-phase ranking realizes the exact total order.
+    */
+  def interleaveOrder(docs: DataFrame, idCol: String, sourceCol: String,
+      bucketBits: Int = 6): DataFrame = {
+    require(bucketBits >= 0 && bucketBits <= 20)
+    val base = Dedup.barrier(
+      docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source"))
+        .withColumn("h", idMix(col("doc_id")))
+        .withColumn("b1", expr(s"h div ${1L << (32 - bucketBits)}")),
+      col("source"), col("b1"))
+    // phase A: within-source rank in (h, doc_id) order
+    val hist1 = base.groupBy("source", "b1").agg(count(lit(1)).as("cnt"))
+    val w1 = Window.partitionBy("source").orderBy("b1")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val off1 = hist1.withColumn("cum", sum("cnt").over(w1))
+      .select(col("source"), col("b1"), (col("cum") - col("cnt")).as("off1"))
+    val wIn1 = Window.partitionBy("source", "b1").orderBy("h", "doc_id")
+    val ns = base.groupBy("source").agg(count(lit(1)).as("ns"))
+    val ranked = base.join(broadcast(off1), Seq("source", "b1"))
+      .withColumn("rn", (col("off1") + row_number().over(wIn1)).cast("long"))
+      .join(broadcast(ns), "source")
+      .withColumn("key", expr(s"((rn - 1) * ${1L << 20}) div ns"))
+    // phase B: global index over (key, h, doc_id)
+    val keyed = Dedup.barrier(
+      ranked.withColumn("b2", expr(s"key div ${1L << (20 - bucketBits)}")),
+      col("b2"))
+    val hist2 = keyed.groupBy("b2").agg(count(lit(1)).as("cnt"))
+    val w2 = Window.orderBy("b2")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val off2 = hist2.withColumn("cum", sum("cnt").over(w2))
+      .select(col("b2"), (col("cum") - col("cnt")).as("off2"))
+    val wIn2 = Window.partitionBy("b2").orderBy("key", "h", "doc_id")
+    keyed.join(broadcast(off2), Seq("b2"))
+      .select(col("doc_id"), col("source"), col("rn"), col("key"),
+        (col("off2") + row_number().over(wIn2)).cast("long").as("order_idx"))
+  }
+
   /** In-engine classifier TRAINING: batch perceptron over hashed
     * bag-of-words features — the training face of
     * [[hashedLinearScore]] (which consumes exactly the weight layout

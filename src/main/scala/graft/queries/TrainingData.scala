@@ -1396,6 +1396,17 @@ object TrainingData {
       .orderBy("bench_id")
   }
 
+  /** Proportional source interleaving ([[CorpusOps.interleaveOrder]]):
+    * stride-scheduled serialization of the source mixture — the
+    * oracle replays both ranking passes as naive global ROW_NUMBERs,
+    * proving the two-phase distributed ranking realizes the exact
+    * total order.
+    */
+  def docInterleaveOrder(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.interleaveOrder(Tables.documents(spark, dir), "doc_id",
+        "source")
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_text_stats" -> docTextStats _,
     "t02_lang_id" -> docLangId _,
@@ -1480,6 +1491,7 @@ object TrainingData {
     "t81_split_fractions" -> docSplitFractions _,
     "t82_epoch_upsample" -> docEpochUpsample _,
     "t83_contamination_report" -> docContaminationReport _,
+    "t84_interleave_order" -> docInterleaveOrder _,
   )
 
   /** Shared DuckDB CTE fragment: per-doc word-trigram shingle sets,
@@ -2583,6 +2595,30 @@ object TrainingData {
         curationRecipeOracleSql(64, 16, 0.5, cap = 20, tempScale = 4.0),
       "t81_split_fractions" -> splitFractionsOracleSql(64, 16, 0.5),
       "t82_epoch_upsample" -> epochUpsampleOracleSql(10),
+      // t84: both distributed two-phase rankings replayed as naive
+      // global ROW_NUMBERs over the same (hash, id) / (key, hash, id)
+      // orders — the gate proves the bucketed ranking realizes the
+      // exact total order it claims
+      "t84_interleave_order" ->
+        s"""WITH rn0 AS (
+           |  SELECT doc_id, source, ${idMixSql("doc_id")} AS h FROM documents
+           |), rnk AS (
+           |  SELECT doc_id, source, h,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+           |      ORDER BY h, doc_id) AS BIGINT) AS rn
+           |  FROM rn0
+           |), ns AS (
+           |  SELECT source, CAST(COUNT(*) AS BIGINT) AS ns
+           |  FROM documents GROUP BY source
+           |), k AS (
+           |  SELECT r.doc_id, r.source, r.h, r.rn,
+           |    ((r.rn - 1) * 1048576) // n.ns AS key
+           |  FROM rnk r JOIN ns n USING (source)
+           |)
+           |SELECT doc_id, source, rn, key,
+           |  CAST(ROW_NUMBER() OVER (ORDER BY key, h, doc_id) AS BIGINT)
+           |    AS order_idx
+           |FROM k ORDER BY doc_id""".stripMargin,
       // t83: the t19 gram construction replayed from the benchmark's
       // side — the oracle joins gram TEXT where the engine joins
       // fnv64 fingerprints (collision-freedom under test, the t04

@@ -813,6 +813,37 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(hybrid.nonEmpty)
   }
 
+  test("interleaveOrder: equals the naive single-partition replay; " +
+      "stride keys realize proportional interleaving") {
+    val docs = ((0 until 8).map(i => (i.toLong, "sA")) ++
+      (100 until 104).map(i => (i.toLong, "sB")) ++
+      Seq((200L, "sC"))).toDF("doc_id", "source")
+    val r = CorpusOps.interleaveOrder(docs, "doc_id", "source")
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2),
+        x.getLong(3), x.getLong(4)))
+    // naive replay: per-source (h, id) rank, stride key, one global
+    // (key, h, id) row_number — the total order the two-phase
+    // distributed ranking must realize exactly
+    val hs = docs.select(col("doc_id"), CorpusOps.idMix(col("doc_id")).as("h"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val bySrc = Map("sA" -> (0L until 8L).toSeq,
+      "sB" -> (100L until 104L).toSeq, "sC" -> Seq(200L))
+    val keyedDocs = bySrc.toSeq.flatMap { case (s, ids) =>
+      ids.sortBy(i => (hs(i), i)).zipWithIndex.map { case (id, idx) =>
+        (id, s, idx + 1L, (idx.toLong * (1L << 20)) / ids.size)
+      }
+    }
+    val expected = keyedDocs
+      .sortBy { case (id, _, _, key) => (key, hs(id), id) }
+      .zipWithIndex
+      .map { case ((id, s, rn, key), i) => (id, s, rn, key, i + 1L) }
+    assert(r.sortBy(_._5).toSeq == expected)
+    // the singleton source keys to 0 and lands in the first tie group
+    val posC = r.find(_._2 == "sC").get._5
+    assert(posC <= bySrc.size.toLong + 1,
+      s"singleton source should surface at the stream head, got $posC")
+  }
+
   test("contaminationReport: hand-computed benchmark exposure " +
       "including a clean bench doc surfacing zeros") {
     val train = Seq((1L, "a b c x"), (2L, "z a b c d q"), (3L, "m n o"))

@@ -476,6 +476,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(1200))
   }
 
+  test("t84: interleave ranking broadcasts offsets; corpus-sized " +
+      "windows are bucket-partitioned, never global") {
+    val plan = planOf(operators.CorpusOps.interleaveOrder(
+      Tables.documents(spark, dir), "doc_id", "source"))
+    // per-group offsets ride broadcasts; the only unpartitioned
+    // windows run over histogram relations (sources x 2^bits rows)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"offset relations lost their broadcast:\n${plan.take(1200)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+  }
+
   test("t69: hybrid fusion tokenizes the corpus once — the tf exchange is reused") {
     val df = operators.CorpusOps.hybridRetrievalTopK(
       Tables.documents(spark, dir), "doc_id", "text",
