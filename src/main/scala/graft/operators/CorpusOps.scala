@@ -1246,6 +1246,44 @@ object CorpusOps {
       .drop("__root")
   }
 
+  /** SOFT DEDUP — the loss-weighting alternative to dropping
+    * near-duplicates: every document stays in the corpus but carries
+    * `weight = 1/cluster_size` (1e6 fixed point), so a document
+    * duplicated k times contributes the same total training signal
+    * as a unique one. The published rationale: hard dedup throws
+    * away benign re-hosted copies' context windows entirely, while
+    * down-weighting preserves them at de-duplicated effective mass —
+    * the trainer multiplies per-example loss by the weight. Clusters
+    * are the same banded-MinHash connected components the hard-dedup
+    * path uses ([[Dedup.connectedComponents]]); singletons weigh
+    * 1e6 (1.0).
+    *
+    * Scale shape: pair generation and the O(log D) component rounds
+    * are the audited t06/t24 plans; cluster sizes are one
+    * cluster-keyed aggregation whose output joins back on the same
+    * cluster key (both sides arrive partitioned by it — no third
+    * shuffle); the weight is a map-side exact floor division.
+    */
+  def softDedupWeights(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numPerms: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = Dedup.minhashLsh(docs, idCol, textCol, n, numPerms, bands,
+      threshold).select("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("node").as(idCol), col("comp").as("__c"))
+    val withC = Dedup.barrier(
+      docs.select(col(idCol)).join(comp, Seq(idCol), "left")
+        .withColumn("cluster_id", coalesce(col("__c"), col(idCol)))
+        .drop("__c"),
+      col("cluster_id"))
+    val sizes = withC.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    withC.join(sizes, "cluster_id")
+      .withColumn("weight_x1e6", expr("1000000 div cluster_size"))
+      .select(col(idCol), col("cluster_id"), col("cluster_size"),
+        col("weight_x1e6"))
+  }
+
   /** Token-budget mixture sampling — the data-recipe primitive "take
     * documents from each source, in a deterministic shuffled order,
     * until that source's TOKEN budget is spent" (training mixtures

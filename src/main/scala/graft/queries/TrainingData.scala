@@ -1407,6 +1407,14 @@ object TrainingData {
         "source")
       .orderBy("doc_id")
 
+  /** Soft dedup ([[CorpusOps.softDedupWeights]], t24's MinHash and
+    * component parameters): every doc keeps a 1e6-fixed-point
+    * 1/cluster_size loss weight instead of being dropped.
+    */
+  def docSoftDedupWeights(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.softDedupWeights(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_text_stats" -> docTextStats _,
     "t02_lang_id" -> docLangId _,
@@ -1492,6 +1500,7 @@ object TrainingData {
     "t82_epoch_upsample" -> docEpochUpsample _,
     "t83_contamination_report" -> docContaminationReport _,
     "t84_interleave_order" -> docInterleaveOrder _,
+    "t85_soft_dedup_weights" -> docSoftDedupWeights _,
   )
 
   /** Shared DuckDB CTE fragment: per-doc word-trigram shingle sets,
@@ -1772,6 +1781,41 @@ object TrainingData {
        |    CASE split WHEN 'val' THEN 100000 WHEN 'test' THEN 100000
        |    ELSE 800000 END) AS dev_x1e6
        |FROM per, tot ORDER BY split""".stripMargin
+
+  /** t85: the t24 component replay (materialized-pair form), cluster
+    * sizes, and the exact 1e6 // size weight division.
+    */
+  private def softDedupOracleSql(numPerms: Int, bands: Int,
+      threshold: Double): String =
+    s"""WITH RECURSIVE ${minhashCtes(numPerms, bands, threshold)},
+       |mpairs AS MATERIALIZED (
+       |  SELECT id_a, id_b FROM pairs
+       |), edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM mpairs
+       |  UNION
+       |  SELECT id_b AS src, id_a AS dst FROM mpairs
+       |), reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |), sel AS (
+       |  SELECT src, dst FROM reach
+       |  UNION
+       |  SELECT src, src AS dst FROM edges
+       |), comp AS (
+       |  SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS root
+       |  FROM sel GROUP BY src
+       |), keyed AS (
+       |  SELECT d.doc_id, COALESCE(c.root, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN comp c USING (doc_id)
+       |), sz AS (
+       |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+       |  FROM keyed GROUP BY 1
+       |)
+       |SELECT k.doc_id, k.cluster_id, s.cluster_size,
+       |  1000000 // s.cluster_size AS weight_x1e6
+       |FROM keyed k JOIN sz s USING (cluster_id)
+       |ORDER BY doc_id""".stripMargin
 
   /** t80: the full governance-recipe replay — t76's normalized dedup,
     * t78's cluster splits over the deduped corpus, t72's cap window,
@@ -2595,6 +2639,7 @@ object TrainingData {
         curationRecipeOracleSql(64, 16, 0.5, cap = 20, tempScale = 4.0),
       "t81_split_fractions" -> splitFractionsOracleSql(64, 16, 0.5),
       "t82_epoch_upsample" -> epochUpsampleOracleSql(10),
+      "t85_soft_dedup_weights" -> softDedupOracleSql(64, 16, 0.5),
       // t84: both distributed two-phase rankings replayed as naive
       // global ROW_NUMBERs over the same (hash, id) / (key, hash, id)
       // orders — the gate proves the bucketed ranking realizes the

@@ -813,6 +813,29 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(hybrid.nonEmpty)
   }
 
+  test("softDedupWeights: a chained near-dup cluster shares one id " +
+      "and splits the unit weight; singletons weigh 1e6") {
+    // a-b and b-c are near-dups (one token changed); a-c may fall
+    // below threshold — the component closure must still cluster all
+    // three. d is unrelated.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("alpha", "alpha2")),
+      (3L, base.replace("alpha", "alpha2").replace("kappa", "kappa2")),
+      (4L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val r = CorpusOps.softDedupWeights(docs, "doc_id", "text",
+        threshold = 0.4)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == Seq(
+      (1L, 1L, 3L, 333333L), (2L, 1L, 3L, 333333L),
+      (3L, 1L, 3L, 333333L), (4L, 4L, 1L, 1000000L)))
+    // mass conservation within fixed point: 3 * 333333 ~= 1e6 (floor)
+    assert(r.filter(_._2 == 1L).map(_._4).sum == 999999L)
+  }
+
   test("interleaveOrder: equals the naive single-partition replay; " +
       "stride keys realize proportional interleaving") {
     val docs = ((0 until 8).map(i => (i.toLong, "sA")) ++
