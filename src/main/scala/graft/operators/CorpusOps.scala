@@ -1231,15 +1231,22 @@ object CorpusOps {
     * hash of the broadcast-joined group key. Expected split fractions
     * hold over CLUSTERS rather than docs (a giant cluster moves
     * wholesale — that is the point).
+    *
+    * `compOpt` lets consumers over one corpus share one precomputed
+    * (node, comp) closure — it is a deterministic function of the
+    * corpus, so sharing is oracle-invisible (the centroid-sharing
+    * argument).
     */
   def leakageSafeSplits(docs: DataFrame, idCol: String, textCol: String,
       valPct: Int = 10, testPct: Int = 10, n: Int = 3, numPerms: Int = 64,
-      bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+      bands: Int = 16, threshold: Double = 0.5,
+      compOpt: Option[DataFrame] = None): DataFrame = {
     require(valPct >= 0 && testPct >= 0 && valPct + testPct <= 100)
-    val pairs = Dedup.minhashLsh(docs, idCol, textCol, n, numPerms, bands,
-      threshold).select("id_a", "id_b")
-    val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
-      .select(col("node").as(idCol), col("comp").as("__root"))
+    val comp = compOpt.getOrElse {
+      val pairs = Dedup.minhashLsh(docs, idCol, textCol, n, numPerms,
+        bands, threshold).select("id_a", "id_b")
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+    }.select(col("node").as(idCol), col("comp").as("__root"))
     docs.join(comp, Seq(idCol), "left")
       .withColumn("group_key", coalesce(col("__root"), col(idCol)))
       .withColumn("split", splitOf(col("group_key"), valPct, testPct))
@@ -1266,11 +1273,13 @@ object CorpusOps {
     */
   def softDedupWeights(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numPerms: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
-    val pairs = Dedup.minhashLsh(docs, idCol, textCol, n, numPerms, bands,
-      threshold).select("id_a", "id_b")
-    val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
-      .select(col("node").as(idCol), col("comp").as("__c"))
+      threshold: Double = 0.5,
+      compOpt: Option[DataFrame] = None): DataFrame = {
+    val comp = compOpt.getOrElse {
+      val pairs = Dedup.minhashLsh(docs, idCol, textCol, n, numPerms,
+        bands, threshold).select("id_a", "id_b")
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+    }.select(col("node").as(idCol), col("comp").as("__c"))
     val withC = Dedup.barrier(
       docs.select(col(idCol)).join(comp, Seq(idCol), "left")
         .withColumn("cluster_id", coalesce(col("__c"), col(idCol)))
@@ -1708,12 +1717,13 @@ object CorpusOps {
     */
   def canonicalSelect(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numPerms: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
-    val pairs = Dedup.minhashLsh(docs, idCol, textCol, n, numPerms, bands,
-        threshold)
-      .select("id_a", "id_b")
-    val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
-      .select(col("node").as("doc_id"), col("comp").as("cluster_id"))
+      threshold: Double = 0.5,
+      compOpt: Option[DataFrame] = None): DataFrame = {
+    val comps = compOpt.getOrElse {
+      val pairs = Dedup.minhashLsh(docs, idCol, textCol, n, numPerms,
+        bands, threshold).select("id_a", "id_b")
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+    }.select(col("node").as("doc_id"), col("comp").as("cluster_id"))
     val scored = unigramMeanProb(docs, idCol, textCol)
       .select(col("doc_id"), expr("hit_mass div n_tokens").as("score"))
     val w = Window.partitionBy("cluster_id")

@@ -181,6 +181,30 @@ object TrainingData {
     sharedCentroids(spark, s"$dir/embeddings", Tables.embeddings(spark, dir),
       minNlist)
 
+  private val componentCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Memo[DataFrame]]
+
+  /** One banded-MinHash connected-component relation (node, comp)
+    * per (session, corpus snapshot) at the shared t06/t24 parameters
+    * (n = 3, 64 perms, 16 bands, threshold 0.5) — reused by every
+    * dedup-cluster consumer over that corpus (t24 clusters, t42
+    * canonical, t78 splits, t81 fractions, t85 weights). The same
+    * argument as [[sharedCentroids]]: pair generation and the
+    * component fixed point are DETERMINISTIC, so sharing changes
+    * nothing any oracle can see — it only stops five queries from
+    * re-running the identical pair+closure computation. Keyed by
+    * applicationId so a fresh session (whose localCheckpoint blocks
+    * are gone) recomputes rather than reading dead blocks.
+    */
+  private def sharedComponents(spark: SparkSession, dir: String): DataFrame =
+    memoized(componentCache,
+      (spark.sparkContext.applicationId, s"$dir/documents")) {
+      val pairs = Dedup.minhashLsh(Tables.documents(spark, dir), "doc_id",
+        "text", n = 3, numPerms = 64, bands = 16, threshold = 0.5)
+        .select("id_a", "id_b")
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+    }
+
   def annIvfTopK(spark: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopKAuto(Tables.embeddings(spark, dir), "vec_id", "embedding",
         k = 3, minNlist = 16, nprobe = 2,
@@ -318,14 +342,10 @@ object TrainingData {
     * dedup. The oracle replays the full MinHash pipeline AND the
     * component fixed point (recursive CTE).
     */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.minhashLsh(Tables.documents(spark, dir), "doc_id", "text",
-        n = 3, numPerms = 64, bands = 16, threshold = 0.5)
-      .select("id_a", "id_b")
-    Dedup.connectedComponents(pairs, "id_a", "id_b")
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    sharedComponents(spark, dir)
       .select(col("node").as("doc_id"), col("comp").as("cluster_id"))
       .orderBy("doc_id")
-  }
 
   /** KMV distinct-count sketch of the corpus word-trigram vocabulary
     * ([[CorpusOps.kmvDistinctSketch]], n = 3, k = 200; ~16k distinct
@@ -475,7 +495,8 @@ object TrainingData {
     */
   def docCanonical(spark: SparkSession, dir: String): DataFrame =
     CorpusOps.canonicalSelect(Tables.documents(spark, dir), "doc_id", "text",
-        n = 3, numPerms = 64, bands = 16, threshold = 0.5)
+        n = 3, numPerms = 64, bands = 16, threshold = 0.5,
+        compOpt = Some(sharedComponents(spark, dir)))
       .orderBy("doc_id")
 
   /** Incremental semantic dedup
@@ -1322,7 +1343,8 @@ object TrainingData {
     * group-key bucket fold.
     */
   def docLeakageSafeSplits(spark: SparkSession, dir: String): DataFrame =
-    CorpusOps.leakageSafeSplits(Tables.documents(spark, dir), "doc_id", "text")
+    CorpusOps.leakageSafeSplits(Tables.documents(spark, dir), "doc_id", "text",
+        compOpt = Some(sharedComponents(spark, dir)))
       .select(col("doc_id"), col("group_key"), col("split"))
       .orderBy("doc_id")
 
@@ -1365,7 +1387,8 @@ object TrainingData {
   def docSplitFractions(spark: SparkSession, dir: String): DataFrame =
     CorpusOps.splitFractions(
         CorpusOps.leakageSafeSplits(Tables.documents(spark, dir),
-          "doc_id", "text"))
+          "doc_id", "text",
+          compOpt = Some(sharedComponents(spark, dir))))
       .orderBy("split")
 
   /** Multi-epoch upsampling ([[CorpusOps.epochUpsample]]): src0 gets
@@ -1412,7 +1435,8 @@ object TrainingData {
     * 1/cluster_size loss weight instead of being dropped.
     */
   def docSoftDedupWeights(spark: SparkSession, dir: String): DataFrame =
-    CorpusOps.softDedupWeights(Tables.documents(spark, dir), "doc_id", "text")
+    CorpusOps.softDedupWeights(Tables.documents(spark, dir), "doc_id", "text",
+        compOpt = Some(sharedComponents(spark, dir)))
       .orderBy("doc_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
