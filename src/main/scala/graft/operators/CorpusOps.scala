@@ -982,6 +982,53 @@ object CorpusOps {
       .filter(col("strat_bucket") < rate.cast("long"))
   }
 
+  /** Weighted priority sampling (Duffield–Lund–Thorup): a
+    * deterministic size-k weighted-without-replacement sample with
+    * per-item Horvitz–Thompson weight estimates — the subsample any
+    * weighted corpus statistic (total tokens per source, quality
+    * mass) can be estimated from unbiasedly. Each item draws
+    * u = ([[idMix]](id)+1)/2³² ∈ (0, 1] and gets priority
+    * q = w/u, computed as the integer (w·2³²) div ([[idMix]]+1) —
+    * already in WEIGHT units (the 2³² factors cancel), products stay
+    * < 2⁶⁰ for any weight the corpus tables carry, and BOTH engines
+    * replay the integer division bit-for-bit — no pow/ln call whose
+    * rounding could diverge. The k largest priorities are the sample;
+    * τ = the (k+1)-th priority (0 when the corpus has ≤ k weighted
+    * items, where the sample is exhaustive and no adjustment
+    * applies); each survivor's Horvitz–Thompson adjusted weight is
+    * max(w, τ) — sum it over the sample to estimate ANY weighted
+    * corpus total unbiasedly.
+    *
+    * Scale shape: priorities are a map-side projection; the global
+    * top-(k+1) is TakeOrderedAndProject — a bounded per-partition
+    * heap, never a corpus sort — so the driver merges k·partitions
+    * rows; τ and the final adjustment run over the checkpointed
+    * (k+1)-row sample only (the corpus is scanned exactly once).
+    */
+  def prioritySample(docs: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val pri = docs.filter(col(weightCol) > 0)
+      .select(col(idCol).as("doc_id"),
+        col(weightCol).cast("long").as("weight"))
+      .withColumn("u1", idMix(col("doc_id")) + lit(1L))
+      .withColumn("priority", expr("(weight * 4294967296) div u1"))
+      .drop("u1")
+    // k+1 rows; pinned so the τ aggregate and the final selection
+    // share one corpus scan
+    val topk1 = pri.orderBy(col("priority").desc, col("doc_id"))
+      .limit(k + 1).localCheckpoint()
+    val tau = topk1
+      .agg(count(lit(1)).as("m"), min("priority").as("mn"))
+      .select(when(col("m") === (k + 1).toLong, col("mn"))
+        .otherwise(lit(0L)).as("tau"))
+    topk1.orderBy(col("priority").desc, col("doc_id")).limit(k)
+      .crossJoin(broadcast(tau))
+      .withColumn("adj_weight", greatest(col("weight"), col("tau")))
+      .select(col("doc_id"), col("weight"), col("priority"),
+        col("adj_weight"))
+  }
+
   /** Per-domain document cap — the RefinedWeb/Gopher-style host
     * balancing pass: keep at most `cap` documents per domain, chosen
     * by the deterministic full-width id-hash ([[idMix]], the

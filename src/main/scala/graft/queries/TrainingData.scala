@@ -1439,6 +1439,24 @@ object TrainingData {
         compOpt = Some(sharedComponents(spark, dir)))
       .orderBy("doc_id")
 
+  /** k for the t86 weighted priority sample: 200 < |documents| at
+    * every shipped SF, so the τ-adjustment branch is exercised at
+    * each scale (an exhaustive sample would gate only τ=0).
+    */
+  private val PrioSampleK = 200
+
+  /** Weighted priority sampling ([[CorpusOps.prioritySample]],
+    * k=200, weight = n_chars): the Duffield–Lund–Thorup
+    * weighted-without-replacement sample with Horvitz–Thompson
+    * adjusted weights — the oracle replays the integer priority
+    * arithmetic, the (k+1)-th-priority threshold, and the
+    * adjustment bit-for-bit.
+    */
+  def docPrioritySample(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.prioritySample(Tables.documents(spark, dir), "doc_id",
+        "n_chars", PrioSampleK)
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_text_stats" -> docTextStats _,
     "t02_lang_id" -> docLangId _,
@@ -1525,6 +1543,7 @@ object TrainingData {
     "t83_contamination_report" -> docContaminationReport _,
     "t84_interleave_order" -> docInterleaveOrder _,
     "t85_soft_dedup_weights" -> docSoftDedupWeights _,
+    "t86_priority_sample" -> docPrioritySample _,
   )
 
   /** Shared DuckDB CTE fragment: per-doc word-trigram shingle sets,
@@ -2668,6 +2687,30 @@ object TrainingData {
       // global ROW_NUMBERs over the same (hash, id) / (key, hash, id)
       // orders — the gate proves the bucketed ranking realizes the
       // exact total order it claims
+      // t86: priority-sample replay — same integer w/u priorities
+      // (weight units), the (k+1)-th threshold τ, the HT adjustment
+      "t86_priority_sample" -> {
+        val k = PrioSampleK
+        s"""WITH pri AS (
+           |  SELECT doc_id, n_chars AS weight,
+           |    (n_chars * 4294967296) // (${idMixSql("doc_id")} + 1)
+           |      AS priority
+           |  FROM documents WHERE n_chars > 0
+           |), topk1 AS (
+           |  SELECT * FROM pri ORDER BY priority DESC, doc_id
+           |  LIMIT ${k + 1}
+           |), tau AS (
+           |  SELECT CASE WHEN COUNT(*) = ${k + 1} THEN MIN(priority)
+           |    ELSE 0 END AS tau
+           |  FROM topk1
+           |), sel AS (
+           |  SELECT * FROM topk1 ORDER BY priority DESC, doc_id LIMIT $k
+           |)
+           |SELECT s.doc_id, s.weight, s.priority,
+           |  GREATEST(s.weight, t.tau) AS adj_weight
+           |FROM sel s CROSS JOIN tau t
+           |ORDER BY doc_id""".stripMargin
+      },
       "t84_interleave_order" ->
         s"""WITH rn0 AS (
            |  SELECT doc_id, source, ${idMixSql("doc_id")} AS h FROM documents

@@ -685,6 +685,44 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(kept.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("prioritySample: exact priority replay, tau, and HT adjustment") {
+    def h(id: Long) = {
+      val s0 = (id & 4294967295L) ^ 123456789L
+      val h1 = ((s0 ^ (s0 >>> 16)) * 73244475L) & 4294967295L
+      val h2 = h1 ^ ((id >> 32) & 4294967295L)
+      val h3 = ((h2 ^ (h2 >>> 16)) * 73244475L) & 4294967295L
+      h3 ^ (h3 >>> 16)
+    }
+    // weights 1..300 over 300 ids; k=50
+    val docs = (1L to 300L).map(i => (i, i)).toDF("doc_id", "w")
+    val out = CorpusOps.prioritySample(docs, "doc_id", "w", 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 50)
+    // reference replay: priority = (w<<32) div (h+1), top-50, tau = 51st
+    val pri = (1L to 300L).map(i => (i, (i * 4294967296L) / (h(i) + 1L)))
+    val sorted = pri.sortBy { case (id, q) => (-q, id) }
+    val expectIds = sorted.take(50).map(_._1).toSet
+    val tau = sorted(50)._2
+    assert(out.map(_._1).toSet == expectIds)
+    out.foreach { case (id, w, q, adj) =>
+      assert(w == id)
+      assert(q == (w * 4294967296L) / (h(id) + 1L))
+      assert(adj == math.max(w, tau))
+    }
+    // HT estimator: sum of adjusted weights ~ total weight
+    val total = (1L to 300L).sum.toDouble
+    val est = out.map(_._4.toDouble).sum
+    assert(math.abs(est - total) / total < 0.35, s"est $est vs $total")
+  }
+
+  test("prioritySample: exhaustive when corpus <= k (tau = 0)") {
+    val docs = Seq((1L, 5L), (2L, 7L), (3L, 0L)).toDF("doc_id", "w")
+    val out = CorpusOps.prioritySample(docs, "doc_id", "w", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    // zero-weight rows are unsampleable; survivors keep raw weight
+    assert(out.toSet == Set((1L, 5L), (2L, 7L)))
+  }
+
   test("corpusDrift: hand-computed membership churn and vocab drift") {
     val prev = Seq(
       (1L, "a b c"), (2L, "d e f"), (3L, "g h i"))
