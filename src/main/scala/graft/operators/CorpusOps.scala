@@ -1596,6 +1596,84 @@ object CorpusOps {
         (col("start_tok") % budget).as("seq_offset"))
   }
 
+  /** Packing-efficiency audit over [[packSequences]] — the report a
+    * pipeline owner reads before burning GPU-hours on a packed
+    * corpus: per shard, how many fixed-`budget` sequences the concat
+    * stream cuts, the padding wasted in each shard's final partial
+    * sequence, how many documents straddle a sequence boundary (and
+    * the total number of boundary crossings — a long document can
+    * straddle several), and the realized fill rate in parts-per-
+    * million (integer, so both engines agree bit-for-bit).
+    *
+    * Scale shape: one per-shard aggregation over the packing
+    * projection, partitioned on the same `shard` key the packing
+    * window already hash-distributed — Catalyst reuses that exchange,
+    * so the audit adds NO new shuffle; every derived column is
+    * arithmetic over the shard totals. The crossing count guards the
+    * n_tokens=0 row with greatest(n_tokens,1) so the dividend stays
+    * non-negative — Spark's `div` truncates toward zero while
+    * DuckDB's `//` floors, and they only agree on non-negative
+    * operands.
+    */
+  def packingReport(docs: DataFrame, idCol: String, textCol: String,
+      budget: Int, shards: Int): DataFrame = {
+    packSequences(docs, idCol, textCol, budget, shards)
+      .groupBy("shard").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        sum(when(col("seq_offset") + col("n_tokens") > budget, 1L)
+          .otherwise(0L)).as("split_docs"),
+        sum(expr(
+          s"(seq_offset + greatest(n_tokens, 1) - 1) div $budget"))
+          .as("boundary_crossings"))
+      .withColumn("n_seqs",
+        expr(s"(total_tokens + ${budget - 1}) div $budget"))
+      .withColumn("pad_tokens",
+        col("n_seqs") * budget - col("total_tokens"))
+      .withColumn("fill_ppm",
+        when(col("n_seqs") > 0,
+          expr(s"(total_tokens * 1000000) div (n_seqs * $budget)"))
+          .otherwise(lit(1000000L)))
+      .select(col("shard"), col("n_docs"), col("total_tokens"),
+        col("n_seqs"), col("pad_tokens"), col("split_docs"),
+        col("boundary_crossings"), col("fill_ppm"))
+  }
+
+  /** Length-bucketed batching — the padding-minimizing batch
+    * assembly used for SFT / eval serving, where sequences are NOT
+    * concatenated (each document is its own example padded to its
+    * batch's max): within a deterministic shard, documents sort by
+    * (token length, id) and consecutive runs of `batchSize` form a
+    * batch, so every batch holds near-equal lengths and pays
+    * max−len padding only inside a run. Output: one row per document
+    * with its batch, the batch's max length, and the padding the
+    * document costs — Σ pad_tokens is the figure the naive id-order
+    * batching is judged against.
+    *
+    * Scale shape: both windows partition on `shard` (O(cores)
+    * deterministic shards, each 1/shards of the corpus — never a
+    * global sort): ranking shuffles (id, n_tokens) pairs once, and
+    * the per-(shard, batch) max is a partial-aggregable second
+    * window over the SAME distribution (batch is a prefix-function
+    * of the rank), so Catalyst plans one exchange total.
+    */
+  def lengthBucketBatches(docs: DataFrame, idCol: String,
+      textCol: String, batchSize: Int, shards: Int): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    val rankW = Window.partitionBy("shard")
+      .orderBy(col("n_tokens"), col("doc_id"))
+    val batchW = Window.partitionBy("shard", "batch_no")
+    docs.select(col(idCol).as("doc_id"),
+        (col(idCol) % shards).cast("long").as("shard"),
+        TextFunctions.nTokens(col(textCol)).as("n_tokens"))
+      .withColumn("rn", row_number().over(rankW).cast("long"))
+      .withColumn("batch_no", expr(s"(rn - 1) div $batchSize"))
+      .withColumn("batch_max", max("n_tokens").over(batchW))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        col("batch_no"), col("batch_max"),
+        (col("batch_max") - col("n_tokens")).as("pad_tokens"))
+  }
+
   // ---------------------------------------------------------------
   // Language-model-flavoured quality scoring & retrieval
   // ---------------------------------------------------------------

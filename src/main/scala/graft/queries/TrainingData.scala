@@ -1457,6 +1457,26 @@ object TrainingData {
         "n_chars", PrioSampleK)
       .orderBy("doc_id")
 
+  /** Packing-efficiency audit ([[CorpusOps.packingReport]]) over
+    * t21's packing parameters (budget 512, 8 shards): sequences cut,
+    * final-sequence padding, boundary-straddling documents, and the
+    * integer fill rate per shard.
+    */
+  def docPackingReport(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.packingReport(Tables.documents(spark, dir), "doc_id",
+        "text", budget = 512, shards = 8)
+      .orderBy("shard")
+
+  /** Length-bucketed batching ([[CorpusOps.lengthBucketBatches]],
+    * batches of 32 over 8 shards): padding-minimizing SFT batch
+    * assembly — the oracle replays the (length, id) ranking, the
+    * batch cut, and the per-batch max.
+    */
+  def docLengthBatches(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.lengthBucketBatches(Tables.documents(spark, dir),
+        "doc_id", "text", batchSize = 32, shards = 8)
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_text_stats" -> docTextStats _,
     "t02_lang_id" -> docLangId _,
@@ -1544,6 +1564,8 @@ object TrainingData {
     "t84_interleave_order" -> docInterleaveOrder _,
     "t85_soft_dedup_weights" -> docSoftDedupWeights _,
     "t86_priority_sample" -> docPrioritySample _,
+    "t87_packing_report" -> docPackingReport _,
+    "t88_length_batches" -> docLengthBatches _,
   )
 
   /** Shared DuckDB CTE fragment: per-doc word-trigram shingle sets,
@@ -2687,6 +2709,64 @@ object TrainingData {
       // global ROW_NUMBERs over the same (hash, id) / (key, hash, id)
       // orders — the gate proves the bucketed ranking realizes the
       // exact total order it claims
+      // t87: the t21 packing replay aggregated per shard; crossing
+      // count guards n_tokens=0 with greatest so // (floor) and
+      // Spark div (truncate) see only non-negative dividends
+      "t87_packing_report" ->
+        s"""WITH d AS (
+           |  SELECT doc_id, doc_id % 8 AS shard,
+           |    ${T.nTokens("text")} AS n_tokens
+           |  FROM documents
+           |), c AS (
+           |  SELECT doc_id, shard, n_tokens,
+           |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+           |                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           |      - n_tokens AS start_tok
+           |  FROM d
+           |), p AS (
+           |  SELECT shard, n_tokens, start_tok % 512 AS seq_offset
+           |  FROM c
+           |), a AS (
+           |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           |    CAST(SUM(CASE WHEN seq_offset + n_tokens > 512
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS split_docs,
+           |    CAST(SUM((seq_offset + GREATEST(n_tokens, 1) - 1) // 512)
+           |      AS BIGINT) AS boundary_crossings
+           |  FROM p GROUP BY shard
+           |)
+           |SELECT shard, n_docs, total_tokens,
+           |  (total_tokens + 511) // 512 AS n_seqs,
+           |  ((total_tokens + 511) // 512) * 512 - total_tokens
+           |    AS pad_tokens,
+           |  split_docs, boundary_crossings,
+           |  CASE WHEN total_tokens > 0 THEN
+           |    (total_tokens * 1000000)
+           |      // (((total_tokens + 511) // 512) * 512)
+           |    ELSE 1000000 END AS fill_ppm
+           |FROM a ORDER BY shard""".stripMargin,
+      // t88: (length, id) ranking inside deterministic shards,
+      // batch = (rn-1)//32, per-batch max and padding
+      "t88_length_batches" ->
+        s"""WITH d AS (
+           |  SELECT doc_id, doc_id % 8 AS shard,
+           |    ${T.nTokens("text")} AS n_tokens
+           |  FROM documents
+           |), r AS (
+           |  SELECT doc_id, shard, n_tokens,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY shard
+           |      ORDER BY n_tokens, doc_id) AS BIGINT) AS rn
+           |  FROM d
+           |), b AS (
+           |  SELECT doc_id, shard, n_tokens, (rn - 1) // 32 AS batch_no
+           |  FROM r
+           |)
+           |SELECT doc_id, shard, n_tokens, batch_no,
+           |  CAST(MAX(n_tokens) OVER (PARTITION BY shard, batch_no)
+           |    AS BIGINT) AS batch_max,
+           |  CAST(MAX(n_tokens) OVER (PARTITION BY shard, batch_no)
+           |    AS BIGINT) - n_tokens AS pad_tokens
+           |FROM b ORDER BY doc_id""".stripMargin,
       // t86: priority-sample replay — same integer w/u priorities
       // (weight units), the (k+1)-th threshold τ, the HT adjustment
       "t86_priority_sample" -> {

@@ -723,6 +723,42 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out.toSet == Set((1L, 5L), (2L, 7L)))
   }
 
+  test("packingReport: hand-computed fill, padding, and crossings") {
+    // one shard (ids all ≡ 0 mod 8): lengths 3,4,2,5 with budget 4
+    // concat stream: [0,3) [3,7) [7,9) [9,14) → 14 tokens, 4 seqs,
+    // pad 2; doc 8 (start 3, len 4) crosses 1; doc 24 (start 9,
+    // len 5: offset 1) crosses into seq 3 → split+cross; doc 16
+    // (start 7, len 2) crosses one boundary
+    val docs = Seq((0L, "a b c"), (8L, "a b c d"), (16L, "a b"),
+      (24L, "a b c d e")).toDF("doc_id", "text")
+    val r = CorpusOps.packingReport(docs, "doc_id", "text", 4, 8)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getLong(5), x.getLong(6), x.getLong(7)))
+    assert(r.length == 1)
+    val (shard, nDocs, tot, nSeqs, pad, split, cross, fill) = r.head
+    assert(shard == 0L && nDocs == 4L && tot == 14L && nSeqs == 4L)
+    assert(pad == 2L)
+    assert(split == 3L, s"split=$split") // docs 8, 16, 24 straddle
+    assert(cross == 3L)
+    assert(fill == 14L * 1000000L / 16L)
+  }
+
+  test("lengthBucketBatches: sorted runs beat id-order padding") {
+    // single shard, batchSize 2: lengths 1,9,2,8 → sorted (1,2)(8,9)
+    // pad = 1+0 + 1+0 = 2; id-order batches (1,9)(2,8) would pad 14
+    val docs = Seq((0L, "a"), (8L, "a b c d e f g h i"),
+      (16L, "a b"), (24L, "a b c d e f g h")).toDF("doc_id", "text")
+    val r = CorpusOps.lengthBucketBatches(docs, "doc_id", "text", 2, 8)
+      .collect().map(x => (x.getLong(0), x.getLong(3), x.getLong(4), x.getLong(5)))
+      .sortBy(_._1)
+    assert(r.map(_._2).toSeq == Seq(0L, 1L, 0L, 1L)) // batch_no by length
+    assert(r.map(_._4).sum == 2L)
+    // per-batch max is the batch's longest member
+    val byBatch = r.groupBy(_._2)
+    assert(byBatch(0L).map(_._3).toSet == Set(2L))
+    assert(byBatch(1L).map(_._3).toSet == Set(9L))
+  }
+
   test("corpusDrift: hand-computed membership churn and vocab drift") {
     val prev = Seq(
       (1L, "a b c"), (2L, "d e f"), (3L, "g h i"))
