@@ -931,6 +931,56 @@ object CorpusOps {
       .withColumn("keep", col("score") >= threshold)
   }
 
+  /** Score-calibration report for a classifier-based filter — the
+    * diagnostic read before trusting [[hashedLinearScore]] weights to
+    * prune a corpus: documents are cut into `bins` equal-population
+    * score bins (quantile bins, ties unified: every doc with the
+    * same score lands in the same bin, so no id tie-break enters the
+    * arithmetic) and each bin reports its population, its
+    * positive-label count, the score range, and the realized
+    * positive rate in integer ppm. A well-ordered score shows
+    * pos_ppm rising monotonically with the bin; a flat profile says
+    * the classifier ranks noise.
+    *
+    * Scale shape: the corpus collapses to a (score → count,
+    * pos_count) histogram first (map-side combinable; the shuffle
+    * carries distinct scores, not documents — the qualityPrune
+    * histogram-quantile discipline), the cumulative bin walk windows
+    * over that compressed histogram only, and the per-bin rollup is
+    * an aggregation of histogram rows. The label column rides the
+    * same scan as the text (one corpus pass); no corpus-wide sort or
+    * per-document window exists in the plan.
+    */
+  def scoreCalibrationReport(docs: DataFrame, idCol: String,
+      textCol: String, weights: Seq[Long], positive: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    val scored = hashedLinearScore(docs, idCol, textCol, weights,
+      bias = 0L, threshold = 0L)
+    // histogram join keyed on doc_id recovers the label without a
+    // second text read: Spark prunes the probe side to (id, __pos)
+    val labeled = scored.select(col("doc_id"), col("score"))
+      .join(docs.select(col(idCol).as("doc_id"),
+        positive.cast("boolean").as("__pos")), "doc_id")
+    val hist = labeled.groupBy("score").agg(
+      count(lit(1)).as("cnt"),
+      sum(when(col("__pos"), 1L).otherwise(0L)).as("pos_cnt"))
+    val w = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = hist.agg(sum("cnt").as("n_total"))
+    hist.withColumn("cum", sum("cnt").over(w))
+      .crossJoin(broadcast(total))
+      .withColumn("bin",
+        least(expr(s"((cum - 1) * $bins) div n_total"),
+          lit((bins - 1).toLong)))
+      .groupBy("bin").agg(
+        sum("cnt").as("n_docs"),
+        sum("pos_cnt").as("n_pos"),
+        min("score").as("lo_score"),
+        max("score").as("hi_score"))
+      .withColumn("pos_ppm", expr("(n_pos * 1000000) div n_docs"))
+  }
+
   // ---------------------------------------------------------------
   // Deterministic stratified sampling
   // ---------------------------------------------------------------

@@ -1477,6 +1477,18 @@ object TrainingData {
         "doc_id", "text", batchSize = 32, shards = 8)
       .orderBy("doc_id")
 
+  /** Score-calibration report ([[CorpusOps.scoreCalibrationReport]],
+    * t45's frozen weights, label = lang='en', 10 quantile bins): the
+    * per-bin positive-rate profile a classifier-pruned corpus is
+    * trusted (or not) on — the oracle replays score, histogram,
+    * cumulative bin walk, and every integer rate.
+    */
+  def docScoreCalibration(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.scoreCalibrationReport(Tables.documents(spark, dir),
+        "doc_id", "text", ClassifierWeights, col("lang") === "en",
+        bins = 10)
+      .orderBy("bin")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_text_stats" -> docTextStats _,
     "t02_lang_id" -> docLangId _,
@@ -1566,6 +1578,7 @@ object TrainingData {
     "t86_priority_sample" -> docPrioritySample _,
     "t87_packing_report" -> docPackingReport _,
     "t88_length_batches" -> docLengthBatches _,
+    "t89_score_calibration" -> docScoreCalibration _,
   )
 
   /** Shared DuckDB CTE fragment: per-doc word-trigram shingle sets,
@@ -2709,6 +2722,46 @@ object TrainingData {
       // global ROW_NUMBERs over the same (hash, id) / (key, hash, id)
       // orders — the gate proves the bucketed ranking realizes the
       // exact total order it claims
+      // t89: the t45 score replay → (score → cnt, pos) histogram →
+      // cumulative quantile-bin walk → per-bin integer rates
+      "t89_score_calibration" -> {
+        val wl = ClassifierWeights.mkString("[", ", ", "]")
+        val f = ClassifierWeights.length
+        s"""WITH toks AS (
+           |  SELECT doc_id, lang = 'en' AS pos,
+           |    ${TextFunctions.Sql.tokens("text")} AS ts
+           |  FROM documents
+           |), scored AS (
+           |  SELECT doc_id, pos,
+           |    0 + list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(ts, t -> list_extract($wl,
+           |        CAST((CASE WHEN t = '' THEN 0
+           |              ELSE ${TextFunctions.Sql.polyHash("t")} END) % $f AS INT) + 1))),
+           |      (a, b) -> a + b) AS score
+           |  FROM toks
+           |), hist AS (
+           |  SELECT score, CAST(COUNT(*) AS BIGINT) AS cnt,
+           |    CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS pos_cnt
+           |  FROM scored GROUP BY score
+           |), cumed AS (
+           |  SELECT score, cnt, pos_cnt,
+           |    CAST(SUM(cnt) OVER (ORDER BY score
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+           |    CAST((SELECT SUM(cnt) FROM hist) AS BIGINT) AS n_total
+           |  FROM hist
+           |), binned AS (
+           |  SELECT score, cnt, pos_cnt,
+           |    LEAST(((cum - 1) * 10) // n_total, 9) AS bin
+           |  FROM cumed
+           |)
+           |SELECT bin, CAST(SUM(cnt) AS BIGINT) AS n_docs,
+           |  CAST(SUM(pos_cnt) AS BIGINT) AS n_pos,
+           |  MIN(score) AS lo_score, MAX(score) AS hi_score,
+           |  (CAST(SUM(pos_cnt) AS BIGINT) * 1000000)
+           |    // CAST(SUM(cnt) AS BIGINT) AS pos_ppm
+           |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
+      },
       // t87: the t21 packing replay aggregated per shard; crossing
       // count guards n_tokens=0 with greatest so // (floor) and
       // Spark div (truncate) see only non-negative dividends

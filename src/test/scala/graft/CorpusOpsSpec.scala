@@ -759,6 +759,35 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(byBatch(1L).map(_._3).toSet == Set(9L))
   }
 
+  test("scoreCalibrationReport: hand-computed quantile bins and rates") {
+    // weights=[1] → every token hashes into the one bucket → score =
+    // n_tokens; lengths 1..10, label = length > 5, 5 bins of 2
+    val docs = (1 to 10).map(n =>
+      (n.toLong, Seq.fill(n)("w").mkString(" "), n > 5))
+      .toDF("doc_id", "text", "lab")
+    val r = CorpusOps.scoreCalibrationReport(docs, "doc_id", "text",
+        Seq(1L), col("lab"), bins = 5)
+      .orderBy("bin")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getLong(5)))
+    assert(r.toSeq == Seq(
+      (0L, 2L, 0L, 1L, 2L, 0L),
+      (1L, 2L, 0L, 3L, 4L, 0L),
+      (2L, 2L, 1L, 5L, 6L, 500000L),
+      (3L, 2L, 2L, 7L, 8L, 1000000L),
+      (4L, 2L, 2L, 9L, 10L, 1000000L)))
+  }
+
+  test("scoreCalibrationReport: tied scores collapse to one bin") {
+    val docs = (1L to 4L).map(i => (i, "a b c", i % 2 == 0))
+      .toDF("doc_id", "text", "lab")
+    val r = CorpusOps.scoreCalibrationReport(docs, "doc_id", "text",
+        Seq(1L), col("lab"), bins = 2).collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(0) == 1L) // the whole group lands in the last bin
+    assert(r.head.getLong(1) == 4L && r.head.getLong(2) == 2L)
+  }
+
   test("corpusDrift: hand-computed membership churn and vocab drift") {
     val prev = Seq(
       (1L, "a b c"), (2L, "d e f"), (3L, "g h i"))
