@@ -212,8 +212,8 @@ object Dedup {
     * pairs against the given per-side shingle relations; keeps pairs
     * at or above `threshold`.
     */
-  private def verifyJaccard(candidates: DataFrame, shA: DataFrame,
-      shB: DataFrame, threshold: Double): DataFrame =
+  private def scoreJaccard(candidates: DataFrame, shA: DataFrame,
+      shB: DataFrame): DataFrame =
     candidates
       .join(shA.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(shB.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -225,8 +225,12 @@ object Dedup {
           .cast("double"))
       .withColumn("jaccard",
         col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
-      .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+
+  private def verifyJaccard(candidates: DataFrame, shA: DataFrame,
+      shB: DataFrame, threshold: Double): DataFrame =
+    scoreJaccard(candidates, shA, shB)
+      .filter(col("jaccard") >= threshold)
 
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numPerms: Int = 64, bands: Int = 16,
@@ -242,6 +246,76 @@ object Dedup {
 
     val sh = withSigB.select(col("id"), col("sh"))
     verifyJaccard(candidates, sh, sh, threshold)
+  }
+
+  /** Contrastive pair mining — turn the dedup machinery into
+    * training data for an embedding / reranker model. Three tiers:
+    *
+    *   - `pos` (label 1): verified near-dup pairs — band-collision
+    *     candidates whose exact shingle Jaccard reaches `threshold`;
+    *   - `hard` (label 0): candidates that COLLIDED in some LSH band
+    *     but failed the verify — lexically close non-duplicates, the
+    *     classic hard negatives an encoder must learn to separate;
+    *   - `random` (label 0): each pos-pair anchor paired with a
+    *     deterministic pseudo-random document — the min id of the
+    *     first NON-EMPTY hash bucket at or cyclically after
+    *     ([[CorpusOps.idMix]](anchor)+1) mod `negBuckets` (the +1
+    *     offset starts the probe away from the anchor's own bucket;
+    *     the cyclic probe guarantees a partner whenever the corpus
+    *     is non-empty; the one degenerate self-pairing — a corpus so
+    *     sparse the probe wraps to the anchor itself — is filtered).
+    *
+    * Output: (anchor_id, cand_id, tier, label, jaccard) — jaccard is
+    * the verified similarity for pos/hard and null for random.
+    *
+    * Scale shape: ONE [[sigBands]] pass feeds both the candidate
+    * join and the verify (the minhashLsh plan unchanged — the full
+    * Jaccard is computed once and split by threshold, not computed
+    * per tier); the random tier adds only a `negBuckets`-row
+    * broadcast (per-bucket min ids, a map-side-combinable agg over
+    * (id) pairs) joined to the pos-anchor set, which is
+    * duplicate-set-sized — never corpus-sized.
+    */
+  def contrastivePairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numPerms: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5, negBuckets: Int = 64): DataFrame = {
+    val (withSigB, bandedB) = sigBands(docs, idCol, textCol, n, numPerms, bands)
+    val candidates = bandedB.as("a")
+      .join(bandedB.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val sh = withSigB.select(col("id"), col("sh"))
+    // pinned: the scored relation is consumed by all three tiers
+    // (pos, hard, and the pos-anchor seed of random)
+    val scored = barrier(scoreJaccard(candidates, sh, sh),
+      col("id_a"), col("id_b"))
+    val pos = scored.filter(col("jaccard") >= threshold)
+    val hard = scored.filter(col("jaccard") < threshold)
+    val anchors = pos.select(col("id_a").as("anchor"))
+      .union(pos.select(col("id_b").as("anchor"))).distinct()
+    val bmin = docs.select(col(idCol).cast("long").as("id"))
+      .withColumn("bucket", CorpusOps.idMix(col("id")) % negBuckets)
+      .groupBy("bucket").agg(min("id").as("partner"))
+    val rnd = anchors
+      .withColumn("target",
+        (CorpusOps.idMix(col("anchor")) + 1L) % negBuckets)
+      .crossJoin(broadcast(bmin))
+      .withColumn("cyc",
+        (col("bucket") - col("target") + negBuckets) % negBuckets)
+      .groupBy("anchor")
+      .agg(min_by(col("partner"), col("cyc")).as("cand_id"))
+      .filter(col("cand_id") =!= col("anchor"))
+      .select(col("anchor").as("anchor_id"), col("cand_id"),
+        lit("random").as("tier"), lit(0L).as("label"),
+        lit(null).cast("double").as("jaccard"))
+    pos.select(col("id_a").as("anchor_id"), col("id_b").as("cand_id"),
+        lit("pos").as("tier"), lit(1L).as("label"), col("jaccard"))
+      .unionAll(hard.select(col("id_a").as("anchor_id"),
+        col("id_b").as("cand_id"), lit("hard").as("tier"),
+        lit(0L).as("label"), col("jaccard")))
+      .unionAll(rnd)
   }
 
   /** Incremental (snapshot) dedup: dispose each document of a NEW

@@ -1489,6 +1489,17 @@ object TrainingData {
         bins = 10)
       .orderBy("bin")
 
+  /** Contrastive pair mining ([[Dedup.contrastivePairs]], t06's
+    * MinHash parameters, 64 negative buckets): pos / hard / random
+    * training pairs for an embedding model — the oracle replays the
+    * full LSH pipeline unthresholded, splits candidates by the
+    * verify, and re-derives the bucket-min random partners.
+    */
+  def docContrastivePairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.contrastivePairs(Tables.documents(spark, dir), "doc_id",
+        "text")
+      .orderBy("anchor_id", "cand_id", "tier")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_text_stats" -> docTextStats _,
     "t02_lang_id" -> docLangId _,
@@ -1579,6 +1590,7 @@ object TrainingData {
     "t87_packing_report" -> docPackingReport _,
     "t88_length_batches" -> docLengthBatches _,
     "t89_score_calibration" -> docScoreCalibration _,
+    "t90_contrastive_pairs" -> docContrastivePairs _,
   )
 
   /** Shared DuckDB CTE fragment: per-doc word-trigram shingle sets,
@@ -2722,6 +2734,48 @@ object TrainingData {
       // global ROW_NUMBERs over the same (hash, id) / (key, hash, id)
       // orders — the gate proves the bucketed ranking realizes the
       // exact total order it claims
+      // t90: full LSH replay UNTHRESHOLDED (threshold 0.0 keeps the
+      // whole verified candidate set); cand pairs sharing zero grams
+      // (band-key hash collisions) surface via the LEFT JOIN as
+      // jaccard 0 — exactly the engine's sorted-merge 0-intersect
+      "t90_contrastive_pairs" ->
+        s"""WITH ${minhashCtes(64, 16, 0.0)}, scored AS (
+           |  SELECT c.id_a, c.id_b, COALESCE(p.jaccard, 0.0) AS jaccard
+           |  FROM cand c LEFT JOIN pairs p
+           |    ON c.id_a = p.id_a AND c.id_b = p.id_b
+           |), pos AS (
+           |  SELECT * FROM scored WHERE jaccard >= 0.5
+           |), hard AS (
+           |  SELECT * FROM scored WHERE jaccard < 0.5
+           |), anchors AS (
+           |  SELECT DISTINCT anchor FROM (
+           |    SELECT id_a AS anchor FROM pos
+           |    UNION SELECT id_b AS anchor FROM pos)
+           |), bmin AS (
+           |  SELECT ${idMixSql("doc_id")} % 64 AS bucket,
+           |    CAST(MIN(doc_id) AS BIGINT) AS partner
+           |  FROM documents GROUP BY 1
+           |), rnd AS (
+           |  SELECT anchor AS anchor_id,
+           |    min_by(partner, (bucket - target + 64) % 64) AS cand_id
+           |  FROM (
+           |    SELECT a.anchor, (${idMixSql("a.anchor")} + 1) % 64 AS target,
+           |      b.bucket, b.partner
+           |    FROM anchors a CROSS JOIN bmin b)
+           |  GROUP BY anchor
+           |  HAVING min_by(partner, (bucket - target + 64) % 64) <> anchor
+           |)
+           |SELECT anchor_id, cand_id, tier, label, jaccard FROM (
+           |  SELECT id_a AS anchor_id, id_b AS cand_id, 'pos' AS tier,
+           |    CAST(1 AS BIGINT) AS label, jaccard FROM pos
+           |  UNION ALL
+           |  SELECT id_a, id_b, 'hard', CAST(0 AS BIGINT), jaccard
+           |  FROM hard
+           |  UNION ALL
+           |  SELECT anchor_id, cand_id, 'random', CAST(0 AS BIGINT),
+           |    CAST(NULL AS DOUBLE) FROM rnd
+           |)
+           |ORDER BY anchor_id, cand_id, tier""".stripMargin,
       // t89: the t45 score replay → (score → cnt, pos) histogram →
       // cumulative quantile-bin walk → per-bin integer rates
       "t89_score_calibration" -> {

@@ -809,6 +809,46 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(m("vocab_jaccard_x1e6") == 5L * 1000000L / 12L)
   }
 
+  test("contrastivePairs: tiers partition candidates; random partners replay") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Dedup.contrastivePairs(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    val pos = out.filter(_._3 == "pos")
+    val hard = out.filter(_._3 == "hard")
+    val rnd = out.filter(_._3 == "random")
+    assert(pos.nonEmpty && rnd.nonEmpty, "fixture has planted near-dups")
+    // pos tier == minhashLsh verbatim (same parameters)
+    val lsh = Dedup.minhashLsh(docs, "doc_id", "text", 3, 64, 16, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pos.map(p => (p._1, p._2, p._5.get)).toSet == lsh)
+    // labels/jaccard discipline
+    assert(pos.forall(p => p._4 == 1L && p._5.get >= 0.5))
+    assert(hard.forall(p => p._4 == 0L && p._5.get < 0.5))
+    assert(rnd.forall(p => p._4 == 0L && p._5.isEmpty))
+    // one random partner per distinct pos anchor, never the anchor
+    val anchors = (pos.map(_._1) ++ pos.map(_._2)).toSet
+    assert(rnd.map(_._1).toSet == anchors && rnd.length == anchors.size)
+    assert(rnd.forall(p => p._1 != p._2))
+    // partner replay: min id of the first non-empty bucket at or
+    // cyclically after (idMix(anchor)+1) % 64
+    def mix(k: Long) = {
+      val s0 = (k & 4294967295L) ^ 123456789L
+      val h1 = ((s0 ^ (s0 >>> 16)) * 73244475L) & 4294967295L
+      val h2 = h1 ^ ((k >> 32) & 4294967295L)
+      val h3 = ((h2 ^ (h2 >>> 16)) * 73244475L) & 4294967295L
+      h3 ^ (h3 >>> 16)
+    }
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    val bmin = ids.groupBy(mix(_) % 64L).map { case (b, xs) => b -> xs.min }
+    rnd.foreach { case (a, c, _, _, _) =>
+      val target = (mix(a) + 1L) % 64L
+      val expect = bmin.minBy { case (b, _) => (b - target + 64L) % 64L }._2
+      assert(c == expect, s"anchor $a partner $c expect $expect")
+    }
+  }
+
   test("leakageSafeSplits: near-dup cluster members always share a split") {
     import graft.operators.Dedup
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
