@@ -2890,4 +2890,81 @@ object CorpusOps {
         (coalesce(expr("ratio_mass div n_grams"), lit(0L))
           >= col("mean_w")).as("keep"))
   }
+
+  /** SFT chat-template rendering with LOSS-MASK spans — the export
+    * step that turns sessionized interaction logs into supervised
+    * fine-tuning rows. Each (user, 30-min-gap session) becomes ONE
+    * training example: the turns are rendered in time order as
+    *
+    *   `<|role|>event_type:value_cents<|end|>` ...
+    *
+    * and the loss mask lists the character spans of the ASSISTANT
+    * turns' content (role tag and end tag excluded) — the spans an
+    * SFT trainer computes loss over, serialized `start-end;start-end`
+    * in turn order, with `loss_chars` their total width.
+    *
+    * Determinism: timestamps stay in the exact µs integer envelope
+    * ([[graft.Tables.eventsNanos]] discipline), values are scaled to
+    * integer cents by one pure-double FLOOR, and every offset is an
+    * exact integer running sum of rendered-fragment lengths, so the
+    * rendered string and mask are bit-identical across engines.
+    *
+    * Scale shape: ONE shuffle on the session partition key (`userCol`).
+    * The sessionize window partitions by user; the offset window's
+    * (user, session) keys are a refinement of that clustering, so
+    * Catalyst inserts only a re-sort, and the final per-session
+    * aggregate is likewise satisfied by the same exchange — asserted
+    * in PlanShapeSpec. Per-group state is one session's fragments
+    * (human-interaction-sized, bounded), never a user's full history.
+    *
+    * @param userRoles event types rendered with the `user` role (loss
+    *   masked OUT); every other type renders as `assistant` (loss ON).
+    */
+  def sftChatRender(events: DataFrame, userCol: String, tsUsCol: String,
+      ordCol: String, typeCol: String, valueCol: String,
+      userRoles: Seq[String], gapUs: Long = 1800L * 1000000L): DataFrame = {
+    val wUser = Window.partitionBy("user_id").orderBy("tsu", "ord")
+    val run = wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = events
+      .select(col(userCol).as("user_id"), col(tsUsCol).as("tsu"),
+        col(ordCol).as("ord"), col(typeCol).as("etype"),
+        floor(col(valueCol) * 100 + lit(0.5)).cast("long").as("cents"))
+      .withColumn("role",
+        when(col("etype").isInCollection(userRoles), "user")
+          .otherwise("assistant"))
+      .withColumn("new_s",
+        when(lag(col("tsu"), 1).over(wUser).isNull ||
+          col("tsu") - lag(col("tsu"), 1).over(wUser) > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_s")).over(run))
+      .withColumn("frag", concat(lit("<|"), col("role"), lit("|>"),
+        col("etype"), lit(":"), col("cents").cast("string"), lit("<|end|>")))
+    val wSess = Window.partitionBy("user_id", "session_id")
+      .orderBy("tsu", "ord")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // assistant-turn content span: [off_end - len(frag) + len("<|assistant|>"),
+    //                               off_end - len("<|end|>"))
+    val spanStart = col("off_end") - length(col("frag")) + lit(13)
+    val spanEnd = col("off_end") - lit(7)
+    sess
+      .withColumn("off_end",
+        sum(length(col("frag")).cast("long")).over(wSess))
+      .groupBy("user_id", "session_id")
+      .agg(
+        concat_ws("", transform(
+          array_sort(collect_list(struct(col("tsu"), col("ord"),
+            col("frag")))),
+          x => x.getField("frag"))).as("rendered"),
+        count(lit(1)).as("n_turns"),
+        sum(when(col("role") === "assistant", 1L).otherwise(0L))
+          .as("n_loss_turns"),
+        concat_ws(";", transform(
+          array_sort(collect_list(when(col("role") === "assistant",
+            struct(col("tsu"), col("ord"),
+              concat(spanStart.cast("string"), lit("-"),
+                spanEnd.cast("string")).as("span"))))),
+          x => x.getField("span"))).as("loss_mask"),
+        coalesce(sum(when(col("role") === "assistant",
+          spanEnd - spanStart)), lit(0L)).as("loss_chars"))
+  }
 }

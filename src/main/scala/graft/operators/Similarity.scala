@@ -1235,4 +1235,78 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "vec_id", "cell", "hamming", "cosine_sim")
   }
+
+  /** Margin-based mutual-nearest-neighbor pair mining — the
+    * ratio-margin criterion of Artetxe & Schwenk (ACL'19, the
+    * LASER / CCMatrix bitext-mining recipe): a cross-side pair
+    * (x ∈ A, y ∈ B) scores
+    *
+    *   margin(x,y) = cos(x,y) / ((avgNNk(x) + avgNNk(y)) / 2)
+    *
+    * where avgNNk is the mean cosine of the vector's k nearest
+    * cross-side neighbors — a pair only counts if it stands OUT of
+    * both local neighborhoods (margin > 1), which suppresses hub
+    * vectors that are everything's neighbor. Kept pairs must be
+    * mutual margin-argmaxes (x's best y AND y's best x).
+    *
+    * Determinism across engines: per-pair cosines are bit-identical
+    * (sequential-fold [[dot]] = the oracle's `list_reduce`), then
+    * immediately scaled to integer cos_x1e6 = FLOOR(cos·1e6 + 0.5)
+    * (pure IEEE double arithmetic, identical in both engines); every
+    * aggregate after that point — the k-NN neighborhood sums — is an
+    * exact BIGINT sum, so margin = (2k·cos_x1e6) / (nnsumA + nnsumB)
+    * is ONE double division of identical longs. No float aggregation
+    * anywhere ([[graft.functions.Det]] discipline, integer envelope).
+    *
+    * Scale shape: the quadratic piece is the cross-side k-NN (two
+    * window ranks over the A×B cosine relation) — at corpus scale
+    * swap THAT stage for [[ivfTopK]] / [[searchIvfPqIndex]]
+    * candidates (the standard CCMatrix build); everything downstream
+    * (neighborhood sums, margin, mutual filter) is candidate-sized:
+    * two map-side-combinable long-sum aggs and two |candidates|
+    * windows. Degenerate neighborhoods (nnsumA + nnsumB <= 0, only
+    * possible when a side's best cosines are anti-correlated) are
+    * not mineable and are excluded before the division.
+    *
+    * Output: (a_id, b_id, cos_x1e6, margin) for mutual-best pairs
+    * with margin > 1.
+    */
+  def marginMutualPairs(emb: DataFrame, idCol: String, vecCol: String,
+      sideCol: Column, k: Int = 4): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val e = transform(col(vecCol), x => x.cast("double"))
+    val v = emb.select(col(idCol).as("id"), e.as("e"), norm(e).as("n"),
+      sideCol.as("side_"))
+    val a = v.filter(col("side_")).select(col("id").as("a_id"),
+      col("e").as("ae"), col("n").as("an"))
+    val b = v.filter(!col("side_")).select(col("id").as("b_id"),
+      col("e").as("be"), col("n").as("bn"))
+    val pairs = a.crossJoin(b)
+      .select(col("a_id"), col("b_id"),
+        floor(dot(col("ae"), col("be")) / (col("an") * col("bn")) * 1000000
+          + lit(0.5)).cast("long").as("cos_i"))
+    val ra = row_number().over(
+      Window.partitionBy("a_id").orderBy(col("cos_i").desc, col("b_id")))
+    val rb = row_number().over(
+      Window.partitionBy("b_id").orderBy(col("cos_i").desc, col("a_id")))
+    val ranked = pairs.withColumn("ra", ra).withColumn("rb", rb)
+    val sa = ranked.filter(col("ra") <= k)
+      .groupBy("a_id").agg(sum("cos_i").as("nnsum_a"))
+    val sb = ranked.filter(col("rb") <= k)
+      .groupBy("b_id").agg(sum("cos_i").as("nnsum_b"))
+    val cand = ranked.filter(col("ra") <= k || col("rb") <= k)
+      .join(sa, "a_id").join(sb, "b_id")
+      .filter(col("nnsum_a") + col("nnsum_b") > 0)
+      .select(col("a_id"), col("b_id"), col("cos_i"),
+        ((lit(2L * k) * col("cos_i")).cast("double") /
+          (col("nnsum_a") + col("nnsum_b")).cast("double")).as("margin"))
+    val ma = row_number().over(
+      Window.partitionBy("a_id").orderBy(col("margin").desc, col("b_id")))
+    val mb = row_number().over(
+      Window.partitionBy("b_id").orderBy(col("margin").desc, col("a_id")))
+    cand.withColumn("ma", ma).withColumn("mb", mb)
+      .filter(col("ma") === 1 && col("mb") === 1 && col("margin") > 1.0)
+      .select(col("a_id"), col("b_id"), col("cos_i").as("cos_x1e6"),
+        col("margin"))
+  }
 }

@@ -1500,6 +1500,32 @@ object TrainingData {
         "text")
       .orderBy("anchor_id", "cand_id", "tier")
 
+  /** Margin-based mutual-kNN pair mining
+    * ([[Similarity.marginMutualPairs]], k = 4): ratio-margin bitext
+    * mining between the even-label and odd-label halves of the
+    * embeddings table — mutual margin-argmax pairs with margin > 1.
+    */
+  def embMarginPairs(spark: SparkSession, dir: String): DataFrame =
+    Similarity.marginMutualPairs(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", col("label") % 2 === 0, k = 4)
+      .orderBy("a_id")
+
+  /** SFT chat-template rendering with loss-mask spans
+    * ([[CorpusOps.sftChatRender]]): each (user, 30-min session) of
+    * the events stream becomes one training example — turns rendered
+    * `<|role|>type:cents<|end|>` in time order, with the character
+    * spans of the assistant turns' content as the loss mask.
+    * view/click are the `user` role; everything else is `assistant`.
+    */
+  def eventsSftRender(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.sftChatRender(
+        Tables.eventsNanos(spark, dir)
+          .select(col("user_id"), expr("ts div 1000").as("tsu"),
+            col("event_id"), col("event_type"), col("value")),
+        "user_id", "tsu", "event_id", "event_type", "value",
+        userRoles = Seq("view", "click"))
+      .orderBy("user_id", "session_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_text_stats" -> docTextStats _,
     "t02_lang_id" -> docLangId _,
@@ -1591,6 +1617,8 @@ object TrainingData {
     "t88_length_batches" -> docLengthBatches _,
     "t89_score_calibration" -> docScoreCalibration _,
     "t90_contrastive_pairs" -> docContrastivePairs _,
+    "t91_margin_pairs" -> embMarginPairs _,
+    "t92_sft_render" -> eventsSftRender _,
   )
 
   /** Shared DuckDB CTE fragment: per-doc word-trigram shingle sets,
@@ -2734,6 +2762,98 @@ object TrainingData {
       // global ROW_NUMBERs over the same (hash, id) / (key, hash, id)
       // orders — the gate proves the bucketed ranking realizes the
       // exact total order it claims
+      // t91: cosines fold sequentially (bit-parity with VecDot), are
+      // scaled to BIGINT immediately, and every aggregate after that
+      // is an exact integer sum — margin is ONE double division of
+      // identical longs in both engines
+      "t91_margin_pairs" ->
+        s"""WITH v AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+           |    label % 2 = 0 AS side
+           |  FROM embeddings
+           |), p AS (
+           |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           |    CAST(FLOOR(${cosSql("a.e", "b.e")} * 1000000 + 0.5)
+           |      AS BIGINT) AS cos_i
+           |  FROM v a JOIN v b ON a.side AND NOT b.side
+           |), r AS (
+           |  SELECT *,
+           |    ROW_NUMBER() OVER (PARTITION BY a_id
+           |      ORDER BY cos_i DESC, b_id) AS ra,
+           |    ROW_NUMBER() OVER (PARTITION BY b_id
+           |      ORDER BY cos_i DESC, a_id) AS rb
+           |  FROM p
+           |), sa AS (
+           |  SELECT a_id, SUM(cos_i) AS nnsum_a FROM r
+           |  WHERE ra <= 4 GROUP BY a_id
+           |), sb AS (
+           |  SELECT b_id, SUM(cos_i) AS nnsum_b FROM r
+           |  WHERE rb <= 4 GROUP BY b_id
+           |), c AS (
+           |  SELECT r.a_id, r.b_id, r.cos_i,
+           |    CAST(8 * r.cos_i AS DOUBLE) /
+           |      CAST(nnsum_a + nnsum_b AS DOUBLE) AS margin
+           |  FROM r JOIN sa ON r.a_id = sa.a_id
+           |    JOIN sb ON r.b_id = sb.b_id
+           |  WHERE (r.ra <= 4 OR r.rb <= 4) AND nnsum_a + nnsum_b > 0
+           |), m AS (
+           |  SELECT *,
+           |    ROW_NUMBER() OVER (PARTITION BY a_id
+           |      ORDER BY margin DESC, b_id) AS ma,
+           |    ROW_NUMBER() OVER (PARTITION BY b_id
+           |      ORDER BY margin DESC, a_id) AS mb
+           |  FROM c
+           |)
+           |SELECT a_id, b_id, cos_i AS cos_x1e6, margin FROM m
+           |WHERE ma = 1 AND mb = 1 AND margin > 1.0
+           |ORDER BY a_id""".stripMargin,
+      // t92: timestamps stay exact integer µs, values scale to integer
+      // cents by one pure-double FLOOR, offsets are exact integer
+      // running sums of fragment lengths — rendered string and mask
+      // are bit-identical across engines
+      "t92_sft_render" ->
+        """WITH e AS (
+          |  SELECT user_id, event_id, epoch_us(ts) AS tsu, event_type,
+          |    CASE WHEN event_type IN ('view', 'click') THEN 'user'
+          |         ELSE 'assistant' END AS role,
+          |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+          |  FROM events
+          |), s AS (
+          |  SELECT *,
+          |    CASE WHEN LAG(tsu) OVER w IS NULL
+          |           OR tsu - LAG(tsu) OVER w > 1800000000
+          |         THEN 1 ELSE 0 END AS new_s
+          |  FROM e
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+          |), sid AS (
+          |  SELECT *,
+          |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS session_id,
+          |    '<|' || role || '|>' || event_type || ':' ||
+          |      CAST(cents AS VARCHAR) || '<|end|>' AS frag
+          |  FROM s
+          |), o AS (
+          |  SELECT *,
+          |    SUM(CAST(LENGTH(frag) AS BIGINT)) OVER (
+          |      PARTITION BY user_id, session_id ORDER BY tsu, event_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS off_end
+          |  FROM sid
+          |)
+          |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+          |  string_agg(frag, '' ORDER BY tsu, event_id) AS rendered,
+          |  COUNT(*) AS n_turns,
+          |  CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_loss_turns,
+          |  COALESCE(string_agg(CASE WHEN role = 'assistant' THEN
+          |      CAST(off_end - LENGTH(frag) + 13 AS VARCHAR) || '-' ||
+          |      CAST(off_end - 7 AS VARCHAR) END,
+          |    ';' ORDER BY tsu, event_id), '') AS loss_mask,
+          |  CAST(COALESCE(SUM(CASE WHEN role = 'assistant'
+          |    THEN LENGTH(frag) - 20 END), 0) AS BIGINT) AS loss_chars
+          |FROM o
+          |GROUP BY 1, 2
+          |ORDER BY user_id, session_id""".stripMargin,
       // t90: full LSH replay UNTHRESHOLDED (threshold 0.0 keeps the
       // whole verified candidate set); cand pairs sharing zero grams
       // (band-key hash collisions) surface via the LEFT JOIN as

@@ -173,6 +173,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges:\n${plan.take(1200)}")
   }
 
+  test("t92: SFT render plans ONE per-user shuffle for both windows and the agg") {
+    // sessionize window keys on user_id; the offset window and the
+    // per-session aggregate key on (user_id, session_id) — a
+    // REFINEMENT of that clustering, so EnsureRequirements must add
+    // only re-sorts, never a second hash exchange. A second exchange
+    // here means the 100 TB event log shuffles twice.
+    import org.apache.spark.sql.functions._
+    val ev = Tables.eventsNanos(spark, dir)
+      .select(col("user_id"), expr("ts div 1000").as("tsu"),
+        col("event_id"), col("event_type"), col("value"))
+    val plan = operators.CorpusOps.sftChatRender(ev, "user_id", "tsu",
+        "event_id", "event_type", "value", Seq("view", "click"))
+      .queryExecution.executedPlan.toString
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 1,
+      s"expected 1 hash exchange, got $hashExchanges:\n${plan.take(1200)}")
+    assert(!plan.contains("Exchange SinglePartition"),
+      "render collapsed to a single partition")
+  }
+
   test("q32: blocked fuzzy join is an equi-join on the block key, no cross product") {
     val plan = planOf(queries.RelationalExt.q32(spark, dir))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),

@@ -179,6 +179,58 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(topk.groupBy("vec_id").count().filter(col("count") =!= 3).count() == 0)
   }
 
+  test("margin mining: mutual 1:1 matching, margin>1, planted twin wins") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, dir)
+    val mined = graft.queries.TrainingData.embMarginPairs(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(mined.nonEmpty)
+    // mutual-best is a partial 1:1 matching — no id repeats either side
+    assert(mined.map(_._1).distinct.length == mined.length)
+    assert(mined.map(_._2).distinct.length == mined.length)
+    assert(mined.forall(_._4 > 1.0))
+    val lab = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(mined.forall(p => lab(p._1) % 2 == 0 && lab(p._2) % 2 == 1))
+    // planted cross-side twin: copy an even-label vector onto the odd
+    // side — its exact cosine 1.0 dominates both neighborhoods, so the
+    // twin pair must be mined (twin id -1 also wins any margin tie)
+    val src = emb.filter(col("label") % 2 === 0).limit(1)
+    val twin = src.withColumn("vec_id", lit(-1L)).withColumn("label", lit(1))
+    val srcId = src.select("vec_id").collect()(0).getLong(0)
+    val got = Similarity.marginMutualPairs(emb.union(twin), "vec_id",
+        "embedding", col("label") % 2 === 0, k = 4)
+      .filter(col("a_id") === srcId).collect()
+    assert(got.length == 1 && got(0).getLong(1) == -1L)
+    assert(got(0).getLong(2) == 1000000L)
+  }
+
+  test("SFT render: masks point at assistant content, turns conserve") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.TrainingData.eventsSftRender(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val totalEvents = Tables.events(spark, dir).count()
+    assert(rows.map(_.getLong(3)).sum == totalEvents) // n_turns conserve
+    rows.foreach { r =>
+      val rendered = r.getString(2)
+      val mask = r.getString(5)
+      val spans =
+        if (mask.isEmpty) Array.empty[(Int, Int)]
+        else mask.split(";").map { s =>
+          val Array(a, b) = s.split("-"); (a.toInt, b.toInt)
+        }
+      assert(spans.length == r.getLong(4)) // n_loss_turns
+      assert(spans.map(p => p._2 - p._1).sum == r.getLong(6)) // loss_chars
+      spans.foreach { case (s, e) =>
+        // every span is bracketed by the assistant role tag and <|end|>
+        assert(rendered.substring(s - 13, s) == "<|assistant|>")
+        assert(rendered.substring(e, e + 7) == "<|end|>")
+        assert(!rendered.substring(s, e).contains("|"))
+      }
+    }
+  }
+
   test("LSH ANN buckets have positive recall vs brute force") {
     val emb = Tables.embeddings(spark, dir)
     import org.apache.spark.sql.functions._
