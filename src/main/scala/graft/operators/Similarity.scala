@@ -1272,7 +1272,20 @@ object Similarity {
     * with margin > 1.
     */
   def marginMutualPairs(emb: DataFrame, idCol: String, vecCol: String,
-      sideCol: Column, k: Int = 4): DataFrame = {
+      sideCol: Column, k: Int = 4): DataFrame =
+    marginPairsFromCandidates(
+      marginCandidates(emb, idCol, vecCol, sideCol, k), k)
+
+  /** The candidate stage of [[marginMutualPairs]]: the exact
+    * cross-side k-NN relation — one row per (a_id, b_id) pair ranked
+    * within the top k of EITHER side's neighborhood, with the
+    * integer-scaled cosine and both ranks. This is the quadratic
+    * stage; at corpus scale generate candidates with [[ivfTopK]] /
+    * [[searchIvfPqIndex]] instead and feed them to
+    * [[marginPairsFromCandidates]] (same columns).
+    */
+  def marginCandidates(emb: DataFrame, idCol: String, vecCol: String,
+      sideCol: Column, k: Int): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
     val e = transform(col(vecCol), x => x.cast("double"))
     val v = emb.select(col(idCol).as("id"), e.as("e"), norm(e).as("n"),
@@ -1289,12 +1302,26 @@ object Similarity {
       Window.partitionBy("a_id").orderBy(col("cos_i").desc, col("b_id")))
     val rb = row_number().over(
       Window.partitionBy("b_id").orderBy(col("cos_i").desc, col("a_id")))
-    val ranked = pairs.withColumn("ra", ra).withColumn("rb", rb)
-    val sa = ranked.filter(col("ra") <= k)
+    pairs.withColumn("ra", ra).withColumn("rb", rb)
+      .filter(col("ra") <= k || col("rb") <= k)
+  }
+
+  /** Margin scoring + mutual-argmax filter over a candidate relation
+    * (columns a_id, b_id, cos_i, ra, rb — see [[marginCandidates]]).
+    * The candidates are localCheckpoint-pinned first: the relation has
+    * THREE consumers (both neighborhood sums and the per-pair join),
+    * and without the pin each consumer pushes its own filter into the
+    * lineage, defeating exchange reuse and re-running the candidate
+    * generator — the expensive stage — three times. The pinned set is
+    * candidate-sized (≤ 2k rows per vector), never all-pairs.
+    */
+  def marginPairsFromCandidates(candidates: DataFrame, k: Int): DataFrame = {
+    val cand0 = candidates.localCheckpoint()
+    val sa = cand0.filter(col("ra") <= k)
       .groupBy("a_id").agg(sum("cos_i").as("nnsum_a"))
-    val sb = ranked.filter(col("rb") <= k)
+    val sb = cand0.filter(col("rb") <= k)
       .groupBy("b_id").agg(sum("cos_i").as("nnsum_b"))
-    val cand = ranked.filter(col("ra") <= k || col("rb") <= k)
+    val cand = cand0
       .join(sa, "a_id").join(sb, "b_id")
       .filter(col("nnsum_a") + col("nnsum_b") > 0)
       .select(col("a_id"), col("b_id"), col("cos_i"),

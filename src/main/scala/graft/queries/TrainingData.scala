@@ -388,7 +388,7 @@ object TrainingData {
     * the keep threshold and both verdicts occur at every SF. The
     * identical list is interpolated into the oracle SQL.
     */
-  private val ClassifierWeights: Seq[Long] =
+  private[graft] val ClassifierWeights: Seq[Long] =
     (0 until 64).map(i => ((i.toLong * 2654435761L + 7L) % 11L) - 5L)
 
   /** Hashed-feature linear classifier inference

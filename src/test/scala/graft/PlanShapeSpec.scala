@@ -193,6 +193,100 @@ class PlanShapeSpec extends AnyFunSuite {
       "render collapsed to a single partition")
   }
 
+  test("t86: priority sample is a bounded top-k heap, never a corpus sort") {
+    // the global top-(k+1) must plan as TakeOrderedAndProject (a
+    // per-partition heap merged on the driver); an Exchange
+    // rangepartitioning here would be a full sort of the 100 TB corpus
+    val plan = operators.CorpusOps.prioritySample(
+        Tables.documents(spark, dir), "doc_id", "n_chars", 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k lost its heap plan:\n${plan.take(1200)}")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      "priority sample degraded to a global sort")
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      "tau must join the sample by broadcast")
+  }
+
+  test("t87/t88: shard-keyed packing plans reuse ONE hash exchange") {
+    // packingReport: the audit agg groups on the same shard key the
+    // packing window hash-distributed; lengthBucketBatches: the
+    // per-(shard, batch) max window refines the rank window's shard
+    // clustering — in both, a second hash exchange means the corpus
+    // shuffles twice
+    val docs = Tables.documents(spark, dir)
+    val t87 = operators.CorpusOps.packingReport(docs, "doc_id", "text",
+        budget = 512, shards = 8)
+      .queryExecution.executedPlan.toString
+    val t88 = operators.CorpusOps.lengthBucketBatches(docs, "doc_id",
+        "text", batchSize = 32, shards = 8)
+      .queryExecution.executedPlan.toString
+    for ((name, plan) <- Seq("t87" -> t87, "t88" -> t88)) {
+      val n = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(n == 1, s"$name: expected 1 hash exchange, got $n:\n${plan.take(1200)}")
+      assert(!plan.contains("Exchange SinglePartition"),
+        s"$name collapsed to a single partition")
+    }
+  }
+
+  test("t89: calibration's global window runs on the histogram, not the corpus") {
+    // the corpus-scale side must combine map-side (partial aggregates
+    // before its exchange); the one single-partition window is fed by
+    // the score histogram — |distinct scores| rows, not |docs|
+    val plan = operators.CorpusOps.scoreCalibrationReport(
+        Tables.documents(spark, dir), "doc_id", "text",
+        queries.TrainingData.ClassifierWeights,
+        org.apache.spark.sql.functions.col("lang") === "en", bins = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"corpus aggregation lost its map-side combine:\n${plan.take(1200)}")
+    // exactly two single-partition stages, BOTH |distinct scores|-sized:
+    // the grand-total aggregate and the cumulative-count window — more
+    // would mean corpus-scale data reached a single reducer
+    val single = "Exchange SinglePartition".r.findAllIn(plan).size
+    assert(single == 2, s"expected 2 histogram-sized single-partition exchanges, got $single")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("t90: contrastive mining stays on band-key equi-joins, no cross product") {
+    val plan = operators.Dedup.contrastivePairs(
+        Tables.documents(spark, dir), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"pair mining degraded to all-pairs:\n${plan.take(1200)}")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), "lost the band/bucket equi-joins")
+  }
+
+  test("t91: margin mining has exactly ONE quadratic stage; the rest is candidate-sized") {
+    // the cross-side kNN is the documented brute-force stage (swapped
+    // for IVF candidates at corpus scale); neighborhood sums, margin,
+    // and the mutual filter must all run as hash aggs / windows /
+    // equi-joins over the candidate set — a second all-pairs join
+    // means a downstream stage re-derived the cosine relation
+    val side = org.apache.spark.sql.functions.col("label") % 2 === 0
+    val candPlan = operators.Similarity.marginCandidates(
+        Tables.embeddings(spark, dir), "vec_id", "embedding", side, k = 4)
+      .queryExecution.executedPlan.toString
+    val allPairs = ("CartesianProduct".r.findAllIn(candPlan).size
+      + "BroadcastNestedLoopJoin".r.findAllIn(candPlan).size)
+    assert(allPairs == 1,
+      s"expected exactly one all-pairs stage, got $allPairs:\n${candPlan.take(1200)}")
+    // downstream of the pinned candidates: hash aggs + id equi-joins
+    // only — a second all-pairs join here means a consumer re-derived
+    // the cosine relation instead of reading the checkpoint
+    val plan = operators.Similarity.marginMutualPairs(
+        Tables.embeddings(spark, dir), "vec_id", "embedding", side, k = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"a post-candidate stage re-ran the quadratic join:\n${plan.take(1200)}")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      "neighborhood sums lost their id equi-joins")
+  }
+
   test("q32: blocked fuzzy join is an equi-join on the block key, no cross product") {
     val plan = planOf(queries.RelationalExt.q32(spark, dir))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
