@@ -981,6 +981,114 @@ object CorpusOps {
       .withColumn("pos_ppm", expr("(n_pos * 1000000) div n_docs"))
   }
 
+  /** Preference-pair export (DPO / reward-model training data): per
+    * group, rank items by (score DESC, id) and pair the i-th best
+    * with the i-th worst — pair_no = i — keeping pairs whose score
+    * gap is at least `minGap`. The classic construction for turning a
+    * pointwise quality score into pairwise preferences with maximal
+    * separation; an odd group's middle row pairs with itself and is
+    * excluded, as is everything beyond `maxPairs` per group.
+    *
+    * Scale shape: ONE shuffle. Both sides of a pair are recovered
+    * WITHOUT a self-join: each row knows its pair index
+    * (least(rank, n+1-rank)) and side (rank == pair index), so the
+    * pair assembles as a two-row groupBy on (group, pair_no) — a
+    * refinement of the ranking window's partition keys, satisfied by
+    * the same exchange. A rank self-join here would re-derive the
+    * scored relation per side (the exchange-reuse hazard) and shuffle
+    * the corpus twice.
+    */
+  def preferencePairs(scored: DataFrame, idCol: String, scoreCol: String,
+      groupCols: Seq[String], maxPairs: Int, minGap: Long): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one grouping column")
+    require(maxPairs > 0, s"maxPairs must be positive, got $maxPairs")
+    val g = groupCols.map(col)
+    val w = Window.partitionBy(g: _*)
+      .orderBy(col("score_").desc, col("id_"))
+    val wn = Window.partitionBy(g: _*)
+    scored
+      .select(g ++ Seq(col(idCol).as("id_"), col(scoreCol).as("score_")): _*)
+      .withColumn("rb", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wn))
+      .withColumn("pair_no", least(col("rb"), col("n") + lit(1L) - col("rb")))
+      .filter(col("pair_no") <= lit(maxPairs.toLong) &&
+        col("pair_no") <= expr("n div 2"))
+      .withColumn("is_chosen", col("rb") === col("pair_no"))
+      .groupBy(g :+ col("pair_no"): _*)
+      .agg(
+        min(when(col("is_chosen"), col("id_"))).as("chosen_id"),
+        min(when(!col("is_chosen"), col("id_"))).as("rejected_id"),
+        min(when(col("is_chosen"), col("score_"))).as("chosen_score"),
+        min(when(!col("is_chosen"), col("score_"))).as("rejected_score"))
+      .withColumn("gap", col("chosen_score") - col("rejected_score"))
+      .filter(col("gap") >= minGap)
+  }
+
+  /** Tokenizer fertility / compression report per group — the
+    * go/no-go read on a tokenizer before committing a training run:
+    * per (e.g. lang, source) stratum, the whitespace word count, the
+    * REAL BPE token count ([[graft.functions.Bpe]], the frozen merge
+    * table), the character count, and two integer-ppm ratios —
+    * fertility (BPE tokens per word; high fertility on a language
+    * means the tokenizer fragments it and the model pays more compute
+    * per sentence) and compression (chars per BPE token).
+    *
+    * Scale shape: the BPE count is a codegen'd map-only expression;
+    * the report is ONE map-side-combinable aggregation on the group
+    * keys (4 longs of state per group), so the corpus is read once
+    * and the shuffle carries |groups| rows.
+    */
+  def tokenizerFertility(docs: DataFrame, textCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one grouping column")
+    GraftFunctions.register(docs.sparkSession)
+    val g = groupCols.map(col)
+    docs.select(g ++ Seq(
+        TextFunctions.nTokens(col(textCol)).as("words"),
+        GraftFunctions.bpeTokenCount(textCol).as("bpe"),
+        length(col(textCol)).cast("long").as("chars")): _*)
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum("words").as("total_words"),
+        sum("bpe").as("total_bpe_tokens"),
+        sum("chars").as("total_chars"))
+      .withColumn("fertility_ppm",
+        expr("(total_bpe_tokens * 1000000) div greatest(total_words, 1)"))
+      .withColumn("chars_per_token_ppm",
+        expr("(total_chars * 1000000) div greatest(total_bpe_tokens, 1)"))
+  }
+
+  /** Per-group percentile normalization of a quality score — the step
+    * that makes ONE pruning threshold meaningful across heterogeneous
+    * sources: a raw classifier score of 0 can be the 90th percentile
+    * of a clean source and the 10th of a noisy one, so per-source
+    * percentile rank (not the raw score) is what a cross-source
+    * filter compares. Ties share a percentile (RANK, not row_number —
+    * no id tie-break enters the arithmetic); pctl_ppm =
+    * (rank-1)·10⁶ div (n-1), with a single-row group pinned to 0.
+    *
+    * Scale shape: one window exchange on the group keys; everything
+    * after is per-row arithmetic. Group cardinality is per-source
+    * corpus size — at 100 TB partition the window input by source
+    * shard if a single source dominates (same key refinement the
+    * packing ops use).
+    */
+  def scorePercentiles(scored: DataFrame, idCol: String, scoreCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one grouping column")
+    val g = groupCols.map(col)
+    val w = Window.partitionBy(g: _*).orderBy(col(scoreCol))
+    val wn = Window.partitionBy(g: _*)
+    scored
+      .select(g ++ Seq(col(idCol), col(scoreCol)): _*)
+      .withColumn("rk", rank().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wn))
+      .withColumn("pctl_ppm",
+        when(col("n") > 1, expr("((rk - 1) * 1000000) div (n - 1)"))
+          .otherwise(lit(0L)))
+      .drop("rk", "n")
+  }
+
   // ---------------------------------------------------------------
   // Deterministic stratified sampling
   // ---------------------------------------------------------------

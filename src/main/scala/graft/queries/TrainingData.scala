@@ -1526,6 +1526,47 @@ object TrainingData {
         userRoles = Seq("view", "click"))
       .orderBy("user_id", "session_id")
 
+  /** Preference-pair export ([[CorpusOps.preferencePairs]], t45's
+    * frozen classifier score, groups = (lang, source), 8 pairs per
+    * group, gap ≥ 1): the i-th best vs i-th worst scored document of
+    * each stratum — DPO / reward-model training pairs.
+    */
+  def docPreferencePairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scored = CorpusOps.hashedLinearScore(docs, "doc_id", "text",
+        ClassifierWeights, bias = 0L, threshold = 0L)
+      .select("doc_id", "score")
+      .join(docs.select("doc_id", "lang", "source"), "doc_id")
+    CorpusOps.preferencePairs(scored, "doc_id", "score",
+        Seq("lang", "source"), maxPairs = 8, minGap = 1L)
+      .orderBy("lang", "source", "pair_no")
+  }
+
+  /** Tokenizer fertility report ([[CorpusOps.tokenizerFertility]],
+    * the frozen [[graft.functions.Bpe]] merge table, groups =
+    * (lang, source)): words, real BPE tokens, chars, and the
+    * fertility / compression ppm ratios per stratum.
+    */
+  def docTokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.tokenizerFertility(Tables.documents(spark, dir), "text",
+        Seq("lang", "source"))
+      .orderBy("lang", "source")
+
+  /** Per-source score percentiles ([[CorpusOps.scorePercentiles]],
+    * t45's frozen classifier score, groups = source): the
+    * cross-source-comparable quality rank each document's raw score
+    * maps to within its own source.
+    */
+  def docScorePercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scored = CorpusOps.hashedLinearScore(docs, "doc_id", "text",
+        ClassifierWeights, bias = 0L, threshold = 0L)
+      .select("doc_id", "score")
+      .join(docs.select("doc_id", "source"), "doc_id")
+    CorpusOps.scorePercentiles(scored, "doc_id", "score", Seq("source"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_text_stats" -> docTextStats _,
     "t02_lang_id" -> docLangId _,
@@ -1619,7 +1660,28 @@ object TrainingData {
     "t90_contrastive_pairs" -> docContrastivePairs _,
     "t91_margin_pairs" -> embMarginPairs _,
     "t92_sft_render" -> eventsSftRender _,
+    "t93_preference_pairs" -> docPreferencePairs _,
+    "t94_tokenizer_fertility" -> docTokenizerFertility _,
+    "t95_score_percentiles" -> docScorePercentiles _,
   )
+
+  /** Shared DuckDB SELECT replaying [[CorpusOps.hashedLinearScore]]
+    * with t45's frozen weights, carrying (doc_id, lang, source,
+    * score) — the scored relation t93/t95 rank over.
+    */
+  private def classifierScoredSql: String = {
+    val wl = ClassifierWeights.mkString("[", ", ", "]")
+    val f = ClassifierWeights.length
+    s"""SELECT doc_id, lang, source,
+       |    0 + list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(${TextFunctions.Sql.tokens("text")},
+       |        t -> list_extract($wl,
+       |          CAST((CASE WHEN t = '' THEN 0
+       |                ELSE ${TextFunctions.Sql.polyHash("t")} END)
+       |            % $f AS INT) + 1))),
+       |      (a, b) -> a + b) AS score
+       |  FROM documents""".stripMargin
+  }
 
   /** Shared DuckDB CTE fragment: per-doc word-trigram shingle sets,
     * sizes, and exact Jaccard pairs >= `threshold` (CTE `jac`) —
@@ -2854,6 +2916,74 @@ object TrainingData {
           |FROM o
           |GROUP BY 1, 2
           |ORDER BY user_id, session_id""".stripMargin,
+      // t93: both sides of a pair recovered by the pair-index trick
+      // (no self-join) — the oracle replays rank, n, pair_no, side,
+      // and the two-row group collapse in exact BIGINT
+      "t93_preference_pairs" ->
+        s"""WITH scored AS (
+           |  $classifierScoredSql
+           |), r AS (
+           |  SELECT *,
+           |    ROW_NUMBER() OVER (PARTITION BY lang, source
+           |      ORDER BY score DESC, doc_id) AS rb,
+           |    COUNT(*) OVER (PARTITION BY lang, source) AS n
+           |  FROM scored
+           |), p AS (
+           |  SELECT lang, source, doc_id, score,
+           |    LEAST(rb, n + 1 - rb) AS pair_no,
+           |    rb = LEAST(rb, n + 1 - rb) AS is_chosen
+           |  FROM r
+           |  WHERE LEAST(rb, n + 1 - rb) <= 8
+           |    AND LEAST(rb, n + 1 - rb) <= n // 2
+           |)
+           |SELECT lang, source, CAST(pair_no AS BIGINT) AS pair_no,
+           |  MIN(CASE WHEN is_chosen THEN doc_id END) AS chosen_id,
+           |  MIN(CASE WHEN NOT is_chosen THEN doc_id END) AS rejected_id,
+           |  MIN(CASE WHEN is_chosen THEN score END) AS chosen_score,
+           |  MIN(CASE WHEN NOT is_chosen THEN score END) AS rejected_score,
+           |  MIN(CASE WHEN is_chosen THEN score END)
+           |    - MIN(CASE WHEN NOT is_chosen THEN score END) AS gap
+           |FROM p GROUP BY 1, 2, 3
+           |HAVING MIN(CASE WHEN is_chosen THEN score END)
+           |  - MIN(CASE WHEN NOT is_chosen THEN score END) >= 1
+           |ORDER BY lang, source, pair_no""".stripMargin,
+      // t94: the BPE side replays the full frozen merge loop (the t15
+      // oracle) as a subquery; every ratio is integer ppm arithmetic
+      // over exact BIGINT sums
+      "t94_tokenizer_fertility" -> {
+        val words = TextFunctions.Sql.nTokens("d.text")
+        // the BPE subquery contains ||-concat at line starts — splice
+        // it AFTER stripMargin or the margin strip eats one pipe
+        s"""SELECT d.lang, d.source, COUNT(*) AS n_docs,
+           |  CAST(SUM($words) AS BIGINT) AS total_words,
+           |  CAST(SUM(b.n_bpe_real) AS BIGINT) AS total_bpe_tokens,
+           |  CAST(SUM(length(d.text)) AS BIGINT) AS total_chars,
+           |  (CAST(SUM(b.n_bpe_real) AS BIGINT) * 1000000)
+           |    // GREATEST(CAST(SUM($words) AS BIGINT), 1) AS fertility_ppm,
+           |  (CAST(SUM(length(d.text)) AS BIGINT) * 1000000)
+           |    // GREATEST(CAST(SUM(b.n_bpe_real) AS BIGINT), 1)
+           |    AS chars_per_token_ppm
+           |FROM documents d JOIN (__BPE_SUBQUERY__) b ON d.doc_id = b.doc_id
+           |GROUP BY 1, 2
+           |ORDER BY d.lang, d.source""".stripMargin
+          .replace("__BPE_SUBQUERY__",
+            graft.functions.Bpe.oracleSql("documents"))
+      },
+      // t95: RANK (ties share a percentile) + integer div — no float
+      // enters the percentile arithmetic
+      "t95_score_percentiles" ->
+        s"""WITH scored AS (
+           |  $classifierScoredSql
+           |), r AS (
+           |  SELECT source, doc_id, score,
+           |    RANK() OVER (PARTITION BY source ORDER BY score) AS rk,
+           |    COUNT(*) OVER (PARTITION BY source) AS n
+           |  FROM scored
+           |)
+           |SELECT source, doc_id, score,
+           |  CAST(CASE WHEN n > 1 THEN ((rk - 1) * 1000000) // (n - 1)
+           |       ELSE 0 END AS BIGINT) AS pctl_ppm
+           |FROM r ORDER BY doc_id""".stripMargin,
       // t90: full LSH replay UNTHRESHOLDED (threshold 0.0 keeps the
       // whole verified candidate set); cand pairs sharing zero grams
       // (band-key hash collisions) surface via the LEFT JOIN as

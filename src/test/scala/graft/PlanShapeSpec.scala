@@ -287,6 +287,52 @@ class PlanShapeSpec extends AnyFunSuite {
       "neighborhood sums lost their id equi-joins")
   }
 
+  test("t93: preference pairs assemble without a self-join — one group shuffle") {
+    // pair sides are recovered by the pair-index trick; a rank
+    // self-join would shuffle the scored corpus twice and re-derive
+    // the scoring lineage per side
+    val docs = Tables.documents(spark, dir)
+    val plan = operators.CorpusOps.preferencePairs(
+        docs.select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("n_chars").as("score"),
+          org.apache.spark.sql.functions.col("lang"),
+          org.apache.spark.sql.functions.col("source")),
+        "doc_id", "score", Seq("lang", "source"), maxPairs = 8, minGap = 1L)
+      .queryExecution.executedPlan.toString
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 1,
+      s"expected 1 hash exchange, got $hashExchanges:\n${plan.take(1200)}")
+    assert(!plan.contains("Join"), "pair assembly degraded to a self-join")
+  }
+
+  test("t94: fertility report is one map-side-combined aggregation") {
+    val plan = operators.CorpusOps.tokenizerFertility(
+        Tables.documents(spark, dir), "text", Seq("lang", "source"))
+      .queryExecution.executedPlan.toString
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 1,
+      s"expected 1 hash exchange, got $hashExchanges:\n${plan.take(1200)}")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      "BPE counting must combine map-side — the shuffle carries group rows only")
+    assert(!plan.contains("Window"), "report gained an unexpected window sort")
+  }
+
+  test("t95: percentile normalization is one per-source window, no corpus sort") {
+    val docs = Tables.documents(spark, dir)
+    val plan = operators.CorpusOps.scorePercentiles(
+        docs.select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("n_chars").as("score"),
+          org.apache.spark.sql.functions.col("source")),
+        "doc_id", "score", Seq("source"))
+      .queryExecution.executedPlan.toString
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 1,
+      s"expected 1 hash exchange, got $hashExchanges:\n${plan.take(1200)}")
+    assert(!plan.contains("Exchange rangepartitioning") &&
+      !plan.contains("Exchange SinglePartition"),
+      "percentiles degraded to a global sort")
+  }
+
   test("q32: blocked fuzzy join is an equi-join on the block key, no cross product") {
     val plan = planOf(queries.RelationalExt.q32(spark, dir))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),

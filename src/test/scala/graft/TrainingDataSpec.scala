@@ -231,6 +231,62 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("preference pairs: disjoint sides, positive gap, capped per group") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.TrainingData.docPreferencePairs(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(7) == r.getLong(5) - r.getLong(6)) // gap = chosen - rejected
+      assert(r.getLong(7) >= 1L)                          // gap >= minGap
+      assert(r.getLong(3) != r.getLong(4))                // chosen != rejected
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= 8)
+    }
+    // within a group no document appears twice (any side)
+    rows.groupBy(r => (r.getString(0), r.getString(1))).foreach {
+      case (_, g) =>
+        val ids = g.flatMap(r => Seq(r.getLong(3), r.getLong(4)))
+        assert(ids.distinct.length == ids.length)
+    }
+  }
+
+  test("fertility report: ppm ratios replay from the group sums") {
+    val rows = graft.queries.TrainingData.docTokenizerFertility(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (words, bpe, chars) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(r.getLong(6) == bpe * 1000000L / math.max(words, 1L))
+      assert(r.getLong(7) == chars * 1000000L / math.max(bpe, 1L))
+      // the BPE pre-tokenizer never splits below characters: tokens
+      // bounded by chars, and merges only shrink word-piece counts
+      assert(bpe <= chars && bpe >= words)
+    }
+  }
+
+  test("score percentiles: 0..1e6 per source, monotone in score, ties shared") {
+    val rows = graft.queries.TrainingData.docScorePercentiles(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.map(_._4).min == 0L)
+      // the top percentile is 1e6 exactly when the max score is untied
+      // (a tied top shares the tie-group's first rank, below n)
+      val topScore = g.map(_._3).max
+      if (g.count(_._3 == topScore) == 1 && g.length > 1)
+        assert(g.map(_._4).max == 1000000L)
+      else assert(g.map(_._4).max <= 1000000L)
+      val byScore = g.sortBy(x => (x._3, x._2))
+      byScore.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 <= b._4)
+          if (a._3 == b._3) assert(a._4 == b._4) // ties share the pctl
+        case _ =>
+      }
+    }
+  }
+
   test("LSH ANN buckets have positive recall vs brute force") {
     val emb = Tables.embeddings(spark, dir)
     import org.apache.spark.sql.functions._
