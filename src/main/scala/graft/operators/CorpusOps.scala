@@ -1929,6 +1929,95 @@ object CorpusOps {
         col("mean_prob_scaled").cast("double") / lit(Scale.toDouble))
   }
 
+  /** Trigram stupid-backoff LM score (Brants et al., EMNLP'07 —
+    * "Large Language Models in Machine Translation") — the top rung
+    * of the cheap-perplexity ladder and the shape of the actual CCNet
+    * filter: the model trains on a REFERENCE sub-corpus (`refFilter`,
+    * e.g. the clean in-language slice) and scores EVERY document, so
+    * unseen n-grams genuinely back off. Per trigram position
+    * (w1 w2 w3):
+    *
+    *   S = c(w1w2w3)/c(w1w2)          seen trigram
+    *     = 0.4 · c(w2w3)/c(w2)        else seen bigram
+    *     = 0.16 · c(w3)/N             else seen unigram
+    *     = 0                          out-of-vocabulary
+    *
+    * with the canonical α = 0.4 kept EXACT as the rational 2/5
+    * (0.16 = 4/25): each branch is one int64 floor-division —
+    * (Scale·c3) div c12, (2·Scale·c23) div (5·c(w2)),
+    * (4·Scale·c(w3)) div (25·N) — no float enters until the final
+    * display division, so the oracle replays scores bit-for-bit.
+    * A seen trigram implies its head bigram is seen (c12 ≥ c3 > 0),
+    * so no branch divides by zero or null.
+    *
+    * Scale shape: the three reference count tables are skinny
+    * gram-keyed aggregations (bi/uni are barrier-pinned — each has
+    * TWO join consumers and would otherwise re-tokenize the reference
+    * per consumer); the scoring stream joins (doc, trigram, occ) rows
+    * against them on gram keys only — text never shuffles; the 1-row
+    * token total broadcasts. Bound: Scale·(c+1) must stay below 2⁶³,
+    * i.e. no single reference n-gram beyond ~4.6e9 occurrences at
+    * Scale = 1e9 (α doubles the factor) — lower Scale for larger
+    * reference corpora, as in [[bigramMeanProb]].
+    */
+  def trigramBackoffScore(docs: DataFrame, idCol: String, textCol: String,
+      refFilter: Column): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val Scale = 1000000000L
+    val ids = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.nTokens(col(textCol)).as("n_tokens"))
+    val ref = docs.filter(refFilter)
+    val tri = ref.select(
+        explode(multisetGrams(TextFunctions.tokens(col(textCol)), 3)).as("g3"))
+      .groupBy("g3").agg(count(lit(1)).as("c3"))
+    val bi = Dedup.barrier(ref.select(
+        explode(multisetGrams(TextFunctions.tokens(col(textCol)), 2)).as("g2"))
+      .groupBy("g2").agg(count(lit(1)).as("c2")), col("g2"))
+    val uni = Dedup.barrier(ref.select(
+        explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1")), col("w"))
+    val totals = uni.agg(sum("c1").as("n_total"))
+    val dg = docs.select(col(idCol).as("doc_id"),
+        explode(multisetGrams(TextFunctions.tokens(col(textCol)), 3)).as("g3"))
+      .groupBy("doc_id", "g3").agg(count(lit(1)).as("occ"))
+      .withColumn("ws", split(col("g3"), " "))
+      .withColumn("w12", concat_ws(" ",
+        col("ws").getItem(0), col("ws").getItem(1)))
+      .withColumn("w23", concat_ws(" ",
+        col("ws").getItem(1), col("ws").getItem(2)))
+      .withColumn("w2", col("ws").getItem(1))
+      .withColumn("w3", col("ws").getItem(2))
+      .drop("ws")
+    val parts = dg
+      .join(tri, Seq("g3"), "left")
+      .join(bi.select(col("g2").as("w12"), col("c2").as("c12")),
+        Seq("w12"), "left")
+      .join(bi.select(col("g2").as("w23"), col("c2").as("c23")),
+        Seq("w23"), "left")
+      .join(uni.select(col("w").as("w2"), col("c1").as("cw2")),
+        Seq("w2"), "left")
+      .join(uni.select(col("w").as("w3"), col("c1").as("cw3")),
+        Seq("w3"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), (col("occ") *
+        when(col("c3").isNotNull, expr(s"(${Scale}L * c3) div c12"))
+          .when(col("c23").isNotNull,
+            expr(s"(${2 * Scale}L * c23) div (5 * cw2)"))
+          .when(col("cw3").isNotNull,
+            expr(s"(${4 * Scale}L * cw3) div (25 * n_total)"))
+          .otherwise(lit(0L))).as("part"))
+      .groupBy("doc_id").agg(sum("part").as("sum_scaled"))
+    ids.join(parts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        greatest(col("n_tokens") - 2L, lit(0L)).as("n_trigrams"),
+        coalesce(col("sum_scaled"), lit(0L)).as("sum_scaled"))
+      .withColumn("mean_prob_scaled",
+        when(col("n_trigrams") > 0, expr("sum_scaled div n_trigrams"))
+          .otherwise(lit(0L)))
+      .withColumn("score",
+        col("mean_prob_scaled").cast("double") / lit(Scale.toDouble))
+  }
+
   /** Per-source quality pruning — keep the top `keepFrac` of each
     * source's documents by an integer quality score, ties at the
     * threshold included (so at least ceil(n·keepFrac) docs per source

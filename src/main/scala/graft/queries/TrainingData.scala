@@ -1567,6 +1567,17 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** Trigram stupid-backoff scoring
+    * ([[CorpusOps.trigramBackoffScore]], reference = the `lang='en'`
+    * slice, α = 2/5 exact): every document's mean per-position
+    * backoff probability under the reference trigram model —
+    * documents outside the reference language genuinely back off.
+    */
+  def docTrigramBackoff(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.trigramBackoffScore(Tables.documents(spark, dir),
+        "doc_id", "text", col("lang") === "en")
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_text_stats" -> docTextStats _,
     "t02_lang_id" -> docLangId _,
@@ -1663,6 +1674,7 @@ object TrainingData {
     "t93_preference_pairs" -> docPreferencePairs _,
     "t94_tokenizer_fertility" -> docTokenizerFertility _,
     "t95_score_percentiles" -> docScorePercentiles _,
+    "t96_trigram_backoff" -> docTrigramBackoff _,
   )
 
   /** Shared DuckDB SELECT replaying [[CorpusOps.hashedLinearScore]]
@@ -3599,6 +3611,74 @@ object TrainingData {
           |  CAST(CASE WHEN n_bigrams > 0 THEN sum_scaled // n_bigrams
           |       ELSE 0 END AS BIGINT) AS mean_prob_scaled,
           |  CAST(CASE WHEN n_bigrams > 0 THEN sum_scaled // n_bigrams
+          |       ELSE 0 END AS DOUBLE) / 1000000000.0 AS score
+          |FROM res ORDER BY doc_id""".stripMargin,
+      // t96: α = 2/5 exact — every backoff branch is one BIGINT
+      // floor-division; a seen trigram's head bigram is always seen,
+      // so the CASE ladder never divides by NULL
+      "t96_trigram_backoff" ->
+        """WITH toks AS (
+          |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS ts
+          |  FROM documents
+          |), ids AS (
+          |  SELECT doc_id, len(ts) AS n_tokens FROM toks
+          |), rt AS (
+          |  SELECT ts FROM toks WHERE lang = 'en'
+          |), tri AS (
+          |  SELECT g3, COUNT(*) AS c3 FROM (
+          |    SELECT unnest(CASE WHEN len(ts) < 3 THEN CAST([] AS VARCHAR[])
+          |      ELSE list_transform(range(1, len(ts) - 1), i ->
+          |        ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT)+1]
+          |          || ' ' || ts[CAST(i AS INT)+2]) END) AS g3
+          |    FROM rt) GROUP BY g3
+          |), bi AS (
+          |  SELECT g2, COUNT(*) AS c2 FROM (
+          |    SELECT unnest(CASE WHEN len(ts) < 2 THEN CAST([] AS VARCHAR[])
+          |      ELSE list_transform(range(1, len(ts)), i ->
+          |        ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT)+1]) END) AS g2
+          |    FROM rt) GROUP BY g2
+          |), uni AS (
+          |  SELECT w, COUNT(*) AS c1 FROM (
+          |    SELECT unnest(ts) AS w FROM rt) GROUP BY w
+          |), tot AS (
+          |  SELECT SUM(c1) AS n_total FROM uni
+          |), dg AS (
+          |  SELECT doc_id, g3, COUNT(*) AS occ FROM (
+          |    SELECT doc_id, unnest(CASE WHEN len(ts) < 3 THEN CAST([] AS VARCHAR[])
+          |      ELSE list_transform(range(1, len(ts) - 1), i ->
+          |        ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT)+1]
+          |          || ' ' || ts[CAST(i AS INT)+2]) END) AS g3
+          |    FROM toks) GROUP BY 1, 2
+          |), parts AS (
+          |  SELECT dg.doc_id, CAST(SUM(dg.occ * (
+          |    CASE WHEN tri.c3 IS NOT NULL
+          |         THEN (CAST(1000000000 AS BIGINT) * tri.c3) // b12.c2
+          |         WHEN b23.c2 IS NOT NULL
+          |         THEN (CAST(2000000000 AS BIGINT) * b23.c2) // (5 * u2.c1)
+          |         WHEN u3.c1 IS NOT NULL
+          |         THEN (CAST(4000000000 AS BIGINT) * u3.c1)
+          |           // (25 * tot.n_total)
+          |         ELSE 0 END)) AS BIGINT) AS sum_scaled
+          |  FROM dg
+          |  LEFT JOIN tri USING (g3)
+          |  LEFT JOIN bi b12 ON b12.g2 =
+          |    split_part(dg.g3, ' ', 1) || ' ' || split_part(dg.g3, ' ', 2)
+          |  LEFT JOIN bi b23 ON b23.g2 =
+          |    split_part(dg.g3, ' ', 2) || ' ' || split_part(dg.g3, ' ', 3)
+          |  LEFT JOIN uni u2 ON u2.w = split_part(dg.g3, ' ', 2)
+          |  LEFT JOIN uni u3 ON u3.w = split_part(dg.g3, ' ', 3)
+          |  CROSS JOIN tot
+          |  GROUP BY 1
+          |), res AS (
+          |  SELECT i.doc_id,
+          |    CAST(GREATEST(i.n_tokens - 2, 0) AS BIGINT) AS n_trigrams,
+          |    CAST(COALESCE(p.sum_scaled, 0) AS BIGINT) AS sum_scaled
+          |  FROM ids i LEFT JOIN parts p USING (doc_id)
+          |)
+          |SELECT doc_id, n_trigrams, sum_scaled,
+          |  CAST(CASE WHEN n_trigrams > 0 THEN sum_scaled // n_trigrams
+          |       ELSE 0 END AS BIGINT) AS mean_prob_scaled,
+          |  CAST(CASE WHEN n_trigrams > 0 THEN sum_scaled // n_trigrams
           |       ELSE 0 END AS DOUBLE) / 1000000000.0 AS score
           |FROM res ORDER BY doc_id""".stripMargin,
       // t73: sign-bit 32-bit-word packing (DuckDB raises on 1<<63, so

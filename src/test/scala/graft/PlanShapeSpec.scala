@@ -333,6 +333,20 @@ class PlanShapeSpec extends AnyFunSuite {
       "percentiles degraded to a global sort")
   }
 
+  test("t96: backoff scoring joins gram keys only — no cross product, totals broadcast") {
+    val plan = operators.CorpusOps.trigramBackoffScore(
+        Tables.documents(spark, dir), "doc_id", "text",
+        org.apache.spark.sql.functions.col("lang") === "en")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"backoff degraded to all-pairs:\n${plan.take(1200)}")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), "lost the gram-key equi-joins")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      "the 1-row token total must broadcast")
+  }
+
   test("q32: blocked fuzzy join is an equi-join on the block key, no cross product") {
     val plan = planOf(queries.RelationalExt.q32(spark, dir))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),

@@ -287,6 +287,28 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("trigram backoff: planted docs hit the tri/bi/uni/OOV ladder rungs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = Seq(
+      (1L, "alpha beta gamma", "en"),      // reference: defines the model
+      (2L, "alpha beta gamma", "xx"),      // seen trigram -> full prob 1.0
+      (3L, "delta beta gamma", "xx"),      // unseen tri, seen bigram "beta gamma"
+      (4L, "zz qq alpha", "xx"),           // only unigram "alpha" seen
+      (5L, "zz qq pp", "xx"))              // fully OOV -> score 0
+      .toDF("doc_id", "text", "lang")
+    val got = operators.CorpusOps.trigramBackoffScore(base, "doc_id", "text",
+        col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val S = 1000000000L
+    assert(got(2) == S)                      // c3=1, c12=1
+    assert(got(3) == 2 * S * 1 / (5 * 1))    // alpha=0.4 rung: c23=1, c(beta)=1
+    // doc 4: one trigram "zz qq alpha", only w3=alpha in vocab:
+    // 4e9 * c(alpha) / (25 * N) with N=3 reference tokens
+    assert(got(4) == 4 * S * 1 / (25 * 3))
+    assert(got(5) == 0L)
+  }
+
   test("LSH ANN buckets have positive recall vs brute force") {
     val emb = Tables.embeddings(spark, dir)
     import org.apache.spark.sql.functions._
