@@ -2018,6 +2018,85 @@ object CorpusOps {
         col("mean_prob_scaled").cast("double") / lit(Scale.toDouble))
   }
 
+  /** Gopher-rule quality gate (Rae et al. 2021, §A1.1 — the published
+    * heuristic bundle web corpora are pre-filtered with, word-level
+    * subset): each rule surfaces as its own boolean so a corpus owner
+    * can see WHICH gate a document failed, plus the conjunction:
+    *
+    *   - `ok_word_count`  — 50 ≤ words ≤ 100,000
+    *   - `ok_mean_len`    — mean word length in [3, 10] chars
+    *   - `ok_symbol`      — symbol (#, …) to word ratio ≤ 0.1
+    *   - `ok_alpha`       — ≥ 80% of words contain a letter
+    *   - `ok_stopwords`   — ≥ 2 stop-word occurrences
+    *
+    * The line-level Gopher rules (bullet/ellipsis line starts,
+    * duplicate lines) are out of scope for the single-line fixture
+    * text — the span/dedup operators cover their intent.
+    *
+    * Determinism: every threshold is an integer cross-multiplication
+    * (3n ≤ chars ≤ 10n; 10·symbols ≤ n; 5·alpha ≥ 4n) — no float
+    * division anywhere, so the oracle replays each verdict exactly.
+    *
+    * Scale shape: map-only — one projection over the corpus, no
+    * shuffle, trivially resumable; the natural first pass of any
+    * curation pipeline.
+    */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = TextFunctions.tokens(col(textCol))
+    docs.select(col(idCol).as("doc_id"), ws.as("ws"),
+        TextFunctions.dictHits(col(textCol), TextFunctions.Stopwords)
+          .as("stop_hits"),
+        regexp_count(col(textCol), lit("[#…]")).cast("long").as("symbols"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        aggregate(transform(col("ws"), w => length(w).cast("long")),
+          lit(0L), (a, b) => a + b).as("word_chars"),
+        size(filter(col("ws"), w => w.rlike("[A-Za-z]")))
+          .cast("long").as("alpha_words"),
+        col("stop_hits"), col("symbols"))
+      .withColumn("ok_word_count",
+        col("n_words") >= 50L && col("n_words") <= 100000L)
+      .withColumn("ok_mean_len",
+        col("word_chars") >= col("n_words") * 3L &&
+        col("word_chars") <= col("n_words") * 10L)
+      .withColumn("ok_symbol", col("symbols") * 10L <= col("n_words"))
+      .withColumn("ok_alpha", col("alpha_words") * 5L >= col("n_words") * 4L)
+      .withColumn("ok_stopwords", col("stop_hits") >= 2L)
+      .withColumn("keep",
+        col("ok_word_count") && col("ok_mean_len") && col("ok_symbol") &&
+        col("ok_alpha") && col("ok_stopwords"))
+  }
+
+  /** Exact-phrase decontamination — the canary-string check run
+    * ALONGSIDE the shingle/Bloom passes ([[decontaminate]],
+    * [[bloomDecontaminate]]): each benchmark document contributes one
+    * verbatim probe phrase (its first `probeWords` words), and a
+    * training document is contaminated iff it CONTAINS any probe as
+    * an exact substring — the form benchmark canaries and repeated
+    * eval prompts actually take, which shingle overlap can dilute
+    * below threshold on long documents.
+    *
+    * Scale shape: the probes collapse to ONE sorted-array row that
+    * broadcasts; scoring is a single codegen'd map pass
+    * (size(filter(probes, contains))) over the corpus — no shuffle
+    * touches corpus text, mirroring the t56 Bloom shape. |bench| must
+    * fit a broadcast row (thousands of probes), the standard
+    * benchmark-suite size.
+    */
+  def exactPhraseDecontaminate(train: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, probeWords: Int = 8): DataFrame = {
+    val probes = bench
+      .select(TextFunctions.tokens(col(textCol)).as("ws"))
+      .filter(size(col("ws")) >= probeWords)
+      .select(concat_ws(" ", slice(col("ws"), 1, probeWords)).as("probe"))
+      .agg(sort_array(collect_set(col("probe"))).as("probes"))
+    train.crossJoin(broadcast(probes))
+      .select(col(idCol).as("doc_id"),
+        size(filter(col("probes"), p => col(textCol).contains(p)))
+          .cast("long").as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0L)
+  }
+
   /** Per-source quality pruning — keep the top `keepFrac` of each
     * source's documents by an integer quality score, ties at the
     * threshold included (so at least ceil(n·keepFrac) docs per source

@@ -1578,6 +1578,28 @@ object TrainingData {
         "doc_id", "text", col("lang") === "en")
       .orderBy("doc_id")
 
+  /** Gopher-rule quality gate ([[CorpusOps.gopherRules]]): the
+    * published heuristic bundle, word-level subset, one boolean per
+    * rule plus the conjunction.
+    */
+  def docGopherRules(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.gopherRules(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Exact-phrase decontamination
+    * ([[CorpusOps.exactPhraseDecontaminate]], t19's bench split
+    * doc_id % 10 = 0, 8-word probes): verbatim canary containment per
+    * training document.
+    */
+  def docExactDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    CorpusOps.exactPhraseDecontaminate(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_text_stats" -> docTextStats _,
     "t02_lang_id" -> docLangId _,
@@ -1675,6 +1697,8 @@ object TrainingData {
     "t94_tokenizer_fertility" -> docTokenizerFertility _,
     "t95_score_percentiles" -> docScorePercentiles _,
     "t96_trigram_backoff" -> docTrigramBackoff _,
+    "t97_gopher_rules" -> docGopherRules _,
+    "t98_exact_decontam" -> docExactDecontam _,
   )
 
   /** Shared DuckDB SELECT replaying [[CorpusOps.hashedLinearScore]]
@@ -3681,6 +3705,64 @@ object TrainingData {
           |  CAST(CASE WHEN n_trigrams > 0 THEN sum_scaled // n_trigrams
           |       ELSE 0 END AS DOUBLE) / 1000000000.0 AS score
           |FROM res ORDER BY doc_id""".stripMargin,
+      // t97: every rule threshold is an integer cross-multiplication —
+      // no float division enters any verdict
+      "t97_gopher_rules" -> {
+        val stopList = TextFunctions.Stopwords.map(w => s"'$w'").mkString(", ")
+        s"""WITH w AS (
+           |  SELECT doc_id, ${TextFunctions.Sql.tokens("text")} AS ws,
+           |    CAST(${TextFunctions.Sql
+                  .dictHits("text", TextFunctions.Stopwords)} AS BIGINT)
+           |      AS stop_hits,
+           |    CAST(len(regexp_extract_all(text, '[#…]')) AS BIGINT)
+           |      AS symbols
+           |  FROM documents
+           |), m AS (
+           |  SELECT doc_id,
+           |    CAST(len(ws) AS BIGINT) AS n_words,
+           |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(ws, x -> CAST(length(x) AS BIGINT))),
+           |      (a, b) -> a + b) AS BIGINT) AS word_chars,
+           |    CAST(len(list_filter(ws,
+           |      x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+           |      AS alpha_words,
+           |    stop_hits, symbols
+           |  FROM w
+           |)
+           |SELECT doc_id, n_words, word_chars, alpha_words, stop_hits,
+           |  symbols,
+           |  n_words >= 50 AND n_words <= 100000 AS ok_word_count,
+           |  word_chars >= n_words * 3 AND word_chars <= n_words * 10
+           |    AS ok_mean_len,
+           |  symbols * 10 <= n_words AS ok_symbol,
+           |  alpha_words * 5 >= n_words * 4 AS ok_alpha,
+           |  stop_hits >= 2 AS ok_stopwords,
+           |  n_words >= 50 AND n_words <= 100000
+           |    AND word_chars >= n_words * 3 AND word_chars <= n_words * 10
+           |    AND symbols * 10 <= n_words
+           |    AND alpha_words * 5 >= n_words * 4
+           |    AND stop_hits >= 2 AS keep
+           |FROM m ORDER BY doc_id""".stripMargin
+      },
+      // t98: probes collapse to one sorted DISTINCT list; containment
+      // is exact substring — string comparisons only, nothing floats
+      "t98_exact_decontam" ->
+        """WITH bw AS (
+          |  SELECT string_split_regex(trim(text), '\s+') AS ws
+          |  FROM documents WHERE doc_id % 10 = 0
+          |), pr AS (
+          |  SELECT list_sort(list(DISTINCT array_to_string(ws[1:8], ' ')))
+          |    AS probes
+          |  FROM bw WHERE len(ws) >= 8
+          |)
+          |SELECT d.doc_id,
+          |  CAST(len(list_filter(pr.probes, p -> contains(d.text, p)))
+          |    AS BIGINT) AS n_hits,
+          |  len(list_filter(pr.probes, p -> contains(d.text, p))) > 0
+          |    AS contaminated
+          |FROM documents d CROSS JOIN pr
+          |WHERE d.doc_id % 10 <> 0
+          |ORDER BY d.doc_id""".stripMargin,
       // t73: sign-bit 32-bit-word packing (DuckDB raises on 1<<63, so
       // 32-bit words are the oracle-replayable layout), Hamming via
       // bit_count(xor), candidate cut at 16, exact-cosine refine

@@ -333,6 +333,29 @@ class PlanShapeSpec extends AnyFunSuite {
       "percentiles degraded to a global sort")
   }
 
+  test("t97: gopher rules are map-only — no Exchange anywhere") {
+    val plan = operators.CorpusOps.gopherRules(
+        Tables.documents(spark, dir), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"rule gate gained a shuffle:\n${plan.take(1200)}")
+  }
+
+  test("t98: exact decontam broadcasts one probe row — corpus text never shuffles") {
+    val docs = Tables.documents(spark, dir)
+    val plan = operators.CorpusOps.exactPhraseDecontaminate(
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 0),
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0),
+        "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      "probe list must broadcast")
+    assert(!plan.contains("Exchange hashpartitioning") &&
+      !plan.contains("Exchange rangepartitioning"),
+      s"corpus-side shuffle appeared:\n${plan.take(1200)}")
+  }
+
   test("t96: backoff scoring joins gram keys only — no cross product, totals broadcast") {
     val plan = operators.CorpusOps.trigramBackoffScore(
         Tables.documents(spark, dir), "doc_id", "text",

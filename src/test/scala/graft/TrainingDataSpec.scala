@@ -309,6 +309,36 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(got(5) == 0L)
   }
 
+  test("gopher rules: keep is the rule conjunction and discriminates") {
+    val rows = graft.queries.TrainingData.docGopherRules(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rules = (6 to 10).map(r.getBoolean)
+      assert(r.getBoolean(11) == rules.forall(identity))
+    }
+    val kept = rows.count(_.getBoolean(11))
+    assert(kept > 0 && kept < rows.length, "gate is degenerate on the fixture")
+  }
+
+  test("exact decontam: planted canary is flagged, clean synthetic is not") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    // canary: a bench doc's first 8 words verbatim inside new text
+    val probe = bench.select(concat_ws(" ",
+        slice(split(trim(col("text")), "\\s+"), 1, 8)).as("p"))
+      .limit(1).collect()(0).getString(0)
+    val planted = Seq(
+      (-1L, s"prefix words then $probe and a suffix"),
+      (-2L, "completely novel synthetic words qqq www eee rrr"))
+      .toDF("doc_id", "text")
+    val got = operators.CorpusOps.exactPhraseDecontaminate(
+        planted, bench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got(-1L) && !got(-2L))
+  }
+
   test("LSH ANN buckets have positive recall vs brute force") {
     val emb = Tables.embeddings(spark, dir)
     import org.apache.spark.sql.functions._
