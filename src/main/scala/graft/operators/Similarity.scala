@@ -1271,6 +1271,48 @@ object Similarity {
     * Output: (a_id, b_id, cos_x1e6, margin) for mutual-best pairs
     * with margin > 1.
     */
+  /** Semantic clustering via the mutual-k-NN graph — the SemDeDup /
+    * coreset clustering step as a first-class operator: two vectors
+    * are linked iff EACH is in the other's IVF top-k (mutuality
+    * suppresses hub vectors that appear in everyone's list), and the
+    * connected components of that graph are the clusters. Every
+    * vector surfaces with its cluster id (min member id — singletons
+    * label themselves) and the cluster size, ready for per-cluster
+    * caps, canonical election, or leakage-safe splits.
+    *
+    * Scale shape: the k-NN relation comes from the cell-bucketed IVF
+    * path (never all-pairs) and is checkpoint-pinned — it has two
+    * consumers (both sides of the mutuality self-join) and is |V|·k
+    * slim edge rows; the mutual filter is an equi-join on the edge
+    * pair; components run the O(log D) label-jump loop
+    * ([[Dedup.connectedComponents]]), D = cluster diameter.
+    */
+  def mutualKnnClusters(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int = 3, minNlist: Int = 16, nprobe: Int = 2,
+      centroidsOpt: Option[DataFrame] = None): DataFrame = {
+    val knn = ivfTopKAuto(emb, idCol, vecCol, k, minNlist, nprobe,
+        centroidsOpt)
+      .select(col("vec_id").as("a"), col("neighbor_id").as("b"))
+      .localCheckpoint()
+    val rev = knn.select(col("b").as("ra"), col("a").as("rb"))
+    val mutual = knn
+      .join(rev, col("a") === col("ra") && col("b") === col("rb"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+    val comp = Dedup.connectedComponents(mutual, "a", "b")
+    val labeled = emb.select(col(idCol).as("vec_id"))
+      .join(comp.select(col("node").as("vec_id"), col("comp")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("comp"), col("vec_id")).as("cluster_id"))
+      // two consumers (size agg + final join): pin the |V|-row labels
+      .localCheckpoint()
+    val sizes = labeled.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, "cluster_id")
+      .select("vec_id", "cluster_id", "cluster_size")
+  }
+
   def marginMutualPairs(emb: DataFrame, idCol: String, vecCol: String,
       sideCol: Column, k: Int = 4): DataFrame =
     marginPairsFromCandidates(

@@ -1600,6 +1600,17 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** Mutual-k-NN semantic clusters
+    * ([[Similarity.mutualKnnClusters]], k = 3, shared trained
+    * centroids): every vector labeled with its mutual-graph component
+    * and the component size.
+    */
+  def embMutualKnnClusters(spark: SparkSession, dir: String): DataFrame =
+    Similarity.mutualKnnClusters(Tables.embeddings(spark, dir), "vec_id",
+        "embedding", k = 3, minNlist = 16, nprobe = 2,
+        centroidsOpt = Some(fullCorpusCentroids(spark, dir)))
+      .orderBy("vec_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_text_stats" -> docTextStats _,
     "t02_lang_id" -> docLangId _,
@@ -1699,6 +1710,7 @@ object TrainingData {
     "t96_trigram_backoff" -> docTrigramBackoff _,
     "t97_gopher_rules" -> docGopherRules _,
     "t98_exact_decontam" -> docExactDecontam _,
+    "t99_semantic_clusters" -> embMutualKnnClusters _,
   )
 
   /** Shared DuckDB SELECT replaying [[CorpusOps.hashedLinearScore]]
@@ -2457,8 +2469,11 @@ object TrainingData {
     * itself — including the data-dependent sizing — not just the
     * final ranking.
     */
-  private def ivfOracleSql(minNlist: Int, nprobe: Int, k: Int): String =
-    s"""WITH v AS (
+  /** The IVF k-NN CTE chain (v → Lloyd → assignment → ranked
+    * neighbors `r`) shared by the t16 oracle and the t99 cluster
+    * replay. */
+  private def ivfKnnCtes(minNlist: Int, nprobe: Int): String =
+    s"""v AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
        |), ${lloydCtes("v", minNlist)}, asg AS (
        |  SELECT v.vec_id, c.cid, ${cosSql("v.e", "c.ce")} AS cs
@@ -2482,9 +2497,48 @@ object TrainingData {
        |    ROW_NUMBER() OVER (PARTITION BY vec_id
        |                       ORDER BY cosine_sim DESC, neighbor_id) AS rank
        |  FROM p2
-       |)
+       |)""".stripMargin
+
+  private def ivfOracleSql(minNlist: Int, nprobe: Int, k: Int): String =
+    s"""WITH ${ivfKnnCtes(minNlist, nprobe)}
        |SELECT vec_id, rank, neighbor_id, cosine_sim FROM r
        |WHERE rank <= $k ORDER BY vec_id, rank""".stripMargin
+
+  /** t99: the t16 k-NN replay + mutual filter + the t24 recursive
+    * component fixed point, then size labeling. */
+  private def mutualKnnClusterOracleSql(minNlist: Int, nprobe: Int,
+      k: Int): String =
+    s"""WITH RECURSIVE ${ivfKnnCtes(minNlist, nprobe)}, knn AS (
+       |  SELECT vec_id AS a, neighbor_id AS b FROM r WHERE rank <= $k
+       |), mutual AS (
+       |  SELECT e1.a, e1.b FROM knn e1
+       |  JOIN knn e2 ON e1.a = e2.b AND e1.b = e2.a
+       |  WHERE e1.a < e1.b
+       |), edges AS (
+       |  SELECT a AS src, b AS dst FROM mutual
+       |  UNION
+       |  SELECT b AS src, a AS dst FROM mutual
+       |), reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT rc.src, e.dst FROM reach rc JOIN edges e ON rc.dst = e.src
+       |), sel AS (
+       |  SELECT src, dst FROM reach
+       |  UNION
+       |  SELECT src, src AS dst FROM edges
+       |), lab AS (
+       |  SELECT src AS vec_id, MIN(dst) AS comp FROM sel GROUP BY src
+       |), full_lab AS (
+       |  SELECT v.vec_id,
+       |    CAST(COALESCE(l.comp, v.vec_id) AS BIGINT) AS cluster_id
+       |  FROM v LEFT JOIN lab l ON v.vec_id = l.vec_id
+       |), sz AS (
+       |  SELECT cluster_id, COUNT(*) AS cluster_size
+       |  FROM full_lab GROUP BY cluster_id
+       |)
+       |SELECT f.vec_id, f.cluster_id, sz.cluster_size
+       |FROM full_lab f JOIN sz USING (cluster_id)
+       |ORDER BY f.vec_id""".stripMargin
 
   /** Full-pipeline oracle for the SimHash path: replays token
     * PolyHash, the [[graft.functions.Spread64]] LCG bit spread, the
@@ -3763,6 +3817,10 @@ object TrainingData {
           |FROM documents d CROSS JOIN pr
           |WHERE d.doc_id % 10 <> 0
           |ORDER BY d.doc_id""".stripMargin,
+      // t99: mutuality and components replayed over the exact t16
+      // k-NN relation — cosines are the shared sequential-fold cosSql
+      "t99_semantic_clusters" ->
+        mutualKnnClusterOracleSql(minNlist = 16, nprobe = 2, k = 3),
       // t73: sign-bit 32-bit-word packing (DuckDB raises on 1<<63, so
       // 32-bit words are the oracle-replayable layout), Hamming via
       // bit_count(xor), candidate cut at 16, exact-cosine refine

@@ -356,6 +356,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"corpus-side shuffle appeared:\n${plan.take(1200)}")
   }
 
+  test("t99: mutuality is an equi-join over the pinned k-NN edges, no cross product") {
+    // the IVF stage's own shape is locked by the t16 case; here the
+    // downstream graph assembly must stay on (a, b) equi-joins over
+    // the checkpointed |V|·k edge relation
+    val plan = operators.Similarity.mutualKnnClusters(
+        Tables.embeddings(spark, dir), "vec_id", "embedding", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"mutual filter degraded to all-pairs:\n${plan.take(1200)}")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), "lost the edge equi-joins")
+  }
+
   test("t96: backoff scoring joins gram keys only — no cross product, totals broadcast") {
     val plan = operators.CorpusOps.trigramBackoffScore(
         Tables.documents(spark, dir), "doc_id", "text",

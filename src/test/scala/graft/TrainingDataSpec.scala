@@ -339,6 +339,25 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(got(-1L) && !got(-2L))
   }
 
+  test("semantic clusters: planted twins co-cluster, ids are min members") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, dir)
+    // plant an exact twin of vector 0 — each is the other's top-1,
+    // so the mutual edge exists and they must share a cluster
+    val twin = emb.filter(col("vec_id") === 0)
+      .withColumn("vec_id", lit(-1L))
+    val got = Similarity.mutualKnnClusters(emb.union(twin), "vec_id",
+        "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byId = got.map(t => t._1 -> t._2).toMap
+    assert(byId(-1L) == byId(0L))
+    assert(byId(-1L) == -1L) // cluster id is the min member id
+    // sizes are consistent with the labeling
+    got.groupBy(_._2).foreach { case (_, members) =>
+      assert(members.map(_._3).distinct.sameElements(Array(members.length.toLong)))
+    }
+  }
+
   test("LSH ANN buckets have positive recall vs brute force") {
     val emb = Tables.embeddings(spark, dir)
     import org.apache.spark.sql.functions._
