@@ -248,6 +248,49 @@ object Dedup {
     verifyJaccard(candidates, sh, sh, threshold)
   }
 
+  /** Edit-distance verification tier over the LSH candidate set —
+    * the character-level second opinion next to the shingle-Jaccard
+    * verify ([[minhashLsh]]): band-collision candidates are scored
+    * with exact Levenshtein distance and kept as duplicates when
+    * dist ≤ maxDistPct% of the longer text. Catches the
+    * small-edit/large-shingle-churn case (a change every few words
+    * destroys most 3-shingles but is few character edits) that
+    * Jaccard under-scores.
+    *
+    * Determinism: Levenshtein is the standard unit-cost DP — an exact
+    * integer both engines implement identically — and the verdict is
+    * an integer cross-multiplication (dist·100 ≤ maxLen·pct).
+    *
+    * Scale shape: ONE [[sigBands]] pass (the minhashLsh plan);
+    * document TEXT moves only for candidate pairs (two id equi-joins
+    * of the candidate relation against the corpus projection), and
+    * the O(len²) DP runs once per candidate — candidate-sized work,
+    * never corpus×corpus.
+    */
+  def editDistanceDedup(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numPerms: Int = 64, bands: Int = 16,
+      maxDistPct: Int = 5): DataFrame = {
+    require(maxDistPct > 0 && maxDistPct <= 100,
+      s"maxDistPct must be in (0, 100], got $maxDistPct")
+    val (_, bandedB) = sigBands(docs, idCol, textCol, n, numPerms, bands)
+    val candidates = bandedB.as("a")
+      .join(bandedB.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val txt = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
+    candidates
+      .join(txt.select(col("id").as("id_a"), col("txt").as("txt_a")), "id_a")
+      .join(txt.select(col("id").as("id_b"), col("txt").as("txt_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("txt_a"), col("txt_b")).cast("long").as("edit_dist"),
+        greatest(length(col("txt_a")), length(col("txt_b")))
+          .cast("long").as("max_len"))
+      .withColumn("is_dup",
+        col("edit_dist") * 100L <= col("max_len") * maxDistPct.toLong)
+  }
+
   /** Contrastive pair mining — turn the dedup machinery into
     * training data for an embedding / reranker model. Three tiers:
     *

@@ -1611,6 +1611,14 @@ object TrainingData {
         centroidsOpt = Some(fullCorpusCentroids(spark, dir)))
       .orderBy("vec_id")
 
+  /** Edit-distance dedup tier ([[Dedup.editDistanceDedup]], t06's
+    * LSH parameters, dup at ≤ 5% of the longer text): exact
+    * Levenshtein over the band-collision candidates.
+    */
+  def docEditDistanceDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.editDistanceDedup(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("id_a", "id_b")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_text_stats" -> docTextStats _,
     "t02_lang_id" -> docLangId _,
@@ -1711,6 +1719,7 @@ object TrainingData {
     "t97_gopher_rules" -> docGopherRules _,
     "t98_exact_decontam" -> docExactDecontam _,
     "t99_semantic_clusters" -> embMutualKnnClusters _,
+    "t100_edit_dedup" -> docEditDistanceDedup _,
   )
 
   /** Shared DuckDB SELECT replaying [[CorpusOps.hashedLinearScore]]
@@ -3821,6 +3830,20 @@ object TrainingData {
       // k-NN relation — cosines are the shared sequential-fold cosSql
       "t99_semantic_clusters" ->
         mutualKnnClusterOracleSql(minNlist = 16, nprobe = 2, k = 3),
+      // t100: the t06 candidate replay (threshold 0 keeps every band
+      // collision) + exact Levenshtein — integer DP in both engines
+      "t100_edit_dedup" ->
+        s"""WITH ${minhashCtes(64, 16, 0.0)}
+           |SELECT c.id_a, c.id_b,
+           |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+           |  CAST(GREATEST(length(da.text), length(db.text)) AS BIGINT)
+           |    AS max_len,
+           |  levenshtein(da.text, db.text) * 100
+           |    <= GREATEST(length(da.text), length(db.text)) * 5 AS is_dup
+           |FROM cand c
+           |JOIN documents da ON c.id_a = da.doc_id
+           |JOIN documents db ON c.id_b = db.doc_id
+           |ORDER BY c.id_a, c.id_b""".stripMargin,
       // t73: sign-bit 32-bit-word packing (DuckDB raises on 1<<63, so
       // 32-bit words are the oracle-replayable layout), Hamming via
       // bit_count(xor), candidate cut at 16, exact-cosine refine

@@ -370,6 +370,18 @@ class PlanShapeSpec extends AnyFunSuite {
       plan.contains("BroadcastHashJoin"), "lost the edge equi-joins")
   }
 
+  test("t100: edit verify moves text only for candidates — id equi-joins, no cross") {
+    val plan = operators.Dedup.editDistanceDedup(
+        Tables.documents(spark, dir), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"edit verify degraded to all-pairs:\n${plan.take(1200)}")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      "lost the band-key / id equi-joins")
+    assert(plan.contains("levenshtein"), "lost the exact DP verify")
+  }
+
   test("t96: backoff scoring joins gram keys only — no cross product, totals broadcast") {
     val plan = operators.CorpusOps.trigramBackoffScore(
         Tables.documents(spark, dir), "doc_id", "text",

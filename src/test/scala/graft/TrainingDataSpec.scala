@@ -358,6 +358,30 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("edit-distance tier: verdict replays from dist/len, both classes occur") {
+    val rows = graft.queries.TrainingData.docEditDistanceDedup(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1)) // id_a < id_b
+      assert(r.getBoolean(4) ==
+        (r.getLong(2) * 100L <= r.getLong(3) * 5L))
+    }
+    assert(rows.exists(_.getBoolean(4)) && rows.exists(!_.getBoolean(4)),
+      "verdict is degenerate on the fixture")
+    // planted exact twins collide in every band and verify at dist 0
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again today"),
+      (3L, "completely different words that share no shingles at all here"))
+      .toDF("doc_id", "text")
+    val twin = operators.Dedup.editDistanceDedup(planted, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(4)))
+    assert(twin.contains((1L, 2L, 0L, true)))
+  }
+
   test("LSH ANN buckets have positive recall vs brute force") {
     val emb = Tables.embeddings(spark, dir)
     import org.apache.spark.sql.functions._
