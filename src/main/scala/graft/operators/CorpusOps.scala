@@ -2097,6 +2097,107 @@ object CorpusOps {
       .withColumn("contaminated", col("n_hits") > 0L)
   }
 
+  /** Pairwise source-divergence map — which sources are statistically
+    * redundant and which add coverage: the L1 (total-variation ×2)
+    * distance between every two sources' unigram distributions, in
+    * 1e6 fixed point. [[corpus drift|t79]] compares two SNAPSHOTS of
+    * one corpus; this compares every source pair inside one snapshot
+    * — the matrix a mixture designer reads before collapsing near-
+    * identical crawls.
+    *
+    * Determinism: per-source probabilities are integer ppm floors
+    * ((c·10⁶) div n); the L1 decomposes exactly as
+    * Σ_shared |p_a − p_b| + (S_a − shared_a) + (S_b − shared_b)
+    * where S is the source's total ppm mass (≈10⁶ minus floor dust) —
+    * so words missing from one side contribute their full mass
+    * without materializing the vocabulary union.
+    *
+    * Scale shape: one tokenize pass → (source, word) counts
+    * (map-side-combinable); the ppm relation self-joins on the WORD
+    * key only (per word the pair fan-out is |sources|², a constant);
+    * per-source totals are a |sources|-row broadcast. No corpus text
+    * ever shuffles.
+    */
+  def sourceDivergence(docs: DataFrame, textCol: String,
+      sourceCol: String): DataFrame = {
+    val cnt = docs.select(col(sourceCol).as("source"),
+        explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy("source").agg(sum("c").as("n"))
+    // ppm feeds the totals agg AND both sides of the pair join
+    val ppm = Dedup.barrier(
+      cnt.join(broadcast(tot), "source")
+        .select(col("source"), col("w"),
+          expr("(c * 1000000) div n").as("ppm")),
+      col("w"))
+    val mass = ppm.groupBy("source").agg(sum("ppm").as("s_mass"))
+    val shared = ppm.as("a")
+      .join(ppm.as("b"),
+        col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"),
+        col("b.source").as("source_b"))
+      .agg(sum(abs(col("a.ppm") - col("b.ppm"))).as("shared_absdiff"),
+        sum(col("a.ppm")).as("shared_a"),
+        sum(col("b.ppm")).as("shared_b"),
+        count(lit(1)).as("shared_vocab"))
+    shared
+      .join(broadcast(mass.select(col("source").as("source_a"),
+        col("s_mass").as("mass_a"))), "source_a")
+      .join(broadcast(mass.select(col("source").as("source_b"),
+        col("s_mass").as("mass_b"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("shared_vocab"),
+        (col("shared_absdiff") + (col("mass_a") - col("shared_a")) +
+          (col("mass_b") - col("shared_b"))).as("l1_ppm"))
+  }
+
+  /** Largest-remainder (Hamilton) eval-set apportionment — build an
+    * exactly-`totalN`-document eval set whose strata match the corpus
+    * proportions as closely as integer counts allow: each stratum's
+    * quota is n_s·totalN/N, every stratum gets the floor, and the
+    * leftover seats go to the largest remainders (ties broken on the
+    * stratum key — the classic apportionment that provably minimizes
+    * total rounding deviation). Within a stratum the selected
+    * documents are the `alloc` smallest by the shared deterministic
+    * id-hash ([[idMix]]) — re-running selects the identical set.
+    *
+    * Determinism: quotas are exact BIGINT products (n_s·totalN ≤
+    * N·totalN — bound documented), base/remainder are one div/mod,
+    * and the seat ranking is an integer sort. No float enters.
+    *
+    * Scale shape: the corpus collapses to a |strata|-row histogram
+    * (map-side combinable); apportionment runs entirely on that tiny
+    * relation (one window) and BROADCASTS back; selection is one
+    * per-stratum window ranking (hash, id) — the t72 cap shape with a
+    * per-stratum limit.
+    */
+  def hamiltonEvalSet(docs: DataFrame, idCol: String, stratumCol: String,
+      totalN: Int): DataFrame = {
+    require(totalN > 0, s"totalN must be positive, got $totalN")
+    val hist = docs.groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n_s"))
+    val tot = hist.agg(sum("n_s").as("n"))
+    val wRem = Window.orderBy(col("rem").desc, col("stratum"))
+    val alloc = hist.crossJoin(broadcast(tot))
+      .select(col("stratum"), col("n_s"),
+        expr(s"(n_s * ${totalN}L) div n").as("base"),
+        expr(s"(n_s * ${totalN}L) % n").as("rem"),
+        expr(s"${totalN}L - sum((n_s * ${totalN}L) div n) over ()")
+          .as("leftover"))
+      .withColumn("seat_rank", row_number().over(wRem).cast("long"))
+      .select(col("stratum"), col("n_s"),
+        (col("base") + when(col("seat_rank") <= col("leftover"), 1L)
+          .otherwise(0L)).as("alloc"))
+    val wSel = Window.partitionBy("stratum")
+      .orderBy(col("sel_ord"), col("doc_id"))
+    docs.select(col(idCol).as("doc_id"), col(stratumCol).as("stratum"))
+      .withColumn("sel_ord", idMix(col("doc_id")))
+      .withColumn("sel_rank", row_number().over(wSel).cast("long"))
+      .join(broadcast(alloc), "stratum")
+      .filter(col("sel_rank") <= col("alloc"))
+      .select(col("doc_id"), col("stratum"), col("sel_rank"),
+        col("alloc"), col("n_s"))
+  }
+
   /** Per-source quality pruning — keep the top `keepFrac` of each
     * source's documents by an integer quality score, ties at the
     * threshold included (so at least ceil(n·keepFrac) docs per source

@@ -291,6 +291,51 @@ object Dedup {
         col("edit_dist") * 100L <= col("max_len") * maxDistPct.toLong)
   }
 
+  /** Asymmetric shingle-containment detection — the
+    * "document-embedded-in-document" case symmetric Jaccard
+    * structurally misses: a short document quoted whole inside a long
+    * one has Jaccard ≈ |A|/|B| (tiny) but containment
+    * C(A→B) = |A∩B|/|A| ≈ 1. Band-collision candidates are scored
+    * with the exact distinct-shingle intersection and flagged in each
+    * direction at `threshold` (1e6 fixed point — the division is one
+    * integer floor per direction, oracle-replayed exactly).
+    *
+    * LSH recall caveat (documented, same as every banding path): a
+    * short-in-long pair only band-collides if some band of MinHash
+    * signatures agrees, which for heavily asymmetric sizes needs the
+    * shared shingles to dominate the SHORT side — exactly the
+    * containment case. Scale shape: the minhashLsh plan verbatim
+    * (one sigBands pass, band-key equi-joins, shingle arrays joined
+    * per candidate), plus two integer divisions.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numPerms: Int = 64, bands: Int = 16,
+      threshold: Long = 800000L): DataFrame = {
+    require(threshold > 0 && threshold <= 1000000L,
+      s"threshold is ppm in (0, 1e6], got $threshold")
+    val (withSigB, bandedB) = sigBands(docs, idCol, textCol, n, numPerms, bands)
+    val candidates = bandedB.as("a")
+      .join(bandedB.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val sh = withSigB.select(col("id"), col("sh"))
+    candidates
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        call_function("sorted_inter_count", col("sh_a"), col("sh_b"))
+          .as("inter"),
+        size(col("sh_a")).cast("long").as("size_a"),
+        size(col("sh_b")).cast("long").as("size_b"))
+      .withColumn("cont_a_ppm", expr("(inter * 1000000) div size_a"))
+      .withColumn("cont_b_ppm", expr("(inter * 1000000) div size_b"))
+      .withColumn("a_in_b", col("cont_a_ppm") >= threshold)
+      .withColumn("b_in_a", col("cont_b_ppm") >= threshold)
+      .filter(col("a_in_b") || col("b_in_a"))
+  }
+
   /** Contrastive pair mining — turn the dedup machinery into
     * training data for an embedding / reranker model. Three tiers:
     *

@@ -1619,6 +1619,36 @@ object TrainingData {
     Dedup.editDistanceDedup(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy("id_a", "id_b")
 
+  /** Asymmetric containment pairs ([[Dedup.containmentPairs]], t06's
+    * LSH parameters, containment ≥ 0.8 in either direction): the
+    * short-quoted-inside-long duplication symmetric Jaccard misses.
+    */
+  def docContainmentPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("id_a", "id_b")
+
+  /** Source-divergence map ([[CorpusOps.sourceDivergence]]): pairwise
+    * L1 distance between source unigram distributions, ppm fixed
+    * point — the redundancy matrix of the corpus mixture.
+    */
+  def docSourceDivergence(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.sourceDivergence(Tables.documents(spark, dir), "text",
+        "source")
+      .orderBy("source_a", "source_b")
+
+  /** Hamilton eval-set apportionment ([[CorpusOps.hamiltonEvalSet]],
+    * strata = lang|source, budget 200): an exactly-200-doc eval set
+    * matching corpus proportions by largest remainders, selections by
+    * the shared deterministic id-hash.
+    */
+  def docHamiltonEvalSet(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.hamiltonEvalSet(
+        Tables.documents(spark, dir)
+          .withColumn("stratum",
+            concat_ws("|", col("lang"), col("source"))),
+        "doc_id", "stratum", totalN = 200)
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_text_stats" -> docTextStats _,
     "t02_lang_id" -> docLangId _,
@@ -1720,6 +1750,9 @@ object TrainingData {
     "t98_exact_decontam" -> docExactDecontam _,
     "t99_semantic_clusters" -> embMutualKnnClusters _,
     "t100_edit_dedup" -> docEditDistanceDedup _,
+    "t101_containment" -> docContainmentPairs _,
+    "t102_source_divergence" -> docSourceDivergence _,
+    "t103_hamilton_eval" -> docHamiltonEvalSet _,
   )
 
   /** Shared DuckDB SELECT replaying [[CorpusOps.hashedLinearScore]]
@@ -3844,6 +3877,98 @@ object TrainingData {
            |JOIN documents da ON c.id_a = da.doc_id
            |JOIN documents db ON c.id_b = db.doc_id
            |ORDER BY c.id_a, c.id_b""".stripMargin,
+      // t101: candidates from the t06 band replay; containment is one
+      // integer floor-division per direction over the exact distinct-
+      // shingle intersection (p0 = the gram-join pair counts)
+      "t101_containment" ->
+        s"""WITH ${minhashCtes(64, 16, 0.0)}
+           |SELECT c.id_a, c.id_b,
+           |  CAST(COALESCE(p0.nc, 0) AS BIGINT) AS inter,
+           |  CAST(sa.sz AS BIGINT) AS size_a,
+           |  CAST(sb.sz AS BIGINT) AS size_b,
+           |  (CAST(COALESCE(p0.nc, 0) AS BIGINT) * 1000000) // sa.sz
+           |    AS cont_a_ppm,
+           |  (CAST(COALESCE(p0.nc, 0) AS BIGINT) * 1000000) // sb.sz
+           |    AS cont_b_ppm,
+           |  (CAST(COALESCE(p0.nc, 0) AS BIGINT) * 1000000) // sa.sz
+           |    >= 800000 AS a_in_b,
+           |  (CAST(COALESCE(p0.nc, 0) AS BIGINT) * 1000000) // sb.sz
+           |    >= 800000 AS b_in_a
+           |FROM cand c
+           |LEFT JOIN p0 ON c.id_a = p0.id_a AND c.id_b = p0.id_b
+           |JOIN sizes sa ON c.id_a = sa.doc_id
+           |JOIN sizes sb ON c.id_b = sb.doc_id
+           |WHERE (CAST(COALESCE(p0.nc, 0) AS BIGINT) * 1000000) // sa.sz
+           |    >= 800000
+           |  OR (CAST(COALESCE(p0.nc, 0) AS BIGINT) * 1000000) // sb.sz
+           |    >= 800000
+           |ORDER BY c.id_a, c.id_b""".stripMargin,
+      // t102: integer-ppm distributions; L1 decomposes exactly over
+      // the shared vocabulary + each side's missing mass
+      "t102_source_divergence" ->
+        s"""WITH cnt AS (
+           |  SELECT source, w, COUNT(*) AS c FROM (
+           |    SELECT source, unnest(${TextFunctions.Sql.tokens("text")}) AS w
+           |    FROM documents) GROUP BY 1, 2
+           |), tot AS (
+           |  SELECT source, SUM(c) AS n FROM cnt GROUP BY source
+           |), ppm AS (
+           |  SELECT cnt.source, cnt.w,
+           |    (cnt.c * 1000000) // tot.n AS ppm
+           |  FROM cnt JOIN tot USING (source)
+           |), mass AS (
+           |  SELECT source, CAST(SUM(ppm) AS BIGINT) AS s_mass
+           |  FROM ppm GROUP BY source
+           |), shared AS (
+           |  SELECT a.source AS source_a, b.source AS source_b,
+           |    CAST(SUM(ABS(a.ppm - b.ppm)) AS BIGINT) AS shared_absdiff,
+           |    CAST(SUM(a.ppm) AS BIGINT) AS shared_a,
+           |    CAST(SUM(b.ppm) AS BIGINT) AS shared_b,
+           |    COUNT(*) AS shared_vocab
+           |  FROM ppm a JOIN ppm b
+           |    ON a.w = b.w AND a.source < b.source
+           |  GROUP BY 1, 2
+           |)
+           |SELECT s.source_a, s.source_b, s.shared_vocab,
+           |  CAST(s.shared_absdiff + (ma.s_mass - s.shared_a)
+           |    + (mb.s_mass - s.shared_b) AS BIGINT) AS l1_ppm
+           |FROM shared s
+           |JOIN mass ma ON s.source_a = ma.source
+           |JOIN mass mb ON s.source_b = mb.source
+           |ORDER BY s.source_a, s.source_b""".stripMargin,
+      // t103: quotas are exact BIGINT products; seats rank by integer
+      // remainder; selection replays the shared full-width id mix
+      "t103_hamilton_eval" ->
+        s"""WITH hist AS (
+           |  SELECT lang || '|' || source AS stratum, COUNT(*) AS n_s
+           |  FROM documents GROUP BY 1
+           |), tot AS (
+           |  SELECT SUM(n_s) AS n FROM hist
+           |), a0 AS (
+           |  SELECT stratum, n_s,
+           |    (n_s * 200) // n AS base,
+           |    (n_s * 200) % n AS rem,
+           |    200 - SUM((n_s * 200) // n) OVER () AS leftover,
+           |    ROW_NUMBER() OVER (ORDER BY (n_s * 200) % n DESC, stratum)
+           |      AS seat_rank
+           |  FROM hist CROSS JOIN tot
+           |), alloc AS (
+           |  SELECT stratum, n_s,
+           |    base + CASE WHEN seat_rank <= leftover THEN 1 ELSE 0 END
+           |      AS alloc
+           |  FROM a0
+           |), sel AS (
+           |  SELECT doc_id, lang || '|' || source AS stratum,
+           |    ROW_NUMBER() OVER (
+           |      PARTITION BY lang || '|' || source
+           |      ORDER BY ${idMixSql("doc_id")}, doc_id) AS sel_rank
+           |  FROM documents
+           |)
+           |SELECT s.doc_id, s.stratum, CAST(s.sel_rank AS BIGINT) AS sel_rank,
+           |  CAST(a.alloc AS BIGINT) AS alloc, CAST(a.n_s AS BIGINT) AS n_s
+           |FROM sel s JOIN alloc a USING (stratum)
+           |WHERE s.sel_rank <= a.alloc
+           |ORDER BY s.doc_id""".stripMargin,
       // t73: sign-bit 32-bit-word packing (DuckDB raises on 1<<63, so
       // 32-bit words are the oracle-replayable layout), Hamming via
       // bit_count(xor), candidate cut at 16, exact-cosine refine

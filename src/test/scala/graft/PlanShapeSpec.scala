@@ -382,6 +382,44 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("levenshtein"), "lost the exact DP verify")
   }
 
+  test("t101: containment rides the minhash plan — band equi-joins, no cross product") {
+    val plan = operators.Dedup.containmentPairs(
+        Tables.documents(spark, dir), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"containment degraded to all-pairs:\n${plan.take(1200)}")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), "lost the band/id equi-joins")
+    assert(plan.contains("sorted_inter_count"),
+      "lost the zero-allocation intersect kernel")
+  }
+
+  test("t102: divergence self-joins on the word key; totals broadcast") {
+    val plan = operators.CorpusOps.sourceDivergence(
+        Tables.documents(spark, dir), "text", "source")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"divergence degraded to all-pairs:\n${plan.take(1200)}")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), "lost the word-key equi-join")
+    assert(plan.contains("BroadcastExchange"), "source masses must broadcast")
+  }
+
+  test("t103: apportionment windows run on the histogram; allocations broadcast back") {
+    import org.apache.spark.sql.functions._
+    val plan = operators.CorpusOps.hamiltonEvalSet(
+        Tables.documents(spark, dir)
+          .withColumn("stratum", concat_ws("|", col("lang"), col("source"))),
+        "doc_id", "stratum", totalN = 200)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange rangepartitioning"),
+      "apportionment gained a corpus sort")
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastHashJoin"),
+      "the |strata|-row allocation must broadcast back")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("t96: backoff scoring joins gram keys only — no cross product, totals broadcast") {
     val plan = operators.CorpusOps.trigramBackoffScore(
         Tables.documents(spark, dir), "doc_id", "text",

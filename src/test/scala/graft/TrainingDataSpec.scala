@@ -382,6 +382,58 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(twin.contains((1L, 2L, 0L, true)))
   }
 
+  test("containment: planted short-in-long quote is caught one-way") {
+    import spark.implicits._
+    // doc 2 = doc 1's text embedded in a much longer document: the
+    // short side's shingles are all shared -> a_in_b, while the long
+    // side is NOT contained in the short one
+    // the quote must dominate the long side's shingle set for a
+    // MinHash band to agree (shared fraction 18/25 per permutation)
+    val short = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val long = s"$short extra filler words appended at the end now"
+    val planted = Seq((1L, short), (2L, long)).toDF("doc_id", "text")
+    val got = operators.Dedup.containmentPairs(planted, "doc_id", "text")
+      .collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(r.getBoolean(7) && !r.getBoolean(8)) // a_in_b, not b_in_a
+    // fixture near-dups also surface
+    assert(graft.queries.TrainingData.docContainmentPairs(spark, dir)
+      .count() > 0)
+  }
+
+  test("source divergence: hand-computed L1, zero for identical sources") {
+    import spark.implicits._
+    val tiny = Seq(("a", "x x y"), ("b", "x z"), ("c", "x x y"))
+      .toDF("source", "text")
+    val got = operators.CorpusOps.sourceDivergence(tiny, "text", "source")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // a: x=666666, y=333333 (mass 999999); b: x=500000, z=500000
+    assert(got(("a", "b")) == (1L, 166666L + 333333L + 500000L))
+    assert(got(("a", "c"))._2 == 0L) // identical distributions
+    assert(got(("b", "c"))._2 == got(("a", "b"))._2)
+  }
+
+  test("hamilton eval set: allocations sum to budget, each within one seat") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.TrainingData.docHamiltonEvalSet(spark, dir)
+      .collect()
+    assert(rows.length == 200) // exactly the budget, realized as rows
+    val byStratum = rows.groupBy(_.getString(1))
+    val total = Tables.documents(spark, dir).count()
+    byStratum.foreach { case (_, g) =>
+      val alloc = g.head.getLong(3)
+      assert(g.length == alloc.toInt) // selection realizes the quota
+      // Hamilton: alloc is the floor or ceil of the exact quota
+      val exact = g.head.getLong(4).toDouble * 200.0 / total
+      assert(alloc >= math.floor(exact) && alloc <= math.ceil(exact))
+    }
+  }
+
   test("LSH ANN buckets have positive recall vs brute force") {
     val emb = Tables.embeddings(spark, dir)
     import org.apache.spark.sql.functions._
