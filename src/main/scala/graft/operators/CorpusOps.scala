@@ -1089,6 +1089,116 @@ object CorpusOps {
       .drop("rk", "n")
   }
 
+  /** T5-style span-corruption example construction (Raffel et al.
+    * 2020 §3.1.4) — the denoising-pretraining export: positions are
+    * masked by the shared deterministic id-hash (ratePct per token),
+    * CONTIGUOUS masked runs collapse to one sentinel, and each
+    * document yields (input with `<extra_id_k>` sentinels, target =
+    * sentinel-prefixed masked spans). Re-running the pipeline
+    * regenerates byte-identical examples — the property a resumable
+    * pretraining data build needs. (The closing `<extra_id_n>`
+    * terminator some implementations append is omitted; the target
+    * ends with its last span.)
+    *
+    * Scale shape: the t92 sessionize shape on the token axis — one
+    * shuffle on doc_id; the mask flags are per-position hash bits
+    * (map-side), run ids are a lag + running sum inside the per-doc
+    * window, and both output strings assemble in ONE per-doc
+    * aggregation. Never an O(len²) per-doc fold.
+    */
+  def spanCorruption(docs: DataFrame, idCol: String, textCol: String,
+      ratePct: Int = 15): DataFrame = {
+    require(ratePct > 0 && ratePct < 100,
+      s"ratePct must be in (0, 100), got $ratePct")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val toks = docs.select(col(idCol).as("doc_id"),
+        posexplode(TextFunctions.tokens(col(textCol)))
+          .as(Seq("pos", "tok")))
+      // composite position key: the spanDedup doc_id·2^20+idx packing
+      .withColumn("masked",
+        idMix(col("doc_id") * lit(1048576L) + col("pos")) % 100 < ratePct)
+      .withColumn("run_start",
+        col("masked") &&
+          !coalesce(lag(col("masked"), 1).over(w), lit(false)))
+      .withColumn("run_id", sum(when(col("run_start"), 1L).otherwise(0L))
+        .over(run))
+      .withColumn("in_frag",
+        when(!col("masked"), col("tok"))
+          .when(col("run_start"),
+            concat(lit("<extra_id_"), (col("run_id") - 1).cast("string"),
+              lit(">"))))
+      .withColumn("tgt_frag",
+        when(col("run_start"),
+          concat(lit("<extra_id_"), (col("run_id") - 1).cast("string"),
+            lit("> "), col("tok")))
+          .when(col("masked"), col("tok")))
+    toks.groupBy("doc_id").agg(
+      concat_ws(" ", transform(
+        array_sort(collect_list(when(col("in_frag").isNotNull,
+          struct(col("pos"), col("in_frag"))))),
+        x => x.getField("in_frag"))).as("input_text"),
+      concat_ws(" ", transform(
+        array_sort(collect_list(when(col("tgt_frag").isNotNull,
+          struct(col("pos"), col("tgt_frag"))))),
+        x => x.getField("tgt_frag"))).as("target_text"),
+      max(col("run_id")).as("n_spans"),
+      sum(when(col("masked"), 1L).otherwise(0L)).as("n_masked"))
+  }
+
+  /** Next-segment-prediction pair construction (the BERT NSP recipe,
+    * deterministic): documents split into fixed-size token segments
+    * ([[chunkDocs]], stride = chunk); every segment with a successor
+    * becomes an anchor, and the shared id-hash of its packed
+    * (doc·2²⁰ + seg) key decides the pair — even: the TRUE next
+    * segment (is_next = 1); odd: a deterministic pseudo-random
+    * partner segment (is_next = 0), resolved exactly like the t90
+    * random tier: the min packed key of the first non-empty hash
+    * bucket at or cyclically after ((h div 2) + 1) mod `negBuckets`,
+    * with the degenerate same-document draw filtered.
+    *
+    * Scale shape: the segment relation is checkpoint-pinned (three
+    * consumers: anchors, successors, the bucket table — each would
+    * otherwise re-tokenize the corpus); the positive side is one
+    * (doc, seg+1) equi-join; the negative side joins a
+    * `negBuckets`-row broadcast. Output is id-level (trainer joins
+    * texts back by (doc, seg) when materializing).
+    */
+  def segmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      chunk: Int = 32, negBuckets: Int = 64): DataFrame = {
+    require(chunk > 0, s"chunk must be positive, got $chunk")
+    val segs = chunkDocs(docs, idCol, textCol, chunk, chunk)
+      .select(col("doc_id"), col("chunk_no"))
+      .localCheckpoint()
+    val comp = col("doc_id") * lit(1048576L) + col("chunk_no")
+    val anchors = segs
+      .join(segs.select(col("doc_id"),
+        (col("chunk_no") - 1L).as("chunk_no")), Seq("doc_id", "chunk_no"),
+        "left_semi")
+      .withColumn("h", idMix(comp))
+    val pos = anchors.filter(col("h") % 2 === 0)
+      .select(col("doc_id"), col("chunk_no").as("seg_no"),
+        col("doc_id").as("partner_doc"),
+        (col("chunk_no") + 1L).as("partner_seg"),
+        lit(true).as("is_next"))
+    val bmin = segs
+      .withColumn("bucket", idMix(comp) % negBuckets)
+      .groupBy("bucket").agg(min(comp).as("pcomp"))
+    val neg = anchors.filter(col("h") % 2 =!= 0)
+      .withColumn("target", (expr("h div 2") + 1L) % negBuckets)
+      .crossJoin(broadcast(bmin))
+      .withColumn("cyc",
+        (col("bucket") - col("target") + negBuckets) % negBuckets)
+      .groupBy(col("doc_id"), col("chunk_no").as("seg_no"))
+      .agg(min_by(col("pcomp"), col("cyc")).as("pcomp"))
+      .select(col("doc_id"), col("seg_no"),
+        expr("pcomp div 1048576").as("partner_doc"),
+        (col("pcomp") % 1048576L).as("partner_seg"),
+        lit(false).as("is_next"))
+      .filter(col("partner_doc") =!= col("doc_id"))
+    pos.unionAll(neg)
+  }
+
   // ---------------------------------------------------------------
   // Deterministic stratified sampling
   // ---------------------------------------------------------------

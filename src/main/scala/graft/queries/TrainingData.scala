@@ -1649,6 +1649,24 @@ object TrainingData {
         "doc_id", "stratum", totalN = 200)
       .orderBy("doc_id")
 
+  /** T5 span-corruption examples ([[CorpusOps.spanCorruption]],
+    * 15% token mask rate): sentinel-masked inputs and span targets,
+    * byte-identical across re-runs.
+    */
+  def docSpanCorruption(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.spanCorruption(Tables.documents(spark, dir), "doc_id",
+        "text", ratePct = 15)
+      .orderBy("doc_id")
+
+  /** NSP segment pairs ([[CorpusOps.segmentPairs]], 32-token
+    * segments, 64 negative buckets): true-next vs deterministic
+    * pseudo-random partner per anchor segment.
+    */
+  def docSegmentPairs(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.segmentPairs(Tables.documents(spark, dir), "doc_id",
+        "text", chunk = 32, negBuckets = 64)
+      .orderBy("doc_id", "seg_no")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_text_stats" -> docTextStats _,
     "t02_lang_id" -> docLangId _,
@@ -1753,6 +1771,8 @@ object TrainingData {
     "t101_containment" -> docContainmentPairs _,
     "t102_source_divergence" -> docSourceDivergence _,
     "t103_hamilton_eval" -> docHamiltonEvalSet _,
+    "t104_span_corruption" -> docSpanCorruption _,
+    "t105_segment_pairs" -> docSegmentPairs _,
   )
 
   /** Shared DuckDB SELECT replaying [[CorpusOps.hashedLinearScore]]
@@ -3969,6 +3989,88 @@ object TrainingData {
            |FROM sel s JOIN alloc a USING (stratum)
            |WHERE s.sel_rank <= a.alloc
            |ORDER BY s.doc_id""".stripMargin,
+      // t104: per-position mask bits from the shared id-mix over the
+      // packed (doc, pos) key; run collapse and both rendered strings
+      // replay in the same windows
+      "t104_span_corruption" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, ${TextFunctions.Sql.tokens("text")} AS ts
+           |  FROM documents
+           |), p AS (
+           |  SELECT doc_id, unnest(list_transform(range(1, len(ts) + 1),
+           |    i -> struct_pack(pos := CAST(i - 1 AS BIGINT),
+           |                     tok := ts[CAST(i AS INT)]))) AS u
+           |  FROM toks
+           |), q AS (
+           |  SELECT doc_id, u.pos AS pos, u.tok AS tok,
+           |    ${idMixSql("(doc_id * 1048576 + u.pos)")} % 100 < 15
+           |      AS masked
+           |  FROM p
+           |), r AS (
+           |  SELECT *,
+           |    masked AND NOT COALESCE(LAG(masked) OVER w, FALSE)
+           |      AS run_start
+           |  FROM q WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+           |), s AS (
+           |  SELECT *, SUM(CASE WHEN run_start THEN 1 ELSE 0 END) OVER (
+           |    PARTITION BY doc_id ORDER BY pos
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+           |  FROM r
+           |)
+           |SELECT doc_id,
+           |  COALESCE(string_agg(CASE WHEN NOT masked THEN tok
+           |    WHEN run_start THEN
+           |      '<extra_id_' || CAST(run_id - 1 AS VARCHAR) || '>' END,
+           |    ' ' ORDER BY pos), '') AS input_text,
+           |  COALESCE(string_agg(CASE WHEN run_start THEN
+           |      '<extra_id_' || CAST(run_id - 1 AS VARCHAR) || '> ' || tok
+           |    WHEN masked THEN tok END, ' ' ORDER BY pos), '')
+           |    AS target_text,
+           |  CAST(MAX(run_id) AS BIGINT) AS n_spans,
+           |  CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_masked
+           |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      // t105: the t23 segment replay + the shared id-mix pair
+      // decision; the negative draw replays the t90 cyclic bucket-min
+      "t105_segment_pairs" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, ${TextFunctions.Sql.tokens("text")} AS ts
+           |  FROM documents
+           |), s AS (
+           |  SELECT doc_id, CAST(start_tok // 32 AS BIGINT) AS chunk_no
+           |  FROM (SELECT doc_id, unnest(range(0, len(ts), 32)) AS start_tok
+           |        FROM toks)
+           |), a AS (
+           |  SELECT s1.doc_id, s1.chunk_no,
+           |    ${idMixSql("(s1.doc_id * 1048576 + s1.chunk_no)")} AS h
+           |  FROM s s1 JOIN s s2
+           |    ON s1.doc_id = s2.doc_id AND s2.chunk_no = s1.chunk_no + 1
+           |), pos AS (
+           |  SELECT doc_id, chunk_no AS seg_no, doc_id AS partner_doc,
+           |    chunk_no + 1 AS partner_seg, TRUE AS is_next
+           |  FROM a WHERE h % 2 = 0
+           |), bm AS (
+           |  SELECT ${idMixSql("(doc_id * 1048576 + chunk_no)")} % 64
+           |      AS bucket,
+           |    MIN(doc_id * 1048576 + chunk_no) AS pcomp
+           |  FROM s GROUP BY 1
+           |), neg0 AS (
+           |  SELECT a.doc_id, a.chunk_no AS seg_no, bm.pcomp,
+           |    ROW_NUMBER() OVER (PARTITION BY a.doc_id, a.chunk_no
+           |      ORDER BY (bm.bucket - ((a.h // 2 + 1) % 64) + 64) % 64)
+           |      AS rk
+           |  FROM a CROSS JOIN bm
+           |  WHERE a.h % 2 <> 0
+           |), neg AS (
+           |  SELECT doc_id, seg_no,
+           |    pcomp // 1048576 AS partner_doc,
+           |    pcomp % 1048576 AS partner_seg, FALSE AS is_next
+           |  FROM neg0 WHERE rk = 1 AND pcomp // 1048576 <> doc_id
+           |)
+           |SELECT doc_id, seg_no, partner_doc, partner_seg, is_next FROM pos
+           |UNION ALL
+           |SELECT doc_id, seg_no, partner_doc, partner_seg, is_next FROM neg
+           |ORDER BY doc_id, seg_no""".stripMargin,
       // t73: sign-bit 32-bit-word packing (DuckDB raises on 1<<63, so
       // 32-bit words are the oracle-replayable layout), Hamming via
       // bit_count(xor), candidate cut at 16, exact-cosine refine

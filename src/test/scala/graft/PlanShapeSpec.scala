@@ -420,6 +420,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("t104: span corruption is one per-doc shuffle — windows and agg share it") {
+    val plan = operators.CorpusOps.spanCorruption(
+        Tables.documents(spark, dir), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 1,
+      s"expected 1 hash exchange, got $hashExchanges:\n${plan.take(1200)}")
+    assert(!plan.contains("Exchange SinglePartition"),
+      "corruption collapsed to a single partition")
+  }
+
+  test("t105: NSP pairs — successor equi-join; only the bucket table is nested-loop") {
+    val plan = operators.CorpusOps.segmentPairs(
+        Tables.documents(spark, dir), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"pair build degraded to an unbroadcast cross:\n${plan.take(1200)}")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), "lost the successor equi-join")
+  }
+
   test("t96: backoff scoring joins gram keys only — no cross product, totals broadcast") {
     val plan = operators.CorpusOps.trigramBackoffScore(
         Tables.documents(spark, dir), "doc_id", "text",

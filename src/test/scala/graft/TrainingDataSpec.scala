@@ -434,6 +434,54 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("span corruption: sentinel round-trip reconstructs the original text") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir)
+    val orig = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
+      .toMap
+    val rows = graft.queries.TrainingData.docSpanCorruption(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(_.getLong(3) > 0), "mask rate produced no spans")
+    rows.foreach { r =>
+      val (id, input, target) = (r.getLong(0), r.getString(1), r.getString(2))
+      // parse target spans: "<extra_id_k> tok tok <extra_id_k+1> ..."
+      val spans = scala.collection.mutable.Map[Int, Seq[String]]()
+      var cur = -1
+      target.split(" ").filter(_.nonEmpty).foreach { t =>
+        if (t.startsWith("<extra_id_")) {
+          cur = t.stripPrefix("<extra_id_").stripSuffix(">").toInt
+          spans(cur) = Seq.empty
+        } else spans(cur) = spans(cur) :+ t
+      }
+      // substitute sentinels back in: must equal the original tokens
+      val rebuilt = input.split(" ").filter(_.nonEmpty).flatMap { t =>
+        if (t.startsWith("<extra_id_"))
+          spans(t.stripPrefix("<extra_id_").stripSuffix(">").toInt)
+        else Seq(t)
+      }.toSeq
+      assert(rebuilt == orig(id), s"round-trip failed for doc $id")
+      assert(r.getLong(3) == spans.size) // n_spans
+      assert(r.getLong(4) == spans.values.map(_.length).sum) // n_masked
+    }
+  }
+
+  test("segment pairs: positives are true successors, negatives cross-doc") {
+    val rows = graft.queries.TrainingData.docSegmentPairs(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(rows.exists(_._5) && rows.exists(!_._5))
+    rows.foreach {
+      case (d, s, pd, ps, true) => assert(pd == d && ps == s + 1)
+      case (d, _, pd, _, false) => assert(pd != d)
+    }
+    // one pair per anchor
+    val anchors = rows.map(r => (r._1, r._2))
+    assert(anchors.distinct.length == anchors.length)
+  }
+
   test("LSH ANN buckets have positive recall vs brute force") {
     val emb = Tables.embeddings(spark, dir)
     import org.apache.spark.sql.functions._
