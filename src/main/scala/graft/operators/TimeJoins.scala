@@ -85,4 +85,42 @@ object TimeJoins {
       .drop("__lid")
       .withColumn(countName, coalesce(col(countName), lit(0L)))
   }
+
+  /** Point-in-time feature snapshot — the leakage-safe feature-
+    * engineering primitive: for every event, aggregates over the
+    * SAME user's STRICTLY EARLIER events only (the frame ends at
+    * 1 PRECEDING), so a model trained on these rows never sees
+    * information from its own label's timestamp or later — the
+    * train/serve-consistent "features as of event time" contract a
+    * feature store enforces. Emitted per event: prior event count,
+    * prior count of `targetType` events, prior value sum in exact
+    * integer cents, and the µs gap to the previous event (null on a
+    * user's first event).
+    *
+    * Determinism: timestamps stay exact integer µs, values scale to
+    * cents by one pure-double FLOOR, and every aggregate is an
+    * order-independent integer sum within a total (tsu, id) order.
+    *
+    * Scale shape: ONE shuffle on the user key; all four features
+    * share the single per-user window sort. The frame is
+    * unbounded-preceding (running state, O(1) per row), never a
+    * re-scan per event.
+    */
+  def pointInTimeFeatures(events: DataFrame, userCol: String,
+      tsUsCol: String, ordCol: String, typeCol: String, valueCol: String,
+      targetType: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    val prior = w.rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col(userCol).as("user_id"), col(tsUsCol).as("tsu"),
+        col(ordCol).as("event_id"), col(typeCol).as("etype"),
+        floor(col(valueCol) * 100 + lit(0.5)).cast("long").as("cents"))
+      .select(col("event_id"), col("user_id"), col("tsu"),
+        count(lit(1)).over(prior).as("n_prior"),
+        coalesce(sum(when(col("etype") === targetType, 1L).otherwise(0L))
+          .over(prior), lit(0L)).as("n_prior_target"),
+        coalesce(sum(col("cents")).over(prior), lit(0L))
+          .as("prior_value_cents"),
+        (col("tsu") - lag(col("tsu"), 1).over(w)).as("gap_us"))
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{GraftFunctions, TextFunctions}
-import graft.operators.{CorpusOps, Dedup, Multimodal, Similarity}
+import graft.operators.{CorpusOps, Dedup, Multimodal, Similarity, TimeJoins}
 
 /** Training-data pipeline queries over the `documents` / `embeddings`
   * / `events` fixtures: dedup, similarity search, text analysis,
@@ -1667,6 +1667,20 @@ object TrainingData {
         "text", chunk = 32, negBuckets = 64)
       .orderBy("doc_id", "seg_no")
 
+  /** Point-in-time features ([[TimeJoins.pointInTimeFeatures]],
+    * target = purchase): per event, the user's strictly-earlier
+    * event count, purchase count, value sum, and gap — leakage-safe
+    * by the 1-PRECEDING frame.
+    */
+  def eventsPitFeatures(spark: SparkSession, dir: String): DataFrame =
+    TimeJoins.pointInTimeFeatures(
+        Tables.eventsNanos(spark, dir)
+          .select(col("user_id"), expr("ts div 1000").as("tsu"),
+            col("event_id"), col("event_type"), col("value")),
+        "user_id", "tsu", "event_id", "event_type", "value",
+        targetType = "purchase")
+      .orderBy("event_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_text_stats" -> docTextStats _,
     "t02_lang_id" -> docLangId _,
@@ -1773,6 +1787,7 @@ object TrainingData {
     "t103_hamilton_eval" -> docHamiltonEvalSet _,
     "t104_span_corruption" -> docSpanCorruption _,
     "t105_segment_pairs" -> docSegmentPairs _,
+    "t106_pit_features" -> eventsPitFeatures _,
   )
 
   /** Shared DuckDB SELECT replaying [[CorpusOps.hashedLinearScore]]
@@ -4071,6 +4086,27 @@ object TrainingData {
            |UNION ALL
            |SELECT doc_id, seg_no, partner_doc, partner_seg, is_next FROM neg
            |ORDER BY doc_id, seg_no""".stripMargin,
+      // t106: all aggregates run over the strictly-earlier frame
+      // (ROWS ... 1 PRECEDING) in exact integer µs/cents
+      "t106_pit_features" ->
+        """WITH e AS (
+          |  SELECT event_id, user_id, epoch_us(ts) AS tsu, event_type,
+          |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+          |  FROM events
+          |)
+          |SELECT event_id, user_id, tsu,
+          |  COUNT(*) OVER prior AS n_prior,
+          |  CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1
+          |    ELSE 0 END) OVER prior, 0) AS BIGINT) AS n_prior_target,
+          |  CAST(COALESCE(SUM(cents) OVER prior, 0) AS BIGINT)
+          |    AS prior_value_cents,
+          |  tsu - LAG(tsu) OVER w AS gap_us
+          |FROM e
+          |WINDOW
+          |  w AS (PARTITION BY user_id ORDER BY tsu, event_id),
+          |  prior AS (PARTITION BY user_id ORDER BY tsu, event_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          |ORDER BY event_id""".stripMargin,
       // t73: sign-bit 32-bit-word packing (DuckDB raises on 1<<63, so
       // 32-bit words are the oracle-replayable layout), Hamming via
       // bit_count(xor), candidate cut at 16, exact-cosine refine

@@ -441,6 +441,22 @@ class PlanShapeSpec extends AnyFunSuite {
       plan.contains("BroadcastHashJoin"), "lost the successor equi-join")
   }
 
+  test("t106: point-in-time features share ONE per-user window sort") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.eventsNanos(spark, dir)
+      .select(col("user_id"), expr("ts div 1000").as("tsu"),
+        col("event_id"), col("event_type"), col("value"))
+    val plan = operators.TimeJoins.pointInTimeFeatures(ev, "user_id",
+        "tsu", "event_id", "event_type", "value", "purchase")
+      .queryExecution.executedPlan.toString
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 1,
+      s"expected 1 hash exchange, got $hashExchanges:\n${plan.take(1200)}")
+    val windows = "Window ".r.findAllIn(plan).size
+    assert(windows == 1,
+      s"features split across $windows window operators — one sort expected")
+  }
+
   test("t96: backoff scoring joins gram keys only — no cross product, totals broadcast") {
     val plan = operators.CorpusOps.trigramBackoffScore(
         Tables.documents(spark, dir), "doc_id", "text",

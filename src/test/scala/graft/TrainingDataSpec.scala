@@ -482,6 +482,28 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(anchors.distinct.length == anchors.length)
   }
 
+  test("pit features: strictly-earlier frames — first event sees nothing") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.TrainingData.eventsPitFeatures(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    // replay per user: walk events in time order and accumulate
+    val byUser = rows.groupBy(_.getLong(1))
+    byUser.foreach { case (_, evs) =>
+      val ordered = evs.sortBy(r => (r.getLong(2), r.getLong(0)))
+      ordered.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(3) == i.toLong) // n_prior = position
+        if (i == 0) {
+          assert(r.getLong(4) == 0L && r.getLong(5) == 0L && r.isNullAt(6))
+        } else {
+          assert(r.getLong(2) - ordered(i - 1).getLong(2) == r.getLong(6))
+          // prior target count is monotone non-decreasing
+          assert(r.getLong(4) >= ordered(i - 1).getLong(4))
+        }
+      }
+    }
+  }
+
   test("LSH ANN buckets have positive recall vs brute force") {
     val emb = Tables.embeddings(spark, dir)
     import org.apache.spark.sql.functions._
