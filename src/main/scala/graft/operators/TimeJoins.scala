@@ -106,6 +106,47 @@ object TimeJoins {
     * unbounded-preceding (running state, O(1) per row), never a
     * re-scan per event.
     */
+  /** Next-event prediction pairs — the sequential-recommendation
+    * export: each event whose user has a successor becomes one
+    * training example (the point-in-time context is [[t106|
+    * pointInTimeFeatures]]'s job; this op emits the LABEL side):
+    * the true next event type as the positive, plus one
+    * deterministic hash-drawn negative type from the catalog
+    * (cyclically offset from the positive so it always differs —
+    * a type catalog with one entry yields no negatives, documented).
+    *
+    * Scale shape: one per-user window (lead) for the positive; the
+    * |types|-row catalog broadcasts for the negative draw. The
+    * negative index is (idMix(packed event) mod (|types|−1)) applied
+    * cyclically AFTER the positive's catalog position, so both
+    * engines replay the same pick without a filter-and-retry loop.
+    */
+  def nextEventPairs(events: DataFrame, userCol: String, tsUsCol: String,
+      ordCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    val base = events.select(col(userCol).as("user_id"),
+        col(tsUsCol).as("tsu"), col(ordCol).as("event_id"),
+        col(typeCol).as("etype"))
+      .withColumn("next_type", lead(col("etype"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+    val catalog = events.select(col(typeCol).as("t")).distinct()
+      .agg(sort_array(collect_list(col("t"))).as("types"))
+    base.crossJoin(broadcast(catalog))
+      .withColumn("n_types", size(col("types")).cast("long"))
+      .withColumn("pos_idx",
+        (array_position(col("types"), col("next_type")) - 1L))
+      .withColumn("neg_idx",
+        when(col("n_types") > 1,
+          (col("pos_idx") + 1L +
+            graft.operators.CorpusOps.idMix(
+              col("user_id") * lit(1048576L) + col("event_id"))
+              % (col("n_types") - 1L)) % col("n_types")))
+      .select(col("event_id"), col("user_id"), col("etype"),
+        col("next_type"),
+        element_at(col("types"), (col("neg_idx") + 1L).cast("int"))
+          .as("neg_type"))
+  }
+
   def pointInTimeFeatures(events: DataFrame, userCol: String,
       tsUsCol: String, ordCol: String, typeCol: String, valueCol: String,
       targetType: String): DataFrame = {

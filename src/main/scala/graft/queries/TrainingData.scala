@@ -1681,6 +1681,18 @@ object TrainingData {
         targetType = "purchase")
       .orderBy("event_id")
 
+  /** Next-event prediction pairs ([[TimeJoins.nextEventPairs]]): the
+    * true next event type plus one deterministic hash-drawn negative
+    * from the type catalog, per event with a successor.
+    */
+  def eventsNextPairs(spark: SparkSession, dir: String): DataFrame =
+    TimeJoins.nextEventPairs(
+        Tables.eventsNanos(spark, dir)
+          .select(col("user_id"), expr("ts div 1000").as("tsu"),
+            col("event_id"), col("event_type")),
+        "user_id", "tsu", "event_id", "event_type")
+      .orderBy("event_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_text_stats" -> docTextStats _,
     "t02_lang_id" -> docLangId _,
@@ -1788,6 +1800,7 @@ object TrainingData {
     "t104_span_corruption" -> docSpanCorruption _,
     "t105_segment_pairs" -> docSegmentPairs _,
     "t106_pit_features" -> eventsPitFeatures _,
+    "t107_next_event_pairs" -> eventsNextPairs _,
   )
 
   /** Shared DuckDB SELECT replaying [[CorpusOps.hashedLinearScore]]
@@ -4107,6 +4120,29 @@ object TrainingData {
           |  prior AS (PARTITION BY user_id ORDER BY tsu, event_id
           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
           |ORDER BY event_id""".stripMargin,
+      // t107: the negative index applies the shared id-mix cyclically
+      // AFTER the positive's catalog position, so it always differs
+      "t107_next_event_pairs" ->
+        s"""WITH e AS (
+           |  SELECT event_id, user_id, epoch_us(ts) AS tsu, event_type
+           |  FROM events
+           |), b AS (
+           |  SELECT event_id, user_id, event_type AS etype,
+           |    LEAD(event_type) OVER (
+           |      PARTITION BY user_id ORDER BY tsu, event_id) AS next_type
+           |  FROM e
+           |), cat AS (
+           |  SELECT list_sort(list(DISTINCT event_type)) AS types
+           |  FROM events
+           |)
+           |SELECT b.event_id, b.user_id, b.etype, b.next_type,
+           |  types[CAST((((list_position(types, b.next_type) - 1) + 1 +
+           |    ${idMixSql("(b.user_id * 1048576 + b.event_id)")}
+           |      % (len(types) - 1)) % len(types)) + 1 AS INT)]
+           |    AS neg_type
+           |FROM b CROSS JOIN cat
+           |WHERE b.next_type IS NOT NULL
+           |ORDER BY b.event_id""".stripMargin,
       // t73: sign-bit 32-bit-word packing (DuckDB raises on 1<<63, so
       // 32-bit words are the oracle-replayable layout), Hamming via
       // bit_count(xor), candidate cut at 16, exact-cosine refine

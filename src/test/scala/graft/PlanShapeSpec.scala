@@ -457,6 +457,23 @@ class PlanShapeSpec extends AnyFunSuite {
       s"features split across $windows window operators — one sort expected")
   }
 
+  test("t107: next-event pairs — one per-user window; the type catalog broadcasts") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.eventsNanos(spark, dir)
+      .select(col("user_id"), expr("ts div 1000").as("tsu"),
+        col("event_id"), col("event_type"))
+    val plan = operators.TimeJoins.nextEventPairs(ev, "user_id", "tsu",
+        "event_id", "event_type")
+      .queryExecution.executedPlan.toString
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges <= 2, // lead window + the catalog's distinct agg
+      s"expected at most 2 hash exchanges, got $hashExchanges:\n${plan.take(1200)}")
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      "the type catalog must broadcast")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("t96: backoff scoring joins gram keys only — no cross product, totals broadcast") {
     val plan = operators.CorpusOps.trigramBackoffScore(
         Tables.documents(spark, dir), "doc_id", "text",

@@ -504,6 +504,30 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("next-event pairs: positive is the true successor, negative differs") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.TrainingData.eventsNextPairs(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(4) != r.getString(3)) // neg != positive
+    }
+    // replay the positives: next_type equals the successor in time order
+    val evs = Tables.eventsNanos(spark, dir)
+      .select(col("user_id"), expr("ts div 1000").as("tsu"),
+        col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val succ = evs.groupBy(_._1).flatMap { case (_, g) =>
+      g.sortBy(e => (e._2, e._3)).sliding(2).collect {
+        case Array(a, b) => a._3 -> b._4
+      }
+    }.toMap
+    rows.foreach { r =>
+      assert(succ(r.getLong(0)) == r.getString(3))
+    }
+    assert(rows.length == succ.size) // every event with a successor pairs
+  }
+
   test("LSH ANN buckets have positive recall vs brute force") {
     val emb = Tables.embeddings(spark, dir)
     import org.apache.spark.sql.functions._
