@@ -453,6 +453,46 @@ object EventStreams {
       }
   }
 
+  final case class PitFeatures(event_id: Long, user_id: Long,
+      n_prior: Long, n_prior_target: Long, prior_value_cents: Long)
+
+  /** Streaming point-in-time features — the online face of
+    * [[graft.operators.TimeJoins.pointInTimeFeatures]]: per-user
+    * running state (event count, target count, value cents) is read
+    * BEFORE each arriving event updates it, so every emitted feature
+    * row aggregates strictly earlier history only — the identical
+    * leakage contract the batch operator enforces with its
+    * 1-PRECEDING frame, realized here as keyed state that a serving
+    * path reads at request time (train/serve consistency by
+    * construction). Within a micro-batch, a user's events apply in
+    * (ts, event_id) order — the batch operator's total order.
+    *
+    * State is three longs per user — O(|users|), not O(stream).
+    */
+  def pitFeatureStream(events: Dataset[Event], targetType: String)(
+      implicit enc: org.apache.spark.sql.Encoder[PitFeatures],
+      stateEnc: org.apache.spark.sql.Encoder[(Long, Long, Long)])
+      : Dataset[PitFeatures] = {
+    events.groupByKey(_.user_id)(org.apache.spark.sql.Encoders.scalaLong)
+      .flatMapGroupsWithState[(Long, Long, Long), PitFeatures](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[(Long, Long, Long)]) =>
+          var (n, nTgt, cents) = state.getOption.getOrElse((0L, 0L, 0L))
+          val out = scala.collection.mutable.ListBuffer.empty[PitFeatures]
+          // (seconds, nanos-within-second, id): getTime alone is
+          // millisecond-truncated and would misorder same-ms events
+          for (e <- rows.toSeq.sortBy(e =>
+              (e.ts.getTime / 1000, e.ts.getNanos, e.event_id))) {
+            out += PitFeatures(e.event_id, userId, n, nTgt, cents)
+            n += 1
+            if (e.event_type == targetType) nTgt += 1
+            cents += math.floor(e.value * 100 + 0.5).toLong
+          }
+          state.update((n, nTgt, cents))
+          out.iterator
+      }
+  }
+
   /** Drive a streaming query synchronously into a memory sink
     * (local smoke path: batch parquet feeds the stream).
     */

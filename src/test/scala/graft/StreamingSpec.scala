@@ -123,6 +123,24 @@ class StreamingSpec extends AnyFunSuite {
     rows.foreach(r => assert(!r.start_ts.after(r.end_ts)))
   }
 
+  test("streaming pit features equal the batch operator's on a static source") {
+    import spark.implicits._
+    val events = batchEvents
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventStreams.Event]
+    val got = EventStreams.pitFeatureStream(events, targetType = "purchase")
+      .toDF()
+    val expected = operators.TimeJoins.pointInTimeFeatures(
+        Tables.eventsNanos(spark, dir)
+          .select(col("user_id"), expr("ts div 1000").as("tsu"),
+            col("event_id"), col("event_type"), col("value")),
+        "user_id", "tsu", "event_id", "event_type", "value", "purchase")
+      .select("event_id", "user_id", "n_prior", "n_prior_target",
+        "prior_value_cents")
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "online keyed-state features must equal the batch 1-PRECEDING frames")
+  }
+
   test("stream-vs-index dedup drops only already-indexed documents") {
     import spark.implicits._
     // stage a tiny "incoming docs" stream directory
