@@ -2080,12 +2080,17 @@ object CorpusOps {
     val tri = ref.select(
         explode(multisetGrams(TextFunctions.tokens(col(textCol)), 3)).as("g3"))
       .groupBy("g3").agg(count(lit(1)).as("c3"))
-    val bi = Dedup.barrier(ref.select(
+    // checkpoint-pin bi (2 join consumers) and uni (2 joins + the
+    // token total): a shared exchange is NOT reused here because each
+    // consumer pushes its own rename/pruning into the subtree, so
+    // without the pin the reference re-tokenizes once per consumer
+    // (ExplainAudit showed 5 extra reference scans)
+    val bi = ref.select(
         explode(multisetGrams(TextFunctions.tokens(col(textCol)), 2)).as("g2"))
-      .groupBy("g2").agg(count(lit(1)).as("c2")), col("g2"))
-    val uni = Dedup.barrier(ref.select(
+      .groupBy("g2").agg(count(lit(1)).as("c2")).localCheckpoint()
+    val uni = ref.select(
         explode(TextFunctions.tokens(col(textCol))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("c1")), col("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1")).localCheckpoint()
     val totals = uni.agg(sum("c1").as("n_total"))
     val dg = docs.select(col(idCol).as("doc_id"),
         explode(multisetGrams(TextFunctions.tokens(col(textCol)), 3)).as("g3"))
@@ -2234,12 +2239,14 @@ object CorpusOps {
         explode(TextFunctions.tokens(col(textCol))).as("w"))
       .groupBy("source", "w").agg(count(lit(1)).as("c"))
     val tot = cnt.groupBy("source").agg(sum("c").as("n"))
-    // ppm feeds the totals agg AND both sides of the pair join
-    val ppm = Dedup.barrier(
-      cnt.join(broadcast(tot), "source")
-        .select(col("source"), col("w"),
-          expr("(c * 1000000) div n").as("ppm")),
-      col("w"))
+    // checkpoint-pin ppm: it feeds the masses agg AND both sides of
+    // the pair join, and per-consumer pruning defeats exchange reuse
+    // (the corpus would otherwise tokenize once per consumer); the
+    // pinned relation is vocabulary-sized per source, never the corpus
+    val ppm = cnt.join(broadcast(tot), "source")
+      .select(col("source"), col("w"),
+        expr("(c * 1000000) div n").as("ppm"))
+      .localCheckpoint()
     val mass = ppm.groupBy("source").agg(sum("ppm").as("s_mass"))
     val shared = ppm.as("a")
       .join(ppm.as("b"),
