@@ -1199,6 +1199,41 @@ object CorpusOps {
     pos.unionAll(neg)
   }
 
+  /** Vocabulary coverage curve — the diminishing-returns diagnostic
+    * a scaling decision reads: for deterministic sample fractions
+    * 10%, 20%, …, 100% (the shared [[sampleBucket]] hash subsets, so
+    * each fraction NESTS inside the next — a true growth curve, not
+    * ten independent samples), how many of the corpus's distinct
+    * word n-grams does the sample cover. Computed in ONE gram pass:
+    * a gram is covered at fraction p iff the MINIMUM sample bucket
+    * over its documents is < p, so the whole curve falls out of the
+    * ≤100-row histogram of per-gram minimum buckets.
+    *
+    * Scale shape: explode grams map-side, shuffle 8-byte fnv64
+    * fingerprints (the t04 collision-freedom discipline — the oracle
+    * replays gram text), one min-agg per gram, then everything runs
+    * on the 100-row histogram. Output: (pct, grams_covered,
+    * coverage_ppm of the full distinct-gram count).
+    */
+  def coverageCurve(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 2): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val g = docs.select(sampleBucket(col(idCol)).as("bucket"),
+        explode(multisetGrams(TextFunctions.tokens(col(textCol)), n))
+          .as("gram"))
+      .select(col("bucket"), call_function("fnv64", col("gram")).as("f"))
+      .groupBy("f").agg(min("bucket").as("minb"))
+    val hist = g.groupBy("minb").agg(count(lit(1)).as("cnt"))
+    val total = hist.agg(sum("cnt").as("n_grams"))
+    val pcts = docs.sparkSession.range(1, 11)
+      .select((col("id") * 10).as("pct"))
+    pcts.join(hist, col("minb") < col("pct"), "left")
+      .groupBy("pct").agg(coalesce(sum("cnt"), lit(0L)).as("grams_covered"))
+      .crossJoin(broadcast(total))
+      .select(col("pct"), col("grams_covered"),
+        expr("(grams_covered * 1000000) div n_grams").as("coverage_ppm"))
+  }
+
   // ---------------------------------------------------------------
   // Deterministic stratified sampling
   // ---------------------------------------------------------------

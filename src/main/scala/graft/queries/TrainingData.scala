@@ -1693,6 +1693,15 @@ object TrainingData {
         "user_id", "tsu", "event_id", "event_type")
       .orderBy("event_id")
 
+  /** Vocabulary coverage curve ([[CorpusOps.coverageCurve]], word
+    * bigrams): distinct-gram coverage at nested 10%…100% hash
+    * samples — the diminishing-returns read.
+    */
+  def docCoverageCurve(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.coverageCurve(Tables.documents(spark, dir), "doc_id",
+        "text", n = 2)
+      .orderBy("pct")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_text_stats" -> docTextStats _,
     "t02_lang_id" -> docLangId _,
@@ -1801,6 +1810,7 @@ object TrainingData {
     "t105_segment_pairs" -> docSegmentPairs _,
     "t106_pit_features" -> eventsPitFeatures _,
     "t107_next_event_pairs" -> eventsNextPairs _,
+    "t108_coverage_curve" -> docCoverageCurve _,
   )
 
   /** Shared DuckDB SELECT replaying [[CorpusOps.hashedLinearScore]]
@@ -4143,6 +4153,35 @@ object TrainingData {
            |FROM b CROSS JOIN cat
            |WHERE b.next_type IS NOT NULL
            |ORDER BY b.event_id""".stripMargin,
+      // t108: the oracle keys grams by TEXT where the engine shuffles
+      // fnv64 fingerprints (t04 collision-freedom discipline); the
+      // curve falls out of the per-gram minimum-bucket histogram
+      "t108_coverage_curve" ->
+        s"""WITH bg AS (
+           |  SELECT ${idMixSql("doc_id")} % 100 AS bucket,
+           |    unnest(CASE WHEN len(ts) < 2 THEN CAST([] AS VARCHAR[])
+           |      ELSE list_transform(range(1, len(ts)), i ->
+           |        ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT)+1]) END)
+           |      AS gram
+           |  FROM (SELECT doc_id, ${TextFunctions.Sql.tokens("text")} AS ts
+           |        FROM documents)
+           |), g AS (
+           |  SELECT gram, MIN(bucket) AS minb FROM bg GROUP BY gram
+           |), hist AS (
+           |  SELECT minb, COUNT(*) AS cnt FROM g GROUP BY minb
+           |), tot AS (
+           |  SELECT SUM(cnt) AS n_grams FROM hist
+           |), pcts AS (
+           |  SELECT unnest(range(1, 11)) * 10 AS pct
+           |)
+           |SELECT CAST(p.pct AS BIGINT) AS pct,
+           |  CAST(COALESCE(SUM(h.cnt), 0) AS BIGINT) AS grams_covered,
+           |  (CAST(COALESCE(SUM(h.cnt), 0) AS BIGINT) * 1000000)
+           |    // CAST((SELECT n_grams FROM tot) AS BIGINT)
+           |    AS coverage_ppm
+           |FROM pcts p LEFT JOIN hist h ON h.minb < p.pct
+           |GROUP BY p.pct
+           |ORDER BY pct""".stripMargin,
       // t73: sign-bit 32-bit-word packing (DuckDB raises on 1<<63, so
       // 32-bit words are the oracle-replayable layout), Hamming via
       // bit_count(xor), candidate cut at 16, exact-cosine refine

@@ -474,6 +474,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("t108: coverage curve shuffles 8-byte fingerprints; the curve runs on the histogram") {
+    val plan = operators.CorpusOps.coverageCurve(
+        Tables.documents(spark, dir), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("fnv64"),
+      "gram shuffle must carry fingerprints, not text")
+    assert(plan.contains("partial_min") || plan.contains("partial_count"),
+      "per-gram min must combine map-side")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("t96: backoff scoring joins gram keys only — no cross product, totals broadcast") {
     val plan = operators.CorpusOps.trigramBackoffScore(
         Tables.documents(spark, dir), "doc_id", "text",

@@ -528,6 +528,20 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(rows.length == succ.size) // every event with a successor pairs
   }
 
+  test("coverage curve: monotone, nested, saturating at 100%") {
+    val rows = graft.queries.TrainingData.docCoverageCurve(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1 to 10).map(_ * 10L))
+    // nested hash samples: coverage never decreases with the fraction
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._2 <= b._2 && a._3 <= b._3)
+      case _ =>
+    }
+    assert(rows.last._3 == 1000000L) // the full corpus covers itself
+    assert(rows.head._2 > 0L)
+  }
+
   test("LSH ANN buckets have positive recall vs brute force") {
     val emb = Tables.embeddings(spark, dir)
     import org.apache.spark.sql.functions._
