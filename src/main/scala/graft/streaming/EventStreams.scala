@@ -493,6 +493,52 @@ object EventStreams {
       }
   }
 
+  /** Streaming corpus-drift monitor — the online face of the batch
+    * drift/divergence reports (t79/t102): per micro-batch of arriving
+    * documents, the L1 distance (1e6 fixed point) between the batch's
+    * unigram distribution and a BROADCAST reference distribution
+    * (per-word ppm, typically the corpus snapshot the current mixture
+    * was tuned on). A spike in the emitted series is the
+    * upstream-changed alarm that gates auto-ingestion.
+    *
+    * Same exact decomposition as the batch operator: Σ_shared
+    * |p_batch − p_ref| + each side's missing mass — words absent from
+    * one side contribute their full weight without a vocabulary
+    * union. Per batch the state is the reference relation only
+    * (broadcast, never grows); emits one row (batch_id, n_docs,
+    * n_tokens, l1_ppm) per micro-batch via foreachBatch into `sink`.
+    */
+  def driftMonitorStream(docs: DataFrame, textCol: String,
+      reference: DataFrame, sink: scala.collection.mutable.Buffer[(Long, Long, Long, Long)]): Unit = {
+    import org.apache.spark.sql.functions._
+    val q = docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val cnt = batch.toDF()
+          .select(explode(graft.functions.TextFunctions.tokens(col(textCol)))
+            .as("w"))
+          .groupBy("w").agg(count(lit(1)).as("c"))
+        val nDocs = batch.count()
+        val tot = cnt.agg(coalesce(sum("c"), lit(0L))).collect()(0).getLong(0)
+        val l1 =
+          if (tot == 0L) 1000000L * 2
+          else {
+            val ppm = cnt.select(col("w"),
+              expr(s"(c * 1000000) div $tot").as("ppm"))
+            val joined = ppm.join(reference
+                .select(col("w"), col("ppm").as("ref_ppm")), Seq("w"), "full")
+              .agg(
+                coalesce(sum(abs(coalesce(col("ppm"), lit(0L)) -
+                  coalesce(col("ref_ppm"), lit(0L)))), lit(0L)).as("l1"))
+            joined.collect()(0).getLong(0)
+          }
+        sink.synchronized { sink += ((batchId, nDocs, tot, l1)) }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Drive a streaming query synchronously into a memory sink
     * (local smoke path: batch parquet feeds the stream).
     */

@@ -141,6 +141,34 @@ class StreamingSpec extends AnyFunSuite {
       "online keyed-state features must equal the batch 1-PRECEDING frames")
   }
 
+  test("streaming drift monitor: self-distribution is 0, shifted batch spikes") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val cnt = docs
+      .select(explode(functions.TextFunctions.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = cnt.agg(sum("c")).collect()(0).getLong(0)
+    val ref = cnt.select(col("w"), expr(s"(c * 1000000) div $tot").as("ppm"))
+
+    def streamOf(df: org.apache.spark.sql.DataFrame, tag: String) = {
+      val d = java.nio.file.Files.createTempDirectory(s"graft_drift_$tag")
+      df.coalesce(1).write.parquet(d.resolve("docs.parquet").toString)
+      spark.readStream.schema(df.schema).parquet(d.toString + "/docs.parquet")
+    }
+    val same = scala.collection.mutable.Buffer.empty[(Long, Long, Long, Long)]
+    EventStreams.driftMonitorStream(
+      streamOf(docs.select("doc_id", "text"), "same"), "text", ref, same)
+    assert(same.nonEmpty && same.forall(_._4 == 0L),
+      s"self-distribution drift must be 0, got $same")
+
+    val shifted = scala.collection.mutable.Buffer.empty[(Long, Long, Long, Long)]
+    EventStreams.driftMonitorStream(
+      streamOf(docs.select(col("doc_id"),
+        lit("qqqzz qqqzz qqqzz").as("text")), "shift"), "text", ref, shifted)
+    assert(shifted.nonEmpty && shifted.forall(_._4 > 1900000L),
+      s"an out-of-vocabulary batch must spike near 2e6, got $shifted")
+  }
+
   test("stream-vs-index dedup drops only already-indexed documents") {
     import spark.implicits._
     // stage a tiny "incoming docs" stream directory
