@@ -1702,6 +1702,15 @@ object TrainingData {
         "text", n = 2)
       .orderBy("pct")
 
+  /** Multi-probe sign-LSH top-k ([[Similarity.lshTopKMultiProbe]],
+    * 8 planes, probes = own bucket + every 1-bit flip): the standard
+    * recall-raiser at the t09 plan shape.
+    */
+  def annLshMultiProbe(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopKMultiProbe(Tables.embeddings(spark, dir), "vec_id",
+        "embedding", k = 3, planes = 8)
+      .orderBy("vec_id", "rank")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_text_stats" -> docTextStats _,
     "t02_lang_id" -> docLangId _,
@@ -1811,6 +1820,7 @@ object TrainingData {
     "t106_pit_features" -> eventsPitFeatures _,
     "t107_next_event_pairs" -> eventsNextPairs _,
     "t108_coverage_curve" -> docCoverageCurve _,
+    "t109_ann_multiprobe" -> annLshMultiProbe _,
   )
 
   /** Shared DuckDB SELECT replaying [[CorpusOps.hashedLinearScore]]
@@ -4182,6 +4192,50 @@ object TrainingData {
            |FROM pcts p LEFT JOIN hist h ON h.minb < p.pct
            |GROUP BY p.pct
            |ORDER BY pct""".stripMargin,
+      // t109: the t09 bucket replay at fixed 8 planes, fanned out to
+      // the query's own bucket plus every 1-bit xor flip; candidates
+      // dedup before the cosine rank exactly as the engine does
+      "t109_ann_multiprobe" ->
+        s"""WITH v AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+           |), proj AS (
+           |  SELECT vec_id, p,
+           |    list_reduce(list_transform(range(1, 65), i ->
+           |      e[CAST(i AS INT)] *
+           |      (CASE WHEN ((p * 1024 + i - 1) * 2654435761 + 123456789)
+           |                   % 4294967296 >= 2147483648
+           |            THEN CAST(1.0 AS DOUBLE)
+           |            ELSE CAST(-1.0 AS DOUBLE) END)),
+           |      (x, y) -> x + y) AS pr
+           |  FROM v, range(0, 8) t(p)
+           |), bkt AS (
+           |  SELECT vec_id,
+           |    CAST(SUM(CASE WHEN pr >= 0 THEN (1 << p) ELSE 0 END)
+           |      AS BIGINT) AS bucket
+           |  FROM proj GROUP BY vec_id
+           |), probes AS (
+           |  SELECT b.vec_id, xor(b.bucket, m.m) AS pb
+           |  FROM bkt b,
+           |    (SELECT CAST(unnest([0, 1, 2, 4, 8, 16, 32, 64, 128])
+           |       AS BIGINT) AS m) m
+           |), cand AS (
+           |  SELECT DISTINCT p.vec_id AS qid, t.vec_id AS nid
+           |  FROM probes p JOIN bkt t
+           |    ON t.bucket = p.pb AND t.vec_id <> p.vec_id
+           |), p2 AS (
+           |  SELECT c.qid AS vec_id, c.nid AS neighbor_id,
+           |    ${cosSql("a.e", "b.e")} AS cosine_sim
+           |  FROM cand c
+           |  JOIN v a ON c.qid = a.vec_id
+           |  JOIN v b ON c.nid = b.vec_id
+           |), r AS (
+           |  SELECT vec_id, neighbor_id, cosine_sim,
+           |    ROW_NUMBER() OVER (PARTITION BY vec_id
+           |      ORDER BY cosine_sim DESC, neighbor_id) AS rank
+           |  FROM p2
+           |)
+           |SELECT vec_id, rank, neighbor_id, cosine_sim FROM r
+           |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
       // t73: sign-bit 32-bit-word packing (DuckDB raises on 1<<63, so
       // 32-bit words are the oracle-replayable layout), Hamming via
       // bit_count(xor), candidate cut at 16, exact-cosine refine

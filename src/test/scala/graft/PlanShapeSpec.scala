@@ -485,6 +485,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("t109: multi-probe keeps the bucket equi-join; fan-out is map-side") {
+    val plan = operators.Similarity.lshTopKMultiProbe(
+        Tables.embeddings(spark, dir), "vec_id", "embedding", 3, 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"multi-probe degraded to all-pairs:\n${plan.take(1200)}")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), "lost the bucket equi-join")
+    assert(plan.contains("Generate"),
+      "probe fan-out must be a map-side explode, not a join")
+  }
+
   test("t96: backoff scoring joins gram keys only — no cross product, totals broadcast") {
     val plan = operators.CorpusOps.trigramBackoffScore(
         Tables.documents(spark, dir), "doc_id", "text",
