@@ -1603,6 +1603,34 @@ object CorpusOps {
       .drop("__root")
   }
 
+  /** Group-k-fold cross-validation assignment — [[leakageSafeSplits]]
+    * generalized from one (train, val, test) draw to k rotating
+    * folds: every document's near-dup CLUSTER (component root, or own
+    * id for singletons) lands in fold = [[idMix]](group) mod k, so a
+    * cluster moves between folds wholesale and no fold's validation
+    * half sees a near-duplicate of another fold's training half — the
+    * grouped-CV contract (sklearn's GroupKFold, with deterministic
+    * hash assignment instead of ordering).
+    *
+    * Scale shape: identical to [[leakageSafeSplits]] — the component
+    * relation (shared/memoized across the session) left-joins the
+    * corpus on id and the fold is one map-side hash.
+    */
+  def groupKFold(docs: DataFrame, idCol: String, textCol: String, k: Int,
+      n: Int = 3, numPerms: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5, compOpt: Option[DataFrame] = None): DataFrame = {
+    require(k > 1, s"k must be at least 2, got $k")
+    val comp = compOpt.getOrElse {
+      val pairs = Dedup.minhashLsh(docs, idCol, textCol, n, numPerms,
+        bands, threshold).select("id_a", "id_b")
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+    }.select(col("node").as(idCol), col("comp").as("__root"))
+    docs.join(comp, Seq(idCol), "left")
+      .withColumn("group_key", coalesce(col("__root"), col(idCol)))
+      .withColumn("fold", idMix(col("group_key")) % k)
+      .drop("__root")
+  }
+
   /** SOFT DEDUP — the loss-weighting alternative to dropping
     * near-duplicates: every document stays in the corpus but carries
     * `weight = 1/cluster_size` (1e6 fixed point), so a document

@@ -1711,6 +1711,16 @@ object TrainingData {
         "embedding", k = 3, planes = 8)
       .orderBy("vec_id", "rank")
 
+  /** Group-k-fold CV assignment ([[CorpusOps.groupKFold]], k = 5,
+    * shared components): near-dup clusters rotate between folds
+    * wholesale.
+    */
+  def docGroupKFold(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.groupKFold(Tables.documents(spark, dir), "doc_id", "text",
+        k = 5, compOpt = Some(sharedComponents(spark, dir)))
+      .select(col("doc_id"), col("group_key"), col("fold"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_text_stats" -> docTextStats _,
     "t02_lang_id" -> docLangId _,
@@ -1821,6 +1831,7 @@ object TrainingData {
     "t107_next_event_pairs" -> eventsNextPairs _,
     "t108_coverage_curve" -> docCoverageCurve _,
     "t109_ann_multiprobe" -> annLshMultiProbe _,
+    "t110_group_kfold" -> docGroupKFold _,
   )
 
   /** Shared DuckDB SELECT replaying [[CorpusOps.hashedLinearScore]]
@@ -2062,6 +2073,32 @@ object TrainingData {
        |  CASE WHEN ${idMixSql("group_key")} % 100 < 10 THEN 'val'
        |       WHEN ${idMixSql("group_key")} % 100 < 20 THEN 'test'
        |       ELSE 'train' END AS split
+       |FROM keyed ORDER BY doc_id""".stripMargin
+
+  /** t110: the t78 component replay with fold = idMix(group) mod k. */
+  private def groupKFoldOracleSql(numPerms: Int, bands: Int,
+      threshold: Double, k: Int): String =
+    s"""WITH RECURSIVE ${minhashCtes(numPerms, bands, threshold)}, edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION
+       |  SELECT id_b AS src, id_a AS dst FROM pairs
+       |), reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |), sel AS (
+       |  SELECT src, dst FROM reach
+       |  UNION
+       |  SELECT src, src AS dst FROM edges
+       |), comp AS (
+       |  SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS root
+       |  FROM sel GROUP BY src
+       |), keyed AS (
+       |  SELECT d.doc_id, COALESCE(c.root, d.doc_id) AS group_key
+       |  FROM documents d LEFT JOIN comp c USING (doc_id)
+       |)
+       |SELECT doc_id, group_key,
+       |  CAST(${idMixSql("group_key")} % $k AS BIGINT) AS fold
        |FROM keyed ORDER BY doc_id""".stripMargin
 
   /** t81: the t78 split replay, collapsed to per-split document and
@@ -3015,6 +3052,7 @@ object TrainingData {
           |FROM s ORDER BY doc_id, chunk_no""".stripMargin,
       "t24_dup_clusters" -> dupClusterOracleSql(64, 16, 0.5),
       "t78_leakage_safe_splits" -> leakageSplitOracleSql(64, 16, 0.5),
+      "t110_group_kfold" -> groupKFoldOracleSql(64, 16, 0.5, k = 5),
       "t80_curation_recipe" ->
         curationRecipeOracleSql(64, 16, 0.5, cap = 20, tempScale = 4.0),
       "t81_split_fractions" -> splitFractionsOracleSql(64, 16, 0.5),

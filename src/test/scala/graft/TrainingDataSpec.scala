@@ -542,6 +542,20 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(rows.head._2 > 0L)
   }
 
+  test("group k-fold: clusters move wholesale, all folds populated") {
+    val rows = graft.queries.TrainingData.docGroupKFold(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._3).distinct.sorted.sameElements(Array(0L, 1L, 2L, 3L, 4L)))
+    // every group's members share one fold — the grouped-CV contract
+    rows.groupBy(_._2).foreach { case (_, g) =>
+      assert(g.map(_._3).distinct.length == 1)
+    }
+    // folds agree with t78's group keys (same shared components)
+    val splits = graft.queries.TrainingData.docLeakageSafeSplits(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, gk, _) => assert(splits(id) == gk) }
+  }
+
   test("LSH ANN buckets have positive recall vs brute force") {
     val emb = Tables.embeddings(spark, dir)
     import org.apache.spark.sql.functions._
