@@ -86,6 +86,59 @@ object TimeJoins {
       .withColumn(countName, coalesce(col(countName), lit(0L)))
   }
 
+  /** Ordered funnel analysis — the classic product-analytics read
+    * over an event log: for a stage sequence (e.g. signup → view →
+    * purchase), a user reaches stage i+1 only via an event STRICTLY
+    * AFTER their stage-i completion time and WITHIN `maxGapUs` of it
+    * (the windowed-funnel contract — "viewed within an hour of
+    * signup"; first-touch semantics: each stage binds to its earliest
+    * qualifying event). Emits one
+    * row per stage: users reaching it, conversion from stage 1 and
+    * from the previous stage (ppm — exact integer divisions).
+    *
+    * Scale shape: ONE shuffle on the user key; each stage is one
+    * more Window pass over the SAME partitioning (a min over a
+    * condition referencing the previous stage's window value), so
+    * Catalyst plans re-sorts, never new exchanges; the per-stage
+    * counts are a |stages|-row aggregation of per-user booleans.
+    */
+  def funnel(events: DataFrame, userCol: String, tsUsCol: String,
+      typeCol: String, stages: Seq[String],
+      maxGapUs: Long = Long.MaxValue): DataFrame = {
+    require(stages.size >= 2, "need at least two funnel stages")
+    require(maxGapUs > 0, s"maxGapUs must be positive, got $maxGapUs")
+    val w = Window.partitionBy("user_id")
+    val base = events.select(col(userCol).as("user_id"),
+      col(tsUsCol).as("tsu"), col(typeCol).as("etype"))
+    val staged = stages.zipWithIndex.foldLeft(base) {
+      case (df, (stage, i)) =>
+        val cond =
+          if (i == 0) col("etype") === stage
+          else col("etype") === stage && col(s"s${i - 1}").isNotNull &&
+            col("tsu") > col(s"s${i - 1}") &&
+            col("tsu") - col(s"s${i - 1}") <= maxGapUs
+        df.withColumn(s"s$i", min(when(cond, col("tsu"))).over(w))
+    }
+    val reach = stages.indices.map(i =>
+      max(col(s"s$i").isNotNull.cast("long")).as(s"r$i"))
+    val perUser = staged.groupBy("user_id")
+      .agg(reach.head, reach.tail: _*)
+    val stageCounts = stages.indices.map(i => sum(s"r$i").as(s"n$i"))
+    val counts = perUser.agg(count(lit(1)).as("n_users"),
+      stageCounts: _*)
+    val rows = stages.zipWithIndex.map { case (stage, i) =>
+      struct(lit(i + 1).cast("long").as("stage_no"),
+        lit(stage).as("stage"),
+        col(s"n$i").as("n_reached"),
+        expr(s"(n$i * 1000000) div greatest(n0, 1)").as("from_first_ppm"),
+        expr(s"(n$i * 1000000) div greatest(n${math.max(i - 1, 0)}, 1)")
+          .as("from_prev_ppm"))
+    }
+    counts.select(explode(array(rows: _*)).as("s"))
+      .select(col("s.stage_no"), col("s.stage"), col("s.n_reached"),
+        col("s.from_first_ppm"), col("s.from_prev_ppm"))
+  }
+
   /** Point-in-time feature snapshot — the leakage-safe feature-
     * engineering primitive: for every event, aggregates over the
     * SAME user's STRICTLY EARLIER events only (the frame ends at

@@ -1721,6 +1721,20 @@ object TrainingData {
       .select(col("doc_id"), col("group_key"), col("fold"))
       .orderBy("doc_id")
 
+  /** Ordered funnel ([[TimeJoins.funnel]], signup → view → purchase,
+    * first-touch, each stage within 24 HOURS of the previous):
+    * per-stage reach and conversion ppm.
+    */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame =
+    TimeJoins.funnel(
+        Tables.eventsNanos(spark, dir)
+          .select(col("user_id"), expr("ts div 1000").as("tsu"),
+            col("event_type")),
+        "user_id", "tsu", "event_type",
+        stages = Seq("signup", "view", "purchase"),
+        maxGapUs = 86400L * 1000000L)
+      .orderBy("stage_no")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_text_stats" -> docTextStats _,
     "t02_lang_id" -> docLangId _,
@@ -1832,6 +1846,7 @@ object TrainingData {
     "t108_coverage_curve" -> docCoverageCurve _,
     "t109_ann_multiprobe" -> annLshMultiProbe _,
     "t110_group_kfold" -> docGroupKFold _,
+    "t111_funnel" -> eventsFunnel _,
   )
 
   /** Shared DuckDB SELECT replaying [[CorpusOps.hashedLinearScore]]
@@ -4274,6 +4289,57 @@ object TrainingData {
            |)
            |SELECT vec_id, rank, neighbor_id, cosine_sim FROM r
            |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
+      // t111: first-touch stage times chain through per-user window
+      // minima with strict-inequality conditions; conversions are
+      // exact integer ppm
+      "t111_funnel" ->
+        """WITH e AS (
+          |  SELECT user_id, epoch_us(ts) AS tsu, event_type FROM events
+          |), s AS (
+          |  SELECT user_id, tsu, event_type,
+          |    MIN(CASE WHEN event_type = 'signup' THEN tsu END)
+          |      OVER (PARTITION BY user_id) AS s0
+          |  FROM e
+          |), s1t AS (
+          |  SELECT *, MIN(CASE WHEN event_type = 'view' AND s0 IS NOT NULL
+          |      AND tsu > s0 AND tsu - s0 <= 86400000000 THEN tsu END)
+          |    OVER (PARTITION BY user_id) AS s1
+          |  FROM s
+          |), s2t AS (
+          |  SELECT *, MIN(CASE WHEN event_type = 'purchase'
+          |      AND s1 IS NOT NULL AND tsu > s1
+          |      AND tsu - s1 <= 86400000000 THEN tsu END)
+          |    OVER (PARTITION BY user_id) AS s2
+          |  FROM s1t
+          |), pu AS (
+          |  SELECT user_id,
+          |    MAX(CASE WHEN s0 IS NOT NULL THEN 1 ELSE 0 END) AS r0,
+          |    MAX(CASE WHEN s1 IS NOT NULL THEN 1 ELSE 0 END) AS r1,
+          |    MAX(CASE WHEN s2 IS NOT NULL THEN 1 ELSE 0 END) AS r2
+          |  FROM s2t GROUP BY user_id
+          |), c AS (
+          |  SELECT CAST(SUM(r0) AS BIGINT) AS n0,
+          |    CAST(SUM(r1) AS BIGINT) AS n1,
+          |    CAST(SUM(r2) AS BIGINT) AS n2
+          |  FROM pu
+          |)
+          |SELECT * FROM (
+          |  SELECT CAST(1 AS BIGINT) AS stage_no, 'signup' AS stage,
+          |    n0 AS n_reached,
+          |    (n0 * 1000000) // GREATEST(n0, 1) AS from_first_ppm,
+          |    (n0 * 1000000) // GREATEST(n0, 1) AS from_prev_ppm
+          |  FROM c
+          |  UNION ALL
+          |  SELECT CAST(2 AS BIGINT), 'view', n1,
+          |    (n1 * 1000000) // GREATEST(n0, 1),
+          |    (n1 * 1000000) // GREATEST(n0, 1)
+          |  FROM c
+          |  UNION ALL
+          |  SELECT CAST(3 AS BIGINT), 'purchase', n2,
+          |    (n2 * 1000000) // GREATEST(n0, 1),
+          |    (n2 * 1000000) // GREATEST(n1, 1)
+          |  FROM c
+          |) ORDER BY stage_no""".stripMargin,
       // t73: sign-bit 32-bit-word packing (DuckDB raises on 1<<63, so
       // 32-bit words are the oracle-replayable layout), Hamming via
       // bit_count(xor), candidate cut at 16, exact-cosine refine

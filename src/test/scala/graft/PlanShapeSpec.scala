@@ -497,6 +497,20 @@ class PlanShapeSpec extends AnyFunSuite {
       "probe fan-out must be a map-side explode, not a join")
   }
 
+  test("t111: funnel stages stack windows on ONE per-user shuffle") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.eventsNanos(spark, dir)
+      .select(col("user_id"), expr("ts div 1000").as("tsu"),
+        col("event_type"))
+    val plan = operators.TimeJoins.funnel(ev, "user_id", "tsu",
+        "event_type", Seq("signup", "view", "purchase"),
+        maxGapUs = 86400L * 1000000L)
+      .queryExecution.executedPlan.toString
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 1,
+      s"expected 1 hash exchange, got $hashExchanges:\n${plan.take(1200)}")
+  }
+
   test("t96: backoff scoring joins gram keys only — no cross product, totals broadcast") {
     val plan = operators.CorpusOps.trigramBackoffScore(
         Tables.documents(spark, dir), "doc_id", "text",

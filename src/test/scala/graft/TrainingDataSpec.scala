@@ -556,6 +556,28 @@ class TrainingDataSpec extends AnyFunSuite {
     rows.foreach { case (id, gk, _) => assert(splits(id) == gk) }
   }
 
+  test("funnel: monotone drop-off, window binds, planted path converts") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = graft.queries.TrainingData.eventsFunnel(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+    // reach can only shrink down the funnel, and the window bites
+    assert(rows(0)._2 >= rows(1)._2 && rows(1)._2 >= rows(2)._2)
+    assert(rows(1)._2 < rows(0)._2, "the 24h window must exclude someone")
+    // planted micro-log: u1 completes in order, u2 views BEFORE signup
+    // (must not count), u3 signs up only
+    val log = Seq(
+      (1L, 100L, "signup"), (1L, 200L, "view"), (1L, 300L, "purchase"),
+      (2L, 200L, "view"), (2L, 300L, "signup"),
+      (3L, 100L, "signup"))
+      .toDF("user_id", "tsu", "event_type")
+    val got = operators.TimeJoins.funnel(log, "user_id", "tsu",
+        "event_type", Seq("signup", "view", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // stage reach: all 3 sign up; only u1's view follows signup; u1 buys
+    assert(got(1L) == 3L && got(2L) == 1L && got(3L) == 1L)
+  }
+
   test("LSH ANN buckets have positive recall vs brute force") {
     val emb = Tables.embeddings(spark, dir)
     import org.apache.spark.sql.functions._
