@@ -1314,6 +1314,14 @@ object CorpusOps {
     val pri = docs.filter(col(weightCol) > 0)
       .select(col(idCol).as("doc_id"),
         col(weightCol).cast("long").as("weight"))
+      // weight·2³² must stay inside Long: a weight ≥ 2³¹ would silently
+      // wrap and corrupt the sample order, so it fails loudly instead
+      // (raise_error, the executor-side analogue of require).
+      .withColumn("weight",
+        when(col("weight") >= lit(1L << 31), raise_error(concat(
+          lit("prioritySample: weight >= 2^31 overflows the priority " +
+            "computation: "), col("weight").cast("string"))))
+          .otherwise(col("weight")))
       .withColumn("u1", idMix(col("doc_id")) + lit(1L))
       .withColumn("priority", expr("(weight * 4294967296) div u1"))
       .drop("u1")
@@ -1754,9 +1762,19 @@ object CorpusOps {
   def splitFractions(splits: DataFrame, valPct: Int = 10,
       testPct: Int = 10): DataFrame = {
     require(valPct >= 0 && testPct >= 0 && valPct + testPct <= 100)
-    val per = splits.groupBy("split").agg(
-      count(lit(1)).as("n_docs"),
-      countDistinct(col("group_key")).as("n_groups"))
+    import splits.sparkSession.implicits._
+    // Left-join the realized counts onto the STATIC split set: a split
+    // left entirely empty by a mega-cluster draw — the worst skew this
+    // audit exists to surface — must appear with n_docs=0 and dev equal
+    // to its full target fraction, not silently vanish from the report.
+    val per = Seq("train", "val", "test").toDF("split")
+      .join(splits.groupBy("split").agg(
+          count(lit(1)).as("__nd"),
+          countDistinct(col("group_key")).as("__ng")),
+        Seq("split"), "left")
+      .select(col("split"),
+        coalesce(col("__nd"), lit(0L)).as("n_docs"),
+        coalesce(col("__ng"), lit(0L)).as("n_groups"))
     val tot = per.agg(sum("n_docs").as("__td"), sum("n_groups").as("__tg"))
     val target = (when(col("split") === "val", lit(valPct.toLong))
       .when(col("split") === "test", lit(testPct.toLong))

@@ -2153,10 +2153,15 @@ object TrainingData {
        |         WHEN ${idMixSql("group_key")} % 100 < 20 THEN 'test'
        |         ELSE 'train' END AS split
        |  FROM keyed
-       |), per AS (
+       |), per0 AS (
        |  SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
        |    CAST(COUNT(DISTINCT group_key) AS BIGINT) AS n_groups
        |  FROM spl GROUP BY split
+       |), per AS (
+       |  SELECT s.split, COALESCE(n_docs, 0) AS n_docs,
+       |    COALESCE(n_groups, 0) AS n_groups
+       |  FROM (VALUES ('train'), ('val'), ('test')) s(split)
+       |  LEFT JOIN per0 USING (split)
        |), tot AS (
        |  SELECT CAST(SUM(n_docs) AS BIGINT) AS td,
        |    CAST(SUM(n_groups) AS BIGINT) AS tg
@@ -4194,7 +4199,10 @@ object TrainingData {
           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
           |ORDER BY event_id""".stripMargin,
       // t107: the negative index applies the shared id-mix cyclically
-      // AFTER the positive's catalog position, so it always differs
+      // AFTER the positive's catalog position, so it always differs.
+      // The len(types) > 1 CASE mirrors the engine's when(n_types > 1)
+      // guard: on a degenerate single-type catalog both sides emit a
+      // NULL neg_type instead of the oracle dividing by zero.
       "t107_next_event_pairs" ->
         s"""WITH e AS (
            |  SELECT event_id, user_id, epoch_us(ts) AS tsu, event_type
@@ -4209,10 +4217,11 @@ object TrainingData {
            |  FROM events
            |)
            |SELECT b.event_id, b.user_id, b.etype, b.next_type,
-           |  types[CAST((((list_position(types, b.next_type) - 1) + 1 +
-           |    ${idMixSql("(b.user_id * 1048576 + b.event_id)")}
-           |      % (len(types) - 1)) % len(types)) + 1 AS INT)]
-           |    AS neg_type
+           |  CASE WHEN len(types) > 1 THEN
+           |    types[CAST((((list_position(types, b.next_type) - 1) + 1 +
+           |      ${idMixSql("(b.user_id * 1048576 + b.event_id)")}
+           |        % (len(types) - 1)) % len(types)) + 1 AS INT)]
+           |  END AS neg_type
            |FROM b CROSS JOIN cat
            |WHERE b.next_type IS NOT NULL
            |ORDER BY b.event_id""".stripMargin,

@@ -454,7 +454,8 @@ object EventStreams {
   }
 
   final case class PitFeatures(event_id: Long, user_id: Long,
-      n_prior: Long, n_prior_target: Long, prior_value_cents: Long)
+      n_prior: Long, n_prior_target: Long, prior_value_cents: Long,
+      late: Boolean)
 
   /** Streaming point-in-time features — the online face of
     * [[graft.operators.TimeJoins.pointInTimeFeatures]]: per-user
@@ -467,28 +468,48 @@ object EventStreams {
     * construction). Within a micro-batch, a user's events apply in
     * (ts, event_id) order — the batch operator's total order.
     *
-    * State is three longs per user — O(|users|), not O(stream).
+    * CROSS-batch ordering cannot be assumed: an event arriving in a
+    * later micro-batch with an earlier event time would read state
+    * that already includes later-timestamped history — features that
+    * both diverge from the batch operator and leak the future relative
+    * to event time. The state therefore carries the user's last-seen
+    * (event-time µs, event_id) high-water mark; an arrival at or below
+    * it is emitted with `late = true` and does NOT advance state (its
+    * out-of-order contribution would corrupt every subsequent forward
+    * feature). Consumers drop (or route to backfill) late rows; the
+    * batch equivalence contract holds exactly for the `late = false`
+    * stream, which is the whole stream whenever arrival respects
+    * event-time order across batches (always true within one batch).
+    *
+    * State is five longs per user — O(|users|), not O(stream).
     */
   def pitFeatureStream(events: Dataset[Event], targetType: String)(
       implicit enc: org.apache.spark.sql.Encoder[PitFeatures],
-      stateEnc: org.apache.spark.sql.Encoder[(Long, Long, Long)])
+      stateEnc: org.apache.spark.sql.Encoder[(Long, Long, Long, Long, Long)])
       : Dataset[PitFeatures] = {
     events.groupByKey(_.user_id)(org.apache.spark.sql.Encoders.scalaLong)
-      .flatMapGroupsWithState[(Long, Long, Long), PitFeatures](
+      .flatMapGroupsWithState[(Long, Long, Long, Long, Long), PitFeatures](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (userId: Long, rows: Iterator[Event], state: GroupState[(Long, Long, Long)]) =>
-          var (n, nTgt, cents) = state.getOption.getOrElse((0L, 0L, 0L))
+        (userId: Long, rows: Iterator[Event],
+            state: GroupState[(Long, Long, Long, Long, Long)]) =>
+          var (n, nTgt, cents, lastUs, lastId) =
+            state.getOption.getOrElse((0L, 0L, 0L, Long.MinValue, Long.MinValue))
           val out = scala.collection.mutable.ListBuffer.empty[PitFeatures]
           // (seconds, nanos-within-second, id): getTime alone is
           // millisecond-truncated and would misorder same-ms events
           for (e <- rows.toSeq.sortBy(e =>
               (e.ts.getTime / 1000, e.ts.getNanos, e.event_id))) {
-            out += PitFeatures(e.event_id, userId, n, nTgt, cents)
-            n += 1
-            if (e.event_type == targetType) nTgt += 1
-            cents += math.floor(e.value * 100 + 0.5).toLong
+            val us = (e.ts.getTime / 1000) * 1000000L + e.ts.getNanos / 1000
+            val late = us < lastUs || (us == lastUs && e.event_id <= lastId)
+            out += PitFeatures(e.event_id, userId, n, nTgt, cents, late)
+            if (!late) {
+              n += 1
+              if (e.event_type == targetType) nTgt += 1
+              cents += math.floor(e.value * 100 + 0.5).toLong
+              lastUs = us; lastId = e.event_id
+            }
           }
-          state.update((n, nTgt, cents))
+          state.update((n, nTgt, cents, lastUs, lastId))
           out.iterator
       }
   }
@@ -507,10 +528,19 @@ object EventStreams {
     * union. Per batch the state is the reference relation only
     * (broadcast, never grows); emits one row (batch_id, n_docs,
     * n_tokens, l1_ppm) per micro-batch via foreachBatch into `sink`.
+    *
+    * An EMPTY batch (zero tokens) scores the reference's own total
+    * mass — exactly what the L1 decomposition assigns a batch sharing
+    * no vocabulary with the reference (Σ ref ppm ≈ 1e6 minus floor
+    * dust), so the series stays on one scale with no sentinel value a
+    * reader could mistake for a genuinely disjoint batch.
     */
   def driftMonitorStream(docs: DataFrame, textCol: String,
       reference: DataFrame, sink: scala.collection.mutable.Buffer[(Long, Long, Long, Long)]): Unit = {
     import org.apache.spark.sql.functions._
+    // one driver-side scalar, computed once outside the batch loop
+    val refMass = reference.agg(coalesce(sum("ppm"), lit(0L)))
+      .collect()(0).getLong(0)
     val q = docs.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val cnt = batch.toDF()
@@ -520,7 +550,7 @@ object EventStreams {
         val nDocs = batch.count()
         val tot = cnt.agg(coalesce(sum("c"), lit(0L))).collect()(0).getLong(0)
         val l1 =
-          if (tot == 0L) 1000000L * 2
+          if (tot == 0L) refMass
           else {
             val ppm = cnt.select(col("w"),
               expr(s"(c * 1000000) div $tot").as("ppm"))

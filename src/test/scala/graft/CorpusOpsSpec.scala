@@ -723,6 +723,22 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out.toSet == Set((1L, 5L), (2L, 7L)))
   }
 
+  test("prioritySample: a weight >= 2^31 fails loudly, not silently") {
+    val docs = Seq((1L, 5L), (2L, 1L << 31)).toDF("doc_id", "w")
+    val ex = intercept[Exception] {
+      CorpusOps.prioritySample(docs, "doc_id", "w", 10).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("overflows the priority")),
+      s"expected the overflow guard, got: ${msgs(ex).mkString(" | ")}")
+    // the boundary value 2^31 - 1 is fine
+    val ok = CorpusOps.prioritySample(
+      Seq((1L, (1L << 31) - 1)).toDF("doc_id", "w"), "doc_id", "w", 5)
+      .collect()
+    assert(ok.length == 1 && ok(0).getLong(1) == (1L << 31) - 1)
+  }
+
   test("packingReport: hand-computed fill, padding, and crossings") {
     // one shard (ids all ≡ 0 mod 8): lengths 3,4,2,5 with budget 4
     // concat stream: [0,3) [3,7) [7,9) [9,14) → 14 tokens, 4 seqs,

@@ -103,4 +103,26 @@ class RecipeSpec extends AnyFunSuite {
           r.getAs[Long]("target_frac_x1e6")))
     }
   }
+
+  test("split fractions surface empty splits with zero counts and full-target dev") {
+    import spark.implicits._
+    // force everything into one split: a single group key lands in
+    // exactly one of train/val/test, leaving the other two EMPTY —
+    // the report must still carry all three rows
+    val splits = (0 until 10).map(i => (i.toLong, 42L))
+      .toDF("doc_id", "group_key")
+      .withColumn("split", org.apache.spark.sql.functions.lit("train"))
+    val rep = CorpusOps.splitFractions(splits).collect()
+      .map(r => r.getAs[String]("split") -> r).toMap
+    assert(rep.keySet == Set("train", "val", "test"))
+    assert(rep("train").getAs[Long]("n_docs") == 10L)
+    Seq("val", "test").foreach { s =>
+      assert(rep(s).getAs[Long]("n_docs") == 0L)
+      assert(rep(s).getAs[Long]("n_groups") == 0L)
+      assert(rep(s).getAs[Long]("docs_frac_x1e6") == 0L)
+      assert(rep(s).getAs[Long]("dev_x1e6") ==
+        rep(s).getAs[Long]("target_frac_x1e6"),
+        "an empty split's deviation is its full target fraction")
+    }
+  }
 }

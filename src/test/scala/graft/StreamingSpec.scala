@@ -128,8 +128,12 @@ class StreamingSpec extends AnyFunSuite {
     val events = batchEvents
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .as[EventStreams.Event]
-    val got = EventStreams.pitFeatureStream(events, targetType = "purchase")
+    val all = EventStreams.pitFeatureStream(events, targetType = "purchase")
       .toDF()
+    // a static source is one micro-batch → in-batch sort means no lates
+    assert(all.filter(col("late")).isEmpty,
+      "event-time-ordered arrival must produce zero late rows")
+    val got = all.filter(!col("late")).drop("late")
     val expected = operators.TimeJoins.pointInTimeFeatures(
         Tables.eventsNanos(spark, dir)
           .select(col("user_id"), expr("ts div 1000").as("tsu"),
@@ -139,6 +143,53 @@ class StreamingSpec extends AnyFunSuite {
         "prior_value_cents")
     assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
       "online keyed-state features must equal the batch 1-PRECEDING frames")
+  }
+
+  test("pit features flag cross-batch late arrivals and keep state forward-only") {
+    import spark.implicits._
+    // two files, one per micro-batch (maxFilesPerTrigger=1): the second
+    // carries an event EARLIER in event time than the first batch's —
+    // it must surface flagged late, with state unmoved by it
+    val d = java.nio.file.Files.createTempDirectory("graft_pit_late")
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val batch1 = Seq(
+      (1L, ts(100), 7L, "view", 1.0),
+      (2L, ts(200), 7L, "purchase", 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val batch2 = Seq(
+      (3L, ts(150), 7L, "view", 4.0),   // LATE: before batch 1's ts(200)
+      (4L, ts(300), 7L, "view", 8.0))   // on time
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    // stage each batch as ONE plain file with an explicit mod time —
+    // FileStreamSource orders by modification time, so this pins
+    // batch1 strictly before batch2
+    def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_pit_stage")
+      df.coalesce(1).write.parquet(tmp.resolve("out").toString)
+      val it = java.nio.file.Files.newDirectoryStream(tmp.resolve("out"), "part-*.parquet")
+      val src = it.iterator().next()
+      val dst = d.resolve(name)
+      java.nio.file.Files.copy(src, dst)
+      it.close()
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val t0 = System.currentTimeMillis()
+    stage(batch1, "a.parquet", t0 - 60000)
+    stage(batch2, "b.parquet", t0)
+    val stream = spark.readStream.schema(batch1.schema)
+      .option("maxFilesPerTrigger", 1).parquet(d.toString)
+      .as[EventStreams.Event]
+    val got = EventStreams.runToMemory(
+      EventStreams.pitFeatureStream(stream, targetType = "purchase").toDF(),
+      "pit_late_out")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(got(1L) == ((0L, 0L, 0L, false)))
+    assert(got(2L) == ((1L, 0L, 100L, false)))
+    assert(got(3L)._4, "the out-of-order arrival must be flagged late")
+    assert(got(4L) == ((2L, 1L, 300L, false)),
+      s"a late event must not advance state, got ${got(4L)}")
   }
 
   test("streaming drift monitor: self-distribution is 0, shifted batch spikes") {
@@ -167,6 +218,16 @@ class StreamingSpec extends AnyFunSuite {
         lit("qqqzz qqqzz qqqzz").as("text")), "shift"), "text", ref, shifted)
     assert(shifted.nonEmpty && shifted.forall(_._4 > 1900000L),
       s"an out-of-vocabulary batch must spike near 2e6, got $shifted")
+
+    // an empty (zero-token) batch scores the reference's own mass —
+    // the L1 the decomposition assigns it, not a sentinel
+    val refMass = ref.agg(sum("ppm")).collect()(0).getLong(0)
+    val empty = scala.collection.mutable.Buffer.empty[(Long, Long, Long, Long)]
+    EventStreams.driftMonitorStream(
+      streamOf(docs.filter(col("doc_id") < 0).select("doc_id", "text"),
+        "empty"), "text", ref, empty)
+    assert(empty.nonEmpty && empty.forall(_._4 == refMass),
+      s"an empty batch must score the reference mass $refMass, got $empty")
   }
 
   test("stream-vs-index dedup drops only already-indexed documents") {
