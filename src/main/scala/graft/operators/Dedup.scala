@@ -232,20 +232,57 @@ object Dedup {
     scoreJaccard(candidates, shA, shB)
       .filter(col("jaccard") >= threshold)
 
-  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, numPerms: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
-    val (withSigB, bandedB) = sigBands(docs, idCol, textCol, n, numPerms, bands)
+  /** The MinHash-LSH front end every near-dup-family operator shares:
+    * `shingles` = (id, sh) sorted distinct-shingle arrays, `candidates`
+    * = the distinct band-collision (id_a, id_b) pairs with id_a < id_b.
+    * Threshold-independent — thresholds are applied by each consumer's
+    * verify step, so ONE front end serves minhashLsh, containment,
+    * edit-distance, and contrastive mining at their own cutoffs.
+    */
+  final case class LshCandidates(shingles: DataFrame, candidates: DataFrame)
 
+  /** Un-pinned front end: shingle sets + band-collision candidates as
+    * lazy dataflow (each single-operator plan keeps its current shape).
+    */
+  private def lshFrontEnd(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, numPerms: Int, bands: Int): LshCandidates = {
+    val (withSigB, bandedB) = sigBands(docs, idCol, textCol, n, numPerms, bands)
     val candidates = bandedB.as("a")
       .join(bandedB.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    LshCandidates(withSigB.select(col("id"), col("sh")), candidates)
+  }
 
-    val sh = withSigB.select(col("id"), col("sh"))
-    verifyJaccard(candidates, sh, sh, threshold)
+  /** MATERIALIZED front end — tokenize → MinHash → band → candidate
+    * join runs ONCE and both relations are localCheckpoint-pinned for
+    * every consumer in the session (exchange reuse does not survive
+    * per-consumer pushdown differences; the pin does). A session
+    * running the whole near-dup family (pairs, containment,
+    * edit-distance tier, contrastive mining, components) reads the
+    * corpus text once instead of once per operator — at 100 TB that
+    * is the difference between one corpus scan and five (the pinned
+    * relations are shingle arrays + id pairs, a small multiple of the
+    * text for `shingles` and duplicate-set-sized for `candidates`; on
+    * a cluster the localCheckpoint becomes a checkpoint to reliable
+    * storage, same note as [[connectedComponents]]).
+    */
+  def lshCandidates(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numPerms: Int = 64, bands: Int = 16): LshCandidates = {
+    val fe = lshFrontEnd(docs, idCol, textCol, n, numPerms, bands)
+    LshCandidates(fe.shingles.localCheckpoint(),
+      fe.candidates.localCheckpoint())
+  }
+
+  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numPerms: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5,
+      candOpt: Option[LshCandidates] = None): DataFrame = {
+    val fe = candOpt.getOrElse(
+      lshFrontEnd(docs, idCol, textCol, n, numPerms, bands))
+    verifyJaccard(fe.candidates, fe.shingles, fe.shingles, threshold)
   }
 
   /** Edit-distance verification tier over the LSH candidate set —
@@ -261,7 +298,8 @@ object Dedup {
     * integer both engines implement identically — and the verdict is
     * an integer cross-multiplication (dist·100 ≤ maxLen·pct).
     *
-    * Scale shape: ONE [[sigBands]] pass (the minhashLsh plan);
+    * Scale shape: ONE [[sigBands]] pass (the minhashLsh plan), or
+    * ZERO new passes when a shared [[LshCandidates]] is supplied;
     * document TEXT moves only for candidate pairs (two id equi-joins
     * of the candidate relation against the corpus projection), and
     * the O(len²) DP runs once per candidate — candidate-sized work,
@@ -269,16 +307,12 @@ object Dedup {
     */
   def editDistanceDedup(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numPerms: Int = 64, bands: Int = 16,
-      maxDistPct: Int = 5): DataFrame = {
+      maxDistPct: Int = 5,
+      candOpt: Option[LshCandidates] = None): DataFrame = {
     require(maxDistPct > 0 && maxDistPct <= 100,
       s"maxDistPct must be in (0, 100], got $maxDistPct")
-    val (_, bandedB) = sigBands(docs, idCol, textCol, n, numPerms, bands)
-    val candidates = bandedB.as("a")
-      .join(bandedB.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    val candidates = candOpt.getOrElse(
+      lshFrontEnd(docs, idCol, textCol, n, numPerms, bands)).candidates
     val txt = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
     candidates
       .join(txt.select(col("id").as("id_a"), col("txt").as("txt_a")), "id_a")
@@ -310,17 +344,14 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numPerms: Int = 64, bands: Int = 16,
-      threshold: Long = 800000L): DataFrame = {
+      threshold: Long = 800000L,
+      candOpt: Option[LshCandidates] = None): DataFrame = {
     require(threshold > 0 && threshold <= 1000000L,
       s"threshold is ppm in (0, 1e6], got $threshold")
-    val (withSigB, bandedB) = sigBands(docs, idCol, textCol, n, numPerms, bands)
-    val candidates = bandedB.as("a")
-      .join(bandedB.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    val sh = withSigB.select(col("id"), col("sh"))
+    val fe = candOpt.getOrElse(
+      lshFrontEnd(docs, idCol, textCol, n, numPerms, bands))
+    val candidates = fe.candidates
+    val sh = fe.shingles
     candidates
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -366,18 +397,14 @@ object Dedup {
     */
   def contrastivePairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numPerms: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5, negBuckets: Int = 64): DataFrame = {
-    val (withSigB, bandedB) = sigBands(docs, idCol, textCol, n, numPerms, bands)
-    val candidates = bandedB.as("a")
-      .join(bandedB.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    val sh = withSigB.select(col("id"), col("sh"))
+      threshold: Double = 0.5, negBuckets: Int = 64,
+      candOpt: Option[LshCandidates] = None): DataFrame = {
+    val fe = candOpt.getOrElse(
+      lshFrontEnd(docs, idCol, textCol, n, numPerms, bands))
+    val sh = fe.shingles
     // pinned: the scored relation is consumed by all three tiers
     // (pos, hard, and the pos-anchor seed of random)
-    val scored = barrier(scoreJaccard(candidates, sh, sh),
+    val scored = barrier(scoreJaccard(fe.candidates, sh, sh),
       col("id_a"), col("id_b"))
     val pos = scored.filter(col("jaccard") >= threshold)
     val hard = scored.filter(col("jaccard") < threshold)

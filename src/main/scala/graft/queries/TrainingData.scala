@@ -97,7 +97,8 @@ object TrainingData {
     */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLsh(Tables.documents(spark, dir), "doc_id", "text",
-        n = 3, numPerms = 64, bands = 16, threshold = 0.5)
+        n = 3, numPerms = 64, bands = 16, threshold = 0.5,
+        candOpt = Some(sharedLshCandidates(spark, dir)))
       .select("id_a", "id_b", "jaccard")
       .orderBy("id_a", "id_b")
 
@@ -181,6 +182,31 @@ object TrainingData {
     sharedCentroids(spark, s"$dir/embeddings", Tables.embeddings(spark, dir),
       minNlist)
 
+  private val lshCandCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Memo[Dedup.LshCandidates]]
+
+  /** One materialized MinHash-LSH front end (shingle sets + band-
+    * collision candidate pairs, [[Dedup.lshCandidates]]) per (session,
+    * corpus snapshot) at the family's shared parameters (n = 3,
+    * 64 perms, 16 bands) — reused by every near-dup-family consumer:
+    * t06 pairs, t90 contrastive mining, t100 edit-distance tier,
+    * t101 containment, and the t24/t42/t78/t81/t85/t110 component
+    * closure via [[sharedComponents]]. The front end is threshold-
+    * independent (each consumer verifies at its own cutoff) and
+    * deterministic, so sharing is oracle-invisible; it replaces one
+    * full tokenize→MinHash→band corpus scan PER OPERATOR with one per
+    * session. Keyed by applicationId so a fresh session (whose
+    * localCheckpoint blocks are gone) rebuilds rather than reading
+    * dead blocks.
+    */
+  private def sharedLshCandidates(spark: SparkSession,
+      dir: String): Dedup.LshCandidates =
+    memoized(lshCandCache,
+      (spark.sparkContext.applicationId, s"$dir/documents")) {
+      Dedup.lshCandidates(Tables.documents(spark, dir), "doc_id", "text",
+        n = 3, numPerms = 64, bands = 16)
+    }
+
   private val componentCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), Memo[DataFrame]]
 
@@ -200,7 +226,8 @@ object TrainingData {
     memoized(componentCache,
       (spark.sparkContext.applicationId, s"$dir/documents")) {
       val pairs = Dedup.minhashLsh(Tables.documents(spark, dir), "doc_id",
-        "text", n = 3, numPerms = 64, bands = 16, threshold = 0.5)
+        "text", n = 3, numPerms = 64, bands = 16, threshold = 0.5,
+        candOpt = Some(sharedLshCandidates(spark, dir)))
         .select("id_a", "id_b")
       Dedup.connectedComponents(pairs, "id_a", "id_b")
     }
@@ -1497,7 +1524,7 @@ object TrainingData {
     */
   def docContrastivePairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.contrastivePairs(Tables.documents(spark, dir), "doc_id",
-        "text")
+        "text", candOpt = Some(sharedLshCandidates(spark, dir)))
       .orderBy("anchor_id", "cand_id", "tier")
 
   /** Margin-based mutual-kNN pair mining
@@ -1616,7 +1643,8 @@ object TrainingData {
     * Levenshtein over the band-collision candidates.
     */
   def docEditDistanceDedup(spark: SparkSession, dir: String): DataFrame =
-    Dedup.editDistanceDedup(Tables.documents(spark, dir), "doc_id", "text")
+    Dedup.editDistanceDedup(Tables.documents(spark, dir), "doc_id", "text",
+        candOpt = Some(sharedLshCandidates(spark, dir)))
       .orderBy("id_a", "id_b")
 
   /** Asymmetric containment pairs ([[Dedup.containmentPairs]], t06's
@@ -1624,7 +1652,8 @@ object TrainingData {
     * short-quoted-inside-long duplication symmetric Jaccard misses.
     */
   def docContainmentPairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.containmentPairs(Tables.documents(spark, dir), "doc_id", "text")
+    Dedup.containmentPairs(Tables.documents(spark, dir), "doc_id", "text",
+        candOpt = Some(sharedLshCandidates(spark, dir)))
       .orderBy("id_a", "id_b")
 
   /** Source-divergence map ([[CorpusOps.sourceDivergence]]): pairwise

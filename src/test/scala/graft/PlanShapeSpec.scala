@@ -161,6 +161,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("shared LSH front end: family consumers plan ZERO corpus rescans") {
+    // one materialized lshCandidates serves minhashLsh + containment +
+    // contrastive without touching parquet again (edit-distance re-reads
+    // TEXT for its DP by design — the only allowed scan there)
+    val docs = Tables.documents(spark, dir)
+    val shared = operators.Dedup.lshCandidates(docs, "doc_id", "text")
+    def scans(df: org.apache.spark.sql.DataFrame): Int =
+      "Scan parquet".r.findAllIn(df.queryExecution.executedPlan.toString).size
+    assert(scans(operators.Dedup.minhashLsh(docs, "doc_id", "text",
+      candOpt = Some(shared))) == 0, "minhashLsh must not rescan the corpus")
+    assert(scans(operators.Dedup.containmentPairs(docs, "doc_id", "text",
+      candOpt = Some(shared))) == 0, "containment must not rescan the corpus")
+    assert(scans(operators.Dedup.contrastivePairs(docs, "doc_id", "text",
+      candOpt = Some(shared))) <= 1,
+      "contrastive may scan only for the random-tier bucket mins")
+    assert(scans(operators.Dedup.editDistanceDedup(docs, "doc_id", "text",
+      candOpt = Some(shared))) <= 2,
+      "edit-distance re-reads text for candidate pairs only")
+  }
+
   test("q29: sessionization reuses ONE per-user shuffle for both windows and the agg") {
     // lag-flag window, running-sum window, and the per-(user, session)
     // aggregate all key on user_id — Catalyst must plan a single

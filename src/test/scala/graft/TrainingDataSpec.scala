@@ -2570,4 +2570,21 @@ class TrainingDataSpec extends AnyFunSuite {
         g("exact_intersect") < 3.0 / math.sqrt(rho.toDouble),
       s"intersect ${g("est_intersect")} vs ${g("exact_intersect")} at rho $rho")
   }
+
+  test("shared LSH front end: every family consumer equals its standalone plan") {
+    val docs = Tables.documents(spark, dir)
+    val shared = operators.Dedup.lshCandidates(docs, "doc_id", "text")
+    def same(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame, what: String): Unit =
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"$what diverged between shared and standalone front ends")
+    same(operators.Dedup.minhashLsh(docs, "doc_id", "text", candOpt = Some(shared)),
+      operators.Dedup.minhashLsh(docs, "doc_id", "text"), "minhashLsh")
+    same(operators.Dedup.containmentPairs(docs, "doc_id", "text", candOpt = Some(shared)),
+      operators.Dedup.containmentPairs(docs, "doc_id", "text"), "containmentPairs")
+    same(operators.Dedup.editDistanceDedup(docs, "doc_id", "text", candOpt = Some(shared)),
+      operators.Dedup.editDistanceDedup(docs, "doc_id", "text"), "editDistanceDedup")
+    same(operators.Dedup.contrastivePairs(docs, "doc_id", "text", candOpt = Some(shared)),
+      operators.Dedup.contrastivePairs(docs, "doc_id", "text"), "contrastivePairs")
+  }
 }
