@@ -74,16 +74,18 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // scale headline: excludes the two QUADRATIC-BY-DESIGN exactness
-    // baselines (t08 brute-force ANN, t10 all-pairs embedding dedup)
-    // whose cost is O(n²·d) by construction — t09/t13 are the shipped
-    // LSH paths for the same semantics. At sf >= 1 the quadratic
-    // baselines dominate the total and drown every scale signal.
-    val quadraticBaselines = Set("t08_ann_brute_topk", "t10_emb_near_dup")
+    // scale headline: excludes the three QUADRATIC-BY-DESIGN exactness
+    // baselines (t08 brute-force ANN, t10 all-pairs embedding dedup,
+    // t91 exact cross-side margin mining) whose cost is O(n²·d) by
+    // construction — t09/t13/t112 are the shipped sublinear paths for
+    // the same semantics. At sf >= 1 the quadratic baselines dominate
+    // the total and drown every scale signal.
+    val quadraticBaselines = Set("t08_ann_brute_topk", "t10_emb_near_dup",
+      "t91_margin_pairs")
     val headline = results.collect {
       case (k, v) if !quadraticBaselines(k) => v
     }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_scale_headline":$headline%.3f,"headline_excludes":["t08_ann_brute_topk","t10_emb_near_dup"],"reps":$reps,"reps_spread":$repsSpread%.3f,"queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_scale_headline":$headline%.3f,"headline_excludes":["t08_ann_brute_topk","t10_emb_near_dup","t91_margin_pairs"],"reps":$reps,"reps_spread":$repsSpread%.3f,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

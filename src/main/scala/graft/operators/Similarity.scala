@@ -1318,6 +1318,76 @@ object Similarity {
     marginPairsFromCandidates(
       marginCandidates(emb, idCol, vecCol, sideCol, k), k)
 
+  /** Margin mining over IVF candidates — the 100 TB path (the exact
+    * [[marginMutualPairs]] is the quadratic baseline): candidates
+    * come from the probed cells of the full-corpus trained quantizer
+    * instead of the |A|×|B| cross join.
+    */
+  def marginMutualPairsIvf(emb: DataFrame, idCol: String, vecCol: String,
+      sideCol: Column, k: Int = 4, minNlist: Int = 16, nprobe: Int = 2,
+      centroidsOpt: Option[DataFrame] = None): DataFrame =
+    marginPairsFromCandidates(
+      marginCandidatesIvf(emb, idCol, vecCol, sideCol, k, minNlist,
+        nprobe, centroidsOpt), k)
+
+  /** IVF-fed candidate stage of margin mining — the scale-path twin
+    * of [[marginCandidates]] with the same output columns (a_id, b_id,
+    * cos_i, ra, rb), so [[marginPairsFromCandidates]] consumes either.
+    * Every vector joins the inverted list of its best cell and probes
+    * its `nprobe` nearest cells (the [[ivfSearch]] plan over the FULL
+    * table's Lloyd-trained quantizer); a candidate is a cross-side
+    * meeting inside a probed cell — candidate volume is
+    * n·nprobe·listSize, never |A|·|B|. Ranks are row_numbers within
+    * the surfaced candidate set (probe-limited recall, the standard
+    * IVF caveat: a true neighbor in an unprobed cell is outside the
+    * operator's contract). Cosines are floor(·1e6 + 0.5) longs and the
+    * quantizer/assignment arithmetic is the oracle-exact
+    * [[trainedCentroids]] path, so DuckDB replays the whole pipeline.
+    */
+  def marginCandidatesIvf(emb: DataFrame, idCol: String, vecCol: String,
+      sideCol: Column, k: Int, minNlist: Int = 16, nprobe: Int = 2,
+      centroidsOpt: Option[DataFrame] = None): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val e = transform(col(vecCol), x => x.cast("double"))
+    val v = emb.select(col(idCol).as("id"), e.as("e"), norm(e).as("n"),
+      sideCol.as("side_"))
+    val c = centroidsOpt.getOrElse(
+      trainedCentroids(v.select("id", "e", "n"), minNlist))
+    val scored = v.join(broadcast(c))
+      .select(col("id"),
+        struct((-(dot(col("e"), col("ce")) / (col("n") * col("cn")))).as("negcs"),
+          col("cid")).as("sc"))
+    // pinned probe assignment (the ivfSearch shape: one barrier before
+    // the lists/probes branch point — see [[ivfSearch]])
+    val assigned = Dedup.barrier(
+      scored.groupBy("id")
+        .agg(slice(sort_array(collect_list(col("sc"))), 1, nprobe).as("probes"))
+        .join(v, "id"), col("id"))
+    val lists = Dedup.barrier(
+      assigned.select(col("probes")(0)("cid").as("cid"),
+        col("id"), col("e"), col("n"), col("side_")), col("cid"))
+    val probes = Dedup.barrier(
+      assigned.select(explode(col("probes")("cid")).as("cid"),
+        col("id").as("qid"), col("e").as("qe"), col("n").as("qn"),
+        col("side_").as("qside")), col("cid"))
+    // cross-side meetings only, oriented a = side-true (cosine is
+    // orientation-symmetric: same index-order multiply-add both ways)
+    val cand0 = probes.join(lists,
+        probes("cid") === lists("cid") && col("qside") =!= col("side_"))
+      .select(
+        when(col("qside"), col("qid")).otherwise(col("id")).as("a_id"),
+        when(col("qside"), col("id")).otherwise(col("qid")).as("b_id"),
+        floor(dot(col("qe"), col("e")) / (col("qn") * col("n")) * 1000000
+          + lit(0.5)).cast("long").as("cos_i"))
+      .distinct()
+    val ra = row_number().over(
+      Window.partitionBy("a_id").orderBy(col("cos_i").desc, col("b_id")))
+    val rb = row_number().over(
+      Window.partitionBy("b_id").orderBy(col("cos_i").desc, col("a_id")))
+    cand0.withColumn("ra", ra).withColumn("rb", rb)
+      .filter(col("ra") <= k || col("rb") <= k)
+  }
+
   /** The candidate stage of [[marginMutualPairs]]: the exact
     * cross-side k-NN relation — one row per (a_id, b_id) pair ranked
     * within the top k of EITHER side's neighborhood, with the

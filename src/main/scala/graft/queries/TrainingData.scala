@@ -1537,6 +1537,20 @@ object TrainingData {
         "vec_id", "embedding", col("label") % 2 === 0, k = 4)
       .orderBy("a_id")
 
+  /** Margin mining over IVF candidates
+    * ([[Similarity.marginMutualPairsIvf]], k = 4, shared full-corpus
+    * quantizer, nprobe = 2) — the scale path of t91: cross-side
+    * candidates come from probed IVF cells, never the |A|×|B| cross
+    * join. The oracle replays the Lloyd quantizer, probe routing,
+    * cross-side cell meetings, candidate ranks, and the margin tail.
+    */
+  def embMarginPairsIvf(spark: SparkSession, dir: String): DataFrame =
+    Similarity.marginMutualPairsIvf(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", col("label") % 2 === 0, k = 4,
+        minNlist = 16, nprobe = 2,
+        centroidsOpt = Some(fullCorpusCentroids(spark, dir)))
+      .orderBy("a_id")
+
   /** SFT chat-template rendering with loss-mask spans
     * ([[CorpusOps.sftChatRender]]): each (user, 30-min session) of
     * the events stream becomes one training example — turns rendered
@@ -1876,6 +1890,7 @@ object TrainingData {
     "t109_ann_multiprobe" -> annLshMultiProbe _,
     "t110_group_kfold" -> docGroupKFold _,
     "t111_funnel" -> eventsFunnel _,
+    "t112_margin_pairs_ivf" -> embMarginPairsIvf _,
   )
 
   /** Shared DuckDB SELECT replaying [[CorpusOps.hashedLinearScore]]
@@ -3152,6 +3167,53 @@ object TrainingData {
            |    ROW_NUMBER() OVER (PARTITION BY b_id
            |      ORDER BY margin DESC, a_id) AS mb
            |  FROM c
+           |)
+           |SELECT a_id, b_id, cos_i AS cos_x1e6, margin FROM m
+           |WHERE ma = 1 AND mb = 1 AND margin > 1.0
+           |ORDER BY a_id""".stripMargin,
+      // t112: the IVF scale path of t91 — replays the Lloyd quantizer
+      // + probe routing (the t16 CTE chain), meets sides only inside
+      // probed cells, then runs the identical integer margin tail
+      "t112_margin_pairs_ivf" ->
+        s"""WITH ${ivfKnnCtes(16, 2)}, vs AS (
+           |  SELECT vec_id, label % 2 = 0 AS side FROM embeddings
+           |), cand0 AS (
+           |  SELECT DISTINCT
+           |    CASE WHEN sq.side THEN q.vec_id ELSE l.vec_id END AS a_id,
+           |    CASE WHEN sq.side THEN l.vec_id ELSE q.vec_id END AS b_id,
+           |    CAST(FLOOR(${cosSql("q.e", "l.e")} * 1000000 + 0.5)
+           |      AS BIGINT) AS cos_i
+           |  FROM probes q JOIN lists l ON q.cid = l.cid
+           |  JOIN vs sq ON sq.vec_id = q.vec_id
+           |  JOIN vs sl ON sl.vec_id = l.vec_id
+           |  WHERE sq.side <> sl.side
+           |), r2 AS (
+           |  SELECT *,
+           |    ROW_NUMBER() OVER (PARTITION BY a_id
+           |      ORDER BY cos_i DESC, b_id) AS ra,
+           |    ROW_NUMBER() OVER (PARTITION BY b_id
+           |      ORDER BY cos_i DESC, a_id) AS rb
+           |  FROM cand0
+           |), sa AS (
+           |  SELECT a_id, SUM(cos_i) AS nnsum_a FROM r2
+           |  WHERE ra <= 4 GROUP BY a_id
+           |), sb AS (
+           |  SELECT b_id, SUM(cos_i) AS nnsum_b FROM r2
+           |  WHERE rb <= 4 GROUP BY b_id
+           |), cc AS (
+           |  SELECT r2.a_id, r2.b_id, r2.cos_i,
+           |    CAST(8 * r2.cos_i AS DOUBLE) /
+           |      CAST(nnsum_a + nnsum_b AS DOUBLE) AS margin
+           |  FROM r2 JOIN sa ON r2.a_id = sa.a_id
+           |    JOIN sb ON r2.b_id = sb.b_id
+           |  WHERE (r2.ra <= 4 OR r2.rb <= 4) AND nnsum_a + nnsum_b > 0
+           |), m AS (
+           |  SELECT *,
+           |    ROW_NUMBER() OVER (PARTITION BY a_id
+           |      ORDER BY margin DESC, b_id) AS ma,
+           |    ROW_NUMBER() OVER (PARTITION BY b_id
+           |      ORDER BY margin DESC, a_id) AS mb
+           |  FROM cc
            |)
            |SELECT a_id, b_id, cos_i AS cos_x1e6, margin FROM m
            |WHERE ma = 1 AND mb = 1 AND margin > 1.0

@@ -181,6 +181,17 @@ class PlanShapeSpec extends AnyFunSuite {
       "edit-distance re-reads text for candidate pairs only")
   }
 
+  test("t112: IVF margin mining plans no cartesian/cross product") {
+    // the scale path must meet sides only inside probed cells —
+    // equi-joins on cid; the sole legal broadcast nested loop is the
+    // nlist-row centroid assignment
+    val plan = planOf(operators.Similarity.marginMutualPairsIvf(
+      Tables.embeddings(spark, dir), "vec_id", "embedding",
+      org.apache.spark.sql.functions.col("label") % 2 === 0, k = 4))
+    assert(!plan.contains("CartesianProduct"),
+      "IVF margin path must never plan a cartesian product")
+  }
+
   test("q29: sessionization reuses ONE per-user shuffle for both windows and the agg") {
     // lag-flag window, running-sum window, and the per-(user, session)
     // aggregate all key on user_id — Catalyst must plan a single

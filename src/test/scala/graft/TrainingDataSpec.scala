@@ -2571,6 +2571,24 @@ class TrainingDataSpec extends AnyFunSuite {
       s"intersect ${g("est_intersect")} vs ${g("exact_intersect")} at rho $rho")
   }
 
+  test("t112 IVF margin mining: sound pairs, measured recall vs the exact baseline") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, dir)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.marginMutualPairs(
+      emb, "vec_id", "embedding", col("label") % 2 === 0, k = 4))
+    val ivf = pairs(Similarity.marginMutualPairsIvf(
+      emb, "vec_id", "embedding", col("label") % 2 === 0, k = 4))
+    assert(exact.nonEmpty && ivf.nonEmpty)
+    // margins depend on neighborhood sums, which the probe-limited path
+    // only approximates — overlap is the measured quality floor, not a
+    // correctness contract (the DuckDB oracle gates the IVF contract
+    // itself exactly). Measured: 0.41 at sf0.01, nprobe=2.
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.2, f"IVF margin recall collapsed: $recall%.2f")
+  }
+
   test("shared LSH front end: every family consumer equals its standalone plan") {
     val docs = Tables.documents(spark, dir)
     val shared = operators.Dedup.lshCandidates(docs, "doc_id", "text")
