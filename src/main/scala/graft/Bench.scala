@@ -45,7 +45,24 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // machine-window canary: a fixed reference workload (q01, the
+    // simplest scan+filter+agg) timed once at the head of every sweep.
+    // Cross-round comparisons divide by it — the driver machine has
+    // documented multi-round noise windows (uniform 10–40% inflation;
+    // SCALING.md r9/r10), and canary-relative numbers separate a code
+    // regression from a machine regime shift without forensics.
+    def runCanary(): Double = {
+      val t0 = System.nanoTime()
+      try queries.Relational.q01(spark, sfDir).write.mode("overwrite")
+        .parquet(s"$outRoot/__canary.parquet")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] canary failed: ${e.getMessage}")
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val canaries = scala.collection.mutable.ListBuffer.empty[Double]
     val samples = (0 until reps).map { _ =>
+      canaries += runCanary()
       selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try {
@@ -85,7 +102,10 @@ object Bench {
     val headline = results.collect {
       case (k, v) if !quadraticBaselines(k) => v
     }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_scale_headline":$headline%.3f,"headline_excludes":["t08_ann_brute_topk","t10_emb_near_dup","t91_margin_pairs"],"reps":$reps,"reps_spread":$repsSpread%.3f,"queries":$qs,"sf":"$sfDir"}""")
+    val canary = median(canaries.toSeq)
+    val totalNorm = if (canary > 0) total / canary else 0.0
+    val headlineNorm = if (canary > 0) headline / canary else 0.0
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_scale_headline":$headline%.3f,"headline_excludes":["t08_ann_brute_topk","t10_emb_near_dup","t91_margin_pairs"],"canary_s":$canary%.3f,"total_over_canary":$totalNorm%.1f,"headline_over_canary":$headlineNorm%.1f,"reps":$reps,"reps_spread":$repsSpread%.3f,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
