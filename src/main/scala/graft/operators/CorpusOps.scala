@@ -1264,6 +1264,22 @@ object CorpusOps {
     h3.bitwiseXOR(shiftright(h3, 16))
   }
 
+  /** Scalar twin of [[idMix]] — the identical fold as plain Long
+    * arithmetic, for keyed-state streaming faces that must replay the
+    * deterministic draw row-by-row (a Column can't run inside
+    * flatMapGroupsWithState). Property-tested equal to the Column
+    * form.
+    */
+  def idMixLong(id: Long): Long = {
+    val lo = id & 4294967295L
+    val hi = (id >> 32) & 4294967295L
+    val s0 = lo ^ 123456789L
+    val h1 = ((s0 ^ (s0 >> 16)) * 73244475L) & 4294967295L
+    val h2 = h1 ^ hi
+    val h3 = ((h2 ^ (h2 >> 16)) * 73244475L) & 4294967295L
+    h3 ^ (h3 >> 16)
+  }
+
   /** Sampling bucket in [0, 100): the low two decimal digits of
     * [[idMix]] (whose final xor-fold pushes high-bit entropy into the
     * low bits, so the bucket sees the whole id).

@@ -514,6 +514,133 @@ object EventStreams {
       }
   }
 
+  final case class FunnelUser(user_id: Long, reached: Int,
+      stage_ts: Seq[Long])
+
+  /** Streaming funnel state — the online face of
+    * [[graft.operators.TimeJoins.funnel]] (t111): per-user keyed
+    * state carries each stage's FIRST-TOUCH completion time; an
+    * arriving event advances stage i+1 iff it matches the stage type,
+    * lands strictly after the user's stage-i time, and within
+    * `maxGapUs` of it — the identical windowed first-touch contract
+    * the batch operator realizes with chained window minima.
+    * Incremental processing in event-time order reaches the same
+    * fixed point because a stage time, once set, is final (the
+    * earliest qualifying event has already arrived), so the batch
+    * equivalence holds exactly for event-time-ordered arrival;
+    * cross-batch LATE events are dropped under the same per-user
+    * (event-time, id) high-water mark as [[pitFeatureStream]] (an
+    * out-of-order event could otherwise bind a stage the batch
+    * operator would bind earlier).
+    *
+    * Emits the users whose funnel state CHANGED in the micro-batch —
+    * `reached` (deepest stage index + 1) and the per-stage first-touch
+    * times (-1 = not reached); the latest row per user IS the funnel
+    * readout (per-stage counts = users with reached >= i). State is
+    * |stages|+2 longs per user — O(|users|), not O(stream).
+    */
+  def funnelStream(events: Dataset[Event], stages: Seq[String],
+      maxGapUs: Long = Long.MaxValue)(
+      implicit enc: org.apache.spark.sql.Encoder[FunnelUser],
+      stateEnc: org.apache.spark.sql.Encoder[(Seq[Long], Long, Long)])
+      : Dataset[FunnelUser] = {
+    require(stages.size >= 2, "need at least two funnel stages")
+    require(maxGapUs > 0)
+    val nStages = stages.size
+    events.groupByKey(_.user_id)(org.apache.spark.sql.Encoders.scalaLong)
+      .flatMapGroupsWithState[(Seq[Long], Long, Long), FunnelUser](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event],
+            state: GroupState[(Seq[Long], Long, Long)]) =>
+          var (ts0, lastUs, lastId) = state.getOption.getOrElse(
+            (Seq.fill(nStages)(-1L), Long.MinValue, Long.MinValue))
+          val st = ts0.toArray
+          var changed = false
+          for (e <- rows.toSeq.sortBy(e =>
+              (e.ts.getTime / 1000, e.ts.getNanos, e.event_id))) {
+            val us = (e.ts.getTime / 1000) * 1000000L + e.ts.getNanos / 1000
+            val late = us < lastUs || (us == lastUs && e.event_id <= lastId)
+            if (!late) {
+              lastUs = us; lastId = e.event_id
+              val i = stages.indexOf(e.event_type)
+              if (i >= 0 && st(i) < 0) {
+                val qualifies =
+                  if (i == 0) true
+                  else st(i - 1) >= 0 && us > st(i - 1) &&
+                    us - st(i - 1) <= maxGapUs
+                if (qualifies) { st(i) = us; changed = true }
+              }
+            }
+          }
+          state.update((st.toSeq, lastUs, lastId))
+          if (changed)
+            Iterator(FunnelUser(userId, st.takeWhile(_ >= 0).size, st.toSeq))
+          else Iterator.empty
+      }
+  }
+
+  final case class NextEventPair(event_id: Long, user_id: Long,
+      etype: String, next_type: String, neg_type: Option[String])
+
+  /** Streaming next-event training pairs — the online face of
+    * [[graft.operators.TimeJoins.nextEventPairs]] (t107): per-user
+    * keyed state holds the LAST seen event; when the successor
+    * arrives, the completed (event → next) pair is emitted with the
+    * deterministic hash-drawn negative from the FROZEN type catalog
+    * `types` (sorted; the batch operator derives it from the full
+    * log — a serving face freezes it, exactly like a deployed
+    * vocabulary). The negative replays the batch draw bit-for-bit
+    * ([[graft.operators.CorpusOps.idMixLong]] applied cyclically
+    * after the positive's catalog position), so on an event-time-
+    * ordered source the emitted pairs equal the batch operator's
+    * rows whose catalog matches. Cross-batch LATE events are dropped
+    * under the per-user high-water mark (pairing them would invert
+    * the sequence the label stands for); a single-type catalog
+    * yields None negatives, the batch operator's documented
+    * degenerate case.
+    *
+    * State is one (ts µs, id, type) triple per user.
+    */
+  def nextEventPairStream(events: Dataset[Event], types: Seq[String])(
+      implicit enc: org.apache.spark.sql.Encoder[NextEventPair],
+      stateEnc: org.apache.spark.sql.Encoder[(Long, Long, String)])
+      : Dataset[NextEventPair] = {
+    require(types.nonEmpty && types == types.sorted,
+      "types must be the sorted frozen catalog")
+    val cat = types.toIndexedSeq
+    events.groupByKey(_.user_id)(org.apache.spark.sql.Encoders.scalaLong)
+      .flatMapGroupsWithState[(Long, Long, String), NextEventPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event],
+            state: GroupState[(Long, Long, String)]) =>
+          var (lastUs, lastId, lastType) = state.getOption.getOrElse(
+            (Long.MinValue, Long.MinValue, null: String))
+          val out = scala.collection.mutable.ListBuffer.empty[NextEventPair]
+          for (e <- rows.toSeq.sortBy(e =>
+              (e.ts.getTime / 1000, e.ts.getNanos, e.event_id))) {
+            val us = (e.ts.getTime / 1000) * 1000000L + e.ts.getNanos / 1000
+            val late = us < lastUs || (us == lastUs && e.event_id <= lastId)
+            if (!late) {
+              if (lastType != null) {
+                val posIdx = cat.indexOf(e.event_type).toLong
+                val neg =
+                  if (cat.size > 1 && posIdx >= 0) {
+                    val mix = graft.operators.CorpusOps.idMixLong(
+                      userId * 1048576L + lastId)
+                    val negIdx = (posIdx + 1L + mix % (cat.size - 1L)) % cat.size
+                    Some(cat(negIdx.toInt))
+                  } else None
+                out += NextEventPair(lastId, userId, lastType,
+                  e.event_type, neg)
+              }
+              lastUs = us; lastId = e.event_id; lastType = e.event_type
+            }
+          }
+          state.update((lastUs, lastId, lastType))
+          out.iterator
+      }
+  }
+
   /** Streaming corpus-drift monitor — the online face of the batch
     * drift/divergence reports (t79/t102): per micro-batch of arriving
     * documents, the L1 distance (1e6 fixed point) between the batch's

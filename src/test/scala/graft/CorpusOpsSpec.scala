@@ -723,6 +723,16 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out.toSet == Set((1L, 5L), (2L, 7L)))
   }
 
+  test("idMixLong is the exact scalar twin of the idMix column") {
+    val ids = Seq(0L, 1L, 42L, 99L, 123456789L, 4294967296L,
+      987654321012L, Long.MaxValue)
+    val viaCol = ids.toDF("id")
+      .select(CorpusOps.idMix(org.apache.spark.sql.functions.col("id")).as("m"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaCol == ids.map(CorpusOps.idMixLong),
+      "scalar and Column folds must agree bit-for-bit")
+  }
+
   test("prioritySample: a weight >= 2^31 fails loudly, not silently") {
     val docs = Seq((1L, 5L), (2L, 1L << 31)).toDF("doc_id", "w")
     val ex = intercept[Exception] {

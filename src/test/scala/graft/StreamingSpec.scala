@@ -192,6 +192,53 @@ class StreamingSpec extends AnyFunSuite {
       s"a late event must not advance state, got ${got(4L)}")
   }
 
+  test("streaming funnel state equals the batch funnel on a static source") {
+    import spark.implicits._
+    val stages = Seq("signup", "view", "purchase")
+    val gap = 86400L * 1000000L
+    val events = batchEvents
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventStreams.Event]
+    val got = EventStreams.funnelStream(events, stages, gap).collect()
+    assert(got.nonEmpty)
+    // single batch → one changed-state row per reaching user; stage
+    // counts fall straight out of the deepest-stage readout
+    val reachedCounts = (1 to stages.size).map(i =>
+      got.count(_.reached >= i).toLong)
+    val want = operators.TimeJoins.funnel(
+        Tables.eventsNanos(spark, "/root/testdata/sf0.001")
+          .select(col("user_id"), expr("ts div 1000").as("tsu"),
+            col("event_type")),
+        "user_id", "tsu", "event_type", stages, gap)
+      .orderBy("stage_no").collect().map(_.getAs[Long]("n_reached")).toSeq
+    assert(reachedCounts == want,
+      s"keyed funnel state $reachedCounts != batch window minima $want")
+    // first-touch times are monotone within a user's stage vector
+    got.foreach { u =>
+      val set = u.stage_ts.takeWhile(_ >= 0)
+      assert(set == set.sorted, s"stage times out of order: $u")
+    }
+  }
+
+  test("streaming next-event pairs equal the batch operator on a static source") {
+    import spark.implicits._
+    val types = batchEvents.select("event_type").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val events = batchEvents
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventStreams.Event]
+    val got = EventStreams.nextEventPairStream(events, types).toDF()
+      .select("event_id", "user_id", "etype", "next_type", "neg_type")
+    val want = operators.TimeJoins.nextEventPairs(
+      Tables.eventsNanos(spark, "/root/testdata/sf0.001")
+        .select(col("user_id"), expr("ts div 1000").as("tsu"),
+          col("event_id"), col("event_type")),
+      "user_id", "tsu", "event_id", "event_type")
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "online pair emission must equal the batch lead-window export")
+  }
+
   test("streaming drift monitor: self-distribution is 0, shifted batch spikes") {
     import spark.implicits._
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
