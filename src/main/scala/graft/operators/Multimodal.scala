@@ -585,6 +585,50 @@ object Multimodal {
       }(encoder)
   }
 
+  /** Wrap each document's text in a REAL GIF — the SAME gray stretch
+    * layout as [[withBmpPayload]] encoded by the JDK's own ImageIO GIF
+    * writer (LZW + palette). A grayscale canvas has ≤ 256 distinct
+    * colors, so GIF's palette encoding is pixel-LOSSLESS here: the
+    * decoded luminance features equal the BMP fixture's bit-for-bit,
+    * which is the round-trip assertion the spec locks. Exercises the
+    * palette/LZW decode branch of `javax.imageio` that the
+    * uncompressed-BMP and PNG fixtures never touch. Map-only.
+    */
+  def withGifPayload(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val encoder = ExpressionEncoder(PayloadSchema)
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          Row(r.getLong(0), buildGif(r.getString(1).getBytes("UTF-8")))
+        }
+      }(encoder)
+  }
+
+  /** GIF twin of [[buildBmp]]: identical pixel layout, encoded through
+    * the JDK's GIF writer instead of a hand-rolled header.
+    */
+  private[operators] def buildGif(bytes: Array[Byte],
+      w: Int = PhashCanvas): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, w,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < w) {
+      var x = 0
+      while (x < w) {
+        val i = y * w + x
+        val v =
+          if (bytes.isEmpty) 0
+          else bytes((i.toLong * bytes.length / (w * w)).toInt) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", bos)
+    bos.toByteArray
+  }
+
   /** 24-bit bottom-up BMP with R=G=B=byte on a W×W canvas. The
     * default W = 32 ([[PhashCanvas]]) and the per-frame W = 16 both
     * keep every row a multiple of 4 bytes, so no pad bytes.

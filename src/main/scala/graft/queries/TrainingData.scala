@@ -1537,6 +1537,27 @@ object TrainingData {
         "vec_id", "embedding", col("label") % 2 === 0, k = 4)
       .orderBy("a_id")
 
+  /** Winnowing fingerprint sketch ([[Dedup.winnowFingerprints]],
+    * k = 3 token grams, window w = 4): the MOSS selection — each
+    * window of 4 consecutive gram hashes keeps its rightmost minimum.
+    * The oracle replays gram construction, PolyHash, and the window
+    * fold position-for-position.
+    */
+  def docWinnowFingerprints(spark: SparkSession, dir: String): DataFrame =
+    Dedup.winnowFingerprints(Tables.documents(spark, dir), "doc_id",
+        "text", k = 3, w = 4)
+      .orderBy("doc_id", "pos", "fp")
+
+  /** Winnowed overlap pairs ([[Dedup.winnowOverlapPairs]], ≥ 2 shared
+    * selected hashes): the sub-linear boilerplate/plagiarism join the
+    * winnowing guarantee powers — the inverted index is the 2/(w+1)-
+    * density sketch, never the full gram set.
+    */
+  def docWinnowOverlap(spark: SparkSession, dir: String): DataFrame =
+    Dedup.winnowOverlapPairs(Tables.documents(spark, dir), "doc_id",
+        "text", k = 3, w = 4, minShared = 2)
+      .orderBy("id_a", "id_b")
+
   /** Margin mining over IVF candidates
     * ([[Similarity.marginMutualPairsIvf]], k = 4, shared full-corpus
     * quantizer, nprobe = 2) — the scale path of t91: cross-side
@@ -1891,6 +1912,8 @@ object TrainingData {
     "t110_group_kfold" -> docGroupKFold _,
     "t111_funnel" -> eventsFunnel _,
     "t112_margin_pairs_ivf" -> embMarginPairsIvf _,
+    "t113_winnow_fingerprints" -> docWinnowFingerprints _,
+    "t114_winnow_overlap" -> docWinnowOverlap _,
   )
 
   /** Shared DuckDB SELECT replaying [[CorpusOps.hashedLinearScore]]
@@ -1982,6 +2005,35 @@ object TrainingData {
   /** DuckDB rendering of the 31-bit PolyHash with the empty-string →
     * 0 convention made explicit (list_reduce errors on empty lists).
     */
+  /** Winnowing selection replay (k = 3 trigrams, window `w`):
+    * positional gram PolyHashes folded to the rightmost minimum per
+    * window — the same fold [[graft.operators.Dedup.winnowFingerprints]]
+    * runs as an aggregate lambda (DuckDB's no-init list_reduce seeds
+    * with the first element; the engine's MaxLong sentinel is
+    * equivalent because the first element always wins against it).
+    */
+  private def winnowCtes(w: Int): String =
+    s"""wt AS (
+       |  SELECT doc_id, ${TextFunctions.Sql.tokens("text")} AS ts
+       |  FROM documents
+       |), wh AS (
+       |  SELECT doc_id, list_transform(range(1, len(ts) - 1), i ->
+       |    ${TextFunctions.Sql.polyHash(
+             "(ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT)+1]" +
+             " || ' ' || ts[CAST(i AS INT)+2])")}) AS hs
+       |  FROM wt WHERE len(ts) >= 3
+       |), wwin AS (
+       |  SELECT doc_id, hs, len(hs) AS m,
+       |    unnest(range(0, GREATEST(len(hs) - $w, 0) + 1)) AS j
+       |  FROM wh
+       |), wsel AS (
+       |  SELECT DISTINCT doc_id,
+       |    list_reduce(list_transform(range(j, LEAST(j + $w - 1, m - 1) + 1),
+       |      i -> {'fp': hs[CAST(i + 1 AS INT)], 'pos': CAST(i AS BIGINT)}),
+       |      (a, b) -> CASE WHEN b.fp <= a.fp THEN b ELSE a END) AS s
+       |  FROM wwin
+       |)""".stripMargin
+
   private def polyHashSql(c: String): String =
     s"CASE WHEN $c = '' THEN 0 ELSE ${TextFunctions.Sql.polyHash(c)} END"
 
@@ -3218,6 +3270,36 @@ object TrainingData {
            |SELECT a_id, b_id, cos_i AS cos_x1e6, margin FROM m
            |WHERE ma = 1 AND mb = 1 AND margin > 1.0
            |ORDER BY a_id""".stripMargin,
+      // t113: gram construction, PolyHash, and the rightmost-min
+      // window fold replayed position-for-position
+      "t113_winnow_fingerprints" ->
+        s"""WITH ${winnowCtes(4)}
+           |SELECT doc_id, s.pos AS pos, s.fp AS fp FROM wsel
+           |ORDER BY doc_id, pos, fp""".stripMargin,
+      // t114: the winnowed sketch's inverted-index join — distinct
+      // selected hashes, df stop cut, shared counts, ppm of the
+      // smaller sketch
+      "t114_winnow_overlap" ->
+        s"""WITH ${winnowCtes(4)}, wf AS (
+           |  SELECT DISTINCT doc_id, s.fp AS fp FROM wsel
+           |), wsz AS (
+           |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
+           |  FROM wf GROUP BY doc_id
+           |), wdf AS (
+           |  SELECT fp FROM wf GROUP BY fp HAVING COUNT(*) <= 1000
+           |), wff AS (
+           |  SELECT wf.* FROM wf JOIN wdf USING (fp)
+           |), wp AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |    CAST(COUNT(*) AS BIGINT) AS n_shared
+           |  FROM wff a JOIN wff b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+           |)
+           |SELECT id_a, id_b, n_shared, sa.sz AS size_a, sb.sz AS size_b,
+           |  (n_shared * 1000000) // LEAST(sa.sz, sb.sz) AS overlap_ppm
+           |FROM wp JOIN wsz sa ON sa.doc_id = wp.id_a
+           |JOIN wsz sb ON sb.doc_id = wp.id_b
+           |ORDER BY id_a, id_b""".stripMargin,
       // t92: timestamps stay exact integer µs, values scale to integer
       // cents by one pure-double FLOOR, offsets are exact integer
       // running sums of fragment lengths — rendered string and mask

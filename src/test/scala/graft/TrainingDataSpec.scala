@@ -1326,6 +1326,52 @@ class TrainingDataSpec extends AnyFunSuite {
       "direct BMP walk luminance drift")
   }
 
+  test("GIF fixture round-trips losslessly: zero fallbacks, pixels equal the BMP twin") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val gifHash = operators.Multimodal.imagePhash(
+      operators.Multimodal.withGifPayload(docs, "doc_id", "text"), "doc_id")
+    // provenance: every fixture GIF decodes through the REAL reader
+    assert(gifHash.filter(!col("decoded")).isEmpty,
+      "GIF payloads must never hit the fallback path")
+    // grayscale fits GIF's palette exactly → the LZW round-trip is
+    // pixel-lossless, so the aHash equals the uncompressed-BMP twin's
+    val bmpHash = operators.Multimodal.imagePhash(
+      operators.Multimodal.withBmpPayload(docs, "doc_id", "text"), "doc_id")
+    val joined = gifHash.select(col("doc_id"), col("phash").as("g"))
+      .join(bmpHash.select(col("doc_id"), col("phash").as("b")), "doc_id")
+    assert(joined.count() == docs.count())
+    assert(joined.filter(col("g") =!= col("b")).isEmpty,
+      "GIF-decoded pixels drifted from the BMP layout")
+  }
+
+  test("winnowing: match guarantee, rightmost-tie rule, sub-linear density") {
+    import spark.implicits._
+    // guarantee: a shared run of w+k-1 = 6 tokens ⇒ >= 1 shared fingerprint
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"one two three four five $shared"),
+      (2L, s"$shared six seven eight nine ten")).toDF("doc_id", "text")
+    val byDoc = Dedup.winnowFingerprints(docs, "doc_id", "text", k = 3, w = 4)
+      .collect().groupBy(_.getLong(0))
+      .map { case (d, rs) => d -> rs.map(_.getLong(2)).toSet }
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty,
+      "a shared w+k-1 token run must share a selected fingerprint")
+    // rightmost-min tie rule: identical grams everywhere → window j
+    // selects position j+w-1; dedup leaves exactly {w-1 .. m-1}
+    val uni = Seq((9L, Seq.fill(8)("a").mkString(" "))).toDF("doc_id", "text")
+    val pos = Dedup.winnowFingerprints(uni, "doc_id", "text", k = 3, w = 4)
+      .collect().map(_.getLong(1)).toSet
+    assert(pos == Set(3L, 4L, 5L), s"rightmost-tie positions off: $pos")
+    // density: expected 2/(w+1) of grams for varying content
+    val longText = (1 to 400).map(i => s"tk${(i * 37) % 89}v$i").mkString(" ")
+    val n = Dedup.winnowFingerprints(
+      Seq((3L, longText)).toDF("doc_id", "text"), "doc_id", "text", 3, 4).count()
+    val grams = 400 - 2
+    assert(n > grams / 5 && n < grams * 3 / 5,
+      s"density far from 2/(w+1): $n of $grams grams")
+  }
+
   test("hammingNearDups: exact recall on planted fingerprints") {
     import spark.implicits._
     // cluster around 0L at hamming 0..4 plus a far-away fingerprint;
