@@ -703,6 +703,81 @@ object CorpusOps {
         col("exact_union"), col("exact_intersect"))
   }
 
+  /** Pairwise per-GROUP KMV overlap matrix — the set-overlap
+    * companion of [[sourceDivergence]] (which compares unigram
+    * DISTRIBUTIONS): one bottom-k sketch of each group's distinct
+    * n-gram vocabulary, then the [[kmvSetOps]] estimators for EVERY
+    * group pair — the "which sources crawl the same material" audit a
+    * mixture designer reads before collapsing redundant crawls, at
+    * |groups|·k longs of state instead of co-shuffling vocabularies.
+    *
+    * Scale shape: ONE corpus scan builds the per-group sketches (a
+    * (group, h) distinct + per-group bottom-k rank, both shuffling
+    * compact longs keyed by group); the sketch relation is
+    * localCheckpoint-pinned (|groups|·k rows) and every pairwise
+    * stage runs on sketches only — group count is bounded (sources
+    * are O(100) at any corpus size), so the pair fan-out is
+    * index-sized, never corpus-sized. Estimates are the exact
+    * integer-division KMV arithmetic both engines replay.
+    */
+  def kmvGroupOverlap(docs: DataFrame, textCol: String, groupCol: String,
+      n: Int, k: Int): DataFrame = {
+    require(n > 0 && k > 1)
+    GraftFunctions.register(docs.sparkSession)
+    val ts = TextFunctions.tokens(col(textCol))
+    val grams = if (n == 1) ts else multisetGrams(ts, n)
+    val gh = docs.select(col(groupCol).as("grp"), explode(grams).as("tk"))
+      .select(col("grp"),
+        ((call_function("poly_hash", col("tk")) * 2654435761L + 123456789L)
+          % 4294967296L).as("h"))
+      .distinct()
+    val wg = Window.partitionBy("grp").orderBy("h")
+    // |groups|·k rows; pinned — consumed by both pair sides and the
+    // per-group stats
+    val sk = gh.withColumn("rn", row_number().over(wg))
+      .filter(col("rn") <= k)
+      .select(col("grp"), col("h"))
+      .localCheckpoint()
+    val names = sk.select(col("grp")).distinct()
+    val stats = sk.groupBy("grp").agg(
+      count(lit(1)).as("n_g"), max("h").as("uk_g"))
+    def kmvEst(nKept: String, ukMin: String): String =
+      s"(CASE WHEN $nKept < $k THEN $nKept " +
+        s"ELSE ${(k - 1).toLong * 4294967296L} div greatest($ukMin, 1) END)"
+    // every sketch row fans out to its pairs with each OTHER group —
+    // a broadcast of the tiny name list, |groups|·k·|groups| rows max
+    val aSide = sk.select(col("grp").as("ga"), col("h"), lit(1).as("in_a"),
+        lit(0).as("in_b"))
+      .join(broadcast(names.select(col("grp").as("gb"))), col("ga") < col("gb"))
+    val bSide = sk.select(col("grp").as("gb"), col("h"), lit(0).as("in_a"),
+        lit(1).as("in_b"))
+      .join(broadcast(names.select(col("grp").as("ga"))), col("ga") < col("gb"))
+    val perPairH = aSide.unionByName(bSide)
+      .groupBy("ga", "gb", "h")
+      .agg(max("in_a").as("in_a"), max("in_b").as("in_b"))
+    val wp = Window.partitionBy("ga", "gb").orderBy("h")
+    val merged = perPairH.withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= k)
+    val pairStats = merged.groupBy("ga", "gb").agg(
+      count(lit(1)).as("n_u"), max("h").as("uk_u"),
+      sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L))
+        .as("rho"))
+    pairStats
+      .join(broadcast(stats.select(col("grp").as("ga"),
+        col("n_g").as("n_a"), col("uk_g").as("uk_a"))), "ga")
+      .join(broadcast(stats.select(col("grp").as("gb"),
+        col("n_g").as("n_b"), col("uk_g").as("uk_b"))), "gb")
+      .select(col("ga").as("source_a"), col("gb").as("source_b"),
+        lit(k.toLong).as("k"),
+        expr(kmvEst("n_a", "uk_a")).cast("long").as("est_a"),
+        expr(kmvEst("n_b", "uk_b")).cast("long").as("est_b"),
+        expr(kmvEst("n_u", "uk_u")).cast("long").as("est_union"),
+        col("rho"),
+        expr(s"CASE WHEN n_u < $k THEN rho " +
+          s"ELSE (rho * ${kmvEst("n_u", "uk_u")}) div $k END")
+          .cast("long").as("est_intersect"))
+  }
+
   // ---------------------------------------------------------------
   // Document chunking
   // ---------------------------------------------------------------

@@ -1558,6 +1558,18 @@ object TrainingData {
         "text", k = 3, w = 4, minShared = 2)
       .orderBy("id_a", "id_b")
 
+  /** Pairwise per-source KMV vocabulary overlap
+    * ([[CorpusOps.kmvGroupOverlap]], trigrams, k = 128): bottom-k
+    * sketch per source + the t55 estimators for every source pair —
+    * the set-overlap redundancy matrix next to t102's distributional
+    * one. The oracle replays sketches, merges, and estimators
+    * integer-for-integer.
+    */
+  def docSourceKmvOverlap(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.kmvGroupOverlap(Tables.documents(spark, dir), "text",
+        "source", n = 3, k = 128)
+      .orderBy("source_a", "source_b")
+
   /** Margin mining over IVF candidates
     * ([[Similarity.marginMutualPairsIvf]], k = 4, shared full-corpus
     * quantizer, nprobe = 2) — the scale path of t91: cross-side
@@ -1914,6 +1926,7 @@ object TrainingData {
     "t112_margin_pairs_ivf" -> embMarginPairsIvf _,
     "t113_winnow_fingerprints" -> docWinnowFingerprints _,
     "t114_winnow_overlap" -> docWinnowOverlap _,
+    "t115_source_kmv_overlap" -> docSourceKmvOverlap _,
   )
 
   /** Shared DuckDB SELECT replaying [[CorpusOps.hashedLinearScore]]
@@ -3300,6 +3313,72 @@ object TrainingData {
            |FROM wp JOIN wsz sa ON sa.doc_id = wp.id_a
            |JOIN wsz sb ON sb.doc_id = wp.id_b
            |ORDER BY id_a, id_b""".stripMargin,
+      // t115: per-source bottom-k sketches, pairwise merged bottom-k,
+      // and the t55 integer estimators for all source pairs
+      "t115_source_kmv_overlap" -> {
+        val k = 128
+        val est = (nc: String, uk: String) =>
+          s"CASE WHEN $nc < $k THEN $nc ELSE ${(k - 1).toLong * 4294967296L}" +
+            s" // GREATEST($uk, 1) END"
+        s"""WITH toks AS (
+           |  SELECT source, string_split_regex(trim(text), '\\s+') AS ts
+           |  FROM documents
+           |), g AS (
+           |  SELECT source AS grp,
+           |    unnest(CASE WHEN len(ts) < 3 THEN CAST([] AS VARCHAR[])
+           |    ELSE list_transform(range(1, len(ts) - 1), i ->
+           |      ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT)+1]
+           |        || ' ' || ts[CAST(i AS INT)+2])
+           |    END) AS tk
+           |  FROM toks
+           |), h AS (
+           |  SELECT DISTINCT grp,
+           |    (${polyHashSql("tk")} * 2654435761 + 123456789)
+           |      % 4294967296 AS h
+           |  FROM g
+           |), sk AS (
+           |  SELECT grp, h FROM (
+           |    SELECT grp, h,
+           |      ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn
+           |    FROM h)
+           |  WHERE rn <= $k
+           |), names AS (
+           |  SELECT DISTINCT grp FROM sk
+           |), prs AS (
+           |  SELECT a.grp AS ga, b.grp AS gb
+           |  FROM names a JOIN names b ON a.grp < b.grp
+           |), ph AS (
+           |  SELECT p.ga, p.gb, s.h,
+           |    MAX(CASE WHEN s.grp = p.ga THEN 1 ELSE 0 END) AS in_a,
+           |    MAX(CASE WHEN s.grp = p.gb THEN 1 ELSE 0 END) AS in_b
+           |  FROM prs p JOIN sk s ON s.grp IN (p.ga, p.gb)
+           |  GROUP BY 1, 2, 3
+           |), mg AS (
+           |  SELECT * FROM (
+           |    SELECT ph.*,
+           |      ROW_NUMBER() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+           |    FROM ph)
+           |  WHERE rn <= $k
+           |), su AS (
+           |  SELECT ga, gb, CAST(COUNT(*) AS BIGINT) AS n_u, MAX(h) AS uk_u,
+           |    CAST(SUM(in_a * in_b) AS BIGINT) AS rho
+           |  FROM mg GROUP BY ga, gb
+           |), st AS (
+           |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_g, MAX(h) AS uk_g
+           |  FROM sk GROUP BY grp
+           |)
+           |SELECT ga AS source_a, gb AS source_b,
+           |  CAST($k AS BIGINT) AS k,
+           |  CAST(${est("sa.n_g", "sa.uk_g")} AS BIGINT) AS est_a,
+           |  CAST(${est("sb.n_g", "sb.uk_g")} AS BIGINT) AS est_b,
+           |  CAST(${est("n_u", "uk_u")} AS BIGINT) AS est_union,
+           |  rho,
+           |  CAST(CASE WHEN n_u < $k THEN rho
+           |    ELSE (rho * (${est("n_u", "uk_u")})) // $k END AS BIGINT)
+           |    AS est_intersect
+           |FROM su JOIN st sa ON sa.grp = su.ga JOIN st sb ON sb.grp = su.gb
+           |ORDER BY source_a, source_b""".stripMargin
+      },
       // t92: timestamps stay exact integer µs, values scale to integer
       // cents by one pure-double FLOOR, offsets are exact integer
       // running sums of fragment lengths — rendered string and mask
