@@ -1431,6 +1431,69 @@ object CorpusOps {
         col("adj_weight"))
   }
 
+  /** Systematic PPS (probability-proportional-to-size) sampling — the
+    * survey-sampling companion of [[prioritySample]] (DLT priority
+    * order): lay every positive-weight document on the cumulative
+    * weight line in the deterministic (shard, [[idMix]], id) order and
+    * take the k evenly-spaced pointers j·W/k — a document is drawn
+    * once per pointer inside its weight interval, so
+    * n_copies = ⌊k·cum_after/W⌋ − ⌊k·cum_before/W⌋ and
+    * Σ n_copies = k EXACTLY (telescoping). Inclusion probability
+    * π = min(1, k·w/W) rides along in ppm for Horvitz–Thompson
+    * estimation; a mega-weight document (w > W/k) is drawn with
+    * multiplicity, which is systematic PPS's correct with-replacement
+    * degeneracy, not a bug. All floors are single integer divisions
+    * both engines replay.
+    *
+    * Scale shape: the [[tokenBudgetPack]] two-phase prefix sum — one
+    * barrier shuffle on the shard key, shard totals broadcast back,
+    * per-shard window cumsum; no global sort, no driver state.
+    * Products stay in Long for k·W < 2⁶³ (guarded).
+    */
+  def systematicPpsSample(docs: DataFrame, idCol: String,
+      weightCol: String, k: Int, shards: Int = 64): DataFrame = {
+    require(k > 0 && shards > 0)
+    val base = Dedup.barrier(
+      docs.filter(col(weightCol) > 0)
+        .select(col(idCol).as("doc_id"),
+          col(weightCol).cast("long").as("weight"))
+        .withColumn("ord", idMix(col("doc_id")))
+        .withColumn("shard", col("ord") % shards),
+      col("shard")).localCheckpoint()
+    val wShard = Window.orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // |shards| rows — the single-partition window is broadcast-sized
+    val alloc = base.groupBy("shard").agg(sum("weight").as("__sh_w"))
+      .select(col("shard"),
+        coalesce(sum("__sh_w").over(wShard), lit(0L)).as("__before"))
+    // guard covers every product below: k·cum ≤ k·W and the ppm
+    // remainder term (cum mod W)·1e6 < W·1e6 — at a corpus where W
+    // approaches 2⁶³/1e6, pre-scale the weight column (div 1024)
+    // the guard is folded INTO __W (a pruned side column would never
+    // evaluate): every consumer of __W trips it first
+    val tot = base.agg(sum("weight").as("__W0"))
+      .select(
+        when(col("__W0") >= lit(Long.MaxValue / math.max(k, 1000000)),
+          raise_error(lit("systematicPpsSample: k*W or W*1e6 overflows " +
+            "Long — pre-scale the weight column")).cast("long"))
+          .otherwise(col("__W0")).as("__W"))
+    val wDoc = Window.partitionBy("shard").orderBy("ord", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(alloc), Seq("shard"))
+      .crossJoin(broadcast(tot))
+      .withColumn("cum_after", col("__before") + sum("weight").over(wDoc))
+      .withColumn("cum_before", col("cum_after") - col("weight"))
+      .withColumn("n_copies", expr(
+        s"($k * cum_after) div __W - ($k * cum_before) div __W"))
+      .filter(col("n_copies") > 0)
+      // exact ⌊k·w·1e6/W⌋ without the triple product:
+      // = (k·w div W)·1e6 + ((k·w mod W)·1e6) div W
+      .withColumn("pi_x1e6", least(lit(1000000L), expr(
+        s"(($k * weight) div __W) * 1000000 + " +
+          s"((($k * weight) % __W) * 1000000) div __W")))
+      .select("doc_id", "weight", "cum_before", "n_copies", "pi_x1e6")
+  }
+
   /** Per-domain document cap — the RefinedWeb/Gopher-style host
     * balancing pass: keep at most `cap` documents per domain, chosen
     * by the deterministic full-width id-hash ([[idMix]], the

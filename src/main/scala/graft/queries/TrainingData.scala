@@ -1570,6 +1570,18 @@ object TrainingData {
         "source", n = 3, k = 128)
       .orderBy("source_a", "source_b")
 
+  /** Systematic PPS sample ([[CorpusOps.systematicPpsSample]],
+    * k = 50 pointers over the n_chars weight line): evenly-spaced
+    * pointers on the cumulative weight line in the deterministic
+    * sharded-hash order — Σ n_copies = k exactly, π in ppm for HT
+    * estimation. The oracle replays the order, cumsum, pointer
+    * divisions, and the split-exact π arithmetic.
+    */
+  def docPpsSample(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.systematicPpsSample(Tables.documents(spark, dir), "doc_id",
+        "n_chars", k = 50)
+      .orderBy("doc_id")
+
   /** Margin mining over IVF candidates
     * ([[Similarity.marginMutualPairsIvf]], k = 4, shared full-corpus
     * quantizer, nprobe = 2) — the scale path of t91: cross-side
@@ -1927,6 +1939,7 @@ object TrainingData {
     "t113_winnow_fingerprints" -> docWinnowFingerprints _,
     "t114_winnow_overlap" -> docWinnowOverlap _,
     "t115_source_kmv_overlap" -> docSourceKmvOverlap _,
+    "t116_pps_sample" -> docPpsSample _,
   )
 
   /** Shared DuckDB SELECT replaying [[CorpusOps.hashedLinearScore]]
@@ -3379,6 +3392,32 @@ object TrainingData {
            |FROM su JOIN st sa ON sa.grp = su.ga JOIN st sb ON sb.grp = su.gb
            |ORDER BY source_a, source_b""".stripMargin
       },
+      // t116: the sharded-hash order, global cumsum, pointer floors,
+      // and split-exact ppm inclusion probability
+      "t116_pps_sample" ->
+        s"""WITH b AS (
+           |  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+           |    ${idMixSql("doc_id")} AS ord
+           |  FROM documents WHERE n_chars > 0
+           |), c AS (
+           |  SELECT doc_id, weight,
+           |    CAST(SUM(weight) OVER (ORDER BY ord % 64, ord, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS BIGINT) AS cum_after
+           |  FROM b
+           |), t AS (
+           |  SELECT CAST(SUM(weight) AS BIGINT) AS w_tot FROM b
+           |)
+           |SELECT doc_id, weight, cum_after - weight AS cum_before,
+           |  (50 * cum_after) // w_tot
+           |    - (50 * (cum_after - weight)) // w_tot AS n_copies,
+           |  CAST(LEAST(1000000, ((50 * weight) // w_tot) * 1000000
+           |    + (((50 * weight) % w_tot) * 1000000) // w_tot)
+           |    AS BIGINT) AS pi_x1e6
+           |FROM c, t
+           |WHERE (50 * cum_after) // w_tot
+           |  - (50 * (cum_after - weight)) // w_tot > 0
+           |ORDER BY doc_id""".stripMargin,
       // t92: timestamps stay exact integer µs, values scale to integer
       // cents by one pure-double FLOOR, offsets are exact integer
       // running sums of fragment lengths — rendered string and mask

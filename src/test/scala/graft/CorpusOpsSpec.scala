@@ -723,6 +723,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out.toSet == Set((1L, 5L), (2L, 7L)))
   }
 
+  test("systematicPpsSample: exactly k copies, correct multiplicity on mega-weights") {
+    // varied weights incl. one mega-weight owning >2/k of the line
+    val docs = ((1L to 200L).map(i => (i, 1L + i % 7)) :+ (999L, 400L))
+      .toDF("doc_id", "w")
+    val out = CorpusOps.systematicPpsSample(docs, "doc_id", "w", k = 25)
+      .collect()
+    assert(out.map(_.getAs[Long]("n_copies")).sum == 25L,
+      "systematic PPS must draw exactly k pointers")
+    val mega = out.find(_.getLong(0) == 999L)
+    assert(mega.isDefined && mega.get.getAs[Long]("n_copies") >= 2L,
+      "a weight above 2·W/k must be drawn with multiplicity")
+    assert(out.forall(r => r.getAs[Long]("pi_x1e6") <= 1000000L &&
+      r.getAs[Long]("pi_x1e6") > 0L))
+    // deterministic across re-runs
+    val again = CorpusOps.systematicPpsSample(docs, "doc_id", "w", k = 25)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("n_copies"))).toSet
+    assert(again == out.map(r => (r.getLong(0), r.getAs[Long]("n_copies"))).toSet)
+  }
+
   test("idMixLong is the exact scalar twin of the idMix column") {
     val ids = Seq(0L, 1L, 42L, 99L, 123456789L, 4294967296L,
       987654321012L, Long.MaxValue)
