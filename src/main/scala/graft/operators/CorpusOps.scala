@@ -703,6 +703,53 @@ object CorpusOps {
         col("exact_union"), col("exact_intersect"))
   }
 
+  /** Adjacent-bigram collocation mining by LIFT — the phrase-induction
+    * pass a tokenizer/vocabulary pipeline runs to promote multiword
+    * units: for every adjacent token pair seen at least `minCount`
+    * times, lift = P(ab)/(P(a)·P(b)) = n_ab·N_tok²/(N_bi·n_a·n_b),
+    * emitted in 1e6 fixed point. PMI's log is transcendental (libm-
+    * dependent across engines); lift carries the identical ranking
+    * and stays ONE exact integer floor — the numerator/denominator
+    * products run in 38-digit decimals (HUGEINT in the oracle), so
+    * nothing overflows and both engines replay the division
+    * bit-for-bit.
+    *
+    * Scale shape: two map-side-combinable count aggregations (token
+    * and bigram vocabularies — shuffles keyed on the word/gram, never
+    * the document), the bigram relation pinned once for its two
+    * consumers (total mass + filtered join), then two vocab-keyed
+    * equi-joins and a broadcast of the 1-row totals. The minCount cut
+    * bounds the emitted relation the way every heavy-hitter pass
+    * does.
+    */
+  def collocationLift(docs: DataFrame, textCol: String,
+      minCount: Long = 5L): DataFrame = {
+    require(minCount >= 1)
+    GraftFunctions.register(docs.sparkSession)
+    val ts = TextFunctions.tokens(col(textCol))
+    val uni = Dedup.barrier(
+      docs.select(explode(ts).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n_w")),
+      col("w")).localCheckpoint()
+    val nTok = uni.agg(sum("n_w").as("n_tok"))
+    val biAll = Dedup.barrier(
+      docs.select(explode(multisetGrams(ts, 2)).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("n_ab")),
+      col("g")).localCheckpoint()
+    val nBi = biAll.agg(sum("n_ab").as("n_bi"))
+    biAll.filter(col("n_ab") >= minCount)
+      .withColumn("w1", element_at(split(col("g"), " "), 1))
+      .withColumn("w2", element_at(split(col("g"), " "), 2))
+      .join(uni.select(col("w").as("w1"), col("n_w").as("n_a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("n_w").as("n_b")), "w2")
+      .crossJoin(broadcast(nTok))
+      .crossJoin(broadcast(nBi))
+      .select(col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"),
+        expr("CAST((CAST(n_ab AS DECIMAL(38,0)) * n_tok * n_tok * 1000000)" +
+          " div (CAST(n_bi AS DECIMAL(38,0)) * n_a * n_b) AS LONG)")
+          .as("lift_x1e6"))
+  }
+
   /** Pairwise per-GROUP KMV overlap matrix — the set-overlap
     * companion of [[sourceDivergence]] (which compares unigram
     * DISTRIBUTIONS): one bottom-k sketch of each group's distinct

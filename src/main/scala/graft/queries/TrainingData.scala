@@ -1582,6 +1582,16 @@ object TrainingData {
         "n_chars", k = 50)
       .orderBy("doc_id")
 
+  /** Collocation mining by lift ([[CorpusOps.collocationLift]],
+    * min count 5): adjacent-bigram lift in 1e6 fixed point — the
+    * multiword-unit induction pass, log-free so both engines replay
+    * one exact integer floor over 38-digit products.
+    */
+  def docCollocations(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.collocationLift(Tables.documents(spark, dir), "text",
+        minCount = 5L)
+      .orderBy("w1", "w2")
+
   /** Margin mining over IVF candidates
     * ([[Similarity.marginMutualPairsIvf]], k = 4, shared full-corpus
     * quantizer, nprobe = 2) — the scale path of t91: cross-side
@@ -1940,6 +1950,7 @@ object TrainingData {
     "t114_winnow_overlap" -> docWinnowOverlap _,
     "t115_source_kmv_overlap" -> docSourceKmvOverlap _,
     "t116_pps_sample" -> docPpsSample _,
+    "t117_collocations" -> docCollocations _,
   )
 
   /** Shared DuckDB SELECT replaying [[CorpusOps.hashedLinearScore]]
@@ -3418,6 +3429,37 @@ object TrainingData {
            |WHERE (50 * cum_after) // w_tot
            |  - (50 * (cum_after - weight)) // w_tot > 0
            |ORDER BY doc_id""".stripMargin,
+      // t117: token/bigram multiset counts and ONE exact HUGEINT
+      // floor for the lift — no logs, no doubles
+      "t117_collocations" ->
+        """WITH toks AS (
+          |  SELECT string_split_regex(trim(text), '\s+') AS ts FROM documents
+          |), u AS (
+          |  SELECT unnest(ts) AS w FROM toks
+          |), uni AS (
+          |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n_w FROM u GROUP BY w
+          |), ntok AS (
+          |  SELECT CAST(SUM(n_w) AS BIGINT) AS n_tok FROM uni
+          |), bg AS (
+          |  SELECT unnest(CASE WHEN len(ts) < 2 THEN CAST([] AS VARCHAR[])
+          |    ELSE list_transform(range(1, len(ts)), i ->
+          |      ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT)+1]) END) AS g
+          |  FROM toks
+          |), bi_all AS (
+          |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_ab FROM bg GROUP BY g
+          |), nbi AS (
+          |  SELECT CAST(SUM(n_ab) AS BIGINT) AS n_bi FROM bi_all
+          |), bi AS (
+          |  SELECT string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2,
+          |    n_ab
+          |  FROM bi_all WHERE n_ab >= 5
+          |)
+          |SELECT w1, w2, n_ab, a.n_w AS n_a, b.n_w AS n_b,
+          |  CAST((CAST(n_ab AS HUGEINT) * n_tok * n_tok * 1000000)
+          |    // (CAST(n_bi AS HUGEINT) * a.n_w * b.n_w) AS BIGINT)
+          |    AS lift_x1e6
+          |FROM bi JOIN uni a ON a.w = bi.w1 JOIN uni b ON b.w = bi.w2, ntok, nbi
+          |ORDER BY w1, w2""".stripMargin,
       // t92: timestamps stay exact integer µs, values scale to integer
       // cents by one pure-double FLOOR, offsets are exact integer
       // running sums of fragment lengths — rendered string and mask
