@@ -703,6 +703,54 @@ object CorpusOps {
         col("exact_union"), col("exact_intersect"))
   }
 
+  /** Cross-group quantile normalization of an integer score — the
+    * batch-effect correction that makes per-source quality/length
+    * scores comparable before a global threshold is applied: every
+    * document's score maps to the GLOBAL score at its within-group
+    * quantile, norm = min{ s : cumG(s) ≥ ⌈q·N / n_g⌉ } with q the
+    * upper cumulative count of the doc's score inside its group (ties
+    * map together, the standard discrete quantile-function
+    * convention). All arithmetic is cumulative integer counts plus
+    * one ceiling division (38-digit decimals for q·N, HUGEINT in the
+    * oracle), replayed exactly.
+    *
+    * Scale shape: the corpus collapses to COMPRESSED SCORE HISTOGRAMS
+    * first ((group, score) counts — the [[qualityPrune]] move), so
+    * every cumulative window, the quantile lookup (a ≥-join against
+    * the broadcast global cumulative histogram), and the target
+    * arithmetic run on histogram-sized relations; the corpus itself
+    * is touched twice (score projection + the map-side join back on
+    * (group, score)). Discrete scores keep histograms bounded.
+    */
+  def quantileNormalize(docs: DataFrame, idCol: String, groupCol: String,
+      scoreCol: String): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      col(groupCol).as("grp"), col(scoreCol).cast("long").as("score"))
+    // histogram-sized, three consumers — pinned
+    val gh = base.groupBy("grp", "score").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val wg = Window.partitionBy("grp").orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumg = gh.withColumn("q", sum("cnt").over(wg))
+    val ng = gh.groupBy("grp").agg(sum("cnt").as("n_g"))
+    val global = gh.groupBy("score").agg(sum("cnt").as("gcnt"))
+    // distinct-scores-sized — the single-partition window is over the
+    // compressed histogram, never the corpus
+    val wG = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gcum = global.withColumn("gcum", sum("gcnt").over(wG))
+      .select(col("score").as("gs"), col("gcum"))
+    val tot = global.agg(sum("gcnt").as("n_tot"))
+    val tgt = cumg.join(broadcast(ng), "grp").crossJoin(broadcast(tot))
+      .withColumn("target", expr(
+        "CAST((CAST(q AS DECIMAL(38,0)) * n_tot + n_g - 1) div n_g AS LONG)"))
+    val lookup = tgt.join(broadcast(gcum), col("gcum") >= col("target"))
+      .groupBy("grp", "score", "q", "n_g")
+      .agg(min("gs").as("norm_score"))
+    base.join(lookup, Seq("grp", "score"))
+      .select("doc_id", "grp", "score", "q", "n_g", "norm_score")
+  }
+
   /** Adjacent-bigram collocation mining by LIFT — the phrase-induction
     * pass a tokenizer/vocabulary pipeline runs to promote multiword
     * units: for every adjacent token pair seen at least `minCount`

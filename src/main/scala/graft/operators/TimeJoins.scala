@@ -200,6 +200,50 @@ object TimeJoins {
           .as("neg_type"))
   }
 
+  /** Per-user interaction-gap features — the automation/bot signal
+    * set an interaction-log curation pass filters on before the log
+    * becomes training data: event count, activity span, min/median/
+    * max inter-event gap (exact integer µs; median = the lower median
+    * ⌈n/2⌉-th smallest gap, deterministic with the (gap, id)
+    * tie-break), and the count of sub-`burstUs` bursts — a user whose
+    * median gap is milliseconds is a script, not a person.
+    *
+    * Scale shape: ONE shuffle on the user key; the ordering window,
+    * the gap-rank window, and both aggregates all key on user_id, so
+    * Catalyst plans re-sorts over the same exchange. Every statistic
+    * is an exact integer the oracle replays (no avg/stddev floats).
+    */
+  def interactionGapFeatures(events: DataFrame, userCol: String,
+      tsUsCol: String, ordCol: String,
+      burstUs: Long = 1000000L): DataFrame = {
+    require(burstUs > 0)
+    val base = events.select(col(userCol).as("user_id"),
+      col(tsUsCol).as("tsu"), col(ordCol).as("event_id"))
+    val wOrd = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    val gaps = base
+      .withColumn("gap", col("tsu") - lag(col("tsu"), 1).over(wOrd))
+      .filter(col("gap").isNotNull)
+    val gw = Window.partitionBy("user_id").orderBy("gap", "event_id")
+    val gstats = gaps
+      .withColumn("rn", row_number().over(gw))
+      .withColumn("ng", count(lit(1)).over(Window.partitionBy("user_id")))
+      .groupBy("user_id").agg(
+        count(lit(1)).as("n_gaps"),
+        min("gap").as("min_gap_us"),
+        min(when(col("rn") === expr("(ng + 1) div 2"), col("gap")))
+          .as("median_gap_us"),
+        max("gap").as("max_gap_us"),
+        sum(when(col("gap") < burstUs, 1L).otherwise(0L)).as("bursts"))
+    base.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        (max("tsu") - min("tsu")).as("span_us"))
+      .join(gstats, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_events"),
+        coalesce(col("n_gaps"), lit(0L)).as("n_gaps"),
+        col("min_gap_us"), col("median_gap_us"), col("max_gap_us"),
+        coalesce(col("bursts"), lit(0L)).as("bursts"), col("span_us"))
+  }
+
   def pointInTimeFeatures(events: DataFrame, userCol: String,
       tsUsCol: String, ordCol: String, typeCol: String, valueCol: String,
       targetType: String): DataFrame = {

@@ -1592,6 +1592,30 @@ object TrainingData {
         minCount = 5L)
       .orderBy("w1", "w2")
 
+  /** Cross-source quantile normalization
+    * ([[CorpusOps.quantileNormalize]] over n_chars): every document's
+    * length score mapped to the global score at its within-source
+    * quantile — per-source distributions become comparable before any
+    * global threshold. Histogram-only arithmetic, oracle-replayed.
+    */
+  def docQuantileNorm(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.quantileNormalize(Tables.documents(spark, dir), "doc_id",
+        "source", "n_chars")
+      .orderBy("doc_id")
+
+  /** Per-user interaction-gap features
+    * ([[TimeJoins.interactionGapFeatures]], 1 s burst bound): exact
+    * integer inter-event statistics — the bot-signal set an
+    * interaction log is filtered on before it becomes training data.
+    */
+  def eventsGapFeatures(spark: SparkSession, dir: String): DataFrame =
+    TimeJoins.interactionGapFeatures(
+        Tables.eventsNanos(spark, dir)
+          .select(col("user_id"), expr("ts div 1000").as("tsu"),
+            col("event_id")),
+        "user_id", "tsu", "event_id")
+      .orderBy("user_id")
+
   /** Margin mining over IVF candidates
     * ([[Similarity.marginMutualPairsIvf]], k = 4, shared full-corpus
     * quantizer, nprobe = 2) — the scale path of t91: cross-side
@@ -1951,6 +1975,8 @@ object TrainingData {
     "t115_source_kmv_overlap" -> docSourceKmvOverlap _,
     "t116_pps_sample" -> docPpsSample _,
     "t117_collocations" -> docCollocations _,
+    "t118_quantile_norm" -> docQuantileNorm _,
+    "t119_gap_features" -> eventsGapFeatures _,
   )
 
   /** Shared DuckDB SELECT replaying [[CorpusOps.hashedLinearScore]]
@@ -3460,6 +3486,77 @@ object TrainingData {
           |    AS lift_x1e6
           |FROM bi JOIN uni a ON a.w = bi.w1 JOIN uni b ON b.w = bi.w2, ntok, nbi
           |ORDER BY w1, w2""".stripMargin,
+      // t118: compressed (group, score) histograms, cumulative counts,
+      // the HUGEINT ceiling target, and the >=-join quantile lookup
+      "t118_quantile_norm" ->
+        """WITH b AS (
+          |  SELECT doc_id, source AS grp, CAST(n_chars AS BIGINT) AS score
+          |  FROM documents
+          |), gh AS (
+          |  SELECT grp, score, CAST(COUNT(*) AS BIGINT) AS cnt
+          |  FROM b GROUP BY 1, 2
+          |), cumg AS (
+          |  SELECT grp, score,
+          |    CAST(SUM(cnt) OVER (PARTITION BY grp ORDER BY score)
+          |      AS BIGINT) AS q
+          |  FROM gh
+          |), ng AS (
+          |  SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n_g FROM gh GROUP BY grp
+          |), g AS (
+          |  SELECT score, CAST(SUM(cnt) AS BIGINT) AS gcnt FROM gh GROUP BY score
+          |), gc AS (
+          |  SELECT score AS gs,
+          |    CAST(SUM(gcnt) OVER (ORDER BY score) AS BIGINT) AS gcum
+          |  FROM g
+          |), tot AS (
+          |  SELECT CAST(SUM(gcnt) AS BIGINT) AS n_tot FROM g
+          |), tgt AS (
+          |  SELECT c.grp, c.score, c.q, ng.n_g,
+          |    CAST((CAST(c.q AS HUGEINT) * n_tot + ng.n_g - 1) // ng.n_g
+          |      AS BIGINT) AS target
+          |  FROM cumg c JOIN ng USING (grp), tot
+          |), lk AS (
+          |  SELECT grp, score, q, n_g, MIN(gs) AS norm_score
+          |  FROM tgt JOIN gc ON gcum >= target GROUP BY 1, 2, 3, 4
+          |)
+          |SELECT b.doc_id, b.grp, b.score, lk.q, lk.n_g, lk.norm_score
+          |FROM b JOIN lk ON b.grp = lk.grp AND b.score = lk.score
+          |ORDER BY doc_id""".stripMargin,
+      // t119: per-user ordered gaps, the (gap, id)-ranked lower
+      // median, and exact integer burst/span statistics
+      "t119_gap_features" ->
+        """WITH e AS (
+          |  SELECT user_id, epoch_us(ts) AS tsu, event_id FROM events
+          |), g0 AS (
+          |  SELECT user_id, event_id,
+          |    tsu - LAG(tsu) OVER (
+          |      PARTITION BY user_id ORDER BY tsu, event_id) AS gap
+          |  FROM e
+          |), g AS (
+          |  SELECT user_id, event_id, gap,
+          |    ROW_NUMBER() OVER (
+          |      PARTITION BY user_id ORDER BY gap, event_id) AS rn,
+          |    COUNT(*) OVER (PARTITION BY user_id) AS ng
+          |  FROM g0 WHERE gap IS NOT NULL
+          |), gs AS (
+          |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+          |    MIN(gap) AS min_gap_us,
+          |    MIN(CASE WHEN rn = (ng + 1) // 2 THEN gap END) AS median_gap_us,
+          |    MAX(gap) AS max_gap_us,
+          |    CAST(SUM(CASE WHEN gap < 1000000 THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS bursts
+          |  FROM g GROUP BY user_id
+          |), pu AS (
+          |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+          |    MAX(tsu) - MIN(tsu) AS span_us
+          |  FROM e GROUP BY user_id
+          |)
+          |SELECT pu.user_id, pu.n_events,
+          |  COALESCE(gs.n_gaps, 0) AS n_gaps,
+          |  gs.min_gap_us, gs.median_gap_us, gs.max_gap_us,
+          |  COALESCE(gs.bursts, 0) AS bursts, pu.span_us
+          |FROM pu LEFT JOIN gs USING (user_id)
+          |ORDER BY user_id""".stripMargin,
       // t92: timestamps stay exact integer µs, values scale to integer
       // cents by one pure-double FLOOR, offsets are exact integer
       // running sums of fragment lengths — rendered string and mask
