@@ -85,6 +85,16 @@ object GraftFunctions {
         }, "built-in")
       reg.createOrReplaceTempFunction(
         "bpe_token_count", exprs => BpeTokenCount(exprs.head), "built-in")
+      reg.createOrReplaceTempFunction(
+        "winnow_select", exprs => {
+          val w = exprs(1) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+              v.toString.toInt
+            case other => throw new IllegalArgumentException(
+              s"winnow_select w must be a literal, got $other")
+          }
+          WinnowSelect(exprs.head, w)
+        }, "built-in")
     }
 
   /** Oracle-parity polynomial fingerprint (see [[PolyHash]]). */

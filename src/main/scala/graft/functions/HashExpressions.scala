@@ -467,3 +467,80 @@ object SortedInterCount {
     c
   }
 }
+
+/** Winnowing (MOSS) selection over an array<bigint> of positional
+  * gram hashes: each window of `w` consecutive hashes selects its
+  * minimum, RIGHTMOST position on ties, and the distinct selected
+  * (fp, pos) pairs come back as array<struct<fp:bigint, pos:int>>.
+  * Fewer than w hashes → the single whole-remainder window; empty →
+  * empty.
+  *
+  * One compiled O(m) pass (ascending-value index deque — equal values
+  * evict earlier indices, realizing the rightmost-tie rule; selected
+  * positions are non-decreasing across sliding windows, so consecutive
+  * dedup yields the distinct set). Replaces a
+  * `transform(sequence(...), j -> aggregate(...))` form whose nested
+  * interpreted lambdas measured 67 s at sf0.1 where this pass is
+  * sub-second.
+  */
+case class WinnowSelect(child: Expression, w: Int) extends UnaryExpression {
+  require(w > 0, s"winnow window must be positive, got $w")
+  override def dataType: DataType = WinnowSelect.OutType
+  override def prettyName: String = "winnow_select"
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowSelect.compute(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WinnowSelect.compute($c, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowSelect =
+    copy(child = newChild)
+}
+
+object WinnowSelect {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.types.{ArrayType, IntegerType, StructField, StructType}
+
+  val OutType: ArrayType = ArrayType(StructType(Seq(
+    StructField("fp", LongType, nullable = false),
+    StructField("pos", IntegerType, nullable = false))), containsNull = false)
+
+  def compute(hs: ArrayData, w: Int): ArrayData = {
+    val m = hs.numElements()
+    if (m == 0) return new GenericArrayData(new Array[Any](0))
+    val out = new scala.collection.mutable.ArrayBuffer[Any]
+    // index deque: increasing indices, strictly increasing values
+    // (>= evictions make the FRONT the rightmost minimum of the window)
+    val dq = new Array[Int](m)
+    var head = 0
+    var tail = 0 // exclusive
+    var lastSel = -1
+    var i = 0
+    while (i < m) {
+      val v = hs.getLong(i)
+      while (tail > head && hs.getLong(dq(tail - 1)) >= v) tail -= 1
+      dq(tail) = i; tail += 1
+      val j = i - w + 1 // window start once the window is full
+      if (j >= 0 || i == m - 1) {
+        // evict indices left of the current window start (for the
+        // short-document single window, start is 0)
+        val start = math.max(j, 0)
+        while (dq(head) < start) head += 1
+        val sel = dq(head)
+        if (sel != lastSel) {
+          val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+          row.update(0, hs.getLong(sel))
+          row.update(1, sel)
+          out += row
+          lastSel = sel
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}

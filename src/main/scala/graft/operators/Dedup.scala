@@ -739,13 +739,16 @@ object Dedup {
     * overlap join ([[winnowOverlapPairs]]) runs on instead of every
     * gram.
     *
-    * Scale shape: map-only per document (the O(m·w) window fold runs
-    * inside one projection; no shuffle, no state). Documents shorter
-    * than k tokens emit no fingerprints ([[graft.functions.NGrams]]
-    * positional mode), shorter than w+k−1 emit the single
-    * whole-remainder window. Hashes are the 31-bit oracle-parity
-    * [[graft.functions.PolyHash]], so DuckDB replays the selection
-    * exactly.
+    * Scale shape: map-only per document — tokenize → positional gram
+    * hashes ([[graft.functions.NGrams]] + PolyHash, both codegen'd) →
+    * ONE compiled O(m) sliding-minimum pass
+    * ([[graft.functions.WinnowSelect]]; the interpreted
+    * transform/aggregate lambda form measured 67 s at sf0.1 where
+    * this is sub-second). No shuffle, no state. Documents shorter
+    * than k tokens emit no fingerprints, shorter than w+k−1 emit the
+    * single whole-remainder window. Hashes are the 31-bit
+    * oracle-parity [[graft.functions.PolyHash]], so DuckDB replays
+    * the selection exactly.
     */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, w: Int = 4): DataFrame = {
@@ -756,18 +759,8 @@ object Dedup {
         graft.functions.TextFunctions.tokens(col(textCol)),
         lit(k), lit(false)),
       lit(false))
-    docs.select(col(idCol).as("doc_id"), hs.as("hs"))
-      .withColumn("m", size(col("hs")))
-      .filter(col("m") > 0)
-      .withColumn("sel", array_distinct(transform(
-        sequence(lit(0), greatest(col("m") - w, lit(0))),
-        j => aggregate(
-          sequence(j, least(j + lit(w - 1), col("m") - 1)),
-          struct(lit(Long.MaxValue).as("fp"), lit(-1).as("pos")),
-          (acc, i) => when(element_at(col("hs"), i + 1) <= acc("fp"),
-            struct(element_at(col("hs"), i + 1).as("fp"),
-              i.cast("int").as("pos")))
-            .otherwise(acc)))))
+    docs.select(col(idCol).as("doc_id"),
+        call_function("winnow_select", hs, lit(w)).as("sel"))
       .select(col("doc_id"), explode(col("sel")).as("s"))
       .select(col("doc_id"), col("s.pos").cast("long").as("pos"),
         col("s.fp").as("fp"))
