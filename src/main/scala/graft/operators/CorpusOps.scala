@@ -2038,6 +2038,78 @@ object CorpusOps {
         "groups_frac_x1e6", "target_frac_x1e6", "dev_x1e6")
   }
 
+  /** Split × source representativeness audit — does every split see
+    * every source at the corpus's own mix? One row per (split,
+    * source) CELL of the static {train,val,test} × realized-source
+    * cross (empty cells surface with n_docs = 0 — the [[splitFractions]]
+    * lesson applied to the contingency table): the cell count, both
+    * marginals, the expected per-source fraction (= the split's
+    * overall document share) and the realized one, and their absolute
+    * ppm deviation — all single integer floors.
+    *
+    * Scale shape: the corpus collapses to the (split, source) cell
+    * relation first (one map-side-combinable aggregation); marginals,
+    * the static cross, and the deviation arithmetic all run on the
+    * |splits|·|sources| relation with broadcast joins.
+    */
+  def splitSourceBalance(splits: DataFrame, docs: DataFrame,
+      idCol: String, sourceCol: String): DataFrame = {
+    import docs.sparkSession.implicits._
+    val d = docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source"))
+    val cell0 = splits.select(col("doc_id"), col("split"))
+      .join(d, "doc_id")
+      .groupBy("split", "source").agg(count(lit(1)).as("__n"))
+      // |splits|·|sources| rows, five consumers — pinned
+      .localCheckpoint()
+    val cross = Seq("train", "val", "test").toDF("split")
+      .crossJoin(cell0.select("source").distinct())
+    val cell = cross.join(cell0, Seq("split", "source"), "left")
+      .select(col("split"), col("source"),
+        coalesce(col("__n"), lit(0L)).as("n_docs"))
+    val bySrc = cell.groupBy("source").agg(sum("n_docs").as("source_total"))
+    val bySplit = cell.groupBy("split").agg(sum("n_docs").as("split_total"))
+    val tot = cell.agg(sum("n_docs").as("n_total"))
+    cell.join(broadcast(bySrc), "source")
+      .join(broadcast(bySplit), "split")
+      .crossJoin(broadcast(tot))
+      .withColumn("expected_x1e6",
+        expr("(split_total * 1000000) div n_total"))
+      .withColumn("actual_x1e6",
+        expr("(n_docs * 1000000) div greatest(source_total, 1)"))
+      .withColumn("dev_x1e6", abs(col("actual_x1e6") - col("expected_x1e6")))
+      .select("split", "source", "n_docs", "source_total", "split_total",
+        "expected_x1e6", "actual_x1e6", "dev_x1e6")
+  }
+
+  /** Dedup survivorship by source — which sources is near-dup dedup
+    * gutting? Joins the corpus against a canonical-election relation
+    * ([[canonicalSelect]]'s output: clustered docs with their
+    * `canonical` flag): a document survives iff it is unclustered or
+    * its cluster's canonical. Per source: totals, clustered count,
+    * survivors, and the exact ppm survival rate — the audit a mixture
+    * designer reads before re-weighting, because templated sources
+    * lose most of their mass to dedup while organic ones keep it.
+    *
+    * Scale shape: one id equi-join of the corpus projection against
+    * the (duplicate-set-sized) canonical relation, then one source
+    * aggregation; rides the session's memoized component closure at
+    * the query layer, so no new LSH pass.
+    */
+  def dedupSurvivorship(docs: DataFrame, idCol: String,
+      sourceCol: String, canonical: DataFrame): DataFrame = {
+    val c = canonical.select(col("doc_id"), col("canonical"))
+    docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source"))
+      .join(c, Seq("doc_id"), "left")
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("canonical").isNotNull, 1L).otherwise(0L))
+          .as("n_clustered"),
+        sum(when(col("canonical").isNull || col("canonical"), 1L)
+          .otherwise(0L)).as("n_survivors"))
+      .withColumn("survival_x1e6",
+        expr("(n_survivors * 1000000) div greatest(n_docs, 1)"))
+  }
+
   /** Per-stage attrition of [[curationRecipe]], read from `observe`
     * accumulators populated by the materializing actions (no
     * per-stage count() jobs re-running pipeline prefixes).

@@ -232,6 +232,24 @@ object TrainingData {
       Dedup.connectedComponents(pairs, "id_a", "id_b")
     }
 
+  private val canonicalCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Memo[DataFrame]]
+
+  /** One canonical-election relation (clustered docs + their
+    * per-cluster argmax flag, [[CorpusOps.canonicalSelect]] at the
+    * family parameters) per (session, corpus snapshot) — shared by
+    * t42 and the survivorship audit (t121). Deterministic election,
+    * duplicate-set-sized pin; the same sharing argument as
+    * [[sharedComponents]], one tier up.
+    */
+  private def sharedCanonical(spark: SparkSession, dir: String): DataFrame =
+    memoized(canonicalCache,
+      (spark.sparkContext.applicationId, s"$dir/documents")) {
+      CorpusOps.canonicalSelect(Tables.documents(spark, dir), "doc_id",
+        "text", n = 3, numPerms = 64, bands = 16, threshold = 0.5,
+        compOpt = Some(sharedComponents(spark, dir))).localCheckpoint()
+    }
+
   def annIvfTopK(spark: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopKAuto(Tables.embeddings(spark, dir), "vec_id", "embedding",
         k = 3, minNlist = 16, nprobe = 2,
@@ -521,10 +539,7 @@ object TrainingData {
     * score and elects per-cluster argmax (score desc, doc_id asc).
     */
   def docCanonical(spark: SparkSession, dir: String): DataFrame =
-    CorpusOps.canonicalSelect(Tables.documents(spark, dir), "doc_id", "text",
-        n = 3, numPerms = 64, bands = 16, threshold = 0.5,
-        compOpt = Some(sharedComponents(spark, dir)))
-      .orderBy("doc_id")
+    sharedCanonical(spark, dir).orderBy("doc_id")
 
   /** Incremental semantic dedup
     * ([[Similarity.incrementalSemDedup]]): the last fifth of the
@@ -1616,6 +1631,30 @@ object TrainingData {
         "user_id", "tsu", "event_id")
       .orderBy("user_id")
 
+  /** Split × source representativeness audit
+    * ([[CorpusOps.splitSourceBalance]] over the t78 leakage-safe
+    * splits): the full {train,val,test} × source contingency table
+    * with expected-vs-realized ppm deviations — empty cells surface
+    * with zero counts. Rides the shared component closure.
+    */
+  def docSplitSourceBalance(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    CorpusOps.splitSourceBalance(
+        CorpusOps.leakageSafeSplits(docs, "doc_id", "text",
+          compOpt = Some(sharedComponents(spark, dir))),
+        docs, "doc_id", "source")
+      .orderBy("split", "source")
+  }
+
+  /** Dedup survivorship by source ([[CorpusOps.dedupSurvivorship]]
+    * over the shared canonical election): per-source survival ppm
+    * after near-dup dedup — the which-sources-get-gutted audit.
+    */
+  def docDedupSurvivorship(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.dedupSurvivorship(Tables.documents(spark, dir), "doc_id",
+        "source", sharedCanonical(spark, dir))
+      .orderBy("source")
+
   /** Margin mining over IVF candidates
     * ([[Similarity.marginMutualPairsIvf]], k = 4, shared full-corpus
     * quantizer, nprobe = 2) — the scale path of t91: cross-side
@@ -1977,6 +2016,8 @@ object TrainingData {
     "t117_collocations" -> docCollocations _,
     "t118_quantile_norm" -> docQuantileNorm _,
     "t119_gap_features" -> eventsGapFeatures _,
+    "t120_split_source_balance" -> docSplitSourceBalance _,
+    "t121_dedup_survivorship" -> docDedupSurvivorship _,
   )
 
   /** Shared DuckDB SELECT replaying [[CorpusOps.hashedLinearScore]]
@@ -3557,6 +3598,110 @@ object TrainingData {
           |  COALESCE(gs.bursts, 0) AS bursts, pu.span_us
           |FROM pu LEFT JOIN gs USING (user_id)
           |ORDER BY user_id""".stripMargin,
+      // t120: the t78 component+split replay joined to sources, the
+      // static split × realized-source cross, and single-floor ppm
+      // marginal arithmetic
+      "t120_split_source_balance" ->
+        s"""WITH RECURSIVE ${minhashCtes(64, 16, 0.5)},
+           |mpairs AS MATERIALIZED (
+           |  SELECT id_a, id_b FROM pairs
+           |), edges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM mpairs
+           |  UNION
+           |  SELECT id_b AS src, id_a AS dst FROM mpairs
+           |), reach AS (
+           |  SELECT src, dst FROM edges
+           |  UNION
+           |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+           |), sel AS (
+           |  SELECT src, dst FROM reach
+           |  UNION
+           |  SELECT src, src AS dst FROM edges
+           |), comp AS (
+           |  SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS root
+           |  FROM sel GROUP BY src
+           |), keyed AS (
+           |  SELECT d.doc_id, d.source, COALESCE(c.root, d.doc_id) AS group_key
+           |  FROM documents d LEFT JOIN comp c USING (doc_id)
+           |), spl AS (
+           |  SELECT doc_id, source,
+           |    CASE WHEN ${idMixSql("group_key")} % 100 < 10 THEN 'val'
+           |         WHEN ${idMixSql("group_key")} % 100 < 20 THEN 'test'
+           |         ELSE 'train' END AS split
+           |  FROM keyed
+           |), cell0 AS (
+           |  SELECT split, source, CAST(COUNT(*) AS BIGINT) AS n_docs
+           |  FROM spl GROUP BY 1, 2
+           |), cr AS (
+           |  SELECT sp.split, so.source
+           |  FROM (VALUES ('train'), ('val'), ('test')) sp(split)
+           |  CROSS JOIN (SELECT DISTINCT source FROM cell0) so
+           |), cell AS (
+           |  SELECT cr.split, cr.source, COALESCE(n_docs, 0) AS n_docs
+           |  FROM cr LEFT JOIN cell0 USING (split, source)
+           |), bs AS (
+           |  SELECT source, CAST(SUM(n_docs) AS BIGINT) AS source_total
+           |  FROM cell GROUP BY source
+           |), bp AS (
+           |  SELECT split, CAST(SUM(n_docs) AS BIGINT) AS split_total
+           |  FROM cell GROUP BY split
+           |), t AS (
+           |  SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM cell
+           |)
+           |SELECT cell.split, cell.source, n_docs, source_total, split_total,
+           |  (split_total * 1000000) // n_total AS expected_x1e6,
+           |  (n_docs * 1000000) // GREATEST(source_total, 1) AS actual_x1e6,
+           |  abs((n_docs * 1000000) // GREATEST(source_total, 1)
+           |    - (split_total * 1000000) // n_total) AS dev_x1e6
+           |FROM cell JOIN bs USING (source) JOIN bp USING (split), t
+           |ORDER BY split, source""".stripMargin,
+      // t121: the t42 canonical-election replay, left-joined to the
+      // corpus: survive = unclustered OR per-cluster argmax
+      "t121_dedup_survivorship" ->
+        s"""WITH RECURSIVE ${minhashCtes(64, 16, 0.5)}, edges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM pairs
+           |  UNION
+           |  SELECT id_b AS src, id_a AS dst FROM pairs
+           |), reach AS (
+           |  SELECT src, dst FROM edges
+           |  UNION
+           |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+           |), sel AS (
+           |  SELECT src, dst FROM reach
+           |  UNION
+           |  SELECT src, src AS dst FROM edges
+           |), comp AS (
+           |  SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster_id
+           |  FROM sel GROUP BY src
+           |), qterm AS (
+           |  SELECT doc_id, unnest(ts) AS term FROM toks
+           |), qtf AS (
+           |  SELECT doc_id, term, COUNT(*) AS tf FROM qterm GROUP BY 1, 2
+           |), qcnt AS (
+           |  SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt FROM qtf GROUP BY term
+           |), qagg AS (
+           |  SELECT qtf.doc_id,
+           |    CAST(SUM(qtf.tf * qcnt.cnt) AS BIGINT)
+           |      // CAST(SUM(qtf.tf) AS BIGINT) AS score
+           |  FROM qtf JOIN qcnt USING (term) GROUP BY 1
+           |), r AS (
+           |  SELECT c.doc_id,
+           |    ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+           |      ORDER BY q.score DESC, c.doc_id) AS rn
+           |  FROM comp c JOIN qagg q USING (doc_id)
+           |)
+           |SELECT d.source,
+           |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_clustered,
+           |  CAST(SUM(CASE WHEN r.doc_id IS NULL OR r.rn = 1 THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_survivors,
+           |  (CAST(SUM(CASE WHEN r.doc_id IS NULL OR r.rn = 1 THEN 1 ELSE 0 END)
+           |    AS BIGINT) * 1000000)
+           |    // GREATEST(CAST(COUNT(*) AS BIGINT), 1) AS survival_x1e6
+           |FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
+           |GROUP BY d.source
+           |ORDER BY d.source""".stripMargin,
       // t92: timestamps stay exact integer µs, values scale to integer
       // cents by one pure-double FLOOR, offsets are exact integer
       // running sums of fragment lengths — rendered string and mask
