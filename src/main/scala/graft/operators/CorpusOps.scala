@@ -1589,6 +1589,32 @@ object CorpusOps {
       .select("doc_id", "weight", "cum_before", "n_copies", "pi_x1e6")
   }
 
+  /** Freshness-weighted systematic PPS sample — the recency-biased
+    * replay-buffer draw: each row's weight halves per `halfLifeUs` of
+    * age relative to the newest row (weight_x1e6 = 1e6 >> age_halflives,
+    * capped at `maxShift` — an exact integer shift, no exp()), then
+    * the [[systematicPpsSample]] pointer walk draws k rows with exact
+    * Horvitz–Thompson probabilities. Fresh interactions dominate, the
+    * tail stays reachable (maxShift ≤ 19 keeps the floored weight
+    * ≥ 1; at 20+ the 1e6 fixed point floors to 0 and the tail would
+    * vanish), everything replays bit-for-bit.
+    *
+    * Scale shape: one broadcast max-timestamp scalar + a map-side
+    * weight projection on top of the PPS two-phase prefix sum.
+    */
+  def freshnessSample(events: DataFrame, idCol: String, tsUsCol: String,
+      halfLifeUs: Long, k: Int, maxShift: Int = 19): DataFrame = {
+    require(halfLifeUs > 0 && maxShift >= 0 && maxShift <= 19,
+      s"maxShift must be in [0, 19] so weights stay >= 1, got $maxShift")
+    val mx = events.agg(max(col(tsUsCol)).as("__mx"))
+    val weighted = events.crossJoin(broadcast(mx))
+      .withColumn("__age_hl",
+        least(expr(s"(__mx - $tsUsCol) div $halfLifeUs"), lit(maxShift.toLong)))
+      .withColumn("freshness_x1e6",
+        expr("1000000 div (1 << __age_hl)"))
+    systematicPpsSample(weighted, idCol, "freshness_x1e6", k)
+  }
+
   /** Per-domain document cap — the RefinedWeb/Gopher-style host
     * balancing pass: keep at most `cap` documents per domain, chosen
     * by the deterministic full-width id-hash ([[idMix]], the

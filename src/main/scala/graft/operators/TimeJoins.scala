@@ -244,6 +244,36 @@ object TimeJoins {
         coalesce(col("bursts"), lit(0L)).as("bursts"), col("span_us"))
   }
 
+  /** Per-user behavioral diversity — the log-free companion of
+    * entropy for bot/user segmentation: event-type counts collapse to
+    * Gini impurity 1 − Σ pₜ² (1e6 fixed point, one exact floor over
+    * 38-digit decimals — a single-type script scores 0, a uniform
+    * explorer approaches 1 − 1/|types|) plus the modal type's share
+    * in ppm and the type count. Pairs with
+    * [[interactionGapFeatures]]: low diversity + millisecond medians
+    * is automation.
+    *
+    * Scale shape: one (user, type) count aggregation (map-side
+    * combinable), then a per-user re-aggregation on the same key —
+    * Catalyst keeps both on one user-keyed exchange. No floats.
+    */
+  def behavioralDiversity(events: DataFrame, userCol: String,
+      typeCol: String): DataFrame = {
+    val cnt = events.select(col(userCol).as("user_id"),
+        col(typeCol).as("etype"))
+      .groupBy("user_id", "etype").agg(count(lit(1)).as("n_t"))
+    cnt.groupBy("user_id").agg(
+        sum("n_t").as("n_events"),
+        count(lit(1)).as("n_types"),
+        max("n_t").as("__modal"),
+        sum(col("n_t") * col("n_t")).as("__sq"))
+      .select(col("user_id"), col("n_events"), col("n_types"),
+        expr("CAST(1000000 - (CAST(__sq AS DECIMAL(38,0)) * 1000000)" +
+          " div (CAST(n_events AS DECIMAL(38,0)) * n_events) AS LONG)")
+          .as("gini_x1e6"),
+        expr("(__modal * 1000000) div n_events").as("modal_share_x1e6"))
+  }
+
   def pointInTimeFeatures(events: DataFrame, userCol: String,
       tsUsCol: String, ordCol: String, typeCol: String, valueCol: String,
       targetType: String): DataFrame = {

@@ -1655,6 +1655,28 @@ object TrainingData {
         "source", sharedCanonical(spark, dir))
       .orderBy("source")
 
+  /** Freshness-weighted PPS sample ([[CorpusOps.freshnessSample]],
+    * 7-day half-life, k = 50): recency-biased replay draw over the
+    * event log — weights halve per week of age (exact shifts), then
+    * the t116 pointer walk. Oracle replays weights and the walk.
+    */
+  def eventsFreshnessSample(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.freshnessSample(
+        Tables.eventsNanos(spark, dir)
+          .select(col("event_id"), expr("ts div 1000").as("tsu")),
+        "event_id", "tsu", halfLifeUs = 7L * 86400L * 1000000L, k = 50)
+      .orderBy("doc_id")
+
+  /** Per-user behavioral diversity
+    * ([[TimeJoins.behavioralDiversity]]): Gini impurity of the
+    * event-type distribution in 1e6 fixed point, modal share, type
+    * count — entropy's log-free twin for bot segmentation.
+    */
+  def eventsDiversity(spark: SparkSession, dir: String): DataFrame =
+    TimeJoins.behavioralDiversity(Tables.events(spark, dir),
+        "user_id", "event_type")
+      .orderBy("user_id")
+
   /** Margin mining over IVF candidates
     * ([[Similarity.marginMutualPairsIvf]], k = 4, shared full-corpus
     * quantizer, nprobe = 2) — the scale path of t91: cross-side
@@ -2018,6 +2040,8 @@ object TrainingData {
     "t119_gap_features" -> eventsGapFeatures _,
     "t120_split_source_balance" -> docSplitSourceBalance _,
     "t121_dedup_survivorship" -> docDedupSurvivorship _,
+    "t122_freshness_sample" -> eventsFreshnessSample _,
+    "t123_behavioral_diversity" -> eventsDiversity _,
   )
 
   /** Shared DuckDB SELECT replaying [[CorpusOps.hashedLinearScore]]
@@ -3702,6 +3726,59 @@ object TrainingData {
            |FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
            |GROUP BY d.source
            |ORDER BY d.source""".stripMargin,
+      // t122: exact shift-decayed weights + the t116 pointer walk
+      // (same sharded-hash order, keyed by event_id)
+      "t122_freshness_sample" ->
+        s"""WITH e AS (
+           |  SELECT event_id, epoch_us(ts) AS tsu FROM events
+           |), mx AS (
+           |  SELECT MAX(tsu) AS m FROM e
+           |), b AS (
+           |  SELECT event_id AS doc_id,
+           |    1000000 // (1 << LEAST((m - tsu) // ${7L * 86400L * 1000000L},
+           |      19)) AS weight,
+           |    ${idMixSql("event_id")} AS ord
+           |  FROM e, mx
+           |  WHERE 1000000 // (1 << LEAST((m - tsu) // ${7L * 86400L * 1000000L},
+           |    19)) > 0
+           |), c AS (
+           |  SELECT doc_id, weight,
+           |    CAST(SUM(weight) OVER (ORDER BY ord % 64, ord, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS BIGINT) AS cum_after
+           |  FROM b
+           |), t AS (
+           |  SELECT CAST(SUM(weight) AS BIGINT) AS w_tot FROM b
+           |)
+           |SELECT doc_id, weight, cum_after - weight AS cum_before,
+           |  (50 * cum_after) // w_tot
+           |    - (50 * (cum_after - weight)) // w_tot AS n_copies,
+           |  CAST(LEAST(1000000, ((50 * weight) // w_tot) * 1000000
+           |    + (((50 * weight) % w_tot) * 1000000) // w_tot)
+           |    AS BIGINT) AS pi_x1e6
+           |FROM c, t
+           |WHERE (50 * cum_after) // w_tot
+           |  - (50 * (cum_after - weight)) // w_tot > 0
+           |ORDER BY doc_id""".stripMargin,
+      // t123: (user, type) counts folded to Gini impurity with one
+      // HUGEINT floor; modal share is a single integer division
+      "t123_behavioral_diversity" ->
+        """WITH c AS (
+          |  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_t
+          |  FROM events GROUP BY 1, 2
+          |), u AS (
+          |  SELECT user_id, CAST(SUM(n_t) AS BIGINT) AS n_events,
+          |    CAST(COUNT(*) AS BIGINT) AS n_types,
+          |    MAX(n_t) AS modal_n,
+          |    CAST(SUM(n_t * n_t) AS BIGINT) AS sq
+          |  FROM c GROUP BY user_id
+          |)
+          |SELECT user_id, n_events, n_types,
+          |  CAST(1000000 - (CAST(sq AS HUGEINT) * 1000000)
+          |    // (CAST(n_events AS HUGEINT) * n_events) AS BIGINT)
+          |    AS gini_x1e6,
+          |  (modal_n * 1000000) // n_events AS modal_share_x1e6
+          |FROM u ORDER BY user_id""".stripMargin,
       // t92: timestamps stay exact integer µs, values scale to integer
       // cents by one pure-double FLOOR, offsets are exact integer
       // running sums of fragment lengths — rendered string and mask
