@@ -2064,6 +2064,37 @@ object CorpusOps {
         "groups_frac_x1e6", "target_frac_x1e6", "dev_x1e6")
   }
 
+  /** Near-dup cluster-size histogram — the dedup landscape in one
+    * relation: for each cluster size (1 = the unclustered singletons),
+    * how many clusters exist, how many documents they hold, and that
+    * mass in ppm of the corpus. The first thing to read before
+    * choosing soft-dedup weights or a per-cluster cap: one mega-
+    * cluster at 30% corpus mass and a long singleton tail ask for
+    * different interventions than uniform pair-duplication.
+    *
+    * Scale shape: the component relation (duplicate-set-sized)
+    * collapses to per-cluster sizes, then to the |distinct sizes|
+    * histogram; the corpus contributes only its count (broadcast 1-row)
+    * for the singleton row and the ppm denominators.
+    */
+  def clusterSizeHistogram(docs: DataFrame, idCol: String,
+      comp: DataFrame): DataFrame = {
+    val sizes = comp.groupBy("comp").agg(count(lit(1)).as("sz"))
+    val hist = sizes.groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+    val nTotal = docs.agg(count(lit(1)).as("__n"))
+    val nClustered = sizes.agg(coalesce(sum("sz"), lit(0L)).as("__c"))
+    val singletons = nTotal.crossJoin(broadcast(nClustered))
+      .select(lit(1L).as("sz"), (col("__n") - col("__c")).as("n_clusters"))
+      .filter(col("n_clusters") > 0)
+    hist.select(col("sz").cast("long").as("sz"), col("n_clusters"))
+      .unionByName(singletons)
+      .crossJoin(broadcast(nTotal))
+      .select(col("sz").as("cluster_size"), col("n_clusters"),
+        (col("sz") * col("n_clusters")).as("n_docs"),
+        expr("(sz * n_clusters * 1000000) div greatest(__n, 1)")
+          .as("docs_ppm"))
+  }
+
   /** Split × source representativeness audit — does every split see
     * every source at the corpus's own mix? One row per (split,
     * source) CELL of the static {train,val,test} × realized-source

@@ -1677,6 +1677,16 @@ object TrainingData {
         "user_id", "event_type")
       .orderBy("user_id")
 
+  /** Near-dup cluster-size histogram
+    * ([[CorpusOps.clusterSizeHistogram]] over the shared component
+    * closure): per cluster size (1 = singletons) the cluster count,
+    * document mass, and ppm of corpus — the dedup-landscape read.
+    */
+  def docClusterHistogram(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.clusterSizeHistogram(Tables.documents(spark, dir), "doc_id",
+        sharedComponents(spark, dir))
+      .orderBy("cluster_size")
+
   /** Margin mining over IVF candidates
     * ([[Similarity.marginMutualPairsIvf]], k = 4, shared full-corpus
     * quantizer, nprobe = 2) — the scale path of t91: cross-side
@@ -2042,6 +2052,7 @@ object TrainingData {
     "t121_dedup_survivorship" -> docDedupSurvivorship _,
     "t122_freshness_sample" -> eventsFreshnessSample _,
     "t123_behavioral_diversity" -> eventsDiversity _,
+    "t124_cluster_histogram" -> docClusterHistogram _,
   )
 
   /** Shared DuckDB SELECT replaying [[CorpusOps.hashedLinearScore]]
@@ -3779,6 +3790,43 @@ object TrainingData {
           |    AS gini_x1e6,
           |  (modal_n * 1000000) // n_events AS modal_share_x1e6
           |FROM u ORDER BY user_id""".stripMargin,
+      // t124: the component replay collapsed to per-cluster sizes, a
+      // size histogram with the singleton row, and ppm mass floors
+      "t124_cluster_histogram" ->
+        s"""WITH RECURSIVE ${minhashCtes(64, 16, 0.5)}, edges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM pairs
+           |  UNION
+           |  SELECT id_b AS src, id_a AS dst FROM pairs
+           |), reach AS (
+           |  SELECT src, dst FROM edges
+           |  UNION
+           |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+           |), sel AS (
+           |  SELECT src, dst FROM reach
+           |  UNION
+           |  SELECT src, src AS dst FROM edges
+           |), comp AS (
+           |  SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS root
+           |  FROM sel GROUP BY src
+           |), csz AS (
+           |  SELECT root, CAST(COUNT(*) AS BIGINT) AS sz FROM comp GROUP BY root
+           |), chist AS (
+           |  SELECT sz, CAST(COUNT(*) AS BIGINT) AS n_clusters
+           |  FROM csz GROUP BY sz
+           |), nt AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+           |), nc AS (
+           |  SELECT CAST(COALESCE(SUM(sz), 0) AS BIGINT) AS c FROM csz
+           |), rows0 AS (
+           |  SELECT sz, n_clusters FROM chist
+           |  UNION ALL
+           |  SELECT 1 AS sz, n - c AS n_clusters FROM nt, nc WHERE n - c > 0
+           |)
+           |SELECT sz AS cluster_size, n_clusters,
+           |  sz * n_clusters AS n_docs,
+           |  (sz * n_clusters * 1000000) // GREATEST(n, 1) AS docs_ppm
+           |FROM rows0, nt
+           |ORDER BY cluster_size""".stripMargin,
       // t92: timestamps stay exact integer µs, values scale to integer
       // cents by one pure-double FLOOR, offsets are exact integer
       // running sums of fragment lengths — rendered string and mask
