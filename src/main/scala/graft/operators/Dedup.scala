@@ -727,6 +727,57 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** b-bit minwise hashing (Li & König, WWW'10) — the sketch
+    * compression that stores `b` bits per MinHash permutation instead
+    * of 32/64 (8–16× smaller dedup indexes at 100 TB; the paper's
+    * point is that the low bits retain almost all the similarity
+    * signal): per candidate pair, the fraction f of permutations
+    * whose truncated values agree estimates Jaccard via
+    * Ĵ = max(f − C, 0)/(1 − C) with C = 2⁻ᵇ the random-collision
+    * floor. Emitted per pair: the agreement count, f, the corrected
+    * estimate, and the exact shingle Jaccard alongside (all ppm,
+    * single positive-operand floors both engines replay; the clamp
+    * happens BEFORE the division so no negative integer division —
+    * DuckDB floors, the JVM truncates, and they differ below zero).
+    *
+    * Scale shape: candidates come from the shared LSH front end
+    * (never all-pairs); the truncation is a map-side projection over
+    * the pinned shingle relation and the 64-step agreement fold runs
+    * once per candidate.
+    */
+  def bbitMinhashEstimate(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numPerms: Int = 64, bands: Int = 16, b: Int = 4,
+      candOpt: Option[LshCandidates] = None): DataFrame = {
+    require(b >= 1 && b <= 30, s"b must be in [1, 30], got $b")
+    GraftFunctions.register(docs.sparkSession)
+    val fe = candOpt.getOrElse(
+      lshFrontEnd(docs, idCol, textCol, n, numPerms, bands))
+    val mask = (1L << b) - 1
+    val sigb = fe.shingles.select(col("id"), col("sh"),
+      transform(minhashSignatureFromShingles(col("sh"), numPerms),
+        x => x.bitwiseAND(lit(mask))).as("sigb"))
+    val c = 1000000L / (1L << b)
+    fe.candidates
+      .join(sigb.select(col("id").as("id_a"), col("sh").as("sh_a"),
+        col("sigb").as("ba")), "id_a")
+      .join(sigb.select(col("id").as("id_b"), col("sh").as("sh_b"),
+        col("sigb").as("bb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        aggregate(zip_with(col("ba"), col("bb"),
+          (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), _ + _)
+          .as("matches"),
+        call_function("sorted_inter_count", col("sh_a"), col("sh_b"))
+          .as("inter"),
+        size(col("sh_a")).cast("long").as("sza"),
+        size(col("sh_b")).cast("long").as("szb"))
+      .select(col("id_a"), col("id_b"), col("matches"),
+        expr(s"(matches * 1000000) div $numPerms").as("f_x1e6"),
+        expr(s"(greatest((matches * 1000000) div $numPerms - $c, 0)" +
+          s" * 1000000) div ${1000000L - c}").as("est_jaccard_x1e6"),
+        expr("(inter * 1000000) div (sza + szb - inter)")
+          .as("jaccard_x1e6"))
+  }
+
   /** Winnowing fingerprint selection (Schleimer–Wilkerson–Aiken,
     * SIGMOD'03 — the MOSS scheme): positional k-token-gram PolyHash
     * values slide under a window of `w` consecutive hashes; each

@@ -1687,6 +1687,17 @@ object TrainingData {
         sharedComponents(spark, dir))
       .orderBy("cluster_size")
 
+  /** b-bit minwise estimates ([[Dedup.bbitMinhashEstimate]], b = 4
+    * over t06's LSH candidates): per candidate pair the truncated-
+    * signature agreement, the collision-corrected Jaccard estimate,
+    * and the exact Jaccard alongside — the 8×-smaller dedup sketch,
+    * gated end-to-end.
+    */
+  def docBbitMinhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.bbitMinhashEstimate(Tables.documents(spark, dir), "doc_id",
+        "text", b = 4, candOpt = Some(sharedLshCandidates(spark, dir)))
+      .orderBy("id_a", "id_b")
+
   /** Margin mining over IVF candidates
     * ([[Similarity.marginMutualPairsIvf]], k = 4, shared full-corpus
     * quantizer, nprobe = 2) — the scale path of t91: cross-side
@@ -2053,6 +2064,7 @@ object TrainingData {
     "t122_freshness_sample" -> eventsFreshnessSample _,
     "t123_behavioral_diversity" -> eventsDiversity _,
     "t124_cluster_histogram" -> docClusterHistogram _,
+    "t125_bbit_minhash" -> docBbitMinhash _,
   )
 
   /** Shared DuckDB SELECT replaying [[CorpusOps.hashedLinearScore]]
@@ -3827,6 +3839,37 @@ object TrainingData {
            |  (sz * n_clusters * 1000000) // GREATEST(n, 1) AS docs_ppm
            |FROM rows0, nt
            |ORDER BY cluster_size""".stripMargin,
+      // t125: b-bit truncation of the replayed signatures, per-pair
+      // agreement counts over the band candidates, clamp-then-divide
+      // correction, exact Jaccard alongside (LEFT join p0: a band-key
+      // collision pair may share zero grams)
+      "t125_bbit_minhash" ->
+        s"""WITH ${minhashCtes(64, 16, 0.5)}, bb AS (
+           |  SELECT doc_id, j, v % 16 AS vb FROM sig
+           |), bmatch AS (
+           |  SELECT c.id_a, c.id_b,
+           |    CAST(SUM(CASE WHEN a.vb = b.vb THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS matches
+           |  FROM cand c
+           |  JOIN bb a ON a.doc_id = c.id_a
+           |  JOIN bb b ON b.doc_id = c.id_b AND a.j = b.j
+           |  GROUP BY 1, 2
+           |), ex AS (
+           |  SELECT c.id_a, c.id_b,
+           |    CAST(COALESCE(p0.nc, 0) AS BIGINT) AS nc,
+           |    CAST(sa.sz AS BIGINT) AS sza, CAST(sb.sz AS BIGINT) AS szb
+           |  FROM cand c
+           |  LEFT JOIN p0 ON p0.id_a = c.id_a AND p0.id_b = c.id_b
+           |  JOIN sizes sa ON c.id_a = sa.doc_id
+           |  JOIN sizes sb ON c.id_b = sb.doc_id
+           |)
+           |SELECT m.id_a, m.id_b, m.matches,
+           |  (m.matches * 1000000) // 64 AS f_x1e6,
+           |  (GREATEST((m.matches * 1000000) // 64 - 62500, 0) * 1000000)
+           |    // 937500 AS est_jaccard_x1e6,
+           |  (ex.nc * 1000000) // (ex.sza + ex.szb - ex.nc) AS jaccard_x1e6
+           |FROM bmatch m JOIN ex ON m.id_a = ex.id_a AND m.id_b = ex.id_b
+           |ORDER BY m.id_a, m.id_b""".stripMargin,
       // t92: timestamps stay exact integer µs, values scale to integer
       // cents by one pure-double FLOOR, offsets are exact integer
       // running sums of fragment lengths — rendered string and mask
