@@ -857,6 +857,42 @@ object Dedup {
       .select("id_a", "id_b", "n_shared", "size_a", "size_b", "overlap_ppm")
   }
 
+  /** Incremental winnow-sketch admission — dispose a NEW batch of
+    * documents against a persisted corpus winnowing index (the
+    * distinct selected fingerprints of everything already ingested):
+    * per batch document, its selected-fingerprint count, how many
+    * already exist in the index, and the admission verdict
+    * (n_hits < minShared — the [[winnowOverlapPairs]] threshold
+    * applied index-vs-batch). Sub-w+k−1-token documents have no
+    * fingerprints and are admitted (nothing to match on; exact dedup
+    * is [[exact]]'s job).
+    *
+    * Scale shape: the batch's fingerprints come from the map-only
+    * [[winnowFingerprints]] pass; ONE fp-keyed equi-join against the
+    * index (which stores 2/(w+1) of the corpus's gram hashes — the
+    * winnowing point), one per-doc count; cost tracks the batch,
+    * never the corpus.
+    */
+  def incrementalWinnowDedup(indexFps: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, k: Int = 3, w: Int = 4,
+      minShared: Int = 2): DataFrame = {
+    require(minShared > 0)
+    val bf = winnowFingerprints(batch, idCol, textCol, k, w)
+      .select(col("doc_id"), col("fp")).distinct()
+    val idx = indexFps.select(col("fp")).distinct()
+      .withColumn("__in_idx", lit(1))
+    val cnt = bf.join(idx, Seq("fp"), "left")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_fps"),
+        sum(when(col("__in_idx").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+    batch.select(col(idCol).as("batch_id"))
+      .join(cnt.withColumnRenamed("doc_id", "batch_id"), Seq("batch_id"), "left")
+      .select(col("batch_id"),
+        coalesce(col("n_fps"), lit(0L)).as("n_fps"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) < minShared.toLong).as("admitted"))
+  }
+
   /** Connected components over near-duplicate pair edges: the step
     * that turns pairwise dup detection into dedup GROUPS (keep the
     * min-id canonical per cluster, drop the rest). Iterative min-label

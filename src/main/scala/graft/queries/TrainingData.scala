@@ -1698,6 +1698,21 @@ object TrainingData {
         "text", b = 4, candOpt = Some(sharedLshCandidates(spark, dir)))
       .orderBy("id_a", "id_b")
 
+  /** Incremental winnow-sketch admission
+    * ([[Dedup.incrementalWinnowDedup]], t19's bench split doc_id%10=0
+    * as the pre-indexed corpus): per new document, indexed-fingerprint
+    * hits and the admit verdict — boilerplate gating at 2/(w+1) index
+    * density.
+    */
+  def docWinnowAdmission(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.incrementalWinnowDedup(
+        Dedup.winnowFingerprints(docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text").select("fp"),
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+      .orderBy("batch_id")
+  }
+
   /** Margin mining over IVF candidates
     * ([[Similarity.marginMutualPairsIvf]], k = 4, shared full-corpus
     * quantizer, nprobe = 2) — the scale path of t91: cross-side
@@ -2065,6 +2080,7 @@ object TrainingData {
     "t123_behavioral_diversity" -> eventsDiversity _,
     "t124_cluster_histogram" -> docClusterHistogram _,
     "t125_bbit_minhash" -> docBbitMinhash _,
+    "t126_winnow_admission" -> docWinnowAdmission _,
   )
 
   /** Shared DuckDB SELECT replaying [[CorpusOps.hashedLinearScore]]
@@ -3870,6 +3886,29 @@ object TrainingData {
            |  (ex.nc * 1000000) // (ex.sza + ex.szb - ex.nc) AS jaccard_x1e6
            |FROM bmatch m JOIN ex ON m.id_a = ex.id_a AND m.id_b = ex.id_b
            |ORDER BY m.id_a, m.id_b""".stripMargin,
+      // t126: the winnow replay split index-vs-batch; counts via a
+      // LEFT join so fingerprint-less docs surface admitted
+      "t126_winnow_admission" ->
+        s"""WITH ${winnowCtes(4)}, wf AS (
+           |  SELECT DISTINCT doc_id, s.fp AS fp FROM wsel
+           |), idxf AS (
+           |  SELECT DISTINCT fp FROM wf WHERE doc_id % 10 = 0
+           |), bfp AS (
+           |  SELECT doc_id, fp FROM wf WHERE doc_id % 10 <> 0
+           |), cnt AS (
+           |  SELECT bfp.doc_id, CAST(COUNT(*) AS BIGINT) AS n_fps,
+           |    CAST(SUM(CASE WHEN i.fp IS NOT NULL THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_hits
+           |  FROM bfp LEFT JOIN idxf i ON bfp.fp = i.fp
+           |  GROUP BY bfp.doc_id
+           |)
+           |SELECT d.doc_id AS batch_id,
+           |  COALESCE(n_fps, 0) AS n_fps,
+           |  COALESCE(n_hits, 0) AS n_hits,
+           |  COALESCE(n_hits, 0) < 2 AS admitted
+           |FROM documents d LEFT JOIN cnt USING (doc_id)
+           |WHERE d.doc_id % 10 <> 0
+           |ORDER BY batch_id""".stripMargin,
       // t92: timestamps stay exact integer µs, values scale to integer
       // cents by one pure-double FLOOR, offsets are exact integer
       // running sums of fragment lengths — rendered string and mask

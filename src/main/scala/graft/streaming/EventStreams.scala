@@ -201,6 +201,32 @@ object EventStreams {
     q.stop()
   }
 
+  /** Streaming winnow-sketch admission — the boilerplate gate on an
+    * ingestion stream: per micro-batch of arriving documents, the
+    * map-only winnowing pass selects each document's fingerprints and
+    * [[graft.operators.Dedup.incrementalWinnowDedup]] disposes them
+    * against the static corpus sketch (admit iff fewer than
+    * `minShared` selected hashes already indexed), appending the
+    * disposition log to parquet — the same per-batch shape as the
+    * image/audio [[fingerprintAdmission]] faces, with the winnowed
+    * index 2/(w+1) the size of a full gram index.
+    */
+  def winnowAdmissionStream(docs: DataFrame, indexFps: DataFrame,
+      outPath: String, idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 3, w: Int = 4, minShared: Int = 2): Unit = {
+    val q = docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Dedup.incrementalWinnowDedup(
+          indexFps, batch.toDF(), idCol, textCol, k, w, minShared)
+          .withColumn("batch_no", lit(batchId))
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Streaming inverted-index maintenance: per micro-batch, ingest
     * the arriving documents into the persisted term-bucketed index
     * via [[graft.operators.CorpusOps.appendToInvertedIndex]] — batch

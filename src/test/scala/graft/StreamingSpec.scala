@@ -277,6 +277,40 @@ class StreamingSpec extends AnyFunSuite {
       s"an empty batch must score the reference mass $refMass, got $empty")
   }
 
+  test("streaming winnow admission gates boilerplate and equals the batch disposition") {
+    import spark.implicits._
+    val boiler = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      (1L, s"$boiler lead paragraph one"),
+      (2L, s"other indexed words entirely distinct body text here")).toDF("doc_id", "text")
+    val index = graft.operators.Dedup.winnowFingerprints(
+      corpus, "doc_id", "text").select("fp")
+    val arriving = Seq(
+      (10L, s"fresh new arrival with its own unique wording throughout"),
+      (11L, s"$boiler republished under a new id"), // boilerplate carrier
+      (12L, "tiny")).toDF("doc_id", "text") // no fingerprints
+    val d = java.nio.file.Files.createTempDirectory("graft_winnow_adm")
+    arriving.coalesce(1).write.parquet(d.resolve("docs.parquet").toString)
+    val out = java.nio.file.Files.createTempDirectory("graft_winnow_out").toString
+    EventStreams.winnowAdmissionStream(
+      spark.readStream.schema(arriving.schema)
+        .parquet(d.toString + "/docs.parquet"),
+      index, out)
+    val log = spark.read.parquet(out)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(log(10L)._2, "a fresh document must be admitted")
+    assert(!log(11L)._2 && log(11L)._1 >= 2L,
+      s"the boilerplate carrier must be gated, got ${log(11L)}")
+    assert(log(12L) == ((0L, true)), "a fingerprint-less doc is admitted")
+    // equality with the batch operator on the same static input
+    val want = graft.operators.Dedup.incrementalWinnowDedup(
+        index, arriving, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(log == want, "stream disposition must equal the batch operator")
+  }
+
   test("stream-vs-index dedup drops only already-indexed documents") {
     import spark.implicits._
     // stage a tiny "incoming docs" stream directory
