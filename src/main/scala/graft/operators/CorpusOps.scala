@@ -2064,6 +2064,39 @@ object CorpusOps {
         "groups_frac_x1e6", "target_frac_x1e6", "dev_x1e6")
   }
 
+  /** Join-key skew diagnostics — the report to read BEFORE a big
+    * shuffle melts one reducer: the `topK` heaviest keys of a
+    * relation with their row counts, corpus share in ppm, and the
+    * SUGGESTED SALT FACTOR ⌈cnt·partitions/n_rows⌉ — the number of
+    * salt buckets that brings that key's per-bucket load down to the
+    * average partition's (1 = no salting needed). AQE's skew-join
+    * handles sort-merge joins at runtime; this is the planning-time
+    * read for aggregations, windows, and broadcast decisions AQE
+    * can't rewrite.
+    *
+    * Scale shape: one map-side-combinable count aggregation, a
+    * bounded top-k (TakeOrdered per-partition heaps, never a key-space
+    * sort), and broadcast 1-row totals. All integer ceilings.
+    */
+  def keySkewReport(df: DataFrame, keyCol: String, topK: Int = 10,
+      partitions: Int = 32): DataFrame = {
+    require(topK > 0 && partitions > 0)
+    val counts = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum("cnt").as("n_rows"),
+      count(lit(1)).as("n_keys"))
+    val top = counts.orderBy(col("cnt").desc, col("key")).limit(topK)
+      .localCheckpoint()
+    val w = Window.orderBy(col("cnt").desc, col("key"))
+    top.crossJoin(broadcast(tot))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("share_ppm", expr("(cnt * 1000000) div n_rows"))
+      .withColumn("suggested_salt", expr(
+        s"greatest(1, (cnt * $partitions + n_rows - 1) div n_rows)"))
+      .select("rank", "key", "cnt", "n_rows", "n_keys", "share_ppm",
+        "suggested_salt")
+  }
+
   /** Near-dup cluster-size histogram — the dedup landscape in one
     * relation: for each cluster size (1 = the unclustered singletons),
     * how many clusters exist, how many documents they hold, and that

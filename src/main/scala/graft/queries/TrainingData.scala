@@ -1713,6 +1713,15 @@ object TrainingData {
       .orderBy("batch_id")
   }
 
+  /** Join-key skew report ([[CorpusOps.keySkewReport]] over the event
+    * log's type key, 32-partition sizing): heavy keys, ppm shares,
+    * and the ceiling salt factor — planning-time skew triage.
+    */
+  def eventsKeySkew(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.keySkewReport(Tables.events(spark, dir), "event_type",
+        topK = 10, partitions = 32)
+      .orderBy("rank")
+
   /** Margin mining over IVF candidates
     * ([[Similarity.marginMutualPairsIvf]], k = 4, shared full-corpus
     * quantizer, nprobe = 2) — the scale path of t91: cross-side
@@ -2081,6 +2090,7 @@ object TrainingData {
     "t124_cluster_histogram" -> docClusterHistogram _,
     "t125_bbit_minhash" -> docBbitMinhash _,
     "t126_winnow_admission" -> docWinnowAdmission _,
+    "t127_key_skew" -> eventsKeySkew _,
   )
 
   /** Shared DuckDB SELECT replaying [[CorpusOps.hashedLinearScore]]
@@ -3909,6 +3919,27 @@ object TrainingData {
            |FROM documents d LEFT JOIN cnt USING (doc_id)
            |WHERE d.doc_id % 10 <> 0
            |ORDER BY batch_id""".stripMargin,
+      // t127: key counts, (cnt desc, key) top-k, ppm shares and the
+      // integer ceiling salt factor
+      "t127_key_skew" ->
+        """WITH c AS (
+          |  SELECT CAST(event_type AS VARCHAR) AS key,
+          |    CAST(COUNT(*) AS BIGINT) AS cnt
+          |  FROM events GROUP BY 1
+          |), t AS (
+          |  SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+          |    CAST(COUNT(*) AS BIGINT) AS n_keys
+          |  FROM c
+          |), r AS (
+          |  SELECT key, cnt,
+          |    ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS rank
+          |  FROM c
+          |)
+          |SELECT CAST(rank AS BIGINT) AS rank, key, cnt, n_rows, n_keys,
+          |  (cnt * 1000000) // n_rows AS share_ppm,
+          |  GREATEST(1, (cnt * 32 + n_rows - 1) // n_rows) AS suggested_salt
+          |FROM r, t WHERE rank <= 10
+          |ORDER BY rank""".stripMargin,
       // t92: timestamps stay exact integer µs, values scale to integer
       // cents by one pure-double FLOOR, offsets are exact integer
       // running sums of fragment lengths — rendered string and mask
