@@ -2064,6 +2064,48 @@ object CorpusOps {
         "groups_frac_x1e6", "target_frac_x1e6", "dev_x1e6")
   }
 
+  /** Corpus snapshot diff — the data-versioning audit between two
+    * snapshots of one corpus: per document id, `added` (new only),
+    * `removed` (old only), `changed` (both, different content) or
+    * `unchanged`. Content equality is decided on 256-bit digests so
+    * the full-outer join moves ~40 B/row, never text — at 100 TB the
+    * diff is the id-keyed shuffle of two digest relations (on a
+    * cluster both sides read straight from snapshot manifests).
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val o = oldSnap.select(col(idCol).as("doc_id"),
+      sha2(col(textCol), 256).as("__ho"))
+    val n = newSnap.select(col(idCol).as("doc_id"),
+      sha2(col(textCol), 256).as("__hn"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("__ho").isNull, lit("added"))
+          .when(col("__hn").isNull, lit("removed"))
+          .when(col("__ho") =!= col("__hn"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
+  /** Top-k tokens per group — the per-source vocabulary head a corpus
+    * card prints: token counts keyed (group, token), ranked inside
+    * each group by (count desc, token). Spark rewrites the rank ≤ k
+    * filter to a WindowGroupLimit, so every map partition keeps only
+    * its k best rows per group BEFORE the shuffle — no group's full
+    * vocabulary ever ships.
+    */
+  def topTokensPerGroup(docs: DataFrame, textCol: String,
+      groupCol: String, k: Int = 3): DataFrame = {
+    require(k > 0)
+    val counts = docs.select(col(groupCol).as("grp"),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy("grp", "token").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("grp")
+      .orderBy(col("cnt").desc, col("token"))
+    counts.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("grp").as("source"), col("rank"), col("token"), col("cnt"))
+  }
+
   /** Join-key skew diagnostics — the report to read BEFORE a big
     * shuffle melts one reducer: the `topK` heaviest keys of a
     * relation with their row counts, corpus share in ppm, and the

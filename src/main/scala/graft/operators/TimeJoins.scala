@@ -274,6 +274,32 @@ object TimeJoins {
         expr("(__modal * 1000000) div n_events").as("modal_share_x1e6"))
   }
 
+  /** Event-type transition matrix — the first-order Markov counts a
+    * next-event model (t107's exports) is calibrated against: for
+    * every adjacent (type → next type) pair inside a user's
+    * (ts, id)-ordered stream, the transition count and its
+    * row-normalized ppm (one exact floor per cell). The matrix is
+    * |types|² rows — broadcast-sized at any log scale.
+    *
+    * Scale shape: ONE user-keyed shuffle for the lag window; the cell
+    * aggregation map-side combines; row totals ride a broadcast back.
+    */
+  def eventTransitions(events: DataFrame, userCol: String,
+      tsUsCol: String, ordCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    val pairs = events.select(col(userCol).as("user_id"),
+        col(tsUsCol).as("tsu"), col(ordCol).as("event_id"),
+        col(typeCol).as("to_type"))
+      .withColumn("from_type", lag(col("to_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+    val cells = pairs.groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("cnt"))
+    val rows = cells.groupBy("from_type").agg(sum("cnt").as("__row"))
+    cells.join(broadcast(rows), "from_type")
+      .withColumn("row_ppm", expr("(cnt * 1000000) div __row"))
+      .select("from_type", "to_type", "cnt", "row_ppm")
+  }
+
   def pointInTimeFeatures(events: DataFrame, userCol: String,
       tsUsCol: String, ordCol: String, typeCol: String, valueCol: String,
       targetType: String): DataFrame = {

@@ -1722,6 +1722,42 @@ object TrainingData {
         topK = 10, partitions = 32)
       .orderBy("rank")
 
+  /** Corpus snapshot diff ([[CorpusOps.snapshotDiff]]): the old
+    * snapshot is the fixture corpus; the new one deterministically
+    * drops every 13th doc and revises every 7th (suffix edit) — the
+    * oracle rebuilds the identical new snapshot and compares TEXT
+    * directly where the engine compares 256-bit digests, so the
+    * compression discipline is itself under the gate (t04 style).
+    */
+  def docSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val newSnap = docs.filter(col("doc_id") % 13 =!= 0)
+      .withColumn("text", when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" rev9"))).otherwise(col("text")))
+    CorpusOps.snapshotDiff(docs, newSnap, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** Per-source top-3 tokens ([[CorpusOps.topTokensPerGroup]]): the
+    * vocabulary head per source, rank ≤ k realized as a
+    * WindowGroupLimit (map partitions pre-prune before the shuffle).
+    */
+  def docTopTokens(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.topTokensPerGroup(Tables.documents(spark, dir), "text",
+        "source", k = 3)
+      .orderBy("source", "rank")
+
+  /** Event-type transition matrix ([[TimeJoins.eventTransitions]]):
+    * first-order Markov counts with row-normalized ppm.
+    */
+  def eventsTransitions(spark: SparkSession, dir: String): DataFrame =
+    TimeJoins.eventTransitions(
+        Tables.eventsNanos(spark, dir)
+          .select(col("user_id"), expr("ts div 1000").as("tsu"),
+            col("event_id"), col("event_type")),
+        "user_id", "tsu", "event_id", "event_type")
+      .orderBy("from_type", "to_type")
+
   /** Margin mining over IVF candidates
     * ([[Similarity.marginMutualPairsIvf]], k = 4, shared full-corpus
     * quantizer, nprobe = 2) — the scale path of t91: cross-side
@@ -2091,6 +2127,9 @@ object TrainingData {
     "t125_bbit_minhash" -> docBbitMinhash _,
     "t126_winnow_admission" -> docWinnowAdmission _,
     "t127_key_skew" -> eventsKeySkew _,
+    "t128_snapshot_diff" -> docSnapshotDiff _,
+    "t129_top_tokens" -> docTopTokens _,
+    "t130_event_transitions" -> eventsTransitions _,
   )
 
   /** Shared DuckDB SELECT replaying [[CorpusOps.hashedLinearScore]]
@@ -3940,6 +3979,63 @@ object TrainingData {
           |  GREATEST(1, (cnt * 32 + n_rows - 1) // n_rows) AS suggested_salt
           |FROM r, t WHERE rank <= 10
           |ORDER BY rank""".stripMargin,
+      // t128: the new snapshot rebuilt in SQL; TEXT compared directly
+      // where the engine compares digests (t04 compression discipline)
+      "t128_snapshot_diff" ->
+        """WITH o AS (
+          |  SELECT doc_id, text FROM documents
+          |), n AS (
+          |  SELECT doc_id,
+          |    CASE WHEN doc_id % 7 = 0 THEN text || ' rev9' ELSE text END
+          |      AS text
+          |  FROM documents WHERE doc_id % 13 <> 0
+          |)
+          |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+          |  CASE WHEN o.doc_id IS NULL THEN 'added'
+          |       WHEN n.doc_id IS NULL THEN 'removed'
+          |       WHEN o.text <> n.text THEN 'changed'
+          |       ELSE 'unchanged' END AS status
+          |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+          |ORDER BY doc_id""".stripMargin,
+      // t129: (group, token) counts with the per-group (cnt desc,
+      // token) rank cut
+      "t129_top_tokens" ->
+        s"""WITH c AS (
+           |  SELECT source AS grp, unnest(${TextFunctions.Sql.tokens("text")})
+           |    AS token
+           |  FROM documents
+           |), cnts AS (
+           |  SELECT grp, token, CAST(COUNT(*) AS BIGINT) AS cnt
+           |  FROM c GROUP BY 1, 2
+           |), r AS (
+           |  SELECT grp, token, cnt,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY grp
+           |      ORDER BY cnt DESC, token) AS BIGINT) AS rank
+           |  FROM cnts
+           |)
+           |SELECT grp AS source, rank, token, cnt FROM r WHERE rank <= 3
+           |ORDER BY source, rank""".stripMargin,
+      // t130: per-user lag pairs, cell counts, one ppm floor per row
+      "t130_event_transitions" ->
+        """WITH e AS (
+          |  SELECT user_id, epoch_us(ts) AS tsu, event_id, event_type
+          |  FROM events
+          |), p AS (
+          |  SELECT LAG(event_type) OVER (
+          |      PARTITION BY user_id ORDER BY tsu, event_id) AS from_type,
+          |    event_type AS to_type
+          |  FROM e
+          |), cells AS (
+          |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS cnt
+          |  FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2
+          |), rows0 AS (
+          |  SELECT from_type, CAST(SUM(cnt) AS BIGINT) AS rt
+          |  FROM cells GROUP BY from_type
+          |)
+          |SELECT c.from_type, c.to_type, c.cnt,
+          |  (c.cnt * 1000000) // r.rt AS row_ppm
+          |FROM cells c JOIN rows0 r USING (from_type)
+          |ORDER BY c.from_type, c.to_type""".stripMargin,
       // t92: timestamps stay exact integer µs, values scale to integer
       // cents by one pure-double FLOOR, offsets are exact integer
       // running sums of fragment lengths — rendered string and mask
