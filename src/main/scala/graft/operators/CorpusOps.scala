@@ -2106,6 +2106,37 @@ object CorpusOps {
       .select(col("grp").as("source"), col("rank"), col("token"), col("cnt"))
   }
 
+  /** Zipf head-mass curve — how much of the token stream the top-k
+    * vocabulary covers, for k on a ladder (10, 100, 1000, …): the
+    * read that sizes a vocabulary or a stop-list (English-like
+    * corpora put ~40–50% of mass in the top 100). Exact integers:
+    * token counts, the (cnt desc, token) head via a BOUNDED top-max(k)
+    * (TakeOrderedAndProject per-partition heaps — never a vocabulary
+    * sort), cumulative mass per ladder step, ppm floors.
+    */
+  def vocabMassCurve(docs: DataFrame, textCol: String,
+      ks: Seq[Int] = Seq(10, 100, 1000)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ > 0) && ks == ks.sorted)
+    val counts = docs.select(
+        explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum("cnt").as("n_tok"),
+      count(lit(1)).as("n_vocab"))
+    // bounded head, two consumers (one per ladder step family) — pin
+    val head = counts.orderBy(col("cnt").desc, col("w")).limit(ks.max)
+      .localCheckpoint()
+    val w = Window.orderBy(col("cnt").desc, col("w"))
+    val ranked = head.withColumn("r", row_number().over(w))
+    val steps = ks.map { k =>
+      ranked.filter(col("r") <= k)
+        .agg(lit(k.toLong).as("k"), sum("cnt").as("head_mass"))
+    }.reduce(_ unionByName _)
+    steps.crossJoin(broadcast(tot))
+      .select(col("k"), col("head_mass"), col("n_tok"), col("n_vocab"),
+        expr("(head_mass * 1000000) div greatest(n_tok, 1)")
+          .as("mass_ppm"))
+  }
+
   /** Join-key skew diagnostics — the report to read BEFORE a big
     * shuffle melts one reducer: the `topK` heaviest keys of a
     * relation with their row counts, corpus share in ppm, and the

@@ -300,6 +300,31 @@ object TimeJoins {
       .select("from_type", "to_type", "cnt", "row_ppm")
   }
 
+  /** Per-user circadian profile — bot signal #3 next to
+    * [[interactionGapFeatures]] and [[behavioralDiversity]]: activity
+    * bucketed by hour-of-day (µs div 3600e6 mod 24), emitting the
+    * peak hour (ties to the earliest hour), its share of the user's
+    * events in ppm, and the count of distinct active hours — humans
+    * concentrate and sleep, scripts run uniform or single-hour.
+    * Exact integer arithmetic only.
+    *
+    * Scale shape: one (user, hour) count aggregation (≤ 24 cells per
+    * user), one per-user fold on the same key.
+    */
+  def circadianProfile(events: DataFrame, userCol: String,
+      tsUsCol: String): DataFrame = {
+    val hours = events.select(col(userCol).as("user_id"),
+        expr(s"($tsUsCol div ${3600L * 1000000L}) % 24").as("hour"))
+      .groupBy("user_id", "hour").agg(count(lit(1)).as("n_h"))
+    hours.groupBy("user_id").agg(
+        sum("n_h").as("n_events"),
+        count(lit(1)).as("active_hours"),
+        min(struct((-col("n_h")).as("neg"), col("hour"))).as("__pk"))
+      .select(col("user_id"), col("n_events"), col("active_hours"),
+        col("__pk.hour").as("peak_hour"),
+        expr("((-__pk.neg) * 1000000) div n_events").as("peak_share_x1e6"))
+  }
+
   def pointInTimeFeatures(events: DataFrame, userCol: String,
       tsUsCol: String, ordCol: String, typeCol: String, valueCol: String,
       targetType: String): DataFrame = {

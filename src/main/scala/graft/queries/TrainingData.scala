@@ -1758,6 +1758,25 @@ object TrainingData {
         "user_id", "tsu", "event_id", "event_type")
       .orderBy("from_type", "to_type")
 
+  /** Zipf head-mass curve ([[CorpusOps.vocabMassCurve]], k ∈
+    * {10, 100, 1000}): token-mass coverage of the top-k vocabulary —
+    * the stop-list/vocab sizing read, bounded-top-k exact.
+    */
+  def docVocabMass(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.vocabMassCurve(Tables.documents(spark, dir), "text")
+      .orderBy("k")
+
+  /** Per-user circadian profile ([[TimeJoins.circadianProfile]]):
+    * peak hour, its ppm share, active-hour count — the third bot
+    * signal next to t119/t123.
+    */
+  def eventsCircadian(spark: SparkSession, dir: String): DataFrame =
+    TimeJoins.circadianProfile(
+        Tables.eventsNanos(spark, dir)
+          .select(col("user_id"), expr("ts div 1000").as("tsu")),
+        "user_id", "tsu")
+      .orderBy("user_id")
+
   /** Margin mining over IVF candidates
     * ([[Similarity.marginMutualPairsIvf]], k = 4, shared full-corpus
     * quantizer, nprobe = 2) — the scale path of t91: cross-side
@@ -2130,6 +2149,8 @@ object TrainingData {
     "t128_snapshot_diff" -> docSnapshotDiff _,
     "t129_top_tokens" -> docTopTokens _,
     "t130_event_transitions" -> eventsTransitions _,
+    "t131_vocab_mass" -> docVocabMass _,
+    "t132_circadian" -> eventsCircadian _,
   )
 
   /** Shared DuckDB SELECT replaying [[CorpusOps.hashedLinearScore]]
@@ -4036,6 +4057,59 @@ object TrainingData {
           |  (c.cnt * 1000000) // r.rt AS row_ppm
           |FROM cells c JOIN rows0 r USING (from_type)
           |ORDER BY c.from_type, c.to_type""".stripMargin,
+      // t131: token counts, the (cnt desc, token) bounded head, and
+      // cumulative-mass ppm floors per ladder step
+      "t131_vocab_mass" ->
+        s"""WITH c AS (
+           |  SELECT unnest(${TextFunctions.Sql.tokens("text")}) AS w
+           |  FROM documents
+           |), cnts AS (
+           |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM c GROUP BY w
+           |), t AS (
+           |  SELECT CAST(SUM(cnt) AS BIGINT) AS n_tok,
+           |    CAST(COUNT(*) AS BIGINT) AS n_vocab
+           |  FROM cnts
+           |), r AS (
+           |  SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS rk
+           |  FROM cnts
+           |), steps(k) AS (
+           |  VALUES (CAST(10 AS BIGINT)), (CAST(100 AS BIGINT)),
+           |    (CAST(1000 AS BIGINT))
+           |)
+           |SELECT s.k,
+           |  CAST(SUM(CASE WHEN r.rk <= s.k THEN r.cnt ELSE 0 END)
+           |    AS BIGINT) AS head_mass,
+           |  ANY_VALUE(n_tok) AS n_tok, ANY_VALUE(n_vocab) AS n_vocab,
+           |  (CAST(SUM(CASE WHEN r.rk <= s.k THEN r.cnt ELSE 0 END)
+           |    AS BIGINT) * 1000000) // GREATEST(ANY_VALUE(n_tok), 1)
+           |    AS mass_ppm
+           |FROM steps s, r, t
+           |GROUP BY s.k ORDER BY s.k""".stripMargin,
+      // t132: (user, hour) cells folded to the earliest-tied peak
+      // hour, its ppm share, and the active-hour count
+      "t132_circadian" ->
+        s"""WITH e AS (
+           |  SELECT user_id,
+           |    (epoch_us(ts) // ${3600L * 1000000L}) % 24 AS hour
+           |  FROM events
+           |), h AS (
+           |  SELECT user_id, hour, CAST(COUNT(*) AS BIGINT) AS n_h
+           |  FROM e GROUP BY 1, 2
+           |), pk AS (
+           |  SELECT user_id, hour AS peak_hour, n_h AS peak_n,
+           |    ROW_NUMBER() OVER (PARTITION BY user_id
+           |      ORDER BY n_h DESC, hour) AS rn
+           |  FROM h
+           |), agg AS (
+           |  SELECT user_id, CAST(SUM(n_h) AS BIGINT) AS n_events,
+           |    CAST(COUNT(*) AS BIGINT) AS active_hours
+           |  FROM h GROUP BY user_id
+           |)
+           |SELECT a.user_id, a.n_events, a.active_hours,
+           |  p.peak_hour, (p.peak_n * 1000000) // a.n_events
+           |    AS peak_share_x1e6
+           |FROM agg a JOIN pk p ON a.user_id = p.user_id AND p.rn = 1
+           |ORDER BY a.user_id""".stripMargin,
       // t92: timestamps stay exact integer µs, values scale to integer
       // cents by one pure-double FLOOR, offsets are exact integer
       // running sums of fragment lengths — rendered string and mask
