@@ -325,6 +325,63 @@ object TimeJoins {
         expr("((-__pk.neg) * 1000000) div n_events").as("peak_share_x1e6"))
   }
 
+  /** Session-level event-type co-occurrence by LIFT — which behaviors
+    * travel together inside one visit: users' streams split into
+    * sessions at `gapUs` silences (boundary = gap > gapUs, session
+    * number = running boundary sum — one per-user window), each
+    * session contributes its DISTINCT type set, and every type pair
+    * present together in at least `minCount` sessions is scored with
+    * lift = P(a,b)/(P(a)·P(b)) over sessions — the same log-free
+    * integer-floor scoring as the token collocations (38-digit
+    * products, one exact division).
+    *
+    * Scale shape: ONE user-keyed shuffle for the sessionization
+    * window; (session, type) distinct and the pair join shuffle on
+    * compact keys; per-session pair fan-out is |types-in-session|² —
+    * bounded by the type catalog, not the session length.
+    */
+  def sessionTypeLift(events: DataFrame, userCol: String, tsUsCol: String,
+      ordCol: String, typeCol: String, gapUs: Long = 1800L * 1000000L,
+      minCount: Long = 5L): DataFrame = {
+    require(gapUs > 0 && minCount >= 1)
+    val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    val sess = events.select(col(userCol).as("user_id"),
+        col(tsUsCol).as("tsu"), col(ordCol).as("event_id"),
+        col(typeCol).as("etype"))
+      .withColumn("boundary",
+        when(col("tsu") - lag(col("tsu"), 1).over(w) > gapUs, 1L)
+          .otherwise(lit(0L)))
+      .withColumn("session_no", sum("boundary").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("user_id"), col("session_no"), col("etype"))
+      .distinct()
+    // (user, session) key packed for the pair join; sessions per user
+    // < 2^20 at any plausible log (one boundary needs a 30-min gap)
+    val keyed = Dedup.barrier(
+      sess.select((col("user_id") * lit(1048576L) + col("session_no"))
+        .as("sid"), col("etype")),
+      col("sid")).localCheckpoint()
+    val nSessions = keyed.select("sid").distinct().count()
+    val perType = keyed.groupBy("etype").agg(count(lit(1)).as("n_t"))
+    val pairs = keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.sid") === col("b.sid") && col("a.etype") < col("b.etype"))
+      .groupBy(col("a.etype").as("type_a"), col("b.etype").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    pairs
+      .join(broadcast(perType.select(col("etype").as("type_a"),
+        col("n_t").as("n_a"))), "type_a")
+      .join(broadcast(perType.select(col("etype").as("type_b"),
+        col("n_t").as("n_b"))), "type_b")
+      .withColumn("n_sessions", lit(nSessions))
+      .select(col("type_a"), col("type_b"), col("n_ab"), col("n_a"),
+        col("n_b"), col("n_sessions"),
+        expr("CAST((CAST(n_ab AS DECIMAL(38,0)) * n_sessions * 1000000)" +
+          " div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS LONG)")
+          .as("lift_x1e6"))
+  }
+
   def pointInTimeFeatures(events: DataFrame, userCol: String,
       tsUsCol: String, ordCol: String, typeCol: String, valueCol: String,
       targetType: String): DataFrame = {

@@ -1777,6 +1777,19 @@ object TrainingData {
         "user_id", "tsu")
       .orderBy("user_id")
 
+  /** Session-level event-type co-occurrence lift
+    * ([[TimeJoins.sessionTypeLift]], 30-min sessions, min 5
+    * co-sessions): which behaviors travel together in one visit —
+    * the behavioral collocation table.
+    */
+  def eventsSessionLift(spark: SparkSession, dir: String): DataFrame =
+    TimeJoins.sessionTypeLift(
+        Tables.eventsNanos(spark, dir)
+          .select(col("user_id"), expr("ts div 1000").as("tsu"),
+            col("event_id"), col("event_type")),
+        "user_id", "tsu", "event_id", "event_type")
+      .orderBy("type_a", "type_b")
+
   /** Margin mining over IVF candidates
     * ([[Similarity.marginMutualPairsIvf]], k = 4, shared full-corpus
     * quantizer, nprobe = 2) — the scale path of t91: cross-side
@@ -2151,6 +2164,7 @@ object TrainingData {
     "t130_event_transitions" -> eventsTransitions _,
     "t131_vocab_mass" -> docVocabMass _,
     "t132_circadian" -> eventsCircadian _,
+    "t133_session_lift" -> eventsSessionLift _,
   )
 
   /** Shared DuckDB SELECT replaying [[CorpusOps.hashedLinearScore]]
@@ -4110,6 +4124,46 @@ object TrainingData {
            |    AS peak_share_x1e6
            |FROM agg a JOIN pk p ON a.user_id = p.user_id AND p.rn = 1
            |ORDER BY a.user_id""".stripMargin,
+      // t133: gap-boundary sessionization, per-session distinct type
+      // sets, pair counts, and the HUGEINT lift floor
+      "t133_session_lift" ->
+        """WITH e AS (
+          |  SELECT user_id, epoch_us(ts) AS tsu, event_id, event_type
+          |  FROM events
+          |), b0 AS (
+          |  SELECT user_id, tsu, event_id, event_type,
+          |    CASE WHEN tsu - LAG(tsu) OVER (
+          |        PARTITION BY user_id ORDER BY tsu, event_id)
+          |      > 1800000000 THEN 1 ELSE 0 END AS boundary
+          |  FROM e
+          |), b AS (
+          |  SELECT user_id, event_type,
+          |    SUM(boundary) OVER (PARTITION BY user_id
+          |      ORDER BY tsu, event_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS session_no
+          |  FROM b0
+          |), s AS (
+          |  SELECT DISTINCT user_id * 1048576 + session_no AS sid,
+          |    event_type AS etype
+          |  FROM b
+          |), ns AS (
+          |  SELECT CAST(COUNT(DISTINCT sid) AS BIGINT) AS n_sessions FROM s
+          |), pt AS (
+          |  SELECT etype, CAST(COUNT(*) AS BIGINT) AS n_t FROM s GROUP BY etype
+          |), p AS (
+          |  SELECT a.etype AS type_a, b2.etype AS type_b,
+          |    CAST(COUNT(*) AS BIGINT) AS n_ab
+          |  FROM s a JOIN s b2 ON a.sid = b2.sid AND a.etype < b2.etype
+          |  GROUP BY 1, 2 HAVING COUNT(*) >= 5
+          |)
+          |SELECT type_a, type_b, n_ab, pa.n_t AS n_a, pb.n_t AS n_b,
+          |  n_sessions,
+          |  CAST((CAST(n_ab AS HUGEINT) * n_sessions * 1000000)
+          |    // (CAST(pa.n_t AS HUGEINT) * pb.n_t) AS BIGINT) AS lift_x1e6
+          |FROM p JOIN pt pa ON pa.etype = p.type_a
+          |JOIN pt pb ON pb.etype = p.type_b, ns
+          |ORDER BY type_a, type_b""".stripMargin,
       // t92: timestamps stay exact integer µs, values scale to integer
       // cents by one pure-double FLOOR, offsets are exact integer
       // running sums of fragment lengths — rendered string and mask
