@@ -51,18 +51,26 @@ object Bench {
     // documented multi-round noise windows (uniform 10–40% inflation;
     // SCALING.md r9/r10), and canary-relative numbers separate a code
     // regression from a machine regime shift without forensics.
+    // a FAILED canary must not enter the median — its (typically
+    // short) elapsed time would silently skew every canary-normalized
+    // cross-round ratio; NaN here, filtered at append below, and the
+    // record emits canary_s:null when no rep succeeded so normalized
+    // ratios are absent rather than wrong.
     def runCanary(): Double = {
       val t0 = System.nanoTime()
-      try queries.Relational.q01(spark, sfDir).write.mode("overwrite")
-        .parquet(s"$outRoot/__canary.parquet")
-      catch { case e: Throwable =>
+      try {
+        queries.Relational.q01(spark, sfDir).write.mode("overwrite")
+          .parquet(s"$outRoot/__canary.parquet")
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] canary failed: ${e.getMessage}")
+        Double.NaN
       }
-      (System.nanoTime() - t0) / 1e9
     }
     val canaries = scala.collection.mutable.ListBuffer.empty[Double]
     val samples = (0 until reps).map { _ =>
-      canaries += runCanary()
+      val c = runCanary()
+      if (!c.isNaN) canaries += c
       selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try {
@@ -102,10 +110,14 @@ object Bench {
     val headline = results.collect {
       case (k, v) if !quadraticBaselines(k) => v
     }.sum
-    val canary = median(canaries.toSeq)
-    val totalNorm = if (canary > 0) total / canary else 0.0
-    val headlineNorm = if (canary > 0) headline / canary else 0.0
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_scale_headline":$headline%.3f,"headline_excludes":["t08_ann_brute_topk","t10_emb_near_dup","t91_margin_pairs"],"canary_s":$canary%.3f,"total_over_canary":$totalNorm%.1f,"headline_over_canary":$headlineNorm%.1f,"reps":$reps,"reps_spread":$repsSpread%.3f,"queries":$qs,"sf":"$sfDir"}""")
+    val canaryOpt =
+      if (canaries.isEmpty) None else Some(median(canaries.toSeq)).filter(_ > 0)
+    val canaryJson = canaryOpt.map(c => f"$c%.3f").getOrElse("null")
+    val totalNormJson =
+      canaryOpt.map(c => f"${total / c}%.1f").getOrElse("null")
+    val headlineNormJson =
+      canaryOpt.map(c => f"${headline / c}%.1f").getOrElse("null")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_scale_headline":$headline%.3f,"headline_excludes":["t08_ann_brute_topk","t10_emb_near_dup","t91_margin_pairs"],"canary_s":$canaryJson,"total_over_canary":$totalNormJson,"headline_over_canary":$headlineNormJson,"reps":$reps,"reps_spread":$repsSpread%.3f,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

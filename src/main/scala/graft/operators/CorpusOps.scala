@@ -757,10 +757,18 @@ object CorpusOps {
     * times, lift = P(ab)/(P(a)·P(b)) = n_ab·N_tok²/(N_bi·n_a·n_b),
     * emitted in 1e6 fixed point. PMI's log is transcendental (libm-
     * dependent across engines); lift carries the identical ranking
-    * and stays ONE exact integer floor — the numerator/denominator
-    * products run in 38-digit decimals (HUGEINT in the oracle), so
-    * nothing overflows and both engines replay the division
-    * bit-for-bit.
+    * and stays integer-exact — scored as TWO chained integer floors
+    * (s1 = n_ab·N_tok·1e6 div (n_a·N_bi); lift = s1·N_tok div n_b)
+    * so no intermediate product exceeds 38-digit decimals even at
+    * N_tok ~1e14 (the single-floor form's n_ab·N_tok²·1e6 numerator
+    * needs >38 digits past N_tok ~3e9 and Spark would silently null
+    * it under non-ANSI mode). The two-step floor is the CONTRACT —
+    * the oracle replays the same two divisions bit-for-bit; vs the
+    * single floor it understates lift by < 1 part in s1 (≥ ~1e6 for
+    * any promoted pair). Corpora outside the proven-exact envelope
+    * (N_tok ≥ 1e15, or a degenerate N_bi·1e6 < N_tok) raise instead
+    * of overflowing silently — the guard is folded into the consumed
+    * n_tok column so it cannot be pruned away.
     *
     * Scale shape: two map-side-combinable count aggregations (token
     * and bigram vocabularies — shuffles keyed on the word/gram, never
@@ -792,9 +800,21 @@ object CorpusOps {
       .join(uni.select(col("w").as("w2"), col("n_w").as("n_b")), "w2")
       .crossJoin(broadcast(nTok))
       .crossJoin(broadcast(nBi))
+      // overflow guard folded into the consumed column (a side guard
+      // column would be pruned): with n_tok < 1e15 and n_bi*1e6 >=
+      // n_tok, step 1's products stay <= 1e36 and s1 <= 1e12, so
+      // step 2's s1*n_tok stays <= 1e27 — all inside DECIMAL(38,0).
+      .withColumn("n_tok", expr(
+        "CASE WHEN n_tok >= 1000000000000000" +
+          " OR CAST(n_bi AS DECIMAL(38,0)) * 1000000 < n_tok" +
+          " THEN CAST(raise_error('collocationLift: corpus outside the" +
+          " integer-exact envelope (n_tok >= 1e15 or n_bi*1e6 < n_tok)')" +
+          " AS BIGINT) ELSE n_tok END"))
+      .withColumn("s1", expr(
+        "(CAST(n_ab AS DECIMAL(38,0)) * n_tok * 1000000)" +
+          " div (CAST(n_a AS DECIMAL(38,0)) * n_bi)"))
       .select(col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"),
-        expr("CAST((CAST(n_ab AS DECIMAL(38,0)) * n_tok * n_tok * 1000000)" +
-          " div (CAST(n_bi AS DECIMAL(38,0)) * n_a * n_b) AS LONG)")
+        expr("CAST((CAST(s1 AS DECIMAL(38,0)) * n_tok) div n_b AS LONG)")
           .as("lift_x1e6"))
   }
 

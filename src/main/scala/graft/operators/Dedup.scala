@@ -739,6 +739,12 @@ object Dedup {
     * single positive-operand floors both engines replay; the clamp
     * happens BEFORE the division so no negative integer division —
     * DuckDB floors, the JVM truncates, and they differ below zero).
+    * The correction is scaled through by 2ᵇ before any rounding —
+    * est = max(f_ppm·2ᵇ − 1e6, 0) div (2ᵇ − 1) — so C never exists
+    * as a truncated ppm constant and the estimate is the exact floor
+    * of the Li–König formula for EVERY b in [1, 30], not just the b
+    * where 2ᵇ divides 1e6 (a literal C = 1e6 div 2ᵇ loses half a ppm
+    * at b = 7 and biases est_jaccard systematically).
     *
     * Scale shape: candidates come from the shared LSH front end
     * (never all-pairs); the truncation is a map-side projection over
@@ -752,11 +758,11 @@ object Dedup {
     GraftFunctions.register(docs.sparkSession)
     val fe = candOpt.getOrElse(
       lshFrontEnd(docs, idCol, textCol, n, numPerms, bands))
-    val mask = (1L << b) - 1
+    val pow = 1L << b
+    val mask = pow - 1
     val sigb = fe.shingles.select(col("id"), col("sh"),
       transform(minhashSignatureFromShingles(col("sh"), numPerms),
         x => x.bitwiseAND(lit(mask))).as("sigb"))
-    val c = 1000000L / (1L << b)
     fe.candidates
       .join(sigb.select(col("id").as("id_a"), col("sh").as("sh_a"),
         col("sigb").as("ba")), "id_a")
@@ -772,8 +778,10 @@ object Dedup {
         size(col("sh_b")).cast("long").as("szb"))
       .select(col("id_a"), col("id_b"), col("matches"),
         expr(s"(matches * 1000000) div $numPerms").as("f_x1e6"),
-        expr(s"(greatest((matches * 1000000) div $numPerms - $c, 0)" +
-          s" * 1000000) div ${1000000L - c}").as("est_jaccard_x1e6"),
+        // max product: f_ppm(<=1e6) * 2^30 ~ 1.1e15 — long-safe; the
+        // shared 1e6 scale of num/den cancels exactly under floor
+        expr(s"greatest(((matches * 1000000) div $numPerms) * $pow" +
+          s" - 1000000, 0) div ${pow - 1}").as("est_jaccard_x1e6"),
         expr("(inter * 1000000) div (sza + szb - inter)")
           .as("jaccard_x1e6"))
   }

@@ -355,13 +355,27 @@ object TimeJoins {
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select(col("user_id"), col("session_no"), col("etype"))
       .distinct()
-    // (user, session) key packed for the pair join; sessions per user
-    // < 2^20 at any plausible log (one boundary needs a 30-min gap)
+    // (user, session) key packed for the pair join. The packing is
+    // only injective for user_id in [0, 2^43) and session_no in
+    // [0, 2^20) — outside that an overflow or bleed-through would
+    // silently MERGE distinct sessions, so the bound check raises
+    // instead, folded into the consumed sid column (a side guard
+    // column gets pruned; prioritySample pattern).
     val keyed = Dedup.barrier(
-      sess.select((col("user_id") * lit(1048576L) + col("session_no"))
-        .as("sid"), col("etype")),
+      sess.select(
+        when(col("user_id") < 0L || col("user_id") >= lit(1L << 43) ||
+             col("session_no") < 0L || col("session_no") >= lit(1L << 20),
+          raise_error(lit("sessionTypeLift: sid packing needs user_id in" +
+            " [0,2^43) and session_no in [0,2^20) - key on a struct for" +
+            " wider domains")).cast("long"))
+          .otherwise(col("user_id") * lit(1048576L) + col("session_no"))
+          .as("sid"),
+        col("etype")),
       col("sid")).localCheckpoint()
-    val nSessions = keyed.select("sid").distinct().count()
+    // n_sessions derived IN-PLAN as a broadcast 1-row aggregate (the
+    // clusterSizeHistogram shape) — not an eager driver-side count()
+    // baked in as a literal, which cost a second job.
+    val nSess = keyed.agg(count_distinct(col("sid")).as("n_sessions"))
     val perType = keyed.groupBy("etype").agg(count(lit(1)).as("n_t"))
     val pairs = keyed.as("a")
       .join(keyed.as("b"),
@@ -374,7 +388,7 @@ object TimeJoins {
         col("n_t").as("n_a"))), "type_a")
       .join(broadcast(perType.select(col("etype").as("type_b"),
         col("n_t").as("n_b"))), "type_b")
-      .withColumn("n_sessions", lit(nSessions))
+      .crossJoin(broadcast(nSess))
       .select(col("type_a"), col("type_b"), col("n_ab"), col("n_a"),
         col("n_b"), col("n_sessions"),
         expr("CAST((CAST(n_ab AS DECIMAL(38,0)) * n_sessions * 1000000)" +

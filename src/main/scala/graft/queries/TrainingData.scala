@@ -3643,8 +3643,10 @@ object TrainingData {
            |WHERE (50 * cum_after) // w_tot
            |  - (50 * (cum_after - weight)) // w_tot > 0
            |ORDER BY doc_id""".stripMargin,
-      // t117: token/bigram multiset counts and ONE exact HUGEINT
-      // floor for the lift — no logs, no doubles
+      // t117: token/bigram multiset counts and the TWO chained exact
+      // HUGEINT floors of the lift contract (s1 then lift — matches
+      // the engine's overflow-safe two-step form) — no logs, no
+      // doubles
       "t117_collocations" ->
         """WITH toks AS (
           |  SELECT string_split_regex(trim(text), '\s+') AS ts FROM documents
@@ -3668,11 +3670,15 @@ object TrainingData {
           |    n_ab
           |  FROM bi_all WHERE n_ab >= 5
           |)
-          |SELECT w1, w2, n_ab, a.n_w AS n_a, b.n_w AS n_b,
-          |  CAST((CAST(n_ab AS HUGEINT) * n_tok * n_tok * 1000000)
-          |    // (CAST(n_bi AS HUGEINT) * a.n_w * b.n_w) AS BIGINT)
-          |    AS lift_x1e6
-          |FROM bi JOIN uni a ON a.w = bi.w1 JOIN uni b ON b.w = bi.w2, ntok, nbi
+          |SELECT w1, w2, n_ab, n_a, n_b,
+          |  CAST((s1 * n_tok) // n_b AS BIGINT) AS lift_x1e6
+          |FROM (
+          |  SELECT w1, w2, n_ab, a.n_w AS n_a, b.n_w AS n_b, n_tok,
+          |    (CAST(n_ab AS HUGEINT) * n_tok * 1000000)
+          |      // (CAST(a.n_w AS HUGEINT) * n_bi) AS s1
+          |  FROM bi JOIN uni a ON a.w = bi.w1
+          |  JOIN uni b ON b.w = bi.w2, ntok, nbi
+          |)
           |ORDER BY w1, w2""".stripMargin,
       // t118: compressed (group, score) histograms, cumulative counts,
       // the HUGEINT ceiling target, and the >=-join quantile lookup
