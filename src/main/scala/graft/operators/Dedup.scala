@@ -901,6 +901,167 @@ object Dedup {
         (coalesce(col("n_hits"), lit(0L)) < minShared.toLong).as("admitted"))
   }
 
+  /** Fingerprint-bucket count for the persisted winnowing index. The
+    * bucket is pmod(fp, buckets) — fp is already a PolyHash value, so
+    * no second hash is needed, and ALL occurrences of a fingerprint
+    * land in ONE bucket (per-fp containment survives pruning intact,
+    * the same invariant the term-bucketed inverted index keeps).
+    */
+  val WinnowBuckets = 64
+
+  /** Read-back schema for the winnow fps relation — the bucket id
+    * lives in the directory name and partition-value inference would
+    * type it INT; LONG keeps it aligned with the Spark-side pmod.
+    */
+  private val WinnowFpsSchema = "fp LONG, fpb LONG"
+
+  private def winnowMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Int, Int, Int) = {
+    val r = spark.read.parquet(s"$path/meta").collect().head
+    (r.getAs[Int]("k"), r.getAs[Int]("w"), r.getAs[Int]("buckets"))
+  }
+
+  /** Build a persisted, FP-BUCKETED winnowing index under `path`: the
+    * corpus's distinct selected fingerprints ([[winnowFingerprints]],
+    * 2/(w+1) of the gram index — the winnowing bargain at rest)
+    * written `partitionBy(fpb = pmod(fp, buckets))`, plus a 1-row
+    * `meta` (k, w, buckets) that freezes the sketch parameters so
+    * every later ingest/search fingerprints IDENTICALLY (a k or w
+    * drift would silently zero the hit rate — the parameters live in
+    * the index, not the caller). LAYOUT IS THE INDEX, the IVF-PQ /
+    * inverted-index discipline: a batch's fingerprints determine
+    * their buckets by pure arithmetic, so admission reads only the
+    * touched buckets' files instead of the whole corpus sketch.
+    *
+    * Scale shape: one map-only fingerprint pass, one distinct
+    * (fp-keyed shuffle of longs), one `repartition(fpb)` clustering
+    * write. Nothing is batch-dependent — the index serves ANY
+    * arrival stream, and [[ingestWinnowBatch]] grows it in place.
+    */
+  def buildWinnowIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String, k: Int = 3, w: Int = 4,
+      buckets: Int = WinnowBuckets): Unit = {
+    require(buckets > 0)
+    val spark = docs.sparkSession
+    spark.range(1)
+      .select(lit(k).as("k"), lit(w).as("w"), lit(buckets).as("buckets"))
+      .write.mode("overwrite").parquet(s"$path/meta")
+    winnowFingerprints(docs, idCol, textCol, k, w)
+      .select(col("fp")).distinct()
+      .withColumn("fpb", pmod(col("fp"), lit(buckets.toLong)))
+      .repartition(col("fpb"))
+      .write.mode("overwrite").partitionBy("fpb").parquet(s"$path/fps")
+  }
+
+  /** Ingest a NEW document batch into a persisted [[buildWinnowIndex]]
+    * index: fingerprint ONLY the batch with the STORED (k, w) and
+    * append its distinct fps into their buckets — after which
+    * [[searchWinnowIndex]] admits against the merged corpus exactly
+    * as if the index had been rebuilt (the index is a SET of
+    * fingerprints; union is its merge, so streamed ingestion equals
+    * the batch build no matter how arrivals are micro-batched —
+    * StreamingSpec pins it). Cost tracks the batch, never the
+    * indexed corpus.
+    *
+    * Appends are plain parquet appends: replaying a batch never
+    * changes ADMISSION semantics (set union is idempotent;
+    * [[searchWinnowIndex]] counts distinct fps), it only leaves
+    * duplicate rows that pad the probed buckets — [[compactWinnowIndex]]
+    * is the periodic `fp distinct` rewrite that reclaims them.
+    */
+  def ingestWinnowBatch(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String, textCol: String): Unit = {
+    val (k, w, buckets) = winnowMeta(spark, path)
+    winnowFingerprints(batch, idCol, textCol, k, w)
+      .select(col("fp")).distinct()
+      .withColumn("fpb", pmod(col("fp"), lit(buckets.toLong)))
+      .repartition(col("fpb"))
+      .write.mode("append").partitionBy("fpb").parquet(s"$path/fps")
+  }
+
+  /** Compact a persisted winnowing index: rewrite the fps relation as
+    * its distinct set (appends accumulate exact-duplicate rows across
+    * ingested batches — semantics never change, probe cost does) and
+    * atomically swap the rewrite into place (staging dir + checked
+    * HADOOP renames, the streamed-relation swap discipline — a crash
+    * mid-compaction leaves either the old or the new relation, never
+    * a half).
+    */
+  def compactWinnowIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val (_, _, buckets) = winnowMeta(spark, path)
+    val fps = s"$path/fps"
+    val staging = new org.apache.hadoop.fs.Path(fps + "__staging")
+    spark.read.schema(WinnowFpsSchema).parquet(fps)
+      .select(col("fp")).distinct()
+      .withColumn("fpb", pmod(col("fp"), lit(buckets.toLong)))
+      .repartition(col("fpb"))
+      .write.mode("overwrite").partitionBy("fpb").parquet(staging.toString)
+    val dir = new org.apache.hadoop.fs.Path(fps)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val retired = new org.apache.hadoop.fs.Path(fps + "__retired")
+    graft.core.FsOps.deleteOrThrow(fs, retired)
+    graft.core.FsOps.renameOrThrow(fs, dir, retired)
+    graft.core.FsOps.renameOrThrow(fs, staging, dir)
+    graft.core.FsOps.deleteOrThrow(fs, retired)
+  }
+
+  /** Admission search over a persisted [[buildWinnowIndex]] index —
+    * [[incrementalWinnowDedup]]'s verdict (n_fps, n_hits, admitted =
+    * n_hits < minShared) answered from the STORED relation: the batch
+    * fingerprints with the index's frozen (k, w), and its fps probe
+    * the index as a broadcast equi-join on (fpb, fp).
+    *
+    * The probe prunes the SCAN, not just the join: fps is
+    * fpb-partitioned on disk and the batch's touched bucket ids
+    * arrive as a STATIC IN filter on the partition column (the
+    * inverted-index search discipline — the bucket set is bounded by
+    * `buckets`, so the driver-side fold is index-fan-sized, never
+    * data-sized; Spark's DPP heuristic would skip the checkpointed
+    * probe side for lack of a selective predicate, where the static
+    * filter prunes unconditionally) — only the touched buckets'
+    * files are listed and read (PlanShapeSpec pins the partition
+    * filter on the scan). n_hits counts DISTINCT index fps so
+    * un-compacted duplicate rows from appended batches can never
+    * double-count.
+    */
+  def searchWinnowIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String, textCol: String,
+      minShared: Int = 2): DataFrame = {
+    require(minShared > 0)
+    val (k, w, buckets) = winnowMeta(spark, path)
+    // layout guard: an index persisted without bucket partitioning has
+    // no fpb directories; the pinned schema would read fpb as NULL and
+    // every probe would MISS silently (every doc admitted, no error).
+    // Footer-only schema probe; rebuild the index to migrate.
+    require(spark.read.parquet(s"$path/fps")
+        .schema.fieldNames.contains("fpb"),
+      s"$path/fps has no fpb partition column - the index predates " +
+        "the fp-bucketed layout; rebuild it with buildWinnowIndex")
+    val bf = barrier(
+      winnowFingerprints(batch, idCol, textCol, k, w)
+        .select(col("doc_id"), col("fp")).distinct()
+        .withColumn("fpb", pmod(col("fp"), lit(buckets.toLong))),
+      col("doc_id")).localCheckpoint()
+    val probed = bf.select(col("fpb")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val idx = spark.read.schema(WinnowFpsSchema).parquet(s"$path/fps")
+      .filter(col("fpb").isin(probed: _*))
+    val hits = idx.join(broadcast(bf), Seq("fpb", "fp"))
+      .groupBy("doc_id")
+      .agg(count_distinct(col("fp")).as("n_hits"))
+    val counts = bf.groupBy("doc_id").agg(count(lit(1)).as("n_fps"))
+    batch.select(col(idCol).as("batch_id"))
+      .join(counts.withColumnRenamed("doc_id", "batch_id"),
+        Seq("batch_id"), "left")
+      .join(hits.withColumnRenamed("doc_id", "batch_id"),
+        Seq("batch_id"), "left")
+      .select(col("batch_id"),
+        coalesce(col("n_fps"), lit(0L)).as("n_fps"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) < minShared.toLong).as("admitted"))
+  }
+
   /** Connected components over near-duplicate pair edges: the step
     * that turns pairwise dup detection into dedup GROUPS (keep the
     * min-id canonical per cluster, drop the rest). Iterative min-label

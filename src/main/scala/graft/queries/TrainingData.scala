@@ -1713,6 +1713,28 @@ object TrainingData {
       .orderBy("batch_id")
   }
 
+  /** Persisted winnow-index lifecycle under the oracle gate
+    * ([[Dedup.buildWinnowIndex]] → [[Dedup.searchWinnowIndex]]):
+    * build the fp-bucketed index once into a scratch directory over
+    * the t126 index split (doc_id % 10 == 0), then answer t126's
+    * exact admission question from the STORED relation — the probe
+    * reads only the batch fingerprints' bucket files (dynamic
+    * partition pruning; PlanShapeSpec pins the scan filter) and the
+    * sketch parameters come from the index's meta, not the caller.
+    * Identical semantics to the in-query t126 operator, so the same
+    * oracle replays it bit-for-bit.
+    */
+  def docWinnowPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val path = sessionIndexPath(spark, "t134_winnow", dir) { p =>
+      Dedup.buildWinnowIndex(docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", p)
+    }
+    Dedup.searchWinnowIndex(spark, path,
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+      .orderBy("batch_id")
+  }
+
   /** Join-key skew report ([[CorpusOps.keySkewReport]] over the event
     * log's type key, 32-partition sizing): heavy keys, ppm shares,
     * and the ceiling salt factor — planning-time skew triage.
@@ -2165,6 +2187,7 @@ object TrainingData {
     "t131_vocab_mass" -> docVocabMass _,
     "t132_circadian" -> eventsCircadian _,
     "t133_session_lift" -> eventsSessionLift _,
+    "t134_winnow_persisted" -> docWinnowPersisted _,
   )
 
   /** Shared DuckDB SELECT replaying [[CorpusOps.hashedLinearScore]]
@@ -2284,6 +2307,35 @@ object TrainingData {
        |      (a, b) -> CASE WHEN b.fp <= a.fp THEN b ELSE a END) AS s
        |  FROM wwin
        |)""".stripMargin
+
+  /** Shared winnow-admission oracle (t126 and t134): the index split
+    * (doc_id % 10 == 0) as the fingerprint set, every other doc as
+    * the batch, LEFT joins so fingerprint-less docs surface admitted.
+    * One oracle gates both engine paths — the in-query relation and
+    * the persisted fp-bucketed store — because they answer the same
+    * question by contract.
+    */
+  private def winnowAdmissionSql: String =
+    s"""WITH ${winnowCtes(4)}, wf AS (
+       |  SELECT DISTINCT doc_id, s.fp AS fp FROM wsel
+       |), idxf AS (
+       |  SELECT DISTINCT fp FROM wf WHERE doc_id % 10 = 0
+       |), bfp AS (
+       |  SELECT doc_id, fp FROM wf WHERE doc_id % 10 <> 0
+       |), cnt AS (
+       |  SELECT bfp.doc_id, CAST(COUNT(*) AS BIGINT) AS n_fps,
+       |    CAST(SUM(CASE WHEN i.fp IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_hits
+       |  FROM bfp LEFT JOIN idxf i ON bfp.fp = i.fp
+       |  GROUP BY bfp.doc_id
+       |)
+       |SELECT d.doc_id AS batch_id,
+       |  COALESCE(n_fps, 0) AS n_fps,
+       |  COALESCE(n_hits, 0) AS n_hits,
+       |  COALESCE(n_hits, 0) < 2 AS admitted
+       |FROM documents d LEFT JOIN cnt USING (doc_id)
+       |WHERE d.doc_id % 10 <> 0
+       |ORDER BY batch_id""".stripMargin
 
   private def polyHashSql(c: String): String =
     s"CASE WHEN $c = '' THEN 0 ELSE ${TextFunctions.Sql.polyHash(c)} END"
@@ -3978,27 +4030,11 @@ object TrainingData {
            |ORDER BY m.id_a, m.id_b""".stripMargin,
       // t126: the winnow replay split index-vs-batch; counts via a
       // LEFT join so fingerprint-less docs surface admitted
-      "t126_winnow_admission" ->
-        s"""WITH ${winnowCtes(4)}, wf AS (
-           |  SELECT DISTINCT doc_id, s.fp AS fp FROM wsel
-           |), idxf AS (
-           |  SELECT DISTINCT fp FROM wf WHERE doc_id % 10 = 0
-           |), bfp AS (
-           |  SELECT doc_id, fp FROM wf WHERE doc_id % 10 <> 0
-           |), cnt AS (
-           |  SELECT bfp.doc_id, CAST(COUNT(*) AS BIGINT) AS n_fps,
-           |    CAST(SUM(CASE WHEN i.fp IS NOT NULL THEN 1 ELSE 0 END)
-           |      AS BIGINT) AS n_hits
-           |  FROM bfp LEFT JOIN idxf i ON bfp.fp = i.fp
-           |  GROUP BY bfp.doc_id
-           |)
-           |SELECT d.doc_id AS batch_id,
-           |  COALESCE(n_fps, 0) AS n_fps,
-           |  COALESCE(n_hits, 0) AS n_hits,
-           |  COALESCE(n_hits, 0) < 2 AS admitted
-           |FROM documents d LEFT JOIN cnt USING (doc_id)
-           |WHERE d.doc_id % 10 <> 0
-           |ORDER BY batch_id""".stripMargin,
+      "t126_winnow_admission" -> winnowAdmissionSql,
+      // t134: the persisted-index lifecycle answers the SAME
+      // admission question from the stored relation — one oracle,
+      // two engine paths (in-query t126, fp-bucketed store t134)
+      "t134_winnow_persisted" -> winnowAdmissionSql,
       // t127: key counts, (cnt desc, key) top-k, ppm shares and the
       // integer ceiling salt factor
       "t127_key_skew" ->

@@ -227,6 +227,37 @@ object EventStreams {
     q.stop()
   }
 
+  /** Streaming winnow-index maintenance: per micro-batch, fingerprint
+    * the arriving documents with the persisted index's FROZEN (k, w)
+    * and append their distinct fps into the fp buckets
+    * ([[graft.operators.Dedup.ingestWinnowBatch]]) — the ingestion
+    * face of the winnowing-index lifecycle (as
+    * [[winnowAdmissionStream]] is the admission face): everything
+    * streamed becomes immediately matchable through
+    * [[graft.operators.Dedup.searchWinnowIndex]]'s pruned probe.
+    * Requires an existing [[graft.operators.Dedup.buildWinnowIndex]]
+    * snapshot (the sketch parameters live in the index). The index is
+    * a fingerprint SET and union is its merge, so the final state is
+    * independent of the micro-batch cut AND of replays (set union is
+    * idempotent — StreamingSpec pins streamed state equal to the
+    * one-shot batch build); replayed batches only leave duplicate
+    * rows for [[graft.operators.Dedup.compactWinnowIndex]] to reclaim.
+    */
+  def winnowIngestStream(docs: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    val q = docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // the micro-batch lives in the stream's CLONED session — the
+        // ingest registers its functions there, not on the outer one
+        graft.operators.Dedup.ingestWinnowBatch(
+          batch.sparkSession, path, batch.toDF(), idCol, textCol)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Streaming inverted-index maintenance: per micro-batch, ingest
     * the arriving documents into the persisted term-bucketed index
     * via [[graft.operators.CorpusOps.appendToInvertedIndex]] — batch

@@ -771,6 +771,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(1200))
   }
 
+  test("persisted winnow search prunes the fps SCAN to the batch's buckets") {
+    val docs = Tables.documents(spark, dir)
+    val path = java.nio.file.Files.createTempDirectory("graft_winnow_plan")
+      .resolve("index").toString
+    operators.Dedup.buildWinnowIndex(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0),
+      "doc_id", "text", path)
+    val df = operators.Dedup.searchWinnowIndex(spark, path,
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 0),
+      "doc_id", "text")
+    val plan = df.queryExecution.executedPlan.toString
+    // the batch's touched bucket ids must reach the fps scan as a
+    // STATIC IN partition filter — at 100 TB this is the difference
+    // between listing the touched buckets' files and reading the
+    // whole corpus sketch
+    assert("PartitionFilters: \\[[^\\]]*fpb".r.findFirstIn(plan).isDefined &&
+        "PartitionFilters: \\[[^\\]]*fpb[^\\]]*IN".r.findFirstIn(plan.replace("\n", " ")).isDefined,
+      s"fps scan lost its fpb bucket partition filter:\n${plan.take(2000)}")
+    // and the probe rides a broadcast, never a shuffle of the index
+    assert(plan.contains("BroadcastHashJoin"),
+      s"fps probe lost its broadcast:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+  }
+
   test("persisted inverted-index search prunes the postings SCAN to the " +
       "query terms' buckets") {
     val docs = Tables.documents(spark, dir)

@@ -505,6 +505,49 @@ class StreamingSpec extends AnyFunSuite {
       "stream-maintained index diverges from the batch build")
   }
 
+  test("streaming winnow ingestion: micro-batch cuts leave the same " +
+      "index state as the one-shot build") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val d = java.nio.file.Files.createTempDirectory("graft_winidx")
+    val streamed = d.resolve("index_s").toString
+    val full = d.resolve("index_f").toString
+    Dedup.buildWinnowIndex(docs.filter(col("doc_id") % 3 === 0),
+      "doc_id", "text", streamed)
+    val arrivals = docs.filter(col("doc_id") % 3 =!= 0)
+    arrivals.repartition(3).write.parquet(d.resolve("in").toString)
+    EventStreams.winnowIngestStream(
+      spark.readStream.schema(arrivals.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d.resolve("in").toString),
+      "doc_id", "text", streamed)
+    Dedup.buildWinnowIndex(docs, "doc_id", "text", full)
+    // the index is a fingerprint SET and union is its merge: the
+    // streamed state's distinct fps equal the one-shot build of the
+    // whole corpus, however the arrivals were micro-batched
+    val a = spark.read.parquet(s"$streamed/fps").select("fp").distinct()
+    val b = spark.read.parquet(s"$full/fps").select("fp").distinct()
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "stream-ingested winnow index diverges from the one-shot build")
+    // compaction reclaims duplicate rows without changing the set,
+    // and the compacted store still answers admissions identically
+    Dedup.compactWinnowIndex(spark, streamed)
+    val c = spark.read.parquet(s"$streamed/fps")
+    assert(c.count() == c.select("fp").distinct().count(),
+      "compaction left duplicate fp rows")
+    val c2 = c.select("fp").distinct()
+    assert(c2.exceptAll(b).isEmpty && b.exceptAll(c2).isEmpty,
+      "compaction changed the fingerprint set")
+    import spark.implicits._
+    val probe = Seq((9001L, docs.orderBy(col("doc_id")).select("text")
+      .head().getString(0))).toDF("doc_id", "text")
+    val verdict = Dedup.searchWinnowIndex(spark, streamed, probe,
+      "doc_id", "text").collect().head
+    assert(!verdict.getBoolean(3),
+      "an already-indexed document must be gated by the live index")
+  }
+
   test("streaming IVF-PQ ingestion: micro-batch cuts leave the same " +
       "index state as one batch append") {
     import org.apache.spark.sql.functions.col
