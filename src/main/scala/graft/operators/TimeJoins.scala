@@ -372,9 +372,24 @@ object TimeJoins {
           .as("sid"),
         col("etype")),
       col("sid")).localCheckpoint()
-    // n_sessions derived IN-PLAN as a broadcast 1-row aggregate (the
-    // clusterSizeHistogram shape) — not an eager driver-side count()
-    // baked in as a literal, which cost a second job.
+    liftOverSessions(keyed, minCount)
+  }
+
+  /** Lift scoring over a distinct (sid, etype) session relation — the
+    * shared back half of [[sessionTypeLift]] and
+    * [[sessionTypeLiftFromSets]] (the streaming face rolls its
+    * session_window state up through the same scoring, so the
+    * batch-equivalence proof pins ONE arithmetic, not two). `keyed`
+    * must already be distinct per (sid, etype) and pinned; sid may be
+    * any equi-joinable type (packed long from the batch sessionizer,
+    * (user, window-start) struct from the streamed sets).
+    *
+    * n_sessions is derived IN-PLAN as a broadcast 1-row aggregate
+    * (the clusterSizeHistogram shape) — not an eager driver-side
+    * count() baked in as a literal, which cost a second job.
+    */
+  private def liftOverSessions(keyed: DataFrame,
+      minCount: Long): DataFrame = {
     val nSess = keyed.agg(count_distinct(col("sid")).as("n_sessions"))
     val perType = keyed.groupBy("etype").agg(count(lit(1)).as("n_t"))
     val pairs = keyed.as("a")
@@ -394,6 +409,30 @@ object TimeJoins {
         expr("CAST((CAST(n_ab AS DECIMAL(38,0)) * n_sessions * 1000000)" +
           " div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS LONG)")
           .as("lift_x1e6"))
+  }
+
+  /** [[sessionTypeLift]] over an ALREADY-SESSIONIZED type-set
+    * relation — the roll-up consumer of the streaming face
+    * ([[graft.streaming.EventStreams.sessionTypeSetStream]] emits one
+    * (user_id, session_start, types) row per closed session window):
+    * each row is one session, its array the session's distinct type
+    * set, and the lift scoring is the identical integer-floor
+    * arithmetic. The session key is the (user, window-start) struct —
+    * no packing, so no domain bound to guard here.
+    *
+    * Scale shape: the sets relation is sessions-sized (not
+    * events-sized); one explode, then the same bounded pair fan-out.
+    */
+  def sessionTypeLiftFromSets(sets: DataFrame, userCol: String = "user_id",
+      startCol: String = "session_start", typesCol: String = "types",
+      minCount: Long = 5L): DataFrame = {
+    require(minCount >= 1)
+    val keyed = Dedup.barrier(
+      sets.select(struct(col(userCol), col(startCol)).as("sid"),
+          explode(col(typesCol)).as("etype"))
+        .distinct(),
+      col("sid")).localCheckpoint()
+    liftOverSessions(keyed, minCount)
   }
 
   def pointInTimeFeatures(events: DataFrame, userCol: String,

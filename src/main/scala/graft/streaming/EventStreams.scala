@@ -76,6 +76,37 @@ object EventStreams {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("total_value"))
 
+  /** Streaming session type sets — the online face of t133's
+    * sessionization stage ([[graft.operators.TimeJoins.sessionTypeLift]]):
+    * Structured Streaming's built-in session_window groups each
+    * user's events into gap-separated sessions and keyed distinct-
+    * type state (collect_set) emits one (user, session-start, sorted
+    * type set) row per session;
+    * [[graft.operators.TimeJoins.sessionTypeLiftFromSets]] rolls the
+    * emitted relation up through the SAME lift scoring as the batch
+    * operator (StreamingSpec pins the equality).
+    *
+    * Gap alignment: the batch sessionizer keeps a session alive at
+    * diff <= gapUs where session_window keeps it at diff < gap, so
+    * the face passes gap = gapUs + 1 µs — the two boundaries then
+    * agree on every input, including a gap of exactly gapUs.
+    *
+    * State per open session is one bounded type set (the type
+    * catalog, not the session length), evicted by the watermark.
+    */
+  def sessionTypeSetStream(events: DataFrame,
+      gapUs: Long = 1800L * 1000000L,
+      watermark: String = "2 hours"): DataFrame = {
+    require(gapUs > 0)
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), s"${gapUs + 1} microseconds"),
+        col("user_id"))
+      .agg(sort_array(collect_set(col("event_type"))).as("types"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("types"))
+  }
+
   /** Streaming deduplication: drop repeated (user_id, event_type, ts)
     * events, with state bounded by the watermark
     * (dropDuplicatesWithinWatermark — the streaming face of the batch

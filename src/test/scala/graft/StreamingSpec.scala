@@ -60,6 +60,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(totalEvents == batchEvents.count())
   }
 
+  test("streaming session type sets roll up to the batch session lift") {
+    val stream = EventStreams.readEventStream(spark, dir)
+    val sets = EventStreams.runToMemory(
+      EventStreams.sessionTypeSetStream(stream), "sess_types_out", "complete")
+    val got = operators.TimeJoins.sessionTypeLiftFromSets(
+      sets, minCount = 1L)
+    val want = operators.TimeJoins.sessionTypeLift(
+      Tables.eventsNanos(spark, "/root/testdata/sf0.001")
+        .select(col("user_id"), expr("ts div 1000").as("tsu"),
+          col("event_id"), col("event_type")),
+      "user_id", "tsu", "event_id", "event_type", minCount = 1L)
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "session-window streamed lift must equal the batch sessionizer's")
+  }
+
   test("streaming dedup drops repeats within the watermark") {
     // duplicate the whole fixture: every (user, type, ts) key appears
     // at least twice; the deduped stream must match the batch distinct
