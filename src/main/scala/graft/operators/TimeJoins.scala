@@ -325,6 +325,90 @@ object TimeJoins {
         expr("((-__pk.neg) * 1000000) div n_events").as("peak_share_x1e6"))
   }
 
+  /** Week-N retention cohort matrix — the engagement readout a
+    * training-data curator uses to weight user streams by stickiness
+    * (and the product analyst's classic triangle): users cohorted by
+    * their FIRST active epoch week (µs div 604800e6 — fixed 7-day
+    * buckets from the epoch, no calendar dependence for both engines
+    * to disagree on), and each (cohort, week-offset) cell counts the
+    * cohort's users active that week, with retention as the exact
+    * ppm floor of cell/cohort size. week_n = 0 is the cohort's own
+    * size by construction (a user's first week is active), so the
+    * cohort denominator falls out of the matrix itself — no second
+    * aggregation over users.
+    *
+    * Scale shape: one (user, week) distinct (compact longs), one
+    * user-keyed window for the cohort minimum, then a (cohort,
+    * week_n) cell collapse — weeks² cells, broadcast-sized at any
+    * log scale; the cell relation is pinned for its two consumers
+    * (matrix + week-0 denominators).
+    */
+  def retentionCohorts(events: DataFrame, userCol: String,
+      tsUsCol: String): DataFrame = {
+    val weekUs = 604800L * 1000000L
+    val uw = events.select(col(userCol).as("user_id"),
+        expr(s"$tsUsCol div $weekUs").as("week"))
+      .distinct()
+    val w = Window.partitionBy("user_id")
+    val cells = Dedup.barrier(
+      uw.withColumn("cohort_week", min("week").over(w))
+        .select(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("week_n"))
+        .groupBy("cohort_week", "week_n")
+        .agg(count(lit(1)).as("n_active")),
+      col("cohort_week")).localCheckpoint()
+    val cohorts = cells.filter(col("week_n") === 0L)
+      .select(col("cohort_week"), col("n_active").as("n_cohort"))
+    cells.join(broadcast(cohorts), "cohort_week")
+      .select(col("cohort_week"), col("week_n"), col("n_active"),
+        col("n_cohort"),
+        expr("(n_active * 1000000) div n_cohort").as("retention_ppm"))
+  }
+
+  /** Inter-session type carryover — the session-level analog of
+    * [[eventTransitions]]: which behaviors in one visit predict
+    * behaviors in the NEXT visit. Users' streams sessionize at
+    * `gapUs` silences exactly as [[sessionTypeLift]]; every type
+    * present in session k pairs with every type present in session
+    * k+1 of the same user, and each (type_a → type_b) cell carries
+    * its count and the row-normalized ppm (one exact floor —
+    * P(b in next | a in current) over carryover pairs).
+    *
+    * Scale shape: ONE user-keyed shuffle for the sessionization
+    * window; the (user, session) distinct type sets self-join on
+    * (user, session+1) — an equi-join on compact keys whose per-pair
+    * fan-out is |types-in-k|·|types-in-k+1|, bounded by the type
+    * catalog squared, never by session or stream length; the cell
+    * matrix is |types|² rows, broadcast-sized.
+    */
+  def sessionCarryover(events: DataFrame, userCol: String,
+      tsUsCol: String, ordCol: String, typeCol: String,
+      gapUs: Long = 1800L * 1000000L): DataFrame = {
+    require(gapUs > 0)
+    val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    val sess = events.select(col(userCol).as("user_id"),
+        col(tsUsCol).as("tsu"), col(ordCol).as("event_id"),
+        col(typeCol).as("etype"))
+      .withColumn("boundary",
+        when(col("tsu") - lag(col("tsu"), 1).over(w) > gapUs, 1L)
+          .otherwise(lit(0L)))
+      .withColumn("session_no", sum("boundary").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("user_id"), col("session_no"), col("etype"))
+      .distinct()
+    val pinned = Dedup.barrier(sess, col("user_id")).localCheckpoint()
+    val pairs = pinned.as("a")
+      .join(pinned.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("b.session_no") === col("a.session_no") + 1L)
+      .groupBy(col("a.etype").as("type_a"), col("b.etype").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val rows = pairs.groupBy("type_a").agg(sum("n_ab").as("__row"))
+    pairs.join(broadcast(rows), "type_a")
+      .select(col("type_a"), col("type_b"), col("n_ab"),
+        expr("(n_ab * 1000000) div __row").as("row_ppm"))
+  }
+
   /** Session-level event-type co-occurrence by LIFT — which behaviors
     * travel together inside one visit: users' streams split into
     * sessions at `gapUs` silences (boundary = gap > gapUs, session

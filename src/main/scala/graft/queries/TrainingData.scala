@@ -1812,6 +1812,30 @@ object TrainingData {
         "user_id", "tsu", "event_id", "event_type")
       .orderBy("type_a", "type_b")
 
+  /** Week-N retention cohort matrix ([[TimeJoins.retentionCohorts]],
+    * fixed epoch weeks): cohort size, per-offset active users, exact
+    * ppm retention — the cohort triangle.
+    */
+  def eventsRetention(spark: SparkSession, dir: String): DataFrame =
+    TimeJoins.retentionCohorts(
+        Tables.eventsNanos(spark, dir)
+          .select(col("user_id"), expr("ts div 1000").as("tsu")),
+        "user_id", "tsu")
+      .orderBy("cohort_week", "week_n")
+
+  /** Inter-session type carryover ([[TimeJoins.sessionCarryover]],
+    * 30-min sessions): type present in visit k → type present in
+    * visit k+1, with row-normalized ppm — the session-level analog
+    * of the t130 transition matrix.
+    */
+  def eventsCarryover(spark: SparkSession, dir: String): DataFrame =
+    TimeJoins.sessionCarryover(
+        Tables.eventsNanos(spark, dir)
+          .select(col("user_id"), expr("ts div 1000").as("tsu"),
+            col("event_id"), col("event_type")),
+        "user_id", "tsu", "event_id", "event_type")
+      .orderBy("type_a", "type_b")
+
   /** Margin mining over IVF candidates
     * ([[Similarity.marginMutualPairsIvf]], k = 4, shared full-corpus
     * quantizer, nprobe = 2) — the scale path of t91: cross-side
@@ -2188,6 +2212,8 @@ object TrainingData {
     "t132_circadian" -> eventsCircadian _,
     "t133_session_lift" -> eventsSessionLift _,
     "t134_winnow_persisted" -> docWinnowPersisted _,
+    "t135_retention" -> eventsRetention _,
+    "t136_session_carryover" -> eventsCarryover _,
   )
 
   /** Shared DuckDB SELECT replaying [[CorpusOps.hashedLinearScore]]
@@ -4205,6 +4231,66 @@ object TrainingData {
           |    // (CAST(pa.n_t AS HUGEINT) * pb.n_t) AS BIGINT) AS lift_x1e6
           |FROM p JOIN pt pa ON pa.etype = p.type_a
           |JOIN pt pb ON pb.etype = p.type_b, ns
+          |ORDER BY type_a, type_b""".stripMargin,
+      // t135: fixed epoch weeks, per-user cohort minimum, (cohort,
+      // offset) cells, week-0 denominators, exact ppm floor
+      "t135_retention" ->
+        """WITH uw AS (
+          |  SELECT DISTINCT user_id,
+          |    epoch_us(ts) // 604800000000 AS week
+          |  FROM events
+          |), ck AS (
+          |  SELECT week,
+          |    MIN(week) OVER (PARTITION BY user_id) AS cohort_week
+          |  FROM uw
+          |), cells AS (
+          |  SELECT cohort_week, week - cohort_week AS week_n,
+          |    CAST(COUNT(*) AS BIGINT) AS n_active
+          |  FROM ck GROUP BY 1, 2
+          |), coh AS (
+          |  SELECT cohort_week, n_active AS n_cohort
+          |  FROM cells WHERE week_n = 0
+          |)
+          |SELECT c.cohort_week, c.week_n, c.n_active, h.n_cohort,
+          |  (c.n_active * 1000000) // h.n_cohort AS retention_ppm
+          |FROM cells c JOIN coh h USING (cohort_week)
+          |ORDER BY cohort_week, week_n""".stripMargin,
+      // t136: t133's gap-boundary sessionization, per-session
+      // distinct types, the (session k -> k+1) carryover join, and
+      // one exact row-normalizing floor
+      "t136_session_carryover" ->
+        """WITH e AS (
+          |  SELECT user_id, epoch_us(ts) AS tsu, event_id, event_type
+          |  FROM events
+          |), b0 AS (
+          |  SELECT user_id, tsu, event_id, event_type,
+          |    CASE WHEN tsu - LAG(tsu) OVER (
+          |        PARTITION BY user_id ORDER BY tsu, event_id)
+          |      > 1800000000 THEN 1 ELSE 0 END AS boundary
+          |  FROM e
+          |), b AS (
+          |  SELECT user_id, event_type,
+          |    SUM(boundary) OVER (PARTITION BY user_id
+          |      ORDER BY tsu, event_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS session_no
+          |  FROM b0
+          |), s AS (
+          |  SELECT DISTINCT user_id, session_no, event_type AS etype
+          |  FROM b
+          |), p AS (
+          |  SELECT a.etype AS type_a, b2.etype AS type_b,
+          |    CAST(COUNT(*) AS BIGINT) AS n_ab
+          |  FROM s a JOIN s b2 ON a.user_id = b2.user_id
+          |    AND b2.session_no = a.session_no + 1
+          |  GROUP BY 1, 2
+          |), r AS (
+          |  SELECT type_a, CAST(SUM(n_ab) AS BIGINT) AS rw
+          |  FROM p GROUP BY type_a
+          |)
+          |SELECT type_a, type_b, n_ab,
+          |  (n_ab * 1000000) // rw AS row_ppm
+          |FROM p JOIN r USING (type_a)
           |ORDER BY type_a, type_b""".stripMargin,
       // t92: timestamps stay exact integer µs, values scale to integer
       // cents by one pure-double FLOOR, offsets are exact integer

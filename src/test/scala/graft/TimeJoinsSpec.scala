@@ -103,6 +103,47 @@ class TimeJoinsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("retentionCohorts: hand-computed triangle, week-0 is the cohort size") {
+    val wk = 604800L * 1000000L
+    // cohort week 0: users 1,2,3 (u3 returns in week 1; u1 in weeks 1,2)
+    // cohort week 1: user 4 only
+    val events = Seq(
+      (1L, 10L), (1L, wk + 5L), (1L, 2 * wk + 5L),
+      (2L, 20L),
+      (3L, 30L), (3L, wk + 7L), (3L, wk + 8L), // dup week collapses
+      (4L, wk + 1L)
+    ).toDF("user_id", "tsu")
+    val got = TimeJoins.retentionCohorts(events, "user_id", "tsu")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      (0L, 0L) -> ((3L, 3L, 1000000L)),
+      (0L, 1L) -> ((2L, 3L, 666666L)),
+      (0L, 2L) -> ((1L, 3L, 333333L)),
+      (1L, 0L) -> ((1L, 1L, 1000000L))), s"got $got")
+  }
+
+  test("sessionCarryover: distinct type sets pair only across ADJACENT sessions") {
+    val gap = 100L
+    // u1: session0 {a,b} at t=0..10, session1 {b} at t=200,
+    //     session2 {c} at t=400 -> carryover a->b, b->b, b->c, c->(none)
+    // u2: single session {a} -> contributes nothing
+    val events = Seq(
+      (1L, 0L, 1L, "a"), (1L, 5L, 2L, "b"), (1L, 10L, 3L, "a"),
+      (1L, 200L, 4L, "b"),
+      (1L, 400L, 5L, "c"),
+      (2L, 0L, 6L, "a")
+    ).toDF("user_id", "tsu", "event_id", "etype")
+    val got = TimeJoins.sessionCarryover(events, "user_id", "tsu",
+        "event_id", "etype", gapUs = gap)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      ("a", "b") -> ((1L, 1000000L)),
+      ("b", "b") -> ((1L, 500000L)),
+      ("b", "c") -> ((1L, 500000L))), s"got $got")
+  }
+
   test("q27/q28 plans: no cartesian, no inequality nested-loop join") {
     val q27 = queries.RelationalExt.q27(spark, "/root/testdata/sf0.001")
       .queryExecution.sparkPlan.toString
