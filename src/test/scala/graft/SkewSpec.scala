@@ -53,4 +53,60 @@ class SkewSpec extends AnyFunSuite {
       .select("__salt").distinct().count()
     assert(spread >= 4, s"hot key only reached $spread of 8 salts")
   }
+
+  // t114's fp inverted-index join meets its designed skew defense: a
+  // deliberately boilerplate-heavy corpus (one shared paragraph in
+  // every doc) makes a handful of fingerprints corpus-frequent; the
+  // maxDocFreq stop-gram cut must bound the largest join bucket to
+  // the ceiling (never the corpus), and t127's keySkewReport over the
+  // same fp relation must flag exactly those fingerprints first —
+  // the triage-then-cut loop a pipeline operator runs at 100 TB.
+  test("winnow overlap: stop-gram cut bounds the boilerplate fp bucket; " +
+      "keySkewReport flags it first") {
+    val boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit " +
+      "sed do eiusmod tempor incididunt ut labore et dolore magna aliqua"
+    val nDocs = 200
+    val docs = (1 to nDocs).map(i =>
+      (i.toLong, s"$boiler unique$i tail$i words$i body$i close$i"))
+      .toDF("doc_id", "text")
+    val fps = graft.operators.Dedup.winnowFingerprints(docs, "doc_id", "text")
+      .select(col("doc_id").as("id"), col("fp")).distinct()
+      .localCheckpoint()
+    // the raw relation IS pathologically skewed: boilerplate fps hit
+    // every doc (the quadratic bucket the cut exists to prevent)
+    val maxDfRaw = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .agg(max("df")).collect().head.getLong(0)
+    assert(maxDfRaw == nDocs.toLong,
+      s"fixture failed to produce corpus-frequent fps (max df $maxDfRaw)")
+    // keySkewReport triage on the fp relation surfaces them first,
+    // with the hot-key share and a salt suggestion
+    val top = graft.operators.CorpusOps.keySkewReport(fps, "fp",
+      topK = 5, partitions = 32).collect()
+    assert(top.head.getAs[Long]("cnt") == nDocs.toLong,
+      s"rank-1 skew key is not a boilerplate fp: ${top.head}")
+    assert(top.head.getAs[Long]("suggested_salt") > 1L,
+      "corpus-frequent fp must suggest salting")
+    // the stop-gram cut: with maxDocFreq = 20 every surviving fp's
+    // bucket is <= 20 rows, so the pair join's per-bucket fan-out is
+    // <= 20^2 instead of 200^2 — and the boilerplate-only pairs are
+    // gone entirely (unique tails share nothing)
+    val cut = 20
+    val pairs = graft.operators.Dedup.winnowOverlapPairs(docs, "doc_id",
+      "text", maxDocFreq = cut)
+    assert(pairs.isEmpty,
+      "boilerplate-only overlap must vanish under the stop-gram cut")
+    val survivingMaxDf = fps
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .filter(col("df") <= cut)
+      .agg(coalesce(max("df"), lit(0L))).collect().head.getLong(0)
+    assert(survivingMaxDf <= cut.toLong,
+      s"stop-gram cut leaked a bucket of $survivingMaxDf > $cut")
+    // and WITHOUT the cut the same corpus pairs quadratically — the
+    // defense is load-bearing, not decorative
+    val uncut = graft.operators.Dedup.winnowOverlapPairs(docs, "doc_id",
+      "text", maxDocFreq = nDocs)
+    assert(uncut.count() == nDocs.toLong * (nDocs - 1) / 2,
+      "uncut boilerplate corpus must pair all-with-all")
+  }
 }
