@@ -2264,6 +2264,94 @@ object CorpusOps {
         "expected_x1e6", "actual_x1e6", "dev_x1e6")
   }
 
+  /** Naive-split near-dup leakage audit — the measurement that
+    * MOTIVATES [[leakageSafeSplits]]: assign the cluster-blind
+    * per-document hash split ([[assignSplits]] — the split a pipeline
+    * without dedup awareness ships), confirm near-dup pairs at the
+    * family parameters, and count pairs per canonical
+    * (split_a ≤ split_b) cell with a leaked flag and the exact ppm
+    * share. Every off-diagonal pair is an eval example whose
+    * near-twin is trainable — the contamination number a curation
+    * review asks for FIRST, before the cluster-aware splitter is
+    * adopted (diagonal cells are ordinary in-split duplication,
+    * dedup's job, not leakage).
+    *
+    * Scale shape: pairs come from the shared LSH front end (pass
+    * `candOpt` — zero extra corpus scans in-session); the split
+    * assignment is one map-side hash joined onto pair endpoints by
+    * id; the cell relation is ≤ |splits|² rows, pinned once for its
+    * two consumers (cells + the 1-row total that rides back as a
+    * broadcast).
+    */
+  def splitLeakage(docs: DataFrame, idCol: String, textCol: String,
+      valPct: Int = 10, testPct: Int = 10, n: Int = 3, numPerms: Int = 64,
+      bands: Int = 16, threshold: Double = 0.5,
+      candOpt: Option[Dedup.LshCandidates] = None): DataFrame = {
+    val pairs = Dedup.minhashLsh(docs, idCol, textCol, n, numPerms,
+      bands, threshold, candOpt = candOpt).select("id_a", "id_b")
+    val sp = assignSplits(docs, idCol, valPct, testPct)
+      .select(col("doc_id"), col("split"))
+    val cells = pairs
+      .join(sp.select(col("doc_id").as("id_a"), col("split").as("sa")), "id_a")
+      .join(sp.select(col("doc_id").as("id_b"), col("split").as("sb")), "id_b")
+      .select(least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"))
+      .groupBy("split_a", "split_b").agg(count(lit(1)).as("n_pairs"))
+      .localCheckpoint()
+    val tot = cells.agg(sum("n_pairs").as("n_total"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("split_a"), col("split_b"), col("n_pairs"),
+        (col("split_a") =!= col("split_b")).as("leaked"),
+        expr("(n_pairs * 1000000) div n_total").as("share_ppm"))
+  }
+
+  /** Exact token-budget sharding — the packing pass an SFT/pretrain
+    * exporter runs to cut a corpus into fixed-token shards: every
+    * document gets the EXACT corpus-wide running token count before
+    * it (doc_id order), its shard = cum_before div budget, its offset
+    * inside the shard, and a spans_boundary flag (the documents a
+    * sequence packer must split or pad around).
+    *
+    * The global running sum is the scale hazard here — a naive
+    * `Window.orderBy(doc_id)` serializes the corpus through ONE task.
+    * This is the classic two-phase scan instead: doc_ids bucket by
+    * `span`, the within-bucket running sums ride a PARTITIONED window
+    * (parallel), and only the per-bucket totals — |docs|/span rows,
+    * the compressed-histogram discipline [[quantileNormalize]]
+    * argues — pass through the small ordered window before riding
+    * back as a broadcast. Exactness is unchanged: offset(bucket) +
+    * local running sum IS the global prefix sum. Pick `span` ~
+    * sqrt(|docs|) at the extreme; the default keeps the bucket
+    * relation thousands of times smaller than the corpus.
+    *
+    * Contract: doc_id must be non-negative (integer `div`/`%` versus
+    * the oracle's floor division diverge below zero — same note as
+    * every ppm floor here).
+    */
+  def tokenBudgetShards(docs: DataFrame, idCol: String, textCol: String,
+      budget: Long, span: Long = 4096L): DataFrame = {
+    require(budget > 0 && span > 0)
+    val base = docs.select(col(idCol).as("doc_id"),
+        TextFunctions.nTokens(col(textCol)).as("n_tokens"))
+      .withColumn("bucket", expr(s"doc_id div $span"))
+    val wIn = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = base.withColumn("cum_local",
+      coalesce(sum("n_tokens").over(wIn), lit(0L)))
+    val wB = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy("bucket").agg(sum("n_tokens").as("__bt"))
+      .withColumn("bucket_offset", coalesce(sum("__bt").over(wB), lit(0L)))
+      .select(col("bucket"), col("bucket_offset"))
+    local.join(broadcast(offsets), "bucket")
+      .withColumn("cum_before", col("bucket_offset") + col("cum_local"))
+      .select(col("doc_id"), col("n_tokens"), col("cum_before"),
+        expr(s"cum_before div $budget").as("shard"),
+        expr(s"cum_before % $budget").as("offset_in_shard"),
+        (expr(s"cum_before % $budget") + col("n_tokens") > budget)
+          .as("spans_boundary"))
+  }
+
   /** Dedup survivorship by source — which sources is near-dup dedup
     * gutting? Joins the corpus against a canonical-election relation
     * ([[canonicalSelect]]'s output: clustered docs with their

@@ -1836,6 +1836,27 @@ object TrainingData {
         "user_id", "tsu", "event_id", "event_type")
       .orderBy("type_a", "type_b")
 
+  /** Naive-split near-dup leakage audit ([[CorpusOps.splitLeakage]]
+    * at the family LSH parameters, riding the shared candidate front
+    * end): (split_a, split_b) pair cells with the leaked flag and ppm
+    * share — the contamination measurement that motivates t78's
+    * cluster-aware splits.
+    */
+  def docSplitLeakage(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.splitLeakage(Tables.documents(spark, dir), "doc_id", "text",
+        candOpt = Some(sharedLshCandidates(spark, dir)))
+      .orderBy("split_a", "split_b")
+
+  /** Exact token-budget sharding ([[CorpusOps.tokenBudgetShards]],
+    * 8192-token shards): the two-phase exact global prefix sum —
+    * per-doc cumulative tokens, shard id, in-shard offset, and the
+    * boundary-spanning flag a sequence packer consumes.
+    */
+  def docTokenShards(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.tokenBudgetShards(Tables.documents(spark, dir), "doc_id",
+        "text", budget = 8192L)
+      .orderBy("doc_id")
+
   /** Margin mining over IVF candidates
     * ([[Similarity.marginMutualPairsIvf]], k = 4, shared full-corpus
     * quantizer, nprobe = 2) — the scale path of t91: cross-side
@@ -2214,6 +2235,8 @@ object TrainingData {
     "t134_winnow_persisted" -> docWinnowPersisted _,
     "t135_retention" -> eventsRetention _,
     "t136_session_carryover" -> eventsCarryover _,
+    "t137_split_leakage" -> docSplitLeakage _,
+    "t138_token_shards" -> docTokenShards _,
   )
 
   /** Shared DuckDB SELECT replaying [[CorpusOps.hashedLinearScore]]
@@ -4292,6 +4315,51 @@ object TrainingData {
           |  (n_ab * 1000000) // rw AS row_ppm
           |FROM p JOIN r USING (type_a)
           |ORDER BY type_a, type_b""".stripMargin,
+      // t137: the full MinHash pair replay, per-doc idMix hash splits
+      // (the naive cluster-blind assignment), canonical cells, exact
+      // ppm shares
+      "t137_split_leakage" ->
+        s"""WITH ${minhashCtes(64, 16, 0.5)}, sp AS (
+           |  SELECT doc_id,
+           |    CASE WHEN ${idMixSql("doc_id")} % 100 < 10 THEN 'val'
+           |         WHEN ${idMixSql("doc_id")} % 100 < 20 THEN 'test'
+           |         ELSE 'train' END AS split
+           |  FROM documents
+           |), cells AS (
+           |  SELECT LEAST(sa.split, sb.split) AS split_a,
+           |    GREATEST(sa.split, sb.split) AS split_b,
+           |    CAST(COUNT(*) AS BIGINT) AS n_pairs
+           |  FROM pairs p JOIN sp sa ON p.id_a = sa.doc_id
+           |  JOIN sp sb ON p.id_b = sb.doc_id
+           |  GROUP BY 1, 2
+           |), tot AS (
+           |  SELECT CAST(SUM(n_pairs) AS BIGINT) AS n_total FROM cells
+           |)
+           |SELECT split_a, split_b, n_pairs,
+           |  split_a <> split_b AS leaked,
+           |  (n_pairs * 1000000) // n_total AS share_ppm
+           |FROM cells, tot
+           |ORDER BY split_a, split_b""".stripMargin,
+      // t138: the single-window exact prefix sum the engine's
+      // two-phase form must reproduce bit-for-bit
+      "t138_token_shards" ->
+        s"""WITH b AS (
+           |  SELECT doc_id,
+           |    CAST(${TextFunctions.Sql.nTokens("text")} AS BIGINT)
+           |      AS n_tokens
+           |  FROM documents
+           |), c AS (
+           |  SELECT doc_id, n_tokens,
+           |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS BIGINT) AS cum_before
+           |  FROM b
+           |)
+           |SELECT doc_id, n_tokens, cum_before,
+           |  cum_before // 8192 AS shard,
+           |  cum_before % 8192 AS offset_in_shard,
+           |  cum_before % 8192 + n_tokens > 8192 AS spans_boundary
+           |FROM c ORDER BY doc_id""".stripMargin,
       // t92: timestamps stay exact integer µs, values scale to integer
       // cents by one pure-double FLOOR, offsets are exact integer
       // running sums of fragment lengths — rendered string and mask

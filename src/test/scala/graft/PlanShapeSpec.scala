@@ -771,6 +771,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(1200))
   }
 
+  test("t138: the corpus prefix sum rides a PARTITIONED window; only " +
+      "the bucket relation is globally ordered") {
+    val df = operators.CorpusOps.tokenBudgetShards(
+      Tables.documents(spark, dir), "doc_id", "text", budget = 8192L)
+    val plan = planOf(df)
+    // the corpus-sized running sum must be partitioned by bucket — a
+    // partitionless ORDER BY doc_id window serializes 100 TB through
+    // one task; the only unpartitioned window allowed is the one over
+    // the |docs|/span bucket-totals relation
+    assert("windowspecdefinition\\(bucket#\\d+L?, doc_id#".r
+        .findFirstIn(plan).isDefined,
+      s"corpus prefix sum lost its bucket partitioning:\n${plan.take(1500)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket offsets lost their broadcast:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+  }
+
   test("persisted winnow search prunes the fps SCAN to the batch's buckets") {
     val docs = Tables.documents(spark, dir)
     val path = java.nio.file.Files.createTempDirectory("graft_winnow_plan")
