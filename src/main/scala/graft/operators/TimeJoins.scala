@@ -325,6 +325,76 @@ object TimeJoins {
         expr("((-__pk.neg) * 1000000) div n_events").as("peak_share_x1e6"))
   }
 
+  /** Sustained-rate burst detection — bot signal #4 next to
+    * [[interactionGapFeatures]] / [[behavioralDiversity]] /
+    * [[circadianProfile]]: a user's activity buckets into fixed
+    * `bucketUs` windows; buckets holding at least `minPerBucket`
+    * events are hot, and maximal runs of ADJACENT hot buckets merge
+    * into bursts (the classic gaps-and-islands collapse: island key =
+    * bucket − row_number over the user's hot buckets) — each burst
+    * reported with its bucket span and event mass. Scripts sustain
+    * rate across adjacent windows; humans spike and rest.
+    *
+    * Scale shape: one (user, bucket) count (map-side combinable), one
+    * user-keyed window over the HOT buckets only (the filter runs
+    * before the window, so the windowed relation is hot-bucket-sized,
+    * not event-sized), one (user, island) collapse. All integer.
+    */
+  def burstDetect(events: DataFrame, userCol: String, tsUsCol: String,
+      bucketUs: Long = 3600L * 1000000L, minPerBucket: Long = 2L): DataFrame = {
+    require(bucketUs > 0 && minPerBucket >= 1)
+    val hot = events.select(col(userCol).as("user_id"),
+        expr(s"$tsUsCol div $bucketUs").as("b"))
+      .groupBy("user_id", "b").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minPerBucket)
+    val w = Window.partitionBy("user_id").orderBy("b")
+    hot.withColumn("isl", col("b") - row_number().over(w))
+      .groupBy("user_id", "isl")
+      .agg(min("b").as("start_bucket"), max("b").as("end_bucket"),
+        count(lit(1)).as("n_buckets"), sum("cnt").as("n_events"))
+      .select("user_id", "start_bucket", "end_bucket", "n_buckets",
+        "n_events")
+  }
+
+  /** Exact per-type inter-event gap deciles — the latency profile a
+    * sessionization / engagement model is calibrated against: the
+    * silence PRECEDING each event, keyed by that event's type, and
+    * for every type the nine exact decile gap values, computed over
+    * the COMPRESSED (type, gap) histogram — [[graft.operators.CorpusOps.quantileNormalize]]'s
+    * discipline pointed at time gaps: the per-type window orders
+    * distinct gap values, never events, and the decile lookup is a
+    * ceiling-target ≥-join against the tiny (|types|·9) target
+    * relation riding a broadcast. Decile d's value is the MINIMUM gap
+    * whose cumulative count reaches ceil(d·n_t/10) — the exact
+    * lower-quantile convention every oracle here replays.
+    */
+  def gapDeciles(events: DataFrame, userCol: String, tsUsCol: String,
+      ordCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    val gaps = events.select(col(userCol).as("user_id"),
+        col(tsUsCol).as("tsu"), col(ordCol).as("event_id"),
+        col(typeCol).as("etype"))
+      .withColumn("gap_us", col("tsu") - lag(col("tsu"), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+    // compressed histogram: two consumers (cumulative + totals) — pin
+    val gh = Dedup.barrier(
+      gaps.groupBy("etype", "gap_us").agg(count(lit(1)).as("cnt")),
+      col("etype")).localCheckpoint()
+    val nT = gh.groupBy("etype").agg(sum("cnt").as("n_t"))
+    val wT = Window.partitionBy("etype").orderBy("gap_us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = gh.withColumn("cum", sum("cnt").over(wT))
+    val targets = nT
+      .select(col("etype"), col("n_t"),
+        explode(sequence(lit(1L), lit(9L))).as("decile"))
+      .withColumn("tgt", expr("(decile * n_t + 9) div 10"))
+    cum.join(broadcast(targets), Seq("etype"))
+      .filter(col("cum") >= col("tgt"))
+      .groupBy("etype", "decile", "n_t")
+      .agg(min("gap_us").as("gap_us"))
+      .select("etype", "decile", "n_t", "gap_us")
+  }
+
   /** Week-N retention cohort matrix — the engagement readout a
     * training-data curator uses to weight user streams by stickiness
     * (and the product analyst's classic triangle): users cohorted by

@@ -1836,6 +1836,29 @@ object TrainingData {
         "user_id", "tsu", "event_id", "event_type")
       .orderBy("type_a", "type_b")
 
+  /** Sustained-rate burst detection ([[TimeJoins.burstDetect]],
+    * 1-hour buckets, ≥ 2 events/bucket): maximal hot-bucket runs per
+    * user with their span and event mass — bot signal #4.
+    */
+  def eventsBursts(spark: SparkSession, dir: String): DataFrame =
+    TimeJoins.burstDetect(
+        Tables.eventsNanos(spark, dir)
+          .select(col("user_id"), expr("ts div 1000").as("tsu")),
+        "user_id", "tsu")
+      .orderBy("user_id", "start_bucket")
+
+  /** Per-type inter-event gap deciles ([[TimeJoins.gapDeciles]]):
+    * nine exact decile silences preceding each event type, over the
+    * compressed (type, gap) histogram.
+    */
+  def eventsGapDeciles(spark: SparkSession, dir: String): DataFrame =
+    TimeJoins.gapDeciles(
+        Tables.eventsNanos(spark, dir)
+          .select(col("user_id"), expr("ts div 1000").as("tsu"),
+            col("event_id"), col("event_type")),
+        "user_id", "tsu", "event_id", "event_type")
+      .orderBy("etype", "decile")
+
   /** Naive-split near-dup leakage audit ([[CorpusOps.splitLeakage]]
     * at the family LSH parameters, riding the shared candidate front
     * end): (split_a, split_b) pair cells with the leaked flag and ppm
@@ -2237,6 +2260,8 @@ object TrainingData {
     "t136_session_carryover" -> eventsCarryover _,
     "t137_split_leakage" -> docSplitLeakage _,
     "t138_token_shards" -> docTokenShards _,
+    "t139_bursts" -> eventsBursts _,
+    "t140_gap_deciles" -> eventsGapDeciles _,
   )
 
   /** Shared DuckDB SELECT replaying [[CorpusOps.hashedLinearScore]]
@@ -4360,6 +4385,59 @@ object TrainingData {
            |  cum_before % 8192 AS offset_in_shard,
            |  cum_before % 8192 + n_tokens > 8192 AS spans_boundary
            |FROM c ORDER BY doc_id""".stripMargin,
+      // t139: hourly (user, bucket) counts, the >=2 hot filter, the
+      // gaps-and-islands collapse (bucket - row_number), burst spans
+      "t139_bursts" ->
+        """WITH b AS (
+          |  SELECT user_id, epoch_us(ts) // 3600000000 AS b,
+          |    CAST(COUNT(*) AS BIGINT) AS cnt
+          |  FROM events GROUP BY 1, 2
+          |), hot AS (
+          |  SELECT user_id, b, cnt,
+          |    b - row_number() OVER (PARTITION BY user_id ORDER BY b)
+          |      AS isl
+          |  FROM b WHERE cnt >= 2
+          |)
+          |SELECT user_id, CAST(MIN(b) AS BIGINT) AS start_bucket,
+          |  CAST(MAX(b) AS BIGINT) AS end_bucket,
+          |  CAST(COUNT(*) AS BIGINT) AS n_buckets,
+          |  CAST(SUM(cnt) AS BIGINT) AS n_events
+          |FROM hot GROUP BY user_id, isl
+          |ORDER BY user_id, start_bucket""".stripMargin,
+      // t140: per-user lag gaps keyed by the following event's type,
+      // the compressed (type, gap) histogram, per-type cumulative
+      // counts, ceil decile targets, the >=-join minimum lookup
+      "t140_gap_deciles" ->
+        """WITH e AS (
+          |  SELECT user_id, epoch_us(ts) AS tsu, event_id, event_type
+          |  FROM events
+          |), g AS (
+          |  SELECT event_type AS etype,
+          |    tsu - LAG(tsu) OVER (PARTITION BY user_id
+          |      ORDER BY tsu, event_id) AS gap_us
+          |  FROM e
+          |), gh AS (
+          |  SELECT etype, gap_us, CAST(COUNT(*) AS BIGINT) AS cnt
+          |  FROM g WHERE gap_us IS NOT NULL GROUP BY 1, 2
+          |), nt AS (
+          |  SELECT etype, CAST(SUM(cnt) AS BIGINT) AS n_t
+          |  FROM gh GROUP BY etype
+          |), cumg AS (
+          |  SELECT etype, gap_us,
+          |    CAST(SUM(cnt) OVER (PARTITION BY etype ORDER BY gap_us)
+          |      AS BIGINT) AS cum
+          |  FROM gh
+          |), tgt AS (
+          |  SELECT etype, n_t, d.decile,
+          |    (d.decile * n_t + 9) // 10 AS t
+          |  FROM nt, (SELECT unnest(range(1, 10)) AS decile) d
+          |)
+          |SELECT c.etype AS etype, t.decile, t.n_t,
+          |  CAST(MIN(c.gap_us) AS BIGINT) AS gap_us
+          |FROM cumg c JOIN tgt t
+          |  ON c.etype = t.etype AND c.cum >= t.t
+          |GROUP BY c.etype, t.decile, t.n_t
+          |ORDER BY c.etype, decile""".stripMargin,
       // t92: timestamps stay exact integer µs, values scale to integer
       // cents by one pure-double FLOOR, offsets are exact integer
       // running sums of fragment lengths — rendered string and mask
