@@ -2305,6 +2305,46 @@ object CorpusOps {
         expr("(n_pairs * 1000000) div n_total").as("share_ppm"))
   }
 
+  /** Cross-source near-dup attribution matrix — WHO copies WHOM, at
+    * confirmed-pair granularity: every near-dup pair (the family LSH
+    * parameters) lands in its canonical (source_a ≤ source_b) cell
+    * with the pair count and each cell's ppm share — the
+    * syndication/mirror map a mixture designer reads next to the
+    * KMV vocabulary overlap ([[kmvGroupOverlap]] says "these sources
+    * SOUND alike"; this says "these sources share literal documents",
+    * pair-confirmed). Off-diagonal mass is cross-source duplication —
+    * the mass dedup transfers between sources; diagonal mass is
+    * in-source templating.
+    *
+    * Scale shape: pairs ride the shared LSH front end (`candOpt`);
+    * the source lookup is two id equi-joins of a two-column
+    * projection; the cell relation is ≤ |sources|² rows, pinned for
+    * its two consumers.
+    */
+  def sourceOverlapPairs(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, n: Int = 3, numPerms: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5,
+      candOpt: Option[Dedup.LshCandidates] = None): DataFrame = {
+    val pairs = Dedup.minhashLsh(docs, idCol, textCol, n, numPerms,
+      bands, threshold, candOpt = candOpt).select("id_a", "id_b")
+    val src = docs.select(col(idCol).as("doc_id"),
+      col(sourceCol).as("source"))
+    val cells = pairs
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")),
+        "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")),
+        "id_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
+      .localCheckpoint()
+    val tot = cells.agg(sum("n_pairs").as("n_total"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        (col("source_a") =!= col("source_b")).as("cross_source"),
+        expr("(n_pairs * 1000000) div n_total").as("share_ppm"))
+  }
+
   /** Exact token-budget sharding — the packing pass an SFT/pretrain
     * exporter runs to cut a corpus into fixed-token shards: every
     * document gets the EXACT corpus-wide running token count before

@@ -325,6 +325,44 @@ object TimeJoins {
         expr("((-__pk.neg) * 1000000) div n_events").as("peak_share_x1e6"))
   }
 
+  /** First-touch attribution — the label-construction pass behind
+    * conversion models: each CONVERSION event (type = `convType`)
+    * credits the EARLIEST event of a qualifying `touchTypes` set
+    * inside the `lookbackUs` window strictly before it. Expressed as
+    * a RANGE-frame window, not a join: qualifying events project a
+    * (tsu, event_id, type) struct (NULL otherwise) and min() over
+    * RANGE [-lookbackUs, -1µs) picks the first touch — Spark's
+    * range frame keeps the state a per-partition sliding bound, so
+    * there is no per-conversion scan and no inequality join to
+    * degrade into a nested loop (the [[asOf]] argument, one tier up:
+    * the window IS the algorithm). Unattributed conversions surface
+    * with NULL touch columns (organic), never dropped.
+    *
+    * Scale shape: ONE user-keyed shuffle; the range frame advances
+    * two pointers per partition. All integer µs.
+    */
+  def firstTouchAttribution(events: DataFrame, userCol: String,
+      tsUsCol: String, ordCol: String, typeCol: String,
+      convType: String, touchTypes: Seq[String],
+      lookbackUs: Long = 86400L * 1000000L): DataFrame = {
+    require(touchTypes.nonEmpty && lookbackUs > 0)
+    val w = Window.partitionBy("user_id").orderBy("tsu")
+      .rangeBetween(-lookbackUs, -1L)
+    events.select(col(userCol).as("user_id"), col(tsUsCol).as("tsu"),
+        col(ordCol).as("event_id"), col(typeCol).as("etype"))
+      .withColumn("__touch",
+        when(col("etype").isin(touchTypes: _*),
+          struct(col("tsu").as("t"), col("event_id").as("id"),
+            col("etype").as("ty"))))
+      .withColumn("__first", min(col("__touch")).over(w))
+      .filter(col("etype") === convType)
+      .select(col("event_id").as("conversion_id"), col("user_id"),
+        col("tsu").as("conv_tsu"),
+        col("__first.id").as("touch_id"),
+        col("__first.ty").as("touch_type"),
+        (col("tsu") - col("__first.t")).as("gap_us"))
+  }
+
   /** Sustained-rate burst detection — bot signal #4 next to
     * [[interactionGapFeatures]] / [[behavioralDiversity]] /
     * [[circadianProfile]]: a user's activity buckets into fixed

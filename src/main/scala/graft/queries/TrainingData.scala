@@ -1836,6 +1836,29 @@ object TrainingData {
         "user_id", "tsu", "event_id", "event_type")
       .orderBy("type_a", "type_b")
 
+  /** Cross-source near-dup attribution matrix
+    * ([[CorpusOps.sourceOverlapPairs]], shared LSH candidates): who
+    * copies whom, pair-confirmed — the syndication map next to t115's
+    * vocabulary overlap.
+    */
+  def docSourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.sourceOverlapPairs(Tables.documents(spark, dir), "doc_id",
+        "text", "source", candOpt = Some(sharedLshCandidates(spark, dir)))
+      .orderBy("source_a", "source_b")
+
+  /** First-touch attribution ([[TimeJoins.firstTouchAttribution]]:
+    * purchases credit the earliest view/click inside a 1-day
+    * lookback, RANGE-frame windows — no inequality join).
+    */
+  def eventsAttribution(spark: SparkSession, dir: String): DataFrame =
+    TimeJoins.firstTouchAttribution(
+        Tables.eventsNanos(spark, dir)
+          .select(col("user_id"), expr("ts div 1000").as("tsu"),
+            col("event_id"), col("event_type")),
+        "user_id", "tsu", "event_id", "event_type",
+        convType = "purchase", touchTypes = Seq("view", "click"))
+      .orderBy("conversion_id")
+
   /** Sustained-rate burst detection ([[TimeJoins.burstDetect]],
     * 1-hour buckets, ≥ 2 events/bucket): maximal hot-bucket runs per
     * user with their span and event mass — bot signal #4.
@@ -2262,6 +2285,8 @@ object TrainingData {
     "t138_token_shards" -> docTokenShards _,
     "t139_bursts" -> eventsBursts _,
     "t140_gap_deciles" -> eventsGapDeciles _,
+    "t141_source_overlap" -> docSourceOverlap _,
+    "t142_attribution" -> eventsAttribution _,
   )
 
   /** Shared DuckDB SELECT replaying [[CorpusOps.hashedLinearScore]]
@@ -4438,6 +4463,49 @@ object TrainingData {
           |  ON c.etype = t.etype AND c.cum >= t.t
           |GROUP BY c.etype, t.decile, t.n_t
           |ORDER BY c.etype, decile""".stripMargin,
+      // t141: the MinHash pair replay cells keyed by canonical
+      // source pairs with exact ppm shares
+      "t141_source_overlap" ->
+        s"""WITH ${minhashCtes(64, 16, 0.5)}, src AS (
+           |  SELECT doc_id, source FROM documents
+           |), cells AS (
+           |  SELECT LEAST(sa.source, sb.source) AS source_a,
+           |    GREATEST(sa.source, sb.source) AS source_b,
+           |    CAST(COUNT(*) AS BIGINT) AS n_pairs
+           |  FROM pairs p JOIN src sa ON p.id_a = sa.doc_id
+           |  JOIN src sb ON p.id_b = sb.doc_id
+           |  GROUP BY 1, 2
+           |), tot AS (
+           |  SELECT CAST(SUM(n_pairs) AS BIGINT) AS n_total FROM cells
+           |)
+           |SELECT source_a, source_b, n_pairs,
+           |  source_a <> source_b AS cross_source,
+           |  (n_pairs * 1000000) // n_total AS share_ppm
+           |FROM cells, tot
+           |ORDER BY source_a, source_b""".stripMargin,
+      // t142: the RANGE-frame first-touch replay — struct MIN is
+      // positional in both engines, NULL-skipping in both; organic
+      // conversions keep NULL touch columns
+      "t142_attribution" ->
+        """WITH e AS (
+          |  SELECT user_id, epoch_us(ts) AS tsu, event_id, event_type
+          |  FROM events
+          |), a AS (
+          |  SELECT user_id, tsu, event_id, event_type,
+          |    MIN(CASE WHEN event_type IN ('view', 'click') THEN
+          |      {'t': tsu, 'id': event_id, 'ty': event_type} END)
+          |      OVER (PARTITION BY user_id ORDER BY tsu
+          |        RANGE BETWEEN 86400000000 PRECEDING
+          |          AND 1 PRECEDING) AS f
+          |  FROM e
+          |)
+          |SELECT event_id AS conversion_id, user_id,
+          |  tsu AS conv_tsu,
+          |  CAST(f.id AS BIGINT) AS touch_id,
+          |  f.ty AS touch_type,
+          |  tsu - f.t AS gap_us
+          |FROM a WHERE event_type = 'purchase'
+          |ORDER BY conversion_id""".stripMargin,
       // t92: timestamps stay exact integer µs, values scale to integer
       // cents by one pure-double FLOOR, offsets are exact integer
       // running sums of fragment lengths — rendered string and mask

@@ -771,6 +771,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(1200))
   }
 
+  test("t142: first-touch attribution is a pure RANGE-frame window — " +
+      "no inequality join") {
+    val plan = planOf(queries.TrainingData.eventsAttribution(spark, dir))
+    // the lookback must be a window frame, never a time-range join —
+    // Spark plans inequality joins as nested loops (quadratic per key)
+    assert(plan.toLowerCase.contains("rangeframe"),
+      s"attribution lost its RANGE frame:\n${plan.take(1500)}")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"attribution degraded to an inequality join:\n${plan.take(1500)}")
+  }
+
   test("t138: the corpus prefix sum rides a PARTITIONED window; only " +
       "the bucket relation is globally ordered") {
     val df = operators.CorpusOps.tokenBudgetShards(
