@@ -1056,7 +1056,15 @@ object CorpusOps {
   def spanDedupRewrite(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
-    val packed = col("doc_id") * lit(1048576L) + col("idx")
+    // injectivity guard folded into the consumed key (the t133 sid
+    // lesson): outside the documented envelope the packed election
+    // key would silently MERGE spans across documents — raise instead
+    val packed = when(
+      col("doc_id") < 0L || col("doc_id") >= lit(1L << 43) ||
+        col("idx") < 0L || col("idx") >= lit(1L << 20),
+      raise_error(lit("spanDedupRewrite: packed election key needs" +
+        " doc_id in [0,2^43) and span idx in [0,2^20)")).cast("long"))
+      .otherwise(col("doc_id") * lit(1048576L) + col("idx"))
     val spans = chunkDocs(docs, idCol, textCol, chunk = k, stride = k)
       .select(col("doc_id"), col("chunk_no").as("idx"),
         call_function("fnv64", col("chunk_text")).as("fp"))
@@ -1360,7 +1368,15 @@ object CorpusOps {
     val segs = chunkDocs(docs, idCol, textCol, chunk, chunk)
       .select(col("doc_id"), col("chunk_no"))
       .localCheckpoint()
-    val comp = col("doc_id") * lit(1048576L) + col("chunk_no")
+    // the packed key is UNPACKED below (partner_doc = pcomp div 2^20)
+    // — out-of-envelope ids would not just collide, they would emit
+    // corrupted partner ids; guard folded into the consumed key
+    val comp = when(
+      col("doc_id") < 0L || col("doc_id") >= lit(1L << 43) ||
+        col("chunk_no") < 0L || col("chunk_no") >= lit(1L << 20),
+      raise_error(lit("segmentPairs: packed segment key needs doc_id" +
+        " in [0,2^43) and chunk_no in [0,2^20)")).cast("long"))
+      .otherwise(col("doc_id") * lit(1048576L) + col("chunk_no"))
     val anchors = segs
       .join(segs.select(col("doc_id"),
         (col("chunk_no") - 1L).as("chunk_no")), Seq("doc_id", "chunk_no"),

@@ -385,6 +385,17 @@ object TimeJoins {
         expr(s"$tsUsCol div $bucketUs").as("b"))
       .groupBy("user_id", "b").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minPerBucket)
+    burstsFromHotBuckets(hot)
+  }
+
+  /** The gaps-and-islands collapse over an ALREADY-FILTERED hot-bucket
+    * relation (user_id, b, cnt) — the shared back half of
+    * [[burstDetect]] and the streaming face
+    * ([[graft.streaming.EventStreams.hotBucketStream]] emits the hot
+    * buckets online; this rolls them up through the SAME collapse, so
+    * the batch-equivalence proof pins one arithmetic).
+    */
+  def burstsFromHotBuckets(hot: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("b")
     hot.withColumn("isl", col("b") - row_number().over(w))
       .groupBy("user_id", "isl")

@@ -107,6 +107,34 @@ object EventStreams {
         col("user_id"), col("types"))
   }
 
+  /** Streaming hot-bucket alarm — the online face of
+    * [[graft.operators.TimeJoins.burstDetect]]'s filter stage: fixed
+    * `bucketUs` tumbling windows per user (epoch-aligned exactly like
+    * the batch `tsu div bucketUs` buckets), counts kept as keyed
+    * window state and emitted once the watermark closes the window;
+    * only buckets reaching `minPerBucket` surface — the live bot
+    * alarm. The island collapse
+    * ([[graft.operators.TimeJoins.burstsFromHotBuckets]]) rolls the
+    * emitted relation up through the SAME arithmetic as the batch
+    * operator (StreamingSpec pins the equality). State per (user,
+    * open window) is one count.
+    */
+  def hotBucketStream(events: DataFrame,
+      bucketUs: Long = 3600L * 1000000L, minPerBucket: Long = 2L,
+      watermark: String = "2 hours"): DataFrame = {
+    require(bucketUs > 0 && minPerBucket >= 1)
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), s"$bucketUs microseconds"),
+        col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minPerBucket)
+      .select(col("user_id"),
+        (unix_micros(col("window.start")) / bucketUs)
+          .cast("long").as("b"),
+        col("cnt"))
+  }
+
   /** Streaming deduplication: drop repeated (user_id, event_type, ts)
     * events, with state bounded by the watermark
     * (dropDuplicatesWithinWatermark — the streaming face of the batch

@@ -60,6 +60,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(totalEvents == batchEvents.count())
   }
 
+  test("streaming hot buckets roll up to the batch burst detection") {
+    val stream = EventStreams.readEventStream(spark, dir)
+    val hot = EventStreams.runToMemory(
+      EventStreams.hotBucketStream(stream), "hot_buckets_out", "complete")
+    val got = operators.TimeJoins.burstsFromHotBuckets(hot)
+    val want = operators.TimeJoins.burstDetect(
+      Tables.eventsNanos(spark, "/root/testdata/sf0.001")
+        .select(col("user_id"), expr("ts div 1000").as("tsu")),
+      "user_id", "tsu")
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "online hot-bucket alarm must equal the batch burst operator")
+  }
+
   test("streaming session type sets roll up to the batch session lift") {
     val stream = EventStreams.readEventStream(spark, dir)
     val sets = EventStreams.runToMemory(
