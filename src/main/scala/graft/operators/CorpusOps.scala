@@ -2387,16 +2387,36 @@ object CorpusOps {
   def tokenBudgetShards(docs: DataFrame, idCol: String, textCol: String,
       budget: Long, span: Long = 4096L): DataFrame = {
     require(budget > 0 && span > 0)
-    val base = docs.select(col(idCol).as("doc_id"),
-        TextFunctions.nTokens(col(textCol)).as("n_tokens"))
-      .withColumn("bucket", expr(s"doc_id div $span"))
+    // barrier on bucket: the slim (doc_id, n_tokens, bucket) relation
+    // feeds TWO consumers (within-bucket windows + bucket totals) —
+    // the shared exchange means one corpus scan/tokenize, and both
+    // consumers need exactly this partitioning anyway
+    // the isNotNull pre-filter is load-bearing: the offsets join later
+    // INFERS isnotnull(bucket) on one consumer of the barrier exchange
+    // and not the other, which breaks canonical equality and costs a
+    // second corpus scan+tokenize; filtering here makes both exchange
+    // children identical so the stage (and the scan) is reused
+    val base = Dedup.barrier(
+      docs.select(col(idCol).as("doc_id"),
+          TextFunctions.nTokens(col(textCol)).as("n_tokens"))
+        .withColumn("bucket", expr(s"doc_id div $span"))
+        .filter(col("bucket").isNotNull),
+      col("bucket"))
     val wIn = Window.partitionBy("bucket").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = base.withColumn("cum_local",
       coalesce(sum("n_tokens").over(wIn), lit(0L)))
     val wB = Window.orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = base.groupBy("bucket").agg(sum("n_tokens").as("__bt"))
+    // bucket totals derive from the WINDOWED relation (last running
+    // sum + its row), not from a second aggregate over the scan — a
+    // partial-agg pushdown below the shuffle gives that aggregate a
+    // DIFFERENT exchange child and defeats exchange reuse, costing a
+    // second corpus scan+tokenize; this way both consumers sit above
+    // the one barrier exchange and the scan runs once
+    val offsets = local
+      .groupBy("bucket")
+      .agg(max(col("cum_local") + col("n_tokens")).as("__bt"))
       .withColumn("bucket_offset", coalesce(sum("__bt").over(wB), lit(0L)))
       .select(col("bucket"), col("bucket_offset"))
     local.join(broadcast(offsets), "bucket")

@@ -798,6 +798,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"),
       s"bucket offsets lost their broadcast:\n${plan.take(1500)}")
     assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    // both consumers (windows + bucket totals) must share ONE barrier
+    // exchange — a broken canonical match re-scans and re-tokenizes
+    // the corpus (the isNotNull pre-filter in the operator is what
+    // keeps the exchange children identical)
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("ReusedExchange"),
+      s"bucket barrier not reused - corpus scanned twice:\n${executed.take(1500)}")
   }
 
   test("persisted winnow search prunes the fps SCAN to the batch's buckets") {
