@@ -1062,6 +1062,221 @@ object Dedup {
         (coalesce(col("n_hits"), lit(0L)) < minShared.toLong).as("admitted"))
   }
 
+  /** Bucket count for the persisted MinHash band index, and the two
+    * read-back schemas (partition ids live in directory names; LONG
+    * keeps them aligned with the Spark-side pmod).
+    */
+  val BandIndexBuckets = 64
+  private val BandsIdxSchema = "doc_id LONG, band INT, bkey LONG, bb LONG"
+  private val SigsIdxSchema =
+    "doc_id LONG, sig ARRAY<BIGINT>, db LONG"
+
+  private def bandIndexMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Int, Int, Int, Int) = {
+    val r = spark.read.parquet(s"$path/meta").collect().head
+    (r.getAs[Int]("n"), r.getAs[Int]("num_perms"), r.getAs[Int]("bands"),
+      r.getAs[Int]("buckets"))
+  }
+
+  /** Rows of a corpus for the persisted band index: (doc_id, sig)
+    * signatures and (doc_id, band, bkey) band keys, shingle-less
+    * documents EXCLUDED — [[minhashSignatureFromShingles]] emits the
+    * all-sentinel signature for an empty shingle set, which would
+    * band-collide every tiny document with every other; the family
+    * convention (t126's) is that sketch-less documents are admitted,
+    * so they never enter the index or the probe.
+    */
+  private def bandIndexRows(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, numPerms: Int, bands: Int,
+      buckets: Int): (DataFrame, DataFrame) = {
+    val (withSig, banded) = sigBands(
+      docs.filter(size(graft.functions.TextFunctions.tokens(col(textCol)))
+        >= n), idCol, textCol, n, numPerms, bands)
+    val sigs = withSig.select(col("id").as("doc_id"), col("sig"))
+      .withColumn("db", pmod(col("doc_id"), lit(buckets.toLong)))
+    val bandRows = banded.select(col("id").as("doc_id"), col("band"),
+        col("key").as("bkey"))
+      .withColumn("bb", pmod(col("bkey"), lit(buckets.toLong)))
+    (sigs, bandRows)
+  }
+
+  /** Build a persisted MinHash BAND index under `path` — the
+    * text-side ingestion-time near-dup store, completing the
+    * persisted-lifecycle family (IVF-PQ/IVF-binary for vectors,
+    * term buckets for retrieval, fp buckets for winnowing, and now
+    * band keys for MinHash): `bands` (doc_id, band, bkey) written
+    * `partitionBy(bb = pmod(bkey, buckets))` for pruned candidate
+    * probes, `sigs` (doc_id, 64-perm signature) written
+    * `partitionBy(db = pmod(doc_id, buckets))` for pruned estimate
+    * joins, plus a 1-row `meta` freezing (n, numPerms, bands,
+    * buckets) so every ingest/search sketches identically.
+    *
+    * Scale shape: one tokenize→shingle→signature pass (map-only, the
+    * signature loop codegen'd), two clustering writes. At rest the
+    * index is numPerms longs + bands keys per document — a fixed
+    * small multiple of ids, independent of text size.
+    */
+  def buildBandIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String, n: Int = 3, numPerms: Int = 64, bands: Int = 16,
+      buckets: Int = BandIndexBuckets): Unit = {
+    require(buckets > 0 && numPerms % bands == 0)
+    val spark = docs.sparkSession
+    spark.range(1)
+      .select(lit(n).as("n"), lit(numPerms).as("num_perms"),
+        lit(bands).as("bands"), lit(buckets).as("buckets"))
+      .write.mode("overwrite").parquet(s"$path/meta")
+    val (sigs, bandRows) =
+      bandIndexRows(docs, idCol, textCol, n, numPerms, bands, buckets)
+    sigs.repartition(col("db"))
+      .write.mode("overwrite").partitionBy("db").parquet(s"$path/sigs")
+    bandRows.repartition(col("bb"))
+      .write.mode("overwrite").partitionBy("bb").parquet(s"$path/bands")
+  }
+
+  /** Ingest a NEW document batch into a persisted [[buildBandIndex]]
+    * index: sketch ONLY the batch with the STORED parameters and
+    * append into the buckets. Failure ordering: `sigs` is appended
+    * FIRST — the estimate join reads sigs by candidate id, so a crash
+    * between the writes leaves orphan signatures (unsearchable,
+    * harmless); the reverse order would leave band keys whose
+    * estimate join silently DROPS the candidate and admits a genuine
+    * duplicate. Replays only add duplicate rows — candidates are
+    * distinct-ed and the estimate is per (batch, index) pair, so
+    * admission semantics never change; [[compactBandIndex]] reclaims.
+    */
+  def ingestBandBatch(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String, textCol: String): Unit = {
+    val (n, numPerms, bands, buckets) = bandIndexMeta(spark, path)
+    val (sigs, bandRows) =
+      bandIndexRows(batch, idCol, textCol, n, numPerms, bands, buckets)
+    sigs.repartition(col("db"))
+      .write.mode("append").partitionBy("db").parquet(s"$path/sigs")
+    bandRows.repartition(col("bb"))
+      .write.mode("append").partitionBy("bb").parquet(s"$path/bands")
+  }
+
+  /** Compact a persisted band index: distinct rewrite of both
+    * relations (appends accumulate exact-duplicate rows), each
+    * swapped in atomically — the [[compactWinnowIndex]] discipline.
+    */
+  def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    def swapDistinct(rel: String, schema: String, part: String): Unit = {
+      val p = s"$path/$rel"
+      val staging = new org.apache.hadoop.fs.Path(p + "__staging")
+      spark.read.schema(schema).parquet(p).distinct()
+        .repartition(col(part))
+        .write.mode("overwrite").partitionBy(part)
+        .parquet(staging.toString)
+      val dir = new org.apache.hadoop.fs.Path(p)
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      val retired = new org.apache.hadoop.fs.Path(p + "__retired")
+      graft.core.FsOps.deleteOrThrow(fs, retired)
+      graft.core.FsOps.renameOrThrow(fs, dir, retired)
+      graft.core.FsOps.renameOrThrow(fs, staging, dir)
+      graft.core.FsOps.deleteOrThrow(fs, retired)
+    }
+    swapDistinct("sigs", SigsIdxSchema, "db")
+    swapDistinct("bands", BandsIdxSchema, "bb")
+  }
+
+  /** Admission search over a persisted [[buildBandIndex]] index — the
+    * text twin of [[graft.operators.Similarity.searchIvfPqIndex]]:
+    * the batch sketches with the index's frozen parameters, its band
+    * keys probe the `bands` buckets (STATIC IN partition filter —
+    * probed bucket count is bounded by `buckets`), candidate pairs
+    * dedupe, and each candidate is scored by SIGNATURE AGREEMENT (the
+    * classic MinHash estimate: agreeing permutations / numPerms, in
+    * exact ppm) against `sigs` read only from the candidates' id
+    * buckets. Per batch document: candidate count, the best match
+    * (max estimate, ties to the smaller index id via one struct MAX),
+    * and the verdict admitted = best estimate < `thresholdPpm`.
+    * Sketch-less documents surface admitted with zero candidates.
+    *
+    * The estimate is intentionally the SKETCH agreement, not exact
+    * Jaccard — at ingestion time the corpus text is not re-read; only
+    * signatures (numPerms longs) move. The oracle replays signatures,
+    * band keys, candidate meetings, agreement counts, and the struct
+    * tie-break bit-for-bit.
+    */
+  /** The pruned candidate stage of [[searchBandIndex]]: the batch's
+    * pinned band keys probe the stored `bands` relation with a STATIC
+    * IN partition filter on bb (PlanShapeSpec asserts it here — the
+    * search pins this relation, so the final plan only shows its
+    * materialized RDD). Returns distinct (batch_id, idx_id) pairs.
+    */
+  private[graft] def bandProbeCandidates(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      bbands: DataFrame): DataFrame = {
+    val probedBb = bbands.select(col("bb")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    spark.read.schema(BandsIdxSchema).parquet(s"$path/bands")
+      .filter(col("bb").isin(probedBb: _*))
+      .join(broadcast(bbands.select(col("bb"), col("band"), col("bkey"),
+        col("doc_id").as("batch_id"))), Seq("bb", "band", "bkey"))
+      .select(col("batch_id"), col("doc_id").as("idx_id"))
+      .distinct()
+  }
+
+  /** Batch-side pinned band rows for [[bandProbeCandidates]] —
+    * exposed for the plan-shape test. */
+  private[graft] def batchBandRows(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val (n, numPerms, bands, buckets) = bandIndexMeta(spark, path)
+    val (_, bbands0) =
+      bandIndexRows(batch, idCol, textCol, n, numPerms, bands, buckets)
+    barrier(bbands0, col("bkey")).localCheckpoint()
+  }
+
+  def searchBandIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String, textCol: String,
+      thresholdPpm: Long = 500000L): DataFrame = {
+    require(thresholdPpm >= 0L)
+    val (n, numPerms, bands, buckets) = bandIndexMeta(spark, path)
+    require(spark.read.parquet(s"$path/bands")
+        .schema.fieldNames.contains("bb"),
+      s"$path/bands has no bb partition column - the index predates " +
+        "the bucketed layout; rebuild it with buildBandIndex")
+    val (bsigs0, bbands0) =
+      bandIndexRows(batch, idCol, textCol, n, numPerms, bands, buckets)
+    val bsigs = barrier(bsigs0, col("doc_id")).localCheckpoint()
+    val bbands = barrier(bbands0, col("bkey")).localCheckpoint()
+    // pinned: the candidate relation feeds the probed-sig-bucket fold
+    // AND the estimate join (its bands scan runs ONCE, pruned — the
+    // pin is why the final plan shows an ExistingRDD here; the bb
+    // pruning assertion lives on bandProbeCandidates' own plan)
+    val cand = barrier(bandProbeCandidates(spark, path, bbands),
+      col("batch_id")).localCheckpoint()
+    val probedDb = cand
+      .select(pmod(col("idx_id"), lit(buckets.toLong)).as("db"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val idxSigs = spark.read.schema(SigsIdxSchema)
+      .parquet(s"$path/sigs").filter(col("db").isin(probedDb: _*))
+      .select(col("doc_id").as("idx_id"), col("sig").as("isig"))
+      // appended batches may have duplicated a doc's signature row
+      .distinct()
+    val est = cand
+      .join(idxSigs, "idx_id")
+      .join(broadcast(bsigs.select(col("doc_id").as("batch_id"),
+        col("sig").as("bsig"))), "batch_id")
+      .withColumn("m", aggregate(zip_with(col("bsig"), col("isig"),
+        (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), _ + _))
+      .select(col("batch_id"), col("idx_id"),
+        expr(s"(m * 1000000) div $numPerms").as("est_x1e6"))
+    val best = est.groupBy("batch_id").agg(
+      count(lit(1)).as("n_candidates"),
+      max(struct(col("est_x1e6").as("e"), (-col("idx_id")).as("i")))
+        .as("bm"))
+    batch.select(col(idCol).as("batch_id"))
+      .join(best, Seq("batch_id"), "left")
+      .select(col("batch_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        (-col("bm.i")).as("best_id"),
+        col("bm.e").as("best_est_x1e6"),
+        (coalesce(col("bm.e"), lit(0L)) < thresholdPpm).as("admitted"))
+  }
+
   /** Connected components over near-duplicate pair edges: the step
     * that turns pairwise dup detection into dedup GROUPS (keep the
     * min-id canonical per cluster, drop the rest). Iterative min-label

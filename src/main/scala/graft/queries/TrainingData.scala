@@ -1836,6 +1836,26 @@ object TrainingData {
         "user_id", "tsu", "event_id", "event_type")
       .orderBy("type_a", "type_b")
 
+  /** Persisted MinHash band-index lifecycle under the oracle gate
+    * ([[Dedup.buildBandIndex]] → [[Dedup.searchBandIndex]]): build
+    * the bucketed band/signature store over the t126 index split,
+    * then dispose the batch against it — candidates from pruned band
+    * buckets, scores from signature agreement (exact ppm), best match
+    * by one struct MAX. The oracle replays signatures, band keys,
+    * cross-split candidate meetings, agreement counts, and the
+    * tie-break bit-for-bit.
+    */
+  def docBandPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val path = sessionIndexPath(spark, "t143_band", dir) { p =>
+      Dedup.buildBandIndex(docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", p)
+    }
+    Dedup.searchBandIndex(spark, path,
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+      .orderBy("batch_id")
+  }
+
   /** Cross-source near-dup attribution matrix
     * ([[CorpusOps.sourceOverlapPairs]], shared LSH candidates): who
     * copies whom, pair-confirmed — the syndication map next to t115's
@@ -2287,6 +2307,7 @@ object TrainingData {
     "t140_gap_deciles" -> eventsGapDeciles _,
     "t141_source_overlap" -> docSourceOverlap _,
     "t142_attribution" -> eventsAttribution _,
+    "t143_band_persisted" -> docBandPersisted _,
   )
 
   /** Shared DuckDB SELECT replaying [[CorpusOps.hashedLinearScore]]
@@ -4506,6 +4527,37 @@ object TrainingData {
           |  tsu - f.t AS gap_us
           |FROM a WHERE event_type = 'purchase'
           |ORDER BY conversion_id""".stripMargin,
+      // t143: signatures, band keys, cross-split candidate meetings,
+      // agreement counts, one struct-MAX tie-break — all replayed
+      "t143_band_persisted" ->
+        s"""WITH ${minhashCtes(64, 16, 0.5)}, xc AS (
+           |  SELECT CASE WHEN id_a % 10 <> 0 THEN id_a ELSE id_b END
+           |      AS batch_id,
+           |    CASE WHEN id_a % 10 = 0 THEN id_a ELSE id_b END
+           |      AS idx_id
+           |  FROM cand WHERE (id_a % 10 = 0) <> (id_b % 10 = 0)
+           |), agr AS (
+           |  SELECT x.batch_id, x.idx_id,
+           |    CAST(SUM(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS m
+           |  FROM xc x JOIN sig sa ON sa.doc_id = x.batch_id
+           |  JOIN sig sb ON sb.doc_id = x.idx_id AND sb.j = sa.j
+           |  GROUP BY 1, 2
+           |), est AS (
+           |  SELECT batch_id, idx_id, (m * 1000000) // 64 AS e FROM agr
+           |), b AS (
+           |  SELECT batch_id, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           |    MAX({'e': e, 'i': -idx_id}) AS bm
+           |  FROM est GROUP BY 1
+           |)
+           |SELECT d.doc_id AS batch_id,
+           |  COALESCE(n_candidates, 0) AS n_candidates,
+           |  CAST(-bm.i AS BIGINT) AS best_id,
+           |  CAST(bm.e AS BIGINT) AS best_est_x1e6,
+           |  COALESCE(bm.e, 0) < 500000 AS admitted
+           |FROM documents d LEFT JOIN b ON d.doc_id = b.batch_id
+           |WHERE d.doc_id % 10 <> 0
+           |ORDER BY batch_id""".stripMargin,
       // t92: timestamps stay exact integer µs, values scale to integer
       // cents by one pure-double FLOOR, offsets are exact integer
       // running sums of fragment lengths — rendered string and mask

@@ -317,6 +317,29 @@ object EventStreams {
     q.stop()
   }
 
+  /** Streaming MinHash band-index maintenance: per micro-batch,
+    * sketch the arriving documents with the persisted index's FROZEN
+    * (n, numPerms, bands) and append signatures + band keys into
+    * their buckets ([[graft.operators.Dedup.ingestBandBatch]]; sigs
+    * first — the append ordering that can never silently admit a
+    * duplicate). Deterministic sketching ⇒ the final state is
+    * independent of the micro-batch cut (StreamingSpec pins streamed
+    * state equal to the one-shot build); replays only leave duplicate
+    * rows for [[graft.operators.Dedup.compactBandIndex]].
+    */
+  def bandIngestStream(docs: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    val q = docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Dedup.ingestBandBatch(
+          batch.sparkSession, path, batch.toDF(), idCol, textCol)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Streaming inverted-index maintenance: per micro-batch, ingest
     * the arriving documents into the persisted term-bucketed index
     * via [[graft.operators.CorpusOps.appendToInvertedIndex]] — batch

@@ -832,6 +832,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(1200))
   }
 
+  test("persisted band-index search prunes BOTH stored scans to the " +
+      "probe's buckets") {
+    val docs = Tables.documents(spark, dir)
+    val path = java.nio.file.Files.createTempDirectory("graft_band_plan")
+      .resolve("index").toString
+    operators.Dedup.buildBandIndex(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0),
+      "doc_id", "text", path)
+    val batch =
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 0)
+    // band keys prune the bands scan (asserted on the candidate
+    // stage's own plan — the search pins that relation, so the final
+    // plan only shows its materialized RDD)...
+    val candPlan = operators.Dedup.bandProbeCandidates(spark, path,
+        operators.Dedup.batchBandRows(spark, path, batch, "doc_id", "text"))
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bb".r.findFirstIn(candPlan).isDefined,
+      s"bands scan lost its bb bucket partition filter:\n${candPlan.take(2000)}")
+    // ...and candidate ids prune the sigs scan in the search plan —
+    // at 100 TB the search reads probe-sized slices of both stored
+    // relations, never the whole index
+    val df = operators.Dedup.searchBandIndex(spark, path, batch,
+      "doc_id", "text")
+    val plan = df.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*db".r.findFirstIn(plan).isDefined,
+      s"sigs scan lost its db bucket partition filter:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+  }
+
   test("persisted inverted-index search prunes the postings SCAN to the " +
       "query terms' buckets") {
     val docs = Tables.documents(spark, dir)

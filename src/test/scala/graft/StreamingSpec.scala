@@ -578,6 +578,47 @@ class StreamingSpec extends AnyFunSuite {
       "an already-indexed document must be gated by the live index")
   }
 
+  test("streaming band-index ingestion: micro-batch cuts leave the same " +
+      "index state as the one-shot build") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val d = java.nio.file.Files.createTempDirectory("graft_bandidx")
+    val streamed = d.resolve("index_s").toString
+    val full = d.resolve("index_f").toString
+    Dedup.buildBandIndex(docs.filter(col("doc_id") % 3 === 0),
+      "doc_id", "text", streamed)
+    val arrivals = docs.filter(col("doc_id") % 3 =!= 0)
+    arrivals.repartition(3).write.parquet(d.resolve("in").toString)
+    EventStreams.bandIngestStream(
+      spark.readStream.schema(arrivals.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d.resolve("in").toString),
+      "doc_id", "text", streamed)
+    Dedup.buildBandIndex(docs, "doc_id", "text", full)
+    // deterministic sketching: streamed state == one-shot build of
+    // everything, however the arrivals were micro-batched
+    for (rel <- Seq("sigs", "bands")) {
+      val a = spark.read.parquet(s"$streamed/$rel").distinct()
+      val b = spark.read.parquet(s"$full/$rel").distinct()
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"stream-ingested $rel diverges from the one-shot build")
+    }
+    // compaction dedupes rows without changing either relation's set
+    Dedup.compactBandIndex(spark, streamed)
+    val sigRows = spark.read.parquet(s"$streamed/sigs")
+    assert(sigRows.count() == sigRows.distinct().count(),
+      "compaction left duplicate signature rows")
+    // an already-indexed document is gated by the live index
+    import spark.implicits._
+    val probe = Seq((9001L, docs.orderBy(col("doc_id")).select("text")
+      .head().getString(0))).toDF("doc_id", "text")
+    val v = Dedup.searchBandIndex(spark, streamed, probe, "doc_id", "text")
+      .collect().head
+    assert(!v.getBoolean(4) && v.getLong(3) == 1000000L,
+      s"identical indexed doc must score 1e6 and be gated, got $v")
+  }
+
   test("streaming IVF-PQ ingestion: micro-batch cuts leave the same " +
       "index state as one batch append") {
     import org.apache.spark.sql.functions.col
