@@ -2399,7 +2399,13 @@ object CorpusOps {
     val base = Dedup.barrier(
       docs.select(col(idCol).as("doc_id"),
           TextFunctions.nTokens(col(textCol)).as("n_tokens"))
-        .withColumn("bucket", expr(s"doc_id div $span"))
+        // negative ids would make div (truncating) and the oracle's
+        // floor division silently disagree on the bucket — enforce
+        // the documented non-negative contract loudly instead
+        .withColumn("bucket", when(col("doc_id") < 0L,
+          raise_error(lit("tokenBudgetShards: doc ids must be" +
+            " non-negative")).cast("long"))
+          .otherwise(expr(s"doc_id div $span")))
         .filter(col("bucket").isNotNull),
       col("bucket"))
     val wIn = Window.partitionBy("bucket").orderBy("doc_id")

@@ -381,8 +381,13 @@ object TimeJoins {
   def burstDetect(events: DataFrame, userCol: String, tsUsCol: String,
       bucketUs: Long = 3600L * 1000000L, minPerBucket: Long = 2L): DataFrame = {
     require(bucketUs > 0 && minPerBucket >= 1)
+    // same negative-timestamp loud-guard as retentionCohorts: div
+    // truncation vs the oracle's floor silently shifts buckets < 0
     val hot = events.select(col(userCol).as("user_id"),
-        expr(s"$tsUsCol div $bucketUs").as("b"))
+        when(col(tsUsCol) < 0L,
+          raise_error(lit("burstDetect: negative timestamps are" +
+            " outside the integer-exact envelope")).cast("long"))
+          .otherwise(expr(s"$tsUsCol div $bucketUs")).as("b"))
       .groupBy("user_id", "b").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minPerBucket)
     burstsFromHotBuckets(hot)
@@ -465,8 +470,14 @@ object TimeJoins {
   def retentionCohorts(events: DataFrame, userCol: String,
       tsUsCol: String): DataFrame = {
     val weekUs = 604800L * 1000000L
+    // div truncates toward zero where the oracle's // floors — below
+    // zero the two SILENTLY diverge (wrong cohort, no error), so the
+    // domain is enforced loudly, folded into the consumed column
     val uw = events.select(col(userCol).as("user_id"),
-        expr(s"$tsUsCol div $weekUs").as("week"))
+        when(col(tsUsCol) < 0L,
+          raise_error(lit("retentionCohorts: negative timestamps are" +
+            " outside the integer-exact envelope")).cast("long"))
+          .otherwise(expr(s"$tsUsCol div $weekUs")).as("week"))
       .distinct()
     val w = Window.partitionBy("user_id")
     val cells = Dedup.barrier(
