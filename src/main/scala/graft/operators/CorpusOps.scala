@@ -2280,6 +2280,41 @@ object CorpusOps {
         "expected_x1e6", "actual_x1e6", "dev_x1e6")
   }
 
+  /** Per-source n-gram NOVELTY of a new snapshot against a reference
+    * corpus — the "is this crawl bringing anything new" audit that
+    * complements [[snapshotDiff]] (doc-level churn) and
+    * [[sourceDivergence]] (distribution distance) with content-level
+    * freshness: for each source in the new snapshot, its distinct
+    * n-gram vocabulary, how many of those grams the reference has
+    * NEVER seen, and the novelty in exact ppm. A mixture designer
+    * cuts re-crawls whose novelty reads near zero before any dedup
+    * pass spends compute on them.
+    *
+    * Scale shape: each side tokenizes once; membership moves as
+    * fnv64 longs keyed on the gram hash (the t04/t83
+    * collision-freedom discipline — the oracle joins gram TEXT, so a
+    * collision would fail the gate); one left join + one source
+    * collapse. Output is |sources| rows.
+    */
+  def gramNovelty(reference: DataFrame, newDocs: DataFrame,
+      textCol: String, sourceCol: String, n: Int = 3): DataFrame = {
+    require(n > 0)
+    GraftFunctions.register(newDocs.sparkSession)
+    val ov = reference
+      .select(explode(Dedup.shingles(col(textCol), n)).as("g"))
+      .select(call_function("fnv64", col("g")).as("h")).distinct()
+      .withColumn("__old", lit(1))
+    val nv = newDocs.select(col(sourceCol).as("source"),
+        explode(Dedup.shingles(col(textCol), n)).as("g"))
+      .select(col("source"), call_function("fnv64", col("g")).as("h"))
+      .distinct()
+    nv.join(ov, Seq("h"), "left")
+      .groupBy("source").agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__old").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("source"), col("n_grams"), col("n_novel"),
+        expr("(n_novel * 1000000) div n_grams").as("novelty_ppm"))
+  }
+
   /** Naive-split near-dup leakage audit — the measurement that
     * MOTIVATES [[leakageSafeSplits]]: assign the cluster-blind
     * per-document hash split ([[assignSplits]] — the split a pipeline

@@ -479,6 +479,17 @@ object TimeJoins {
             " outside the integer-exact envelope")).cast("long"))
           .otherwise(expr(s"$tsUsCol div $weekUs")).as("week"))
       .distinct()
+    retentionFromUserWeeks(uw)
+  }
+
+  /** The cohort-triangle roll-up over an ALREADY-DISTINCT
+    * (user_id, week) relation — the shared back half of
+    * [[retentionCohorts]] and the streaming face
+    * ([[graft.streaming.EventStreams.userWeekStream]] maintains the
+    * distinct user-weeks online; the batch-equivalence proof pins one
+    * arithmetic).
+    */
+  def retentionFromUserWeeks(uw: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id")
     val cells = Dedup.barrier(
       uw.withColumn("cohort_week", min("week").over(w))

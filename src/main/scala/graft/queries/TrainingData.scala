@@ -1836,6 +1836,17 @@ object TrainingData {
         "user_id", "tsu", "event_id", "event_type")
       .orderBy("type_a", "type_b")
 
+  /** Per-source n-gram novelty ([[CorpusOps.gramNovelty]], word
+    * trigrams): the reference is every third doc, the "new snapshot"
+    * the rest — which sources bring unseen content, in exact ppm.
+    */
+  def docGramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    CorpusOps.gramNovelty(docs.filter(col("doc_id") % 3 === 0),
+        docs.filter(col("doc_id") % 3 =!= 0), "text", "source")
+      .orderBy("source")
+  }
+
   /** Persisted MinHash band-index lifecycle under the oracle gate
     * ([[Dedup.buildBandIndex]] → [[Dedup.searchBandIndex]]): build
     * the bucketed band/signature store over the t126 index split,
@@ -2308,6 +2319,7 @@ object TrainingData {
     "t141_source_overlap" -> docSourceOverlap _,
     "t142_attribution" -> eventsAttribution _,
     "t143_band_persisted" -> docBandPersisted _,
+    "t144_gram_novelty" -> docGramNovelty _,
   )
 
   /** Shared DuckDB SELECT replaying [[CorpusOps.hashedLinearScore]]
@@ -4558,6 +4570,40 @@ object TrainingData {
            |FROM documents d LEFT JOIN b ON d.doc_id = b.batch_id
            |WHERE d.doc_id % 10 <> 0
            |ORDER BY batch_id""".stripMargin,
+      // t144: the oracle joins gram TEXT where the engine joins fnv64
+      // fingerprints (t04/t83 collision-freedom discipline); short
+      // docs contribute their whole text as one gram, both engines
+      "t144_gram_novelty" ->
+        """WITH toks AS (
+          |  SELECT doc_id, source,
+          |    string_split_regex(trim(text), '\s+') AS ts
+          |  FROM documents
+          |), og AS (
+          |  SELECT DISTINCT unnest(
+          |    CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+          |    ELSE list_transform(range(1, len(ts) - 1), i ->
+          |      array_to_string(ts[CAST(i AS INT):CAST(i + 2 AS INT)],
+          |        ' '))
+          |    END) AS g
+          |  FROM toks WHERE doc_id % 3 = 0
+          |), ng AS (
+          |  SELECT DISTINCT source, unnest(
+          |    CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+          |    ELSE list_transform(range(1, len(ts) - 1), i ->
+          |      array_to_string(ts[CAST(i AS INT):CAST(i + 2 AS INT)],
+          |        ' '))
+          |    END) AS g
+          |  FROM toks WHERE doc_id % 3 <> 0
+          |), j AS (
+          |  SELECT ng.source, CAST(COUNT(*) AS BIGINT) AS n_grams,
+          |    CAST(SUM(CASE WHEN og.g IS NULL THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS n_novel
+          |  FROM ng LEFT JOIN og ON ng.g = og.g
+          |  GROUP BY 1
+          |)
+          |SELECT source, n_grams, n_novel,
+          |  (n_novel * 1000000) // n_grams AS novelty_ppm
+          |FROM j ORDER BY source""".stripMargin,
       // t92: timestamps stay exact integer µs, values scale to integer
       // cents by one pure-double FLOOR, offsets are exact integer
       // running sums of fragment lengths — rendered string and mask

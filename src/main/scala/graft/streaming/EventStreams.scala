@@ -135,6 +135,27 @@ object EventStreams {
         col("cnt"))
   }
 
+  /** Streaming user-week activity — the online face of t135's
+    * (user, week) distinct stage: epoch-aligned 7-day tumbling
+    * windows per user (Spark windows align at the epoch, exactly the
+    * batch `tsu div 604800e6` bucket), one count per open (user,
+    * week) of keyed state, watermark-evicted; the cohort triangle
+    * ([[graft.operators.TimeJoins.retentionFromUserWeeks]]) rolls the
+    * emitted relation up through the SAME arithmetic as the batch
+    * operator (StreamingSpec pins the equality).
+    */
+  def userWeekStream(events: DataFrame,
+      watermark: String = "2 hours"): DataFrame = {
+    val weekUs = 604800L * 1000000L
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), s"$weekUs microseconds"), col("user_id"))
+      .agg(count(lit(1)).as("__cnt"))
+      .select(col("user_id"),
+        (unix_micros(col("window.start")) / weekUs)
+          .cast("long").as("week"))
+  }
+
   /** Streaming deduplication: drop repeated (user_id, event_type, ts)
     * events, with state bounded by the watermark
     * (dropDuplicatesWithinWatermark — the streaming face of the batch

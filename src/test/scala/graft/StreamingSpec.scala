@@ -74,6 +74,20 @@ class StreamingSpec extends AnyFunSuite {
       "online hot-bucket alarm must equal the batch burst operator")
   }
 
+  test("streaming user-weeks roll up to the batch retention triangle") {
+    val stream = EventStreams.readEventStream(spark, dir)
+    val uw = EventStreams.runToMemory(
+      EventStreams.userWeekStream(stream), "user_weeks_out", "complete")
+    val got = operators.TimeJoins.retentionFromUserWeeks(uw)
+    val want = operators.TimeJoins.retentionCohorts(
+      Tables.eventsNanos(spark, "/root/testdata/sf0.001")
+        .select(col("user_id"), expr("ts div 1000").as("tsu")),
+      "user_id", "tsu")
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "online user-week state must equal the batch cohort triangle")
+  }
+
   test("streaming session type sets roll up to the batch session lift") {
     val stream = EventStreams.readEventStream(spark, dir)
     val sets = EventStreams.runToMemory(
