@@ -837,6 +837,20 @@ object CorpusOps {
     */
   def kmvGroupOverlap(docs: DataFrame, textCol: String, groupCol: String,
       n: Int, k: Int): DataFrame = {
+    // |groups|·k rows; pinned — consumed by both pair sides and the
+    // per-group stats
+    val sk = kmvGroupSketch(docs, textCol, groupCol, n, k).localCheckpoint()
+    kmvOverlapFromSketches(sk, k)
+  }
+
+  /** Per-group bottom-k KMV sketch rows (grp, h) — the shared front
+    * of [[kmvGroupOverlap]] and the persisted sketch store
+    * ([[buildKmvStore]]): one corpus scan, a (group, gram-hash)
+    * distinct, and the per-group bottom-k rank — compact longs keyed
+    * by group the whole way.
+    */
+  private[graft] def kmvGroupSketch(docs: DataFrame, textCol: String,
+      groupCol: String, n: Int, k: Int): DataFrame = {
     require(n > 0 && k > 1)
     GraftFunctions.register(docs.sparkSession)
     val ts = TextFunctions.tokens(col(textCol))
@@ -847,12 +861,19 @@ object CorpusOps {
           % 4294967296L).as("h"))
       .distinct()
     val wg = Window.partitionBy("grp").orderBy("h")
-    // |groups|·k rows; pinned — consumed by both pair sides and the
-    // per-group stats
-    val sk = gh.withColumn("rn", row_number().over(wg))
+    gh.withColumn("rn", row_number().over(wg))
       .filter(col("rn") <= k)
       .select(col("grp"), col("h"))
-      .localCheckpoint()
+  }
+
+  /** The pairwise-estimator back half of [[kmvGroupOverlap]] over an
+    * ALREADY bottom-k (grp, h) sketch relation — shared by the
+    * in-query operator and the persisted store's
+    * [[kmvOverlapFromStore]], so one arithmetic carries both and the
+    * t115/t148 oracles gate the same estimators.
+    */
+  def kmvOverlapFromSketches(sk: DataFrame, k: Int): DataFrame = {
+    require(k > 1)
     val names = sk.select(col("grp")).distinct()
     val stats = sk.groupBy("grp").agg(
       count(lit(1)).as("n_g"), max("h").as("uk_g"))
@@ -891,6 +912,102 @@ object CorpusOps {
         expr(s"CASE WHEN n_u < $k THEN rho " +
           s"ELSE (rho * ${kmvEst("n_u", "uk_u")}) div $k END")
           .cast("long").as("est_intersect"))
+  }
+
+  private val KmvStoreSchema = "h BIGINT, grp STRING"
+
+  /** Persisted per-group KMV sketch store — the vocabulary-overlap
+    * audit ([[kmvGroupOverlap]], t115) as a MAINTAINED artifact
+    * instead of a per-run corpus scan: |groups|·k longs on disk,
+    * partitioned by group, with (n, k) frozen in meta. The point at
+    * 100 TB: overlap questions arrive far more often than corpora
+    * change, and the store answers them from index-sized state —
+    * ingestion appends only the BATCH's sketch (cost tracks the
+    * batch), correctness rides KMV's exact merge law
+    * bottomK(A ∪ B) = bottomK(bottomK(A) ∪ bottomK(B)), so
+    * build-then-ingest equals the one-shot build over the union
+    * BIT-FOR-BIT after re-selection (the t148 oracle replays the
+    * one-shot SQL against the split-built store). Appends only add
+    * rows — [[kmvOverlapFromStore]] re-selects bottom-k per group at
+    * read time, so replayed batches are admission-idempotent and
+    * [[compactKmvStore]] merely reclaims (the [[graft.operators.Dedup.compactBandIndex]]
+    * discipline: distinct + re-rank, atomic swap).
+    */
+  def buildKmvStore(docs: DataFrame, textCol: String, groupCol: String,
+      path: String, n: Int, k: Int): Unit = {
+    val spark = docs.sparkSession
+    spark.range(1).select(lit(n).as("n"), lit(k).as("k"))
+      .write.mode("overwrite").parquet(s"$path/meta")
+    kmvGroupSketch(docs, textCol, groupCol, n, k)
+      .repartition(col("grp"))
+      .write.mode("overwrite").partitionBy("grp")
+      .parquet(s"$path/sketches")
+  }
+
+  private def kmvStoreMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Int, Int) = {
+    val m = spark.read.parquet(s"$path/meta").select("n", "k")
+      .collect()(0)
+    (m.getInt(0), m.getInt(1))
+  }
+
+  /** Append a NEW batch's per-group sketches into a persisted
+    * [[buildKmvStore]] store, with the STORED (n, k). See the store
+    * scaladoc for the merge law that makes this exact.
+    */
+  def ingestKmvBatch(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, textCol: String,
+      groupCol: String): Unit = {
+    val (n, k) = kmvStoreMeta(spark, path)
+    kmvGroupSketch(batch, textCol, groupCol, n, k)
+      .repartition(col("grp"))
+      .write.mode("append").partitionBy("grp")
+      .parquet(s"$path/sketches")
+  }
+
+  /** Compact a persisted KMV store: distinct + per-group bottom-k
+    * re-rank (appends accumulate rows past k), swapped in atomically.
+    */
+  def compactKmvStore(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val (_, k) = kmvStoreMeta(spark, path)
+    val p = s"$path/sketches"
+    val wg = Window.partitionBy("grp").orderBy("h")
+    val staging = new org.apache.hadoop.fs.Path(p + "__staging")
+    spark.read.schema(KmvStoreSchema).parquet(p).distinct()
+      .withColumn("rn", row_number().over(wg))
+      .filter(col("rn") <= k)
+      .select(col("grp"), col("h"))
+      .repartition(col("grp"))
+      .write.mode("overwrite").partitionBy("grp")
+      .parquet(staging.toString)
+    val dir = new org.apache.hadoop.fs.Path(p)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val retired = new org.apache.hadoop.fs.Path(p + "__retired")
+    graft.core.FsOps.deleteOrThrow(fs, retired)
+    graft.core.FsOps.renameOrThrow(fs, dir, retired)
+    graft.core.FsOps.renameOrThrow(fs, staging, dir)
+    graft.core.FsOps.deleteOrThrow(fs, retired)
+  }
+
+  /** The overlap matrix answered FROM the store: re-select bottom-k
+    * per group (KMV's exact merge over whatever appends accumulated),
+    * pin the |groups|·k relation, and run the shared
+    * [[kmvOverlapFromSketches]] estimators — no corpus anywhere in
+    * the plan.
+    */
+  def kmvOverlapFromStore(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val (_, k) = kmvStoreMeta(spark, path)
+    val wg = Window.partitionBy("grp").orderBy("h")
+    val sk = spark.read.schema(KmvStoreSchema)
+      .parquet(s"$path/sketches")
+      .distinct()
+      .withColumn("rn", row_number().over(wg))
+      .filter(col("rn") <= k)
+      .select(col("grp"), col("h"))
+      .localCheckpoint()
+    kmvOverlapFromSketches(sk, k)
   }
 
   // ---------------------------------------------------------------
@@ -2140,6 +2257,65 @@ object CorpusOps {
     counts.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("grp").as("source"), col("rank"), col("token"), col("cnt"))
+  }
+
+  /** Distinctive terms per group (corpus-linguistics "keyness", the
+    * log-free twin of TF-IDF's selection pressure): the top-k tokens
+    * of each source RANKED BY LIFT AGAINST THE REST OF THE CORPUS —
+    * share-in-group over share-in-everything-else — not by raw count
+    * (raw counts surface the same stopword head everywhere; see
+    * [[topTokensPerGroup]] for that read). The rest-of-corpus
+    * denominator EXCLUDES the group's own mass, so a source that IS
+    * most of the corpus still gets a meaningful contrast. This is
+    * the "what is this source actually about" read a mixture
+    * designer takes next to [[sourceDivergence]]'s one-number
+    * distance — the terms that CAUSE the divergence.
+    *
+    * Integer-exact: lift_x1e6 = (n_gw·(n_tok−n_g)·1e6) div
+    * (n_g·(n_w−n_gw+1)) — one DECIMAL(38,0) floor; the +1 on the
+    * rest-count is add-one smoothing on the CONTRAST side only, so a
+    * group-exclusive token (n_w = n_gw) ranks finite-and-first
+    * instead of dividing by zero; the oracle replays the same +1.
+    * Inside n_tok < 1e15 the numerator stays ≤ 1e36 — the same
+    * envelope guard as [[collocationLift]], folded into the consumed
+    * column so pruning can't skip it.
+    *
+    * Scale shape: ONE tokenize pass → the (group, token) count
+    * relation (map-side combinable, vocab-keyed — never doc-keyed),
+    * pinned for its three consumers (group totals, corpus word
+    * totals, the scored join); totals ride back as broadcasts; the
+    * minCount heavy-hitter cut bounds the ranked relation and the
+    * per-group top-k realizes as a WindowGroupLimit (partitions
+    * pre-prune before the rank shuffle).
+    */
+  def keynessTerms(docs: DataFrame, textCol: String, groupCol: String,
+      minCount: Long = 5L, k: Int = 5): DataFrame = {
+    require(minCount >= 1 && k > 0)
+    val gw = Dedup.barrier(
+      docs.select(col(groupCol).as("source"),
+          explode(TextFunctions.tokens(col(textCol))).as("token"))
+        .groupBy("source", "token").agg(count(lit(1)).as("n_gw")),
+      col("source"), col("token")).localCheckpoint()
+    val grpTot = gw.groupBy("source").agg(sum("n_gw").as("n_g"))
+    val wordTot = gw.groupBy("token").agg(sum("n_gw").as("n_w"))
+    val tot = grpTot.agg(sum("n_g").as("n_tok"))
+    val scored = gw.filter(col("n_gw") >= minCount)
+      .join(broadcast(grpTot), "source")
+      .join(wordTot, "token")
+      .crossJoin(broadcast(tot))
+      .withColumn("n_tok", expr(
+        "CASE WHEN n_tok >= 1000000000000000" +
+          " THEN CAST(raise_error('keynessTerms: corpus outside the" +
+          " integer-exact envelope (n_tok >= 1e15)') AS BIGINT)" +
+          " ELSE n_tok END"))
+      .withColumn("lift_x1e6", expr(
+        "CAST((CAST(n_gw AS DECIMAL(38,0)) * (n_tok - n_g) * 1000000)" +
+          " div (CAST(n_g AS DECIMAL(38,0)) * (n_w - n_gw + 1)) AS LONG)"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("lift_x1e6").desc, col("token"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("source", "rank", "token", "n_gw", "n_w", "lift_x1e6")
   }
 
   /** Zipf head-mass curve — how much of the token stream the top-k

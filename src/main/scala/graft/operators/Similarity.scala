@@ -1448,4 +1448,99 @@ object Similarity {
       .select(col("a_id"), col("b_id"), col("cos_i").as("cos_x1e6"),
         col("margin"))
   }
+
+  /** Embedding class-scatter audit — the "do my labels separate in
+    * embedding space" read a training-data owner takes BEFORE
+    * trusting an embedding column for semantic dedup ([[semanticDedup]]),
+    * clustering (t99) or classifier features: for every label pair
+    * (a ≤ b), the MEAN SQUARED DISTANCE between unit-normalized
+    * vectors — diagonal cells are within-class scatter, off-diagonal
+    * between-class scatter (the Fisher-discriminant decomposition's
+    * two masses). A matrix whose diagonal reads close to its
+    * off-diagonal says the embedding does not see the labels.
+    *
+    * Squared distance, not cosine, is deliberate: all pair masses are
+    * then sums of squares — non-negative — so the engine's truncating
+    * integer `div` and the oracle's floor `//` agree (mean cosine can
+    * be negative, where the two divisions diverge; ||u−w||² = 2−2u·w
+    * carries the identical information monotonically).
+    *
+    * Exactness: each vector is unit-normalized in doubles (the
+    * [[dot]] sequential-fold order both engines share), scaled to
+    * integer q_d = floor(u_d·1e6) per dimension, and EVERYTHING after
+    * that is exact integer arithmetic on sums — order-independent, so
+    * partition order can't move a bit. Identities (unordered pairs):
+    * within(g)  = n·Σ‖q‖² − ‖S‖²               over n(n−1)/2 pairs,
+    * between(g,h) = n_h·Σ_g‖q‖² + n_g·Σ_h‖q‖² − 2·S_g·S_h over n_g·n_h,
+    * with S the per-label per-dimension sum vector. Products run in
+    * DECIMAL(38,0); with n < 1e12 rows per label every term stays
+    * inside 38 digits (64 dims · (n·1e6)² ≤ 6.4e13·n²) — a corpus
+    * past that raises loudly (guard folded into the consumed column)
+    * instead of silently nulling under non-ANSI mode.
+    *
+    * Scale shape: ONE explode aggregation keyed on (label, dim) —
+    * map-side combinable, ≤ 64·|labels| output rows — carries the sum
+    * vector, the squared mass and n all at once; the corpus is
+    * touched once and nothing row-sized survives it. The pair stage
+    * is a dim-keyed self-join of the 64·|labels|-row relation
+    * (labels are O(100) at any corpus size — index-sized work).
+    * Zero-norm vectors are excluded on both engines (they have no
+    * direction to scatter).
+    */
+  def classScatter(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val e = transform(col(vecCol), x => x.cast("double"))
+    val rows = emb
+      .select(col(labelCol).cast("long").as("label"), e.as("e"),
+        norm(e).as("nrm"))
+      .filter(col("nrm") > 0d)
+      .select(col("label"),
+        posexplode(expr(
+          "transform(e, x -> CAST(floor(x / nrm * 1000000) AS BIGINT))"))
+          .as(Seq("dim", "q")))
+    val dims = Dedup.barrier(
+      rows.groupBy("label", "dim").agg(
+        sum(col("q").cast("decimal(38,0)")).as("s"),
+        sum(expr("CAST(q AS DECIMAL(38,0)) * q")).as("ssq_d"),
+        count(lit(1)).as("n_d")),
+      col("label"), col("dim")).localCheckpoint()
+    val lab = dims.groupBy("label").agg(
+      sum("ssq_d").as("ssq"), max("n_d").as("n"))
+    val pairDot = dims.as("a")
+      .join(dims.as("b"), col("a.dim") === col("b.dim") &&
+        col("a.label") <= col("b.label"))
+      .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
+      .agg(sum(expr("CAST(a.s AS DECIMAL(38,0)) * b.s")).as("sdot"))
+    pairDot
+      .join(broadcast(lab.select(col("label").as("label_a"),
+        col("ssq").as("ssq_a"), col("n").as("n_a"))), "label_a")
+      .join(broadcast(lab.select(col("label").as("label_b"),
+        col("ssq").as("ssq_b"), col("n").as("n_b"))), "label_b")
+      // overflow guard folded into the consumed column: n < 5e11 keeps
+      // every DECIMAL(38,0) term below 38 digits (2·mass ≤ 1.3e14·n²,
+      // see scaladoc)
+      .withColumn("n_a", expr(
+        "CASE WHEN n_a >= 500000000000 OR n_b >= 500000000000" +
+          " THEN CAST(raise_error('classScatter: label population" +
+          " outside the integer-exact envelope (n >= 5e11)')" +
+          " AS BIGINT) ELSE n_a END"))
+      // doubled pair count — one uniform mean = 2·mass div (np2·1e6)
+      // for both cells (within: np2 = n(n−1); between: np2 = 2·n_a·n_b)
+      .withColumn("np2", expr(
+        "CASE WHEN label_a = label_b" +
+          " THEN CAST(n_a AS DECIMAL(38,0)) * (n_a - 1)" +
+          " ELSE CAST(n_a AS DECIMAL(38,0)) * n_b * 2 END"))
+      .filter(col("np2") > 0)
+      .withColumn("mass", expr(
+        "CASE WHEN label_a = label_b" +
+          " THEN CAST(n_a AS DECIMAL(38,0)) * ssq_a - sdot" +
+          " ELSE CAST(n_b AS DECIMAL(38,0)) * ssq_a" +
+          "    + CAST(n_a AS DECIMAL(38,0)) * ssq_b" +
+          "    - 2 * sdot END"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        (col("label_a") === col("label_b")).as("within"),
+        expr("CAST((2 * mass) div (np2 * 1000000) AS LONG)")
+          .as("mean_sqdist_x1e6"))
+  }
 }

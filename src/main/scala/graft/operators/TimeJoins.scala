@@ -292,6 +292,18 @@ object TimeJoins {
         col(typeCol).as("to_type"))
       .withColumn("from_type", lag(col("to_type"), 1).over(w))
       .filter(col("from_type").isNotNull)
+    transitionsFromPairs(pairs)
+  }
+
+  /** The transition-matrix roll-up over an ALREADY-EXTRACTED
+    * (from_type, to_type) pair relation — the shared back half of
+    * [[eventTransitions]] and its streaming face (the per-user
+    * successor pairs [[graft.streaming.EventStreams.nextEventPairStream]]
+    * emits ARE the lag pairs, so the online matrix reuses one
+    * arithmetic and the batch-equivalence proof pins both). Cells are
+    * |types|² — broadcast-sized anywhere.
+    */
+  def transitionsFromPairs(pairs: DataFrame): DataFrame = {
     val cells = pairs.groupBy("from_type", "to_type")
       .agg(count(lit(1)).as("cnt"))
     val rows = cells.groupBy("from_type").agg(sum("cnt").as("__row"))
@@ -677,4 +689,89 @@ object TimeJoins {
           .as("prior_value_cents"),
         (col("tsu") - lag(col("tsu"), 1).over(w)).as("gap_us"))
   }
+
+  /** RFM user segmentation — the classic recency / frequency /
+    * monetary quartile grid, the first cut every behavioral dataset
+    * gets before per-segment sampling or label stratification: each
+    * user's days-since-last-event (vs the corpus high-water mark),
+    * event count, and summed integer cents, each assigned an exact
+    * quartile bin from the FULL population. Bins ascend with the raw
+    * value (r_bin 1 = most recent quartile, f_bin/m_bin 4 = the
+    * heaviest quartile); the composite segment string R#F#M# is the
+    * conventional read.
+    *
+    * Quartiles ride the compressed-histogram discipline
+    * ([[gapDeciles]] / quantileNormalize): threshold_q = min{v :
+    * cum(v) ≥ ceil(q·n/4)} over the (metric, value) HISTOGRAM — the
+    * cumulative window orders distinct values, never users — and
+    * bin(v) = 1 + |{q : threshold_q < v}|, so ties share a bin and
+    * both engines replay the assignment exactly. Monetary is exact
+    * integer cents (one pure-double FLOOR(v·100+0.5) per event — the
+    * t92 contract); recency is an integer day floor of non-negative
+    * µs, so truncating div and floor agree everywhere.
+    *
+    * Scale shape: ONE user-keyed aggregation builds the per-user
+    * triple (pinned — consumed by the histogram build and the final
+    * assignment); the corpus high-water mark is a broadcast 1-row
+    * crossJoin; the nine thresholds collapse to ONE broadcast row of
+    * conditional aggregates, so bin assignment is map-only over the
+    * user relation — no second user shuffle, no global user sort.
+    */
+  def rfmSegments(events: DataFrame, userCol: String, tsUsCol: String,
+      valueCol: String): DataFrame = {
+    val users = events
+      .select(col(userCol).as("user_id"), col(tsUsCol).as("tsu"),
+        floor(col(valueCol) * 100 + lit(0.5)).cast("long").as("cents"))
+      .groupBy("user_id").agg(max("tsu").as("last_tsu"),
+        count(lit(1)).as("frequency"), sum("cents").as("monetary_cents"))
+      .localCheckpoint()
+    val hwm = users.agg(max("last_tsu").as("max_tsu"))
+    val base = users.crossJoin(broadcast(hwm))
+      .withColumn("recency_days",
+        expr(s"(max_tsu - last_tsu) div ${86400L * 1000000L}"))
+      .drop("max_tsu", "last_tsu")
+    val long = base.select(col("user_id"),
+        explode(map(lit("r"), col("recency_days"),
+          lit("f"), col("frequency"),
+          lit("m"), col("monetary_cents"))).as(Seq("metric", "v")))
+    val hist = Dedup.barrier(
+      long.groupBy("metric", "v").agg(count(lit(1)).as("cnt")),
+      col("metric")).localCheckpoint()
+    val nM = hist.groupBy("metric").agg(sum("cnt").as("n_m"))
+    val wM = Window.partitionBy("metric").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum("cnt").over(wM))
+    val thr = cum
+      .join(broadcast(nM
+        .select(col("metric"), explode(sequence(lit(1L), lit(3L))).as("q"),
+          col("n_m"))
+        .withColumn("tgt", expr("(q * n_m + 3) div 4"))), Seq("metric"))
+      .filter(col("cum") >= col("tgt"))
+      .groupBy("metric", "q").agg(min("v").as("thr"))
+    // nine thresholds -> ONE broadcast row; assignment stays map-only
+    val thrCols = Seq("r", "f", "m").flatMap { m =>
+      (1 to 3).map(q => max(when(col("metric") === m && col("q") === q,
+        col("thr"))).as(s"${m}$q"))
+    }
+    val wide = thr.agg(thrCols.head, thrCols.tail: _*)
+    base.crossJoin(broadcast(wide))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary_cents"),
+        binOf(col("recency_days"), "r").as("r_bin"),
+        binOf(col("frequency"), "f").as("f_bin"),
+        binOf(col("monetary_cents"), "m").as("m_bin"))
+      .withColumn("segment",
+        concat(lit("R"), col("r_bin"), lit("F"), col("f_bin"),
+          lit("M"), col("m_bin")))
+  }
+
+  /** bin = 1 + |{q : threshold_q < v}| over the three broadcast
+    * threshold columns `<m>1..3`; a missing threshold (tiny
+    * populations) never counts.
+    */
+  private def binOf(v: Column, m: String): Column =
+    (lit(1L) +
+      when(col(s"${m}1") < v, 1L).otherwise(0L) +
+      when(col(s"${m}2") < v, 1L).otherwise(0L) +
+      when(col(s"${m}3") < v, 1L).otherwise(0L)).cast("long")
 }

@@ -1934,6 +1934,38 @@ object TrainingData {
         "text", budget = 8192L)
       .orderBy("doc_id")
 
+  /** RFM user segmentation ([[TimeJoins.rfmSegments]]): exact
+    * recency/frequency/monetary quartile bins from compressed
+    * histograms and one broadcast threshold row — the behavioral
+    * stratification grid.
+    */
+  def eventsRfm(spark: SparkSession, dir: String): DataFrame =
+    TimeJoins.rfmSegments(
+        Tables.eventsNanos(spark, dir)
+          .select(col("user_id"), expr("ts div 1000").as("tsu"),
+            col("value")),
+        "user_id", "tsu", "value")
+      .orderBy("user_id")
+
+  /** Distinctive terms per source ([[CorpusOps.keynessTerms]],
+    * minCount 3, top-5): tokens ranked by integer-exact lift against
+    * the rest of the corpus — the terms that CAUSE t102's divergence.
+    */
+  def docKeyness(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.keynessTerms(Tables.documents(spark, dir), "text",
+        "source", minCount = 3L, k = 5)
+      .orderBy("source", "rank")
+
+  /** Embedding class-scatter audit ([[Similarity.classScatter]]):
+    * within- vs between-label mean squared distance over
+    * unit-normalized vectors — the "does the embedding see the
+    * labels" read, exact from integer-scaled components.
+    */
+  def embClassScatter(spark: SparkSession, dir: String): DataFrame =
+    Similarity.classScatter(Tables.embeddings(spark, dir), "vec_id",
+        "embedding", "label")
+      .orderBy("label_a", "label_b")
+
   /** Margin mining over IVF candidates
     * ([[Similarity.marginMutualPairsIvf]], k = 4, shared full-corpus
     * quantizer, nprobe = 2) — the scale path of t91: cross-side
@@ -2320,7 +2352,81 @@ object TrainingData {
     "t142_attribution" -> eventsAttribution _,
     "t143_band_persisted" -> docBandPersisted _,
     "t144_gram_novelty" -> docGramNovelty _,
+    "t145_class_scatter" -> embClassScatter _,
+    "t146_keyness" -> docKeyness _,
+    "t147_rfm" -> eventsRfm _,
   )
+
+
+  /** Shared DuckDB replay of the KMV group-overlap estimators at
+    * sketch size k — the oracle of BOTH t115 (in-query operator)
+    * and t148 (persisted sketch store): KMV's exact merge law
+    * bottomK(A ∪ B) = bottomK(bottomK(A) ∪ bottomK(B)) makes the
+    * one-shot full-corpus SQL gate the split-built store verbatim.
+    */
+  private def kmvOverlapOracleSql(k: Int): String = {
+    val est = (nc: String, uk: String) =>
+      s"CASE WHEN $nc < $k THEN $nc ELSE ${(k - 1).toLong * 4294967296L}" +
+        s" // GREATEST($uk, 1) END"
+    s"""WITH toks AS (
+           |  SELECT source, string_split_regex(trim(text), '\\s+') AS ts
+           |  FROM documents
+           |), g AS (
+           |  SELECT source AS grp,
+           |    unnest(CASE WHEN len(ts) < 3 THEN CAST([] AS VARCHAR[])
+           |    ELSE list_transform(range(1, len(ts) - 1), i ->
+           |      ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT)+1]
+           |        || ' ' || ts[CAST(i AS INT)+2])
+           |    END) AS tk
+           |  FROM toks
+           |), h AS (
+           |  SELECT DISTINCT grp,
+           |    (${polyHashSql("tk")} * 2654435761 + 123456789)
+           |      % 4294967296 AS h
+           |  FROM g
+           |), sk AS (
+           |  SELECT grp, h FROM (
+           |    SELECT grp, h,
+           |      ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn
+           |    FROM h)
+           |  WHERE rn <= $k
+           |), names AS (
+           |  SELECT DISTINCT grp FROM sk
+           |), prs AS (
+           |  SELECT a.grp AS ga, b.grp AS gb
+           |  FROM names a JOIN names b ON a.grp < b.grp
+           |), ph AS (
+           |  SELECT p.ga, p.gb, s.h,
+           |    MAX(CASE WHEN s.grp = p.ga THEN 1 ELSE 0 END) AS in_a,
+           |    MAX(CASE WHEN s.grp = p.gb THEN 1 ELSE 0 END) AS in_b
+           |  FROM prs p JOIN sk s ON s.grp IN (p.ga, p.gb)
+           |  GROUP BY 1, 2, 3
+           |), mg AS (
+           |  SELECT * FROM (
+           |    SELECT ph.*,
+           |      ROW_NUMBER() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+           |    FROM ph)
+           |  WHERE rn <= $k
+           |), su AS (
+           |  SELECT ga, gb, CAST(COUNT(*) AS BIGINT) AS n_u, MAX(h) AS uk_u,
+           |    CAST(SUM(in_a * in_b) AS BIGINT) AS rho
+           |  FROM mg GROUP BY ga, gb
+           |), st AS (
+           |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_g, MAX(h) AS uk_g
+           |  FROM sk GROUP BY grp
+           |)
+           |SELECT ga AS source_a, gb AS source_b,
+           |  CAST($k AS BIGINT) AS k,
+           |  CAST(${est("sa.n_g", "sa.uk_g")} AS BIGINT) AS est_a,
+           |  CAST(${est("sb.n_g", "sb.uk_g")} AS BIGINT) AS est_b,
+           |  CAST(${est("n_u", "uk_u")} AS BIGINT) AS est_union,
+           |  rho,
+           |  CAST(CASE WHEN n_u < $k THEN rho
+           |    ELSE (rho * (${est("n_u", "uk_u")})) // $k END AS BIGINT)
+           |    AS est_intersect
+           |FROM su JOIN st sa ON sa.grp = su.ga JOIN st sb ON sb.grp = su.gb
+           |ORDER BY source_a, source_b""".stripMargin
+  }
 
   /** Shared DuckDB SELECT replaying [[CorpusOps.hashedLinearScore]]
     * with t45's frozen weights, carrying (doc_id, lang, source,
@@ -3737,70 +3843,7 @@ object TrainingData {
            |ORDER BY id_a, id_b""".stripMargin,
       // t115: per-source bottom-k sketches, pairwise merged bottom-k,
       // and the t55 integer estimators for all source pairs
-      "t115_source_kmv_overlap" -> {
-        val k = 128
-        val est = (nc: String, uk: String) =>
-          s"CASE WHEN $nc < $k THEN $nc ELSE ${(k - 1).toLong * 4294967296L}" +
-            s" // GREATEST($uk, 1) END"
-        s"""WITH toks AS (
-           |  SELECT source, string_split_regex(trim(text), '\\s+') AS ts
-           |  FROM documents
-           |), g AS (
-           |  SELECT source AS grp,
-           |    unnest(CASE WHEN len(ts) < 3 THEN CAST([] AS VARCHAR[])
-           |    ELSE list_transform(range(1, len(ts) - 1), i ->
-           |      ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT)+1]
-           |        || ' ' || ts[CAST(i AS INT)+2])
-           |    END) AS tk
-           |  FROM toks
-           |), h AS (
-           |  SELECT DISTINCT grp,
-           |    (${polyHashSql("tk")} * 2654435761 + 123456789)
-           |      % 4294967296 AS h
-           |  FROM g
-           |), sk AS (
-           |  SELECT grp, h FROM (
-           |    SELECT grp, h,
-           |      ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn
-           |    FROM h)
-           |  WHERE rn <= $k
-           |), names AS (
-           |  SELECT DISTINCT grp FROM sk
-           |), prs AS (
-           |  SELECT a.grp AS ga, b.grp AS gb
-           |  FROM names a JOIN names b ON a.grp < b.grp
-           |), ph AS (
-           |  SELECT p.ga, p.gb, s.h,
-           |    MAX(CASE WHEN s.grp = p.ga THEN 1 ELSE 0 END) AS in_a,
-           |    MAX(CASE WHEN s.grp = p.gb THEN 1 ELSE 0 END) AS in_b
-           |  FROM prs p JOIN sk s ON s.grp IN (p.ga, p.gb)
-           |  GROUP BY 1, 2, 3
-           |), mg AS (
-           |  SELECT * FROM (
-           |    SELECT ph.*,
-           |      ROW_NUMBER() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
-           |    FROM ph)
-           |  WHERE rn <= $k
-           |), su AS (
-           |  SELECT ga, gb, CAST(COUNT(*) AS BIGINT) AS n_u, MAX(h) AS uk_u,
-           |    CAST(SUM(in_a * in_b) AS BIGINT) AS rho
-           |  FROM mg GROUP BY ga, gb
-           |), st AS (
-           |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_g, MAX(h) AS uk_g
-           |  FROM sk GROUP BY grp
-           |)
-           |SELECT ga AS source_a, gb AS source_b,
-           |  CAST($k AS BIGINT) AS k,
-           |  CAST(${est("sa.n_g", "sa.uk_g")} AS BIGINT) AS est_a,
-           |  CAST(${est("sb.n_g", "sb.uk_g")} AS BIGINT) AS est_b,
-           |  CAST(${est("n_u", "uk_u")} AS BIGINT) AS est_union,
-           |  rho,
-           |  CAST(CASE WHEN n_u < $k THEN rho
-           |    ELSE (rho * (${est("n_u", "uk_u")})) // $k END AS BIGINT)
-           |    AS est_intersect
-           |FROM su JOIN st sa ON sa.grp = su.ga JOIN st sb ON sb.grp = su.gb
-           |ORDER BY source_a, source_b""".stripMargin
-      },
+      "t115_source_kmv_overlap" -> kmvOverlapOracleSql(128),
       // t116: the sharded-hash order, global cumsum, pointer floors,
       // and split-exact ppm inclusion probability
       "t116_pps_sample" ->
@@ -4604,6 +4647,164 @@ object TrainingData {
           |SELECT source, n_grams, n_novel,
           |  (n_novel * 1000000) // n_grams AS novelty_ppm
           |FROM j ORDER BY source""".stripMargin,
+      // t145: unit-normalize in doubles (the shared sequential-fold
+      // order), scale to floor(u_d*1e6) BIGINTs, then EVERYTHING is
+      // exact integer sums — non-negative masses so // and div agree
+      "t145_class_scatter" ->
+        """WITH v0 AS (
+          |  SELECT CAST(label AS BIGINT) AS label,
+          |    CAST(embedding AS DOUBLE[]) AS e
+          |  FROM embeddings
+          |), v AS (
+          |  SELECT label, e,
+          |    sqrt(list_reduce(list_transform(range(1, 65), i ->
+          |      e[CAST(i AS INT)] * e[CAST(i AS INT)]), (x, y) -> x + y))
+          |      AS nrm
+          |  FROM v0
+          |), q AS (
+          |  SELECT label, d.i AS dim,
+          |    CAST(FLOOR(e[CAST(d.i AS INT)] / nrm * 1000000) AS BIGINT)
+          |      AS q
+          |  FROM v, range(1, 65) d(i) WHERE nrm > 0
+          |), dims AS (
+          |  SELECT label, dim, SUM(CAST(q AS HUGEINT)) AS s,
+          |    SUM(CAST(q AS HUGEINT) * q) AS ssq_d,
+          |    CAST(COUNT(*) AS BIGINT) AS n_d
+          |  FROM q GROUP BY 1, 2
+          |), lab AS (
+          |  SELECT label, SUM(ssq_d) AS ssq, MAX(n_d) AS n
+          |  FROM dims GROUP BY 1
+          |), pd AS (
+          |  SELECT a.label AS label_a, b.label AS label_b,
+          |    SUM(a.s * b.s) AS sdot
+          |  FROM dims a JOIN dims b
+          |    ON a.dim = b.dim AND a.label <= b.label
+          |  GROUP BY 1, 2
+          |), m AS (
+          |  SELECT label_a, label_b, la.n AS n_a, lb.n AS n_b,
+          |    CASE WHEN label_a = label_b
+          |      THEN CAST(la.n AS HUGEINT) * (la.n - 1)
+          |      ELSE CAST(la.n AS HUGEINT) * lb.n * 2 END AS np2,
+          |    CASE WHEN label_a = label_b
+          |      THEN CAST(la.n AS HUGEINT) * la.ssq - sdot
+          |      ELSE CAST(lb.n AS HUGEINT) * la.ssq
+          |         + CAST(la.n AS HUGEINT) * lb.ssq - 2 * sdot END AS mass
+          |  FROM pd
+          |  JOIN lab la ON pd.label_a = la.label
+          |  JOIN lab lb ON pd.label_b = lb.label
+          |)
+          |SELECT label_a, label_b, n_a, n_b,
+          |  label_a = label_b AS within,
+          |  CAST((2 * mass) // (np2 * 1000000) AS BIGINT)
+          |    AS mean_sqdist_x1e6
+          |FROM m WHERE np2 > 0
+          |ORDER BY label_a, label_b""".stripMargin,
+      // t146: lift vs the REST of the corpus, one HUGEINT floor;
+      // the +1 rest-side smoothing keeps exclusive tokens finite
+      "t146_keyness" ->
+        s"""WITH gw AS (
+           |  SELECT source, unnest(${TextFunctions.Sql.tokens("text")})
+           |    AS token
+           |  FROM documents
+           |), c AS (
+           |  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS n_gw
+           |  FROM gw GROUP BY 1, 2
+           |), gt AS (
+           |  SELECT source, SUM(n_gw) AS n_g FROM c GROUP BY 1
+           |), wt AS (
+           |  SELECT token, SUM(n_gw) AS n_w FROM c GROUP BY 1
+           |), t AS (
+           |  SELECT SUM(n_gw) AS n_tok FROM c
+           |), s AS (
+           |  SELECT c.source, c.token, n_gw, CAST(n_w AS BIGINT) AS n_w,
+           |    CAST((CAST(n_gw AS HUGEINT) * (n_tok - n_g) * 1000000)
+           |      // (CAST(n_g AS HUGEINT) * (n_w - n_gw + 1)) AS BIGINT)
+           |      AS lift_x1e6
+           |  FROM c JOIN gt USING (source) JOIN wt USING (token)
+           |  CROSS JOIN t
+           |  WHERE n_gw >= 3
+           |), r AS (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+           |    ORDER BY lift_x1e6 DESC, token) AS rank
+           |  FROM s
+           |)
+           |SELECT source, rank, token, n_gw, n_w, lift_x1e6
+           |FROM r WHERE rank <= 5
+           |ORDER BY source, rank""".stripMargin,
+      // t147: quartile thresholds replay the compressed-histogram
+      // ceil-target >=-join; ties share bins; cents are the t92
+      // FLOOR(v*100+0.5) contract
+      "t147_rfm" ->
+        """WITH e AS (
+          |  SELECT user_id, epoch_us(ts) AS tsu,
+          |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+          |  FROM events
+          |), u AS (
+          |  SELECT user_id, MAX(tsu) AS last_tsu,
+          |    CAST(COUNT(*) AS BIGINT) AS frequency,
+          |    CAST(SUM(cents) AS BIGINT) AS monetary_cents
+          |  FROM e GROUP BY 1
+          |), b AS (
+          |  SELECT user_id,
+          |    ((SELECT MAX(last_tsu) FROM u) - last_tsu) // 86400000000
+          |      AS recency_days,
+          |    frequency, monetary_cents
+          |  FROM u
+          |), l AS (
+          |  SELECT 'r' AS metric, recency_days AS v FROM b
+          |  UNION ALL SELECT 'f', frequency FROM b
+          |  UNION ALL SELECT 'm', monetary_cents FROM b
+          |), h AS (
+          |  SELECT metric, v, CAST(COUNT(*) AS BIGINT) AS cnt
+          |  FROM l GROUP BY 1, 2
+          |), c AS (
+          |  SELECT metric, v, SUM(cnt) OVER (PARTITION BY metric
+          |    ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND
+          |    CURRENT ROW) AS cum
+          |  FROM h
+          |), n AS (
+          |  SELECT metric, SUM(cnt) AS n_m FROM h GROUP BY 1
+          |), tg AS (
+          |  SELECT metric, q.q, (q.q * n_m + 3) // 4 AS tgt
+          |  FROM n, (VALUES (1), (2), (3)) q(q)
+          |), th AS (
+          |  SELECT c.metric, tg.q, MIN(v) AS thr
+          |  FROM c JOIN tg ON c.metric = tg.metric AND c.cum >= tg.tgt
+          |  GROUP BY 1, 2
+          |), wide AS (
+          |  SELECT
+          |    MAX(CASE WHEN metric = 'r' AND q = 1 THEN thr END) AS r1,
+          |    MAX(CASE WHEN metric = 'r' AND q = 2 THEN thr END) AS r2,
+          |    MAX(CASE WHEN metric = 'r' AND q = 3 THEN thr END) AS r3,
+          |    MAX(CASE WHEN metric = 'f' AND q = 1 THEN thr END) AS f1,
+          |    MAX(CASE WHEN metric = 'f' AND q = 2 THEN thr END) AS f2,
+          |    MAX(CASE WHEN metric = 'f' AND q = 3 THEN thr END) AS f3,
+          |    MAX(CASE WHEN metric = 'm' AND q = 1 THEN thr END) AS m1,
+          |    MAX(CASE WHEN metric = 'm' AND q = 2 THEN thr END) AS m2,
+          |    MAX(CASE WHEN metric = 'm' AND q = 3 THEN thr END) AS m3
+          |  FROM th
+          |), f AS (
+          |  SELECT user_id, recency_days, frequency, monetary_cents,
+          |    1 + (CASE WHEN r1 < recency_days THEN 1 ELSE 0 END)
+          |      + (CASE WHEN r2 < recency_days THEN 1 ELSE 0 END)
+          |      + (CASE WHEN r3 < recency_days THEN 1 ELSE 0 END)
+          |      AS r_bin,
+          |    1 + (CASE WHEN f1 < frequency THEN 1 ELSE 0 END)
+          |      + (CASE WHEN f2 < frequency THEN 1 ELSE 0 END)
+          |      + (CASE WHEN f3 < frequency THEN 1 ELSE 0 END)
+          |      AS f_bin,
+          |    1 + (CASE WHEN m1 < monetary_cents THEN 1 ELSE 0 END)
+          |      + (CASE WHEN m2 < monetary_cents THEN 1 ELSE 0 END)
+          |      + (CASE WHEN m3 < monetary_cents THEN 1 ELSE 0 END)
+          |      AS m_bin
+          |  FROM b, wide
+          |)
+          |SELECT user_id, recency_days, frequency, monetary_cents,
+          |  CAST(r_bin AS BIGINT) AS r_bin, CAST(f_bin AS BIGINT) AS f_bin,
+          |  CAST(m_bin AS BIGINT) AS m_bin,
+          |  'R' || CAST(r_bin AS VARCHAR) || 'F' || CAST(f_bin AS VARCHAR)
+          |    || 'M' || CAST(m_bin AS VARCHAR) AS segment
+          |FROM f ORDER BY user_id""".stripMargin,
       // t92: timestamps stay exact integer µs, values scale to integer
       // cents by one pure-double FLOOR, offsets are exact integer
       // running sums of fragment lengths — rendered string and mask

@@ -1113,4 +1113,35 @@ class CorpusOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     assert(rows.sorted.toSeq == again.sorted.toSeq)
   }
+
+  test("keynessTerms: a group-exclusive token outranks the shared " +
+      "stopword head; exclusive lift replays the +1 smoothing") {
+    // both sources share a dominant stopword; each has one exclusive
+    // content token — raw counts would rank 'the' first everywhere,
+    // keyness must rank the exclusive token first
+    val docs = Seq(
+      (1L, "the the the quark quark quark the the", "sA"),
+      (2L, "the the the gluon gluon gluon the the", "sB"))
+      .toDF("doc_id", "text", "source")
+    val got = CorpusOps.keynessTerms(docs, "text", "source",
+        minCount = 3L, k = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val top = got.filter(_._2 == 1L).sortBy(_._1)
+    assert(top.map(_._3).toSeq == Seq("quark", "gluon").sorted.reverse ||
+      top.map(_._3).toSeq == Seq("quark", "gluon"),
+      s"exclusive tokens must rank first, got ${top.toSeq}")
+    // hand replay for sA/'quark': n_gw=3, n_g=8, n_tok=16, n_w=3 ->
+    // lift = (3 * (16-8) * 1e6) div (8 * (3-3+1)) = 3_000_000
+    val q = got.find(t => t._1 == "sA" && t._3 == "quark").get
+    assert(q._6 == 3000000L, s"exclusive lift mismatch: $q")
+    // 'the': n_gw=5, rest=5 -> lift = (5*8*1e6) div (8*(10-5+1)) < 1e6
+    assert(got.filter(_._3 == "the").forall(_._6 < 1000000L))
+    // rank <= k realizes as a WindowGroupLimit (pre-shuffle prune)
+    val plan = CorpusOps.keynessTerms(docs, "text", "source")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-k lost its WindowGroupLimit pushdown:\n${plan.take(900)}")
+  }
 }

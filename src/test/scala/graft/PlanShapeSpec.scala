@@ -1022,4 +1022,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"register max lost its map-side combine:\n${plan.take(1200)}")
     assert(!plan.contains("CartesianProduct"), plan.take(1200))
   }
+
+  test("t145: class scatter touches the corpus once; the pair stage is " +
+      "an equi-join on dim over the 64·|labels| relation") {
+    val df = operators.Similarity.classScatter(
+      Tables.embeddings(spark, dir), "vec_id", "embedding", "label")
+    val executed = df.queryExecution.executedPlan.toString
+    // the single corpus read happens materializing the (label, dim)
+    // pin; everything in the final plan runs on the 64·|labels|-row
+    // checkpointed relation — zero parquet scans downstream
+    assert("Scan parquet".r.findAllIn(executed).size == 0,
+      "class scatter's pair stage must not rescan the corpus")
+    assert(!executed.contains("CartesianProduct"), executed.take(1200))
+    // the (label, dim) sum combines map-side before its exchange
+    assert(executed.contains("partial_sum") || executed.contains("partial_"),
+      s"dim sums lost their map-side combine:\n${executed.take(1200)}")
+  }
 }

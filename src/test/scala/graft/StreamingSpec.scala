@@ -283,6 +283,31 @@ class StreamingSpec extends AnyFunSuite {
       "online pair emission must equal the batch lead-window export")
   }
 
+  test("streamed successor pairs roll up to the batch transition matrix") {
+    import spark.implicits._
+    // the per-user successor pairs the next-event face emits ARE the
+    // lag pairs of t130 — one shared back half (transitionsFromPairs)
+    // pins one arithmetic for the batch matrix and the online face
+    val types = batchEvents.select("event_type").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val events = batchEvents
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[EventStreams.Event]
+    val pairs = EventStreams.nextEventPairStream(events, types).toDF()
+      .select(col("etype").as("from_type"),
+        col("next_type").as("to_type"))
+    val got = operators.TimeJoins.transitionsFromPairs(pairs)
+    val want = operators.TimeJoins.eventTransitions(
+      Tables.eventsNanos(spark, "/root/testdata/sf0.001")
+        .select(col("user_id"), expr("ts div 1000").as("tsu"),
+          col("event_id"), col("event_type")),
+      "user_id", "tsu", "event_id", "event_type")
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "online successor pairs must roll up to the batch matrix")
+  }
+
   test("streaming drift monitor: self-distribution is 0, shifted batch spikes") {
     import spark.implicits._
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")

@@ -159,4 +159,37 @@ class TimeJoinsSpec extends AnyFunSuite {
     assert(q28.contains("SortMergeJoin") || q28.contains("ShuffledHashJoin") ||
       q28.contains("BroadcastHashJoin"), "range join lost its bucket equi-join")
   }
+
+  test("rfmSegments: hand-computed quartile bins; ties share; " +
+      "assignment is map-only over broadcast thresholds") {
+    val day = 86400L * 1000000L
+    // 4 users, distinct frequencies 1..4 -> thresholds 1,2,3 and bins
+    // 1,2,3,4; recency: u1 last at day 0, others at day 3 (ties share
+    // the r-histogram: recency 3,0,0,0 -> thr(1,2,3)=0,0,0 -> u1 bin 4,
+    // rest bin 1); monetary all equal -> every m_bin = 1
+    val events = Seq(
+      (1L, 0L * day, 10.0),
+      (2L, 3L * day, 2.5), (2L, 3L * day, 2.5), (2L, 3L * day, 5.0),
+      (3L, 3L * day, 5.0), (3L, 3L * day, 5.0),
+      (4L, 0L * day, 2.5), (4L, 1L * day, 2.5), (4L, 2L * day, 2.5),
+      (4L, 3L * day, 2.5)
+    ).toDF("user_id", "tsu", "value")
+    val got = TimeJoins.rfmSegments(events, "user_id", "tsu", "value")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(7))))
+      .toMap
+    assert(got == Map(
+      1L -> ((3L, 1L, 1000L, "R4F1M1")),
+      2L -> ((0L, 3L, 1000L, "R1F3M1")),
+      3L -> ((0L, 2L, 1000L, "R1F2M1")),
+      4L -> ((0L, 4L, 1000L, "R1F4M1"))), s"got $got")
+    // scale shape: thresholds ride ONE broadcast row; assignment adds
+    // no user-keyed exchange and nothing degrades to a cartesian
+    val plan = TimeJoins.rfmSegments(events, "user_id", "tsu", "value")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(900))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      "thresholds/high-water mark must ride broadcasts")
+  }
 }

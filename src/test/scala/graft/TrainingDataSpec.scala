@@ -2651,4 +2651,37 @@ class TrainingDataSpec extends AnyFunSuite {
     same(operators.Dedup.contrastivePairs(docs, "doc_id", "text", candOpt = Some(shared)),
       operators.Dedup.contrastivePairs(docs, "doc_id", "text"), "contrastivePairs")
   }
+
+  test("t145 class scatter: hand-computed basis-vector fixture; full " +
+      "matrix with non-negative masses on the real table") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // two orthogonal unit-basis clusters: within-scatter exactly 0,
+    // between-scatter exactly 2 (||e_i - e_j||^2 for orthonormal
+    // vectors) -> 2e6 at the 1e6 fixed point, floors exact
+    def basis(d: Int): Seq[Float] =
+      (0 until 64).map(i => if (i == d) 1.0f else 0.0f)
+    val fix = Seq(
+      (0L, basis(0), 0), (1L, basis(0), 0),
+      (2L, basis(1), 1), (3L, basis(1), 1),
+      (4L, Seq.fill(64)(0.0f), 1)) // zero vector: excluded, no direction
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.classScatter(fix, "vec_id", "embedding", "label")
+      .orderBy("label_a", "label_b").collect()
+    assert(got.length == 3)
+    val within = got.filter(_.getBoolean(4))
+    val between = got.filterNot(_.getBoolean(4))
+    assert(within.forall(_.getLong(5) == 0L))
+    assert(between.length == 1 && between(0).getLong(5) == 2000000L)
+    // zero vector excluded: label 1 population reads 2, not 3
+    assert(got.filter(r => r.getLong(0) == 1L && r.getLong(1) == 1L)
+      .head.getLong(2) == 2L)
+    // real table: 10 labels -> full 55-cell upper triangle, every mean
+    // squared distance of unit vectors in [0, 4e6]
+    val real = graft.queries.TrainingData.embClassScatter(spark, dir)
+      .collect()
+    assert(real.length == 55)
+    assert(real.forall(r => r.getLong(5) >= 0L && r.getLong(5) <= 4000000L))
+    assert(real.count(_.getBoolean(4)) == 10)
+  }
 }
