@@ -1934,6 +1934,26 @@ object TrainingData {
         "text", budget = 8192L)
       .orderBy("doc_id")
 
+  /** Persisted KMV sketch-store lifecycle under the oracle gate
+    * ([[CorpusOps.buildKmvStore]] → [[CorpusOps.ingestKmvBatch]] →
+    * [[CorpusOps.kmvOverlapFromStore]]): build the per-source store
+    * over a third of the corpus, ingest the rest as a batch, answer
+    * the overlap matrix FROM THE STORE — KMV's exact merge law means
+    * the one-shot full-corpus oracle gates the split-built store
+    * bit-for-bit.
+    */
+  def docKmvPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val path = sessionIndexPath(spark, "t148_kmv", dir) { p =>
+      CorpusOps.buildKmvStore(docs.filter(col("doc_id") % 3 === 0),
+        "text", "source", p, n = 3, k = 64)
+      CorpusOps.ingestKmvBatch(spark, p,
+        docs.filter(col("doc_id") % 3 =!= 0), "text", "source")
+    }
+    CorpusOps.kmvOverlapFromStore(spark, path)
+      .orderBy("source_a", "source_b")
+  }
+
   /** RFM user segmentation ([[TimeJoins.rfmSegments]]): exact
     * recency/frequency/monetary quartile bins from compressed
     * histograms and one broadcast threshold row — the behavioral
@@ -2355,6 +2375,7 @@ object TrainingData {
     "t145_class_scatter" -> embClassScatter _,
     "t146_keyness" -> docKeyness _,
     "t147_rfm" -> eventsRfm _,
+    "t148_kmv_persisted" -> docKmvPersisted _,
   )
 
 
@@ -3844,6 +3865,10 @@ object TrainingData {
       // t115: per-source bottom-k sketches, pairwise merged bottom-k,
       // and the t55 integer estimators for all source pairs
       "t115_source_kmv_overlap" -> kmvOverlapOracleSql(128),
+      // t148: the persisted store was split-built (build a third,
+      // ingest the rest) — KMV's merge law makes the ONE-SHOT
+      // full-corpus replay the exact gate
+      "t148_kmv_persisted" -> kmvOverlapOracleSql(64),
       // t116: the sharded-hash order, global cumsum, pointer floors,
       // and split-exact ppm inclusion probability
       "t116_pps_sample" ->

@@ -361,6 +361,29 @@ object EventStreams {
     q.stop()
   }
 
+  /** Streaming KMV sketch-store maintenance: per micro-batch, fold
+    * the arriving documents' per-group bottom-k sketches into the
+    * persisted store ([[graft.operators.CorpusOps.ingestKmvBatch]]
+    * with the store's FROZEN (n, k)). KMV's exact merge law makes the
+    * final state independent of the micro-batch cut — StreamingSpec
+    * pins streamed ingestion equal to the one-shot build — and
+    * replays are admission-idempotent (read-time bottom-k
+    * re-selection ignores duplicate rows;
+    * [[graft.operators.CorpusOps.compactKmvStore]] reclaims).
+    */
+  def kmvIngestStream(docs: DataFrame, textCol: String, groupCol: String,
+      path: String): Unit = {
+    val q = docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.CorpusOps.ingestKmvBatch(
+          batch.sparkSession, path, batch.toDF(), textCol, groupCol)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Streaming inverted-index maintenance: per micro-batch, ingest
     * the arriving documents into the persisted term-bucketed index
     * via [[graft.operators.CorpusOps.appendToInvertedIndex]] — batch

@@ -658,6 +658,53 @@ class StreamingSpec extends AnyFunSuite {
       s"identical indexed doc must score 1e6 and be gated, got $v")
   }
 
+  test("streaming KMV-store ingestion: micro-batch cuts leave the same " +
+      "overlap matrix as the one-shot build; compaction reclaims") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.CorpusOps
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val d = java.nio.file.Files.createTempDirectory("graft_kmvstore")
+    val store = d.resolve("store").toString
+    CorpusOps.buildKmvStore(docs.filter(col("doc_id") % 3 === 0),
+      "text", "source", store, n = 3, k = 64)
+    val arrivals = docs.filter(col("doc_id") % 3 =!= 0)
+    arrivals.repartition(3).write.parquet(d.resolve("in").toString)
+    EventStreams.kmvIngestStream(
+      spark.readStream.schema(arrivals.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d.resolve("in").toString),
+      "text", "source", store)
+    // KMV merge law: the streamed store answers the ONE-SHOT matrix,
+    // however the arrivals were micro-batched
+    val got = CorpusOps.kmvOverlapFromStore(spark, store)
+    val want = CorpusOps.kmvGroupOverlap(docs, "text", "source",
+      n = 3, k = 64)
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "stream-ingested store diverges from the one-shot overlap matrix")
+    // replayed batch: read-time bottom-k re-selection absorbs it
+    CorpusOps.ingestKmvBatch(spark, store, arrivals.limit(50),
+      "text", "source")
+    val replayed = CorpusOps.kmvOverlapFromStore(spark, store)
+    assert(replayed.exceptAll(want).isEmpty && want.exceptAll(replayed).isEmpty,
+      "a replayed ingest batch changed the answered matrix")
+    // compaction dedupes to <= |groups|·k rows and preserves the set
+    CorpusOps.compactKmvStore(spark, store)
+    val rows = spark.read.parquet(s"$store/sketches")
+    val nGroups = rows.select("grp").distinct().count()
+    assert(rows.count() == rows.distinct().count() &&
+      rows.count() <= nGroups * 64, "compaction left excess rows")
+    val after = CorpusOps.kmvOverlapFromStore(spark, store)
+    assert(after.exceptAll(want).isEmpty && want.exceptAll(after).isEmpty,
+      "compaction changed the answered matrix")
+    // the store answers with no corpus anywhere in the plan
+    val plan = CorpusOps.kmvOverlapFromStore(spark, store)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(900))
+    assert("Scan parquet".r.findAllIn(plan).size == 0,
+      "store answer must run on the pinned sketch relation only")
+  }
+
   test("streaming IVF-PQ ingestion: micro-batch cuts leave the same " +
       "index state as one batch append") {
     import org.apache.spark.sql.functions.col
