@@ -1449,6 +1449,60 @@ object Similarity {
         col("margin"))
   }
 
+  /** ANN recall audit — the governance read every deployed
+    * approximate index owes its owner: recall@k of the PRODUCTION
+    * sign-LSH path ([[lshTopKAuto]] — data-sized planes, the t09
+    * operator verbatim) against the EXACT top-k, measured on a
+    * deterministic hash-picked probe set (idMix % probeMod == 0 —
+    * re-runs audit the same probes). Per probe: exact-neighbor hit
+    * count and recall in exact ppm. The number a recall SLO watches;
+    * the spec-level recall assertions (IvfRecallSpec etc.) become a
+    * first-class, oracle-gated relation here.
+    *
+    * Cost shape, stated honestly: the exact side is probe×corpus —
+    * |probes|·n dot products (a broadcast of the probe rows, never a
+    * corpus self-join). probeMod sets the audit rate; at 100 TB you
+    * probe thousands of vectors, not a fixed fraction (pass probeMod
+    * ~ n/|wanted|). The LSH side is the production plan itself —
+    * auditing it costs what serving costs, and the shared bucket
+    * front end means a session that already ran t09 pays ~nothing.
+    *
+    * Recall arithmetic is exact: both engines rank (cosine DESC,
+    * neighbor_id) with bit-identical cosines (the [[dot]] fold
+    * order), so the two top-k SETS are equal as sets — hits are an
+    * equi-join on (vec_id, neighbor_id), never a float comparison.
+    */
+  def annRecallAudit(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, probeMod: Long): DataFrame = {
+    require(k > 0 && probeMod > 0)
+    val probeIds = emb
+      .filter(graft.operators.CorpusOps.idMix(col(idCol)) % probeMod === 0L)
+      .select(col(idCol))
+    val v = withNorm(emb, idCol, vecCol)
+    val p = v.join(broadcast(probeIds.withColumnRenamed(idCol, "id")), "id")
+    val exact = p.as("a")
+      .join(v.as("b"), col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("vec_id"), col("b.id").as("neighbor_id"),
+        (dot(col("a.e"), col("b.e")) / (col("a.n") * col("b.n")))
+          .as("cosine_sim"))
+      .withColumn("rank", row_number().over(Window.partitionBy("vec_id")
+        .orderBy(col("cosine_sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select("vec_id", "neighbor_id")
+    val ann = lshTopKAuto(emb, idCol, vecCol, k)
+      .join(broadcast(probeIds.withColumnRenamed(idCol, "vec_id")),
+        "vec_id")
+      .select("vec_id", "neighbor_id")
+    val hits = ann.join(exact, Seq("vec_id", "neighbor_id"), "left_semi")
+      .groupBy("vec_id").agg(count(lit(1)).as("n_hits"))
+    probeIds.select(col(idCol).as("vec_id"))
+      .join(hits, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        lit(k.toLong).as("k"),
+        expr(s"(coalesce(n_hits, 0) * 1000000) div $k").as("recall_ppm"))
+  }
+
   /** Embedding class-scatter audit — the "do my labels separate in
     * embedding space" read a training-data owner takes BEFORE
     * trusting an embedding column for semantic dedup ([[semanticDedup]]),

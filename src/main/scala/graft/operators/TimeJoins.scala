@@ -774,4 +774,54 @@ object TimeJoins {
       when(col(s"${m}1") < v, 1L).otherwise(0L) +
       when(col(s"${m}2") < v, 1L).otherwise(0L) +
       when(col(s"${m}3") < v, 1L).otherwise(0L)).cast("long")
+
+  /** Purged walk-forward time split with embargo — the TEMPORAL
+    * leakage-safe split (the de Prado purged/embargoed discipline)
+    * next to the near-dup-aware splits of t78/t110: events split by
+    * TIME, with exclusion zones of `embargoUs` after each cut so a
+    * model whose features aggregate recent history (t106's PIT
+    * features, next-event labels) never straddles a boundary —
+    * train ≤ cut1 < embargo ≤ cut1+e < val ≤ cut2 < embargo ≤
+    * cut2+e < test. A hash split (t31) is the RIGHT tool for i.i.d.
+    * documents and the WRONG one for autocorrelated event streams;
+    * this operator is the difference.
+    *
+    * The cuts are exact count quantiles: cut_q = min{t : cum(t) ≥
+    * ceil(pct·n/100)} over the COMPRESSED (timestamp → count)
+    * histogram — the [[gapDeciles]] ≥-join discipline, so the
+    * cumulative window orders distinct timestamps, never events, and
+    * both engines replay the thresholds bit-for-bit. Assignment is
+    * map-only against the two broadcast cuts.
+    */
+  def purgedTimeSplit(events: DataFrame, ordCol: String, tsUsCol: String,
+      trainPct: Int, valPct: Int, embargoUs: Long): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100 &&
+      embargoUs >= 0)
+    val e = events.select(col(ordCol).as("event_id"),
+      col(tsUsCol).as("tsu"))
+    val hist = Dedup.barrier(
+      e.groupBy("tsu").agg(count(lit(1)).as("cnt")), col("tsu"))
+      .localCheckpoint()
+    val n = hist.agg(sum("cnt").as("n"))
+    val wc = Window.orderBy("tsu")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum("cnt").over(wc))
+    val targets = n.select(explode(array(
+        lit(trainPct.toLong), lit((trainPct + valPct).toLong))).as("pct"),
+        col("n"))
+      .withColumn("tgt", expr("(pct * n + 99) div 100"))
+    val thr = cum.join(broadcast(targets), col("cum") >= col("tgt"))
+      .groupBy("pct").agg(min("tsu").as("cut"))
+    val wide = thr.agg(
+      max(when(col("pct") === trainPct.toLong, col("cut"))).as("cut1"),
+      max(when(col("pct") === (trainPct + valPct).toLong, col("cut")))
+        .as("cut2"))
+    e.crossJoin(broadcast(wide))
+      .select(col("event_id"), col("tsu"),
+        when(col("tsu") <= col("cut1"), "train")
+          .when(col("tsu") <= col("cut1") + embargoUs, "embargo")
+          .when(col("tsu") <= col("cut2"), "val")
+          .when(col("tsu") <= col("cut2") + embargoUs, "embargo")
+          .otherwise("test").as("split"))
+  }
 }

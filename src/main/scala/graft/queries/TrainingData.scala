@@ -1934,6 +1934,28 @@ object TrainingData {
         "text", budget = 8192L)
       .orderBy("doc_id")
 
+  /** Purged walk-forward time split ([[TimeJoins.purgedTimeSplit]],
+    * 70/15/15 with a 6-hour embargo after each cut): the temporal
+    * leakage-safe split for autocorrelated event streams.
+    */
+  def eventsTimeSplit(spark: SparkSession, dir: String): DataFrame =
+    TimeJoins.purgedTimeSplit(
+        Tables.eventsNanos(spark, dir)
+          .select(col("event_id"), expr("ts div 1000").as("tsu")),
+        "event_id", "tsu", trainPct = 70, valPct = 15,
+        embargoUs = 6L * 3600L * 1000000L)
+      .orderBy("event_id")
+
+  /** ANN recall audit ([[Similarity.annRecallAudit]], k = 3,
+    * probeMod = 7): recall@k of the production sign-LSH path vs the
+    * exact top-k on a deterministic hash-picked probe set — the
+    * recall-SLO relation, oracle-gated end to end.
+    */
+  def embRecallAudit(spark: SparkSession, dir: String): DataFrame =
+    Similarity.annRecallAudit(Tables.embeddings(spark, dir), "vec_id",
+        "embedding", k = 3, probeMod = 7L)
+      .orderBy("vec_id")
+
   /** Persisted KMV sketch-store lifecycle under the oracle gate
     * ([[CorpusOps.buildKmvStore]] → [[CorpusOps.ingestKmvBatch]] →
     * [[CorpusOps.kmvOverlapFromStore]]): build the per-source store
@@ -2376,6 +2398,8 @@ object TrainingData {
     "t146_keyness" -> docKeyness _,
     "t147_rfm" -> eventsRfm _,
     "t148_kmv_persisted" -> docKmvPersisted _,
+    "t149_recall_audit" -> embRecallAudit _,
+    "t150_time_split" -> eventsTimeSplit _,
   )
 
 
@@ -3869,6 +3893,113 @@ object TrainingData {
       // ingest the rest) — KMV's merge law makes the ONE-SHOT
       // full-corpus replay the exact gate
       "t148_kmv_persisted" -> kmvOverlapOracleSql(64),
+      // t149: probe set from the shared idMix hash; exact side is
+      // probe×corpus; ANN side replays the t09 pipeline verbatim;
+      // hits are an equi-join of the two top-k sets (bit-identical
+      // cosines, shared tie order), never a float compare
+      "t149_recall_audit" ->
+        s"""WITH v AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+           |  FROM embeddings
+           |), probes AS (
+           |  SELECT vec_id FROM v WHERE ${idMixSql("vec_id")} % 7 = 0
+           |), ex AS (
+           |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+           |    list_reduce(list_transform(range(1, 65), i ->
+           |      a.e[CAST(i AS INT)] * b.e[CAST(i AS INT)]), (x, y) -> x + y) /
+           |    (sqrt(list_reduce(list_transform(range(1, 65), i ->
+           |      a.e[CAST(i AS INT)] * a.e[CAST(i AS INT)]), (x, y) -> x + y)) *
+           |     sqrt(list_reduce(list_transform(range(1, 65), i ->
+           |      b.e[CAST(i AS INT)] * b.e[CAST(i AS INT)]), (x, y) -> x + y)))
+           |    AS cosine_sim
+           |  FROM v a JOIN v b ON a.vec_id <> b.vec_id
+           |  WHERE a.vec_id IN (SELECT vec_id FROM probes)
+           |), exr AS (
+           |  SELECT vec_id, neighbor_id FROM (
+           |    SELECT vec_id, neighbor_id,
+           |      ROW_NUMBER() OVER (PARTITION BY vec_id
+           |        ORDER BY cosine_sim DESC, neighbor_id) AS rank
+           |    FROM ex)
+           |  WHERE rank <= 3
+           |), params AS (
+           |  SELECT COUNT(*) AS n FROM v
+           |), pl AS (
+           |  SELECT CASE WHEN n <= 7680 THEN 8 WHEN n <= 15360 THEN 9 WHEN n <= 30720 THEN 10 WHEN n <= 61440 THEN 11 WHEN n <= 122880 THEN 12 WHEN n <= 245760 THEN 13 WHEN n <= 491520 THEN 14 WHEN n <= 983040 THEN 15 WHEN n <= 1966080 THEN 16 WHEN n <= 3932160 THEN 17 WHEN n <= 7864320 THEN 18 WHEN n <= 15728640 THEN 19 WHEN n <= 31457280 THEN 20 WHEN n <= 62914560 THEN 21 WHEN n <= 125829120 THEN 22 WHEN n <= 251658240 THEN 23 ELSE 24 END AS planes FROM params
+           |), proj AS (
+           |  SELECT vec_id, p,
+           |    list_reduce(list_transform(range(1, 65), i ->
+           |      e[CAST(i AS INT)] *
+           |      (CASE WHEN ((p * 1024 + i - 1) * 2654435761 + 123456789) % 4294967296
+           |                 >= 2147483648
+           |            THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)),
+           |      (x, y) -> x + y) AS pr
+           |  FROM v, pl, range(0, 24) t(p) WHERE t.p < pl.planes
+           |), bkt AS (
+           |  SELECT vec_id,
+           |    CAST(SUM(CASE WHEN pr >= 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS bucket
+           |  FROM proj GROUP BY vec_id
+           |), v2 AS (
+           |  SELECT v.vec_id, v.e, bkt.bucket FROM v JOIN bkt USING (vec_id)
+           |), p2 AS (
+           |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+           |    list_reduce(list_transform(range(1, 65), i ->
+           |      a.e[CAST(i AS INT)] * b.e[CAST(i AS INT)]), (x, y) -> x + y) /
+           |    (sqrt(list_reduce(list_transform(range(1, 65), i ->
+           |      a.e[CAST(i AS INT)] * a.e[CAST(i AS INT)]), (x, y) -> x + y)) *
+           |     sqrt(list_reduce(list_transform(range(1, 65), i ->
+           |      b.e[CAST(i AS INT)] * b.e[CAST(i AS INT)]), (x, y) -> x + y)))
+           |    AS cosine_sim
+           |  FROM v2 a JOIN v2 b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+           |), annr AS (
+           |  SELECT vec_id, neighbor_id FROM (
+           |    SELECT vec_id, neighbor_id,
+           |      ROW_NUMBER() OVER (PARTITION BY vec_id
+           |        ORDER BY cosine_sim DESC, neighbor_id) AS rank
+           |    FROM p2)
+           |  WHERE rank <= 3
+           |    AND vec_id IN (SELECT vec_id FROM probes)
+           |), hits AS (
+           |  SELECT a.vec_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+           |  FROM annr a JOIN exr e
+           |    ON a.vec_id = e.vec_id AND a.neighbor_id = e.neighbor_id
+           |  GROUP BY 1
+           |)
+           |SELECT p.vec_id, COALESCE(n_hits, 0) AS n_hits,
+           |  CAST(3 AS BIGINT) AS k,
+           |  (COALESCE(n_hits, 0) * 1000000) // 3 AS recall_ppm
+           |FROM probes p LEFT JOIN hits USING (vec_id)
+           |ORDER BY p.vec_id""".stripMargin,
+      // t150: exact count-quantile cuts from the compressed
+      // timestamp histogram; embargo zones after each cut
+      "t150_time_split" ->
+        """WITH e AS (
+          |  SELECT event_id, epoch_us(ts) AS tsu FROM events
+          |), h AS (
+          |  SELECT tsu, CAST(COUNT(*) AS BIGINT) AS cnt FROM e GROUP BY 1
+          |), c AS (
+          |  SELECT tsu, SUM(cnt) OVER (ORDER BY tsu
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          |  FROM h
+          |), n AS (
+          |  SELECT SUM(cnt) AS n FROM h
+          |), tg AS (
+          |  SELECT p.pct, (p.pct * n + 99) // 100 AS tgt
+          |  FROM n, (VALUES (70), (85)) p(pct)
+          |), th AS (
+          |  SELECT pct, MIN(tsu) AS cut
+          |  FROM c JOIN tg ON c.cum >= tg.tgt GROUP BY 1
+          |), wide AS (
+          |  SELECT MAX(CASE WHEN pct = 70 THEN cut END) AS cut1,
+          |    MAX(CASE WHEN pct = 85 THEN cut END) AS cut2
+          |  FROM th
+          |)
+          |SELECT event_id, tsu,
+          |  CASE WHEN tsu <= cut1 THEN 'train'
+          |       WHEN tsu <= cut1 + 21600000000 THEN 'embargo'
+          |       WHEN tsu <= cut2 THEN 'val'
+          |       WHEN tsu <= cut2 + 21600000000 THEN 'embargo'
+          |       ELSE 'test' END AS split
+          |FROM e, wide ORDER BY event_id""".stripMargin,
       // t116: the sharded-hash order, global cumsum, pointer floors,
       // and split-exact ppm inclusion probability
       "t116_pps_sample" ->

@@ -160,6 +160,39 @@ class TimeJoinsSpec extends AnyFunSuite {
       q28.contains("BroadcastHashJoin"), "range join lost its bucket equi-join")
   }
 
+  test("purgedTimeSplit: hand-computed cuts; embargo zones bracket " +
+      "each boundary; classes are time-monotone") {
+    import org.apache.spark.sql.functions.{col, expr}
+    // 10 events at t=1..10us, 70/15 -> cut1 = min{t: cum >= 7} = 7,
+    // cut2 = min{t: cum >= ceil(8.5)=9} = 9; embargo 1us eats t=8
+    // (after cut1) and t=10 (after cut2), leaving val = {9}, test = {}
+    val events = (1L to 10L).map(t => (t, t)).toSeq
+      .toDF("event_id", "tsu")
+    val got = TimeJoins.purgedTimeSplit(events, "event_id", "tsu",
+        trainPct = 70, valPct = 15, embargoUs = 1L)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got == (1L to 7L).map(_ -> "train").toMap ++
+      Map(8L -> "embargo", 9L -> "val", 10L -> "embargo"), s"got $got")
+    // time-monotone classes on the real table: every train ts <=
+    // every val ts <= every test ts, embargoes in between
+    val real = TimeJoins.purgedTimeSplit(
+      Tables.eventsNanos(spark, "/root/testdata/sf0.001")
+        .select(col("event_id"), expr("ts div 1000").as("tsu")),
+      "event_id", "tsu", 70, 15, 6L * 3600L * 1000000L)
+      .collect().map(r => (r.getLong(1), r.getString(2)))
+    def maxOf(s: String) = real.filter(_._2 == s).map(_._1)
+    assert(maxOf("train").nonEmpty && maxOf("val").nonEmpty)
+    assert(maxOf("train").max < maxOf("val").min,
+      "train must strictly precede val")
+    if (maxOf("test").nonEmpty)
+      assert(maxOf("val").max < maxOf("test").min,
+        "val must strictly precede test")
+    // roughly 70% train by construction (exact count quantile)
+    val nTrain = real.count(_._2 == "train")
+    assert(nTrain >= (real.length * 70) / 100,
+      s"train short of its quantile: $nTrain of ${real.length}")
+  }
+
   test("rfmSegments: hand-computed quartile bins; ties share; " +
       "assignment is map-only over broadcast thresholds") {
     val day = 86400L * 1000000L

@@ -2652,6 +2652,36 @@ class TrainingDataSpec extends AnyFunSuite {
       operators.Dedup.contrastivePairs(docs, "doc_id", "text"), "contrastivePairs")
   }
 
+  test("t149 recall audit: recall bounded and positive; a planted " +
+      "exact twin is always recovered; probe set is deterministic") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.TrainingData.embRecallAudit(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r =>
+      r.getLong(3) >= 0L && r.getLong(3) <= 1000000L))
+    // the production LSH path recovers a nonzero share of exact
+    // neighbors on the real table
+    assert(rows.map(_.getLong(1)).sum > 0L)
+    // planted twin: copy a probe's vector under a fresh id — it
+    // shares EVERY sign bucket with its original and dominates at
+    // cosine 1.0, so the probe's audit row must score >= 1 hit
+    val emb = Tables.embeddings(spark, dir)
+    val probeId = rows.head.getLong(0)
+    val twin = emb.filter(col("vec_id") === probeId)
+      .withColumn("vec_id", lit(-1L))
+    val audited = operators.Similarity.annRecallAudit(
+        emb.unionByName(twin), "vec_id", "embedding", k = 3, probeMod = 7L)
+      .filter(col("vec_id") === probeId).collect()
+    assert(audited.length == 1 && audited(0).getLong(1) >= 1L,
+      s"planted exact twin not recovered: ${audited.toSeq}")
+    // deterministic: identical probe ids and hit counts on re-run
+    val again = graft.queries.TrainingData.embRecallAudit(spark, dir)
+      .collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      again.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
   test("t145 class scatter: hand-computed basis-vector fixture; full " +
       "matrix with non-negative masses on the real table") {
     import spark.implicits._
