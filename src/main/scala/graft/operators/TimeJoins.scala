@@ -724,7 +724,18 @@ object TimeJoins {
         floor(col(valueCol) * 100 + lit(0.5)).cast("long").as("cents"))
       .groupBy("user_id").agg(max("tsu").as("last_tsu"),
         count(lit(1)).as("frequency"), sum("cents").as("monetary_cents"))
-      .localCheckpoint()
+    rfmFromUserStats(users)
+  }
+
+  /** The RFM grid over an ALREADY-AGGREGATED per-user stats relation
+    * (user_id, last_tsu, frequency, monetary_cents) — the shared back
+    * half of [[rfmSegments]] and its streaming face
+    * ([[graft.streaming.EventStreams.userStatsStream]] maintains the
+    * same three running aggregates as keyed state), so one quartile
+    * arithmetic carries both and StreamingSpec pins them equal.
+    */
+  def rfmFromUserStats(userStats: DataFrame): DataFrame = {
+    val users = userStats.localCheckpoint()
     val hwm = users.agg(max("last_tsu").as("max_tsu"))
     val base = users.crossJoin(broadcast(hwm))
       .withColumn("recency_days",

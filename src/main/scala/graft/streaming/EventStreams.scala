@@ -156,6 +156,23 @@ object EventStreams {
           .cast("long").as("week"))
   }
 
+  /** Streaming per-user RFM stats — the online face of
+    * [[graft.operators.TimeJoins.rfmSegments]]: three running
+    * aggregates per user (last event µs, event count, summed integer
+    * cents — the t92 FLOOR(v·100+0.5) contract) as streaming keyed
+    * state, emitted in complete mode;
+    * [[graft.operators.TimeJoins.rfmFromUserStats]] is the shared
+    * back half that turns a state snapshot into the quartile grid, so
+    * the streamed segmentation equals the batch operator's
+    * (StreamingSpec pins it). State is three longs per user.
+    */
+  def userStatsStream(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id")).agg(
+      max(unix_micros(col("ts"))).as("last_tsu"),
+      count(lit(1)).as("frequency"),
+      sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+        .as("monetary_cents"))
+
   /** Streaming deduplication: drop repeated (user_id, event_type, ts)
     * events, with state bounded by the watermark
     * (dropDuplicatesWithinWatermark — the streaming face of the batch

@@ -74,6 +74,21 @@ class StreamingSpec extends AnyFunSuite {
       "online hot-bucket alarm must equal the batch burst operator")
   }
 
+  test("streaming user stats roll up to the batch RFM grid") {
+    val stream = EventStreams.readEventStream(spark, dir)
+    val stats = EventStreams.runToMemory(
+      EventStreams.userStatsStream(stream), "user_stats_out", "complete")
+    val got = operators.TimeJoins.rfmFromUserStats(stats)
+    val want = operators.TimeJoins.rfmSegments(
+      Tables.eventsNanos(spark, "/root/testdata/sf0.001")
+        .select(col("user_id"), expr("ts div 1000").as("tsu"),
+          col("value")),
+      "user_id", "tsu", "value")
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "online user-stats state must equal the batch RFM segmentation")
+  }
+
   test("streaming user-weeks roll up to the batch retention triangle") {
     val stream = EventStreams.readEventStream(spark, dir)
     val uw = EventStreams.runToMemory(
