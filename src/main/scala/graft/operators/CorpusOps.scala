@@ -751,6 +751,97 @@ object CorpusOps {
       .select("doc_id", "grp", "score", "q", "n_g", "norm_score")
   }
 
+  /** Persisted quantile-map lifecycle — the fit/transform split of
+    * score calibration ([[quantileNormalize]] is fit-and-transform on
+    * one relation; production wants the sklearn shape: FIT the
+    * reference CDF once, TRANSFORM every later batch against the
+    * FROZEN map): the store is the compressed (score → count)
+    * histogram of the reference corpus — distinct-scores-sized, the
+    * smallest faithful representation of a quantile function — and a
+    * batch row's calibrated value is its percentile under that
+    * reference, ref_cum(s) = #\{reference ≤ s\} in exact ppm.
+    *
+    * Ingestion is histogram ADDITION (count histograms merge by sum),
+    * so streamed reference ingestion equals the one-shot fit whatever
+    * the micro-batch cut, replays only add rows the read-side
+    * re-aggregation collapses, and [[compactQuantileMap]] merely
+    * reclaims (groupBy-sum + atomic swap).
+    *
+    * Transform scale shape: the batch compresses to its DISTINCT
+    * scores first, the ≤-lookup (largest reference score ≤ s, via one
+    * struct MAX over a broadcast of the reference cum relation) runs
+    * on distinct-values × distinct-values — the [[quantileNormalize]]
+    * discipline — and rows get their percentile back through one
+    * score equi-join. Nothing corpus-sized meets the inequality.
+    */
+  def fitQuantileMap(docs: DataFrame, scoreCol: String,
+      path: String): Unit = {
+    val spark = docs.sparkSession
+    spark.range(1).select(lit(scoreCol).as("score_col"))
+      .write.mode("overwrite").parquet(s"$path/meta")
+    docs.select(col(scoreCol).cast("long").as("score"))
+      .groupBy("score").agg(count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(s"$path/hist")
+  }
+
+  /** Append a new reference batch's histogram into a persisted
+    * [[fitQuantileMap]] store (histograms add — see the lifecycle
+    * scaladoc).
+    */
+  def ingestQuantileBatch(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, scoreCol: String): Unit =
+    batch.select(col(scoreCol).cast("long").as("score"))
+      .groupBy("score").agg(count(lit(1)).as("cnt"))
+      .write.mode("append").parquet(s"$path/hist")
+
+  /** Compact a persisted quantile map: one groupBy-sum rewrite of the
+    * histogram, swapped in atomically. */
+  def compactQuantileMap(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val p = s"$path/hist"
+    val staging = new org.apache.hadoop.fs.Path(p + "__staging")
+    spark.read.schema("score BIGINT, cnt BIGINT").parquet(p)
+      .groupBy("score").agg(sum("cnt").as("cnt"))
+      .write.mode("overwrite").parquet(staging.toString)
+    val dir = new org.apache.hadoop.fs.Path(p)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val retired = new org.apache.hadoop.fs.Path(p + "__retired")
+    graft.core.FsOps.deleteOrThrow(fs, retired)
+    graft.core.FsOps.renameOrThrow(fs, dir, retired)
+    graft.core.FsOps.renameOrThrow(fs, staging, dir)
+    graft.core.FsOps.deleteOrThrow(fs, retired)
+  }
+
+  /** Percentile-transform a batch against the FROZEN reference map:
+    * (id, score, ref_cum, pct_ppm) per batch row. See the lifecycle
+    * scaladoc for the shape argument.
+    */
+  def percentileFromMap(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String,
+      scoreCol: String): DataFrame = {
+    val hist = spark.read.schema("score BIGINT, cnt BIGINT")
+      .parquet(s"$path/hist")
+      .groupBy("score").agg(sum("cnt").as("cnt"))
+      .localCheckpoint() // two consumers: cum relation + total
+    val wc = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .select(col("score").as("rs"), sum("cnt").over(wc).as("rc"))
+    val nRef = hist.agg(sum("cnt").as("n_ref"))
+    val rows = batch.select(col(idCol).as("doc_id"),
+      col(scoreCol).cast("long").as("score"))
+    val scores = rows.select("score").distinct()
+    val lookup = scores
+      .join(broadcast(cum), col("rs") <= col("score"), "left")
+      .groupBy("score")
+      .agg(max(struct(col("rs"), col("rc"))).as("__m"))
+      .select(col("score"), coalesce(col("__m.rc"), lit(0L)).as("ref_cum"))
+    rows.join(lookup, "score")
+      .crossJoin(broadcast(nRef))
+      .select(col("doc_id"), col("score"), col("ref_cum"),
+        expr("(ref_cum * 1000000) div greatest(n_ref, 1)").as("pct_ppm"))
+  }
+
   /** Adjacent-bigram collocation mining by LIFT — the phrase-induction
     * pass a tokenizer/vocabulary pipeline runs to promote multiword
     * units: for every adjacent token pair seen at least `minCount`

@@ -170,30 +170,41 @@ object Dedup {
     */
   private def sigBands(docs: DataFrame, idCol: String, textCol: String,
       n: Int, numPerms: Int, bands: Int): (DataFrame, DataFrame) = {
-    val spark = docs.sparkSession
-    GraftFunctions.register(spark)
-    val rows = numPerms / bands
-    // Materialize (shingles, signature) ONCE behind a shuffle barrier:
-    // downstream this relation is consumed twice (banding explode +
-    // verify join), and without a barrier Catalyst would inline and
-    // recompute the full 64-perm signature per exploded band row
-    // (~bands× blowup). A repartition writes the signatures to shuffle
-    // files once and both consumers re-read them — unlike `.cache()`
-    // this pins no executor memory for the life of the session, and it
-    // is exactly the persist-to-disk checkpoint a 100 TB run needs.
+    val withSigB = sigRelation(docs, idCol, textCol, n, numPerms)
+    (withSigB, bandKeys(withSigB, numPerms, bands))
+  }
+
+  /** (id, sorted shingles, signature) behind a shuffle barrier:
+    * downstream this relation is consumed twice (banding explode +
+    * verify join), and without a barrier Catalyst would inline and
+    * recompute the full 64-perm signature per exploded band row
+    * (~bands× blowup). A repartition writes the signatures to shuffle
+    * files once and both consumers re-read them — unlike `.cache()`
+    * this pins no executor memory for the life of the session, and it
+    * is exactly the persist-to-disk checkpoint a 100 TB run needs.
+    */
+  private def sigRelation(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, numPerms: Int): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
     val withSig = docs.select(
       col(idCol).as("id"),
       array_sort(shingles(col(textCol), n)).as("sh"))
       .withColumn("sig", minhashSignatureFromShingles(col("sh"), numPerms))
-    val withSigB = barrier(withSig, col("id"))
+    barrier(withSig, col("id"))
+  }
 
-    // band key = a BIGINT-safe polynomial fold of the band's signature
-    // values (each < 2^31, so acc·8191 + v < 2^44) — the identical
-    // fold runs in the DuckDB oracle via list_reduce. Key collisions
-    // only ADD candidates, and identically in both engines, so the
-    // verify step keeps outputs equal. (Interpreted lambda is fine
-    // here: rows·bands = numPerms steps per doc, dwarfed by the
-    // signature loop.)
+  /** Per-(band, key) rows for one band-count choice over an existing
+    * signature relation — band key = a BIGINT-safe polynomial fold of
+    * the band's signature values (each < 2^31, so acc·8191 + v <
+    * 2^44); the identical fold runs in the DuckDB oracle via
+    * list_reduce. Key collisions only ADD candidates, and identically
+    * in both engines, so the verify step keeps outputs equal.
+    * (Interpreted lambda is fine here: rows·bands = numPerms steps
+    * per doc, dwarfed by the signature loop.)
+    */
+  private def bandKeys(withSigB: DataFrame, numPerms: Int,
+      bands: Int): DataFrame = {
+    val rows = numPerms / bands
     val banded = withSigB.select(
       col("id"),
       explode(array((0 until bands).map { b =>
@@ -205,7 +216,7 @@ object Dedup {
     // pinned on the join key: the band join's output explodes with
     // band-bucket occupancy, so its input exchange must never be
     // coalesced down by input size (see [[barrier]])
-    (withSigB, barrier(banded, col("band"), col("key")))
+    barrier(banded, col("band"), col("key"))
   }
 
   /** One-pass sorted-merge Jaccard verify of candidate (id_a, id_b)
@@ -1322,5 +1333,57 @@ object Dedup {
       i += 1
     }
     labels.select(col("node"), col("comp"))
+  }
+
+  /** LSH parameter tuning curve — the table an operator owner reads
+    * BEFORE picking the band count for a corpus: for each candidate
+    * banding of the SAME numPerms-wide signature, the candidate-pair
+    * count (what the band join will cost), the verified near-dup
+    * count at `threshold` (what it will find), precision in exact ppm
+    * (candidate efficiency — the S-curve's false-positive side), and
+    * each choice's verified yield relative to the best choice (the
+    * relative-recall side: more bands = narrower keys = more
+    * collisions = higher recall, at quadratic bucket cost). t06 runs
+    * the family default; this is the evidence for changing it.
+    *
+    * Scale shape: ONE signature pass (the expensive stage — shingle
+    * sort + numPerms permutations) is localCheckpoint-pinned and
+    * shared by every band choice; per choice the work is the band-key
+    * explode, the band equi-join, and the shared sorted-merge verify
+    * — exactly what running that configuration costs, which is the
+    * point of the audit. Per-choice results are 1-row aggregates; the
+    * cross-choice best rides back as a broadcast.
+    */
+  def lshParameterCurve(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numPerms: Int = 64, bandChoices: Seq[Int] = Seq(4, 8, 16),
+      threshold: Double = 0.5): DataFrame = {
+    require(bandChoices.nonEmpty && bandChoices == bandChoices.sorted &&
+      bandChoices.forall(b => b > 0 && numPerms % b == 0))
+    val sig = sigRelation(docs, idCol, textCol, n, numPerms)
+      .localCheckpoint()
+    val sh = sig.select(col("id"), col("sh"))
+    val curve = bandChoices.map { b =>
+      val banded = bandKeys(sig, numPerms, b)
+      val cand = banded.as("a")
+        .join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct()
+        .localCheckpoint() // two consumers: the count and the verify
+      val verified = verifyJaccard(cand, sh, sh, threshold)
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(verified.agg(count(lit(1)).as("n_verified")))
+        .select(lit(b.toLong).as("bands"),
+          lit((numPerms / b).toLong).as("rows_per_band"),
+          col("n_candidates"), col("n_verified"),
+          expr("(n_verified * 1000000) div greatest(n_candidates, 1)")
+            .as("precision_ppm"))
+    }.reduce(_ unionByName _)
+    val best = curve.agg(max("n_verified").as("__best"))
+    curve.crossJoin(broadcast(best))
+      .withColumn("vs_best_ppm",
+        expr("(n_verified * 1000000) div greatest(__best, 1)"))
+      .drop("__best")
   }
 }

@@ -1946,6 +1946,35 @@ object TrainingData {
         embargoUs = 6L * 3600L * 1000000L)
       .orderBy("event_id")
 
+  /** Persisted quantile-map lifecycle under the oracle gate
+    * ([[CorpusOps.fitQuantileMap]] → [[CorpusOps.ingestQuantileBatch]]
+    * → [[CorpusOps.percentileFromMap]]): fit the n_chars reference
+    * CDF on a third of the corpus, ingest the rest, transform EVERY
+    * document against the frozen map — histogram additivity makes the
+    * one-shot full-corpus oracle exact.
+    */
+  def docQuantilePersisted(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val path = sessionIndexPath(spark, "t152_qmap", dir) { p =>
+      CorpusOps.fitQuantileMap(docs.filter(col("doc_id") % 3 === 0),
+        "n_chars", p)
+      CorpusOps.ingestQuantileBatch(spark, p,
+        docs.filter(col("doc_id") % 3 =!= 0), "n_chars")
+    }
+    CorpusOps.percentileFromMap(spark, path, docs, "doc_id", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  /** LSH parameter tuning curve ([[Dedup.lshParameterCurve]],
+    * 64 perms banded 4/8/16 ways at threshold 0.5): candidate cost,
+    * verified yield, precision, and relative recall per band choice —
+    * the evidence table behind the family's bands=16 default.
+    */
+  def docLshCurve(spark: SparkSession, dir: String): DataFrame =
+    Dedup.lshParameterCurve(Tables.documents(spark, dir), "doc_id",
+        "text")
+      .orderBy("bands")
+
   /** ANN recall audit ([[Similarity.annRecallAudit]], k = 3,
     * probeMod = 7): recall@k of the production sign-LSH path vs the
     * exact top-k on a deterministic hash-picked probe set — the
@@ -2400,6 +2429,8 @@ object TrainingData {
     "t148_kmv_persisted" -> docKmvPersisted _,
     "t149_recall_audit" -> embRecallAudit _,
     "t150_time_split" -> eventsTimeSplit _,
+    "t151_lsh_curve" -> docLshCurve _,
+    "t152_quantile_persisted" -> docQuantilePersisted _,
   )
 
 
@@ -4000,6 +4031,54 @@ object TrainingData {
           |       WHEN tsu <= cut2 + 21600000000 THEN 'embargo'
           |       ELSE 'test' END AS split
           |FROM e, wide ORDER BY event_id""".stripMargin,
+      // t151: one full MinHash replay per band choice (the oracle
+      // pays per-choice what the engine shares via the pinned sig
+      // relation — same outputs either way)
+      "t151_lsh_curve" -> {
+        val per = Seq(4, 8, 16).map { b =>
+          s"""  (WITH ${minhashCtes(64, b, 0.5)}
+             |  SELECT CAST($b AS BIGINT) AS bands,
+             |    CAST(${64 / b} AS BIGINT) AS rows_per_band,
+             |    (SELECT CAST(COUNT(*) AS BIGINT) FROM cand)
+             |      AS n_candidates,
+             |    (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs)
+             |      AS n_verified)""".stripMargin
+        }.mkString("\n  UNION ALL\n")
+        s"""WITH u AS (
+           |$per
+           |)
+           |SELECT bands, rows_per_band, n_candidates, n_verified,
+           |  (n_verified * 1000000) // GREATEST(n_candidates, 1)
+           |    AS precision_ppm,
+           |  (n_verified * 1000000)
+           |    // GREATEST((SELECT MAX(n_verified) FROM u), 1)
+           |    AS vs_best_ppm
+           |FROM u ORDER BY bands""".stripMargin
+      },
+      // t152: fit(1/3) + ingest(2/3) == one-shot full-corpus
+      // histogram (histograms add); per-doc percentile = cum at its
+      // own score (every transformed score exists in the reference
+      // here; the engine's lookup is the general <= struct-MAX)
+      "t152_quantile_persisted" ->
+        """WITH s AS (
+          |  SELECT doc_id, CAST(n_chars AS BIGINT) AS score
+          |  FROM documents
+          |), h AS (
+          |  SELECT score, CAST(COUNT(*) AS BIGINT) AS cnt
+          |  FROM s GROUP BY 1
+          |), c AS (
+          |  SELECT score, SUM(cnt) OVER (ORDER BY score
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |    AS ref_cum
+          |  FROM h
+          |), n AS (
+          |  SELECT SUM(cnt) AS n_ref FROM h
+          |)
+          |SELECT doc_id, score, CAST(ref_cum AS BIGINT) AS ref_cum,
+          |  CAST((ref_cum * 1000000) // GREATEST(n_ref, 1) AS BIGINT)
+          |    AS pct_ppm
+          |FROM s JOIN c USING (score) CROSS JOIN n
+          |ORDER BY doc_id""".stripMargin,
       // t116: the sharded-hash order, global cumsum, pointer floors,
       // and split-exact ppm inclusion probability
       "t116_pps_sample" ->

@@ -401,6 +401,28 @@ object EventStreams {
     q.stop()
   }
 
+  /** Streaming quantile-map maintenance: per micro-batch, add the
+    * arriving reference documents' score histogram into the persisted
+    * map ([[graft.operators.CorpusOps.ingestQuantileBatch]]).
+    * Histograms ADD, so the final map is independent of the
+    * micro-batch cut (StreamingSpec pins streamed fit equal to the
+    * one-shot fit) and the transform face
+    * ([[graft.operators.CorpusOps.percentileFromMap]]) over the live
+    * store calibrates against everything streamed so far.
+    */
+  def quantileIngestStream(docs: DataFrame, scoreCol: String,
+      path: String): Unit = {
+    val q = docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.CorpusOps.ingestQuantileBatch(
+          batch.sparkSession, path, batch.toDF(), scoreCol)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Streaming inverted-index maintenance: per micro-batch, ingest
     * the arriving documents into the persisted term-bucketed index
     * via [[graft.operators.CorpusOps.appendToInvertedIndex]] — batch

@@ -720,6 +720,50 @@ class StreamingSpec extends AnyFunSuite {
       "store answer must run on the pinned sketch relation only")
   }
 
+  test("streaming quantile-map ingestion: histogram additivity makes " +
+      "the streamed map equal the one-shot fit; transform calibrates") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.CorpusOps
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val d = java.nio.file.Files.createTempDirectory("graft_qmap")
+    val store = d.resolve("map").toString
+    val oneShot = d.resolve("map_full").toString
+    CorpusOps.fitQuantileMap(docs.filter(col("doc_id") % 3 === 0),
+      "n_chars", store)
+    val arrivals = docs.filter(col("doc_id") % 3 =!= 0)
+    arrivals.repartition(3).write.parquet(d.resolve("in").toString)
+    EventStreams.quantileIngestStream(
+      spark.readStream.schema(arrivals.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d.resolve("in").toString),
+      "n_chars", store)
+    CorpusOps.fitQuantileMap(docs, "n_chars", oneShot)
+    val got = CorpusOps.percentileFromMap(spark, store, docs,
+      "doc_id", "n_chars")
+    val want = CorpusOps.percentileFromMap(spark, oneShot, docs,
+      "doc_id", "n_chars")
+    assert(got.count() == docs.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "streamed-ingested map diverges from the one-shot fit")
+    // compaction reclaims to one row per distinct score, same answers
+    CorpusOps.compactQuantileMap(spark, store)
+    val hist = spark.read.parquet(s"$store/hist")
+    assert(hist.count() == hist.select("score").distinct().count(),
+      "compaction left duplicate score rows")
+    val after = CorpusOps.percentileFromMap(spark, store, docs,
+      "doc_id", "n_chars")
+    assert(after.exceptAll(want).isEmpty && want.exceptAll(after).isEmpty,
+      "compaction changed the calibrated percentiles")
+    // a probe below every reference score calibrates to exactly 0;
+    // one above everything calibrates to exactly 1e6
+    import spark.implicits._
+    val probes = Seq((-1L, -5L), (-2L, 1000000L)).toDF("doc_id", "n_chars")
+    val p = CorpusOps.percentileFromMap(spark, store, probes,
+      "doc_id", "n_chars")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(p == Map(-1L -> 0L, -2L -> 1000000L), s"got $p")
+  }
+
   test("streaming IVF-PQ ingestion: micro-batch cuts leave the same " +
       "index state as one batch append") {
     import org.apache.spark.sql.functions.col

@@ -2652,6 +2652,28 @@ class TrainingDataSpec extends AnyFunSuite {
       operators.Dedup.contrastivePairs(docs, "doc_id", "text"), "contrastivePairs")
   }
 
+  test("t151 LSH curve: candidates and yield grow with band count; " +
+      "the family row replays minhashLsh exactly") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir)
+    val curve = operators.Dedup.lshParameterCurve(docs, "doc_id", "text")
+      .orderBy("bands").collect()
+    assert(curve.length == 3)
+    // narrower band keys collide more: candidates and verified pairs
+    // are non-decreasing in the band count (collision supersets)
+    val cands = curve.map(_.getLong(2)).toSeq
+    val ver = curve.map(_.getLong(3)).toSeq
+    assert(cands == cands.sorted, s"candidates not monotone: $cands")
+    assert(ver == ver.sorted, s"verified not monotone: $ver")
+    // relative recall tops out at exactly 1e6 on the best choice
+    assert(curve.map(_.getLong(5)).max == 1000000L)
+    // the bands=16 row IS the family configuration: its verified
+    // count equals the t06 operator's pair count
+    val family = operators.Dedup.minhashLsh(docs, "doc_id", "text").count()
+    assert(curve.last.getLong(3) == family,
+      s"curve(16) ${curve.last.getLong(3)} != minhashLsh $family")
+  }
+
   test("t149 recall audit: recall bounded and positive; a planted " +
       "exact twin is always recovered; probe set is deterministic") {
     import org.apache.spark.sql.functions._
