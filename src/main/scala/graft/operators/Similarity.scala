@@ -1472,6 +1472,23 @@ object Similarity {
     * order), so the two top-k SETS are equal as sets — hits are an
     * equi-join on (vec_id, neighbor_id), never a float comparison.
     */
+  /** [[annRecallAudit]] with the probe rate sized from the data so
+    * the AUDIT BUDGET stays fixed as the corpus grows: probeMod =
+    * max(1, n div probeTarget) keeps ~probeTarget probes at any
+    * scale, making the exact side ~probeTarget·n dots — LINEAR in n
+    * (a fixed probeMod would scale probes WITH the corpus and turn
+    * the audit quadratic; the t98 lesson, fixed at the operator).
+    * The eager count is the documented adaptive-parameter tradeoff
+    * shared with [[planesFor]]; the oracle replays the same integer
+    * division off COUNT(*).
+    */
+  def annRecallAuditAuto(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int = 3, probeTarget: Long = 70L): DataFrame = {
+    require(probeTarget > 0)
+    val n = emb.count()
+    annRecallAudit(emb, idCol, vecCol, k, math.max(1L, n / probeTarget))
+  }
+
   def annRecallAudit(emb: DataFrame, idCol: String, vecCol: String,
       k: Int, probeMod: Long): DataFrame = {
     require(k > 0 && probeMod > 0)

@@ -1981,8 +1981,8 @@ object TrainingData {
     * recall-SLO relation, oracle-gated end to end.
     */
   def embRecallAudit(spark: SparkSession, dir: String): DataFrame =
-    Similarity.annRecallAudit(Tables.embeddings(spark, dir), "vec_id",
-        "embedding", k = 3, probeMod = 7L)
+    Similarity.annRecallAuditAuto(Tables.embeddings(spark, dir), "vec_id",
+        "embedding", k = 3, probeTarget = 70L)
       .orderBy("vec_id")
 
   /** Persisted KMV sketch-store lifecycle under the oracle gate
@@ -3924,16 +3924,21 @@ object TrainingData {
       // ingest the rest) — KMV's merge law makes the ONE-SHOT
       // full-corpus replay the exact gate
       "t148_kmv_persisted" -> kmvOverlapOracleSql(64),
-      // t149: probe set from the shared idMix hash; exact side is
-      // probe×corpus; ANN side replays the t09 pipeline verbatim;
-      // hits are an equi-join of the two top-k sets (bit-identical
-      // cosines, shared tie order), never a float compare
+      // t149: probe set from the shared idMix hash at a FIXED audit
+      // budget (probeMod = max(1, n div 70) — the planesFor ladder's
+      // discipline, so the exact side stays ~70·n dots at any scale);
+      // ANN side replays the t09 pipeline verbatim; hits are an
+      // equi-join of the two top-k sets (bit-identical cosines,
+      // shared tie order), never a float compare
       "t149_recall_audit" ->
         s"""WITH v AS (
            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
            |  FROM embeddings
+           |), pm AS (
+           |  SELECT GREATEST(1, COUNT(*) // 70) AS probe_mod FROM v
            |), probes AS (
-           |  SELECT vec_id FROM v WHERE ${idMixSql("vec_id")} % 7 = 0
+           |  SELECT vec_id FROM v, pm
+           |  WHERE ${idMixSql("vec_id")} % probe_mod = 0
            |), ex AS (
            |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
            |    list_reduce(list_transform(range(1, 65), i ->
