@@ -1472,6 +1472,52 @@ object Similarity {
     * order), so the two top-k SETS are equal as sets — hits are an
     * equi-join on (vec_id, neighbor_id), never a float comparison.
     */
+  /** IVF index-staleness report — the "when do we rebuild" read that
+    * completes the persisted-index lifecycle (build → ingest → search
+    * → STALENESS): a frozen quantizer serves arrivals between
+    * rebuilds ([[appendToIvfPqIndex]]'s contract), and this operator
+    * measures how far the CURRENT corpus has drifted from the
+    * distribution the quantizer was trained on — per stored cell, the
+    * indexed population vs the current corpus's assignment under the
+    * SAME frozen centroids, as exact ppm shares and their absolute
+    * drift. Rising drift means probes fan into cells that no longer
+    * bound their lists (recall decays, hot cells melt executors);
+    * the report is the rebuild trigger an index owner alarms on, and
+    * it pairs with [[annRecallAudit]] (symptom) as cause.
+    *
+    * Scale shape: the stored `cells` relation collapses to per-cell
+    * counts (map-side combine); the current corpus makes ONE pass
+    * through the broadcast-centroid assignment (nlist-row broadcast,
+    * the t16 plan) into the same collapse; everything downstream runs
+    * on the nlist-row relation with 1-row total broadcasts.
+    */
+  def ivfStalenessReport(spark: org.apache.spark.sql.SparkSession,
+      path: String, emb: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val c = spark.read.parquet(s"$path/centroids")
+    val indexed = spark.read.schema(CellsSchema).parquet(s"$path/cells")
+      .groupBy("cell").agg(count(lit(1)).as("n_indexed"))
+    val current = assignCells(withNorm(emb, idCol, vecCol), c)
+      .groupBy("cell").agg(count(lit(1)).as("n_current"))
+    val joined = c.select(col("cid").as("cell"))
+      .join(indexed, Seq("cell"), "left")
+      .join(current, Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n_indexed"), lit(0L)).as("n_indexed"),
+        coalesce(col("n_current"), lit(0L)).as("n_current"))
+      .localCheckpoint() // nlist rows, two consumers (cells + totals)
+    val tot = joined.agg(sum("n_indexed").as("ti"),
+      sum("n_current").as("tc"))
+    joined.crossJoin(broadcast(tot))
+      .withColumn("indexed_ppm",
+        expr("(n_indexed * 1000000) div greatest(ti, 1)"))
+      .withColumn("current_ppm",
+        expr("(n_current * 1000000) div greatest(tc, 1)"))
+      .select(col("cell"), col("n_indexed"), col("n_current"),
+        col("indexed_ppm"), col("current_ppm"),
+        abs(col("indexed_ppm") - col("current_ppm")).as("drift_ppm"))
+  }
+
   /** [[annRecallAudit]] with the probe rate sized from the data so
     * the AUDIT BUDGET stays fixed as the corpus grows: probeMod =
     * max(1, n div probeTarget) keeps ~probeTarget probes at any

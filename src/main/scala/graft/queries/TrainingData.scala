@@ -1946,6 +1946,23 @@ object TrainingData {
         embargoUs = 6L * 3600L * 1000000L)
       .orderBy("event_id")
 
+  /** IVF index-staleness report ([[Similarity.ivfStalenessReport]]):
+    * build the IVF-PQ index over a tenth of the corpus (quantizer
+    * frozen at that snapshot), then measure the FULL corpus's drift
+    * from it per cell — the rebuild-trigger relation. The oracle
+    * replays the Lloyd training over the index split and both
+    * assignments under the frozen centroids.
+    */
+  def embIvfStaleness(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val path = sessionIndexPath(spark, "t153_ivf", dir) { p =>
+      Similarity.buildIvfPqIndex(emb.filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", p, minNlist = 16, m = 4, ksub = 16)
+    }
+    Similarity.ivfStalenessReport(spark, path, emb, "vec_id", "embedding")
+      .orderBy("cell")
+  }
+
   /** Persisted quantile-map lifecycle under the oracle gate
     * ([[CorpusOps.fitQuantileMap]] → [[CorpusOps.ingestQuantileBatch]]
     * → [[CorpusOps.percentileFromMap]]): fit the n_chars reference
@@ -2431,6 +2448,7 @@ object TrainingData {
     "t150_time_split" -> eventsTimeSplit _,
     "t151_lsh_curve" -> docLshCurve _,
     "t152_quantile_persisted" -> docQuantilePersisted _,
+    "t153_ivf_staleness" -> embIvfStaleness _,
   )
 
 
@@ -4060,6 +4078,53 @@ object TrainingData {
            |    AS vs_best_ppm
            |FROM u ORDER BY bands""".stripMargin
       },
+      // t153: Lloyd replay over the index split; BOTH assignments
+      // under the frozen lc2 centroids; nlist-row arithmetic
+      "t153_ivf_staleness" ->
+        s"""WITH v AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+           |  FROM embeddings
+           |), idxv AS (
+           |  SELECT * FROM v WHERE vec_id % 10 = 0
+           |), ${lloydCtes("idxv", 16)}, ia AS (
+           |  SELECT vec_id, cid FROM (
+           |    SELECT w.vec_id, c.cid,
+           |      ROW_NUMBER() OVER (PARTITION BY w.vec_id
+           |        ORDER BY ${cosSql("w.e", "c.ce")} DESC, c.cid) AS pr
+           |    FROM idxv w, lc2 c) x
+           |  WHERE pr = 1
+           |), ca AS (
+           |  SELECT vec_id, cid FROM (
+           |    SELECT w.vec_id, c.cid,
+           |      ROW_NUMBER() OVER (PARTITION BY w.vec_id
+           |        ORDER BY ${cosSql("w.e", "c.ce")} DESC, c.cid) AS pr
+           |    FROM v w, lc2 c) x
+           |  WHERE pr = 1
+           |), ni AS (
+           |  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_indexed
+           |  FROM ia GROUP BY 1
+           |), nc AS (
+           |  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_current
+           |  FROM ca GROUP BY 1
+           |), j AS (
+           |  SELECT lc2.cid AS cell,
+           |    COALESCE(n_indexed, 0) AS n_indexed,
+           |    COALESCE(n_current, 0) AS n_current
+           |  FROM lc2
+           |  LEFT JOIN ni ON ni.cid = lc2.cid
+           |  LEFT JOIN nc ON nc.cid = lc2.cid
+           |), t AS (
+           |  SELECT SUM(n_indexed) AS ti, SUM(n_current) AS tc FROM j
+           |)
+           |SELECT cell, n_indexed, n_current,
+           |  CAST((n_indexed * 1000000) // GREATEST(ti, 1) AS BIGINT)
+           |    AS indexed_ppm,
+           |  CAST((n_current * 1000000) // GREATEST(tc, 1) AS BIGINT)
+           |    AS current_ppm,
+           |  CAST(ABS((n_indexed * 1000000) // GREATEST(ti, 1)
+           |    - (n_current * 1000000) // GREATEST(tc, 1)) AS BIGINT)
+           |    AS drift_ppm
+           |FROM j, t ORDER BY cell""".stripMargin,
       // t152: fit(1/3) + ingest(2/3) == one-shot full-corpus
       // histogram (histograms add); per-doc percentile = cum at its
       // own score (every transformed score exists in the reference

@@ -2652,6 +2652,39 @@ class TrainingDataSpec extends AnyFunSuite {
       operators.Dedup.contrastivePairs(docs, "doc_id", "text"), "contrastivePairs")
   }
 
+  test("t153 IVF staleness: self-audit drifts exactly zero; shares " +
+      "sum to 1e6 minus floor dust; a planted shift raises drift") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, dir)
+    val d = java.nio.file.Files.createTempDirectory("graft_stale")
+    val p = d.resolve("idx").toString
+    val split = emb.filter(col("vec_id") % 10 === 0)
+    Similarity.buildIvfPqIndex(split, "vec_id", "embedding", p,
+      minNlist = 16, m = 4, ksub = 16)
+    // auditing the index against ITS OWN snapshot: same frozen
+    // centroids, same rows -> every cell drifts exactly 0
+    val self = Similarity.ivfStalenessReport(spark, p, split,
+      "vec_id", "embedding").collect()
+    assert(self.nonEmpty && self.forall(_.getLong(5) == 0L),
+      s"self-audit must read zero drift: ${self.map(_.getLong(5)).toSeq}")
+    // ppm shares sum to 1e6 minus at most nlist floor crumbs
+    val full = Similarity.ivfStalenessReport(spark, p, emb,
+      "vec_id", "embedding").collect()
+    val si = full.map(_.getLong(3)).sum
+    val sc = full.map(_.getLong(4)).sum
+    assert(si > 1000000L - full.length && si <= 1000000L, s"si=$si")
+    assert(sc > 1000000L - full.length && sc <= 1000000L, s"sc=$sc")
+    // planted drift: rotate every current vector one position — the
+    // rotated corpus must read MORE total drift than the real one
+    val rotated = emb.withColumn("embedding",
+      concat(slice(col("embedding"), 2, 1 << 20),
+        slice(col("embedding"), 1, 1)))
+    val drifted = Similarity.ivfStalenessReport(spark, p, rotated,
+      "vec_id", "embedding").collect()
+    assert(drifted.map(_.getLong(5)).sum > full.map(_.getLong(5)).sum,
+      "a rotated corpus must drift more than the genuine one")
+  }
+
   test("t151 LSH curve: candidates and yield grow with band count; " +
       "the family row replays minhashLsh exactly") {
     import org.apache.spark.sql.functions._
