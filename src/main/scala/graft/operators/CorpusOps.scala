@@ -2609,6 +2609,14 @@ object CorpusOps {
       bands, threshold, candOpt = candOpt).select("id_a", "id_b")
     val sp = assignSplits(docs, idCol, valPct, testPct)
       .select(col("doc_id"), col("split"))
+    leakageCells(pairs, sp)
+  }
+
+  /** The (split_a ≤ split_b) cell collapse shared by [[splitLeakage]]
+    * (text near-dups) and [[semanticSplitLeakage]] (embedding
+    * near-dups) — one arithmetic, two confirmation channels.
+    */
+  private def leakageCells(pairs: DataFrame, sp: DataFrame): DataFrame = {
     val cells = pairs
       .join(sp.select(col("doc_id").as("id_a"), col("split").as("sa")), "id_a")
       .join(sp.select(col("doc_id").as("id_b"), col("split").as("sb")), "id_b")
@@ -2621,6 +2629,33 @@ object CorpusOps {
       .select(col("split_a"), col("split_b"), col("n_pairs"),
         (col("split_a") =!= col("split_b")).as("leaked"),
         expr("(n_pairs * 1000000) div n_total").as("share_ppm"))
+  }
+
+  /** SEMANTIC split-leakage audit — the embedding twin of
+    * [[splitLeakage]]: eval contamination through paraphrase and
+    * re-encoding, which a text-level MinHash structurally cannot see
+    * (SemDeDup's motivating case), measured as cosine-near-dup pairs
+    * (sign-LSH buckets at the data-sized plane count, exact cosine
+    * verify at `threshold`) landing in canonical (split_a ≤ split_b)
+    * cells under the SAME cluster-blind hash split t137 audits. Read
+    * both: text leakage says "the eval set has verbatim twins in
+    * train"; semantic leakage says "the eval set is paraphrased in
+    * train" — the second number is the one embedding-model and
+    * LLM-eval owners actually fear.
+    *
+    * Scale shape: pair generation is the t13 bucketed plan (per-bucket
+    * joins, never all-pairs); the split lookup is two id equi-joins;
+    * the cell relation is ≤ |splits|² rows, pinned for its two
+    * consumers.
+    */
+  def semanticSplitLeakage(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.5, valPct: Int = 10,
+      testPct: Int = 10): DataFrame = {
+    val pairs = Similarity.lshNearDupPairsAuto(emb, idCol, vecCol,
+      threshold).select("id_a", "id_b")
+    leakageCells(pairs,
+      assignSplits(emb, idCol, valPct, testPct)
+        .select(col("doc_id"), col("split")))
   }
 
   /** Cross-source near-dup attribution matrix — WHO copies WHOM, at

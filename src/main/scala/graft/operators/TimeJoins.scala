@@ -786,6 +786,71 @@ object TimeJoins {
       when(col(s"${m}2") < v, 1L).otherwise(0L) +
       when(col(s"${m}3") < v, 1L).otherwise(0L)).cast("long")
 
+  /** Behavioral drift report — did user BEHAVIOR change between the
+    * first and second time half of the log? The event-stream analog
+    * of [[graft.operators.CorpusOps.sourceDivergence]] (which asks it
+    * of token distributions): each half's first-order transition
+    * matrix ([[eventTransitions]]' cells, computed per half with lag
+    * windows that never cross the cut), row-normalized to each half's
+    * own ppm mass, full-outer-joined cell-for-cell with absolute
+    * deviations. A reader sums dev_ppm for the L1 drift number, or
+    * reads the top cells for WHICH transition moved — the alarm that
+    * invalidates a next-event model trained on the old half.
+    *
+    * The cut is the exact median event time from the compressed
+    * timestamp histogram (the [[purgedTimeSplit]] machinery at one
+    * target). Pairs that straddle the cut belong to neither half by
+    * construction (the lag window partitions on (user, half)) —
+    * identically in both engines.
+    *
+    * Scale shape: ONE (user, half)-keyed window exchange for the lag
+    * pairs; cells are ≤ 2·|types|² rows; the full outer join and ppm
+    * arithmetic run on that broadcast-sized relation.
+    */
+  def behaviorDrift(events: DataFrame, userCol: String, tsUsCol: String,
+      ordCol: String, typeCol: String): DataFrame = {
+    val e = events.select(col(userCol).as("user_id"),
+      col(tsUsCol).as("tsu"), col(ordCol).as("event_id"),
+      col(typeCol).as("to_type"))
+    val hist = Dedup.barrier(
+      e.groupBy("tsu").agg(count(lit(1)).as("cnt")), col("tsu"))
+      .localCheckpoint()
+    val wc = Window.orderBy("tsu")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val n = hist.agg(sum("cnt").as("n"))
+    val cut = hist.withColumn("cum", sum("cnt").over(wc))
+      .crossJoin(broadcast(n))
+      .filter(col("cum") >= expr("(n + 1) div 2"))
+      .agg(min("tsu").as("cut"))
+    val w = Window.partitionBy("user_id", "half").orderBy("tsu", "event_id")
+    val pairs = e.crossJoin(broadcast(cut))
+      .withColumn("half", when(col("tsu") <= col("cut"), 1L).otherwise(2L))
+      .withColumn("from_type", lag(col("to_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+    val cells = Dedup.barrier(
+      pairs.groupBy("half", "from_type", "to_type")
+        .agg(count(lit(1)).as("cnt")),
+      col("half")).localCheckpoint()
+    val tots = cells.groupBy("half").agg(sum("cnt").as("tot"))
+    val ppm = cells.join(broadcast(tots), "half")
+      .select(col("half"), col("from_type"), col("to_type"), col("cnt"),
+        expr("(cnt * 1000000) div tot").as("ppm"))
+    val h1 = ppm.filter(col("half") === 1L)
+      .select(col("from_type"), col("to_type"),
+        col("cnt").as("n_first"), col("ppm").as("ppm_first"))
+    val h2 = ppm.filter(col("half") === 2L)
+      .select(col("from_type"), col("to_type"),
+        col("cnt").as("n_second"), col("ppm").as("ppm_second"))
+    h1.join(h2, Seq("from_type", "to_type"), "full_outer")
+      .select(col("from_type"), col("to_type"),
+        coalesce(col("n_first"), lit(0L)).as("n_first"),
+        coalesce(col("n_second"), lit(0L)).as("n_second"),
+        coalesce(col("ppm_first"), lit(0L)).as("ppm_first"),
+        coalesce(col("ppm_second"), lit(0L)).as("ppm_second"))
+      .withColumn("dev_ppm",
+        abs(col("ppm_first") - col("ppm_second")))
+  }
+
   /** Purged walk-forward time split with embargo — the TEMPORAL
     * leakage-safe split (the de Prado purged/embargoed discipline)
     * next to the near-dup-aware splits of t78/t110: events split by

@@ -1946,6 +1946,28 @@ object TrainingData {
         embargoUs = 6L * 3600L * 1000000L)
       .orderBy("event_id")
 
+  /** Behavioral drift report ([[TimeJoins.behaviorDrift]]): the two
+    * time halves' transition matrices, cell-for-cell, with exact ppm
+    * deviations — the next-event-model invalidation alarm.
+    */
+  def eventsBehaviorDrift(spark: SparkSession, dir: String): DataFrame =
+    TimeJoins.behaviorDrift(
+        Tables.eventsNanos(spark, dir)
+          .select(col("user_id"), expr("ts div 1000").as("tsu"),
+            col("event_id"), col("event_type")),
+        "user_id", "tsu", "event_id", "event_type")
+      .orderBy("from_type", "to_type")
+
+  /** Semantic split-leakage audit ([[CorpusOps.semanticSplitLeakage]],
+    * cosine ≥ 0.4 under the auto-sized sign-LSH buckets): paraphrase
+    * contamination of a cluster-blind split — the embedding twin of
+    * t137's text audit.
+    */
+  def embSplitLeakage(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.semanticSplitLeakage(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", threshold = 0.4)
+      .orderBy("split_a", "split_b")
+
   /** IVF index-staleness report ([[Similarity.ivfStalenessReport]]):
     * build the IVF-PQ index over a tenth of the corpus (quantizer
     * frozen at that snapshot), then measure the FULL corpus's drift
@@ -2449,6 +2471,8 @@ object TrainingData {
     "t151_lsh_curve" -> docLshCurve _,
     "t152_quantile_persisted" -> docQuantilePersisted _,
     "t153_ivf_staleness" -> embIvfStaleness _,
+    "t154_semantic_leakage" -> embSplitLeakage _,
+    "t155_behavior_drift" -> eventsBehaviorDrift _,
   )
 
 
@@ -4078,6 +4102,117 @@ object TrainingData {
            |    AS vs_best_ppm
            |FROM u ORDER BY bands""".stripMargin
       },
+      // t155: median-time cut from the compressed ts histogram, lag
+      // pairs per (user, half), per-half ppm, full-outer deviations
+      "t155_behavior_drift" ->
+        """WITH e AS (
+          |  SELECT user_id, epoch_us(ts) AS tsu, event_id,
+          |    event_type AS to_type
+          |  FROM events
+          |), h AS (
+          |  SELECT tsu, CAST(COUNT(*) AS BIGINT) AS cnt FROM e GROUP BY 1
+          |), n AS (
+          |  SELECT SUM(cnt) AS n FROM h
+          |), cu AS (
+          |  SELECT tsu, SUM(cnt) OVER (ORDER BY tsu
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          |  FROM h
+          |), ct AS (
+          |  SELECT MIN(tsu) AS cut FROM cu, n WHERE cum >= (n + 1) // 2
+          |), p AS (
+          |  SELECT CASE WHEN tsu <= (SELECT cut FROM ct)
+          |           THEN 1 ELSE 2 END AS half,
+          |    user_id, tsu, event_id, to_type,
+          |    LAG(to_type) OVER (
+          |      PARTITION BY user_id,
+          |        CASE WHEN tsu <= (SELECT cut FROM ct) THEN 1 ELSE 2 END
+          |      ORDER BY tsu, event_id) AS from_type
+          |  FROM e
+          |), c AS (
+          |  SELECT half, from_type, to_type,
+          |    CAST(COUNT(*) AS BIGINT) AS cnt
+          |  FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2, 3
+          |), tt AS (
+          |  SELECT half, SUM(cnt) AS tot FROM c GROUP BY 1
+          |), pp AS (
+          |  SELECT c.half, from_type, to_type, cnt,
+          |    CAST((cnt * 1000000) // tot AS BIGINT) AS ppm
+          |  FROM c JOIN tt ON c.half = tt.half
+          |), h1 AS (
+          |  SELECT from_type, to_type, cnt AS n_first, ppm AS ppm_first
+          |  FROM pp WHERE half = 1
+          |), h2 AS (
+          |  SELECT from_type, to_type, cnt AS n_second, ppm AS ppm_second
+          |  FROM pp WHERE half = 2
+          |)
+          |SELECT COALESCE(h1.from_type, h2.from_type) AS from_type,
+          |  COALESCE(h1.to_type, h2.to_type) AS to_type,
+          |  COALESCE(n_first, 0) AS n_first,
+          |  COALESCE(n_second, 0) AS n_second,
+          |  COALESCE(ppm_first, 0) AS ppm_first,
+          |  COALESCE(ppm_second, 0) AS ppm_second,
+          |  ABS(COALESCE(ppm_first, 0) - COALESCE(ppm_second, 0))
+          |    AS dev_ppm
+          |FROM h1 FULL OUTER JOIN h2
+          |  ON h1.from_type = h2.from_type AND h1.to_type = h2.to_type
+          |ORDER BY from_type, to_type""".stripMargin,
+      // t154: the t13 bucketed pair chain at threshold 0.5 + the
+      // t137 split/cell tail — paraphrase contamination, cell-exact
+      "t154_semantic_leakage" ->
+        s"""WITH v AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+           |), params AS (
+           |  SELECT COUNT(*) AS n FROM v
+           |), pl AS (
+           |  SELECT CASE WHEN n <= 7680 THEN 8 WHEN n <= 15360 THEN 9 WHEN n <= 30720 THEN 10 WHEN n <= 61440 THEN 11 WHEN n <= 122880 THEN 12 WHEN n <= 245760 THEN 13 WHEN n <= 491520 THEN 14 WHEN n <= 983040 THEN 15 WHEN n <= 1966080 THEN 16 WHEN n <= 3932160 THEN 17 WHEN n <= 7864320 THEN 18 WHEN n <= 15728640 THEN 19 WHEN n <= 31457280 THEN 20 WHEN n <= 62914560 THEN 21 WHEN n <= 125829120 THEN 22 WHEN n <= 251658240 THEN 23 ELSE 24 END AS planes FROM params
+           |), proj AS (
+           |  SELECT vec_id, p,
+           |    list_reduce(list_transform(range(1, 65), i ->
+           |      e[CAST(i AS INT)] *
+           |      (CASE WHEN ((p * 1024 + i - 1) * 2654435761 + 123456789) % 4294967296
+           |                 >= 2147483648
+           |            THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)),
+           |      (x, y) -> x + y) AS pr
+           |  FROM v, pl, range(0, 24) t(p) WHERE t.p < pl.planes
+           |), bkt AS (
+           |  SELECT vec_id,
+           |    CAST(SUM(CASE WHEN pr >= 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS bucket
+           |  FROM proj GROUP BY vec_id
+           |), v2 AS (
+           |  SELECT v.vec_id, v.e, bkt.bucket FROM v JOIN bkt USING (vec_id)
+           |), p2 AS (
+           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |    list_reduce(list_transform(range(1, 65), i ->
+           |      a.e[CAST(i AS INT)] * b.e[CAST(i AS INT)]), (x, y) -> x + y) /
+           |    (sqrt(list_reduce(list_transform(range(1, 65), i ->
+           |      a.e[CAST(i AS INT)] * a.e[CAST(i AS INT)]), (x, y) -> x + y)) *
+           |     sqrt(list_reduce(list_transform(range(1, 65), i ->
+           |      b.e[CAST(i AS INT)] * b.e[CAST(i AS INT)]), (x, y) -> x + y)))
+           |    AS cosine_sim
+           |  FROM v2 a JOIN v2 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+           |), pr2 AS (
+           |  SELECT id_a, id_b FROM p2 WHERE cosine_sim >= 0.4
+           |), sp AS (
+           |  SELECT vec_id AS doc_id,
+           |    CASE WHEN ${idMixSql("vec_id")} % 100 < 10 THEN 'val'
+           |         WHEN ${idMixSql("vec_id")} % 100 < 20 THEN 'test'
+           |         ELSE 'train' END AS split
+           |  FROM v
+           |), cells AS (
+           |  SELECT LEAST(sa.split, sb.split) AS split_a,
+           |    GREATEST(sa.split, sb.split) AS split_b,
+           |    CAST(COUNT(*) AS BIGINT) AS n_pairs
+           |  FROM pr2 p JOIN sp sa ON p.id_a = sa.doc_id
+           |  JOIN sp sb ON p.id_b = sb.doc_id
+           |  GROUP BY 1, 2
+           |), tot AS (
+           |  SELECT CAST(SUM(n_pairs) AS BIGINT) AS n_total FROM cells
+           |)
+           |SELECT split_a, split_b, n_pairs,
+           |  split_a <> split_b AS leaked,
+           |  (n_pairs * 1000000) // n_total AS share_ppm
+           |FROM cells, tot
+           |ORDER BY split_a, split_b""".stripMargin,
       // t153: Lloyd replay over the index split; BOTH assignments
       // under the frozen lc2 centroids; nlist-row arithmetic
       "t153_ivf_staleness" ->

@@ -160,6 +160,40 @@ class TimeJoinsSpec extends AnyFunSuite {
       q28.contains("BroadcastHashJoin"), "range join lost its bucket equi-join")
   }
 
+  test("behaviorDrift: hand-computed half matrices; no pair crosses " +
+      "the median cut; ppm masses balance") {
+    // one user, 8 events; half 1 (ts 1..4) walks a,b,a,b and half 2
+    // (ts 5..8) walks a,c,a,c -> the behavior flip shows as four
+    // fully-deviating cells; the b->? pair that would straddle the
+    // cut (ts4 b -> ts5 a) must NOT appear in either half
+    val events = Seq(
+      (1L, 1L, 1L, "a"), (1L, 2L, 2L, "b"), (1L, 3L, 3L, "a"),
+      (1L, 4L, 4L, "b"),
+      (1L, 5L, 5L, "a"), (1L, 6L, 6L, "c"), (1L, 7L, 7L, "a"),
+      (1L, 8L, 8L, "c")
+    ).toDF("user_id", "tsu", "event_id", "etype")
+    val got = TimeJoins.behaviorDrift(events, "user_id", "tsu",
+        "event_id", "etype")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(6)))).toMap
+    assert(got == Map(
+      ("a", "b") -> ((2L, 0L, 666666L)),
+      ("b", "a") -> ((1L, 0L, 333333L)),
+      ("a", "c") -> ((0L, 2L, 666666L)),
+      ("c", "a") -> ((0L, 1L, 333333L))), s"got $got")
+    // real table: per-half ppm masses each sum to 1e6 minus dust
+    import org.apache.spark.sql.functions.{col => c2, expr => e2}
+    val real = TimeJoins.behaviorDrift(
+      Tables.eventsNanos(spark, "/root/testdata/sf0.001")
+        .select(c2("user_id"), e2("ts div 1000").as("tsu"),
+          c2("event_id"), c2("event_type")),
+      "user_id", "tsu", "event_id", "event_type").collect()
+    val s1 = real.map(_.getLong(4)).sum
+    val s2 = real.map(_.getLong(5)).sum
+    assert(s1 > 1000000L - real.length && s1 <= 1000000L, s"s1=$s1")
+    assert(s2 > 1000000L - real.length && s2 <= 1000000L, s"s2=$s2")
+  }
+
   test("purgedTimeSplit: hand-computed cuts; embargo zones bracket " +
       "each boundary; classes are time-monotone") {
     import org.apache.spark.sql.functions.{col, expr}

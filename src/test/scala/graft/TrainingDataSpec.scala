@@ -2652,6 +2652,31 @@ class TrainingDataSpec extends AnyFunSuite {
       operators.Dedup.contrastivePairs(docs, "doc_id", "text"), "contrastivePairs")
   }
 
+  test("t154 semantic leakage: a planted cross-split twin surfaces " +
+      "as a leaked cell; shares sum to 1e6 minus floor dust") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, dir)
+    // find a train-split vector and clone it under an id that hashes
+    // into a DIFFERENT split — the pair is a guaranteed semantic leak
+    // (cosine exactly 1.0, same LSH bucket by construction)
+    val sp = operators.CorpusOps.assignSplits(emb, "vec_id", 10, 10)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val srcId = sp.collectFirst { case (id, "train") => id }.get
+    val twinId = (1L to 100000L).map(-_)
+      .find(i => operators.CorpusOps.idMixLong(i) % 100 < 10).get // 'val'
+    val twin = emb.filter(col("vec_id") === srcId)
+      .withColumn("vec_id", lit(twinId))
+    val cells = operators.CorpusOps.semanticSplitLeakage(
+        emb.unionByName(twin), "vec_id", "embedding", threshold = 0.4)
+      .collect()
+    assert(cells.exists(r => r.getBoolean(3) &&
+      r.getString(0) == "train" && r.getString(1) == "val"),
+      s"planted train/val twin not surfaced: ${cells.toSeq}")
+    assert(cells.map(_.getLong(4)).sum > 1000000L - cells.length &&
+      cells.map(_.getLong(4)).sum <= 1000000L)
+  }
+
   test("t153 IVF staleness: self-audit drifts exactly zero; shares " +
       "sum to 1e6 minus floor dust; a planted shift raises drift") {
     import org.apache.spark.sql.functions._
