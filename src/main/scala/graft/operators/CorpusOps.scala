@@ -2800,6 +2800,64 @@ object CorpusOps {
         expr("(n_survivors * 1000000) div greatest(n_docs, 1)"))
   }
 
+  /** Language-metadata agreement matrix — is the `lang` COLUMN
+    * trustworthy? Crawled corpora carry declared languages (HTTP
+    * headers, HTML lang attributes, upstream tags) that routinely
+    * disagree with the text; a mixture designed on the column when
+    * the content says otherwise mislabels training data wholesale.
+    * Cells are (declared, predicted-by-[[graft.functions.TextFunctions.langId]])
+    * with counts and row-normalized ppm — the confusion matrix whose
+    * off-diagonal mass is the metadata-error rate, per declared
+    * language (a single disagreement NUMBER would hide which label
+    * is rotten).
+    *
+    * Scale shape: map-only prediction, one |langs|²-cell aggregation,
+    * broadcast row totals.
+    */
+  def langAgreement(docs: DataFrame, textCol: String,
+      langCol: String): DataFrame = {
+    val cells = docs.select(col(langCol).as("declared"),
+        TextFunctions.langId(col(textCol)).as("predicted"))
+      .groupBy("declared", "predicted").agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint()
+    val rows = cells.groupBy("declared").agg(sum("n_docs").as("__row"))
+    cells.join(broadcast(rows), "declared")
+      .select(col("declared"), col("predicted"), col("n_docs"),
+        (col("declared") === col("predicted")).as("agree"),
+        expr("(n_docs * 1000000) div __row").as("row_ppm"))
+  }
+
+  /** Effective token budget per source AFTER dedup — the number a
+    * mixture designer actually plans against: raw token counts
+    * overstate a source exactly by its duplication, so per source
+    * this reports raw docs/tokens, canonical survivors, the tokens
+    * THEY carry, and the effective ratio in exact ppm. Reads next to
+    * [[dedupSurvivorship]] (doc-level survival) with the budget
+    * stated in the unit that matters — tokens.
+    *
+    * Scale shape: one corpus pass (token count is a map-only size()),
+    * one left equi-join onto the canonical election (pass the shared
+    * session memo — zero extra LSH work in-session), one source
+    * collapse.
+    */
+  def effectiveTokens(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, canonical: DataFrame): DataFrame = {
+    val c = canonical.select(col("doc_id"), col("canonical"))
+    docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
+        size(TextFunctions.tokens(col(textCol))).cast("long")
+          .as("n_tokens"))
+      .join(c, Seq("doc_id"), "left")
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("raw_tokens"),
+        sum(when(col("canonical").isNull || col("canonical"), 1L)
+          .otherwise(0L)).as("n_survivors"),
+        sum(when(col("canonical").isNull || col("canonical"),
+          col("n_tokens")).otherwise(0L)).as("effective_tokens"))
+      .withColumn("effective_x1e6",
+        expr("(effective_tokens * 1000000) div greatest(raw_tokens, 1)"))
+  }
+
   /** Per-stage attrition of [[curationRecipe]], read from `observe`
     * accumulators populated by the materializing actions (no
     * per-stage count() jobs re-running pipeline prefixes).

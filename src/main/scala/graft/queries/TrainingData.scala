@@ -1946,6 +1946,23 @@ object TrainingData {
         embargoUs = 6L * 3600L * 1000000L)
       .orderBy("event_id")
 
+  /** Language-metadata agreement matrix ([[CorpusOps.langAgreement]]):
+    * the declared `lang` column vs the n-gram prediction, cell-exact
+    * — the metadata-trust audit.
+    */
+  def docLangAgreement(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.langAgreement(Tables.documents(spark, dir), "text", "lang")
+      .orderBy("declared", "predicted")
+
+  /** Effective token budget per source after dedup
+    * ([[CorpusOps.effectiveTokens]], shared canonical election): the
+    * mixture designer's real per-source budget in tokens.
+    */
+  def docEffectiveTokens(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.effectiveTokens(Tables.documents(spark, dir), "doc_id",
+        "text", "source", sharedCanonical(spark, dir))
+      .orderBy("source")
+
   /** Behavioral drift report ([[TimeJoins.behaviorDrift]]): the two
     * time halves' transition matrices, cell-for-cell, with exact ppm
     * deviations — the next-event-model invalidation alarm.
@@ -2473,6 +2490,8 @@ object TrainingData {
     "t153_ivf_staleness" -> embIvfStaleness _,
     "t154_semantic_leakage" -> embSplitLeakage _,
     "t155_behavior_drift" -> eventsBehaviorDrift _,
+    "t156_lang_agreement" -> docLangAgreement _,
+    "t157_effective_tokens" -> docEffectiveTokens _,
   )
 
 
@@ -4102,6 +4121,75 @@ object TrainingData {
            |    AS vs_best_ppm
            |FROM u ORDER BY bands""".stripMargin
       },
+      // t156: the t02 n-gram predictor per doc, confusion cells,
+      // row-normalized ppm
+      "t156_lang_agreement" ->
+        s"""WITH p AS (
+           |  SELECT lang AS declared, ${T.langId("text")} AS predicted
+           |  FROM documents
+           |), c AS (
+           |  SELECT declared, predicted,
+           |    CAST(COUNT(*) AS BIGINT) AS n_docs
+           |  FROM p GROUP BY 1, 2
+           |), rw AS (
+           |  SELECT declared, SUM(n_docs) AS tot FROM c GROUP BY 1
+           |)
+           |SELECT c.declared, predicted, n_docs,
+           |  c.declared = predicted AS agree,
+           |  CAST((n_docs * 1000000) // tot AS BIGINT) AS row_ppm
+           |FROM c JOIN rw ON c.declared = rw.declared
+           |ORDER BY c.declared, predicted""".stripMargin,
+      // t157: the t121 canonical-election chain with the budget
+      // restated in tokens
+      "t157_effective_tokens" ->
+        s"""WITH RECURSIVE ${minhashCtes(64, 16, 0.5)}, edges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM pairs
+           |  UNION
+           |  SELECT id_b AS src, id_a AS dst FROM pairs
+           |), reach AS (
+           |  SELECT src, dst FROM edges
+           |  UNION
+           |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+           |), sel AS (
+           |  SELECT src, dst FROM reach
+           |  UNION
+           |  SELECT src, src AS dst FROM edges
+           |), comp AS (
+           |  SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster_id
+           |  FROM sel GROUP BY src
+           |), qterm AS (
+           |  SELECT doc_id, unnest(ts) AS term FROM toks
+           |), qtf AS (
+           |  SELECT doc_id, term, COUNT(*) AS tf FROM qterm GROUP BY 1, 2
+           |), qcnt AS (
+           |  SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt FROM qtf GROUP BY term
+           |), qagg AS (
+           |  SELECT qtf.doc_id,
+           |    CAST(SUM(qtf.tf * qcnt.cnt) AS BIGINT)
+           |      // CAST(SUM(qtf.tf) AS BIGINT) AS score
+           |  FROM qtf JOIN qcnt USING (term) GROUP BY 1
+           |), r AS (
+           |  SELECT c.doc_id,
+           |    ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+           |      ORDER BY q.score DESC, c.doc_id) AS rn
+           |  FROM comp c JOIN qagg q USING (doc_id)
+           |), tk AS (
+           |  SELECT t.doc_id, d.source, CAST(len(t.ts) AS BIGINT) AS n_tokens
+           |  FROM toks t JOIN documents d USING (doc_id)
+           |)
+           |SELECT source,
+           |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(n_tokens) AS BIGINT) AS raw_tokens,
+           |  CAST(SUM(CASE WHEN r.doc_id IS NULL OR r.rn = 1
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+           |  CAST(SUM(CASE WHEN r.doc_id IS NULL OR r.rn = 1
+           |    THEN n_tokens ELSE 0 END) AS BIGINT) AS effective_tokens,
+           |  (CAST(SUM(CASE WHEN r.doc_id IS NULL OR r.rn = 1
+           |    THEN n_tokens ELSE 0 END) AS BIGINT) * 1000000)
+           |    // GREATEST(CAST(SUM(n_tokens) AS BIGINT), 1)
+           |    AS effective_x1e6
+           |FROM tk LEFT JOIN r ON tk.doc_id = r.doc_id
+           |GROUP BY source ORDER BY source""".stripMargin,
       // t155: median-time cut from the compressed ts histogram, lag
       // pairs per (user, half), per-half ppm, full-outer deviations
       "t155_behavior_drift" ->

@@ -1114,6 +1114,43 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(rows.sorted.toSeq == again.sorted.toSeq)
   }
 
+  test("langAgreement: a mislabeled document lands in its off-diagonal " +
+      "cell; row ppm replays") {
+    val docs = Seq(
+      (1L, "the cat and the dog is that with", "en"),
+      (2L, "el la de que y en los del", "en"), // Spanish text, tagged en
+      (3L, "el la de que y en los del", "es"))
+      .toDF("doc_id", "text", "lang")
+    val got = CorpusOps.langAgreement(docs, "text", "lang")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getBoolean(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      ("en", "en") -> ((1L, true, 500000L)),
+      ("en", "es") -> ((1L, false, 500000L)),
+      ("es", "es") -> ((1L, true, 1000000L))), s"got $got")
+  }
+
+  test("effectiveTokens: a duplicated source's effective budget halves; " +
+      "an undeduplicated source keeps its full budget") {
+    // source A: two identical 4-token docs (one survives); source B:
+    // one unique 2-token doc (no cluster, survives untouched)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "A"),
+      (2L, "alpha beta gamma delta", "A"),
+      (3L, "epsilon zeta", "B"))
+      .toDF("doc_id", "text", "source")
+    val canon = CorpusOps.canonicalSelect(docs, "doc_id", "text",
+      n = 3, numPerms = 64, bands = 16, threshold = 0.5)
+    val got = CorpusOps.effectiveTokens(docs, "doc_id", "text",
+        "source", canon)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(got == Map(
+      "A" -> ((2L, 8L, 1L, 4L, 500000L)),
+      "B" -> ((1L, 2L, 1L, 2L, 1000000L))), s"got $got")
+  }
+
   test("keynessTerms: a group-exclusive token outranks the shared " +
       "stopword head; exclusive lift replays the +1 smoothing") {
     // both sources share a dominant stopword; each has one exclusive
