@@ -269,12 +269,35 @@ object CorpusOps {
     */
   def bloomDecontaminate(train: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, n: Int, withExact: Boolean = true): DataFrame = {
-    GraftFunctions.register(train.sparkSession)
-    val m = BloomBits
-    def probe(h: Column, p: (Long, Long)): Column =
-      (h * p._1 + p._2) % 4294967296L % m
-    def mask(pos: String): Column =
-      expr(s"shiftleft(cast(1 as bigint), cast($pos % 64 as int))")
+    val words = bloomWords(bench, textCol, n)
+    val base = bloomFlag(train, words, idCol, textCol, n)
+    // the exact companion re-runs the exact broadcast-set path —
+    // the very cost the Bloom filter exists to avoid. Test-SF/audit
+    // luxury (the t56 gate and the FP accounting); production
+    // pipelines at benchmark scale pass withExact = false and pay
+    // only the 128 KB word broadcast.
+    if (!withExact) base
+    else {
+      val exact = contaminatedIds(train, bench, idCol, textCol, n)
+        .select(col(idCol).as("doc_id"), lit(1L).as("exact_hit"))
+      base.join(exact, Seq("doc_id"), "left")
+        .withColumn("exact_hit", coalesce(col("exact_hit"), lit(0L)))
+    }
+  }
+
+  private def bloomProbe(h: Column, p: (Long, Long)): Column =
+    (h * p._1 + p._2) % 4294967296L % BloomBits
+
+  private def bloomMask(pos: String): Column =
+    expr(s"shiftleft(cast(1 as bigint), cast($pos % 64 as int))")
+
+  /** The benchmark side's Bloom words (w → 64-bit word) — the shared
+    * front of [[bloomDecontaminate]] and the persisted registry
+    * ([[buildBloomRegistry]]).
+    */
+  private def bloomWords(bench: DataFrame, textCol: String,
+      n: Int): DataFrame = {
+    GraftFunctions.register(bench.sparkSession)
     val benchHashes = bench
       .select(explode(Dedup.shingles(col(textCol), n)).as("g"))
       .select(call_function("poly_hash", col("g")).as("hb"))
@@ -283,13 +306,24 @@ object CorpusOps {
     // broadcast this relation, and the renamed projections would
     // otherwise be distinct subtrees — the filter build would run
     // (and re-tokenize the benchmark) once per probe
-    val words = Dedup.barrier(
+    Dedup.barrier(
       benchHashes
-        .select(explode(array(probe(col("hb"), BloomProbe1),
-          probe(col("hb"), BloomProbe2))).as("pos"))
-        .select(expr("pos div 64").as("w"), mask("pos").as("mask"))
+        .select(explode(array(bloomProbe(col("hb"), BloomProbe1),
+          bloomProbe(col("hb"), BloomProbe2))).as("pos"))
+        .select(expr("pos div 64").as("w"), bloomMask("pos").as("mask"))
         .groupBy("w").agg(expr("bit_or(mask)").as("word")),
       col("w"))
+  }
+
+  /** The training-side membership probe against an ALREADY-BUILT
+    * words relation — the shared back half of [[bloomDecontaminate]]
+    * and [[decontaminateFromRegistry]].
+    */
+  private def bloomFlag(train: DataFrame, words: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    GraftFunctions.register(train.sparkSession)
+    def probe(h: Column, p: (Long, Long)): Column = bloomProbe(h, p)
+    def mask(pos: String): Column = bloomMask(pos)
     val trainG = train
       .select(col(idCol).as("doc_id"),
         explode(Dedup.shingles(col(textCol), n)).as("g"))
@@ -306,23 +340,86 @@ object CorpusOps {
           (coalesce(col("word2"), lit(0L)).bitwiseAND(mask("p2")) =!= 0))
           .cast("long"))
       .groupBy("doc_id").agg(sum(col("hit")).as("n_hits"))
-    val base = train.select(col(idCol).as("doc_id"),
+    train.select(col(idCol).as("doc_id"),
         size(Dedup.shingles(col(textCol), n)).cast("long").as("n_shingles"))
       .join(hits, Seq("doc_id"), "left")
       .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
       .withColumn("flagged", (col("n_hits") > 0).cast("long"))
-    // the exact companion re-runs the exact broadcast-set path —
-    // the very cost the Bloom filter exists to avoid. Test-SF/audit
-    // luxury (the t56 gate and the FP accounting); production
-    // pipelines at benchmark scale pass withExact = false and pay
-    // only the 128 KB word broadcast.
-    if (!withExact) base
-    else {
-      val exact = contaminatedIds(train, bench, idCol, textCol, n)
-        .select(col(idCol).as("doc_id"), lit(1L).as("exact_hit"))
-      base.join(exact, Seq("doc_id"), "left")
-        .withColumn("exact_hit", coalesce(col("exact_hit"), lit(0L)))
-    }
+  }
+
+  /** Persisted Bloom decontamination registry — the production shape
+    * of [[bloomDecontaminate]]: benchmark/canary sets are REGISTERED
+    * once (a 2-probe Bloom over their n-gram hashes, stored as
+    * (w → 64-bit word) rows — ~BloomBits/8 bytes total) and every
+    * training batch thereafter checks membership against the frozen
+    * registry without the benchmark text ever being re-read or even
+    * retained. Ingestion appends new benchmarks' word rows; Bloom
+    * words merge by BITWISE OR (associative, commutative), so the
+    * read-time OR-fold makes build-then-ingest equal the one-shot
+    * filter whatever the batch cut, replays are absorbed, and
+    * [[compactBloomRegistry]] merely reclaims rows.
+    */
+  def buildBloomRegistry(bench: DataFrame, textCol: String, path: String,
+      n: Int): Unit = {
+    val spark = bench.sparkSession
+    spark.range(1).select(lit(n).as("n"), lit(BloomBits).as("m"))
+      .write.mode("overwrite").parquet(s"$path/meta")
+    bloomWords(bench, textCol, n)
+      .write.mode("overwrite").parquet(s"$path/words")
+  }
+
+  private def bloomRegistryMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int = {
+    val m = spark.read.parquet(s"$path/meta")
+      .select(col("n").cast("int"), col("m").cast("long")).collect()(0)
+    require(m.getLong(1) == BloomBits,
+      s"$path was built with m=${m.getLong(1)} bits; this build uses " +
+        s"$BloomBits — rebuild the registry")
+    m.getInt(0)
+  }
+
+  /** Register another benchmark into a persisted
+    * [[buildBloomRegistry]] registry (words OR-merge at read time).
+    */
+  def ingestBloomBatch(spark: org.apache.spark.sql.SparkSession,
+      path: String, bench: DataFrame, textCol: String): Unit = {
+    val n = bloomRegistryMeta(spark, path)
+    bloomWords(bench, textCol, n)
+      .write.mode("append").parquet(s"$path/words")
+  }
+
+  /** Compact a persisted Bloom registry: one groupBy-OR rewrite,
+    * swapped in atomically. */
+  def compactBloomRegistry(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val p = s"$path/words"
+    val staging = new org.apache.hadoop.fs.Path(p + "__staging")
+    spark.read.schema("w BIGINT, word BIGINT").parquet(p)
+      .groupBy("w").agg(expr("bit_or(word)").as("word"))
+      .write.mode("overwrite").parquet(staging.toString)
+    val dir = new org.apache.hadoop.fs.Path(p)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val retired = new org.apache.hadoop.fs.Path(p + "__retired")
+    graft.core.FsOps.deleteOrThrow(fs, retired)
+    graft.core.FsOps.renameOrThrow(fs, dir, retired)
+    graft.core.FsOps.renameOrThrow(fs, staging, dir)
+    graft.core.FsOps.deleteOrThrow(fs, retired)
+  }
+
+  /** Decontaminate a training batch against the FROZEN registry:
+    * OR-fold the stored words (the exact merge), pin the ≤
+    * BloomBits/64-row relation, run the shared membership probe.
+    * Output matches [[bloomDecontaminate]] at withExact = false.
+    */
+  def decontaminateFromRegistry(spark: org.apache.spark.sql.SparkSession,
+      path: String, train: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val n = bloomRegistryMeta(spark, path)
+    val words = spark.read.schema("w BIGINT, word BIGINT")
+      .parquet(s"$path/words")
+      .groupBy("w").agg(expr("bit_or(word)").as("word"))
+      .localCheckpoint()
+    bloomFlag(train, words, idCol, textCol, n)
   }
 
   // ---------------------------------------------------------------

@@ -1946,6 +1946,27 @@ object TrainingData {
         embargoUs = 6L * 3600L * 1000000L)
       .orderBy("event_id")
 
+  /** Persisted Bloom decontamination registry under the oracle gate
+    * ([[CorpusOps.buildBloomRegistry]] → [[CorpusOps.ingestBloomBatch]]
+    * → [[CorpusOps.decontaminateFromRegistry]]): register a third of
+    * the benchmark split, ingest the rest, decontaminate the training
+    * split against the frozen registry — bitwise-OR mergeability makes
+    * the one-shot t56-shape oracle exact.
+    */
+  def docBloomPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val path = sessionIndexPath(spark, "t158_bloom", dir) { p =>
+      CorpusOps.buildBloomRegistry(bench.filter(col("doc_id") % 3 === 0),
+        "text", p, DecontamN)
+      CorpusOps.ingestBloomBatch(spark, p,
+        bench.filter(col("doc_id") % 3 =!= 0), "text")
+    }
+    CorpusOps.decontaminateFromRegistry(spark, path,
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   /** Language-metadata agreement matrix ([[CorpusOps.langAgreement]]):
     * the declared `lang` column vs the n-gram prediction, cell-exact
     * — the metadata-trust audit.
@@ -2492,6 +2513,7 @@ object TrainingData {
     "t155_behavior_drift" -> eventsBehaviorDrift _,
     "t156_lang_agreement" -> docLangAgreement _,
     "t157_effective_tokens" -> docEffectiveTokens _,
+    "t158_bloom_persisted" -> docBloomPersisted _,
   )
 
 
@@ -4120,6 +4142,66 @@ object TrainingData {
            |    // GREATEST((SELECT MAX(n_verified) FROM u), 1)
            |    AS vs_best_ppm
            |FROM u ORDER BY bands""".stripMargin
+      },
+      // t158: the t56 Bloom chain at the same probes/bits, split-built
+      // registry gated by the one-shot replay (words OR-merge),
+      // withExact omitted — the registry's production face
+      "t158_bloom_persisted" -> {
+        val n = DecontamN
+        val m = CorpusOps.BloomBits
+        s"""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents
+           |), grams AS (
+           |  SELECT DISTINCT doc_id, unnest(
+           |    CASE WHEN len(ts) < $n THEN [array_to_string(ts, ' ')]
+           |    ELSE list_transform(range(1, len(ts) - ${n - 2}), i ->
+           |      array_to_string(ts[CAST(i AS INT):CAST(i + ${n - 1} AS INT)], ' '))
+           |    END) AS g
+           |  FROM toks
+           |), gh AS (
+           |  SELECT doc_id, g, ${polyHashSql("g")} AS hb FROM grams
+           |), bh AS (
+           |  SELECT DISTINCT hb FROM gh WHERE doc_id % 10 = 0
+           |), bpos AS (
+           |  SELECT unnest([
+           |    (hb * 2654435761 + 123456789) % 4294967296 % $m,
+           |    (hb * 2246822519 + 3266489917) % 4294967296 % $m]) AS pos
+           |  FROM bh
+           |), words AS (
+           |  SELECT pos // 64 AS w,
+           |    CAST(bit_or(CASE WHEN pos % 64 = 63
+           |      THEN (-9223372036854775807 - 1)
+           |      ELSE CAST(1 AS BIGINT) << CAST(pos % 64 AS INT) END) AS BIGINT)
+           |      AS word
+           |  FROM bpos GROUP BY 1
+           |), tg AS (
+           |  SELECT doc_id,
+           |    (hb * 2654435761 + 123456789) % 4294967296 % $m AS p1,
+           |    (hb * 2246822519 + 3266489917) % 4294967296 % $m AS p2
+           |  FROM gh WHERE doc_id % 10 <> 0
+           |), hits AS (
+           |  SELECT t.doc_id, CAST(SUM(CASE WHEN
+           |      (COALESCE(w1.word, 0) & (CASE WHEN t.p1 % 64 = 63
+           |        THEN (-9223372036854775807 - 1)
+           |        ELSE CAST(1 AS BIGINT) << CAST(t.p1 % 64 AS INT) END)) <> 0
+           |      AND (COALESCE(w2.word, 0) & (CASE WHEN t.p2 % 64 = 63
+           |        THEN (-9223372036854775807 - 1)
+           |        ELSE CAST(1 AS BIGINT) << CAST(t.p2 % 64 AS INT) END)) <> 0
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+           |  FROM tg t
+           |  LEFT JOIN words w1 ON t.p1 // 64 = w1.w
+           |  LEFT JOIN words w2 ON t.p2 // 64 = w2.w
+           |  GROUP BY 1
+           |), sizes AS (
+           |  SELECT doc_id, COUNT(*) AS n_shingles FROM grams
+           |  WHERE doc_id % 10 <> 0 GROUP BY 1
+           |)
+           |SELECT s.doc_id, CAST(s.n_shingles AS BIGINT) AS n_shingles,
+           |  COALESCE(h.n_hits, 0) AS n_hits,
+           |  CAST(COALESCE(h.n_hits, 0) > 0 AS BIGINT) AS flagged
+           |FROM sizes s
+           |LEFT JOIN hits h USING (doc_id)
+           |ORDER BY s.doc_id""".stripMargin
       },
       // t156: the t02 n-gram predictor per doc, confusion cells,
       // row-normalized ppm

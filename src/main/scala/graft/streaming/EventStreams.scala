@@ -423,6 +423,27 @@ object EventStreams {
     q.stop()
   }
 
+  /** Streaming Bloom-registry maintenance: per micro-batch, register
+    * the arriving benchmark/canary documents into the persisted
+    * decontamination registry
+    * ([[graft.operators.CorpusOps.ingestBloomBatch]]). Bloom words
+    * merge by bitwise OR, so the final registry is independent of
+    * the micro-batch cut (StreamingSpec pins streamed registration
+    * equal to the one-shot build) and replays are absorbed.
+    */
+  def bloomIngestStream(docs: DataFrame, textCol: String,
+      path: String): Unit = {
+    val q = docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.CorpusOps.ingestBloomBatch(
+          batch.sparkSession, path, batch.toDF(), textCol)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Streaming inverted-index maintenance: per micro-batch, ingest
     * the arriving documents into the persisted term-bucketed index
     * via [[graft.operators.CorpusOps.appendToInvertedIndex]] — batch

@@ -764,6 +764,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(p == Map(-1L -> 0L, -2L -> 1000000L), s"got $p")
   }
 
+  test("streaming Bloom-registry ingestion: OR-mergeability makes the " +
+      "streamed registry equal the one-shot filter; replay absorbed") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.CorpusOps
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val d = java.nio.file.Files.createTempDirectory("graft_bloomreg")
+    val reg = d.resolve("reg").toString
+    CorpusOps.buildBloomRegistry(bench.filter(col("doc_id") % 3 === 0),
+      "text", reg, 4)
+    val arrivals = bench.filter(col("doc_id") % 3 =!= 0)
+    arrivals.repartition(3).write.parquet(d.resolve("in").toString)
+    EventStreams.bloomIngestStream(
+      spark.readStream.schema(arrivals.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d.resolve("in").toString),
+      "text", reg)
+    val got = CorpusOps.decontaminateFromRegistry(spark, reg, train,
+      "doc_id", "text")
+    val want = CorpusOps.bloomDecontaminate(train, bench, "doc_id",
+      "text", 4, withExact = false)
+    assert(got.count() == train.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "streamed registry diverges from the one-shot Bloom filter")
+    // replayed registration + compaction both leave answers unchanged
+    CorpusOps.ingestBloomBatch(spark, reg, arrivals.limit(20), "text")
+    CorpusOps.compactBloomRegistry(spark, reg)
+    val after = CorpusOps.decontaminateFromRegistry(spark, reg, train,
+      "doc_id", "text")
+    assert(after.exceptAll(want).isEmpty && want.exceptAll(after).isEmpty,
+      "replay + compaction changed the registry's answers")
+    // an indexed benchmark document probes as fully flagged
+    val probe = bench.limit(1)
+    val v = CorpusOps.decontaminateFromRegistry(spark, reg, probe,
+      "doc_id", "text").collect().head
+    assert(v.getLong(3) == 1L && v.getLong(2) == v.getLong(1),
+      s"an indexed benchmark doc must hit on every shingle, got $v")
+  }
+
   test("streaming IVF-PQ ingestion: micro-batch cuts leave the same " +
       "index state as one batch append") {
     import org.apache.spark.sql.functions.col
