@@ -406,6 +406,33 @@ object CorpusOps {
     graft.core.FsOps.deleteOrThrow(fs, retired)
   }
 
+  /** Registry health gauge — the one-row audit read BEFORE trusting
+    * [[decontaminateFromRegistry]]'s verdicts: the OR-folded fill
+    * ratio (set bits / m) and the expected false-positive rate of the
+    * 2-probe filter, fp ≈ fill², both in exact ppm. A registry whose
+    * fill creeps toward saturation flags clean documents as
+    * contaminated — this is the rebuild/resize trigger, the Bloom
+    * twin of [[graft.operators.Similarity.ivfStalenessReport]].
+    * bit_count is exact on both engines (64-bit two's complement),
+    * so the gauge is oracle-gated like everything else.
+    *
+    * Scale shape: the words relation is ≤ BloomBits/64 rows by
+    * construction — the whole audit is index-sized.
+    */
+  def bloomRegistryStats(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    bloomRegistryMeta(spark, path) // schema/size guard
+    spark.read.schema("w BIGINT, word BIGINT").parquet(s"$path/words")
+      .groupBy("w").agg(expr("bit_or(word)").as("word"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(expr("CAST(bit_count(word) AS BIGINT)")).as("bits_set"))
+      .select(lit(BloomBits.toLong).as("m_bits"), col("n_words"),
+        col("bits_set"),
+        expr(s"(bits_set * 1000000) div ${BloomBits}L").as("fill_ppm"))
+      .withColumn("fp_ppm",
+        expr("(fill_ppm * fill_ppm) div 1000000"))
+  }
+
   /** Decontaminate a training batch against the FROZEN registry:
     * OR-fold the stored words (the exact merge), pin the ≤
     * BloomBits/64-row relation, run the shared membership probe.

@@ -1967,6 +1967,24 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** Bloom-registry health gauge ([[CorpusOps.bloomRegistryStats]]):
+    * fill ratio and expected FP rate of the t158 registry, one row,
+    * exact ppm — the resize/rebuild trigger.
+    */
+  def docBloomStats(spark: SparkSession, dir: String): DataFrame = {
+    // same memo key + build lambda as t158: whichever query runs
+    // first builds the store, both read the one artifact
+    val docs = Tables.documents(spark, dir)
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val path = sessionIndexPath(spark, "t158_bloom", dir) { p =>
+      CorpusOps.buildBloomRegistry(bench.filter(col("doc_id") % 3 === 0),
+        "text", p, DecontamN)
+      CorpusOps.ingestBloomBatch(spark, p,
+        bench.filter(col("doc_id") % 3 =!= 0), "text")
+    }
+    CorpusOps.bloomRegistryStats(spark, path)
+  }
+
   /** Language-metadata agreement matrix ([[CorpusOps.langAgreement]]):
     * the declared `lang` column vs the n-gram prediction, cell-exact
     * — the metadata-trust audit.
@@ -2514,6 +2532,7 @@ object TrainingData {
     "t156_lang_agreement" -> docLangAgreement _,
     "t157_effective_tokens" -> docEffectiveTokens _,
     "t158_bloom_persisted" -> docBloomPersisted _,
+    "t159_bloom_stats" -> docBloomStats _,
   )
 
 
@@ -4202,6 +4221,46 @@ object TrainingData {
            |FROM sizes s
            |LEFT JOIN hits h USING (doc_id)
            |ORDER BY s.doc_id""".stripMargin
+      },
+      // t159: the registry's OR-folded words (one-shot == split-built
+      // by OR associativity), exact bit_count fill and fp = fill²
+      "t159_bloom_stats" -> {
+        val n = DecontamN
+        val m = CorpusOps.BloomBits
+        s"""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
+           |  FROM documents WHERE doc_id % 10 = 0
+           |), grams AS (
+           |  SELECT DISTINCT doc_id, unnest(
+           |    CASE WHEN len(ts) < $n THEN [array_to_string(ts, ' ')]
+           |    ELSE list_transform(range(1, len(ts) - ${n - 2}), i ->
+           |      array_to_string(ts[CAST(i AS INT):CAST(i + ${n - 1} AS INT)], ' '))
+           |    END) AS g
+           |  FROM toks
+           |), bh AS (
+           |  SELECT DISTINCT ${polyHashSql("g")} AS hb FROM grams
+           |), bpos AS (
+           |  SELECT unnest([
+           |    (hb * 2654435761 + 123456789) % 4294967296 % $m,
+           |    (hb * 2246822519 + 3266489917) % 4294967296 % $m]) AS pos
+           |  FROM bh
+           |), words AS (
+           |  SELECT pos // 64 AS w,
+           |    CAST(bit_or(CASE WHEN pos % 64 = 63
+           |      THEN (-9223372036854775807 - 1)
+           |      ELSE CAST(1 AS BIGINT) << CAST(pos % 64 AS INT) END) AS BIGINT)
+           |      AS word
+           |  FROM bpos GROUP BY 1
+           |), s AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+           |    CAST(SUM(bit_count(word)) AS BIGINT) AS bits_set
+           |  FROM words
+           |)
+           |SELECT CAST($m AS BIGINT) AS m_bits, n_words, bits_set,
+           |  (bits_set * 1000000) // $m AS fill_ppm,
+           |  (((bits_set * 1000000) // $m)
+           |    * ((bits_set * 1000000) // $m)) // 1000000 AS fp_ppm
+           |FROM s""".stripMargin
       },
       // t156: the t02 n-gram predictor per doc, confusion cells,
       // row-normalized ppm

@@ -1114,6 +1114,27 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(rows.sorted.toSeq == again.sorted.toSeq)
   }
 
+  test("bloomRegistryStats: fill grows monotonically with registered " +
+      "content; fp replays fill squared") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val d = java.nio.file.Files.createTempDirectory("graft_bloomstats")
+    val reg = d.resolve("reg").toString
+    CorpusOps.buildBloomRegistry(docs.filter(col("doc_id") < 50),
+      "text", reg, 4)
+    val s1 = CorpusOps.bloomRegistryStats(spark, reg).collect().head
+    CorpusOps.ingestBloomBatch(spark, reg,
+      docs.filter(col("doc_id") >= 50 && col("doc_id") < 200), "text")
+    val s2 = CorpusOps.bloomRegistryStats(spark, reg).collect().head
+    for (s <- Seq(s1, s2)) {
+      assert(s.getLong(3) > 0L && s.getLong(3) < 1000000L,
+        s"fill out of range: $s")
+      assert(s.getLong(4) == s.getLong(3) * s.getLong(3) / 1000000L,
+        s"fp must replay fill^2: $s")
+    }
+    assert(s2.getLong(2) > s1.getLong(2) && s2.getLong(3) > s1.getLong(3),
+      s"registering more content must raise fill: $s1 -> $s2")
+  }
+
   test("langAgreement: a mislabeled document lands in its off-diagonal " +
       "cell; row ppm replays") {
     val docs = Seq(
