@@ -393,17 +393,14 @@ object CorpusOps {
   def compactBloomRegistry(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
     val p = s"$path/words"
+    val dir = new org.apache.hadoop.fs.Path(p)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    graft.core.FsOps.recoverRetired(fs, dir)
     val staging = new org.apache.hadoop.fs.Path(p + "__staging")
     spark.read.schema("w BIGINT, word BIGINT").parquet(p)
       .groupBy("w").agg(expr("bit_or(word)").as("word"))
       .write.mode("overwrite").parquet(staging.toString)
-    val dir = new org.apache.hadoop.fs.Path(p)
-    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    val retired = new org.apache.hadoop.fs.Path(p + "__retired")
-    graft.core.FsOps.deleteOrThrow(fs, retired)
-    graft.core.FsOps.renameOrThrow(fs, dir, retired)
-    graft.core.FsOps.renameOrThrow(fs, staging, dir)
-    graft.core.FsOps.deleteOrThrow(fs, retired)
+    graft.core.FsOps.swapInDir(fs, dir, staging)
   }
 
   /** Registry health gauge — the one-row audit read BEFORE trusting
@@ -908,32 +905,47 @@ object CorpusOps {
       .write.mode("overwrite").parquet(s"$path/hist")
   }
 
+  /** The store's fitted score column — guard every later touch so a
+    * batch carrying a DIFFERENT score column can't silently pour an
+    * unrelated distribution into the histogram (the
+    * [[bloomRegistryMeta]] discipline: meta mismatch raises, never
+    * corrupts).
+    */
+  private def quantileMapMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String, scoreCol: String): Unit = {
+    val fitted = spark.read.parquet(s"$path/meta")
+      .select(col("score_col")).collect()(0).getString(0)
+    require(fitted == scoreCol,
+      s"$path was fitted on score column '$fitted'; this batch carries " +
+        s"'$scoreCol' — refusing to mix distributions (refit or rename)")
+  }
+
   /** Append a new reference batch's histogram into a persisted
     * [[fitQuantileMap]] store (histograms add — see the lifecycle
-    * scaladoc).
+    * scaladoc). The stored score_col must match the batch's — a
+    * mismatch raises instead of silently corrupting the histogram.
     */
   def ingestQuantileBatch(spark: org.apache.spark.sql.SparkSession,
-      path: String, batch: DataFrame, scoreCol: String): Unit =
+      path: String, batch: DataFrame, scoreCol: String): Unit = {
+    quantileMapMeta(spark, path, scoreCol)
     batch.select(col(scoreCol).cast("long").as("score"))
       .groupBy("score").agg(count(lit(1)).as("cnt"))
       .write.mode("append").parquet(s"$path/hist")
+  }
 
   /** Compact a persisted quantile map: one groupBy-sum rewrite of the
     * histogram, swapped in atomically. */
   def compactQuantileMap(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
     val p = s"$path/hist"
+    val dir = new org.apache.hadoop.fs.Path(p)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    graft.core.FsOps.recoverRetired(fs, dir)
     val staging = new org.apache.hadoop.fs.Path(p + "__staging")
     spark.read.schema("score BIGINT, cnt BIGINT").parquet(p)
       .groupBy("score").agg(sum("cnt").as("cnt"))
       .write.mode("overwrite").parquet(staging.toString)
-    val dir = new org.apache.hadoop.fs.Path(p)
-    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    val retired = new org.apache.hadoop.fs.Path(p + "__retired")
-    graft.core.FsOps.deleteOrThrow(fs, retired)
-    graft.core.FsOps.renameOrThrow(fs, dir, retired)
-    graft.core.FsOps.renameOrThrow(fs, staging, dir)
-    graft.core.FsOps.deleteOrThrow(fs, retired)
+    graft.core.FsOps.swapInDir(fs, dir, staging)
   }
 
   /** Percentile-transform a batch against the FROZEN reference map:
@@ -943,6 +955,7 @@ object CorpusOps {
   def percentileFromMap(spark: org.apache.spark.sql.SparkSession,
       path: String, batch: DataFrame, idCol: String,
       scoreCol: String): DataFrame = {
+    quantileMapMeta(spark, path, scoreCol)
     val hist = spark.read.schema("score BIGINT, cnt BIGINT")
       .parquet(s"$path/hist")
       .groupBy("score").agg(sum("cnt").as("cnt"))
@@ -1187,6 +1200,9 @@ object CorpusOps {
       path: String): Unit = {
     val (_, k) = kmvStoreMeta(spark, path)
     val p = s"$path/sketches"
+    val dir = new org.apache.hadoop.fs.Path(p)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    graft.core.FsOps.recoverRetired(fs, dir)
     val wg = Window.partitionBy("grp").orderBy("h")
     val staging = new org.apache.hadoop.fs.Path(p + "__staging")
     spark.read.schema(KmvStoreSchema).parquet(p).distinct()
@@ -1196,13 +1212,7 @@ object CorpusOps {
       .repartition(col("grp"))
       .write.mode("overwrite").partitionBy("grp")
       .parquet(staging.toString)
-    val dir = new org.apache.hadoop.fs.Path(p)
-    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    val retired = new org.apache.hadoop.fs.Path(p + "__retired")
-    graft.core.FsOps.deleteOrThrow(fs, retired)
-    graft.core.FsOps.renameOrThrow(fs, dir, retired)
-    graft.core.FsOps.renameOrThrow(fs, staging, dir)
-    graft.core.FsOps.deleteOrThrow(fs, retired)
+    graft.core.FsOps.swapInDir(fs, dir, staging)
   }
 
   /** The overlap matrix answered FROM the store: re-select bottom-k

@@ -1002,19 +1002,16 @@ object Dedup {
       path: String): Unit = {
     val (_, _, buckets) = winnowMeta(spark, path)
     val fps = s"$path/fps"
+    val dir = new org.apache.hadoop.fs.Path(fps)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    graft.core.FsOps.recoverRetired(fs, dir)
     val staging = new org.apache.hadoop.fs.Path(fps + "__staging")
     spark.read.schema(WinnowFpsSchema).parquet(fps)
       .select(col("fp")).distinct()
       .withColumn("fpb", pmod(col("fp"), lit(buckets.toLong)))
       .repartition(col("fpb"))
       .write.mode("overwrite").partitionBy("fpb").parquet(staging.toString)
-    val dir = new org.apache.hadoop.fs.Path(fps)
-    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    val retired = new org.apache.hadoop.fs.Path(fps + "__retired")
-    graft.core.FsOps.deleteOrThrow(fs, retired)
-    graft.core.FsOps.renameOrThrow(fs, dir, retired)
-    graft.core.FsOps.renameOrThrow(fs, staging, dir)
-    graft.core.FsOps.deleteOrThrow(fs, retired)
+    graft.core.FsOps.swapInDir(fs, dir, staging)
   }
 
   /** Admission search over a persisted [[buildWinnowIndex]] index —
@@ -1174,18 +1171,15 @@ object Dedup {
       path: String): Unit = {
     def swapDistinct(rel: String, schema: String, part: String): Unit = {
       val p = s"$path/$rel"
+      val dir = new org.apache.hadoop.fs.Path(p)
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      graft.core.FsOps.recoverRetired(fs, dir)
       val staging = new org.apache.hadoop.fs.Path(p + "__staging")
       spark.read.schema(schema).parquet(p).distinct()
         .repartition(col(part))
         .write.mode("overwrite").partitionBy(part)
         .parquet(staging.toString)
-      val dir = new org.apache.hadoop.fs.Path(p)
-      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-      val retired = new org.apache.hadoop.fs.Path(p + "__retired")
-      graft.core.FsOps.deleteOrThrow(fs, retired)
-      graft.core.FsOps.renameOrThrow(fs, dir, retired)
-      graft.core.FsOps.renameOrThrow(fs, staging, dir)
-      graft.core.FsOps.deleteOrThrow(fs, retired)
+      graft.core.FsOps.swapInDir(fs, dir, staging)
     }
     swapDistinct("sigs", SigsIdxSchema, "db")
     swapDistinct("bands", BandsIdxSchema, "bb")
@@ -1380,6 +1374,10 @@ object Dedup {
           expr("(n_verified * 1000000) div greatest(n_candidates, 1)")
             .as("precision_ppm"))
     }.reduce(_ unionByName _)
+      // |bandChoices| rows, two consumers (the MAX aggregate and the
+      // final crossJoin) — pin so no band choice's join re-executes,
+      // the same discipline `cand` and `sig` get above
+      .localCheckpoint()
     val best = curve.agg(max("n_verified").as("__best"))
     curve.crossJoin(broadcast(best))
       .withColumn("vs_best_ppm",

@@ -1449,29 +1449,6 @@ object Similarity {
         col("margin"))
   }
 
-  /** ANN recall audit — the governance read every deployed
-    * approximate index owes its owner: recall@k of the PRODUCTION
-    * sign-LSH path ([[lshTopKAuto]] — data-sized planes, the t09
-    * operator verbatim) against the EXACT top-k, measured on a
-    * deterministic hash-picked probe set (idMix % probeMod == 0 —
-    * re-runs audit the same probes). Per probe: exact-neighbor hit
-    * count and recall in exact ppm. The number a recall SLO watches;
-    * the spec-level recall assertions (IvfRecallSpec etc.) become a
-    * first-class, oracle-gated relation here.
-    *
-    * Cost shape, stated honestly: the exact side is probe×corpus —
-    * |probes|·n dot products (a broadcast of the probe rows, never a
-    * corpus self-join). probeMod sets the audit rate; at 100 TB you
-    * probe thousands of vectors, not a fixed fraction (pass probeMod
-    * ~ n/|wanted|). The LSH side is the production plan itself —
-    * auditing it costs what serving costs, and the shared bucket
-    * front end means a session that already ran t09 pays ~nothing.
-    *
-    * Recall arithmetic is exact: both engines rank (cosine DESC,
-    * neighbor_id) with bit-identical cosines (the [[dot]] fold
-    * order), so the two top-k SETS are equal as sets — hits are an
-    * equi-join on (vec_id, neighbor_id), never a float comparison.
-    */
   /** IVF index-staleness report — the "when do we rebuild" read that
     * completes the persisted-index lifecycle (build → ingest → search
     * → STALENESS): a frozen quantizer serves arrivals between
@@ -1526,17 +1503,49 @@ object Similarity {
     * the audit quadratic; the t98 lesson, fixed at the operator).
     * The eager count is the documented adaptive-parameter tradeoff
     * shared with [[planesFor]]; the oracle replays the same integer
-    * division off COUNT(*).
+    * division off COUNT(*). The one eager `count()` serves BOTH
+    * adaptive parameters — probeMod here and the LSH planes
+    * ([[planesFor]] is driver-local arithmetic on the same n), so
+    * the audit never scans the corpus twice for metadata.
     */
   def annRecallAuditAuto(emb: DataFrame, idCol: String, vecCol: String,
       k: Int = 3, probeTarget: Long = 70L): DataFrame = {
     require(probeTarget > 0)
     val n = emb.count()
-    annRecallAudit(emb, idCol, vecCol, k, math.max(1L, n / probeTarget))
+    annRecallAudit(emb, idCol, vecCol, k, math.max(1L, n / probeTarget),
+      planes = Some(planesFor(n)))
   }
 
+  /** ANN recall audit — the governance read every deployed
+    * approximate index owes its owner: recall@k of the PRODUCTION
+    * sign-LSH path ([[lshTopKAuto]] — data-sized planes, the t09
+    * operator verbatim) against the EXACT top-k, measured on a
+    * deterministic hash-picked probe set (idMix % probeMod == 0 —
+    * re-runs audit the same probes). Per probe: exact-neighbor hit
+    * count and recall in exact ppm. The number a recall SLO watches;
+    * the spec-level recall assertions (IvfRecallSpec etc.) become a
+    * first-class, oracle-gated relation here.
+    *
+    * Cost shape, stated honestly: the exact side is probe×corpus —
+    * |probes|·n dot products (a broadcast of the probe rows, never a
+    * corpus self-join). probeMod sets the audit rate; at 100 TB you
+    * probe thousands of vectors, not a fixed fraction (pass probeMod
+    * ~ n/|wanted|). The LSH side is the production plan itself —
+    * auditing it costs what serving costs, and the shared bucket
+    * front end means a session that already ran t09 pays ~nothing.
+    *
+    * Recall arithmetic is exact: both engines rank (cosine DESC,
+    * neighbor_id) with bit-identical cosines (the [[dot]] fold
+    * order), so the two top-k SETS are equal as sets — hits are an
+    * equi-join on (vec_id, neighbor_id), never a float comparison.
+    *
+    * `planes`: pass Some(p) when the caller already knows the corpus
+    * size ([[annRecallAuditAuto]] threads planesFor(n) through) so
+    * the LSH side skips [[lshTopKAuto]]'s second count(); None keeps
+    * the data-sized default for direct callers.
+    */
   def annRecallAudit(emb: DataFrame, idCol: String, vecCol: String,
-      k: Int, probeMod: Long): DataFrame = {
+      k: Int, probeMod: Long, planes: Option[Int] = None): DataFrame = {
     require(k > 0 && probeMod > 0)
     val probeIds = emb
       .filter(graft.operators.CorpusOps.idMix(col(idCol)) % probeMod === 0L)
@@ -1552,7 +1561,8 @@ object Similarity {
         .orderBy(col("cosine_sim").desc, col("neighbor_id"))))
       .filter(col("rank") <= k)
       .select("vec_id", "neighbor_id")
-    val ann = lshTopKAuto(emb, idCol, vecCol, k)
+    val ann = planes.map(p => lshTopK(emb, idCol, vecCol, k, p))
+      .getOrElse(lshTopKAuto(emb, idCol, vecCol, k))
       .join(broadcast(probeIds.withColumnRenamed(idCol, "vec_id")),
         "vec_id")
       .select("vec_id", "neighbor_id")
