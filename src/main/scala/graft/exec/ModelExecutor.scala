@@ -143,9 +143,68 @@ final class ModelExecutor(spark: SparkSession, project: Project,
         readRelation(node, path).createOrReplaceTempView(node.name)
       case "incremental" =>
         materializeIncremental(node, sql)
+      case "snapshot" =>
+        materializeSnapshot(node, sql)
       case _ => // view | ephemeral
         spark.sql(sql).createOrReplaceTempView(node.name)
     }
+  }
+
+  /** dbt snapshot (SCD2) materialization — the dataflow lives in
+    * [[graft.operators.Scd2]]; this dispatch resolves the dbt config
+    * surface (strategy, unique_key, updated_at / check_cols,
+    * invalidate_hard_deletes) and drives the same first-run /
+    * merge-run split incremental models use, swapped in atomically.
+    * `snapshot_at` (a SQL expression, e.g. `TIMESTAMP '2024-01-02'`)
+    * overrides the run stamp for deterministic replays; it defaults
+    * to `current_timestamp()` — dbt's behavior.
+    */
+  private def materializeSnapshot(node: NodeMeta, sql: String): Unit = {
+    import org.apache.spark.sql.functions.expr
+    import graft.operators.Scd2
+    val uid = node.uniqueId
+    val key = node.config.get("unique_key").map(_.toString).getOrElse(
+      throw new IllegalArgumentException(s"$uid: snapshot requires unique_key"))
+    val strategy = node.config.get("strategy").map(_.toString)
+      .getOrElse("timestamp")
+    val invalidate = node.config.get("invalidate_hard_deletes").exists(asBool)
+    val runStamp = expr(node.config.get("snapshot_at").map(_.toString)
+      .getOrElse("current_timestamp()"))
+    val path = relationDir(node)
+    val batch = spark.sql(sql)
+    strategy match {
+      case "timestamp" =>
+        val upd = node.config.get("updated_at").map(_.toString).getOrElse(
+          throw new IllegalArgumentException(
+            s"$uid: timestamp strategy requires updated_at"))
+        if (!relationExists(node))
+          writeRelation(Scd2.firstSnapshotTimestamp(batch, key, upd),
+            node, path.toString, "overwrite")
+        else {
+          val old = readRelation(node, path.toString)
+          swapIn(Scd2.snapshotMergeTimestamp(old, batch, key, upd,
+            invalidate, Some(runStamp)), node, path)
+        }
+      case "check" =>
+        val checkCols = node.config.get("check_cols") match {
+          case Some("all") => batch.columns.toSeq.filterNot(_ == key)
+          case Some(xs: Seq[_]) => xs.map(_.toString)
+          case Some(c: String) => Seq(c)
+          case _ => throw new IllegalArgumentException(
+            s"$uid: check strategy requires check_cols (list or 'all')")
+        }
+        if (!relationExists(node))
+          writeRelation(Scd2.firstSnapshotCheck(batch, key, runStamp),
+            node, path.toString, "overwrite")
+        else {
+          val old = readRelation(node, path.toString)
+          swapIn(Scd2.snapshotMergeCheck(old, batch, key, checkCols,
+            runStamp, invalidate), node, path)
+        }
+      case other => throw new IllegalArgumentException(
+        s"$uid: unsupported snapshot strategy '$other' (timestamp|check)")
+    }
+    readRelation(node, path.toString).createOrReplaceTempView(node.name)
   }
 
   /** Incremental materialization (dbt semantics):

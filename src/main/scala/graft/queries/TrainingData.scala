@@ -2373,6 +2373,36 @@ object TrainingData {
         maxGapUs = 86400L * 1000000L)
       .orderBy("stage_no")
 
+  /** SCD2 snapshot merge ([[graft.operators.Scd2]] — the dbt
+    * `snapshot` materialization's dataflow, timestamp strategy with
+    * hard-delete invalidation) replayed over two deterministic
+    * extracts of the orders table: extract 1 sees keys with
+    * id % 4 != 3; extract 2 sees every key except the hard-deleted
+    * id % 11 == 7 slice, with the id % 5 == 0 slice UPDATED (status
+    * 'X', updated_at + 30 days). The merged snapshot carries closed
+    * validity windows for the updated keys, an open second version,
+    * open never-touched rows, delete-stamped vanished keys, and
+    * fresh inserts for the extract-2-only keys — every SCD2 merge
+    * branch exercised in one relation, md5 scd_ids checked hex-exact.
+    */
+  def ordersScd2(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.orders(spark, dir).select(
+      col("o_orderkey").as("id"),
+      col("o_orderstatus").as("status"),
+      datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
+        .as("updated_at"))
+    val b1 = src.filter(col("id") % 4 =!= 3)
+    val upd = col("id") % 5 === 0
+    val b2 = src.filter(col("id") % 11 =!= 7)
+      .withColumn("status", when(upd, lit("X")).otherwise(col("status")))
+      .withColumn("updated_at",
+        when(upd, col("updated_at") + 30).otherwise(col("updated_at")))
+    val snap1 = graft.operators.Scd2.firstSnapshotTimestamp(b1, "id", "updated_at")
+    graft.operators.Scd2.snapshotMergeTimestamp(snap1, b2, "id", "updated_at",
+        invalidateHardDeletes = true, deleteStamp = Some(lit(30000L)))
+      .orderBy("id", "dbt_valid_from")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_text_stats" -> docTextStats _,
     "t02_lang_id" -> docLangId _,
@@ -2533,6 +2563,7 @@ object TrainingData {
     "t157_effective_tokens" -> docEffectiveTokens _,
     "t158_bloom_persisted" -> docBloomPersisted _,
     "t159_bloom_stats" -> docBloomStats _,
+    "t160_scd2_snapshot" -> ordersScd2 _,
   )
 
 
@@ -7867,6 +7898,70 @@ object TrainingData {
           |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
           |    / CAST(COUNT(*) AS DOUBLE) AS avg_k
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      // t160: the SCD2 merge replayed branch-by-branch — closed rows,
+      // still-open rows, hard-deleted rows, changed-version inserts
+      // and new-key inserts union to the engine's snapshot relation;
+      // scd_ids are md5(key || '|' || stamp) hex on both engines
+      "t160_scd2_snapshot" ->
+        """WITH src AS (
+          |  SELECT o_orderkey AS id, o_orderstatus AS status,
+          |    CAST(datediff('day', DATE '1970-01-01',
+          |      CAST(o_orderdate AS DATE)) AS BIGINT) AS updated_at
+          |  FROM orders
+          |), b1 AS (
+          |  SELECT * FROM src WHERE id % 4 <> 3
+          |), b2 AS (
+          |  SELECT id,
+          |    CASE WHEN id % 5 = 0 THEN 'X' ELSE status END AS status,
+          |    CASE WHEN id % 5 = 0 THEN updated_at + 30
+          |         ELSE updated_at END AS updated_at
+          |  FROM src WHERE id % 11 <> 7
+          |), snap1 AS (
+          |  SELECT id, status, updated_at,
+          |    md5(CAST(id AS VARCHAR) || '|' || CAST(updated_at AS VARCHAR))
+          |      AS dbt_scd_id,
+          |    updated_at AS dbt_updated_at,
+          |    updated_at AS dbt_valid_from,
+          |    CAST(NULL AS BIGINT) AS dbt_valid_to
+          |  FROM b1
+          |), changed AS (
+          |  SELECT b.id, b.status, b.updated_at
+          |  FROM b2 b JOIN snap1 s ON b.id = s.id
+          |  WHERE b.updated_at > s.dbt_updated_at
+          |), newkeys AS (
+          |  SELECT b.id, b.status, b.updated_at
+          |  FROM b2 b LEFT JOIN snap1 s ON b.id = s.id WHERE s.id IS NULL
+          |), inserts AS (
+          |  SELECT id, status, updated_at,
+          |    md5(CAST(id AS VARCHAR) || '|' || CAST(updated_at AS VARCHAR))
+          |      AS dbt_scd_id,
+          |    updated_at AS dbt_updated_at,
+          |    updated_at AS dbt_valid_from,
+          |    CAST(NULL AS BIGINT) AS dbt_valid_to
+          |  FROM (SELECT * FROM changed UNION ALL SELECT * FROM newkeys)
+          |), closed AS (
+          |  SELECT s.id, s.status, s.updated_at, s.dbt_scd_id,
+          |    s.dbt_updated_at, s.dbt_valid_from,
+          |    c.updated_at AS dbt_valid_to
+          |  FROM snap1 s JOIN changed c ON s.id = c.id
+          |), stillopen AS (
+          |  SELECT s.* FROM snap1 s
+          |  LEFT JOIN changed c ON s.id = c.id WHERE c.id IS NULL
+          |), live AS (
+          |  SELECT so.* FROM stillopen so
+          |  WHERE EXISTS (SELECT 1 FROM b2 b WHERE b.id = so.id)
+          |), gone AS (
+          |  SELECT so.id, so.status, so.updated_at, so.dbt_scd_id,
+          |    so.dbt_updated_at, so.dbt_valid_from,
+          |    CAST(30000 AS BIGINT) AS dbt_valid_to
+          |  FROM stillopen so
+          |  WHERE NOT EXISTS (SELECT 1 FROM b2 b WHERE b.id = so.id)
+          |)
+          |SELECT * FROM closed
+          |UNION ALL SELECT * FROM live
+          |UNION ALL SELECT * FROM gone
+          |UNION ALL SELECT * FROM inserts
+          |ORDER BY id, dbt_valid_from""".stripMargin,
     )
   }
 }
