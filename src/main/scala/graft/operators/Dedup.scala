@@ -1185,6 +1185,48 @@ object Dedup {
     swapDistinct("bands", BandsIdxSchema, "bb")
   }
 
+  /** Band-store health gauge — the one-row audit read that completes
+    * the gauge family (t153 watches the IVF quantizer, t159 the
+    * Bloom fill; this watches the BAND BUCKETS, the [[buildBandIndex]]
+    * store's failure mode): after many ingests a skewed band-key
+    * distribution piles rows into few `bb` buckets, so a probe that
+    * touches a hot bucket reads far more than n_rows/buckets —
+    * search wall degrades while admission semantics stay correct,
+    * which is exactly the kind of rot only a gauge surfaces. Reports
+    * rows, distinct rows (appends accumulate exact duplicates —
+    * n_rows − n_distinct is what [[compactBandIndex]] would reclaim,
+    * as dup_ppm), used/configured buckets, the hottest bucket's row
+    * count, its corpus share (max_share_ppm) and its load relative
+    * to the uniform n_rows/buckets ideal (skew_x1e6: 1e6 = perfectly
+    * uniform — the t127 keySkewReport reading restated as a single
+    * alarm number).
+    *
+    * Scale shape: one map-side-combinable count per bucket (≤
+    * `buckets` rows), one distinct-count over the band rows (the
+    * relation is ~bands rows per doc — id-sized, never text-sized),
+    * and 1-row broadcast arithmetic.
+    */
+  def bandIndexStats(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val (_, _, _, buckets) = bandIndexMeta(spark, path)
+    val rows = spark.read.schema(BandsIdxSchema).parquet(s"$path/bands")
+    val perBucket = rows.groupBy("bb").agg(count(lit(1)).as("cnt"))
+    val dist = rows.select("doc_id", "band", "bkey").distinct()
+      .agg(count(lit(1)).as("n_distinct"))
+    perBucket
+      .agg(sum("cnt").as("n_rows"), count(lit(1)).as("n_buckets_used"),
+        max("cnt").as("max_bucket"))
+      .crossJoin(broadcast(dist))
+      .select(lit(buckets.toLong).as("buckets"), col("n_buckets_used"),
+        col("n_rows"), col("n_distinct"), col("max_bucket"),
+        expr("(max_bucket * 1000000) div greatest(n_rows, 1)")
+          .as("max_share_ppm"),
+        expr(s"(max_bucket * ${buckets}L * 1000000L) " +
+          "div greatest(n_rows, 1)").as("skew_x1e6"),
+        expr("((n_rows - n_distinct) * 1000000) div greatest(n_rows, 1)")
+          .as("dup_ppm"))
+  }
+
   /** Admission search over a persisted [[buildBandIndex]] index — the
     * text twin of [[graft.operators.Similarity.searchIvfPqIndex]]:
     * the batch sketches with the index's frozen parameters, its band

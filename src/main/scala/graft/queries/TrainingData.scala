@@ -2373,6 +2373,22 @@ object TrainingData {
         maxGapUs = 86400L * 1000000L)
       .orderBy("stage_no")
 
+  /** Band-store health gauge ([[Dedup.bandIndexStats]]) over the SAME
+    * persisted index t143 searches (shared memo — whichever query
+    * runs first builds the one artifact): bucket fill, hottest-bucket
+    * skew vs uniform, and the duplicate-row mass compaction would
+    * reclaim. Completes the staleness-gauge family (t153 IVF drift,
+    * t159 Bloom fill, now band-bucket skew).
+    */
+  def docBandStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val path = sessionIndexPath(spark, "t143_band", dir) { p =>
+      Dedup.buildBandIndex(docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", p)
+    }
+    Dedup.bandIndexStats(spark, path)
+  }
+
   /** SCD2 snapshot merge ([[graft.operators.Scd2]] — the dbt
     * `snapshot` materialization's dataflow, timestamp strategy with
     * hard-delete invalidation) replayed over two deterministic
@@ -2564,6 +2580,7 @@ object TrainingData {
     "t158_bloom_persisted" -> docBloomPersisted _,
     "t159_bloom_stats" -> docBloomStats _,
     "t160_scd2_snapshot" -> ordersScd2 _,
+    "t162_band_stats" -> docBandStats _,
   )
 
 
@@ -7962,6 +7979,37 @@ object TrainingData {
           |UNION ALL SELECT * FROM gone
           |UNION ALL SELECT * FROM inserts
           |ORDER BY id, dbt_valid_from""".stripMargin,
+      // t162: the t143 store's band rows re-derived (same sig + band
+      // key CTEs), bucketized at bkey % 64, collapsed to the one-row
+      // gauge; short docs are excluded the way the engine's index
+      // build excludes them (len(ts) >= 3); the one-shot store has
+      // zero duplicate rows, so dup_ppm replays exactly as 0
+      "t162_band_stats" ->
+        s"""WITH ${minhashCtes(64, 16, 0.5)}, rws AS (
+           |  SELECT b.doc_id, b.band, b.bkey, b.bkey % 64 AS bb
+           |  FROM bandkey b JOIN toks t ON b.doc_id = t.doc_id
+           |  WHERE b.doc_id % 10 = 0 AND len(t.ts) >= 3
+           |), pb AS (
+           |  SELECT bb, CAST(COUNT(*) AS BIGINT) AS cnt
+           |  FROM rws GROUP BY 1
+           |), dct AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct
+           |  FROM (SELECT DISTINCT doc_id, band, bkey FROM rws)
+           |), a AS (
+           |  SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           |    CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
+           |    CAST(MAX(cnt) AS BIGINT) AS max_bucket
+           |  FROM pb
+           |)
+           |SELECT CAST(64 AS BIGINT) AS buckets, n_buckets_used,
+           |  n_rows, n_distinct, max_bucket,
+           |  (max_bucket * 1000000) // GREATEST(n_rows, 1)
+           |    AS max_share_ppm,
+           |  (max_bucket * 64 * 1000000) // GREATEST(n_rows, 1)
+           |    AS skew_x1e6,
+           |  ((n_rows - n_distinct) * 1000000) // GREATEST(n_rows, 1)
+           |    AS dup_ppm
+           |FROM a, dct""".stripMargin,
     )
   }
 }

@@ -1202,4 +1202,35 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"),
       s"top-k lost its WindowGroupLimit pushdown:\n${plan.take(900)}")
   }
+
+  test("bandIndexStats: dup_ppm rises monotonically with replayed " +
+      "ingests and compaction resets it; the distinct set never moves") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val store = java.nio.file.Files.createTempDirectory("graft_bandgauge")
+      .resolve("idx").toString
+    Dedup.buildBandIndex(docs.filter(col("doc_id") % 3 === 0),
+      "doc_id", "text", store)
+    def gauge(): (Long, Long, Long) = {
+      val r = Dedup.bandIndexStats(spark, store).collect().head
+      (r.getAs[Long]("n_rows"), r.getAs[Long]("n_distinct"),
+        r.getAs[Long]("dup_ppm"))
+    }
+    val (r0, d0, p0) = gauge()
+    assert(r0 == d0 && p0 == 0L, s"fresh build must be dup-free: $r0 $d0 $p0")
+    // replay the SAME batch twice: rows grow, the distinct set and the
+    // admission semantics don't — dup_ppm is the compaction trigger
+    val replay = docs.filter(col("doc_id") % 3 === 0)
+    Dedup.ingestBandBatch(spark, store, replay, "doc_id", "text")
+    val (r1, d1, p1) = gauge()
+    assert(r1 > r0 && d1 == d0 && p1 > 0L, s"one replay: $r1 $d1 $p1")
+    Dedup.ingestBandBatch(spark, store, replay, "doc_id", "text")
+    val (r2, d2, p2) = gauge()
+    assert(r2 > r1 && d2 == d0 && p2 > p1,
+      s"dup_ppm must grow with each replay: $p1 -> $p2")
+    Dedup.compactBandIndex(spark, store)
+    val (r3, d3, p3) = gauge()
+    assert(r3 == d0 && d3 == d0 && p3 == 0L,
+      s"compaction must reclaim to the distinct set: $r3 $d3 $p3")
+  }
 }
