@@ -4745,4 +4745,80 @@ object CorpusOps {
         coalesce(sum(when(col("role") === "assistant",
           spanEnd - spanStart)), lit(0L)).as("loss_chars"))
   }
+
+  /** 2-D mixture allocator — the JOINT (source × quality-bin)
+    * token-budget design that [[tokenBudgetSample]] (budgets by
+    * source, t39) and [[qualityPrune]] (prunes by quality, t37)
+    * each do only half of: per source, spend the source's token
+    * budget on its HIGHEST-quality bins first (integer water-filling
+    * down the bin ladder), so the mixture designer reads, per cell,
+    * how many tokens the recipe takes and where each source's water
+    * level lands. Quality axis: stopword density in exact ppm
+    * (dictHits·1e6 div tokens — one of the t01 quality features),
+    * laddered into `bins` equal ppm bands; bin `bins−1` is the
+    * stopword-densest (most natural-language-like) and fills first.
+    *
+    * Budgets are data-proportional: budget(s) = src_tokens div
+    * divisor(s) — a fixed absolute budget stops exercising the ladder
+    * the moment the corpus grows, while a divisor keeps the water
+    * level mid-distribution at every scale (the oracle replays the
+    * same integer division off the same aggregate). Sources without a
+    * divisor are out of the mixture and emit no cells. Only realized
+    * cells emit (a GROUP BY, not a static cross — empty cells carry
+    * no tokens and no decision).
+    *
+    * Per cell: doc/token mass, the bin-descending cumulative mass,
+    * the source totals and budget, taken_tokens = clamp(budget −
+    * mass_above, 0, cell_tokens), its fill ratio in exact ppm, and
+    * the full/partial/none verdict. Exactly one cell per source is
+    * `partial` unless the budget lands on a bin boundary — the
+    * broadcast threshold a map-side doc filter consumes (the t72/t74
+    * shape: the ≤|sources|·bins cell relation is the only state).
+    *
+    * Scale shape: ONE tokenize pass collapses the corpus to ≤
+    * |sources|·bins cells (map-side combinable); totals, the window,
+    * and all arithmetic run on that index-sized relation with
+    * broadcast joins. Nothing row-sized survives the first
+    * aggregation.
+    */
+  def mixtureBudgetCells(docs: DataFrame, textCol: String,
+      sourceCol: String, divisors: Map[String, Long],
+      bins: Int = 10): DataFrame = {
+    require(bins > 0 && 1000000 % bins == 0,
+      s"bins must divide 1e6, got $bins")
+    require(divisors.nonEmpty && divisors.values.forall(_ >= 1L),
+      "divisors must be >= 1")
+    import docs.sparkSession.implicits._
+    val binW = 1000000 / bins
+    val perDoc = docs.select(col(sourceCol).as("source"),
+        greatest(TextFunctions.nTokens(col(textCol)), lit(1L)).as("nt"),
+        TextFunctions.dictHits(col(textCol), TextFunctions.Stopwords)
+          .as("hits"))
+      .select(col("source"), col("nt"),
+        least(lit((bins - 1).toLong),
+          expr(s"((hits * 1000000) div nt) div $binW")).as("bin"))
+    val cells = perDoc.groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("cell_tokens"))
+      .localCheckpoint() // index-sized, two consumers (totals + ladder)
+    val budgets = cells.groupBy("source")
+      .agg(sum("cell_tokens").as("src_tokens"))
+      .join(broadcast(divisors.toSeq.toDF("source", "divisor")), "source")
+      .select(col("source"), col("src_tokens"),
+        expr("src_tokens div divisor").as("budget"))
+    val ladder = Window.partitionBy("source").orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.join(broadcast(budgets), "source")
+      .withColumn("cum_tokens", sum("cell_tokens").over(ladder))
+      .withColumn("taken_tokens", greatest(lit(0L), least(
+        col("cell_tokens"),
+        col("budget") - (col("cum_tokens") - col("cell_tokens")))))
+      .select(col("source"), col("bin"), col("n_docs"),
+        col("cell_tokens"), col("cum_tokens"), col("src_tokens"),
+        col("budget"), col("taken_tokens"),
+        expr("(taken_tokens * 1000000) div greatest(cell_tokens, 1)")
+          .as("fill_ppm"),
+        when(col("taken_tokens") === col("cell_tokens"), lit("full"))
+          .when(col("taken_tokens") > 0L, lit("partial"))
+          .otherwise(lit("none")).as("status"))
+  }
 }

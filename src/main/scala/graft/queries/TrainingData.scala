@@ -2389,6 +2389,19 @@ object TrainingData {
     Dedup.bandIndexStats(spark, path)
   }
 
+  /** 2-D (source × quality-bin) token-budget allocation
+    * ([[CorpusOps.mixtureBudgetCells]], 10 ppm bins, per-source
+    * divisors (srcN % 4) + 2 so every scale factor exercises
+    * full/partial/none cells): the joint mixture design t39 and t37
+    * each did one axis of. Ordered down each source's bin ladder —
+    * the fill order itself.
+    */
+  def docMixtureBudget(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.mixtureBudgetCells(Tables.documents(spark, dir), "text",
+        "source",
+        divisors = (0 until 64).map(i => s"src$i" -> ((i % 4) + 2L)).toMap)
+      .orderBy(col("source"), col("bin").desc)
+
   /** SCD2 snapshot merge ([[graft.operators.Scd2]] — the dbt
     * `snapshot` materialization's dataflow, timestamp strategy with
     * hard-delete invalidation) replayed over two deterministic
@@ -2581,6 +2594,7 @@ object TrainingData {
     "t159_bloom_stats" -> docBloomStats _,
     "t160_scd2_snapshot" -> ordersScd2 _,
     "t162_band_stats" -> docBandStats _,
+    "t163_mixture_budget" -> docMixtureBudget _,
   )
 
 
@@ -8010,6 +8024,52 @@ object TrainingData {
            |  ((n_rows - n_distinct) * 1000000) // GREATEST(n_rows, 1)
            |    AS dup_ppm
            |FROM a, dct""".stripMargin,
+      // t163: the 2-D water-filling replayed in exact integer
+      // arithmetic — stopword-ppm bins, bin-descending cumulative
+      // token mass per source, budget = src_tokens // ((srcN % 4)+2),
+      // taken = clamp(budget − mass_above, 0, cell)
+      "t163_mixture_budget" ->
+        s"""WITH pd AS (
+           |  SELECT source,
+           |    GREATEST(${T.nTokens("text")}, 1) AS nt,
+           |    ${T.dictHits("text", TextFunctions.Stopwords)} AS hits
+           |  FROM documents
+           |), pb AS (
+           |  SELECT source, nt,
+           |    LEAST(9, ((hits * 1000000) // nt) // 100000) AS bin
+           |  FROM pd
+           |), cells AS (
+           |  SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |    CAST(SUM(nt) AS BIGINT) AS cell_tokens
+           |  FROM pb GROUP BY 1, 2
+           |), bud AS (
+           |  SELECT source, CAST(SUM(cell_tokens) AS BIGINT) AS src_tokens,
+           |    CAST(SUM(cell_tokens) AS BIGINT)
+           |      // (CAST(SUBSTR(source, 4) AS BIGINT) % 4 + 2) AS budget
+           |  FROM cells GROUP BY 1
+           |), lad AS (
+           |  SELECT c.source, bin, n_docs, cell_tokens,
+           |    CAST(SUM(cell_tokens) OVER (PARTITION BY c.source
+           |      ORDER BY bin DESC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS BIGINT) AS cum_tokens,
+           |    src_tokens, budget
+           |  FROM cells c JOIN bud b ON c.source = b.source
+           |), t AS (
+           |  SELECT source, bin, n_docs, cell_tokens, cum_tokens,
+           |    src_tokens, budget,
+           |    GREATEST(0, LEAST(cell_tokens,
+           |      budget - (cum_tokens - cell_tokens))) AS taken_tokens
+           |  FROM lad
+           |)
+           |SELECT source, bin, n_docs, cell_tokens, cum_tokens,
+           |  src_tokens, budget, taken_tokens,
+           |  (taken_tokens * 1000000) // GREATEST(cell_tokens, 1)
+           |    AS fill_ppm,
+           |  CASE WHEN taken_tokens = cell_tokens THEN 'full'
+           |       WHEN taken_tokens > 0 THEN 'partial'
+           |       ELSE 'none' END AS status
+           |FROM t ORDER BY source, bin DESC""".stripMargin,
     )
   }
 }
