@@ -4746,6 +4746,39 @@ object CorpusOps {
           spanEnd - spanStart)), lit(0L)).as("loss_chars"))
   }
 
+  /** Line-level Gopher repetition rules — the published bundle's
+    * LINE-wise half ([[gopherRules]] implements the five word-level
+    * rules; these are the two the fixture's single-line text couldn't
+    * exercise until rendered multi-line): a document is removed when
+    * more than 90% of its lines START with a bullet, or more than 30%
+    * END with an ellipsis. Both fractions are single integer
+    * cross-multiplications (bullet·10 ≤ lines·9, ellipsis·10 ≤
+    * lines·3) — no floats, so the verdicts replay bit-exact.
+    * Bullet markers: `- `, `* `, `• `; ellipsis: `...` or `…`.
+    *
+    * Scale shape: one map-only pass — split on newline, two
+    * short-circuiting array filters, per-row arithmetic; nothing
+    * shuffles and the whole row stays inside codegen.
+    */
+  def gopherLineRules(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    docs.select(col(idCol),
+        size(lines).cast("long").as("n_lines"),
+        size(filter(lines, l => l.startsWith("- ") || l.startsWith("* ") ||
+          l.startsWith("• "))).cast("long").as("bullet_lines"),
+        size(filter(lines, l => l.endsWith("...") || l.endsWith("…")))
+          .cast("long").as("ellipsis_lines"))
+      .withColumn("bullet_ppm",
+        expr("(bullet_lines * 1000000) div greatest(n_lines, 1)"))
+      .withColumn("ellipsis_ppm",
+        expr("(ellipsis_lines * 1000000) div greatest(n_lines, 1)"))
+      .withColumn("ok_bullet", col("bullet_lines") * 10L <= col("n_lines") * 9L)
+      .withColumn("ok_ellipsis",
+        col("ellipsis_lines") * 10L <= col("n_lines") * 3L)
+      .withColumn("keep", col("ok_bullet") && col("ok_ellipsis"))
+  }
+
   /** 2-D mixture allocator — the JOINT (source × quality-bin)
     * token-budget design that [[tokenBudgetSample]] (budgets by
     * source, t39) and [[qualityPrune]] (prunes by quality, t37)

@@ -2389,6 +2389,27 @@ object TrainingData {
     Dedup.bandIndexStats(spark, path)
   }
 
+  /** Line-level Gopher rules ([[CorpusOps.gopherLineRules]]) over a
+    * rendered multi-line face (the t92 move: fixture text is
+    * single-line, so groups of five documents render as one
+    * five-line page — bullet-prefixed unless doc_id % 7 == 0,
+    * ellipsis-suffixed when doc_id % 4 == 0, chosen so BOTH rules
+    * realize both verdicts at every scale). Line-fraction rules are
+    * order-invariant, so the unordered collect is semantics-free.
+    */
+  def docGopherLines(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val rendered = docs.select(expr("doc_id div 5").as("gid"),
+        concat(
+          when(col("doc_id") % 7 =!= 0, lit("- ")).otherwise(lit("")),
+          col("text"),
+          when(col("doc_id") % 4 === 0, lit("...")).otherwise(lit("")))
+          .as("line"))
+      .groupBy("gid")
+      .agg(concat_ws("\n", collect_list(col("line"))).as("text"))
+    CorpusOps.gopherLineRules(rendered, "gid", "text").orderBy("gid")
+  }
+
   /** 2-D (source × quality-bin) token-budget allocation
     * ([[CorpusOps.mixtureBudgetCells]], 10 ppm bins, per-source
     * divisors (srcN % 4) + 2 so every scale factor exercises
@@ -2594,6 +2615,7 @@ object TrainingData {
     "t159_bloom_stats" -> docBloomStats _,
     "t160_scd2_snapshot" -> ordersScd2 _,
     "t162_band_stats" -> docBandStats _,
+    "t161_gopher_lines" -> docGopherLines _,
     "t163_mixture_budget" -> docMixtureBudget _,
   )
 
@@ -8024,6 +8046,35 @@ object TrainingData {
            |  ((n_rows - n_distinct) * 1000000) // GREATEST(n_rows, 1)
            |    AS dup_ppm
            |FROM a, dct""".stripMargin,
+      // t161: the line rules counted directly on the rendered lines —
+      // counting before or after the newline join is the same count,
+      // which is the point of line-FRACTION rules; prefixes/suffixes
+      // replay the engine's rendering arithmetic exactly
+      "t161_gopher_lines" ->
+        """WITH lines AS (
+          |  SELECT doc_id // 5 AS gid,
+          |    (CASE WHEN doc_id % 7 <> 0 THEN '- ' ELSE '' END) || text ||
+          |    (CASE WHEN doc_id % 4 = 0 THEN '...' ELSE '' END) AS line
+          |  FROM documents
+          |), g AS (
+          |  SELECT gid, CAST(COUNT(*) AS BIGINT) AS n_lines,
+          |    CAST(SUM(CASE WHEN line LIKE '- %' OR line LIKE '* %'
+          |      OR line LIKE '• %' THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS bullet_lines,
+          |    CAST(SUM(CASE WHEN line LIKE '%...' OR line LIKE '%…'
+          |      THEN 1 ELSE 0 END) AS BIGINT) AS ellipsis_lines
+          |  FROM lines GROUP BY 1
+          |)
+          |SELECT gid, n_lines, bullet_lines, ellipsis_lines,
+          |  (bullet_lines * 1000000) // GREATEST(n_lines, 1)
+          |    AS bullet_ppm,
+          |  (ellipsis_lines * 1000000) // GREATEST(n_lines, 1)
+          |    AS ellipsis_ppm,
+          |  bullet_lines * 10 <= n_lines * 9 AS ok_bullet,
+          |  ellipsis_lines * 10 <= n_lines * 3 AS ok_ellipsis,
+          |  (bullet_lines * 10 <= n_lines * 9)
+          |    AND (ellipsis_lines * 10 <= n_lines * 3) AS keep
+          |FROM g ORDER BY gid""".stripMargin,
       // t163: the 2-D water-filling replayed in exact integer
       // arithmetic — stopword-ppm bins, bin-descending cumulative
       // token mass per source, budget = src_tokens // ((srcN % 4)+2),
