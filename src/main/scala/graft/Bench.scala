@@ -45,32 +45,44 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    // machine-window canary: a fixed reference workload (q01, the
-    // simplest scan+filter+agg) timed once at the head of every sweep.
-    // Cross-round comparisons divide by it — the driver machine has
-    // documented multi-round noise windows (uniform 10–40% inflation;
-    // SCALING.md r9/r10), and canary-relative numbers separate a code
-    // regression from a machine regime shift without forensics.
-    // a FAILED canary must not enter the median — its (typically
+    // machine-window canary BASKET: three fixed reference workloads
+    // timed at the head of every sweep — scan-bound (q01: scan +
+    // filter + agg), shuffle-bound (q04: join + agg), and window-bound
+    // (q09: global window rank). Cross-round comparisons divide by the
+    // basket median — the driver machine has documented multi-round
+    // noise windows (uniform 10–40% inflation; SCALING.md r9/r10), and
+    // a single scan canary missed a ~7% uniform shift in r12 because
+    // machine regimes move the three resource classes unequally; the
+    // basket median is robust to one class regime-shifting alone.
+    // a FAILED canary must not enter its median — its (typically
     // short) elapsed time would silently skew every canary-normalized
     // cross-round ratio; NaN here, filtered at append below, and the
-    // record emits canary_s:null when no rep succeeded so normalized
-    // ratios are absent rather than wrong.
-    def runCanary(): Double = {
+    // record emits null when no rep succeeded so normalized ratios
+    // are absent rather than wrong.
+    val canaryDefs: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "scan" -> (() => queries.Relational.q01(spark, sfDir)),
+      "shuffle" -> (() => queries.Relational.q04(spark, sfDir)),
+      "window" -> (() => queries.Relational.q09(spark, sfDir)))
+    def runCanary(name: String,
+        fn: () => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try {
-        queries.Relational.q01(spark, sfDir).write.mode("overwrite")
-          .parquet(s"$outRoot/__canary.parquet")
+        fn().write.mode("overwrite")
+          .parquet(s"$outRoot/__canary_$name.parquet")
         (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable =>
-        System.err.println(s"[bench] canary failed: ${e.getMessage}")
+        System.err.println(s"[bench] canary $name failed: ${e.getMessage}")
         Double.NaN
       }
     }
-    val canaries = scala.collection.mutable.ListBuffer.empty[Double]
+    val canarySamples =
+      scala.collection.mutable.Map.empty[String, List[Double]]
+        .withDefaultValue(Nil)
     val samples = (0 until reps).map { _ =>
-      val c = runCanary()
-      if (!c.isNaN) canaries += c
+      canaryDefs.foreach { case (cn, fn) =>
+        val c = runCanary(cn, fn)
+        if (!c.isNaN) canarySamples(cn) = canarySamples(cn) :+ c
+      }
       selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try {
@@ -110,14 +122,30 @@ object Bench {
     val headline = results.collect {
       case (k, v) if !quadraticBaselines(k) => v
     }.sum
-    val canaryOpt =
-      if (canaries.isEmpty) None else Some(median(canaries.toSeq)).filter(_ > 0)
-    val canaryJson = canaryOpt.map(c => f"$c%.3f").getOrElse("null")
+    // per-canary medians; the basket median (median of the three
+    // class medians) is the normalization denominator of record.
+    // canary_s stays the SCAN median for continuity with pre-r13
+    // records (earlier rounds' canary_s was exactly that workload).
+    val canaryMeds: Seq[(String, Double)] = canaryDefs.collect {
+      case (cn, _) if canarySamples(cn).nonEmpty =>
+        cn -> median(canarySamples(cn))
+    }
+    val canariesJson = canaryMeds
+      .map { case (cn, v) => "\"" + cn + f"""":$v%.3f""" }
+      .mkString("{", ",", "}")
+    val scanOpt = canaryMeds.collectFirst {
+      case ("scan", v) if v > 0 => v
+    }
+    val basketOpt =
+      if (canaryMeds.isEmpty) None
+      else Some(median(canaryMeds.map(_._2))).filter(_ > 0)
+    val canaryJson = scanOpt.map(c => f"$c%.3f").getOrElse("null")
+    val basketJson = basketOpt.map(c => f"$c%.3f").getOrElse("null")
     val totalNormJson =
-      canaryOpt.map(c => f"${total / c}%.1f").getOrElse("null")
+      basketOpt.map(c => f"${total / c}%.1f").getOrElse("null")
     val headlineNormJson =
-      canaryOpt.map(c => f"${headline / c}%.1f").getOrElse("null")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_scale_headline":$headline%.3f,"headline_excludes":["t08_ann_brute_topk","t10_emb_near_dup","t91_margin_pairs"],"canary_s":$canaryJson,"total_over_canary":$totalNormJson,"headline_over_canary":$headlineNormJson,"reps":$reps,"reps_spread":$repsSpread%.3f,"queries":$qs,"sf":"$sfDir"}""")
+      basketOpt.map(c => f"${headline / c}%.1f").getOrElse("null")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_scale_headline":$headline%.3f,"headline_excludes":["t08_ann_brute_topk","t10_emb_near_dup","t91_margin_pairs"],"canary_s":$canaryJson,"canaries":$canariesJson,"canary_basket_s":$basketJson,"total_over_canary":$totalNormJson,"headline_over_canary":$headlineNormJson,"reps":$reps,"reps_spread":$repsSpread%.3f,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
