@@ -36,7 +36,7 @@ import org.yaml.snakeyaml.representer.Representer
   * (declared, never aliased) survive via `setAnchor` + the snakeyaml
   * anchor generator, and `<<` merge keys are re-instated from the
   * composed tree when the merge still holds — see [[restoreMergeKey]]
-  * (residual: a chained merge inside the anchor stays flattened).
+  * (chained merges inside anchor bodies resolve transitively).
   */
 object YamlIO {
 
@@ -267,11 +267,16 @@ object YamlIO {
     * pointing at the FRESH anchor node — the serializer then sees two
     * occurrences and re-emits `&name` / `<<: *name`. Any divergence
     * (an edit to an inherited value, a vanished key, an anchor
-    * defined after the merge site, a chained merge inside the anchor)
-    * keeps the mapping flattened, which is the only correct reading
-    * of "the merge no longer holds". Single `<<` per mapping (YAML
-    * forbids duplicates); both the single-alias and sequence-of-
-    * aliases forms are handled.
+    * defined after the merge site) keeps the mapping flattened, which
+    * is the only correct reading of "the merge no longer holds".
+    * Single `<<` per mapping (YAML forbids duplicates); both the
+    * single-alias and sequence-of-aliases forms are handled. A
+    * CHAINED merge (the anchor body itself merging another anchor)
+    * resolves through [[effectiveEntries]]: sources restored earlier
+    * in the walk already carry their own re-instated `<<`, so the
+    * contribution check expands them recursively — a two-level chain
+    * round-trips as a chain (reference semantics:
+    * core/schema/parser.py:15-22, ruamel's RoundTripLoader).
     */
   private def restoreMergeKey(om: MappingNode, rebuilt: Seq[NodeTuple],
       seen: java.util.IdentityHashMap[Node, Node]): Seq[NodeTuple] = {
@@ -293,18 +298,20 @@ object YamlIO {
         if (freshMaps.size != sources.size) return rebuilt
         val localKeys = omTuples.filterNot(_ eq mt).flatMap(scalarKey(_)).toSet
         // keys the merge contributed: first-wins across sources (YAML
-        // merge precedence), locals excluded
+        // merge precedence), locals excluded. Sources restored earlier
+        // in the walk may already carry a re-instated `<<` of their
+        // own (a merge CHAIN) — expand each source to its effective
+        // key set so the chain's transitive contributions are checked
+        // against this mapping's materialized values.
+        val expanded = freshMaps.map(m =>
+          effectiveEntries(m, new java.util.IdentityHashMap[Node, Node]()))
+        if (expanded.exists(_.isEmpty)) return rebuilt
         val inherited = scala.collection.mutable.LinkedHashMap[String, Node]()
-        freshMaps.foreach(_.getValue.asScala.foreach { t =>
-          scalarKey(t).foreach { k =>
-            if (k != "<<" && !localKeys.contains(k) && !inherited.contains(k))
-              inherited(k) = t.getValueNode
-          }
-        })
-        if (inherited.isEmpty ||
-          freshMaps.exists(_.getValue.asScala.exists(t =>
-            scalarKey(t).contains("<<"))))
-          return rebuilt
+        expanded.flatMap(_.get).foreach { case (k, v) =>
+          if (k != "<<" && !localKeys.contains(k) && !inherited.contains(k))
+            inherited(k) = v
+        }
+        if (inherited.isEmpty) return rebuilt
         val curByKey = rebuilt.flatMap(t => scalarKey(t).map(_ -> t)).toMap
         val holds = inherited.forall { case (k, v) =>
           curByKey.get(k).exists(t => deepEq(t.getValueNode, v))
@@ -325,6 +332,52 @@ object YamlIO {
           new NodeTuple(mt.getKeyNode, mergeValue)) ++
           withoutInherited.drop(insertAt)
     }
+  }
+
+  /** A mapping's EFFECTIVE (key → value-node) entries with `<<`
+    * merges expanded recursively: locals first-wins, then each merge
+    * source's own effective entries in order (YAML merge precedence).
+    * None on anything that can't be fully resolved — a non-mapping
+    * merge source, or a cycle (guarded by identity, impossible in
+    * YAML the composer accepts but cheap to refuse).
+    */
+  private def effectiveEntries(m: MappingNode,
+      visiting: java.util.IdentityHashMap[Node, Node])
+      : Option[Seq[(String, Node)]] = {
+    if (visiting.containsKey(m)) return None
+    visiting.put(m, m)
+    try {
+      val out = scala.collection.mutable.LinkedHashMap[String, Node]()
+      var mergeSources: Seq[Node] = Nil
+      m.getValue.asScala.foreach { t =>
+        t.getKeyNode match {
+          case s: ScalarNode
+            if s.getTag.getValue == "tag:yaml.org,2002:merge" ||
+              s.getValue == "<<" =>
+            mergeSources = t.getValueNode match {
+              case sq: SequenceNode => sq.getValue.asScala.toSeq
+              case other => Seq(other)
+            }
+          case _ =>
+            scalarKey(t).foreach { k =>
+              if (!out.contains(k)) out(k) = t.getValueNode
+            }
+        }
+      }
+      val resolved = mergeSources.forall {
+        case mm: MappingNode =>
+          effectiveEntries(mm, visiting) match {
+            case Some(es) =>
+              es.foreach { case (k, v) =>
+                if (!out.contains(k)) out(k) = v
+              }
+              true
+            case None => false
+          }
+        case _ => false
+      }
+      if (resolved) Some(out.toSeq) else None
+    } finally visiting.remove(m)
   }
 
   /** Dump with comments restored from `doc.source` (plain dump when

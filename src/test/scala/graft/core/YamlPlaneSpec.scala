@@ -341,6 +341,42 @@ class YamlPlaneSpec extends AnyFunSuite {
     assert(metas("customers") == Map("owner" -> "data-team", "tier" -> "gold"))
   }
 
+  test("chained << merge keys (anchor body merging another anchor) " +
+      "round-trip byte-for-byte (A32 residual closed)") {
+    val root = tmpRoot()
+    val p = root.resolve("schema.yml")
+    // two-level chain: mid inherits from base, the leaf meta inherits
+    // from mid — the flatten sees {a,b,c}; the rewrite must re-instate
+    // BOTH merge sites, the inner one inside the anchor body
+    val original =
+      """version: 2
+        |x-base: &base
+        |  owner: data-team
+        |  retention: 30
+        |x-mid: &mid
+        |  <<: *base
+        |  tier: gold
+        |models:
+        |- name: orders
+        |  meta:
+        |    <<: *mid
+        |    tier: silver
+        |""".stripMargin
+    Files.writeString(p, original)
+    YamlIO.invalidate()
+    YamlIO.write(p, YamlIO.read(p))
+    assert(Files.readString(p) == original,
+      s"chained merge did not survive:\n${Files.readString(p)}")
+    // the re-read still flattens the chain with precedence intact:
+    // leaf local > mid > base
+    YamlIO.invalidate()
+    val again = YamlIO.read(p)
+    val meta = again.managed("models").asInstanceOf[Seq[Map[String, Any]]]
+      .head("meta").asInstanceOf[Map[String, Any]]
+    assert(meta == Map("owner" -> "data-team", "retention" -> 30,
+      "tier" -> "silver"), s"chain flatten wrong: $meta")
+  }
+
   test("sequence-of-aliases merge (<<: [*a, *b]) round-trips with " +
       "first-wins precedence (A32)") {
     val root = tmpRoot()
