@@ -1,0 +1,84 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CorpusOps, Dedup}
+
+/** Production-probe benchmark for the persisted stores: a FIXED probe
+  * batch against an index built from a GROWN corpus — the deployment
+  * shape (an ingestion batch is sized by arrival rate, the index by
+  * corpus history), as opposed to the oracle gates where BOTH sides
+  * ride the fixture and a 30× run grows the probe too. Builds are
+  * untimed (they are the corpus's one-off cost); the timed action is
+  * the search/answer alone, med-3, consumed by a parquet write (the
+  * Bench discipline).
+  *
+  *   runMain graft.tools.ProbeBench <indexSfDir> <batchSfDir> <label>
+  *
+  * Typical pair of runs:
+  *   ProbeBench /root/testdata/sf0.1 /root/testdata/sf0.1 idx1x
+  *   ProbeBench /tmp/sf3_r13        /root/testdata/sf0.1 idx30x
+  * — same fixed batch (sf0.1's doc_id % 100 == 1 slice, an
+  * ingestion-batch-sized probe), index slices 30× apart.
+  */
+object ProbeBench {
+  def main(args: Array[String]): Unit = {
+    val Array(indexDir, batchDir, label) = args.take(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-probebench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val idxCorpus = spark.read.parquet(s"$indexDir/documents.parquet")
+    val idxSlice = idxCorpus.filter(col("doc_id") % 10 === 0)
+    // the FIXED probe batch: an ingestion-batch-sized slice that never
+    // grows with the index side
+    val batch = spark.read.parquet(s"$batchDir/documents.parquet")
+      .filter(col("doc_id") % 100 === 1)
+    val nIdx = idxSlice.count()
+    val nBatch = batch.count()
+
+    val root = Files.createTempDirectory("graft_probe").toString
+    Dedup.buildWinnowIndex(idxSlice, "doc_id", "text", s"$root/winnow")
+    Dedup.buildBandIndex(idxSlice, "doc_id", "text", s"$root/band")
+    CorpusOps.buildKmvStore(idxCorpus, "text", "source", s"$root/kmv",
+      n = 3, k = 64)
+    CorpusOps.buildBloomRegistry(idxSlice, "text", s"$root/bloom", n = 4)
+
+    def med3(name: String, fn: () => DataFrame): (String, Double) = {
+      val xs = (0 until 3).map { i =>
+        val t0 = System.nanoTime()
+        fn().write.mode("overwrite").parquet(s"$root/__out_$name")
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> xs(1)
+    }
+
+    val results = Seq(
+      med3("winnow_search_s", () =>
+        Dedup.searchWinnowIndex(spark, s"$root/winnow", batch,
+          "doc_id", "text")),
+      med3("band_search_s", () =>
+        Dedup.searchBandIndex(spark, s"$root/band", batch,
+          "doc_id", "text")),
+      med3("kmv_answer_s", () =>
+        CorpusOps.kmvOverlapFromStore(spark, s"$root/kmv")),
+      med3("bloom_decontam_s", () =>
+        CorpusOps.decontaminateFromRegistry(spark, s"$root/bloom", batch,
+          "doc_id", "text")))
+    val body = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
+      .mkString(",")
+    println(s"""{"label":"$label","index_docs":$nIdx,"batch_docs":$nBatch,$body}""")
+    spark.stop()
+  }
+}
