@@ -948,6 +948,50 @@ object CorpusOps {
     graft.core.FsOps.swapInDir(fs, dir, staging)
   }
 
+  /** Quantile-map staleness gauge — the "when do we refit" read for
+    * the [[fitQuantileMap]] store (the calibration twin of
+    * [[graft.operators.Similarity.ivfStalenessReport]] and
+    * [[bloomRegistryStats]]): the frozen reference CDF serves every
+    * [[percentileFromMap]] transform between refits, and this gauge
+    * measures how far a CURRENT batch's score distribution has
+    * drifted from it — the exact Kolmogorov–Smirnov statistic in ppm
+    * (max |CDF_ref − CDF_cur| over the union of jump points, where a
+    * step-CDF supremum is always attained). Rising ks_ppm means the
+    * store's percentiles mis-calibrate the batches it transforms;
+    * this is the refit trigger.
+    *
+    * Scale shape: both sides compress to distinct-score histograms
+    * first (map-side combinable), the full-outer merge and the two
+    * cumulative windows run on the distinct-scores relation (the
+    * [[percentileFromMap]] discipline), and the verdict is one MAX.
+    */
+  def quantileMapDrift(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, scoreCol: String): DataFrame = {
+    quantileMapMeta(spark, path, scoreCol)
+    val ref = spark.read.schema("score BIGINT, cnt BIGINT")
+      .parquet(s"$path/hist")
+      .groupBy("score").agg(sum("cnt").as("rc"))
+    val cur = batch.select(col(scoreCol).cast("long").as("score"))
+      .groupBy("score").agg(count(lit(1)).as("cc"))
+    val merged = ref.join(cur, Seq("score"), "full_outer")
+      .select(col("score"), coalesce(col("rc"), lit(0L)).as("rc"),
+        coalesce(col("cc"), lit(0L)).as("cc"))
+      .localCheckpoint() // distinct-scores-sized, two consumers
+    val tot = merged.agg(sum("rc").as("n_ref"), sum("cc").as("n_cur"),
+      count(lit(1)).as("n_scores"))
+    val w = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    merged
+      .withColumn("crf", sum("rc").over(w))
+      .withColumn("ccf", sum("cc").over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("n_ref"), col("n_cur"), col("n_scores"),
+        abs(expr("(crf * 1000000) div greatest(n_ref, 1)") -
+          expr("(ccf * 1000000) div greatest(n_cur, 1)")).as("d"))
+      .groupBy("n_ref", "n_cur", "n_scores")
+      .agg(max("d").as("ks_ppm"))
+  }
+
   /** Percentile-transform a batch against the FROZEN reference map:
     * (id, score, ref_cum, pct_ppm) per batch row. See the lifecycle
     * scaladoc for the shape argument.

@@ -2379,6 +2379,26 @@ object TrainingData {
         maxGapUs = 86400L * 1000000L)
       .orderBy("stage_no")
 
+  /** Quantile-map staleness gauge ([[CorpusOps.quantileMapDrift]])
+    * over the SAME t152 store (shared memo): the exact KS distance in
+    * ppm between the frozen reference CDF and a deterministically
+    * jittered current batch (score + doc_id % 7 — real drift at every
+    * scale). The refit trigger completing the gauge family on the
+    * calibration store.
+    */
+  def docQuantileDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val path = sessionIndexPath(spark, "t152_qmap", dir) { p =>
+      CorpusOps.fitQuantileMap(docs.filter(col("doc_id") % 3 === 0),
+        "n_chars", p)
+      CorpusOps.ingestQuantileBatch(spark, p,
+        docs.filter(col("doc_id") % 3 =!= 0), "n_chars")
+    }
+    CorpusOps.quantileMapDrift(spark, path,
+      docs.select(col("doc_id"),
+        (col("n_chars") + col("doc_id") % 7).as("n_chars")), "n_chars")
+  }
+
   /** Band-store health gauge ([[Dedup.bandIndexStats]]) over the SAME
     * persisted index t143 searches (shared memo — whichever query
     * runs first builds the one artifact): bucket fill, hottest-bucket
@@ -2623,6 +2643,7 @@ object TrainingData {
     "t162_band_stats" -> docBandStats _,
     "t161_gopher_lines" -> docGopherLines _,
     "t163_mixture_budget" -> docMixtureBudget _,
+    "t164_quantile_drift" -> docQuantileDrift _,
   )
 
 
@@ -8082,6 +8103,39 @@ object TrainingData {
           |  (bullet_lines * 10 <= n_lines * 9)
           |    AND (ellipsis_lines * 10 <= n_lines * 3) AS keep
           |FROM g ORDER BY gid""".stripMargin,
+      // t164: the KS distance replayed at the union of jump points —
+      // the one-shot full-corpus histogram IS the fit+ingest store
+      // (histograms add), so the gate needs no store replay
+      "t164_quantile_drift" ->
+        """WITH ref0 AS (
+          |  SELECT CAST(n_chars AS BIGINT) AS score,
+          |    CAST(COUNT(*) AS BIGINT) AS rc
+          |  FROM documents GROUP BY 1
+          |), cur0 AS (
+          |  SELECT CAST(n_chars + doc_id % 7 AS BIGINT) AS score,
+          |    CAST(COUNT(*) AS BIGINT) AS cc
+          |  FROM documents GROUP BY 1
+          |), m AS (
+          |  SELECT COALESCE(r.score, c.score) AS score,
+          |    COALESCE(rc, 0) AS rc, COALESCE(cc, 0) AS cc
+          |  FROM ref0 r FULL OUTER JOIN cur0 c ON r.score = c.score
+          |), cum AS (
+          |  SELECT score,
+          |    SUM(rc) OVER w AS crf, SUM(cc) OVER w AS ccf
+          |  FROM m
+          |  WINDOW w AS (ORDER BY score
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |), t AS (
+          |  SELECT CAST(SUM(rc) AS BIGINT) AS n_ref,
+          |    CAST(SUM(cc) AS BIGINT) AS n_cur,
+          |    CAST(COUNT(*) AS BIGINT) AS n_scores
+          |  FROM m
+          |)
+          |SELECT n_ref, n_cur, n_scores,
+          |  (SELECT CAST(MAX(ABS((crf * 1000000) // GREATEST(t.n_ref, 1)
+          |     - (ccf * 1000000) // GREATEST(t.n_cur, 1))) AS BIGINT)
+          |   FROM cum) AS ks_ppm
+          |FROM t""".stripMargin,
       // t163: the 2-D water-filling replayed in exact integer
       // arithmetic — stopword-ppm bins, bin-descending cumulative
       // token mass per source, budget = src_tokens // ((srcN % 4)+2),
