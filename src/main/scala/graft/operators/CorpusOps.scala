@@ -1259,6 +1259,40 @@ object CorpusOps {
     graft.core.FsOps.swapInDir(fs, dir, staging)
   }
 
+  /** KMV-store health gauge — the one-row audit completing the gauge
+    * family on the sketch store: how many groups the store holds, how
+    * many answer EXACTLY (distinct hashes < k — their "estimates" are
+    * plain counts), the exact-duplicate row mass replayed ingests
+    * accumulate, and the rows compaction would reclaim (appends keep
+    * each batch's bottom-k, so a group's live rows can exceed k;
+    * [[compactKmvStore]] re-ranks back to k). dup_ppm rising says
+    * replays are padding the probed partitions; reclaim_ppm says a
+    * compaction is worth its rewrite.
+    *
+    * Scale shape: ONE (grp)-keyed aggregation of the sketch relation
+    * (≤ |groups|·k·|batches| rows by construction — index-sized),
+    * then a 1-row collapse; nothing corpus-sized exists here at all.
+    */
+  def kmvStoreStats(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val (_, k) = kmvStoreMeta(spark, path)
+    spark.read.schema(KmvStoreSchema).parquet(s"$path/sketches")
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_g"), count_distinct(col("h")).as("nd_g"))
+      .agg(count(lit(1)).as("n_groups"), sum("n_g").as("n_rows"),
+        sum("nd_g").as("n_distinct"),
+        sum(least(col("nd_g"), lit(k.toLong))).as("kept"),
+        sum(when(col("nd_g") < k.toLong, 1L).otherwise(0L))
+          .as("n_exact_groups"))
+      .select(col("n_groups"), col("n_rows"), col("n_distinct"),
+        col("n_exact_groups"),
+        (col("n_groups") - col("n_exact_groups")).as("n_estimated_groups"),
+        expr("((n_rows - n_distinct) * 1000000) div greatest(n_rows, 1)")
+          .as("dup_ppm"),
+        expr("((n_rows - kept) * 1000000) div greatest(n_rows, 1)")
+          .as("reclaim_ppm"))
+  }
+
   /** The overlap matrix answered FROM the store: re-select bottom-k
     * per group (KMV's exact merge over whatever appends accumulated),
     * pin the |groups|·k relation, and run the shared

@@ -1185,6 +1185,101 @@ object Dedup {
     swapDistinct("bands", BandsIdxSchema, "bb")
   }
 
+  /** Winnow-store health gauge — [[bandIndexStats]]'s twin over the
+    * [[buildWinnowIndex]] fps relation: bucket fill, hottest-bucket
+    * skew vs the uniform ideal, and the exact-duplicate row mass
+    * replayed ingests accumulate (what [[compactWinnowIndex]] would
+    * reclaim). Same one-row contract so an index owner alarms on the
+    * whole store fleet with one reader.
+    */
+  def winnowIndexStats(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val (_, _, buckets) = winnowMeta(spark, path)
+    val rows = spark.read.schema(WinnowFpsSchema).parquet(s"$path/fps")
+    val perBucket = rows.groupBy("fpb").agg(count(lit(1)).as("cnt"))
+    val dist = rows.select("fp").distinct().agg(count(lit(1)).as("n_distinct"))
+    perBucket
+      .agg(sum("cnt").as("n_rows"), count(lit(1)).as("n_buckets_used"),
+        max("cnt").as("max_bucket"))
+      .crossJoin(broadcast(dist))
+      .select(lit(buckets.toLong).as("buckets"), col("n_buckets_used"),
+        col("n_rows"), col("n_distinct"), col("max_bucket"),
+        expr("(max_bucket * 1000000) div greatest(n_rows, 1)")
+          .as("max_share_ppm"),
+        expr(s"(max_bucket * ${buckets}L * 1000000L) " +
+          "div greatest(n_rows, 1)").as("skew_x1e6"),
+        expr("((n_rows - n_distinct) * 1000000) div greatest(n_rows, 1)")
+          .as("dup_ppm"))
+  }
+
+  /** Re-bucket a persisted band index — the remediation
+    * [[bandIndexStats]]'s alarm calls for (bucket count is the knob
+    * that keeps a production probe's pruned read proportional as the
+    * index grows; SCALING.md round-13). The WHOLE store is rebuilt
+    * under `path__staging` (new meta + both relations re-laid-out and
+    * distinct-ed under the new pmod) and swapped in as ONE directory
+    * rename pair — relations and meta can never disagree on the
+    * bucket count, which a per-relation swap could not guarantee (a
+    * crash between a relation rewrite and the meta rewrite would
+    * leave probes pruning with the WRONG modulus and silently missing
+    * candidates — the one failure mode an admission gate must never
+    * have). Single-writer discipline, crash recoverable via
+    * [[graft.core.FsOps.recoverRetired]] at the store root.
+    */
+  def rebucketBandIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, newBuckets: Int): Unit = {
+    require(newBuckets > 0)
+    val dir0 = new org.apache.hadoop.fs.Path(path)
+    graft.core.FsOps.recoverRetired(
+      dir0.getFileSystem(spark.sessionState.newHadoopConf()), dir0)
+    val (n, numPerms, bands, _) = bandIndexMeta(spark, path)
+    val staging = s"${path}__staging"
+    spark.range(1)
+      .select(lit(n).as("n"), lit(numPerms).as("num_perms"),
+        lit(bands).as("bands"), lit(newBuckets).as("buckets"))
+      .write.mode("overwrite").parquet(s"$staging/meta")
+    spark.read.schema(SigsIdxSchema).parquet(s"$path/sigs")
+      .drop("db").distinct()
+      .withColumn("db", pmod(col("doc_id"), lit(newBuckets.toLong)))
+      .repartition(col("db"))
+      .write.mode("overwrite").partitionBy("db").parquet(s"$staging/sigs")
+    spark.read.schema(BandsIdxSchema).parquet(s"$path/bands")
+      .drop("bb").distinct()
+      .withColumn("bb", pmod(col("bkey"), lit(newBuckets.toLong)))
+      .repartition(col("bb"))
+      .write.mode("overwrite").partitionBy("bb").parquet(s"$staging/bands")
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    graft.core.FsOps.swapInDir(fs, dir,
+      new org.apache.hadoop.fs.Path(staging))
+  }
+
+  /** Re-bucket a persisted winnow index — [[rebucketBandIndex]]'s
+    * twin (whole-store staging + one swap, distinct for free).
+    */
+  def rebucketWinnowIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, newBuckets: Int): Unit = {
+    require(newBuckets > 0)
+    val dir0 = new org.apache.hadoop.fs.Path(path)
+    graft.core.FsOps.recoverRetired(
+      dir0.getFileSystem(spark.sessionState.newHadoopConf()), dir0)
+    val (k, w, _) = winnowMeta(spark, path)
+    val staging = s"${path}__staging"
+    spark.range(1)
+      .select(lit(k).as("k"), lit(w).as("w"),
+        lit(newBuckets).as("buckets"))
+      .write.mode("overwrite").parquet(s"$staging/meta")
+    spark.read.schema(WinnowFpsSchema).parquet(s"$path/fps")
+      .select(col("fp")).distinct()
+      .withColumn("fpb", pmod(col("fp"), lit(newBuckets.toLong)))
+      .repartition(col("fpb"))
+      .write.mode("overwrite").partitionBy("fpb").parquet(s"$staging/fps")
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    graft.core.FsOps.swapInDir(fs, dir,
+      new org.apache.hadoop.fs.Path(staging))
+  }
+
   /** Band-store health gauge — the one-row audit read that completes
     * the gauge family (t153 watches the IVF quantizer, t159 the
     * Bloom fill; this watches the BAND BUCKETS, the [[buildBandIndex]]

@@ -2379,6 +2379,36 @@ object TrainingData {
         maxGapUs = 86400L * 1000000L)
       .orderBy("stage_no")
 
+  /** Winnow-store health gauge ([[Dedup.winnowIndexStats]]) over the
+    * SAME persisted index t134 searches (shared memo): bucket fill,
+    * hottest-bucket skew, reclaimable duplicate mass — the gauge
+    * family's winnow member.
+    */
+  def docWinnowStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val path = sessionIndexPath(spark, "t134_winnow", dir) { p =>
+      Dedup.buildWinnowIndex(docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", p)
+    }
+    Dedup.winnowIndexStats(spark, path)
+  }
+
+  /** KMV-store health gauge ([[CorpusOps.kmvStoreStats]]) over the
+    * SAME split-built store t148 answers from (shared memo): group
+    * counts, exact-vs-estimated split at k, duplicate and reclaimable
+    * row mass — the gauge family's sketch member.
+    */
+  def docKmvStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val path = sessionIndexPath(spark, "t148_kmv", dir) { p =>
+      CorpusOps.buildKmvStore(docs.filter(col("doc_id") % 3 === 0),
+        "text", "source", p, n = 3, k = 64)
+      CorpusOps.ingestKmvBatch(spark, p,
+        docs.filter(col("doc_id") % 3 =!= 0), "text", "source")
+    }
+    CorpusOps.kmvStoreStats(spark, path)
+  }
+
   /** Quantile-map staleness gauge ([[CorpusOps.quantileMapDrift]])
     * over the SAME t152 store (shared memo): the exact KS distance in
     * ppm between the frozen reference CDF and a deterministically
@@ -2644,6 +2674,8 @@ object TrainingData {
     "t161_gopher_lines" -> docGopherLines _,
     "t163_mixture_budget" -> docMixtureBudget _,
     "t164_quantile_drift" -> docQuantileDrift _,
+    "t165_winnow_stats" -> docWinnowStats _,
+    "t166_kmv_stats" -> docKmvStats _,
   )
 
 
@@ -8103,6 +8135,76 @@ object TrainingData {
           |  (bullet_lines * 10 <= n_lines * 9)
           |    AND (ellipsis_lines * 10 <= n_lines * 3) AS keep
           |FROM g ORDER BY gid""".stripMargin,
+      // t165: the t113 winnow replay restated as the store gauge —
+      // the one-shot store's fps are the distinct selected
+      // fingerprints, so n_distinct == n_rows and dup_ppm replays 0
+      "t165_winnow_stats" ->
+        s"""WITH ${winnowCtes(4)}, wfp AS (
+           |  SELECT DISTINCT s.fp AS fp FROM wsel WHERE doc_id % 10 = 0
+           |), rws AS (
+           |  SELECT fp, fp % 64 AS fpb FROM wfp
+           |), pb AS (
+           |  SELECT fpb, CAST(COUNT(*) AS BIGINT) AS cnt
+           |  FROM rws GROUP BY 1
+           |), a AS (
+           |  SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           |    CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
+           |    CAST(MAX(cnt) AS BIGINT) AS max_bucket
+           |  FROM pb
+           |)
+           |SELECT CAST(64 AS BIGINT) AS buckets, n_buckets_used,
+           |  n_rows, n_rows AS n_distinct, max_bucket,
+           |  (max_bucket * 1000000) // GREATEST(n_rows, 1)
+           |    AS max_share_ppm,
+           |  (max_bucket * 64 * 1000000) // GREATEST(n_rows, 1)
+           |    AS skew_x1e6,
+           |  CAST(0 AS BIGINT) AS dup_ppm
+           |FROM a""".stripMargin,
+      // t166: the t148 build+ingest replayed per part (each batch's
+      // DISTINCT bottom-k appends), collapsed to the store gauge —
+      // duplicate mass is exactly the hashes in BOTH parts' bottom-k
+      "t166_kmv_stats" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, source,
+           |    string_split_regex(trim(text), '\\s+') AS ts
+           |  FROM documents
+           |), g AS (
+           |  SELECT doc_id % 3 = 0 AS part, source AS grp,
+           |    unnest(CASE WHEN len(ts) < 3 THEN CAST([] AS VARCHAR[])
+           |    ELSE list_transform(range(1, len(ts) - 1), i ->
+           |      ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT)+1]
+           |        || ' ' || ts[CAST(i AS INT)+2])
+           |    END) AS tk
+           |  FROM toks
+           |), hh AS (
+           |  SELECT DISTINCT part, grp,
+           |    (${polyHashSql("tk")} * 2654435761 + 123456789)
+           |      % 4294967296 AS h
+           |  FROM g
+           |), sk AS (
+           |  SELECT part, grp, h FROM (
+           |    SELECT part, grp, h,
+           |      ROW_NUMBER() OVER (PARTITION BY part, grp ORDER BY h)
+           |        AS rn
+           |    FROM hh)
+           |  WHERE rn <= 64
+           |), gd AS (
+           |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_g,
+           |    CAST(COUNT(DISTINCT h) AS BIGINT) AS nd_g
+           |  FROM sk GROUP BY 1
+           |)
+           |SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           |  CAST(SUM(n_g) AS BIGINT) AS n_rows,
+           |  CAST(SUM(nd_g) AS BIGINT) AS n_distinct,
+           |  CAST(SUM(CASE WHEN nd_g < 64 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_exact_groups,
+           |  CAST(SUM(CASE WHEN nd_g < 64 THEN 0 ELSE 1 END) AS BIGINT)
+           |    AS n_estimated_groups,
+           |  (CAST(SUM(n_g) - SUM(nd_g) AS BIGINT) * 1000000)
+           |    // GREATEST(CAST(SUM(n_g) AS BIGINT), 1) AS dup_ppm,
+           |  (CAST(SUM(n_g) - SUM(LEAST(nd_g, 64)) AS BIGINT) * 1000000)
+           |    // GREATEST(CAST(SUM(n_g) AS BIGINT), 1) AS reclaim_ppm
+           |FROM gd""".stripMargin,
       // t164: the KS distance replayed at the union of jump points —
       // the one-shot full-corpus histogram IS the fit+ingest store
       // (histograms add), so the gate needs no store replay

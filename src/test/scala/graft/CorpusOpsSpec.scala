@@ -1233,4 +1233,44 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(r3 == d0 && d3 == d0 && p3 == 0L,
       s"compaction must reclaim to the distinct set: $r3 $d3 $p3")
   }
+
+  test("rebucketBandIndex: admission verdicts are identical across the " +
+      "re-bucket; the gauge reflects the new layout") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val store = java.nio.file.Files.createTempDirectory("graft_rebucket")
+      .resolve("idx").toString
+    Dedup.buildBandIndex(docs.filter(col("doc_id") % 3 === 0),
+      "doc_id", "text", store)
+    // a replayed ingest pads rows so the re-bucket's distinct matters
+    Dedup.ingestBandBatch(spark, store,
+      docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+    val probe = docs.filter(col("doc_id") % 3 =!= 0)
+    def search() = Dedup.searchBandIndex(spark, store, probe,
+        "doc_id", "text")
+      .orderBy("batch_id").collect().toSeq
+    val before = search()
+    Dedup.rebucketBandIndex(spark, store, newBuckets = 256)
+    val stats = Dedup.bandIndexStats(spark, store).collect().head
+    assert(stats.getAs[Long]("buckets") == 256L,
+      s"meta must carry the new bucket count: $stats")
+    assert(stats.getAs[Long]("dup_ppm") == 0L,
+      s"re-bucket must distinct for free: $stats")
+    assert(search() == before,
+      "re-bucketing changed admission verdicts")
+    // winnow twin: same contract on the fps store
+    val wstore = java.nio.file.Files.createTempDirectory("graft_rebucketw")
+      .resolve("idx").toString
+    Dedup.buildWinnowIndex(docs.filter(col("doc_id") % 3 === 0),
+      "doc_id", "text", wstore)
+    def wsearch() = Dedup.searchWinnowIndex(spark, wstore, probe,
+        "doc_id", "text")
+      .orderBy("batch_id").collect().toSeq
+    val wBefore = wsearch()
+    Dedup.rebucketWinnowIndex(spark, wstore, newBuckets = 256)
+    assert(Dedup.winnowIndexStats(spark, wstore)
+      .collect().head.getAs[Long]("buckets") == 256L)
+    assert(wsearch() == wBefore,
+      "re-bucketing changed winnow admission verdicts")
+  }
 }
