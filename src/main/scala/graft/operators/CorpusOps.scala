@@ -4076,6 +4076,37 @@ object CorpusOps {
       .withColumn("bucket",
         pmod(call_function("fnv64", col("term")), lit(buckets.toLong)))
 
+  /** Inverted-index health gauge — the retrieval member of the gauge
+    * family: the postings store's bucket-fill skew (hot TERMS pile
+    * rows into few term-hash buckets, so a query touching a hot
+    * bucket reads far more than n_rows/buckets — the same failure
+    * mode [[graft.operators.Dedup.bandIndexStats]] watches on band
+    * keys) and the duplicate (term, doc) posting mass replayed
+    * appends accumulate — which for THIS store is a correctness
+    * alarm, not just a cost one: BM25 consumes tf per posting row, so
+    * duplicated rows double-count a document's term frequency.
+    * Same one-row contract as the other gauges.
+    */
+  def invertedIndexStats(spark: org.apache.spark.sql.SparkSession,
+      path: String, buckets: Int = IndexBuckets): DataFrame = {
+    val rows = spark.read.schema(PostingsSchema).parquet(s"$path/postings")
+    val perBucket = rows.groupBy("bucket").agg(count(lit(1)).as("cnt"))
+    val dist = rows.select("term", "doc_id").distinct()
+      .agg(count(lit(1)).as("n_distinct"))
+    perBucket
+      .agg(sum("cnt").as("n_rows"), count(lit(1)).as("n_buckets_used"),
+        max("cnt").as("max_bucket"))
+      .crossJoin(broadcast(dist))
+      .select(lit(buckets.toLong).as("buckets"), col("n_buckets_used"),
+        col("n_rows"), col("n_distinct"), col("max_bucket"),
+        expr("(max_bucket * 1000000) div greatest(n_rows, 1)")
+          .as("max_share_ppm"),
+        expr(s"(max_bucket * ${buckets}L * 1000000L) " +
+          "div greatest(n_rows, 1)").as("skew_x1e6"),
+        expr("((n_rows - n_distinct) * 1000000) div greatest(n_rows, 1)")
+          .as("dup_ppm"))
+  }
+
   /** Build a persisted, TERM-BUCKETED inverted index under `path`:
     * `postings` (term, doc_id, dl, tf) written
     * `partitionBy(bucket = pmod(fnv64(term), buckets))` plus a 1-row

@@ -2409,6 +2409,22 @@ object TrainingData {
     CorpusOps.kmvStoreStats(spark, path)
   }
 
+  /** Inverted-index health gauge ([[CorpusOps.invertedIndexStats]])
+    * over the SAME persisted postings store t66/t68/t69 search
+    * (shared memo): term-hash bucket skew and the duplicate posting
+    * mass that would double-count tf — the retrieval member of the
+    * gauge family. The oracle replays the fnv64 bucket arithmetic
+    * verbatim (FNV-1a in HUGEINT mod-2^64 steps; fixture text is
+    * ASCII so byte-wise and codepoint-wise folds coincide, checked).
+    */
+  def docInvIndexStats(spark: SparkSession, dir: String): DataFrame = {
+    val path = sessionIndexPath(spark, "t66_invidx", dir) { p =>
+      CorpusOps.buildInvertedIndex(Tables.documents(spark, dir), "doc_id",
+        "text", p)
+    }
+    CorpusOps.invertedIndexStats(spark, path)
+  }
+
   /** Quantile-map staleness gauge ([[CorpusOps.quantileMapDrift]])
     * over the SAME t152 store (shared memo): the exact KS distance in
     * ppm between the frozen reference CDF and a deterministically
@@ -2676,6 +2692,7 @@ object TrainingData {
     "t164_quantile_drift" -> docQuantileDrift _,
     "t165_winnow_stats" -> docWinnowStats _,
     "t166_kmv_stats" -> docKmvStats _,
+    "t167_invidx_stats" -> docInvIndexStats _,
   )
 
 
@@ -8135,6 +8152,45 @@ object TrainingData {
           |  (bullet_lines * 10 <= n_lines * 9)
           |    AND (ellipsis_lines * 10 <= n_lines * 3) AS keep
           |FROM g ORDER BY gid""".stripMargin,
+      // t167: per-(term, doc) postings re-derived, bucketed by the
+      // FNV-1a fold replayed in HUGEINT mod-2^64 steps (signed-long
+      // bucket == unsigned residue % 64 because 2^64 ≡ 0 mod 64);
+      // one-shot store → dup_ppm replays 0
+      "t167_invidx_stats" -> {
+        val fnv = "list_reduce(list_prepend(" +
+          "CAST(14695981039346656037 AS HUGEINT), " +
+          "list_transform(string_split(term, ''), " +
+          "ch -> CAST(unicode(ch) AS HUGEINT))), " +
+          "(h, b) -> (CAST(xor(CAST(h AS UBIGINT), CAST(b AS UBIGINT)) " +
+          "AS HUGEINT) * 1099511628211) % 18446744073709551616)"
+        s"""WITH p AS (
+           |  SELECT term, doc_id FROM (
+           |    SELECT doc_id,
+           |      unnest(${graft.functions.TextFunctions.Sql.tokens("text")})
+           |        AS term
+           |    FROM documents)
+           |  GROUP BY term, doc_id
+           |), bk AS (
+           |  SELECT term, doc_id, CAST($fnv % 64 AS BIGINT) AS bucket
+           |  FROM p
+           |), pb AS (
+           |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+           |  FROM bk GROUP BY 1
+           |), a AS (
+           |  SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           |    CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
+           |    CAST(MAX(cnt) AS BIGINT) AS max_bucket
+           |  FROM pb
+           |)
+           |SELECT CAST(64 AS BIGINT) AS buckets, n_buckets_used,
+           |  n_rows, n_rows AS n_distinct, max_bucket,
+           |  (max_bucket * 1000000) // GREATEST(n_rows, 1)
+           |    AS max_share_ppm,
+           |  (max_bucket * 64 * 1000000) // GREATEST(n_rows, 1)
+           |    AS skew_x1e6,
+           |  CAST(0 AS BIGINT) AS dup_ppm
+           |FROM a""".stripMargin
+      },
       // t165: the t113 winnow replay restated as the store gauge —
       // the one-shot store's fps are the distinct selected
       // fingerprints, so n_distinct == n_rows and dup_ppm replays 0
