@@ -836,12 +836,14 @@ object CorpusOps {
     * oracle), replayed exactly.
     *
     * Scale shape: the corpus collapses to COMPRESSED SCORE HISTOGRAMS
-    * first ((group, score) counts — the [[qualityPrune]] move), so
-    * every cumulative window, the quantile lookup (a ≥-join against
-    * the broadcast global cumulative histogram), and the target
-    * arithmetic run on histogram-sized relations; the corpus itself
-    * is touched twice (score projection + the map-side join back on
-    * (group, score)). Discrete scores keep histograms bounded.
+    * first ((group, score) counts — the [[qualityPrune]] move); both
+    * cumulative counts ride [[Prefix.shardedCum]]'s two-phase sharded
+    * prefix sum (a high-precision score column makes the histograms
+    * corpus-sized, so no single window partition may carry one), and
+    * the quantile lookup (a ≥-join against the broadcast global
+    * cumulative histogram) and target arithmetic run on
+    * histogram-sized relations; the corpus itself is touched twice
+    * (score projection + the map-side join back on (group, score)).
     */
   def quantileNormalize(docs: DataFrame, idCol: String, groupCol: String,
       scoreCol: String): DataFrame = {
@@ -850,16 +852,16 @@ object CorpusOps {
     // histogram-sized, three consumers — pinned
     val gh = base.groupBy("grp", "score").agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
-    val wg = Window.partitionBy("grp").orderBy("score")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cumg = gh.withColumn("q", sum("cnt").over(wg))
+    // both cumulatives ride Prefix's two-phase sharded prefix sum: a
+    // high-precision score column makes the histograms corpus-sized
+    // (the t150/t155 round-13 finding), so neither a global nor a
+    // per-group window partition may carry them whole
+    val cumg = Prefix.shardedCum(gh, "score", Seq("cnt" -> "q"),
+      partCols = Seq("grp"))
     val ng = gh.groupBy("grp").agg(sum("cnt").as("n_g"))
     val global = gh.groupBy("score").agg(sum("cnt").as("gcnt"))
-    // distinct-scores-sized — the single-partition window is over the
-    // compressed histogram, never the corpus
-    val wG = Window.orderBy("score")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val gcum = global.withColumn("gcum", sum("gcnt").over(wG))
+      .localCheckpoint() // histogram-sized, three consumers
+    val gcum = Prefix.shardedCum(global, "score", Seq("gcnt" -> "gcum"))
       .select(col("score").as("gs"), col("gcum"))
     val tot = global.agg(sum("gcnt").as("n_tot"))
     val tgt = cumg.join(broadcast(ng), "grp").crossJoin(broadcast(tot))
@@ -961,9 +963,11 @@ object CorpusOps {
     * this is the refit trigger.
     *
     * Scale shape: both sides compress to distinct-score histograms
-    * first (map-side combinable), the full-outer merge and the two
-    * cumulative windows run on the distinct-scores relation (the
-    * [[percentileFromMap]] discipline), and the verdict is one MAX.
+    * first (map-side combinable), the full-outer merge runs on the
+    * distinct-scores relation, both CDFs ride ONE
+    * [[Prefix.shardedCum]] two-phase sharded prefix pass (the
+    * jump-point relation scales with distinct scores), and the
+    * verdict is one MAX.
     */
   def quantileMapDrift(spark: org.apache.spark.sql.SparkSession,
       path: String, batch: DataFrame, scoreCol: String): DataFrame = {
@@ -979,11 +983,11 @@ object CorpusOps {
       .localCheckpoint() // distinct-scores-sized, two consumers
     val tot = merged.agg(sum("rc").as("n_ref"), sum("cc").as("n_cur"),
       count(lit(1)).as("n_scores"))
-    val w = Window.orderBy("score")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    merged
-      .withColumn("crf", sum("rc").over(w))
-      .withColumn("ccf", sum("cc").over(w))
+    // both CDFs in ONE two-phase sharded prefix pass (Prefix): the
+    // merged jump-point relation scales with distinct scores, so no
+    // unpartitioned window may carry it
+    Prefix.shardedCum(merged, "score",
+        Seq("rc" -> "crf", "cc" -> "ccf"))
       .crossJoin(broadcast(tot))
       .select(col("n_ref"), col("n_cur"), col("n_scores"),
         abs(expr("(crf * 1000000) div greatest(n_ref, 1)") -
@@ -1004,10 +1008,10 @@ object CorpusOps {
       .parquet(s"$path/hist")
       .groupBy("score").agg(sum("cnt").as("cnt"))
       .localCheckpoint() // two consumers: cum relation + total
-    val wc = Window.orderBy("score")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = hist
-      .select(col("score").as("rs"), sum("cnt").over(wc).as("rc"))
+    // reference CDF via the two-phase sharded prefix sum — the store
+    // histogram scales with distinct reference scores
+    val cum = Prefix.shardedCum(hist, "score", Seq("cnt" -> "rc"))
+      .select(col("score").as("rs"), col("rc"))
     val nRef = hist.agg(sum("cnt").as("n_ref"))
     val rows = batch.select(col(idCol).as("doc_id"),
       col(scoreCol).cast("long").as("score"))
@@ -1567,7 +1571,9 @@ object CorpusOps {
     * over that compressed histogram only, and the per-bin rollup is
     * an aggregation of histogram rows. The label column rides the
     * same scan as the text (one corpus pass); no corpus-wide sort or
-    * per-document window exists in the plan.
+    * per-document window exists in the plan, and the histogram
+    * cumulative itself rides [[Prefix.shardedCum]]'s two-phase
+    * sharded prefix sum (distinct scores scale with the corpus).
     */
   def scoreCalibrationReport(docs: DataFrame, idCol: String,
       textCol: String, weights: Seq[Long], positive: Column,
@@ -1581,12 +1587,13 @@ object CorpusOps {
       .join(docs.select(col(idCol).as("doc_id"),
         positive.cast("boolean").as("__pos")), "doc_id")
     val hist = labeled.groupBy("score").agg(
-      count(lit(1)).as("cnt"),
-      sum(when(col("__pos"), 1L).otherwise(0L)).as("pos_cnt"))
-    val w = Window.orderBy("score")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        count(lit(1)).as("cnt"),
+        sum(when(col("__pos"), 1L).otherwise(0L)).as("pos_cnt"))
+      .localCheckpoint() // histogram-sized, three consumers
     val total = hist.agg(sum("cnt").as("n_total"))
-    hist.withColumn("cum", sum("cnt").over(w))
+    // cumulative bin walk on the two-phase sharded prefix sum: the
+    // score histogram scales with distinct scores, never one window
+    Prefix.shardedCum(hist, "score", Seq("cnt" -> "cum"))
       .crossJoin(broadcast(total))
       .withColumn("bin",
         least(expr(s"((cum - 1) * $bins) div n_total"),

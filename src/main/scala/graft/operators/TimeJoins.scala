@@ -427,10 +427,12 @@ object TimeJoins {
     * silence PRECEDING each event, keyed by that event's type, and
     * for every type the nine exact decile gap values, computed over
     * the COMPRESSED (type, gap) histogram — [[graft.operators.CorpusOps.quantileNormalize]]'s
-    * discipline pointed at time gaps: the per-type window orders
-    * distinct gap values, never events, and the decile lookup is a
-    * ceiling-target ≥-join against the tiny (|types|·9) target
-    * relation riding a broadcast. Decile d's value is the MINIMUM gap
+    * discipline pointed at time gaps: the per-type cumulative rides
+    * [[Prefix.shardedCum]]'s two-phase sharded prefix sum (gap values
+    * are near-unique at µs granularity, so a type's histogram is
+    * corpus-sized — never a single window partition), and the decile
+    * lookup is a ceiling-target ≥-join against the tiny (|types|·9)
+    * target relation riding a broadcast. Decile d's value is the MINIMUM gap
     * whose cumulative count reaches ceil(d·n_t/10) — the exact
     * lower-quantile convention every oracle here replays.
     */
@@ -447,9 +449,11 @@ object TimeJoins {
       gaps.groupBy("etype", "gap_us").agg(count(lit(1)).as("cnt")),
       col("etype")).localCheckpoint()
     val nT = gh.groupBy("etype").agg(sum("cnt").as("n_t"))
-    val wT = Window.partitionBy("etype").orderBy("gap_us")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = gh.withColumn("cum", sum("cnt").over(wT))
+    // per-type cumulative via the two-phase sharded prefix sum: gap
+    // values are near-unique at µs granularity, so a type's histogram
+    // partition is corpus-sized — the same exposure as t150/t155
+    val cum = Prefix.shardedCum(gh, "gap_us", Seq("cnt" -> "cum"),
+      partCols = Seq("etype"))
     val targets = nT
       .select(col("etype"), col("n_t"),
         explode(sequence(lit(1L), lit(9L))).as("decile"))
@@ -703,7 +707,9 @@ object TimeJoins {
     * Quartiles ride the compressed-histogram discipline
     * ([[gapDeciles]] / quantileNormalize): threshold_q = min{v :
     * cum(v) ≥ ceil(q·n/4)} over the (metric, value) HISTOGRAM — the
-    * cumulative window orders distinct values, never users — and
+    * cumulative rides [[Prefix.shardedCum]]'s two-phase sharded
+    * prefix sum, since a near-unique value column (integer cents)
+    * makes a metric's histogram user-relation-sized — and
     * bin(v) = 1 + |{q : threshold_q < v}|, so ties share a bin and
     * both engines replay the assignment exactly. Monetary is exact
     * integer cents (one pure-double FLOOR(v·100+0.5) per event — the
@@ -749,9 +755,11 @@ object TimeJoins {
       long.groupBy("metric", "v").agg(count(lit(1)).as("cnt")),
       col("metric")).localCheckpoint()
     val nM = hist.groupBy("metric").agg(sum("cnt").as("n_m"))
-    val wM = Window.partitionBy("metric").orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = hist.withColumn("cum", sum("cnt").over(wM))
+    // three metric partitions over near-unique value histograms
+    // (monetary cents!) would serialize through three tasks — the
+    // cumulative rides the two-phase sharded prefix sum instead
+    val cum = Prefix.shardedCum(hist, "v", Seq("cnt" -> "cum"),
+      partCols = Seq("metric"))
     val thr = cum
       .join(broadcast(nM
         .select(col("metric"), explode(sequence(lit(1L), lit(3L))).as("q"),
@@ -799,9 +807,11 @@ object TimeJoins {
     *
     * The cut is the exact median event time from the compressed
     * timestamp histogram (the [[purgedTimeSplit]] machinery at one
-    * target). Pairs that straddle the cut belong to neither half by
-    * construction (the lag window partitions on (user, half)) —
-    * identically in both engines.
+    * target, including its [[Prefix.shardedCum]] two-phase prefix sum
+    * — µs-unique streams make that histogram corpus-sized, so no
+    * unpartitioned window may touch it). Pairs that straddle the cut
+    * belong to neither half by construction (the lag window
+    * partitions on (user, half)) — identically in both engines.
     *
     * Scale shape: ONE (user, half)-keyed window exchange for the lag
     * pairs; cells are ≤ 2·|types|² rows; the full outer join and ppm
@@ -815,10 +825,11 @@ object TimeJoins {
     val hist = Dedup.barrier(
       e.groupBy("tsu").agg(count(lit(1)).as("cnt")), col("tsu"))
       .localCheckpoint()
-    val wc = Window.orderBy("tsu")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val n = hist.agg(sum("cnt").as("n"))
-    val cut = hist.withColumn("cum", sum("cnt").over(wc))
+    // two-phase sharded prefix sum: µs-unique event streams make this
+    // histogram corpus-sized, so the cumulative count must never ride
+    // an unpartitioned window (the t138 discipline via Prefix)
+    val cut = Prefix.shardedCum(hist, "tsu", Seq("cnt" -> "cum"))
       .crossJoin(broadcast(n))
       .filter(col("cum") >= expr("(n + 1) div 2"))
       .agg(min("tsu").as("cut"))
@@ -864,10 +875,13 @@ object TimeJoins {
     *
     * The cuts are exact count quantiles: cut_q = min{t : cum(t) ≥
     * ceil(pct·n/100)} over the COMPRESSED (timestamp → count)
-    * histogram — the [[gapDeciles]] ≥-join discipline, so the
-    * cumulative window orders distinct timestamps, never events, and
-    * both engines replay the thresholds bit-for-bit. Assignment is
-    * map-only against the two broadcast cuts.
+    * histogram — the [[gapDeciles]] ≥-join discipline — and the
+    * cumulative count itself rides [[Prefix.shardedCum]]'s two-phase
+    * sharded prefix sum, because µs-unique event streams make the
+    * "compressed" histogram corpus-sized: partitioned within-shard
+    * windows, a constant-bounded shard-totals window, broadcast
+    * offsets. Both engines replay the thresholds bit-for-bit.
+    * Assignment is map-only against the two broadcast cuts.
     */
   def purgedTimeSplit(events: DataFrame, ordCol: String, tsUsCol: String,
       trainPct: Int, valPct: Int, embargoUs: Long): DataFrame = {
@@ -879,9 +893,11 @@ object TimeJoins {
       e.groupBy("tsu").agg(count(lit(1)).as("cnt")), col("tsu"))
       .localCheckpoint()
     val n = hist.agg(sum("cnt").as("n"))
-    val wc = Window.orderBy("tsu")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = hist.withColumn("cum", sum("cnt").over(wc))
+    // two-phase sharded prefix sum (Prefix): the distinct-timestamp
+    // histogram is corpus-sized for µs-unique streams — an
+    // unpartitioned cumulative window here was the round-13
+    // scale-killer finding
+    val cum = Prefix.shardedCum(hist, "tsu", Seq("cnt" -> "cum"))
     val targets = n.select(explode(array(
         lit(trainPct.toLong), lit((trainPct + valPct).toLong))).as("pct"),
         col("n"))

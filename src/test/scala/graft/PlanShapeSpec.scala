@@ -261,23 +261,76 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
-  test("t89: calibration's global window runs on the histogram, not the corpus") {
-    // the corpus-scale side must combine map-side (partial aggregates
-    // before its exchange); the one single-partition window is fed by
-    // the score histogram — |distinct scores| rows, not |docs|
-    val plan = operators.CorpusOps.scoreCalibrationReport(
-        Tables.documents(spark, dir), "doc_id", "text",
-        queries.TrainingData.ClassifierWeights,
-        org.apache.spark.sql.functions.col("lang") === "en", bins = 10)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
-      s"corpus aggregation lost its map-side combine:\n${plan.take(1200)}")
-    // exactly two single-partition stages, BOTH |distinct scores|-sized:
-    // the grand-total aggregate and the cumulative-count window — more
-    // would mean corpus-scale data reached a single reducer
+  /** The round-13 scale-killer rule, regression-proofed: an
+    * UNPARTITIONED WindowExec is legal ONLY over [[operators.Prefix]]'s
+    * per-bucket totals relation (grouped on `__pfx_bkt`, ≤
+    * targetBuckets rows per group — a CONSTANT bound). Any other
+    * unpartitioned window serializes a corpus-scaling relation
+    * through one task (distinct µs timestamps, distinct scores,
+    * distinct gaps are all corpus-sized in production even when the
+    * fixture's collide).
+    */
+  private def assertNoUnshardedGlobalWindow(
+      df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+    val wins = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    wins.foreach { w =>
+      val overBucketTotals = w.child.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+          if a.groupingExpressions.exists(_.toString.contains("__pfx_bkt"))
+        => a
+      }.isDefined
+      assert(overBucketTotals,
+        s"$name: unpartitioned window over a corpus-scaling relation " +
+          s"(only Prefix bucket totals may ride one):\n$w")
+    }
+  }
+
+  test("t89: calibration's cumulative rides the sharded prefix sum — " +
+      "no unpartitioned window over the score histogram") {
+    // the corpus collapses to a pinned score histogram (one scan by
+    // construction — localCheckpoint); the remaining plan is
+    // histogram-sized, and its only single-partition stages are the
+    // 1-row bounds/total aggregates and the constant-bounded
+    // bucket-totals window
+    val df = operators.CorpusOps.scoreCalibrationReport(
+      Tables.documents(spark, dir), "doc_id", "text",
+      queries.TrainingData.ClassifierWeights,
+      org.apache.spark.sql.functions.col("lang") === "en", bins = 10)
+    assertNoUnshardedGlobalWindow(df, "t89")
+    val plan = df.queryExecution.executedPlan.toString
+    // all bounded: the 1-row bounds + 1-row grand-total aggregates,
+    // the ≤targetBuckets bucket-totals window, and its broadcast prep
     val single = "Exchange SinglePartition".r.findAllIn(plan).size
-    assert(single == 2, s"expected 2 histogram-sized single-partition exchanges, got $single")
+    assert(single <= 4,
+      s"expected ≤4 bounded single-partition exchanges, got $single")
     assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("t150/t155/t140/t118/t152/t164: no unpartitioned window over a " +
+      "corpus-scaling histogram — the two-phase prefix-sum rule") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.eventsNanos(spark, dir)
+      .select(col("user_id"), expr("ts div 1000").as("tsu"),
+        col("event_id"), col("event_type"), col("value"))
+    val docs = Tables.documents(spark, dir)
+    assertNoUnshardedGlobalWindow(
+      operators.TimeJoins.purgedTimeSplit(ev, "event_id", "tsu", 70, 15,
+        embargoUs = 1000000L), "t150 purgedTimeSplit")
+    assertNoUnshardedGlobalWindow(
+      operators.TimeJoins.behaviorDrift(ev, "user_id", "tsu", "event_id",
+        "event_type"), "t155 behaviorDrift")
+    assertNoUnshardedGlobalWindow(
+      operators.TimeJoins.gapDeciles(ev, "user_id", "tsu", "event_id",
+        "event_type"), "t140 gapDeciles")
+    assertNoUnshardedGlobalWindow(
+      operators.TimeJoins.rfmSegments(ev, "user_id", "tsu", "value"),
+      "rfmSegments")
+    assertNoUnshardedGlobalWindow(
+      operators.CorpusOps.quantileNormalize(docs, "doc_id", "source",
+        "n_chars"), "t118 quantileNormalize")
   }
 
   test("t90: contrastive mining stays on band-key equi-joins, no cross product") {
