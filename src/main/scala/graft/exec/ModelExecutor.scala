@@ -160,7 +160,7 @@ final class ModelExecutor(spark: SparkSession, project: Project,
     * to `current_timestamp()` — dbt's behavior.
     */
   private def materializeSnapshot(node: NodeMeta, sql: String): Unit = {
-    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.functions.{expr, lit}
     import graft.operators.Scd2
     val uid = node.uniqueId
     val key = node.config.get("unique_key").map(_.toString).getOrElse(
@@ -168,8 +168,18 @@ final class ModelExecutor(spark: SparkSession, project: Project,
     val strategy = node.config.get("strategy").map(_.toString)
       .getOrElse("timestamp")
     val invalidate = node.config.get("invalidate_hard_deletes").exists(asBool)
-    val runStamp = expr(node.config.get("snapshot_at").map(_.toString)
-      .getOrElse("current_timestamp()"))
+    // dbt guarantees ONE run stamp per snapshot run. A non-deterministic
+    // expression (the current_timestamp() default) would otherwise
+    // evaluate in two separate jobs — the closed side's checkpoint at
+    // T1 and the insert write at T2 — so closed.valid_to would no
+    // longer equal the successor's valid_from and as-of queries in
+    // (T1, T2] would find no row. Resolve it to a driver-side literal
+    // once; every branch of the merge shares the value.
+    val stampDf = spark.range(1).select(
+      expr(node.config.get("snapshot_at").map(_.toString)
+        .getOrElse("current_timestamp()")).as("__stamp"))
+    val stampType = stampDf.schema.head.dataType
+    val runStamp = lit(stampDf.collect()(0).get(0)).cast(stampType)
     val path = relationDir(node)
     val batch = spark.sql(sql)
     strategy match {

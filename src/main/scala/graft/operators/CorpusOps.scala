@@ -4933,11 +4933,35 @@ object CorpusOps {
   def mixtureBudgetCells(docs: DataFrame, textCol: String,
       sourceCol: String, divisors: Map[String, Long],
       bins: Int = 10): DataFrame = {
-    require(bins > 0 && 1000000 % bins == 0,
-      s"bins must divide 1e6, got $bins")
     require(divisors.nonEmpty && divisors.values.forall(_ >= 1L),
       "divisors must be >= 1")
     import docs.sparkSession.implicits._
+    mixtureBudgetCellsCore(docs, textCol, sourceCol, bins,
+      _.join(broadcast(divisors.toSeq.toDF("source", "divisor")), "source"))
+  }
+
+  /** [[mixtureBudgetCells]] with the divisor DERIVED from the source
+    * name (a `divisor` expression over the `source` column) instead of
+    * an enumerated map — the closed-universe map silently drops any
+    * source it doesn't list (inner join), which diverges from an
+    * oracle that computes a divisor for EVERY source. A null or < 1
+    * derived divisor raises loudly (folded into the consumed column)
+    * rather than mis-budgeting.
+    */
+  def mixtureBudgetCellsBy(docs: DataFrame, textCol: String,
+      sourceCol: String, divisor: Column, bins: Int = 10): DataFrame =
+    mixtureBudgetCellsCore(docs, textCol, sourceCol, bins,
+      _.withColumn("divisor",
+        when(divisor.isNull || divisor < 1L,
+          raise_error(concat(lit("mixtureBudgetCellsBy: derived divisor" +
+            " is null or < 1 for source '"), col("source"), lit("'"))))
+          .otherwise(divisor)))
+
+  private def mixtureBudgetCellsCore(docs: DataFrame, textCol: String,
+      sourceCol: String, bins: Int,
+      withDivisor: DataFrame => DataFrame): DataFrame = {
+    require(bins > 0 && 1000000 % bins == 0,
+      s"bins must divide 1e6, got $bins")
     val binW = 1000000 / bins
     val perDoc = docs.select(col(sourceCol).as("source"),
         greatest(TextFunctions.nTokens(col(textCol)), lit(1L)).as("nt"),
@@ -4949,9 +4973,8 @@ object CorpusOps {
     val cells = perDoc.groupBy("source", "bin")
       .agg(count(lit(1)).as("n_docs"), sum("nt").as("cell_tokens"))
       .localCheckpoint() // index-sized, two consumers (totals + ladder)
-    val budgets = cells.groupBy("source")
-      .agg(sum("cell_tokens").as("src_tokens"))
-      .join(broadcast(divisors.toSeq.toDF("source", "divisor")), "source")
+    val budgets = withDivisor(cells.groupBy("source")
+        .agg(sum("cell_tokens").as("src_tokens")))
       .select(col("source"), col("src_tokens"),
         expr("src_tokens div divisor").as("budget"))
     val ladder = Window.partitionBy("source").orderBy(col("bin").desc)

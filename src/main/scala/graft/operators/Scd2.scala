@@ -68,7 +68,8 @@ object Scd2 {
     * updated-at column). */
   def firstSnapshotTimestamp(batch: DataFrame, keyCol: String,
       updatedAtCol: String): DataFrame =
-    stampRows(guardUnique(batch, keyCol), keyCol, col(updatedAtCol))
+    stampRows(guardStamp(guardUnique(batch, keyCol), updatedAtCol),
+      keyCol, col(updatedAtCol))
 
   /** First snapshot run — check strategy (stamp = the run stamp). */
   def firstSnapshotCheck(batch: DataFrame, keyCol: String,
@@ -91,6 +92,19 @@ object Scd2 {
       .drop("__kc")
   }
 
+  /** A NULL version stamp would poison the merge silently: the stored
+    * open row gets a NULL dbt_updated_at and the `>` change predicate
+    * drops every later update of that key. Reject at the source, the
+    * [[guardUnique]] discipline — folded into the consumed stamp
+    * column so pruning can't drop the guard.
+    */
+  private def guardStamp(batch: DataFrame, updatedAtCol: String): DataFrame =
+    batch.withColumn(updatedAtCol,
+      when(expr(s"assert_true(`$updatedAtCol` IS NOT NULL, " +
+        "'NULL updated_at in snapshot batch — the timestamp strategy " +
+        "needs a non-null stamp on every row')").isNull,
+        col(updatedAtCol)))
+
   /** Timestamp-strategy merge of a new batch into an existing
     * snapshot table. `deleteStamp` closes hard-deleted keys when
     * `invalidateHardDeletes` (dbt stamps them with the run time;
@@ -103,7 +117,8 @@ object Scd2 {
     merge(snap, batch, keyCol,
       changed = col(updatedAtCol) > col("__cur_updated_at"),
       stamp = col(updatedAtCol),
-      invalidateHardDeletes, deleteStamp)
+      invalidateHardDeletes, deleteStamp,
+      stampGuardCol = Some(updatedAtCol))
 
   /** Check-strategy merge: changed iff any check column differs
     * null-safely; every new version carries the run stamp.
@@ -126,24 +141,31 @@ object Scd2 {
   private def merge(snap: DataFrame, batch0: DataFrame, keyCol: String,
       changed: Column, stamp: Column, invalidateHardDeletes: Boolean,
       deleteStamp: Option[Column],
-      curCols: Seq[String] = Nil): DataFrame = {
+      curCols: Seq[String] = Nil,
+      stampGuardCol: Option[String] = None): DataFrame = {
     val outCols = snap.columns.toSeq
     val dataCols = outCols.filterNot(MetaCols.contains)
-    val batch = guardUnique(batch0.select(dataCols.map(col): _*), keyCol)
+    val guarded = guardUnique(batch0.select(dataCols.map(col): _*), keyCol)
+    val batch = stampGuardCol.fold(guarded)(guardStamp(guarded, _))
     val cur = snap.filter(col("dbt_valid_to").isNull)
     val hist = snap.filter(col("dbt_valid_to").isNotNull)
 
     // ONE key-keyed left join decides new-key vs existing-key vs
     // changed, carrying exactly the current columns the change
-    // predicate needs (updated_at for timestamp, check cols for check)
+    // predicate needs (updated_at for timestamp, check cols for check).
+    // Key existence rides an EXPLICIT marker, never a data column's
+    // nullness: a stored open row can legitimately carry a NULL
+    // dbt_updated_at (a historical bad stamp), and inferring "new key"
+    // from it would silently insert a second open row per key forever.
     val curSide = cur.select(
-      (col(keyCol) +: (col("dbt_updated_at").as("__cur_updated_at") +:
-        curCols.map(c => col(c).as(s"__cur_$c")))): _*)
+      (col(keyCol) +: lit(true).as("__cur_exists") +:
+        col("dbt_updated_at").as("__cur_updated_at") +:
+        curCols.map(c => col(c).as(s"__cur_$c"))): _*)
     val probed = batch.join(curSide, Seq(keyCol), "left")
       .localCheckpoint() // three consumers: new keys, changed, closing
-    val newKeys = probed.filter(col("__cur_updated_at").isNull)
+    val newKeys = probed.filter(col("__cur_exists").isNull)
       .select(dataCols.map(col): _*)
-    val changedRows = probed.filter(col("__cur_updated_at").isNotNull && changed)
+    val changedRows = probed.filter(col("__cur_exists").isNotNull && changed)
     val inserts = stampRows(
       changedRows.select(dataCols.map(col): _*).unionByName(newKeys),
       keyCol, stamp)

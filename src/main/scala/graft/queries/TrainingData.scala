@@ -2483,16 +2483,20 @@ object TrainingData {
   }
 
   /** 2-D (source × quality-bin) token-budget allocation
-    * ([[CorpusOps.mixtureBudgetCells]], 10 ppm bins, per-source
+    * ([[CorpusOps.mixtureBudgetCellsBy]], 10 ppm bins, per-source
     * divisors (srcN % 4) + 2 so every scale factor exercises
     * full/partial/none cells): the joint mixture design t39 and t37
     * each did one axis of. Ordered down each source's bin ladder —
-    * the fill order itself.
+    * the fill order itself. The divisor is DERIVED from the source
+    * name — the same CAST(SUBSTR(source, 4)) % 4 + 2 arithmetic the
+    * oracle replays — so any fixture source universe matches and a
+    * non-`srcN` name fails loudly in both engines instead of being
+    * silently dropped from the mixture.
     */
   def docMixtureBudget(spark: SparkSession, dir: String): DataFrame =
-    CorpusOps.mixtureBudgetCells(Tables.documents(spark, dir), "text",
+    CorpusOps.mixtureBudgetCellsBy(Tables.documents(spark, dir), "text",
         "source",
-        divisors = (0 until 64).map(i => s"src$i" -> ((i % 4) + 2L)).toMap)
+        divisor = expr("CAST(SUBSTR(source, 4) AS BIGINT)") % 4 + 2)
       .orderBy(col("source"), col("bin").desc)
 
   /** SCD2 snapshot merge ([[graft.operators.Scd2]] — the dbt

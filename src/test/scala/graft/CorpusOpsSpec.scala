@@ -1273,4 +1273,32 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(wsearch() == wBefore,
       "re-bucketing changed winnow admission verdicts")
   }
+
+  test("mixtureBudgetCellsBy: derived divisor equals the enumerated " +
+      "map on srcN sources; a non-srcN source fails loudly") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val byName = CorpusOps.mixtureBudgetCellsBy(docs, "text", "source",
+        divisor = expr("CAST(SUBSTR(source, 4) AS BIGINT)") % 4 + 2)
+      .orderBy("source", "bin").collect().toSeq
+    val byMap = CorpusOps.mixtureBudgetCells(docs, "text", "source",
+        divisors = (0 until 64).map(i => s"src$i" -> ((i % 4) + 2L)).toMap)
+      .orderBy("source", "bin").collect().toSeq
+    assert(byName.nonEmpty && byName == byMap,
+      "derived-divisor cells must replay the enumerated map exactly")
+    // a source outside the srcN universe must raise, never silently
+    // drop out of the mixture (the closed-map inner-join hazard)
+    val bad = docs.withColumn("source",
+      when(col("doc_id") === 0L, lit("weird")).otherwise(col("source")))
+    val ex = intercept[Exception] {
+      CorpusOps.mixtureBudgetCellsBy(bad, "text", "source",
+        divisor = expr("CAST(SUBSTR(source, 4) AS BIGINT)") % 4 + 2)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(m => m.contains("divisor") ||
+      m.contains("CAST") || m.contains("cast")),
+      s"expected a loud divisor failure, got: ${messages(ex)}")
+  }
 }

@@ -115,6 +115,84 @@ class SnapshotSpec extends AnyFunSuite {
     assert(got(3) == Seq((3, "c", 100L, 200L))) // closed, not removed
   }
 
+  test("NULL updated_at in a timestamp-strategy batch fails loudly") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val batch = Seq((1L, "a", Some(100L)), (2L, "b", None))
+      .toDF("id", "val", "upd")
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    // first run and merge run both reject a NULL stamp at the source:
+    // it would poison the stored dbt_updated_at and silently drop
+    // every later update of that key (the `>` predicate is never true
+    // against NULL)
+    val ex1 = intercept[Exception] {
+      graft.operators.Scd2.firstSnapshotTimestamp(batch, "id", "upd")
+        .collect()
+    }
+    assert(messages(ex1).exists(_.contains("NULL updated_at")))
+    val snap = graft.operators.Scd2.firstSnapshotTimestamp(
+      batch.filter(col("upd").isNotNull), "id", "upd").localCheckpoint()
+    val ex2 = intercept[Exception] {
+      graft.operators.Scd2.snapshotMergeTimestamp(snap, batch, "id", "upd")
+        .collect()
+    }
+    assert(messages(ex2).exists(_.contains("NULL updated_at")))
+  }
+
+  test("key existence rides the explicit marker, not dbt_updated_at " +
+      "nullness: a NULL-stamped stored row never duplicates its key") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val b1 = Seq((1L, "a", 100L), (2L, "b", 100L)).toDF("id", "val", "upd")
+    // a historical bad stamp: id=1's stored open row carries NULL
+    // dbt_updated_at (e.g. written by a legacy tool) — the key still
+    // EXISTS, so a merge must not insert a second open row for it
+    val snap = graft.operators.Scd2.firstSnapshotTimestamp(b1, "id", "upd")
+      .withColumn("dbt_updated_at",
+        when(col("id") === 1L, lit(null).cast("long"))
+          .otherwise(col("dbt_updated_at")))
+      .localCheckpoint()
+    val b2 = Seq((1L, "a2", 130L), (2L, "b", 100L)).toDF("id", "val", "upd")
+    val merged = graft.operators.Scd2.snapshotMergeTimestamp(
+      snap, b2, "id", "upd").localCheckpoint()
+    val open = merged.filter(col("dbt_valid_to").isNull)
+      .groupBy("id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(open == Map(1L -> 1L, 2L -> 1L),
+      s"every key must keep exactly ONE open row, got $open")
+    // the NULL-stamped row is treated as existing-but-not-provably-
+    // changed (NULL comparison), dbt's fail-safe: no spurious version
+    assert(merged.count() == 2L)
+  }
+
+  test("default run stamp is ONE driver-side literal: closed.valid_to " +
+      "equals the successor's valid_from exactly") {
+    val root = Files.createTempDirectory("graft_snap_stamp")
+    val work = Files.createTempDirectory("graft_snap_stamp_tbl").toString
+    // check strategy with NO snapshot_at override — the
+    // current_timestamp() default must resolve once per run, or the
+    // closed side (checkpointed first) and the inserts (written later)
+    // carry different stamps and as-of queries between them see no row
+    val sql =
+      """{{ config(materialized='snapshot', strategy='check',
+        |          unique_key='id', check_cols=['val']) }}
+        |select id, val from {{ ref('src_seed') }}
+        |""".stripMargin
+    writeProject(root, sql, Seq("1,a,0", "2,b,0"))
+    new ModelExecutor(spark, ProjectLoader.load(root.toString), Some(work)).buildAll()
+    writeProject(root, sql, Seq("1,A,0", "2,B,0"))
+    new ModelExecutor(spark, ProjectLoader.load(root.toString), Some(work)).buildAll()
+    val got = spark.table("snap_model")
+      .select("id", "dbt_valid_from", "dbt_valid_to").collect()
+    val closedTo = got.filter(_.get(2) != null).map(_.get(2)).toSet
+    val openedFrom = got.filter(_.get(2) == null)
+      .map(_.get(1)).toSet -- got.filter(_.get(2) != null).map(_.get(1)).toSet
+    assert(closedTo.size == 1, s"one run stamp for all closures: $closedTo")
+    assert(openedFrom == closedTo,
+      s"successor valid_from $openedFrom must equal closed valid_to $closedTo")
+  }
+
   test("duplicate unique_key in a snapshot batch fails loudly") {
     val root = Files.createTempDirectory("graft_snap_dup")
     val work = Files.createTempDirectory("graft_snap_dup_tbl").toString
