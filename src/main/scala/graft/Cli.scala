@@ -230,8 +230,21 @@ object Cli {
           (if (r.violations > 0) s" violations=${r.violations}" else "") +
           r.error.fold("")(e => s" error=$e"))
       }
+      // dbt `unit_tests:` blocks run in the same `test` invocation
+      // (dbt-core folds them into `dbt test`)
+      val unitResults =
+        new graft.exec.UnitTestRunner(spark, project, executor).runAll()
+      unitResults.foreach { r =>
+        val status = if (r.passed) "PASS" else "FAIL"
+        println(s"$status ${r.model} unit_test:${r.name}" +
+          (if (!r.passed && r.missing >= 0)
+             s" missing=${r.missing} unexpected=${r.unexpected}" else "") +
+          r.error.fold("")(e => s" error=$e") +
+          r.diff.fold("")(d => s" diff=$d"))
+      }
       spark.stop()
-      if (results.exists(!_.passed)) sys.exit(1)
+      if (results.exists(!_.passed) || unitResults.exists(!_.passed))
+        sys.exit(1)
 
     case "lint" :: dir :: Nil =>
       val spark = session()

@@ -62,7 +62,13 @@ object DbtCompiler {
         * `{{ this }}` renders the model's own existing relation.
         */
       incremental: Boolean = false,
-      thisRelation: Option[String] = None): Compiled = {
+      thisRelation: Option[String] = None,
+      /** Unit-test fixture substitution: after a ref/source resolves
+        * to its relation (temp view) name, an override redirects it to
+        * the mock view — the model's SQL is otherwise untouched (dbt
+        * unit-test semantics: same compile, swapped inputs).
+        */
+      relationOverrides: Map[String, String] = Map.empty): Compiled = {
     val config = mutable.LinkedHashMap.empty[String, Any]
     val refs = mutable.ListBuffer.empty[String]
     val sources = mutable.ListBuffer.empty[(String, String)]
@@ -73,7 +79,7 @@ object DbtCompiler {
         val version = kwargs.get("v").orElse(kwargs.get("version"))
           .orElse(args.lift(1))
         resolveRef(manifest, name, version) match {
-          case Some(node) => node.name
+          case Some(node) => relationOverrides.getOrElse(node.name, node.name)
           case None => throw Jinja.JinjaError(s"ref not found: $name${version.fold("")(v => s" v=$v")}")
         }
       },
@@ -81,9 +87,10 @@ object DbtCompiler {
         val (src, tbl) = (args(0).toString, args(1).toString)
         sources += ((src, tbl))
         val uid = s"source.$src.$tbl"
-        manifest.nodes.values.find(n => n.resourceType == "source" &&
+        val rel = manifest.nodes.values.find(n => n.resourceType == "source" &&
           (n.uniqueId.endsWith(s".$src.$tbl") || n.uniqueId == uid))
           .map(_.name).getOrElse(tbl)
+        relationOverrides.getOrElse(rel, rel)
       },
       "var" -> { (args, _) =>
         val key = args.head.toString

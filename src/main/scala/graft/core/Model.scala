@@ -99,6 +99,35 @@ final case class NodeMeta(
     copy(columns = ListMap(cols.map(c => c.name -> c): _*))
 }
 
+/** One mocked input of a dbt unit test: the `input:` ref/source
+  * string as written (`ref('stg_x')`, `source('s','t')`, or `this`)
+  * and its fixture rows. `format: dict` rows arrive as maps;
+  * `format: csv` rows arrive pre-parsed to the same maps (all-string
+  * values — the runner casts against the real input's schema, dbt's
+  * own type-derivation rule).
+  */
+final case class UnitTestInput(input: String, rows: Seq[Map[String, Any]])
+
+/** A dbt `unit_tests:` block entry (reference core/schema/parser.py:19
+  * manages the YAML key; dbt-core executes the semantics): render the
+  * model with `given` fixtures substituted for its refs/sources and
+  * compare against `expect` rows — column-subset match on exactly the
+  * columns the expect rows name, unordered unless `expect.ordered` is
+  * set.
+  */
+final case class UnitTestMeta(
+    name: String,
+    model: String,
+    given: Seq[UnitTestInput],
+    expect: Seq[Map[String, Any]],
+    expectOrdered: Boolean = false,
+    description: String = "",
+    /** `overrides:` — `vars:` merge over project vars; `macros:` may
+      * carry `is_incremental` (dbt's documented incremental-mode
+      * switch for unit tests).
+      */
+    overrides: Map[String, Any] = Map.empty)
+
 final case class Manifest(nodes: ListMap[String, NodeMeta]) {
   def get(uid: String): Option[NodeMeta] = nodes.get(uid)
   def updated(node: NodeMeta): Manifest =

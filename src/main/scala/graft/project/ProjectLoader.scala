@@ -35,7 +35,12 @@ object ProjectLoader {
         * global-macro semantics — macro definitions render to empty
         * text, so the prologue is inert).
         */
-      macroPrologue: String = "")
+      macroPrologue: String = "",
+      /** Declared `unit_tests:` blocks from the project's schema YAML
+        * (dbt given/expect mock tests), executed by
+        * [[graft.exec.UnitTestRunner]].
+        */
+      unitTests: Seq[graft.core.UnitTestMeta] = Nil)
 
   /** Known Fusion manifest schema versions (core/config.py:54). */
   private val KnownFusionSchemaVersions = Set(20)
@@ -244,8 +249,25 @@ object ProjectLoader {
         .filter(p => p.toString.endsWith(".yml") || p.toString.endsWith(".yaml"))
         .sortBy(_.toString)
     var byId = ListMap(nodes.map(n => n.uniqueId -> n): _*)
+    var unitTests = Vector.empty[UnitTestMeta]
     for (p <- ymlFiles) {
       val doc = loadYaml(p)
+      // dbt `unit_tests:` blocks (given/expect mock tests) — parsed
+      // here, executed by graft.exec.UnitTestRunner
+      for (ut <- asSeqMap(doc.getOrElse("unit_tests", Nil))) {
+        val expectBody = asMap(ut.getOrElse("expect", Map.empty))
+        unitTests :+= UnitTestMeta(
+          name = ut.getOrElse("name", "").toString,
+          model = ut.getOrElse("model", "").toString,
+          given = asSeqMap(ut.getOrElse("given", Nil)).map { g =>
+            UnitTestInput(g.getOrElse("input", "").toString, utRows(g))
+          },
+          expect = utRows(expectBody),
+          expectOrdered = expectBody.get("ordered")
+            .exists(b => b == true || b.toString == "true"),
+          description = ut.getOrElse("description", "").toString,
+          overrides = asMap(ut.getOrElse("overrides", Map.empty)))
+      }
       for (section <- Seq("models", "seeds"); entry <- asSeqMap(doc.getOrElse(section, Nil))) {
         val name = entry("name").toString
         // versioned schema entries expand to per-version nodes; the
@@ -321,8 +343,35 @@ object ProjectLoader {
 
     Project(projectName, root, Manifest(byId), vars, modelCfg,
       fusionManifest = detectFusionManifest(root),
-      macroPrologue = macroPrologue)
+      macroPrologue = macroPrologue,
+      unitTests = unitTests)
   }
+
+  /** Fixture rows of a unit-test `given`/`expect` body. `format: dict`
+    * (the default) carries rows as YAML maps; `format: csv` carries a
+    * header+rows string whose values stay strings — the runner casts
+    * them against the input relation's real schema, dbt's own
+    * type-derivation rule (no quoted-comma support; fixture rows are
+    * hand-written scalars).
+    */
+  private def utRows(body: Map[String, Any]): Seq[Map[String, Any]] =
+    body.getOrElse("format", "dict").toString match {
+      case "csv" =>
+        body.get("rows") match {
+          case Some(s: String) =>
+            val lines = s.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+            if (lines.size < 2) Nil
+            else {
+              val hdr = lines.head.split(",").map(_.trim).toSeq
+              lines.tail.map(l =>
+                hdr.zip(l.split(",", -1).map(_.trim).toSeq)
+                  .toMap[String, Any])
+            }
+          case _ => Nil
+        }
+      case _ => asSeqMap(body.getOrElse("rows", Nil))
+        .map(_.toMap[String, Any])
+    }
 
   private def asSeqAny(v: Any): Seq[String] = v match {
     case s: Seq[_] => s.map(_.toString)
