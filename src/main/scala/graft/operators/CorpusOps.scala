@@ -935,6 +935,33 @@ object CorpusOps {
       .write.mode("append").parquet(s"$path/hist")
   }
 
+  /** REFIT a persisted quantile map against a fresh reference corpus —
+    * the remediation [[quantileMapDrift]] (t164) triggers: the gauge
+    * detects KS drift, this recalibrates. The band/winnow stores got
+    * their re-bucketing remediation in the same spirit; the quantile
+    * map's is a full histogram rebuild, because a quantile function
+    * has no incremental repair — the old reference mass IS the
+    * staleness. The new histogram builds into a staging dir and
+    * [[graft.core.FsOps.swapInDir]] makes it live in ONE swap (a
+    * reader never sees half a CDF; a crash between renames is
+    * recovered from `__retired` on the next touch). The meta guard
+    * still applies — refit recalibrates the SAME score column; a
+    * different column is a new store, not a refit.
+    */
+  def refitQuantileMap(spark: org.apache.spark.sql.SparkSession,
+      path: String, corpus: DataFrame, scoreCol: String): Unit = {
+    quantileMapMeta(spark, path, scoreCol)
+    val p = s"$path/hist"
+    val dir = new org.apache.hadoop.fs.Path(p)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    graft.core.FsOps.recoverRetired(fs, dir)
+    val staging = new org.apache.hadoop.fs.Path(p + "__staging")
+    corpus.select(col(scoreCol).cast("long").as("score"))
+      .groupBy("score").agg(count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(staging.toString)
+    graft.core.FsOps.swapInDir(fs, dir, staging)
+  }
+
   /** Compact a persisted quantile map: one groupBy-sum rewrite of the
     * histogram, swapped in atomically. */
   def compactQuantileMap(spark: org.apache.spark.sql.SparkSession,

@@ -1322,6 +1322,60 @@ object Dedup {
           .as("dup_ppm"))
   }
 
+  /** SAMPLED band-store health gauge — [[bandIndexStats]] at a fixed
+    * bucket budget: the exact gauge scans the store it audits (linear
+    * by construction — SCALING.md's gauge-shape note), so on a store
+    * whose bucket count grows with it (the [[rebucketBandIndex]]
+    * discipline), reading a FIXED number of bucket partitions keeps
+    * gauge cost ~flat while the store grows. The sample is the
+    * deterministic stride lattice bb % stride == 0 with stride =
+    * max(1, buckets div k) — a partition filter, so the scan prunes
+    * to the sampled directories and never lists the rest.
+    *
+    * Every column carries a one-sided or exact contract a reader can
+    * rely on (and the spec proves against the exact gauge):
+    *  - `n_rows_sampled` / `n_distinct_sampled` / `max_bucket_lb` /
+    *    `dup_rows_lb` are EXACT over the sampled buckets, hence
+    *    provable LOWER bounds of the store-wide row mass, distinct
+    *    mass, hottest bucket, and reclaimable duplicate rows;
+    *  - `est_rows` scales the sampled mass by buckets/|sample| (an
+    *    exact-arithmetic estimator both engines replay bit-for-bit);
+    *  - `est_skew_x1e6` / `est_dup_ppm` restate the alarm numbers on
+    *    the sampled evidence (1e6 = uniform, same scale as the exact
+    *    gauge's skew_x1e6, so one threshold serves both);
+    *  - stride == 1 degenerates to full coverage: every *_sampled/_lb
+    *    column then EQUALS its exact-gauge twin.
+    */
+  def bandIndexStatsSampled(spark: org.apache.spark.sql.SparkSession,
+      path: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val (_, _, _, buckets) = bandIndexMeta(spark, path)
+    val stride = math.max(1L, (buckets / math.max(k, 1)).toLong)
+    val sampleSize = (buckets - 1) / stride + 1 // ids 0..B-1 on the lattice
+    val rows = spark.read.schema(BandsIdxSchema).parquet(s"$path/bands")
+      .filter(col("bb") % stride === 0L)
+    val perBucket = rows.groupBy("bb").agg(count(lit(1)).as("cnt"))
+    val dist = rows.select("doc_id", "band", "bkey").distinct()
+      .agg(count(lit(1)).as("n_distinct_sampled"))
+    perBucket
+      .agg(sum("cnt").as("n_rows_sampled"),
+        count(lit(1)).as("n_buckets_sampled"),
+        max("cnt").as("max_bucket_lb"))
+      .crossJoin(broadcast(dist))
+      .select(lit(buckets.toLong).as("buckets"), lit(stride).as("stride"),
+        col("n_buckets_sampled"), col("n_rows_sampled"),
+        col("n_distinct_sampled"), col("max_bucket_lb"),
+        expr(s"(n_rows_sampled * ${buckets}L) div ${sampleSize}L")
+          .as("est_rows"),
+        expr(s"(max_bucket_lb * ${buckets}L * 1000000L) div " +
+          s"greatest((n_rows_sampled * ${buckets}L) div ${sampleSize}L, 1)")
+          .as("est_skew_x1e6"),
+        (col("n_rows_sampled") - col("n_distinct_sampled"))
+          .as("dup_rows_lb"),
+        expr("((n_rows_sampled - n_distinct_sampled) * 1000000) div " +
+          "greatest(n_rows_sampled, 1)").as("est_dup_ppm"))
+  }
+
   /** Admission search over a persisted [[buildBandIndex]] index — the
     * text twin of [[graft.operators.Similarity.searchIvfPqIndex]]:
     * the batch sketches with the index's frozen parameters, its band

@@ -2461,6 +2461,24 @@ object TrainingData {
     Dedup.bandIndexStats(spark, path)
   }
 
+  /** SAMPLED band-store gauge ([[Dedup.bandIndexStatsSampled]]) over
+    * the SAME persisted store t143/t162 share (session memo), at a
+    * fixed 16-bucket budget (stride 4 over the 64-bucket default):
+    * the incremental/sampled mode of the r13 gauge family — exact
+    * lower bounds over the sampled buckets plus stride-scaled
+    * estimators, so a store owner alarms at a fixed read budget while
+    * the store (and its bucket count, post-[[Dedup.rebucketBandIndex]])
+    * grows.
+    */
+  def docBandStatsSampled(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val path = sessionIndexPath(spark, "t143_band", dir) { p =>
+      Dedup.buildBandIndex(docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", p)
+    }
+    Dedup.bandIndexStatsSampled(spark, path, k = 16)
+  }
+
   /** Line-level Gopher rules ([[CorpusOps.gopherLineRules]]) over a
     * rendered multi-line face (the t92 move: fixture text is
     * single-line, so groups of five documents render as one
@@ -2697,6 +2715,7 @@ object TrainingData {
     "t165_winnow_stats" -> docWinnowStats _,
     "t166_kmv_stats" -> docKmvStats _,
     "t167_invidx_stats" -> docInvIndexStats _,
+    "t168_band_stats_sampled" -> docBandStatsSampled _,
   )
 
 
@@ -8126,6 +8145,41 @@ object TrainingData {
            |    AS skew_x1e6,
            |  ((n_rows - n_distinct) * 1000000) // GREATEST(n_rows, 1)
            |    AS dup_ppm
+           |FROM a, dct""".stripMargin,
+      // t168: the t162 replay restricted to the stride-4 bucket
+      // lattice (bb % 4 = 0 — 16 of 64 buckets), then the sampled
+      // gauge's exact lower bounds and stride-scaled estimators;
+      // every floor is a single integer division both engines replay
+      "t168_band_stats_sampled" ->
+        s"""WITH ${minhashCtes(64, 16, 0.5)}, rws AS (
+           |  SELECT b.doc_id, b.band, b.bkey, b.bkey % 64 AS bb
+           |  FROM bandkey b JOIN toks t ON b.doc_id = t.doc_id
+           |  WHERE b.doc_id % 10 = 0 AND len(t.ts) >= 3
+           |), sampled AS (
+           |  SELECT * FROM rws WHERE bb % 4 = 0
+           |), pb AS (
+           |  SELECT bb, CAST(COUNT(*) AS BIGINT) AS cnt
+           |  FROM sampled GROUP BY 1
+           |), dct AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct_sampled
+           |  FROM (SELECT DISTINCT doc_id, band, bkey FROM sampled)
+           |), a AS (
+           |  SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows_sampled,
+           |    CAST(COUNT(*) AS BIGINT) AS n_buckets_sampled,
+           |    CAST(MAX(cnt) AS BIGINT) AS max_bucket_lb
+           |  FROM pb
+           |)
+           |SELECT CAST(64 AS BIGINT) AS buckets,
+           |  CAST(4 AS BIGINT) AS stride,
+           |  n_buckets_sampled, n_rows_sampled, n_distinct_sampled,
+           |  max_bucket_lb,
+           |  (n_rows_sampled * 64) // 16 AS est_rows,
+           |  (max_bucket_lb * 64 * 1000000)
+           |    // GREATEST((n_rows_sampled * 64) // 16, 1)
+           |    AS est_skew_x1e6,
+           |  n_rows_sampled - n_distinct_sampled AS dup_rows_lb,
+           |  ((n_rows_sampled - n_distinct_sampled) * 1000000)
+           |    // GREATEST(n_rows_sampled, 1) AS est_dup_ppm
            |FROM a, dct""".stripMargin,
       // t161: the line rules counted directly on the rendered lines —
       // counting before or after the newline join is the same count,

@@ -1274,6 +1274,87 @@ class CorpusOpsSpec extends AnyFunSuite {
       "re-bucketing changed winnow admission verdicts")
   }
 
+  test("bandIndexStatsSampled: sampled columns provably bound the " +
+      "exact gauge; stride=1 degenerates to it; the read prunes " +
+      "to the sampled bucket partitions") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val store = java.nio.file.Files.createTempDirectory("graft_bsample")
+      .resolve("idx").toString
+    Dedup.buildBandIndex(docs, "doc_id", "text", store)
+    // replayed ingest so dup mass is non-zero on both gauges
+    Dedup.ingestBandBatch(spark, store,
+      docs.filter(col("doc_id") % 7 === 0), "doc_id", "text")
+    val exact = Dedup.bandIndexStats(spark, store).collect().head
+    val s = Dedup.bandIndexStatsSampled(spark, store, k = 16)
+      .collect().head
+    assert(s.getAs[Long]("stride") == 4L &&
+      s.getAs[Long]("n_buckets_sampled") <= 16L)
+    // one-sided contracts: sampled masses never exceed the store-wide
+    assert(s.getAs[Long]("n_rows_sampled") <= exact.getAs[Long]("n_rows"))
+    assert(s.getAs[Long]("n_distinct_sampled") <=
+      exact.getAs[Long]("n_distinct"))
+    assert(s.getAs[Long]("max_bucket_lb") <=
+      exact.getAs[Long]("max_bucket"))
+    assert(s.getAs[Long]("dup_rows_lb") <=
+      exact.getAs[Long]("n_rows") - exact.getAs[Long]("n_distinct"))
+    assert(s.getAs[Long]("dup_rows_lb") > 0L,
+      "the replayed ingest must surface duplicate mass in the sample")
+    // stride 1 (k >= buckets) = full coverage = the exact gauge
+    val full = Dedup.bandIndexStatsSampled(spark, store, k = 64)
+      .collect().head
+    assert(full.getAs[Long]("stride") == 1L)
+    assert(full.getAs[Long]("n_rows_sampled") == exact.getAs[Long]("n_rows"))
+    assert(full.getAs[Long]("n_distinct_sampled") ==
+      exact.getAs[Long]("n_distinct"))
+    assert(full.getAs[Long]("max_bucket_lb") ==
+      exact.getAs[Long]("max_bucket"))
+    assert(full.getAs[Long]("est_rows") == exact.getAs[Long]("n_rows"))
+    // the stride filter reaches the hive partition listing: the scan
+    // must not read the unsampled bucket directories
+    val plan = Dedup.bandIndexStatsSampled(spark, store, k = 16)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.contains("(bb"),
+      s"bucket stride must prune partitions:\n${plan.take(1200)}")
+  }
+
+  test("refitQuantileMap: KS drift returns to zero post-refit; " +
+      "boundary probes still calibrate to exactly 0 and 1e6") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val store = java.nio.file.Files.createTempDirectory("graft_qrefit")
+      .resolve("map").toString
+    CorpusOps.fitQuantileMap(docs, "n_chars", store)
+    // the world moved: scores shifted +50 — the t164 gauge must see it
+    val drifted = docs.select(col("doc_id"),
+      (col("n_chars") + 50L).as("n_chars"))
+    val ksBefore = CorpusOps.quantileMapDrift(spark, store, drifted,
+      "n_chars").collect().head.getAs[Long]("ks_ppm")
+    assert(ksBefore > 100000L,
+      s"a +50 shift must register heavy KS drift, got $ksBefore")
+    // remediation: refit against the current corpus (atomic swap)
+    CorpusOps.refitQuantileMap(spark, store, drifted, "n_chars")
+    val ksAfter = CorpusOps.quantileMapDrift(spark, store, drifted,
+      "n_chars").collect().head.getAs[Long]("ks_ppm")
+    assert(ksAfter == 0L, s"post-refit drift must be exactly 0: $ksAfter")
+    // the refit store is a complete, well-formed CDF: below-everything
+    // probes at 0 ppm, above-everything at exactly 1e6
+    val probes = Seq((-1L, -5L), (-2L, 100000000L)).toDF("doc_id", "n_chars")
+    val p = CorpusOps.percentileFromMap(spark, store, probes,
+        "doc_id", "n_chars")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(p == Map(-1L -> 0L, -2L -> 1000000L), s"got $p")
+    // the meta guard survives refit: a different score column raises
+    val ex = intercept[Exception] {
+      CorpusOps.refitQuantileMap(spark, store,
+        docs.select(col("doc_id"), col("n_chars").as("other")), "other")
+    }
+    assert(ex.getMessage.contains("fitted on score column"))
+  }
+
   test("mixtureBudgetCellsBy: derived divisor equals the enumerated " +
       "map on srcN sources; a non-srcN source fails loudly") {
     import org.apache.spark.sql.functions._
