@@ -76,7 +76,36 @@ object ProbeBench {
       med3("bloom_decontam_s", () =>
         CorpusOps.decontaminateFromRegistry(spark, s"$root/bloom", batch,
           "doc_id", "text")))
-    val body = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
+
+    // optional remediation leg (SPARK_GRAFT_PROBE_REBUCKET=N): the
+    // round-13 probe read band search 2.2x at 30x index — bucket
+    // occupancy at the default 64 buckets. Re-bucket to N, re-time the
+    // SAME probe, and read the t162 gauge across the swap — the
+    // detect -> remediate -> verify loop, measured.
+    val rebucket = sys.env.get("SPARK_GRAFT_PROBE_REBUCKET").map(_.toInt)
+    val rebucketResults = rebucket.toSeq.flatMap { nb =>
+      def gauge() = Dedup.bandIndexStats(spark, s"$root/band")
+        .collect().head
+      val before = gauge()
+      Dedup.rebucketBandIndex(spark, s"$root/band", newBuckets = nb)
+      val after = gauge()
+      Seq(
+        med3("band_search_rebucketed_s", () =>
+          Dedup.searchBandIndex(spark, s"$root/band", batch,
+            "doc_id", "text")),
+        "band_buckets_before" -> before.getAs[Long]("buckets").toDouble,
+        "band_buckets_after" -> after.getAs[Long]("buckets").toDouble,
+        "band_max_share_ppm_before" ->
+          before.getAs[Long]("max_share_ppm").toDouble,
+        "band_max_share_ppm_after" ->
+          after.getAs[Long]("max_share_ppm").toDouble,
+        "band_skew_x1e6_before" ->
+          before.getAs[Long]("skew_x1e6").toDouble,
+        "band_skew_x1e6_after" ->
+          after.getAs[Long]("skew_x1e6").toDouble)
+    }
+    val body = (results ++ rebucketResults)
+      .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString(",")
     println(s"""{"label":"$label","index_docs":$nIdx,"batch_docs":$nBatch,$body}""")
     spark.stop()
