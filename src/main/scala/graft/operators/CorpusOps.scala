@@ -3711,6 +3711,92 @@ object CorpusOps {
         col("alloc"), col("n_s"))
   }
 
+  /** Deterministic per-source holdout REFRESH — the eval-slice
+    * rotation a long-running training pipeline needs: a held-out set
+    * goes stale (it stops measuring the live distribution, and every
+    * model-selection decision overfits it a little more), so each
+    * refresh epoch must replace part of it WITHOUT moving the
+    * per-source budgets and WITHOUT leaking near-duplicates of
+    * training documents into eval.
+    *
+    * Three disciplines compose, all exact-arithmetic and
+    * oracle-replayable:
+    *  - **Leakage guard** ([[canonicalSelect]]'s component relation,
+    *    the t78 rule): only documents with NO near-duplicate anywhere
+    *    in the corpus are eligible — any clustered doc left in eval
+    *    has a paraphrase in train by construction, the contamination
+    *    t83/t137 alarm on.
+    *  - **Fixed budget** ([[hamiltonEvalSet]]'s Hamilton
+    *    apportionment, t103): `totalN` seats split over sources by
+    *    exact integer quota + largest-remainder over the ELIGIBLE
+    *    population, so both epochs draw the same per-source alloc.
+    *  - **Reservoir-style rotation** ([[idMix]] with an epoch salt):
+    *    epoch e ranks each source's eligible docs by
+    *    idMix(doc_id XOR e·2654435761) — a fresh deterministic
+    *    uniform draw per epoch, so each refresh keeps an
+    *    alloc²/n_eligible-expected core and rotates the rest, and
+    *    re-running any epoch reproduces its holdout bit-for-bit
+    *    (the reservoir property a training-data audit needs: no
+    *    stored state, the corpus + epoch number IS the holdout).
+    *
+    * Emits one row per doc in either epoch's holdout: status `held`
+    * (both), `admitted` (new only), `evicted` (prev only) — per
+    * source, admitted count == evicted count exactly (same alloc),
+    * the invariant the spec pins.
+    *
+    * Scale shape: eligibility is one anti-join against the
+    * duplicate-set-sized component relation; both epoch ranks ride
+    * ONE source-keyed exchange (two sorts, no second shuffle — the
+    * [[hamiltonEvalSet]] selection shape); the |sources|-row
+    * apportionment windows are bounded; allocations broadcast back.
+    */
+  def holdoutRefresh(docs: DataFrame, idCol: String, sourceCol: String,
+      components: DataFrame, compIdCol: String, totalN: Int,
+      prevEpoch: Long, epoch: Long): DataFrame = {
+    require(totalN > 0, s"totalN must be positive, got $totalN")
+    require(prevEpoch != epoch, "refresh needs two distinct epochs")
+    def salt(e: Long): Long = e * 2654435761L
+    val eligible = Dedup.barrier(
+      docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source"))
+        .join(components.select(col(compIdCol).as("doc_id")),
+          Seq("doc_id"), "left_anti"),
+      col("source")).localCheckpoint()
+    val hist = eligible.groupBy("source").agg(count(lit(1)).as("n_eligible"))
+    val tot = hist.agg(sum("n_eligible").as("n"))
+    val wRem = Window.orderBy(col("rem").desc, col("source"))
+    val alloc = hist.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_eligible"),
+        expr(s"(n_eligible * ${totalN}L) div n").as("base"),
+        expr(s"(n_eligible * ${totalN}L) % n").as("rem"),
+        expr(s"${totalN}L - sum((n_eligible * ${totalN}L) div n) over ()")
+          .as("leftover"))
+      .withColumn("seat_rank", row_number().over(wRem).cast("long"))
+      .select(col("source"), col("n_eligible"),
+        (col("base") + when(col("seat_rank") <= col("leftover"), 1L)
+          .otherwise(0L)).as("alloc"))
+    val wPrev = Window.partitionBy("source")
+      .orderBy(col("ord_prev"), col("doc_id"))
+    val wNew = Window.partitionBy("source")
+      .orderBy(col("ord_new"), col("doc_id"))
+    eligible
+      .withColumn("ord_prev",
+        idMix(col("doc_id").bitwiseXOR(lit(salt(prevEpoch)))))
+      .withColumn("ord_new",
+        idMix(col("doc_id").bitwiseXOR(lit(salt(epoch)))))
+      .withColumn("rank_prev", row_number().over(wPrev).cast("long"))
+      .withColumn("rank_new", row_number().over(wNew).cast("long"))
+      .join(broadcast(alloc), "source")
+      .withColumn("in_prev", col("rank_prev") <= col("alloc"))
+      .withColumn("in_new", col("rank_new") <= col("alloc"))
+      .filter(col("in_prev") || col("in_new"))
+      .select(col("doc_id"), col("source"),
+        when(col("in_prev") && col("in_new"), "held")
+          .when(col("in_new"), "admitted")
+          .otherwise("evicted").as("status"),
+        when(col("in_new"), col("rank_new")).as("rank_new"),
+        col("alloc"), col("n_eligible"))
+  }
+
   /** Per-source quality pruning — keep the top `keepFrac` of each
     * source's documents by an integer quality score, ties at the
     * threshold included (so at least ceil(n·keepFrac) docs per source

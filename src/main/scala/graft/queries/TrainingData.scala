@@ -2517,6 +2517,20 @@ object TrainingData {
         divisor = expr("CAST(SUBSTR(source, 4) AS BIGINT)") % 4 + 2)
       .orderBy(col("source"), col("bin").desc)
 
+  /** Deterministic per-source holdout refresh
+    * ([[CorpusOps.holdoutRefresh]], epochs 1 → 2, 200 seats): the
+    * eval-slice rotation under t103's fixed Hamilton budget with the
+    * t78 leakage guard (only cluster-singleton docs are eligible —
+    * rides the session component memo). Per source, admitted ==
+    * evicted exactly; re-running an epoch reproduces its holdout
+    * bit-for-bit.
+    */
+  def docHoldoutRefresh(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.holdoutRefresh(Tables.documents(spark, dir), "doc_id",
+        "source", sharedComponents(spark, dir), "node", totalN = 200,
+        prevEpoch = 1L, epoch = 2L)
+      .orderBy("doc_id")
+
   /** SCD2 snapshot merge ([[graft.operators.Scd2]] — the dbt
     * `snapshot` materialization's dataflow, timestamp strategy with
     * hard-delete invalidation) replayed over two deterministic
@@ -2716,6 +2730,7 @@ object TrainingData {
     "t166_kmv_stats" -> docKmvStats _,
     "t167_invidx_stats" -> docInvIndexStats _,
     "t168_band_stats_sampled" -> docBandStatsSampled _,
+    "t169_holdout_refresh" -> docHoldoutRefresh _,
   )
 
 
@@ -8146,6 +8161,58 @@ object TrainingData {
            |  ((n_rows - n_distinct) * 1000000) // GREATEST(n_rows, 1)
            |    AS dup_ppm
            |FROM a, dct""".stripMargin,
+      // t169: eligibility = NOT a near-dup pair endpoint (the same
+      // pairs CTE the component memo builds from); Hamilton quotas in
+      // exact BIGINT over the eligible population; both epoch ranks
+      // replay the shared id mix with epoch salts 1·2654435761 and
+      // 2·2654435761 — every floor/xor is the engine's own arithmetic
+      "t169_holdout_refresh" ->
+        s"""WITH ${minhashCtes(64, 16, 0.5)}, members AS (
+           |  SELECT DISTINCT id_a AS doc_id FROM pairs
+           |  UNION SELECT DISTINCT id_b AS doc_id FROM pairs
+           |), elig AS (
+           |  SELECT d.doc_id, d.source FROM documents d
+           |  WHERE NOT EXISTS (
+           |    SELECT 1 FROM members m WHERE m.doc_id = d.doc_id)
+           |), hist AS (
+           |  SELECT source, COUNT(*) AS n_eligible FROM elig GROUP BY 1
+           |), tot AS (
+           |  SELECT SUM(n_eligible) AS n FROM hist
+           |), a0 AS (
+           |  SELECT source, n_eligible,
+           |    (n_eligible * 200) // n AS base,
+           |    (n_eligible * 200) % n AS rem,
+           |    200 - SUM((n_eligible * 200) // n) OVER () AS leftover,
+           |    ROW_NUMBER() OVER (ORDER BY (n_eligible * 200) % n DESC,
+           |      source) AS seat_rank
+           |  FROM hist CROSS JOIN tot
+           |), alloc AS (
+           |  SELECT source, n_eligible,
+           |    base + CASE WHEN seat_rank <= leftover THEN 1 ELSE 0 END
+           |      AS alloc
+           |  FROM a0
+           |), rk AS (
+           |  SELECT doc_id, source,
+           |    ROW_NUMBER() OVER (PARTITION BY source
+           |      ORDER BY ${idMixSql("xor(doc_id, 2654435761)")}, doc_id)
+           |      AS rank_prev,
+           |    ROW_NUMBER() OVER (PARTITION BY source
+           |      ORDER BY ${idMixSql("xor(doc_id, 5308871522)")}, doc_id)
+           |      AS rank_new
+           |  FROM elig
+           |)
+           |SELECT r.doc_id, r.source,
+           |  CASE WHEN rank_prev <= alloc AND rank_new <= alloc
+           |         THEN 'held'
+           |       WHEN rank_new <= alloc THEN 'admitted'
+           |       ELSE 'evicted' END AS status,
+           |  CASE WHEN rank_new <= alloc
+           |       THEN CAST(rank_new AS BIGINT) END AS rank_new,
+           |  CAST(alloc AS BIGINT) AS alloc,
+           |  CAST(n_eligible AS BIGINT) AS n_eligible
+           |FROM rk r JOIN alloc a USING (source)
+           |WHERE rank_prev <= alloc OR rank_new <= alloc
+           |ORDER BY r.doc_id""".stripMargin,
       // t168: the t162 replay restricted to the stride-4 bucket
       // lattice (bb % 4 = 0 — 16 of 64 buckets), then the sampled
       // gauge's exact lower bounds and stride-scaled estimators;

@@ -2794,4 +2794,48 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(real.forall(r => r.getLong(5) >= 0L && r.getLong(5) <= 4000000L))
     assert(real.count(_.getBoolean(4)) == 10)
   }
+
+  test("t169 holdout refresh: both epochs fill the exact Hamilton " +
+      "budget, admitted == evicted per source, the leakage guard " +
+      "holds, and the draw is reproducible") {
+    import org.apache.spark.sql.functions._
+    val got = graft.queries.TrainingData.docHoldoutRefresh(spark, dir)
+      .collect().toSeq
+    assert(got.nonEmpty)
+    val bySource = got.groupBy(_.getAs[String]("source"))
+    for ((src, rows) <- bySource) {
+      val alloc = rows.head.getAs[Long]("alloc")
+      val held = rows.count(_.getAs[String]("status") == "held")
+      val admitted = rows.count(_.getAs[String]("status") == "admitted")
+      val evicted = rows.count(_.getAs[String]("status") == "evicted")
+      // both epochs realize exactly the source's seat count
+      assert(held + admitted == alloc,
+        s"$src: new holdout ${held + admitted} != alloc $alloc")
+      assert(held + evicted == alloc,
+        s"$src: prev holdout ${held + evicted} != alloc $alloc")
+      // the rotation invariant: what leaves equals what enters
+      assert(admitted == evicted, s"$src: admitted $admitted != evicted $evicted")
+      // rank_new present iff the doc is in the NEW holdout
+      assert(rows.forall(r =>
+        (r.getAs[String]("status") != "evicted") == !r.isNullAt(3)))
+    }
+    // total budget: the new holdout fills all 200 seats
+    assert(got.count(_.getAs[String]("status") != "evicted") == 200)
+    // all three statuses realized (the refresh actually rotates AND
+    // actually keeps a core)
+    assert(Set("held", "admitted", "evicted").subsetOf(
+      got.map(_.getAs[String]("status")).toSet))
+    // leakage guard: no selected doc is a near-dup pair endpoint
+    val docs = Tables.documents(spark, dir)
+    val members = graft.operators.Dedup.minhashLsh(docs, "doc_id",
+        "text", 3, 64, 16, 0.5)
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(got.forall(r => !members.contains(r.getAs[Long]("doc_id"))),
+      "a near-dup cluster member reached the holdout")
+    // deterministic: the same epochs replay the same relation
+    val again = graft.queries.TrainingData.docHoldoutRefresh(spark, dir)
+      .collect().toSeq
+    assert(again == got, "holdout refresh must be reproducible")
+  }
 }
