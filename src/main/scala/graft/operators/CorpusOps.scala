@@ -3756,11 +3756,20 @@ object CorpusOps {
     require(totalN > 0, s"totalN must be positive, got $totalN")
     require(prevEpoch != epoch, "refresh needs two distinct epochs")
     def salt(e: Long): Long = e * 2654435761L
-    val eligible = Dedup.barrier(
+    // pinned: the scan + anti-join runs ONCE and its result feeds both
+    // the histogram (map-side partial agg, a |sources|·partitions-row
+    // exchange) and the rank windows (the single corpus-sized shuffle
+    // in the plan — exchange REUSE can't carry this instead, because
+    // column pruning gives the histogram branch a narrower exchange
+    // child and canonical equality breaks, re-running the scan). The
+    // isNotNull filter mirrors the alloc equi-join both engines
+    // already drop NULL sources at.
+    val eligible =
       docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source"))
+        .filter(col("source").isNotNull)
         .join(components.select(col(compIdCol).as("doc_id")),
-          Seq("doc_id"), "left_anti"),
-      col("source")).localCheckpoint()
+          Seq("doc_id"), "left_anti")
+        .localCheckpoint()
     val hist = eligible.groupBy("source").agg(count(lit(1)).as("n_eligible"))
     val tot = hist.agg(sum("n_eligible").as("n"))
     val wRem = Window.orderBy(col("rem").desc, col("source"))

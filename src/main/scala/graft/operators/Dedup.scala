@@ -1212,6 +1212,44 @@ object Dedup {
           .as("dup_ppm"))
   }
 
+  /** SAMPLED winnow-store gauge — [[bandIndexStatsSampled]]'s twin
+    * over the [[buildWinnowIndex]] fps relation: the same
+    * deterministic stride lattice (fpb % stride == 0, a partition
+    * filter), the same one-sided contracts (sampled masses are exact
+    * LOWER bounds; stride 1 equals [[winnowIndexStats]]), the same
+    * fixed read budget while the store (and, post-rebucket, its
+    * bucket count) grows.
+    */
+  def winnowIndexStatsSampled(spark: org.apache.spark.sql.SparkSession,
+      path: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val (_, _, buckets) = winnowMeta(spark, path)
+    val stride = math.max(1L, (buckets / math.max(k, 1)).toLong)
+    val sampleSize = (buckets - 1) / stride + 1
+    val rows = spark.read.schema(WinnowFpsSchema).parquet(s"$path/fps")
+      .filter(col("fpb") % stride === 0L)
+    val perBucket = rows.groupBy("fpb").agg(count(lit(1)).as("cnt"))
+    val dist = rows.select("fp").distinct()
+      .agg(count(lit(1)).as("n_distinct_sampled"))
+    perBucket
+      .agg(sum("cnt").as("n_rows_sampled"),
+        count(lit(1)).as("n_buckets_sampled"),
+        max("cnt").as("max_bucket_lb"))
+      .crossJoin(broadcast(dist))
+      .select(lit(buckets.toLong).as("buckets"), lit(stride).as("stride"),
+        col("n_buckets_sampled"), col("n_rows_sampled"),
+        col("n_distinct_sampled"), col("max_bucket_lb"),
+        expr(s"(n_rows_sampled * ${buckets}L) div ${sampleSize}L")
+          .as("est_rows"),
+        expr(s"(max_bucket_lb * ${buckets}L * 1000000L) div " +
+          s"greatest((n_rows_sampled * ${buckets}L) div ${sampleSize}L, 1)")
+          .as("est_skew_x1e6"),
+        (col("n_rows_sampled") - col("n_distinct_sampled"))
+          .as("dup_rows_lb"),
+        expr("((n_rows_sampled - n_distinct_sampled) * 1000000) div " +
+          "greatest(n_rows_sampled, 1)").as("est_dup_ppm"))
+  }
+
   /** Re-bucket a persisted band index — the remediation
     * [[bandIndexStats]]'s alarm calls for (bucket count is the knob
     * that keeps a production probe's pruned read proportional as the

@@ -2393,6 +2393,20 @@ object TrainingData {
     Dedup.winnowIndexStats(spark, path)
   }
 
+  /** Sampled winnow-store gauge ([[Dedup.winnowIndexStatsSampled]])
+    * over the SAME persisted store t134/t165 share (session memo), at
+    * the fixed 16-bucket budget — the winnow member of the sampled
+    * gauge family t168 opened.
+    */
+  def docWinnowStatsSampled(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val path = sessionIndexPath(spark, "t134_winnow", dir) { p =>
+      Dedup.buildWinnowIndex(docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", p)
+    }
+    Dedup.winnowIndexStatsSampled(spark, path, k = 16)
+  }
+
   /** KMV-store health gauge ([[CorpusOps.kmvStoreStats]]) over the
     * SAME split-built store t148 answers from (shared memo): group
     * counts, exact-vs-estimated split at k, duplicate and reclaimable
@@ -2731,6 +2745,7 @@ object TrainingData {
     "t167_invidx_stats" -> docInvIndexStats _,
     "t168_band_stats_sampled" -> docBandStatsSampled _,
     "t169_holdout_refresh" -> docHoldoutRefresh _,
+    "t170_winnow_stats_sampled" -> docWinnowStatsSampled _,
   )
 
 
@@ -8341,6 +8356,39 @@ object TrainingData {
            |    AS skew_x1e6,
            |  CAST(0 AS BIGINT) AS dup_ppm
            |FROM a""".stripMargin,
+      // t170: the t165 replay restricted to the stride-4 bucket
+      // lattice, then the sampled gauge's exact lower bounds and
+      // stride-scaled estimators (one-shot store → dup mass 0)
+      "t170_winnow_stats_sampled" ->
+        s"""WITH ${winnowCtes(4)}, wfp AS (
+           |  SELECT DISTINCT s.fp AS fp FROM wsel WHERE doc_id % 10 = 0
+           |), sampled AS (
+           |  SELECT fp, fp % 64 AS fpb FROM wfp WHERE (fp % 64) % 4 = 0
+           |), pb AS (
+           |  SELECT fpb, CAST(COUNT(*) AS BIGINT) AS cnt
+           |  FROM sampled GROUP BY 1
+           |), dct AS (
+           |  SELECT CAST(COUNT(DISTINCT fp) AS BIGINT)
+           |    AS n_distinct_sampled
+           |  FROM sampled
+           |), a AS (
+           |  SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows_sampled,
+           |    CAST(COUNT(*) AS BIGINT) AS n_buckets_sampled,
+           |    CAST(MAX(cnt) AS BIGINT) AS max_bucket_lb
+           |  FROM pb
+           |)
+           |SELECT CAST(64 AS BIGINT) AS buckets,
+           |  CAST(4 AS BIGINT) AS stride,
+           |  n_buckets_sampled, n_rows_sampled, n_distinct_sampled,
+           |  max_bucket_lb,
+           |  (n_rows_sampled * 64) // 16 AS est_rows,
+           |  (max_bucket_lb * 64 * 1000000)
+           |    // GREATEST((n_rows_sampled * 64) // 16, 1)
+           |    AS est_skew_x1e6,
+           |  n_rows_sampled - n_distinct_sampled AS dup_rows_lb,
+           |  ((n_rows_sampled - n_distinct_sampled) * 1000000)
+           |    // GREATEST(n_rows_sampled, 1) AS est_dup_ppm
+           |FROM a, dct""".stripMargin,
       // t166: the t148 build+ingest replayed per part (each batch's
       // DISTINCT bottom-k appends), collapsed to the store gauge —
       // duplicate mass is exactly the hashes in BOTH parts' bottom-k

@@ -1320,6 +1320,34 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"bucket stride must prune partitions:\n${plan.take(1200)}")
   }
 
+  test("winnowIndexStatsSampled: bounds vs the exact gauge; stride=1 " +
+      "degenerates to it") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val store = java.nio.file.Files.createTempDirectory("graft_wsample")
+      .resolve("idx").toString
+    Dedup.buildWinnowIndex(docs, "doc_id", "text", store)
+    Dedup.ingestWinnowBatch(spark, store,
+      docs.filter(col("doc_id") % 7 === 0), "doc_id", "text")
+    val exact = Dedup.winnowIndexStats(spark, store).collect().head
+    val s = Dedup.winnowIndexStatsSampled(spark, store, k = 16)
+      .collect().head
+    assert(s.getAs[Long]("stride") == 4L)
+    assert(s.getAs[Long]("n_rows_sampled") <= exact.getAs[Long]("n_rows"))
+    assert(s.getAs[Long]("max_bucket_lb") <= exact.getAs[Long]("max_bucket"))
+    assert(s.getAs[Long]("dup_rows_lb") <=
+      exact.getAs[Long]("n_rows") - exact.getAs[Long]("n_distinct"))
+    assert(s.getAs[Long]("dup_rows_lb") > 0L,
+      "the replayed ingest must surface duplicate mass in the sample")
+    val full = Dedup.winnowIndexStatsSampled(spark, store, k = 64)
+      .collect().head
+    assert(full.getAs[Long]("stride") == 1L)
+    assert(full.getAs[Long]("n_rows_sampled") == exact.getAs[Long]("n_rows"))
+    assert(full.getAs[Long]("max_bucket_lb") ==
+      exact.getAs[Long]("max_bucket"))
+  }
+
   test("refitQuantileMap: KS drift returns to zero post-refit; " +
       "boundary probes still calibrate to exactly 0 and 1e6") {
     import org.apache.spark.sql.functions._

@@ -333,6 +333,50 @@ class PlanShapeSpec extends AnyFunSuite {
         "n_chars"), "t118 quantileNormalize")
   }
 
+  test("t169: both epoch ranks ride one source-keyed exchange; " +
+      "allocations broadcast; no cartesian") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir)
+    // empty component relation isolates the selection plan (the memo
+    // path is covered by the t169 gate itself)
+    val comps = docs.sparkSession.range(0)
+      .select(col("id").as("node"))
+    // the eligible relation is pinned (one scan+anti-join), so the
+    // static plan decomposes into exactly: the windows' corpus shuffle
+    // on source (ONE — the stacked rank windows share it) and the
+    // histogram's partial-agg exchange (|sources|·partitions rows,
+    // combined map-side)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = operators.CorpusOps.holdoutRefresh(docs, "doc_id", "source",
+        comps, "node", totalN = 50, prevEpoch = 1L, epoch = 2L)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), plan.take(900))
+      assert(plan.contains("BroadcastExchange") ||
+        plan.contains("BroadcastHashJoin"),
+        "the |sources|-row allocation must broadcast back")
+      // count REAL exchange nodes only — a ReusedExchange line quotes
+      // its target ("ReusedExchange [...], Exchange hashpartitioning")
+      val hashExchanges = plan.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning") &&
+          !l.contains("ReusedExchange"))
+      assert(hashExchanges == 2,
+        s"expected windows shuffle + partial-agg exchange, got " +
+          s"$hashExchanges:\n${plan.take(1600)}")
+      assert(plan.contains("partial_count"),
+        "the source histogram must combine map-side before its exchange")
+      assert(!plan.contains("Exchange rangepartitioning"),
+        "holdout selection gained a global sort")
+      // both rank windows ride the ONE corpus shuffle: no exchange
+      // may sit between the two Window operators
+      val firstWin = plan.indexOf("Window [row_number()")
+      val secondWin = plan.indexOf("Window [row_number()", firstWin + 1)
+      assert(firstWin >= 0 && secondWin > firstWin)
+      assert(!plan.substring(firstWin, secondWin).contains("Exchange"),
+        "the two rank windows must share one source exchange")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("t90: contrastive mining stays on band-key equi-joins, no cross product") {
     val plan = operators.Dedup.contrastivePairs(
         Tables.documents(spark, dir), "doc_id", "text")
