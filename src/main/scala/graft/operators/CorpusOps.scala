@@ -4236,6 +4236,44 @@ object CorpusOps {
           .as("dup_ppm"))
   }
 
+  /** SAMPLED inverted-index gauge —
+    * [[graft.operators.Dedup.bandIndexStatsSampled]]'s discipline over
+    * the postings store: the deterministic stride lattice
+    * (bucket % stride == 0, a partition filter), exact LOWER bounds
+    * over the sampled buckets, stride-scaled estimators, stride-1
+    * degeneracy to [[invertedIndexStats]]. Completes the sampled
+    * family across every linear-scan store gauge (band t168, winnow
+    * t170, postings t171).
+    */
+  def invertedIndexStatsSampled(spark: org.apache.spark.sql.SparkSession,
+      path: String, k: Int, buckets: Int = IndexBuckets): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val stride = math.max(1L, (buckets / math.max(k, 1)).toLong)
+    val sampleSize = (buckets - 1) / stride + 1
+    val rows = spark.read.schema(PostingsSchema).parquet(s"$path/postings")
+      .filter(col("bucket") % stride === 0L)
+    val perBucket = rows.groupBy("bucket").agg(count(lit(1)).as("cnt"))
+    val dist = rows.select("term", "doc_id").distinct()
+      .agg(count(lit(1)).as("n_distinct_sampled"))
+    perBucket
+      .agg(sum("cnt").as("n_rows_sampled"),
+        count(lit(1)).as("n_buckets_sampled"),
+        max("cnt").as("max_bucket_lb"))
+      .crossJoin(broadcast(dist))
+      .select(lit(buckets.toLong).as("buckets"), lit(stride).as("stride"),
+        col("n_buckets_sampled"), col("n_rows_sampled"),
+        col("n_distinct_sampled"), col("max_bucket_lb"),
+        expr(s"(n_rows_sampled * ${buckets}L) div ${sampleSize}L")
+          .as("est_rows"),
+        expr(s"(max_bucket_lb * ${buckets}L * 1000000L) div " +
+          s"greatest((n_rows_sampled * ${buckets}L) div ${sampleSize}L, 1)")
+          .as("est_skew_x1e6"),
+        (col("n_rows_sampled") - col("n_distinct_sampled"))
+          .as("dup_rows_lb"),
+        expr("((n_rows_sampled - n_distinct_sampled) * 1000000) div " +
+          "greatest(n_rows_sampled, 1)").as("est_dup_ppm"))
+  }
+
   /** Build a persisted, TERM-BUCKETED inverted index under `path`:
     * `postings` (term, doc_id, dl, tf) written
     * `partitionBy(bucket = pmod(fnv64(term), buckets))` plus a 1-row

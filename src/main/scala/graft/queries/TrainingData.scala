@@ -2439,6 +2439,20 @@ object TrainingData {
     CorpusOps.invertedIndexStats(spark, path)
   }
 
+  /** Sampled inverted-index gauge
+    * ([[CorpusOps.invertedIndexStatsSampled]]) over the SAME t66/t167
+    * postings store (session memo), at the fixed 16-bucket budget —
+    * completes the sampled family across every linear-scan store
+    * gauge (band t168, winnow t170, postings t171).
+    */
+  def docInvIndexStatsSampled(spark: SparkSession, dir: String): DataFrame = {
+    val path = sessionIndexPath(spark, "t66_invidx", dir) { p =>
+      CorpusOps.buildInvertedIndex(Tables.documents(spark, dir), "doc_id",
+        "text", p)
+    }
+    CorpusOps.invertedIndexStatsSampled(spark, path, k = 16)
+  }
+
   /** Quantile-map staleness gauge ([[CorpusOps.quantileMapDrift]])
     * over the SAME t152 store (shared memo): the exact KS distance in
     * ppm between the frozen reference CDF and a deterministically
@@ -2746,6 +2760,7 @@ object TrainingData {
     "t168_band_stats_sampled" -> docBandStatsSampled _,
     "t169_holdout_refresh" -> docHoldoutRefresh _,
     "t170_winnow_stats_sampled" -> docWinnowStatsSampled _,
+    "t171_invidx_stats_sampled" -> docInvIndexStatsSampled _,
   )
 
 
@@ -8292,6 +8307,53 @@ object TrainingData {
           |  (bullet_lines * 10 <= n_lines * 9)
           |    AND (ellipsis_lines * 10 <= n_lines * 3) AS keep
           |FROM g ORDER BY gid""".stripMargin,
+      // t171: the t167 replay restricted to the stride-4 bucket
+      // lattice, then the sampled gauge's exact lower bounds and
+      // stride-scaled estimators (one-shot store → dup mass 0)
+      "t171_invidx_stats_sampled" -> {
+        val fnv = "list_reduce(list_prepend(" +
+          "CAST(14695981039346656037 AS HUGEINT), " +
+          "list_transform(string_split(term, ''), " +
+          "ch -> CAST(unicode(ch) AS HUGEINT))), " +
+          "(h, b) -> (CAST(xor(CAST(h AS UBIGINT), CAST(b AS UBIGINT)) " +
+          "AS HUGEINT) * 1099511628211) % 18446744073709551616)"
+        s"""WITH p AS (
+           |  SELECT term, doc_id FROM (
+           |    SELECT doc_id,
+           |      unnest(${graft.functions.TextFunctions.Sql.tokens("text")})
+           |        AS term
+           |    FROM documents)
+           |  GROUP BY term, doc_id
+           |), bk AS (
+           |  SELECT term, doc_id, CAST($fnv % 64 AS BIGINT) AS bucket
+           |  FROM p
+           |), sampled AS (
+           |  SELECT * FROM bk WHERE bucket % 4 = 0
+           |), pb AS (
+           |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+           |  FROM sampled GROUP BY 1
+           |), dct AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct_sampled
+           |  FROM (SELECT DISTINCT term, doc_id FROM sampled)
+           |), a AS (
+           |  SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows_sampled,
+           |    CAST(COUNT(*) AS BIGINT) AS n_buckets_sampled,
+           |    CAST(MAX(cnt) AS BIGINT) AS max_bucket_lb
+           |  FROM pb
+           |)
+           |SELECT CAST(64 AS BIGINT) AS buckets,
+           |  CAST(4 AS BIGINT) AS stride,
+           |  n_buckets_sampled, n_rows_sampled, n_distinct_sampled,
+           |  max_bucket_lb,
+           |  (n_rows_sampled * 64) // 16 AS est_rows,
+           |  (max_bucket_lb * 64 * 1000000)
+           |    // GREATEST((n_rows_sampled * 64) // 16, 1)
+           |    AS est_skew_x1e6,
+           |  n_rows_sampled - n_distinct_sampled AS dup_rows_lb,
+           |  ((n_rows_sampled - n_distinct_sampled) * 1000000)
+           |    // GREATEST(n_rows_sampled, 1) AS est_dup_ppm
+           |FROM a, dct""".stripMargin
+      },
       // t167: per-(term, doc) postings re-derived, bucketed by the
       // FNV-1a fold replayed in HUGEINT mod-2^64 steps (signed-long
       // bucket == unsigned residue % 64 because 2^64 ≡ 0 mod 64);
