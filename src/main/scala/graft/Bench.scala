@@ -167,6 +167,13 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] summary file write failed: ${e.getMessage}")
     }
+    // the LAST stdout line is a COMPACT summary (no per-query map) so
+    // the driver's bounded tail parse always lands a complete JSON
+    // object: totals, normalizations and spread in < 500 chars; the
+    // full per-query map stays in the line above and in the summary
+    // file
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_scale_headline":$headline%.3f,"canary_s":$canaryJson,"canary_basket_s":$basketJson,"total_over_canary":$totalScanJson,"headline_over_canary":$headlineScanJson,"total_over_basket":$totalBasketJson,"headline_over_basket":$headlineBasketJson,"reps":$reps,"reps_spread":$repsSpread%.3f,"n_queries":${results.size},"queries_full":"BENCH_SUMMARY.json","sf":"$sfDir"}"""
+    println(compact)
     spark.stop()
   }
 }

@@ -68,10 +68,15 @@ final class UnitTestRunner(spark: SparkSession, project: Project,
       s"unit-test input must be ref(...), source(...), or this: $t")
   }
 
-  /** One scalar fixture literal as SQL text (pre-cast). */
+  /** One scalar fixture literal as SQL text (pre-cast). Empty
+    * strings stay empty-string literals: dbt's empty-cell→NULL rule
+    * applies only to csv-format fixtures, and the loader already
+    * nulls those cells at parse time (ProjectLoader.utRows) — a
+    * dict-format `{val: ''}` must reach the model as `''`, or a
+    * model distinguishing `''` from NULL could never be unit-tested.
+    */
   private def sqlLit(v: Any): String = v match {
     case null => "NULL"
-    case "" => "NULL" // csv-format empty cell
     case b: Boolean => b.toString
     case n @ (_: Int | _: Long | _: Double | _: Float |
               _: java.math.BigDecimal | _: BigDecimal) => n.toString

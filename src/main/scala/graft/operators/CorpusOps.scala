@@ -1023,6 +1023,61 @@ object CorpusOps {
       .agg(max("d").as("ks_ppm"))
   }
 
+  /** PER-SOURCE quality-drift gauge (t172) — [[quantileMapDrift]]'s
+    * KS discipline applied to the classifier plane's real failure
+    * mode: a corpus-level ks_ppm can stay green while ONE source's
+    * score distribution walks away from the calibration store (a
+    * crawl snapshot changes, one feed rots), and every
+    * [[percentileFromMap]] transform of that source mis-calibrates.
+    * One row per batch source: the exact Kolmogorov–Smirnov distance
+    * (ppm) between the frozen reference CDF and that source's
+    * current score CDF, over the union of jump points — rising
+    * ks_ppm on a source is the [[refitQuantileMap]] /
+    * drop-the-source trigger, closing the scoring→refit loop per
+    * source the way t164 closed it per corpus.
+    *
+    * Scale shape: the batch compresses to a (source, score)
+    * histogram (map-side combinable); the reference histogram
+    * BROADCASTS under a cross join with the |sources|-row relation
+    * (histogram × sources, never corpus-shaped); the merge is a
+    * union + re-group — no outer join, so NULL sources form their
+    * own group in both engines by GROUP BY semantics alone; both
+    * CDFs per source ride ONE source-partitioned
+    * [[Prefix.shardedCum]] pass; totals join back null-safely
+    * (`<=>`) over |sources| rows.
+    */
+  def quantileMapDriftBySource(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, scoreCol: String,
+      sourceCol: String): DataFrame = {
+    quantileMapMeta(spark, path, scoreCol)
+    val ref = spark.read.schema("score BIGINT, cnt BIGINT")
+      .parquet(s"$path/hist")
+      .groupBy("score").agg(sum("cnt").as("rc"))
+      .localCheckpoint() // histogram-sized; re-read per source via broadcast
+    val cur = batch.select(col(sourceCol).as("source"),
+        col(scoreCol).cast("long").as("score"))
+      .groupBy("source", "score").agg(count(lit(1)).as("cc"))
+      .localCheckpoint() // (source, score)-histogram-sized, two consumers
+    val sources = cur.select("source").distinct()
+    val merged = sources.crossJoin(broadcast(ref))
+      .select(col("source"), col("score"), col("rc"), lit(0L).as("cc"))
+      .unionByName(cur.select(col("source"), col("score"),
+        lit(0L).as("rc"), col("cc")))
+      .groupBy("source", "score")
+      .agg(sum("rc").as("rc"), sum("cc").as("cc"))
+      .localCheckpoint() // jump-point relation, consumed by cum + totals
+    val tot = merged.groupBy("source").agg(sum("rc").as("n_ref"),
+      sum("cc").as("n_cur"), count(lit(1)).as("n_scores"))
+    val cum = Prefix.shardedCum(merged, "score",
+      Seq("rc" -> "crf", "cc" -> "ccf"), partCols = Seq("source"))
+    cum.join(broadcast(tot), cum("source") <=> tot("source"))
+      .select(cum("source"), col("n_ref"), col("n_cur"), col("n_scores"),
+        abs(expr("(crf * 1000000) div greatest(n_ref, 1)") -
+          expr("(ccf * 1000000) div greatest(n_cur, 1)")).as("d"))
+      .groupBy("source", "n_ref", "n_cur", "n_scores")
+      .agg(max("d").as("ks_ppm"))
+  }
+
   /** Percentile-transform a batch against the FROZEN reference map:
     * (id, score, ref_cum, pct_ppm) per batch row. See the lifecycle
     * scaladoc for the shape argument.
@@ -3762,8 +3817,11 @@ object CorpusOps {
     // in the plan — exchange REUSE can't carry this instead, because
     // column pruning gives the histogram branch a narrower exchange
     // child and canonical equality breaks, re-running the scan). The
-    // isNotNull filter mirrors the alloc equi-join both engines
-    // already drop NULL sources at.
+    // isNotNull filter defines the ELIGIBLE POPULATION — NULL-source
+    // docs never hold seats — and the t169 oracle's elig CTE applies
+    // the same predicate, so both engines compute the Hamilton
+    // totals over the identical population (a filter on only one
+    // side would shift every quota on a corpus with NULL sources).
     val eligible =
       docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source"))
         .filter(col("source").isNotNull)
@@ -4179,6 +4237,31 @@ object CorpusOps {
     java.lang.Math.floorMod(
       graft.functions.Fnv64.eval(term.getBytes("UTF-8")), buckets.toLong)
 
+  /** Bucket count of a persisted index, from its build-frozen `conf`
+    * relation. `conf` is written by [[buildInvertedIndex]] and
+    * [[rebucketInvertedIndex]] ONLY — appends never touch it, so the
+    * meta-swap crash window ([[repairInvertedIndexMeta]]'s reason to
+    * exist) can never lose the layout, and every reader (search,
+    * phrase, append, both gauges) prunes and estimates with the
+    * count the store was actually laid out with — a caller-supplied
+    * count that disagreed with the layout would silently miss
+    * postings. A legacy index without `conf` reads as the historical
+    * default (64 — the only count any pre-conf build ever used).
+    */
+  def invertedIndexBuckets(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/conf")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) IndexBuckets
+    else spark.read.parquet(p.toString).collect().head
+      .getAs[Int]("buckets")
+  }
+
+  private def writeIndexConf(spark: org.apache.spark.sql.SparkSession,
+      path: String, buckets: Int): Unit =
+    spark.range(1).select(lit(buckets).as("buckets"))
+      .write.mode("overwrite").parquet(s"$path/conf")
+
   /** Read-back schema for the postings relation — the bucket id lives
     * in the directory name and partition-value inference would type
     * it INT; LONG keeps it aligned with the Spark-side pmod.
@@ -4194,16 +4277,18 @@ object CorpusOps {
     * [[buildInvertedIndex]] and [[appendToInvertedIndex]] so the two
     * write byte-compatible rows.
     */
-  private def postingsOf(docs: DataFrame, idCol: String, textCol: String,
-      buckets: Int): DataFrame =
+  private def postingsRows(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
         TextFunctions.nTokens(col(textCol)).as("dl"),
         posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "term")))
       .groupBy("term", "doc_id", "dl")
       .agg(count(lit(1)).as("tf"),
         sort_array(collect_list(col("pos").cast("long"))).as("positions"))
-      .withColumn("bucket",
-        pmod(call_function("fnv64", col("term")), lit(buckets.toLong)))
+
+  private def withTermBucket(rows: DataFrame, buckets: Int): DataFrame =
+    rows.withColumn("bucket",
+      pmod(call_function("fnv64", col("term")), lit(buckets.toLong)))
 
   /** Inverted-index health gauge — the retrieval member of the gauge
     * family: the postings store's bucket-fill skew (hot TERMS pile
@@ -4217,7 +4302,8 @@ object CorpusOps {
     * Same one-row contract as the other gauges.
     */
   def invertedIndexStats(spark: org.apache.spark.sql.SparkSession,
-      path: String, buckets: Int = IndexBuckets): DataFrame = {
+      path: String): DataFrame = {
+    val buckets = invertedIndexBuckets(spark, path)
     val rows = spark.read.schema(PostingsSchema).parquet(s"$path/postings")
     val perBucket = rows.groupBy("bucket").agg(count(lit(1)).as("cnt"))
     val dist = rows.select("term", "doc_id").distinct()
@@ -4243,11 +4329,15 @@ object CorpusOps {
     * over the sampled buckets, stride-scaled estimators, stride-1
     * degeneracy to [[invertedIndexStats]]. Completes the sampled
     * family across every linear-scan store gauge (band t168, winnow
-    * t170, postings t171).
+    * t170, postings t171). Like the band/winnow gauges, the bucket
+    * count comes from the STORE (the `conf` relation), never the
+    * caller — a supplied count that disagreed with the layout would
+    * silently skew the stride lattice and every estimator.
     */
   def invertedIndexStatsSampled(spark: org.apache.spark.sql.SparkSession,
-      path: String, k: Int, buckets: Int = IndexBuckets): DataFrame = {
+      path: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")
+    val buckets = invertedIndexBuckets(spark, path)
     val stride = math.max(1L, (buckets / math.max(k, 1)).toLong)
     val sampleSize = (buckets - 1) / stride + 1
     val rows = spark.read.schema(PostingsSchema).parquet(s"$path/postings")
@@ -4276,8 +4366,9 @@ object CorpusOps {
 
   /** Build a persisted, TERM-BUCKETED inverted index under `path`:
     * `postings` (term, doc_id, dl, tf) written
-    * `partitionBy(bucket = pmod(fnv64(term), buckets))` plus a 1-row
-    * `meta` (n_docs, total_tokens). LAYOUT IS THE INDEX, the same
+    * `partitionBy(bucket = pmod(fnv64(term), buckets))`, a 1-row
+    * `meta` (n_docs, total_tokens), and a 1-row build-frozen `conf`
+    * (buckets). LAYOUT IS THE INDEX, the same
     * discipline as the cell-partitioned IVF-PQ store: a query's terms
     * determine their buckets by pure arithmetic, so a search reads
     * ONLY the touched buckets' posting files — at 100 TB the corpus
@@ -4290,16 +4381,33 @@ object CorpusOps {
     * with map-side combine, one `repartition(bucket)` clustering
     * write (a bucket's rows land in few files). Nothing here is
     * query-dependent — the index serves ANY term set.
+    *
+    * `buckets = 0` (the default) AUTO-SIZES the layout from the
+    * corpus: the postings relation is pinned and its exact row count
+    * picks [[graft.operators.Dedup.autoBuckets]] against the
+    * per-bucket row budget. The chosen count is FROZEN in the
+    * store's `conf` relation — every later reader prunes with it,
+    * so a store and its probes can never disagree on the modulus.
     */
   def buildInvertedIndex(docs: DataFrame, idCol: String, textCol: String,
-      path: String, buckets: Int = IndexBuckets): Unit = {
-    require(buckets > 0)
-    GraftFunctions.register(docs.sparkSession)
+      path: String, buckets: Int = 0,
+      rowsPerBucket: Long = Dedup.DefaultRowsPerBucket): Unit = {
+    require(buckets >= 0)
+    val spark = docs.sparkSession
+    GraftFunctions.register(spark)
+    val rows0 = postingsRows(docs, idCol, textCol)
+    val (rows, b) =
+      if (buckets > 0) (rows0, buckets)
+      else {
+        val pinned = rows0.localCheckpoint()
+        (pinned, Dedup.autoBuckets(pinned.count(), rowsPerBucket))
+      }
+    writeIndexConf(spark, path, b)
     docs.select(col(idCol).as("doc_id"),
         TextFunctions.nTokens(col(textCol)).as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_tokens"))
       .write.mode("overwrite").parquet(s"$path/meta")
-    postingsOf(docs, idCol, textCol, buckets)
+    withTermBucket(rows, b)
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
   }
@@ -4323,9 +4431,9 @@ object CorpusOps {
     * the usual map-side-combinable aggregate + rank-pushdown window.
     */
   def phraseSearch(spark: org.apache.spark.sql.SparkSession, path: String,
-      phrases: Seq[(Long, String)], k: Int,
-      buckets: Int = IndexBuckets): DataFrame = {
+      phrases: Seq[(Long, String)], k: Int): DataFrame = {
     import spark.implicits._
+    val buckets = invertedIndexBuckets(spark, path)
     val qphr = phrases.toDF("query_id", "qtext")
       .select(col("query_id"),
         posexplode(TextFunctions.tokens(col("qtext"))).as(Seq("j", "term")))
@@ -4393,9 +4501,18 @@ object CorpusOps {
     */
   def appendToInvertedIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, batch: DataFrame, idCol: String, textCol: String,
-      buckets: Int = IndexBuckets): Unit = {
+      autoRebucket: Boolean = true,
+      rowsPerBucket: Long = Dedup.DefaultRowsPerBucket): Unit = {
     GraftFunctions.register(spark)
-    postingsOf(batch, idCol, textCol, buckets)
+    val buckets = invertedIndexBuckets(spark, path)
+    // cold start (streaming ingestion's first micro-batch): freeze
+    // the layout the first batch appends under, so every later
+    // append/search/gauge prunes with the same modulus
+    val confPath = new org.apache.hadoop.fs.Path(s"$path/conf")
+    if (!confPath.getFileSystem(spark.sessionState.newHadoopConf())
+        .exists(confPath))
+      writeIndexConf(spark, path, buckets)
+    withTermBucket(postingsRows(batch, idCol, textCol), buckets)
       .repartition(col("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
     val batchStats = batch.select(col(idCol).as("doc_id"),
@@ -4424,6 +4541,71 @@ object CorpusOps {
     merged.write.mode("overwrite").parquet(stage.toString)
     graft.core.FsOps.deleteOrThrow(fs, metaPath)
     graft.core.FsOps.renameOrThrow(fs, stage, metaPath)
+    // detect→remediate, closed in the lifecycle op: a fixed-budget
+    // sampled gauge read, and a whole-store re-bucket only when the
+    // hottest sampled bucket exceeds the per-bucket row budget
+    if (autoRebucket) autoRebucketInvertedIndex(spark, path, rowsPerBucket)
+  }
+
+  /** Re-bucket a persisted inverted index — the remediation the
+    * postings gauge's alarm calls for, completing the family
+    * ([[graft.operators.Dedup.rebucketBandIndex]] /
+    * `rebucketWinnowIndex` got theirs in round 13). The WHOLE store
+    * (conf + meta + postings, re-laid-out under the new modulus) is
+    * rebuilt under `path__staging` and swapped in as ONE rename pair,
+    * so the layout and its `conf` can never disagree. Posting ROWS
+    * are preserved VERBATIM — no distinct: duplicated (term, doc)
+    * rows are a correctness ALARM here (BM25 consumes tf per row;
+    * the gauge's dup_ppm is how an operator finds a replayed
+    * ingest), and a re-layout must never silently change scores.
+    */
+  def rebucketInvertedIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, newBuckets: Int): Unit = {
+    require(newBuckets > 0)
+    GraftFunctions.register(spark)
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    graft.core.FsOps.recoverRetired(fs, dir)
+    val staging = s"${path}__staging"
+    spark.range(1).select(lit(newBuckets).as("buckets"))
+      .write.mode("overwrite").parquet(s"$staging/conf")
+    spark.read.parquet(s"$path/meta")
+      .write.mode("overwrite").parquet(s"$staging/meta")
+    spark.read.schema(PostingsSchema).parquet(s"$path/postings")
+      .drop("bucket")
+      .withColumn("bucket",
+        pmod(call_function("fnv64", col("term")), lit(newBuckets.toLong)))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$staging/postings")
+    graft.core.FsOps.swapInDir(fs, dir,
+      new org.apache.hadoop.fs.Path(staging))
+  }
+
+  /** Gauge-triggered re-bucket of a persisted inverted index — the
+    * [[graft.operators.Dedup.autoRebucketBandIndex]] policy over the
+    * postings gauge: fixed-budget sampled read, per-bucket row
+    * budget as the trigger, re-bucket to at least a doubling.
+    * Retrieval results are bucket-count-invariant (per-term df is
+    * exact in any layout — a term's postings all live in its one
+    * bucket), so the trigger is pure COST policy.
+    */
+  def autoRebucketInvertedIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, rowsPerBucket: Long = Dedup.DefaultRowsPerBucket,
+      gaugeK: Int = 8): Boolean = {
+    val r = invertedIndexStatsSampled(spark, path, gaugeK).collect().head
+    val maxLb = Dedup.nullSafeLong(r, "max_bucket_lb")
+    val buckets = Dedup.nullSafeLong(r, "buckets")
+    if (maxLb <= rowsPerBucket ||
+        buckets >= Dedup.MaxStoreBuckets.toLong) false
+    else {
+      val target = math.min(Dedup.MaxStoreBuckets.toLong, math.max(
+        Dedup.autoBuckets(Dedup.nullSafeLong(r, "est_rows"),
+          rowsPerBucket).toLong,
+        buckets * 2)).toInt
+      rebucketInvertedIndex(spark, path, target)
+      true
+    }
   }
 
   /** Rebuild a persisted index's `meta` row from its postings — the
@@ -4460,7 +4642,8 @@ object CorpusOps {
     */
   def searchInvertedIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, queries: Seq[(Long, String)], k1: Double, b: Double,
-      k: Int, buckets: Int = IndexBuckets): DataFrame = {
+      k: Int): DataFrame = {
+    val buckets = invertedIndexBuckets(spark, path)
     val qterms = queryTerms(spark, queries)
     // the bucket list derives from the SAME Spark tokenization the
     // scorer uses (collected — it is query-sized driver data anyway):

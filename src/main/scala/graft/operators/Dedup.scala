@@ -920,6 +920,42 @@ object Dedup {
     */
   val WinnowBuckets = 64
 
+  /** Per-bucket row budget for AUTO-SIZED persisted stores (band /
+    * winnow / postings): ~4.2M rows ≈ 256 MB at the ~64 B/row these
+    * stores carry — big enough that per-bucket DATA, not file count,
+    * dominates a probe (the SCALING.md round-14 deployment rule), and
+    * big enough that every oracle-checked test corpus still sizes to
+    * the historical 64-bucket default, keeping the DuckDB replays
+    * (`% 64` bucket arithmetic) exact.
+    */
+  val DefaultRowsPerBucket: Long = 4L << 20
+
+  /** Hard cap on auto-chosen bucket counts — a pathological single
+    * hot KEY cannot be split by more buckets, so growth must stop
+    * somewhere a directory listing still tolerates.
+    */
+  val MaxStoreBuckets: Int = 1 << 20
+
+  /** Bucket count for an estimated row mass: the smallest power of
+    * two whose per-bucket share fits `rowsPerBucket`, floored at the
+    * historical default (64) and capped at [[MaxStoreBuckets]].
+    * Powers of two keep re-buckets an exact split/merge of the old
+    * layout and the directory count predictable.
+    */
+  def autoBuckets(estRows: Long,
+      rowsPerBucket: Long = DefaultRowsPerBucket): Int = {
+    require(rowsPerBucket > 0, s"rowsPerBucket must be > 0: $rowsPerBucket")
+    val rows = math.max(estRows, 0L)
+    // overflow-safe ceil-div: rows + rowsPerBucket - 1 wraps near
+    // MaxValue; and the cap applies BEFORE the pow2 step, whose shift
+    // would wrap for needs past 2^62
+    val need = math.min(MaxStoreBuckets.toLong, math.max(1L,
+      rows / rowsPerBucket + (if (rows % rowsPerBucket == 0L) 0L else 1L)))
+    val hi = java.lang.Long.highestOneBit(need)
+    val p2 = if (hi == need) need else hi << 1
+    math.min(MaxStoreBuckets.toLong, math.max(64L, p2)).toInt
+  }
+
   /** Read-back schema for the winnow fps relation — the bucket id
     * lives in the directory name and partition-value inference would
     * type it INT; LONG keeps it aligned with the Spark-side pmod.
@@ -948,18 +984,32 @@ object Dedup {
     * (fp-keyed shuffle of longs), one `repartition(fpb)` clustering
     * write. Nothing is batch-dependent — the index serves ANY
     * arrival stream, and [[ingestWinnowBatch]] grows it in place.
+    *
+    * `buckets = 0` (the default) AUTO-SIZES the layout from the
+    * corpus itself: the distinct-fp relation is pinned (it feeds the
+    * write anyway), its exact count picks [[autoBuckets]] against the
+    * per-bucket row budget — so a store built over a 100× corpus is
+    * BORN with a 100×-appropriate bucket count instead of degrading
+    * from a fixed default until someone reads a gauge.
     */
   def buildWinnowIndex(docs: DataFrame, idCol: String, textCol: String,
-      path: String, k: Int = 3, w: Int = 4,
-      buckets: Int = WinnowBuckets): Unit = {
-    require(buckets > 0)
+      path: String, k: Int = 3, w: Int = 4, buckets: Int = 0,
+      rowsPerBucket: Long = DefaultRowsPerBucket): Unit = {
+    require(buckets >= 0)
     val spark = docs.sparkSession
-    spark.range(1)
-      .select(lit(k).as("k"), lit(w).as("w"), lit(buckets).as("buckets"))
-      .write.mode("overwrite").parquet(s"$path/meta")
-    winnowFingerprints(docs, idCol, textCol, k, w)
+    val fps0 = winnowFingerprints(docs, idCol, textCol, k, w)
       .select(col("fp")).distinct()
-      .withColumn("fpb", pmod(col("fp"), lit(buckets.toLong)))
+    val (fps, b) =
+      if (buckets > 0) (fps0, buckets)
+      else {
+        val pinned = fps0.localCheckpoint()
+        (pinned, autoBuckets(pinned.count(), rowsPerBucket))
+      }
+    spark.range(1)
+      .select(lit(k).as("k"), lit(w).as("w"), lit(b).as("buckets"))
+      .write.mode("overwrite").parquet(s"$path/meta")
+    fps
+      .withColumn("fpb", pmod(col("fp"), lit(b.toLong)))
       .repartition(col("fpb"))
       .write.mode("overwrite").partitionBy("fpb").parquet(s"$path/fps")
   }
@@ -979,15 +1029,62 @@ object Dedup {
     * [[searchWinnowIndex]] counts distinct fps), it only leaves
     * duplicate rows that pad the probed buckets — [[compactWinnowIndex]]
     * is the periodic `fp distinct` rewrite that reclaims them.
+    *
+    * After the append the SAMPLED gauge (fixed k-bucket read budget)
+    * checks the per-bucket row budget and triggers
+    * [[autoRebucketWinnowIndex]] when the hottest sampled bucket
+    * exceeds it — the detect→remediate loop closed IN the lifecycle
+    * op, so a store that grew 100× under a stream of ingests re-lays
+    * itself out instead of degrading until an operator notices.
+    * `autoRebucket = false` opts a latency-critical ingest path out
+    * (run the gauge on a cadence instead).
     */
   def ingestWinnowBatch(spark: org.apache.spark.sql.SparkSession,
-      path: String, batch: DataFrame, idCol: String, textCol: String): Unit = {
+      path: String, batch: DataFrame, idCol: String, textCol: String,
+      autoRebucket: Boolean = true,
+      rowsPerBucket: Long = DefaultRowsPerBucket): Unit = {
     val (k, w, buckets) = winnowMeta(spark, path)
     winnowFingerprints(batch, idCol, textCol, k, w)
       .select(col("fp")).distinct()
       .withColumn("fpb", pmod(col("fp"), lit(buckets.toLong)))
       .repartition(col("fpb"))
       .write.mode("append").partitionBy("fpb").parquet(s"$path/fps")
+    if (autoRebucket) autoRebucketWinnowIndex(spark, path, rowsPerBucket)
+  }
+
+  /** Gauge-triggered re-bucket of a persisted winnow index: read the
+    * SAMPLED gauge (fixed read budget — k bucket partitions, never
+    * the store), and when the hottest sampled bucket (an exact LOWER
+    * bound on the true max) exceeds the per-bucket row budget,
+    * re-bucket to [[autoBuckets]] of the estimated row mass — at
+    * least a doubling, so a skew-triggered alarm still makes
+    * progress. Returns whether a re-bucket ran. Admission semantics
+    * are bucket-count-invariant (the spec pins verdict equality), so
+    * the trigger threshold is pure COST policy.
+    */
+  def autoRebucketWinnowIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, rowsPerBucket: Long = DefaultRowsPerBucket,
+      gaugeK: Int = 8): Boolean = {
+    val r = winnowIndexStatsSampled(spark, path, gaugeK).collect().head
+    val maxLb = nullSafeLong(r, "max_bucket_lb")
+    val buckets = nullSafeLong(r, "buckets")
+    if (maxLb <= rowsPerBucket || buckets >= MaxStoreBuckets.toLong) false
+    else {
+      val target = math.min(MaxStoreBuckets.toLong, math.max(
+        autoBuckets(nullSafeLong(r, "est_rows"), rowsPerBucket).toLong,
+        buckets * 2)).toInt
+      rebucketWinnowIndex(spark, path, target)
+      true
+    }
+  }
+
+  /** An aggregate over an empty sampled lattice is NULL, not 0 — the
+    * auto-rebucket triggers must read it as "no rows observed".
+    */
+  private[operators] def nullSafeLong(r: org.apache.spark.sql.Row,
+      c: String): Long = {
+    val v = r.getAs[java.lang.Long](c)
+    if (v == null) 0L else v.longValue()
   }
 
   /** Compact a persisted winnowing index: rewrite the fps relation as
@@ -1093,20 +1190,34 @@ object Dedup {
     * band-collide every tiny document with every other; the family
     * convention (t126's) is that sketch-less documents are admitted,
     * so they never enter the index or the probe.
+    *
+    * The signature relation is PINNED (localCheckpoint): the sigs and
+    * bands writes are separate ACTIONS, and a barrier's shuffle files
+    * are not shared across jobs — without the pin the 64-perm sketch
+    * pass would run once per write. The pin also makes the
+    * auto-sizing count (one aggregate over checkpointed longs) free.
+    * Bucket columns are applied by the CALLER once the bucket count
+    * is known.
     */
   private def bandIndexRows(docs: DataFrame, idCol: String,
-      textCol: String, n: Int, numPerms: Int, bands: Int,
-      buckets: Int): (DataFrame, DataFrame) = {
-    val (withSig, banded) = sigBands(
+      textCol: String, n: Int, numPerms: Int,
+      bands: Int): (DataFrame, DataFrame) = {
+    val (withSig0, _) = sigBands(
       docs.filter(size(graft.functions.TextFunctions.tokens(col(textCol)))
         >= n), idCol, textCol, n, numPerms, bands)
-    val sigs = withSig.select(col("id").as("doc_id"), col("sig"))
-      .withColumn("db", pmod(col("doc_id"), lit(buckets.toLong)))
-    val bandRows = banded.select(col("id").as("doc_id"), col("band"),
-        col("key").as("bkey"))
-      .withColumn("bb", pmod(col("bkey"), lit(buckets.toLong)))
-    (sigs, bandRows)
+    // the index never consumes shingles — drop `sh` BEFORE the pin so
+    // the checkpoint holds numPerms longs per doc, not the shingle sets
+    val withSig = withSig0.select(col("id"), col("sig")).localCheckpoint()
+    val banded = bandKeys(withSig, numPerms, bands)
+    (withSig.select(col("id").as("doc_id"), col("sig")),
+      banded.select(col("id").as("doc_id"), col("band"),
+        col("key").as("bkey")))
   }
+
+  private def bandBucketed(sigs: DataFrame, bandRows: DataFrame,
+      buckets: Int): (DataFrame, DataFrame) =
+    (sigs.withColumn("db", pmod(col("doc_id"), lit(buckets.toLong))),
+      bandRows.withColumn("bb", pmod(col("bkey"), lit(buckets.toLong))))
 
   /** Build a persisted MinHash BAND index under `path` — the
     * text-side ingestion-time near-dup store, completing the
@@ -1120,21 +1231,33 @@ object Dedup {
     * buckets) so every ingest/search sketches identically.
     *
     * Scale shape: one tokenize→shingle→signature pass (map-only, the
-    * signature loop codegen'd), two clustering writes. At rest the
-    * index is numPerms longs + bands keys per document — a fixed
-    * small multiple of ids, independent of text size.
+    * signature loop codegen'd, pinned so both relation writes read
+    * it once), two clustering writes. At rest the index is numPerms
+    * longs + bands keys per document — a fixed small multiple of
+    * ids, independent of text size.
+    *
+    * `buckets = 0` (the default) AUTO-SIZES the layout: the pinned
+    * signature count × bands is the band relation's EXACT row mass,
+    * and [[autoBuckets]] picks the bucket count against the
+    * per-bucket row budget — a store built over a 100× corpus is
+    * born with a 100×-appropriate layout.
     */
   def buildBandIndex(docs: DataFrame, idCol: String, textCol: String,
       path: String, n: Int = 3, numPerms: Int = 64, bands: Int = 16,
-      buckets: Int = BandIndexBuckets): Unit = {
-    require(buckets > 0 && numPerms % bands == 0)
+      buckets: Int = 0,
+      rowsPerBucket: Long = DefaultRowsPerBucket): Unit = {
+    require(buckets >= 0 && numPerms % bands == 0)
     val spark = docs.sparkSession
+    val (sigs0, bandRows0) =
+      bandIndexRows(docs, idCol, textCol, n, numPerms, bands)
+    val b =
+      if (buckets > 0) buckets
+      else autoBuckets(sigs0.count() * bands, rowsPerBucket)
     spark.range(1)
       .select(lit(n).as("n"), lit(numPerms).as("num_perms"),
-        lit(bands).as("bands"), lit(buckets).as("buckets"))
+        lit(bands).as("bands"), lit(b).as("buckets"))
       .write.mode("overwrite").parquet(s"$path/meta")
-    val (sigs, bandRows) =
-      bandIndexRows(docs, idCol, textCol, n, numPerms, bands, buckets)
+    val (sigs, bandRows) = bandBucketed(sigs0, bandRows0, b)
     sigs.repartition(col("db"))
       .write.mode("overwrite").partitionBy("db").parquet(s"$path/sigs")
     bandRows.repartition(col("bb"))
@@ -1153,14 +1276,41 @@ object Dedup {
     * admission semantics never change; [[compactBandIndex]] reclaims.
     */
   def ingestBandBatch(spark: org.apache.spark.sql.SparkSession,
-      path: String, batch: DataFrame, idCol: String, textCol: String): Unit = {
+      path: String, batch: DataFrame, idCol: String, textCol: String,
+      autoRebucket: Boolean = true,
+      rowsPerBucket: Long = DefaultRowsPerBucket): Unit = {
     val (n, numPerms, bands, buckets) = bandIndexMeta(spark, path)
-    val (sigs, bandRows) =
-      bandIndexRows(batch, idCol, textCol, n, numPerms, bands, buckets)
+    val (sigs0, bandRows0) =
+      bandIndexRows(batch, idCol, textCol, n, numPerms, bands)
+    val (sigs, bandRows) = bandBucketed(sigs0, bandRows0, buckets)
     sigs.repartition(col("db"))
       .write.mode("append").partitionBy("db").parquet(s"$path/sigs")
     bandRows.repartition(col("bb"))
       .write.mode("append").partitionBy("bb").parquet(s"$path/bands")
+    if (autoRebucket) autoRebucketBandIndex(spark, path, rowsPerBucket)
+  }
+
+  /** Gauge-triggered re-bucket of a persisted band index — the
+    * [[autoRebucketWinnowIndex]] policy over the band-bucket gauge:
+    * fixed-budget sampled read, per-bucket row budget as the trigger
+    * (the hottest sampled bucket is an exact lower bound), re-bucket
+    * to at least a doubling. Wired into [[ingestBandBatch]] so the
+    * detect→remediate loop needs no operator in it.
+    */
+  def autoRebucketBandIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, rowsPerBucket: Long = DefaultRowsPerBucket,
+      gaugeK: Int = 8): Boolean = {
+    val r = bandIndexStatsSampled(spark, path, gaugeK).collect().head
+    val maxLb = nullSafeLong(r, "max_bucket_lb")
+    val buckets = nullSafeLong(r, "buckets")
+    if (maxLb <= rowsPerBucket || buckets >= MaxStoreBuckets.toLong) false
+    else {
+      val target = math.min(MaxStoreBuckets.toLong, math.max(
+        autoBuckets(nullSafeLong(r, "est_rows"), rowsPerBucket).toLong,
+        buckets * 2)).toInt
+      rebucketBandIndex(spark, path, target)
+      true
+    }
   }
 
   /** Compact a persisted band index: distinct rewrite of both
@@ -1458,8 +1608,9 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession, path: String,
       batch: DataFrame, idCol: String, textCol: String): DataFrame = {
     val (n, numPerms, bands, buckets) = bandIndexMeta(spark, path)
-    val (_, bbands0) =
-      bandIndexRows(batch, idCol, textCol, n, numPerms, bands, buckets)
+    val (sigs0, bands0) =
+      bandIndexRows(batch, idCol, textCol, n, numPerms, bands)
+    val (_, bbands0) = bandBucketed(sigs0, bands0, buckets)
     barrier(bbands0, col("bkey")).localCheckpoint()
   }
 
@@ -1472,8 +1623,9 @@ object Dedup {
         .schema.fieldNames.contains("bb"),
       s"$path/bands has no bb partition column - the index predates " +
         "the bucketed layout; rebuild it with buildBandIndex")
-    val (bsigs0, bbands0) =
-      bandIndexRows(batch, idCol, textCol, n, numPerms, bands, buckets)
+    val (bsigsRaw, bbandsRaw) =
+      bandIndexRows(batch, idCol, textCol, n, numPerms, bands)
+    val (bsigs0, bbands0) = bandBucketed(bsigsRaw, bbandsRaw, buckets)
     val bsigs = barrier(bsigs0, col("doc_id")).localCheckpoint()
     val bbands = barrier(bbands0, col("bkey")).localCheckpoint()
     // pinned: the candidate relation feeds the probed-sig-bucket fold

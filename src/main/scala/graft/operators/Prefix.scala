@@ -32,7 +32,9 @@ object Prefix {
     *
     * Contract — the caller guarantees:
     *  - `hist` is unique on (`partCols`, `keyCol`) (it is a grouped
-    *    histogram), `keyCol` is an integral type, and the key RANGE
+    *    histogram), `keyCol` is an integral type and NON-NULL (a
+    *    null key raises at runtime — see the bucketed guard), and
+    *    the key RANGE
     *    fits a Long with `targetBuckets` headroom (max − min <
     *    2⁶³ − targetBuckets);
     *  - every summed column is a non-negative Long (counts), so the
@@ -64,11 +66,21 @@ object Prefix {
     // both the within-bucket windows and the bucket-totals rollup, and
     // AQE must not coalesce a few MB of histogram into one task ahead
     // of the window (the Dedup.barrier rationale)
+    // NULL keys fail LOUDLY instead of silently vanishing: the
+    // unpartitioned window this helper replaces ordered NULLs first
+    // and INCLUDED them, so a silent drop here would leave cumulative
+    // counts that never reach the separately-computed totals (n_ref /
+    // n_tot in the quantile callers) and shift every KS/target
+    // downstream. Callers histogram on cast("long") keys — an
+    // unparseable score must surface as an error, not a CDF gap.
     val bucketed = Dedup.barrier(
       hist.crossJoin(broadcast(bounds))
         .withColumn("__pfx_bkt",
-          expr(s"(`$keyCol` - __pfx_mn) div __pfx_span"))
-        .filter(col("__pfx_bkt").isNotNull),
+          when(col(keyCol).isNull, raise_error(lit(
+            s"shardedCum: NULL key in `$keyCol` - the histogram must " +
+              "pre-aggregate or exclude the null group explicitly"))
+            .cast("long"))
+          .otherwise(expr(s"(`$keyCol` - __pfx_mn) div __pfx_span"))),
       pc :+ col("__pfx_bkt"): _*)
     val wIn = Window.partitionBy(pc :+ col("__pfx_bkt"): _*)
       .orderBy(col(keyCol))

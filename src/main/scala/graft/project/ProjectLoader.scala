@@ -352,9 +352,21 @@ object ProjectLoader {
     * header+rows string whose values stay strings — the runner casts
     * them against the input relation's real schema, dbt's own
     * type-derivation rule (no quoted-comma support; fixture rows are
-    * hand-written scalars).
+    * hand-written scalars). Per dbt's csv rule an EMPTY csv cell is
+    * NULL (a dict-format `''` stays an empty string — the runner
+    * never re-applies the rule).
+    *
+    * Unsupported-but-valid-dbt forms FAIL LOUDLY instead of parsing
+    * to zero rows: a `fixture:` file reference, `format: sql`, or a
+    * malformed `rows:` payload would otherwise materialize an EMPTY
+    * mock input, and a test with `expect: rows: []` would silently
+    * PASS against inputs it never saw — the one failure mode a test
+    * framework must not have.
     */
-  private def utRows(body: Map[String, Any]): Seq[Map[String, Any]] =
+  private def utRows(body: Map[String, Any]): Seq[Map[String, Any]] = {
+    require(!body.contains("fixture"),
+      "unit-test `fixture:` file references are not supported - " +
+        "inline the rows with `rows:` (format: dict or csv)")
     body.getOrElse("format", "dict").toString match {
       case "csv" =>
         body.get("rows") match {
@@ -364,14 +376,27 @@ object ProjectLoader {
             else {
               val hdr = lines.head.split(",").map(_.trim).toSeq
               lines.tail.map(l =>
-                hdr.zip(l.split(",", -1).map(_.trim).toSeq)
+                hdr.zip(l.split(",", -1).map(_.trim).toSeq
+                    .map(v => if (v.isEmpty) null else v))
                   .toMap[String, Any])
             }
-          case _ => Nil
+          case None => Nil
+          case Some(other) => throw new IllegalArgumentException(
+            "unit-test csv-format `rows:` must be a header+rows string, " +
+              s"got ${other.getClass.getSimpleName}")
         }
-      case _ => asSeqMap(body.getOrElse("rows", Nil))
-        .map(_.toMap[String, Any])
+      case "dict" =>
+        body.getOrElse("rows", Nil) match {
+          case s: Seq[_] => asSeqMap(s).map(_.toMap[String, Any])
+          case other => throw new IllegalArgumentException(
+            "unit-test dict-format `rows:` must be a list of maps, " +
+              s"got ${other.getClass.getSimpleName}")
+        }
+      case other => throw new IllegalArgumentException(
+        s"unsupported unit-test fixture format: $other " +
+          "(supported: dict, csv)")
     }
+  }
 
   private def asSeqAny(v: Any): Seq[String] = v match {
     case s: Seq[_] => s.map(_.toString)

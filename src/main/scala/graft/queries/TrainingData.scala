@@ -2473,6 +2473,27 @@ object TrainingData {
         (col("n_chars") + col("doc_id") % 7).as("n_chars")), "n_chars")
   }
 
+  /** Per-source quality drift (t172,
+    * [[CorpusOps.quantileMapDriftBySource]]): the t164 KS gauge
+    * split by source against the SAME calibration store (the
+    * t152/t164 session memo), with the same deterministically
+    * perturbed batch — the per-source verdict an operator acts on
+    * when one feed drifts while the corpus stays green.
+    */
+  def docSourceQualityDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val path = sessionIndexPath(spark, "t152_qmap", dir) { p =>
+      CorpusOps.fitQuantileMap(docs.filter(col("doc_id") % 3 === 0),
+        "n_chars", p)
+      CorpusOps.ingestQuantileBatch(spark, p,
+        docs.filter(col("doc_id") % 3 =!= 0), "n_chars")
+    }
+    CorpusOps.quantileMapDriftBySource(spark, path,
+      docs.select(col("source"),
+        (col("n_chars") + col("doc_id") % 7).as("n_chars")),
+      "n_chars", "source")
+  }
+
   /** Band-store health gauge ([[Dedup.bandIndexStats]]) over the SAME
     * persisted index t143 searches (shared memo — whichever query
     * runs first builds the one artifact): bucket fill, hottest-bucket
@@ -2761,6 +2782,7 @@ object TrainingData {
     "t169_holdout_refresh" -> docHoldoutRefresh _,
     "t170_winnow_stats_sampled" -> docWinnowStatsSampled _,
     "t171_invidx_stats_sampled" -> docInvIndexStatsSampled _,
+    "t172_source_quality_drift" -> docSourceQualityDrift _,
   )
 
 
@@ -8201,8 +8223,13 @@ object TrainingData {
            |  SELECT DISTINCT id_a AS doc_id FROM pairs
            |  UNION SELECT DISTINCT id_b AS doc_id FROM pairs
            |), elig AS (
+           |  -- NULL sources leave the population HERE, matching the
+           |  -- Spark side's eligibility filter: DuckDB's GROUP BY
+           |  -- keeps a NULL group, so without this the Hamilton
+           |  -- totals (n, leftover) would be computed over a
+           |  -- population the engine never allocates from
            |  SELECT d.doc_id, d.source FROM documents d
-           |  WHERE NOT EXISTS (
+           |  WHERE d.source IS NOT NULL AND NOT EXISTS (
            |    SELECT 1 FROM members m WHERE m.doc_id = d.doc_id)
            |), hist AS (
            |  SELECT source, COUNT(*) AS n_eligible FROM elig GROUP BY 1
@@ -8529,6 +8556,48 @@ object TrainingData {
           |     - (ccf * 1000000) // GREATEST(t.n_cur, 1))) AS BIGINT)
           |   FROM cum) AS ks_ppm
           |FROM t""".stripMargin,
+      // t172: t164's KS replay split by source — every batch source
+      // gets ALL reference jump points (cross join, then union +
+      // re-group, the engine's merge), its own CDF pair, and one MAX;
+      // every floor is the same single integer division
+      "t172_source_quality_drift" ->
+        """WITH ref0 AS (
+          |  SELECT CAST(n_chars AS BIGINT) AS score,
+          |    CAST(COUNT(*) AS BIGINT) AS rc
+          |  FROM documents GROUP BY 1
+          |), cur0 AS (
+          |  SELECT source, CAST(n_chars + doc_id % 7 AS BIGINT) AS score,
+          |    CAST(COUNT(*) AS BIGINT) AS cc
+          |  FROM documents GROUP BY 1, 2
+          |), srcs AS (
+          |  SELECT DISTINCT source FROM cur0
+          |), m AS (
+          |  SELECT source, score,
+          |    CAST(SUM(rc) AS BIGINT) AS rc, CAST(SUM(cc) AS BIGINT) AS cc
+          |  FROM (
+          |    SELECT s.source, r.score, r.rc, 0 AS cc
+          |    FROM srcs s CROSS JOIN ref0 r
+          |    UNION ALL
+          |    SELECT source, score, 0 AS rc, cc FROM cur0
+          |  ) GROUP BY 1, 2
+          |), cum AS (
+          |  SELECT source, score,
+          |    SUM(rc) OVER w AS crf, SUM(cc) OVER w AS ccf
+          |  FROM m
+          |  WINDOW w AS (PARTITION BY source ORDER BY score
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |), t AS (
+          |  SELECT source, CAST(SUM(rc) AS BIGINT) AS n_ref,
+          |    CAST(SUM(cc) AS BIGINT) AS n_cur,
+          |    CAST(COUNT(*) AS BIGINT) AS n_scores
+          |  FROM m GROUP BY 1
+          |)
+          |SELECT t.source, n_ref, n_cur, n_scores,
+          |  CAST(MAX(ABS((crf * 1000000) // GREATEST(n_ref, 1)
+          |    - (ccf * 1000000) // GREATEST(n_cur, 1))) AS BIGINT)
+          |    AS ks_ppm
+          |FROM cum c JOIN t ON c.source IS NOT DISTINCT FROM t.source
+          |GROUP BY 1, 2, 3, 4""".stripMargin,
       // t163: the 2-D water-filling replayed in exact integer
       // arithmetic — stopword-ppm bins, bin-descending cumulative
       // token mass per source, budget = src_tokens // ((srcN % 4)+2),

@@ -14,9 +14,15 @@ import graft.exec.ModelExecutor
   * connect). This implements the protocol subset that serves a query
   * tool, from scratch on a loopback socket — no dependencies:
   *
-  *  - Connection phase: HandshakeV10 greeting → client response →
-  *    OK. Credentials are accepted unconditionally, matching the
-  *    reference's "no auth" posture (`sql/proxy.py:2`).
+  *  - Connection phase: HandshakeV10 greeting (per-connection random
+  *    nonce) → client response → OK/ERR. With no user map configured
+  *    credentials are accepted unconditionally, matching the
+  *    reference's default "no auth" posture (`sql/proxy.py:2`); with
+  *    a user map the client's `mysql_native_password` scramble is
+  *    verified (challenge-response — the password never rides the
+  *    wire) and everything else gets the real server's
+  *    ER_ACCESS_DENIED_ERROR, mirroring the reference's pluggable
+  *    IdentityProvider (`sql/proxy.py:174-179`).
   *  - Command phase: COM_QUERY through the SAME pipeline as the HTTP
   *    face — [[CommentMiddleware]] interception first (comment
   *    statements answer OK with zero rows), then Jinja-compile +
@@ -49,8 +55,9 @@ import graft.exec.ModelExecutor
   *    the first real query; mysql-mimic gets these from sqlglot's
   *    system-variable layer).
   *
-  * Scope (documented divergence, mirror of the HTTP face's): no TLS,
-  * no real auth; COM_STMT_PREPARE advertises zero result columns
+  * Scope (documented divergence, mirror of the HTTP face's): no TLS
+  * (loopback-only listener; auth above is real but the transport is
+  * cleartext); COM_STMT_PREPARE advertises zero result columns
   *  (metadata arrives with the execute resultset, which carries its
   *  own column definitions) and binary resultsets type every column
   *  VAR_STRING (values are length-encoded strings — protocol-valid,
@@ -66,7 +73,8 @@ import graft.exec.ModelExecutor
   * reusing the same ephemeral client port must NOT reuse the name or
   * its queries would be silently auto-cancelled.
   */
-final class MysqlFace(executor: ModelExecutor, port: Int = 0) {
+final class MysqlFace(executor: ModelExecutor, port: Int = 0,
+    users: Map[String, String] = Map.empty) {
 
   import MysqlFace._
 
@@ -145,13 +153,54 @@ final class MysqlFace(executor: ModelExecutor, port: Int = 0) {
       new BufferedInputStream(sock.getInputStream), 1)
     val out = new BufferedOutputStream(sock.getOutputStream)
     val connId = sock.getPort
-    writePacket(out, 0, handshakeV10(connId))
+    val nonce = newNonce()
+    writePacket(out, 0, handshakeV10(connId, nonce))
     out.flush()
-    // HandshakeResponse41 — credentials deliberately ignored; the OK
-    // continues the client's sequence (normally seq 1 → OK at 2)
-    val (afterHandshake, _) = readPacket(in, MaxAllowedPacket)
+    // HandshakeResponse41. With an EMPTY user map credentials are
+    // accepted unconditionally (the reference's default posture,
+    // `sql/proxy.py:2`); with a user map set the response's
+    // mysql_native_password scramble is VERIFIED against this
+    // connection's nonce and anything else — unknown user, wrong
+    // scramble, another plugin — is rejected with the real server's
+    // ER_ACCESS_DENIED_ERROR (the reference's pluggable
+    // IdentityProvider posture, `sql/proxy.py:174-179`). The OK/ERR
+    // continues the client's sequence (normally seq 1 → reply at 2).
+    val (afterHandshake, hsPayload) = readPacket(in, MaxAllowedPacket)
+    if (users.nonEmpty) {
+      val cred = parseHandshakeResponse(hsPayload)
+      if (cred.isEmpty || !authOk(cred.get, nonce)) {
+        val (user, usingPw) =
+          cred.map(c => (c._1, c._2.nonEmpty)).getOrElse(("?", false))
+        writePacket(out, afterHandshake, errPacket(1045, "28000",
+          s"Access denied for user '$user'@'localhost' (using " +
+            s"password: ${if (usingPw) "YES" else "NO"})"))
+        out.flush()
+        return
+      }
+    }
     writePacket(out, afterHandshake, okPacket())
     out.flush()
+    serveAuthed(sock, in, out, connId)
+  }
+
+  /** Verify one parsed HandshakeResponse41 against the user map:
+    * known user, mysql_native_password (or unstated) plugin, and a
+    * scramble that matches this connection's nonce — constant-time
+    * compare, empty configured password ⇔ empty auth response.
+    */
+  private def authOk(cred: (String, Array[Byte], String),
+      nonce: Array[Byte]): Boolean = {
+    val (user, resp, plugin) = cred
+    users.get(user).exists { pw =>
+      if (plugin.nonEmpty && plugin != "mysql_native_password") false
+      else if (pw.isEmpty) resp.isEmpty
+      else java.security.MessageDigest.isEqual(
+        nativeScramble(pw, nonce), resp)
+    }
+  }
+
+  private def serveAuthed(sock: Socket, in: java.io.PushbackInputStream,
+      out: BufferedOutputStream, connId: Int): Unit = {
     // Unique per CONNECTION, not per client port: cancelled group
     // names stay cancelled in Spark, and loopback ephemeral ports
     // recycle fast enough to collide.
@@ -705,6 +754,9 @@ private[serve] object MysqlFace {
   val ClientTransactions = 0x00002000L
   val ClientSecureConnection = 0x00008000L
   val ClientPluginAuth = 0x00080000L
+  // not advertised (clients mask with server caps) but parsed
+  // defensively: lenc-encoded auth response form
+  val ClientPluginAuthLenencData = 0x00200000L
 
   val ServerCapabilities: Long =
     ClientLongPassword | ClientFoundRows | ClientLongFlag |
@@ -824,12 +876,13 @@ private[serve] object MysqlFace {
       used + n.toInt)
   }
 
-  def handshakeV10(connId: Int): Array[Byte] = {
+  def handshakeV10(connId: Int, nonce: Array[Byte]): Array[Byte] = {
+    require(nonce.length == 20, "mysql_native_password nonce is 20 bytes")
     val sb = new scala.collection.mutable.ArrayBuffer[Byte]()
     sb += 10 // protocol version
     sb ++= ServerVersion.getBytes(StandardCharsets.UTF_8); sb += 0
     sb ++= le(connId.toLong, 4)
-    sb ++= "12345678".getBytes(StandardCharsets.UTF_8) // auth data part 1
+    sb ++= nonce.slice(0, 8) // auth data part 1
     sb += 0 // filler
     sb ++= le(ServerCapabilities & 0xffff, 2)
     sb += 33 // charset utf8_general_ci
@@ -837,10 +890,82 @@ private[serve] object MysqlFace {
     sb ++= le((ServerCapabilities >> 16) & 0xffff, 2)
     sb += 21 // auth plugin data length
     sb ++= Array.fill[Byte](10)(0) // reserved
-    sb ++= "123456789012".getBytes(StandardCharsets.UTF_8); sb += 0 // part 2
+    sb ++= nonce.slice(8, 20); sb += 0 // part 2
     sb ++= "mysql_native_password".getBytes(StandardCharsets.UTF_8); sb += 0
     sb.toArray
   }
+
+  private val NonceRandom = new java.security.SecureRandom()
+
+  /** A connection's 20-byte auth nonce ("scramble") — random
+    * printable bytes, no NULs (old clients read part 2 as a C
+    * string). Random per connection so a captured scramble response
+    * cannot be replayed.
+    */
+  def newNonce(): Array[Byte] = {
+    val r = new Array[Byte](20)
+    NonceRandom.nextBytes(r)
+    r.map(b => (0x21 + java.lang.Math.floorMod(b.toInt, 0x5e)).toByte)
+  }
+
+  /** mysql_native_password's expected auth response for a password
+    * and nonce: `SHA1(pw) XOR SHA1(nonce + SHA1(SHA1(pw)))` — the
+    * protocol's challenge-response (the password itself never rides
+    * the wire; both the server check and the spec's mini client
+    * derive the token from this one function of public inputs).
+    */
+  def nativeScramble(password: String, nonce: Array[Byte]): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    val h1 = md.digest(password.getBytes(StandardCharsets.UTF_8))
+    md.reset()
+    val h2 = md.digest(h1)
+    md.reset()
+    md.update(nonce); md.update(h2)
+    val h3 = md.digest()
+    h1.indices.map(i => (h1(i) ^ h3(i)).toByte).toArray
+  }
+
+  /** (user, auth response, client plugin) parsed from a
+    * HandshakeResponse41 payload; None when truncated/malformed —
+    * which the caller treats as an auth FAILURE when a user map is
+    * set, never as anonymous access.
+    */
+  def parseHandshakeResponse(
+      p: Array[Byte]): Option[(String, Array[Byte], String)] =
+    try {
+      val flags = (0 until 4).map(i => (p(i) & 0xffL) << (8 * i)).sum
+      var off = 4 + 4 + 1 + 23
+      val userEnd = p.indexOf(0.toByte, off)
+      if (userEnd < 0) None
+      else {
+        val user = new String(p, off, userEnd - off, StandardCharsets.UTF_8)
+        off = userEnd + 1
+        val auth =
+          if ((flags & ClientPluginAuthLenencData) != 0) {
+            val (a, used) = lencBytes(p, off); off += used; a
+          } else if ((flags & ClientSecureConnection) != 0) {
+            val n = p(off) & 0xff
+            val a = java.util.Arrays.copyOfRange(p, off + 1, off + 1 + n)
+            off += 1 + n; a
+          } else {
+            val e = p.indexOf(0.toByte, off)
+            val end = if (e < 0) p.length else e
+            val a = java.util.Arrays.copyOfRange(p, off, end)
+            off = end + 1; a
+          }
+        if ((flags & ClientConnectWithDb) != 0 && off < p.length) {
+          val e = p.indexOf(0.toByte, off)
+          off = if (e < 0) p.length else e + 1
+        }
+        val plugin =
+          if ((flags & ClientPluginAuth) != 0 && off < p.length) {
+            val e = p.indexOf(0.toByte, off)
+            val end = if (e < 0) p.length else e
+            new String(p, off, end - off, StandardCharsets.UTF_8)
+          } else ""
+        Some((user, auth, plugin))
+      }
+    } catch { case NonFatal(_) => None }
 
   def okPacket(affected: Long = 0): Array[Byte] =
     Array(0x00.toByte) ++ lencInt(affected) ++ lencInt(0) ++

@@ -169,6 +169,81 @@ class UnitTestSpec extends AnyFunSuite {
     assert(!r3.runAll().head.passed)
   }
 
+  test("csv empty cells are NULL; dict-format '' stays an empty string") {
+    val root = Files.createTempDirectory("graft_ut_csvnull")
+    writeProject(root,
+      """select id, case when val is null then '<null>'
+        |  when val = '' then '<empty>' else val end as tag
+        |from {{ ref('src_seed') }}
+        |""".stripMargin,
+      """unit_tests:
+        |  - name: csv_empty_cell_is_null
+        |    model: m
+        |    given:
+        |      - input: ref('src_seed')
+        |        format: csv
+        |        rows: |
+        |          id,val
+        |          1,
+        |          2,x
+        |    expect:
+        |      rows:
+        |        - {id: 1, tag: '<null>'}
+        |        - {id: 2, tag: x}
+        |  - name: dict_empty_string_stays_string
+        |    model: m
+        |    given:
+        |      - input: ref('src_seed')
+        |        rows:
+        |          - {id: 3, val: ''}
+        |    expect:
+        |      rows:
+        |        - {id: 3, tag: '<empty>'}
+        |""".stripMargin)
+    val (r, _) = runner(root.toString)
+    val res = r.runAll()
+    assert(res.size == 2 && res.forall(_.passed),
+      res.filterNot(_.passed).mkString("\n"))
+  }
+
+  test("fixture: references and unsupported formats fail loudly at load") {
+    // a `fixture:` file reference must not parse to ZERO rows — an
+    // empty mock plus `expect: rows: []` would be a silent false PASS
+    val root = Files.createTempDirectory("graft_ut_fixture")
+    writeProject(root,
+      "select id from {{ ref('src_seed') }}",
+      """unit_tests:
+        |  - name: uses_fixture_file
+        |    model: m
+        |    given:
+        |      - input: ref('src_seed')
+        |        format: csv
+        |        fixture: my_fixture
+        |    expect:
+        |      rows: []
+        |""".stripMargin)
+    val e = intercept[IllegalArgumentException](
+      ProjectLoader.load(root.toString))
+    assert(e.getMessage.contains("fixture"), e.getMessage)
+
+    val root2 = Files.createTempDirectory("graft_ut_sqlfmt")
+    writeProject(root2,
+      "select id from {{ ref('src_seed') }}",
+      """unit_tests:
+        |  - name: sql_format
+        |    model: m
+        |    given:
+        |      - input: ref('src_seed')
+        |        format: sql
+        |        rows: select 1 as id
+        |    expect:
+        |      rows: []
+        |""".stripMargin)
+    val e2 = intercept[IllegalArgumentException](
+      ProjectLoader.load(root2.toString))
+    assert(e2.getMessage.contains("unsupported"), e2.getMessage)
+  }
+
   test("overrides: vars rebind and macros.is_incremental forces the " +
       "incremental branch with a mocked `this`") {
     val root = Files.createTempDirectory("graft_ut_ovr")

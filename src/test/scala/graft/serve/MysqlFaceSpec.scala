@@ -31,8 +31,8 @@ class MysqlFaceSpec extends AnyFunSuite {
 
   // ---------------- mini client (independent implementation) -------
 
-  private class Client {
-    val sock = new Socket("127.0.0.1", face.boundPort)
+  private class Client(port: Int = face.boundPort) {
+    val sock = new Socket("127.0.0.1", port)
     sock.setTcpNoDelay(true)
     val in = new BufferedInputStream(sock.getInputStream)
     val out = new BufferedOutputStream(sock.getOutputStream)
@@ -106,6 +106,50 @@ class MysqlFaceSpec extends AnyFunSuite {
       val (_, ok) = readPacket()
       assert((ok(0) & 0xff) == 0x00, "expected OK after handshake response")
       (version, plugin)
+    }
+
+    /** Connection phase with credentials: parses the greeting's
+      * 20-byte nonce (8-byte part 1 + 12-byte part 2 at their fixed
+      * offsets) and answers with an INDEPENDENTLY computed
+      * mysql_native_password scramble — returns the reply's first
+      * byte (0x00 OK / 0xff ERR) and, for ERR, the error code.
+      */
+    def handshakeAuth(user: String, password: Option[String]): (Int, Int) = {
+      val (seq0, greet) = readPacket()
+      assert(seq0 == 0 && greet(0) == 10)
+      val verEnd = greet.indexOf(0, 1)
+      val p1 = verEnd + 1 + 4 // past connection id
+      val nonce = new Array[Byte](20)
+      System.arraycopy(greet, p1, nonce, 0, 8)
+      // filler(1) caps-low(2) charset(1) status(2) caps-high(2)
+      // auth-len(1) reserved(10) -> part 2
+      System.arraycopy(greet, p1 + 8 + 19, nonce, 8, 12)
+      val token = password match {
+        case None => Array.empty[Byte]
+        case Some(pw) =>
+          val md = java.security.MessageDigest.getInstance("SHA-1")
+          val h1 = md.digest(pw.getBytes(StandardCharsets.UTF_8))
+          md.reset(); val h2 = md.digest(h1)
+          md.reset(); md.update(nonce); md.update(h2)
+          val h3 = md.digest()
+          h1.indices.map(i => (h1(i) ^ h3(i)).toByte).toArray
+      }
+      val flags = 0x00000200L | 0x00008000L | 0x00080000L
+      val b = scala.collection.mutable.ArrayBuffer[Byte]()
+      def le(v: Long, n: Int): Unit =
+        (0 until n).foreach(i => b += ((v >> (8 * i)) & 0xff).toByte)
+      le(flags, 4); le(16 * 1024 * 1024, 4); b += 33
+      b ++= Array.fill[Byte](23)(0)
+      b ++= user.getBytes(StandardCharsets.UTF_8); b += 0
+      b += token.length.toByte; b ++= token
+      b ++= "mysql_native_password".getBytes(StandardCharsets.UTF_8); b += 0
+      writePacket(1, b.toArray)
+      val (_, reply) = readPacket()
+      val code =
+        if ((reply(0) & 0xff) == 0xff)
+          (reply(1) & 0xff) | ((reply(2) & 0xff) << 8)
+        else 0
+      ((reply(0) & 0xff), code)
     }
 
     def comQuery(sql: String): Unit =
@@ -562,5 +606,56 @@ class MysqlFaceSpec extends AnyFunSuite {
       assert(seq == 3 + wirePackets && java.util.Arrays.equals(back, payload),
         s"round-trip failed at n=$n")
     }
+  }
+
+  test("auth: with a user map set, good mysql_native_password " +
+      "credentials connect and query; wrong password / unknown user / " +
+      "anonymous are rejected with ER_ACCESS_DENIED (1045)") {
+    val authed = new MysqlFace(executor,
+      users = Map("alice" -> "s3cret", "nopw" -> "")).start()
+    def attempt(user: String, pw: Option[String]): (Int, Int) = {
+      val c = new Client(authed.boundPort)
+      try c.handshakeAuth(user, pw) finally c.close()
+    }
+    try {
+      assert(attempt("alice", Some("s3cret"))._1 == 0x00,
+        "good credentials must connect")
+      val (b1, code1) = attempt("alice", Some("wrong"))
+      assert(b1 == 0xff && code1 == 1045, s"wrong password: $b1/$code1")
+      assert(attempt("bob", Some("s3cret"))._1 == 0xff,
+        "reject-by-default: unknown users never connect")
+      assert(attempt("alice", None)._1 == 0xff,
+        "a password-less response must not satisfy a password'd user")
+      assert(attempt("nopw", None)._1 == 0x00,
+        "an empty configured password matches the empty auth response")
+      // the authenticated session is a fully working command phase
+      val c = new Client(authed.boundPort)
+      try {
+        assert(c.handshakeAuth("alice", Some("s3cret"))._1 == 0x00)
+        c.comQuery("SELECT 1 AS one")
+        val (names, rows) = c.readResultSet()
+        assert(names == Seq("one") && rows == Seq(Seq(Some("1"))))
+      } finally c.close()
+      // two greetings never share a nonce (replay resistance)
+      val c1 = new Client(authed.boundPort)
+      val c2 = new Client(authed.boundPort)
+      try {
+        def nonce(cl: Client): Seq[Byte] = {
+          val (_, greet) = cl.readPacket()
+          val verEnd = greet.indexOf(0, 1)
+          val p1 = verEnd + 1 + 4
+          (greet.slice(p1, p1 + 8) ++
+            greet.slice(p1 + 27, p1 + 27 + 12)).toSeq
+        }
+        assert(nonce(c1) != nonce(c2), "per-connection nonces must differ")
+      } finally { c1.close(); c2.close() }
+    } finally authed.stop()
+  }
+
+  test("auth: the default (no user map) face keeps the reference's " +
+      "accept-anything posture") {
+    val c = new Client()
+    try assert(c.handshakeAuth("anyone", Some("whatever"))._1 == 0x00)
+    finally c.close()
   }
 }
