@@ -68,7 +68,16 @@ object DbtCompiler {
         * the mock view — the model's SQL is otherwise untouched (dbt
         * unit-test semantics: same compile, swapped inputs).
         */
-      relationOverrides: Map[String, String] = Map.empty): Compiled = {
+      relationOverrides: Map[String, String] = Map.empty,
+      /** Unit-test `overrides.macros` beyond `is_incremental`: every
+        * call of a named macro — builtin (`var`, `env_var`, ...) or
+        * project-defined (the prologue's `{% macro %}` registration
+        * would normally shadow an engine function, so these names are
+        * PINNED in the Jinja env) — returns the given constant,
+        * arguments ignored (dbt-core's unit-test macro-override
+        * semantics).
+        */
+      macroOverrides: Map[String, Any] = Map.empty): Compiled = {
     val config = mutable.LinkedHashMap.empty[String, Any]
     val refs = mutable.ListBuffer.empty[String]
     val sources = mutable.ListBuffer.empty[(String, String)]
@@ -119,9 +128,13 @@ object DbtCompiler {
       out
     })
 
+    val overrideFns: Map[String, Jinja.Func] =
+      macroOverrides.map { case (n, v) => n -> { (_: Seq[Any],
+        _: Map[String, Any]) => v } }
     val sql = Jinja.renderTemplate(raw, Jinja.Env(
       vars = thisRelation.map("this" -> (_: Any)).toMap,
-      functions = tracing))
+      functions = tracing ++ overrideFns,
+      pinned = macroOverrides.keySet))
     Compiled(sql, config.toMap, refs.toSeq.distinct, sources.toSeq.distinct)
   }
 }

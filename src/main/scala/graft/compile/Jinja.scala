@@ -26,7 +26,14 @@ object Jinja {
 
   final case class Env(
       vars: Map[String, Any] = Map.empty,
-      functions: Map[String, Func] = Map.empty)
+      functions: Map[String, Func] = Map.empty,
+      /** Names whose env function wins even over a template-defined
+        * macro of the same name (normal Jinja resolution is the
+        * reverse). dbt unit-test `overrides.macros` needs this: the
+        * override must stub a macro the project prologue DEFINES, and
+        * the `{% macro %}` registration would otherwise shadow it.
+        */
+      pinned: Set[String] = Set.empty)
 
   /** True when the text contains any Jinja tokens (reference
     * `has_jinja`, core/sql_operations.py:21-24).
@@ -209,8 +216,10 @@ object Jinja {
             pos += 1
             val (args, kwargs) = parseArgs()
             // template-defined macros (stored in scope as Func) shadow
-            // engine functions, matching Jinja's name resolution
-            scope.get(name) match {
+            // engine functions, matching Jinja's name resolution —
+            // EXCEPT pinned names (unit-test macro overrides), where
+            // the env function must beat the project's definition
+            (if (env.pinned(name)) None else scope.get(name)) match {
               case Some(f: ((Seq[Any], Map[String, Any]) => Any) @unchecked)
                   if f.isInstanceOf[Function2[_, _, _]] =>
                 f(args, kwargs)

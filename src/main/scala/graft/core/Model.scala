@@ -106,7 +106,14 @@ final case class NodeMeta(
   * values — the runner casts against the real input's schema, dbt's
   * own type-derivation rule).
   */
-final case class UnitTestInput(input: String, rows: Seq[Map[String, Any]])
+final case class UnitTestInput(input: String, rows: Seq[Map[String, Any]],
+    /** `format: sql` fixture (inline `rows:` string or a
+      * `fixture:` file under tests/fixtures/): the query ITSELF
+      * defines the mock's columns and types — dbt applies no cast
+      * against the real input for sql fixtures. Exactly one of
+      * `rows`/`sql` is populated.
+      */
+    sql: Option[String] = None)
 
 /** A dbt `unit_tests:` block entry (reference core/schema/parser.py:19
   * manages the YAML key; dbt-core executes the semantics): render the
@@ -122,11 +129,17 @@ final case class UnitTestMeta(
     expect: Seq[Map[String, Any]],
     expectOrdered: Boolean = false,
     description: String = "",
-    /** `overrides:` — `vars:` merge over project vars; `macros:` may
-      * carry `is_incremental` (dbt's documented incremental-mode
-      * switch for unit tests).
+    /** `overrides:` — `vars:` merge over project vars; `macros:`
+      * carries `is_incremental` (dbt's incremental-mode switch) plus
+      * arbitrary macro stubs: any other name makes every call of that
+      * macro return the given constant (builtin or project-defined).
       */
-    overrides: Map[String, Any] = Map.empty)
+    overrides: Map[String, Any] = Map.empty,
+    /** `expect` in `format: sql`: the query's result is the expected
+      * multiset, compared on exactly the columns it emits. Populated
+      * instead of `expect` rows.
+      */
+    expectSql: Option[String] = None)
 
 final case class Manifest(nodes: ListMap[String, NodeMeta]) {
   def get(uid: String): Option[NodeMeta] = nodes.get(uid)

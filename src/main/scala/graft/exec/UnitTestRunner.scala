@@ -21,8 +21,13 @@ import graft.project.ProjectLoader.Project
   *  2. the model's raw SQL re-compiles with those refs/sources
   *     REDIRECTED to the mock views (same Jinja render, swapped
   *     inputs; `overrides.vars` merge over project vars,
+  *     `overrides.env_vars` layer over the process env for env_var(),
   *     `overrides.macros.is_incremental` forces incremental mode,
-  *     `input: this` mocks the model's own pre-existing relation);
+  *     any OTHER `overrides.macros` name stubs that macro — builtin
+  *     or project-defined — to the given constant for every call,
+  *     `input: this` mocks the model's own pre-existing relation;
+  *     `format: sql` fixtures run as queries whose results ARE the
+  *     mock/expected relations);
   *  3. the rendered result compares against `expect` on EXACTLY the
   *     columns the expect rows name (column-subset match), as
   *     multisets unless `expect.ordered` asks for positional order.
@@ -144,26 +149,68 @@ final class UnitTestRunner(spark: SparkSession, project: Project,
         case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]]
         case _ => Map.empty[String, Any]
       }
+      // `overrides.env_vars` — the third member of dbt's overrides
+      // matrix: layered over the process environment for env_var()
+      val envOv = ut.overrides.get("env_vars") match {
+        case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]]
+          .map { case (k, v) => k -> v.toString }
+        case _ => Map.empty[String, String]
+      }
+      val utEnv: Map[String, String] = sys.env ++ envOv
       val forceIncremental = macroOv.get("is_incremental")
         .exists(b => b == true || b.toString == "true")
+      // every other name stubs that macro to a constant (dbt's
+      // generic unit-test macro override; is_incremental stays a
+      // context flag because it also selects the `this` relation)
+      val macroStubs = macroOv - "is_incremental"
       val safe = ut.name.replaceAll("[^A-Za-z0-9_]", "_")
+      val prologued = (sql: String) =>
+        project.macroPrologue + (if (project.macroPrologue.isEmpty) ""
+                                 else "\n") + sql
+      // a sql-format fixture is itself a (Jinja-rendered) query whose
+      // result IS the mock — run it and pin the view on the result
+      // (dbt: the query defines columns and types, no cast against
+      // the real input)
+      val sqlFixtureDf = (fixtureSql: String) => spark.sql(
+        DbtCompiler.compile(prologued(fixtureSql), executor.manifest,
+          project.vars ++ overrideVars, envVars = utEnv,
+          macroOverrides = macroStubs).sql)
       var thisMock: Option[String] = None
       val overrides = ut.given.zipWithIndex.map { case (g, i) =>
         val base = resolveInput(g.input, node.name)
         val view = s"__ut_${safe}_$i"
-        mockView(g, base, view)
+        g.sql match {
+          case Some(fixtureSql) =>
+            sqlFixtureDf(fixtureSql).createOrReplaceTempView(view)
+          case None => mockView(g, base, view)
+        }
         if (g.input.trim == "this") thisMock = Some(view)
         base -> view
       }.toMap
-      val compiled = DbtCompiler.compile(
-        project.macroPrologue + (if (project.macroPrologue.isEmpty) ""
-                                 else "\n") + node.rawCode,
-        executor.manifest, project.vars ++ overrideVars,
+      val compiled = DbtCompiler.compile(prologued(node.rawCode),
+        executor.manifest, project.vars ++ overrideVars, envVars = utEnv,
         incremental = forceIncremental || thisMock.isDefined,
         thisRelation = thisMock.orElse(Some(node.name)),
-        relationOverrides = overrides)
+        relationOverrides = overrides,
+        macroOverrides = macroStubs)
       val actual = spark.sql(compiled.sql)
-      if (ut.expect.isEmpty) {
+      // `expect` in sql format: the query's result is the expected
+      // multiset, compared on exactly the columns IT emits (cast to
+      // the actual result's types, the same discipline expectDf
+      // applies to literal rows)
+      val sqlExpect: Option[(DataFrame, Seq[String])] = ut.expectSql.map {
+        es =>
+          val df = sqlFixtureDf(es)
+          val cols = df.columns.toSeq
+          val missing = cols.filterNot(actual.columns.contains)
+          require(missing.isEmpty,
+            s"expect names column(s) the model does not emit: " +
+              missing.mkString(", "))
+          val types: Map[String, DataType] =
+            actual.schema.map(f => f.name -> f.dataType).toMap
+          (df.select(cols.map(c => df(c).cast(types(c)).as(c)): _*), cols)
+      }
+      if (sqlExpect.isEmpty && ut.expect.isEmpty) {
         // `expect: rows: []` — the model must emit nothing
         val n = actual.count()
         return UnitTestResult(ut.name, ut.model, passed = n == 0,
@@ -171,7 +218,7 @@ final class UnitTestRunner(spark: SparkSession, project: Project,
           diff = if (n == 0) None
                  else Some(s"expected empty, got ${n} row(s)"))
       }
-      val (expected, cols) = expectDf(ut.expect, actual)
+      val (expected, cols) = sqlExpect.getOrElse(expectDf(ut.expect, actual))
       val got = actual.select(cols.map(col): _*)
       if (ut.expectOrdered) {
         val a = got.collect().toSeq

@@ -5238,6 +5238,44 @@ object CorpusOps {
       .withColumn("keep", col("ok_bullet") && col("ok_ellipsis"))
   }
 
+  /** Line-frequency boilerplate strip — the C4/CCNet line-dedup rule:
+    * a normalized line (lower + trim) occurring in at least `minDocs`
+    * DISTINCT documents is boilerplate (navigation, footers, legal
+    * chrome) and every occurrence is removed; each document returns
+    * its line count, kept count, the kept text reassembled in
+    * original line order, and the stripped fraction in exact ppm.
+    *
+    * Scale shape: the explode is map-side; the line-frequency census
+    * is one keyed groupBy on the normalized line (map-side combined —
+    * the shuffle carries distinct lines, not occurrences, after the
+    * per-doc distinct); occurrences recover their verdict by joining
+    * the census back on the same key (corpus-scaled — never
+    * broadcast); reassembly is one groupBy on the doc id with an
+    * array_sort over (pos, line) — per-document data, no corpus
+    * window, no global sort anywhere.
+    */
+  def stripBoilerplateLines(docs: DataFrame, idCol: String,
+      textCol: String, minDocs: Int): DataFrame = {
+    require(minDocs >= 2,
+      s"minDocs must be >= 2 (1 would strip everything), got $minDocs")
+    val lines = docs
+      .select(col(idCol).as("__bp_doc"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("norm", lower(trim(col("line"))))
+    val census = lines.select("__bp_doc", "norm").distinct()
+      .groupBy("norm").agg(count(lit(1)).as("line_docs"))
+    lines.join(census, "norm")
+      .withColumn("keep", col("line_docs") < minDocs)
+      .groupBy(col("__bp_doc").as(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(
+            when(col("keep"), struct(col("pos"), col("line"))))),
+          x => x.getField("line")), "\n").as("kept_text"))
+      .withColumn("stripped_ppm",
+        expr("((n_lines - n_kept) * 1000000) div greatest(n_lines, 1)"))
+  }
+
   /** 2-D mixture allocator — the JOINT (source × quality-bin)
     * token-budget design that [[tokenBudgetSample]] (budgets by
     * source, t39) and [[qualityPrune]] (prunes by quality, t37)

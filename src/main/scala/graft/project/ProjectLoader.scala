@@ -256,13 +256,17 @@ object ProjectLoader {
       // here, executed by graft.exec.UnitTestRunner
       for (ut <- asSeqMap(doc.getOrElse("unit_tests", Nil))) {
         val expectBody = asMap(ut.getOrElse("expect", Map.empty))
+        val expectFx = utFixture(expectBody, root)
         unitTests :+= UnitTestMeta(
           name = ut.getOrElse("name", "").toString,
           model = ut.getOrElse("model", "").toString,
           given = asSeqMap(ut.getOrElse("given", Nil)).map { g =>
-            UnitTestInput(g.getOrElse("input", "").toString, utRows(g))
+            val fx = utFixture(g, root)
+            UnitTestInput(g.getOrElse("input", "").toString, fx.rows,
+              sql = fx.sql)
           },
-          expect = utRows(expectBody),
+          expect = expectFx.rows,
+          expectSql = expectFx.sql,
           expectOrdered = expectBody.get("ordered")
             .exists(b => b == true || b.toString == "true"),
           description = ut.getOrElse("description", "").toString,
@@ -347,54 +351,82 @@ object ProjectLoader {
       unitTests = unitTests)
   }
 
-  /** Fixture rows of a unit-test `given`/`expect` body. `format: dict`
-    * (the default) carries rows as YAML maps; `format: csv` carries a
-    * header+rows string whose values stay strings — the runner casts
-    * them against the input relation's real schema, dbt's own
-    * type-derivation rule (no quoted-comma support; fixture rows are
-    * hand-written scalars). Per dbt's csv rule an EMPTY csv cell is
-    * NULL (a dict-format `''` stays an empty string — the runner
-    * never re-applies the rule).
+  /** One parsed unit-test fixture: literal rows (dict/csv formats) OR
+    * a SQL query text (sql format) — never both.
+    */
+  final case class UtFixture(rows: Seq[Map[String, Any]] = Nil,
+      sql: Option[String] = None)
+
+  /** Fixture of a unit-test `given`/`expect` body — dbt's full format
+    * matrix. `format: dict` (the default) carries rows as YAML maps;
+    * `format: csv` carries a header+rows string whose values stay
+    * strings — the runner casts them against the input relation's
+    * real schema, dbt's own type-derivation rule (no quoted-comma
+    * support; fixture rows are hand-written scalars). Per dbt's csv
+    * rule an EMPTY csv cell is NULL (a dict-format `''` stays an
+    * empty string — the runner never re-applies the rule).
+    * `format: sql` carries a query whose RESULT is the fixture (the
+    * query defines columns and types; no cast against the real
+    * input). csv and sql payloads come inline via `rows:` or from a
+    * `fixture:` file at `tests/fixtures/<name>.<format>` (dbt's
+    * fixture-directory convention).
     *
-    * Unsupported-but-valid-dbt forms FAIL LOUDLY instead of parsing
-    * to zero rows: a `fixture:` file reference, `format: sql`, or a
-    * malformed `rows:` payload would otherwise materialize an EMPTY
+    * Malformed-but-parseable forms FAIL LOUDLY instead of parsing to
+    * zero rows: a missing fixture file, a dict-format `fixture:`, or
+    * a mistyped `rows:` payload would otherwise materialize an EMPTY
     * mock input, and a test with `expect: rows: []` would silently
     * PASS against inputs it never saw — the one failure mode a test
     * framework must not have.
     */
-  private def utRows(body: Map[String, Any]): Seq[Map[String, Any]] = {
-    require(!body.contains("fixture"),
-      "unit-test `fixture:` file references are not supported - " +
-        "inline the rows with `rows:` (format: dict or csv)")
-    body.getOrElse("format", "dict").toString match {
+  private def utFixture(body: Map[String, Any], root: Path): UtFixture = {
+    val format = body.getOrElse("format", "dict").toString
+    val payload: Option[Any] = body.get("fixture") match {
+      case Some(fx) =>
+        require(format == "csv" || format == "sql",
+          "unit-test `fixture:` files exist only for csv/sql formats, " +
+            s"not $format")
+        val p = root.resolve("tests").resolve("fixtures")
+          .resolve(s"${fx.toString}.$format")
+        require(Files.isRegularFile(p),
+          s"unit-test fixture file not found: $p")
+        Some(Files.readString(p))
+      case None => body.get("rows")
+    }
+    format match {
       case "csv" =>
-        body.get("rows") match {
+        payload match {
           case Some(s: String) =>
             val lines = s.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
-            if (lines.size < 2) Nil
+            if (lines.size < 2) UtFixture()
             else {
               val hdr = lines.head.split(",").map(_.trim).toSeq
-              lines.tail.map(l =>
+              UtFixture(lines.tail.map(l =>
                 hdr.zip(l.split(",", -1).map(_.trim).toSeq
                     .map(v => if (v.isEmpty) null else v))
-                  .toMap[String, Any])
+                  .toMap[String, Any]))
             }
-          case None => Nil
+          case None => UtFixture()
           case Some(other) => throw new IllegalArgumentException(
             "unit-test csv-format `rows:` must be a header+rows string, " +
               s"got ${other.getClass.getSimpleName}")
         }
+      case "sql" =>
+        payload match {
+          case Some(s: String) if s.trim.nonEmpty => UtFixture(sql = Some(s))
+          case _ => throw new IllegalArgumentException(
+            "unit-test sql-format needs a non-empty `rows:` SQL string " +
+              "or a `fixture:` file")
+        }
       case "dict" =>
-        body.getOrElse("rows", Nil) match {
-          case s: Seq[_] => asSeqMap(s).map(_.toMap[String, Any])
+        payload.getOrElse(Nil) match {
+          case s: Seq[_] => UtFixture(asSeqMap(s).map(_.toMap[String, Any]))
           case other => throw new IllegalArgumentException(
             "unit-test dict-format `rows:` must be a list of maps, " +
               s"got ${other.getClass.getSimpleName}")
         }
       case other => throw new IllegalArgumentException(
         s"unsupported unit-test fixture format: $other " +
-          "(supported: dict, csv)")
+          "(supported: dict, csv, sql)")
     }
   }
 

@@ -2494,6 +2494,25 @@ object TrainingData {
       "n_chars", "source")
   }
 
+  /** Line-frequency boilerplate strip (t173,
+    * [[CorpusOps.stripBoilerplateLines]]) over the t161 five-doc
+    * page face with lines in doc_id order plus a constant footer
+    * line appended to EVERY page — the footer guarantees stripped
+    * mass at every scale, the fixture's exact-dup texts exercise the
+    * data-driven census, and unique texts realize kept mass.
+    */
+  def docLineBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pages = docs
+      .groupBy(expr("doc_id div 5").as("gid"))
+      .agg(concat(
+        array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("text")))),
+          x => x.getField("text")), "\n"),
+        lit("\n(c) corpus footer")).as("text"))
+    CorpusOps.stripBoilerplateLines(pages, "gid", "text", minDocs = 2)
+  }
+
   /** Band-store health gauge ([[Dedup.bandIndexStats]]) over the SAME
     * persisted index t143 searches (shared memo — whichever query
     * runs first builds the one artifact): bucket fill, hottest-bucket
@@ -2783,6 +2802,7 @@ object TrainingData {
     "t170_winnow_stats_sampled" -> docWinnowStatsSampled _,
     "t171_invidx_stats_sampled" -> docInvIndexStatsSampled _,
     "t172_source_quality_drift" -> docSourceQualityDrift _,
+    "t173_line_boilerplate" -> docLineBoilerplate _,
   )
 
 
@@ -8598,6 +8618,39 @@ object TrainingData {
           |    AS ks_ppm
           |FROM cum c JOIN t ON c.source IS NOT DISTINCT FROM t.source
           |GROUP BY 1, 2, 3, 4""".stripMargin,
+      // t173: the line census replays over the SAME (gid, rank, line)
+      // relation the page render produces — doc lines ranked by
+      // doc_id within the page, the constant footer last (its rank
+      // only orders; the footer is always stripped) — then the same
+      // distinct-doc census, the same < 2 verdict, and the kept text
+      // re-agg'd in rank order
+      "t173_line_boilerplate" ->
+        """WITH lines AS (
+          |  SELECT doc_id // 5 AS gid, CAST(doc_id % 5 AS BIGINT) AS pos,
+          |    text AS line, lower(trim(text)) AS norm
+          |  FROM documents
+          |  UNION ALL
+          |  SELECT DISTINCT doc_id // 5, CAST(2147483647 AS BIGINT),
+          |    '(c) corpus footer', '(c) corpus footer'
+          |  FROM documents
+          |), census AS (
+          |  SELECT norm, CAST(COUNT(DISTINCT gid) AS BIGINT) AS line_docs
+          |  FROM lines GROUP BY 1
+          |), f AS (
+          |  SELECT l.gid, l.pos, l.line, c.line_docs < 2 AS keep
+          |  FROM lines l JOIN census c USING (norm)
+          |), g AS (
+          |  SELECT gid, CAST(COUNT(*) AS BIGINT) AS n_lines,
+          |    CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS n_kept,
+          |    COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10)
+          |      ORDER BY pos), '') AS kept_text
+          |  FROM f GROUP BY 1
+          |)
+          |SELECT gid, n_lines, n_kept, kept_text,
+          |  ((n_lines - n_kept) * 1000000) // GREATEST(n_lines, 1)
+          |    AS stripped_ppm
+          |FROM g""".stripMargin,
       // t163: the 2-D water-filling replayed in exact integer
       // arithmetic — stopword-ppm bins, bin-descending cumulative
       // token mass per source, budget = src_tokens // ((srcN % 4)+2),

@@ -104,7 +104,35 @@ object ProbeBench {
         "band_skew_x1e6_after" ->
           after.getAs[Long]("skew_x1e6").toDouble)
     }
-    val body = (results ++ rebucketResults)
+    // auto-path leg (SPARK_GRAFT_PROBE_AUTO=rowsPerBucket): rebuild
+    // the SAME index slices into stores whose bucket count the
+    // auto-sizer derives at the given per-bucket row budget — the
+    // layout a store is BORN with at that corpus mass (production
+    // default budget is Dedup.DefaultRowsPerBucket; toy SFs need a
+    // smaller budget for the knob to engage) — then re-time the same
+    // fixed probes. Flat wall across 1×/30× here means the build-time
+    // sizing alone keeps probes proportional, no operator in the loop.
+    val autoBudget = sys.env.get("SPARK_GRAFT_PROBE_AUTO").map(_.toLong)
+    val autoResults = autoBudget.toSeq.flatMap { rpb =>
+      Dedup.buildWinnowIndex(idxSlice, "doc_id", "text",
+        s"$root/winnow_auto", rowsPerBucket = rpb)
+      Dedup.buildBandIndex(idxSlice, "doc_id", "text",
+        s"$root/band_auto", rowsPerBucket = rpb)
+      val wb = Dedup.winnowIndexStats(spark, s"$root/winnow_auto")
+        .collect().head.getAs[Long]("buckets")
+      val bb = Dedup.bandIndexStats(spark, s"$root/band_auto")
+        .collect().head.getAs[Long]("buckets")
+      Seq(
+        med3("winnow_search_auto_s", () =>
+          Dedup.searchWinnowIndex(spark, s"$root/winnow_auto", batch,
+            "doc_id", "text")),
+        med3("band_search_auto_s", () =>
+          Dedup.searchBandIndex(spark, s"$root/band_auto", batch,
+            "doc_id", "text")),
+        "winnow_buckets_auto" -> wb.toDouble,
+        "band_buckets_auto" -> bb.toDouble)
+    }
+    val body = (results ++ rebucketResults ++ autoResults)
       .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString(",")
     println(s"""{"label":"$label","index_docs":$nIdx,"batch_docs":$nBatch,$body}""")

@@ -1410,4 +1410,33 @@ class CorpusOpsSpec extends AnyFunSuite {
       m.contains("CAST") || m.contains("cast")),
       s"expected a loud divisor failure, got: ${messages(ex)}")
   }
+
+  test("stripBoilerplateLines: distinct-doc census, normalization, " +
+      "order-preserving reassembly, within-doc repeats kept") {
+    val docs = Seq(
+      // "COMMON" here and "common " in doc 2 normalize to the same
+      // line -> census 2 distinct docs -> stripped from BOTH (raw
+      // text removed, not the normalized form)
+      (1L, "alpha\nCOMMON\nbeta"),
+      (2L, "common \ngamma"),
+      // the same line twice in ONE doc is 1 distinct doc -> kept
+      (3L, "delta\ndelta"),
+      // an empty text is one empty line, unique -> kept as ""
+      (4L, "")).toDF("gid", "text")
+    val got = CorpusOps.stripBoilerplateLines(docs, "gid", "text",
+        minDocs = 2)
+      .orderBy("gid")
+      .select("gid", "n_lines", "n_kept", "kept_text", "stripped_ppm")
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getString(3), r.getLong(4)))
+    assert(got == Seq(
+      (1L, 3L, 2L, "alpha\nbeta", 333333L),
+      (2L, 2L, 1L, "gamma", 500000L),
+      (3L, 2L, 2L, "delta\ndelta", 0L),
+      (4L, 1L, 1L, "", 0L)), got.toString)
+    // minDocs = 1 would strip every line — reject the foot-gun
+    intercept[IllegalArgumentException] {
+      CorpusOps.stripBoilerplateLines(docs, "gid", "text", minDocs = 1)
+    }
+  }
 }

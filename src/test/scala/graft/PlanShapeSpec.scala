@@ -1120,6 +1120,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(1200))
   }
 
+  test("t173: boilerplate strip plans no window, no cartesian, and " +
+      "map-side-combines the line census") {
+    val plan = planOf(queries.TrainingData.queries("t173_line_boilerplate")
+      .apply(spark, dir))
+    // line granularity means corpus-scaling relations everywhere: the
+    // census and the reassembly must both be keyed aggregations —
+    // never a window (no rank/row_number shape exists here) and never
+    // an all-pairs join
+    assert(!plan.contains("Window"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan.take(1200))
+    assert(plan.contains("partial_"),
+      s"line census lost its map-side combine:\n${plan.take(1200)}")
+  }
+
   test("t145: class scatter touches the corpus once; the pair stage is " +
       "an equi-join on dim over the 64·|labels| relation") {
     val df = operators.Similarity.classScatter(

@@ -206,8 +206,8 @@ class UnitTestSpec extends AnyFunSuite {
       res.filterNot(_.passed).mkString("\n"))
   }
 
-  test("fixture: references and unsupported formats fail loudly at load") {
-    // a `fixture:` file reference must not parse to ZERO rows — an
+  test("missing fixture files and unknown formats fail loudly at load") {
+    // a broken fixture reference must not parse to ZERO rows — an
     // empty mock plus `expect: rows: []` would be a silent false PASS
     val root = Files.createTempDirectory("graft_ut_fixture")
     writeProject(root,
@@ -218,30 +218,150 @@ class UnitTestSpec extends AnyFunSuite {
         |    given:
         |      - input: ref('src_seed')
         |        format: csv
-        |        fixture: my_fixture
+        |        fixture: no_such_fixture
         |    expect:
         |      rows: []
         |""".stripMargin)
     val e = intercept[IllegalArgumentException](
       ProjectLoader.load(root.toString))
-    assert(e.getMessage.contains("fixture"), e.getMessage)
+    assert(e.getMessage.contains("no_such_fixture"), e.getMessage)
 
-    val root2 = Files.createTempDirectory("graft_ut_sqlfmt")
+    val root2 = Files.createTempDirectory("graft_ut_badfmt")
     writeProject(root2,
       "select id from {{ ref('src_seed') }}",
       """unit_tests:
-        |  - name: sql_format
+        |  - name: xml_format
         |    model: m
         |    given:
         |      - input: ref('src_seed')
-        |        format: sql
-        |        rows: select 1 as id
+        |        format: xml
+        |        rows: <id>1</id>
         |    expect:
         |      rows: []
         |""".stripMargin)
     val e2 = intercept[IllegalArgumentException](
       ProjectLoader.load(root2.toString))
     assert(e2.getMessage.contains("unsupported"), e2.getMessage)
+
+    // dict has no file form in dbt — a dict `fixture:` is a mistake
+    val root3 = Files.createTempDirectory("graft_ut_dictfx")
+    writeProject(root3,
+      "select id from {{ ref('src_seed') }}",
+      """unit_tests:
+        |  - name: dict_fixture
+        |    model: m
+        |    given:
+        |      - input: ref('src_seed')
+        |        fixture: my_rows
+        |    expect:
+        |      rows: []
+        |""".stripMargin)
+    val e3 = intercept[IllegalArgumentException](
+      ProjectLoader.load(root3.toString))
+    assert(e3.getMessage.contains("csv/sql"), e3.getMessage)
+  }
+
+  test("format sql: given runs as a query; expect compares the query's " +
+      "result on its own columns") {
+    val root = Files.createTempDirectory("graft_ut_sqlfx")
+    writeProject(root,
+      "select id, upper(val) as uval from {{ ref('src_seed') }}",
+      """unit_tests:
+        |  - name: sql_given_and_expect
+        |    model: m
+        |    given:
+        |      - input: ref('src_seed')
+        |        format: sql
+        |        rows: select 7 as id, 'x' as val union all select 8, 'y'
+        |    expect:
+        |      format: sql
+        |      rows: select 7 as id, 'X' as uval union all select 8, 'Y'
+        |  - name: sql_expect_catches_mismatch
+        |    model: m
+        |    given:
+        |      - input: ref('src_seed')
+        |        format: sql
+        |        rows: select 7 as id, 'x' as val
+        |    expect:
+        |      format: sql
+        |      rows: select 7 as id, 'WRONG' as uval
+        |""".stripMargin)
+    val (r, _) = runner(root.toString)
+    val res = r.runAll()
+    assert(res(0).passed, res(0).toString)
+    assert(!res(1).passed && res(1).missing == 1 && res(1).unexpected == 1,
+      res(1).toString)
+  }
+
+  test("fixture: files load from tests/fixtures (csv and sql)") {
+    val root = Files.createTempDirectory("graft_ut_fxfiles")
+    writeProject(root,
+      "select id, upper(val) as uval from {{ ref('src_seed') }}",
+      """unit_tests:
+        |  - name: file_fixtures
+        |    model: m
+        |    given:
+        |      - input: ref('src_seed')
+        |        format: csv
+        |        fixture: seed_rows
+        |    expect:
+        |      format: sql
+        |      fixture: expected_rows
+        |""".stripMargin)
+    val fxDir = root.resolve("tests/fixtures")
+    Files.createDirectories(fxDir)
+    Files.writeString(fxDir.resolve("seed_rows.csv"),
+      "id,val\n5,p\n6,\n")
+    // the csv empty cell is NULL -> upper(NULL) is NULL
+    Files.writeString(fxDir.resolve("expected_rows.sql"),
+      "select 5 as id, 'P' as uval union all " +
+        "select 6, cast(null as string)")
+    val (r, _) = runner(root.toString)
+    val res = r.runAll()
+    assert(res.size == 1 && res.head.passed, res.head.toString)
+  }
+
+  test("overrides.macros stubs project-defined macros and builtins; " +
+      "overrides.env_vars layer over the process env") {
+    val root = Files.createTempDirectory("graft_ut_macro_ovr")
+    writeProject(root,
+      """select id, {{ fee() }} as fee,
+        |  '{{ env_var("GRAFT_UT_NOT_SET", "dflt") }}' as envv
+        |from {{ ref('src_seed') }} where id = 1
+        |""".stripMargin,
+      """unit_tests:
+        |  - name: stubbed
+        |    model: m
+        |    overrides:
+        |      macros:
+        |        fee: 42
+        |      env_vars:
+        |        GRAFT_UT_NOT_SET: injected
+        |    given:
+        |      - input: ref('src_seed')
+        |        rows:
+        |          - {id: 1, val: a}
+        |    expect:
+        |      rows:
+        |        - {id: 1, fee: 42, envv: injected}
+        |  - name: unstubbed
+        |    model: m
+        |    given:
+        |      - input: ref('src_seed')
+        |        rows:
+        |          - {id: 1, val: a}
+        |    expect:
+        |      rows:
+        |        - {id: 1, fee: 7, envv: dflt}
+        |""".stripMargin)
+    Files.createDirectories(root.resolve("macros"))
+    // the project DEFINES fee() — the override must still win (pinned
+    // names beat template-defined macros in the unit-test env)
+    Files.writeString(root.resolve("macros/fee.sql"),
+      "{% macro fee() %}7{% endmacro %}")
+    val (r, _) = runner(root.toString)
+    val res = r.runAll()
+    assert(res.forall(_.passed), res.filterNot(_.passed).mkString("\n"))
   }
 
   test("overrides: vars rebind and macros.is_incremental forces the " +
