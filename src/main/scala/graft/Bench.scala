@@ -102,12 +102,29 @@ object Bench {
     val results = selected.map { case (name, _) =>
       name -> median(samples.map(_(name)))
     }
-    val repsSpread =
-      if (reps < 2 || results.isEmpty) 0.0
-      else results.map { case (name, med) =>
+    // per-query relative jitter across reps: (max-min)/median. The
+    // headline reps_spread stays the MAX (its historical meaning),
+    // but the record also names the offenders — a single cold 0.3 s
+    // query can put a double-digit max on an otherwise clean window,
+    // and without the per-query attribution every such record needs
+    // a hand-run decomposition after the fact.
+    val spreads: Seq[(String, Double)] =
+      if (reps < 2) Nil
+      else results.toSeq.map { case (name, med) =>
         val xs = samples.map(_(name))
-        if (med <= 0) 0.0 else (xs.max - xs.min) / med
-      }.max
+        name -> (if (med <= 0) 0.0 else (xs.max - xs.min) / med)
+      }
+    val repsSpread =
+      if (spreads.isEmpty) 0.0 else spreads.map(_._2).max
+    val spreadP95 =
+      if (spreads.isEmpty) 0.0
+      else {
+        val s = spreads.map(_._2).sorted
+        s(((s.size - 1) * 95) / 100)
+      }
+    val spreadTopJson = spreads.sortBy(-_._2).take(5)
+      .map { case (n, v) => "{\"q\":\"" + n + f"""","spread":$v%.3f}""" }
+      .mkString("[", ",", "]")
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -154,7 +171,7 @@ object Bench {
       basketOpt.map(c => f"${total / c}%.1f").getOrElse("null")
     val headlineBasketJson =
       basketOpt.map(c => f"${headline / c}%.1f").getOrElse("null")
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_scale_headline":$headline%.3f,"headline_excludes":["t08_ann_brute_topk","t10_emb_near_dup","t91_margin_pairs"],"canary_s":$canaryJson,"canaries":$canariesJson,"canary_basket_s":$basketJson,"total_over_canary":$totalScanJson,"headline_over_canary":$headlineScanJson,"total_over_basket":$totalBasketJson,"headline_over_basket":$headlineBasketJson,"norm_denominators":{"over_canary":"scan_canary_median","over_basket":"canary_basket_median"},"reps":$reps,"reps_spread":$repsSpread%.3f,"queries":$qs,"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_scale_headline":$headline%.3f,"headline_excludes":["t08_ann_brute_topk","t10_emb_near_dup","t91_margin_pairs"],"canary_s":$canaryJson,"canaries":$canariesJson,"canary_basket_s":$basketJson,"total_over_canary":$totalScanJson,"headline_over_canary":$headlineScanJson,"total_over_basket":$totalBasketJson,"headline_over_basket":$headlineBasketJson,"norm_denominators":{"over_canary":"scan_canary_median","over_basket":"canary_basket_median"},"reps":$reps,"reps_spread":$repsSpread%.3f,"reps_spread_p95":$spreadP95%.3f,"spread_top":$spreadTopJson,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // the driver parses a bounded stdout tail, which truncates on a
     // 214-query surface (BENCH_r13.json carried parsed: null) — also
@@ -172,7 +189,7 @@ object Bench {
     // object: totals, normalizations and spread in < 500 chars; the
     // full per-query map stays in the line above and in the summary
     // file
-    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_scale_headline":$headline%.3f,"canary_s":$canaryJson,"canary_basket_s":$basketJson,"total_over_canary":$totalScanJson,"headline_over_canary":$headlineScanJson,"total_over_basket":$totalBasketJson,"headline_over_basket":$headlineBasketJson,"reps":$reps,"reps_spread":$repsSpread%.3f,"n_queries":${results.size},"queries_full":"BENCH_SUMMARY.json","sf":"$sfDir"}"""
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_scale_headline":$headline%.3f,"canary_s":$canaryJson,"canary_basket_s":$basketJson,"total_over_canary":$totalScanJson,"headline_over_canary":$headlineScanJson,"total_over_basket":$totalBasketJson,"headline_over_basket":$headlineBasketJson,"reps":$reps,"reps_spread":$repsSpread%.3f,"reps_spread_p95":$spreadP95%.3f,"n_queries":${results.size},"queries_full":"BENCH_SUMMARY.json","sf":"$sfDir"}"""
     println(compact)
     spark.stop()
   }

@@ -150,4 +150,186 @@ object Introspection {
         max = Option(r.getAs[String](s"${f.name}__max")))
     }
   }
+
+  /** One of a column's most frequent values (value-count pair). */
+  final case class TopValue(value: String, n: Long)
+
+  /** Fixed-width histogram bin over `[lo, hi)` (last bin closed). */
+  final case class HistBin(lo: Double, hi: Double, n: Long)
+
+  /** ydata-minimal-grade per-column profile: the [[ColumnProfile]]
+    * basics plus numeric moments + approximate quantiles + zero /
+    * negative counts, string length stats, top-k frequent values and
+    * a fixed-width histogram — the stats the reference's workbench
+    * profiling pane (workbench/app.py:471-481, ydata
+    * `minimal=True`) renders per column.
+    */
+  final case class DeepColumnProfile(
+      base: ColumnProfile,
+      mean: Option[Double] = None, stddev: Option[Double] = None,
+      // p05, p25, p50, p75, p95
+      quantiles: Option[Seq[Double]] = None,
+      zeros: Option[Long] = None, negatives: Option[Long] = None,
+      lenMin: Option[Long] = None, lenAvg: Option[Double] = None,
+      lenMax: Option[Long] = None,
+      topValues: Seq[TopValue] = Nil,
+      histogram: Seq[HistBin] = Nil)
+
+  /** Deep profile in a BOUNDED number of scans — never a per-column
+    * job, never a driver-side materialization of the relation (the
+    * reference hands the whole result frame to ydata-profiling in
+    * pandas; at warehouse scale that is the one design that cannot
+    * survive, so each stat family here is a map-side-combinable
+    * aggregate):
+    *
+    *  1. one scan for every single-row aggregate — the
+    *     [[profileRelation]] basics plus numeric mean / stddev /
+    *     zeros / negatives / `percentile_approx` quantiles and
+    *     string length min/avg/max for ALL columns at once;
+    *  2. one scan for top-k frequent values, restricted to columns
+    *     whose approx distinct count is ≤ `topKMaxDistinct` — the
+    *     columns are exploded to (column, value) pairs and counted in
+    *     ONE keyed aggregate, so the shuffle after partial
+    *     aggregation is bounded by Σ per-column distincts, and a
+    *     near-unique ID column can never force an n-row shuffle (it
+    *     is simply ineligible, exactly the cardinality condition
+    *     under which "top values" is informative at all);
+    *  3. one scan for histograms over the numeric columns with a
+    *     non-degenerate [min, max] from pass 1 — same explode-once
+    *     pattern with `bins` fixed buckets per column, so the shuffle
+    *     carries ≤ columns × bins rows.
+    *
+    * Collected output is ≤ columns × (topK + bins + 1) rows by
+    * construction — safe to return regardless of relation size.
+    */
+  def profileRelationDeep(spark: SparkSession, relation: String,
+      topK: Int = 5, bins: Int = 10,
+      topKMaxDistinct: Long = 1000L): Seq[DeepColumnProfile] = {
+    import org.apache.spark.sql.functions._
+    val df = spark.table(relation)
+    val fields = df.schema.fields.toSeq
+    if (fields.isEmpty) return Nil
+    val numeric = fields.filter(_.dataType.isInstanceOf[NumericType])
+    val stringy = fields.filter(_.dataType.isInstanceOf[StringType])
+
+    // pass 1: every single-row aggregate at once
+    val aggs = count(lit(1)).as("__n") +: (fields.flatMap { f =>
+      val c = col(f.name)
+      Seq(
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}__nulls"),
+        approx_count_distinct(c).as(s"${f.name}__dist"),
+        min(c).cast("string").as(s"${f.name}__min"),
+        max(c).cast("string").as(s"${f.name}__max"))
+    } ++ numeric.flatMap { f =>
+      val d = col(f.name).cast("double")
+      Seq(
+        avg(d).as(s"${f.name}__mean"),
+        stddev_samp(d).as(s"${f.name}__std"),
+        sum(when(d === 0d, 1L).otherwise(0L)).as(s"${f.name}__zeros"),
+        sum(when(d < 0d, 1L).otherwise(0L)).as(s"${f.name}__negs"),
+        min(d).as(s"${f.name}__dmin"),
+        max(d).as(s"${f.name}__dmax"),
+        percentile_approx(d,
+          array(lit(0.05), lit(0.25), lit(0.5), lit(0.75), lit(0.95)),
+          lit(2500)).as(s"${f.name}__q"))
+    } ++ stringy.flatMap { f =>
+      val l = length(col(f.name))
+      Seq(
+        min(l).cast("long").as(s"${f.name}__lmin"),
+        avg(l).as(s"${f.name}__lavg"),
+        max(l).cast("long").as(s"${f.name}__lmax"))
+    })
+    val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    def optD(k: String): Option[Double] =
+      if (r.isNullAt(r.fieldIndex(k))) None else Some(r.getAs[Double](k))
+    def optL(k: String): Option[Long] =
+      if (r.isNullAt(r.fieldIndex(k))) None else Some(r.getAs[Long](k))
+    val basics = fields.map { f =>
+      f.name -> ColumnProfile(f.name, f.dataType.simpleString,
+        nRows = r.getAs[Long]("__n"),
+        nNulls = r.getAs[Long](s"${f.name}__nulls"),
+        approxDistinct = r.getAs[Long](s"${f.name}__dist"),
+        min = Option(r.getAs[String](s"${f.name}__min")),
+        max = Option(r.getAs[String](s"${f.name}__max")))
+    }.toMap
+
+    // pass 2: top-k frequent values over the cardinality-eligible set
+    val eligible = fields.filter { f =>
+      val b = basics(f.name)
+      b.approxDistinct > 0 && b.approxDistinct <= topKMaxDistinct
+    }
+    val topVals: Map[String, Seq[TopValue]] =
+      if (eligible.isEmpty || topK <= 0) Map.empty
+      else {
+        val kv = eligible.flatMap(f =>
+          Seq(lit(f.name), col(f.name).cast("string")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("__pc").orderBy(col("__pn").desc, col("__pv"))
+        df.select(explode(map(kv: _*)).as(Seq("__pc", "__pv")))
+          .filter(col("__pv").isNotNull)
+          .groupBy("__pc", "__pv").agg(count(lit(1)).as("__pn"))
+          .withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") <= topK)
+          .collect().toSeq
+          .groupBy(_.getAs[String]("__pc"))
+          .map { case (c, rows) =>
+            c -> rows.sortBy(_.getAs[Int]("__rk"))
+              .map(x => TopValue(x.getAs[String]("__pv"), x.getAs[Long]("__pn")))
+          }
+      }
+
+    // pass 3: fixed-width histograms over non-degenerate numeric cols
+    val histCols = numeric.flatMap { f =>
+      (optD(s"${f.name}__dmin"), optD(s"${f.name}__dmax")) match {
+        case (Some(lo), Some(hi)) if hi > lo => Some((f, lo, hi))
+        case _ => None
+      }
+    }
+    val hists: Map[String, Seq[HistBin]] =
+      if (histCols.isEmpty || bins <= 0) Map.empty
+      else {
+        val kv = histCols.flatMap { case (f, lo, hi) =>
+          val d = col(f.name).cast("double")
+          // bucket 0..bins-1; the max value closes the last bin
+          val b = least(floor((d - lit(lo)) / lit(hi - lo) * lit(bins))
+            .cast("long"), lit(bins - 1L))
+          Seq(lit(f.name), when(d.isNull || isnan(d), lit(null)).otherwise(b))
+        }
+        val counts = df.select(explode(map(kv: _*)).as(Seq("__hc", "__hb")))
+          .filter(col("__hb").isNotNull)
+          .groupBy("__hc", "__hb").agg(count(lit(1)).as("__hn"))
+          .collect()
+          .groupBy(_.getAs[String]("__hc"))
+          .map { case (c, rows) =>
+            c -> rows.map(x => x.getAs[Long]("__hb") -> x.getAs[Long]("__hn")).toMap
+          }
+        histCols.map { case (f, lo, hi) =>
+          val byBin = counts.getOrElse(f.name, Map.empty[Long, Long])
+          val width = (hi - lo) / bins
+          f.name -> (0 until bins).map(i =>
+            HistBin(lo + i * width, if (i == bins - 1) hi else lo + (i + 1) * width,
+              byBin.getOrElse(i.toLong, 0L)))
+        }.toMap
+      }
+
+    fields.map { f =>
+      val isNum = f.dataType.isInstanceOf[NumericType]
+      val isStr = f.dataType.isInstanceOf[StringType]
+      DeepColumnProfile(
+        base = basics(f.name),
+        mean = if (isNum) optD(s"${f.name}__mean") else None,
+        stddev = if (isNum) optD(s"${f.name}__std") else None,
+        quantiles =
+          if (isNum && !r.isNullAt(r.fieldIndex(s"${f.name}__q")))
+            Some(r.getSeq[Double](r.fieldIndex(s"${f.name}__q")))
+          else None,
+        zeros = if (isNum) optL(s"${f.name}__zeros") else None,
+        negatives = if (isNum) optL(s"${f.name}__negs") else None,
+        lenMin = if (isStr) optL(s"${f.name}__lmin") else None,
+        lenAvg = if (isStr) optD(s"${f.name}__lavg") else None,
+        lenMax = if (isStr) optL(s"${f.name}__lmax") else None,
+        topValues = topVals.getOrElse(f.name, Nil),
+        histogram = hists.getOrElse(f.name, Nil))
+    }
+  }
 }

@@ -198,26 +198,69 @@ final class SqlProxy(executor: ModelExecutor, port: Int = 0,
     * approx_distinct, min, max}]}`. Cost is one read of the relation
     * regardless of column count, so the pane stays usable on wide
     * tables.
+    *
+    * `POST /profile {"relation": …, "deep": true}` upgrades to the
+    * ydata-minimal-grade profile
+    * ([[graft.core.Introspection.profileRelationDeep]] — numeric
+    * moments/quantiles, string length stats, top-k frequent values,
+    * histograms) in three bounded scans; the extra per-column fields
+    * are `mean, stddev, quantiles, zeros, negatives, len_min,
+    * len_avg, len_max, top_values: [{value, n}], histogram:
+    * [{lo, hi, n}]`.
     */
   private def handleProfile(ex: HttpExchange): (Int, String) = {
     val req = mapper.readTree(new String(
       ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
     val relation = Option(req.get("relation")).map(_.asText()).getOrElse(
       throw new IllegalArgumentException("missing 'relation'"))
+    val deep = Option(req.get("deep")).exists(_.asBoolean(false))
     val out = mapper.createObjectNode()
     out.put("relation", relation)
+    out.put("deep", deep)
     val cols = out.putArray("columns")
-    graft.core.Introspection.profileRelation(executor.session, relation)
-      .foreach { p =>
-        val c = cols.addObject()
-        c.put("column", p.column)
-        c.put("dtype", p.dtype)
-        c.put("n_rows", p.nRows)
-        c.put("n_nulls", p.nNulls)
-        c.put("approx_distinct", p.approxDistinct)
-        p.min.fold[Unit](c.putNull("min"))(v => { c.put("min", v); () })
-        p.max.fold[Unit](c.putNull("max"))(v => { c.put("max", v); () })
-      }
+    def putBase(c: com.fasterxml.jackson.databind.node.ObjectNode,
+        p: graft.core.Introspection.ColumnProfile): Unit = {
+      c.put("column", p.column)
+      c.put("dtype", p.dtype)
+      c.put("n_rows", p.nRows)
+      c.put("n_nulls", p.nNulls)
+      c.put("approx_distinct", p.approxDistinct)
+      p.min.fold[Unit](c.putNull("min"))(v => { c.put("min", v); () })
+      p.max.fold[Unit](c.putNull("max"))(v => { c.put("max", v); () })
+    }
+    if (!deep) {
+      graft.core.Introspection.profileRelation(executor.session, relation)
+        .foreach { p => putBase(cols.addObject(), p) }
+    } else {
+      graft.core.Introspection.profileRelationDeep(executor.session, relation)
+        .foreach { d =>
+          val c = cols.addObject()
+          putBase(c, d.base)
+          d.mean.foreach(c.put("mean", _))
+          d.stddev.foreach(c.put("stddev", _))
+          d.quantiles.foreach { q =>
+            val a = c.putArray("quantiles"); q.foreach(a.add)
+          }
+          d.zeros.foreach(c.put("zeros", _))
+          d.negatives.foreach(c.put("negatives", _))
+          d.lenMin.foreach(c.put("len_min", _))
+          d.lenAvg.foreach(c.put("len_avg", _))
+          d.lenMax.foreach(c.put("len_max", _))
+          if (d.topValues.nonEmpty) {
+            val a = c.putArray("top_values")
+            d.topValues.foreach { tv =>
+              val o = a.addObject(); o.put("value", tv.value); o.put("n", tv.n)
+            }
+          }
+          if (d.histogram.nonEmpty) {
+            val a = c.putArray("histogram")
+            d.histogram.foreach { hb =>
+              val o = a.addObject()
+              o.put("lo", hb.lo); o.put("hi", hb.hi); o.put("n", hb.n)
+            }
+          }
+        }
+    }
     (200, out.toString)
   }
 
@@ -377,18 +420,40 @@ object SqlProxy {
       |    $('sql').value=j.sql;
       |  }).catch(e=>$('err').textContent=e);
       |};
+      |function spark(h){
+      |  if(!h||!h.length)return '';
+      |  const m=Math.max(...h.map(b=>b.n),1),g='▁▂▃▄▅▆▇█';
+      |  return h.map(b=>g[Math.min(7,Math.round(b.n/m*7))]).join('');
+      |}
       |function profile(t){
       |  $('err').textContent='';$('out').innerHTML='profiling…';
-      |  fetch('/profile',{method:'POST',body:JSON.stringify({relation:t})})
+      |  fetch('/profile',{method:'POST',body:JSON.stringify(
+      |    {relation:t,deep:true})})
       |  .then(r=>r.json()).then(j=>{
       |    if(j.error){$('err').textContent=j.error;$('out').innerHTML='';return;}
       |    const ks=['column','dtype','n_rows','n_nulls','approx_distinct',
       |      'min','max'];
+      |    const fmt=v=>typeof v==='number'&&!Number.isInteger(v)
+      |      ?v.toPrecision(4):v;
       |    $('out').innerHTML='<b>profile: '+esc(j.relation)+'</b>'+
-      |      '<table><tr>'+ks.map(k=>'<th>'+k+'</th>').join('')+'</tr>'+
+      |      '<table><tr>'+ks.map(k=>'<th>'+k+'</th>').join('')+
+      |      '<th>mean±std</th><th>p05/p50/p95</th><th>len</th>'+
+      |      '<th>top values</th><th>hist</th></tr>'+
       |      j.columns.map(c=>'<tr>'+ks.map(k=>'<td>'+
-      |        (c[k]===null?'NULL':esc(c[k]))+'</td>').join('')+'</tr>')
-      |        .join('')+'</table>';
+      |        (c[k]===null||c[k]===undefined?'NULL':esc(c[k]))+'</td>')
+      |        .join('')+
+      |        '<td>'+(c.mean!==undefined?esc(fmt(c.mean))+'±'+
+      |          esc(fmt(c.stddev!==undefined?c.stddev:0)):'')+'</td>'+
+      |        '<td>'+(c.quantiles?[0,2,4].map(i=>esc(fmt(c.quantiles[i])))
+      |          .join(' / '):'')+'</td>'+
+      |        '<td>'+(c.len_min!==undefined?c.len_min+'/'+
+      |          esc(fmt(c.len_avg))+'/'+c.len_max:'')+'</td>'+
+      |        '<td>'+(c.top_values?c.top_values.map(v=>esc(v.value)+
+      |          '×'+v.n).join(', '):'')+'</td>'+
+      |        '<td title="'+(c.histogram?esc(fmt(c.histogram[0].lo))+' … '+
+      |          esc(fmt(c.histogram[c.histogram.length-1].hi)):'')+'">'+
+      |          spark(c.histogram)+'</td>'+
+      |        '</tr>').join('')+'</table>';
       |  }).catch(e=>$('err').textContent=e);
       |}
       |function run(){

@@ -136,6 +136,31 @@ class SqlProxySpec extends AnyFunSuite {
     assert(bad == 400 && err.get("error") != null)
   }
 
+  test("POST /profile deep=true serves the ydata-grade profile (A46)") {
+    val (code, json) = post("/profile",
+      """{"relation": "region_lookup", "deep": true}""")
+    assert(code == 200, json.toString)
+    assert(json.get("deep").asBoolean())
+    val cols = json.get("columns")
+    val byName = (0 until cols.size()).map(cols.get)
+      .map(c => c.get("column").asText() -> c).toMap
+    val id = byName("region_id")
+    // base stats ride along unchanged
+    assert(id.get("n_rows").asLong() == 2L)
+    assert(id.get("approx_distinct").asLong() == 2L)
+    // numeric extras: mean/stddev/quantiles/zeros/negatives
+    assert(math.abs(id.get("mean").asDouble() - 1.5) < 1e-9)
+    assert(id.get("quantiles").size() == 5)
+    assert(id.get("zeros").asLong() == 0L)
+    assert(id.get("negatives").asLong() == 0L)
+    assert(id.get("histogram").size() > 0)
+    // string extras: length stats + top values; no numeric block
+    val nm = byName("region_name")
+    assert(nm.get("len_min").asLong() == 5L)
+    assert(nm.get("top_values").size() == 2)
+    assert(nm.get("mean") == null && nm.get("histogram") == null)
+  }
+
   test("POST /ai op=doc synthesizes docs into the in-memory manifest (A46)") {
     val (code, json) = post("/ai", """{"op": "doc", "table": "customers"}""")
     assert(code == 200, json.toString)

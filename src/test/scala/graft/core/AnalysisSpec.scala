@@ -322,4 +322,51 @@ class AnalysisSpec extends AnyFunSuite {
     assert(p("id").approxDistinct == 3 && p("tag").approxDistinct == 2)
     assert(p("score").approxDistinct == 2)
   }
+
+  test("profileRelationDeep: moments, quantiles, top-k, histogram — hand-computed") {
+    val spark = graft.TestSpark.session
+    import spark.implicits._
+    Seq(
+      (1L, Some("a"), 0.0, 7.0),
+      (2L, Some("a"), -2.0, 7.0),
+      (3L, Some("b"), 4.0, 7.0),
+      (4L, None, 6.0, 7.0),
+      (5L, Some("a"), 10.0, 7.0))
+      .toDF("id", "tag", "score", "const")
+      .createOrReplaceTempView("profile_deep_demo")
+    val p = Introspection.profileRelationDeep(spark, "profile_deep_demo",
+      topK = 2, bins = 4, topKMaxDistinct = 3)
+      .map(d => d.base.column -> d).toMap
+    // numeric moments: mean (0-2+4+6+10)/5 = 3.6; sample variance 22.8
+    assert(math.abs(p("score").mean.get - 3.6) < 1e-9)
+    assert(math.abs(p("score").stddev.get - math.sqrt(22.8)) < 1e-9)
+    assert(p("score").zeros.contains(1L) && p("score").negatives.contains(1L))
+    // histogram over [-2, 10] in 4 bins of width 3:
+    // [-2,1): {0,-2}  [1,4): {}  [4,7): {4,6}  [7,10]: {10}
+    assert(p("score").histogram.map(_.n) == Seq(2L, 0L, 2L, 1L))
+    assert(p("score").histogram.head.lo == -2.0)
+    assert(p("score").histogram.last.hi == 10.0)
+    // id has 5 distinct > topKMaxDistinct=3 — ineligible for top-k by
+    // the cardinality gate (the near-unique-column shuffle guard);
+    // its histogram still lands: [1,5] in 4 bins → 1,1,1,{4,5}
+    assert(p("id").topValues.isEmpty)
+    assert(p("id").histogram.map(_.n) == Seq(1L, 1L, 1L, 2L))
+    // tag: top-2 by count then value; nulls excluded from the census
+    assert(p("tag").topValues ==
+      Seq(Introspection.TopValue("a", 3L), Introspection.TopValue("b", 1L)))
+    assert(p("tag").lenMin.contains(1L) && p("tag").lenMax.contains(1L))
+    assert(p("tag").lenAvg.contains(1.0))
+    // constant numeric: degenerate [min,max] → no histogram; its one
+    // distinct value IS the top value (rendered via the string cast)
+    assert(p("const").histogram.isEmpty)
+    assert(p("const").topValues == Seq(Introspection.TopValue("7.0", 5L)))
+    // quantile vector is the 5-point p05..p95, monotone, in range
+    val q = p("score").quantiles.get
+    assert(q.size == 5 && q == q.sorted && q.head >= -2.0 && q.last <= 10.0)
+    // stat families stay type-gated
+    assert(p("tag").mean.isEmpty && p("score").lenMin.isEmpty)
+    assert(p("tag").histogram.isEmpty)
+    // base stats match the one-pass profile on the same relation
+    assert(p("score").base.nRows == 5 && p("tag").base.nNulls == 1)
+  }
 }
