@@ -38,6 +38,29 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     Tables.lineitem(spark, sfDir).count() // warm-up: JVM + parquet footer reads
+    // warm-up 2: one-time expression-runtime class initialization.
+    // Thread dumps of the r15 profile run showed the FIRST evaluation
+    // of lower()/initcap-family expressions paying a ~4 s, once-per-
+    // JVM static init of the ICU collation tables
+    // (CollationAwareUTF8String.<clinit> — 31 of 32 tasks parked on
+    // the class-init monitor), charged to whichever query evaluates
+    // it first in sweep 1 and inflating that query's reps_spread.
+    // Evaluate each hot expression family once on a 1-row relation so
+    // startup cost lands here, not inside a timed query (guide §1:
+    // the warm-up absorbs session/codegen startup).
+    locally {
+      import org.apache.spark.sql.functions._
+      graft.functions.GraftFunctions.register(spark)
+      spark.range(1)
+        .select(concat_ws(" ", lit("Warm Up"), col("id").cast("string"))
+          .as("t"))
+        .select(lower(col("t")).as("lo"), upper(col("t")).as("up"),
+          sha2(col("t").cast("binary"), 256).as("h"),
+          regexp_replace(col("t"), "\\s+", " ").as("re"),
+          call_function("fnv64", col("t")).as("f"),
+          graft.operators.Dedup.minhashSignature(col("t"), 3, 4).as("sig"))
+        .write.format("noop").mode("overwrite").save()
+    }
 
     // optional comma-separated subset filter for focused runs
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
@@ -65,6 +88,9 @@ object Bench {
       "window" -> (() => queries.Relational.q09(spark, sfDir)))
     def runCanary(name: String,
         fn: () => org.apache.spark.sql.DataFrame): Double = {
+      // guide §1.5: label jobs so event-log/UI stage time attributes
+      // to its query; description is thread-local and timing-neutral
+      spark.sparkContext.setJobDescription(s"canary:$name")
       val t0 = System.nanoTime()
       try {
         fn().write.mode("overwrite")
@@ -73,7 +99,7 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] canary $name failed: ${e.getMessage}")
         Double.NaN
-      }
+      } finally spark.sparkContext.setJobDescription(null)
     }
     val canarySamples =
       scala.collection.mutable.Map.empty[String, List[Double]]
@@ -84,6 +110,7 @@ object Bench {
         if (!c.isNaN) canarySamples(cn) = canarySamples(cn) :+ c
       }
       selected.map { case (name, fn) =>
+        spark.sparkContext.setJobDescription(name)
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.mode("overwrite")
@@ -92,6 +119,7 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
+        finally spark.sparkContext.setJobDescription(null)
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
     }

@@ -867,9 +867,17 @@ object CorpusOps {
     val tgt = cumg.join(broadcast(ng), "grp").crossJoin(broadcast(tot))
       .withColumn("target", expr(
         "CAST((CAST(q AS DECIMAL(38,0)) * n_tot + n_g - 1) div n_g AS LONG)"))
-    val lookup = tgt.join(broadcast(gcum), col("gcum") >= col("target"))
-      .groupBy("grp", "score", "q", "n_g")
-      .agg(min("gs").as("norm_score"))
+    // quantile lookup: min{gs : gcum(gs) ≥ target} via the sharded
+    // ceiling search — the former broadcast ≥-join compared (and
+    // OUTPUT) |targets|·|gcum| rows, O(D²) in distinct scores (the
+    // r15 profile: 3,933 histogram rows → 1.06 M joined rows at
+    // sf0.1). gcum is strictly increasing over gs, so the row with
+    // the minimal qualifying gcum carries exactly min(gs).
+    val lookup = Prefix.shardedCeilLookup(gcum, "gcum", Seq("gs"),
+        tgt.select("grp", "score", "q", "n_g", "target"), "target")
+      .filter(col("gs").isNotNull) // the ≥-join was inner
+      .select(col("grp"), col("score"), col("q"), col("n_g"),
+        col("gs").as("norm_score"))
     base.join(lookup, Seq("grp", "score"))
       .select("doc_id", "grp", "score", "q", "n_g", "norm_score")
   }
@@ -1098,11 +1106,13 @@ object CorpusOps {
     val rows = batch.select(col(idCol).as("doc_id"),
       col(scoreCol).cast("long").as("score"))
     val scores = rows.select("score").distinct()
-    val lookup = scores
-      .join(broadcast(cum), col("rs") <= col("score"), "left")
-      .groupBy("score")
-      .agg(max(struct(col("rs"), col("rc"))).as("__m"))
-      .select(col("score"), coalesce(col("__m.rc"), lit(0L)).as("ref_cum"))
+    // predecessor search: max{rs : rs ≤ score} with its rc, via the
+    // sharded floor lookup — the former broadcast ≤-join compared
+    // (and OUTPUT) |batch scores|·|reference scores| rows, O(D²) in
+    // distinct scores on both sides
+    val lookup = Prefix.shardedFloorLookup(cum, "rs", Seq("rc"),
+        scores, "score")
+      .select(col("score"), coalesce(col("rc"), lit(0L)).as("ref_cum"))
     rows.join(lookup, "score")
       .crossJoin(broadcast(nRef))
       .select(col("doc_id"), col("score"), col("ref_cum"),

@@ -51,6 +51,165 @@ object Prefix {
     *             row's key inside its `partCols` group.
     * @return `hist`'s columns plus the output cumulative columns.
     */
+  /** Ceiling lookup against a cumulative relation WITHOUT the
+    * quadratic inequality join: for every `targets` row, the columns
+    * of the `cum` row with the SMALLEST `cValCol` that is `>=` the
+    * target's `tValCol` (null when no such row — the caller decides
+    * whether that is a drop, like the inner ≥-join it replaces, or a
+    * default).
+    *
+    * The r15 profile found the previous shape — `targets
+    * .join(broadcast(cum), cum >= tgt).groupBy(...).agg(min(key))` —
+    * evaluated as a BroadcastNestedLoopJoin whose compare count AND
+    * output row count are |targets|·|cum| (t118 at sf0.1: 3,933
+    * histogram rows → 1.06 M joined rows before the min; both
+    * relations grow with distinct corpus scores, so the shape is
+    * O(D²) — a scale-killer for exactly the relations
+    * [[shardedCum]] exists to keep linear). This helper computes the
+    * same answer as a sorted-merge: union the two relations tagged,
+    * range-bucket on the compared value (the [[shardedCum]]
+    * discipline — bucket order IS value order), take a within-bucket
+    * running MIN of the cum-side struct over a (current →
+    * unbounded following) frame, and resolve cross-bucket answers
+    * with a suffix-MIN over the ≤ `targetBuckets` per-bucket minima.
+    * O((|cum|+|targets|)·log) work, nothing quadratic, nothing
+    * single-partition.
+    *
+    * Contract — the caller guarantees:
+    *  - `cValCol` is STRICTLY increasing over the cum relation within
+    *    a `partCols` group (true for every cumulative count built
+    *    from positive histogram counts), so the frame minimum is
+    *    deterministic and min-by-cVal equals min-by-any-payload that
+    *    increases with it;
+    *  - compared values are integral, NON-NULL on both sides, and the
+    *    range fits a Long with `targetBuckets` headroom (the
+    *    [[shardedCum]] envelope; null values raise loudly);
+    *  - `targets`' columns and `cPayload` names do not collide.
+    *
+    * @param cPayload cum-relation columns returned per target row
+    *                 (each null when no qualifying cum row exists).
+    * @return `targets`' columns plus `cPayload` columns.
+    */
+  def shardedCeilLookup(cum: DataFrame, cValCol: String,
+      cPayload: Seq[String], targets: DataFrame, tValCol: String,
+      partCols: Seq[String] = Nil, targetBuckets: Int = 4096): DataFrame =
+    shardedLookup(cum, cValCol, cPayload, targets, tValCol, partCols,
+      targetBuckets, ceil = true)
+
+  /** Floor lookup — the mirror of [[shardedCeilLookup]]: per target
+    * row, the cum row with the LARGEST `cValCol` that is `<=` the
+    * target's `tValCol` (null when none). Replaces the
+    * `targets.join(broadcast(cum), cKey <= tKey, "left")
+    * .groupBy(...).agg(max(struct(...)))` predecessor-search shape
+    * (the [[CorpusOps.percentileFromMap]] transform) with the same
+    * O(D²) → O(D·log) reduction, same contract.
+    */
+  def shardedFloorLookup(cum: DataFrame, cValCol: String,
+      cPayload: Seq[String], targets: DataFrame, tValCol: String,
+      partCols: Seq[String] = Nil, targetBuckets: Int = 4096): DataFrame =
+    shardedLookup(cum, cValCol, cPayload, targets, tValCol, partCols,
+      targetBuckets, ceil = false)
+
+  private def shardedLookup(cum: DataFrame, cValCol: String,
+      cPayload: Seq[String], targets: DataFrame, tValCol: String,
+      partCols: Seq[String], targetBuckets: Int, ceil: Boolean): DataFrame = {
+    require(targetBuckets > 0, s"targetBuckets must be > 0: $targetBuckets")
+    val tCols = targets.columns.toSeq
+    require(!tCols.exists(cPayload.contains),
+      s"targets and cPayload share column names: " +
+        tCols.filter(cPayload.contains).mkString(", "))
+    def guarded(c: Column, side: String): Column =
+      when(c.isNull, raise_error(lit(
+        s"shardedLookup: NULL compared value on the $side side - " +
+          "pre-aggregate or exclude the null group explicitly"))
+        .cast("long")).otherwise(c.cast("long"))
+    // tagged union: cum rows carry their payload struct (ordered by
+    // the compared value, so a struct extremum IS the value
+    // extremum), target rows carry every target column — nothing
+    // needs a second join back
+    val payloadType = cum.select(
+      struct(col(cValCol).cast("long").as("__lk_cv") +:
+        cPayload.map(col): _*).as("__lk_p")).schema("__lk_p").dataType
+    val tFull = targets.select(
+      partCols.map(col) ++ Seq(
+        guarded(col(tValCol), "target").as("__lk_v"), lit(0).as("__lk_c"),
+        lit(null).cast(payloadType).as("__lk_p")) ++
+        tCols.filterNot(partCols.contains).map(c =>
+          col(c).as(s"__lk_tc_$c")): _*)
+    val cFull = cum.select(
+      partCols.map(col) ++ Seq(
+        guarded(col(cValCol), "cum").as("__lk_v"), lit(1).as("__lk_c"),
+        struct(col(cValCol).cast("long").as("__lk_cv") +:
+          cPayload.map(col): _*).as("__lk_p")) ++
+        tCols.filterNot(partCols.contains).map(c =>
+          lit(null).cast(tFull.schema(s"__lk_tc_$c").dataType)
+            .as(s"__lk_tc_$c")): _*)
+    // pinned: the union is consumed twice (value bounds + the
+    // bucketed scan) and both inputs typically sit on expensive
+    // lineages (a shardedCum output on the cum side, a corpus
+    // aggregation on the target side) — without the pin the whole
+    // upstream pipeline executes twice (measured +0.4–0.8 s per call
+    // at sf0.1). Distinct-values-sized, the established checkpoint
+    // budget of every histogram caller.
+    val all = cFull.unionByName(tFull).localCheckpoint()
+    val bounds = all
+      .agg(min(col("__lk_v")).as("__lk_mn"), max(col("__lk_v")).as("__lk_mx"))
+      .select(col("__lk_mn"), greatest(lit(1L),
+          expr(s"(__lk_mx - __lk_mn + $targetBuckets) div $targetBuckets"))
+        .as("__lk_span"))
+    val pc: Seq[Column] = partCols.map(col)
+    val bucketed = Dedup.barrier(
+      all.crossJoin(broadcast(bounds))
+        .withColumn("__lk_bkt", expr("(__lk_v - __lk_mn) div __lk_span")),
+      pc :+ col("__lk_bkt"): _*)
+    // within-bucket answer: running MIN (ceil) of the cum struct over
+    // (current → end), target-before-cum at equal value so an exact
+    // hit qualifies — or the (start → current) MAX mirror for floor.
+    // cum-side rows have a strictly increasing __lk_v (contract), so
+    // the frame extremum is deterministic whatever the tie order
+    // among equal-valued targets (their __lk_p is null and skipped).
+    val wIn =
+      if (ceil)
+        Window.partitionBy(pc :+ col("__lk_bkt"): _*)
+          .orderBy(col("__lk_v").asc, col("__lk_c").asc)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      else
+        Window.partitionBy(pc :+ col("__lk_bkt"): _*)
+          .orderBy(col("__lk_v").asc, col("__lk_c").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val extremum: Column => Column = if (ceil) min(_) else max(_)
+    val local = bucketed.withColumn("__lk_loc", extremum(col("__lk_p")).over(wIn))
+    // per-bucket cum-side extrema over the SAME barrier exchange (the
+    // bucket domain includes target-only buckets, so the cross-bucket
+    // pass below can answer a target whose own bucket holds no cum
+    // row); ≤ targetBuckets rows per part group, a constant — then
+    // the strictly-before/after frame gives each bucket its
+    // cross-bucket fallback, and the tiny relation broadcasts back.
+    val bAgg = bucketed.groupBy(pc :+ col("__lk_bkt"): _*)
+      .agg(extremum(col("__lk_p")).as("__lk_b"))
+    val wB =
+      if (ceil)
+        Window.partitionBy(pc: _*).orderBy(col("__lk_bkt").asc)
+          .rowsBetween(1, Window.unboundedFollowing)
+      else
+        Window.partitionBy(pc: _*).orderBy(col("__lk_bkt").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+    val bOff = bAgg
+      .withColumn("__lk_off", extremum(col("__lk_b")).over(wB))
+      .select(pc ++ Seq(col("__lk_bkt"), col("__lk_off")): _*)
+    val joined = local.join(broadcast(bOff), partCols :+ "__lk_bkt")
+    val ansExpr =
+      if (ceil) least(col("__lk_loc"), col("__lk_off"))
+      else greatest(col("__lk_loc"), col("__lk_off"))
+    joined.filter(col("__lk_c") === 0)
+      .withColumn("__lk_ans", ansExpr)
+      .select(
+        partCols.map(col) ++
+          tCols.filterNot(partCols.contains).map(c =>
+            col(s"__lk_tc_$c").as(c)) ++
+          cPayload.map(p => col(s"__lk_ans.$p").as(p)): _*)
+  }
+
   def shardedCum(hist: DataFrame, keyCol: String,
       sums: Seq[(String, String)], partCols: Seq[String] = Nil,
       targetBuckets: Int = 4096): DataFrame = {

@@ -458,6 +458,13 @@ object TimeJoins {
       .select(col("etype"), col("n_t"),
         explode(sequence(lit(1L), lit(9L))).as("decile"))
       .withColumn("tgt", expr("(decile * n_t + 9) div 10"))
+    // decile lookup stays the equi-join + ≥ filter + min: targets are
+    // a CONSTANT 9 rows per etype, so the join's compare/output mass
+    // is ≤ 9·|histogram| — linear, not the O(D²) shape
+    // [[Prefix.shardedCeilLookup]] exists for. Measured r15: the
+    // sharded lookup here cost 7.3 s vs 4.0 s at sf0.1 (its extra
+    // barrier + windows over the histogram outweigh the 9× min-agg
+    // at every scale when the target side is constant-bounded).
     cum.join(broadcast(targets), Seq("etype"))
       .filter(col("cum") >= col("tgt"))
       .groupBy("etype", "decile", "n_t")
@@ -760,6 +767,10 @@ object TimeJoins {
     // cumulative rides the two-phase sharded prefix sum instead
     val cum = Prefix.shardedCum(hist, "v", Seq("cnt" -> "cum"),
       partCols = Seq("metric"))
+    // quartile lookup stays the equi-join + ≥ filter + min: a CONSTANT
+    // 3 targets per metric keeps the join mass ≤ 3·|histogram| —
+    // linear; the sharded ceiling search measured slower here
+    // (same finding as gapDeciles, r15)
     val thr = cum
       .join(broadcast(nM
         .select(col("metric"), explode(sequence(lit(1L), lit(3L))).as("q"),
@@ -902,6 +913,10 @@ object TimeJoins {
         lit(trainPct.toLong), lit((trainPct + valPct).toLong))).as("pct"),
         col("n"))
       .withColumn("tgt", expr("(pct * n + 99) div 100"))
+    // cut lookup stays the broadcast ≥-join + min: a CONSTANT 2
+    // targets keeps the join mass ≤ 2·|histogram| — linear; the
+    // sharded ceiling search measured slower here (same finding as
+    // gapDeciles, r15)
     val thr = cum.join(broadcast(targets), col("cum") >= col("tgt"))
       .groupBy("pct").agg(min("tsu").as("cut"))
     val wide = thr.agg(

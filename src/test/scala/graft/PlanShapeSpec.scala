@@ -277,14 +277,20 @@ class PlanShapeSpec extends AnyFunSuite {
         if w.partitionSpec.isEmpty => w
     }
     wins.foreach { w =>
+      // Prefix's two constant-bounded per-bucket relations: the
+      // shardedCum totals (grouped on __pfx_bkt) and the
+      // sharded lookup's per-bucket extrema (grouped on __lk_bkt) —
+      // both ≤ targetBuckets rows per group by construction
       val overBucketTotals = w.child.collectFirst {
         case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-          if a.groupingExpressions.exists(_.toString.contains("__pfx_bkt"))
+          if a.groupingExpressions.exists(e =>
+            e.toString.contains("__pfx_bkt") ||
+              e.toString.contains("__lk_bkt"))
         => a
       }.isDefined
       assert(overBucketTotals,
         s"$name: unpartitioned window over a corpus-scaling relation " +
-          s"(only Prefix bucket totals may ride one):\n$w")
+          s"(only Prefix bucket totals/extrema may ride one):\n$w")
     }
   }
 
