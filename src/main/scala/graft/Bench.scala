@@ -34,6 +34,17 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // shuffle writer: the bypass-merge writer opens R partition
+      // files per MAP task (R × M tiny files + a concat per task at
+      // bench partition counts), and the r15 A/B measured the
+      // sort-based writer (one spill file + index per task) 25–40%
+      // faster on the checkpoint/store-heavy queries at sf0.1 in the
+      // same machine window (t143 10.2→6.0 s, t80 8.3→6.1 s). At
+      // production partition counts (>200 reducers) the sort writer
+      // is what runs anyway — this only aligns small-width shuffles
+      // with it. Env-overridable for A/B.
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_BYPASS", "2"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

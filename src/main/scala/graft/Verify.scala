@@ -16,6 +16,11 @@ object Verify {
       // (converted explicitly where timestamps are needed).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // sort-based shuffle writer for small-width shuffles too — the
+      // r15 A/B finding (see Bench.scala); purely an execution-layer
+      // choice, never visible in results
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_BYPASS", "2"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
