@@ -156,7 +156,11 @@ object CorpusOps {
   private def shingleFps(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    df.select(col(idCol).as("doc_id"),
+    // shingle+fnv runs map-side in the scan stage (the downstream
+    // broadcast join/agg drops rows before any exchange) — guard
+    // low-split scans so it parallelizes
+    ScanGuard.lowSplit(df, idCol)
+      .select(col(idCol).as("doc_id"),
         explode(Dedup.shingles(col(textCol), n)).as("g"))
       .select(col("doc_id"), call_function("fnv64", col("g")).as("shingle"))
   }
@@ -167,7 +171,8 @@ object CorpusOps {
     val hits = shingleFps(train, idCol, textCol, n)
       .join(broadcast(benchSet), "shingle")
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
-    train.select(col(idCol).as("doc_id"),
+    ScanGuard.lowSplit(train, idCol)
+      .select(col(idCol).as("doc_id"),
         size(Dedup.shingles(col(textCol), n)).cast("long").as("n_shingles"))
       .join(hits, Seq("doc_id"), "left")
       .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
@@ -3661,12 +3666,16 @@ object CorpusOps {
     */
   def exactPhraseDecontaminate(train: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, probeWords: Int = 8): DataFrame = {
-    val probes = bench
+    // both sides do heavy per-row string work in their scan stage
+    // (bench: tokenize; train: |probes| contains() per document) —
+    // guard low-split scans so it parallelizes (r15: t98's two
+    // single-task 2 s stages → 32-way, 4.4 s → 1.1 s at sf0.1)
+    val probes = ScanGuard.lowSplit(bench, idCol)
       .select(TextFunctions.tokens(col(textCol)).as("ws"))
       .filter(size(col("ws")) >= probeWords)
       .select(concat_ws(" ", slice(col("ws"), 1, probeWords)).as("probe"))
       .agg(sort_array(collect_set(col("probe"))).as("probes"))
-    train.crossJoin(broadcast(probes))
+    ScanGuard.lowSplit(train, idCol).crossJoin(broadcast(probes))
       .select(col(idCol).as("doc_id"),
         size(filter(col("probes"), p => col(textCol).contains(p)))
           .cast("long").as("n_hits"))
@@ -3995,10 +4004,14 @@ object CorpusOps {
     */
   private def queryTf(docs: DataFrame, idCol: String, textCol: String,
       qterms: DataFrame): (DataFrame, DataFrame) = {
-    val dl = docs.select(col(idCol).as("doc_id"),
+    // both passes tokenize the corpus map-side IN the scan stage (the
+    // qterms semi-join drops almost every row before the first
+    // exchange) — guard low-split scans so that work parallelizes
+    val d = ScanGuard.lowSplit(docs, idCol)
+    val dl = d.select(col(idCol).as("doc_id"),
       TextFunctions.nTokens(col(textCol)).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_tokens"))
-    val tf = docs.select(col(idCol).as("doc_id"),
+    val tf = d.select(col(idCol).as("doc_id"),
         TextFunctions.nTokens(col(textCol)).as("dl"),
         explode(TextFunctions.tokens(col(textCol))).as("term"))
       .join(broadcast(qterms.select("term").distinct()), "term")

@@ -42,8 +42,20 @@ object ExplainAudit {
       val scans = "Scan parquet".r.findAllIn(plan).size
       val readSchemas = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(plan)
         .map(_.group(1).count(_ == ',') + 1).toSeq
+      // scale red flags: nested-loop joins that are NOT the benign
+      // 1-row bounds/stats cross joins (those have Join condition:
+      // None or an isnotnull guard over derived bucket columns), any
+      // cartesian product, and the exchange count
+      val bnlj = "BroadcastNestedLoopJoin (LeftOuter|Inner|LeftSemi)"
+        .r.findAllIn(plan).size
+      val cartesian = "CartesianProduct".r.findAllIn(plan).size
+      // formatted mode puts the partitioning in a detail line; count
+      // shuffle exchanges by their numbered operator headers
+      val exchanges = "\\(\\d+\\) Exchange\\b".r.findAllIn(plan).size
       println(s"$name: scans=$scans pushedFilterScans=$pushed " +
         s"broadcastJoins=$broadcasts sortMergeJoins=$sortMerge " +
+        s"nestedLoopJoins=$bnlj cartesian=$cartesian " +
+        s"exchanges=$exchanges " +
         s"codegenSpans=$codegenSpans readCols=${readSchemas.mkString("/")}")
       if (args.length > 1) println(plan)
     }

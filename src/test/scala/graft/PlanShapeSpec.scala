@@ -485,9 +485,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastExchange") ||
       plan.contains("BroadcastNestedLoopJoin"),
       "probe list must broadcast")
-    assert(!plan.contains("Exchange hashpartitioning") &&
-      !plan.contains("Exchange rangepartitioning"),
-      s"corpus-side shuffle appeared:\n${plan.take(1200)}")
+    // the ONLY legal corpus-side exchange is ScanGuard's explicit
+    // low-split redistribution (REPARTITION_BY_NUM on doc_id — fires
+    // here because the fixture is one row group; identity at
+    // production layouts). The JOIN itself must never shuffle the
+    // corpus: no ENSURE_REQUIREMENTS hash exchange, no range exchange.
+    val hashEx = "Exchange hashpartitioning[^\\n]*".r.findAllIn(plan).toSeq
+    assert(hashEx.forall(e => e.contains("REPARTITION_BY_NUM") &&
+      e.contains("doc_id")),
+      s"corpus-side join shuffle appeared:\n${hashEx.mkString("\n")}")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"corpus-side sort shuffle appeared:\n${plan.take(1200)}")
   }
 
   test("t99: mutuality is an equi-join over the pinned k-NN edges, no cross product") {
