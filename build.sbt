@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver parses the forked process's final stdout line as JSON.
+// Without an explicit outputStrategy, sbt decorates every forked stdout
+// line with "[info] ", which breaks that contract (BENCH_r*.json
+// parsed: null since round 1). StdoutOutput passes the child's stdout
+// through verbatim.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -26,25 +26,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // shared execution-layer defaults (shuffle writer choice, AQE,
+    // nanos-long parquet, UTC) live in SessionDefaults — one
+    // definition site for every graft face
+    val spark = SessionDefaults(SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // shuffle writer: the bypass-merge writer opens R partition
-      // files per MAP task (R × M tiny files + a concat per task at
-      // bench partition counts), and the r15 A/B measured the
-      // sort-based writer (one spill file + index per task) 25–40%
-      // faster on the checkpoint/store-heavy queries at sf0.1 in the
-      // same machine window (t143 10.2→6.0 s, t80 8.3→6.1 s). At
-      // production partition counts (>200 reducers) the sort writer
-      // is what runs anyway — this only aligns small-width shuffles
-      // with it. Env-overridable for A/B.
-      .config("spark.shuffle.sort.bypassMergeThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_BYPASS", "2"))
+      .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -16,14 +16,12 @@ import graft.project.ProjectLoader
   */
 object Cli {
   private def session(): SparkSession = {
-    val s = SparkSession.builder()
+    // shared execution-layer defaults — see SessionDefaults (this is
+    // the session the serve plane inherits via ModelExecutor)
+    val s = SessionDefaults(SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .appName("graft")
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

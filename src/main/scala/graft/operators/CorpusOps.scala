@@ -1110,7 +1110,12 @@ object CorpusOps {
     val nRef = hist.agg(sum("cnt").as("n_ref"))
     val rows = batch.select(col(idCol).as("doc_id"),
       col(scoreCol).cast("long").as("score"))
-    val scores = rows.select("score").distinct()
+    // a NULL batch score (or an unparseable cast) never equi-joins
+    // back in `rows.join(lookup, "score")`, so the pre-r15 broadcast
+    // ≤-join dropped it silently; keep that contract by excluding
+    // nulls from the lookup (shardedFloorLookup raises on NULL
+    // compared values by design)
+    val scores = rows.select("score").filter(col("score").isNotNull).distinct()
     // predecessor search: max{rs : rs ≤ score} with its rc, via the
     // sharded floor lookup — the former broadcast ≤-join compared
     // (and OUTPUT) |batch scores|·|reference scores| rows, O(D²) in

@@ -163,16 +163,23 @@ object Prefix {
         .withColumn("__lk_bkt", expr("(__lk_v - __lk_mn) div __lk_span")),
       pc :+ col("__lk_bkt"): _*)
     // within-bucket answer: running MIN (ceil) of the cum struct over
-    // (current → end), target-before-cum at equal value so an exact
-    // hit qualifies — or the (start → current) MAX mirror for floor.
-    // cum-side rows have a strictly increasing __lk_v (contract), so
-    // the frame extremum is deterministic whatever the tie order
-    // among equal-valued targets (their __lk_p is null and skipped).
+    // the rows with value ≥ the current one, cum-before-target at
+    // equal value so an exact hit qualifies — or the (start → current)
+    // MAX mirror for floor. The ceil side orders DESCENDING with a
+    // (start → current) frame rather than ascending with (current →
+    // end): the row sets are identical, but Spark implements the
+    // running frame in O(k) per partition while an
+    // unbounded-FOLLOWING frame recomputes the aggregate per row —
+    // O(k²) for a duplicate-heavy bucket (value-range bucketing
+    // bounds the value span, not the row count). cum-side rows have a
+    // strictly increasing __lk_v (contract), so the frame extremum is
+    // deterministic whatever the tie order among equal-valued targets
+    // (their __lk_p is null and skipped).
     val wIn =
       if (ceil)
         Window.partitionBy(pc :+ col("__lk_bkt"): _*)
-          .orderBy(col("__lk_v").asc, col("__lk_c").asc)
-          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+          .orderBy(col("__lk_v").desc, col("__lk_c").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       else
         Window.partitionBy(pc :+ col("__lk_bkt"): _*)
           .orderBy(col("__lk_v").asc, col("__lk_c").desc)
@@ -187,10 +194,13 @@ object Prefix {
     // cross-bucket fallback, and the tiny relation broadcasts back.
     val bAgg = bucketed.groupBy(pc :+ col("__lk_bkt"): _*)
       .agg(extremum(col("__lk_p")).as("__lk_b"))
+    // same running-frame mirror for the cross-bucket suffix pass:
+    // strictly-after in ascending bucket order == strictly-before in
+    // descending order, and the (start → -1) frame is O(buckets)
     val wB =
       if (ceil)
-        Window.partitionBy(pc: _*).orderBy(col("__lk_bkt").asc)
-          .rowsBetween(1, Window.unboundedFollowing)
+        Window.partitionBy(pc: _*).orderBy(col("__lk_bkt").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
       else
         Window.partitionBy(pc: _*).orderBy(col("__lk_bkt").asc)
           .rowsBetween(Window.unboundedPreceding, -1)

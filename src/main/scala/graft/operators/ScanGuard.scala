@@ -40,24 +40,46 @@ private[graft] object ScanGuard {
   private def estimatedSplits(df: DataFrame): Int = {
     import org.apache.spark.sql.execution.datasources.{
       HadoopFsRelation, LogicalRelation}
+    val session = df.sparkSession
     val maxSplit = math.max(1L,
-      df.sparkSession.sessionState.conf.filesMaxPartitionBytes)
+      session.sessionState.conf.filesMaxPartitionBytes)
+    // parquet files split at row-group boundaries; estimate row groups
+    // per file from bytes / parquet.block.size (the writer's row-group
+    // target, default 128 MB) rather than a fixed per-file cap — a
+    // single 10 GB multi-row-group file really does yield ~80 splits,
+    // and capping the estimate at 4 would trigger a pointless
+    // full-text exchange on exactly that production layout
+    val blockSize = math.max(1L,
+      session.sessionState.newHadoopConf()
+        .getLong("parquet.block.size", 128L * 1024 * 1024))
     df.queryExecution.logical.collectLeaves().map {
       case l: LogicalRelation => l.relation match {
         case fs: HadoopFsRelation =>
           val files = math.max(1, fs.location.inputFiles.length)
           val bySize = (fs.location.sizeInBytes + maxSplit - 1) / maxSplit
-          // a parquet file splits only at row-group boundaries, and a
-          // small file is at most one row group — take the file count
-          // unless total bytes prove more splits exist
-          math.max(files.toLong, math.min(bySize, files.toLong * 4)).toInt
+          val byRowGroups =
+            (fs.location.sizeInBytes + blockSize - 1) / blockSize
+          // a small file is at most one row group — take the file
+          // count unless total bytes prove more row groups (and hence
+          // scan splits) exist; never claim more splits than the
+          // read-side split size allows
+          math.max(files.toLong, math.min(bySize, byRowGroups)).toInt
         case _ => Int.MaxValue
       }
       case _ => Int.MaxValue
     }.foldLeft(Int.MaxValue)(math.min)
   }
 
+  /** A/B switch: `SPARK_GRAFT_SCANGUARD=off` makes the guard the
+    * identity everywhere (measurement aid — the guard's default
+    * behavior is unchanged and self-adapting, this is not a tuning
+    * knob).
+    */
+  private val enabled =
+    !sys.env.get("SPARK_GRAFT_SCANGUARD").exists(_.equalsIgnoreCase("off"))
+
   def lowSplit(df: DataFrame, keyCol: String): DataFrame = {
+    if (!enabled) return df
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
     if (estimatedSplits(df) >= math.min(parallelism, 8)) df
     else df.repartition(parallelism, col(keyCol))

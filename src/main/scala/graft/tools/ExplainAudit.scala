@@ -42,12 +42,17 @@ object ExplainAudit {
       val scans = "Scan parquet".r.findAllIn(plan).size
       val readSchemas = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(plan)
         .map(_.group(1).count(_ == ',') + 1).toSeq
-      // scale red flags: nested-loop joins that are NOT the benign
-      // 1-row bounds/stats cross joins (those have Join condition:
-      // None or an isnotnull guard over derived bucket columns), any
-      // cartesian product, and the exchange count
-      val bnlj = "BroadcastNestedLoopJoin (LeftOuter|Inner|LeftSemi)"
-        .r.findAllIn(plan).size
+      // scale red flags: nested-loop joins of ANY join type (LeftAnti
+      // / FullOuter / ExistenceJoin variants are just as quadratic as
+      // Inner — allowlisting three types silently reported them as
+      // zero), excluding only the benign condition-free cross joins
+      // (1-row bounds/stats broadcasts, Join condition: None in the
+      // detail block), any cartesian product, and the exchange count
+      val bnlj = plan.split("\n\n").count { block =>
+        block.linesIterator.toSeq.headOption.exists(
+          _.matches("\\(\\d+\\) BroadcastNestedLoopJoin.*")) &&
+          !block.contains("Join condition: None")
+      }
       val cartesian = "CartesianProduct".r.findAllIn(plan).size
       // formatted mode puts the partitioning in a detail line; count
       // shuffle exchanges by their numbered operator headers
