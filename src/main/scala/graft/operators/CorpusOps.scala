@@ -156,10 +156,16 @@ object CorpusOps {
   private def shingleFps(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    // shingle+fnv runs map-side in the scan stage (the downstream
-    // broadcast join/agg drops rows before any exchange) — guard
-    // low-split scans so it parallelizes
-    ScanGuard.lowSplit(df, idCol)
+    // no ScanGuard here: the r15 guard on this site measured NEUTRAL
+    // in six same-window A/B runs at sf0.1 (off/on within ±noise on
+    // t19/t56/t83; the driver's independent r15 window read t83
+    // SLOWER with it) — the shingle pass is cheap enough per row that
+    // the extra full-text exchange cancels the parallelization at any
+    // layout where the guard would fire, and at production layouts it
+    // was the identity anyway. Contrast exactPhraseDecontaminate,
+    // where per-row work is |probes|·contains() and the guard is a
+    // measured 5×.
+    df
       .select(col(idCol).as("doc_id"),
         explode(Dedup.shingles(col(textCol), n)).as("g"))
       .select(col("doc_id"), call_function("fnv64", col("g")).as("shingle"))
@@ -171,7 +177,7 @@ object CorpusOps {
     val hits = shingleFps(train, idCol, textCol, n)
       .join(broadcast(benchSet), "shingle")
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
-    ScanGuard.lowSplit(train, idCol)
+    train
       .select(col(idCol).as("doc_id"),
         size(Dedup.shingles(col(textCol), n)).cast("long").as("n_shingles"))
       .join(hits, Seq("doc_id"), "left")
@@ -4009,10 +4015,13 @@ object CorpusOps {
     */
   private def queryTf(docs: DataFrame, idCol: String, textCol: String,
       qterms: DataFrame): (DataFrame, DataFrame) = {
-    // both passes tokenize the corpus map-side IN the scan stage (the
-    // qterms semi-join drops almost every row before the first
-    // exchange) — guard low-split scans so that work parallelizes
-    val d = ScanGuard.lowSplit(docs, idCol)
+    // no ScanGuard here: the r15 guard on this site measured NEUTRAL
+    // in six same-window A/B runs at sf0.1 (t28/t30/t69/t77 off vs on
+    // within ±noise, and the driver's independent r15 window read t77
+    // SLOWER with it) — tokenize-per-row is cheap enough that the
+    // extra full-text exchange cancels the gain wherever the guard
+    // would fire, and at production layouts it was the identity
+    val d = docs
     val dl = d.select(col(idCol).as("doc_id"),
       TextFunctions.nTokens(col(textCol)).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_tokens"))

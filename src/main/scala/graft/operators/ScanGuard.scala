@@ -52,7 +52,14 @@ private[graft] object ScanGuard {
     val blockSize = math.max(1L,
       session.sessionState.newHadoopConf()
         .getLong("parquet.block.size", 128L * 1024 * 1024))
-    df.queryExecution.logical.collectLeaves().map {
+    // the ANALYZED plan, not `.logical`: Spark 4's `read.parquet`
+    // keeps an UnresolvedDataSource leaf in the raw logical plan, so
+    // a raw table handle would estimate Int.MaxValue splits and the
+    // guard would silently never fire (exactly what happened to the
+    // r15 queryTf/shingleFps sites — their plans never contained the
+    // guard exchange). Analysis resolves the relation without running
+    // any job (and without claiming observe() registrations).
+    df.queryExecution.analyzed.collectLeaves().map {
       case l: LogicalRelation => l.relation match {
         case fs: HadoopFsRelation =>
           val files = math.max(1, fs.location.inputFiles.length)
