@@ -4759,6 +4759,10 @@ object CorpusOps {
     var vocab = vocab0.localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var exhausted = false
+    // rounds iterate over the pinned vocab only (the corpus tokenize
+    // above keeps AQE) — static plans at the vocab's own width when
+    // it is small (IterDriver), AQE untouched when big
+    IterDriver.maybeStaticRoundsByWidth(docs.sparkSession, vocab) {
     while (merges.size < numMerges && !exhausted) {
       onRound(merges.size)
       val want = math.min(math.max(batchSize, 1), numMerges - merges.size)
@@ -4839,6 +4843,7 @@ object CorpusOps {
           .filter(size(col("syms")) > 1)
           .localCheckpoint(true)
       }
+    }
     }
     merges.toSeq
   }
@@ -5033,19 +5038,24 @@ object CorpusOps {
         .groupBy("doc_id", "y", "bucket").agg(count(lit(1)).as("cnt")),
       col("doc_id")).localCheckpoint()
     val w = Array.fill(f)(0L)
-    for (_ <- 1 to rounds) {
-      val wArr = array(w.map(lit): _*)
-      val mis = feats
-        .groupBy("doc_id", "y")
-        .agg(sum(col("cnt") *
-          element_at(wArr, col("bucket").cast("int") + 1)).as("score"))
-        .filter(col("y") * col("score") <= 0)
-        .select("doc_id")
-      val grad = feats.join(mis, "doc_id")
-        .groupBy("bucket")
-        .agg(sum(col("y") * col("cnt")).as("g"))
-        .collect()
-      grad.foreach(r => w(r.getLong(0).toInt) += r.getLong(1))
+    // rounds iterate over the pinned feature relation only — static
+    // plans at its own width when it is small (IterDriver; the AQE
+    // per-stage jobs were the round cost), AQE untouched when big
+    IterDriver.maybeStaticRoundsByWidth(spark, feats) {
+      for (_ <- 1 to rounds) {
+        val wArr = array(w.map(lit): _*)
+        val mis = feats
+          .groupBy("doc_id", "y")
+          .agg(sum(col("cnt") *
+            element_at(wArr, col("bucket").cast("int") + 1)).as("score"))
+          .filter(col("y") * col("score") <= 0)
+          .select("doc_id")
+        val grad = feats.join(mis, "doc_id")
+          .groupBy("bucket")
+          .agg(sum(col("y") * col("cnt")).as("g"))
+          .collect()
+        grad.foreach(r => w(r.getLong(0).toInt) += r.getLong(1))
+      }
     }
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(

@@ -1683,29 +1683,49 @@ object Dedup {
     */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.sql.Observation
     val e = edges.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
     val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
+    // the node count rides the labels-init action as an observed
+    // metric (no extra job) — it gates the static-round execution
+    // mode below
+    val obsN = Observation()
     var labels = und.select(col("src").as("node")).distinct()
-      .withColumn("comp", col("node")).localCheckpoint()
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIter) {
-      // labels move one hop along edges...
-      val nbrMin = und.join(labels, und("dst") === labels("node"))
-        .groupBy(und("src").as("n2")).agg(min(col("comp")).as("nbr"))
-      val stepped = labels.join(nbrMin, labels("node") === nbrMin("n2"), "left")
-        .select(col("node"), col("comp"),
-          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("c2"))
-      // ...then jump through the label graph: comp(v) := comp(comp(v)).
-      // comp(u) <= u for every u, so the jump only ever lowers labels.
-      val jump = stepped.select(col("node").as("jn"), col("c2").as("jc"))
-      val updated = stepped.join(jump, stepped("c2") === jump("jn"), "left")
-        .select(col("node"), col("comp"), coalesce(col("jc"), col("c2")).as("comp2"))
-        .localCheckpoint()
-      converged = updated.filter(col("comp2") < col("comp")).isEmpty
-      labels = updated.select(col("node"), col("comp2").as("comp"))
-      i += 1
+      .withColumn("comp", col("node"))
+      .observe(obsN, count(lit(1)).as("n")).localCheckpoint()
+    val nNodes = obsN.get("n").asInstanceOf[Long]
+    // rounds touch only pinned inputs — static plans on small graphs
+    // (the per-round AQE stage jobs were the round cost, IterDriver)
+    // at the pinned pair relation's own width, AQE untouched above
+    // the node-count threshold
+    IterDriver.maybeStaticRounds(und.sparkSession, nNodes,
+      IterDriver.pinnedPartitions(und)) {
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIter) {
+        // labels move one hop along edges...
+        val nbrMin = und.join(labels, und("dst") === labels("node"))
+          .groupBy(und("src").as("n2")).agg(min(col("comp")).as("nbr"))
+        val stepped = labels.join(nbrMin, labels("node") === nbrMin("n2"), "left")
+          .select(col("node"), col("comp"),
+            least(col("comp"), coalesce(col("nbr"), col("comp"))).as("c2"))
+        // ...then jump through the label graph: comp(v) := comp(comp(v)).
+        // comp(u) <= u for every u, so the jump only ever lowers labels.
+        val jump = stepped.select(col("node").as("jn"), col("c2").as("jc"))
+        // the convergence test rides the SAME materializing action as
+        // the round's checkpoint (count of lowered labels as an
+        // observed metric) instead of a separate isEmpty job per
+        // round; count(when(...)) is 0, never null, on an empty round
+        val obs = Observation()
+        val updated = stepped.join(jump, stepped("c2") === jump("jn"), "left")
+          .select(col("node"), col("comp"), coalesce(col("jc"), col("c2")).as("comp2"))
+          .observe(obs, count(when(col("comp2") < col("comp"), 1)).as("n_changed"))
+          .localCheckpoint()
+        converged = obs.get("n_changed").asInstanceOf[Long] == 0L
+        labels = updated.select(col("node"), col("comp2").as("comp"))
+        i += 1
+      }
     }
     labels.select(col("node"), col("comp"))
   }

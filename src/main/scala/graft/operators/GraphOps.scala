@@ -117,11 +117,18 @@ object GraphOps {
     // dangling test only needs the set of sources with out-edges —
     // derivable from the checkpointed edge relation for free
     val outSrcs = e.select(col("src").as("node")).distinct()
-    var ranks = n0.withColumn("r", lit(RankScale / nNodes)).localCheckpoint(true)
-    for (_ <- 1 to iters)
-      ranks = pageRankRound(n0, e, outSrcs, ranks, nNodes, base).localCheckpoint(true)
-    ranks.select(col("node"), col("r").as("rank_scaled"),
-      (col("r").cast("double") / lit(RankScale.toDouble)).as("rank"))
+    // the rounds iterate over pinned inputs only — on a small graph
+    // run them with static plans (the AQE per-stage job submission
+    // was the round cost: see IterDriver) at the pinned edge
+    // relation's own width, on a large one keep AQE
+    IterDriver.maybeStaticRounds(nodes.sparkSession, nNodes,
+      IterDriver.pinnedPartitions(e)) {
+      var ranks = n0.withColumn("r", lit(RankScale / nNodes)).localCheckpoint(true)
+      for (_ <- 1 to iters)
+        ranks = pageRankRound(n0, e, outSrcs, ranks, nNodes, base).localCheckpoint(true)
+      ranks.select(col("node"), col("r").as("rank_scaled"),
+        (col("r").cast("double") / lit(RankScale.toDouble)).as("rank"))
+    }
   }
 
   /** One synchronous PageRank round as an UN-materialized plan —

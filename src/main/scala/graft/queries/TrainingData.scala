@@ -2623,6 +2623,14 @@ object TrainingData {
       .withColumn("status", when(upd, lit("X")).otherwise(col("status")))
       .withColumn("updated_at",
         when(upd, col("updated_at") + 30).otherwise(col("updated_at")))
+    // NOT pinned: the merge consumes `snap` three times (current rows
+    // twice + history) and re-runs the snapshot build per consumer,
+    // but an r16 A/B of localCheckpoint-pinning snap1 measured
+    // neutral at sf0.1 (2.37 pinned vs 2.41 unpinned, same-window
+    // noise) — the eager materialization costs what the page-cached
+    // re-reads save. At 100 TB the first snapshot is a materialized
+    // TABLE, so the re-read is a column-pruned scan there, not a
+    // recompute.
     val snap1 = graft.operators.Scd2.firstSnapshotTimestamp(b1, "id", "updated_at")
     graft.operators.Scd2.snapshotMergeTimestamp(snap1, b2, "id", "updated_at",
         invalidateHardDeletes = true, deleteStamp = Some(lit(30000L)))
